@@ -1,0 +1,244 @@
+"""Query-builder semantics vs a DuckDB oracle on the same parquet.
+
+Mirrors the reference's tests/query-tests.lisp (select/count/limit/skip/joins)
+and tests/prolog-functor-tests.lisp (comparisons, regex, not, or, unique,
+findall/bagof/setof, forall) over the F6 TPC-H graph projection.
+"""
+
+from pyspark.sql import functions as F
+
+from tests.conftest import rows_set, duck_set
+from vivace_graph_v3_spark.query.builder import (
+    Select, select, select_count, select_first)
+
+
+def test_is_a_scan(tpch, duck):
+    df = select(tpch, ["?c"], [("is-a", "?c", "customer")])
+    want = duck_set(duck, "SELECT 'customer:'||c_custkey FROM customer")
+    assert rows_set(df) == want
+
+
+def test_edge_join_conjunction(tpch, duck):
+    # (in_nation ?c ?n) ∧ (in_region ?n ?r): 2-hop join, bindings flow left->right
+    df = select(tpch, ["?c", "?r"], [
+        ("is-a", "?c", "customer"),
+        ("in_nation", "?c", "?n"),
+        ("in_region", "?n", "?r"),
+    ])
+    want = duck_set(duck, """
+        SELECT 'customer:'||c_custkey, 'region:'||n_regionkey
+        FROM customer JOIN nation ON c_nationkey=n_nationkey
+    """)
+    assert rows_set(df) == want
+
+
+def test_weighted_edge_and_comparison(tpch, duck):
+    df = select(tpch, ["?o", "?p", "?w"], [
+        ("contains", "?o", "?p", "?w"),
+        (">", "?w", 45.0),
+    ])
+    want = duck_set(duck, """
+        SELECT 'orders:'||l_orderkey, 'part:'||l_partkey, l_quantity
+        FROM lineitem WHERE l_quantity > 45.0
+    """)
+    assert rows_set(df) == want
+
+
+def test_node_slot_value(tpch, duck):
+    df = select(tpch, ["?c", "?b"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_acctbal", "?b"),
+        (">", "?b", 5000.0),
+    ])
+    want = duck_set(duck, """
+        SELECT 'customer:'||c_custkey, c_acctbal FROM customer
+        WHERE c_acctbal > 5000.0
+    """)
+    assert rows_set(df) == want
+
+
+def test_regex_match(tpch, duck):
+    df = select(tpch, ["?c", "?n"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_name", "?n"),
+        ("regex-match", "0{2}$", "?n"),
+    ])
+    want = duck_set(duck, """
+        SELECT 'customer:'||c_custkey, c_name FROM customer
+        WHERE regexp_matches(c_name, '0{2}$')
+    """)
+    assert rows_set(df) == want
+
+
+def test_not_negation_as_failure(tpch, duck):
+    # customers with no orders
+    df = select(tpch, ["?c"], [
+        ("is-a", "?c", "customer"),
+        ("not", ("placed", "?c", "?o")),
+    ])
+    want = duck_set(duck, """
+        SELECT 'customer:'||c_custkey FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+    """)
+    assert rows_set(df) == want
+
+
+def test_or_union(tpch, duck):
+    df = select(tpch, ["?c"], [
+        ("is-a", "?c", "customer"),
+        ("or",
+         [("slot", "?c", "c_mktsegment", "BUILDING")],
+         [("slot", "?c", "c_mktsegment", "MACHINERY")]),
+    ], distinct=True)
+    want = duck_set(duck, """
+        SELECT DISTINCT 'customer:'||c_custkey FROM customer
+        WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+    """)
+    assert rows_set(df) == want
+
+
+def test_unique(tpch, duck):
+    df = select(tpch, ["?n"], [
+        ("in_nation", "?c", "?n"),
+        ("unique", "?n"),
+    ])
+    want = duck_set(duck,
+                    "SELECT DISTINCT 'nation:'||c_nationkey FROM customer")
+    assert rows_set(df) == want
+
+
+def test_select_count_limit_skip(tpch, duck):
+    n = select_count(tpch, [("is-a", "?c", "customer")])
+    (want,) = duck.execute("SELECT count(*) FROM customer").fetchone()
+    assert n == want
+    # deterministic limit/skip under explicit order
+    df = select(tpch, ["?c"], [("is-a", "?c", "customer")],
+                order_by=["?c"], limit=5, skip=2)
+    want = duck_set(duck, """
+        SELECT id FROM (SELECT 'customer:'||c_custkey AS id FROM customer)
+        ORDER BY id LIMIT 5 OFFSET 2
+    """)
+    assert rows_set(df) == want
+
+
+def test_select_first(tpch, duck):
+    df = select_first(tpch, ["?c"], [("is-a", "?c", "customer")])
+    rows = df.collect()
+    assert len(rows) == 1
+    (want,) = duck.execute(
+        "SELECT min('customer:'||c_custkey) FROM customer").fetchone()
+    assert rows[0][0] == want
+
+
+def test_is_arithmetic(tpch, duck):
+    df = select(tpch, ["?o", "?dbl"], [
+        ("contains", "?o", "?p", "?w"),
+        (">", "?w", 49.0),
+        ("is", "?dbl", ("*", "?w", 2)),
+    ])
+    want = duck_set(duck, """
+        SELECT 'orders:'||l_orderkey, l_quantity*2
+        FROM lineitem WHERE l_quantity > 49.0
+    """)
+    assert rows_set(df) == want
+
+
+def test_findall_empty_list(tpch, duck):
+    # per-customer order totals; customers without orders get []
+    df = select(tpch, ["?c", "?totals"], [
+        ("is-a", "?c", "customer"),
+        ("findall", "?t",
+         [("placed", "?c", "?o"), ("slot", "?o", "o_totalprice", "?t")],
+         "?totals"),
+    ])
+    want = duck_set(duck, """
+        SELECT 'customer:'||c_custkey,
+               coalesce(list(o_totalprice ORDER BY o_totalprice)
+                        FILTER (WHERE o_totalprice IS NOT NULL),
+                        CAST([] AS DOUBLE[])) AS totals
+        FROM customer LEFT JOIN orders ON o_custkey=c_custkey
+        GROUP BY 1
+    """)
+    assert rows_set(df) == want
+
+
+def test_bagof_fails_on_empty(tpch, duck):
+    df = select(tpch, ["?n", "?custs"], [
+        ("is-a", "?n", "nation"),
+        ("bagof", "?c", [("in_nation", "?c", "?n")], "?custs", ["?n"]),
+    ])
+    want = duck_set(duck, """
+        SELECT 'nation:'||c_nationkey,
+               list('customer:'||c_custkey ORDER BY 'customer:'||c_custkey)
+        FROM customer GROUP BY 1
+    """)
+    assert rows_set(df) == want
+
+
+def test_setof_sorted_dedup(tpch, duck):
+    df = select(tpch, ["?n", "?segs"], [
+        ("is-a", "?n", "nation"),
+        ("setof", "?s",
+         [("in_nation", "?c", "?n"), ("slot", "?c", "c_mktsegment", "?s")],
+         "?segs", ["?n"]),
+    ])
+    want = duck_set(duck, """
+        SELECT 'nation:'||c_nationkey,
+               list(DISTINCT c_mktsegment ORDER BY c_mktsegment)
+        FROM customer GROUP BY 1
+    """)
+    assert rows_set(df) == want
+
+
+def test_forall(tpch, duck):
+    # regions where every nation has at least one customer
+    df = select(tpch, ["?r"], [
+        ("is-a", "?r", "region"),
+        ("forall", [("in_region", "?n", "?r")],
+         [("in_nation", "?c", "?n")]),
+    ])
+    want = duck_set(duck, """
+        SELECT 'region:'||r_regionkey FROM region
+        WHERE NOT EXISTS (
+          SELECT 1 FROM nation WHERE n_regionkey=r_regionkey
+          AND NOT EXISTS (SELECT 1 FROM customer WHERE c_nationkey=n_nationkey))
+    """)
+    assert rows_set(df) == want
+
+
+def test_param_binding(tpch, duck):
+    df = select(tpch, ["?c"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_mktsegment", "?s"),
+        ("param", "?seg", "segment"),
+        ("=", "?s", "?seg"),
+    ], params={"segment": "BUILDING"})
+    want = duck_set(duck, """
+        SELECT 'customer:'||c_custkey FROM customer
+        WHERE c_mktsegment='BUILDING'
+    """)
+    assert rows_set(df) == want
+
+
+def test_once_first_solution(tpch):
+    # one order per customer (deterministic: min order id per the contract)
+    df = select(tpch, ["?c", "?o"], [
+        ("is-a", "?c", "customer"),
+        ("once", ("placed", "?c", "?o")),
+    ])
+    pdf = df.toPandas()
+    assert pdf["c"].is_unique
+    direct = select(tpch, ["?c"], [("placed", "?c", "?o")], distinct=True)
+    assert len(pdf) == direct.count()
+
+
+def test_incoming_outgoing_edges(tpch, duck):
+    df = select(tpch, ["?p", "?e"], [
+        ("incoming-edges", "?p", "contains", "?e", "?o"),
+    ])
+    want = duck_set(duck, """
+        SELECT 'part:'||l_partkey,
+               'contains:'||l_orderkey||'_'||l_linenumber
+        FROM lineitem
+    """)
+    assert rows_set(df) == want

@@ -1,0 +1,607 @@
+"""Goal-list query builder — the Spark analog of the reference's Prolog
+``select`` macro family (prologc.lisp:951-1116).
+
+The reference compiles a conjunction of goals to nested continuation-passing
+closures and runs a depth-first nested-loop join with index-accelerated inner
+scans (compile-body prologc.lisp:702-734; access-path dispatch
+schema.lisp:316-361). That whole engine is *replaced* by Catalyst: each goal
+contributes a relation / filter / projection to a DataFrame plan, bindings
+flow left-to-right exactly like Prolog variable bindings, and Catalyst picks
+join order and physical strategy (broadcast/hash/SMJ) — an upgrade over the
+reference, whose goal order IS its execution order (SURVEY.md §4.1).
+
+Variables are ``?name`` strings; a variable is *bound* once some goal has
+produced a column for it. A goal over unbound variables introduces a relation
+(scan); over bound variables it becomes a filter or join — the declarative
+analog of the reference's bound-argument access-path selection.
+
+Supported goals (reference citations in each handler):
+
+  ('is-a', ?v, type)                 type scan / type test (prolog-functors.lisp:832-857)
+  (<edge-type>, ?a, ?b)              edge relation (schema.lisp:309-361)
+  (<edge-type>, ?a, ?b, ?w)          + weight (schema.lisp:362-420)
+  ('outgoing-edges', ?v, etype, ?e, ?to)   (prolog-functors.lisp:678-732)
+  ('incoming-edges', ?v, etype, ?e, ?from) (prolog-functors.lisp:635-676)
+  ('node-slot-value'|'slot', ?v, slot, ?x) (prolog-functors.lisp:791-805)
+  ('weight', ?e, ?w)                 (prolog-functors.lisp:807-812)
+  ('=', a, b) ('==',) ('/=',) ('<','>','<=','>=')   (prolog-functors.lisp:48-84)
+  ('regex-match', pattern, ?s)       (prolog-functors.lisp:133-139)
+  ('valid-date-p', ?s)               (prolog-functors.lisp:349-357)
+  ('not-in-list', ?x, [..])          (prolog-functors.lisp:94-96)
+  ('is', ?x, expr)                   arithmetic (prolog-functors.lisp:98-116)
+  ('lispp', expr)                    boolean expression filter (prolog-functors.lisp:118-124)
+  ('param', ?x, name)                (prolog-functors.lisp:144-152)
+  ('not', goal...)                   negation as failure (prologc.lisp:492-518)
+  ('or', [goals], [goals], ...)      disjunction (prologc.lisp:432-447)
+  ('unique', ?x)                     solution dedup (prolog-functors.lisp:814-830)
+  ('once', goal...)                  first solution per outer row (prologc.lisp:520-545)
+  ('findall', template, [goals], ?list)    (prolog-functors.lisp:472-477)
+  ('bagof', template, [goals], ?list)      (prolog-functors.lisp:498-503)
+  ('setof', template, [goals], ?list)      (prolog-functors.lisp:505-508)
+  ('^', [?vars], goal)               existential quantifier inside bagof/setof
+  ('forall', [cond], [action])       (prologc.lisp:571-582)
+  ('call', functor, args...)         registered python relation/predicate
+                                     (def-global-prolog-functor analog,
+                                     prolog-functors.lisp:9-21)
+
+Ordering contract: the reference's solution order is discovery order —
+unspecified by contract (SURVEY.md §7.3). ``limit``/``skip``/``once`` are
+deterministic here only when ``order_by`` is given; aggregate list values are
+sorted. Tests compare multisets.
+"""
+
+from __future__ import annotations
+
+import fnmatch
+import operator
+from typing import Any, Callable
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from vivace_graph_v3_spark.graph import GraphStore
+
+# User-defined functors (the def-global-prolog-functor analog): name ->
+# callable(builder, plan, args) -> DataFrame. Registered via register_functor.
+_USER_FUNCTORS: dict[str, Callable] = {}
+
+
+def register_functor(name: str, fn: Callable) -> None:
+    _USER_FUNCTORS[name] = fn
+
+
+def is_var(t: Any) -> bool:
+    return isinstance(t, str) and t.startswith("?")
+
+
+def var_col(t: str) -> str:
+    return t[1:]
+
+
+class QueryError(Exception):
+    pass
+
+
+class EffectNotAllowed(QueryError):
+    """Reference: require-effect / *allowed-effects* (prologc.lisp:902-943)."""
+
+
+_CMP = {"<": operator.lt, ">": operator.gt, "<=": operator.le, ">=": operator.ge}
+
+_ARITH = {
+    "+": lambda a, b: a + b, "-": lambda a, b: a - b,
+    "*": lambda a, b: a * b, "/": lambda a, b: a / b,
+    "mod": lambda a, b: a % b,
+}
+
+
+class Plan:
+    """Current compilation state: a DataFrame whose columns are the bound
+    variables (column name = var name without '?')."""
+
+    def __init__(self, df: DataFrame | None = None):
+        self.df = df
+
+    @property
+    def bound(self) -> set[str]:
+        return set(self.df.columns) if self.df is not None else set()
+
+    def merge(self, rel: DataFrame, rel_vars: list[str]) -> "Plan":
+        """Join a new relation in on its shared bound variables; cartesian if
+        none are shared (pure Prolog conjunction of independent goals)."""
+        if self.df is None:
+            return Plan(rel)
+        shared = [v for v in rel_vars if v in self.bound]
+        new_cols = [v for v in rel_vars if v not in self.bound]
+        if shared:
+            out = self.df.join(rel, on=shared, how="inner")
+        else:
+            out = self.df.crossJoin(rel)
+        _ = new_cols
+        return Plan(out)
+
+
+class Select:
+    """The ``select`` entry point (prologc.lisp:951-1037).
+
+    Options mirror the reference's option plist: limit/skip
+    (prologc.lisp:825-831), count-only (832-857), flat, distinct
+    (*seen-table*), params (*query-params*, prolog-functors.lisp:144-152),
+    allowed_effects (prologc.lisp:902-943). ``order_by`` is the explicit
+    ordering contract Spark needs for deterministic limit/skip.
+    """
+
+    def __init__(self, graph: GraphStore, vars: list[str], goals: list[tuple], *,
+                 limit: int | None = None, skip: int | None = None,
+                 count_only: bool = False, distinct: bool = False,
+                 order_by: list[str] | None = None, descending: bool = False,
+                 params: dict[str, Any] | None = None,
+                 allowed_effects: set[str] = frozenset(),
+                 include_deleted: bool = False):
+        self.graph = graph
+        self.vars = vars
+        self.goals = goals
+        self.limit = limit
+        self.skip = skip
+        self.count_only = count_only
+        self.distinct = distinct
+        self.order_by = order_by
+        self.descending = descending
+        self.params = params or {}
+        self.allowed_effects = set(allowed_effects)
+        self.include_deleted = include_deleted
+
+    # -- public API -----------------------------------------------------------
+
+    def to_df(self) -> DataFrame:
+        plan = self.compile_goals(Plan(), self.goals)
+        if plan.df is None:
+            raise QueryError("empty goal list")
+        df = plan.df
+        out_cols = [var_col(v) for v in self.vars]
+        missing = [c for c in out_cols if c not in df.columns]
+        if missing:
+            raise QueryError(f"unbound select variables: {missing}")
+        df = df.select(*out_cols)
+        if self.distinct:
+            df = df.dropDuplicates()
+        if self.order_by:
+            cols = [F.col(var_col(v)) for v in self.order_by]
+            df = df.orderBy(*[c.desc() for c in cols] if self.descending else cols)
+        if self.skip:
+            df = df.offset(self.skip)
+        if self.limit is not None:
+            df = df.limit(self.limit)
+        if self.count_only:
+            # select-count (prologc.lisp:1044-1049): count solutions after
+            # skip/limit without materializing rows.
+            return df.agg(F.count(F.lit(1)).alias("count"))
+        return df
+
+    def count(self) -> int:
+        self.count_only = False
+        df = self.to_df()
+        return df.count()
+
+    # -- goal compilation ------------------------------------------------------
+
+    def compile_goals(self, plan: Plan, goals: list[tuple]) -> Plan:
+        for goal in goals:
+            plan = self.compile_goal(plan, goal)
+        return plan
+
+    def compile_goal(self, plan: Plan, goal: tuple) -> Plan:
+        head, *args = goal
+        handler = getattr(self, f"_g_{head.replace('-', '_')}", None)
+        if handler is not None:
+            return handler(plan, *args)
+        if head in _CMP:
+            return self._g_compare(plan, head, *args)
+        if head in self.graph.edge_types():
+            return self._g_edge_relation(plan, head, *args)
+        if head in _USER_FUNCTORS:
+            return Plan(_USER_FUNCTORS[head](self, plan, args))
+        raise QueryError(f"unknown functor: {head}")
+
+    # -- term resolution -------------------------------------------------------
+
+    def resolve(self, plan: Plan, term: Any) -> Column:
+        """Var -> its column (must be bound); literal -> lit."""
+        if is_var(term):
+            c = var_col(term)
+            if c not in plan.bound:
+                raise QueryError(f"unbound variable {term}")
+            return F.col(c)
+        return F.lit(term)
+
+    def _arith(self, plan: Plan, expr: Any) -> Column:
+        """Compile an ``is`` arithmetic expression tree: ('*', '?w', 2)."""
+        if isinstance(expr, tuple):
+            op, *operands = expr
+            if op in _ARITH and len(operands) == 2:
+                return _ARITH[op](self._arith(plan, operands[0]),
+                                  self._arith(plan, operands[1]))
+            fn = getattr(F, op, None)
+            if fn is not None:
+                return fn(*[self._arith(plan, o) for o in operands])
+            raise QueryError(f"unknown arithmetic op: {op}")
+        return self.resolve(plan, expr)
+
+    # -- relation goals --------------------------------------------------------
+
+    def _g_is_a(self, plan: Plan, node: Any, type_name: Any) -> Plan:
+        """Type test / enumeration (prolog-functors.lisp:832-857): unbound ->
+        subtype-closure scan; bound -> membership filter; type var -> project
+        the type column."""
+        if is_var(type_name):
+            rel = self.graph.scan_vertices(
+                include_deleted=self.include_deleted, columns=["id", "type"])
+            rel = rel.select(F.col("id").alias(var_col(node)),
+                             F.col("type").alias(var_col(type_name)))
+            return plan.merge(rel, [var_col(node), var_col(type_name)])
+        rel = self.graph.scan_vertices(
+            type_name, include_deleted=self.include_deleted, columns=["id"])
+        if is_var(node) and var_col(node) not in plan.bound:
+            rel = rel.select(F.col("id").alias(var_col(node)))
+            return plan.merge(rel, [var_col(node)])
+        # bound node (or constant): semi-join membership test
+        target = self.resolve(plan, node)
+        if plan.df is None:
+            return Plan(rel.filter(F.col("id") == target).select(
+                F.col("id").alias(var_col(node)) if is_var(node) else F.col("id")))
+        probe = rel.select(F.col("id").alias("__isa_id"))
+        return Plan(plan.df.join(probe, on=target == F.col("__isa_id"),
+                                 how="left_semi"))
+
+    def _g_edge_relation(self, plan: Plan, etype: str, frm: Any, to: Any,
+                         weight: Any = None) -> Plan:
+        """Generated ``<edge-type>``/2,3 (schema.lisp:309-420): enumerate
+        active edges of the type; bound endpoints become join keys/filters —
+        the VEV/VE/type-index access paths collapse into Catalyst's join
+        selection. Active-edge liveness per edge.lisp:275-284."""
+        cols = ["src", "dst"] + (["weight"] if weight is not None else [])
+        rel = self.graph.active_edges(etype, columns=cols)
+        out_vars, conds = [], []
+        for term, col in [(frm, "src"), (to, "dst")] + (
+                [(weight, "weight")] if weight is not None else []):
+            if is_var(term):
+                v = var_col(term)
+                rel = rel.withColumnRenamed(col, v)
+                out_vars.append(v)
+            else:
+                conds.append(F.col(col) == F.lit(term))
+        for c in conds:
+            rel = rel.filter(c)
+        rel = rel.select(*out_vars) if out_vars else rel.select(F.lit(1).alias("__one"))
+        if not out_vars:
+            # fully ground goal: existence test (edge-exists-p, edge.lisp:286-303)
+            if plan.df is None:
+                return Plan(rel.limit(1))
+            return Plan(plan.df.join(F.broadcast(rel.limit(1)), how="cross"))
+        return plan.merge(rel, out_vars)
+
+    def _g_outgoing_edges(self, plan: Plan, v: Any, etype: str | None,
+                          edge: Any, to: Any) -> Plan:
+        """(outgoing-edges ?v etype ?e ?to) — prolog-functors.lisp:678-732."""
+        return self._edge_with_id(plan, etype, v, to, edge)
+
+    def _g_incoming_edges(self, plan: Plan, v: Any, etype: str | None,
+                          edge: Any, frm: Any) -> Plan:
+        """(incoming-edges ?v etype ?e ?from) — prolog-functors.lisp:635-676."""
+        return self._edge_with_id(plan, etype, frm, v, edge)
+
+    def _edge_with_id(self, plan: Plan, etype: str | None, frm: Any, to: Any,
+                      edge: Any) -> Plan:
+        rel = self.graph.active_edges(etype, columns=["id", "src", "dst"])
+        out_vars = []
+        for term, col in [(edge, "id"), (frm, "src"), (to, "dst")]:
+            if is_var(term):
+                v = var_col(term)
+                rel = rel.withColumnRenamed(col, v)
+                out_vars.append(v)
+            else:
+                rel = rel.filter(F.col(col) == F.lit(term))
+        rel = rel.select(*out_vars)
+        return plan.merge(rel, out_vars)
+
+    def _g_node_slot_value(self, plan: Plan, node: Any, slot: str, value: Any) -> Plan:
+        """Project a slot of a bound node (prolog-functors.lisp:791-805).
+        Scans only the vertex types that declare the slot, so column pruning
+        reaches the parquet readers."""
+        types_with = [t.name for t in self.graph.registry.types("vertex")
+                      if slot in t.slots and t.name in self.graph.vertex_types()]
+        if not types_with:
+            raise QueryError(f"no vertex type declares slot {slot!r}")
+        rel = self.graph._union(self.graph._vertices, types_with,
+                                self.include_deleted, ["id", slot])
+        if not is_var(node):
+            rel = rel.filter(F.col("id") == F.lit(node))
+        node_v = var_col(node) if is_var(node) else "__node"
+        rel = rel.withColumnRenamed("id", node_v)
+        if is_var(value):
+            rel = rel.withColumnRenamed(slot, var_col(value))
+            return plan.merge(rel, [node_v, var_col(value)])
+        rel = rel.filter(F.col(slot) == F.lit(value)).select(node_v)
+        return plan.merge(rel, [node_v])
+
+    _g_slot = _g_node_slot_value
+
+    def _g_weight(self, plan: Plan, edge: Any, w: Any) -> Plan:
+        """Edge weight accessor (prolog-functors.lisp:807-812)."""
+        rel = self.graph.scan_edges(columns=["id", "weight"])
+        rel = rel.withColumnRenamed("id", var_col(edge)) \
+                 .withColumnRenamed("weight", var_col(w))
+        return plan.merge(rel, [var_col(edge), var_col(w)])
+
+    # -- filters / bindings ----------------------------------------------------
+
+    def _g_compare(self, plan: Plan, op: str, a: Any, b: Any) -> Plan:
+        """Numeric comparisons fail on non-numbers (prolog-functors.lisp:60-84);
+        here the cast/filter semantics of Spark SQL apply (NULL -> drop)."""
+        return Plan(plan.df.filter(_CMP[op](self.resolve(plan, a),
+                                            self.resolve(plan, b))))
+
+    def _g_eq(self, plan: Plan, a: Any, b: Any) -> Plan:
+        """('=', a, b) unification (prolog-functors.lisp:48-50): bind an
+        unbound var, else compare."""
+        a_unbound = is_var(a) and var_col(a) not in plan.bound
+        b_unbound = is_var(b) and var_col(b) not in plan.bound
+        if a_unbound and b_unbound:
+            raise QueryError("= with two unbound variables")
+        if a_unbound:
+            return Plan(plan.df.withColumn(var_col(a), self.resolve(plan, b)))
+        if b_unbound:
+            return Plan(plan.df.withColumn(var_col(b), self.resolve(plan, a)))
+        return Plan(plan.df.filter(self.resolve(plan, a) == self.resolve(plan, b)))
+
+    def compile_goal_eq(self, plan, a, b):  # alias used by '=' dispatch
+        return self._g_eq(plan, a, b)
+
+    def _g_structural_eq(self, plan: Plan, a: Any, b: Any) -> Plan:
+        """'==' — no binding (prolog-functors.lisp:52-54)."""
+        return Plan(plan.df.filter(self.resolve(plan, a) == self.resolve(plan, b)))
+
+    def _g_structural_neq(self, plan: Plan, a: Any, b: Any) -> Plan:
+        """'/=' (prolog-functors.lisp:56-58)."""
+        return Plan(plan.df.filter(self.resolve(plan, a) != self.resolve(plan, b)))
+
+    def _g_regex_match(self, plan: Plan, pattern: str, s: Any) -> Plan:
+        """cl-ppcre scan -> rlike (prolog-functors.lisp:133-139)."""
+        return Plan(plan.df.filter(self.resolve(plan, s).rlike(pattern)))
+
+    def _g_valid_date_p(self, plan: Plan, s: Any) -> Plan:
+        """(prolog-functors.lisp:349-357) — YYYY-MM-DD validation."""
+        c = self.resolve(plan, s)
+        return Plan(plan.df.filter(
+            c.rlike(r"^\d{4}-\d{2}-\d{2}$") & F.to_date(c, "yyyy-MM-dd").isNotNull()))
+
+    def _g_not_in_list(self, plan: Plan, x: Any, items: list) -> Plan:
+        """(prolog-functors.lisp:94-96)."""
+        return Plan(plan.df.filter(~self.resolve(plan, x).isin(list(items))))
+
+    def _g_is(self, plan: Plan, x: Any, expr: Any) -> Plan:
+        """Arithmetic assign/unify (prolog-functors.lisp:98-116, 154-159).
+        The reference's arbitrary-Lisp escape hatch becomes a restricted
+        expression DSL kept JVM-side (no Python UDF in the hot path)."""
+        val = self._arith(plan, expr)
+        if is_var(x) and var_col(x) not in plan.bound:
+            return Plan(plan.df.withColumn(var_col(x), val))
+        return Plan(plan.df.filter(self.resolve(plan, x) == val))
+
+    def _g_lispp(self, plan: Plan, expr: Any) -> Plan:
+        """Boolean test (prolog-functors.lisp:118-124): expression must be
+        truthy. Accepts an arithmetic tree or a SQL expression string."""
+        if isinstance(expr, str):
+            return Plan(plan.df.filter(F.expr(expr)))
+        return Plan(plan.df.filter(self._arith(plan, expr).cast("boolean")))
+
+    def _g_param(self, plan: Plan, x: Any, name: str) -> Plan:
+        """Bind from *query-params* (prolog-functors.lisp:144-152) — the safe
+        parameter-injection surface of the REST layer (rest.lisp:59-99)."""
+        if name not in self.params:
+            raise QueryError(f"missing query param: {name}")
+        val = F.lit(self.params[name])
+        if plan.df is None:
+            return Plan(self.graph.spark.range(1).select(val.alias(var_col(x))))
+        return Plan(plan.df.withColumn(var_col(x), val))
+
+    def _g_unique(self, plan: Plan, *vars_: str) -> Plan:
+        """Per-variable dedup of solutions (prolog-functors.lisp:814-830)."""
+        return Plan(plan.df.dropDuplicates([var_col(v) for v in vars_]))
+
+    # -- control / set operators -----------------------------------------------
+
+    def _g_not(self, plan: Plan, *goals: tuple) -> Plan:
+        """Negation as failure (prologc.lisp:492-518): keep outer rows with no
+        solution of the subgoals — an anti-join on the outer columns."""
+        if plan.df is None:
+            raise QueryError("'not' requires prior goals")
+        sub = self.compile_goals(Plan(plan.df), list(goals))
+        probe = sub.df.select(*plan.df.columns).dropDuplicates()
+        return Plan(plan.df.join(probe, on=list(plan.df.columns), how="left_anti"))
+
+    def _g_or(self, plan: Plan, *branches) -> Plan:
+        """Disjunction = union of branch solution streams (prologc.lisp:432-447);
+        bindings don't leak between branches. Vars bound in only some branches
+        surface as NULL (≈ unbound) in the others."""
+        plans = [self.compile_goals(Plan(plan.df), list(b)) for b in branches]
+        out = plans[0].df
+        for p in plans[1:]:
+            out = out.unionByName(p.df, allowMissingColumns=True)
+        return Plan(out)
+
+    def _g_once(self, plan: Plan, *goals: tuple) -> Plan:
+        """First solution per outer row (prologc.lisp:520-545). Requires a
+        defined order for determinism: new columns sort ascending —
+        the documented contract replacing the reference's discovery order."""
+        from pyspark.sql import Window
+        if plan.df is None:
+            sub = self.compile_goals(Plan(), list(goals))
+            new = sorted(sub.df.columns)
+            w = Window.partitionBy(F.lit(1)).orderBy(*new)
+            return Plan(sub.df.withColumn("__rn", F.row_number().over(w))
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+        outer = list(plan.df.columns)
+        sub = self.compile_goals(Plan(plan.df), list(goals))
+        new = sorted(set(sub.df.columns) - set(outer))
+        from pyspark.sql import Window as W
+        w = W.partitionBy(*outer).orderBy(*new) if new else W.partitionBy(*outer).orderBy(F.lit(1))
+        return Plan(sub.df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1).drop("__rn"))
+
+    def _g_forall(self, plan: Plan, cond: list, action: list) -> Plan:
+        """forall(Cond, Action) (prologc.lisp:571-582): succeeds iff every
+        Cond solution satisfies Action — anti-join emptiness per outer row."""
+        if plan.df is None:
+            plan = Plan(self.graph.spark.range(1).select(F.lit(1).alias("__all")))
+        cond_plan = self.compile_goals(Plan(plan.df), list(cond))
+        violating = self._g_not(Plan(cond_plan.df), *action)
+        # outer rows with >=1 violating Cond solution fail
+        bad = violating.df.select(*plan.df.columns).dropDuplicates()
+        out = plan.df.join(bad, on=list(plan.df.columns), how="left_anti")
+        return Plan(out.drop("__all") if "__all" in out.columns else out)
+
+    # -- aggregates (findall/bagof/setof, prolog-functors.lisp:413-508) ---------
+
+    def _agg_goal(self, plan: Plan, template: Any, goals: list, out: str,
+                  *, witness: list | None, fail_on_empty: bool,
+                  sort_unique: bool) -> Plan:
+        tmpl_vars = [template] if is_var(template) else list(template)
+        tmpl_cols = [var_col(v) for v in tmpl_vars]
+        sub = self.compile_goals(Plan(plan.df), list(goals))
+        if witness is not None:
+            group_cols = [var_col(v) for v in witness]
+        else:
+            group_cols = list(plan.bound)
+        tmpl_expr = (F.col(tmpl_cols[0]) if len(tmpl_cols) == 1
+                     else F.struct(*[F.col(c) for c in tmpl_cols]))
+        agg = F.collect_list(tmpl_expr)
+        if sort_unique:
+            # setof: sort by standard order of terms + dedup
+            # (prolog-functors.lisp:437-470)
+            agg = F.array_sort(F.array_distinct(F.collect_set(tmpl_expr)))
+        else:
+            # findall/bagof order is discovery order (unspecified by contract);
+            # sort for a deterministic Spark contract (SURVEY.md §7.3).
+            agg = F.array_sort(F.collect_list(tmpl_expr))
+        if not group_cols:
+            grouped = sub.df.agg(agg.alias(var_col(out)))
+            return Plan(grouped if plan.df is None
+                        else plan.df.crossJoin(F.broadcast(grouped)))
+        grouped = sub.df.groupBy(*group_cols).agg(agg.alias(var_col(out)))
+        if plan.df is None:
+            return Plan(grouped)
+        keep = [c for c in group_cols if c in plan.bound]
+        how = "inner" if fail_on_empty else "left"
+        joined = plan.df.join(grouped.select(*keep, var_col(out)), on=keep, how=how)
+        if not fail_on_empty:
+            # findall yields [] when Goal has no solutions
+            # (prolog-functors.lisp:413-422)
+            elem = grouped.schema[var_col(out)].dataType
+            joined = joined.withColumn(
+                var_col(out),
+                F.coalesce(F.col(var_col(out)), F.lit(None).cast(elem),
+                           F.array().cast(elem)))
+        return Plan(joined)
+
+    def _g_findall(self, plan: Plan, template, goals, out) -> Plan:
+        return self._agg_goal(plan, template, goals, out, witness=None,
+                              fail_on_empty=False, sort_unique=False)
+
+    def _g_bagof(self, plan: Plan, template, goals, out, witness=None) -> Plan:
+        """bagof groups by witness variables — the free vars of Goal outside
+        the template minus ^-quantified ones (prolog-functors.lisp:479-496).
+        Pass ``witness`` explicitly (the builder does not infer quantifiers);
+        fails (drops rows) on empty groups."""
+        return self._agg_goal(plan, template, goals, out, witness=witness,
+                              fail_on_empty=True, sort_unique=False)
+
+    def _g_setof(self, plan: Plan, template, goals, out, witness=None) -> Plan:
+        return self._agg_goal(plan, template, goals, out, witness=witness,
+                              fail_on_empty=True, sort_unique=True)
+
+    # -- view invocation (wired in views.py) ------------------------------------
+
+    def _g_invoke_view(self, plan: Plan, class_name: str, view_name: str,
+                       key: Any, node: Any, value: Any = None) -> Plan:
+        """Join against a materialized view (prolog-functors.lisp:734-767)."""
+        from vivace_graph_v3_spark.views import get_view
+        view = get_view(class_name, view_name)
+        rel = view.materialize(self.graph)
+        out_vars = []
+        for term, col in [(key, "key"), (node, "id")] + (
+                [(value, "value")] if value is not None else []):
+            if is_var(term):
+                rel = rel.withColumnRenamed(col, var_col(term))
+                out_vars.append(var_col(term))
+            else:
+                rel = rel.filter(F.col(col) == F.lit(term))
+        rel = rel.select(*out_vars)
+        return plan.merge(rel, out_vars)
+
+    def _g_invoke_reduced_view(self, plan: Plan, class_name: str, view_name: str,
+                               key: Any, value: Any) -> Plan:
+        """Join against per-key aggregates (prolog-functors.lisp:769-789)."""
+        from vivace_graph_v3_spark.views import get_view
+        view = get_view(class_name, view_name)
+        rel = view.reduced(self.graph)
+        out_vars = []
+        for term, col in [(key, "key"), (value, "value")]:
+            if is_var(term):
+                rel = rel.withColumnRenamed(col, var_col(term))
+                out_vars.append(var_col(term))
+            else:
+                rel = rel.filter(F.col(col) == F.lit(term))
+        rel = rel.select(*out_vars)
+        return plan.merge(rel, out_vars)
+
+    def _g_call(self, plan: Plan, functor: str, *args) -> Plan:
+        """Meta-call of a registered functor (prologc.lisp:584-606)."""
+        if functor not in _USER_FUNCTORS:
+            raise QueryError(f"unregistered functor: {functor}")
+        return Plan(_USER_FUNCTORS[functor](self, plan, args))
+
+
+# '=' '==' '/=' need non-identifier dispatch:
+Select._g_dispatch_overrides = {"=": "_g_eq", "==": "_g_structural_eq",
+                                "/=": "_g_structural_neq"}
+_orig_compile_goal = Select.compile_goal
+
+
+def _compile_goal(self, plan, goal):
+    head = goal[0]
+    override = Select._g_dispatch_overrides.get(head)
+    if override:
+        return getattr(self, override)(plan, *goal[1:])
+    return _orig_compile_goal(self, plan, goal)
+
+
+Select.compile_goal = _compile_goal
+
+
+def select(graph: GraphStore, vars: list[str], goals: list[tuple], **opts) -> DataFrame:
+    """Functional form: ``select(g, ['?a','?b'], [('is-a','?a','person'), ...])``."""
+    return Select(graph, vars, goals, **opts).to_df()
+
+
+def select_flat(graph, var: str, goals, **opts) -> DataFrame:
+    """select-flat (prologc.lisp:1039-1042): single-var projection."""
+    return select(graph, [var], goals, **opts)
+
+
+def select_count(graph, goals, **opts) -> int:
+    """select-count (prologc.lisp:1044-1049)."""
+    row = Select(graph, [], goals, **opts)
+    plan = row.compile_goals(Plan(), goals)
+    return plan.df.count()
+
+
+def select_first(graph, vars, goals, order_by=None, **opts):
+    """select-first (prologc.lisp:1051-1059) under an explicit order."""
+    return select(graph, vars, goals, order_by=order_by or vars, limit=1, **opts)
+
+
+def _noop(*_a, **_k):  # placeholder referenced by docs/tests
+    return None
+
+
+_ = fnmatch  # (imported for future glob-style functor patterns)
