@@ -1,0 +1,13 @@
+from vivace_graph_v3_spark.functions.geometry import haversine_m
+from vivace_graph_v3_spark.functions.geohash import (
+    geohash_encode, geohash_decode, geohash_bbox, geohash_neighbors,
+    geohash_covering)
+
+__all__ = [
+    "haversine_m",
+    "geohash_encode",
+    "geohash_decode",
+    "geohash_bbox",
+    "geohash_neighbors",
+    "geohash_covering",
+]

@@ -1,0 +1,123 @@
+"""Spatial queries: geohash filter/refine — Spark analogs of
+spatial-index.lisp + spatial-query.lisp.
+
+The reference keeps a skip list of fixed-precision geohash cells -> node ids
+(spatial-index.lisp:3-18, 98-160) and answers radius/bbox/polygon/knn queries
+by (1) computing the covering cells, (2) pulling candidates per cell, and
+(3) refining with exact predicates (spatial-query.lisp:41-159). Spark-first:
+
+- the "index" is a ``geohash`` column (``with_geohash``) — at 100 TB the
+  table is *partitioned or z-ordered by geohash prefix* so the cell filter
+  becomes partition pruning, not a scan;
+- the filter stage is ``isin(covering_cells)`` (a pushed-down IN filter) or,
+  for large coverings, a broadcast join against a cells DataFrame;
+- the refine stage is an all-JVM haversine/bbox expression; polygon refine is
+  a vectorized pandas UDF over the (small) candidate set.
+
+``find_nearest_k`` reproduces the doubling-radius search
+(spatial-query.lisp:122-148) semantics: exact k nearest by geodesic distance,
+cap at max_radius. We run one covering at max_radius then orderBy(distance)
+LIMIT k — one scan instead of log(r) scans; identical results.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import StringType
+
+from vivace_graph_v3_spark.functions.geohash import (
+    covering_for_radius, geohash_covering, _pick_precision)
+from vivace_graph_v3_spark.functions.geometry import (
+    haversine_m, point_in_polygon_udf, polygon_bbox)
+
+DEFAULT_PRECISION = 7  # ~150 m cells; the reference's spatial opt-in default
+
+
+def with_geohash(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
+                 precision: int = DEFAULT_PRECISION,
+                 out_col: str = "geohash") -> DataFrame:
+    """Stamp a geohash cell column at write time (the analog of the write-path
+    spatial-index maintenance, transactions.lisp:716-741). Vectorized pandas
+    UDF; at scale this runs once in the ingest job, never per query."""
+
+    @pandas_udf(StringType())
+    def _gh(lat, lon):
+        import pandas as pd
+
+        from vivace_graph_v3_spark.functions.geohash import geohash_encode
+
+        return pd.Series([
+            geohash_encode(la, lo, precision) if la == la and lo == lo else None
+            for la, lo in zip(lat, lon)])
+
+    return df.withColumn(out_col, _gh(F.col(lat_col), F.col(lon_col)))
+
+
+def _cell_filter(df: DataFrame, cells: list[str], precision: int,
+                 gh_col: str) -> DataFrame:
+    """Filter stage: candidates in covering cells. Cells are compared at
+    ``precision`` via prefix (the stored hash may be finer)."""
+    prefix = F.substring(F.col(gh_col), 1, precision)
+    if len(cells) <= 256:
+        return df.filter(prefix.isin(cells))
+    spark = df.sparkSession
+    cells_df = spark.createDataFrame([(c,) for c in cells], ["__cell"])
+    return (df.withColumn("__cell", prefix)
+            .join(F.broadcast(cells_df), "__cell", "left_semi")
+            .drop("__cell"))
+
+
+def find_nodes_near(df: DataFrame, lat: float, lon: float, radius_m: float, *,
+                    lat_col: str = "lat", lon_col: str = "lon",
+                    gh_col: str = "geohash",
+                    precision: int | None = None) -> DataFrame:
+    """Radius query (find-nodes-near, spatial-query.lisp:41-76): geohash
+    filter then exact haversine refine; returns rows + ``distance_m``."""
+    use_prec = precision
+    cells = covering_for_radius(lat, lon, radius_m, use_prec)
+    if use_prec is None:
+        use_prec = len(cells[0])
+    out = _cell_filter(df, cells, use_prec, gh_col)
+    dist = haversine_m(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
+    return out.withColumn("distance_m", dist).filter(
+        F.col("distance_m") <= radius_m)
+
+
+def find_nearest_k(df: DataFrame, lat: float, lon: float, k: int, *,
+                   max_radius_m: float = 100_000.0, lat_col: str = "lat",
+                   lon_col: str = "lon", gh_col: str = "geohash",
+                   precision: int | None = None) -> DataFrame:
+    """k-NN by geodesic distance, capped at max_radius
+    (find-nearest-k, spatial-query.lisp:122-148)."""
+    near = find_nodes_near(df, lat, lon, max_radius_m, lat_col=lat_col,
+                           lon_col=lon_col, gh_col=gh_col, precision=precision)
+    return near.orderBy(F.col("distance_m").asc(), F.col("id").asc()).limit(k)
+
+
+def find_nodes_within(df: DataFrame, polygon: list[list[tuple[float, float]]],
+                      *, lat_col: str = "lat", lon_col: str = "lon",
+                      gh_col: str = "geohash",
+                      precision: int | None = None) -> DataFrame:
+    """Polygon containment (find-nodes-within, spatial-query.lisp:78-120):
+    bbox covering-cell filter + ray-casting refine. Polygon rings are
+    [(lon, lat), ...]; first ring outer, rest holes."""
+    lat_min, lat_max, lon_min, lon_max = polygon_bbox(polygon)
+    use_prec = precision or _pick_precision(
+        max(lat_max - lat_min, lon_max - lon_min))
+    cells = geohash_covering(lat_min, lat_max, lon_min, lon_max, use_prec)
+    out = _cell_filter(df, cells, use_prec, gh_col)
+    # cheap bbox refine first (all-JVM), exact ray-cast only on survivors
+    out = out.filter((F.col(lat_col) >= lat_min) & (F.col(lat_col) <= lat_max)
+                     & (F.col(lon_col) >= lon_min) & (F.col(lon_col) <= lon_max))
+    pip = point_in_polygon_udf(polygon)
+    return out.filter(pip(F.col(lat_col), F.col(lon_col)))
+
+
+def geo_within(df: DataFrame, lat: float, lon: float, radius_m: float,
+               lat_col: str = "lat", lon_col: str = "lon") -> DataFrame:
+    """Pure predicate over bound coords (geo-within, prolog-functors.lisp:
+    929-954) — no index, straight filter. For indexed access use
+    find_nodes_near."""
+    dist = haversine_m(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
+    return df.filter(dist <= radius_m)

@@ -1,0 +1,17 @@
+from vivace_graph_v3_spark.pipeline.text import (
+    with_token_count, with_quality_score, with_lang_id, with_fingerprint)
+from vivace_graph_v3_spark.pipeline.dedup import (
+    exact_dedup, ngram_jaccard_pairs, minhash_lsh_candidates,
+    minhash_dedup_pairs, simhash_signatures, simhash_dup_pairs,
+    embedding_dup_pairs)
+from vivace_graph_v3_spark.pipeline.similarity import (
+    cosine_topk_bruteforce, ivf_ann_topk)
+
+__all__ = [
+    "with_token_count", "with_quality_score", "with_lang_id",
+    "with_fingerprint",
+    "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_candidates",
+    "minhash_dedup_pairs", "simhash_signatures", "simhash_dup_pairs",
+    "embedding_dup_pairs",
+    "cosine_topk_bruteforce", "ivf_ann_topk",
+]

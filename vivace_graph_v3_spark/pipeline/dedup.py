@@ -1,0 +1,256 @@
+"""Deduplication operators for 100 TB document tables.
+
+Five strategies, cheapest-first:
+
+- exact:         hash-groupBy on normalized text (one shuffle)
+- ngram-jaccard: exact set similarity via an inverted shingle index
+                 (explode -> self-join on shingle -> pair counts); exact but
+                 quadratic in bucket sizes — use on blocked/candidate sets
+- minhash+LSH:   shingle -> k minhashes -> b bands -> bucket join; candidates
+                 verified with exact jaccard. The scale path: cost is
+                 O(docs * k) + O(bucket collisions), never all-pairs
+- simhash:       64-bit weighted-bit signature; near-dups = small hamming
+                 distance, found by 4x16-bit block LSH (Charikar 2002 /
+                 Manku et al. 2007)
+- embedding:     cosine over an embedding column (exact normalized dot via
+                 zip_with — JVM-side)
+
+Everything is expression-only (no Python UDFs): shingling is ``transform``
+over token sequences, minhashing is ``xxhash64`` with per-permutation seeds
++ ``min`` aggregates, simhash bits are conditional sums. All of it stays in
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vivace_graph_v3_spark.pipeline.text import tokens
+
+# -- exact ---------------------------------------------------------------------
+
+def normalized_text(col):
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+                keep: str = "min") -> DataFrame:
+    """Keep one row per distinct normalized text (the min/max id — a
+    deterministic survivor). One hash-shuffle on the 64-bit fingerprint, not
+    on the full text bytes."""
+    fp = F.xxhash64(normalized_text(F.col(text_col)))
+    agg = F.min(id_col) if keep == "min" else F.max(id_col)
+    survivors = (df.select(fp.alias("__fp"), F.col(id_col))
+                 .groupBy("__fp").agg(agg.alias(id_col))
+                 .select(id_col))
+    return df.join(survivors, id_col, "left_semi")
+
+
+# -- shingles -------------------------------------------------------------------
+
+def shingle_hashes(text_col, n: int = 3):
+    """Distinct xxhash64 values of word n-gram shingles, all JVM: tokenize,
+    slide an n-window via transform over indices, hash the joined shingle."""
+    toks = tokens(text_col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    shingles = F.when(count > 0, F.transform(
+        idx, lambda i: F.xxhash64(F.concat_ws(" ", F.slice(toks, i + 1, n)))
+    )).otherwise(F.array().cast("array<bigint>"))
+    return F.array_distinct(shingles)
+
+
+# -- exact n-gram jaccard ---------------------------------------------------------
+
+def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        threshold: float = 0.8) -> DataFrame:
+    """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold,
+    via an inverted index: explode shingles, self-join on shingle, count
+    common, |A∪B| = |A|+|B|-common. Exact; intended for candidate sets or
+    blocked inputs (at raw 100 TB use minhash_dedup_pairs instead)."""
+    base = df.select(F.col(id_col).alias("id"),
+                     shingle_hashes(F.col(text_col), n).alias("sh"))
+    base = base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.id") < F.col("b.id")))
+              .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                       F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    jac = F.col("common") / (F.col("sz_a") + F.col("sz_b") - F.col("common"))
+    return (common.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# -- minhash + LSH -----------------------------------------------------------------
+
+def minhash_signatures(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """k minhash values per doc: h_i(doc) = min over shingles of
+    xxhash64(shingle, i). Expression-only (k transforms + array_min)."""
+    sh = shingle_hashes(F.col(text_col), n)
+
+    def perm(i):
+        # closure factory — pyspark HOF adapters bind every python param
+        return lambda s: F.xxhash64(s, F.lit(i))
+
+    sig = F.array(*[F.array_min(F.transform(sh, perm(i)))
+                    for i in range(num_hashes)])
+    return (df.select(F.col(id_col).alias("id"), sh.alias("__sh"),
+                      sig.alias("minhash"))
+            .filter(F.size("__sh") > 0))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16,
+                           rows_per_band: int = 4) -> DataFrame:
+    """Band the signature (b bands of r rows), bucket-join: pairs sharing any
+    band bucket are candidates. Emits distinct (id_a < id_b)."""
+    banded = sigs.select(
+        "id",
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.col("minhash")[b * rows_per_band + r].cast("string")
+                                for r in range(rows_per_band)])).alias("bucket"))
+            for b in range(bands)])).alias("bb"))
+    banded = banded.select("id", F.col("bb.band").alias("band"),
+                           F.col("bb.bucket").alias("bucket"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .dropDuplicates())
+
+
+def minhash_dedup_pairs(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", n: int = 3,
+                        num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.8) -> DataFrame:
+    """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
+    exact-jaccard verification on the candidate pairs only."""
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n,
+                              num_hashes=num_hashes)
+    cands = minhash_lsh_candidates(sigs, bands=bands,
+                                   rows_per_band=num_hashes // bands)
+    sets_ = sigs.select("id", F.col("__sh").alias("sh"), F.size("__sh").alias("sz"))
+    joined = (cands
+              .join(sets_.select(F.col("id").alias("id_a"),
+                                 F.col("sh").alias("sh_a"),
+                                 F.col("sz").alias("sz_a")), "id_a")
+              .join(sets_.select(F.col("id").alias("id_b"),
+                                 F.col("sh").alias("sh_b"),
+                                 F.col("sz").alias("sz_b")), "id_b"))
+    common = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = common / (F.col("sz_a") + F.col("sz_b") - common)
+    return (joined.withColumn("jaccard", F.round(jac, 6))
+            .filter(F.col("jaccard") >= threshold)
+            .select("id_a", "id_b", "jaccard"))
+
+
+# -- simhash -----------------------------------------------------------------------
+
+def simhash_signatures(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id") -> DataFrame:
+    """64-bit SimHash over word tokens: bit j of the signature = sign of
+    sum over tokens of (+1 if bit j of xxhash64(token) else -1). Built from
+    64 conditional aggregates — heavy-looking but all codegen'd."""
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    h = F.xxhash64("tok")
+    aggs = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
+                  .otherwise(-1)).alias(f"b{j}") for j in range(64)]
+    sums = toks.groupBy("id").agg(*aggs)
+    sig = None
+    for j in range(64):
+        bit = F.when(F.col(f"b{j}") > 0,
+                     F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, j)
+        sig = term if sig is None else sig.bitwiseXOR(term)
+    return sums.select("id", sig.alias("simhash"))
+
+
+def simhash_dup_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance <= max_hamming. LSH on
+    4 x 16-bit blocks (a pair within distance 3 shares at least one exact
+    block — pigeonhole), then exact popcount verification."""
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    blocks = sigs.select("id", "simhash", F.explode(F.array(*[
+        F.struct(F.lit(k).alias("blk"),
+                 F.shiftright("simhash", k * 16).bitwiseAND(F.lit(0xFFFF))
+                 .alias("val")) for k in range(4)])).alias("bb"))
+    blocks = blocks.select("id", "simhash", F.col("bb.blk").alias("blk"),
+                           F.col("bb.val").alias("val"))
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cands = (a.join(b, (F.col("a.blk") == F.col("b.blk"))
+                    & (F.col("a.val") == F.col("b.val"))
+                    & (F.col("a.id") < F.col("b.id")))
+             .select(F.col("a.id").alias("id_a"), F.col("a.simhash").alias("sig_a"),
+                     F.col("b.id").alias("id_b"), F.col("b.simhash").alias("sig_b"))
+             .dropDuplicates(["id_a", "id_b"]))
+    ham = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (cands.withColumn("hamming", ham)
+            .filter(F.col("hamming") <= max_hamming)
+            .select("id_a", "id_b", "hamming"))
+
+
+# -- embedding cosine ---------------------------------------------------------------
+
+def _norm(v):
+    return F.sqrt(F.aggregate(v, F.lit(0.0),
+                              lambda acc, x: acc + x.cast("double") * x.cast("double")))
+
+
+def cosine(a, b):
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y:
+                                 x.cast("double") * y.cast("double")),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    return dot / (_norm(a) * _norm(b))
+
+
+def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id",
+                        threshold: float = 0.95,
+                        block_bits: int = 0) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold. With ``block_bits`` > 0, blocks
+    by that many random-hyperplane signs (SRP-LSH) before the pair join so the
+    candidate set is sub-quadratic; 0 = exact all-pairs (for modest inputs or
+    already-blocked data)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    if block_bits > 0:
+        # deterministic pseudo-random hyperplanes: sign of sum of
+        # elementwise * hash(i, j) — cheap SRP approximation
+        def plane(j):
+            return lambda i: ((F.xxhash64(i, F.lit(j)) % 1000)
+                              .cast("double") / 500.0 - 1.0)
+
+        sig = None
+        for j in range(block_bits):
+            dot = F.aggregate(
+                F.zip_with(F.col("v"),
+                           F.transform(F.sequence(F.lit(0), F.size("v") - 1),
+                                       plane(j)),
+                           lambda x, w: x.cast("double") * w),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+            term = F.shiftleft(bit, j)
+            sig = term if sig is None else sig.bitwiseXOR(term)
+        base = base.withColumn("__blk", sig)
+        cond = (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.id") < F.col("b.id"))
+    else:
+        cond = F.col("a.id") < F.col("b.id")
+    a, b = base.alias("a"), base.alias("b")
+    sim = cosine(F.col("a.v"), F.col("b.v"))
+    return (a.join(b, cond)
+            .withColumn("cosine", F.round(sim, 6))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                    "cosine"))
+
+
+_ = Window  # (window paging used by callers)

@@ -1,0 +1,169 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+Beyond the reference's surface (SURVEY.md §7.1 step 10): language ID, quality
+scoring, token counting, document fingerprinting. All hot paths are built-in
+``pyspark.sql.functions`` expressions (whole-stage codegen, no Python), so
+they scale to 100 TB document tables untouched; only the winnowing
+fingerprint drops to a pandas UDF, and it is windowed/vectorized.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import LongType
+
+# -- tokenization -------------------------------------------------------------
+
+WORD_SPLIT = r"\s+"
+# BPE-ish: words, numbers, or single punctuation — the common pre-tokenizer
+# regex shape (GPT-2 style, simplified to RE2-compatible).
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(col: Column) -> Column:
+    """Whitespace tokens, empty strings removed (JVM-side)."""
+    return F.filter(F.split(F.trim(col), WORD_SPLIT), lambda t: t != "")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text",
+                     out_col: str = "n_tokens",
+                     bpe_col: str | None = "n_bpe_tokens") -> DataFrame:
+    """Whitespace token count + a BPE-ish sub-token count via regexp
+    extraction. Both pure expressions."""
+    out = df.withColumn(out_col, F.size(tokens(F.col(text_col))))
+    if bpe_col:
+        out = out.withColumn(
+            bpe_col, F.size(F.regexp_extract_all(F.col(text_col),
+                                                 F.lit(BPE_TOKEN_RE), F.lit(0))))
+    return out
+
+
+# -- quality scoring -----------------------------------------------------------
+
+STOPWORDS = [
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "for", "on", "with", "as", "at", "by", "it", "this", "that",
+]
+
+
+def with_quality_score(df: DataFrame, text_col: str = "text",
+                       out_col: str = "quality") -> DataFrame:
+    """Heuristic document quality in [0,1] from length / punctuation /
+    stopword ratios (the C4/Gopher-style signals), entirely JVM-side:
+
+    - length_score: saturating chars/500
+    - punct_ratio: non-alnum-non-space chars / chars (lower better)
+    - stop_ratio: stopword tokens / tokens (presence indicates naturalness)
+    - mean_word_len sanity band [3, 12]
+    """
+    text = F.col(text_col)
+    n_chars = F.length(text)
+    toks = tokens(text)
+    n_toks = F.size(toks)
+    punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
+    stops = F.size(F.array_intersect(
+        F.transform(toks, F.lower), F.array(*[F.lit(s) for s in STOPWORDS])))
+    mean_wl = (n_chars - n_toks + 1) / F.greatest(n_toks, F.lit(1))
+
+    length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(
+        punct / F.greatest(n_chars, F.lit(1)) * 5.0, F.lit(1.0))
+    stop_score = F.least(
+        stops.cast("double") / F.greatest(n_toks, F.lit(1)) * 5.0, F.lit(1.0))
+    wl_score = F.when((mean_wl >= 3.0) & (mean_wl <= 12.0), 1.0).otherwise(0.3)
+
+    q = (length_score * 0.3 + punct_score * 0.2 + stop_score * 0.3
+         + wl_score * 0.2)
+    return (df.withColumn(out_col, F.round(q, 6))
+            .withColumn("n_chars_obs", n_chars)
+            .withColumn("punct_ratio",
+                        F.round(punct / F.greatest(n_chars, F.lit(1)), 6)))
+
+
+# -- language identification -----------------------------------------------------
+
+# Tiny per-language marker lexicons (character-ngram-free heuristic: stopword
+# hits). Real deployments swap in fastText/CLD3 via the same column contract.
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in", "that", "with"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein"],
+    "fr": ["le", "la", "les", "et", "est", "dans", "pour", "que"],
+    "es": ["el", "la", "los", "y", "es", "en", "que", "por"],
+    "zh": [],  # no-space script: detected by CJK char ratio below
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text",
+                 out_col: str = "lang_pred") -> DataFrame:
+    """Heuristic language ID: per-language stopword-hit counts (JVM array
+    intersection per language) + CJK character ratio; argmax wins, 'und' when
+    nothing scores."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+
+    def marker_test(markers):
+        # closure factory: pyspark's higher-order-function adapter passes a
+        # lambda variable for EVERY python parameter, so default-arg capture
+        # would receive a Column — close over the list instead
+        return lambda t: t.isin(*markers)
+
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        if markers:
+            # count tokens that are markers (with multiplicity)
+            hits = F.size(F.filter(toks, marker_test(tuple(markers))))
+        else:
+            cjk = F.length(F.regexp_replace(
+                F.col(text_col), r"[^一-鿿]", ""))
+            hits = (cjk * 2)  # CJK chars count double: no-space script
+        scores.append(F.struct(hits.cast("long").alias("score"),
+                               F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return df.withColumn(
+        out_col,
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")))
+
+
+# -- fingerprinting --------------------------------------------------------------
+
+def with_fingerprint(df: DataFrame, text_col: str = "text",
+                     out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint = xxhash64 of normalized text (whitespace-collapsed,
+    lowercased). Pure expression; the exact-dedup key."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.xxhash64(norm))
+
+
+def with_winnowing_fingerprint(df: DataFrame, text_col: str = "text",
+                               out_col: str = "winnow_fp", k: int = 5,
+                               window: int = 4) -> DataFrame:
+    """Winnowing (Schleimer et al. 2003): min rolling-hash per window over
+    k-gram hashes -> set fingerprint (as sorted distinct array). Vectorized
+    pandas UDF; used for robust near-dup detection on shuffled text."""
+
+    @pandas_udf("array<long>")
+    def _winnow(texts):
+        import pandas as pd
+
+        def fp(s):
+            if s is None:
+                return []
+            s = " ".join(s.lower().split())
+            if len(s) < k:
+                return []
+            B, M = 1_000_003, (1 << 61) - 1
+            hashes = []
+            h, power = 0, pow(B, k - 1, M)
+            for i, ch in enumerate(s):
+                h = (h * B + ord(ch)) % M
+                if i >= k - 1:
+                    hashes.append(h)
+                    h = (h - ord(s[i - k + 1]) * power) % M
+            out = set()
+            for i in range(0, max(len(hashes) - window + 1, 1)):
+                out.add(min(hashes[i:i + window]))
+            return sorted(v - (1 << 62) for v in out)  # fit signed long
+
+        return pd.Series([fp(t) for t in texts])
+
+    return df.withColumn(out_col, _winnow(F.col(text_col)))
