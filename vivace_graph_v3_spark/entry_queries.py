@@ -1,0 +1,930 @@
+"""Driver-facing query registry: one entry per implemented operator from
+SURVEY.md §2, each as (spark_fn, oracle_sql | None).
+
+Every Spark callable takes (spark, sf_dir) and returns a DataFrame whose
+column NAMES AND TYPES match its DuckDB oracle exactly (the driver hashes
+values under sorted column names). Determinism rules used throughout:
+
+- double aggregates go through DECIMAL(38,6) (exact, order-independent) and
+  are cast back to double;
+- ratios/divisions are computed with the same formula and operand order in
+  both engines, rounded to 6 decimals;
+- arrays are sorted; rankings tie-break on a unique key column;
+- timestamps are stringified with an explicit format.
+
+Oracle = None marks genuinely non-SQL-expressible ops (LSH candidates,
+IVF probing, BFS with Python loop semantics already covered elsewhere) —
+the driver then records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from vivace_graph_v3_spark.graph import load_tpch_graph
+from vivace_graph_v3_spark.query.builder import Select, select
+from vivace_graph_v3_spark.views import def_view, invoke_graph_view, map_reduced_view
+from vivace_graph_v3_spark.operators.traverse import traverse
+from vivace_graph_v3_spark.operators.spatial import (
+    with_geohash, find_nodes_near, find_nearest_k)
+from vivace_graph_v3_spark.functions.geometry import haversine_m
+from vivace_graph_v3_spark.pipeline.text import (
+    with_token_count, with_quality_score, with_fingerprint, STOPWORDS)
+from vivace_graph_v3_spark.pipeline.dedup import (
+    exact_dedup, ngram_jaccard_pairs, minhash_dedup_pairs, simhash_dup_pairs,
+    embedding_dup_pairs)
+from vivace_graph_v3_spark.pipeline.similarity import (
+    cosine_topk_bruteforce, ivf_ann_topk)
+
+DEC = "decimal(38,6)"
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def _events(spark, sf_dir):
+    # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
+    # default; read it as a raw nanosecond long and keep all derived time
+    # arithmetic integer-based (timezone- and engine-independent).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def _dsum(col):
+    """Order-independent double sum: exact decimal accumulate, double out."""
+    return F.sum(col.cast(DEC)).cast("double")
+
+
+# ---------------------------------------------------------------------------
+# §2.1 scans & lookups
+# ---------------------------------------------------------------------------
+
+def q_lookup_vertex(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return (g.lookup_vertex("customer:42")
+            .select("id", "c_name"))
+
+
+SQL_LOOKUP_VERTEX = """
+SELECT 'customer:'||c_custkey AS id, c_name FROM customer WHERE c_custkey=42
+"""
+
+
+def q_map_vertices_scan(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return g.scan_vertices("customer",
+                           columns=["id", "c_name", "c_acctbal", "c_mktsegment"])
+
+
+SQL_MAP_VERTICES_SCAN = """
+SELECT 'customer:'||c_custkey AS id, c_name, c_acctbal, c_mktsegment
+FROM customer
+"""
+
+
+def q_map_edges_scan(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return g.scan_edges("contains", columns=["id", "src", "dst", "weight"])
+
+
+SQL_MAP_EDGES_SCAN = """
+SELECT 'contains:'||l_orderkey||'_'||l_linenumber AS id,
+       'orders:'||l_orderkey AS src, 'part:'||l_partkey AS dst,
+       l_quantity AS weight
+FROM lineitem
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2-2.3 predicates, joins, graph matching
+# ---------------------------------------------------------------------------
+
+def q_is_a_scan(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?c"], [("is-a", "?c", "customer")]) \
+        .withColumnRenamed("c", "id")
+
+
+SQL_IS_A_SCAN = "SELECT 'customer:'||c_custkey AS id FROM customer"
+
+
+def q_edge_join_2hop(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?c", "?rn"], [
+        ("is-a", "?c", "customer"),
+        ("in_nation", "?c", "?n"),
+        ("in_region", "?n", "?r"),
+        ("slot", "?r", "r_name", "?rn"),
+    ])
+    return df.select(F.col("c").alias("id"), F.col("rn").alias("r_name"))
+
+
+SQL_EDGE_JOIN_2HOP = """
+SELECT 'customer:'||c_custkey AS id, r_name
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+JOIN region ON n_regionkey=r_regionkey
+"""
+
+
+def q_edge_weighted_filter(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?o", "?p", "?w"], [
+        ("contains", "?o", "?p", "?w"), (">", "?w", 45.0),
+    ]).select(F.col("o").alias("src"), F.col("p").alias("dst"),
+              F.col("w").alias("weight"))
+
+
+SQL_EDGE_WEIGHTED_FILTER = """
+SELECT 'orders:'||l_orderkey AS src, 'part:'||l_partkey AS dst,
+       l_quantity AS weight
+FROM lineitem WHERE l_quantity > 45.0
+"""
+
+
+def q_slot_compare(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?c", "?b"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_acctbal", "?b"),
+        (">", "?b", 5000.0),
+    ]).select(F.col("c").alias("id"), F.col("b").alias("c_acctbal"))
+
+
+SQL_SLOT_COMPARE = """
+SELECT 'customer:'||c_custkey AS id, c_acctbal FROM customer
+WHERE c_acctbal > 5000.0
+"""
+
+
+def q_regex_match(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?c", "?n"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_name", "?n"),
+        ("regex-match", "00$", "?n"),
+    ]).select(F.col("c").alias("id"), F.col("n").alias("c_name"))
+
+
+SQL_REGEX_MATCH = """
+SELECT 'customer:'||c_custkey AS id, c_name FROM customer
+WHERE regexp_matches(c_name, '00$')
+"""
+
+
+def q_not_anti_join(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?c"], [
+        ("is-a", "?c", "customer"),
+        ("not", ("placed", "?c", "?o")),
+    ]).withColumnRenamed("c", "id")
+
+
+SQL_NOT_ANTI_JOIN = """
+SELECT 'customer:'||c_custkey AS id FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey=c_custkey)
+"""
+
+
+def q_semi_join_exists(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?c"], [("placed", "?c", "?o")], distinct=True) \
+        .withColumnRenamed("c", "id")
+
+
+SQL_SEMI_JOIN_EXISTS = """
+SELECT DISTINCT 'customer:'||o_custkey AS id FROM orders
+"""
+
+
+def q_or_union(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?c"], [
+        ("is-a", "?c", "customer"),
+        ("or",
+         [("slot", "?c", "c_mktsegment", "BUILDING")],
+         [("slot", "?c", "c_mktsegment", "MACHINERY")]),
+    ], distinct=True).withColumnRenamed("c", "id")
+
+
+SQL_OR_UNION = """
+SELECT DISTINCT 'customer:'||c_custkey AS id FROM customer
+WHERE c_mktsegment IN ('BUILDING','MACHINERY')
+"""
+
+
+def q_unique_var(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?n"], [
+        ("in_nation", "?c", "?n"), ("unique", "?n"),
+    ]).withColumnRenamed("n", "id")
+
+
+SQL_UNIQUE_VAR = "SELECT DISTINCT 'nation:'||c_nationkey AS id FROM customer"
+
+
+def q_is_arithmetic(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?o", "?dbl"], [
+        ("contains", "?o", "?p", "?w"),
+        (">", "?w", 49.0),
+        ("is", "?dbl", ("*", "?w", 2)),
+    ]).select(F.col("o").alias("src"), F.col("dbl").alias("qty2"))
+
+
+SQL_IS_ARITHMETIC = """
+SELECT 'orders:'||l_orderkey AS src, l_quantity*2 AS qty2
+FROM lineitem WHERE l_quantity > 49.0
+"""
+
+
+def q_forall(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?r"], [
+        ("is-a", "?r", "region"),
+        ("forall", [("in_region", "?n", "?r")], [("in_nation", "?c", "?n")]),
+    ]).withColumnRenamed("r", "id")
+
+
+SQL_FORALL = """
+SELECT 'region:'||r_regionkey AS id FROM region
+WHERE NOT EXISTS (
+  SELECT 1 FROM nation WHERE n_regionkey=r_regionkey
+  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_nationkey=n_nationkey))
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregates
+# ---------------------------------------------------------------------------
+
+def q_findall_orders(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?c", "?keys"], [
+        ("is-a", "?c", "customer"),
+        ("findall", "?k",
+         [("placed", "?c", "?o"), ("slot", "?o", "o_orderkey", "?k")],
+         "?keys"),
+    ])
+    return df.select(F.col("c").alias("id"), F.col("keys").alias("order_keys"))
+
+
+SQL_FINDALL_ORDERS = """
+SELECT 'customer:'||c_custkey AS id,
+       coalesce(list(o_orderkey ORDER BY o_orderkey)
+                FILTER (WHERE o_orderkey IS NOT NULL),
+                CAST([] AS BIGINT[])) AS order_keys
+FROM customer LEFT JOIN orders ON o_custkey=c_custkey GROUP BY 1
+"""
+
+
+def q_bagof_by_nation(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?n", "?custs"], [
+        ("is-a", "?n", "nation"),
+        ("bagof", "?c", [("in_nation", "?c", "?n")], "?custs", ["?n"]),
+    ])
+    return df.select(F.col("n").alias("id"), F.col("custs").alias("customers"))
+
+
+SQL_BAGOF_BY_NATION = """
+SELECT 'nation:'||c_nationkey AS id,
+       list('customer:'||c_custkey ORDER BY 'customer:'||c_custkey) AS customers
+FROM customer GROUP BY 1
+"""
+
+
+def q_setof_segments(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?n", "?segs"], [
+        ("is-a", "?n", "nation"),
+        ("setof", "?s",
+         [("in_nation", "?c", "?n"), ("slot", "?c", "c_mktsegment", "?s")],
+         "?segs", ["?n"]),
+    ])
+    return df.select(F.col("n").alias("id"), F.col("segs").alias("segments"))
+
+
+SQL_SETOF_SEGMENTS = """
+SELECT 'nation:'||c_nationkey AS id,
+       list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+FROM customer GROUP BY 1
+"""
+
+
+def q_select_count(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    q = Select(g, [], [("in_nation", "?c", "?n"), ("in_region", "?n", "?r")])
+    from vivace_graph_v3_spark.query.builder import Plan
+    plan = q.compile_goals(Plan(), q.goals)
+    return plan.df.agg(F.count(F.lit(1)).alias("cnt"))
+
+
+SQL_SELECT_COUNT = """
+SELECT count(*) AS cnt
+FROM customer JOIN nation ON c_nationkey=n_nationkey
+JOIN region ON n_regionkey=r_regionkey
+"""
+
+
+def q_limit_skip(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return select(g, ["?c"], [("is-a", "?c", "customer")],
+                  order_by=["?c"], limit=10, skip=5) \
+        .withColumnRenamed("c", "id")
+
+
+SQL_LIMIT_SKIP = """
+SELECT id FROM (SELECT 'customer:'||c_custkey AS id FROM customer)
+ORDER BY id LIMIT 10 OFFSET 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.5 views
+# ---------------------------------------------------------------------------
+
+def _ensure_views():
+    def_view("customer", "by_segment",
+             lambda df: df.select("id", F.col("c_mktsegment").alias("key"),
+                                  F.col("c_name").alias("value")))
+    def_view("contains", "part_popularity",
+             lambda df: df.select("id", F.col("dst").alias("key"),
+                                  F.col("weight").alias("value")),
+             kind="edge",
+             reduce_agg=F.sum(F.col("value").cast(DEC)).cast("double"),
+             order="greaterp")
+
+
+def q_view_key_lookup(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    _ensure_views()
+    return invoke_graph_view(g, "customer", "by_segment", key="BUILDING") \
+        .select("id", "key", "value")
+
+
+SQL_VIEW_KEY_LOOKUP = """
+SELECT 'customer:'||c_custkey AS id, c_mktsegment AS key, c_name AS value
+FROM customer WHERE c_mktsegment='BUILDING'
+"""
+
+
+def q_view_range_paging(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    _ensure_views()
+    return (invoke_graph_view(g, "customer", "by_segment",
+                              start_key="AUTOMOBILE", end_key="FURNITURE",
+                              skip=10, count=25)
+            .select("id", "key", "value"))
+
+
+SQL_VIEW_RANGE_PAGING = """
+SELECT * FROM (
+  SELECT 'customer:'||c_custkey AS id, c_mktsegment AS key, c_name AS value
+  FROM customer WHERE c_mktsegment BETWEEN 'AUTOMOBILE' AND 'FURNITURE'
+  ORDER BY key, id LIMIT 25 OFFSET 10)
+"""
+
+
+def q_view_reduce_groups(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    _ensure_views()
+    return invoke_graph_view(g, "contains", "part_popularity", group_p=True) \
+        .select("key", "value")
+
+
+SQL_VIEW_REDUCE_GROUPS = """
+SELECT 'part:'||l_partkey AS key,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS value
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_view_reduce_total(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    _ensure_views()
+    from vivace_graph_v3_spark.views import get_view
+    return get_view("contains", "part_popularity").grand_total(g) \
+        .select(F.col("value").alias("total"))
+
+
+SQL_VIEW_REDUCE_TOTAL = """
+SELECT CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS total
+FROM lineitem
+"""
+
+
+def q_view_desc_paging(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    _ensure_views()
+    return map_reduced_view(g, "contains", "part_popularity",
+                            skip=2, count=5).select("key", "value")
+
+
+SQL_VIEW_DESC_PAGING = """
+SELECT * FROM (
+  SELECT 'part:'||l_partkey AS key,
+         CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS value
+  FROM lineitem GROUP BY 1 ORDER BY key DESC LIMIT 5 OFFSET 2)
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 traversal / graph analytics
+# ---------------------------------------------------------------------------
+
+def q_traverse_bfs(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return traverse(g, ["region:0"], direction="in", max_depth=2) \
+        .select("id", "depth")
+
+
+SQL_TRAVERSE_BFS = """
+SELECT 'region:0' AS id, 0 AS depth
+UNION ALL
+SELECT 'nation:'||n_nationkey, 1 FROM nation WHERE n_regionkey=0
+UNION ALL
+SELECT 'customer:'||c_custkey, 2 FROM customer JOIN nation
+  ON c_nationkey=n_nationkey WHERE n_regionkey=0
+UNION ALL
+SELECT 'supplier:'||s_suppkey, 2 FROM supplier JOIN nation
+  ON s_nationkey=n_nationkey WHERE n_regionkey=0
+"""
+
+
+def q_degree_centrality(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    edges = g.active_edges("in_nation", columns=["dst"]).unionByName(
+        g.active_edges("supp_nation", columns=["dst"]))
+    return edges.groupBy(F.col("dst").alias("id")) \
+        .agg(F.count(F.lit(1)).alias("in_degree"))
+
+
+SQL_DEGREE_CENTRALITY = """
+SELECT 'nation:'||k AS id, count(*) AS in_degree FROM (
+  SELECT c_nationkey AS k FROM customer
+  UNION ALL SELECT s_nationkey FROM supplier) GROUP BY 1
+"""
+
+
+def q_parts_per_customer(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?c", "?p"], [
+        ("placed", "?c", "?o"), ("contains", "?o", "?p", "?w"),
+    ], distinct=True)
+    return df.groupBy(F.col("c").alias("id")) \
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+
+
+SQL_PARTS_PER_CUSTOMER = """
+SELECT 'customer:'||o_custkey AS id, count(DISTINCT l_partkey) AS n_parts
+FROM orders JOIN lineitem ON l_orderkey=o_orderkey GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-shaped analytics (flagship/bench)
+# ---------------------------------------------------------------------------
+
+def q_q1_pricing_summary(spark, sf_dir):
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (li.groupBy("l_returnflag", "l_linestatus")
+           .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
+                _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+                _dsum(disc_price).alias("sum_disc_price"),
+                F.count(F.lit(1)).alias("count_order")))
+    return agg.withColumn(
+        "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+
+
+SQL_Q1_PRICING_SUMMARY = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS sum_disc_price,
+       count(*) AS count_order,
+       round(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) / count(*), 6)
+         AS avg_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def q_q3_top_orders(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet") \
+        .filter(F.col("c_mktsegment") == "BUILDING")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .groupBy("o_orderkey")
+          .agg(_dsum(rev).alias("revenue")))
+    return df.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
+
+
+SQL_Q3_TOP_ORDERS = """
+SELECT o_orderkey,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+JOIN customer ON o_custkey=c_custkey
+WHERE c_mktsegment='BUILDING'
+GROUP BY o_orderkey ORDER BY revenue DESC, o_orderkey LIMIT 10
+"""
+
+
+def q_q5_nation_revenue(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    df = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(cust, (orders.o_custkey == cust.c_custkey)
+                & (cust.c_nationkey == supp.s_nationkey))
+          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+          .groupBy("n_name")
+          .agg(_dsum(rev).alias("revenue")))
+    return df
+
+
+SQL_Q5_NATION_REVENUE = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice*(1-l_discount) AS DECIMAL(38,6))) AS DOUBLE)
+         AS revenue
+FROM lineitem JOIN orders ON l_orderkey=o_orderkey
+JOIN supplier ON l_suppkey=s_suppkey
+JOIN customer ON o_custkey=c_custkey AND c_nationkey=s_nationkey
+JOIN nation ON c_nationkey=n_nationkey
+GROUP BY n_name
+"""
+
+
+# ---------------------------------------------------------------------------
+# spatial (deterministic synthetic coords from customer keys)
+# ---------------------------------------------------------------------------
+
+_CLAT, _CLON = 49.2020, 37.1724
+
+
+def _geo_customers(spark, sf_dir):
+    g = load_tpch_graph(spark, sf_dir)
+    return (g.scan_vertices("customer", columns=["id", "c_custkey"])
+            .withColumn("lat", F.lit(_CLAT) + (F.col("c_custkey") % 100 - 50) / 100.0)
+            .withColumn("lon", F.lit(_CLON) + ((F.col("c_custkey") * 7) % 100 - 50) / 100.0))
+
+
+_GEO_SQL_BASE = f"""
+  SELECT 'customer:'||c_custkey AS id,
+         {_CLAT} + (c_custkey % 100 - 50) / 100.0 AS lat,
+         {_CLON} + ((c_custkey * 7) % 100 - 50) / 100.0 AS lon
+  FROM customer
+"""
+
+_HAV_SQL = (f"2 * 6371000.0 * asin(sqrt(pow(sin(radians(lat - {_CLAT}) / 2), 2) "
+            f"+ cos(radians({_CLAT})) * cos(radians(lat)) "
+            f"* pow(sin(radians(lon - {_CLON}) / 2), 2)))")
+
+
+def q_spatial_radius(spark, sf_dir):
+    geo = with_geohash(_geo_customers(spark, sf_dir), precision=6)
+    return find_nodes_near(geo, _CLAT, _CLON, 20_000.0).select("id")
+
+
+SQL_SPATIAL_RADIUS = f"""
+SELECT id FROM ({_GEO_SQL_BASE}) WHERE {_HAV_SQL} <= 20000.0
+"""
+
+
+def q_spatial_knn(spark, sf_dir):
+    geo = with_geohash(_geo_customers(spark, sf_dir), precision=6)
+    knn = find_nearest_k(geo, _CLAT, _CLON, 10, max_radius_m=300_000.0)
+    w = Window.orderBy(F.col("distance_m").asc(), F.col("id").asc())
+    return knn.withColumn("rank", F.row_number().over(w)).select("id", "rank")
+
+
+SQL_SPATIAL_KNN = f"""
+SELECT id, row_number() OVER (ORDER BY {_HAV_SQL}, id) AS rank
+FROM ({_GEO_SQL_BASE}) ORDER BY {_HAV_SQL}, id LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
+# streaming-shaped (events table; batch equivalents of the streaming ops)
+# ---------------------------------------------------------------------------
+
+NS_PER_HOUR = 3_600_000_000_000
+
+
+def q_events_hourly_window(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    # tumbling 1h window keyed by integer epoch-hour (ts is raw nanos)
+    hour = F.expr(f"ts div {NS_PER_HOUR}")
+    return (ev.groupBy(hour.alias("epoch_hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 _dsum(F.col("value")).alias("sum_value")))
+
+
+SQL_EVENTS_HOURLY_WINDOW = f"""
+SELECT epoch_ns(ts) // {NS_PER_HOUR} AS epoch_hour,
+       event_type, count(*) AS n,
+       CAST(SUM(CAST(value AS DECIMAL(38,6))) AS DOUBLE) AS sum_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def q_events_latest_per_user(spark, sf_dir):
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
+                                              F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+SQL_EVENTS_LATEST_PER_USER = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+WHERE rn = 1
+"""
+
+
+def q_mvcc_snapshot_read(spark, sf_dir):
+    """Snapshot-at-epoch semantics over the events changelog: state as of
+    event_id <= epoch (the transactions.lisp:444-462 visibility rule)."""
+    ev = _events(spark, sf_dir).filter(F.col("event_id") <= 5000)
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").desc())
+    return (ev.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("user_id", "event_id", "event_type"))
+
+
+SQL_MVCC_SNAPSHOT_READ = """
+SELECT user_id, event_id, event_type FROM (
+  SELECT *, row_number() OVER (PARTITION BY user_id
+            ORDER BY event_id DESC) AS rn
+  FROM events WHERE event_id <= 5000)
+WHERE rn = 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_token_count(spark, sf_dir):
+    return with_token_count(_docs(spark, sf_dir)) \
+        .select("doc_id", "n_tokens", "n_bpe_tokens")
+
+
+SQL_TEXT_TOKEN_COUNT = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(trim(text), '\s+'),
+                       x -> x <> '')) AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+         AS n_bpe_tokens
+FROM documents
+"""
+
+_STOP_SQL = ",".join(f"'{s}'" for s in STOPWORDS)
+
+
+def q_text_quality(spark, sf_dir):
+    return with_quality_score(_docs(spark, sf_dir)) \
+        .select("doc_id", "quality", "punct_ratio")
+
+
+SQL_TEXT_QUALITY = rf"""
+WITH t AS (
+  SELECT doc_id, text, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+  FROM documents
+), s AS (
+  SELECT doc_id, n_chars, punct, len(toks) AS n_toks,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+                         x -> x IN ({_STOP_SQL}))) AS stops,
+         (n_chars - len(toks) + 1) / greatest(len(toks), 1) AS mean_wl
+  FROM t
+)
+SELECT doc_id,
+       round(least(n_chars / 500.0, 1.0) * 0.3
+             + (1.0 - least(punct / greatest(n_chars, 1) * 5.0, 1.0)) * 0.2
+             + least(stops / greatest(n_toks, 1) * 5.0, 1.0) * 0.3
+             + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0
+                     THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
+       round(punct / greatest(n_chars, 1), 6) AS punct_ratio
+FROM s
+"""
+
+
+def q_text_fingerprint(spark, sf_dir):
+    """Fingerprint cardinality check (hash values themselves are engine-
+    specific, so compare the doc_id -> duplicate-group mapping)."""
+    df = with_fingerprint(_docs(spark, sf_dir))
+    w = Window.partitionBy("fingerprint")
+    return (df.withColumn("group_size", F.count(F.lit(1)).over(w))
+            .withColumn("group_min", F.min("doc_id").over(w))
+            .select("doc_id", "group_size", "group_min"))
+
+
+SQL_TEXT_FINGERPRINT = r"""
+SELECT doc_id,
+       count(*) OVER (PARTITION BY norm) AS group_size,
+       min(doc_id) OVER (PARTITION BY norm) AS group_min
+FROM (SELECT doc_id,
+             regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+      FROM documents)
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline: dedup
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark, sf_dir):
+    return exact_dedup(_docs(spark, sf_dir)).select("doc_id")
+
+
+SQL_DEDUP_EXACT = r"""
+SELECT min(doc_id) AS doc_id FROM (
+  SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents) GROUP BY norm
+"""
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+
+
+SQL_DEDUP_NGRAM_JACCARD = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6)
+         AS jaccard
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.5
+"""
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (approximate candidate generation + exact
+    verification). Not SQL-expressible (banded xxhash64 signatures)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash hamming-distance near-dups (bit-level LSH; engine-specific
+    hashes -> rows-only check)."""
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return simhash_dup_pairs(docs, max_hamming=10).select("id_a", "id_b")
+
+
+def q_dedup_embedding(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    return embedding_dup_pairs(emb, threshold=0.5).select("id_a", "id_b")
+
+
+SQL_DEDUP_EMBEDDING = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                   CAST(b.embedding AS DOUBLE[])), 6) >= 0.5
+"""
+
+
+# ---------------------------------------------------------------------------
+# pipeline: similarity search
+# ---------------------------------------------------------------------------
+
+def q_ann_bruteforce_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return cosine_topk_bruteforce(emb, queries, k=5) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+SQL_ANN_BRUTEFORCE_TOPK = """
+SELECT query_id, neighbor_id, rank FROM (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         row_number() OVER (
+           PARTITION BY q.vec_id
+           ORDER BY round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                          CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                    c.vec_id ASC) AS rank
+  FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+  WHERE q.vec_id < 10)
+WHERE rank <= 5
+"""
+
+
+def q_ann_ivf_topk(spark, sf_dir):
+    """IVF approximate ANN (centroid probing) — approximate by design,
+    rows-only check; recall vs brute force is tested in tests/."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return ivf_ann_topk(emb, queries, k=5, num_centroids=8, nprobe=4) \
+        .select("query_id", "neighbor_id", "rank")
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+REGISTRY: dict[str, tuple] = {
+    "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
+    "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
+    "map_edges_scan": (q_map_edges_scan, SQL_MAP_EDGES_SCAN),
+    "is_a_scan": (q_is_a_scan, SQL_IS_A_SCAN),
+    "edge_join_2hop": (q_edge_join_2hop, SQL_EDGE_JOIN_2HOP),
+    "edge_weighted_filter": (q_edge_weighted_filter, SQL_EDGE_WEIGHTED_FILTER),
+    "slot_compare": (q_slot_compare, SQL_SLOT_COMPARE),
+    "regex_match": (q_regex_match, SQL_REGEX_MATCH),
+    "not_anti_join": (q_not_anti_join, SQL_NOT_ANTI_JOIN),
+    "semi_join_exists": (q_semi_join_exists, SQL_SEMI_JOIN_EXISTS),
+    "or_union": (q_or_union, SQL_OR_UNION),
+    "unique_var": (q_unique_var, SQL_UNIQUE_VAR),
+    "is_arithmetic": (q_is_arithmetic, SQL_IS_ARITHMETIC),
+    "forall": (q_forall, SQL_FORALL),
+    "findall_orders": (q_findall_orders, SQL_FINDALL_ORDERS),
+    "bagof_by_nation": (q_bagof_by_nation, SQL_BAGOF_BY_NATION),
+    "setof_segments": (q_setof_segments, SQL_SETOF_SEGMENTS),
+    "select_count": (q_select_count, SQL_SELECT_COUNT),
+    "limit_skip": (q_limit_skip, SQL_LIMIT_SKIP),
+    "view_key_lookup": (q_view_key_lookup, SQL_VIEW_KEY_LOOKUP),
+    "view_range_paging": (q_view_range_paging, SQL_VIEW_RANGE_PAGING),
+    "view_reduce_groups": (q_view_reduce_groups, SQL_VIEW_REDUCE_GROUPS),
+    "view_reduce_total": (q_view_reduce_total, SQL_VIEW_REDUCE_TOTAL),
+    "view_desc_paging": (q_view_desc_paging, SQL_VIEW_DESC_PAGING),
+    "traverse_bfs": (q_traverse_bfs, SQL_TRAVERSE_BFS),
+    "degree_centrality": (q_degree_centrality, SQL_DEGREE_CENTRALITY),
+    "parts_per_customer": (q_parts_per_customer, SQL_PARTS_PER_CUSTOMER),
+    "q1_pricing_summary": (q_q1_pricing_summary, SQL_Q1_PRICING_SUMMARY),
+    "q3_top_orders": (q_q3_top_orders, SQL_Q3_TOP_ORDERS),
+    "q5_nation_revenue": (q_q5_nation_revenue, SQL_Q5_NATION_REVENUE),
+    "spatial_radius": (q_spatial_radius, SQL_SPATIAL_RADIUS),
+    "spatial_knn": (q_spatial_knn, SQL_SPATIAL_KNN),
+    "events_hourly_window": (q_events_hourly_window, SQL_EVENTS_HOURLY_WINDOW),
+    "events_latest_per_user": (q_events_latest_per_user,
+                               SQL_EVENTS_LATEST_PER_USER),
+    "mvcc_snapshot_read": (q_mvcc_snapshot_read, SQL_MVCC_SNAPSHOT_READ),
+    "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
+    "ann_ivf_topk": (q_ann_ivf_topk, None),
+}
+
+
+def queries():
+    return {name: fn for name, (fn, _sql) in REGISTRY.items()}
+
+
+def oracle_sql():
+    return {name: sql for name, (_fn, sql) in REGISTRY.items() if sql}
+
+
+def flagship(spark: SparkSession, sf_dir: str = "/root/testdata/sf0.001") -> DataFrame:
+    """Flagship: goal-list graph query -> revenue-ish per region via joins,
+    aggregation and slot access, all through the engine surface."""
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?rn", "?w"], [
+        ("is-a", "?c", "customer"),
+        ("in_nation", "?c", "?n"),
+        ("in_region", "?n", "?r"),
+        ("slot", "?r", "r_name", "?rn"),
+        ("placed", "?c", "?o"),
+        ("contains", "?o", "?p", "?w"),
+    ])
+    return (df.groupBy(F.col("rn").alias("r_name"))
+            .agg(_dsum(F.col("w")).alias("total_quantity"),
+                 F.count(F.lit(1)).alias("n_lineitems")))

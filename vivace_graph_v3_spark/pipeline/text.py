@@ -62,8 +62,9 @@ def with_quality_score(df: DataFrame, text_col: str = "text",
     toks = tokens(text)
     n_toks = F.size(toks)
     punct = F.length(F.regexp_replace(text, r"[A-Za-z0-9\s]", ""))
-    stops = F.size(F.array_intersect(
-        F.transform(toks, F.lower), F.array(*[F.lit(s) for s in STOPWORDS])))
+    stop_set = tuple(STOPWORDS)
+    stops = F.size(F.filter(F.transform(toks, F.lower),
+                            lambda t: t.isin(*stop_set)))
     mean_wl = (n_chars - n_toks + 1) / F.greatest(n_toks, F.lit(1))
 
     length_score = F.least(n_chars / F.lit(500.0), F.lit(1.0))
