@@ -24,8 +24,7 @@ from vivace_graph_v3_spark.graph import GraphStore
 
 def traverse(graph: GraphStore, roots, *, direction: str = "out",
              edge_type: str | None = None, max_depth: int = 3,
-             include_paths: bool = False, uniqueness: bool = True,
-             checkpoint_every: int = 4) -> DataFrame:
+             include_paths: bool = False, uniqueness: bool = True) -> DataFrame:
     """BFS from ``roots`` (list of vertex ids or a DataFrame with an ``id``
     column). Returns (id, depth[, path]); roots appear at depth 0; with
     ``uniqueness`` every vertex appears once at min depth (the reference's
@@ -71,9 +70,10 @@ def traverse(graph: GraphStore, roots, *, direction: str = "out",
                        .filter(F.col("__rn") == 1).drop("__rn"))
             else:
                 nxt = nxt.dropDuplicates(["id"])
-        if depth % checkpoint_every == 0:
-            # truncate lineage so deep traversals keep bounded plans
-            nxt = nxt.localCheckpoint(eager=True)
+        # materialize each frontier exactly once: it feeds three consumers
+        # (emptiness check, result union, next round's join) and this also
+        # truncates lineage so deep traversals keep bounded plans
+        nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             break
         result = result.unionByName(nxt)

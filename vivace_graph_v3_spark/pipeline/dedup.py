@@ -92,17 +92,21 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        num_hashes: int = 64) -> DataFrame:
     """k minhash values per doc: h_i(doc) = min over shingles of
     xxhash64(shingle, i). Expression-only (k transforms + array_min)."""
-    sh = shingle_hashes(F.col(text_col), n)
-
     def perm(i):
         # closure factory — pyspark HOF adapters bind every python param
         return lambda s: F.xxhash64(s, F.lit(i))
 
-    sig = F.array(*[F.array_min(F.transform(sh, perm(i)))
-                    for i in range(num_hashes)])
-    return (df.select(F.col(id_col).alias("id"), sh.alias("__sh"),
-                      sig.alias("minhash"))
+    # materialize the shingle array FIRST (its construction is expensive:
+    # tokenize + slice + concat per shingle) so the k per-permutation
+    # transforms below scan the materialized array instead of inlining k
+    # copies of the construction expression (Catalyst does not CSE across
+    # the k array_min trees).
+    base = (df.select(F.col(id_col).alias("id"),
+                      shingle_hashes(F.col(text_col), n).alias("__sh"))
             .filter(F.size("__sh") > 0))
+    sig = F.array(*[F.array_min(F.transform(F.col("__sh"), perm(i)))
+                    for i in range(num_hashes)])
+    return base.select("id", "__sh", sig.alias("minhash"))
 
 
 def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16,
@@ -132,24 +136,43 @@ def minhash_dedup_pairs(df: DataFrame, *, text_col: str = "text",
                         num_hashes: int = 64, bands: int = 16,
                         threshold: float = 0.8) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
-    exact-jaccard verification on the candidate pairs only."""
+    minhash-estimate prefilter -> exact-jaccard verification.
+
+    The signature frame is persisted (it feeds candidate generation AND both
+    sides of the verification join) and candidates are pre-pruned with the
+    free jaccard estimate already encoded in the signatures (matching
+    positions / k), with a generous margin so no true pair above the
+    threshold is lost before exact verification."""
     sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n,
-                              num_hashes=num_hashes)
-    cands = minhash_lsh_candidates(sigs, bands=bands,
-                                   rows_per_band=num_hashes // bands)
-    sets_ = sigs.select("id", F.col("__sh").alias("sh"), F.size("__sh").alias("sz"))
-    joined = (cands
-              .join(sets_.select(F.col("id").alias("id_a"),
-                                 F.col("sh").alias("sh_a"),
-                                 F.col("sz").alias("sz_a")), "id_a")
-              .join(sets_.select(F.col("id").alias("id_b"),
-                                 F.col("sh").alias("sh_b"),
-                                 F.col("sz").alias("sz_b")), "id_b"))
-    common = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = common / (F.col("sz_a") + F.col("sz_b") - common)
-    return (joined.withColumn("jaccard", F.round(jac, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard"))
+                              num_hashes=num_hashes).persist()
+    try:
+        cands = minhash_lsh_candidates(sigs, bands=bands,
+                                       rows_per_band=num_hashes // bands)
+        side = sigs.select("id", F.col("__sh").alias("sh"),
+                           F.size("__sh").alias("sz"), "minhash")
+        joined = (cands
+                  .join(side.select(F.col("id").alias("id_a"),
+                                    F.col("sh").alias("sh_a"),
+                                    F.col("sz").alias("sz_a"),
+                                    F.col("minhash").alias("mh_a")), "id_a")
+                  .join(side.select(F.col("id").alias("id_b"),
+                                    F.col("sh").alias("sh_b"),
+                                    F.col("sz").alias("sz_b"),
+                                    F.col("minhash").alias("mh_b")), "id_b"))
+        est = (F.size(F.filter(F.zip_with("mh_a", "mh_b", lambda a, b: a == b),
+                               lambda x: x)) / F.lit(num_hashes))
+        # 3-sigma margin on the k-sample estimate keeps recall ~1
+        margin = 3.0 * (0.25 / num_hashes) ** 0.5
+        joined = joined.filter(est >= threshold - margin)
+        common = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = common / (F.col("sz_a") + F.col("sz_b") - common)
+        out = (joined.withColumn("jaccard", F.round(jac, 6))
+               .filter(F.col("jaccard") >= threshold)
+               .select("id_a", "id_b", "jaccard"))
+        out = out.localCheckpoint(eager=True)
+        return out
+    finally:
+        sigs.unpersist()
 
 
 # -- simhash -----------------------------------------------------------------------
