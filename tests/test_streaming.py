@@ -1,0 +1,116 @@
+"""Replication + incremental view maintenance tests, mirroring the
+reference's replication suite (tests/replication/) and view incremental
+semantics (views.lisp:331-427): full replication, subset filter with
+update->delete demotion, checkpoint resume, and view maintenance across
+insert/update/delete including vertex-delete retiring edge view rows."""
+
+import pyspark.sql.functions as F
+import pytest
+from pyspark.sql import types as T
+
+from vivace_graph_v3_spark.mvcc import VersionedGraph
+from vivace_graph_v3_spark.schema import SchemaRegistry
+from vivace_graph_v3_spark.streaming import ViewMaintainer, replicate_and_wait
+from vivace_graph_v3_spark.views import View
+
+
+def _registry():
+    reg = SchemaRegistry()
+    reg.def_vertex("person", {"name": T.StringType(), "age": T.IntegerType()})
+    reg.def_edge("knows")
+    return reg
+
+
+def _people(spark, rows):
+    return spark.createDataFrame(rows, "id string, name string, age int")
+
+
+@pytest.fixture()
+def master(spark, tmp_path):
+    vg = VersionedGraph(spark, _registry(), str(tmp_path / "master"))
+    vg.commit(vg.begin().create("person", _people(spark, [
+        ("p1", "ann", 30), ("p2", "bob", 40), ("p3", "cyd", 17)])))
+    return vg
+
+
+def test_full_replication_and_resume(master, spark, tmp_path):
+    replica = VersionedGraph(spark, master.registry, str(tmp_path / "replica"))
+    cp = str(tmp_path / "cp")
+    replicate_and_wait(spark, master.log_path, replica, checkpoint=cp)
+    assert replica.read("person").count() == 3
+    # new commits on the master; resume from checkpoint picks up only deltas
+    master.commit(master.begin().mark_deleted("person", ["p2"]))
+    replicate_and_wait(spark, master.log_path, replica, checkpoint=cp)
+    assert {r["name"] for r in replica.read("person").collect()} == {"ann", "cyd"}
+
+
+def test_subset_replication_demotes_updates(master, spark, tmp_path):
+    # slave replicates only adults (the spatial-area-filter analog,
+    # transactions.lisp:884-956)
+    replica = VersionedGraph(spark, master.registry, str(tmp_path / "replica"))
+    cp = str(tmp_path / "cp")
+    preds = {"person": lambda p: p["age"] >= 18}
+    replicate_and_wait(spark, master.log_path, replica, checkpoint=cp,
+                       predicates=preds)
+    assert {r["name"] for r in replica.read("person").collect()} == {"ann", "bob"}
+
+    # ann's update moves her out of the subset -> becomes a delete on the slave
+    row = master.read("person").filter(F.col("id") == "p1").first()
+    upd = spark.createDataFrame([("p1", "ann", 16, row["revision"])],
+                                "id string, name string, age int, revision long")
+    master.commit(master.begin().save("person", upd))
+    # cyd's update moves her in
+    row = master.read("person").filter(F.col("id") == "p3").first()
+    upd = spark.createDataFrame([("p3", "cyd", 18, row["revision"])],
+                                "id string, name string, age int, revision long")
+    master.commit(master.begin().save("person", upd))
+    replicate_and_wait(spark, master.log_path, replica, checkpoint=cp,
+                       predicates=preds)
+    assert {r["name"] for r in replica.read("person").collect()} == {"bob", "cyd"}
+
+
+def _age_view():
+    return View(class_name="person", name="by-age", kind="vertex",
+                map_fn=lambda df: df.select(
+                    "id", F.col("age").cast("string").alias("key"),
+                    F.lit(1.0).alias("value")),
+                reduce_agg=F.sum("value"))
+
+
+def test_view_maintenance_insert_update_delete(master, spark, tmp_path):
+    vm = ViewMaintainer(master, _age_view(), str(tmp_path / "vt"))
+    cp = str(tmp_path / "vcp")
+    vm.catch_up(checkpoint=cp)
+    assert {(r["key"], r["value"]) for r in vm.reduced().collect()} == {
+        ("30", 1.0), ("40", 1.0), ("17", 1.0)}
+
+    # update moves p2 from key 40 to 30; delete retires p3's row
+    row = master.read("person").filter(F.col("id") == "p2").first()
+    upd = spark.createDataFrame([("p2", "bob", 30, row["revision"])],
+                                "id string, name string, age int, revision long")
+    master.commit(master.begin().save("person", upd))
+    master.commit(master.begin().mark_deleted("person", ["p3"]))
+    vm.catch_up(checkpoint=cp)
+    assert {(r["key"], r["value"]) for r in vm.reduced().collect()} == {("30", 2.0)}
+
+
+def test_vertex_delete_retires_edge_view_rows(master, spark, tmp_path):
+    edges = spark.createDataFrame(
+        [("e1", "p1", "p2", 2.0), ("e2", "p2", "p3", 3.0)],
+        "id string, src string, dst string, weight double")
+    master.commit(master.begin().create("knows", edges))
+    view = View(class_name="knows", name="by-src", kind="edge",
+                map_fn=lambda df: df.select(
+                    "id", F.col("src").alias("key"),
+                    F.col("weight").alias("value")),
+                reduce_agg=F.sum("value"))
+    vm = ViewMaintainer(master, view, str(tmp_path / "et"))
+    cp = str(tmp_path / "ecp")
+    vm.catch_up(checkpoint=cp)
+    assert vm.table().count() == 2
+
+    # deleting vertex p3 makes e2 inactive -> its view row must retire
+    master.commit(master.begin().mark_deleted("person", ["p3"]))
+    vm.catch_up(checkpoint=cp)
+    rows = vm.table().collect()
+    assert [r["id"] for r in rows] == ["e1"]
