@@ -855,6 +855,131 @@ def q_ann_ivf_topk(spark, sf_dir):
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# §2.3 recursive rules (semi-naive fixpoint, rules.py)
+# ---------------------------------------------------------------------------
+
+def _next_order_graph(spark, sf_dir):
+    """Derived graph: each order -> the same customer's next order by date
+    (tie-break orderkey) — a real multi-hop chain for recursion tests."""
+    from pyspark.sql import types as T
+
+    from vivace_graph_v3_spark.graph import GraphStore
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.def_vertex("order_node", {"o_orderkey": T.LongType()})
+    reg.def_edge("next_order")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = (orders.withColumn("__next", F.lead("o_orderkey").over(w))
+           .filter(F.col("__next").isNotNull()))
+    g = GraphStore(spark, reg, name=f"next:{sf_dir}", has_tombstones=False)
+    g.add_vertices("order_node", orders.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.lit("order_node").alias("type"), F.lit(False).alias("deleted"),
+        F.lit(0).cast("long").alias("revision"),
+        F.lit(0).cast("long").alias("commit_epoch"),
+        F.col("o_orderkey")))
+    g.add_edges("next_order", nxt.select(
+        F.col("o_orderkey").cast("string").alias("id"),
+        F.lit("next_order").alias("type"), F.lit(False).alias("deleted"),
+        F.lit(0).cast("long").alias("revision"),
+        F.lit(0).cast("long").alias("commit_epoch"),
+        F.col("o_orderkey").cast("string").alias("src"),
+        F.col("__next").cast("string").alias("dst"),
+        F.lit(1.0).alias("weight")))
+    return g
+
+
+def q_rule_transitive_closure(spark, sf_dir):
+    """``<-`` recursive rule -> semi-naive fixpoint (rules.py): transitive
+    closure of the next-order chain. The doubling form (reach ∘ reach)
+    converges in O(log chain-length) iterations instead of O(length) —
+    the scale-correct shape for deep chains."""
+    from vivace_graph_v3_spark.query.rules import def_rule, get_rule
+
+    g = _next_order_graph(spark, sf_dir)
+    if get_rule("reach_order") is None:
+        def_rule("reach_order", ["?x", "?y"],
+                 [("next_order", "?x", "?y")],
+                 [("reach_order", "?x", "?z"), ("reach_order", "?z", "?y")])
+    df = select(g, ["?x", "?y"], [("reach_order", "?x", "?y")])
+    return df.select(F.col("x").cast("long").alias("o1"),
+                     F.col("y").cast("long").alias("o2"))
+
+
+SQL_RULE_TRANSITIVE_CLOSURE = """
+WITH RECURSIVE nxt AS (
+  SELECT o_orderkey AS src,
+         lead(o_orderkey) OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate, o_orderkey) AS dst
+  FROM orders
+), edges AS (SELECT src, dst FROM nxt WHERE dst IS NOT NULL),
+reach AS (
+  SELECT src, dst FROM edges
+  UNION
+  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS o1, dst AS o2 FROM reach
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.9 JSON pattern DSL + def-query (rest.lisp surface, query/pattern.py)
+# ---------------------------------------------------------------------------
+
+def q_pattern_dsl_query(spark, sf_dir):
+    from vivace_graph_v3_spark.query.pattern import compile_pattern_query
+
+    g = load_tpch_graph(spark, sf_dir)
+    spec = {
+        "match": [{"vertex": "?c", "type": "customer"}],
+        "where": [
+            {"slot": ["?c", "c_mktsegment"], "var": "?seg"},
+            {"var": "?seg", "op": "in", "value": ["BUILDING", "MACHINERY"]},
+            {"slot": ["?c", "c_acctbal"], "var": "?bal"},
+            {"var": "?bal", "op": ">", "value": 8000},
+        ],
+        "select": [{"slot": ["?c", "c_name"], "as": "?c_name"}, "?seg", "?bal"],
+        "limit": 10_000_000,
+    }
+    return (compile_pattern_query(g, spec)
+            .select("c_name", F.col("seg").alias("c_mktsegment"),
+                    F.col("bal").alias("c_acctbal")))
+
+
+SQL_PATTERN_DSL_QUERY = """
+SELECT c_name, c_mktsegment, c_acctbal FROM customer
+WHERE c_mktsegment IN ('BUILDING', 'MACHINERY') AND c_acctbal > 8000
+"""
+
+
+def q_named_query_param(spark, sf_dir):
+    from vivace_graph_v3_spark.query.pattern import def_query, run_query
+
+    g = load_tpch_graph(spark, sf_dir)
+    def_query(
+        "suppliers_above",
+        vars=["?name", "?bal"],
+        goals=[("is-a", "?s", "supplier"),
+               ("node-slot-value", "?s", "s_acctbal", "?bal"),
+               ("node-slot-value", "?s", "s_name", "?name"),
+               ("param", "?min", "min_bal"),
+               (">", "?bal", "?min")],
+        params={"min_bal": "float"},
+        limit=None,
+    )
+    return (run_query(g, "suppliers_above", {"min_bal": "5000"})
+            .select(F.col("name").alias("s_name"),
+                    F.col("bal").alias("s_acctbal")))
+
+
+SQL_NAMED_QUERY_PARAM = """
+SELECT s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
@@ -902,6 +1027,10 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "rule_transitive_closure": (q_rule_transitive_closure,
+                                SQL_RULE_TRANSITIVE_CLOSURE),
+    "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
+    "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
 }
 
 

@@ -347,6 +347,11 @@ class Select:
         b_unbound = is_var(b) and var_col(b) not in plan.bound
         if a_unbound and b_unbound:
             raise QueryError("= with two unbound variables")
+        if plan.df is None:
+            # leading (= ?x const): bind on a unit relation
+            var, const = (a, b) if a_unbound else (b, a)
+            return Plan(self.graph.spark.range(1)
+                        .select(F.lit(const).alias(var_col(var))))
         if a_unbound:
             return Plan(plan.df.withColumn(var_col(a), self.resolve(plan, b)))
         if b_unbound:

@@ -1,0 +1,274 @@
+"""User-defined rules (``<-`` Horn clauses) with recursive evaluation.
+
+Reference semantics reproduced (citations into /root/reference):
+
+- ``<-`` asserts a clause for a functor; multiple clauses = union of solution
+  streams; recursion is allowed and guarded only by the inference budget /
+  deadline (prologc.lisp:744-746, 686-700, 626-640, 160-173, 871-900).
+- A rule goal inside ``select`` behaves like any other relation goal
+  (compile-call, prologc.lisp:198-212).
+
+Spark-first: Spark has no recursive CTE, so recursion is a **driver-side
+semi-naive fixpoint loop** over DataFrames (SURVEY.md §4.2 #1):
+
+- clauses that don't reference the rule's recursive component seed ``total``;
+- each iteration evaluates recursive clauses with one recursive occurrence
+  bound to the last iteration's ``delta`` (and the rest to ``total``) — the
+  classic semi-naive rewrite, so per-iteration work is proportional to the
+  frontier, not the full relation;
+- new tuples = evaluation − total (set semantics, as Datalog requires for
+  termination); the loop stops when the delta is empty or the iteration
+  budget (the ``*inference-budget*`` analog) is exhausted.
+
+Mutually recursive rules are solved simultaneously as one strongly-connected
+component. Every iteration's frontier is ``localCheckpoint``-ed: it feeds the
+emptiness check, the union, and the next iteration's joins, and the plan tree
+would otherwise grow exponentially with depth.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, functions as F
+
+from vivace_graph_v3_spark.graph import GraphStore
+from vivace_graph_v3_spark.query.builder import (
+    Plan, QueryError, Select, is_var, var_col,
+)
+
+_RULES: dict[str, "Rule"] = {}
+
+
+class BudgetExceeded(QueryError):
+    """Fixpoint iteration budget exhausted (the reference's
+    prolog-budget-exceeded, prologc.lisp:160-173)."""
+
+
+@dataclass
+class Rule:
+    """One named rule: ``head`` is the argument variable list, ``clauses``
+    the bodies (each a goal list). All clauses of a name = union."""
+
+    name: str
+    head: list[str]
+    clauses: list[list[tuple]] = field(default_factory=list)
+
+    @property
+    def arity(self) -> int:
+        return len(self.head)
+
+
+def def_rule(name: str, head: list[str], *clauses: list) -> Rule:
+    """``(<- (name ?a ?b) body...)`` — each call may add clauses; redefining
+    with different arity replaces (matching the reference's retract-on-
+    redefine behavior in spirit)."""
+    r = _RULES.get(name)
+    if r is None or r.arity != len(head):
+        r = Rule(name=name, head=list(head))
+        _RULES[name] = r
+    for body in clauses:
+        r.clauses.append(list(body))
+    return r
+
+
+def get_rule(name: str) -> Rule | None:
+    return _RULES.get(name)
+
+
+def clear_rules() -> None:
+    _RULES.clear()
+
+
+# -- dependency analysis ------------------------------------------------------
+
+def _referenced_rules(body: list[tuple]) -> set[str]:
+    out: set[str] = set()
+    for goal in body:
+        head = goal[0]
+        if head in _RULES:
+            out.add(head)
+        for a in goal[1:]:
+            if isinstance(a, list) and a and isinstance(a[0], tuple):
+                out |= _referenced_rules(a)
+            elif isinstance(a, tuple):
+                out |= _referenced_rules([a])
+    return out
+
+
+def _scc_of(name: str) -> set[str]:
+    """Rules mutually recursive with ``name`` (incl. itself if recursive)."""
+    deps: dict[str, set[str]] = {}
+
+    def dep(n: str) -> set[str]:
+        if n not in deps:
+            deps[n] = set()
+            for body in _RULES[n].clauses:
+                deps[n] |= _referenced_rules(body)
+        return deps[n]
+
+    def reachable(start: str) -> set[str]:
+        seen, frontier = set(), {start}
+        while frontier:
+            n = frontier.pop()
+            for m in dep(n):
+                if m not in seen:
+                    seen.add(m)
+                    frontier.add(m)
+        return seen
+
+    fwd = reachable(name)
+    return {m for m in fwd if name in reachable(m)} & fwd | (
+        {name} if name in fwd else set())
+
+
+# -- evaluation ----------------------------------------------------------------
+
+class RuleEvaluator:
+    """Evaluates rule relations over one graph, memoizing solved relations."""
+
+    def __init__(self, graph: GraphStore, *, max_iterations: int = 64,
+                 select_opts: dict | None = None) -> None:
+        self.graph = graph
+        self.max_iterations = max_iterations
+        self.select_opts = select_opts or {}
+        self._solved: dict[str, DataFrame] = {}
+
+    def relation(self, name: str) -> DataFrame:
+        """The full relation of a rule, columns ``__a0..__a{k-1}``."""
+        if name in self._solved:
+            return self._solved[name]
+        scc = _scc_of(name)
+        if not scc:
+            # non-recursive: plain union of clause evaluations
+            df = self._union([self._eval_clause(_RULES[name], body, {}, {})
+                              for body in _RULES[name].clauses])
+            self._solved[name] = df
+            return df
+        self._solve_scc(scc)
+        return self._solved[name]
+
+    def _solve_scc(self, scc: set[str]) -> None:
+        totals: dict[str, DataFrame] = {}
+        deltas: dict[str, DataFrame] = {}
+        for n in scc:
+            rule = _RULES[n]
+            base = [b for b in rule.clauses if not (_referenced_rules(b) & scc)]
+            df = self._union([self._eval_clause(rule, b, {}, {}) for b in base],
+                             arity=rule.arity)
+            df = df.dropDuplicates().localCheckpoint(eager=True)
+            totals[n] = deltas[n] = df
+
+        for it in range(self.max_iterations):
+            new_deltas: dict[str, DataFrame] = {}
+            for n in scc:
+                rule = _RULES[n]
+                rec = [b for b in rule.clauses if _referenced_rules(b) & scc]
+                frames = []
+                for body in rec:
+                    occs = sum(1 for g in body if g[0] in scc)
+                    # semi-naive: one pass per recursive occurrence, that
+                    # occurrence sees delta, the others see total
+                    for i in range(occs):
+                        frames.append(self._eval_clause(
+                            rule, body, totals, deltas, delta_occurrence=i))
+                if not frames:
+                    new_deltas[n] = self._empty(rule.arity)
+                    continue
+                cand = self._union(frames, arity=rule.arity).dropDuplicates()
+                fresh = (cand.join(totals[n], on=list(cand.columns),
+                                   how="left_anti")
+                         .localCheckpoint(eager=True))
+                new_deltas[n] = fresh
+            if all(d.isEmpty() for d in new_deltas.values()):
+                for n in scc:
+                    self._solved[n] = totals[n]
+                return
+            for n in scc:
+                if not new_deltas[n].isEmpty():
+                    totals[n] = (totals[n].unionByName(new_deltas[n])
+                                 .localCheckpoint(eager=True))
+                deltas[n] = new_deltas[n]
+        raise BudgetExceeded(
+            f"rule fixpoint for {sorted(scc)} exceeded "
+            f"{self.max_iterations} iterations")
+
+    # -- clause -> DataFrame ----------------------------------------------------
+
+    def _eval_clause(self, rule: Rule, body: list[tuple],
+                     totals: dict[str, DataFrame], deltas: dict[str, DataFrame],
+                     delta_occurrence: int | None = None) -> DataFrame:
+        sel = Select(self.graph, rule.head, [], **self.select_opts)
+        plan = Plan()
+        occ = 0
+        for goal in body:
+            head = goal[0]
+            if head in totals or head in deltas:
+                rel = (deltas if occ == delta_occurrence else totals)[head]
+                plan = self._merge_rule_goal(plan, rel, goal[1:])
+                occ += 1
+            elif head in _RULES and head not in totals:
+                plan = self._merge_rule_goal(plan, self.relation(head), goal[1:])
+            else:
+                plan = sel.compile_goal(plan, goal)
+        cols = []
+        for i, v in enumerate(rule.head):
+            c = var_col(v)
+            if c not in plan.bound:
+                raise QueryError(f"rule {rule.name}: head var {v} unbound "
+                                 f"in clause {body}")
+            cols.append(F.col(c).alias(f"__a{i}"))
+        return plan.df.select(*cols)
+
+    def _merge_rule_goal(self, plan: Plan, rel: DataFrame, args) -> Plan:
+        out_vars = []
+        for i, term in enumerate(args):
+            col = f"__a{i}"
+            if is_var(term):
+                v = var_col(term)
+                if v in [ov for ov in out_vars]:
+                    # repeated var within the goal: equality filter
+                    rel = rel.filter(F.col(col) == F.col(v))
+                else:
+                    rel = rel.withColumnRenamed(col, v)
+                    out_vars.append(v)
+            else:
+                rel = rel.filter(F.col(col) == F.lit(term))
+        rel = rel.select(*out_vars)
+        return plan.merge(rel, out_vars)
+
+    # -- helpers ---------------------------------------------------------------
+
+    def _empty(self, arity: int) -> DataFrame:
+        schema = ", ".join(f"__a{i} string" for i in range(arity))
+        return self.graph.spark.createDataFrame([], schema)
+
+    def _union(self, frames: list[DataFrame], arity: int | None = None) -> DataFrame:
+        frames = [f for f in frames if f is not None]
+        if not frames:
+            if arity is None:
+                raise QueryError("rule has no clauses")
+            return self._empty(arity)
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+
+# -- Select integration --------------------------------------------------------
+
+_orig = Select.compile_goal
+
+
+def _compile_goal_with_rules(self, plan, goal):
+    head = goal[0]
+    if head in _RULES and not hasattr(self, f"_g_{head}"):
+        ev = getattr(self, "_rule_evaluator", None)
+        if ev is None:
+            ev = RuleEvaluator(self.graph)
+            self._rule_evaluator = ev
+        return ev._merge_rule_goal(plan, ev.relation(head), goal[1:])
+    return _orig(self, plan, goal)
+
+
+Select.compile_goal = _compile_goal_with_rules
