@@ -51,7 +51,9 @@ def with_geohash(df: DataFrame, lat_col: str = "lat", lon_col: str = "lon",
             geohash_encode(la, lo, precision) if la == la and lo == lo else None
             for la, lo in zip(lat, lon)])
 
-    return df.withColumn(out_col, _gh(F.col(lat_col), F.col(lon_col)))
+    from vivace_graph_v3_spark.util import ensure_parallelism
+    return ensure_parallelism(df).withColumn(
+        out_col, _gh(F.col(lat_col), F.col(lon_col)))
 
 
 def _cell_filter(df: DataFrame, cells: list[str], precision: int,

@@ -53,29 +53,50 @@ def traverse(graph: GraphStore, roots, *, direction: str = "out",
     if include_paths:
         frontier = frontier.withColumn("path", F.array(F.col("id")))
 
+    # the hop relation is probed every round — cache it so the per-type
+    # parquet union is scanned once, not once per depth
+    hop = hop.persist()
+    # BFS frontiers are usually tiny relative to the edge relation: broadcast
+    # them (and the visited set) so each round is a broadcast-hash join that
+    # streams edges with NO shuffle. Guarded by row count — a frontier that
+    # outgrows the driver falls back to shuffle joins, which is the correct
+    # trade at that size.
+    broadcast_max = 2_000_000
+
+    frontier = frontier.localCheckpoint(eager=True)
+    frontier_n = visited_n = frontier.count()
     result = frontier
-    for depth in range(1, max_depth + 1):
-        nxt = (frontier.join(hop, frontier["id"] == hop["from_id"])
-               .select(F.col("to_id").alias("id"),
-                       F.lit(depth).alias("depth"),
-                       *([F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path")]
-                         if include_paths else [])))
-        if uniqueness:
-            # global uniqueness: drop anything already reported
-            nxt = nxt.join(result.select("id"), "id", "left_anti")
-            if include_paths:
-                # one deterministic path per newly discovered vertex
-                w = Window.partitionBy("id").orderBy(F.col("path"))
-                nxt = (nxt.withColumn("__rn", F.row_number().over(w))
-                       .filter(F.col("__rn") == 1).drop("__rn"))
-            else:
-                nxt = nxt.dropDuplicates(["id"])
-        # materialize each frontier exactly once: it feeds three consumers
-        # (emptiness check, result union, next round's join) and this also
-        # truncates lineage so deep traversals keep bounded plans
-        nxt = nxt.localCheckpoint(eager=True)
-        if nxt.isEmpty():
-            break
-        result = result.unionByName(nxt)
-        frontier = nxt
+    try:
+        for depth in range(1, max_depth + 1):
+            f = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
+            nxt = (f.join(hop, f["id"] == hop["from_id"])
+                   .select(F.col("to_id").alias("id"),
+                           F.lit(depth).alias("depth"),
+                           *([F.concat(F.col("path"), F.array(F.col("to_id"))).alias("path")]
+                             if include_paths else [])))
+            if uniqueness:
+                # global uniqueness: drop anything already reported
+                vis = result.select("id")
+                if visited_n <= broadcast_max:
+                    vis = F.broadcast(vis)
+                nxt = nxt.join(vis, "id", "left_anti")
+                if include_paths:
+                    # one deterministic path per newly discovered vertex
+                    w = Window.partitionBy("id").orderBy(F.col("path"))
+                    nxt = (nxt.withColumn("__rn", F.row_number().over(w))
+                           .filter(F.col("__rn") == 1).drop("__rn"))
+                else:
+                    nxt = nxt.dropDuplicates(["id"])
+            # materialize each frontier exactly once: it feeds three consumers
+            # (emptiness check, result union, next round's join) and this also
+            # truncates lineage so deep traversals keep bounded plans
+            nxt = nxt.localCheckpoint(eager=True)
+            frontier_n = nxt.count()
+            if frontier_n == 0:
+                break
+            visited_n += frontier_n
+            result = result.unionByName(nxt)
+            frontier = nxt
+    finally:
+        hop.unpersist()
     return result

