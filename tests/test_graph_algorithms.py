@@ -1,0 +1,78 @@
+"""Graph-analytics operator tests on small graphs with hand-computable
+answers: PageRank mass conservation + ordering, connected components on a
+disconnected forest, triangle counting, weighted/unweighted shortest paths."""
+
+import pytest
+from pyspark.sql import types as T
+
+from vivace_graph_v3_spark.graph import GraphStore
+from vivace_graph_v3_spark.operators.graph_algorithms import (
+    connected_components, pagerank, shortest_paths, triangle_count,
+)
+from vivace_graph_v3_spark.schema import SchemaRegistry
+
+
+def _graph(spark, vertices, edges):
+    reg = SchemaRegistry()
+    reg.def_vertex("node", {})
+    reg.def_edge("link")
+    g = GraphStore(spark, reg, name="alg", has_tombstones=False)
+    g.add_vertices("node", spark.createDataFrame(
+        [(v, "node", False, 0, 0) for v in vertices],
+        "id string, type string, deleted boolean, revision long, commit_epoch long"))
+    g.add_edges("link", spark.createDataFrame(
+        [(f"e{i}", "link", False, 0, 0, s, d, float(w))
+         for i, (s, d, w) in enumerate(edges)],
+        "id string, type string, deleted boolean, revision long, "
+        "commit_epoch long, src string, dst string, weight double"))
+    return g
+
+
+@pytest.fixture()
+def star(spark):
+    # hub 'h' pointed at by a,b,c; h -> a
+    return _graph(spark, ["h", "a", "b", "c"],
+                  [("a", "h", 1), ("b", "h", 1), ("c", "h", 1), ("h", "a", 1)])
+
+
+def test_pagerank_mass_and_order(star):
+    pr = {r["id"]: r["rank"] for r in pagerank(star, max_iter=30).collect()}
+    assert abs(sum(pr.values()) - 4.0) < 1e-3          # mass conserved
+    assert pr["h"] > pr["a"] > pr["b"]                  # hub highest, a gets h's
+    assert abs(pr["b"] - pr["c"]) < 1e-9                # symmetry
+
+
+def test_connected_components_forest(spark):
+    g = _graph(spark, ["a", "b", "c", "d", "e", "f", "z"],
+               [("a", "b", 1), ("b", "c", 1), ("d", "e", 1), ("e", "f", 1)])
+    comp = {r["id"]: r["comp"] for r in connected_components(g).collect()}
+    assert comp["a"] == comp["b"] == comp["c"] == "a"
+    assert comp["d"] == comp["e"] == comp["f"] == "d"
+    assert comp["z"] == "z"
+
+
+def test_connected_components_long_chain_logarithmic(spark):
+    # 40-node chain must converge well inside 50 rounds (doubling trick)
+    ids = [f"n{i:02d}" for i in range(40)]
+    g = _graph(spark, ids, [(ids[i], ids[i + 1], 1) for i in range(39)])
+    comp = {r["id"]: r["comp"] for r in
+            connected_components(g, max_iter=10).collect()}
+    assert set(comp.values()) == {"n00"}
+
+
+def test_triangle_count(spark):
+    # one triangle a-b-c plus a dangling edge c-d
+    g = _graph(spark, ["a", "b", "c", "d"],
+               [("a", "b", 1), ("b", "c", 1), ("c", "a", 1), ("c", "d", 1)])
+    assert triangle_count(g).first()["n_triangles"] == 1
+
+
+def test_shortest_paths_weighted_vs_hops(spark):
+    # a->b->c cost 1+1; direct a->c cost 5 — weighted picks 2, hops picks 1
+    g = _graph(spark, ["a", "b", "c"],
+               [("a", "b", 1), ("b", "c", 1), ("a", "c", 5)])
+    hops = {r["id"]: r["dist"] for r in shortest_paths(g, ["a"]).collect()}
+    assert hops == {"a": 0.0, "b": 1.0, "c": 1.0}
+    wdist = {r["id"]: r["dist"]
+             for r in shortest_paths(g, ["a"], weighted=True).collect()}
+    assert wdist == {"a": 0.0, "b": 1.0, "c": 2.0}

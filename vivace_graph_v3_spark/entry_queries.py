@@ -926,6 +926,114 @@ SELECT src AS o1, dst AS o2 FROM reach
 
 
 # ---------------------------------------------------------------------------
+# Whole-graph analytics (operators/graph_algorithms.py) — extends the
+# reference's traverse machinery (traverse.lisp:30-81) to the Pregel set
+# ---------------------------------------------------------------------------
+
+def q_graph_connected_components(spark, sf_dir):
+    """Components of the per-customer next-order chains: every customer's
+    orders form one chain, so comp(id) = min order id in the chain."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        connected_components)
+
+    g = _next_order_graph(spark, sf_dir)
+    return connected_components(g).select("id", "comp")
+
+
+SQL_GRAPH_CONNECTED_COMPONENTS = """
+SELECT CAST(o_orderkey AS VARCHAR) AS id,
+       min(CAST(o_orderkey AS VARCHAR)) OVER (PARTITION BY o_custkey) AS comp
+FROM orders
+"""
+
+
+def q_graph_shortest_paths(spark, sf_dir):
+    """Multi-source SSSP (hop counts) from each customer's first order down
+    its chain: dist = position in the chain."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import shortest_paths
+
+    g = _next_order_graph(spark, sf_dir)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    roots = (orders.withColumn("__rn", F.row_number().over(w))
+             .filter(F.col("__rn") == 1)
+             .select(F.col("o_orderkey").cast("string").alias("id")))
+    return (shortest_paths(g, roots)
+            .select(F.col("id").cast("long").alias("o_orderkey"),
+                    F.col("dist").cast("long").alias("dist")))
+
+
+SQL_GRAPH_SHORTEST_PATHS = """
+SELECT o_orderkey,
+       row_number() OVER (PARTITION BY o_custkey
+                          ORDER BY o_orderdate, o_orderkey) - 1 AS dist
+FROM orders
+"""
+
+
+def _copurchase_graph(spark, sf_dir):
+    """Undirected part co-purchase graph: parts appearing in the same order."""
+    from pyspark.sql import types as T
+
+    from vivace_graph_v3_spark.graph import GraphStore
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.def_vertex("pnode", {})
+    reg.def_edge("co")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    a = li.select("l_orderkey", F.col("l_partkey").alias("u"))
+    b = li.select("l_orderkey", F.col("l_partkey").alias("v"))
+    pairs = (a.join(b, "l_orderkey").filter(F.col("u") < F.col("v"))
+             .select("u", "v").dropDuplicates())
+    g = GraphStore(spark, reg, name=f"co:{sf_dir}", has_tombstones=False)
+    parts = spark.read.parquet(f"{sf_dir}/part.parquet")
+    g.add_vertices("pnode", parts.select(
+        F.col("p_partkey").cast("string").alias("id"),
+        F.lit("pnode").alias("type"), F.lit(False).alias("deleted"),
+        F.lit(0).cast("long").alias("revision"),
+        F.lit(0).cast("long").alias("commit_epoch")))
+    g.add_edges("co", pairs.select(
+        F.concat_ws("_", "u", "v").alias("id"),
+        F.lit("co").alias("type"), F.lit(False).alias("deleted"),
+        F.lit(0).cast("long").alias("revision"),
+        F.lit(0).cast("long").alias("commit_epoch"),
+        F.col("u").cast("string").alias("src"),
+        F.col("v").cast("string").alias("dst"),
+        F.lit(1.0).alias("weight")))
+    return g
+
+
+def q_graph_triangle_count(spark, sf_dir):
+    from vivace_graph_v3_spark.operators.graph_algorithms import triangle_count
+
+    return triangle_count(_copurchase_graph(spark, sf_dir))
+
+
+SQL_GRAPH_TRIANGLE_COUNT = """
+WITH pairs AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)
+SELECT count(*) AS n_triangles
+FROM pairs p1 JOIN pairs p2 ON p1.v = p2.u
+              JOIN pairs p3 ON p1.u = p3.u AND p2.v = p3.v
+"""
+
+
+def q_graph_pagerank(spark, sf_dir):
+    """PageRank over the customer->nation->region containment graph; no SQL
+    oracle (iterative) — rows-only check, deterministic iteration count."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import pagerank
+
+    g = load_tpch_graph(spark, sf_dir)
+    pr = pagerank(g, max_iter=10, tol=None)
+    return (pr.select("id", F.round("rank", 4).alias("rank"))
+            .orderBy(F.desc("rank"), "id").limit(50))
+
+
+# ---------------------------------------------------------------------------
 # §2.9 JSON pattern DSL + def-query (rest.lisp surface, query/pattern.py)
 # ---------------------------------------------------------------------------
 
@@ -1029,6 +1137,11 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivf_topk": (q_ann_ivf_topk, None),
     "rule_transitive_closure": (q_rule_transitive_closure,
                                 SQL_RULE_TRANSITIVE_CLOSURE),
+    "graph_connected_components": (q_graph_connected_components,
+                                   SQL_GRAPH_CONNECTED_COMPONENTS),
+    "graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
+    "graph_triangle_count": (q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT),
+    "graph_pagerank": (q_graph_pagerank, None),
     "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
     "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
 }

@@ -1,0 +1,172 @@
+"""Whole-graph analytics: PageRank, connected components, triangle counting,
+single-source shortest paths.
+
+The reference's only whole-graph operator is BFS ``traverse``
+(traverse.lisp:30-81) — these extend the same iterative frontier machinery to
+the standard analytics set (the GraphX/Pregel workload class), expressed as
+DataFrame loops so they inherit Catalyst + AQE:
+
+- messages = join(current state, edges) — shuffle on the edge key;
+- aggregate messages = groupBy(dst);
+- iterate with localCheckpoint per round (bounded lineage, accurate AQE
+  stats), stopping on convergence / frontier exhaustion.
+
+Scale notes: state is O(|V|) and every round shuffles O(|E|) messages — the
+same cost model as GraphX Pregel. Edges are persisted across rounds; for a
+1000-executor run, pre-bucket edges by src so the per-round join is
+shuffle-free on the edge side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from vivace_graph_v3_spark.graph import GraphStore
+
+
+def _edge_pairs(graph: GraphStore, edge_type: str | None,
+                *, weighted: bool = False, undirected: bool = False) -> DataFrame:
+    cols = ["src", "dst"] + (["weight"] if weighted else [])
+    e = graph.active_edges(edge_type, columns=cols).select(*cols)
+    if undirected:
+        rev = e.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       *([F.col("weight")] if weighted else []))
+        e = e.unionByName(rev)
+    return e
+
+
+def pagerank(graph: GraphStore, *, edge_type: str | None = None,
+             damping: float = 0.85, max_iter: int = 20,
+             tol: float | None = 1.0e-4) -> DataFrame:
+    """Standard damped PageRank over active edges. Returns (id, rank) with
+    ranks summing to |V| (the classic normalization). Dangling mass is
+    redistributed uniformly each round so the total stays conserved."""
+    vertices = graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
+    edges = _edge_pairs(graph, edge_type).persist()
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    n = vertices.count()
+    ranks = vertices.withColumn("rank", F.lit(1.0))
+    ranks = ranks.localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            contribs = (ranks.join(out_deg, ranks["id"] == out_deg["src"], "inner")
+                        .join(edges, "src")
+                        .select(F.col("dst").alias("id"),
+                                (F.col("rank") / F.col("deg")).alias("c")))
+            agg = contribs.groupBy("id").agg(F.sum("c").alias("recv"))
+            # dangling vertices contribute their rank uniformly
+            dangling = (ranks.join(out_deg,
+                                   ranks["id"] == out_deg["src"], "left_anti")
+                        .agg(F.sum("rank")).first()[0] or 0.0)
+            base = (1.0 - damping) + damping * dangling / n
+            new = (vertices.join(agg, "id", "left")
+                   .select("id", (F.lit(base) + F.lit(damping) *
+                                  F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank")))
+            new = new.localCheckpoint(eager=True)
+            if tol is not None:
+                delta = (new.join(ranks.withColumnRenamed("rank", "old"), "id")
+                         .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
+                         .first()[0])
+                ranks = new
+                if delta is not None and delta < tol * n:
+                    break
+            else:
+                ranks = new
+    finally:
+        edges.unpersist()
+    return ranks
+
+
+def connected_components(graph: GraphStore, *, edge_type: str | None = None,
+                         max_iter: int = 50) -> DataFrame:
+    """Undirected connected components by label propagation with the
+    large-star/small-star-style doubling trick: each round every vertex
+    adopts the min component id among itself and its neighbors' labels,
+    AND labels propagate transitively via label-of-label joins — so chain
+    graphs converge in O(log diameter) rounds, not O(diameter)."""
+    edges = _edge_pairs(graph, edge_type, undirected=True).persist()
+    labels = (graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
+              .withColumn("comp", F.col("id")))
+    labels = labels.localCheckpoint(eager=True)
+    try:
+        for _ in range(max_iter):
+            # neighbor min
+            nbr = (edges.join(labels.withColumnRenamed("id", "dst")
+                              .withColumnRenamed("comp", "ncomp"), "dst")
+                   .groupBy("src").agg(F.min("ncomp").alias("nmin"))
+                   .withColumnRenamed("src", "id"))
+            stepped = (labels.join(nbr, "id", "left")
+                       .select("id", F.least(F.col("comp"),
+                                             F.coalesce(F.col("nmin"),
+                                                        F.col("comp"))).alias("comp")))
+            # pointer-jumping: comp <- label(comp)  (log-round convergence)
+            lab2 = stepped.select(F.col("id").alias("comp"),
+                                  F.col("comp").alias("comp2"))
+            jumped = (stepped.join(lab2, "comp")
+                      .select("id", F.least(F.col("comp"),
+                                            F.col("comp2")).alias("comp")))
+            jumped = jumped.localCheckpoint(eager=True)
+            changed = (jumped.join(labels.withColumnRenamed("comp", "old"), "id")
+                       .filter(F.col("comp") != F.col("old")).limit(1))
+            labels = jumped
+            if changed.isEmpty():
+                break
+    finally:
+        edges.unpersist()
+    return labels
+
+
+def triangle_count(graph: GraphStore, *, edge_type: str | None = None) -> DataFrame:
+    """Global triangle count over the undirected simple graph. Canonical-order
+    join (a<b<c) counts each triangle once; returns one row (n_triangles).
+    The standard two-join formulation — both joins shuffle on an edge key and
+    benefit from AQE skew splitting on hub vertices."""
+    e = (_edge_pairs(graph, edge_type, undirected=True)
+         .filter(F.col("src") < F.col("dst")).dropDuplicates(["src", "dst"]))
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+
+
+def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
+                   weighted: bool = False, max_iter: int = 50,
+                   direction: str = "out") -> DataFrame:
+    """Single/multi-source shortest paths (hop count, or summed edge weight
+    with ``weighted``): distributed Bellman-Ford. Returns (id, dist) for
+    reachable vertices. Frontier-based: only improved vertices relax their
+    neighbors next round, so rounds touch the active frontier, not all V."""
+    spark = graph.spark
+    edges = _edge_pairs(graph, edge_type, weighted=weighted,
+                        undirected=(direction == "both"))
+    if direction == "in":
+        edges = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                             *([F.col("weight")] if weighted else []))
+    w = F.col("weight") if weighted else F.lit(1.0)
+    edges = edges.select("src", "dst", w.alias("w")).persist()
+
+    if isinstance(roots, DataFrame):
+        dist = roots.select("id").dropDuplicates()
+    else:
+        dist = spark.createDataFrame([(r,) for r in roots], ["id"])
+    dist = dist.withColumn("dist", F.lit(0.0)).localCheckpoint(eager=True)
+    frontier = dist
+    try:
+        for _ in range(max_iter):
+            cand = (frontier.join(edges, frontier["id"] == edges["src"])
+                    .select(F.col("dst").alias("id"),
+                            (F.col("dist") + F.col("w")).alias("nd"))
+                    .groupBy("id").agg(F.min("nd").alias("nd")))
+            improved = (cand.join(dist, "id", "left")
+                        .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                        .select("id", F.col("nd").alias("dist"))
+                        .localCheckpoint(eager=True))
+            if improved.isEmpty():
+                break
+            dist = (dist.join(improved.select("id"), "id", "left_anti")
+                    .unionByName(improved).localCheckpoint(eager=True))
+            frontier = improved
+    finally:
+        edges.unpersist()
+    return dist
