@@ -40,6 +40,65 @@ BENCH_QUERIES = [
 ]
 
 
+def write_benchmarks(spark, timings: dict[str, float]) -> float:
+    """Write-path ops/s shapes from the reference perf suite
+    (tests/perf/benchmarks.lisp:35-78, 163-185): batch insert, copy/save
+    update, soft delete, snapshot dump, replay restore — through the MVCC
+    txn-log engine (mvcc.py) on a throwaway store."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F, types as T
+
+    from vivace_graph_v3_spark.mvcc import VersionedGraph
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+
+    n = 20_000
+    tmp = tempfile.mkdtemp(prefix="vgv3bench_")
+    total = 0.0
+    try:
+        reg = SchemaRegistry()
+        reg.def_vertex("p_node", {"value": T.LongType()})
+        vg = VersionedGraph(spark, reg, f"{tmp}/g")
+        rows = spark.range(n).select(
+            F.concat(F.lit("v"), F.col("id")).alias("id"),
+            F.col("id").alias("value"))
+
+        t0 = time.time()
+        vg.commit(vg.begin().create("p_node", rows))
+        timings["mvcc_insert_20k"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        cur = vg.read("p_node").select("id", (F.col("value") + 1).alias("value"),
+                                       "revision")
+        vg.commit(vg.begin().save("p_node", cur))
+        timings["mvcc_update_20k"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        dead = vg.read("p_node").filter(F.col("value") <= n // 2).select("id")
+        vg.commit(vg.begin().mark_deleted("p_node", dead))
+        timings["mvcc_delete_10k"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        vg.snapshot(f"{tmp}/snap")
+        timings["mvcc_snapshot"] = round(time.time() - t0, 3)
+
+        t0 = time.time()
+        vg2 = VersionedGraph.replay(spark, reg, f"{tmp}/snap", f"{tmp}/g2")
+        assert vg2.read("p_node").count() > 0
+        timings["mvcc_replay"] = round(time.time() - t0, 3)
+
+        total = sum(timings[k] for k in
+                    ("mvcc_insert_20k", "mvcc_update_20k", "mvcc_delete_10k",
+                     "mvcc_snapshot", "mvcc_replay"))
+        for k in ("mvcc_insert_20k", "mvcc_update_20k", "mvcc_delete_10k",
+                  "mvcc_snapshot", "mvcc_replay"):
+            print(f"# {k}: {timings[k]}s", file=sys.stderr)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return total
+
+
 def main() -> int:
     from vivace_graph_v3_spark.session import get_spark
     from vivace_graph_v3_spark import entry_queries as eq
@@ -62,6 +121,8 @@ def main() -> int:
         timings[name] = dt
         total += dt
         print(f"# {name}: {n} rows in {dt}s", file=sys.stderr)
+
+    total += write_benchmarks(spark, timings)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:
