@@ -242,3 +242,59 @@ def test_incoming_outgoing_edges(tpch, duck):
         FROM lineitem
     """)
     assert rows_set(df) == want
+
+
+def test_register_functor_udtf(tpch):
+    """def-global-prolog-functor analog (prolog-functors.lisp:9-21): a
+    registered Python relation merges into the plan like any goal."""
+    import pyspark.sql.functions as F
+
+    from vivace_graph_v3_spark.query import builder as B
+
+    def top_regions(builder, plan, args):
+        (var,) = args
+        rel = (builder.graph.scan_vertices("region", columns=["id"])
+               .select(F.col("id").alias(B.var_col(var))))
+        return plan.merge(rel, [B.var_col(var)]).df
+
+    B.register_functor("top-region", top_regions)
+    df = B.select(tpch, ["?r"], [("call", "top-region", "?r")])
+    assert df.count() == 5
+
+
+def test_select_foreach_callback(tpch):
+    """select :callback streaming (prologc.lisp:1061-1083)."""
+    from vivace_graph_v3_spark.query import builder as B
+
+    seen = []
+    n = B.Select(tpch, ["?r"], [("is-a", "?r", "region")]).foreach(
+        lambda row: seen.append(row["r"]))
+    assert n == 5 and len(seen) == 5
+
+
+def test_geo_near_goal(tpch, duck):
+    """geo-near/5 (prolog-functors.lisp:938-945) over synthesized coords."""
+    import pyspark.sql.functions as F
+
+    from vivace_graph_v3_spark.query import builder as B
+
+    sel = B.Select(tpch, ["?c", "?lat", "?lon"], [
+        ("is-a", "?c", "customer"),
+        ("node-slot-value", "?c", "c_custkey", "?k"),
+        ("is", "?lat", ("-", ("pmod", ("*", "?k", 37), 180), 90)),
+        ("is", "?lon", ("-", ("pmod", ("*", "?k", 73), 360), 180)),
+        ("geo-near", "?lat", "?lon", 10.0, 20.0, 6_000_000.0),
+    ])
+    got = sel.to_df().count()
+    want = duck.execute("""
+        WITH pts AS (
+          SELECT ((c_custkey*37) % 180) - 90 AS lat,
+                 ((c_custkey*73) % 360) - 180 AS lon
+          FROM customer)
+        SELECT count(*) FROM pts
+        WHERE 2*6371000*asin(sqrt(
+            sin(radians((10.0-lat)/2))^2 +
+            cos(radians(lat))*cos(radians(10.0))*sin(radians((20.0-lon)/2))^2
+        )) <= 6000000
+    """).fetchone()[0]
+    assert got == want and got > 0

@@ -193,6 +193,17 @@ class Select:
         df = self.to_df()
         return df.count()
 
+    def foreach(self, fn) -> int:
+        """``select :callback`` / ``do-query`` (prologc.lisp:1061-1083,
+        prolog-functors.lisp:565-570): stream solutions to a driver-side
+        callback without materializing the whole result — Rows arrive
+        partition-by-partition via toLocalIterator. Returns the row count."""
+        n = 0
+        for row in self.to_df().toLocalIterator():
+            fn(row)
+            n += 1
+        return n
+
     # -- goal compilation ------------------------------------------------------
 
     def compile_goals(self, plan: Plan, goals: list[tuple]) -> Plan:
@@ -611,6 +622,46 @@ class Select:
         if functor not in _USER_FUNCTORS:
             raise QueryError(f"unregistered functor: {functor}")
         return Plan(_USER_FUNCTORS[functor](self, plan, args))
+
+    # -- geo predicates (prolog-functors.lisp:929-954) --------------------------
+
+    def _haversine(self, plan: Plan, lat1, lon1, lat2, lon2) -> Column:
+        from vivace_graph_v3_spark.functions.geometry import haversine_m
+        return haversine_m(*(self.resolve(plan, t).cast("double")
+                             for t in (lat1, lon1, lat2, lon2)))
+
+    def _g_geo_distance(self, plan: Plan, lat1, lon1, lat2, lon2, dist) -> Plan:
+        """(geo-distance lat1 lon1 lat2 lon2 ?d): bind/compare geodesic
+        meters over bound coordinates (prolog-functors.lisp:929-936)."""
+        d = self._haversine(plan, lat1, lon1, lat2, lon2)
+        if is_var(dist) and var_col(dist) not in plan.bound:
+            return Plan(plan.df.withColumn(var_col(dist), d))
+        return Plan(plan.df.filter(self.resolve(plan, dist) == d))
+
+    def _g_geo_near(self, plan: Plan, lat, lon, lat0, lon0, radius) -> Plan:
+        """(geo-near ?lat ?lon lat0 lon0 radius-m) — filter within radius
+        (prolog-functors.lisp:938-945). A bbox prefilter keeps the expensive
+        trig off most rows and stays pushdown-friendly."""
+        d = self._haversine(plan, lat, lon, lat0, lon0)
+        r = self.resolve(plan, radius).cast("double")
+        lat_c, lon_c = (self.resolve(plan, t).cast("double") for t in (lat, lon))
+        lat0_c, lon0_c = (self.resolve(plan, t).cast("double")
+                          for t in (lat0, lon0))
+        deg = r / F.lit(111_320.0)  # meters per degree latitude
+        lon_deg = deg / F.greatest(F.cos(F.radians(lat0_c)), F.lit(1.0e-6))
+        bbox = (F.abs(lat_c - lat0_c) <= deg) & (F.abs(lon_c - lon0_c) <= lon_deg)
+        return Plan(plan.df.filter(bbox & (d <= r)))
+
+    def _g_geo_within(self, plan: Plan, lat, lon, polygon) -> Plan:
+        """(geo-within ?lat ?lon polygon) — point-in-polygon refine
+        (prolog-functors.lisp:947-954); bbox prefilter + ray-casting UDF."""
+        from vivace_graph_v3_spark.functions.geometry import (
+            point_in_polygon_udf, polygon_bbox)
+        lat_min, lat_max, lon_min, lon_max = polygon_bbox(polygon)
+        lat_c = self.resolve(plan, lat).cast("double")
+        lon_c = self.resolve(plan, lon).cast("double")
+        bbox = (lat_c.between(lat_min, lat_max) & lon_c.between(lon_min, lon_max))
+        return Plan(plan.df.filter(bbox & point_in_polygon_udf(polygon)(lat_c, lon_c)))
 
 
 # '=' '==' '/=' need non-identifier dispatch:

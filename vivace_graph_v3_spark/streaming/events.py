@@ -1,0 +1,94 @@
+"""Event-time streaming: watermarked windowed aggregation over an event feed.
+
+The reference has NO event-time machinery — commit order is its only time
+axis (SURVEY.md §2.8) — so this module is part of the beyond-reference
+surface a large-scale pipeline needs: ingest an append-only event table as a
+stream and maintain windowed aggregates with bounded state.
+
+Built entirely on Structured Streaming primitives:
+
+- ``read_event_stream``: file-source stream over the events parquet
+  (``ts`` arrives as raw nanoseconds; converted to TimestampType once,
+  at the source);
+- ``windowed_counts``: tumbling/sliding event-time windows with a watermark
+  — late rows beyond the watermark are dropped and window state is evicted,
+  which is what bounds memory at 100 TB/day feeds;
+- ``session_counts``: per-user session windows (gap-based);
+- ``run_available_now``: drain-everything-then-stop driver used by tests and
+  batch backfills (the same code path a continuous deployment runs with a
+  real trigger).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+EVENT_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
+                "value double, props string")
+
+
+def read_event_stream(spark: SparkSession, path: str,
+                      *, max_files_per_trigger: int | None = None) -> DataFrame:
+    """Stream the events parquet directory; ``ts`` (nanos) -> ``event_time``
+    timestamp column."""
+    import os
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(EVENT_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    if os.path.isfile(path):
+        # file-source streams need a directory: stream the parent, matching
+        # just this file
+        reader = reader.option("pathGlobFilter", os.path.basename(path))
+        path = os.path.dirname(path)
+    ev = reader.parquet(path)
+    return ev.withColumn(
+        "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+
+
+def windowed_counts(events: DataFrame, *, window: str = "1 hour",
+                    slide: str | None = None, watermark: str = "2 hours",
+                    by: list[str] = ("event_type",)) -> DataFrame:
+    """Watermarked tumbling (or sliding) window aggregate:
+    (window, *by, n, sum_value). State for windows older than the watermark
+    is evicted; rows later than that are dropped."""
+    win = (F.window("event_time", window, slide) if slide
+           else F.window("event_time", window))
+    return (events.withWatermark("event_time", watermark)
+            .groupBy(win.alias("window"), *by)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value")))
+
+
+def session_counts(events: DataFrame, *, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Per-user session windows (gap-close semantics): one row per session
+    with its span and event count."""
+    return (events.withWatermark("event_time", watermark)
+            .groupBy(F.session_window("event_time", gap).alias("session"),
+                     "user_id")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("value").alias("sum_value")))
+
+
+def run_available_now(stream_df: DataFrame, *, checkpoint: str,
+                      out_path: str | None = None,
+                      output_mode: str = "append", timeout: int = 300):
+    """Drain the stream with trigger(availableNow) into parquet (or a memory
+    sink when ``out_path`` is None — tests read the returned query's table).
+    Returns the finished StreamingQuery."""
+    writer = (stream_df.writeStream.outputMode(output_mode)
+              .option("checkpointLocation", checkpoint)
+              .trigger(availableNow=True))
+    if out_path is None:
+        import uuid
+
+        name = f"mem_{uuid.uuid4().hex[:8]}"
+        q = writer.format("memory").queryName(name).start()
+        q.awaitTermination(timeout)
+        q.mem_table = name
+        return q
+    q = writer.format("parquet").option("path", out_path).start()
+    q.awaitTermination(timeout)
+    return q
