@@ -78,7 +78,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
 
 
 def connected_components(graph: GraphStore, *, edge_type: str | None = None,
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50, check_every: int = 3) -> DataFrame:
     """Undirected connected components by label propagation with the
     large-star/small-star-style doubling trick: each round every vertex
     adopts the min component id among itself and its neighbors' labels,
@@ -89,7 +89,7 @@ def connected_components(graph: GraphStore, *, edge_type: str | None = None,
               .withColumn("comp", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             # neighbor min
             nbr = (edges.join(labels.withColumnRenamed("id", "dst")
                               .withColumnRenamed("comp", "ncomp"), "dst")
@@ -106,11 +106,18 @@ def connected_components(graph: GraphStore, *, edge_type: str | None = None,
                       .select("id", F.least(F.col("comp"),
                                             F.col("comp2")).alias("comp")))
             jumped = jumped.localCheckpoint(eager=True)
-            changed = (jumped.join(labels.withColumnRenamed("comp", "old"), "id")
-                       .filter(F.col("comp") != F.col("old")).limit(1))
-            labels = jumped
-            if changed.isEmpty():
-                break
+            # the convergence probe is a full diff join — amortize it over
+            # check_every rounds (an extra round of converged iteration is
+            # cheaper than a probe per round)
+            if (it + 1) % check_every == 0 or it == max_iter - 1:
+                changed = (jumped.join(labels.withColumnRenamed("comp", "old"),
+                                       "id")
+                           .filter(F.col("comp") != F.col("old")).limit(1))
+                labels = jumped
+                if changed.isEmpty():
+                    break
+            else:
+                labels = jumped
     finally:
         edges.unpersist()
     return labels
