@@ -298,3 +298,31 @@ def test_geo_near_goal(tpch, duck):
         )) <= 6000000
     """).fetchone()[0]
     assert got == want and got > 0
+
+
+def test_if_soft_cut(tpch, duck):
+    """(if C T E) soft-cut (prologc.lisp:546-569): customers with an order
+    above 400k get those orders' prices; the rest get their acctbal."""
+    from vivace_graph_v3_spark.query import builder as B
+
+    df = B.select(tpch, ["?c", "?v"], [
+        ("is-a", "?c", "customer"),
+        ("if",
+         [("placed", "?c", "?o"),
+          ("node-slot-value", "?o", "o_totalprice", "?p"),
+          (">", "?p", 400000)],
+         [("=", "?v", "?p")],
+         [("node-slot-value", "?c", "c_acctbal", "?v")]),
+    ])
+    got = {(r["c"], round(r["v"], 2)) for r in df.collect()}
+    want = set()
+    for ck, price in duck.execute("""
+        SELECT 'customer:'||o_custkey, o_totalprice FROM orders
+        WHERE o_totalprice > 400000""").fetchall():
+        want.add((ck, round(price, 2)))
+    rich = {c for c, _ in want}
+    for ck, bal in duck.execute(
+            "SELECT 'customer:'||c_custkey, c_acctbal FROM customer").fetchall():
+        if ck not in rich:
+            want.add((ck, round(bal, 2)))
+    assert got == want

@@ -1088,6 +1088,54 @@ SELECT s_name, s_acctbal FROM supplier WHERE s_acctbal > 5000
 """
 
 
+# ---------------------------------------------------------------------------
+# Composed training-data curation pipeline (north star): dedup -> quality
+# filter -> token budget, as ONE declarative job
+# ---------------------------------------------------------------------------
+
+def q_training_pipeline(spark, sf_dir):
+    """documents -> exact-dedup survivors -> quality >= 0.5 -> token stats.
+    Composition of pipeline/ operators; everything stays one Catalyst plan
+    (dedup semi-join + expression-only scoring), so the optimizer sees the
+    whole pipeline and the scan is pruned to (doc_id, text)."""
+    docs = _docs(spark, sf_dir)
+    surv = exact_dedup(docs)
+    out = with_quality_score(with_token_count(surv))
+    return (out.filter(F.col("quality") >= 0.5)
+            .select("doc_id", "n_tokens", "quality"))
+
+
+SQL_TRAINING_PIPELINE = rf"""
+WITH surv AS (
+  SELECT min(doc_id) AS doc_id FROM (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+    FROM documents) GROUP BY norm
+), t AS (
+  SELECT d.doc_id, text, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+  FROM documents d JOIN surv USING (doc_id)
+), s AS (
+  SELECT doc_id, n_chars, punct, len(toks) AS n_toks,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+                         x -> x IN ({{stops}}))) AS stops,
+         (n_chars - len(toks) + 1) / greatest(len(toks), 1) AS mean_wl
+  FROM t
+)
+SELECT doc_id, n_toks AS n_tokens,
+       round(least(n_chars / 500.0, 1.0) * 0.3
+             + (1.0 - least(punct / greatest(n_chars, 1) * 5.0, 1.0)) * 0.2
+             + least(stops / greatest(n_toks, 1) * 5.0, 1.0) * 0.3
+             + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0
+                     THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality
+FROM s WHERE round(least(n_chars / 500.0, 1.0) * 0.3
+             + (1.0 - least(punct / greatest(n_chars, 1) * 5.0, 1.0)) * 0.2
+             + least(stops / greatest(n_toks, 1) * 5.0, 1.0) * 0.3
+             + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0
+                     THEN 1.0 ELSE 0.3 END) * 0.2, 6) >= 0.5
+""".replace("{stops}", _STOP_SQL)
+
+
 REGISTRY: dict[str, tuple] = {
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
@@ -1144,6 +1192,7 @@ REGISTRY: dict[str, tuple] = {
     "graph_pagerank": (q_graph_pagerank, None),
     "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
     "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
+    "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
 }
 
 

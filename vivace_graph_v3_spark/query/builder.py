@@ -511,6 +511,27 @@ class Select:
         return Plan(sub.df.withColumn("__rn", F.row_number().over(w))
                     .filter(F.col("__rn") == 1).drop("__rn"))
 
+    def _g_if(self, plan: Plan, cond: list, then: list, els: list | None = None) -> Plan:
+        """Soft-cut ``(if C T E)`` (prologc.lisp:546-569): outer rows where C
+        has >= 1 solution flow through (C, T); the others flow through E —
+        never both. Set-oriented: the commit is per outer row, which is the
+        reference's semantics lifted from tuples to row groups."""
+        if plan.df is None:
+            plan = Plan(self.graph.spark.range(1).select(F.lit(1).alias("__unit")))
+        outer_cols = list(plan.df.columns)
+        cond_plan = self.compile_goals(Plan(plan.df), list(cond))
+        sat = cond_plan.df.select(*outer_cols).dropDuplicates()
+        then_df = self.compile_goals(Plan(cond_plan.df), list(then)).df
+        if els is None:
+            out = then_df
+        else:
+            unsat = plan.df.join(sat, on=outer_cols, how="left_anti")
+            else_df = self.compile_goals(Plan(unsat), list(els)).df
+            out = then_df.unionByName(else_df, allowMissingColumns=True)
+        if "__unit" in out.columns:
+            out = out.drop("__unit")
+        return Plan(out)
+
     def _g_forall(self, plan: Plan, cond: list, action: list) -> Plan:
         """forall(Cond, Action) (prologc.lisp:571-582): succeeds iff every
         Cond solution satisfies Action — anti-join emptiness per outer row."""
