@@ -15,3 +15,24 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     if df.rdd.getNumPartitions() < max(2, target // 2):
         return df.repartition(target)
     return df
+
+
+def salted_join(left, right, key: str, *, salt: int = 16, how: str = "inner"):
+    """Skew-resistant equi-join: replicate the (small-ish) right side ``salt``
+    ways and scatter the left side's hot keys across the replicas, so one hot
+    key becomes ``salt`` balanced tasks instead of one straggler.
+
+    AQE's skew-join splitting handles sort-merge skew automatically; this
+    explicit form is for the cases AQE can't fix (aggregation-feeding joins,
+    deliberate repartitioning) and as the documented pattern for hot vertices
+    (celebrity nodes) in adjacency joins.
+    """
+    from pyspark.sql import functions as F
+
+    lft = left.withColumn("__lsalt", F.floor(F.rand(seed=7) * salt).cast("int"))
+    rgt = (right.withColumnRenamed(key, "__rkey")
+           .withColumn("__rsalt",
+                       F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))))
+    out = lft.join(rgt, (F.col(key) == F.col("__rkey"))
+                   & (F.col("__lsalt") == F.col("__rsalt")), how)
+    return out.drop("__lsalt", "__rsalt", "__rkey")
