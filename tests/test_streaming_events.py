@@ -60,3 +60,34 @@ def test_session_counts_gap(spark, tmp_path):
                           checkpoint=str(tmp_path / "cp"))
     out = spark.table(q.mem_table).filter(F.col("user_id") == 7).collect()
     assert sorted(r["n"] for r in out) == [1, 2]  # two sessions for user 7
+
+
+def test_stateful_running_totals(spark, tmp_path):
+    """applyInPandasWithState: per-user running aggregates accumulate across
+    micro-batches (two source files -> two batches with maxFilesPerTrigger)."""
+    from vivace_graph_v3_spark.streaming.stateful import running_totals
+
+    src = str(tmp_path / "src")
+    rows1 = [(1, "2024-01-01 00:00:00", 7, 1.0), (2, "2024-01-01 00:01:00", 7, 2.0),
+             (3, "2024-01-01 00:02:00", 8, 5.0)]
+    rows2 = [(4, "2024-01-01 00:03:00", 7, 3.0)]
+    for i, rows in enumerate((rows1, rows2)):
+        (spark.createDataFrame(rows, "event_id long, t string, user_id long, value double")
+         .select("event_id",
+                 (F.unix_timestamp("t").cast("long") * 1_000_000_000).alias("ts"),
+                 "user_id", F.lit("click").alias("event_type"), "value",
+                 F.lit("{}").alias("props"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    from vivace_graph_v3_spark.streaming.events import (
+        read_event_stream, run_available_now)
+    ev = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = run_available_now(running_totals(ev), checkpoint=str(tmp_path / "cp"),
+                          timeout=20)
+    out = spark.table(q.mem_table).collect()
+    by_user = {}
+    for r in out:  # last non-final row per key wins
+        if not r["final"]:
+            by_user[r["key"]] = (r["n"], r["total"])
+    assert by_user["7"] == (3, 6.0)
+    assert by_user["8"] == (1, 5.0)

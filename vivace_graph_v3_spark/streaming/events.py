@@ -81,14 +81,24 @@ def run_available_now(stream_df: DataFrame, *, checkpoint: str,
     writer = (stream_df.writeStream.outputMode(output_mode)
               .option("checkpointLocation", checkpoint)
               .trigger(availableNow=True))
+    def drain(q):
+        # a stateful query holding timers may not self-terminate even under
+        # availableNow once the source is exhausted — wait for idle, then stop
+        q.awaitTermination(timeout)
+        if q.isActive:
+            while q.status["isDataAvailable"] and q.isActive:
+                q.awaitTermination(5)
+            q.stop()
+            q.awaitTermination(30)
+
     if out_path is None:
         import uuid
 
         name = f"mem_{uuid.uuid4().hex[:8]}"
         q = writer.format("memory").queryName(name).start()
-        q.awaitTermination(timeout)
+        drain(q)
         q.mem_table = name
         return q
     q = writer.format("parquet").option("path", out_path).start()
-    q.awaitTermination(timeout)
+    drain(q)
     return q
