@@ -1136,6 +1136,69 @@ FROM s WHERE round(least(n_chars / 500.0, 1.0) * 0.3
 """.replace("{stops}", _STOP_SQL)
 
 
+# ---------------------------------------------------------------------------
+# Multimodal plumbing + language ID (north star)
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark, sf_dir):
+    """Binary media columns -> mapInPandas decode/featurize (fake decode,
+    real Arrow plumbing): (media_id, kind, n_bytes, feature[8])."""
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        decode_and_featurize, synthesize_media)
+
+    media = synthesize_media(_docs(spark, sf_dir), "doc_id")
+    feats = decode_and_featurize(media, batch_feature_dim=8, fake=True)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"))
+
+
+SQL_MULTIMODAL_FEATURES = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         'FAKE-MEDIA:' || CAST(doc_id AS VARCHAR) AS s
+  FROM documents)
+SELECT media_id, 'image' AS kind, length(s) AS n_bytes,
+       list_transform(range(0, 8), i ->
+         round(ascii(substr(s, (CAST(i AS INT) % length(s)) + 1, 1)) / 255.0,
+               6)) AS feature
+FROM m
+"""
+
+
+def q_text_lang_id(spark, sf_dir):
+    from vivace_graph_v3_spark.pipeline.text import with_lang_id
+
+    return with_lang_id(_docs(spark, sf_dir)).select("doc_id", "lang_pred")
+
+
+SQL_TEXT_LANG_ID = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+  FROM documents
+), s AS (
+  SELECT doc_id, list_aggregate([
+    {'score': len(list_filter(toks, x -> x IN
+       ('the','and','of','to','is','in','that','with'))), 'lang': 'en'},
+    {'score': len(list_filter(toks, x -> x IN
+       ('der','die','das','und','ist','nicht','mit','ein'))), 'lang': 'de'},
+    {'score': len(list_filter(toks, x -> x IN
+       ('le','la','les','et','est','dans','pour','que'))), 'lang': 'fr'},
+    {'score': len(list_filter(toks, x -> x IN
+       ('el','la','los','y','es','en','que','por'))), 'lang': 'es'},
+    {'score': cjk * 2, 'lang': 'zh'}
+  ], 'max') AS best
+  FROM t
+)
+SELECT doc_id,
+       CASE WHEN best.score > 0 THEN best.lang ELSE 'und' END AS lang_pred
+FROM s
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
@@ -1193,6 +1256,8 @@ REGISTRY: dict[str, tuple] = {
     "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
     "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
 }
 
 

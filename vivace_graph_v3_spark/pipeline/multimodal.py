@@ -34,7 +34,7 @@ FEATURE_SCHEMA = T.StructType([
     T.StructField("media_id", T.StringType(), False),
     T.StructField("kind", T.StringType(), True),
     T.StructField("n_bytes", T.LongType(), True),
-    T.StructField("feature", T.ArrayType(T.FloatType()), True),
+    T.StructField("feature", T.ArrayType(T.DoubleType()), True),
 ])
 
 
@@ -70,7 +70,8 @@ def decode_and_featurize(df: DataFrame, *, batch_feature_dim: int = 8,
             feats = []
             for blob in pdf["media"]:
                 # deterministic fake "embedding": bytes -> rolling sums
-                arr = np.frombuffer(blob or b"\0", dtype=np.uint8).astype(np.float32)
+                # float64 so the fake feature is bit-identical to a SQL oracle
+                arr = np.frombuffer(blob or b"\0", dtype=np.uint8).astype(np.float64)
                 vec = np.resize(arr, batch_feature_dim)
                 feats.append((vec / 255.0).tolist())
             yield pd.DataFrame({
