@@ -1136,6 +1136,72 @@ FROM s WHERE round(least(n_chars / 500.0, 1.0) * 0.3
 """.replace("{stops}", _STOP_SQL)
 
 
+def q_spatial_within(spark, sf_dir):
+    """Polygon containment (find-nodes-within, spatial-query.lisp:78-120):
+    covering-cell prefilter + ray-casting refine, on a diamond polygon whose
+    containment has a closed SQL form (|dlat| + |dlon| scaled <= r)."""
+    from vivace_graph_v3_spark.operators.spatial import (
+        find_nodes_within, with_geohash)
+
+    half = 0.3
+    diamond = [[(_CLON + half, _CLAT), (_CLON, _CLAT + half),
+                (_CLON - half, _CLAT), (_CLON, _CLAT - half)]]
+    pts = with_geohash(_geo_customers(spark, sf_dir))
+    return (find_nodes_within(pts, diamond)
+            .select("id", F.round("lat", 6).alias("lat"),
+                    F.round("lon", 6).alias("lon")))
+
+
+SQL_SPATIAL_WITHIN = f"""
+SELECT id, round(lat, 6) AS lat, round(lon, 6) AS lon
+FROM ({_GEO_SQL_BASE})
+WHERE abs(lat - {_CLAT}) + abs(lon - {_CLON}) < 0.3
+"""
+
+
+def q_invoke_view_goal(spark, sf_dir):
+    """invoke-reduced-view as a *goal* inside select (prolog-functors.
+    lisp:769-789): join part vertices against the per-part quantity
+    aggregate view."""
+    g = load_tpch_graph(spark, sf_dir)
+    _ensure_views()
+    df = select(g, ["?p", "?total"], [
+        ("invoke-reduced-view", "contains", "part_popularity", "?p", "?total"),
+        (">", "?total", 200.0),
+    ])
+    return df.select(F.col("p").alias("part_id"),
+                     F.round("total", 6).alias("total_qty"))
+
+
+SQL_INVOKE_VIEW_GOAL = """
+SELECT 'part:'||l_partkey AS part_id,
+       round(sum(CAST(l_quantity AS DECIMAL(38,6))), 6) AS total_qty
+FROM lineitem GROUP BY l_partkey
+HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 200.0
+"""
+
+
+def q_outgoing_edges_goal(spark, sf_dir):
+    """(outgoing-edges ?v etype ?e ?to) (prolog-functors.lisp:678-732):
+    enumerate a customer's order edges with the edge id bound."""
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?c", "?e", "?o"], [
+        ("is-a", "?c", "customer"),
+        ("outgoing-edges", "?c", "placed", "?e", "?o"),
+    ])
+    return df.select(F.col("c").alias("customer_id"),
+                     F.col("e").alias("edge_id"),
+                     F.col("o").alias("order_id"))
+
+
+SQL_OUTGOING_EDGES_GOAL = """
+SELECT 'customer:'||o_custkey AS customer_id,
+       'placed:'||o_orderkey AS edge_id,
+       'orders:'||o_orderkey AS order_id
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + language ID (north star)
 # ---------------------------------------------------------------------------
@@ -1258,6 +1324,9 @@ REGISTRY: dict[str, tuple] = {
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
+    "spatial_within": (q_spatial_within, SQL_SPATIAL_WITHIN),
+    "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
+    "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
 }
 
 
