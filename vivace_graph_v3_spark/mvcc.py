@@ -173,17 +173,27 @@ class VersionedGraph:
                 *( [F.col("src").alias("__cur_src"), F.col("dst").alias("__cur_dst"),
                     F.col("weight").alias("__cur_w")] if nt.kind == "edge" else [] ))
             df = df.join(cur, "id", "left")
-            missing = df.filter(F.col("__cur_rev").isNull()).limit(1).collect()
-            if missing:
+            # OCC validation in ONE job: count unknown ids and stale saves
+            check_stale = (op == "update" and "revision" in df.columns)
+            probe = df.agg(
+                F.sum(F.when(F.col("__cur_rev").isNull(), 1).otherwise(0))
+                .alias("missing"),
+                (F.sum(F.when(F.col("revision") != F.col("__cur_rev"), 1)
+                       .otherwise(0)) if check_stale else F.lit(0))
+                .alias("stale"),
+                F.min(F.when(F.col("__cur_rev").isNull(), F.col("id")))
+                .alias("missing_id"),
+                (F.min(F.when(F.col("revision") != F.col("__cur_rev"),
+                              F.col("id"))) if check_stale
+                 else F.lit(None)).alias("stale_id"),
+            ).first()
+            if probe["missing"]:
                 raise ConflictError(
-                    f"{op} on unknown {nt.name} id {missing[0]['id']!r}")
-            if op == "update" and "revision" in [c for c in df.columns if c != "__cur_rev"]:
-                stale = df.filter(F.col("revision") != F.col("__cur_rev")).limit(1).collect()
-                if stale:
-                    r = stale[0]
-                    raise ConflictError(
-                        f"stale save of {nt.name} id {r['id']!r}: "
-                        f"carried revision {r['revision']}, current {r['__cur_rev']}")
+                    f"{op} on unknown {nt.name} id {probe['missing_id']!r}")
+            if check_stale and probe["stale"]:
+                raise ConflictError(
+                    f"stale save of {nt.name} id {probe['stale_id']!r}: "
+                    f"carried revision is no longer current")
             revision = (F.col("__cur_rev") + 1).cast("long")
             deleted = F.lit(op == "delete")
             if nt.kind == "edge":
