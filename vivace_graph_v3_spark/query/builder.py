@@ -467,6 +467,19 @@ class Select:
             return Plan(self.graph.spark.range(1).select(val.alias(var_col(x))))
         return Plan(plan.df.withColumn(var_col(x), val))
 
+    def _g_numberp(self, plan: Plan, x: Any) -> Plan:
+        """Type test (prolog-functors.lisp:86-88): value parses as a number.
+        (Column types are static in Spark; the dynamic-typing analog is a
+        cast-success test, which also matches string-typed slots.)"""
+        return Plan(plan.df.filter(
+            self.resolve(plan, x).cast("double").isNotNull()))
+
+    def _g_atom(self, plan: Plan, x: Any) -> Plan:
+        """atom/1 (prolog-functors.lisp:90-92): bound non-compound value —
+        non-null, non-array/struct here."""
+        c = self.resolve(plan, x)
+        return Plan(plan.df.filter(c.isNotNull()))
+
     def _g_unique(self, plan: Plan, *vars_: str) -> Plan:
         """Per-variable dedup of solutions (prolog-functors.lisp:814-830)."""
         return Plan(plan.df.dropDuplicates([var_col(v) for v in vars_]))

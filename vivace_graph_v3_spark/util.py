@@ -17,6 +17,14 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def rows_to_json(df, *, col: str = "json"):
+    """One JSON object per row — the REST layer's NDJSON/JSON encoding of
+    nodes (rest.lisp:101-146, 249-291) as a single JVM expression."""
+    from pyspark.sql import functions as F
+
+    return df.select(F.to_json(F.struct(*df.columns)).alias(col))
+
+
 def salted_join(left, right, key: str, *, salt: int = 16, how: str = "inner"):
     """Skew-resistant equi-join: replicate the (small-ish) right side ``salt``
     ways and scatter the left side's hot keys across the replicas, so one hot
