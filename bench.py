@@ -37,6 +37,9 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",
+    "pattern_dsl_query",
+    "text_lang_id",
+    "multimodal_features",
 ]
 
 

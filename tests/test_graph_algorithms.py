@@ -76,3 +76,31 @@ def test_shortest_paths_weighted_vs_hops(spark):
     wdist = {r["id"]: r["dist"]
              for r in shortest_paths(g, ["a"], weighted=True).collect()}
     assert wdist == {"a": 0.0, "b": 1.0, "c": 2.0}
+
+
+def test_aggregate_messages(spark):
+    """GraphX-style aggregateMessages: weighted in-degree and neighbor-value
+    max through the triplet view."""
+    import pyspark.sql.functions as F
+
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        aggregate_messages)
+
+    g = _graph(spark, ["a", "b", "c"],
+               [("a", "b", 2), ("a", "c", 3), ("b", "c", 5)])
+    # vertices carry no 'v' slot here; weighted in-degree needs none
+    indeg = {r["id"]: r["value"] for r in aggregate_messages(
+        g, msg_to_dst=F.col("weight"),
+        agg=F.sum("msg").alias("value")).collect()}
+    assert indeg == {"b": 2.0, "c": 8.0}
+    # src-attribute message: max src vertex id seen by each dst
+    g2 = _graph(spark, ["a", "b", "c"],
+                [("a", "b", 2), ("a", "c", 3), ("b", "c", 5)])
+    g2.add_vertices("node", g2.scan_vertices("node").withColumn(
+        "v", F.ascii(F.col("id"))))
+    g2.registry.def_vertex("node", {"v": __import__(
+        "pyspark.sql.types", fromlist=["IntegerType"]).IntegerType()})
+    nbr = {r["id"]: r["value"] for r in aggregate_messages(
+        g2, msg_to_dst=F.col("src_v"), src_cols=["v"],
+        agg=F.max("msg").alias("value")).collect()}
+    assert nbr["c"] == ord("b") and nbr["b"] == ord("a")

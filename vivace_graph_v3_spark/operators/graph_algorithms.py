@@ -35,6 +35,45 @@ def _edge_pairs(graph: GraphStore, edge_type: str | None,
     return e
 
 
+def aggregate_messages(graph: GraphStore, *, agg, edge_type: str | None = None,
+                       msg_to_dst=None, msg_to_src=None,
+                       src_cols: list[str] | None = None,
+                       dst_cols: list[str] | None = None) -> DataFrame:
+    """The GraphX ``aggregateMessages`` primitive as a DataFrame operator —
+    the general form of the iterative-analytics message step used by
+    pagerank/cc/sssp above.
+
+    Builds the triplet view lazily: edge columns plus requested vertex
+    attributes under ``src_<col>`` / ``dst_<col>`` (only the columns actually
+    named are joined, so the vertex scans stay pruned). ``msg_to_dst`` /
+    ``msg_to_src`` are Column expressions over the triplet; ``agg`` is the
+    per-vertex aggregate over ``msg``. Returns (id, value).
+
+    Example — weighted in-degree:
+        aggregate_messages(g, msg_to_dst=F.col("weight"),
+                           agg=F.sum("msg").alias("value"))
+    """
+    edges = graph.active_edges(edge_type)
+    trip = edges
+    for side, cols in (("src", src_cols), ("dst", dst_cols)):
+        if cols:
+            v = graph.scan_vertices(columns=["id"] + list(cols))
+            v = v.select(F.col("id").alias(side),
+                         *[F.col(c).alias(f"{side}_{c}") for c in cols])
+            trip = trip.join(v, side)
+    msgs = []
+    if msg_to_dst is not None:
+        msgs.append(trip.select(F.col("dst").alias("id"),
+                                msg_to_dst.alias("msg")))
+    if msg_to_src is not None:
+        msgs.append(trip.select(F.col("src").alias("id"),
+                                msg_to_src.alias("msg")))
+    if not msgs:
+        raise ValueError("need msg_to_dst and/or msg_to_src")
+    out = msgs[0] if len(msgs) == 1 else msgs[0].unionByName(msgs[1])
+    return out.groupBy("id").agg(agg)
+
+
 def pagerank(graph: GraphStore, *, edge_type: str | None = None,
              damping: float = 0.85, max_iter: int = 20,
              tol: float | None = 1.0e-4) -> DataFrame:
