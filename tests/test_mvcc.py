@@ -112,3 +112,25 @@ def test_compact_preserves_state_and_retention(vg, spark):
                                 "id string, name string, age int, revision long")
     vg.commit(vg.begin().save("person", upd))
     assert vg.read("person").first()["age"] == 40
+
+
+def test_multi_type_atomic_commit(vg, spark):
+    """One transaction spanning vertices AND edges lands under ONE epoch
+    (atomic apply, transactions.lisp:1906-1952)."""
+    tx = (vg.begin()
+          .create("person", _people(spark, [("p1", "ann", 30),
+                                            ("p2", "bob", 40)]))
+          .create("knows", spark.createDataFrame(
+              [("e1", "p1", "p2", 1.0)],
+              "id string, src string, dst string, weight double")))
+    epoch = vg.commit(tx)
+    assert vg.read("person").count() == 2
+    assert vg.read("knows").count() == 1
+    epochs = {r["commit_epoch"]
+              for r in vg.read("person", include_deleted=True).collect()}
+    epochs |= {r["commit_epoch"]
+               for r in vg.read("knows", include_deleted=True).collect()}
+    assert epochs == {epoch}
+    # snapshot BEFORE the epoch sees neither
+    assert vg.read("person", as_of=epoch - 1).count() == 0
+    assert vg.read("knows", as_of=epoch - 1).count() == 0

@@ -139,19 +139,32 @@ class VersionedGraph:
     def commit(self, tx: Transaction) -> int:
         """Apply the write-set atomically under a fresh epoch: validate
         revisions (OCC), serialize to log rows, append to the WAL
-        (transactions.lisp:1906-1952 -> 1382-1424)."""
-        epoch = self.current_epoch() + 1
-        frames = []
-        for op, type_name, df in tx.ops:
-            nt = self.registry.get(type_name)
-            frames.append(self._to_log_rows(op, nt, df, epoch))
-        if not frames:
-            return epoch
-        out = frames[0]
-        for fdf in frames[1:]:
-            out = out.unionByName(fdf)
-        out.coalesce(1).write.mode("append").parquet(self.log_path)
-        return epoch
+        (transactions.lisp:1906-1952 -> 1382-1424).
+
+        Commit-time mutual exclusion (the reference's transaction-manager
+        lock, transactions.lisp:1803-1810) is a file lock on the log
+        directory — one writer per graph across processes; readers never
+        take it."""
+        import fcntl
+
+        lock_file = os.path.join(self.path, ".commit.lock")
+        with open(lock_file, "w") as lk:
+            fcntl.flock(lk, fcntl.LOCK_EX)
+            try:
+                epoch = self.current_epoch() + 1
+                frames = []
+                for op, type_name, df in tx.ops:
+                    nt = self.registry.get(type_name)
+                    frames.append(self._to_log_rows(op, nt, df, epoch))
+                if not frames:
+                    return epoch
+                out = frames[0]
+                for fdf in frames[1:]:
+                    out = out.unionByName(fdf)
+                out.coalesce(1).write.mode("append").parquet(self.log_path)
+                return epoch
+            finally:
+                fcntl.flock(lk, fcntl.LOCK_UN)
 
     def _to_log_rows(self, op: str, nt, df: DataFrame, epoch: int) -> DataFrame:
         slots = [c for c in nt.slots if c not in SYSTEM_COLUMNS]
