@@ -185,3 +185,19 @@ def test_multimodal_real_decode_is_marked_stub(spark, docs):
         decode_and_featurize(media, fake=False).collect()
     assert "NotImplementedError" in str(ei.value) or isinstance(
         ei.value, NotImplementedError)
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    """IVF ANN quality gate: recall@10 against the exact broadcast top-k
+    must stay high with nprobe=4/16 cells (the scale-path accuracy story)."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        cosine_topk_bruteforce, ivf_ann_topk)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.limit(20)
+    exact = cosine_topk_bruteforce(emb, queries, 10)
+    approx = ivf_ann_topk(emb, queries, 10, num_centroids=16, nprobe=4)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, f"recall@10 = {recall:.2f}"

@@ -1136,6 +1136,52 @@ FROM s WHERE round(least(n_chars / 500.0, 1.0) * 0.3
 """.replace("{stops}", _STOP_SQL)
 
 
+def q_q6_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown showcase
+    (PushedFilters carries every predicate to the parquet reader)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.filter((F.col("l_shipdate") >= "1994-01-01")
+                      & (F.col("l_shipdate") < "1995-01-01")
+                      & (F.col("l_discount").between(0.05, 0.07))
+                      & (F.col("l_quantity") < 24))
+            .agg(_dsum(F.col("l_extendedprice") * F.col("l_discount"))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_Q6_FORECAST_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24
+"""
+
+
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: groupBy-HAVING semi-join back to detail rows —
+    map-side partial aggregation + broadcast of the (small) hot-key set."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    big = (li.groupBy("l_orderkey")
+           .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+           .filter(F.col("sum_qty") > 250))
+    return (orders.join(F.broadcast(big),
+                        orders["o_orderkey"] == big["l_orderkey"])
+            .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty"))
+
+
+SQL_Q18_LARGE_ORDERS = """
+SELECT o_orderkey, o_custkey, o_totalprice,
+       CAST(sum_qty AS DOUBLE) AS sum_qty
+FROM orders JOIN (
+  SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(38,6))) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 250
+) ON o_orderkey = l_orderkey
+"""
+
+
 def q_spatial_within(spark, sf_dir):
     """Polygon containment (find-nodes-within, spatial-query.lisp:78-120):
     covering-cell prefilter + ray-casting refine, on a diamond polygon whose
@@ -1325,6 +1371,8 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "spatial_within": (q_spatial_within, SQL_SPATIAL_WITHIN),
+    "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE),
+    "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE_ORDERS),
     "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
     "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
 }
