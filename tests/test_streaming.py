@@ -114,3 +114,40 @@ def test_vertex_delete_retires_edge_view_rows(master, spark, tmp_path):
     vm.catch_up(checkpoint=cp)
     rows = vm.table().collect()
     assert [r["id"] for r in rows] == ["e1"]
+
+
+def test_streaming_ingest_upserts(spark, tmp_path):
+    """Event stream -> per-batch atomic upsert commits: last value per user
+    wins across batches, revisions bump on update, epochs advance per batch."""
+    from vivace_graph_v3_spark.streaming.ingest import upsert_stream
+
+    reg = SchemaRegistry()
+    reg.def_vertex("user", {"value": T.DoubleType()})
+    vg = VersionedGraph(spark, reg, str(tmp_path / "g"))
+
+    src = str(tmp_path / "src")
+    batches = [
+        [(1, 7, 1.5), (2, 8, 2.0)],
+        [(3, 7, 9.0)],             # update user 7
+    ]
+    for rows in batches:
+        (spark.createDataFrame(rows, "event_id long, user_id long, value double")
+         .coalesce(1).write.mode("append").json(src))
+
+    stream = (spark.readStream
+              .schema("event_id long, user_id long, value double")
+              .option("maxFilesPerTrigger", 1).json(src))
+
+    def shape(batch):
+        return batch.select(
+            F.concat(F.lit("user:"), F.col("user_id")).alias("id"),
+            F.col("value"))
+
+    q = upsert_stream(stream, vg, "user", transform=shape,
+                      checkpoint=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+
+    rows = {r["id"]: (r["value"], r["revision"])
+            for r in vg.read("user").collect()}
+    assert rows["user:8"] == (2.0, 0)
+    assert rows["user:7"][0] == 9.0 and rows["user:7"][1] >= 1

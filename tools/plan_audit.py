@@ -25,6 +25,7 @@ AUDITED = [
     "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
     "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk",
     "pattern_dsl_query", "training_pipeline", "events_hourly_window",
+    "q6_forecast_revenue", "q18_large_orders",
 ]
 
 
