@@ -238,8 +238,11 @@ def test_incoming_outgoing_edges(tpch, duck):
     ])
     want = duck_set(duck, """
         SELECT 'part:'||l_partkey,
-               'contains:'||l_orderkey||'_'||l_linenumber
-        FROM lineitem
+               'contains:'||l_orderkey||'_'||l_linenumber||'_'||rn
+        FROM (SELECT *, row_number() OVER (
+                  PARTITION BY l_orderkey, l_linenumber
+                  ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+              FROM lineitem)
     """)
     assert rows_set(df) == want
 

@@ -93,10 +93,13 @@ def q_map_edges_scan(spark, sf_dir):
 
 
 SQL_MAP_EDGES_SCAN = """
-SELECT 'contains:'||l_orderkey||'_'||l_linenumber AS id,
+SELECT 'contains:'||l_orderkey||'_'||l_linenumber||'_'||rn AS id,
        'orders:'||l_orderkey AS src, 'part:'||l_partkey AS dst,
        l_quantity AS weight
-FROM lineitem
+FROM (SELECT *, row_number() OVER (
+          PARTITION BY l_orderkey, l_linenumber
+          ORDER BY l_partkey, l_suppkey, l_quantity, l_extendedprice) AS rn
+      FROM lineitem)
 """
 
 
@@ -1136,6 +1139,94 @@ FROM s WHERE round(least(n_chars / 500.0, 1.0) * 0.3
 """.replace("{stops}", _STOP_SQL)
 
 
+def q_integrity_report(spark, sf_dir):
+    """check-data-integrity (backup.lisp:46-80) over the TPC-H projection;
+    the oracle recomputes the same invariants with SQL anti-joins."""
+    from vivace_graph_v3_spark.operators.integrity import integrity_report
+
+    g = load_tpch_graph(spark, sf_dir)
+    return integrity_report(g).withColumnRenamed("check", "check_name")
+
+
+SQL_INTEGRITY_REPORT = """
+WITH v AS (
+  SELECT 'region:'||r_regionkey AS id FROM region UNION ALL
+  SELECT 'nation:'||n_nationkey FROM nation UNION ALL
+  SELECT 'customer:'||c_custkey FROM customer UNION ALL
+  SELECT 'supplier:'||s_suppkey FROM supplier UNION ALL
+  SELECT 'part:'||p_partkey FROM part UNION ALL
+  SELECT 'orders:'||o_orderkey FROM orders
+), e AS (
+  SELECT 'customer:'||c_custkey AS src, 'nation:'||c_nationkey AS dst FROM customer UNION ALL
+  SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey FROM supplier UNION ALL
+  SELECT 'nation:'||n_nationkey, 'region:'||n_regionkey FROM nation UNION ALL
+  SELECT 'customer:'||o_custkey, 'orders:'||o_orderkey FROM orders UNION ALL
+  SELECT 'orders:'||l_orderkey, 'part:'||l_partkey FROM lineitem UNION ALL
+  SELECT 'orders:'||l_orderkey, 'supplier:'||l_suppkey FROM lineitem
+)
+SELECT 'dangling_edges' AS check_name,
+       (SELECT count(*) FROM e WHERE src NOT IN (SELECT id FROM v)
+                            OR dst NOT IN (SELECT id FROM v)) AS violations
+UNION ALL SELECT 'half_dead_edges', 0
+UNION ALL SELECT 'duplicate_ids',
+       (SELECT count(*) FROM (SELECT id FROM v GROUP BY id HAVING count(*) > 1))
+UNION ALL SELECT 'negative_revisions', 0
+"""
+
+
+def q_select_first(spark, sf_dir):
+    """select-first under an explicit order (prologc.lisp:1051-1059 +
+    SURVEY §7.3 determinism contract): richest customer."""
+    from vivace_graph_v3_spark.query.builder import select_first
+
+    g = load_tpch_graph(spark, sf_dir)
+    df = select_first(g, ["?bal", "?name"], [
+        ("is-a", "?c", "customer"),
+        ("node-slot-value", "?c", "c_acctbal", "?bal"),
+        ("node-slot-value", "?c", "c_name", "?name"),
+    ], order_by=["?bal", "?name"], descending=True)
+    return df.select(F.col("name").alias("c_name"),
+                     F.col("bal").alias("c_acctbal"))
+
+
+SQL_SELECT_FIRST = """
+SELECT c_name, c_acctbal FROM customer
+ORDER BY c_acctbal DESC, c_name DESC LIMIT 1
+"""
+
+
+def q_events_sessions(spark, sf_dir):
+    """Batch sessionization with session_window (30-min gap): sessions per
+    user + events per session — the gaps-and-islands computation the oracle
+    reproduces with lag + cumulative sum."""
+    ev = (_events(spark, sf_dir)
+          .withColumn("event_time",
+                      F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+    sess = (ev.groupBy(F.session_window("event_time", "30 minutes"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events")))
+    return (sess.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_sessions"),
+                 F.sum("n_events").alias("n_events")))
+
+
+SQL_EVENTS_SESSIONS = """
+WITH t AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+  FROM events
+), s AS (
+  SELECT user_id,
+         sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS UNBOUNDED PRECEDING) AS sess_id
+  FROM t
+)
+SELECT user_id, count(DISTINCT sess_id) AS n_sessions,
+       count(*) AS n_events
+FROM s GROUP BY user_id
+"""
+
+
 def q_q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown showcase
     (PushedFilters carries every predicate to the parquet reader)."""
@@ -1373,6 +1464,9 @@ REGISTRY: dict[str, tuple] = {
     "spatial_within": (q_spatial_within, SQL_SPATIAL_WITHIN),
     "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE),
     "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE_ORDERS),
+    "integrity_report": (q_integrity_report, SQL_INTEGRITY_REPORT),
+    "select_first": (q_select_first, SQL_SELECT_FIRST),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
     "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
 }

@@ -246,6 +246,16 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
         g.add_vertices(vt, _sys_cols(df, vt, F.col(TPCH_KEYS[vt])))
 
     lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # The synthetic lineitem contains duplicate (l_orderkey, l_linenumber)
+    # pairs (caught by check-data-integrity's duplicate-ids scan), so the
+    # natural key alone is not a valid edge id — disambiguate with a
+    # deterministic per-duplicate ordinal. At real scale this id is minted
+    # once at ingest, not per load (see sources/bucketed.py).
+    from pyspark.sql import Window as _W
+
+    _dup_w = _W.partitionBy("l_orderkey", "l_linenumber").orderBy(
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+    lineitem = lineitem.withColumn("__dup_rn", F.row_number().over(_dup_w))
     vid = lambda t, c: F.concat(F.lit(t + ":"), c.cast("string"))  # noqa: E731
 
     g.add_edges("in_nation", _edge(
@@ -261,7 +271,8 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
         raw["orders"], "placed", F.col("o_orderkey"),
         vid("customer", F.col("o_custkey")), vid("orders", F.col("o_orderkey"))))
     li_eid = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
-                      F.col("l_linenumber").cast("string"))
+                      F.col("l_linenumber").cast("string"), F.lit("_"),
+                      F.col("__dup_rn").cast("string"))
     g.add_edges("contains", _edge(
         lineitem, "contains", li_eid,
         vid("orders", F.col("l_orderkey")), vid("part", F.col("l_partkey")),
