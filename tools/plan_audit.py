@@ -26,6 +26,7 @@ AUDITED = [
     "dedup_exact", "dedup_minhash_lsh", "ann_bruteforce_topk",
     "pattern_dsl_query", "training_pipeline", "events_hourly_window",
     "q6_forecast_revenue", "q18_large_orders",
+    "select_first", "events_sessions", "integrity_report",
 ]
 
 
