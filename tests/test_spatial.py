@@ -49,6 +49,19 @@ def test_geohash_neighbors():
                     or d < lon_lo - 1e-9 or c > lon_hi + 1e-9)
 
 
+def test_geohash_prefix_range():
+    from vivace_graph_v3_spark.functions import geohash_prefix_range
+
+    lo, hi = geohash_prefix_range("ezs")
+    assert (lo, hi) == ("ezs", "ezt")
+    # every hash with the prefix falls in [lo, hi); siblings don't
+    assert lo <= "ezs42" < hi
+    assert not (lo <= "ezt00" < hi) and not (lo <= "ezr99" < hi)
+    # carry through trailing 'z'
+    assert geohash_prefix_range("ezz") == ("ezz", "f")
+    assert geohash_prefix_range("zz")[1] > "zzzzzzzzzzzz"
+
+
 def test_covering_covers():
     cells = geohash_covering(49.0, 49.4, 37.0, 37.4, 5)
     for lat, lon in [(49.0, 37.0), (49.4, 37.4), (49.2, 37.2)]:

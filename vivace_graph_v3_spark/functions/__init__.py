@@ -1,7 +1,7 @@
 from vivace_graph_v3_spark.functions.geometry import haversine_m
 from vivace_graph_v3_spark.functions.geohash import (
     geohash_encode, geohash_decode, geohash_bbox, geohash_neighbors,
-    geohash_covering)
+    geohash_covering, geohash_prefix_range)
 
 __all__ = [
     "haversine_m",
@@ -10,4 +10,5 @@ __all__ = [
     "geohash_bbox",
     "geohash_neighbors",
     "geohash_covering",
+    "geohash_prefix_range",
 ]

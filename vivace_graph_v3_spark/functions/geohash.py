@@ -102,6 +102,26 @@ def geohash_neighbors(gh: str) -> list[str]:
     return out
 
 
+def geohash_prefix_range(prefix: str) -> tuple[str, str]:
+    """Half-open string range [lo, hi) containing exactly the geohashes with
+    ``prefix`` (geohash.lisp prefix-range) — drives BETWEEN-style pruned range
+    scans over a geohash-sorted column: ``col >= lo AND col < hi``. ``hi`` is
+    the prefix with its last base-32 digit incremented (carrying through a
+    trailing 'z'); an all-'z' prefix has no upper sibling and hi is the
+    prefix plus a sentinel past every base-32 digit."""
+    if not prefix:
+        raise ValueError("empty geohash prefix")
+    chars = list(prefix)
+    i = len(chars) - 1
+    while i >= 0 and chars[i] == _BASE32[-1]:
+        chars.pop()
+        i -= 1
+    if i < 0:
+        return prefix, prefix + "~"  # '~' > 'z': open-ended upper bound
+    chars[i] = _BASE32[_DECODE[chars[i]] + 1]
+    return prefix, "".join(chars)
+
+
 def geohash_covering(lat_min: float, lat_max: float, lon_min: float,
                      lon_max: float, precision: int) -> list[str]:
     """All cells at ``precision`` intersecting a bbox (geohash.lisp:102-130
