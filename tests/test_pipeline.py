@@ -179,6 +179,25 @@ def test_multimodal_plumbing(spark, docs):
     assert frames.count() == 50 * 5
 
 
+def test_multimodal_resize(spark, docs):
+    from vivace_graph_v3_spark.pipeline.multimodal import resize_image
+
+    media = synthesize_media(docs.limit(20), "doc_id")
+    out = resize_image(media, width=8, height=4)
+    rows = out.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r["meta"]["width"] == 8 and r["meta"]["height"] == 4
+        assert r["meta"]["kind"] == "image"        # untouched meta survives
+        assert len(r["media"]) == 8 * 4            # 1 byte/pixel stub
+    # schema is closed under resize: featurize consumes the resized frame
+    assert decode_and_featurize(out).count() == 20
+    with pytest.raises(Exception) as ei:
+        resize_image(media, width=8, height=4, fake=False).collect()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+
+
 def test_multimodal_real_decode_is_marked_stub(spark, docs):
     media = synthesize_media(docs.limit(1), "doc_id")
     with pytest.raises(Exception) as ei:

@@ -6,6 +6,8 @@ from vivace_graph_v3_spark.pipeline.dedup import (
     embedding_dup_pairs)
 from vivace_graph_v3_spark.pipeline.similarity import (
     cosine_topk_bruteforce, ivf_ann_topk)
+from vivace_graph_v3_spark.pipeline.multimodal import (
+    synthesize_media, decode_and_featurize, resize_image, frame_sample)
 
 __all__ = [
     "with_token_count", "with_quality_score", "with_lang_id",
@@ -14,4 +16,5 @@ __all__ = [
     "minhash_dedup_pairs", "simhash_signatures", "simhash_dup_pairs",
     "embedding_dup_pairs",
     "cosine_topk_bruteforce", "ivf_ann_topk",
+    "synthesize_media", "decode_and_featurize", "resize_image", "frame_sample",
 ]

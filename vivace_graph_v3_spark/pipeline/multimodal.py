@@ -84,6 +84,38 @@ def decode_and_featurize(df: DataFrame, *, batch_feature_dim: int = 8,
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_image(df: DataFrame, *, width: int, height: int,
+                 fake: bool = True) -> DataFrame:
+    """Resize plumbing via mapInPandas: same (media_id, media, meta) schema
+    out, with meta.width/height rewritten to the target and the media bytes
+    re-encoded. ``fake=False`` is the PIL/ffmpeg seam (clearly marked stub);
+    the fake path emits deterministic bytes sized proportionally to the
+    target pixel count, so batch shapes and byte-size accounting downstream
+    are exercised for real."""
+
+    def run(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real image resize requires PIL — not in this container; "
+                    "pass fake=True for the deterministic stub")
+            out_media, out_meta = [], []
+            for blob, m in zip(pdf["media"], pdf["meta"]):
+                meta = dict(m) if m is not None else {}
+                meta["width"], meta["height"] = width, height
+                # deterministic: tile/truncate source bytes to 1 byte/pixel
+                src = bytes(blob or b"\0")
+                n = max(width * height, 1)
+                out_media.append((src * (n // len(src) + 1))[:n])
+                out_meta.append(meta)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "media": out_media, "meta": out_meta})
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def frame_sample(df: DataFrame, every_ms: int = 250) -> DataFrame:
     """Video frame-sampling plumbing: expand each media row into frame
     timestamps (decode stubbed). JVM-side sequence/explode, no Python."""
