@@ -86,23 +86,32 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     n = vertices.count()
     ranks = vertices.withColumn("rank", F.lit(1.0))
     ranks = ranks.localCheckpoint(eager=True)
+    check_every = 3
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             contribs = (ranks.join(out_deg, ranks["id"] == out_deg["src"], "inner")
                         .join(edges, "src")
                         .select(F.col("dst").alias("id"),
                                 (F.col("rank") / F.col("deg")).alias("c")))
             agg = contribs.groupBy("id").agg(F.sum("c").alias("recv"))
-            # dangling vertices contribute their rank uniformly
-            dangling = (ranks.join(out_deg,
-                                   ranks["id"] == out_deg["src"], "left_anti")
-                        .agg(F.sum("rank")).first()[0] or 0.0)
-            base = (1.0 - damping) + damping * dangling / n
+            # dangling vertices contribute their rank uniformly — computed
+            # inside the plan (1-row broadcast cross join), not as a separate
+            # driver-side action per round
+            dang = (ranks.join(out_deg,
+                               ranks["id"] == out_deg["src"], "left_anti")
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
+            base = (F.lit(1.0 - damping)
+                    + F.lit(damping) * F.col("__dang") / F.lit(float(n)))
             new = (vertices.join(agg, "id", "left")
-                   .select("id", (F.lit(base) + F.lit(damping) *
+                   .crossJoin(F.broadcast(dang))
+                   .select("id", (base + F.lit(damping) *
                                   F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank")))
             new = new.localCheckpoint(eager=True)
-            if tol is not None:
+            # amortize the L1-delta convergence probe: extra converged rounds
+            # are cheaper than a full diff join every round, and rank error
+            # only shrinks with additional iterations
+            if tol is not None and ((it + 1) % check_every == 0
+                                    or it == max_iter - 1):
                 delta = (new.join(ranks.withColumnRenamed("rank", "old"), "id")
                          .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                          .first()[0])
