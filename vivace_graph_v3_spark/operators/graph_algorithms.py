@@ -261,7 +261,7 @@ def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
     dist = dist.withColumn("dist", F.lit(0.0)).localCheckpoint(eager=True)
     frontier = dist
     try:
-        for _ in range(max_iter):
+        for it in range(max_iter):
             cand = (frontier.join(edges, frontier["id"] == edges["src"])
                     .select(F.col("dst").alias("id"),
                             (F.col("dist") + F.col("w")).alias("nd"))
@@ -272,8 +272,14 @@ def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
                         .localCheckpoint(eager=True))
             if improved.isEmpty():
                 break
+            # dist is rebuilt lazily each round (anti-join + union over the
+            # checkpointed frontier); materialize it only every 3 rounds —
+            # the lineage stays <= 3 deep and one checkpoint job per round
+            # is saved
             dist = (dist.join(improved.select("id"), "id", "left_anti")
-                    .unionByName(improved).localCheckpoint(eager=True))
+                    .unionByName(improved))
+            if (it + 1) % 3 == 0:
+                dist = dist.localCheckpoint(eager=True)
             frontier = improved
     finally:
         edges.unpersist()
