@@ -1227,6 +1227,43 @@ FROM s GROUP BY user_id
 """
 
 
+def q_events_asof_join(spark, sf_dir):
+    """Point-in-time join (operators/asof.py): for each purchase event, the
+    latest click value by the same user at or before it — the union-merge
+    as-of join (one shuffle, no candidate explosion). The right stream is
+    pre-aggregated to one row per (user, ts) so the result is deterministic;
+    the oracle is DuckDB's native ASOF JOIN."""
+    from vivace_graph_v3_spark.operators.asof import asof_join
+
+    ev = _events(spark, sf_dir)
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    clicks = (ev.filter(F.col("event_type") == "click")
+              .groupBy("user_id", "ts")
+              .agg(F.max("value").alias("click_value")))
+    out = asof_join(purchases, clicks, on="user_id")
+    # emit microsecond epochs: DuckDB reads the nanos parquet at micro
+    # precision, so the comparison granularity is the oracle's
+    return out.select("event_id", "user_id",
+                      F.expr("ts div 1000").alias("ts"),
+                      F.expr("ts_asof div 1000").alias("click_ts"),
+                      F.col("click_value_asof").alias("click_value"))
+
+
+SQL_EVENTS_ASOF_JOIN = """
+WITH c AS (
+  SELECT user_id, ts, max(value) AS click_value
+  FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+), p AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+)
+SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts,
+       epoch_us(c.ts) AS click_ts, c.click_value
+FROM p ASOF LEFT JOIN c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+"""
+
+
 def q_q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown showcase
     (PushedFilters carries every predicate to the parquet reader)."""
@@ -1467,6 +1504,7 @@ REGISTRY: dict[str, tuple] = {
     "integrity_report": (q_integrity_report, SQL_INTEGRITY_REPORT),
     "select_first": (q_select_first, SQL_SELECT_FIRST),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
     "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
 }
