@@ -1,0 +1,53 @@
+"""interval_join: bucketed equi-join path vs the naive range predicate."""
+
+import random
+
+import pytest
+
+from vivace_graph_v3_spark.operators.interval import interval_join
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from vivace_graph_v3_spark.session import get_spark
+
+    return get_spark("test-interval")
+
+
+def test_interval_join_basic(spark):
+    pts = spark.createDataFrame([(1, 5), (2, 10), (3, 99)], ["pid", "ts"])
+    iv = spark.createDataFrame([(10, 0, 9), (20, 10, 20), (30, 5, 15)],
+                               ["iid", "lo", "hi"])
+    got = {(r["pid"], r["iid"])
+           for r in interval_join(pts, iv, point_ts="ts", start_col="lo",
+                                  end_col="hi", bucket_width=8).collect()}
+    # point 5 in [0,9] and [5,15]; point 10 in [10,20] and [5,15]; 99 nowhere
+    assert got == {(1, 10), (1, 30), (2, 20), (2, 30)}
+
+
+def test_interval_join_bucketed_equals_naive(spark):
+    rng = random.Random(3)
+    pts = [(i, rng.choice("ab"), rng.randint(0, 1000)) for i in range(300)]
+    ivs = []
+    for i in range(60):
+        lo = rng.randint(0, 950)
+        ivs.append((i, rng.choice("ab"), lo, lo + rng.randint(0, 120)))
+    p = spark.createDataFrame(pts, ["pid", "k", "ts"])
+    v = spark.createDataFrame(ivs, ["iid", "k", "lo", "hi"])
+    for width in (16, 64, 1024):
+        bucketed = {(r["pid"], r["iid"]) for r in interval_join(
+            p, v, point_ts="ts", start_col="lo", end_col="hi",
+            on="k", bucket_width=width).collect()}
+        naive = {(r["pid"], r["iid"]) for r in interval_join(
+            p, v, point_ts="ts", start_col="lo", end_col="hi",
+            on="k").collect()}
+        assert bucketed == naive and naive  # non-empty and identical
+
+
+def test_interval_join_left_keeps_unmatched(spark):
+    pts = spark.createDataFrame([(1, 5), (2, 50)], ["pid", "ts"])
+    iv = spark.createDataFrame([(10, 0, 9)], ["iid", "lo", "hi"])
+    rows = interval_join(pts, iv, point_ts="ts", start_col="lo",
+                         end_col="hi", how="left").collect()
+    by_pid = {r["pid"]: r["iid"] for r in rows}
+    assert by_pid == {1: 10, 2: None}

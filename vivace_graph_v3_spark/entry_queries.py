@@ -1264,6 +1264,38 @@ FROM p ASOF LEFT JOIN c
 """
 
 
+def q_events_interval_join(spark, sf_dir):
+    """Bucketed range join (operators/interval.py): purchases landing inside
+    each user's first-72-hours window. Buckets of one day turn the range
+    predicate into a hash equi-join; the oracle uses the raw BETWEEN."""
+    from vivace_graph_v3_spark.operators.interval import interval_join
+
+    DAY_NS = 86_400 * 1_000_000_000
+    ev = _events(spark, sf_dir)
+    windows = (ev.groupBy("user_id")
+               .agg(F.min("ts").alias("start_ts"))
+               .withColumn("end_ts", F.col("start_ts") + F.lit(3 * DAY_NS)))
+    purchases = (ev.filter(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    out = interval_join(purchases, windows, point_ts="ts",
+                        start_col="start_ts", end_col="end_ts",
+                        on="user_id", bucket_width=DAY_NS)
+    return out.select("event_id", "user_id",
+                      F.expr("ts div 1000").alias("ts_us"))
+
+
+SQL_EVENTS_INTERVAL_JOIN = """
+WITH w AS (
+  SELECT user_id, min(ts) AS start_ts,
+         min(ts) + INTERVAL 3 DAYS AS end_ts
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us
+FROM events e JOIN w ON e.user_id = w.user_id
+WHERE e.event_type = 'purchase' AND e.ts BETWEEN w.start_ts AND w.end_ts
+"""
+
+
 def q_q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown showcase
     (PushedFilters carries every predicate to the parquet reader)."""
@@ -1505,6 +1537,7 @@ REGISTRY: dict[str, tuple] = {
     "select_first": (q_select_first, SQL_SELECT_FIRST),
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
+    "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL_JOIN),
     "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
     "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
 }

@@ -1,0 +1,55 @@
+"""Interval (range) join — match point events to [start, end] intervals.
+
+Not in the reference (its only temporal surface is timestamp comparison goals,
+prologc.lisp:117-129); standard in event/feature pipelines (promotion windows,
+maintenance windows, session attribution).
+
+Spark-first scale design: Catalyst turns a raw ``l.ts BETWEEN r.start AND
+r.end`` join into a BroadcastNestedLoopJoin (fine only when the interval side
+broadcasts) or, worse, a cartesian product. The bucketed formulation makes it
+an EQUI-join: pick a bucket width, explode each interval into the buckets it
+covers, map each point to its single bucket, hash-join on (keys..., bucket),
+then apply the exact range filter. A point lands in exactly one bucket, so no
+post-join dedup is needed; cost is O(|intervals| * avg_buckets_per_interval +
+|points|) shuffled rows — choose ``bucket_width`` near the typical interval
+length so avg_buckets_per_interval stays ~1-2.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def interval_join(points: DataFrame, intervals: DataFrame, *,
+                  point_ts: str, start_col: str, end_col: str,
+                  on: str | list[str] | None = None,
+                  bucket_width: int | None = None,
+                  how: str = "inner") -> DataFrame:
+    """Join each point row to every interval row with
+    ``start <= ts <= end`` (and equal ``on`` keys, if given).
+
+    Timestamps/bounds must share one orderable numeric or timestamp type.
+    ``bucket_width`` (same units as an integer ``point_ts``) enables the
+    bucketed equi-join path; when None the raw range predicate is used and
+    Catalyst picks the strategy (broadcast the interval side when small).
+    ``how``: 'inner' or 'left' (unmatched points kept with null interval
+    columns — only on the non-bucketed path)."""
+    keys = [on] if isinstance(on, str) else list(on or [])
+    rng = (F.col(point_ts) >= F.col(start_col)) & \
+          (F.col(point_ts) <= F.col(end_col))
+    if bucket_width is None:
+        cond = rng
+        for k in keys:
+            cond = cond & (points[k] == intervals[k])
+        iv = intervals.drop(*keys) if keys else intervals
+        return points.join(intervals, cond, how).drop(
+            *[intervals[k] for k in keys])
+    if how != "inner":
+        raise ValueError("bucketed path supports how='inner' only")
+    # integer `div` keeps bucket ids exact for 64-bit epoch values (double
+    # division would lose precision past 2^53)
+    iv = intervals.withColumn("__b", F.explode(F.sequence(
+        F.expr(f"{start_col} div {bucket_width}"),
+        F.expr(f"{end_col} div {bucket_width}"))))
+    pt = points.withColumn("__b", F.expr(f"{point_ts} div {bucket_width}"))
+    return pt.join(iv, keys + ["__b"]).filter(rng).drop("__b")
