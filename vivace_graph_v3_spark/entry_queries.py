@@ -1296,6 +1296,35 @@ WHERE e.event_type = 'purchase' AND e.ts BETWEEN w.start_ts AND w.end_ts
 """
 
 
+def q_events_rollup_daily(spark, sf_dir):
+    """Hypertable rollup (operators/rollup.py): daily per-type aggregates
+    computed by CASCADING hour buckets into days (each level re-aggregates
+    the previous). The oracle aggregates raw events directly — proving the
+    re-aggregation is exact."""
+    from vivace_graph_v3_spark.operators.rollup import rollup_cascade
+
+    HOUR_NS = 3_600 * 1_000_000_000
+    ev = _events(spark, sf_dir)
+    hourly, daily = rollup_cascade(ev, ts_col="ts", value_col="value",
+                                   group_cols=["event_type"],
+                                   widths=[HOUR_NS, 24 * HOUR_NS])
+    return daily.select(F.expr("bucket_start div 1000").alias("day_start_us"),
+                        "event_type", "n",
+                        F.round("sum_v", 6).alias("sum_v"),
+                        F.round("min_v", 6).alias("min_v"),
+                        F.round("max_v", 6).alias("max_v"))
+
+
+SQL_EVENTS_ROLLUP_DAILY = """
+SELECT (epoch_ns(ts) // 86400000000000) * 86400000000 AS day_start_us,
+       event_type, count(*) AS n,
+       round(sum(value), 6) AS sum_v,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v
+FROM events GROUP BY 1, 2
+"""
+
+
 def q_q6_forecast_revenue(spark, sf_dir):
     """TPC-H Q6 shape: pure scan-filter-aggregate — the pushdown showcase
     (PushedFilters carries every predicate to the parquet reader)."""
@@ -1538,6 +1567,7 @@ REGISTRY: dict[str, tuple] = {
     "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
     "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
     "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL_JOIN),
+    "events_rollup_daily": (q_events_rollup_daily, SQL_EVENTS_ROLLUP_DAILY),
     "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
     "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
 }
