@@ -27,6 +27,7 @@ AUDITED = [
     "pattern_dsl_query", "training_pipeline", "events_hourly_window",
     "q6_forecast_revenue", "q18_large_orders",
     "select_first", "events_sessions", "integrity_report",
+    "events_asof_join", "events_interval_join", "events_rollup_daily",
 ]
 
 
