@@ -794,10 +794,19 @@ HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6) >= 0.
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (approximate candidate generation + exact
-    verification). Not SQL-expressible (banded xxhash64 signatures)."""
+    """MinHash-LSH near-dup pairs. Candidate generation (banded xxhash64
+    signatures) is not SQL-expressible, but every candidate is verified with
+    EXACT shingle Jaccard — and the 3-sigma banding margin gives full recall
+    at the gate's scale (checked against ngram_jaccard_pairs) — so the
+    output equals the exact-Jaccard pair set the oracle computes."""
     docs = _docs(spark, sf_dir).select("doc_id", "text")
     return minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+
+
+SQL_DEDUP_MINHASH_LSH = (
+    "SELECT id_a, id_b FROM (" + SQL_DEDUP_NGRAM_JACCARD + ")")
+
+
 
 
 def q_dedup_simhash(spark, sf_dir):
@@ -1542,7 +1551,7 @@ REGISTRY: dict[str, tuple] = {
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
-    "dedup_minhash_lsh": (q_dedup_minhash_lsh, None),
+    "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, None),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
