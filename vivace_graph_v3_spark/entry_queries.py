@@ -1509,6 +1509,197 @@ FROM s
 """
 
 
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: correlated scalar-min subquery, decorrelated into a
+    partial aggregate + equality join back to the detail rows (the rewrite
+    Catalyst applies to `WHERE price = (SELECT min(price) ... WHERE same
+    part)`). The min table has part-key cardinality, so it is NOT
+    broadcast — AQE picks the strategy at runtime."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    mins = (li.groupBy("l_partkey")
+            .agg(F.min("l_extendedprice").alias("min_price"))
+            .withColumnRenamed("l_partkey", "m_partkey"))
+    hits = (li.join(mins, (li["l_partkey"] == mins["m_partkey"])
+                    & (li["l_extendedprice"] == mins["min_price"]))
+            .select(li["l_partkey"].alias("pk"), "l_suppkey", "min_price")
+            .dropDuplicates(["pk", "l_suppkey"]))
+    return (hits.join(F.broadcast(part.filter(F.col("p_size") >= 30)),
+                      hits["pk"] == part["p_partkey"])
+            .join(F.broadcast(supp), hits["l_suppkey"] == supp["s_suppkey"])
+            .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price"))
+
+
+SQL_Q2_MIN_COST_SUPPLIER = """
+WITH m AS (SELECT l_partkey, min(l_extendedprice) AS min_price
+           FROM lineitem GROUP BY l_partkey)
+SELECT DISTINCT p.p_partkey, p.p_name, s.s_suppkey, s.s_name, m.min_price
+FROM lineitem l
+JOIN m ON l.l_partkey = m.l_partkey AND l.l_extendedprice = m.min_price
+JOIN part p ON p.p_partkey = l.l_partkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+WHERE p.p_size >= 30
+"""
+
+
+def q_q4_order_priority_exists(spark, sf_dir):
+    """TPC-H Q4 shape: EXISTS correlated subquery with a non-equi conjunct
+    (l_shipdate > o_orderdate) -> left-semi join, then count per priority.
+    The semi-join keeps orders columns only; lineitem is never widened."""
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter((F.col("o_orderdate") >= "1996-01-01")
+                      & (F.col("o_orderdate") < "1996-04-01")))
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    late = orders.join(
+        li, (orders["o_orderkey"] == li["l_orderkey"])
+        & (li["l_shipdate"] > orders["o_orderdate"]), "left_semi")
+    return (late.groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("order_count")))
+
+
+SQL_Q4_ORDER_PRIORITY_EXISTS = """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders o
+WHERE o_orderdate >= '1996-01-01' AND o_orderdate < '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+"""
+
+
+def q_q13_customer_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: LEFT OUTER join with an extra join-side predicate
+    (priority filter must live in the join condition, not a WHERE, to keep
+    order-less customers) + two-level aggregation."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = (cust.join(
+        orders, (cust["c_custkey"] == orders["o_custkey"])
+        & (orders["o_orderpriority"] != "1-URGENT"), "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count(F.lit(1)).alias("custdist")))
+
+
+SQL_Q13_CUSTOMER_DISTRIBUTION = """
+SELECT c_count, count(*) AS custdist FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) GROUP BY c_count
+"""
+
+
+def q_q16_supplier_cnt(spark, sf_dir):
+    """TPC-H Q16 shape: NOT IN subquery -> broadcast anti-join (the excluded
+    set is tiny), broadcast dim join, then count(DISTINCT) — the two-phase
+    distinct aggregate Spark plans as partial-distinct + final."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+                    "left_anti")
+            .join(F.broadcast(part.filter(
+                (F.col("p_brand") != "Brand#45")
+                & F.col("p_size").isin(9, 19, 49))),
+                li["l_partkey"] == part["p_partkey"])
+            .groupBy("p_brand", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+SQL_Q16_SUPPLIER_CNT = """
+SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#45' AND p_size IN (9, 19, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_size
+"""
+
+
+def q_q20_nested_semijoin(spark, sf_dir):
+    """TPC-H Q20 shape: two nested IN subqueries -> part-filter broadcast
+    semi-join into a grouped HAVING, then a second semi-join up to
+    supplier. Both reductions happen before any wide row is formed."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    gear = part.filter(F.col("p_name").like("%gear%")).select("p_partkey")
+    heavy = (li.join(F.broadcast(gear), li["l_partkey"] == gear["p_partkey"],
+                     "left_semi")
+             .groupBy("l_suppkey", "l_partkey")
+             .agg(_dsum(F.col("l_quantity")).alias("qty"))
+             .filter(F.col("qty") > 60)
+             .select("l_suppkey").distinct())
+    return (supp.join(heavy, supp["s_suppkey"] == heavy["l_suppkey"],
+                      "left_semi")
+            .select("s_suppkey", "s_name"))
+
+
+SQL_Q20_NESTED_SEMIJOIN = """
+SELECT s_suppkey, s_name FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%gear%')
+  GROUP BY l_suppkey, l_partkey
+  HAVING sum(CAST(l_quantity AS DECIMAL(38,6))) > 60
+)
+"""
+
+
+def q_topk_per_group(spark, sf_dir):
+    """Top-k per group (the general form of select-first/once, SURVEY
+    §2.5): top-3 orders by total price per market segment via a rank
+    window with a deterministic o_orderkey tie-break."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    joined = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+                         orders["o_custkey"] == cust["c_custkey"])
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (joined.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3)
+            .select("c_mktsegment", "rank", "o_orderkey", "o_totalprice"))
+
+
+SQL_TOPK_PER_GROUP = """
+SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
+  SELECT c_mktsegment, o_orderkey, o_totalprice,
+         row_number() OVER (PARTITION BY c_mktsegment
+                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+  FROM orders JOIN customer ON o_custkey = c_custkey
+) WHERE rank <= 3
+"""
+
+
+def q_sketch_approx_distinct(spark, sf_dir):
+    """HLL++ sketch aggregate: approx distinct users per event type, with
+    the exact count alongside. No SQL oracle (DuckDB's approx sketch is a
+    different algorithm); tests/test_sketches.py bounds the relative error
+    at <5%. At 100 TB the sketch is the only viable distinct-count path —
+    fixed-size state, no distinct shuffle."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("event_type")
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+                 F.countDistinct("user_id").alias("exact_users")))
+
+
+def q_sketch_quantiles(spark, sf_dir):
+    """Quantile sketch: percentile_approx (Greenwald-Khanna) per event
+    type. Rows-only oracle; tests bound the rank error against numpy."""
+    ev = _events(spark, sf_dir)
+    return (ev.groupBy("event_type")
+            .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+                 .alias("q")) \
+            .select("event_type",
+                    F.round(F.col("q")[0], 6).alias("p50"),
+                    F.round(F.col("q")[1], 6).alias("p95"),
+                    F.round(F.col("q")[2], 6).alias("p99")))
+
+
 REGISTRY: dict[str, tuple] = {
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
@@ -1579,6 +1770,16 @@ REGISTRY: dict[str, tuple] = {
     "events_rollup_daily": (q_events_rollup_daily, SQL_EVENTS_ROLLUP_DAILY),
     "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
     "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
+    "q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2_MIN_COST_SUPPLIER),
+    "q4_order_priority_exists": (q_q4_order_priority_exists,
+                                 SQL_Q4_ORDER_PRIORITY_EXISTS),
+    "q13_customer_distribution": (q_q13_customer_distribution,
+                                  SQL_Q13_CUSTOMER_DISTRIBUTION),
+    "q16_supplier_cnt": (q_q16_supplier_cnt, SQL_Q16_SUPPLIER_CNT),
+    "q20_nested_semijoin": (q_q20_nested_semijoin, SQL_Q20_NESTED_SEMIJOIN),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
+    "sketch_approx_distinct": (q_sketch_approx_distinct, None),
+    "sketch_quantiles": (q_sketch_quantiles, None),
 }
 
 
