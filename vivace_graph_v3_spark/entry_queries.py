@@ -1700,6 +1700,96 @@ def q_sketch_quantiles(spark, sf_dir):
                     F.round(F.col("q")[2], 6).alias("p99")))
 
 
+def q_grouping_sets_revenue(spark, sf_dir):
+    """ROLLUP grouping sets (beyond reference — SURVEY §2.4 notes the
+    reference has no cube/rollup): per (returnflag, linestatus) totals plus
+    per-flag and grand-total superaggregates in ONE pass (Expand operator,
+    single shuffle — not three separate scans)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (li.rollup("l_returnflag", "l_linestatus")
+            .agg(_dsum(F.col("l_quantity")).alias("sum_qty"),
+                 F.count(F.lit(1)).alias("n"))
+            .select(F.coalesce("l_returnflag", F.lit("ALL")).alias("flag"),
+                    F.coalesce("l_linestatus", F.lit("ALL")).alias("status"),
+                    "sum_qty", "n"))
+
+
+SQL_GROUPING_SETS_REVENUE = """
+SELECT coalesce(l_returnflag, 'ALL') AS flag,
+       coalesce(l_linestatus, 'ALL') AS status,
+       CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE) AS sum_qty,
+       count(*) AS n
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+def q_events_moving_avg(spark, sf_dir):
+    """Sliding window frame over an event-time order (time-series moving
+    average, beyond reference): per user, mean of the last 4 values.
+    Decimal accumulate + explicit divide keeps both engines bit-identical."""
+    ev = _events(spark, sf_dir)
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-3, 0))
+    s = F.sum(F.col("value").cast(DEC)).over(w).cast("double")
+    c = F.count(F.lit(1)).over(w)
+    return ev.select("event_id", "user_id",
+                     F.round(s / c, 6).alias("moving_avg"))
+
+
+SQL_EVENTS_MOVING_AVG = """
+SELECT event_id, user_id,
+       round(CAST(sum(CAST(value AS DECIMAL(38,6))) OVER w AS DOUBLE)
+             / count(*) OVER w, 6) AS moving_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_events_json_props(spark, sf_dir):
+    """JSON parse of a string payload column (the REST boundary's inverse,
+    rest.lisp:101-146): from_json with an explicit schema — JVM-side
+    Jackson, no Python — then aggregate on the extracted field."""
+    ev = _events(spark, sf_dir)
+    k = F.from_json("props", "k INT")["k"]
+    return (ev.withColumn("k", k)
+            .groupBy("event_type")
+            .agg(F.count(F.when(F.col("k") >= 50, 1)).alias("n_high"),
+                 F.sum("k").alias("sum_k")))
+
+
+SQL_EVENTS_JSON_PROPS = """
+SELECT event_type,
+       count(CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
+                  THEN 1 END) AS n_high,
+       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k
+FROM events GROUP BY event_type
+"""
+
+
+def q_exact_percentile(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    SQL percentile_cont == DuckDB quantile_cont). The exact form sorts
+    per group — fine at dashboard-grade group counts; the 100 TB path is
+    `sketch_quantiles`."""
+    ev = _events(spark, sf_dir)
+    p = F.expr("percentile(value, array(0.25, 0.5, 0.75))")
+    return (ev.groupBy("event_type").agg(p.alias("p"))
+            .select("event_type",
+                    F.round(F.col("p")[0], 6).alias("p25"),
+                    F.round(F.col("p")[1], 6).alias("p50"),
+                    F.round(F.col("p")[2], 6).alias("p75")))
+
+
+SQL_EXACT_PERCENTILE = """
+SELECT event_type,
+       round(quantile_cont(value, 0.25), 6) AS p25,
+       round(quantile_cont(value, 0.50), 6) AS p50,
+       round(quantile_cont(value, 0.75), 6) AS p75
+FROM events GROUP BY event_type
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
@@ -1780,6 +1870,11 @@ REGISTRY: dict[str, tuple] = {
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "sketch_approx_distinct": (q_sketch_approx_distinct, None),
     "sketch_quantiles": (q_sketch_quantiles, None),
+    "grouping_sets_revenue": (q_grouping_sets_revenue,
+                              SQL_GROUPING_SETS_REVENUE),
+    "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
+    "exact_percentile": (q_exact_percentile, SQL_EXACT_PERCENTILE),
 }
 
 
