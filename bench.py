@@ -34,6 +34,11 @@ BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_top_orders",
     "q5_nation_revenue",
+    "q13_customer_distribution",
+    "q2_min_cost_supplier",
+    "grouping_sets_revenue",
+    "events_moving_avg",
+    "sketch_approx_distinct",
     "dedup_exact",
     "dedup_minhash_lsh",
     "ann_bruteforce_topk",

@@ -28,6 +28,10 @@ AUDITED = [
     "q6_forecast_revenue", "q18_large_orders",
     "select_first", "events_sessions", "integrity_report",
     "events_asof_join", "events_interval_join", "events_rollup_daily",
+    "q2_min_cost_supplier", "q4_order_priority_exists",
+    "q13_customer_distribution", "q16_supplier_cnt", "q20_nested_semijoin",
+    "topk_per_group", "grouping_sets_revenue", "events_moving_avg",
+    "events_json_props", "sketch_approx_distinct",
 ]
 
 
