@@ -1,0 +1,69 @@
+"""Plan-quality regression tests: lock in the executed-plan properties that
+matter at 100 TB (SURVEY §4.1 / PLAN_AUDIT.md) so a refactor can't silently
+trade them away.
+
+Asserts on the POST-AQE executed plan string: broadcast joins where a side
+is dim-sized, parquet filter pushdown, column pruning, no row-at-a-time
+Python, no nested-loop/cartesian fallbacks.
+"""
+
+import re
+
+import pytest
+
+from tests.conftest import SF_DIR
+from vivace_graph_v3_spark import entry_queries as eq
+
+
+def executed_plan(spark, name):
+    df = eq.queries()[name](spark, SF_DIR)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE prints the final plan followed by a copy of the initial plan —
+    # assert only on what actually executed
+    return plan.split("== Initial Plan ==")[0]
+
+
+def read_cols(plan):
+    return [len([c for c in s.split(",") if c.strip()])
+            for s in re.findall(r"ReadSchema: struct<([^>]*)>", plan)]
+
+
+# every query here must stay free of the scale-killers
+NO_GO = ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython")
+
+CASES = {
+    # pure pushdown scan: every predicate reaches the reader, <=5 cols read
+    "q6_forecast_revenue": lambda p: (
+        "PushedFilters: [" in p and max(read_cols(p)) <= 5
+        and "Join" not in p),
+    # scan-agg: two-phase (partial+final) aggregation, no shuffle-heavy join
+    "q1_pricing_summary": lambda p: (
+        len(re.findall(r"HashAggregate", p)) >= 2 and "Join" not in p),
+    # dim joins must broadcast, never sort-merge
+    "q16_supplier_cnt": lambda p: (
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    "q18_large_orders": lambda p: "BroadcastHashJoin" in p,
+    "topk_per_group": lambda p: (
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+        and "Window" in p),
+    # single-column type scan: pruning reaches parquet
+    "is_a_scan": lambda p: read_cols(p) and max(read_cols(p)) == 1,
+    # rollup = one Expand, not three scans
+    "grouping_sets_revenue": lambda p: (
+        "Expand" in p and len(read_cols(p)) <= 1),
+    # window over a single shuffle; no join at all
+    "events_moving_avg": lambda p: ("Window" in p and "Join" not in p),
+    # sketch aggregate: no distinct Expand explosion for the HLL column
+    "sketch_approx_distinct": lambda p: "Join" not in p,
+    # exact dedup: hash aggregate + semi join, no cartesian anything
+    "dedup_exact": lambda p: "HashAggregate" in p,
+}
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_plan_properties(spark, name):
+    plan = executed_plan(spark, name)
+    for bad in NO_GO:
+        assert bad not in plan, f"{name}: {bad} in executed plan"
+    assert CASES[name](plan), f"{name}: plan property violated:\n{plan[:2000]}"
