@@ -1,0 +1,105 @@
+"""Scale probe beyond the provided TESTDATA: build a 10x key-shifted copy of
+sf0.1 (~6M lineitem rows, the sf1 regime) in a temp dir and time headline
+queries at sf0.1 vs 10x. This exercises the DATA-dominated regime the
+driver's SFs can't reach locally — the per-op ratio shows which plans scale
+with volume and which are still overhead-bound.
+
+Key-shift keeps join semantics exact: every key column gets +copy*10^7, so
+the 10x graph is 10 disjoint copies (counts scale exactly 10x for per-key
+aggregates; global aggregates scale 10x in rows).
+
+Run: python tools/scale10_probe.py [n_copies]   (writes under /tmp)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SRC = "/root/testdata/sf0.1"
+SHIFT = 10_000_000
+
+KEYED = {
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "orders": ["o_orderkey", "o_custkey"],
+    "lineitem": ["l_orderkey", "l_partkey", "l_suppkey"],
+    "events": ["event_id", "user_id"],
+    "documents": ["doc_id"],
+}
+UNKEYED = ["nation", "region", "embeddings"]
+
+PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+          "q13_customer_distribution", "q18_large_orders",
+          "parts_per_customer", "events_latest_per_user", "events_moving_avg",
+          "grouping_sets_revenue", "sketch_approx_distinct",
+          "dedup_exact", "text_lang_id", "text_quality"]
+
+
+def build(spark, out_dir: str, n_copies: int) -> None:
+    from pyspark.sql import functions as F
+
+    for t, keys in KEYED.items():
+        df = spark.read.parquet(f"{SRC}/{t}.parquet")
+        copies = []
+        for i in range(n_copies):
+            c = df
+            for k in keys:
+                c = c.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+    for t in UNKEYED:
+        spark.read.parquet(f"{SRC}/{t}.parquet") \
+            .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
+
+
+def run(spark, qs, sf_dir: str) -> dict[str, float]:
+    times = {}
+    for name in PROBES:
+        t0 = time.time()
+        n = qs[name](spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        print(f"# {sf_dir.split('/')[-1]} {name}: {n} rows "
+              f"in {times[name]}s", file=sys.stderr)
+    return times
+
+
+def main() -> int:
+    from vivace_graph_v3_spark.session import get_spark
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("scale10-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    # events.ts is TIMESTAMP(NANOS); read it as long (same as entry_queries)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    qs = eq.queries()
+
+    tmp = tempfile.mkdtemp(prefix="vgv3_scale10_")
+    try:
+        t0 = time.time()
+        build(spark, tmp, n_copies)
+        print(f"# build {n_copies}x: {round(time.time() - t0, 1)}s",
+              file=sys.stderr)
+        base = run(spark, qs, SRC)
+        big = run(spark, qs, tmp)
+        ratio = {k: round(big[k] / base[k], 2) for k in base}
+        print(json.dumps({"n_copies": n_copies, "base_s": base,
+                          "big_s": big, "ratio": ratio}))
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
