@@ -329,3 +329,65 @@ def test_if_soft_cut(tpch, duck):
         if ck not in rich:
             want.add((ck, round(bal, 2)))
     assert got == want
+
+
+# -- catch/throw (ISO exceptions, prolog-functors.lisp:255-298) ---------------
+
+def test_catch_recovers_from_a_throw(tpch):
+    from pyspark.sql import functions as F
+    df = select(tpch, ["?c", "?r"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("throw", "oops")], "oops", [("is", "?r", 1)]),
+    ])
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["r"] == 1 for r in rows)
+
+
+def test_catch_passes_through_when_goal_succeeds(tpch):
+    df = select(tpch, ["?c", "?x"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("is", "?x", 5)], "?b", [("is", "?x", 99)]),
+    ])
+    assert sorted(r["x"] for r in df.collect()) == [5] * 5
+
+
+def test_catch_binds_the_ball(tpch):
+    df = select(tpch, ["?c", "?b"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("throw", "my-ball")], "?b", []),
+    ])
+    assert {r["b"] for r in df.collect()} == {"my-ball"}
+
+
+def test_catch_non_matching_ball_propagates(tpch):
+    import pytest
+    from vivace_graph_v3_spark.query.builder import PrologThrow
+    with pytest.raises(PrologThrow):
+        select(tpch, ["?c"], [
+            ("is-a", "?c", "region"),
+            ("catch", [("throw", "inner")], "other", []),
+        ])
+    # ... but an OUTER var-catcher fields it
+    df = select(tpch, ["?c", "?b"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("catch", [("throw", "inner")], "other", [])], "?b", []),
+    ])
+    assert {r["b"] for r in df.collect()} == {"inner"}
+
+
+def test_uncaught_throw_aborts(tpch):
+    import pytest
+    from vivace_graph_v3_spark.query.builder import PrologThrow
+    with pytest.raises(PrologThrow):
+        select(tpch, ["?c"], [("is-a", "?c", "region"), ("throw", "boom")])
+
+
+def test_catch_fields_analysis_errors(tpch):
+    # the lisp/is escape-hatch error class: a broken SQL expression inside
+    # catch falls to the recovery branch (var catcher = catch anything)
+    df = select(tpch, ["?c", "?x"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("lisp", "?x", "no_such_column + 1")], "?b",
+         [("is", "?x", -1)]),
+    ], allowed_effects={"eval"})
+    assert sorted(r["x"] for r in df.collect()) == [-1] * 5

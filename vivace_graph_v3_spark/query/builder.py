@@ -85,6 +85,16 @@ class EffectNotAllowed(QueryError):
     """Reference: require-effect / *allowed-effects* (prologc.lisp:902-943)."""
 
 
+class PrologThrow(QueryError):
+    """An in-flight ball from throw/1 (prolog-functors.lisp:258-268) awaiting
+    an enclosing catch/3; uncaught, it aborts the query like the reference's
+    prolog-throw error."""
+
+    def __init__(self, ball: Any):
+        self.ball = ball
+        super().__init__(f"uncaught Prolog throw: {ball!r}")
+
+
 _CMP = {"<": operator.lt, ">": operator.gt, "<=": operator.le, ">=": operator.ge}
 
 _ARITH = {
@@ -599,6 +609,54 @@ class Select:
                 F.coalesce(F.col(var_col(out)), F.lit(None).cast(elem),
                            F.array().cast(elem)))
         return Plan(joined)
+
+    def _g_throw(self, plan: Plan, ball: Any) -> Plan:
+        """throw(Ball) (prolog-functors.lisp:258-268). In a declarative plan
+        there is no per-tuple control flow: a reachable throw aborts plan
+        construction with the (plan-time-bound) ball, to be fielded by an
+        enclosing catch goal. An unbound ball is an error, as in the
+        reference."""
+        if is_var(ball):
+            raise QueryError("throw of an uninstantiated ball")
+        raise PrologThrow(ball)
+
+    def _g_catch(self, plan: Plan, goals: list, catcher: Any,
+                 recovery: list) -> Plan:
+        """catch(Goal, Catcher, Recovery) (prolog-functors.lisp:270-...):
+        build the Goal subplan; if construction throws a ball that matches
+        Catcher (a var catches anything, a constant catches an equal ball),
+        build Recovery against the same incoming plan instead. Non-matching
+        balls propagate to an outer catch. Spark-first reinterpretation:
+        the reference's main catchable class — eval errors from lisp/is —
+        surfaces at ANALYSIS time here (bad expressions fail plan
+        construction), so catching at plan-build time covers the same
+        errors one query-compilation earlier. Resource/permission errors
+        (EffectNotAllowed) are deliberately NOT catchable, matching the
+        reference's uncatchable-permission-error rule."""
+        try:
+            sub = self.compile_goals(Plan(plan.df), list(goals))
+            # force analysis so expression errors surface inside the catch
+            if sub.df is not None:
+                sub.df.schema
+            return sub
+        except EffectNotAllowed:
+            raise
+        except PrologThrow as ex:
+            if not (is_var(catcher) or catcher == ex.ball):
+                raise
+            ball = ex.ball
+        except QueryError:
+            raise
+        except Exception:
+            # analysis-time failure of the goal body (the lisp/is class)
+            if not is_var(catcher):
+                raise
+            ball = None
+        rec = self.compile_goals(Plan(plan.df), list(recovery))
+        if is_var(catcher) and ball is not None and rec.df is not None:
+            # Catcher unifies with the ball, visible to the recovery goals
+            rec = Plan(rec.df.withColumn(var_col(catcher), F.lit(ball)))
+        return rec
 
     def _g_findall(self, plan: Plan, template, goals, out) -> Plan:
         return self._agg_goal(plan, template, goals, out, witness=None,
