@@ -72,6 +72,29 @@ def session_counts(events: DataFrame, *, gap: str = "30 minutes",
                  F.sum("value").alias("sum_value")))
 
 
+def dedup_stream(events: DataFrame, *, keys: list[str] = ("event_id",),
+                 watermark: str = "2 hours",
+                 within_watermark: bool = False) -> DataFrame:
+    """Streaming deduplication — the streaming face of the training-data
+    dedup pipeline (pipeline/dedup.py): emit each key once, with per-key
+    state EVICTED by the watermark so the state store stays bounded on an
+    unbounded feed (the non-negotiable property at 100 TB/day).
+
+    Two contracts:
+    - default: exact-once per (keys, event_time) — duplicates carry the
+      same event time (replayed files, at-least-once sources); state for
+      event times older than the watermark is dropped.
+    - ``within_watermark``: duplicates may arrive with DIFFERENT event
+      times up to the watermark apart (retries that re-stamp time) —
+      ``dropDuplicatesWithinWatermark`` keys state by ``keys`` alone and
+      expires it one watermark after first sight.
+    """
+    ev = events.withWatermark("event_time", watermark)
+    if within_watermark:
+        return ev.dropDuplicatesWithinWatermark(list(keys))
+    return ev.dropDuplicates([*keys, "event_time"])
+
+
 def run_available_now(stream_df: DataFrame, *, checkpoint: str,
                       out_path: str | None = None,
                       output_mode: str = "append", timeout: int = 300):
