@@ -220,3 +220,20 @@ def test_ivf_recall_vs_bruteforce(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.5, f"recall@10 = {recall:.2f}"
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark):
+    """Multi-probe sign-LSH quality gate: recall@10 against exact top-k."""
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        cosine_topk_bruteforce, lsh_ann_topk)
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, 10)
+    approx = lsh_ann_topk(emb, queries, 10)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.6, f"LSH recall too low: {recall}"

@@ -863,6 +863,18 @@ def q_ann_ivf_topk(spark, sf_dir):
         .select("query_id", "neighbor_id", "rank")
 
 
+def q_ann_lsh_topk(spark, sf_dir):
+    """Multi-probe sign-LSH ANN (bucket equi-join candidates, exact cosine
+    re-rank) — approximate by design, rows-only check; recall gate in
+    tests/test_pipeline.py."""
+    from vivace_graph_v3_spark.pipeline.similarity import lsh_ann_topk
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return lsh_ann_topk(emb, queries, k=5) \
+        .select("query_id", "neighbor_id", "rank")
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1837,6 +1849,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, None),
+    "ann_lsh_topk": (q_ann_lsh_topk, None),
     "rule_transitive_closure": (q_rule_transitive_closure,
                                 SQL_RULE_TRANSITIVE_CLOSURE),
     "graph_connected_components": (q_graph_connected_components,

@@ -110,3 +110,70 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def _lsh_buckets(df: DataFrame, planes, *, vec_col: str, id_col: str,
+                 out_id: str) -> DataFrame:
+    """(id, table, bucket) per input row: bucket = packed sign bits of the
+    row's dot products with that table's hyperplanes. Plane coefficients are
+    plan-time literals, so the whole signature is one codegen'd expression —
+    no Python at runtime."""
+    num_tables, num_bits, _dim = planes.shape
+    tables = []
+    for t in range(num_tables):
+        bucket = F.lit(0)
+        for b in range(num_bits):
+            r = F.array(*[F.lit(float(x)) for x in planes[t, b]])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col), r, lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
+        tables.append(F.struct(F.lit(t).alias("table"),
+                               bucket.cast("int").alias("bucket")))
+    return (df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"),
+                      F.explode(F.array(*tables)).alias("tb"))
+            .select(out_id, "__v", "tb.table", "tb.bucket"))
+
+
+def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                 num_tables: int = 12, num_bits: int = 6, multiprobe: int = 1,
+                 seed: int = 42,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 dim: int | None = None) -> DataFrame:
+    """Random-hyperplane (sign) LSH ANN — the bucketed alternative to IVF:
+    two rows collide in a table iff all ``num_bits`` sign bits agree
+    (P = (1 - theta/pi)^bits per table), so candidate generation is a hash
+    EQUI-join on (table, bucket) — at 100 TB, corpus bucket columns are
+    stamped at ingest and the corpus is bucketed by (table, bucket), making
+    each query a partition-local probe with no corpus shuffle (the same
+    write-time trade as IVF's centroid assignment). ``multiprobe=1`` also
+    probes every bucket one sign-flip away (query-side only — the corpus is
+    never expanded), trading probe fan-out for recall exactly like classic
+    multi-probe LSH. Candidates are exactly re-ranked by cosine."""
+    import numpy as np
+
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
+    planes = np.random.RandomState(seed).normal(size=(num_tables, num_bits, dim))
+
+    c = _lsh_buckets(corpus, planes, vec_col=vec_col, id_col=id_col,
+                     out_id="neighbor_id").withColumnRenamed("__v", "cv2")
+    q = _lsh_buckets(queries, planes, vec_col=vec_col, id_col=id_col,
+                     out_id="query_id").withColumnRenamed("__v", "qv")
+    if multiprobe:
+        flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(num_bits)])
+        q = (q.select("query_id", "qv", "table",
+                      F.explode(F.transform(
+                          flips, lambda m: F.col("bucket").bitwiseXOR(m)))
+                      .alias("bucket")))
+
+    cand = (q.join(c, ["table", "bucket"])
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "qv", "neighbor_id", "cv2")
+            .dropDuplicates(["query_id", "neighbor_id"])
+            .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv2")), 6)))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
