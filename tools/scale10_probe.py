@@ -40,7 +40,11 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "q13_customer_distribution", "q18_large_orders",
           "parts_per_customer", "events_latest_per_user", "events_moving_avg",
           "grouping_sets_revenue", "sketch_approx_distinct",
-          "dedup_exact", "text_lang_id", "text_quality"]
+          "dedup_exact", "text_lang_id", "text_quality",
+          # data-regime heavies: a 10x corpus where every doc has 10
+          # exact copies (dup-group size 10 -> 45 verified pairs each),
+          # and BFS whose hop joins scan 10x edges
+          "dedup_minhash_lsh", "traverse_bfs"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
