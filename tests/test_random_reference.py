@@ -135,3 +135,61 @@ def test_pagerank_matches_python_iteration(random_graph):
     got = {r["id"]: r["rank"]
            for r in pagerank(g, max_iter=10, tol=None).collect()}
     assert all(abs(got[v] - ranks[v]) < 1e-6 for v in ids)
+
+
+def test_label_propagation_matches_python(random_graph):
+    """Synchronous LPA with the (max count, min label) tie-break is fully
+    deterministic — the distributed result must equal the pure-Python run
+    round for round."""
+    from collections import Counter
+
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        label_propagation)
+
+    g, ids, edges, _ = random_graph
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+        adj.setdefault(d, []).append(s)
+
+    labels = {v: v for v in ids}
+    for _ in range(5):
+        nxt = {}
+        for v in ids:
+            nbrs = adj.get(v, [])
+            if not nbrs:
+                nxt[v] = labels[v]
+                continue
+            counts = Counter(labels[u] for u in nbrs)
+            best = max(counts.items(), key=lambda kv: (kv[1], [-ord(c) for c in kv[0]]))
+            # min label among max-count: sort explicitly for clarity
+            top = max(counts.values())
+            nxt[v] = min(l for l, c in counts.items() if c == top)
+        labels = nxt
+
+    got = {r["id"]: r["label"]
+           for r in label_propagation(g, max_iter=5).collect()}
+    assert got == labels
+
+
+def test_k_core_matches_python(random_graph):
+    from vivace_graph_v3_spark.operators.graph_algorithms import k_core
+
+    g, ids, edges, _ = random_graph
+    k = 4
+    # peel in python: unique fixpoint regardless of order
+    nbrs = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    alive = set(ids)
+    while True:
+        drop = {v for v in alive
+                if len(nbrs.get(v, set()) & alive) < k}
+        if not drop:
+            break
+        alive -= drop
+    want = {v: len(nbrs[v] & alive) for v in alive}
+
+    got = {r["id"]: r["degree"] for r in k_core(g, k).collect()}
+    assert got == want

@@ -1057,6 +1057,29 @@ def q_graph_pagerank(spark, sf_dir):
             .orderBy(F.desc("rank"), "id").limit(50))
 
 
+def q_graph_label_propagation(spark, sf_dir):
+    """Synchronous LPA communities (deterministic min-label tie-break);
+    rows-only check — Python-reference-verified in
+    tests/test_random_reference.py."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        label_propagation)
+
+    g = load_tpch_graph(spark, sf_dir)
+    lp = label_propagation(g, edge_type="in_nation", max_iter=3)
+    return (lp.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+            .orderBy(F.desc("size"), "label").limit(50))
+
+
+def q_graph_kcore(spark, sf_dir):
+    """k-core peeling over the order->part containment graph; rows-only
+    check — Python-reference-verified in tests/test_random_reference.py."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import k_core
+
+    g = load_tpch_graph(spark, sf_dir)
+    core = k_core(g, 6, edge_type="contains")
+    return (core.orderBy(F.desc("degree"), "id").limit(100))
+
+
 # ---------------------------------------------------------------------------
 # §2.9 JSON pattern DSL + def-query (rest.lisp surface, query/pattern.py)
 # ---------------------------------------------------------------------------
@@ -1857,6 +1880,8 @@ REGISTRY: dict[str, tuple] = {
     "graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
     "graph_triangle_count": (q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT),
     "graph_pagerank": (q_graph_pagerank, None),
+    "graph_label_propagation": (q_graph_label_propagation, None),
+    "graph_kcore": (q_graph_kcore, None),
     "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
     "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),

@@ -19,7 +19,7 @@ shuffle-free on the edge side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from vivace_graph_v3_spark.graph import GraphStore
 
@@ -284,3 +284,84 @@ def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
     finally:
         edges.unpersist()
     return dist
+
+
+def label_propagation(graph: GraphStore, *, edge_type: str | None = None,
+                      max_iter: int = 5) -> DataFrame:
+    """Community detection by synchronous label propagation (beyond the
+    reference, same Pregel class as pagerank above): each round every vertex
+    adopts the most frequent label among its neighbors, ties broken by the
+    smallest label — a DETERMINISTIC contract (classic async LPA is run-order
+    dependent, which a distributed engine must not be). Fixed round budget,
+    synchronous updates; returns (id, label).
+
+    Two shuffles per round (neighbor-label count, per-vertex argmax) over an
+    O(|E|) frame — the same profile as one pagerank round."""
+    edges = _edge_pairs(graph, edge_type, undirected=True).persist()
+    labels = (graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    try:
+        for _ in range(max_iter):
+            counts = (edges.join(labels.select(F.col("id").alias("dst"),
+                                               F.col("label").alias("nlbl")),
+                                 "dst")
+                      .groupBy("src", "nlbl")
+                      .agg(F.count(F.lit(1)).alias("cnt")))
+            w = Window.partitionBy("src").orderBy(F.col("cnt").desc(),
+                                                  F.col("nlbl").asc())
+            best = (counts.withColumn("rn", F.row_number().over(w))
+                    .filter(F.col("rn") == 1)
+                    .select(F.col("src").alias("id"),
+                            F.col("nlbl").alias("new_label")))
+            labels = (labels.join(best, "id", "left")
+                      .select("id", F.coalesce("new_label", "label")
+                              .alias("label"))
+                      .localCheckpoint(eager=True))
+    finally:
+        edges.unpersist()
+    return labels
+
+
+def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
+           max_iter: int = 50) -> DataFrame:
+    """k-core: the maximal subgraph where every vertex has degree >= k,
+    found by iterative peeling (remove under-degree vertices until fixpoint;
+    the k-core is unique, so peeling order is irrelevant — no ordering
+    contract needed). Returns (id, degree) within the core.
+
+    Each round is one degree aggregation over edges semi-joined to the
+    surviving set; the surviving set shrinks monotonically, so rounds get
+    cheaper as they proceed."""
+    # degree = distinct neighbors (simple-graph contract): reciprocal or
+    # parallel edges must not double-count
+    edges = (_edge_pairs(graph, edge_type, undirected=True)
+             .dropDuplicates(["src", "dst"]).persist())
+    alive = (graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
+             .localCheckpoint(eager=True))
+    n_alive = alive.count()
+    deg = None
+    try:
+        for _ in range(max_iter):
+            live_edges = (edges
+                          .join(alive.withColumnRenamed("id", "src"), "src",
+                                "left_semi")
+                          .join(alive.withColumnRenamed("id", "dst"), "dst",
+                                "left_semi"))
+            deg = (live_edges.groupBy("src")
+                   .agg(F.count(F.lit(1)).alias("degree"))
+                   .withColumnRenamed("src", "id"))
+            survivors = (deg.filter(F.col("degree") >= k).select("id")
+                         .localCheckpoint(eager=True))
+            n_next = survivors.count()
+            alive = survivors
+            if n_next == n_alive:
+                break
+            n_alive = n_next
+            if n_alive == 0:
+                break
+    finally:
+        edges.unpersist()
+    return (deg.join(alive, "id", "left_semi")
+            if deg is not None else
+            alive.withColumn("degree", F.lit(0)))
