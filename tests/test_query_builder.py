@@ -391,3 +391,17 @@ def test_catch_fields_analysis_errors(tpch):
          [("is", "?x", -1)]),
     ], allowed_effects={"eval"})
     assert sorted(r["x"] for r in df.collect()) == [-1] * 5
+
+
+def test_fail_and_repeat(tpch):
+    """fail/0 yields zero solutions; repeat/0 is a documented no-op under
+    set semantics (prolog-functors.lisp fail/repeat)."""
+    none = select(tpch, ["?c"], [("is-a", "?c", "region"), ("fail",)])
+    assert none.count() == 0
+    # fail as an `or` branch: union with empty = identity
+    both = select(tpch, ["?c"], [
+        ("or", [("is-a", "?c", "region")], [("fail",)]),
+    ])
+    assert both.count() == 5
+    rep = select(tpch, ["?c"], [("is-a", "?c", "region"), ("repeat",)])
+    assert rep.count() == 5

@@ -610,6 +610,23 @@ class Select:
                            F.array().cast(elem)))
         return Plan(joined)
 
+    def _g_fail(self, plan: Plan) -> Plan:
+        """fail/0 (prolog-functors.lisp): zero solutions — the empty plan.
+        Useful with ``or``/``if`` branches."""
+        if plan.df is None:
+            return Plan(self.graph.spark.range(0).select(
+                F.lit(1).alias("__unit")))
+        return Plan(plan.df.filter(F.lit(False)))
+
+    def _g_repeat(self, plan: Plan) -> Plan:
+        """repeat/0: in the reference an infinite choice point driving
+        side-effect loops. Set semantics has no incremental backtracking to
+        drive, so repeat degenerates to a no-op (one solution per outer
+        row) — documented reinterpretation, kept for goal-list
+        compatibility."""
+        return plan if plan.df is not None else Plan(
+            self.graph.spark.range(1).select(F.lit(1).alias("__unit")))
+
     def _g_throw(self, plan: Plan, ball: Any) -> Plan:
         """throw(Ball) (prolog-functors.lisp:258-268). In a declarative plan
         there is no per-tuple control flow: a reachable throw aborts plan
