@@ -31,7 +31,7 @@ AUDITED = [
     "q2_min_cost_supplier", "q4_order_priority_exists",
     "q13_customer_distribution", "q16_supplier_cnt", "q20_nested_semijoin",
     "topk_per_group", "grouping_sets_revenue", "events_moving_avg",
-    "events_json_props", "sketch_approx_distinct",
+    "events_json_props", "sketch_approx_distinct", "ann_lsh_topk",
 ]
 
 
