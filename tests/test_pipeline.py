@@ -237,3 +237,21 @@ def test_lsh_ann_recall_vs_bruteforce(spark):
     a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
     recall = len(e & a) / len(e)
     assert recall >= 0.6, f"LSH recall too low: {recall}"
+
+
+def test_dedup_clusters_and_survivors(spark):
+    """Cluster labels = min id per pair-graph component; survivors = one
+    canonical doc per cluster plus all unpaired docs."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        dedup_clusters, dedup_survivors)
+
+    # components: {1,2,3,4} (chain), {7,9}; 5 and 8 unpaired
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], ["id_a", "id_b"])
+    labels = {r["id"]: r["cluster"] for r in dedup_clusters(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"d{i}") for i in (1, 2, 3, 4, 5, 7, 8, 9)], ["doc_id", "text"])
+    kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
+    assert kept == [1, 5, 7, 8]

@@ -809,6 +809,37 @@ SQL_DEDUP_MINHASH_LSH = (
 
 
 
+def q_dedup_survivors(spark, sf_dir):
+    """END-TO-END dedup: MinHash-LSH pairs -> duplicate clusters (connected
+    components, min-id canonical) -> surviving corpus. The oracle recomputes
+    the same thing with exact-Jaccard pairs + a recursive-CTE transitive
+    closure — full hash-match of the kept doc set."""
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_survivors
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    pairs = minhash_dedup_pairs(docs, threshold=0.5).select("id_a", "id_b")
+    return dedup_survivors(docs, pairs).select(F.col("doc_id").alias("id"))
+
+
+SQL_DEDUP_SURVIVORS = (
+    "WITH RECURSIVE p AS (SELECT id_a, id_b FROM ("
+    + SQL_DEDUP_NGRAM_JACCARD + """
+)), e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+)
+SELECT d.doc_id AS id
+FROM documents d LEFT JOIN labels l USING (doc_id)
+WHERE l.cluster IS NULL OR l.cluster = d.doc_id
+""")
+
+
 def q_dedup_simhash(spark, sf_dir):
     """SimHash hamming-distance near-dups (bit-level LSH; engine-specific
     hashes -> rows-only check)."""
@@ -1869,6 +1900,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),
     "dedup_simhash": (q_dedup_simhash, None),
+    "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_ivf_topk": (q_ann_ivf_topk, None),

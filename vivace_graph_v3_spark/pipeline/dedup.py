@@ -289,3 +289,60 @@ def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
 
 
 _ = Window  # (window paging used by callers)
+
+
+# -- cluster + survivor selection --------------------------------------------------
+
+def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
+                   id_b: str = "id_b", max_iter: int = 15) -> DataFrame:
+    """Collapse near-dup PAIRS into duplicate clusters: connected components
+    over the pair graph by min-label propagation with pointer jumping
+    (dup clusters are shallow, so convergence is a few rounds). Returns
+    (id, cluster) for every id that appears in a pair; cluster = min id of
+    the component — the canonical representative."""
+    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .unionByName(pairs.select(F.col(id_b).alias("a"),
+                                       F.col(id_a).alias("b")))
+             .dropDuplicates()
+             .persist())
+    labels = (edges.select(F.col("a").alias("id")).dropDuplicates()
+              .withColumn("cluster", F.col("id"))
+              .localCheckpoint(eager=True))
+    try:
+        for it in range(max_iter):
+            nbr = (edges.join(labels.select(F.col("id").alias("b"),
+                                            F.col("cluster").alias("nc")), "b")
+                   .groupBy("a").agg(F.min("nc").alias("nmin"))
+                   .withColumnRenamed("a", "id"))
+            stepped = (labels.join(nbr, "id", "left")
+                       .select("id", F.least("cluster", F.coalesce("nmin", "cluster"))
+                               .alias("cluster")))
+            jump = stepped.select(F.col("id").alias("cluster"),
+                                  F.col("cluster").alias("c2"))
+            jumped = (stepped.join(jump, "cluster")
+                      .select("id", F.least("cluster", "c2").alias("cluster"))
+                      .localCheckpoint(eager=True))
+            if (it + 1) % 3 == 0 or it == max_iter - 1:
+                changed = (jumped.join(
+                    labels.withColumnRenamed("cluster", "old"), "id")
+                    .filter(F.col("cluster") != F.col("old")).limit(1))
+                labels = jumped
+                if changed.isEmpty():
+                    break
+            else:
+                labels = jumped
+    finally:
+        edges.unpersist()
+    return labels
+
+
+def dedup_survivors(docs: DataFrame, pairs: DataFrame, *,
+                    id_col: str = "doc_id") -> DataFrame:
+    """The end product of the dedup pipeline: one canonical survivor (min
+    id) per duplicate cluster, plus every unpaired doc — i.e. the corpus
+    with near-duplicates REMOVED. Input pairs come from any pair generator
+    (exact, ngram, MinHash-LSH, SimHash, embedding)."""
+    labels = dedup_clusters(pairs)
+    victims = labels.filter(F.col("cluster") != F.col("id")).select("id")
+    return docs.join(victims.withColumnRenamed("id", id_col), id_col,
+                     "left_anti")
