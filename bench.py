@@ -41,6 +41,7 @@ BENCH_QUERIES = [
     "sketch_approx_distinct",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_survivors",
     "ann_bruteforce_topk",
     "pattern_dsl_query",
     "text_lang_id",
