@@ -1766,6 +1766,102 @@ def q_sketch_quantiles(spark, sf_dir):
                     F.round(F.col("q")[2], 6).alias("p99")))
 
 
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: five-way join with a DISJUNCTIVE cross-filter on the
+    two nation dims (OR of name pairs — not a plain equi-condition) and
+    year-extraction grouping. Both nation sides broadcast; the OR filter
+    evaluates post-join on two tiny columns."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    pair = ((F.col("supp_nation") == "NATION_1")
+            & (F.col("cust_nation") == "NATION_2")) | \
+           ((F.col("supp_nation") == "NATION_2")
+            & (F.col("cust_nation") == "NATION_1"))
+    return (li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+            .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+                  orders["o_custkey"] == cust["c_custkey"])
+            .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
+            .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
+            .filter(pair)
+            .groupBy("supp_nation", "cust_nation",
+                     F.year("l_shipdate").alias("l_year"))
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_Q7_NATION_VOLUME = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(l_shipdate) AS l_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem
+JOIN supplier ON s_suppkey = l_suppkey
+JOIN orders ON o_orderkey = l_orderkey
+JOIN customer ON c_custkey = o_custkey
+JOIN nation n1 ON n1.n_nationkey = s_nationkey
+JOIN nation n2 ON n2.n_nationkey = c_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+
+def q_q21_waiting_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: correlated EXISTS + NOT-EXISTS against the SAME
+    detail table — the only-late-supplier-on-a-multi-supplier-order query.
+    Decorrelated into one per-order aggregate (distinct supplier count,
+    distinct LATE supplier count) joined back once — replacing two
+    correlated rescans of lineitem with a single shuffle."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    l1 = (li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+          .withColumn("late", (F.col("l_shipdate") > F.col("o_orderdate"))))
+    per_order = (l1.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_supp"),
+                      F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+                      .alias("n_late")))
+    waiting = (l1.filter(F.col("late"))
+               .join(per_order.filter((F.col("n_supp") > 1)
+                                      & (F.col("n_late") == 1)), "l_orderkey")
+               .select("l_orderkey", "l_suppkey").dropDuplicates())
+    return (waiting.join(F.broadcast(supp),
+                         waiting["l_suppkey"] == supp["s_suppkey"])
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+SQL_Q21_WAITING_SUPPLIER = """
+SELECT s_name, count(*) AS numwait FROM (
+  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+  FROM lineitem l1
+  JOIN orders ON o_orderkey = l1.l_orderkey
+  WHERE o_orderstatus = 'F' AND l1.l_shipdate > o_orderdate
+    AND EXISTS (SELECT 1 FROM lineitem l2
+                WHERE l2.l_orderkey = l1.l_orderkey
+                  AND l2.l_suppkey <> l1.l_suppkey)
+    AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3
+                      ON o3.o_orderkey = l3.l_orderkey
+                    WHERE l3.l_orderkey = l1.l_orderkey
+                      AND l3.l_suppkey <> l1.l_suppkey
+                      AND l3.l_shipdate > o3.o_orderdate)
+) JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_name
+"""
+
+
 def q_grouping_sets_revenue(spark, sf_dir):
     """ROLLUP grouping sets (beyond reference — SURVEY §2.4 notes the
     reference has no cube/rollup): per (returnflag, linestatus) totals plus
@@ -1937,6 +2033,9 @@ REGISTRY: dict[str, tuple] = {
                                   SQL_Q13_CUSTOMER_DISTRIBUTION),
     "q16_supplier_cnt": (q_q16_supplier_cnt, SQL_Q16_SUPPLIER_CNT),
     "q20_nested_semijoin": (q_q20_nested_semijoin, SQL_Q20_NESTED_SEMIJOIN),
+    "q7_nation_volume": (q_q7_nation_volume, SQL_Q7_NATION_VOLUME),
+    "q21_waiting_supplier": (q_q21_waiting_supplier,
+                             SQL_Q21_WAITING_SUPPLIER),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "sketch_approx_distinct": (q_sketch_approx_distinct, None),
     "sketch_quantiles": (q_sketch_quantiles, None),
