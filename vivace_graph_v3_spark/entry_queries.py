@@ -1862,6 +1862,67 @@ GROUP BY s_name
 """
 
 
+def q_q11_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: HAVING against a GLOBAL scalar subquery (group value
+    > fraction of the grand total). The grand total is one row — a
+    broadcast-joined scalar, so the per-part aggregate is computed ONCE and
+    reused for both sides (no second scan of lineitem)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    pv = (li.groupBy("l_partkey")
+          .agg(_dsum(F.col("l_quantity") * F.col("l_extendedprice"))
+               .alias("value")))
+    pv = pv.persist()
+    total = pv.agg(_dsum(F.col("value")).alias("grand"))
+    out = (pv.join(F.broadcast(total))
+           .filter(F.col("value") > 0.0006 * F.col("grand"))
+           .select("l_partkey", F.round("value", 4).alias("value")))
+    return out
+
+
+SQL_Q11_IMPORTANT_STOCK = """
+WITH pv AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,6)))
+              AS DOUBLE) AS value
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, round(value, 4) AS value
+FROM pv WHERE value > 0.0006 * (SELECT CAST(sum(CAST(value AS DECIMAL(38,6)))
+                                            AS DOUBLE) FROM pv)
+"""
+
+
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: argmax over an aggregate (supplier(s) with max
+    revenue) — the aggregate feeds both the max scalar and the equality
+    filter, computed once; ties all surface (deterministic set)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (li.groupBy("l_suppkey")
+           .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("total_rev")))
+    rev = rev.persist()
+    mx = rev.agg(F.max("total_rev").alias("mx"))
+    return (rev.join(F.broadcast(mx))
+            .filter(F.col("total_rev") == F.col("mx"))
+            .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+            .select("s_suppkey", "s_name",
+                    F.round("total_rev", 4).alias("total_rev")))
+
+
+SQL_Q15_TOP_SUPPLIER = """
+WITH rev AS (
+  SELECT l_suppkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+              AS DOUBLE) AS total_rev
+  FROM lineitem GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, round(total_rev, 4) AS total_rev
+FROM rev JOIN supplier ON s_suppkey = l_suppkey
+WHERE total_rev = (SELECT max(total_rev) FROM rev)
+"""
+
+
 def q_grouping_sets_revenue(spark, sf_dir):
     """ROLLUP grouping sets (beyond reference — SURVEY §2.4 notes the
     reference has no cube/rollup): per (returnflag, linestatus) totals plus
@@ -2034,6 +2095,8 @@ REGISTRY: dict[str, tuple] = {
     "q16_supplier_cnt": (q_q16_supplier_cnt, SQL_Q16_SUPPLIER_CNT),
     "q20_nested_semijoin": (q_q20_nested_semijoin, SQL_Q20_NESTED_SEMIJOIN),
     "q7_nation_volume": (q_q7_nation_volume, SQL_Q7_NATION_VOLUME),
+    "q11_important_stock": (q_q11_important_stock, SQL_Q11_IMPORTANT_STOCK),
+    "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
     "q21_waiting_supplier": (q_q21_waiting_supplier,
                              SQL_Q21_WAITING_SUPPLIER),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
