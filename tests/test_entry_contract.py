@@ -1,0 +1,43 @@
+"""Driver-contract hygiene: the __spark_entry__ surface stays well-formed.
+
+The heavy per-query oracle comparison lives in tools/check_contract.py (run
+manually / by the driver); this guards the cheap invariants that break the
+whole round if violated: registry shape, flagship entry, schema stability.
+"""
+
+import __spark_entry__ as entry_mod
+
+from tests.conftest import SF_DIR
+
+
+def test_registry_shape():
+    qs = entry_mod.queries()
+    sqls = entry_mod.oracle_sql()
+    assert len(qs) >= 80
+    assert set(sqls) <= set(qs), "oracle for unknown query"
+    assert all(callable(f) for f in qs.values())
+    # rows-only entries are the deliberate, documented exceptions
+    rows_only = set(qs) - set(sqls)
+    assert rows_only <= {
+        "dedup_simhash", "ann_ivf_topk", "ann_lsh_topk", "graph_pagerank",
+        "graph_label_propagation", "graph_kcore",
+        "sketch_approx_distinct", "sketch_quantiles",
+    }, f"unexpected rows-only queries: {rows_only - set(sqls)}"
+
+
+def test_flagship_entry(spark):
+    df = entry_mod.entry(spark)
+    rows = df.collect()
+    assert len(rows) == 5  # one per region
+    assert set(df.columns) == {"r_name", "total_quantity", "n_lineitems"}
+    assert all(r["n_lineitems"] > 0 for r in rows)
+
+
+def test_every_query_compiles(spark):
+    """Plan-build every contract query at the tests' SF: catches missing
+    columns/tables/aliases without executing (schema analysis only —
+    seconds, not minutes)."""
+    qs = entry_mod.queries()
+    for name, fn in sorted(qs.items()):
+        df = fn(spark, SF_DIR)
+        assert df.schema is not None and len(df.columns) > 0, name
