@@ -1923,6 +1923,131 @@ WHERE total_rev = (SELECT max(total_rev) FROM rev)
 """
 
 
+def q_q10_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: returned-lineitem revenue per customer, top-20 by
+    revenue (deterministic custkey tie-break). The returnflag filter pushes
+    to the lineitem scan; customer/nation broadcast."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    rev = (li.filter(F.col("l_returnflag") == "R")
+           .join(orders.select("o_orderkey", "o_custkey"),
+                 li["l_orderkey"] == orders["o_orderkey"])
+           .groupBy("o_custkey")
+           .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                .alias("revenue")))
+    joined = (rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+              .join(F.broadcast(nation),
+                    cust["c_nationkey"] == nation["n_nationkey"]))
+    return (joined.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+            .select("c_custkey", "c_name", "n_name",
+                    F.round("revenue", 4).alias("revenue"))
+            .limit(20))
+
+
+SQL_Q10_RETURNED_ITEMS = """
+SELECT c_custkey, c_name, n_name, round(revenue, 4) AS revenue FROM (
+  SELECT o_custkey,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+              AS DOUBLE) AS revenue
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R' GROUP BY o_custkey
+) JOIN customer ON c_custkey = o_custkey
+  JOIN nation ON n_nationkey = c_nationkey
+ORDER BY revenue DESC, c_custkey ASC LIMIT 20
+"""
+
+
+def q_q12_priority_shipping(spark, sf_dir):
+    """TPC-H Q12 shape: CONDITIONAL aggregation — one pass computing
+    high/low-priority line counts per returnflag via SUM(CASE WHEN), not
+    two filtered scans."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (li.join(orders.select("o_orderkey", "o_orderpriority"),
+                    li["l_orderkey"] == orders["o_orderkey"])
+            .groupBy("l_returnflag")
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count")))
+
+
+SQL_Q12_PRIORITY_SHIPPING = """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY l_returnflag
+"""
+
+
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: ratio of a conditional sum to the total sum in one
+    aggregate (promo revenue share) — numerator and denominator from the
+    same pass; identical operand order keeps the division bit-stable."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    agg = (li.join(F.broadcast(part.select("p_partkey", "p_type")),
+                   li["l_partkey"] == part["p_partkey"])
+           .agg(_dsum(F.when(F.col("p_type") == "PROMO", disc)
+                      .otherwise(F.lit(0.0))).alias("promo"),
+                _dsum(disc).alias("total")))
+    return agg.select(
+        F.round(100.0 * F.col("promo") / F.col("total"), 6)
+        .alias("promo_pct"))
+
+
+SQL_Q14_PROMO_REVENUE = """
+SELECT round(100.0 * promo / total, 6) AS promo_pct FROM (
+  SELECT CAST(sum(CAST(CASE WHEN p_type = 'PROMO'
+                            THEN l_extendedprice * (1 - l_discount)
+                            ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE) AS promo,
+         CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+              AS DOUBLE) AS total
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+)
+"""
+
+
+def q_q19_discounted_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: OR of conjunctive range predicates spanning the
+    join (brand+size ranges on part, quantity ranges on lineitem). The
+    common subconditions stay pushed; the residual OR evaluates on the
+    joined row — the classic disjunctive-pushdown stressor."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+                li["l_partkey"] == part["p_partkey"])
+    cond = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
+             & F.col("l_quantity").between(1, 11))
+            | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10)
+               & F.col("l_quantity").between(10, 20))
+            | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 15)
+               & F.col("l_quantity").between(20, 30)))
+    return (j.filter(cond)
+            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                 .alias("revenue"),
+                 F.count(F.lit(1)).alias("n")))
+
+
+SQL_Q19_DISCOUNTED_REVENUE = """
+SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,6)))
+            AS DOUBLE) AS revenue,
+       count(*) AS n
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
 def q_grouping_sets_revenue(spark, sf_dir):
     """ROLLUP grouping sets (beyond reference — SURVEY §2.4 notes the
     reference has no cube/rollup): per (returnflag, linestatus) totals plus
@@ -2097,6 +2222,12 @@ REGISTRY: dict[str, tuple] = {
     "q7_nation_volume": (q_q7_nation_volume, SQL_Q7_NATION_VOLUME),
     "q11_important_stock": (q_q11_important_stock, SQL_Q11_IMPORTANT_STOCK),
     "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
+    "q10_returned_items": (q_q10_returned_items, SQL_Q10_RETURNED_ITEMS),
+    "q12_priority_shipping": (q_q12_priority_shipping,
+                              SQL_Q12_PRIORITY_SHIPPING),
+    "q14_promo_revenue": (q_q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
+    "q19_discounted_revenue": (q_q19_discounted_revenue,
+                               SQL_Q19_DISCOUNTED_REVENUE),
     "q21_waiting_supplier": (q_q21_waiting_supplier,
                              SQL_Q21_WAITING_SUPPLIER),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
