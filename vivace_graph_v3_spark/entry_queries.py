@@ -2048,6 +2048,42 @@ WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
 """
 
 
+def q_q22_global_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: scalar AVG subquery threshold + NOT-EXISTS
+    anti-join + substring bucketing — customers with above-average balance
+    and no URGENT orders, counted per name-suffix bucket (every customer
+    has some order in this data, so the exclusion leg filters orders by
+    priority to stay non-trivial). The average is a broadcast scalar; the
+    anti-join streams orders keys only."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    rich = (cust.join(F.broadcast(avg_bal))
+            .filter(F.col("c_acctbal") > F.col("ab")))
+    urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey")))
+    no_orders = rich.join(urgent, "c_custkey", "left_anti")
+    return (no_orders
+            .groupBy(F.substring("c_name", -1, 1).alias("name_bucket"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 _dsum(F.col("c_acctbal")).alias("totacctbal")))
+
+
+SQL_Q22_GLOBAL_SALES_OPPORTUNITY = """
+SELECT name_bucket, count(*) AS numcust,
+       CAST(sum(CAST(c_acctbal AS DECIMAL(38,6))) AS DOUBLE) AS totacctbal
+FROM (
+  SELECT c_custkey, c_acctbal, c_name[-1:] AS name_bucket
+  FROM customer
+  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                     WHERE c_acctbal > 0.0)
+    AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                    AND o_orderpriority = '1-URGENT')
+) GROUP BY name_bucket
+"""
+
+
 def q_grouping_sets_revenue(spark, sf_dir):
     """ROLLUP grouping sets (beyond reference — SURVEY §2.4 notes the
     reference has no cube/rollup): per (returnflag, linestatus) totals plus
@@ -2228,6 +2264,8 @@ REGISTRY: dict[str, tuple] = {
     "q14_promo_revenue": (q_q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
     "q19_discounted_revenue": (q_q19_discounted_revenue,
                                SQL_Q19_DISCOUNTED_REVENUE),
+    "q22_global_sales_opportunity": (q_q22_global_sales_opportunity,
+                                     SQL_Q22_GLOBAL_SALES_OPPORTUNITY),
     "q21_waiting_supplier": (q_q21_waiting_supplier,
                              SQL_Q21_WAITING_SUPPLIER),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
