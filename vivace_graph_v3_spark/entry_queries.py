@@ -273,14 +273,18 @@ def q_findall_orders(spark, sf_dir):
          [("placed", "?c", "?o"), ("slot", "?o", "o_orderkey", "?k")],
          "?keys"),
     ])
-    return df.select(F.col("c").alias("id"), F.col("keys").alias("order_keys"))
+    # Serialize the list to canonical JSON: the driver's canonicalizer
+    # (pandas sort_values) cannot hash raw list cells.
+    return df.select(
+        F.col("c").alias("id"),
+        F.to_json(F.array_sort(F.col("keys"))).alias("order_keys"))
 
 
 SQL_FINDALL_ORDERS = """
 SELECT 'customer:'||c_custkey AS id,
-       coalesce(list(o_orderkey ORDER BY o_orderkey)
+       to_json(coalesce(list(o_orderkey ORDER BY o_orderkey)
                 FILTER (WHERE o_orderkey IS NOT NULL),
-                CAST([] AS BIGINT[])) AS order_keys
+                CAST([] AS BIGINT[]))) AS order_keys
 FROM customer LEFT JOIN orders ON o_custkey=c_custkey GROUP BY 1
 """
 
@@ -291,12 +295,15 @@ def q_bagof_by_nation(spark, sf_dir):
         ("is-a", "?n", "nation"),
         ("bagof", "?c", [("in_nation", "?c", "?n")], "?custs", ["?n"]),
     ])
-    return df.select(F.col("n").alias("id"), F.col("custs").alias("customers"))
+    return df.select(
+        F.col("n").alias("id"),
+        F.to_json(F.array_sort(F.col("custs"))).alias("customers"))
 
 
 SQL_BAGOF_BY_NATION = """
 SELECT 'nation:'||c_nationkey AS id,
-       list('customer:'||c_custkey ORDER BY 'customer:'||c_custkey) AS customers
+       to_json(list('customer:'||c_custkey
+                    ORDER BY 'customer:'||c_custkey)) AS customers
 FROM customer GROUP BY 1
 """
 
@@ -309,12 +316,14 @@ def q_setof_segments(spark, sf_dir):
          [("in_nation", "?c", "?n"), ("slot", "?c", "c_mktsegment", "?s")],
          "?segs", ["?n"]),
     ])
-    return df.select(F.col("n").alias("id"), F.col("segs").alias("segments"))
+    return df.select(
+        F.col("n").alias("id"),
+        F.to_json(F.col("segs")).alias("segments"))
 
 
 SQL_SETOF_SEGMENTS = """
 SELECT 'nation:'||c_nationkey AS id,
-       list(DISTINCT c_mktsegment ORDER BY c_mktsegment) AS segments
+       to_json(list(DISTINCT c_mktsegment ORDER BY c_mktsegment)) AS segments
 FROM customer GROUP BY 1
 """
 
