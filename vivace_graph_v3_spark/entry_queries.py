@@ -534,7 +534,7 @@ def q_q3_top_orders(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     df = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+          .join(cust, orders.o_custkey == cust.c_custkey)
           .groupBy("o_orderkey")
           .agg(_dsum(rev).alias("revenue")))
     return df.orderBy(F.col("revenue").desc(), F.col("o_orderkey")).limit(10)
@@ -559,7 +559,7 @@ def q_q5_nation_revenue(spark, sf_dir):
     nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
     rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     df = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-          .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+          .join(supp, li.l_suppkey == supp.s_suppkey)
           .join(cust, (orders.o_custkey == cust.c_custkey)
                 & (cust.c_nationkey == supp.s_nationkey))
           .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
@@ -1433,14 +1433,16 @@ WHERE l_shipdate >= '1994-01-01' AND l_shipdate < '1995-01-01'
 
 
 def q_q18_large_orders(spark, sf_dir):
-    """TPC-H Q18 shape: groupBy-HAVING semi-join back to detail rows —
-    map-side partial aggregation + broadcast of the (small) hot-key set."""
+    """TPC-H Q18 shape: groupBy-HAVING semi-join back to detail rows.
+    The HAVING-survivor set is selective but still scales with SF, so the
+    join strategy is left to AQE (it broadcasts when the runtime size
+    allows) rather than a forced hint."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     big = (li.groupBy("l_orderkey")
            .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
            .filter(F.col("sum_qty") > 250))
-    return (orders.join(F.broadcast(big),
+    return (orders.join(big,
                         orders["o_orderkey"] == big["l_orderkey"])
             .select("o_orderkey", "o_custkey", "o_totalprice", "sum_qty"))
 
@@ -1600,9 +1602,9 @@ def q_q2_min_cost_supplier(spark, sf_dir):
                     & (li["l_extendedprice"] == mins["min_price"]))
             .select(li["l_partkey"].alias("pk"), "l_suppkey", "min_price")
             .dropDuplicates(["pk", "l_suppkey"]))
-    return (hits.join(F.broadcast(part.filter(F.col("p_size") >= 30)),
+    return (hits.join(part.filter(F.col("p_size") >= 30),
                       hits["pk"] == part["p_partkey"])
-            .join(F.broadcast(supp), hits["l_suppkey"] == supp["s_suppkey"])
+            .join(supp, hits["l_suppkey"] == supp["s_suppkey"])
             .select("p_partkey", "p_name", "s_suppkey", "s_name", "min_price"))
 
 
@@ -1669,18 +1671,19 @@ SELECT c_count, count(*) AS custdist FROM (
 
 
 def q_q16_supplier_cnt(spark, sf_dir):
-    """TPC-H Q16 shape: NOT IN subquery -> broadcast anti-join (the excluded
-    set is tiny), broadcast dim join, then count(DISTINCT) — the two-phase
-    distinct aggregate Spark plans as partial-distinct + final."""
+    """TPC-H Q16 shape: NOT IN subquery -> anti-join, dim join, then
+    count(DISTINCT) — the two-phase distinct aggregate Spark plans as
+    partial-distinct + final. The excluded-supplier set and the filtered
+    part set both scale with SF, so join strategy is left to AQE."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     bad = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
-    return (li.join(F.broadcast(bad), li["l_suppkey"] == bad["s_suppkey"],
+    return (li.join(bad, li["l_suppkey"] == bad["s_suppkey"],
                     "left_anti")
-            .join(F.broadcast(part.filter(
+            .join(part.filter(
                 (F.col("p_brand") != "Brand#45")
-                & F.col("p_size").isin(9, 19, 49))),
+                & F.col("p_size").isin(9, 19, 49)),
                 li["l_partkey"] == part["p_partkey"])
             .groupBy("p_brand", "p_size")
             .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
@@ -1696,14 +1699,15 @@ GROUP BY p_brand, p_size
 
 
 def q_q20_nested_semijoin(spark, sf_dir):
-    """TPC-H Q20 shape: two nested IN subqueries -> part-filter broadcast
-    semi-join into a grouped HAVING, then a second semi-join up to
-    supplier. Both reductions happen before any wide row is formed."""
+    """TPC-H Q20 shape: two nested IN subqueries -> part-filter semi-join
+    into a grouped HAVING, then a second semi-join up to supplier. Both
+    reductions happen before any wide row is formed; the filtered part set
+    scales with SF so AQE picks the join strategy."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     gear = part.filter(F.col("p_name").like("%gear%")).select("p_partkey")
-    heavy = (li.join(F.broadcast(gear), li["l_partkey"] == gear["p_partkey"],
+    heavy = (li.join(gear, li["l_partkey"] == gear["p_partkey"],
                      "left_semi")
              .groupBy("l_suppkey", "l_partkey")
              .agg(_dsum(F.col("l_quantity")).alias("qty"))
@@ -1731,7 +1735,7 @@ def q_topk_per_group(spark, sf_dir):
     window with a deterministic o_orderkey tie-break."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    joined = orders.join(F.broadcast(cust.select("c_custkey", "c_mktsegment")),
+    joined = orders.join(cust.select("c_custkey", "c_mktsegment"),
                          orders["o_custkey"] == cust["c_custkey"])
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.desc("o_totalprice"), F.asc("o_orderkey"))
@@ -1778,8 +1782,9 @@ def q_sketch_quantiles(spark, sf_dir):
 def q_q7_nation_volume(spark, sf_dir):
     """TPC-H Q7 shape: five-way join with a DISJUNCTIVE cross-filter on the
     two nation dims (OR of name pairs — not a plain equi-condition) and
-    year-extraction grouping. Both nation sides broadcast; the OR filter
-    evaluates post-join on two tiny columns."""
+    year-extraction grouping. Only the two nation sides (fixed 25 rows)
+    carry broadcast hints; supplier/customer scale with SF so AQE decides
+    those joins. The OR filter evaluates post-join on two tiny columns."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1793,9 +1798,9 @@ def q_q7_nation_volume(spark, sf_dir):
             & (F.col("cust_nation") == "NATION_2")) | \
            ((F.col("supp_nation") == "NATION_2")
             & (F.col("cust_nation") == "NATION_1"))
-    return (li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+    return (li.join(supp, li["l_suppkey"] == supp["s_suppkey"])
             .join(orders, li["l_orderkey"] == orders["o_orderkey"])
-            .join(F.broadcast(cust.select("c_custkey", "c_nationkey")),
+            .join(cust.select("c_custkey", "c_nationkey"),
                   orders["o_custkey"] == cust["c_custkey"])
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nk"))
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nk"))
@@ -1836,7 +1841,7 @@ def q_q21_waiting_supplier(spark, sf_dir):
     orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
               .filter(F.col("o_orderstatus") == "F")
               .select("o_orderkey", "o_orderdate"))
-    l1 = (li.join(F.broadcast(orders), li["l_orderkey"] == orders["o_orderkey"])
+    l1 = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
           .withColumn("late", (F.col("l_shipdate") > F.col("o_orderdate"))))
     per_order = (l1.groupBy("l_orderkey")
                  .agg(F.countDistinct("l_suppkey").alias("n_supp"),
@@ -1846,7 +1851,7 @@ def q_q21_waiting_supplier(spark, sf_dir):
                .join(per_order.filter((F.col("n_supp") > 1)
                                       & (F.col("n_late") == 1)), "l_orderkey")
                .select("l_orderkey", "l_suppkey").dropDuplicates())
-    return (waiting.join(F.broadcast(supp),
+    return (waiting.join(supp,
                          waiting["l_suppkey"] == supp["s_suppkey"])
             .groupBy("s_name")
             .agg(F.count(F.lit(1)).alias("numwait")))
@@ -1914,7 +1919,7 @@ def q_q15_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_rev").alias("mx"))
     return (rev.join(F.broadcast(mx))
             .filter(F.col("total_rev") == F.col("mx"))
-            .join(F.broadcast(supp), rev["l_suppkey"] == supp["s_suppkey"])
+            .join(supp, rev["l_suppkey"] == supp["s_suppkey"])
             .select("s_suppkey", "s_name",
                     F.round("total_rev", 4).alias("total_rev")))
 
@@ -1935,7 +1940,8 @@ WHERE total_rev = (SELECT max(total_rev) FROM rev)
 def q_q10_returned_items(spark, sf_dir):
     """TPC-H Q10 shape: returned-lineitem revenue per customer, top-20 by
     revenue (deterministic custkey tie-break). The returnflag filter pushes
-    to the lineitem scan; customer/nation broadcast."""
+    to the lineitem scan; nation (fixed 25 rows) broadcasts, customer joins
+    under AQE since it scales with SF."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -1946,7 +1952,7 @@ def q_q10_returned_items(spark, sf_dir):
            .groupBy("o_custkey")
            .agg(_dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
                 .alias("revenue")))
-    joined = (rev.join(F.broadcast(cust), rev["o_custkey"] == cust["c_custkey"])
+    joined = (rev.join(cust, rev["o_custkey"] == cust["c_custkey"])
               .join(F.broadcast(nation),
                     cust["c_nationkey"] == nation["n_nationkey"]))
     return (joined.orderBy(F.desc("revenue"), F.asc("c_custkey"))
@@ -2000,7 +2006,7 @@ def q_q14_promo_revenue(spark, sf_dir):
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    agg = (li.join(F.broadcast(part.select("p_partkey", "p_type")),
+    agg = (li.join(part.select("p_partkey", "p_type"),
                    li["l_partkey"] == part["p_partkey"])
            .agg(_dsum(F.when(F.col("p_type") == "PROMO", disc)
                       .otherwise(F.lit(0.0))).alias("promo"),
@@ -2029,7 +2035,7 @@ def q_q19_discounted_revenue(spark, sf_dir):
     joined row — the classic disjunctive-pushdown stressor."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
-    j = li.join(F.broadcast(part.select("p_partkey", "p_brand", "p_size")),
+    j = li.join(part.select("p_partkey", "p_brand", "p_size"),
                 li["l_partkey"] == part["p_partkey"])
     cond = (((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5)
              & F.col("l_quantity").between(1, 11))
@@ -2066,8 +2072,12 @@ def q_q22_global_sales_opportunity(spark, sf_dir):
     anti-join streams orders keys only."""
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # Decimal-accumulated average: a plain double avg() sums in engine-
+    # specific order, so a balance within a few ulps of the threshold could
+    # flip between Spark and the DuckDB oracle.
     avg_bal = (cust.filter(F.col("c_acctbal") > 0.0)
-               .agg(F.avg("c_acctbal").alias("ab")))
+               .agg((_dsum(F.col("c_acctbal"))
+                     / F.count(F.lit(1))).alias("ab")))
     rich = (cust.join(F.broadcast(avg_bal))
             .filter(F.col("c_acctbal") > F.col("ab")))
     urgent = (orders.filter(F.col("o_orderpriority") == "1-URGENT")
@@ -2085,8 +2095,9 @@ SELECT name_bucket, count(*) AS numcust,
 FROM (
   SELECT c_custkey, c_acctbal, c_name[-1:] AS name_bucket
   FROM customer
-  WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer
-                     WHERE c_acctbal > 0.0)
+  WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(38,6)))
+                                 AS DOUBLE) / count(*)
+                     FROM customer WHERE c_acctbal > 0.0)
     AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
                     AND o_orderpriority = '1-URGENT')
 ) GROUP BY name_bucket
