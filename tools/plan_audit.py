@@ -31,7 +31,7 @@ AUDITED = [
     "q2_min_cost_supplier", "q4_order_priority_exists",
     "q13_customer_distribution", "q16_supplier_cnt", "q20_nested_semijoin",
     "topk_per_group", "grouping_sets_revenue", "events_moving_avg",
-    "events_json_props", "sketch_approx_distinct", "ann_lsh_topk",
+    "events_json_props", "sketch_approx_distinct", "ann_lsh_recall",
     "q7_nation_volume", "q10_returned_items", "q11_important_stock",
     "q12_priority_shipping", "q14_promo_revenue", "q15_top_supplier",
     "q19_discounted_revenue", "q21_waiting_supplier", "dedup_survivors",

@@ -188,15 +188,31 @@ def minhash_dedup_pairs(df: DataFrame, *, text_col: str = "text",
 
 # -- simhash -----------------------------------------------------------------------
 
+def md5_hash64(col):
+    """Cross-engine-deterministic 64-bit hash: the first 16 hex chars of
+    md5 as a signed long (hi 32 bits shifted | lo 32 bits). DuckDB computes
+    the identical value with ('0x'||substr(md5(t),1,8))::BIGINT halves, so
+    oracle SQL can reproduce signatures bit-for-bit. Slower than xxhash64
+    (md5 + two conv calls) but still whole-stage codegen."""
+    hexs = F.md5(col)
+    hi = F.conv(F.substring(hexs, 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(hexs, 9, 8), 16, 10).cast("long")
+    return F.shiftleft(hi, 32).bitwiseOR(lo)
+
+
 def simhash_signatures(df: DataFrame, *, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       token_hash: str = "xxhash64") -> DataFrame:
     """64-bit SimHash over word tokens: bit j of the signature = sign of
-    sum over tokens of (+1 if bit j of xxhash64(token) else -1). Built from
-    64 conditional aggregates — heavy-looking but all codegen'd."""
+    sum over tokens of (+1 if bit j of hash(token) else -1). Built from
+    64 conditional aggregates — heavy-looking but all codegen'd.
+    ``token_hash``: 'xxhash64' (fastest) or 'md5' (cross-engine
+    reproducible — see md5_hash64)."""
     toks = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(tokens(F.col(text_col))).alias("tok"))
-    h = F.xxhash64("tok")
+    h = (F.xxhash64("tok") if token_hash == "xxhash64"
+         else md5_hash64(F.col("tok")))
     aggs = [F.sum(F.when(F.shiftright(h, j).bitwiseAND(F.lit(1)) == 1, 1)
                   .otherwise(-1)).alias(f"b{j}") for j in range(64)]
     sums = toks.groupBy("id").agg(*aggs)
@@ -210,11 +226,16 @@ def simhash_signatures(df: DataFrame, *, text_col: str = "text",
 
 
 def simhash_dup_pairs(df: DataFrame, *, text_col: str = "text",
-                      id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                      id_col: str = "doc_id", max_hamming: int = 3,
+                      token_hash: str = "xxhash64") -> DataFrame:
     """Near-dup pairs by simhash hamming distance <= max_hamming. LSH on
     4 x 16-bit blocks (a pair within distance 3 shares at least one exact
-    block — pigeonhole), then exact popcount verification."""
-    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col)
+    block — pigeonhole), then exact popcount verification. Output semantics:
+    pairs that share >= 1 exact block AND have hamming <= max_hamming (for
+    max_hamming > 3 the block gate is a recall-bounded prefilter, by
+    design)."""
+    sigs = simhash_signatures(df, text_col=text_col, id_col=id_col,
+                              token_hash=token_hash)
     blocks = sigs.select("id", "simhash", F.explode(F.array(*[
         F.struct(F.lit(k).alias("blk"),
                  F.shiftright("simhash", k * 16).bitwiseAND(F.lit(0xFFFF))
@@ -248,44 +269,71 @@ def cosine(a, b):
     return dot / (_norm(a) * _norm(b))
 
 
+def _srp_bit(v, plane_id):
+    """Sign bit of v . w(plane_id) for a deterministic pseudo-random
+    hyperplane: w_i = (xxhash64(i, plane_id) % 1000)/500 - 1."""
+    dot = F.aggregate(
+        F.zip_with(v,
+                   F.transform(F.sequence(F.lit(0), F.size(v) - 1),
+                               lambda i: ((F.xxhash64(i, F.lit(plane_id))
+                                           % 1000).cast("double")
+                                          / 500.0 - 1.0)),
+                   lambda x, w: x.cast("double") * w),
+        F.lit(0.0), lambda acc, x: acc + x)
+    return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+
+
 def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.95,
-                        block_bits: int = 0) -> DataFrame:
-    """Near-dup pairs by cosine >= threshold. With ``block_bits`` > 0, blocks
-    by that many random-hyperplane signs (SRP-LSH) before the pair join so the
-    candidate set is sub-quadratic; 0 = exact all-pairs (for modest inputs or
-    already-blocked data)."""
+                        block_bits: int = 0,
+                        bands: int = 1) -> DataFrame:
+    """Near-dup pairs by cosine >= threshold. With ``block_bits`` > 0,
+    banded SRP-LSH blocking: ``bands`` independent signatures of
+    ``block_bits`` hyperplane signs each; candidates = pairs sharing ANY
+    band's full signature (same band-union structure as MinHash LSH), then
+    exact cosine verification. Per-band collision for angle t is
+    (1-t/pi)^block_bits, so recall = 1-(1-p)^bands — size bands for the
+    target threshold. Never all-pairs when block_bits > 0; 0 = exact
+    all-pairs (for modest inputs or already-blocked data)."""
     base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    if block_bits > 0:
-        # deterministic pseudo-random hyperplanes: sign of sum of
-        # elementwise * hash(i, j) — cheap SRP approximation
-        def plane(j):
-            return lambda i: ((F.xxhash64(i, F.lit(j)) % 1000)
-                              .cast("double") / 500.0 - 1.0)
-
-        sig = None
-        for j in range(block_bits):
-            dot = F.aggregate(
-                F.zip_with(F.col("v"),
-                           F.transform(F.sequence(F.lit(0), F.size("v") - 1),
-                                       plane(j)),
-                           lambda x, w: x.cast("double") * w),
-                F.lit(0.0), lambda acc, x: acc + x)
-            bit = F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
-            term = F.shiftleft(bit, j)
-            sig = term if sig is None else sig.bitwiseXOR(term)
-        base = base.withColumn("__blk", sig)
-        cond = (F.col("a.__blk") == F.col("b.__blk")) & (F.col("a.id") < F.col("b.id"))
-    else:
-        cond = F.col("a.id") < F.col("b.id")
     a, b = base.alias("a"), base.alias("b")
-    sim = cosine(F.col("a.v"), F.col("b.v"))
-    return (a.join(b, cond)
-            .withColumn("cosine", F.round(sim, 6))
+    if block_bits > 0:
+        def band_sig(band):
+            sig = None
+            for j in range(block_bits):
+                term = F.shiftleft(_srp_bit(F.col("v"),
+                                            band * block_bits + j), j)
+                sig = term if sig is None else sig.bitwiseXOR(term)
+            return sig
+
+        banded = base.select("id", F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"), band_sig(k).alias("sig"))
+            for k in range(bands)])).alias("bb"))
+        banded = banded.select("id", F.col("bb.band").alias("band"),
+                               F.col("bb.sig").alias("sig"))
+        ba, bb = banded.alias("ba"), banded.alias("bb")
+        cands = (ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
+                         & (F.col("ba.sig") == F.col("bb.sig"))
+                         & (F.col("ba.id") < F.col("bb.id")))
+                 .select(F.col("ba.id").alias("id_a"),
+                         F.col("bb.id").alias("id_b"))
+                 .dropDuplicates())
+        pairs = (cands
+                 .join(base.select(F.col("id").alias("id_a"),
+                                   F.col("v").alias("va")), "id_a")
+                 .join(base.select(F.col("id").alias("id_b"),
+                                   F.col("v").alias("vb")), "id_b"))
+        sim = cosine(F.col("va"), F.col("vb"))
+    else:
+        pairs = (a.join(b, F.col("a.id") < F.col("b.id"))
+                 .select(F.col("a.id").alias("id_a"),
+                         F.col("b.id").alias("id_b"),
+                         F.col("a.v").alias("va"), F.col("b.v").alias("vb")))
+        sim = cosine(F.col("va"), F.col("vb"))
+    return (pairs.withColumn("cosine", F.round(sim, 6))
             .filter(F.col("cosine") >= threshold)
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-                    "cosine"))
+            .select("id_a", "id_b", "cosine"))
 
 
 _ = Window  # (window paging used by callers)

@@ -146,10 +146,12 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     EQUI-join on (table, bucket) — at 100 TB, corpus bucket columns are
     stamped at ingest and the corpus is bucketed by (table, bucket), making
     each query a partition-local probe with no corpus shuffle (the same
-    write-time trade as IVF's centroid assignment). ``multiprobe=1`` also
-    probes every bucket one sign-flip away (query-side only — the corpus is
-    never expanded), trading probe fan-out for recall exactly like classic
-    multi-probe LSH. Candidates are exactly re-ranked by cosine."""
+    write-time trade as IVF's centroid assignment). ``multiprobe=r`` also
+    probes every bucket within r sign-flips (query-side only — the corpus
+    is never expanded), trading probe fan-out for recall exactly like
+    classic multi-probe LSH; 0 disables probing."""
+    import itertools
+
     import numpy as np
 
     if dim is None:
@@ -160,8 +162,14 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                      out_id="neighbor_id").withColumnRenamed("__v", "cv2")
     q = _lsh_buckets(queries, planes, vec_col=vec_col, id_col=id_col,
                      out_id="query_id").withColumnRenamed("__v", "qv")
-    if multiprobe:
-        flips = F.array(F.lit(0), *[F.lit(1 << b) for b in range(num_bits)])
+    if multiprobe > 0:
+        # all perturbation masks with <= multiprobe bits set (plan-time
+        # literals: C(num_bits, <=r) masks, e.g. 22 for 6 bits at r=2)
+        masks = [0] + [
+            sum(1 << b for b in combo)
+            for r in range(1, multiprobe + 1)
+            for combo in itertools.combinations(range(num_bits), r)]
+        flips = F.array(*[F.lit(m) for m in masks])
         q = (q.select("query_id", "qv", "table",
                       F.explode(F.transform(
                           flips, lambda m: F.col("bucket").bitwiseXOR(m)))
