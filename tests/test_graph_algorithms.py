@@ -67,6 +67,30 @@ def test_triangle_count(spark):
     assert triangle_count(g).first()["n_triangles"] == 1
 
 
+def test_kcore_degree_consistent_when_max_iter_exhausted(spark):
+    """A 5-chain + triangle: 2-core peeling needs several rounds. With
+    max_iter=1 the loop can't converge, but the returned degrees must still
+    be counted within the returned vertex set (not the pre-peel set)."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import k_core
+
+    ids = ["t1", "t2", "t3", "c1", "c2", "c3", "c4", "c5"]
+    edges = [("t1", "t2", 1), ("t2", "t3", 1), ("t3", "t1", 1),
+             ("t1", "c1", 1), ("c1", "c2", 1), ("c2", "c3", 1),
+             ("c3", "c4", 1), ("c4", "c5", 1)]
+    g = _graph(spark, ids, edges)
+    # full run: the 2-core is exactly the triangle, each vertex degree 2
+    full = {r["id"]: r["degree"] for r in k_core(g, 2).collect()}
+    assert full == {"t1": 2, "t2": 2, "t3": 2}
+    # truncated run: whatever set is returned, degrees must match a
+    # recount over edges restricted to that set
+    res = {r["id"]: r["degree"] for r in k_core(g, 2, max_iter=1).collect()}
+    alive = set(res)
+    und = {frozenset((s, d)) for s, d, _ in edges}
+    for v, deg in res.items():
+        recount = sum(1 for e in und if v in e and e <= alive)
+        assert deg == recount, (v, deg, recount)
+
+
 def test_shortest_paths_weighted_vs_hops(spark):
     # a->b->c cost 1+1; direct a->c cost 5 — weighted picks 2, hops picks 1
     g = _graph(spark, ["a", "b", "c"],

@@ -190,6 +190,59 @@ def test_setof_sorted_dedup(tpch, duck):
     assert rows_set(df) == want
 
 
+def test_bagof_witness_inferred(tpch, duck):
+    """No explicit witness arg: free vars of Goal minus template (?n) are
+    inferred, mirroring the reference (prolog-functors.lisp:479-496)."""
+    df = select(tpch, ["?n", "?custs"], [
+        ("is-a", "?n", "nation"),
+        ("bagof", "?c", [("in_nation", "?c", "?n")], "?custs"),
+    ])
+    want = duck_set(duck, """
+        SELECT 'nation:'||c_nationkey,
+               list('customer:'||c_custkey ORDER BY 'customer:'||c_custkey)
+        FROM customer GROUP BY 1
+    """)
+    assert rows_set(df) == want
+
+
+def test_setof_witness_inferred_with_caret(tpch, duck):
+    """('^', [?c], goals...) existentially quantifies ?c so it is excluded
+    from the inferred witness: segments group per nation, not per customer
+    (prolog-functors.lisp:398-411)."""
+    df = select(tpch, ["?n", "?segs"], [
+        ("is-a", "?n", "nation"),
+        ("setof", "?s",
+         [("^", ["?c"],
+           ("in_nation", "?c", "?n"),
+           ("slot", "?c", "c_mktsegment", "?s"))],
+         "?segs"),
+    ])
+    want = duck_set(duck, """
+        SELECT 'nation:'||c_nationkey,
+               list(DISTINCT c_mktsegment ORDER BY c_mktsegment)
+        FROM customer GROUP BY 1
+    """)
+    assert rows_set(df) == want
+
+
+def test_setof_without_caret_groups_per_free_var(tpch, duck):
+    """Same query WITHOUT ^: ?c stays free, so it joins the witness and the
+    inferred grouping is per (customer, nation) — classic bagof/setof
+    behavior — and ?c surfaces as a bound var in the solutions."""
+    df = select(tpch, ["?c", "?n", "?segs"], [
+        ("is-a", "?n", "nation"),
+        ("setof", "?s",
+         [("in_nation", "?c", "?n"), ("slot", "?c", "c_mktsegment", "?s")],
+         "?segs"),
+    ])
+    want = duck_set(duck, """
+        SELECT 'customer:'||c_custkey, 'nation:'||c_nationkey,
+               [c_mktsegment]
+        FROM customer
+    """)
+    assert rows_set(df) == want
+
+
 def test_forall(tpch, duck):
     # regions where every nation has at least one customer
     df = select(tpch, ["?r"], [
@@ -357,6 +410,39 @@ def test_catch_binds_the_ball(tpch):
         ("catch", [("throw", "my-ball")], "?b", []),
     ])
     assert {r["b"] for r in df.collect()} == {"my-ball"}
+
+
+def test_catch_ball_visible_to_recovery_goals(tpch):
+    """ISO catch/3: Ball unifies with Catcher BEFORE Recovery runs, so
+    recovery goals can reference the catcher var (compare / branch on it)."""
+    df = select(tpch, ["?c", "?r"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("throw", "E42")], "?b",
+         [("==", "?b", "E42"), ("is", "?r", 7)]),
+    ])
+    rows = df.collect()
+    assert len(rows) == 5 and all(r["r"] == 7 for r in rows)
+    # a recovery goal comparing against a DIFFERENT ball filters everything
+    df2 = select(tpch, ["?c"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("throw", "E42")], "?b", [("==", "?b", "other")]),
+    ])
+    assert df2.count() == 0
+
+
+def test_atom_rejects_compound_values(tpch):
+    """atom/1 fails on array-typed (compound) bindings and succeeds on
+    scalars (prolog-functors.lisp:90-92)."""
+    scalar = select(tpch, ["?n"], [
+        ("is-a", "?n", "nation"), ("atom", "?n"),
+    ])
+    assert scalar.count() == 25
+    compound = select(tpch, ["?n", "?custs"], [
+        ("is-a", "?n", "nation"),
+        ("findall", "?c", [("in_nation", "?c", "?n")], "?custs"),
+        ("atom", "?custs"),
+    ])
+    assert compound.count() == 0
 
 
 def test_catch_non_matching_ball_propagates(tpch):

@@ -341,6 +341,7 @@ def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
              .localCheckpoint(eager=True))
     n_alive = alive.count()
     deg = None
+    converged = False
     try:
         for _ in range(max_iter):
             live_edges = (edges
@@ -356,10 +357,26 @@ def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
             n_next = survivors.count()
             alive = survivors
             if n_next == n_alive:
+                # fixpoint: survivors == alive, so deg (computed against
+                # alive) already describes the final set
+                converged = True
                 break
             n_alive = n_next
             if n_alive == 0:
+                converged = True
                 break
+        if deg is not None and not converged:
+            # max_iter exhausted before the fixpoint: degrees were counted
+            # against the pre-peel set, so recompute once against the final
+            # alive set to keep the (id, degree) contract honest
+            live_edges = (edges
+                          .join(alive.withColumnRenamed("id", "src"), "src",
+                                "left_semi")
+                          .join(alive.withColumnRenamed("id", "dst"), "dst",
+                                "left_semi"))
+            deg = (live_edges.groupBy("src")
+                   .agg(F.count(F.lit(1)).alias("degree"))
+                   .withColumnRenamed("src", "id"))
     finally:
         edges.unpersist()
     return (deg.join(alive, "id", "left_semi")

@@ -223,6 +223,11 @@ class Select:
 
     def compile_goal(self, plan: Plan, goal: tuple) -> Plan:
         head, *args = goal
+        if head == "^":
+            # existential quantifier ('^', [?vars], goal...): compiles as its
+            # body; the quantified vars only affect bagof/setof witness
+            # inference (prolog-functors.lisp:398-411)
+            return self.compile_goals(plan, list(args[1:]))
         handler = getattr(self, f"_g_{head.replace('-', '_')}", None)
         if handler is not None:
             return handler(plan, *args)
@@ -486,8 +491,14 @@ class Select:
 
     def _g_atom(self, plan: Plan, x: Any) -> Plan:
         """atom/1 (prolog-functors.lisp:90-92): bound non-compound value —
-        non-null, non-array/struct here."""
+        non-null AND not an array/struct/map column (the compound-term
+        analogs); a compound-typed variable fails for every row."""
+        from pyspark.sql.types import ArrayType, MapType, StructType
         c = self.resolve(plan, x)
+        if is_var(x) and plan.df is not None:
+            dt = plan.df.schema[var_col(x)].dataType
+            if isinstance(dt, (ArrayType, MapType, StructType)):
+                return Plan(plan.df.filter(F.lit(False)))
         return Plan(plan.df.filter(c.isNotNull()))
 
     def _g_unique(self, plan: Plan, *vars_: str) -> Plan:
@@ -569,14 +580,51 @@ class Select:
 
     # -- aggregates (findall/bagof/setof, prolog-functors.lisp:413-508) ---------
 
+    @classmethod
+    def _collect_vars(cls, obj: Any, acc: list, quantified: set) -> None:
+        """First-occurrence-ordered variables of a goal tree. A ('^', [vars],
+        goal...) node adds its quantifier list to ``quantified`` and recurses
+        into only the body (prolog-functors.lisp:398-411)."""
+        if is_var(obj):
+            if obj not in acc:
+                acc.append(obj)
+        elif isinstance(obj, (list, tuple)):
+            if (isinstance(obj, tuple) and len(obj) >= 2 and obj[0] == "^"):
+                qvars = obj[1] if isinstance(obj[1], (list, tuple)) else [obj[1]]
+                quantified.update(q for q in qvars if is_var(q))
+                for sub in obj[2:]:
+                    cls._collect_vars(sub, acc, quantified)
+            else:
+                for sub in obj:
+                    cls._collect_vars(sub, acc, quantified)
+
+    @classmethod
+    def _infer_witness(cls, template: Any, goals: list) -> list:
+        """bagof/setof witness vars = free vars of the goal list minus the
+        template minus ^-quantified (prolog-functors.lisp:479-496), in first-
+        occurrence order."""
+        tmpl = {template} if is_var(template) else set(template)
+        acc: list = []
+        quantified: set = set()
+        cls._collect_vars(list(goals), acc, quantified)
+        return [v for v in acc if v not in tmpl and v not in quantified]
+
     def _agg_goal(self, plan: Plan, template: Any, goals: list, out: str,
                   *, witness: list | None, fail_on_empty: bool,
-                  sort_unique: bool) -> Plan:
+                  sort_unique: bool, lenient_witness: bool = False) -> Plan:
         tmpl_vars = [template] if is_var(template) else list(template)
         tmpl_cols = [var_col(v) for v in tmpl_vars]
         sub = self.compile_goals(Plan(plan.df), list(goals))
         if witness is not None:
             group_cols = [var_col(v) for v in witness]
+            if lenient_witness:
+                # inferred witnesses may include vars local to nested
+                # aggregates that never surface as sub-plan columns
+                group_cols = [c for c in group_cols if c in sub.df.columns]
+            # outer-bound vars always refine the grouping: the sub-plan
+            # replicates subgoal solutions per outer row, so dropping an
+            # outer key from the group would mix bags across outer rows
+            group_cols += [c for c in plan.bound if c not in group_cols]
         else:
             group_cols = list(plan.bound)
         tmpl_expr = (F.col(tmpl_cols[0]) if len(tmpl_cols) == 1
@@ -599,7 +647,14 @@ class Select:
             return Plan(grouped)
         keep = [c for c in group_cols if c in plan.bound]
         how = "inner" if fail_on_empty else "left"
-        joined = plan.df.join(grouped.select(*keep, var_col(out)), on=keep, how=how)
+        # new (not-outer-bound) witness vars surface as bound vars in the
+        # solutions, as in the reference (one solution per witness binding)
+        if keep:
+            joined = plan.df.join(grouped.select(*group_cols, var_col(out)),
+                                  on=keep, how=how)
+        else:
+            joined = plan.df.crossJoin(
+                grouped.select(*group_cols, var_col(out)))
         if not fail_on_empty:
             # findall yields [] when Goal has no solutions
             # (prolog-functors.lisp:413-422)
@@ -669,11 +724,17 @@ class Select:
             if not is_var(catcher):
                 raise
             ball = None
-        rec = self.compile_goals(Plan(plan.df), list(recovery))
-        if is_var(catcher) and ball is not None and rec.df is not None:
-            # Catcher unifies with the ball, visible to the recovery goals
-            rec = Plan(rec.df.withColumn(var_col(catcher), F.lit(ball)))
-        return rec
+        base = plan.df
+        if is_var(catcher) and ball is not None:
+            # Ball unifies with Catcher BEFORE Recovery runs (ISO catch/3):
+            # bind it onto the incoming plan so recovery goals can reference
+            # the catcher variable (inspect / compare / re-throw on it).
+            if base is None:
+                base = self.graph.spark.range(1).select(
+                    F.lit(ball).alias(var_col(catcher)))
+            else:
+                base = base.withColumn(var_col(catcher), F.lit(ball))
+        return self.compile_goals(Plan(base), list(recovery))
 
     def _g_findall(self, plan: Plan, template, goals, out) -> Plan:
         return self._agg_goal(plan, template, goals, out, witness=None,
@@ -681,13 +742,27 @@ class Select:
 
     def _g_bagof(self, plan: Plan, template, goals, out, witness=None) -> Plan:
         """bagof groups by witness variables — the free vars of Goal outside
-        the template minus ^-quantified ones (prolog-functors.lisp:479-496).
-        Pass ``witness`` explicitly (the builder does not infer quantifiers);
-        fails (drops rows) on empty groups."""
+        the template minus ^-quantified ones, inferred exactly as the
+        reference does (prolog-functors.lisp:479-496); mark quantified vars
+        with ('^', [?vars], goal...) inside the goal list. An explicit
+        ``witness`` list overrides inference. Fails (drops rows) on empty
+        groups."""
+        if witness is None:
+            witness = self._infer_witness(template, goals)
+            return self._agg_goal(plan, template, goals, out, witness=witness,
+                                  fail_on_empty=True, sort_unique=False,
+                                  lenient_witness=True)
         return self._agg_goal(plan, template, goals, out, witness=witness,
                               fail_on_empty=True, sort_unique=False)
 
     def _g_setof(self, plan: Plan, template, goals, out, witness=None) -> Plan:
+        """setof = bagof + sort + dedup (prolog-functors.lisp:505-508); same
+        witness inference / ^-quantifier rules as bagof."""
+        if witness is None:
+            witness = self._infer_witness(template, goals)
+            return self._agg_goal(plan, template, goals, out, witness=witness,
+                                  fail_on_empty=True, sort_unique=True,
+                                  lenient_witness=True)
         return self._agg_goal(plan, template, goals, out, witness=witness,
                               fail_on_empty=True, sort_unique=True)
 
