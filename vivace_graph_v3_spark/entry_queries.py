@@ -1560,6 +1560,127 @@ WHERE abs(lat - {_CLAT}) + abs(lon - {_CLON}) < 0.3
 """
 
 
+# -- exact polygon geometry (functions/geometry_exact kernel) ----------------
+#
+# Deterministic per-nation hexagons: center = customer coordinate centroid
+# (integer offset sums -> bit-identical across engines), radius scales with
+# nationkey. The same construction is expressed in the DuckDB oracle, so the
+# kernel's shoelace/perimeter/intersects answers are verified value-by-value.
+
+_HEX_DX = [2.0, 1.0, -1.0, -2.0, -1.0, 1.0]
+_HEX_DY = [0.0, 2.0, 2.0, 0.0, -2.0, -2.0]
+
+
+def _nation_polygons(spark, sf_dir):
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    agg = (cust.groupBy(F.col("c_nationkey").alias("nk"))
+           .agg(F.sum(F.col("c_custkey") % 100 - 50).alias("slat"),
+                F.sum((F.col("c_custkey") * 7) % 100 - 50).alias("slon"),
+                F.count(F.lit(1)).alias("n")))
+    ctr = agg.select(
+        "nk",
+        (F.lit(_CLAT) + (F.col("slat") / F.col("n")) / 100.0
+         + ((F.col("nk") * 13) % 10 - 5) * 0.08).alias("clat"),
+        (F.lit(_CLON) + (F.col("slon") / F.col("n")) / 100.0
+         + ((F.col("nk") * 7) % 11 - 5) * 0.08).alias("clon"),
+        (0.05 * (1 + F.col("nk") % 3)).alias("r"))
+    xs = F.array(*[F.col("clon") + F.col("r") * F.lit(dx) for dx in _HEX_DX])
+    ys = F.array(*[F.col("clat") + F.col("r") * F.lit(dy) for dy in _HEX_DY])
+    return ctr.select("nk", xs.alias("xs"), ys.alias("ys"))
+
+
+_POLY_SQL_BASE = f"""
+  WITH cagg AS (
+    SELECT c_nationkey AS nk,
+           SUM(c_custkey % 100 - 50) AS slat,
+           SUM((c_custkey * 7) % 100 - 50) AS slon,
+           COUNT(*) AS n
+    FROM customer GROUP BY 1
+  ), ctr AS (
+    SELECT nk,
+           {_CLAT} + (slat / n) / 100.0 + ((nk * 13) % 10 - 5) * 0.08 AS clat,
+           {_CLON} + (slon / n) / 100.0 + ((nk * 7) % 11 - 5) * 0.08 AS clon,
+           0.05 * (1 + nk % 3) AS r
+    FROM cagg
+  ), v AS (
+    SELECT nk, j, clon + r * dx AS x, clat + r * dy AS y
+    FROM ctr, (VALUES (0, 2.0, 0.0), (1, 1.0, 2.0), (2, -1.0, 2.0),
+                      (3, -2.0, 0.0), (4, -1.0, -2.0), (5, 1.0, -2.0))
+         AS hexv(j, dx, dy)
+  ), e AS (
+    SELECT a.nk, a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+    FROM v a JOIN v b ON a.nk = b.nk AND b.j = (a.j + 1) % 6
+  )
+"""
+
+
+def q_geo_polygon_metrics(spark, sf_dir):
+    """Exact shoelace area + planar perimeter of the per-nation hexagons via
+    the dependency-free kernel (functions/geometry_exact.py; the op class the
+    reference delegates to GEOS, geometry-ops.lisp:181-190), Arrow-batched
+    through a pandas UDF. The oracle recomputes both from the polygon edges
+    in SQL."""
+    from vivace_graph_v3_spark.operators.spatial import polygon_metrics
+
+    polys = _nation_polygons(spark, sf_dir)
+    m = polygon_metrics(polys, id_col="nk")
+    return m.select(F.col("id").alias("nk"),
+                    F.round("area", 6).alias("area"),
+                    F.round("perimeter", 6).alias("perimeter"))
+
+
+SQL_GEO_POLYGON_METRICS = _POLY_SQL_BASE + """
+  SELECT nk, round(abs(SUM(x1 * y2 - x2 * y1)) / 2, 6) AS area,
+         round(SUM(sqrt((x2 - x1) * (x2 - x1) + (y2 - y1) * (y2 - y1))), 6)
+             AS perimeter
+  FROM e GROUP BY nk
+"""
+
+
+def q_geo_polygon_intersects(spark, sf_dir):
+    """Exact polygon-polygon intersects over all nation-hexagon pairs:
+    grid-cell equi-join prefilter + geometry_exact.polygon_intersects refine
+    (operators/spatial.polygon_intersect_pairs). Replaces the reference's
+    no-GEOS bbox over-approximation (geometry-ops.lisp:94-113) with an exact
+    answer; the oracle proves exactness via edge-crossing + centroid
+    ray-cast SQL."""
+    from vivace_graph_v3_spark.operators.spatial import polygon_intersect_pairs
+
+    polys = _nation_polygons(spark, sf_dir)
+    return polygon_intersect_pairs(polys, id_col="nk").select("id_a", "id_b")
+
+
+SQL_GEO_POLYGON_INTERSECTS = _POLY_SQL_BASE + """
+  , pair AS (
+    SELECT a.nk AS na, b.nk AS nb FROM ctr a JOIN ctr b ON a.nk < b.nk
+  ), crossing AS (
+    SELECT DISTINCT p.na, p.nb
+    FROM pair p JOIN e ea ON ea.nk = p.na JOIN e eb ON eb.nk = p.nb
+    WHERE sign((ea.x2-ea.x1)*(eb.y1-ea.y1) - (ea.y2-ea.y1)*(eb.x1-ea.x1))
+          * sign((ea.x2-ea.x1)*(eb.y2-ea.y1) - (ea.y2-ea.y1)*(eb.x2-ea.x1)) < 0
+      AND sign((eb.x2-eb.x1)*(ea.y1-eb.y1) - (eb.y2-eb.y1)*(ea.x1-eb.x1))
+          * sign((eb.x2-eb.x1)*(ea.y2-eb.y1) - (eb.y2-eb.y1)*(ea.x2-eb.x1)) < 0
+  ), contains AS (
+    -- no-edge-crossing containment: the smaller center inside the other ring
+    SELECT p.na, p.nb
+    FROM pair p JOIN ctr ca ON ca.nk = p.na JOIN ctr cb ON cb.nk = p.nb
+    WHERE (SELECT SUM(CASE WHEN (y1 > cb.clat) <> (y2 > cb.clat)
+                            AND cb.clon < (x2 - x1) * (cb.clat - y1)
+                                          / (y2 - y1) + x1
+                           THEN 1 ELSE 0 END) % 2
+           FROM e WHERE e.nk = p.na) = 1
+       OR (SELECT SUM(CASE WHEN (y1 > ca.clat) <> (y2 > ca.clat)
+                            AND ca.clon < (x2 - x1) * (ca.clat - y1)
+                                          / (y2 - y1) + x1
+                           THEN 1 ELSE 0 END) % 2
+           FROM e WHERE e.nk = p.nb) = 1
+  )
+  SELECT na AS id_a, nb AS id_b FROM crossing
+  UNION
+  SELECT na AS id_a, nb AS id_b FROM contains
+"""
+
+
 def q_invoke_view_goal(spark, sf_dir):
     """invoke-reduced-view as a *goal* inside select (prolog-functors.
     lisp:769-789): join part vertices against the per-part quantity
@@ -2338,6 +2459,9 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
     "spatial_within": (q_spatial_within, SQL_SPATIAL_WITHIN),
+    "geo_polygon_metrics": (q_geo_polygon_metrics, SQL_GEO_POLYGON_METRICS),
+    "geo_polygon_intersects": (q_geo_polygon_intersects,
+                               SQL_GEO_POLYGON_INTERSECTS),
     "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE),
     "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE_ORDERS),
     "integrity_report": (q_integrity_report, SQL_INTEGRITY_REPORT),

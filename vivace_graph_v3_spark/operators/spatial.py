@@ -123,3 +123,101 @@ def geo_within(df: DataFrame, lat: float, lon: float, radius_m: float,
     find_nodes_near."""
     dist = haversine_m(F.col(lat_col), F.col(lon_col), F.lit(lat), F.lit(lon))
     return df.filter(dist <= radius_m)
+
+
+# -- polygon-polygon operators (exact kernel refine) --------------------------------
+
+def polygon_intersect_pairs(polys: DataFrame, *, id_col: str = "id",
+                            xs_col: str = "xs", ys_col: str = "ys",
+                            cell_deg: float = 0.25) -> DataFrame:
+    """All pairs of intersecting polygons: grid-cell equi-join prefilter +
+    EXACT kernel refine (functions/geometry_exact.polygon_intersects — the
+    working replacement for the reference's no-GEOS bbox approximation,
+    geometry-ops.lisp:94-113).
+
+    Input: one row per polygon — (id, xs: array<double>, ys: array<double>)
+    for the outer ring. Scale shape: each polygon emits the grid cells its
+    bbox covers (``cell_deg`` degrees); candidates equi-join on the cell —
+    never an all-pairs theta join — then dedup, bbox check (all-JVM), and
+    the exact pandas-UDF refine runs only on bbox survivors. At 100 TB the
+    cell column is stamped at ingest and the table bucketed by cell, making
+    this a co-located join (the same write-time trade as the geohash point
+    index above)."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    base = (polys.select(
+        F.col(id_col).alias("id"), F.col(xs_col).alias("xs"),
+        F.col(ys_col).alias("ys"))
+        .withColumn("xmin", F.array_min("xs"))
+        .withColumn("xmax", F.array_max("xs"))
+        .withColumn("ymin", F.array_min("ys"))
+        .withColumn("ymax", F.array_max("ys")))
+    inv = 1.0 / cell_deg
+    cells = base.select(
+        "id", "xs", "ys", "xmin", "xmax", "ymin", "ymax",
+        F.explode(F.flatten(F.transform(
+            F.sequence(F.floor(F.col("xmin") * inv),
+                       F.floor(F.col("xmax") * inv)),
+            lambda cx: F.transform(
+                F.sequence(F.floor(F.col("ymin") * inv),
+                           F.floor(F.col("ymax") * inv)),
+                lambda cy: F.struct(cx.alias("cx"), cy.alias("cy")))))
+        ).alias("cell"))
+    a = cells.alias("a")
+    b = cells.alias("b")
+    cand = (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("id_a"), F.col("a.xs").alias("xsa"),
+                    F.col("a.ys").alias("ysa"), F.col("b.id").alias("id_b"),
+                    F.col("b.xs").alias("xsb"), F.col("b.ys").alias("ysb"),
+                    F.col("a.xmin").alias("axmin"), F.col("a.xmax").alias("axmax"),
+                    F.col("a.ymin").alias("aymin"), F.col("a.ymax").alias("aymax"),
+                    F.col("b.xmin").alias("bxmin"), F.col("b.xmax").alias("bxmax"),
+                    F.col("b.ymin").alias("bymin"), F.col("b.ymax").alias("bymax"))
+            .dropDuplicates(["id_a", "id_b"])
+            .filter((F.col("axmax") >= F.col("bxmin"))
+                    & (F.col("bxmax") >= F.col("axmin"))
+                    & (F.col("aymax") >= F.col("bymin"))
+                    & (F.col("bymax") >= F.col("aymin"))))
+
+    @pandas_udf(BooleanType())
+    def _refine(xsa, ysa, xsb, ysb):
+        from vivace_graph_v3_spark.functions.geometry_exact import (
+            polygon_intersects)
+
+        return pd.Series([
+            polygon_intersects([list(zip(xa, ya))], [list(zip(xb, yb))])
+            for xa, ya, xb, yb in zip(xsa, ysa, xsb, ysb)])
+
+    return (cand.filter(_refine("xsa", "ysa", "xsb", "ysb"))
+            .select("id_a", "id_b"))
+
+
+def polygon_metrics(polys: DataFrame, *, id_col: str = "id",
+                    xs_col: str = "xs", ys_col: str = "ys") -> DataFrame:
+    """Shoelace area + planar perimeter per polygon row via the exact
+    kernel (geometry-ops.lisp:186-190 surface), Arrow-batched."""
+    import pandas as pd
+    from pyspark.sql.types import DoubleType
+
+    @pandas_udf(DoubleType())
+    def _area(xs, ys):
+        from vivace_graph_v3_spark.functions.geometry_exact import (
+            polygon_area)
+
+        return pd.Series([polygon_area([list(zip(x, y))])
+                          for x, y in zip(xs, ys)])
+
+    @pandas_udf(DoubleType())
+    def _perim(xs, ys):
+        from vivace_graph_v3_spark.functions.geometry_exact import (
+            polygon_perimeter)
+
+        return pd.Series([polygon_perimeter([list(zip(x, y))])
+                          for x, y in zip(xs, ys)])
+
+    return polys.select(
+        F.col(id_col).alias("id"),
+        _area(F.col(xs_col), F.col(ys_col)).alias("area"),
+        _perim(F.col(xs_col), F.col(ys_col)).alias("perimeter"))
