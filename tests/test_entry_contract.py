@@ -19,7 +19,6 @@ def test_registry_shape():
     # rows-only entries are the deliberate, documented exceptions
     rows_only = set(qs) - set(sqls)
     assert rows_only <= {
-        "graph_pagerank", "graph_label_propagation", "graph_kcore",
         "sketch_approx_distinct", "sketch_quantiles",
     }, f"unexpected rows-only queries: {rows_only - set(sqls)}"
 

@@ -1167,8 +1167,11 @@ FROM pairs p1 JOIN pairs p2 ON p1.v = p2.u
 
 
 def q_graph_pagerank(spark, sf_dir):
-    """PageRank over the customer->nation->region containment graph; no SQL
-    oracle (iterative) — rows-only check, deterministic iteration count."""
+    """PageRank, 10 fixed power iterations over the full F6 graph; oracle =
+    the same 10 rounds unrolled as SQL CTE stages (contribution join, uniform
+    dangling-mass redistribution, damping 0.85). Ordering and values are on
+    the 4-decimal rounded rank, so last-ulp sum-order drift between engines
+    cannot flip the comparison."""
     from vivace_graph_v3_spark.operators.graph_algorithms import pagerank
 
     g = load_tpch_graph(spark, sf_dir)
@@ -1177,10 +1180,77 @@ def q_graph_pagerank(spark, sf_dir):
             .orderBy(F.desc("rank"), "id").limit(50))
 
 
+# the F6 graph (graph.py:232-283) expressed relationally for the analytics
+# oracles: directed edge list (multi-edges preserved) + vertex universe
+_F6_EDGES_SQL = """
+    SELECT 'customer:'||c_custkey AS src, 'nation:'||c_nationkey AS dst
+    FROM customer
+    UNION ALL
+    SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey FROM supplier
+    UNION ALL
+    SELECT 'nation:'||n_nationkey, 'region:'||n_regionkey FROM nation
+    UNION ALL
+    SELECT 'customer:'||o_custkey, 'orders:'||o_orderkey FROM orders
+    UNION ALL
+    SELECT 'orders:'||l_orderkey, 'part:'||l_partkey FROM lineitem
+    UNION ALL
+    SELECT 'orders:'||l_orderkey, 'supplier:'||l_suppkey FROM lineitem
+"""
+
+_F6_VERTICES_SQL = """
+    SELECT 'region:'||r_regionkey AS id FROM region
+    UNION ALL SELECT 'nation:'||n_nationkey FROM nation
+    UNION ALL SELECT 'customer:'||c_custkey FROM customer
+    UNION ALL SELECT 'supplier:'||s_suppkey FROM supplier
+    UNION ALL SELECT 'part:'||p_partkey FROM part
+    UNION ALL SELECT 'orders:'||o_orderkey FROM orders
+"""
+
+
+def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85) -> str:
+    """Unrolled power iteration mirroring operators/graph_algorithms.pagerank
+    exactly: per-round contribution sum, dangling mass folded in uniformly,
+    identical expression association."""
+    parts = [f"""
+WITH vertices AS MATERIALIZED ({_F6_VERTICES_SQL}),
+edges AS MATERIALIZED ({_F6_EDGES_SQL}),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices),
+r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM vertices)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+recv{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(r.rank / d.deg) AS recv
+  FROM r{p} r JOIN deg d ON d.src = r.id JOIN edges e ON e.src = r.id
+  GROUP BY e.dst
+),
+dang{i} AS MATERIALIZED (
+  SELECT COALESCE(SUM(r.rank), 0.0) AS dang
+  FROM r{p} r LEFT JOIN deg d ON d.src = r.id WHERE d.src IS NULL
+),
+r{i} AS MATERIALIZED (
+  SELECT v.id,
+         (((1.0 - {damping}) + ({damping} * g.dang) / nv.n)
+          + {damping} * COALESCE(rc.recv, 0.0)) AS rank
+  FROM vertices v
+  LEFT JOIN recv{i} rc ON rc.id = v.id
+  CROSS JOIN dang{i} g CROSS JOIN nv
+)""")
+    return (",".join(parts)
+            + f"""
+SELECT id, round(rank, 4) AS rank FROM r{rounds}
+ORDER BY round(rank, 4) DESC, id LIMIT 50
+""")
+
+
+SQL_GRAPH_PAGERANK = _pagerank_oracle_sql()
+
+
 def q_graph_label_propagation(spark, sf_dir):
-    """Synchronous LPA communities (deterministic min-label tie-break);
-    rows-only check — Python-reference-verified in
-    tests/test_random_reference.py."""
+    """Synchronous LPA communities, 3 fixed rounds, deterministic
+    (count desc, label asc) tie-break; oracle = the same rounds unrolled as
+    SQL window stages over the undirected in_nation edges."""
     from vivace_graph_v3_spark.operators.graph_algorithms import (
         label_propagation)
 
@@ -1190,14 +1260,94 @@ def q_graph_label_propagation(spark, sf_dir):
             .orderBy(F.desc("size"), "label").limit(50))
 
 
+def _lpa_oracle_sql(rounds: int = 3) -> str:
+    """Unrolled synchronous label propagation mirroring
+    operators/graph_algorithms.label_propagation: per-round neighbor-label
+    frequency argmax with (count desc, label asc) tie-break; vertices with
+    no neighbors keep their label."""
+    parts = [f"""
+WITH vertices AS ({_F6_VERTICES_SQL}),
+ue AS MATERIALIZED (
+  SELECT 'customer:'||c_custkey AS src, 'nation:'||c_nationkey AS dst
+  FROM customer
+  UNION ALL
+  SELECT 'nation:'||c_nationkey, 'customer:'||c_custkey FROM customer
+),
+l0 AS MATERIALIZED (SELECT id, id AS label FROM vertices)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+b{i} AS MATERIALIZED (
+  SELECT src, label FROM (
+    SELECT e.src, l.label,
+           row_number() OVER (PARTITION BY e.src
+                              ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+    FROM ue e JOIN l{p} l ON l.id = e.dst
+    GROUP BY e.src, l.label
+  ) WHERE rn = 1
+),
+l{i} AS MATERIALIZED (
+  SELECT v.id, COALESCE(b.label, v.label) AS label
+  FROM l{p} v LEFT JOIN b{i} b ON b.src = v.id
+)""")
+    return (",".join(parts)
+            + f"""
+SELECT label, COUNT(*) AS size FROM l{rounds}
+GROUP BY label ORDER BY size DESC, label LIMIT 50
+""")
+
+
+SQL_GRAPH_LABEL_PROPAGATION = _lpa_oracle_sql()
+
+
 def q_graph_kcore(spark, sf_dir):
-    """k-core peeling over the order->part containment graph; rows-only
-    check — Python-reference-verified in tests/test_random_reference.py."""
+    """k-core (k=6) peeling over the order<->part containment graph; oracle
+    = the peel loop unrolled past its measured fixpoint (peeling is
+    idempotent once converged, so extra unrolled rounds are harmless)."""
     from vivace_graph_v3_spark.operators.graph_algorithms import k_core
 
     g = load_tpch_graph(spark, sf_dir)
     core = k_core(g, 6, edge_type="contains")
     return (core.orderBy(F.desc("degree"), "id").limit(100))
+
+
+def _kcore_oracle_sql(k: int = 6, rounds: int = 16) -> str:
+    """Unrolled peeling mirroring operators/graph_algorithms.k_core:
+    undirected distinct-neighbor degree, drop-under-k per round. sf0.01
+    converges in 9 rounds (measured); 16 gives margin, and post-fixpoint
+    rounds are no-ops."""
+    parts = [f"""
+WITH und AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (
+    SELECT 'orders:'||l_orderkey AS src, 'part:'||l_partkey AS dst
+    FROM lineitem
+    UNION ALL
+    SELECT 'part:'||l_partkey, 'orders:'||l_orderkey FROM lineitem
+  )
+),
+a0 AS MATERIALIZED (SELECT DISTINCT src AS id FROM und)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+a{i} AS MATERIALIZED (
+  SELECT id FROM (
+    SELECT e.src AS id, COUNT(*) AS deg
+    FROM und e JOIN a{p} a ON a.id = e.src JOIN a{p} b ON b.id = e.dst
+    GROUP BY e.src
+  ) WHERE deg >= {k}
+)""")
+    return (",".join(parts)
+            + f"""
+SELECT id, deg AS degree FROM (
+  SELECT e.src AS id, COUNT(*) AS deg
+  FROM und e JOIN a{rounds} a ON a.id = e.src JOIN a{rounds} b ON b.id = e.dst
+  GROUP BY e.src
+) WHERE deg >= {k}
+ORDER BY deg DESC, id LIMIT 100
+""")
+
+
+SQL_GRAPH_KCORE = _kcore_oracle_sql()
 
 
 # ---------------------------------------------------------------------------
@@ -2450,9 +2600,10 @@ REGISTRY: dict[str, tuple] = {
                                    SQL_GRAPH_CONNECTED_COMPONENTS),
     "graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
     "graph_triangle_count": (q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT),
-    "graph_pagerank": (q_graph_pagerank, None),
-    "graph_label_propagation": (q_graph_label_propagation, None),
-    "graph_kcore": (q_graph_kcore, None),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "graph_label_propagation": (q_graph_label_propagation,
+                                SQL_GRAPH_LABEL_PROPAGATION),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
     "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
     "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
