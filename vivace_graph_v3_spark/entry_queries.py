@@ -445,6 +445,54 @@ SELECT * FROM (
 """
 
 
+def q_view_mixed_key_order(spark, sf_dir):
+    """Heterogeneous view key (utilities.lisp:237-309 cross-type less-than):
+    key type depends on c_custkey%4 — boolean / number / string / null —
+    and the cursor must emit null < boolean < number < string order.
+    Output = row_number over the cursor order, so the oracle verifies the
+    TOTAL order, not just the row set."""
+    from pyspark.sql import Window
+    from vivace_graph_v3_spark.functions.term_order import (
+        variant_key, variant_sort_key)
+    from vivace_graph_v3_spark.views import def_view, map_view
+
+    def map_fn(df):
+        k = F.col("c_custkey") % 4
+        return df.select(
+            "id",
+            variant_key(
+                bool_v=F.when(k == 0, F.col("c_acctbal") > 0),
+                num_v=F.when(k == 1, F.col("c_acctbal")),
+                str_v=F.when(k == 2, F.col("c_mktsegment")),
+            ).alias("key"),
+            F.col("c_custkey").alias("value"))
+
+    g = load_tpch_graph(spark, sf_dir)
+    def_view("customer", "mixed_key_contract", map_fn, mixed=True)
+    cur = map_view(g, "customer", "mixed_key_contract", count=500)
+    sk = variant_sort_key(F.col("key"))
+    return (cur.select(
+        F.row_number().over(Window.orderBy(sk, "id")).alias("rn"),
+        "id", sk["rank"].alias("type_rank")))
+
+
+SQL_VIEW_MIXED_KEY_ORDER = """
+WITH keyed AS (
+  SELECT 'customer:'||c_custkey AS id,
+         CASE c_custkey%4 WHEN 3 THEN 0 WHEN 0 THEN 1
+                          WHEN 1 THEN 2 ELSE 4 END AS type_rank,
+         CASE c_custkey%4
+              WHEN 0 THEN CASE WHEN c_acctbal>0 THEN 1.0 ELSE 0.0 END
+              WHEN 1 THEN c_acctbal ELSE 0.0 END AS num_k,
+         CASE c_custkey%4 WHEN 2 THEN c_mktsegment ELSE '' END AS str_k
+  FROM customer
+)
+SELECT row_number() OVER (ORDER BY type_rank, num_k, str_k, id) AS rn,
+       id, type_rank
+FROM keyed ORDER BY type_rank, num_k, str_k, id LIMIT 500
+"""
+
+
 # ---------------------------------------------------------------------------
 # §2.3 traversal / graph analytics
 # ---------------------------------------------------------------------------
@@ -2600,6 +2648,7 @@ REGISTRY: dict[str, tuple] = {
                                    SQL_GRAPH_CONNECTED_COMPONENTS),
     "graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
     "graph_triangle_count": (q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT),
+    "view_mixed_key_order": (q_view_mixed_key_order, SQL_VIEW_MIXED_KEY_ORDER),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
     "graph_label_propagation": (q_graph_label_propagation,
                                 SQL_GRAPH_LABEL_PROPAGATION),

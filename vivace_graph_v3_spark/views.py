@@ -51,6 +51,10 @@ class View:
     map_fn: Callable[[DataFrame], DataFrame]  # scan df -> (id, key, value)
     reduce_agg: Column | None = None  # aggregate over 'value', e.g. F.sum
     order: str = "lessp"  # 'lessp' ascending | 'greaterp' descending
+    # Heterogeneous keys (utilities.lisp:237-309 cross-type less-than): the
+    # map_fn emits a variant-struct key (functions.term_order.variant_key)
+    # and the cursor orders/filters by its (type_rank, num, str) composite.
+    mixed: bool = False
 
     def __post_init__(self):
         self._cache: dict[str, DataFrame] = {}
@@ -103,13 +107,24 @@ class View:
         counted over visible entries after the range filter, in view order
         (key, id) asc for :lessp / desc for :greaterp."""
         df = self.reduced(graph) if reduced else self.materialize(graph)
+        if self.mixed:
+            # cross-type order: compare/sort on the (rank, num, str)
+            # composite, never the raw variant struct (whose field order
+            # would sort booleans before every number)
+            from vivace_graph_v3_spark.functions.term_order import (
+                variant_lit, variant_sort_key)
+            kc = variant_sort_key(F.col("key"))
+            enc = lambda v: variant_sort_key(variant_lit(v))  # noqa: E731
+        else:
+            kc = F.col("key")
+            enc = F.lit
         if key is not None:
-            df = df.filter(F.col("key") == F.lit(key))
+            df = df.filter(kc == enc(key))
         if start_key is not None:
-            df = df.filter(F.col("key") >= F.lit(start_key))
+            df = df.filter(kc >= enc(start_key))
         if end_key is not None:
-            df = df.filter(F.col("key") <= F.lit(end_key))
-        order = [F.col("key"), F.col("id")] if not reduced else [F.col("key")]
+            df = df.filter(kc <= enc(end_key))
+        order = [kc, F.col("id")] if not reduced else [kc]
         if self.order == "greaterp":
             order = [c.desc() for c in order]
         df = df.orderBy(*order)
@@ -121,11 +136,15 @@ class View:
 
 
 def def_view(class_name: str, name: str, map_fn, *, kind: str = "vertex",
-             reduce_agg: Column | None = None, order: str = "lessp") -> View:
+             reduce_agg: Column | None = None, order: str = "lessp",
+             mixed: bool = False) -> View:
     """``def-view`` (views.lisp:750-793). ``map_fn(scan_df) -> DataFrame`` with
-    columns (id, key[, value]); 0..n rows per node via where/explode."""
+    columns (id, key[, value]); 0..n rows per node via where/explode.
+    ``mixed=True`` declares a heterogeneous key (variant struct, see
+    functions/term_order.py) ordered by the reference's cross-type
+    less-than."""
     v = View(class_name=class_name, name=name, kind=kind, map_fn=map_fn,
-             reduce_agg=reduce_agg, order=order)
+             reduce_agg=reduce_agg, order=order, mixed=mixed)
     _VIEWS[(class_name, name)] = v
     return v
 
