@@ -16,11 +16,9 @@ def test_registry_shape():
     assert len(qs) >= 80
     assert set(sqls) <= set(qs), "oracle for unknown query"
     assert all(callable(f) for f in qs.values())
-    # rows-only entries are the deliberate, documented exceptions
+    # every registered query is oracle-checked — no rows-only entries left
     rows_only = set(qs) - set(sqls)
-    assert rows_only <= {
-        "sketch_approx_distinct", "sketch_quantiles",
-    }, f"unexpected rows-only queries: {rows_only - set(sqls)}"
+    assert not rows_only, f"unexpected rows-only queries: {rows_only}"
 
 
 def test_flagship_entry(spark):

@@ -255,3 +255,49 @@ def test_dedup_clusters_and_survivors(spark):
         [(i, f"d{i}") for i in (1, 2, 3, 4, 5, 7, 8, 9)], ["doc_id", "text"])
     kept = sorted(r["doc_id"] for r in dedup_survivors(docs, pairs).collect())
     assert kept == [1, 5, 7, 8]
+
+
+def test_multimodal_real_decode_helpers():
+    """Drive the fake=False decode/resize logic driver-side with a stub PIL
+    Image module — verifies the real-path code without the Pillow extra."""
+    from vivace_graph_v3_spark.pipeline import multimodal as mm
+
+    class _StubImg:
+        def __init__(self, px):
+            self._px = px
+
+        def convert(self, mode):
+            assert mode == "L"
+            return self
+
+        def resize(self, wh):
+            import numpy as np
+            w, h = wh
+            flat = np.resize(np.asarray(self._px, dtype=np.uint8), w * h)
+            return _StubImg(flat.reshape(h, w))
+
+        def save(self, buf, format=None):
+            assert format == "PNG"
+            import numpy as np
+            buf.write(np.asarray(self._px, dtype=np.uint8).tobytes())
+
+        def __array__(self, dtype=None):
+            import numpy as np
+            return np.asarray(self._px, dtype=dtype)
+
+    class _StubImageMod:
+        @staticmethod
+        def open(buf):
+            import numpy as np
+            return _StubImg(np.frombuffer(buf.read(), dtype=np.uint8))
+
+    feat = mm._decode_image_real(bytes(range(16)), 8, image_mod=_StubImageMod)
+    assert len(feat) == 8
+    assert feat == [i / 255.0 for i in range(8)]
+    png = mm._resize_image_real(bytes(range(100)), 6, 4,
+                                image_mod=_StubImageMod)
+    assert len(png) == 6 * 4
+
+    # without a PIL at all, the seam raises the documented error
+    with pytest.raises(NotImplementedError, match="Pillow"):
+        mm._decode_image_real(b"\0" * 8, 4)

@@ -3,11 +3,15 @@
 No reference analog (SURVEY §2.4 notes the reference has no
 approx_count_distinct); these are beyond-reference scale operators — at
 100 TB a sketch with fixed-size state is the only viable distinct/quantile
-path (no per-key distinct shuffle). Correctness here = bounded error
-against the exact answer, not hash equality.
+path (no per-key distinct shuffle). Correctness = bounded error against the
+exact answer; the contract queries embed the bound check as boolean columns
+(so the DuckDB oracle can verify them exactly), and these tests assert the
+bounds hold plus re-derive the quantile rank error independently via numpy.
 """
 
 import numpy as np
+
+from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from vivace_graph_v3_spark import entry_queries as eq
@@ -18,20 +22,31 @@ def test_approx_distinct_error_bound(spark):
     assert rows, "no event types"
     for r in rows:
         assert r["exact_users"] > 0
-        rel = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
-        assert rel < 0.05, (r["event_type"], rel)
+        assert r["within_5pct"], r["event_type"]
 
 
-def test_quantiles_rank_error(spark, duck):
-    got = {r["event_type"]: r
-           for r in eq.q_sketch_quantiles(spark, SF_DIR).collect()}
+def test_quantiles_rank_flags(spark):
+    rows = eq.q_sketch_quantiles(spark, SF_DIR).collect()
+    assert rows, "no event types"
+    for r in rows:
+        for col in ("p50_rank_ok", "p95_rank_ok", "p99_rank_ok"):
+            assert r[col], (r["event_type"], col)
+
+
+def test_quantiles_rank_error_numpy(spark, duck):
+    # independent re-derivation of the in-query rank check: pull the raw
+    # percentile_approx values and rank them against the sorted data
+    ev = eq._events(spark, SF_DIR)
+    got = {r["event_type"]: r["q"] for r in
+           (ev.groupBy("event_type")
+            .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+                 .alias("q"))).collect()}
     vals = duck.execute(
         "SELECT event_type, list(value) FROM events GROUP BY 1").fetchall()
     for etype, xs in vals:
         xs = np.sort(np.array(xs))
         n = len(xs)
-        for col, q in (("p50", 0.5), ("p95", 0.95), ("p99", 0.99)):
-            est = got[etype][col]
-            # rank of the estimate must be within 1% of the target rank
+        for i, q in enumerate((0.5, 0.95, 0.99)):
+            est = got[etype][i]
             rank = np.searchsorted(xs, est, side="right") / n
-            assert abs(rank - q) <= 0.011 + 1.0 / n, (etype, col, est, rank)
+            assert abs(rank - q) <= 0.011 + 1.0 / n, (etype, q, est, rank)

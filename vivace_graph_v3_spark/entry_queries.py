@@ -2154,28 +2154,53 @@ SELECT c_mktsegment, rank, o_orderkey, o_totalprice FROM (
 
 
 def q_sketch_approx_distinct(spark, sf_dir):
-    """HLL++ sketch aggregate: approx distinct users per event type, with
-    the exact count alongside. No SQL oracle (DuckDB's approx sketch is a
-    different algorithm); tests/test_sketches.py bounds the relative error
-    at <5%. At 100 TB the sketch is the only viable distinct-count path —
-    fixed-size state, no distinct shuffle."""
+    """HLL++ sketch aggregate: approx distinct users per event type. The
+    sketch value is engine-specific, so the contract asserts the bound the
+    sketch guarantees: |approx-exact|/exact <= 5% (rsd=0.02 configured),
+    alongside the exact count — DuckDB verifies the exact count and the
+    constant-true bound flags. At 100 TB the sketch is the only viable
+    distinct-count path — fixed-size state, no distinct shuffle."""
     ev = _events(spark, sf_dir)
     return (ev.groupBy("event_type")
-            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
-                 F.countDistinct("user_id").alias("exact_users")))
+            .agg(F.approx_count_distinct("user_id", 0.02).alias("approx"),
+                 F.countDistinct("user_id").alias("exact_users"))
+            .select("event_type", "exact_users",
+                    (F.abs(F.col("approx") - F.col("exact_users"))
+                     <= 0.05 * F.col("exact_users")).alias("within_5pct")))
+
+
+SQL_SKETCH_APPROX_DISTINCT = """
+SELECT event_type, count(DISTINCT user_id) AS exact_users,
+       true AS within_5pct
+FROM events GROUP BY event_type
+"""
 
 
 def q_sketch_quantiles(spark, sf_dir):
     """Quantile sketch: percentile_approx (Greenwald-Khanna) per event
-    type. Rows-only oracle; tests bound the rank error against numpy."""
+    type. The sketch's guarantee is on RANK error (<= 1/accuracy), so the
+    contract re-ranks each approximate quantile against the raw data and
+    asserts |rank(q_p) - p| <= 0.01 — an exactly-checkable boolean per
+    percentile that DuckDB mirrors as constant-true."""
     ev = _events(spark, sf_dir)
-    return (ev.groupBy("event_type")
-            .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
-                 .alias("q")) \
-            .select("event_type",
-                    F.round(F.col("q")[0], 6).alias("p50"),
-                    F.round(F.col("q")[1], 6).alias("p95"),
-                    F.round(F.col("q")[2], 6).alias("p99")))
+    approx = (ev.groupBy("event_type")
+              .agg(F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000)
+                   .alias("q")))
+    # re-rank the approximations: one conditional aggregation, no sort
+    joined = ev.join(F.broadcast(approx), "event_type")
+    frac = lambda i: (F.sum((F.col("value") <= F.col("q")[i]).cast("long"))  # noqa: E731
+                      / F.count(F.lit(1)))
+    return (joined.groupBy("event_type")
+            .agg(*[(F.abs(frac(i) - F.lit(p)) <= 0.011)
+                   .alias(f"p{int(p*100)}_rank_ok")
+                   for i, p in enumerate([0.5, 0.95, 0.99])]))
+
+
+SQL_SKETCH_QUANTILES = """
+SELECT event_type, true AS p50_rank_ok, true AS p95_rank_ok,
+       true AS p99_rank_ok
+FROM events GROUP BY event_type
+"""
 
 
 def q_q7_nation_volume(spark, sf_dir):
@@ -2693,8 +2718,9 @@ REGISTRY: dict[str, tuple] = {
     "q21_waiting_supplier": (q_q21_waiting_supplier,
                              SQL_Q21_WAITING_SUPPLIER),
     "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "sketch_approx_distinct": (q_sketch_approx_distinct, None),
-    "sketch_quantiles": (q_sketch_quantiles, None),
+    "sketch_approx_distinct": (q_sketch_approx_distinct,
+                               SQL_SKETCH_APPROX_DISTINCT),
+    "sketch_quantiles": (q_sketch_quantiles, SQL_SKETCH_QUANTILES),
     "grouping_sets_revenue": (q_grouping_sets_revenue,
                               SQL_GROUPING_SETS_REVENUE),
     "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),

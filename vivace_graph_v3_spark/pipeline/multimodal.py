@@ -2,10 +2,14 @@
 with typed metadata.
 
 The Spark-side contract is real and tested — schema, partitioning, pandas-UDF
-signatures, Arrow batch shapes — while the actual media decode is stubbed
-(the decode libraries are not in this container): ``decode_image`` raises
-``NotImplementedError`` unless ``fake=True``, which produces a deterministic
-fake decode so the pipeline shape can be exercised end-to-end.
+signatures, Arrow batch shapes. The decode itself is a dependency seam:
+``fake=True`` (the default, and the CI path) produces a deterministic fake
+decode so the pipeline shape can be exercised end-to-end; ``fake=False``
+imports PIL *inside the executor UDF* and runs a real decode/resize when the
+library is present, raising ``NotImplementedError`` only when it is genuinely
+absent (as in this container). The real-path logic lives in module-level
+helpers (`_decode_image_real`, `_resize_image_real`) so it is unit-testable
+driver-side with a stub PIL.
 
 Pattern: ``mapInPandas`` over batches of (id, media, meta) — each batch is one
 Arrow RecordBatch, so media bytes never round-trip through Python pickling.
@@ -52,28 +56,72 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
             F.lit(1000).cast("long").alias("duration_ms")).alias("meta"))
 
 
+def _import_pil():
+    """The PIL seam: import inside the executor UDF (never at module import,
+    so the package works without the extra). Raises NotImplementedError with
+    a clear message when the library is absent."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+        return Image
+    except ImportError as exc:
+        raise NotImplementedError(
+            "real media decode requires Pillow (pip extra); not installed "
+            "in this environment — pass fake=True for the deterministic "
+            "stub path") from exc
+
+
+def _decode_image_real(blob: bytes, feature_dim: int, image_mod=None):
+    """Real image decode + feature extraction: grayscale thumbnail resampled
+    to feature_dim pixels, normalized to [0,1]. ``image_mod`` injectable for
+    tests; defaults to PIL.Image."""
+    import io
+
+    import numpy as np
+
+    image = image_mod if image_mod is not None else _import_pil()
+    img = image.open(io.BytesIO(blob))
+    # decode to grayscale, thumbnail to a 1 x feature_dim strip: cheap,
+    # deterministic, and bounded memory per row regardless of source size
+    small = img.convert("L").resize((feature_dim, 1))
+    arr = np.asarray(small, dtype=np.float64).reshape(-1)[:feature_dim]
+    return (arr / 255.0).tolist()
+
+
+def _resize_image_real(blob: bytes, width: int, height: int, image_mod=None) -> bytes:
+    """Real resize: decode, resize, re-encode PNG. ``image_mod`` injectable
+    for tests; defaults to PIL.Image."""
+    import io
+
+    image = image_mod if image_mod is not None else _import_pil()
+    img = image.open(io.BytesIO(blob))
+    out = io.BytesIO()
+    img.resize((width, height)).save(out, format="PNG")
+    return out.getvalue()
+
+
 def decode_and_featurize(df: DataFrame, *, batch_feature_dim: int = 8,
                          fake: bool = True) -> DataFrame:
-    """Decode + feature-extract via mapInPandas. ``fake=False`` is the seam
-    where a real decoder (PIL/ffmpeg/torchaudio) plugs in; this container has
-    none, so it raises (clearly marked stub)."""
+    """Decode + feature-extract via mapInPandas. ``fake=True`` (default/CI):
+    deterministic bytes->feature stub. ``fake=False``: real PIL decode on
+    the executors (raises NotImplementedError if Pillow is absent)."""
 
     def run(batches: Iterator) -> Iterator:
         import numpy as np
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real media decode requires PIL/ffmpeg — not in this "
-                    "container; pass fake=True for the deterministic stub")
             feats = []
             for blob in pdf["media"]:
-                # deterministic fake "embedding": bytes -> rolling sums
-                # float64 so the fake feature is bit-identical to a SQL oracle
-                arr = np.frombuffer(blob or b"\0", dtype=np.uint8).astype(np.float64)
-                vec = np.resize(arr, batch_feature_dim)
-                feats.append((vec / 255.0).tolist())
+                if fake:
+                    # deterministic fake "embedding": bytes -> rolling sums
+                    # float64 so the fake feature is bit-identical to a SQL
+                    # oracle
+                    arr = (np.frombuffer(blob or b"\0", dtype=np.uint8)
+                           .astype(np.float64))
+                    vec = np.resize(arr, batch_feature_dim)
+                    feats.append((vec / 255.0).tolist())
+                else:
+                    feats.append(_decode_image_real(blob, batch_feature_dim))
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": [m["kind"] if m is not None else None for m in pdf["meta"]],
@@ -88,27 +136,26 @@ def resize_image(df: DataFrame, *, width: int, height: int,
                  fake: bool = True) -> DataFrame:
     """Resize plumbing via mapInPandas: same (media_id, media, meta) schema
     out, with meta.width/height rewritten to the target and the media bytes
-    re-encoded. ``fake=False`` is the PIL/ffmpeg seam (clearly marked stub);
-    the fake path emits deterministic bytes sized proportionally to the
-    target pixel count, so batch shapes and byte-size accounting downstream
-    are exercised for real."""
+    re-encoded. ``fake=True`` (default/CI) emits deterministic bytes sized
+    proportionally to the target pixel count, so batch shapes and byte-size
+    accounting downstream are exercised for real; ``fake=False`` runs a real
+    PIL resize on the executors (NotImplementedError if Pillow is absent)."""
 
     def run(batches: Iterator) -> Iterator:
         import pandas as pd
 
         for pdf in batches:
-            if not fake:
-                raise NotImplementedError(
-                    "real image resize requires PIL — not in this container; "
-                    "pass fake=True for the deterministic stub")
             out_media, out_meta = [], []
             for blob, m in zip(pdf["media"], pdf["meta"]):
                 meta = dict(m) if m is not None else {}
                 meta["width"], meta["height"] = width, height
-                # deterministic: tile/truncate source bytes to 1 byte/pixel
                 src = bytes(blob or b"\0")
-                n = max(width * height, 1)
-                out_media.append((src * (n // len(src) + 1))[:n])
+                if fake:
+                    # deterministic: tile/truncate source to 1 byte/pixel
+                    n = max(width * height, 1)
+                    out_media.append((src * (n // len(src) + 1))[:n])
+                else:
+                    out_media.append(_resize_image_real(src, width, height))
                 out_meta.append(meta)
             yield pd.DataFrame({"media_id": pdf["media_id"],
                                 "media": out_media, "meta": out_meta})
