@@ -35,6 +35,9 @@ AUDITED = [
     "q7_nation_volume", "q10_returned_items", "q11_important_stock",
     "q12_priority_shipping", "q14_promo_revenue", "q15_top_supplier",
     "q19_discounted_revenue", "q21_waiting_supplier", "dedup_survivors",
+    "q22_global_sales_opportunity", "view_mixed_key_order",
+    "graph_pagerank", "dedup_embedding", "geo_polygon_intersects",
+    "sketch_quantiles",
 ]
 
 
