@@ -46,6 +46,9 @@ BENCH_QUERIES = [
     "pattern_dsl_query",
     "text_lang_id",
     "multimodal_features",
+    "view_mixed_key_order",
+    "geo_polygon_metrics",
+    "graph_pagerank",
 ]
 
 

@@ -491,3 +491,24 @@ def test_fail_and_repeat(tpch):
     assert both.count() == 5
     rep = select(tpch, ["?c"], [("is-a", "?c", "region"), ("repeat",)])
     assert rep.count() == 5
+
+
+def test_var_compile_time_boundness(tpch):
+    """var/1 (prolog-functors.lisp:141-142): an unbound variable succeeds
+    (and stays unbound for later goals to bind); a bound variable or
+    constant fails for every row."""
+    # ?x unbound at the var/1 goal, bound afterwards: full nation count
+    df = select(tpch, ["?x"], [
+        ("var", "?x"), ("is-a", "?x", "nation"),
+    ])
+    assert df.count() == 25
+    # bound by the time var/1 runs: empty
+    df2 = select(tpch, ["?x"], [
+        ("is-a", "?x", "nation"), ("var", "?x"),
+    ])
+    assert df2.count() == 0
+    # constants are never unbound vars
+    df3 = select(tpch, ["?n"], [
+        ("is-a", "?n", "nation"), ("var", "const"),
+    ])
+    assert df3.count() == 0

@@ -59,7 +59,10 @@ def audit(sf_dir: str) -> str:
         bcast = len(re.findall(r"BroadcastHashJoin", plan))
         smj = len(re.findall(r"SortMergeJoin", plan))
         shj = len(re.findall(r"ShuffledHashJoin", plan))
-        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        # count output columns from the FileScan bracket list, not the
+        # ReadSchema string (which Spark truncates at ~100 chars, corrupting
+        # naive comma counts)
+        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
         cols = [len([c for c in s.split(",") if c.strip()]) for s in scans]
         pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
         py_row = "row-UDF!" if "BatchEvalPython" in plan else (

@@ -737,6 +737,60 @@ WHERE rn = 1
 """
 
 
+def q_replication_subset(spark, sf_dir):
+    """Subset-replication filter semantics (transactions.lisp:884-956,
+    streaming/replication.py::subset_filter) as a batch contract: an
+    events-derived txn log where op cycles insert/update/delete and the
+    slave predicate keeps value >= 50. Deletes always apply; excluded
+    inserts drop; excluded UPDATES DEMOTE TO DELETES (payload nulled) —
+    the exact frame the replication stream applies, minus the stream."""
+    from pyspark.sql import types as T
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+    from vivace_graph_v3_spark.streaming.replication import subset_filter
+
+    reg = SchemaRegistry()
+    reg.def_vertex("event", {"value": T.DoubleType()})
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        F.col("event_id").cast("long").alias("commit_epoch"),
+        F.lit("vertex").alias("kind"),
+        F.lit("event").alias("type"),
+        F.element_at(F.array(F.lit("insert"), F.lit("update"),
+                             F.lit("delete")),
+                     (F.col("event_id") % 3 + 1).cast("int")).alias("op"),
+        F.concat(F.lit("ev:"), F.col("event_id")).alias("id"),
+        F.lit(0).cast("long").alias("revision"),
+        (F.col("event_id") % 3 == 2).alias("deleted"),
+        F.lit(None).cast("string").alias("src"),
+        F.lit(None).cast("string").alias("dst"),
+        F.lit(None).cast("double").alias("weight"),
+        F.to_json(F.struct(F.col("value"))).alias("payload"),
+        F.lit(None).cast("double").alias("committed_at"))
+    out = subset_filter(
+        log, reg, {"event": lambda p: p["value"] >= 50.0})
+    return out.select(
+        "id", "op", "deleted",
+        F.round(F.from_json("payload", "value double")["value"], 6)
+        .alias("value"))
+
+
+SQL_REPLICATION_SUBSET = """
+WITH log AS (
+  SELECT 'ev:'||event_id AS id,
+         CASE event_id%3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+                         ELSE 'delete' END AS op,
+         event_id%3 = 2 AS deleted, value
+  FROM events
+)
+SELECT id, op, deleted, round(value, 6) AS value FROM log
+WHERE op = 'delete' OR COALESCE(value >= 50.0, FALSE)      -- passes
+UNION ALL
+SELECT id, 'delete' AS op, true AS deleted, NULL AS value
+FROM log WHERE op = 'update'
+          AND NOT COALESCE(value >= 50.0, FALSE)           -- demoted updates
+"""
+
+
 # ---------------------------------------------------------------------------
 # pipeline: text analysis
 # ---------------------------------------------------------------------------
@@ -2655,6 +2709,7 @@ REGISTRY: dict[str, tuple] = {
     "events_latest_per_user": (q_events_latest_per_user,
                                SQL_EVENTS_LATEST_PER_USER),
     "mvcc_snapshot_read": (q_mvcc_snapshot_read, SQL_MVCC_SNAPSHOT_READ),
+    "replication_subset": (q_replication_subset, SQL_REPLICATION_SUBSET),
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),

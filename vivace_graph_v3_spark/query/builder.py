@@ -482,7 +482,17 @@ class Select:
             return Plan(self.graph.spark.range(1).select(val.alias(var_col(x))))
         return Plan(plan.df.withColumn(var_col(x), val))
 
-    def _g_numberp(self, plan: Plan, x: Any) -> Plan:
+    def _g_var(self, plan: Plan, x: Any) -> Plan:
+        """var/1 (prolog-functors.lisp:141-142): true iff the argument is an
+        unbound variable. In a static set-semantics plan, bound-ness is a
+        compile-time property: a variable the preceding goals have not bound
+        succeeds for every row (and stays unbound); a bound variable or a
+        constant fails for every row."""
+        if is_var(x) and (plan.df is None or var_col(x) not in plan.bound):
+            return plan
+        if plan.df is None:
+            return Plan(self.graph.spark.range(1).filter(F.lit(False)))
+        return Plan(plan.df.filter(F.lit(False)))
         """Type test (prolog-functors.lisp:86-88): value parses as a number.
         (Column types are static in Spark; the dynamic-typing analog is a
         cast-success test, which also matches string-typed slots.)"""
