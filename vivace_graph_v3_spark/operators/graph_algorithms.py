@@ -80,9 +80,21 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     """Standard damped PageRank over active edges. Returns (id, rank) with
     ranks summing to |V| (the classic normalization). Dangling mass is
     redistributed uniformly each round so the total stays conserved."""
-    vertices = graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
-    edges = _edge_pairs(graph, edge_type).persist()
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # materialize the vertex universe once — it joins into EVERY iteration,
+    # and recomputing the multi-type union scan per round would dominate
+    vertices = (graph.scan_vertices(columns=["id"]).select("id")
+                .dropDuplicates().localCheckpoint(eager=True))
+    # partition the (static) edge list by join key ONCE: every iteration's
+    # rank-contribution join then shuffles only the small rank frame, never
+    # the edges — at 100 TB the edge shuffle is the cost that matters
+    edges = _edge_pairs(graph, edge_type).repartition(F.col("src")).persist()
+    out_deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+               .persist())
+    # the dangling set is static (vertices with no out-edges): compute the
+    # id set once, so the per-round dangling mass is one small semi-join
+    dangling = (vertices.join(out_deg.withColumnRenamed("src", "id"),
+                              "id", "left_anti")
+                .localCheckpoint(eager=True))
     n = vertices.count()
     ranks = vertices.withColumn("rank", F.lit(1.0))
     ranks = ranks.localCheckpoint(eager=True)
@@ -97,8 +109,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
             # dangling vertices contribute their rank uniformly — computed
             # inside the plan (1-row broadcast cross join), not as a separate
             # driver-side action per round
-            dang = (ranks.join(out_deg,
-                               ranks["id"] == out_deg["src"], "left_anti")
+            dang = (ranks.join(dangling, "id", "left_semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
             base = (F.lit(1.0 - damping)
                     + F.lit(damping) * F.col("__dang") / F.lit(float(n)))
@@ -122,6 +133,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                 ranks = new
     finally:
         edges.unpersist()
+        out_deg.unpersist()
     return ranks
 
 
