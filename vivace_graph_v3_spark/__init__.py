@@ -16,6 +16,8 @@ re-expresses those *semantics* Spark-first:
 - txn log / MVCC      -> append-only change-log tables, epoch-gated snapshot
                          reads, Structured Streaming replication (mvcc.py,
                          streaming/)
+- REST layer          -> stdlib http.server control plane over MVCC commits,
+                         named queries and the JSON pattern DSL (rest.py)
 - plus large-scale training-data pipeline operators: dedup (exact/MinHash-LSH/
   SimHash/ngram-Jaccard/embedding), ANN similarity search, text analysis,
   multimodal column plumbing (pipeline/).
