@@ -84,3 +84,55 @@ def test_not_complements_range(tpch, duck, lo, hi):
     ])
     total = duck.execute("SELECT count(*) FROM customer").fetchone()[0]
     assert inside + outside == total
+
+
+_VARIANT_VALUES = st.one_of(
+    st.none(),
+    st.booleans(),
+    st.floats(min_value=-1e6, max_value=1e6,
+              allow_nan=False, allow_infinity=False),
+    st.text(alphabet="abcXYZ 019", max_size=8),
+    st.lists(st.floats(min_value=-1e5, max_value=1e5,
+                       allow_nan=False, allow_infinity=False)
+             .map(lambda x: round(x, 3)),
+             min_size=0, max_size=4),
+)
+
+
+def _py_term_key(v):
+    """Driver-side reference comparator for the cross-type total order
+    (utilities.lisp:237-309): null < bool < number < string < list."""
+    if v is None:
+        return (0,)
+    if isinstance(v, bool):
+        return (1, v)
+    if isinstance(v, (int, float)):
+        return (2, float(v))
+    if isinstance(v, str):
+        return (4, v)
+    return (5, [float(x) for x in v])
+
+
+@SLOW
+@given(vals=st.lists(_VARIANT_VALUES, min_size=1, max_size=12))
+def test_variant_sort_matches_python_reference(spark, vals):
+    """Spark-side variant_sort_key ordering == the Python reference
+    comparator for arbitrary heterogeneous key lists (timestamps excluded:
+    hypothesis datetimes add tz noise orthogonal to the order)."""
+    from vivace_graph_v3_spark.functions.term_order import (
+        variant_lit, variant_sort_key)
+
+    frames = [
+        spark.range(1).select(F.lit(i).alias("i"),
+                              variant_lit(v).alias("key"))
+        for i, v in enumerate(vals)
+    ]
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    got = [r["i"] for r in
+           df.orderBy(variant_sort_key(F.col("key")), "i").collect()]
+    # stable sort by the python reference key, index as tiebreak
+    want = [i for i, _ in sorted(enumerate(vals),
+                                 key=lambda t: (_py_term_key(t[1]), t[0]))]
+    assert got == want, (vals, got, want)

@@ -184,3 +184,24 @@ def test_stale_put_conflict(server):
         "id string, name string, age int, revision long")
     with pytest.raises(ConflictError):
         vg.commit(vg.begin().save("person", stale))
+
+
+def test_named_query_effect_policy(server):
+    """def-query defaults to read-only (rest.lisp:384-391): an effecting
+    goal raises 403 through HTTP unless the server author opts in."""
+    srv, vg = server
+    base = f"{srv.address}/graph/main"
+    _req("POST", f"{base}/vertex/person", {"id": "p1", "name": "ann", "age": 3})
+
+    def_query("evals", vars=["?x"],
+              goals=[("is-a", "?p", "person"),
+                     ("lisp", "?x", "1 + 1")])
+    st, err = _req("POST", f"{base}/query/evals", {}, expect_error=403)
+    assert "eval" in err["error"]
+
+    def_query("evals_ok", vars=["?x"],
+              goals=[("is-a", "?p", "person"),
+                     ("lisp", "?x", "1 + 1")],
+              effects={"eval"})
+    st, rows = _req("POST", f"{base}/query/evals_ok", {})
+    assert rows == [{"x": 2}]

@@ -44,7 +44,9 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # data-regime heavies: a 10x corpus where every doc has 10
           # exact copies (dup-group size 10 -> 45 verified pairs each),
           # and BFS whose hop joins scan 10x edges
-          "dedup_minhash_lsh", "traverse_bfs"]
+          "dedup_minhash_lsh", "traverse_bfs",
+          # iterative analytics: 10 pagerank rounds shuffle 10x messages
+          "graph_pagerank"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -133,6 +133,10 @@ def compile_pattern_query(graph: GraphStore, spec: dict, *,
         order_by=spec.get("order_by"),
         descending=bool(spec.get("descending", False)),
         params=params or {},
+        # client-supplied queries are strictly read-only (rest.lisp:448-456:
+        # "no server-authored template, no client Lisp") — the DSL cannot
+        # express effecting goals, and the sandbox enforces it regardless
+        allowed_effects=frozenset(),
     )
     # 'in' membership is a local helper, not a global functor
     orig = sel.compile_goal
@@ -170,6 +174,9 @@ class NamedQuery:
     limit: int | None = DEFAULT_LIMIT
     order_by: list[str] | None = None
     distinct: bool = False
+    # rest.lisp:384-391 ":EFFECTS the side-effect policy (default NIL =
+    # read-only; a forbidden write/eval attempt yields a 403)"
+    effects: frozenset = frozenset()
 
     def coerce(self, raw: dict) -> dict:
         out = {}
@@ -196,16 +203,21 @@ def def_query(name: str, *, vars: list[str], goals: list[tuple],
               defaults: dict[str, Any] | None = None,
               limit: int | None = DEFAULT_LIMIT,
               order_by: list[str] | None = None,
-              distinct: bool = False) -> NamedQuery:
+              distinct: bool = False,
+              effects: set[str] | frozenset = frozenset()) -> NamedQuery:
     """Register a named query. ``params`` maps param name -> type name
     (int/float/string/bool/timestamp, rest.lisp:59-99); goals reference them
-    via ``('param', '?x', 'name')``."""
+    via ``('param', '?x', 'name')``. ``effects`` is the side-effect policy
+    (rest.lisp:384-391): default read-only — a goal needing ``eval``/
+    ``write`` raises EffectNotAllowed (HTTP 403 through the REST layer)
+    unless the server author opts it in here."""
     bad = [t for t in (params or {}).values() if t not in _COERCERS]
     if bad:
         raise ParamError(f"unknown param types: {bad}")
     q = NamedQuery(name=name, vars=list(vars), goals=list(goals),
                    params=dict(params or {}), defaults=dict(defaults or {}),
-                   limit=limit, order_by=order_by, distinct=distinct)
+                   limit=limit, order_by=order_by, distinct=distinct,
+                   effects=frozenset(effects))
     _QUERIES[name] = q
     return q
 
@@ -213,10 +225,11 @@ def def_query(name: str, *, vars: list[str], goals: list[tuple],
 def run_query(graph: GraphStore, name: str, params: dict | None = None,
               **overrides) -> DataFrame:
     """``call-rest-query`` (rest.lisp:435-446): coerce params, run the
-    precompiled select under its registered bounds."""
+    precompiled select under its registered bounds and effect policy."""
     q = _QUERIES[name]
     bound = q.coerce(params or {})
-    opts = dict(limit=q.limit, order_by=q.order_by, distinct=q.distinct)
+    opts = dict(limit=q.limit, order_by=q.order_by, distinct=q.distinct,
+                allowed_effects=q.effects)
     opts.update(overrides)
     return Select(graph, q.vars, q.goals, params=bound, **opts).to_df()
 

@@ -353,6 +353,7 @@ class RestServer:
                 "in": _rows_json(inc, self.max_rows)}
 
     def _named_query(self, vg, name, params):
+        from vivace_graph_v3_spark.query.builder import EffectNotAllowed
         from vivace_graph_v3_spark.query.pattern import (ParamError,
                                                          QueryError,
                                                          run_query)
@@ -362,11 +363,15 @@ class RestServer:
             raise _HttpError(404, f"Unknown query '{name}'")
         except ParamError as e:
             raise _HttpError(400, str(e))
+        except EffectNotAllowed as e:
+            # prolog-permission-error -> 403 (rest.lisp:430-433)
+            raise _HttpError(403, str(e))
         except QueryError as e:
             raise _HttpError(400, str(e))
         return _rows_json(df, self.max_rows)
 
     def _pattern_query(self, vg, params):
+        from vivace_graph_v3_spark.query.builder import EffectNotAllowed
         from vivace_graph_v3_spark.query.pattern import (
             QueryError, compile_pattern_query)
         spec = {k: v for k, v in params.items()
@@ -375,10 +380,10 @@ class RestServer:
             raise _HttpError(400, "pattern query needs a 'match' clause")
         try:
             df = compile_pattern_query(vg.store(), spec)
+        except EffectNotAllowed as e:
+            raise _HttpError(403, str(e))
         except QueryError as e:
             raise _HttpError(400, str(e))
-        except PermissionError as e:
-            raise _HttpError(403, str(e))
         return _rows_json(df, self.max_rows)
 
     _id_counter = 0
