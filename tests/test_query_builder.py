@@ -512,3 +512,18 @@ def test_var_compile_time_boundness(tpch):
         ("is-a", "?n", "nation"), ("var", "const"),
     ])
     assert df3.count() == 0
+
+
+def test_numberp_type_test(tpch):
+    """numberp/1 (prolog-functors.lisp:86-88): numeric slots pass, string
+    slots fail. Regression: the goal must stay dispatchable."""
+    nums = select(tpch, ["?b"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_acctbal", "?b"), ("numberp", "?b"),
+    ])
+    assert nums.count() == 150
+    strs = select(tpch, ["?n"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_name", "?n"), ("numberp", "?n"),
+    ])
+    assert strs.count() == 0

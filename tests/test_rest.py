@@ -205,3 +205,38 @@ def test_named_query_effect_policy(server):
               effects={"eval"})
     st, rows = _req("POST", f"{base}/query/evals_ok", {})
     assert rows == [{"x": 2}]
+
+
+def test_create_duplicate_id_conflict(server):
+    srv, vg = server
+    base = f"{srv.address}/graph/main"
+    _req("POST", f"{base}/vertex/person", {"id": "p1", "name": "ann"})
+    st, err = _req("POST", f"{base}/vertex/person", {"id": "p1", "name": "bis"},
+                   expect_error=409)
+    assert "already exists" in err["error"]
+    # generated ids never collide (uuid4-based)
+    st, a = _req("POST", f"{base}/vertex/person", {"name": "x"})
+    st, b = _req("POST", f"{base}/vertex/person", {"name": "y"})
+    assert a["id"] != b["id"]
+
+
+def test_edge_listing_only_under_vertex(server):
+    srv, vg = server
+    base = f"{srv.address}/graph/main"
+    for pid in ("p1", "p2"):
+        _req("POST", f"{base}/vertex/person", {"id": pid, "name": pid})
+    _req("POST", f"{base}/edge/knows", {"id": "e1", "from": "p1", "to": "p2"})
+    st, err = _req("GET", f"{base}/edge/e1/edges", expect_error=404)
+    assert "unknown route" in err["error"]
+
+
+def test_failing_procedure_returns_500(server):
+    srv, vg = server
+
+    @def_rest_procedure("boom")
+    def boom(graph, params):
+        raise AttributeError("exploded")
+
+    st, err = _req("POST", f"{srv.address}/graph/main/procedure/boom", {},
+                   expect_error=500)
+    assert "AttributeError" in err["error"]

@@ -90,3 +90,23 @@ def test_mixed_view_cursor_order_and_range(tpch, spark):
     exact = map_view(tpch, "customer", "mixed_key", key=True).collect()
     assert all(r.key.bool_v is True for r in exact)
     assert len(exact) == sum(1 for rk in ranks if rk == (1, 1.0, ""))
+
+
+def test_array_key_negative_precision_and_overflow(spark):
+    """Negative elements differing at the 6th decimal must stay distinct
+    (exact decimal complement, not a double-domain offset), and an
+    out-of-range element renders as a trailing sentinel instead of
+    silently vanishing from the key."""
+    vals = [
+        (0, [-2e-5]), (1, [-1e-5]), (2, [0.0]), (3, [1e-5]),
+        (4, [1e16]),          # overflow -> sentinel, sorts after in-range
+    ]
+    frames = [spark.range(1).select(F.lit(i).alias("i"),
+                                    variant_lit(v).alias("key"))
+              for i, v in vals]
+    df = frames[0]
+    for f in frames[1:]:
+        df = df.unionByName(f)
+    got = [r["i"] for r in
+           df.orderBy(variant_sort_key(F.col("key"))).collect()]
+    assert got == [0, 1, 2, 3, 4]

@@ -1006,7 +1006,15 @@ SQL_DEDUP_SIMHASH = _simhash_oracle_sql()
 def q_dedup_embedding(spark, sf_dir):
     """Embedding near-dup pairs via banded SRP-LSH blocking (16 bands x
     8 hyperplane bits), verified with exact cosine — never an all-pairs
-    join — and hash-matched against the exact all-pairs DuckDB oracle."""
+    join — and hash-matched against the exact all-pairs DuckDB oracle.
+
+    Contract caveat (deliberate): LSH blocking is probabilistic, so exact
+    equality with the all-pairs oracle relies on the fixture's dup pairs
+    being near-identical (cosine ~= 1 -> per-band collision prob ~= 1 ->
+    recall ~= 1 across 16 bands). TESTDATA's generator plants exact-copy
+    embedding dups, so this holds by construction; a fixture with
+    borderline pairs (cosine just above threshold) would need the
+    recall-style contract used by `ann_lsh_recall` instead."""
     emb = _emb(spark, sf_dir)
     return embedding_dup_pairs(emb, threshold=0.5, block_bits=8,
                                bands=16).select("id_a", "id_b")

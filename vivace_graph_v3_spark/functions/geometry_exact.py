@@ -446,6 +446,13 @@ def polygon_buffer(polygon, width: float, quadrant_segments: int = 8):
     if width <= 0:
         raise GeosRequiredForOperation("negative/zero buffer width")
     ring = list(polygon[0])
+    # drop zero-length edges (consecutive duplicate vertices, incl. the
+    # wraparound pair) BEFORE computing normals — a degenerate edge has no
+    # normal and would divide by zero
+    ring = [p for i, p in enumerate(ring) if p != ring[(i + 1) % len(ring)]]
+    if len(ring) < 3:
+        raise GeosRequiredForOperation("degenerate ring (needs >= 3 "
+                                       "distinct vertices)")
     if ring_area(ring) < 0:
         ring.reverse()  # normalize ccw
     if not _is_convex(ring):
@@ -455,11 +462,6 @@ def polygon_buffer(polygon, width: float, quadrant_segments: int = 8):
     for i in range(n):
         prev_p, p, next_p = ring[i - 1], ring[i], ring[(i + 1) % n]
         # outward normals (ccw ring: outward = right of direction = (dy,-dx))
-        for a, b in ((prev_p, p), (p, next_p)):
-            dx, dy = b[0] - a[0], b[1] - a[1]
-            ln = math.hypot(dx, dy)
-            if ln == 0:
-                continue
         nx1, ny1 = _unit_normal(prev_p, p)
         nx2, ny2 = _unit_normal(p, next_p)
         ang1 = math.atan2(ny1, nx1)

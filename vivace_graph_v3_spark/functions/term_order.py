@@ -74,20 +74,27 @@ def variant_key(bool_v: Column | None = None, num_v: Column | None = None,
 def _array_str_key(arr: Column) -> Column:
     """Element-wise list order lowered to one string key (utilities.lisp
     list method: compare heads, recurse on tails; a strict prefix sorts
-    first).  Elements are rendered sign-split and zero-padded so string
-    order == numeric order, and joined with ',' (below '0' in ASCII) so a
-    prefix list sorts before its extensions."""
-    rendered = F.transform(
-        arr,
-        lambda e: F.when(e < 0,
-                         # negatives: '-' (0x2D) sorts below digits, and the
-                         # complement flips magnitude order so -9 < -1
-                         F.concat(F.lit("-"),
-                                  F.lpad(((F.lit(1e12) + e)
-                                          .cast("decimal(18,6)")
-                                          .cast("string")), 20, "0")))
-         .otherwise(F.lpad(e.cast("decimal(18,6)").cast("string"), 20, "0")))
-    return F.array_join(rendered, ",")
+    first).  Each element is rendered as a sign digit ('0' negative, '1'
+    non-negative) plus a zero-padded fixed-width decimal — negatives via a
+    complement computed in EXACT decimal arithmetic (a double-domain offset
+    would lose sub-1e-4 precision at the 1e15 scale).  Elements are joined
+    with ',' (below '0' in ASCII) so a prefix list sorts before its
+    extensions.  Domain: |e| < 1e15 at 6-decimal resolution; out-of-range
+    elements render as the '~overflow' sentinel (sorts after all in-range
+    values) rather than disappearing from the key."""
+    offset = F.lit(10 ** 15).cast("decimal(22,6)")
+
+    def enc(e):
+        # try_cast: ANSI mode would otherwise throw on overflow instead of
+        # falling through to the sentinel
+        d = e.try_cast("decimal(22,6)")
+        body = F.when(e < 0, (offset + d).cast("string")) \
+                .otherwise(d.cast("string"))
+        sign = F.when(e < 0, F.lit("0")).otherwise(F.lit("1"))
+        return F.coalesce(F.concat(sign, F.lpad(body, 23, "0")),
+                          F.lit("~overflow"))
+
+    return F.array_join(F.transform(arr, enc), ",")
 
 
 def variant_sort_key(v: Column) -> Column:
@@ -140,11 +147,3 @@ def variant_lit(value) -> Column:
     raise TypeError(f"no variant encoding for {type(value).__name__}")
 
 
-def variant_json(v: Column) -> Column:
-    """Canonical JSON rendering of a variant key for display/hashing: the
-    single non-null branch, or SQL NULL for the null key."""
-    return (F.when(v["bool_v"].isNotNull(), F.to_json(F.struct(v["bool_v"].alias("b"))))
-            .when(v["num_v"].isNotNull(), F.to_json(F.struct(v["num_v"].alias("n"))))
-            .when(v["ts_v"].isNotNull(), F.to_json(F.struct(v["ts_v"].alias("t"))))
-            .when(v["str_v"].isNotNull(), F.to_json(F.struct(v["str_v"].alias("s"))))
-            .when(v["arr_v"].isNotNull(), F.to_json(F.struct(v["arr_v"].alias("a")))))

@@ -493,11 +493,15 @@ class Select:
         if plan.df is None:
             return Plan(self.graph.spark.range(1).filter(F.lit(False)))
         return Plan(plan.df.filter(F.lit(False)))
+
+    def _g_numberp(self, plan: Plan, x: Any) -> Plan:
         """Type test (prolog-functors.lisp:86-88): value parses as a number.
         (Column types are static in Spark; the dynamic-typing analog is a
-        cast-success test, which also matches string-typed slots.)"""
+        cast-success test, which also matches string-typed slots.) try_cast,
+        not cast: ANSI mode throws on malformed strings, but numberp must
+        FILTER non-numbers, never error."""
         return Plan(plan.df.filter(
-            self.resolve(plan, x).cast("double").isNotNull()))
+            self.resolve(plan, x).try_cast("double").isNotNull()))
 
     def _g_atom(self, plan: Plan, x: Any) -> Plan:
         """atom/1 (prolog-functors.lisp:90-92): bound non-compound value —

@@ -147,6 +147,11 @@ class RestServer:
                     status, payload = 403, {"error": str(e)}
                 except (ValueError, TypeError) as e:
                     status, payload = 400, {"error": str(e)}
+                except Exception as e:  # noqa: BLE001 — a procedure or
+                    # Spark analysis error must surface as a JSON 500, not
+                    # a dropped connection
+                    status, payload = 500, {
+                        "error": f"{type(e).__name__}: {e}"}
                 data = json.dumps(payload).encode()
                 handler.send_response(status)
                 handler.send_header("Content-Type", "application/json")
@@ -229,8 +234,12 @@ class RestServer:
         if kind in ("vertex", "edge"):
             if arg is None:
                 raise _HttpError(404, "missing id/type")
-            if method == "GET" and len(rest) == 3 and rest[2] == "edges":
-                return 200, self._list_edges(vg, arg)
+            if len(rest) == 3:
+                # the only 3-segment route: edge listing, and it exists
+                # only under /vertex/ (rest.lisp:776-780)
+                if method == "GET" and rest[2] == "edges" and kind == "vertex":
+                    return 200, self._list_edges(vg, arg)
+                raise _HttpError(404, "unknown route")
             if method == "GET":
                 return 200, self._get_node(vg, kind, arg)
             if method == "POST":
@@ -300,6 +309,11 @@ class RestServer:
         if nt.kind != kind:
             raise _HttpError(400, f"'{type_name}' is not a {kind} type")
         node_id = params.get("id") or self._gen_id(type_name)
+        # make-vertex retries on id collision (vertex.lisp:105-146); a
+        # client-supplied duplicate is the client's error -> 409
+        if not vg.read(nt.name, include_deleted=True).filter(
+                F.col("id") == node_id).isEmpty():
+            raise _HttpError(409, f"{kind} id '{node_id}' already exists")
         extra = None
         if kind == "edge":
             frm, to = params.get("from"), params.get("to")
@@ -386,10 +400,9 @@ class RestServer:
             raise _HttpError(400, str(e))
         return _rows_json(df, self.max_rows)
 
-    _id_counter = 0
-    _id_lock = threading.Lock()
-
     def _gen_id(self, type_name: str) -> str:
-        with RestServer._id_lock:
-            RestServer._id_counter += 1
-            return f"{type_name}:rest-{RestServer._id_counter}"
+        """Collision-free across server restarts (a process-local counter
+        would regenerate old ids against a persisted graph)."""
+        import uuid
+
+        return f"{type_name}:{uuid.uuid4().hex}"
