@@ -136,3 +136,66 @@ def test_point_in_polygon_with_hole():
     assert not point_in_polygon((1.5, 1.5), [SQ, hole])
     assert point_in_polygon((0.0, 2.0), [SQ])       # boundary counts
     assert not point_in_polygon((5.0, 5.0), [SQ])
+
+
+# -- property-based invariants (hypothesis) ---------------------------------
+
+from hypothesis import given, settings, strategies as st
+
+_coord = st.floats(min_value=-50, max_value=50, allow_nan=False,
+                   allow_infinity=False).map(lambda x: round(x, 3))
+
+
+def _random_convex(points):
+    """Convex polygon from arbitrary points via hull; None if degenerate."""
+    hull = convex_hull(points)
+    if len(hull) < 3 or abs(ring_area(hull)) < 1e-6:
+        return None
+    return [hull]
+
+
+_convex_poly = (st.lists(st.tuples(_coord, _coord), min_size=4, max_size=10)
+                .map(_random_convex).filter(lambda p: p is not None))
+
+_FAST = settings(max_examples=60, deadline=None)
+
+
+@_FAST
+@given(a=_convex_poly, b=_convex_poly)
+def test_clip_area_invariants(a, b):
+    """For arbitrary convex polygons: area(a∩b) <= min areas,
+    area(a∪b) = area(a) + area(b) - area(a∩b) (inclusion-exclusion), and
+    area(a\\b) = area(a) - area(a∩b)."""
+    from vivace_graph_v3_spark.functions.geometry_exact import rings_area
+
+    area_a, area_b = polygon_area(a), polygon_area(b)
+    ai = rings_area(polygon_intersection(a, b))
+    au = rings_area(polygon_union(a, b))
+    ad = rings_area(polygon_difference(a, b))
+    tol = 1e-4 * max(area_a, area_b, 1.0)
+    assert ai <= min(area_a, area_b) + tol
+    assert abs(au - (area_a + area_b - ai)) < tol
+    assert abs(ad - (area_a - ai)) < tol
+
+
+@_FAST
+@given(a=_convex_poly, b=_convex_poly)
+def test_intersects_symmetric_and_consistent_with_clip(a, b):
+    """intersects(a,b) == intersects(b,a); positive-area intersection
+    implies intersects."""
+    from vivace_graph_v3_spark.functions.geometry_exact import rings_area
+
+    assert polygon_intersects(a, b) == polygon_intersects(b, a)
+    if rings_area(polygon_intersection(a, b)) > 1e-6:
+        assert polygon_intersects(a, b)
+
+
+@_FAST
+@given(p=_convex_poly, w=st.floats(min_value=0.1, max_value=5.0))
+def test_buffer_grows_and_contains(p, w):
+    """buffer(p, w) has area >= area(p) and contains every vertex of p."""
+    buf = polygon_buffer(p, w)
+    assert polygon_area(buf) >= polygon_area(p) - 1e-9
+    for v in p[0]:
+        assert point_in_polygon(v, buf) or any(
+            abs(v[0]-q[0]) + abs(v[1]-q[1]) < 1e-9 for q in buf[0])

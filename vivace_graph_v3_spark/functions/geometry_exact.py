@@ -304,20 +304,21 @@ def clip_polygons(subject, clip, op: str):
         a_in_b = point_in_ring(subj[0], clp)
         b_in_a = point_in_ring(clp[0], subj)
         if op == "intersection":
-            return [subj] if a_in_b else ([clp] if b_in_a else [])
+            return _normalize_rings(
+                [subj] if a_in_b else ([clp] if b_in_a else []))
         if op == "union":
             if a_in_b:
-                return [clp]
+                return _normalize_rings([clp])
             if b_in_a:
-                return [subj]
-            return [subj, clp]
+                return _normalize_rings([subj])
+            return _normalize_rings([subj, clp])
         # difference A - B
         if a_in_b:
             return []
-        # B inside A would need a hole ring; emit outer with hole
+        # B inside A: emit outer + hole (normalized to CW below)
         if b_in_a:
-            return [subj, clp]  # caller interprets ring 2+ as holes
-        return [subj]
+            return _normalize_rings([subj, clp])
+        return _normalize_rings([subj])
 
     # phase 2: mark entry/exit by parity, starting from containment of the
     # first non-intersection vertex
@@ -369,7 +370,35 @@ def clip_polygons(subject, clip, op: str):
             results.append(_dedup_ring(ring))
         unvisited = [nd for nd in _iter_ring(s_head)
                      if nd.is_intersection and not nd.visited]
-    return [r for r in results if len(r) >= 3]
+    return _normalize_rings([r for r in results if len(r) >= 3])
+
+
+def _ring_contains_ring(outer, inner) -> bool:
+    return all(point_in_ring(p, outer) or _point_on_ring(p, outer)
+               for p in inner)
+
+
+def _normalize_rings(rings):
+    """Orient clip results so sign carries topology: outer rings CCW
+    (positive shoelace), rings contained in another result ring CW
+    (negative) — holes. ``rings_area`` is then a plain signed sum, and a
+    consumer can tell a hole from a disjoint piece without re-running
+    containment."""
+    out = []
+    for i, r in enumerate(rings):
+        hole = any(j != i and _ring_contains_ring(rings[j], r)
+                   for j in range(len(rings)))
+        a = ring_area(r)
+        if (a > 0) == hole:  # CCW hole or CW outer: flip
+            r = list(reversed(r))
+        out.append(r)
+    return out
+
+
+def rings_area(rings) -> float:
+    """Total area of a clip_polygons result: signed sum over oriented
+    rings (outer CCW positive, holes CW negative)."""
+    return sum(ring_area(r) for r in rings)
 
 
 def _dedup_ring(ring):
