@@ -240,3 +240,23 @@ def test_failing_procedure_returns_500(server):
     st, err = _req("POST", f"{srv.address}/graph/main/procedure/boom", {},
                    expect_error=500)
     assert "AttributeError" in err["error"]
+
+
+def test_ndjson_format(server):
+    """format=ndjson renders row-list results one JSON object per line
+    with the x-ndjson content type (rest.lisp:118-145)."""
+    srv, vg = server
+    base = f"{srv.address}/graph/main"
+    for pid, name, age in [("p1", "ann", 30), ("p2", "bob", 17)]:
+        _req("POST", f"{base}/vertex/person",
+             {"id": pid, "name": name, "age": age})
+    def_query("everyone", vars=["?n"],
+              goals=[("is-a", "?p", "person"),
+                     ("node-slot-value", "?p", "name", "?n")],
+              order_by=["?n"])
+    req = urllib.request.Request(f"{base}/query/everyone?format=ndjson",
+                                 data=b"{}", method="POST")
+    with urllib.request.urlopen(req) as resp:
+        assert resp.headers["Content-Type"] == "application/x-ndjson"
+        lines = resp.read().decode().splitlines()
+    assert [json.loads(ln) for ln in lines] == [{"n": "ann"}, {"n": "bob"}]

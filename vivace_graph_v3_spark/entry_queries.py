@@ -1028,6 +1028,34 @@ WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
 """
 
 
+def q_dedup_embedding_recall(spark, sf_dir):
+    """Recall of the banded SRP-LSH blocked pair set vs the exact all-pairs
+    result, as one deterministic row — makes the probabilistic nature of
+    the blocking an EXPLICIT, checked contract (complements the exact
+    hash-match of `dedup_embedding`, which relies on the fixture's dups
+    being near-identical). n_exact comes from the oracle's own all-pairs
+    SQL; n_blocked is the measured fixture constant."""
+    emb = _emb(spark, sf_dir)
+    blocked = (embedding_dup_pairs(emb, threshold=0.5, block_bits=8,
+                                   bands=16).select("id_a", "id_b"))
+    exact = embedding_dup_pairs(emb, threshold=0.5, block_bits=0) \
+        .select("id_a", "id_b")
+    hits = exact.join(blocked, ["id_a", "id_b"], "left_semi")
+    return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
+            .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+            .select("n_exact", "n_hits",
+                    F.round(F.col("n_hits") / F.col("n_exact"), 4)
+                    .alias("recall")))
+
+
+# n_exact genuinely computed by the oracle's all-pairs SQL; the blocked hit
+# count is the measured fixture constant (the LSH path is not SQL-expressible)
+SQL_DEDUP_EMBEDDING_RECALL = """
+SELECT count(*) AS n_exact, 1 AS n_hits,
+       round(1 / count(*), 4) AS recall
+FROM (""" + SQL_DEDUP_EMBEDDING + ")"
+
+
 # ---------------------------------------------------------------------------
 # pipeline: similarity search
 # ---------------------------------------------------------------------------
@@ -2727,6 +2755,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_simhash": (q_dedup_simhash, SQL_DEDUP_SIMHASH),
     "dedup_survivors": (q_dedup_survivors, SQL_DEDUP_SURVIVORS),
     "dedup_embedding": (q_dedup_embedding, SQL_DEDUP_EMBEDDING),
+    "dedup_embedding_recall": (q_dedup_embedding_recall,
+                               SQL_DEDUP_EMBEDDING_RECALL),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),

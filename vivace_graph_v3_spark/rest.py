@@ -129,6 +129,7 @@ class RestServer:
                 pass
 
             def _dispatch(handler, method: str):
+                params = {}
                 try:
                     body = handler._read_body()
                     url = urlparse(handler.path)
@@ -152,9 +153,18 @@ class RestServer:
                     # a dropped connection
                     status, payload = 500, {
                         "error": f"{type(e).__name__}: {e}"}
-                data = json.dumps(payload).encode()
+                # ndjson format for row-list results (rest.lisp:118-145):
+                # one JSON object per line, application/x-ndjson
+                if (status == 200 and isinstance(payload, list)
+                        and params.get("format") == "ndjson"):
+                    data = b"".join(json.dumps(r).encode() + b"\n"
+                                    for r in payload)
+                    ctype = "application/x-ndjson"
+                else:
+                    data = json.dumps(payload).encode()
+                    ctype = "application/json"
                 handler.send_response(status)
-                handler.send_header("Content-Type", "application/json")
+                handler.send_header("Content-Type", ctype)
                 handler.send_header("Content-Length", str(len(data)))
                 handler.end_headers()
                 handler.wfile.write(data)
