@@ -110,3 +110,37 @@ def test_array_key_negative_precision_and_overflow(spark):
     got = [r["i"] for r in
            df.orderBy(variant_sort_key(F.col("key"))).collect()]
     assert got == [0, 1, 2, 3, 4]
+
+
+def test_mixed_reduce_view_groups(tpch, spark):
+    """Reduce views group ON the variant key (struct groupBy) and the
+    reduced cursor emits cross-type key order."""
+    def map_fn(df):
+        k = F.col("c_custkey") % 3
+        return df.select(
+            "id",
+            variant_key(
+                num_v=F.when(k == 0, F.round(F.col("c_acctbal") / 1000)),
+                str_v=F.when(k == 1, F.col("c_mktsegment")),
+            ).alias("key"),
+            F.lit(1).alias("value"))
+
+    def_view("customer", "mixed_reduce", map_fn, mixed=True,
+             reduce_agg=F.sum("value"))
+    from vivace_graph_v3_spark.views import map_reduced_view
+    rows = map_reduced_view(tpch, "customer", "mixed_reduce").collect()
+    # groups: null keys collapse to one group, then numbers, then segments
+    ranks = []
+    total = 0
+    for r in rows:
+        k = r.key
+        total += r.value
+        if k.num_v is not None:
+            ranks.append((2, k.num_v, ""))
+        elif k.str_v is not None:
+            ranks.append((4, 0.0, k.str_v))
+        else:
+            ranks.append((0, 0.0, ""))
+    assert ranks == sorted(ranks)
+    assert sum(1 for rk in ranks if rk[0] == 0) == 1  # one null group
+    assert total == 150  # every customer contributes exactly once

@@ -37,7 +37,7 @@ AUDITED = [
     "q19_discounted_revenue", "q21_waiting_supplier", "dedup_survivors",
     "q22_global_sales_opportunity", "view_mixed_key_order",
     "graph_pagerank", "dedup_embedding", "geo_polygon_intersects",
-    "sketch_quantiles",
+    "sketch_quantiles", "replication_subset", "dedup_embedding_recall",
 ]
 
 
