@@ -143,4 +143,5 @@ def test_mixed_reduce_view_groups(tpch, spark):
             ranks.append((0, 0.0, ""))
     assert ranks == sorted(ranks)
     assert sum(1 for rk in ranks if rk[0] == 0) == 1  # one null group
-    assert total == 150  # every customer contributes exactly once
+    # every customer contributes exactly once (SF-independent)
+    assert total == tpch.scan_vertices("customer").count()

@@ -1034,25 +1034,27 @@ def q_dedup_embedding_recall(spark, sf_dir):
     the blocking an EXPLICIT, checked contract (complements the exact
     hash-match of `dedup_embedding`, which relies on the fixture's dups
     being near-identical). n_exact comes from the oracle's own all-pairs
-    SQL; n_blocked is the measured fixture constant."""
+    SQL; full_recall asserts the blocked set covers every exact pair."""
     emb = _emb(spark, sf_dir)
     blocked = (embedding_dup_pairs(emb, threshold=0.5, block_bits=8,
                                    bands=16).select("id_a", "id_b"))
     exact = embedding_dup_pairs(emb, threshold=0.5, block_bits=0) \
         .select("id_a", "id_b")
     hits = exact.join(blocked, ["id_a", "id_b"], "left_semi")
+    # full_recall (not a hardcoded hit count): the fixture's dups are
+    # near-identical, so per-band collision prob ~= 1 and the blocked set
+    # must equal the exact set at ANY scale factor — an SF-robust contract
     return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
             .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
-            .select("n_exact", "n_hits",
-                    F.round(F.col("n_hits") / F.col("n_exact"), 4)
-                    .alias("recall")))
+            .select("n_exact",
+                    (F.col("n_hits") == F.col("n_exact"))
+                    .alias("full_recall")))
 
 
-# n_exact genuinely computed by the oracle's all-pairs SQL; the blocked hit
-# count is the measured fixture constant (the LSH path is not SQL-expressible)
+# n_exact genuinely computed by the oracle's all-pairs SQL; full_recall is
+# the constant-true bound (the LSH path itself is not SQL-expressible)
 SQL_DEDUP_EMBEDDING_RECALL = """
-SELECT count(*) AS n_exact, 1 AS n_hits,
-       round(1 / count(*), 4) AS recall
+SELECT count(*) AS n_exact, true AS full_recall
 FROM (""" + SQL_DEDUP_EMBEDDING + ")"
 
 

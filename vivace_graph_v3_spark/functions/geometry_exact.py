@@ -268,7 +268,27 @@ def clip_polygons(subject, clip, op: str):
     subj = [tuple(map(float, p)) for p in subject]
     clp = [tuple(map(float, p)) for p in clip]
     if _degenerate(subj, clp):
-        clp = [(x + _EPS, y + _EPS) for x, y in clp]
+        # Nudge the clip ring off the degenerate configuration. Two
+        # numerical requirements: (1) the magnitude must scale with the
+        # geometry's extent, or orientation determinants drown in float
+        # noise; (2) the direction must not be parallel to ANY edge of
+        # either ring — a parallel shift keeps a vertex ON the edge line
+        # (identical rings, shared diagonals) and the entry/exit pairing
+        # still breaks. Accept a candidate only when every vertex has real
+        # clearance from the other ring's edges.
+        ext = max(max(abs(c) for p in subj + clp for c in p), 1.0)
+        eps = 1e-7 * ext
+        for dx, dy in ((0.7071, 0.7071), (0.4472, 0.8944),
+                       (0.8944, 0.4472), (0.3162, 0.9487),
+                       (0.9487, 0.3162), (0.3714, 0.9285),
+                       (0.9285, 0.3714)):
+            cand = [(x + eps * dx, y + eps * dy) for x, y in clp]
+            if (not _degenerate(subj, cand)
+                    and _vertex_edge_clearance(subj, cand) > eps * 0.05):
+                clp = cand
+                break
+        else:
+            clp = [(x + eps, y + eps) for x, y in clp]
 
     s_head = _build_ring(subj)
     c_head = _build_ring(clp)
@@ -371,6 +391,20 @@ def clip_polygons(subject, clip, op: str):
         unvisited = [nd for nd in _iter_ring(s_head)
                      if nd.is_intersection and not nd.visited]
     return _normalize_rings([r for r in results if len(r) >= 3])
+
+
+def _vertex_edge_clearance(ring_a, ring_b) -> float:
+    """Minimum distance from any vertex of one ring to any edge of the
+    other (both directions) — the safety margin the degeneracy nudge must
+    establish before Greiner-Hormann pairing is numerically trustworthy."""
+    best = float("inf")
+    for verts, edges_of in ((ring_a, ring_b), (ring_b, ring_a)):
+        for v in verts:
+            for e1, e2 in _ring_edges(edges_of):
+                d = _point_segment_dist(v, e1, e2)
+                if d < best:
+                    best = d
+    return best
 
 
 def _ring_contains_ring(outer, inner) -> bool:

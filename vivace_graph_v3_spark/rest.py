@@ -129,11 +129,17 @@ class RestServer:
                 pass
 
             def _dispatch(handler, method: str):
-                params = {}
+                ndjson = False
                 try:
                     body = handler._read_body()
                     url = urlparse(handler.path)
-                    params = dict(parse_qsl(url.query))
+                    qs = dict(parse_qsl(url.query))
+                    # the wire format is a TRANSPORT option, read from the
+                    # query string only (rest.lisp:118-125) — a query/
+                    # procedure parameter legitimately named 'format' in
+                    # the body must not toggle the encoding
+                    ndjson = qs.pop("format", None) == "ndjson"
+                    params = qs
                     params.update(body if isinstance(body, dict) else {})
                     server._check_auth(params)
                     parts = [p for p in url.path.split("/") if p]
@@ -155,8 +161,7 @@ class RestServer:
                         "error": f"{type(e).__name__}: {e}"}
                 # ndjson format for row-list results (rest.lisp:118-145):
                 # one JSON object per line, application/x-ndjson
-                if (status == 200 and isinstance(payload, list)
-                        and params.get("format") == "ndjson"):
+                if status == 200 and isinstance(payload, list) and ndjson:
                     data = b"".join(json.dumps(r).encode() + b"\n"
                                     for r in payload)
                     ctype = "application/x-ndjson"
