@@ -7,6 +7,7 @@ import pyspark.sql.functions as F
 from vivace_graph_v3_spark.streaming.events import (
     read_event_stream, run_available_now, session_counts, windowed_counts,
 )
+from vivace_graph_v3_spark.util import normalize_event_ts
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -21,9 +22,8 @@ def test_windowed_counts_match_batch(spark, tmp_path):
     got = {(r["ws"], r["event_type"]): r["n"] for r in got}
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    batch = (spark.read.schema(
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string").parquet(f"{SF_DIR}/events.parquet")
+    batch = (normalize_event_ts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"))
         .withColumn("event_time",
                     F.timestamp_micros((F.col("ts") / 1000).cast("long")))
         .groupBy(F.window("event_time", "1 hour").alias("w"), "event_type")
@@ -122,17 +122,19 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
 
     src = tmp_path / "feed"
     src.mkdir()
-    shutil.copy(f"{SF_DIR}/events.parquet", src / "batch1.parquet")
-    # second delivery of the same events, re-stamped 10 min later
+    # write both deliveries from the normalized frame so the stream
+    # directory has a homogeneous ts type regardless of the source layout
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    (spark.read.schema(
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string").parquet(f"{SF_DIR}/events.parquet")
-        .withColumn("ts", F.col("ts") + F.lit(600_000_000_000))
+    norm = normalize_event_ts(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    norm.coalesce(1).write.parquet(str(tmp_path / "stage1"))
+    shutil.copy(next((tmp_path / "stage1").glob("part-*.parquet")),
+                src / "batch1.parquet")
+    # second delivery of the same events, re-stamped 10 min later
+    (norm.withColumn("ts", F.col("ts") + F.lit(600_000_000_000))
         .coalesce(1)
-        .write.parquet(str(tmp_path / "stage")))
-    staged = next((tmp_path / "stage").glob("part-*.parquet"))
-    shutil.copy(staged, src / "batch2.parquet")
+        .write.parquet(str(tmp_path / "stage2")))
+    shutil.copy(next((tmp_path / "stage2").glob("part-*.parquet")),
+                src / "batch2.parquet")
 
     from vivace_graph_v3_spark.streaming.events import dedup_stream
 

@@ -48,11 +48,13 @@ def _emb(spark, sf_dir):
 
 
 def _events(spark, sf_dir):
-    # events.ts is parquet TIMESTAMP(NANOS), which Spark 4 rejects by
-    # default; read it as a raw nanosecond long and keep all derived time
-    # arithmetic integer-based (timezone- and engine-independent).
+    # events.ts arrives as TIMESTAMP(NANOS) or TIMESTAMP(MICROS) depending
+    # on the testdata generation; normalize to a raw nanosecond long and
+    # keep all derived time arithmetic integer-based (timezone- and
+    # engine-independent). See util.normalize_event_ts.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    from vivace_graph_v3_spark.util import normalize_event_ts
+    return normalize_event_ts(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _dsum(col):

@@ -23,18 +23,27 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from vivace_graph_v3_spark.util import normalize_event_ts
+
 EVENT_SCHEMA = ("event_id long, ts long, user_id long, event_type string, "
                 "value double, props string")
 
 
 def read_event_stream(spark: SparkSession, path: str,
                       *, max_files_per_trigger: int | None = None) -> DataFrame:
-    """Stream the events parquet directory; ``ts`` (nanos) -> ``event_time``
-    timestamp column."""
+    """Stream the events parquet directory; ``ts`` is normalized to epoch
+    nanos (bigint) and an ``event_time`` timestamp column is derived.
+
+    File streams need an explicit schema, but the physical type of ``ts``
+    has varied across testdata generations (TIMESTAMP(NANOS) -> bigint via
+    the nanosAsLong legacy flag, TIMESTAMP(MICROS) -> TIMESTAMP_NTZ), so we
+    peek at the batch-reader footer schema once (driver-side metadata read,
+    no data scan) and stream with exactly that schema."""
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    reader = spark.readStream.schema(EVENT_SCHEMA)
+    actual = spark.read.parquet(path).schema
+    reader = spark.readStream.schema(actual)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     if os.path.isfile(path):
@@ -42,7 +51,7 @@ def read_event_stream(spark: SparkSession, path: str,
         # just this file
         reader = reader.option("pathGlobFilter", os.path.basename(path))
         path = os.path.dirname(path)
-    ev = reader.parquet(path)
+    ev = normalize_event_ts(reader.parquet(path))
     return ev.withColumn(
         "event_time", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
 

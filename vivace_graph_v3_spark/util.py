@@ -44,3 +44,24 @@ def salted_join(left, right, key: str, *, salt: int = 16, how: str = "inner"):
     out = lft.join(rgt, (F.col(key) == F.col("__rkey"))
                    & (F.col("__lsalt") == F.col("__rsalt")), how)
     return out.drop("__lsalt", "__rsalt", "__rkey")
+
+
+def normalize_event_ts(df: DataFrame, *, col: str = "ts") -> DataFrame:
+    """Normalize the events table's ``ts`` column to epoch NANOSECONDS
+    (bigint), whatever the physical parquet type was written as.
+
+    The testdata generator has shipped ``ts`` both as parquet
+    TIMESTAMP(NANOS) (which Spark only reads via
+    ``spark.sql.legacy.parquet.nanosAsLong`` -> bigint nanos) and as
+    TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ). All downstream time
+    arithmetic is integer-based on nanos — timezone- and engine-independent
+    — so both layouts converge here. NTZ wall time is by convention the UTC
+    instant (the session timezone is pinned to UTC in session.py), matching
+    DuckDB's ``epoch_ns(ts)`` on the same file."""
+    from pyspark.sql import functions as F
+
+    dtype = dict(df.dtypes).get(col)
+    if dtype in ("timestamp", "timestamp_ntz"):
+        return df.withColumn(
+            col, F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000))
+    return df
