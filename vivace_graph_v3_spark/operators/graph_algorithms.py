@@ -84,36 +84,46 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     # and recomputing the multi-type union scan per round would dominate
     vertices = (graph.scan_vertices(columns=["id"]).select("id")
                 .dropDuplicates().localCheckpoint(eager=True))
-    # partition the (static) edge list by join key ONCE: every iteration's
-    # rank-contribution join then shuffles only the small rank frame, never
-    # the edges — at 100 TB the edge shuffle is the cost that matters
+    # partition the (static) edge list by join key ONCE, with the reciprocal
+    # out-degree folded in (one static join instead of one per round): every
+    # iteration's rank-contribution join then moves only the small rank
+    # frame, never the edges — at 100 TB the edge shuffle is the cost that
+    # matters
     edges = _edge_pairs(graph, edge_type).repartition(F.col("src")).persist()
-    out_deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-               .persist())
+    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    edges_w = (edges.join(out_deg, "src")
+               .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv"))
+               .repartition(F.col("src")).persist())
     # the dangling set is static (vertices with no out-edges): compute the
     # id set once, so the per-round dangling mass is one small semi-join
     dangling = (vertices.join(out_deg.withColumnRenamed("src", "id"),
                               "id", "left_anti")
                 .localCheckpoint(eager=True))
     n = vertices.count()
+    # rank state is O(|V|) doubles; when it fits comfortably in a broadcast
+    # (same 2M-row trade as traverse.py's frontier), ship it to the static
+    # edge partitions instead of shuffling both sides — each round is then
+    # ONE shuffle (the contribution aggregate). Past that size, fall back to
+    # the shuffle join, which is the formulation that holds at 100 TB.
+    bcast_state = n <= 2_000_000
+    _b = (lambda df: F.broadcast(df)) if bcast_state else (lambda df: df)
     ranks = vertices.withColumn("rank", F.lit(1.0))
     ranks = ranks.localCheckpoint(eager=True)
     check_every = 3
     try:
         for it in range(max_iter):
-            contribs = (ranks.join(out_deg, ranks["id"] == out_deg["src"], "inner")
-                        .join(edges, "src")
+            contribs = (edges_w.join(_b(ranks), edges_w["src"] == ranks["id"])
                         .select(F.col("dst").alias("id"),
-                                (F.col("rank") / F.col("deg")).alias("c")))
+                                (F.col("rank") * F.col("inv")).alias("c")))
             agg = contribs.groupBy("id").agg(F.sum("c").alias("recv"))
             # dangling vertices contribute their rank uniformly — computed
             # inside the plan (1-row broadcast cross join), not as a separate
             # driver-side action per round
-            dang = (ranks.join(dangling, "id", "left_semi")
+            dang = (ranks.join(_b(dangling), "id", "left_semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
             base = (F.lit(1.0 - damping)
                     + F.lit(damping) * F.col("__dang") / F.lit(float(n)))
-            new = (vertices.join(agg, "id", "left")
+            new = (vertices.join(_b(agg), "id", "left")
                    .crossJoin(F.broadcast(dang))
                    .select("id", (base + F.lit(damping) *
                                   F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank")))
@@ -133,7 +143,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                 ranks = new
     finally:
         edges.unpersist()
-        out_deg.unpersist()
+        edges_w.unpersist()
     return ranks
 
 
