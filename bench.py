@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "ann_bruteforce_topk",
     "pattern_dsl_query",
     "text_lang_id",
+    "text_chunks",
     "multimodal_features",
     "view_mixed_key_order",
     "geo_polygon_metrics",

@@ -301,3 +301,52 @@ def test_multimodal_real_decode_helpers():
     # without a PIL at all, the seam raises the documented error
     with pytest.raises(NotImplementedError, match="Pillow"):
         mm._decode_image_real(b"\0" * 8, 4)
+
+
+def test_repetition_stats_handcomputed(spark):
+    from vivace_graph_v3_spark.pipeline.text import repetition_stats
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a"),       # words a:3 b:2; bigrams: ab ba ab ba -> 2/4 dup
+         (2, "x y z"),           # all distinct
+         (3, "w"),               # single token: no bigrams
+         (4, "  ")],             # empty: excluded
+        "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1]["n_words"] == 5
+    assert got[1]["top_word_frac"] == pytest.approx(3 / 5)
+    assert got[1]["dup_bigram_frac"] == pytest.approx(0.5)
+    assert got[2]["dup_bigram_frac"] == 0.0
+    assert got[2]["top_word_frac"] == pytest.approx(1 / 3)
+    assert got[3]["n_words"] == 1 and got[3]["dup_bigram_frac"] == 0.0
+
+
+def test_chunk_tokens_overlap_invariants(spark):
+    from vivace_graph_v3_spark.pipeline.text import chunk_tokens
+
+    text = " ".join(f"t{i}" for i in range(50))
+    df = spark.createDataFrame([(1, text), (2, "a b"), (3, "")],
+                               "doc_id long, text string")
+    rows = chunk_tokens(df, chunk_size=32, stride=24).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 3 is empty -> no chunks; doc 2 -> single short chunk
+    assert 3 not in by_doc
+    [c2] = by_doc[2]
+    assert c2["chunk_idx"] == 0 and c2["n_chunk_tokens"] == 2
+    assert c2["chunk_text"] == "a b"
+    # doc 1: starts at 0, 24, 48 -> 3 chunks; window 0 has 32 tokens,
+    # window 1 has 26, window 2 has 2; consecutive windows overlap by 8
+    c1 = sorted(by_doc[1], key=lambda r: r["chunk_idx"])
+    assert [c["n_chunk_tokens"] for c in c1] == [32, 26, 2]
+    w0 = c1[0]["chunk_text"].split()
+    w1 = c1[1]["chunk_text"].split()
+    assert w0[24:32] == w1[0:8]            # overlap region identical
+    assert w1[0] == "t24" and c1[2]["chunk_text"] == "t48 t49"
+    # every token of the doc is covered by at least one chunk
+    covered = set()
+    for c in c1:
+        covered.update(c["chunk_text"].split())
+    assert covered == {f"t{i}" for i in range(50)}

@@ -863,6 +863,71 @@ FROM (SELECT doc_id,
 """
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition quality signals (top-word fraction, duplicate
+    bigram fraction) per document — the standard low-quality/templated-text
+    filter for training corpora."""
+    from vivace_graph_v3_spark.pipeline.text import repetition_stats
+
+    return repetition_stats(_docs(spark, sf_dir))
+
+
+SQL_TEXT_REPETITION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w
+), top AS (
+  SELECT doc_id, max(c) AS top_c, sum(c) AS n_words FROM wc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bgs
+  FROM t
+), pr AS (
+  SELECT doc_id, len(bgs)::BIGINT AS n_bg,
+         len(list_distinct(bgs))::BIGINT AS n_dbg
+  FROM bg
+)
+SELECT top.doc_id AS doc_id, n_words,
+       round(top_c / n_words, 6) AS top_word_frac,
+       round(CASE WHEN n_bg > 0 THEN 1.0 - n_dbg / n_bg ELSE 0.0 END, 6)
+         AS dup_bigram_frac
+FROM top JOIN pr ON top.doc_id = pr.doc_id
+"""
+
+
+def q_text_chunks(spark, sf_dir):
+    """Fixed-token-window chunking with overlap (32-token windows every 24
+    tokens) — the document -> training-sample rewrite, map-only at scale."""
+    from vivace_graph_v3_spark.pipeline.text import chunk_tokens
+
+    return chunk_tokens(_docs(spark, sf_dir), chunk_size=32, stride=24)
+
+
+SQL_TEXT_CHUNKS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS st
+  FROM t WHERE len(toks) > 0
+)
+SELECT doc_id, (st / 24)::BIGINT AS chunk_idx,
+       least(32, len(toks) - st)::BIGINT AS n_chunk_tokens,
+       array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+FROM s
+"""
+
+
 # ---------------------------------------------------------------------------
 # pipeline: dedup
 # ---------------------------------------------------------------------------
@@ -2753,6 +2818,8 @@ REGISTRY: dict[str, tuple] = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
     "dedup_minhash_lsh": (q_dedup_minhash_lsh, SQL_DEDUP_MINHASH_LSH),

@@ -168,3 +168,65 @@ def with_winnowing_fingerprint(df: DataFrame, text_col: str = "text",
         return pd.Series([fp(t) for t in texts])
 
     return df.withColumn(out_col, _winnow(F.col(text_col)))
+
+
+# -- repetition / chunking --------------------------------------------------------
+
+def repetition_stats(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1: repeated
+    words/n-grams mark low-quality or templated documents). Per document
+    (with >= 1 token): (id, n_words, top_word_frac, dup_bigram_frac).
+
+    - ``top_word_frac``: count of the most frequent word / word count —
+      computed relationally (explode -> count) so the per-(doc, word)
+      aggregate gets map-side combine and the only shuffle carries at most
+      |vocab-per-doc| rows per document;
+    - ``dup_bigram_frac``: 1 - distinct bigrams / bigrams, a pure per-row
+      expression (no shuffle at all)."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    bg = F.when(n >= 2, F.transform(
+        F.sequence(F.lit(0), n - 2),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)))
+    ).otherwise(F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), toks.alias("__t"), bg.alias("__bg"))
+    wc = (base.select(id_col, F.explode("__t").alias("w"))
+          .groupBy(id_col, "w").agg(F.count(F.lit(1)).alias("c")))
+    top = (wc.groupBy(id_col)
+           .agg(F.max("c").alias("top_c"), F.sum("c").alias("n_words")))
+    per_row = base.select(
+        F.col(id_col),
+        F.size("__bg").cast("long").alias("n_bg"),
+        F.size(F.array_distinct("__bg")).cast("long").alias("n_dbg"))
+    dup = F.when(F.col("n_bg") > 0,
+                 F.lit(1.0) - F.col("n_dbg") / F.col("n_bg")).otherwise(0.0)
+    return (top.join(per_row, id_col)
+            .select(F.col(id_col), F.col("n_words"),
+                    F.round(F.col("top_c") / F.col("n_words"), 6)
+                    .alias("top_word_frac"),
+                    F.round(dup, 6).alias("dup_bigram_frac")))
+
+
+def chunk_tokens(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", chunk_size: int = 32,
+                 stride: int = 24) -> DataFrame:
+    """Fixed-token-window chunking with overlap — the standard
+    document -> training-sample step. Emits one row per window:
+    (id, chunk_idx, n_chunk_tokens, chunk_text), windows starting every
+    ``stride`` tokens (so consecutive chunks overlap by
+    ``chunk_size - stride``). Pure per-row expressions + one explode: no
+    shuffle, no Python — the 100 TB corpus rewrite is map-only."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))) \
+              .otherwise(F.array().cast("array<int>"))
+    chunks = F.transform(starts, lambda s: F.struct(
+        (s / stride).cast("long").alias("chunk_idx"),
+        F.least(F.lit(chunk_size), n - s).cast("long")
+         .alias("n_chunk_tokens"),
+        F.concat_ws(" ", F.slice(toks, s + 1, chunk_size))
+         .alias("chunk_text")))
+    return (df.select(F.col(id_col), F.explode(chunks).alias("__c"))
+            .select(F.col(id_col), F.col("__c.chunk_idx"),
+                    F.col("__c.n_chunk_tokens"), F.col("__c.chunk_text")))
