@@ -144,3 +144,51 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
     q = run_available_now(out, checkpoint=str(tmp_path / "cp"))
     n_src = spark.read.parquet(f"{SF_DIR}/events.parquet").count()
     assert spark.table(q.mem_table).select("event_id").distinct().count() == n_src
+
+
+def test_correlate_streams_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join (view->click correlation within 15
+    min per user) must equal the batch join on a drained finite source."""
+    from vivace_graph_v3_spark.streaming.events import correlate_streams
+
+    ev = read_event_stream(spark, f"{SF_DIR}/events.parquet")
+    views = ev.filter(F.col("event_type") == "view")
+    clicks = ev.filter(F.col("event_type") == "click")
+    out = correlate_streams(views, clicks, key="user_id",
+                            within="15 minutes", watermark="1 hour")
+    q = run_available_now(out, checkpoint=str(tmp_path / "cp"))
+    got = {(r["user_id"], r["left_event_id"], r["right_event_id"])
+           for r in spark.table(q.mem_table).collect()}
+
+    batch = (normalize_event_ts(
+        spark.read.parquet(f"{SF_DIR}/events.parquet"))
+        .withColumn("event_time",
+                    F.timestamp_micros((F.col("ts") / 1000).cast("long"))))
+    bv = batch.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id").alias("lid"),
+        F.col("event_time").alias("lt"))
+    bc = batch.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("ruid"), F.col("event_id").alias("rid"),
+        F.col("event_time").alias("rt"))
+    want = {(r["user_id"], r["lid"], r["rid"])
+            for r in bv.join(bc, (F.col("user_id") == F.col("ruid"))
+                             & (F.col("lt") <= F.col("rt"))
+                             & (F.col("lt") >= F.col("rt")
+                                - F.expr("INTERVAL 15 minutes"))).collect()}
+    assert want, "fixture must produce at least one correlated pair"
+    # stream-stream inner join under availableNow may withhold pairs newer
+    # than the final watermark; everything emitted must be correct, and
+    # everything strictly older than the last emitted right_time must be
+    # present
+    assert got
+    assert got <= want
+    missing = want - got
+    if missing:
+        last_rt = max(r["right_time"]
+                      for r in spark.table(q.mem_table).collect())
+        by_key = {(r["user_id"], r["lid"], r["rid"]): r["rt"]
+                  for r in bv.join(bc, (F.col("user_id") == F.col("ruid"))
+                                   & (F.col("lt") <= F.col("rt"))
+                                   & (F.col("lt") >= F.col("rt")
+                                      - F.expr("INTERVAL 15 minutes"))).collect()}
+        assert all(by_key[m] >= last_rt for m in missing)

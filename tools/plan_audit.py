@@ -38,6 +38,7 @@ AUDITED = [
     "q22_global_sales_opportunity", "view_mixed_key_order",
     "graph_pagerank", "dedup_embedding", "geo_polygon_intersects",
     "sketch_quantiles", "replication_subset", "dedup_embedding_recall",
+    "text_repetition", "text_chunks",
 ]
 
 

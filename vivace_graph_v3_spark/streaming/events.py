@@ -104,6 +104,40 @@ def dedup_stream(events: DataFrame, *, keys: list[str] = ("event_id",),
     return ev.dropDuplicates([*keys, "event_time"])
 
 
+def correlate_streams(left: DataFrame, right: DataFrame, *,
+                      key: str = "user_id", within: str = "15 minutes",
+                      watermark: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join — the impression/click
+    correlation shape: match each right-stream event to left-stream events
+    with the same ``key`` whose event time falls in
+    ``[right.event_time - within, right.event_time]``.
+
+    Both sides carry a watermark and the join condition bounds event-time
+    distance, so Spark derives state-eviction watermarks for BOTH state
+    stores — state is dropped once the opposite stream's watermark passes
+    the bound (unbounded feeds hold bounded state; the same non-negotiable
+    as dedup_stream). Batch semantics of this operator are the bucketed
+    interval join (operators/interval.py, `events_interval_join`) — this is
+    its streaming face.
+
+    Returns (key, left_event_id, right_event_id, left_time, right_time)."""
+    l = (left.withWatermark("event_time", watermark)
+         .select(F.col(key).alias("__lk"),
+                 F.col("event_id").alias("left_event_id"),
+                 F.col("event_time").alias("left_time")))
+    r = (right.withWatermark("event_time", watermark)
+         .select(F.col(key).alias("__rk"),
+                 F.col("event_id").alias("right_event_id"),
+                 F.col("event_time").alias("right_time")))
+    cond = ((F.col("__lk") == F.col("__rk"))
+            & (F.col("left_time") <= F.col("right_time"))
+            & (F.col("left_time") >= F.col("right_time")
+               - F.expr(f"INTERVAL {within}")))
+    return (l.join(r, cond)
+            .select(F.col("__lk").alias(key), "left_event_id",
+                    "right_event_id", "left_time", "right_time"))
+
+
 def run_available_now(stream_df: DataFrame, *, checkpoint: str,
                       out_path: str | None = None,
                       output_mode: str = "append", timeout: int = 300):
