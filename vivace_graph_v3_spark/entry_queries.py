@@ -2777,6 +2777,149 @@ FROM events GROUP BY event_type
 """
 
 
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): for AMERICA-region customers
+    buying PROMO parts, the yearly fraction of revenue supplied from nation
+    a fixed nation — a conditional-sum ratio
+    over a 5-way join. Joins stay unhinted (AQE broadcasts the dims);
+    nation/region are fixed-size and hinted."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cn = nation.alias("cn")
+    sn = nation.alias("sn")
+    df = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+          .join(part.filter(F.col("p_type") == "PROMO")
+                .select("p_partkey"), li.l_partkey == F.col("p_partkey"))
+          .join(cust, orders.o_custkey == cust.c_custkey)
+          .join(F.broadcast(cn), cust.c_nationkey == F.col("cn.n_nationkey"))
+          .join(F.broadcast(region),
+                (F.col("cn.n_regionkey") == region.r_regionkey)
+                & (region.r_name == "AMERICA"))
+          .join(supp, li.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(sn), supp.s_nationkey == F.col("sn.n_nationkey"))
+          .select(F.year(orders.o_orderdate).alias("o_year"),
+                  rev.alias("volume"),
+                  F.col("sn.n_name").alias("supp_nation")))
+    return (df.groupBy("o_year")
+            .agg(F.round(
+                _dsum(F.when(F.col("supp_nation") == "NATION_3",
+                             F.col("volume")).otherwise(F.lit(0.0)))
+                / _dsum(F.col("volume")), 6).alias("mkt_share"))
+            .select("o_year", "mkt_share"))
+
+
+SQL_Q8_MARKET_SHARE = """
+SELECT o_year,
+       round(CAST(sum(CAST(CASE WHEN supp_nation = 'NATION_3' THEN volume
+                                ELSE 0.0 END AS DECIMAL(38,6))) AS DOUBLE)
+             / CAST(sum(CAST(volume AS DECIMAL(38,6))) AS DOUBLE), 6)
+         AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         sn.n_name AS supp_nation
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation cn ON c_nationkey = cn.n_nationkey
+  JOIN region ON cn.n_regionkey = r_regionkey AND r_name = 'AMERICA'
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation sn ON s_nationkey = sn.n_nationkey
+)
+GROUP BY o_year
+"""
+
+
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-type profit by nation and year). The
+    testdata has no partsupp table, so supply cost is modeled as a fixed
+    fraction of the part's retail price (deterministic, mirrored in the
+    oracle): profit = rev - 0.6 * p_retailprice * l_quantity, over parts
+    whose name contains 'widget'."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    amount = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.lit(0.6) * F.col("p_retailprice") * F.col("l_quantity"))
+    df = (li.join(part.filter(F.col("p_name").contains("widget"))
+                  .select("p_partkey", "p_retailprice"),
+                  li.l_partkey == F.col("p_partkey"))
+          .join(supp, li.l_suppkey == supp.s_suppkey)
+          .join(F.broadcast(nation),
+                supp.s_nationkey == nation.n_nationkey)
+          .join(orders, li.l_orderkey == orders.o_orderkey)
+          .select(F.col("n_name").alias("nation"),
+                  F.year("o_orderdate").alias("o_year"),
+                  amount.alias("amount")))
+    return (df.groupBy("nation", "o_year")
+            .agg(_dsum(F.col("amount")).alias("sum_profit")))
+
+
+SQL_Q9_PRODUCT_PROFIT = """
+SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.6 * p_retailprice * l_quantity
+                     AS DECIMAL(38,6))) AS DOUBLE) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey AND p_name LIKE '%widget%'
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+GROUP BY n_name, year(o_orderdate)
+"""
+
+
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue lost if small orders (below 20%% of the part's mean quantity)
+    were not taken — a correlated scalar-avg subquery DECORRELATED into a
+    per-part aggregate joined back (the classic rewrite; Catalyst's partial
+    aggregation makes the per-part avg one map-side-combined shuffle).
+    Filter: Brand#1 parts of size >= 8."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    target = (part.filter((F.col("p_brand") == "Brand#1")
+                          & (F.col("p_size") >= 8))
+              .select("p_partkey"))
+    li_t = li.join(target, li.l_partkey == F.col("p_partkey")).select(
+        "l_partkey", "l_quantity", "l_extendedprice")
+    avg_q = (li_t.groupBy("l_partkey")
+             .agg(((_dsum(F.col("l_quantity"))
+                    / F.count(F.lit(1))).alias("avg_qty"))))
+    joined = li_t.join(avg_q, "l_partkey")
+    return (joined.filter(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(F.round(_dsum(F.col("l_extendedprice")) / F.lit(7.0), 6)
+                 .alias("avg_yearly")))
+
+
+SQL_Q17_SMALL_QUANTITY = """
+WITH target AS (
+  SELECT p_partkey FROM part WHERE p_brand = 'Brand#1' AND p_size >= 8
+), li_t AS (
+  SELECT l_partkey, l_quantity, l_extendedprice
+  FROM lineitem JOIN target ON l_partkey = p_partkey
+), avg_q AS (
+  SELECT l_partkey,
+         CAST(sum(CAST(l_quantity AS DECIMAL(38,6))) AS DOUBLE)
+           / count(*) AS avg_qty
+  FROM li_t GROUP BY l_partkey
+)
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(38,6))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly
+FROM li_t JOIN avg_q USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
@@ -2877,6 +3020,9 @@ REGISTRY: dict[str, tuple] = {
     "q14_promo_revenue": (q_q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
     "q19_discounted_revenue": (q_q19_discounted_revenue,
                                SQL_Q19_DISCOUNTED_REVENUE),
+    "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
+    "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
+    "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),
     "q22_global_sales_opportunity": (q_q22_global_sales_opportunity,
                                      SQL_Q22_GLOBAL_SALES_OPPORTUNITY),
     "q21_waiting_supplier": (q_q21_waiting_supplier,

@@ -100,12 +100,15 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                               "id", "left_anti")
                 .localCheckpoint(eager=True))
     n = vertices.count()
-    # rank state is O(|V|) doubles; when it fits comfortably in a broadcast
-    # (same 2M-row trade as traverse.py's frontier), ship it to the static
-    # edge partitions instead of shuffling both sides — each round is then
-    # ONE shuffle (the contribution aggregate). Past that size, fall back to
-    # the shuffle join, which is the formulation that holds at 100 TB.
-    bcast_state = n <= 2_000_000
+    # rank state is O(|V|) doubles; when it fits comfortably in a broadcast,
+    # ship it to the static edge partitions instead of shuffling both sides —
+    # each round is then ONE shuffle (the contribution aggregate). The guard
+    # is tighter than traverse.py's frontier bound (500k vs 2M) because rank
+    # state is rebuilt and REbroadcast every round, so the collect+ship cost
+    # recurs per iteration — measured crossover on local[32] is ~1M rows.
+    # Past the guard, fall back to the shuffle join, the formulation that
+    # holds at 100 TB.
+    bcast_state = n <= 500_000
     _b = (lambda df: F.broadcast(df)) if bcast_state else (lambda df: df)
     ranks = vertices.withColumn("rank", F.lit(1.0))
     ranks = ranks.localCheckpoint(eager=True)
