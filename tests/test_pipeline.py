@@ -350,3 +350,27 @@ def test_chunk_tokens_overlap_invariants(spark):
     for c in c1:
         covered.update(c["chunk_text"].split())
     assert covered == {f"t{i}" for i in range(50)}
+
+
+def test_ngram_contamination_handcomputed(spark):
+    from vivace_graph_v3_spark.pipeline.dedup import ngram_contamination
+
+    docs = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "a quick brown fox jumps over a fence"),   # shares 3-gram(s)
+         (3, "completely different words here entirely"),
+         (10, "the quick brown fox jumps over the lazy dog extended")],
+        "doc_id long, text string")
+    ev = docs.filter(F.col("doc_id") == 1)
+    got = {r["id"]: r["n_common"]
+           for r in ngram_contamination(docs, ev, n=3).collect()}
+    # doc 1 contaminates itself (7 of its own 3-grams); doc 10 contains doc
+    # 1 verbatim (all 7); doc 2 shares exactly "quick brown fox",
+    # "brown fox jumps", "fox jumps over"; doc 3 shares nothing
+    assert got[1] == 7 and got[10] == 7
+    assert got[2] == 3
+    assert 3 not in got
+    # min_common raises the bar
+    strict = {r["id"] for r in
+              ngram_contamination(docs, ev, n=3, min_common=4).collect()}
+    assert strict == {1, 10}

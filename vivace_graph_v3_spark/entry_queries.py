@@ -2777,6 +2777,43 @@ FROM events GROUP BY event_type
 """
 
 
+def q_dedup_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs sharing any 5-gram shingle
+    with the deterministic 'eval set' (doc_id % 97 == 0). Spark joins on
+    the shingle HASH (broadcast eval-set semi-join, corpus never shuffled);
+    the oracle joins on the shingle STRING — equal absent a 64-bit hash
+    collision on the fixture."""
+    from vivace_graph_v3_spark.pipeline.dedup import ngram_contamination
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    ev = docs.filter(F.col("doc_id") % 97 == 0)
+    return ngram_contamination(docs, ev, n=5, min_common=1)
+
+
+SQL_DEDUP_CONTAMINATION = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 5
+                THEN list_transform(generate_series(1, len(toks) - 4),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])
+                ELSE [] END)) AS shingle
+  FROM t
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+)
+SELECT s.doc_id AS id, count(*) AS n_common
+FROM sh s JOIN ev USING (shingle)
+GROUP BY s.doc_id
+HAVING count(*) >= 1
+"""
+
+
 def q_q8_market_share(spark, sf_dir):
     """TPC-H Q8 shape (national market share): for AMERICA-region customers
     buying PROMO parts, the yearly fraction of revenue supplied from nation
@@ -3020,6 +3057,7 @@ REGISTRY: dict[str, tuple] = {
     "q14_promo_revenue": (q_q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
     "q19_discounted_revenue": (q_q19_discounted_revenue,
                                SQL_Q19_DISCOUNTED_REVENUE),
+    "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
     "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
     "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),

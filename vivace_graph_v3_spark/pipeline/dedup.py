@@ -86,6 +86,33 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, *,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        n: int = 5, min_common: int = 1) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_common`` distinct word n-gram shingles with ANY document of
+    an evaluation set — the standard leakage check before training on a
+    scraped corpus (the n-gram-overlap method of GPT-3 appendix C / PaLM).
+
+    Scale shape: the eval set is tiny relative to the corpus, so its
+    distinct shingle-hash set is BROADCAST and the 100 TB corpus is scanned
+    map-side (explode -> broadcast hash semi-join); the per-doc overlap
+    count is a map-side-combined groupBy on doc id. The corpus is never
+    shuffled by shingle. Returns (id, n_common) for contaminated docs.
+    """
+    corpus = (ensure_parallelism(docs)
+              .select(F.col(id_col).alias("id"),
+                      F.explode(shingle_hashes(F.col(text_col), n))
+                      .alias("shingle")))
+    ev = (eval_docs.select(F.explode(shingle_hashes(F.col(text_col), n))
+                           .alias("shingle"))
+          .dropDuplicates())
+    # shingle_hashes is per-doc distinct, so count(*) = distinct overlap
+    return (corpus.join(F.broadcast(ev), "shingle")
+            .groupBy("id").agg(F.count(F.lit(1)).alias("n_common"))
+            .filter(F.col("n_common") >= min_common))
+
+
 # -- minhash + LSH -----------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
