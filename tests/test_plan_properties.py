@@ -58,6 +58,22 @@ CASES = {
     "sketch_approx_distinct": lambda p: "Join" not in p,
     # exact dedup: hash aggregate + semi join, no cartesian anything
     "dedup_exact": lambda p: "HashAggregate" in p,
+    # 7-table share join: dims broadcast, lineitem never sort-merged
+    "q8_market_share": lambda p: (
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    # profit rollup: same broadcast-only property
+    "q9_product_profit": lambda p: (
+        "BroadcastHashJoin" in p and "SortMergeJoin" not in p),
+    # decorrelated scalar-avg: per-part aggregate feeds a join, no
+    # correlated re-scan per row
+    "q17_small_quantity": lambda p: "HashAggregate" in p,
+    # chunking is map-only: one scan, no shuffle exchange, no join
+    "text_chunks": lambda p: (
+        "Join" not in p and "Exchange" not in p
+        and read_cols(p) and max(read_cols(p)) <= 2),
+    # contamination: eval side broadcasts; corpus is never shuffled by
+    # shingle (the only exchange is the per-doc count aggregation)
+    "dedup_contamination": lambda p: "BroadcastHashJoin" in p,
 }
 
 
