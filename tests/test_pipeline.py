@@ -374,3 +374,32 @@ def test_ngram_contamination_handcomputed(spark):
     strict = {r["id"] for r in
               ngram_contamination(docs, ev, n=3, min_common=4).collect()}
     assert strict == {1, 10}
+
+
+def test_deterministic_sample_rate_and_stability(spark):
+    from vivace_graph_v3_spark.pipeline.text import (
+        deterministic_sample, training_mix)
+
+    df = spark.range(20_000).select(F.col("id").alias("doc_id"),
+                                    (F.col("id") % 4).cast("string")
+                                    .alias("source"))
+    s1 = deterministic_sample(df, 0.25)
+    n = s1.count()
+    assert abs(n / 20_000 - 0.25) < 0.02          # hash buckets ~ uniform
+    # stable: same subset on recompute and under a different partitioning
+    ids = {r["doc_id"] for r in s1.collect()}
+    again = {r["doc_id"]
+             for r in deterministic_sample(df.repartition(7), 0.25).collect()}
+    assert ids == again
+    # mixture: per-source rates honored, unlisted sources dropped
+    mix = training_mix(df, {"0": 1.0, "1": 0.5}, source_col="source")
+    by_src = {r["source"]: r["n"] for r in
+              mix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(by_src) == {"0", "1"}
+    assert by_src["0"] == 5000
+    assert abs(by_src["1"] / 5000 - 0.5) < 0.05
+    # sampling composes: the 0.5-rate source selects a subset of the
+    # full-rate selection for the same keys (nested thresholds)
+    full = {r["doc_id"] for r in df.filter(F.col("source") == "1").collect()}
+    kept = {r["doc_id"] for r in mix.filter(F.col("source") == "1").collect()}
+    assert kept <= full

@@ -2777,6 +2777,35 @@ FROM events GROUP BY event_type
 """
 
 
+def q_training_mix(spark, sf_dir):
+    """Source-weighted corpus mixture via deterministic hash-bucket
+    sampling: per-source keep rates applied in one map-only pass, stable
+    across runs/engines/partitionings (the reproducibility property RNG
+    sampling lacks). Uses the cross-engine md5-derived hash so the DuckDB
+    oracle reproduces the selection bit-for-bit."""
+    from vivace_graph_v3_spark.pipeline.text import training_mix
+
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    return training_mix(docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25,
+                               "src3": 0.1})
+
+
+_MIX_HASH64 = ("((('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT"
+               " - CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT"
+               " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+               " + ('0x' || substr(md5(doc_id::VARCHAR),9,8))::BIGINT)")
+
+SQL_TRAINING_MIX = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         (({_MIX_HASH64} % 10000) + 10000) % 10000 AS b
+  FROM documents)
+WHERE b < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
+                      WHEN 'src2' THEN 2500 WHEN 'src3' THEN 1000
+                      ELSE 0 END
+"""
+
+
 def q_dedup_contamination(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 5-gram shingle
     with the deterministic 'eval set' (doc_id % 97 == 0). Spark joins on
@@ -3058,6 +3087,7 @@ REGISTRY: dict[str, tuple] = {
     "q19_discounted_revenue": (q_q19_discounted_revenue,
                                SQL_Q19_DISCOUNTED_REVENUE),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
+    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
     "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),

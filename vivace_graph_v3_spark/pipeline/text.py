@@ -230,3 +230,44 @@ def chunk_tokens(df: DataFrame, *, text_col: str = "text",
     return (df.select(F.col(id_col), F.explode(chunks).alias("__c"))
             .select(F.col(id_col), F.col("__c.chunk_idx"),
                     F.col("__c.n_chunk_tokens"), F.col("__c.chunk_text")))
+
+
+# -- deterministic sampling / mixture weighting -----------------------------------
+
+def deterministic_sample(df: DataFrame, rate: float, *,
+                         key_col: str = "doc_id",
+                         buckets: int = 10_000) -> DataFrame:
+    """Reproducible content-keyed sampling: keep a row iff
+    ``hash(key) mod buckets < rate * buckets``. Unlike RNG sampling this is
+    stable across runs, engines, partitionings, and re-ingestions of the
+    same keys — the property a training pipeline needs so a re-run (or an
+    incremental top-up) selects the SAME subset. Map-only: no shuffle, no
+    state. Uses the cross-engine md5-derived 64-bit hash
+    (pipeline/dedup.md5_hash64) so external tools can reproduce the split
+    exactly."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    thresh = int(rate * buckets)
+    b = F.pmod(md5_hash64(F.col(key_col).cast("string")), F.lit(buckets))
+    return df.filter(b < thresh)
+
+
+def training_mix(df: DataFrame, weights: dict[str, float], *,
+                 source_col: str = "source",
+                 key_col: str = "doc_id",
+                 buckets: int = 10_000) -> DataFrame:
+    """Source-weighted corpus mixture: per-source deterministic sampling
+    rates (e.g. {"wiki": 1.0, "crawl": 0.25}) applied in ONE map-only pass —
+    the down-weighting step of a training-data mix. Sources absent from
+    ``weights`` are dropped. Same hash-bucket determinism as
+    deterministic_sample; the per-source rate is looked up with a small
+    CASE expression, so the 100 TB corpus is filtered at scan speed."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    b = F.pmod(md5_hash64(F.col(key_col).cast("string")), F.lit(buckets))
+    thresh = F.lit(0)  # sources without a weight are dropped
+    for src, rate in sorted(weights.items(), reverse=True):
+        thresh = (F.when(F.col(source_col) == src,
+                         F.lit(int(rate * buckets)))
+                  .otherwise(thresh))
+    return df.filter(b < thresh)
