@@ -89,11 +89,15 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     # iteration's rank-contribution join then moves only the small rank
     # frame, never the edges — at 100 TB the edge shuffle is the cost that
     # matters
-    edges = _edge_pairs(graph, edge_type).repartition(F.col("src")).persist()
+    # one explicit shuffle on src; the out-degree aggregate and the
+    # degree-fold join both REUSE that partitioning (no further exchange —
+    # verify: a single Exchange below edges_w in .explain), and edges_w
+    # inherits it for every iteration's contribution join
+    edges = _edge_pairs(graph, edge_type).repartition(F.col("src"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_w = (edges.join(out_deg, "src")
                .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv"))
-               .repartition(F.col("src")).persist())
+               .persist())
     # the dangling set is static (vertices with no out-edges): compute the
     # id set once, so the per-round dangling mass is one small semi-join
     dangling = (vertices.join(out_deg.withColumnRenamed("src", "id"),
@@ -145,7 +149,6 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
             else:
                 ranks = new
     finally:
-        edges.unpersist()
         edges_w.unpersist()
     return ranks
 
