@@ -136,3 +136,56 @@ def test_variant_sort_matches_python_reference(spark, vals):
     want = [i for i, _ in sorted(enumerate(vals),
                                  key=lambda t: (_py_term_key(t[1]), t[0]))]
     assert got == want, (vals, got, want)
+
+
+@SLOW
+@given(chunk=st.integers(min_value=1, max_value=40),
+       stride_frac=st.floats(min_value=0.25, max_value=1.0),
+       words=st.lists(st.sampled_from(["aa", "bb", "cc", "dd"]),
+                      min_size=0, max_size=120))
+def test_chunk_tokens_covers_exactly(spark, chunk, stride_frac, words):
+    """For ARBITRARY chunk/stride (stride <= chunk) and texts: chunks cover
+    every token position exactly once at each window start, window starts
+    step by stride, and re-concatenating stride-prefixes + the final chunk
+    reconstructs the document."""
+    from vivace_graph_v3_spark.pipeline.text import chunk_tokens
+
+    stride = max(1, int(chunk * stride_frac))
+    df = spark.createDataFrame([(1, " ".join(words))],
+                               "doc_id long, text string")
+    rows = sorted(chunk_tokens(df, chunk_size=chunk, stride=stride).collect(),
+                  key=lambda r: r["chunk_idx"])
+    n = len(words)
+    if n == 0:
+        assert rows == []
+        return
+    import math
+    assert len(rows) == math.ceil(n / stride)
+    rebuilt = []
+    for i, r in enumerate(rows):
+        toks = r["chunk_text"].split(" ") if r["chunk_text"] else []
+        assert r["chunk_idx"] == i
+        assert toks == words[i * stride: i * stride + chunk]
+        assert r["n_chunk_tokens"] == len(toks)
+        rebuilt.extend(toks if i == len(rows) - 1 else toks[:stride])
+    assert rebuilt == words
+
+
+@SLOW
+@given(rate=st.floats(min_value=0.0, max_value=1.0),
+       buckets=st.sampled_from([100, 1000, 10000]))
+def test_deterministic_sample_monotone(spark, rate, buckets):
+    """Hash-bucket sampling is monotone in rate (a higher-rate selection is
+    a superset) and exact at the rate endpoints."""
+    from vivace_graph_v3_spark.pipeline.text import deterministic_sample
+
+    df = spark.range(500).select(F.col("id").alias("doc_id"))
+    kept = {r["doc_id"] for r in
+            deterministic_sample(df, rate, buckets=buckets).collect()}
+    half = {r["doc_id"] for r in
+            deterministic_sample(df, rate / 2, buckets=buckets).collect()}
+    assert half <= kept
+    if rate == 0.0:
+        assert kept == set()
+    if rate == 1.0:
+        assert len(kept) == 500
