@@ -403,3 +403,21 @@ def test_deterministic_sample_rate_and_stability(spark):
     full = {r["doc_id"] for r in df.filter(F.col("source") == "1").collect()}
     kept = {r["doc_id"] for r in mix.filter(F.col("source") == "1").collect()}
     assert kept <= full
+
+
+def test_unigram_logprob_handcomputed(spark):
+    import math
+
+    from vivace_graph_v3_spark.pipeline.text import unigram_logprob
+
+    # corpus: 4 'a', 2 'b', 2 'c' -> p(a)=.5 p(b)=.25 p(c)=.25
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a a b c c")], "doc_id long, text string")
+    got = {r["id"]: r for r in unigram_logprob(df).collect()}
+    want1 = (2 * 1.0 + 2.0) / 3            # -log2: a=1, b=2
+    want2 = (2 * 1.0 + 2.0 + 2 * 2.0) / 5  # c=2
+    assert got[1]["n_words"] == 3
+    assert math.isclose(got[1]["avg_neg_logp"], round(want1, 6))
+    assert math.isclose(got[2]["avg_neg_logp"], round(want2, 6))
+    # rarer-word docs score strictly higher than common-word docs
+    assert got[2]["avg_neg_logp"] > got[1]["avg_neg_logp"]

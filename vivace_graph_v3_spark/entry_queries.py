@@ -2777,6 +2777,33 @@ FROM events GROUP BY event_type
 """
 
 
+def q_text_unigram_logprob(spark, sf_dir):
+    """Corpus-self-trained unigram negative log-prob per doc — the
+    perplexity-style quality proxy (CCNet-class) with no external LM; mean
+    accumulated in DECIMAL for engine-stable comparison."""
+    from vivace_graph_v3_spark.pipeline.text import unigram_logprob
+
+    return unigram_logprob(_docs(spark, sf_dir))
+
+
+SQL_TEXT_UNIGRAM_LOGPROB = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS c FROM w GROUP BY w
+), t AS (
+  SELECT sum(c) AS total FROM v
+)
+SELECT doc_id AS id, count(*) AS n_words,
+       round(CAST(sum(CAST(-log2(c / total) AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 6) AS avg_neg_logp
+FROM w JOIN v USING (w) CROSS JOIN t
+GROUP BY doc_id
+"""
+
+
 def q_training_mix(spark, sf_dir):
     """Source-weighted corpus mixture via deterministic hash-bucket
     sampling: per-source keep rates applied in one map-only pass, stable
@@ -3088,6 +3115,8 @@ REGISTRY: dict[str, tuple] = {
                                SQL_Q19_DISCOUNTED_REVENUE),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "text_unigram_logprob": (q_text_unigram_logprob,
+                             SQL_TEXT_UNIGRAM_LOGPROB),
     "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
     "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),

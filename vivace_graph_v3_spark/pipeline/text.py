@@ -13,6 +13,8 @@ from pyspark.sql import Column, DataFrame, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
+from vivace_graph_v3_spark.util import ensure_parallelism
+
 # -- tokenization -------------------------------------------------------------
 
 WORD_SPLIT = r"\s+"
@@ -271,3 +273,31 @@ def training_mix(df: DataFrame, weights: dict[str, float], *,
                          F.lit(int(rate * buckets)))
                   .otherwise(thresh))
     return df.filter(b < thresh)
+
+
+def unigram_logprob(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Corpus-self-trained unigram negative log-probability per document —
+    the perplexity-style quality proxy of CCNet-class pipelines (docs whose
+    words are improbable under the corpus distribution score high = likely
+    noise; no external LM needed). Returns (id, n_words, avg_neg_logp).
+
+    Two relational passes over the exploded words: a global word-count
+    (map-side combined; vocabulary-sized result) joined back to the word
+    stream, then a per-doc mean. The vocabulary frame is aggregated, so at
+    100 TB the join is shuffle-bounded by |vocab|, not corpus size."""
+    words = (ensure_parallelism(df)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("w")))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (words.join(vocab, "w")
+              .crossJoin(F.broadcast(total))
+              .select("id", (-F.log2(F.col("c") / F.col("total")))
+                      .alias("neg_logp")))
+    # decimal-accumulated mean: order-independent, engine-stable
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.round((F.sum(F.col("neg_logp").cast("decimal(38,12)"))
+                          .cast("double") / F.count(F.lit(1))), 6)
+                 .alias("avg_neg_logp")))
