@@ -421,3 +421,26 @@ def test_unigram_logprob_handcomputed(spark):
     assert math.isclose(got[2]["avg_neg_logp"], round(want2, 6))
     # rarer-word docs score strictly higher than common-word docs
     assert got[2]["avg_neg_logp"] > got[1]["avg_neg_logp"]
+
+
+def test_bm25_handcomputed(spark):
+    import math
+
+    from vivace_graph_v3_spark.pipeline.text import bm25_topk
+
+    # 3 docs; query 'cat': tf d1=2/len3, d2=1/len3; d3 no hit; df=2, N=3
+    df = spark.createDataFrame(
+        [(1, "cat cat dog"), (2, "cat dog dog"), (3, "dog dog dog")],
+        "doc_id long, text string")
+    rows = bm25_topk(df, ["cat"], k=10).collect()
+    got = {r["id"]: (r["score"], r["rank"]) for r in rows}
+    assert set(got) == {1, 2}
+    k1, b, avgdl = 1.2, 0.75, 3.0
+    idf = math.log((3 - 2 + 0.5) / (2 + 0.5) + 1.0)
+
+    def s(tf, dl):
+        return idf * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+
+    assert math.isclose(got[1][0], round(s(2, 3), 6), abs_tol=1e-6)
+    assert math.isclose(got[2][0], round(s(1, 3), 6), abs_tol=1e-6)
+    assert got[1][1] == 1 and got[2][1] == 2  # higher tf ranks first

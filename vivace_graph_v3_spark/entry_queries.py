@@ -2777,6 +2777,50 @@ FROM events GROUP BY event_type
 """
 
 
+def q_text_bm25_topk(spark, sf_dir):
+    """BM25 keyword retrieval: top-20 docs for a 3-term query, ranked by
+    the 6-decimal score with doc id tiebreak — the lexical complement to
+    the embedding-ANN entries."""
+    from vivace_graph_v3_spark.pipeline.text import bm25_topk
+
+    return bm25_topk(_docs(spark, sf_dir), ["spark", "merge", "window"],
+                     k=20)
+
+
+SQL_TEXT_BM25_TOPK = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), dl AS (
+  SELECT id, count(*) AS dl FROM w GROUP BY id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT id, w, count(*) AS tf FROM w
+  WHERE w IN ('spark', 'merge', 'window') GROUP BY id, w
+), dfreq AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           AS s
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (id) CROSS JOIN stats
+), totals AS (
+  SELECT id, round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS score
+  FROM scored GROUP BY id
+)
+SELECT id, score, rank FROM (
+  SELECT id, score,
+         row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM totals)
+WHERE rank <= 20
+"""
+
+
 def q_text_unigram_logprob(spark, sf_dir):
     """Corpus-self-trained unigram negative log-prob per doc — the
     perplexity-style quality proxy (CCNet-class) with no external LM; mean
@@ -3117,6 +3161,7 @@ REGISTRY: dict[str, tuple] = {
     "training_mix": (q_training_mix, SQL_TRAINING_MIX),
     "text_unigram_logprob": (q_text_unigram_logprob,
                              SQL_TEXT_UNIGRAM_LOGPROB),
+    "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
     "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
     "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),

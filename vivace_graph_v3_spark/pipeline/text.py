@@ -9,7 +9,7 @@ fingerprint drops to a pandas UDF, and it is windowed/vectorized.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import LongType
 
@@ -301,3 +301,44 @@ def unigram_logprob(df: DataFrame, *, text_col: str = "text",
                  F.round((F.sum(F.col("neg_logp").cast("decimal(38,12)"))
                           .cast("double") / F.count(F.lit(1))), 6)
                  .alias("avg_neg_logp")))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 keyword retrieval (Robertson-Spärck Jones): top-k documents for
+    a bag of query terms — the lexical complement to the embedding ANN
+    operators in pipeline/similarity.py. Returns (id, score, rank), ranked
+    by the 6-decimal-rounded score with id as the deterministic tiebreak.
+
+    Everything is relational: document lengths and per-term document
+    frequencies are map-side-combined aggregates; only rows containing a
+    query term survive the explode filter, so the scoring join touches the
+    inverted-index slice for the query, not the corpus. idf uses the
+    standard +1 form (never negative)."""
+    words = (ensure_parallelism(df)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("w")))
+    dl = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    # avgdl as exact-int-sum / count: bit-identical across engines and
+    # aggregation orders (double avg() accumulates order-dependently)
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
+    tf = (words.filter(F.col("w").isin(*query_terms))
+          .groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5) + 1.0)
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (tf.join(F.broadcast(dfreq), "w")
+              .join(dl, "id")
+              .crossJoin(F.broadcast(stats))
+              .select("id", (idf * norm).alias("s")))
+    totals = (scored.groupBy("id")
+              .agg(F.round(F.sum(F.col("s").cast("decimal(38,12)"))
+                           .cast("double"), 6).alias("score")))
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (totals.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("id", "score", "rank"))
