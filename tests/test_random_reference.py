@@ -193,3 +193,21 @@ def test_k_core_matches_python(random_graph):
 
     got = {r["id"]: r["degree"] for r in k_core(g, k).collect()}
     assert got == want
+
+
+def test_triangle_count_matches_python(random_graph):
+    from vivace_graph_v3_spark.operators.graph_algorithms import triangle_count
+
+    g, ids, edges, _ = random_graph
+    nbrs = {v: set() for v in ids}
+    for s, d in edges:
+        nbrs[s].add(d)
+        nbrs[d].add(s)
+    want = 0
+    order = sorted(ids)
+    for a in order:
+        for b in (x for x in nbrs[a] if x > a):
+            # canonical a < b < c: each triangle counted once
+            want += sum(1 for c in (nbrs[a] & nbrs[b]) if c > b)
+    got = triangle_count(g).first()["n_triangles"]
+    assert got == want
