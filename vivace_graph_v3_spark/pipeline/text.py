@@ -1,10 +1,14 @@
 """Text-analysis operators for large-scale training-data pipelines.
 
-Beyond the reference's surface (SURVEY.md §7.1 step 10): language ID, quality
-scoring, token counting, document fingerprinting. All hot paths are built-in
-``pyspark.sql.functions`` expressions (whole-stage codegen, no Python), so
-they scale to 100 TB document tables untouched; only the winnowing
-fingerprint drops to a pandas UDF, and it is windowed/vectorized.
+Beyond the reference's surface (SURVEY.md §7.1 step 10): language ID,
+quality scoring (heuristic, Gopher-style repetition, unigram
+self-perplexity), token counting, document fingerprinting, token-window
+chunking, deterministic sampling / source-weighted mixing, and BM25
+keyword retrieval. All hot paths are built-in ``pyspark.sql.functions``
+expressions or map-side-combined relational aggregates (whole-stage
+codegen, no Python), so they scale to 100 TB document tables untouched;
+only the winnowing fingerprint drops to a pandas UDF, and it is
+windowed/vectorized.
 """
 
 from __future__ import annotations
