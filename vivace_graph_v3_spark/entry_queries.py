@@ -2777,6 +2777,101 @@ FROM events GROUP BY event_type
 """
 
 
+_MIX_HASH64 = ("((('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT"
+               " - CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT"
+               " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+               " + ('0x' || substr(md5(doc_id::VARCHAR),9,8))::BIGINT)")
+
+
+def q_corpus_curation(spark, sf_dir):
+    """FULL training-corpus curation, end to end in one lazy plan:
+    near-dedup (MinHash-LSH pairs -> CC survivors) -> benchmark
+    decontamination (drop docs sharing >= 3 5-gram shingles with the
+    doc_id%97 eval set — including surviving eval docs themselves) ->
+    source-weighted deterministic mix -> token-window chunking. Returns one
+    strictly-checked row (n_docs, n_tokens, n_chunks); the oracle recomputes
+    every stage in SQL (exact-Jaccard pairs + recursive-CTE closure,
+    string-shingle overlap, md5 hash buckets, ceil(len/stride) chunks)."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        minhash_dedup_pairs as _mh, ngram_contamination)
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_survivors
+    from vivace_graph_v3_spark.pipeline.text import (
+        chunk_tokens, training_mix, with_token_count)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text", "source")
+    pairs = _mh(docs.select("doc_id", "text"),
+                threshold=0.5).select("id_a", "id_b")
+    kept = dedup_survivors(docs, pairs)
+    ev = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+    cont = (ngram_contamination(kept.select("doc_id", "text"), ev,
+                                n=5, min_common=3)
+            .select(F.col("id").alias("doc_id")))
+    clean = kept.join(cont, "doc_id", "left_anti")
+    mixed = training_mix(clean, {"src0": 1.0, "src1": 1.0, "src2": 0.5,
+                                 "src3": 0.5, "src4": 0.25, "src5": 0.25})
+    chunks = chunk_tokens(mixed, chunk_size=32, stride=24)
+    stats = (with_token_count(mixed, bpe_col=None)
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.sum("n_tokens").alias("n_tokens")))
+    return stats.crossJoin(
+        chunks.agg(F.count(F.lit(1)).alias("n_chunks")))
+
+
+SQL_CORPUS_CURATION = (
+    "WITH RECURSIVE p AS (SELECT id_a, id_b FROM ("
+    + SQL_DEDUP_NGRAM_JACCARD + """
+)), e AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION SELECT id_b, id_a FROM p
+), reach(a, b) AS (
+  SELECT a, b FROM e
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a
+), labels AS (
+  SELECT a AS doc_id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+), kept AS (
+  SELECT d.doc_id, d.text, d.source
+  FROM documents d LEFT JOIN labels l USING (doc_id)
+  WHERE l.cluster IS NULL OR l.cluster = d.doc_id
+), tk AS (
+  SELECT doc_id, list_filter(string_split_regex(trim(text), '\\s+'),
+                             x -> x <> '') AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           CASE WHEN len(toks) >= 5
+                THEN list_transform(generate_series(1, len(toks) - 4),
+                       i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                            || ' ' || toks[i+3] || ' ' || toks[i+4])
+                ELSE [] END)) AS shingle
+  FROM tk
+), ev AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc_id % 97 = 0
+), cont AS (
+  SELECT s.doc_id FROM sh s JOIN ev USING (shingle)
+  WHERE s.doc_id IN (SELECT doc_id FROM kept)
+  GROUP BY s.doc_id HAVING count(*) >= 3
+), mixed AS (
+  SELECT k.doc_id, k.source, len(t.toks) AS n_tokens
+  FROM kept k JOIN tk t USING (doc_id)
+  WHERE k.doc_id NOT IN (SELECT doc_id FROM cont)
+    AND (("""
+    + _MIX_HASH64.replace("doc_id", "k.doc_id") + """ % 10000) + 10000)
+        % 10000
+        < CASE k.source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 10000
+                        WHEN 'src2' THEN 5000 WHEN 'src3' THEN 5000
+                        WHEN 'src4' THEN 2500 WHEN 'src5' THEN 2500
+                        ELSE 0 END
+)
+SELECT count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       sum(CASE WHEN n_tokens > 0
+                THEN CAST(ceil(n_tokens / 24.0) AS BIGINT)
+                ELSE 0 END)::BIGINT AS n_chunks
+FROM mixed
+""")
+
+
 def q_text_bm25_topk(spark, sf_dir):
     """BM25 keyword retrieval: top-20 docs for a 3-term query, ranked by
     the 6-decimal score with doc id tiebreak — the lexical complement to
@@ -2860,11 +2955,6 @@ def q_training_mix(spark, sf_dir):
     return training_mix(docs, {"src0": 1.0, "src1": 0.5, "src2": 0.25,
                                "src3": 0.1})
 
-
-_MIX_HASH64 = ("((('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT"
-               " - CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR),1,8))::BIGINT"
-               " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
-               " + ('0x' || substr(md5(doc_id::VARCHAR),9,8))::BIGINT)")
 
 SQL_TRAINING_MIX = f"""
 SELECT doc_id, source FROM (
@@ -3162,6 +3252,7 @@ REGISTRY: dict[str, tuple] = {
     "text_unigram_logprob": (q_text_unigram_logprob,
                              SQL_TEXT_UNIGRAM_LOGPROB),
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
     "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
     "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
     "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),
