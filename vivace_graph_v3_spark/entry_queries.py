@@ -2970,9 +2970,9 @@ WHERE b < CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 5000
 def q_dedup_contamination(spark, sf_dir):
     """Benchmark decontamination: training docs sharing any 5-gram shingle
     with the deterministic 'eval set' (doc_id % 97 == 0). Spark joins on
-    the shingle HASH (broadcast eval-set semi-join, corpus never shuffled);
-    the oracle joins on the shingle STRING — equal absent a 64-bit hash
-    collision on the fixture."""
+    the shingle HASH (AQE broadcasts the small eval side, so the corpus is
+    never shuffled); the oracle joins on the shingle STRING — equal absent
+    a 64-bit hash collision on the fixture."""
     from vivace_graph_v3_spark.pipeline.dedup import ngram_contamination
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")

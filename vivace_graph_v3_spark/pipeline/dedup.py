@@ -94,12 +94,14 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, *,
     an evaluation set — the standard leakage check before training on a
     scraped corpus (the n-gram-overlap method of GPT-3 appendix C / PaLM).
 
-    Scale shape: the eval set is tiny relative to the corpus, so its
-    distinct shingle-hash set is BROADCAST and the 100 TB corpus is scanned
-    map-side (explode -> broadcast hash semi-join); the per-doc overlap
-    count is a map-side-combined groupBy on doc id. The corpus is never
-    shuffled by shingle. Returns (id, n_common) for contaminated docs.
-    """
+    Scale shape: the eval set is normally tiny relative to the corpus, so
+    AQE turns the shingle join into a broadcast-hash join and the 100 TB
+    corpus is scanned map-side with no shuffle by shingle; the per-doc
+    overlap count is a map-side-combined groupBy on doc id. The join is
+    deliberately UNhinted — an unexpectedly large eval set degrades to a
+    shuffle join instead of overwhelming the driver (the same let-AQE-pick
+    policy as the TPC-H shapes). Returns (id, n_common) for contaminated
+    docs."""
     corpus = (ensure_parallelism(docs)
               .select(F.col(id_col).alias("id"),
                       F.explode(shingle_hashes(F.col(text_col), n))
@@ -108,7 +110,7 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, *,
                            .alias("shingle"))
           .dropDuplicates())
     # shingle_hashes is per-doc distinct, so count(*) = distinct overlap
-    return (corpus.join(F.broadcast(ev), "shingle")
+    return (corpus.join(ev, "shingle")
             .groupBy("id").agg(F.count(F.lit(1)).alias("n_common"))
             .filter(F.col("n_common") >= min_common))
 
