@@ -185,7 +185,10 @@ class VersionedGraph:
                 F.col("id"), F.col("revision").alias("__cur_rev"),
                 *( [F.col("src").alias("__cur_src"), F.col("dst").alias("__cur_dst"),
                     F.col("weight").alias("__cur_w")] if nt.kind == "edge" else [] ))
-            df = df.join(cur, "id", "left")
+            # materialize the validation join ONCE: the OCC probe and the
+            # log-row serialization both consume it, and without this the
+            # write job re-runs the merge-on-read current-state scan
+            df = df.join(cur, "id", "left").localCheckpoint(eager=True)
             # OCC validation in ONE job: count unknown ids and stale saves
             check_stale = (op == "update" and "revision" in df.columns)
             probe = df.agg(
