@@ -38,7 +38,10 @@ AUDITED = [
     "q22_global_sales_opportunity", "view_mixed_key_order",
     "graph_pagerank", "dedup_embedding", "geo_polygon_intersects",
     "sketch_quantiles", "replication_subset", "dedup_embedding_recall",
-    "text_repetition", "text_chunks",
+    "text_repetition", "text_chunks", "text_bm25_topk",
+    "text_unigram_logprob", "dedup_contamination", "training_mix",
+    "corpus_curation", "q8_market_share", "q9_product_profit",
+    "q17_small_quantity",
 ]
 
 
