@@ -211,3 +211,43 @@ def test_triangle_count_matches_python(random_graph):
             want += sum(1 for c in (nbrs[a] & nbrs[b]) if c > b)
     got = triangle_count(g).first()["n_triangles"]
     assert got == want
+
+
+def test_personalized_pagerank_matches_python(random_graph):
+    g, ids, edges, _ = random_graph
+    out = {}
+    for s, d in edges:
+        out.setdefault(s, []).append(d)
+    n, d_f = len(ids), 0.85
+    srcs = [ids[0], ids[7], ids[42]]
+    tele = {v: (n / len(srcs) if v in srcs else 0.0) for v in ids}
+    ranks = dict(tele)
+    for _ in range(10):
+        recv = {v: 0.0 for v in ids}
+        dangling = 0.0
+        for v in ids:
+            if v in out:
+                share = ranks[v] / len(out[v])
+                for t in out[v]:
+                    recv[t] += share
+            else:
+                dangling += ranks[v]
+        ranks = {v: ((1 - d_f) + d_f * dangling / n) * tele[v]
+                 + d_f * recv[v] for v in ids}
+    got = {r["id"]: r["rank"]
+           for r in pagerank(g, max_iter=10, tol=None,
+                             sources=srcs).collect()}
+    assert all(abs(got[v] - ranks[v]) < 1e-6 for v in ids)
+    # mass conservation holds in the personalized variant too
+    assert abs(sum(got.values()) - n) < 1e-6
+    # non-source vertices with no in-path from the sources get zero rank
+    reachable = set(srcs)
+    frontier = list(srcs)
+    while frontier:
+        u = frontier.pop()
+        for v in out.get(u, []):
+            if v not in reachable:
+                reachable.add(v)
+                frontier.append(v)
+    assert all(got[v] == 0.0 for v in ids
+               if v not in reachable)

@@ -76,10 +76,19 @@ def aggregate_messages(graph: GraphStore, *, agg, edge_type: str | None = None,
 
 def pagerank(graph: GraphStore, *, edge_type: str | None = None,
              damping: float = 0.85, max_iter: int = 20,
-             tol: float | None = 1.0e-4) -> DataFrame:
+             tol: float | None = 1.0e-4,
+             sources: list | None = None) -> DataFrame:
     """Standard damped PageRank over active edges. Returns (id, rank) with
     ranks summing to |V| (the classic normalization). Dangling mass is
-    redistributed uniformly each round so the total stays conserved."""
+    redistributed uniformly each round so the total stays conserved.
+
+    ``sources`` switches to PERSONALIZED PageRank: teleport (and dangling
+    redistribution) target only the source set instead of every vertex —
+    the relatedness / recommendation variant. The teleport vector keeps the
+    mass-|V| convention (|V|/|S| on each source, 0 elsewhere), so
+    ``sources=None`` is exactly the uniform special case; the iteration
+    body is IDENTICAL (the teleport column simply scales the base term),
+    so the scale profile is unchanged."""
     # materialize the vertex universe once — it joins into EVERY iteration,
     # and recomputing the multi-type union scan per round would dominate
     vertices = (graph.scan_vertices(columns=["id"]).select("id")
@@ -114,7 +123,15 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     # holds at 100 TB.
     bcast_state = n <= 500_000
     _b = (lambda df: F.broadcast(df)) if bcast_state else (lambda df: df)
-    ranks = vertices.withColumn("rank", F.lit(1.0))
+    # teleport vector (mass-|V| convention): uniform 1.0, or |V|/|S| on the
+    # personalization sources and 0 elsewhere
+    if sources is None:
+        tele = F.lit(1.0)
+    else:
+        srcs = [str(s) for s in sources]
+        tele = F.when(F.col("id").isin(*srcs),
+                      F.lit(float(n) / len(srcs))).otherwise(F.lit(0.0))
+    ranks = vertices.withColumn("rank", tele)
     ranks = ranks.localCheckpoint(eager=True)
     check_every = 3
     try:
@@ -129,7 +146,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
             dang = (ranks.join(_b(dangling), "id", "left_semi")
                     .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
             base = (F.lit(1.0 - damping)
-                    + F.lit(damping) * F.col("__dang") / F.lit(float(n)))
+                    + F.lit(damping) * F.col("__dang") / F.lit(float(n))) * tele
             new = (vertices.join(_b(agg), "id", "left")
                    .crossJoin(F.broadcast(dang))
                    .select("id", (base + F.lit(damping) *
