@@ -833,12 +833,16 @@ WITH t AS (
   FROM t
 )
 SELECT doc_id,
-       round(least(n_chars / 500.0, 1.0) * 0.3
-             + (1.0 - least(punct / greatest(n_chars, 1) * 5.0, 1.0)) * 0.2
-             + least(stops / greatest(n_toks, 1) * 5.0, 1.0) * 0.3
-             + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0
-                     THEN 1.0 ELSE 0.3 END) * 0.2, 6) AS quality,
-       round(punct / greatest(n_chars, 1), 6) AS punct_ratio
+       -- floor(x*1e6 + 0.5)/1e6 mirrors the Spark side exactly: IEEE double
+       -- ops are bit-determined, unlike engine round() conventions.
+       floor((least(n_chars / 500.0, 1.0) * 0.3
+              + (1.0 - least(punct / greatest(n_chars, 1) * 5.0, 1.0)) * 0.2
+              + least(stops / greatest(n_toks, 1) * 5.0, 1.0) * 0.3
+              + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0
+                      THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000.0 + 0.5)
+         / 1000000.0 AS quality,
+       floor(punct / greatest(n_chars, 1) * 1000000.0 + 0.5) / 1000000.0
+         AS punct_ratio
 FROM s
 """
 
@@ -896,9 +900,14 @@ WITH t AS (
   FROM bg
 )
 SELECT top.doc_id AS doc_id, n_words,
-       round(top_c / n_words, 6) AS top_word_frac,
-       round(CASE WHEN n_bg > 0 THEN 1.0 - n_dbg / n_bg ELSE 0.0 END, 6)
-         AS dup_bigram_frac
+       -- round(a/b, 6) in pure integer arithmetic (round-half-up), so the
+       -- hash is independent of engine double-rounding mode:
+       CAST((top_c * 2000000 + n_words) // (n_words * 2) AS DOUBLE)
+         / 1000000.0 AS top_word_frac,
+       CASE WHEN n_bg > 0
+            THEN CAST(((n_bg - n_dbg) * 2000000 + n_bg) // (n_bg * 2)
+                      AS DOUBLE) / 1000000.0
+            ELSE 0.0 END AS dup_bigram_frac
 FROM top JOIN pr ON top.doc_id = pr.doc_id
 """
 

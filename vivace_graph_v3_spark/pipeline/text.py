@@ -82,10 +82,17 @@ def with_quality_score(df: DataFrame, text_col: str = "text",
 
     q = (length_score * 0.3 + punct_score * 0.2 + stop_score * 0.3
          + wl_score * 0.2)
-    return (df.withColumn(out_col, F.round(q, 6))
+    # floor(x*1e6 + 0.5)/1e6 instead of round(x, 6): IEEE double arithmetic
+    # is bit-determined, so identical inputs give identical 6-decimal values
+    # in every engine, with no dependence on the engine's rounding mode.
+    def _r6(x):
+        return (F.floor(x * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+                / F.lit(1000000.0))
+
+    return (df.withColumn(out_col, _r6(q))
             .withColumn("n_chars_obs", n_chars)
             .withColumn("punct_ratio",
-                        F.round(punct / F.greatest(n_chars, F.lit(1)), 6)))
+                        _r6(punct / F.greatest(n_chars, F.lit(1)))))
 
 
 # -- language identification -----------------------------------------------------
@@ -189,7 +196,13 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text",
       aggregate gets map-side combine and the only shuffle carries at most
       |vocab-per-doc| rows per document;
     - ``dup_bigram_frac``: 1 - distinct bigrams / bigrams, a pure per-row
-      expression (no shuffle at all)."""
+      expression (no shuffle at all).
+
+    Both fractions are rounded to 6 decimals in pure integer arithmetic —
+    round(a/b, 6) == ((2*a*10^6 + b) div (2*b)) / 10^6 for non-negative
+    ints — so the result is bit-identical across engines regardless of
+    their double-rounding mode (a HALF_UP double round can flip an ulp
+    differently in Spark vs DuckDB on exact-half boundaries)."""
     toks = tokens(F.col(text_col))
     n = F.size(toks)
     bg = F.when(n >= 2, F.transform(
@@ -205,13 +218,17 @@ def repetition_stats(df: DataFrame, *, text_col: str = "text",
         F.col(id_col),
         F.size("__bg").cast("long").alias("n_bg"),
         F.size(F.array_distinct("__bg")).cast("long").alias("n_dbg"))
+    def _ratio6(num, den):
+        # round(num/den, 6) via integer round-half-up: exact in any engine.
+        k = F.expr(f"({num} * 2000000L + {den}) div ({den} * 2L)")
+        return k.cast("double") / F.lit(1000000.0)
+
     dup = F.when(F.col("n_bg") > 0,
-                 F.lit(1.0) - F.col("n_dbg") / F.col("n_bg")).otherwise(0.0)
+                 _ratio6("(n_bg - n_dbg)", "n_bg")).otherwise(F.lit(0.0))
     return (top.join(per_row, id_col)
             .select(F.col(id_col), F.col("n_words"),
-                    F.round(F.col("top_c") / F.col("n_words"), 6)
-                    .alias("top_word_frac"),
-                    F.round(dup, 6).alias("dup_bigram_frac")))
+                    _ratio6("top_c", "n_words").alias("top_word_frac"),
+                    dup.alias("dup_bigram_frac")))
 
 
 def chunk_tokens(df: DataFrame, *, text_col: str = "text",
