@@ -37,3 +37,23 @@ def test_every_query_compiles(spark):
     for name, fn in sorted(qs.items()):
         df = fn(spark, SF_DIR)
         assert df.schema is not None and len(df.columns) > 0, name
+
+
+def test_no_previously_green_entry_dropped():
+    """Registry rotation is append-or-reorder-only: every query that earned a
+    green driver row in a past round's CORRECTNESS file must still be
+    registered, so reordering for driver-sample coverage can never silently
+    lose a verified operator."""
+    import glob
+    import json
+    import os
+
+    qs = set(entry_mod.queries())
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
+        with open(path) as f:
+            rows = json.load(f)
+        green = {name for name, r in rows.items()
+                 if isinstance(r, dict) and r.get("hash_match")}
+        missing = green - qs
+        assert not missing, f"{os.path.basename(path)} green entries dropped: {missing}"

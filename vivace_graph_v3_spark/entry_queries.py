@@ -1176,14 +1176,22 @@ def _ann_recall_row(spark, sf_dir, ann_df):
 
 
 def q_ann_ivf_recall(spark, sf_dir):
-    """Recall@5 of IVF ANN (centroid probing) vs exact brute force — ANN is
-    approximate by design, so the contract checks the measured recall (a
-    deterministic value on the fixture: every stage is seeded/expression-
-    deterministic). Oracle computes n_exact with the same windowed-topk SQL
-    and pins the measured hit count."""
+    """Recall@5 of IVF ANN vs exact brute force — ANN is approximate by
+    design, so the contract checks the measured recall (a deterministic
+    value on the fixture: centroid training accumulates in DECIMAL, so it
+    is independent of partitioning; assignment/probing are pure
+    expressions). Oracle computes n_exact with the same windowed-topk SQL
+    and pins the measured hit count.
+
+    Deliberately exercises the scale shape: ``ivf_index`` (the ingest-time
+    half — at 100 TB this output is persisted partitioned by centroid_id)
+    then ``ivf_probe`` (the query-time half, partition-pruned)."""
+    from vivace_graph_v3_spark.pipeline.similarity import ivf_index, ivf_probe
+
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    ann = ivf_ann_topk(emb, queries, k=5, num_centroids=8, nprobe=4)
+    indexed, cents = ivf_index(emb, num_centroids=8, iterations=1)
+    ann = ivf_probe(indexed, cents, queries, k=5, nprobe=4)
     return _ann_recall_row(spark, sf_dir, ann)
 
 
@@ -3156,7 +3164,74 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+# Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
+# insertion order. Round 3 leads with the 49 entries that had never had a
+# driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
+# sketches, geo, pipeline) plus text_repetition (driver-red in r2, fixed).
+# Round-2 driver-green entries follow from position 51; rotate again next
+# round to cover the remaining never-sampled handful (text_lang_id,
+# training_pipeline, dedup_contamination, multimodal_features, q2, q4).
 REGISTRY: dict[str, tuple] = {
+    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
+    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
+    "graph_connected_components": (q_graph_connected_components,
+                                   SQL_GRAPH_CONNECTED_COMPONENTS),
+    "graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
+    "graph_triangle_count": (q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT),
+    "graph_label_propagation": (q_graph_label_propagation,
+                                SQL_GRAPH_LABEL_PROPAGATION),
+    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
+    "rule_transitive_closure": (q_rule_transitive_closure,
+                                SQL_RULE_TRANSITIVE_CLOSURE),
+    "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE),
+    "q7_nation_volume": (q_q7_nation_volume, SQL_Q7_NATION_VOLUME),
+    "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
+    "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
+    "q10_returned_items": (q_q10_returned_items, SQL_Q10_RETURNED_ITEMS),
+    "q11_important_stock": (q_q11_important_stock, SQL_Q11_IMPORTANT_STOCK),
+    "q12_priority_shipping": (q_q12_priority_shipping,
+                              SQL_Q12_PRIORITY_SHIPPING),
+    "q13_customer_distribution": (q_q13_customer_distribution,
+                                  SQL_Q13_CUSTOMER_DISTRIBUTION),
+    "q14_promo_revenue": (q_q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
+    "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
+    "q16_supplier_cnt": (q_q16_supplier_cnt, SQL_Q16_SUPPLIER_CNT),
+    "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),
+    "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE_ORDERS),
+    "q19_discounted_revenue": (q_q19_discounted_revenue,
+                               SQL_Q19_DISCOUNTED_REVENUE),
+    "q20_nested_semijoin": (q_q20_nested_semijoin, SQL_Q20_NESTED_SEMIJOIN),
+    "q21_waiting_supplier": (q_q21_waiting_supplier, SQL_Q21_WAITING_SUPPLIER),
+    "q22_global_sales_opportunity": (q_q22_global_sales_opportunity,
+                                     SQL_Q22_GLOBAL_SALES_OPPORTUNITY),
+    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
+    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
+    "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL_JOIN),
+    "events_rollup_daily": (q_events_rollup_daily, SQL_EVENTS_ROLLUP_DAILY),
+    "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
+    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
+    "sketch_approx_distinct": (q_sketch_approx_distinct,
+                               SQL_SKETCH_APPROX_DISTINCT),
+    "sketch_quantiles": (q_sketch_quantiles, SQL_SKETCH_QUANTILES),
+    "grouping_sets_revenue": (q_grouping_sets_revenue,
+                              SQL_GROUPING_SETS_REVENUE),
+    "exact_percentile": (q_exact_percentile, SQL_EXACT_PERCENTILE),
+    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
+    "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
+    "select_first": (q_select_first, SQL_SELECT_FIRST),
+    "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
+    "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
+    "view_mixed_key_order": (q_view_mixed_key_order, SQL_VIEW_MIXED_KEY_ORDER),
+    "spatial_within": (q_spatial_within, SQL_SPATIAL_WITHIN),
+    "geo_polygon_metrics": (q_geo_polygon_metrics, SQL_GEO_POLYGON_METRICS),
+    "geo_polygon_intersects": (q_geo_polygon_intersects,
+                               SQL_GEO_POLYGON_INTERSECTS),
+    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
+    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
+    "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
+    "text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
+    "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
     "map_edges_scan": (q_map_edges_scan, SQL_MAP_EDGES_SCAN),
@@ -3197,7 +3272,6 @@ REGISTRY: dict[str, tuple] = {
     "text_token_count": (q_text_token_count, SQL_TEXT_TOKEN_COUNT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "text_fingerprint": (q_text_fingerprint, SQL_TEXT_FINGERPRINT),
-    "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "text_chunks": (q_text_chunks, SQL_TEXT_CHUNKS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "dedup_ngram_jaccard": (q_dedup_ngram_jaccard, SQL_DEDUP_NGRAM_JACCARD),
@@ -3209,75 +3283,14 @@ REGISTRY: dict[str, tuple] = {
                                SQL_DEDUP_EMBEDDING_RECALL),
     "ann_bruteforce_topk": (q_ann_bruteforce_topk, SQL_ANN_BRUTEFORCE_TOPK),
     "ann_ivf_recall": (q_ann_ivf_recall, SQL_ANN_IVF_RECALL),
-    "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
-    "rule_transitive_closure": (q_rule_transitive_closure,
-                                SQL_RULE_TRANSITIVE_CLOSURE),
-    "graph_connected_components": (q_graph_connected_components,
-                                   SQL_GRAPH_CONNECTED_COMPONENTS),
-    "graph_shortest_paths": (q_graph_shortest_paths, SQL_GRAPH_SHORTEST_PATHS),
-    "graph_triangle_count": (q_graph_triangle_count, SQL_GRAPH_TRIANGLE_COUNT),
-    "view_mixed_key_order": (q_view_mixed_key_order, SQL_VIEW_MIXED_KEY_ORDER),
-    "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
-    "graph_label_propagation": (q_graph_label_propagation,
-                                SQL_GRAPH_LABEL_PROPAGATION),
-    "graph_kcore": (q_graph_kcore, SQL_GRAPH_KCORE),
-    "pattern_dsl_query": (q_pattern_dsl_query, SQL_PATTERN_DSL_QUERY),
-    "named_query_param": (q_named_query_param, SQL_NAMED_QUERY_PARAM),
     "training_pipeline": (q_training_pipeline, SQL_TRAINING_PIPELINE),
-    "multimodal_features": (q_multimodal_features, SQL_MULTIMODAL_FEATURES),
+    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
     "text_lang_id": (q_text_lang_id, SQL_TEXT_LANG_ID),
-    "spatial_within": (q_spatial_within, SQL_SPATIAL_WITHIN),
-    "geo_polygon_metrics": (q_geo_polygon_metrics, SQL_GEO_POLYGON_METRICS),
-    "geo_polygon_intersects": (q_geo_polygon_intersects,
-                               SQL_GEO_POLYGON_INTERSECTS),
-    "q6_forecast_revenue": (q_q6_forecast_revenue, SQL_Q6_FORECAST_REVENUE),
-    "q18_large_orders": (q_q18_large_orders, SQL_Q18_LARGE_ORDERS),
     "integrity_report": (q_integrity_report, SQL_INTEGRITY_REPORT),
-    "select_first": (q_select_first, SQL_SELECT_FIRST),
-    "events_sessions": (q_events_sessions, SQL_EVENTS_SESSIONS),
-    "events_asof_join": (q_events_asof_join, SQL_EVENTS_ASOF_JOIN),
-    "events_interval_join": (q_events_interval_join, SQL_EVENTS_INTERVAL_JOIN),
-    "events_rollup_daily": (q_events_rollup_daily, SQL_EVENTS_ROLLUP_DAILY),
-    "invoke_view_goal": (q_invoke_view_goal, SQL_INVOKE_VIEW_GOAL),
-    "outgoing_edges_goal": (q_outgoing_edges_goal, SQL_OUTGOING_EDGES_GOAL),
     "q2_min_cost_supplier": (q_q2_min_cost_supplier, SQL_Q2_MIN_COST_SUPPLIER),
     "q4_order_priority_exists": (q_q4_order_priority_exists,
                                  SQL_Q4_ORDER_PRIORITY_EXISTS),
-    "q13_customer_distribution": (q_q13_customer_distribution,
-                                  SQL_Q13_CUSTOMER_DISTRIBUTION),
-    "q16_supplier_cnt": (q_q16_supplier_cnt, SQL_Q16_SUPPLIER_CNT),
-    "q20_nested_semijoin": (q_q20_nested_semijoin, SQL_Q20_NESTED_SEMIJOIN),
-    "q7_nation_volume": (q_q7_nation_volume, SQL_Q7_NATION_VOLUME),
-    "q11_important_stock": (q_q11_important_stock, SQL_Q11_IMPORTANT_STOCK),
-    "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
-    "q10_returned_items": (q_q10_returned_items, SQL_Q10_RETURNED_ITEMS),
-    "q12_priority_shipping": (q_q12_priority_shipping,
-                              SQL_Q12_PRIORITY_SHIPPING),
-    "q14_promo_revenue": (q_q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
-    "q19_discounted_revenue": (q_q19_discounted_revenue,
-                               SQL_Q19_DISCOUNTED_REVENUE),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
-    "training_mix": (q_training_mix, SQL_TRAINING_MIX),
-    "text_unigram_logprob": (q_text_unigram_logprob,
-                             SQL_TEXT_UNIGRAM_LOGPROB),
-    "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
-    "corpus_curation": (q_corpus_curation, SQL_CORPUS_CURATION),
-    "q8_market_share": (q_q8_market_share, SQL_Q8_MARKET_SHARE),
-    "q9_product_profit": (q_q9_product_profit, SQL_Q9_PRODUCT_PROFIT),
-    "q17_small_quantity": (q_q17_small_quantity, SQL_Q17_SMALL_QUANTITY),
-    "q22_global_sales_opportunity": (q_q22_global_sales_opportunity,
-                                     SQL_Q22_GLOBAL_SALES_OPPORTUNITY),
-    "q21_waiting_supplier": (q_q21_waiting_supplier,
-                             SQL_Q21_WAITING_SUPPLIER),
-    "topk_per_group": (q_topk_per_group, SQL_TOPK_PER_GROUP),
-    "sketch_approx_distinct": (q_sketch_approx_distinct,
-                               SQL_SKETCH_APPROX_DISTINCT),
-    "sketch_quantiles": (q_sketch_quantiles, SQL_SKETCH_QUANTILES),
-    "grouping_sets_revenue": (q_grouping_sets_revenue,
-                              SQL_GROUPING_SETS_REVENUE),
-    "events_moving_avg": (q_events_moving_avg, SQL_EVENTS_MOVING_AVG),
-    "events_json_props": (q_events_json_props, SQL_EVENTS_JSON_PROPS),
-    "exact_percentile": (q_exact_percentile, SQL_EXACT_PERCENTILE),
 }
 
 
