@@ -5,7 +5,8 @@ from vivace_graph_v3_spark.pipeline.dedup import (
     minhash_dedup_pairs, simhash_signatures, simhash_dup_pairs,
     embedding_dup_pairs)
 from vivace_graph_v3_spark.pipeline.similarity import (
-    cosine_topk_bruteforce, ivf_ann_topk, lsh_ann_topk)
+    cosine_topk_bruteforce, ivf_ann_topk, ivf_index, ivf_probe,
+    lsh_ann_topk, train_centroids)
 from vivace_graph_v3_spark.pipeline.multimodal import (
     synthesize_media, decode_and_featurize, resize_image, frame_sample)
 
@@ -15,6 +16,7 @@ __all__ = [
     "exact_dedup", "ngram_jaccard_pairs", "minhash_lsh_candidates",
     "minhash_dedup_pairs", "simhash_signatures", "simhash_dup_pairs",
     "embedding_dup_pairs",
-    "cosine_topk_bruteforce", "ivf_ann_topk", "lsh_ann_topk",
+    "cosine_topk_bruteforce", "ivf_ann_topk", "ivf_index", "ivf_probe",
+    "lsh_ann_topk", "train_centroids",
     "synthesize_media", "decode_and_featurize", "resize_image", "frame_sample",
 ]

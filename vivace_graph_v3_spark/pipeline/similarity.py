@@ -41,75 +41,116 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "neighbor_id", "cosine", "rank"))
 
 
+def _cent_lit(cv) -> "F.Column":
+    """A centroid vector as a plan-time array literal."""
+    return F.array(*[F.lit(float(x)) for x in cv])
+
+
+def _cell_sims(vec, centroids) -> "F.Column":
+    """array<struct<sim, negid>> of cosine(vec, centroid) per centroid —
+    one codegen'd expression per row, zero joins, zero shuffle. negid makes
+    struct-max/sort break sim ties toward the LOWEST centroid_id."""
+    return F.array(*[
+        F.struct(cosine(vec, _cent_lit(cv)).alias("sim"),
+                 F.lit(-cid).alias("negid"))
+        for cid, cv in enumerate(centroids)])
+
+
+def nearest_centroid(vec, centroids) -> "F.Column":
+    """Expression argmax over the centroid literals: array_max on
+    (sim, -centroid_id) structs. Replaces the old broadcast-join +
+    row_number window (which fanned every corpus row out x num_centroids
+    and shuffled it back) with a per-row expression — zero fan-out,
+    zero shuffle, stays inside whole-stage codegen."""
+    return (-F.array_max(_cell_sims(vec, centroids))["negid"]).cast("int")
+
+
 def train_centroids(corpus: DataFrame, num_centroids: int, *,
                     vec_col: str = "embedding", id_col: str = "vec_id",
-                    iterations: int = 2) -> DataFrame:
-    """k-means-lite: deterministic seed sample (lowest ids) + a couple of
-    Lloyd iterations with groupBy mean. Returns (centroid_id, cv)."""
+                    iterations: int = 2) -> list[list[float]]:
+    """k-means-lite, an INGEST-time step: deterministic seed sample (lowest
+    ids) + Lloyd iterations. Returns the centroids as a driver-side list
+    (num_centroids x dim floats — bytes, not data) so downstream assignment
+    and probing are pure plan-time literals.
+
+    Each Lloyd step is one groupBy with ``dim`` per-position means,
+    accumulated in DECIMAL so the result is independent of partition/merge
+    order (a float sum would make the trained centroids — and therefore the
+    measured recall of a fixture — vary with cluster parallelism)."""
     seeds = (corpus.orderBy(F.col(id_col)).limit(num_centroids)
-             .select(F.monotonically_increasing_id().alias("centroid_id"),
-                     F.col(vec_col).alias("cv")))
-    cents = seeds
+             .select(F.col(vec_col).alias("cv")).collect())
+    cents = [list(r["cv"]) for r in seeds]
+    dim = len(cents[0])
     for _ in range(iterations):
-        assigned = _assign(corpus, cents, vec_col=vec_col, id_col=id_col)
-        # mean of arrays: posexplode -> avg per (centroid, pos) -> re-collect
-        exploded = (assigned
-                    .join(corpus.select(F.col(id_col).alias("id"),
-                                        F.col(vec_col).alias("v")), "id")
-                    .select("centroid_id", F.posexplode("v").alias("pos", "x")))
-        cents = (exploded.groupBy("centroid_id", "pos")
-                 .agg(F.avg("x").alias("x"))
-                 .groupBy("centroid_id")
-                 .agg(F.array_sort(F.collect_list(F.struct("pos", "x"))).alias("px"))
-                 .select("centroid_id",
-                         F.transform("px", lambda s: s["x"].cast("float")).alias("cv")))
-    return cents
+        means = (corpus
+                 .select(nearest_centroid(F.col(vec_col), cents).alias("cid"),
+                         F.col(vec_col).alias("v"))
+                 .groupBy("cid")
+                 .agg(*[F.avg(F.col("v")[i].cast("decimal(28,12)"))
+                        .cast("double").alias(f"x{i}") for i in range(dim)])
+                 .collect())
+        by_cid = {r["cid"]: [r[f"x{i}"] for i in range(dim)] for r in means}
+        # empty cells keep their previous centroid
+        cents = [by_cid.get(cid, cv) for cid, cv in enumerate(cents)]
+    return [[float(x) for x in cv] for cv in cents]
 
 
-def _assign(corpus: DataFrame, cents: DataFrame, *, vec_col: str,
-            id_col: str) -> DataFrame:
-    """Nearest centroid per corpus row (broadcast the centroids)."""
-    w = Window.partitionBy("id").orderBy(F.col("sim").desc(),
-                                         F.col("centroid_id").asc())
-    return (corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-            .join(F.broadcast(cents))
-            .withColumn("sim", cosine(F.col("v"), F.col("cv")))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("id", "centroid_id"))
-
-
-def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
-                 num_centroids: int = 16, nprobe: int = 4,
-                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
-    """Approximate top-k: probe only the nprobe nearest centroid cells per
-    query. At 100 TB the assignment (``_assign``) is precomputed at ingest and
-    the corpus is partitioned by centroid_id, making each probe a partition-
-    pruned scan."""
+def ivf_index(corpus: DataFrame, num_centroids: int = 16, *,
+              vec_col: str = "embedding", id_col: str = "vec_id",
+              iterations: int = 1) -> tuple[DataFrame, list[list[float]]]:
+    """INGEST-time half of IVF: train centroids and stamp every corpus row
+    with its nearest centroid_id (a per-row expression — no join, no
+    shuffle). At 100 TB the returned frame is written out partitioned by
+    ``centroid_id`` so each probe is a partition-pruned scan; the centroid
+    list (KB) ships in the query plan."""
     cents = train_centroids(corpus, num_centroids, vec_col=vec_col,
-                            id_col=id_col, iterations=1)
-    assign = _assign(corpus, cents, vec_col=vec_col, id_col=id_col)
-    corpus_cells = corpus.select(F.col(id_col).alias("neighbor_id"),
-                                 F.col(vec_col).alias("cv2")) \
-        .join(assign.withColumnRenamed("id", "neighbor_id"), "neighbor_id")
+                            id_col=id_col, iterations=iterations)
+    indexed = corpus.withColumn(
+        "centroid_id", nearest_centroid(F.col(vec_col), cents))
+    return indexed, cents
 
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    wq = Window.partitionBy("query_id").orderBy(F.col("csim").desc(),
-                                                F.col("centroid_id").asc())
-    probes = (q.join(F.broadcast(cents))
-              .withColumn("csim", cosine(F.col("qv"), F.col("cv")))
-              .withColumn("rn", F.row_number().over(wq))
-              .filter(F.col("rn") <= nprobe)
-              .select("query_id", "qv", "centroid_id"))
 
-    cand = probes.join(corpus_cells, "centroid_id") \
-        .filter(F.col("query_id") != F.col("neighbor_id")) \
-        .withColumn("cosine", F.round(cosine(F.col("qv"), F.col("cv2")), 6))
+def ivf_probe(indexed: DataFrame, centroids: list[list[float]],
+              queries: DataFrame, k: int, *, nprobe: int = 4,
+              vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """QUERY-time half of IVF: rank centroid cells per query with the same
+    literal-expression sims (query side only — the corpus is never
+    expanded), explode the top-``nprobe`` cells, equi-join on centroid_id
+    (partition-pruned against an indexed corpus), exact re-rank."""
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    # top-nprobe cells: sort the per-centroid sim structs descending
+    # (struct order: sim asc, negid asc -> reverse = sim desc, cid asc)
+    probes = (q.select(
+        "query_id", "qv",
+        F.explode(F.slice(F.reverse(F.array_sort(
+            _cell_sims(F.col("qv"), centroids))), 1, nprobe)).alias("cell"))
+        .select("query_id", "qv",
+                (-F.col("cell.negid")).cast("int").alias("centroid_id")))
+
+    cells = indexed.select(F.col(id_col).alias("neighbor_id"),
+                           F.col(vec_col).alias("cv2"), "centroid_id")
+    cand = (probes.join(cells, "centroid_id")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("cosine",
+                        F.round(cosine(F.col("qv"), F.col("cv2")), 6)))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                 num_centroids: int = 16, nprobe: int = 4,
+                 vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Convenience wrapper: ``ivf_index`` (ingest-time at scale) then
+    ``ivf_probe``. Kept for tests/small jobs; scale deployments call the
+    halves separately and persist the indexed corpus between them."""
+    indexed, cents = ivf_index(corpus, num_centroids, vec_col=vec_col,
+                               id_col=id_col, iterations=1)
+    return ivf_probe(indexed, cents, queries, k, nprobe=nprobe,
+                     vec_col=vec_col, id_col=id_col)
 
 
 def _lsh_buckets(df: DataFrame, planes, *, vec_col: str, id_col: str,
