@@ -527,3 +527,71 @@ def test_numberp_type_test(tpch):
         ("slot", "?c", "c_name", "?n"), ("numberp", "?n"),
     ])
     assert strs.count() == 0
+
+
+def test_runtime_catch_of_executor_throw(tpch):
+    """RUN-TIME catch/3 (prolog-functors.lisp:270-330): a ball thrown from a
+    Python UDF while the job is RUNNING (plan-build succeeds; the error
+    surfaces mid-execution on an executor) is extracted from the failure,
+    unified against the enclosing catch, and the query re-plans into the
+    recovery branch."""
+    from pyspark.sql import functions as F, types as T
+
+    from vivace_graph_v3_spark.query.builder import (
+        PrologThrow, Select, register_functor)
+
+    @F.udf(T.IntegerType())
+    def _boom(name):
+        if name.startswith("region:"):
+            raise PrologThrow("exec-error")
+        return 1
+
+    def risky(sel, plan, args):
+        (out,) = args
+        return plan.df.withColumn(out[1:], _boom(F.col("c")))
+
+    register_functor("risky-score", risky)
+    sel = Select(tpch, ["?c", "?r"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("risky-score", "?x"), ("is", "?r", "?x")],
+         "exec-error", [("is", "?r", -1)]),
+    ])
+    rows = sel.collect()
+    assert len(rows) == 5 and all(r["r"] == -1 for r in rows)
+
+
+def test_runtime_catch_ball_unification(tpch):
+    """A variable catcher binds the run-time ball for recovery goals; a
+    non-matching constant catcher lets the ball escape as PrologThrow."""
+    import pytest
+    from pyspark.sql import functions as F, types as T
+
+    from vivace_graph_v3_spark.query.builder import (
+        PrologThrow, Select, register_functor)
+
+    @F.udf(T.StringType())
+    def _boom2(name):
+        raise PrologThrow(("overflow", "E42"))
+
+    def risky2(sel, plan, args):
+        (out,) = args
+        return plan.df.withColumn(out[1:], _boom2(F.col("c")))
+
+    register_functor("risky-score-2", risky2)
+    # ?b must be bound on the success path too (set semantics has no
+    # unbound output slots): the goal branch binds it from the functor.
+    sel = Select(tpch, ["?c", "?b"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("risky-score-2", "?b")], "?b", []),
+    ])
+    rows = sel.collect()
+    assert len(rows) == 5
+    assert all(tuple(r["b"]) == ("overflow", "E42") for r in rows)
+
+    # ?x must be selected — otherwise Catalyst column-prunes the UDF away
+    # and the throw never happens (lazy plans execute only what's needed).
+    escaped = Select(tpch, ["?c", "?x"], [
+        ("is-a", "?c", "region"),
+        ("catch", [("risky-score-2", "?x")], "other-error", [])])
+    with pytest.raises(PrologThrow):
+        escaped.collect()

@@ -88,11 +88,37 @@ class EffectNotAllowed(QueryError):
 class PrologThrow(QueryError):
     """An in-flight ball from throw/1 (prolog-functors.lisp:258-268) awaiting
     an enclosing catch/3; uncaught, it aborts the query like the reference's
-    prolog-throw error."""
+    prolog-throw error.
+
+    The message embeds the ball between sentinels so that a PrologThrow
+    raised inside a Python UDF on an EXECUTOR — which reaches the driver
+    only as traceback text inside a PythonException — can be recovered and
+    re-unified with an enclosing catch (see Select._execute)."""
 
     def __init__(self, ball: Any):
         self.ball = ball
-        super().__init__(f"uncaught Prolog throw: {ball!r}")
+        super().__init__(f"uncaught Prolog throw: {ball!r} "
+                         f"[__prolog_ball__{ball!r}__end_ball__]")
+
+
+_BALL_RE = None
+
+
+def _extract_ball(text: str):
+    """Recover a thrown ball from exception text (literal balls only —
+    strings/numbers/tuples/lists survive the repr round-trip)."""
+    global _BALL_RE
+    import ast
+    import re
+    if _BALL_RE is None:
+        _BALL_RE = re.compile(r"__prolog_ball__(.*?)__end_ball__", re.S)
+    m = _BALL_RE.search(text)
+    if m is None:
+        return None
+    try:
+        return ast.literal_eval(m.group(1))
+    except (ValueError, SyntaxError):
+        return None
 
 
 _CMP = {"<": operator.lt, ">": operator.gt, "<=": operator.le, ">=": operator.ge}
@@ -163,6 +189,11 @@ class Select:
         self.allowed_effects = ({"eval", "write"} if allowed_effects is None
                                 else set(allowed_effects))
         self.include_deleted = include_deleted
+        # run-time catch/3 state: frames recorded per compile (innermost
+        # last), and the catch goals forced into their recovery branch on a
+        # re-plan after an execution-time throw (see _execute).
+        self._catch_frames: list[tuple[int, Any]] = []
+        self._forced_recovery: dict[int, Any] = {}
 
     def _require_effect(self, effect: str, functor: str) -> None:
         """require-effect (prologc.lisp:902-943): functors with side effects
@@ -174,6 +205,7 @@ class Select:
     # -- public API -----------------------------------------------------------
 
     def to_df(self) -> DataFrame:
+        self._catch_frames = []
         plan = self.compile_goals(Plan(), self.goals)
         if plan.df is None:
             raise QueryError("empty goal list")
@@ -200,8 +232,46 @@ class Select:
 
     def count(self) -> int:
         self.count_only = False
-        df = self.to_df()
-        return df.count()
+        return self._execute(lambda df: df.count())
+
+    def collect(self):
+        """Execute and collect rows, with run-time catch/3 semantics."""
+        return self._execute(lambda df: df.collect())
+
+    def _execute(self, action):
+        """Run a Spark action with RUN-TIME catch/3 (prolog-functors.lisp:
+        270-330): the reference also fields balls thrown while the query is
+        *running* (e.g. from a lisp/is eval or a user functor), not just at
+        compile time. Spark plans are lazy, so a throw inside a Python UDF
+        surfaces here as a PythonException whose traceback text carries the
+        sentinel-wrapped ball. Recovery = ISO semantics via re-planning:
+        unify the ball against compiled catch frames innermost-first, force
+        the matching catch goal into its Recovery branch, and re-execute.
+        There is no per-row control transfer (set semantics — the whole
+        goal branch's solutions are replaced by Recovery's), matching how
+        this engine reinterprets backtracking throughout."""
+        try:
+            tried: set[int] = set()
+            for _ in range(len(self.goals) + 2):
+                try:
+                    return action(self.to_df())
+                except PrologThrow:
+                    raise
+                except Exception as ex:
+                    ball = _extract_ball(str(ex))
+                    if ball is None:
+                        raise
+                    frame = next(
+                        (key for key, catcher in reversed(self._catch_frames)
+                         if key not in tried
+                         and (is_var(catcher) or catcher == ball)), None)
+                    if frame is None:
+                        raise PrologThrow(ball) from ex
+                    tried.add(frame)
+                    self._forced_recovery[frame] = ball
+            raise QueryError("catch/3 recovery did not converge")
+        finally:
+            self._forced_recovery = {}
 
     def foreach(self, fn) -> int:
         """``select :callback`` / ``do-query`` (prologc.lisp:1061-1083,
@@ -718,7 +788,19 @@ class Select:
         construction), so catching at plan-build time covers the same
         errors one query-compilation earlier. Resource/permission errors
         (EffectNotAllowed) are deliberately NOT catchable, matching the
-        reference's uncatchable-permission-error rule."""
+        reference's uncatchable-permission-error rule.
+
+        EXECUTION-time throws (a UDF raising PrologThrow mid-job, the
+        reference's run-time error class) are ALSO fielded: each compiled
+        catch registers a frame keyed by the identity of its Goal list
+        (stable across recompiles of the same Select), and
+        Select._execute re-plans with this catch forced into its Recovery
+        branch when a matching ball surfaces from a running job."""
+        key = id(goals)
+        self._catch_frames.append((key, catcher))
+        if key in self._forced_recovery:
+            return self._recovery_plan(plan, catcher, recovery,
+                                       self._forced_recovery[key])
         try:
             sub = self.compile_goals(Plan(plan.df), list(goals))
             # force analysis so expression errors surface inside the catch
@@ -738,16 +820,23 @@ class Select:
             if not is_var(catcher):
                 raise
             ball = None
+        return self._recovery_plan(plan, catcher, recovery, ball)
+
+    def _recovery_plan(self, plan: Plan, catcher: Any, recovery: list,
+                       ball: Any) -> Plan:
         base = plan.df
         if is_var(catcher) and ball is not None:
             # Ball unifies with Catcher BEFORE Recovery runs (ISO catch/3):
             # bind it onto the incoming plan so recovery goals can reference
             # the catcher variable (inspect / compare / re-throw on it).
+            # Compound balls (tuples/lists) become array literals.
+            lit = (F.array(*[F.lit(x) for x in ball])
+                   if isinstance(ball, (tuple, list)) else F.lit(ball))
             if base is None:
                 base = self.graph.spark.range(1).select(
-                    F.lit(ball).alias(var_col(catcher)))
+                    lit.alias(var_col(catcher)))
             else:
-                base = base.withColumn(var_col(catcher), F.lit(ball))
+                base = base.withColumn(var_col(catcher), lit)
         return self.compile_goals(Plan(base), list(recovery))
 
     def _g_findall(self, plan: Plan, template, goals, out) -> Plan:
