@@ -2128,6 +2128,31 @@ FROM m
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """REAL decode path (fake=False): JVM-synthesized binary PPM (P6) bytes
+    per document, decoded on the executors by the dependency-free in-repo
+    netpbm codec (imagecodec.py) and featurized (grayscale column means).
+    The synthetic raster has pixel (x, y) = (doc_id + x) % 256 on all
+    channels, so the oracle predicts the decoded features in closed form —
+    the decode is real byte parsing, the verification is exact."""
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        decode_and_featurize, synthesize_ppm_media)
+
+    media = synthesize_ppm_media(_docs(spark, sf_dir), "doc_id", size=8)
+    return decode_and_featurize(media, batch_feature_dim=8, fake=False)
+
+
+# 203 = len("P6\n8 8\n255\n") + 8*8*3; feature[j] = ((doc_id + j) % 256)/255
+# (gray == channel value since all channels are equal; columns are constant).
+SQL_MULTIMODAL_DECODE = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
+       CAST(203 AS BIGINT) AS n_bytes,
+       list_transform(range(0, 8), j ->
+         ((doc_id + CAST(j AS BIGINT)) % 256) / 255.0) AS feature
+FROM documents
+"""
+
+
 def q_text_lang_id(spark, sf_dir):
     from vivace_graph_v3_spark.pipeline.text import with_lang_id
 
@@ -3191,8 +3216,7 @@ REGISTRY: dict[str, tuple] = {
     "q11_important_stock": (q_q11_important_stock, SQL_Q11_IMPORTANT_STOCK),
     "q12_priority_shipping": (q_q12_priority_shipping,
                               SQL_Q12_PRIORITY_SHIPPING),
-    "q13_customer_distribution": (q_q13_customer_distribution,
-                                  SQL_Q13_CUSTOMER_DISTRIBUTION),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "q14_promo_revenue": (q_q14_promo_revenue, SQL_Q14_PROMO_REVENUE),
     "q15_top_supplier": (q_q15_top_supplier, SQL_Q15_TOP_SUPPLIER),
     "q16_supplier_cnt": (q_q16_supplier_cnt, SQL_Q16_SUPPLIER_CNT),
@@ -3232,6 +3256,8 @@ REGISTRY: dict[str, tuple] = {
     "text_bm25_topk": (q_text_bm25_topk, SQL_TEXT_BM25_TOPK),
     "text_unigram_logprob": (q_text_unigram_logprob, SQL_TEXT_UNIGRAM_LOGPROB),
     "ann_lsh_recall": (q_ann_lsh_recall, SQL_ANN_LSH_RECALL),
+    "q13_customer_distribution": (q_q13_customer_distribution,
+                                  SQL_Q13_CUSTOMER_DISTRIBUTION),
     "lookup_vertex": (q_lookup_vertex, SQL_LOOKUP_VERTEX),
     "map_vertices_scan": (q_map_vertices_scan, SQL_MAP_VERTICES_SCAN),
     "map_edges_scan": (q_map_edges_scan, SQL_MAP_EDGES_SCAN),

@@ -8,7 +8,8 @@ from vivace_graph_v3_spark.pipeline.similarity import (
     cosine_topk_bruteforce, ivf_ann_topk, ivf_index, ivf_probe,
     lsh_ann_topk, train_centroids)
 from vivace_graph_v3_spark.pipeline.multimodal import (
-    synthesize_media, decode_and_featurize, resize_image, frame_sample)
+    synthesize_media, synthesize_ppm_media, decode_and_featurize,
+    resize_image, frame_sample)
 
 __all__ = [
     "with_token_count", "with_quality_score", "with_lang_id",
@@ -18,5 +19,6 @@ __all__ = [
     "embedding_dup_pairs",
     "cosine_topk_bruteforce", "ivf_ann_topk", "ivf_index", "ivf_probe",
     "lsh_ann_topk", "train_centroids",
-    "synthesize_media", "decode_and_featurize", "resize_image", "frame_sample",
+    "synthesize_media", "synthesize_ppm_media", "decode_and_featurize",
+    "resize_image", "frame_sample",
 ]

@@ -56,6 +56,32 @@ def synthesize_media(df: DataFrame, id_col: str, kind: str = "image") -> DataFra
             F.lit(1000).cast("long").alias("duration_ms")).alias("meta"))
 
 
+def synthesize_ppm_media(df: DataFrame, id_col: str, *,
+                         size: int = 8) -> DataFrame:
+    """REAL media bytes, generated JVM-side: a valid binary PPM (P6) per
+    row, ``size`` x ``size``, where pixel (x, y) has all three channels
+    equal to ``(id + x) % 256`` — a closed form whose decoded grayscale
+    column means an SQL oracle can predict exactly. Header and raster are
+    built as hex string expressions and unhex'd to binary: no Python, no
+    shuffle — at 100 TB this is scan-speed media synthesis (the production
+    analog reads binary columns straight from parquet/object storage)."""
+    header_hex = F.lit(f"P6\n{size} {size}\n255\n".encode().hex().upper())
+    idn = F.col(id_col).cast("long")
+    pix_hex = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(size * size - 1)),
+        lambda p: F.repeat(
+            F.lpad(F.hex(F.pmod(idn + F.pmod(p.cast("long"), F.lit(size)),
+                                F.lit(256))), 2, "0"), 3)))
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.unhex(F.concat(header_hex, pix_hex)).alias("media"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            F.lit(size).alias("width"), F.lit(size).alias("height"),
+            F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+
+
 def _import_pil():
     """The PIL seam: import inside the executor UDF (never at module import,
     so the package works without the extra). Raises NotImplementedError with
@@ -72,12 +98,18 @@ def _import_pil():
 
 def _decode_image_real(blob: bytes, feature_dim: int, image_mod=None):
     """Real image decode + feature extraction: grayscale thumbnail resampled
-    to feature_dim pixels, normalized to [0,1]. ``image_mod`` injectable for
-    tests; defaults to PIL.Image."""
+    to feature_dim pixels, normalized to [0,1]. Binary netpbm (PPM/PGM) is
+    decoded by the dependency-free in-repo codec (imagecodec.py); other
+    formats go through the PIL seam. ``image_mod`` injectable for tests;
+    defaults to PIL.Image."""
     import io
 
     import numpy as np
 
+    if image_mod is None and bytes(blob[:2]) in (b"P6", b"P5"):
+        from vivace_graph_v3_spark.pipeline.imagecodec import (
+            gray_column_feature)
+        return gray_column_feature(blob, feature_dim)
     image = image_mod if image_mod is not None else _import_pil()
     img = image.open(io.BytesIO(blob))
     # decode to grayscale, thumbnail to a 1 x feature_dim strip: cheap,
@@ -92,6 +124,9 @@ def _resize_image_real(blob: bytes, width: int, height: int, image_mod=None) -> 
     for tests; defaults to PIL.Image."""
     import io
 
+    if image_mod is None and bytes(blob[:2]) in (b"P6", b"P5"):
+        from vivace_graph_v3_spark.pipeline.imagecodec import resize_netpbm
+        return resize_netpbm(blob, width, height)
     image = image_mod if image_mod is not None else _import_pil()
     img = image.open(io.BytesIO(blob))
     out = io.BytesIO()
