@@ -92,7 +92,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     # materialize the vertex universe once — it joins into EVERY iteration,
     # and recomputing the multi-type union scan per round would dominate
     vertices = (graph.scan_vertices(columns=["id"]).select("id")
-                .dropDuplicates().localCheckpoint(eager=True))
+                .dropDuplicates())
     # partition the (static) edge list by join key ONCE, with the reciprocal
     # out-degree folded in (one static join instead of one per round): every
     # iteration's rank-contribution join then moves only the small rank
@@ -101,18 +101,33 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     # one explicit shuffle on src; the out-degree aggregate and the
     # degree-fold join both REUSE that partitioning (no further exchange —
     # verify: a single Exchange below edges_w in .explain), and edges_w
-    # inherits it for every iteration's contribution join
-    edges = _edge_pairs(graph, edge_type).repartition(F.col("src"))
+    # inherits it for every iteration's contribution join.
+    # AQE coalesces the dedup shuffle, so the checkpointed state frame is
+    # already right-sized; the edge partitioning is sized off the vertex
+    # count (~1M edge rows per task at avg degree ~10) — per-round stages
+    # stay dense instead of scheduling 32 near-empty tasks x 10 rounds at
+    # small SF, while the count grows unbounded with |V| (at 100 TB this
+    # lands at thousands of partitions, as it should).
+    vertices = vertices.localCheckpoint(eager=True)
+    n = vertices.count()
+    nparts = max(4, min(int(graph.spark.conf.get(
+        "spark.sql.shuffle.partitions", "32")) * 4, n // 100_000 + 1))
+    edges = _edge_pairs(graph, edge_type).repartition(nparts, F.col("src"))
     out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     edges_w = (edges.join(out_deg, "src")
-               .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv"))
-               .persist())
-    # the dangling set is static (vertices with no out-edges): compute the
-    # id set once, so the per-round dangling mass is one small semi-join
+               .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv")))
+    # the dangling set is static (vertices with no out-edges). Instead of a
+    # per-round semi-join + separate aggregate job for the dangling mass,
+    # fold it into the SAME contribution shuffle: every dangling vertex
+    # gets one virtual edge to a reserved sink id, so the per-round
+    # aggregate emits the dangling mass as the sink's recv row — one
+    # exchange carries both, and both consumers reuse it (ReusedExchange).
+    _SINK = "\x00__pr_dangling_sink__"  # ids are typed strings, never NUL-led
     dangling = (vertices.join(out_deg.withColumnRenamed("src", "id"),
                               "id", "left_anti")
-                .localCheckpoint(eager=True))
-    n = vertices.count()
+                .select(F.col("id").alias("src"), F.lit(_SINK).alias("dst"),
+                        F.lit(1.0).alias("inv")))
+    edges_w = edges_w.unionByName(dangling).persist()
     # rank state is O(|V|) doubles; when it fits comfortably in a broadcast,
     # ship it to the static edge partitions instead of shuffling both sides —
     # each round is then ONE shuffle (the contribution aggregate). The guard
@@ -128,30 +143,61 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     if sources is None:
         tele = F.lit(1.0)
     else:
-        srcs = [str(s) for s in sources]
-        tele = F.when(F.col("id").isin(*srcs),
-                      F.lit(float(n) / len(srcs))).otherwise(F.lit(0.0))
+        if not sources:
+            raise ValueError("personalized pagerank needs >= 1 source")
+        # intersect with the vertex universe: a source absent from the
+        # graph would silently lose teleport mass (ranks no longer summing
+        # to |V|; with no valid source at all, every rank decays to 0).
+        # No str() coercion — values are compared in the id column's type.
+        matched = (vertices.filter(F.col("id").isin(*list(sources)))
+                   .count())
+        if matched == 0:
+            raise ValueError(
+                f"none of the {len(sources)} personalization sources "
+                "exist in the vertex set")
+        tele = F.when(F.col("id").isin(*list(sources)),
+                      F.lit(float(n) / matched)).otherwise(F.lit(0.0))
     ranks = vertices.withColumn("rank", tele)
     ranks = ranks.localCheckpoint(eager=True)
     check_every = 3
+    stale: list[DataFrame] = []
     try:
         for it in range(max_iter):
             contribs = (edges_w.join(_b(ranks), edges_w["src"] == ranks["id"])
                         .select(F.col("dst").alias("id"),
                                 (F.col("rank") * F.col("inv")).alias("c")))
             agg = contribs.groupBy("id").agg(F.sum("c").alias("recv"))
-            # dangling vertices contribute their rank uniformly — computed
-            # inside the plan (1-row broadcast cross join), not as a separate
-            # driver-side action per round
-            dang = (ranks.join(_b(dangling), "id", "left_semi")
-                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dang")))
+            # the dangling mass rides the same aggregate as the sink row
+            # (one-row aggregate so "no dangling vertices" still yields a
+            # row); both reads of `agg` reuse one exchange
+            dang = (agg.filter(F.col("id") == _SINK)
+                    .agg(F.coalesce(F.sum("recv"), F.lit(0.0)).alias("__dang")))
             base = (F.lit(1.0 - damping)
                     + F.lit(damping) * F.col("__dang") / F.lit(float(n))) * tele
-            new = (vertices.join(_b(agg), "id", "left")
+            # deliberately a SHUFFLE join (no _b): |V| state rows move
+            # within the round's single job instead of paying an extra
+            # broadcast-collect job per round; the ranks broadcast above is
+            # the one that saves the big edge shuffle
+            new = (vertices.join(agg.filter(F.col("id") != _SINK),
+                                 "id", "left")
                    .crossJoin(F.broadcast(dang))
                    .select("id", (base + F.lit(damping) *
                                   F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank")))
-            new = new.localCheckpoint(eager=True)
+            # checkpoint only every check_every rounds (the sssp pattern):
+            # in between, persist() is enough — the next round's broadcast
+            # collect materializes the cache once and the round's 2-3
+            # references to `ranks` (contribs / dangling / probe) all hit
+            # it, while the lineage stays <= check_every deep. Saves the
+            # per-round checkpoint job without re-executing rounds.
+            if (it + 1) % check_every == 0 or it == max_iter - 1:
+                new = new.localCheckpoint(eager=True)
+                # the checkpoint truncates lineage: drop the interim caches
+                for df in stale:
+                    df.unpersist()
+                stale.clear()
+            else:
+                new = new.persist()
+                stale.append(new)
             # amortize the L1-delta convergence probe: extra converged rounds
             # are cheaper than a full diff join every round, and rank error
             # only shrinks with additional iterations
@@ -167,6 +213,9 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                 ranks = new
     finally:
         edges_w.unpersist()
+        for df in stale:
+            if df is not ranks:
+                df.unpersist()
     return ranks
 
 
