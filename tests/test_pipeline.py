@@ -495,3 +495,28 @@ def test_multimodal_real_decode_netpbm_end_to_end(spark, docs):
         w, h, c, _ = decode_netpbm(bytes(r["media"]))
         assert (w, h, c) == (4, 4, 3)
         assert r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+
+
+def test_curation_fixture_pins_no_lsh_marginal_pairs(spark, docs):
+    """corpus_curation equates banded-LSH candidate pairs with an exact-
+    Jaccard oracle at threshold 0.5, but 16 bands x 4 rows gives only
+    ~64% per-pair candidate probability AT j=0.5 — the equality holds
+    because the fixture's duplicate pairs sit far from the threshold.
+    Pin that property: every exact pair with jaccard in [0.5, 0.7) (the
+    LSH-miss band) must actually BE an LSH candidate on this fixture, so
+    a regenerated fixture that violates it fails loudly here instead of
+    flaking in the driver gate."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        minhash_lsh_candidates, minhash_signatures, ngram_jaccard_pairs)
+
+    exact = (ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+             .filter(F.col("jaccard") < 0.7)
+             .select("id_a", "id_b"))
+    sigs = minhash_signatures(docs, n=3, num_hashes=64)
+    cands = minhash_lsh_candidates(sigs, bands=16, rows_per_band=4) \
+        .select("id_a", "id_b")
+    missed = exact.join(cands, ["id_a", "id_b"], "left_anti").collect()
+    assert not missed, (
+        f"fixture has near-threshold pairs the LSH bands missed: {missed} "
+        "— regenerate the fixture away from the [0.5, 0.7) band or raise "
+        "num_hashes/bands in the curation contract")

@@ -359,7 +359,12 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
     totals = (scored.groupBy("id")
               .agg(F.round(F.sum(F.col("s").cast("decimal(38,12)"))
                            .cast("double"), 6).alias("score")))
+    # two-phase top-k via TakeOrderedAndProject (orderBy+limit): each
+    # partition keeps its local top-k and only those merge — never a
+    # single-task global sort of every matching doc (a common query term
+    # at 100 TB would otherwise funnel the corpus slice into one task).
+    # The rank window then runs over exactly k rows.
+    top = totals.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
-    return (totals.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
+    return (top.withColumn("rank", F.row_number().over(w))
             .select("id", "score", "rank"))

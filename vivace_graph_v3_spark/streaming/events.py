@@ -42,7 +42,14 @@ def read_event_stream(spark: SparkSession, path: str,
     import os
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    actual = spark.read.parquet(path).schema
+    from pyspark.errors import AnalysisException
+    try:
+        actual = spark.read.parquet(path).schema
+    except AnalysisException:
+        # a genuinely streaming source may start on an EMPTY directory
+        # (no footer to peek at): fall back to the declared schema rather
+        # than failing with 'unable to infer schema'
+        actual = EVENT_SCHEMA
     reader = spark.readStream.schema(actual)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
