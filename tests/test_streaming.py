@@ -151,3 +151,57 @@ def test_streaming_ingest_upserts(spark, tmp_path):
             for r in vg.read("user").collect()}
     assert rows["user:8"] == (2.0, 0)
     assert rows["user:7"][0] == 9.0 and rows["user:7"][1] >= 1
+
+
+def test_view_maintenance_equals_cold_recompute(master, spark, tmp_path):
+    """Parity property vs the reference's view delete path
+    (views.lisp:400-427): ANY interleaving of insert / update / delete /
+    reinsert commits, maintained incrementally batch-by-batch, leaves the
+    view table identical to a cold full_refresh over the final graph
+    state — including ids that die and come back (delete-then-reinsert
+    must not leave stale rows or drop re-emitted ones)."""
+    import random
+
+    rnd = random.Random(2026)
+    vm = ViewMaintainer(master, _age_view(), str(tmp_path / "pt"))
+    cp = str(tmp_path / "ptcp")
+    vm.catch_up(checkpoint=cp)
+
+    live = {"p1", "p2", "p3"}
+    dead: set = set()
+    next_id = 100
+    for step in range(12):
+        op = rnd.choice(["insert", "update", "delete", "reinsert"])
+        if op == "insert":
+            pid, next_id = f"p{next_id}", next_id + 1
+            master.commit(master.begin().create("person", _people(
+                spark, [(pid, f"n{pid}", rnd.randint(10, 60))])))
+            live.add(pid)
+        elif op == "update" and live:
+            pid = rnd.choice(sorted(live))
+            row = master.read("person").filter(F.col("id") == pid).first()
+            upd = spark.createDataFrame(
+                [(pid, row["name"], rnd.randint(10, 60), row["revision"])],
+                "id string, name string, age int, revision long")
+            master.commit(master.begin().save("person", upd))
+        elif op == "delete" and live:
+            pid = rnd.choice(sorted(live))
+            master.commit(master.begin().mark_deleted("person", [pid]))
+            live.discard(pid)
+            dead.add(pid)
+        elif op == "reinsert" and dead:
+            pid = dead.pop()
+            master.commit(master.begin().create("person", _people(
+                spark, [(pid, f"re{pid}", rnd.randint(10, 60))])))
+            live.add(pid)
+        # maintain incrementally after EVERY commit (micro-batch per op)
+        vm.catch_up(checkpoint=cp)
+
+    incremental = {(r["id"], r["key"], r["value"])
+                   for r in vm.table().collect()}
+    cold = ViewMaintainer(master, _age_view(), str(tmp_path / "cold"))
+    cold.full_refresh()
+    recomputed = {(r["id"], r["key"], r["value"])
+                  for r in cold.table().collect()}
+    assert incremental == recomputed
+    assert {r["id"] for r in vm.table().collect()} == live
