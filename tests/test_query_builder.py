@@ -595,3 +595,62 @@ def test_runtime_catch_ball_unification(tpch):
         ("catch", [("risky-score-2", "?x")], "other-error", [])])
     with pytest.raises(PrologThrow):
         escaped.collect()
+
+
+# -- REPL I/O functors (prolog-functors.lisp:26-36, 510-518) -------------------
+
+def test_write_nl_stream_per_solution(tpch):
+    import io
+
+    from vivace_graph_v3_spark.query.builder import Select
+
+    sel = Select(tpch, ["?r"], [
+        ("is-a", "?r", "region"),
+        ("write", "region: "), ("write", "?r"), ("nl",),
+    ], order_by=["?r"])
+    buf = io.StringIO()
+    n = sel.run_io(out=buf)
+    lines = [ln for ln in buf.getvalue().split("\n") if ln]
+    assert n == 5 and len(lines) == 5
+    assert all(ln.startswith("region: region:") for ln in lines)
+
+
+def test_read_binds_and_tests(tpch):
+    from vivace_graph_v3_spark.query.builder import Select
+
+    # unbound: read binds ?x; bound: read acts as an equality test
+    sel = Select(tpch, ["?r", "?x"], [
+        ("is-a", "?r", "region"), ("read", "?x"),
+    ], io_input=[42])
+    rows = sel.collect()
+    assert len(rows) == 5 and all(r["x"] == 42 for r in rows)
+
+    keep = Select(tpch, ["?r"], [
+        ("is-a", "?r", "region"), ("read", "?r"),
+    ], io_input=["region:1"]).collect()
+    assert [r["r"] for r in keep] == ["region:1"]
+
+
+def test_show_prolog_vars_and_io_effect_gate(tpch):
+    import io
+
+    import pytest
+
+    from vivace_graph_v3_spark.query.builder import EffectNotAllowed, Select
+
+    buf = io.StringIO()
+    n = Select(tpch, ["?r"], [("is-a", "?r", "region")],
+               order_by=["?r"]).show_prolog_vars(out=buf)
+    out = buf.getvalue()
+    assert n == 5 and out.count("?r = region:") == 5
+
+    # no selected vars -> 'Yes' per solution (top-level prove semantics)
+    buf2 = io.StringIO()
+    Select(tpch, [], [("is-a", "?r", "region")],
+           count_only=False).show_prolog_vars(out=buf2)
+    assert "Yes" in buf2.getvalue()
+
+    # io is effect-gated exactly like eval/write (REST passes frozenset())
+    with pytest.raises(EffectNotAllowed):
+        Select(tpch, ["?r"], [("is-a", "?r", "region"), ("nl",)],
+               allowed_effects=frozenset()).to_df()

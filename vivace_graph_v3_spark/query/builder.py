@@ -43,6 +43,10 @@ Supported goals (reference citations in each handler):
   ('call', functor, args...)         registered python relation/predicate
                                      (def-global-prolog-functor analog,
                                      prolog-functors.lisp:9-21)
+  ('write', term) ('nl',)            per-solution REPL output, replayed by
+                                     run_io (prolog-functors.lisp:26-36)
+  ('read', ?x)                       bind/test one term from Select's
+                                     io_input stream (read/1)
 
 Ordering contract: the reference's solution order is discovery order —
 unspecified by contract (SURVEY.md §7.3). ``limit``/``skip``/``once`` are
@@ -172,7 +176,8 @@ class Select:
                  order_by: list[str] | None = None, descending: bool = False,
                  params: dict[str, Any] | None = None,
                  allowed_effects: set[str] | None = None,
-                 include_deleted: bool = False):
+                 include_deleted: bool = False,
+                 io_input=None):
         self.graph = graph
         self.vars = vars
         self.goals = goals
@@ -186,9 +191,15 @@ class Select:
         # default mirrors the reference: a direct `select` allows everything;
         # the REST/pattern layer passes frozenset() for read-only safety
         # (rest.lisp:31-36 vs prologc.lisp:902-943)
-        self.allowed_effects = ({"eval", "write"} if allowed_effects is None
+        self.allowed_effects = ({"eval", "write", "io"}
+                                if allowed_effects is None
                                 else set(allowed_effects))
         self.include_deleted = include_deleted
+        # REPL I/O functor state: ``read`` consumes terms from io_input at
+        # plan build; ``write``/``nl`` record per-solution output actions
+        # replayed by run_io (prolog-functors.lisp:26-36).
+        self.io_input = iter(io_input) if io_input is not None else None
+        self._io_actions: list[tuple[str, Any]] = []
         # run-time catch/3 state: frames recorded per compile (innermost
         # last), and the catch goals forced into their recovery branch on a
         # re-plan after an execution-time throw (see _execute).
@@ -206,6 +217,7 @@ class Select:
 
     def to_df(self) -> DataFrame:
         self._catch_frames = []
+        self._io_actions = []
         plan = self.compile_goals(Plan(), self.goals)
         if plan.df is None:
             raise QueryError("empty goal list")
@@ -272,6 +284,49 @@ class Select:
             raise QueryError("catch/3 recovery did not converge")
         finally:
             self._forced_recovery = {}
+
+    def run_io(self, out=None) -> int:
+        """Top-level REPL execution (the reference's interactive query loop):
+        run the query and replay the recorded ``write``/``nl`` actions once
+        per solution, streaming rows through foreach — never materializing
+        the result driver-side. Returns the solution count."""
+        import sys
+        out = out if out is not None else sys.stdout
+
+        df = self.to_df()          # compiles goals -> records io actions
+        actions = list(self._io_actions)
+
+        def emit(row):
+            for kind, term in actions:
+                if kind == "nl":
+                    out.write("\n")
+                elif is_var(term):
+                    out.write(f"{row[var_col(term)]}")
+                else:
+                    out.write(f"{term}")
+
+        n = 0
+        for row in df.toLocalIterator():
+            emit(row)
+            n += 1
+        return n
+
+    def show_prolog_vars(self, out=None) -> int:
+        """The REPL solution printer (show-prolog-vars/2,
+        prolog-functors.lisp:510-518): one ``name = value`` line per
+        selected var per solution; ``Yes`` per solution when the query
+        selects no vars. Streams via toLocalIterator like run_io."""
+        import sys
+        out = out if out is not None else sys.stdout
+        n = 0
+        for row in self.to_df().toLocalIterator():
+            if not self.vars:
+                out.write("\nYes")
+            else:
+                for v in self.vars:
+                    out.write(f"\n{v} = {row[var_col(v)]}")
+            n += 1
+        return n
 
     def foreach(self, fn) -> int:
         """``select :callback`` / ``do-query`` (prologc.lisp:1061-1083,
@@ -765,6 +820,48 @@ class Select:
         compatibility."""
         return plan if plan.df is not None else Plan(
             self.graph.spark.range(1).select(F.lit(1).alias("__unit")))
+
+    def _unit_plan(self, plan: Plan) -> Plan:
+        return plan if plan.df is not None else Plan(
+            self.graph.spark.range(1).select(F.lit(1).alias("__unit")))
+
+    def _g_write(self, plan: Plan, term: Any) -> Plan:
+        """write/1 (prolog-functors.lisp:30-32): print the term per
+        solution. Declarative reinterpretation: the plan is untouched; the
+        action is recorded and replayed by ``run_io`` once per result row
+        (the Select.foreach top-level). :io-gated like the reference."""
+        self._require_effect("io", "write")
+        if is_var(term) and var_col(term) not in plan.bound:
+            raise QueryError(f"write of unbound variable {term}")
+        self._io_actions.append(("write", term))
+        return self._unit_plan(plan)
+
+    def _g_nl(self, plan: Plan) -> Plan:
+        """nl/0 (prolog-functors.lisp:34-36): newline per solution via
+        run_io."""
+        self._require_effect("io", "nl")
+        self._io_actions.append(("nl", None))
+        return self._unit_plan(plan)
+
+    def _g_read(self, plan: Plan, term: Any) -> Plan:
+        """read/1 (prolog-functors.lisp:26-28): unify with a term from the
+        input stream. Set-semantics reinterpretation: ONE term is consumed
+        from the Select's ``io_input`` at plan build and bound/tested
+        across all solutions (there is no per-solution prompting in a
+        declarative plan). Input terms are Python literals."""
+        self._require_effect("io", "read")
+        if self.io_input is None:
+            raise QueryError("read/1 needs Select(io_input=...)")
+        try:
+            value = next(self.io_input)
+        except StopIteration:
+            raise QueryError("read/1: input stream exhausted") from None
+        if is_var(term) and var_col(term) not in plan.bound:
+            base = self._unit_plan(plan)
+            return Plan(base.df.withColumn(var_col(term), F.lit(value)))
+        # bound var / constant: unification degenerates to an equality test
+        return Plan(self._unit_plan(plan).df.filter(
+            self.resolve(plan, term) == F.lit(value)))
 
     def _g_throw(self, plan: Plan, ball: Any) -> Plan:
         """throw(Ball) (prolog-functors.lisp:258-268). In a declarative plan
