@@ -520,3 +520,84 @@ def test_curation_fixture_pins_no_lsh_marginal_pairs(spark, docs):
         f"fixture has near-threshold pairs the LSH bands missed: {missed} "
         "— regenerate the fixture away from the [0.5, 0.7) band or raise "
         "num_hashes/bands in the curation contract")
+
+
+def test_redact_pii_handcomputed(spark):
+    from vivace_graph_v3_spark.pipeline.text import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail me at a.b-c%d@sub.example.org or x@y.io thanks"),
+         (2, "call 555-0142 or 917 8231 from 192.168.0.1"),
+         (3, "no pii here at all"),
+         (4, "ip 10.0.0.7 twice 10.0.0.8 and mail z@q.co")],
+        "doc_id int, text string")
+    got = {r["doc_id"]: r for r in redact_pii(df).collect()}
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ips"]) == (2, 0, 0)
+    assert got[1]["redacted"] == "mail me at <EMAIL> or <EMAIL> thanks"
+    assert (got[2]["n_emails"], got[2]["n_phones"], got[2]["n_ips"]) == (0, 2, 1)
+    assert got[2]["redacted"] == "call <PHONE> or <PHONE> from <IP>"
+    assert got[3]["redacted"] == "no pii here at all"
+    assert (got[4]["n_emails"], got[4]["n_ips"]) == (1, 2)
+    assert got[4]["redacted"] == "ip <IP> twice <IP> and mail <EMAIL>"
+
+
+def test_collocations_pmi_handcomputed(spark):
+    """4 docs engineered so 'big data' dominates PMI: c('big data')=4,
+    c(big)=4, c(data)=4, vs the filler bigrams of repeated 'x'."""
+    from vivace_graph_v3_spark.pipeline.text import collocations_pmi
+
+    docs = spark.createDataFrame(
+        [(i, "big data " + "x " * 8) for i in range(4)],
+        "doc_id long, text string")
+    out = collocations_pmi(docs, min_count=4, k=3).collect()
+    assert out[0]["w1"] == "big" and out[0]["w2"] == "data"
+    assert out[0]["n_pair"] == 4 and out[0]["rank"] == 1
+    # N1=40 tokens, NB=36 bigrams, c(big)=c(data)=4:
+    # ratio = (4*40*40)/(36*4*4) = 11.111111
+    assert abs(out[0]["pmi_ratio"] - 11.111111) < 1e-6
+    # 'data x': (4*40*40)/(36*4*32) < 'x x': (24*40*40)/(36*32*32)
+    assert {(r["w1"], r["w2"]) for r in out} == {
+        ("big", "data"), ("data", "x"), ("x", "x")}
+
+
+def test_pack_sequences_greedy_semantics(spark):
+    from vivace_graph_v3_spark.pipeline.packing import (
+        pack_sequences, packing_stats)
+
+    rows = [("a", 1, 100), ("a", 2, 100), ("a", 3, 100),  # 100+100 | 100
+            ("a", 4, 300),                                # overlong: own bin
+            ("a", 5, 10),
+            ("b", 1, 256), ("b", 2, 1)]                   # exact fit | spill
+    df = spark.createDataFrame(rows, "source string, doc_id long, n_tokens long")
+    packed = pack_sequences(df, context_len=256)
+    got = {(r["source"], r["doc_id"]): r["bin"] for r in packed.collect()}
+    assert got == {("a", 1): 0, ("a", 2): 0, ("a", 3): 1, ("a", 4): 2,
+                   ("a", 5): 3,
+                   ("b", 1): 0, ("b", 2): 1}
+    stats = {r["source"]: r for r in
+             packing_stats(packed, context_len=256).collect()}
+    assert stats["a"]["n_bins"] == 4 and stats["a"]["n_items"] == 5
+    assert stats["b"]["total_tokens"] == 257
+
+
+def test_hybrid_rrf_fuses_ranks(spark):
+    """Tiny corpus where lexical and dense disagree; RRF must fuse: doc 1
+    is rank-1 lexical only, doc 2 rank-1 dense only, doc 3 mid on both —
+    with equal singleton contributions, doc 3's two mid ranks win."""
+    from vivace_graph_v3_spark.pipeline.retrieval import hybrid_rrf
+
+    docs = spark.createDataFrame(
+        [(1, "query query query filler"),
+         (2, "nothing relevant lexically"),
+         (3, "query filler filler filler"),
+         (4, "filler filler filler filler")],
+        "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(1, [0.0, 1.0]), (2, [1.0, 0.0]), (3, [0.9, 0.5]), (4, [-1.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = hybrid_rrf(docs, emb, ["query"], [1.0, 0.0], k=4, k_each=2)
+    rows = out.collect()
+    by_rank = {r["rank"]: r["id"] for r in rows}
+    # lex list: [1, 3]; dense list: [2, 3] -> doc 3: 1/62+1/62 wins
+    assert by_rank[1] == 3
+    assert {by_rank[2], by_rank[3]} == {1, 2}

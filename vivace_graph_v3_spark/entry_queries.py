@@ -3189,6 +3189,214 @@ WHERE l_quantity < 0.2 * avg_qty
 """
 
 
+def q_retrieval_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 top-20 and dense-cosine top-20 (query =
+    embedding of vec_id 0, read once at plan-build time — at scale the
+    query vector arrives from the caller) fused by Reciprocal Rank Fusion,
+    returning the fused top-10. The fusion join is k-row-sized regardless
+    of corpus size; the retrievers are the already-scale-shaped BM25 and a
+    map-only literal-vector scan (pipeline/retrieval.py)."""
+    import duckdb
+
+    from vivace_graph_v3_spark.pipeline.retrieval import hybrid_rrf
+
+    qv = duckdb.sql(
+        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
+        "WHERE vec_id = 0").fetchone()[0]
+    return hybrid_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir),
+                      ["spark", "merge", "window"], list(qv),
+                      k=10, k_each=20)
+
+
+SQL_RETRIEVAL_HYBRID_RRF = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), dl AS (
+  SELECT id, count(*) AS dl FROM w GROUP BY id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT id, w, count(*) AS tf FROM w
+  WHERE w IN ('spark', 'merge', 'window') GROUP BY id, w
+), dfreq AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           AS s
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (id) CROSS JOIN stats
+), totals AS (
+  SELECT id, round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS score
+  FROM scored GROUP BY id
+), lex AS (
+  SELECT id, rank AS lex_rank FROM (
+    SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+    FROM totals)
+  WHERE rank <= 20
+), den AS (
+  SELECT id, rank AS den_rank FROM (
+    SELECT vec_id AS id,
+           row_number() OVER (
+             ORDER BY round(list_cosine_similarity(
+               CAST(embedding AS DOUBLE[]),
+               CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                    AS DOUBLE[])), 6) DESC, vec_id ASC) AS rank
+    FROM embeddings)
+  WHERE rank <= 20
+), fused AS (
+  SELECT coalesce(lex.id, den.id) AS id,
+         round(coalesce(1.0 / (60 + lex_rank), 0.0)
+               + coalesce(1.0 / (60 + den_rank), 0.0), 6) AS rrf_score
+  FROM lex FULL OUTER JOIN den ON lex.id = den.id
+)
+SELECT id, rrf_score, rank FROM (
+  SELECT id, rrf_score,
+         row_number() OVER (ORDER BY rrf_score DESC, id ASC) AS rank
+  FROM fused)
+WHERE rank <= 10
+"""
+
+
+def q_text_pii_redaction(spark, sf_dir):
+    """Regex PII scrubbing over the corpus with audit counts. The fixture
+    corpus contains no PII, so deterministic synthetic PII (email / phone /
+    IPv4 keyed off doc_id) is appended first — both engines build the same
+    augmented text, then redact with the same RE2-compatible patterns, so
+    the oracle checks counts AND the redacted text bit-for-bit."""
+    from vivace_graph_v3_spark.pipeline.text import redact_pii
+
+    d = F.col("doc_id")
+    aug = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(d % 7 == 0,
+                   F.concat(F.lit(" contact user"), d.cast("string"),
+                            F.lit("@example.com now"))).otherwise(""),
+            F.when(d % 11 == 0, F.lit(" call 555-0142")).otherwise(""),
+            F.when(d % 13 == 0,
+                   F.concat(F.lit(" from 10.0."),
+                            (d % 256).cast("string"),
+                            F.lit(".7"))).otherwise(""),
+        ).alias("text"))
+    return (redact_pii(aug)
+            .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted"))
+
+
+SQL_TEXT_PII_REDACTION = r"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com now'
+                   ELSE '' END
+           || CASE WHEN doc_id % 11 = 0 THEN ' call 555-0142' ELSE '' END
+           || CASE WHEN doc_id % 13 = 0
+                   THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR)
+                        || '.7'
+                   ELSE '' END AS text
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(text,
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+       len(regexp_extract_all(text, '\b\d{3}[- ]\d{3,4}\b')) AS n_phones,
+       len(regexp_extract_all(text,
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>',
+             'g'),
+           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+         '\b\d{3}[- ]\d{3,4}\b', '<PHONE>', 'g') AS redacted
+FROM aug
+"""
+
+
+def q_text_collocations_pmi(spark, sf_dir):
+    """Top-20 adjacent-bigram collocations by PMI (ratio form — monotone
+    in PMI, free of transcendental-log ulp drift), min pair count 5.
+    Corpus statistics for tokenizer/vocab induction (pipeline/text.py)."""
+    from vivace_graph_v3_spark.pipeline.text import collocations_pmi
+
+    return collocations_pmi(_docs(spark, sf_dir), min_count=5, k=20)
+
+
+SQL_TEXT_COLLOCATIONS_PMI = r"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+    AS x
+  FROM documents
+), big AS (
+  SELECT x[i] AS w1, x[i+1] AS w2
+  FROM t, UNNEST(range(1, len(x))) AS s(i)
+), uc AS (
+  SELECT w, count(*) AS c FROM (SELECT unnest(x) AS w FROM t) GROUP BY w
+), n1 AS (SELECT sum(c) AS n1 FROM uc),
+nb AS (SELECT count(*) AS nb FROM big),
+bc AS (
+  SELECT w1, w2, count(*) AS n_pair FROM big GROUP BY w1, w2
+  HAVING count(*) >= 5
+), scored AS (
+  SELECT w1, w2, n_pair,
+         round((CAST(n_pair AS DOUBLE) * n1 * n1)
+               / (CAST(nb AS DOUBLE) * u1.c * u2.c), 6) AS pmi_ratio
+  FROM bc JOIN uc u1 ON bc.w1 = u1.w JOIN uc u2 ON bc.w2 = u2.w
+  CROSS JOIN n1 CROSS JOIN nb
+)
+SELECT w1, w2, n_pair, pmi_ratio, rank FROM (
+  SELECT w1, w2, n_pair, pmi_ratio,
+         row_number() OVER (ORDER BY pmi_ratio DESC, w1 ASC, w2 ASC)
+           AS rank
+  FROM scored)
+WHERE rank <= 20
+"""
+
+
+def q_pack_sequences(spark, sf_dir):
+    """Greedy first-fit-in-order sequence packing of documents into
+    256-token context windows, per source, doc_id order — the
+    training-sample assembly step. The sequential fold runs per group via
+    applyInPandas (pipeline/packing.py); the oracle replays the same fold
+    as a recursive CTE."""
+    from vivace_graph_v3_spark.pipeline.packing import pack_sequences
+    from vivace_graph_v3_spark.pipeline.text import with_token_count
+
+    docs = (with_token_count(_docs(spark, sf_dir), bpe_col=None)
+            .select("source", "doc_id", "n_tokens"))
+    return pack_sequences(docs, context_len=256)
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH RECURSIVE d AS (
+  SELECT source, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM (SELECT source, doc_id,
+               len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> '')) AS n_tokens
+        FROM documents)
+), pack AS (
+  SELECT source, doc_id, n_tokens, rn,
+         CAST(0 AS BIGINT) AS bin, n_tokens AS fill
+  FROM d WHERE rn = 1
+  UNION ALL
+  SELECT d.source, d.doc_id, d.n_tokens, d.rn,
+         CASE WHEN p.fill + d.n_tokens > 256 THEN p.bin + 1 ELSE p.bin END,
+         CASE WHEN p.fill + d.n_tokens > 256 THEN d.n_tokens
+              ELSE p.fill + d.n_tokens END
+  FROM pack p JOIN d ON d.source = p.source AND d.rn = p.rn + 1
+)
+SELECT source, doc_id, n_tokens, bin FROM pack
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3317,6 +3525,12 @@ REGISTRY: dict[str, tuple] = {
     "q4_order_priority_exists": (q_q4_order_priority_exists,
                                  SQL_Q4_ORDER_PRIORITY_EXISTS),
     "dedup_contamination": (q_dedup_contamination, SQL_DEDUP_CONTAMINATION),
+    "retrieval_hybrid_rrf": (q_retrieval_hybrid_rrf,
+                             SQL_RETRIEVAL_HYBRID_RRF),
+    "text_pii_redaction": (q_text_pii_redaction, SQL_TEXT_PII_REDACTION),
+    "text_collocations_pmi": (q_text_collocations_pmi,
+                              SQL_TEXT_COLLOCATIONS_PMI),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
 }
 
 

@@ -10,6 +10,10 @@ from vivace_graph_v3_spark.pipeline.similarity import (
 from vivace_graph_v3_spark.pipeline.multimodal import (
     synthesize_media, synthesize_ppm_media, decode_and_featurize,
     resize_image, frame_sample)
+from vivace_graph_v3_spark.pipeline.retrieval import dense_topk, hybrid_rrf
+from vivace_graph_v3_spark.pipeline.packing import (
+    pack_sequences, packing_stats)
+from vivace_graph_v3_spark.pipeline.text import redact_pii, collocations_pmi
 
 __all__ = [
     "with_token_count", "with_quality_score", "with_lang_id",
@@ -21,4 +25,6 @@ __all__ = [
     "lsh_ann_topk", "train_centroids",
     "synthesize_media", "synthesize_ppm_media", "decode_and_featurize",
     "resize_image", "frame_sample",
+    "dense_topk", "hybrid_rrf", "pack_sequences", "packing_stats",
+    "redact_pii", "collocations_pmi",
 ]

@@ -1,0 +1,61 @@
+"""Hybrid retrieval: fuse lexical (BM25) and dense (embedding-cosine)
+rankings with Reciprocal Rank Fusion (Cormack, Clarke & Buettcher 2009).
+
+RRF(d) = Σ_lists 1 / (rrf_k + rank_list(d)), with documents absent from a
+list contributing 0. Rank fusion needs only the two top-k lists — k rows
+each — so the fusion join is trivially small no matter the corpus size;
+all the heavy lifting stays in the two underlying retrievers, each already
+shaped for scale (BM25 touches the query's inverted-index slice with a
+TakeOrdered top-k; the dense side broadcasts the query vector and scans
+map-only). The fused score is a fixed-order sum of two exactly-rounded
+IEEE divisions, so it is bit-identical across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vivace_graph_v3_spark.pipeline.dedup import cosine
+from vivace_graph_v3_spark.pipeline.text import bm25_topk
+
+
+def dense_topk(emb: DataFrame, query_vec: list[float], k: int, *,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               exclude_id: int | None = None) -> DataFrame:
+    """Exact top-k by cosine against ONE query vector supplied as a
+    plan-time array literal: the corpus scan is map-only (no join at all,
+    not even a broadcast), then TakeOrderedAndProject keeps k rows.
+    Returns (id, cosine, rank)."""
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    c = emb.select(F.col(id_col).alias("id"),
+                   F.round(cosine(F.col(vec_col), qv), 6).alias("cosine"))
+    if exclude_id is not None:
+        c = c.filter(F.col("id") != exclude_id)
+    top = c.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("id", "cosine", "rank"))
+
+
+def hybrid_rrf(docs: DataFrame, emb: DataFrame, query_terms: list[str],
+               query_vec: list[float], *, k: int = 10, k_each: int = 20,
+               rrf_k: int = 60) -> DataFrame:
+    """Fuse BM25 top-``k_each`` and dense top-``k_each`` via RRF; return
+    the fused top-``k`` as (id, rrf_score, rank). Assumes doc ids and
+    embedding ids share a key space (doc_id == vec_id)."""
+    lex = (bm25_topk(docs, query_terms, k=k_each)
+           .select("id", F.col("rank").alias("lex_rank")))
+    den = (dense_topk(emb, query_vec, k_each)
+           .select("id", F.col("rank").alias("den_rank")))
+    fused = (lex.join(den, "id", "full_outer")
+             .select("id",
+                     (F.coalesce(1.0 / (F.lit(rrf_k) + F.col("lex_rank")),
+                                 F.lit(0.0))
+                      + F.coalesce(1.0 / (F.lit(rrf_k) + F.col("den_rank")),
+                                   F.lit(0.0))).alias("s")))
+    scored = fused.select("id", F.round(F.col("s"), 6).alias("rrf_score"))
+    top = scored.orderBy(F.col("rrf_score").desc(), F.col("id").asc()) \
+                .limit(k)
+    w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("id", "rrf_score", "rank"))

@@ -368,3 +368,91 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     return (top.withColumn("rank", F.row_number().over(w))
             .select("id", "score", "rank"))
+
+
+# -- PII redaction -------------------------------------------------------------
+
+# Patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): no backrefs, no lookaround, \b word boundaries only.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\b\d{3}[- ]\d{3,4}\b"
+IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def redact_pii(df: DataFrame, *, text_col: str = "text",
+               out_col: str = "redacted") -> DataFrame:
+    """Regex PII scrubbing — the mandatory pre-training hygiene pass
+    (emails, phone-shaped numbers, IPv4 literals replaced by typed
+    placeholder tags) plus per-kind match counts for audit reporting.
+    Entirely `regexp_replace` / `regexp_extract_all` expressions: map-only,
+    whole-stage codegen, zero shuffle — a 100 TB corpus is scrubbed at scan
+    speed. Patterns are deliberately RE2-compatible so external audit tools
+    (and the DuckDB oracle) reproduce the redaction bit-for-bit."""
+    t = F.col(text_col)
+    out = (df
+           .withColumn("n_emails",
+                       F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE),
+                                                   F.lit(0))))
+           .withColumn("n_phones",
+                       F.size(F.regexp_extract_all(t, F.lit(PHONE_RE),
+                                                   F.lit(0))))
+           .withColumn("n_ips",
+                       F.size(F.regexp_extract_all(t, F.lit(IPV4_RE),
+                                                   F.lit(0)))))
+    red = F.regexp_replace(t, EMAIL_RE, "<EMAIL>")
+    red = F.regexp_replace(red, IPV4_RE, "<IP>")
+    red = F.regexp_replace(red, PHONE_RE, "<PHONE>")
+    return out.withColumn(out_col, red)
+
+
+# -- collocation mining --------------------------------------------------------
+
+def collocations_pmi(df: DataFrame, *, text_col: str = "text",
+                     min_count: int = 5, k: int = 20) -> DataFrame:
+    """Top-k adjacent-bigram collocations by pointwise mutual information —
+    the standard corpus-statistics pass for tokenizer/vocab induction and
+    phrase mining (Church & Hanks 1990). Returns
+    (w1, w2, n_pair, pmi_ratio, rank) where ``pmi_ratio`` is the PMI
+    argument p(xy)/(p(x)p(y)) = (c_xy·N1²)/(N·c_x·c_y); ranking by the
+    ratio equals ranking by PMI (log2 is monotone) while avoiding
+    engine-dependent ulp drift in transcendental log implementations — the
+    ratio is a fixed-order chain of exactly-rounded IEEE multiply/divides,
+    bit-identical across engines.
+
+    Scale shape: bigrams come from one zip of the token array with its own
+    tail (map-only explode); both count tables are map-side-combined
+    aggregates bounded by vocabulary size, and the scoring join is
+    vocab-sized, never corpus-sized. Final top-k is orderBy+limit
+    (TakeOrderedAndProject), not a global sort."""
+    toks = tokens(F.col(text_col))
+    # bigram structs: zip the token array with its own one-step shift
+    base = ensure_parallelism(df).select(toks.alias("x"))
+    bigrams = (base
+               .filter(F.size("x") >= 2)
+               .select(F.explode(F.zip_with(
+                   F.slice(F.col("x"), 1, F.size("x") - 1),
+                   F.slice(F.col("x"), 2, F.size("x") - 1),
+                   lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+                   .alias("p"))
+               .select("p.w1", "p.w2"))
+    uni = (base.select(F.explode("x").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    big = (bigrams.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("n_pair"))
+           .filter(F.col("n_pair") >= min_count))
+    nb = bigrams.agg(F.count(F.lit(1)).alias("nb"))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    ratio = ((F.col("n_pair").cast("double") * F.col("n1") * F.col("n1"))
+             / (F.col("nb").cast("double") * F.col("c1") * F.col("c2")))
+    scored = (big.join(c1, "w1").join(c2, "w2")
+              .crossJoin(F.broadcast(n1)).crossJoin(F.broadcast(nb))
+              .select("w1", "w2", "n_pair",
+                      F.round(ratio, 6).alias("pmi_ratio")))
+    top = scored.orderBy(F.col("pmi_ratio").desc(), F.col("w1").asc(),
+                         F.col("w2").asc()).limit(k)
+    w = Window.orderBy(F.col("pmi_ratio").desc(), F.col("w1").asc(),
+                       F.col("w2").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("w1", "w2", "n_pair", "pmi_ratio", "rank"))
