@@ -2098,6 +2098,29 @@ FROM orders
 """
 
 
+def q_incoming_edges_goal(spark, sf_dir):
+    """(incoming-edges ?v etype ?e ?from) (prolog-functors.lisp:678-732,
+    to-vertex access path): enumerate the order edges arriving AT an order
+    vertex, with the edge id and source customer bound — the mirror of
+    ``outgoing_edges_goal`` over the edge index's other direction."""
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?o", "?e", "?c"], [
+        ("is-a", "?o", "orders"),
+        ("incoming-edges", "?o", "placed", "?e", "?c"),
+    ])
+    return df.select(F.col("o").alias("order_id"),
+                     F.col("e").alias("edge_id"),
+                     F.col("c").alias("customer_id"))
+
+
+SQL_INCOMING_EDGES_GOAL = """
+SELECT 'orders:'||o_orderkey AS order_id,
+       'placed:'||o_orderkey AS edge_id,
+       'customer:'||o_custkey AS customer_id
+FROM orders
+"""
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing + language ID (north star)
 # ---------------------------------------------------------------------------
@@ -3531,6 +3554,7 @@ REGISTRY: dict[str, tuple] = {
     "text_collocations_pmi": (q_text_collocations_pmi,
                               SQL_TEXT_COLLOCATIONS_PMI),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "incoming_edges_goal": (q_incoming_edges_goal, SQL_INCOMING_EDGES_GOAL),
 }
 
 
