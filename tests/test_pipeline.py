@@ -601,3 +601,21 @@ def test_hybrid_rrf_fuses_ranks(spark):
     # lex list: [1, 3]; dense list: [2, 3] -> doc 3: 1/62+1/62 wins
     assert by_rank[1] == 3
     assert {by_rank[2], by_rank[3]} == {1, 2}
+
+
+def test_dedup_clusters_driver_guard_matches_distributed(spark):
+    """The size-gated driver union-find and the distributed min-label
+    propagation must produce identical (id, cluster) labelings."""
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 20), (5, 30)],
+        "id_a long, id_b long")
+    fast = {(r["id"], r["cluster"])
+            for r in dedup_clusters(pairs).collect()}
+    dist = {(r["id"], r["cluster"])
+            for r in dedup_clusters(pairs, driver_pairs_guard=0).collect()}
+    assert fast == dist
+    assert ({r for r in fast if r[0] in (1, 2, 3)} ==
+            {(1, 1), (2, 1), (3, 1)})
+    assert (5, 5) in fast and (30, 5) in fast

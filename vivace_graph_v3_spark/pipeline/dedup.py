@@ -371,15 +371,58 @@ _ = Window  # (window paging used by callers)
 # -- cluster + survivor selection --------------------------------------------------
 
 def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
-                   id_b: str = "id_b", max_iter: int = 15) -> DataFrame:
+                   id_b: str = "id_b", max_iter: int = 15,
+                   driver_pairs_guard: int = 2_000_000) -> DataFrame:
     """Collapse near-dup PAIRS into duplicate clusters: connected components
-    over the pair graph by min-label propagation with pointer jumping
-    (dup clusters are shallow, so convergence is a few rounds). Returns
-    (id, cluster) for every id that appears in a pair; cluster = min id of
-    the component — the canonical representative."""
-    edges = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-             .unionByName(pairs.select(F.col(id_b).alias("a"),
-                                       F.col(id_a).alias("b")))
+    over the pair graph. Returns (id, cluster) for every id that appears in
+    a pair; cluster = min id of the component — the canonical
+    representative.
+
+    Two regimes, like pagerank's broadcast guard: the pair graph is the
+    OUTPUT of dedup (bounded by the duplicate count, not the corpus), so
+    even at 100 TB it is usually orders of magnitude smaller than the
+    input. Below ``driver_pairs_guard`` pairs (~tens of MB) the component
+    labels come from a single-pass union-find on the driver — one job,
+    no iteration. Past the guard, distributed min-label propagation with
+    pointer jumping (shallow dup clusters converge in a few rounds)."""
+    spark = pairs.sparkSession
+    # the symmetric closure reads `pairs` twice (forward + reversed branch
+    # of the union); pair generators are the expensive half of the pipeline
+    # (MinHash banding, shingle joins), so materialize the pair list ONCE
+    # and build both branches from the checkpointed rows — without this the
+    # whole upstream dedup pipeline executes twice before iteration starts
+    pairs = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+             .localCheckpoint(eager=True))
+    n_pairs = pairs.count()  # free: checkpointed
+    if n_pairs <= driver_pairs_guard:
+        parent: dict = {}
+
+        def find(x):
+            root = x
+            while parent[root] != root:
+                root = parent[root]
+            while parent[x] != root:  # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs.toLocalIterator():
+            a, b = row["a"], row["b"]
+            parent.setdefault(a, a)
+            parent.setdefault(b, b)
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                # union by min so the representative is already the min id
+                lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                parent[hi] = lo
+        rows = [(x, find(x)) for x in parent]
+        id_type = pairs.schema["a"].dataType
+        from pyspark.sql import types as T
+        schema = T.StructType([T.StructField("id", id_type),
+                               T.StructField("cluster", id_type)])
+        return spark.createDataFrame(rows, schema)
+    edges = (pairs
+             .unionByName(pairs.select(F.col("b").alias("a"),
+                                       F.col("a").alias("b")))
              .dropDuplicates()
              .persist())
     labels = (edges.select(F.col("a").alias("id")).dropDuplicates()
@@ -399,15 +442,17 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
             jumped = (stepped.join(jump, "cluster")
                       .select("id", F.least("cluster", "c2").alias("cluster"))
                       .localCheckpoint(eager=True))
-            if (it + 1) % 3 == 0 or it == max_iter - 1:
-                changed = (jumped.join(
-                    labels.withColumnRenamed("cluster", "old"), "id")
-                    .filter(F.col("cluster") != F.col("old")).limit(1))
-                labels = jumped
-                if changed.isEmpty():
-                    break
-            else:
-                labels = jumped
+            # check convergence EVERY round: both sides are checkpointed
+            # O(|paired ids|) frames, so the check job is trivial next to a
+            # propagation round — and dup clusters are shallow near-cliques
+            # that typically converge after 1-2 rounds of jump+propagate,
+            # so a fixed multi-round cadence mostly runs wasted rounds
+            changed = (jumped.join(
+                labels.withColumnRenamed("cluster", "old"), "id")
+                .filter(F.col("cluster") != F.col("old")).limit(1))
+            labels = jumped
+            if changed.isEmpty():
+                break
     finally:
         edges.unpersist()
     return labels
