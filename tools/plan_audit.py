@@ -41,7 +41,9 @@ AUDITED = [
     "text_repetition", "text_chunks", "text_bm25_topk",
     "text_unigram_logprob", "dedup_contamination", "training_mix",
     "corpus_curation", "q8_market_share", "q9_product_profit",
-    "q17_small_quantity",
+    "q17_small_quantity", "ann_ivf_recall", "multimodal_decode",
+    "retrieval_hybrid_rrf", "text_pii_redaction", "text_collocations_pmi",
+    "pack_sequences", "incoming_edges_goal",
 ]
 
 
