@@ -73,6 +73,7 @@ def audit(sf_dir: str) -> str:
         pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
         py_row = "row-UDF!" if "BatchEvalPython" in plan else (
             "arrow" if "ArrowEvalPython" in plan or "MapInPandas" in plan
+            or "FlatMapGroupsInPandas" in plan
             else "-")
         lines.append(
             f"| {name} | {bcast}/{smj}/{shj} | {len(scans)} | "
