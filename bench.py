@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "view_mixed_key_order",
     "geo_polygon_metrics",
     "graph_pagerank",
+    "retrieval_hybrid_rrf",
+    "text_pii_redaction",
+    "text_collocations_pmi",
+    "pack_sequences",
 ]
 
 
