@@ -33,8 +33,15 @@ def pack_sequences(df: DataFrame, *, context_len: int,
     """Assign each row a bin index within its group. Returns
     (group_col, key_col, tokens_col, bin) with ``bin`` counting from 0 in
     ``key_col`` order inside each group."""
-    schema = (f"{group_col} string, {key_col} long, {tokens_col} long, "
-              "bin long")
+    from pyspark.sql import types as T
+
+    in_fields = {f.name: f.dataType for f in df.schema.fields}
+    schema = T.StructType([
+        T.StructField(group_col, in_fields[group_col]),
+        T.StructField(key_col, in_fields[key_col]),
+        T.StructField(tokens_col, in_fields[tokens_col]),
+        T.StructField("bin", T.LongType()),
+    ])
 
     def fold(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(key_col, kind="mergesort")
