@@ -619,3 +619,17 @@ def test_dedup_clusters_driver_guard_matches_distributed(spark):
     assert ({r for r in fast if r[0] in (1, 2, 3)} ==
             {(1, 1), (2, 1), (3, 1)})
     assert (5, 5) in fast and (30, 5) in fast
+
+
+def test_dataset_split_stable_and_proportional(docs):
+    from vivace_graph_v3_spark.pipeline.text import dataset_split
+
+    a = dataset_split(docs).select("doc_id", "split")
+    b = dataset_split(docs.repartition(7)).select("doc_id", "split")
+    assert rows_set(a) == rows_set(b)  # partitioning-independent
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    total = sum(counts.values())
+    assert counts["train"] / total > 0.8
+    assert 0 < counts.get("val", 0) < 0.15 * total
+    assert 0 < counts.get("test", 0) < 0.15 * total

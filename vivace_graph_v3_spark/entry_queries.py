@@ -3383,6 +3383,26 @@ WHERE rank <= 20
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic stratum-stable train/val/test split (5%/5%/90%) by
+    content-keyed hash bucket — reproducible across engines and corpus
+    top-ups; the oracle recomputes the same md5-derived bucket in SQL."""
+    from vivace_graph_v3_spark.pipeline.text import dataset_split
+
+    return dataset_split(_docs(spark, sf_dir).select("doc_id", "source"))
+
+
+SQL_DATASET_SPLIT = f"""
+SELECT doc_id, source,
+       CASE WHEN b < 500 THEN 'test'
+            WHEN b < 1000 THEN 'val'
+            ELSE 'train' END AS split
+FROM (SELECT doc_id, source,
+             (({_MIX_HASH64} % 10000) + 10000) % 10000 AS b
+      FROM documents)
+"""
+
+
 def q_pack_sequences(spark, sf_dir):
     """Greedy first-fit-in-order sequence packing of documents into
     256-token context windows, per source, doc_id order — the
@@ -3555,6 +3575,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_TEXT_COLLOCATIONS_PMI),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "incoming_edges_goal": (q_incoming_edges_goal, SQL_INCOMING_EDGES_GOAL),
+    "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
 }
 
 

@@ -13,7 +13,8 @@ from vivace_graph_v3_spark.pipeline.multimodal import (
 from vivace_graph_v3_spark.pipeline.retrieval import dense_topk, hybrid_rrf
 from vivace_graph_v3_spark.pipeline.packing import (
     pack_sequences, packing_stats)
-from vivace_graph_v3_spark.pipeline.text import redact_pii, collocations_pmi
+from vivace_graph_v3_spark.pipeline.text import (
+    redact_pii, collocations_pmi, dataset_split)
 
 __all__ = [
     "with_token_count", "with_quality_score", "with_lang_id",
@@ -26,5 +27,5 @@ __all__ = [
     "synthesize_media", "synthesize_ppm_media", "decode_and_featurize",
     "resize_image", "frame_sample",
     "dense_topk", "hybrid_rrf", "pack_sequences", "packing_stats",
-    "redact_pii", "collocations_pmi",
+    "redact_pii", "collocations_pmi", "dataset_split",
 ]

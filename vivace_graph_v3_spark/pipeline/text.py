@@ -405,6 +405,27 @@ def redact_pii(df: DataFrame, *, text_col: str = "text",
     return out.withColumn(out_col, red)
 
 
+def dataset_split(df: DataFrame, *, key_col: str = "doc_id",
+                  val_pct: int = 5, test_pct: int = 5,
+                  buckets: int = 10_000,
+                  out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment by content-keyed hash
+    bucket — the split survives re-runs, re-partitionings, engine changes,
+    and incremental corpus top-ups (a new doc lands in a stable split;
+    existing docs never migrate), which RNG splits cannot guarantee.
+    Map-only, no shuffle; same cross-engine md5-derived hash as
+    deterministic_sample. Buckets [0, test) -> test, [test, test+val) ->
+    val, rest -> train."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    t = int(test_pct * buckets / 100)
+    v = int(val_pct * buckets / 100)
+    b = F.pmod(md5_hash64(F.col(key_col).cast("string")), F.lit(buckets))
+    return df.withColumn(
+        out_col,
+        F.when(b < t, "test").when(b < t + v, "val").otherwise("train"))
+
+
 # -- collocation mining --------------------------------------------------------
 
 def collocations_pmi(df: DataFrame, *, text_col: str = "text",
