@@ -3219,13 +3219,11 @@ def q_retrieval_hybrid_rrf(spark, sf_dir):
     returning the fused top-10. The fusion join is k-row-sized regardless
     of corpus size; the retrievers are the already-scale-shaped BM25 and a
     map-only literal-vector scan (pipeline/retrieval.py)."""
-    import duckdb
-
     from vivace_graph_v3_spark.pipeline.retrieval import hybrid_rrf
 
-    qv = duckdb.sql(
-        f"SELECT embedding FROM '{sf_dir}/embeddings.parquet' "
-        "WHERE vec_id = 0").fetchone()[0]
+    # one-row pushdown read (works on single-file and directory parquet)
+    qv = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+          .select("embedding").first()[0])
     return hybrid_rrf(_docs(spark, sf_dir), _emb(spark, sf_dir),
                       ["spark", "merge", "window"], list(qv),
                       k=10, k_each=20)

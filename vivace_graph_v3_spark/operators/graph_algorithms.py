@@ -77,7 +77,9 @@ def aggregate_messages(graph: GraphStore, *, agg, edge_type: str | None = None,
 def pagerank(graph: GraphStore, *, edge_type: str | None = None,
              damping: float = 0.85, max_iter: int = 20,
              tol: float | None = 1.0e-4,
-             sources: list | None = None) -> DataFrame:
+             sources: list | None = None,
+             bcast_guard: int = 2_000_000,
+             check_every: int = 1) -> DataFrame:
     """Standard damped PageRank over active edges. Returns (id, rank) with
     ranks summing to |V| (the classic normalization). Dangling mass is
     redistributed uniformly each round so the total stays conserved.
@@ -130,13 +132,12 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     edges_w = edges_w.unionByName(dangling).persist()
     # rank state is O(|V|) doubles; when it fits comfortably in a broadcast,
     # ship it to the static edge partitions instead of shuffling both sides —
-    # each round is then ONE shuffle (the contribution aggregate). The guard
-    # is tighter than traverse.py's frontier bound (500k vs 2M) because rank
-    # state is rebuilt and REbroadcast every round, so the collect+ship cost
-    # recurs per iteration — measured crossover on local[32] is ~1M rows.
-    # Past the guard, fall back to the shuffle join, the formulation that
-    # holds at 100 TB.
-    bcast_state = n <= 500_000
+    # each round is then ONE shuffle (the contribution aggregate). Measured
+    # on local[32], broadcast still wins at 1.9M rank rows (~50 MB/round:
+    # 41 s vs 57 s for the shuffle join over 15M edges), so the guard sits
+    # at 2M. Past it, fall back to the shuffle join — the formulation that
+    # holds at 100 TB, where |V| dwarfs any broadcast budget.
+    bcast_state = n <= bcast_guard
     _b = (lambda df: F.broadcast(df)) if bcast_state else (lambda df: df)
     # teleport vector (mass-|V| convention): uniform 1.0, or |V|/|S| on the
     # personalization sources and 0 elsewhere
@@ -159,7 +160,6 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                       F.lit(float(n) / matched)).otherwise(F.lit(0.0))
     ranks = vertices.withColumn("rank", tele)
     ranks = ranks.localCheckpoint(eager=True)
-    check_every = 3
     stale: list[DataFrame] = []
     try:
         for it in range(max_iter):
@@ -183,12 +183,16 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                    .crossJoin(F.broadcast(dang))
                    .select("id", (base + F.lit(damping) *
                                   F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank")))
-            # checkpoint only every check_every rounds (the sssp pattern):
-            # in between, persist() is enough — the next round's broadcast
-            # collect materializes the cache once and the round's 2-3
-            # references to `ranks` (contribs / dangling / probe) all hit
-            # it, while the lineage stays <= check_every deep. Saves the
-            # per-round checkpoint job without re-executing rounds.
+            # checkpoint every round by default: each round embeds a
+            # broadcast subquery (the dangling-mass row), and broadcast
+            # subtrees execute as separate internal jobs BEFORE the main
+            # stage — with a lazy multi-round chain those jobs re-walk the
+            # uncached upstream rounds, which measured 2-3x SLOWER than
+            # paying one small checkpoint job per round (10x probe: 123 s
+            # at check_every=3 vs 57 s at 1 on the shuffle path; 24 s vs
+            # 14 s cold on the broadcast path at sf0.1). check_every > 1
+            # remains available for callers whose rounds carry no
+            # broadcast subquery.
             if (it + 1) % check_every == 0 or it == max_iter - 1:
                 new = new.localCheckpoint(eager=True)
                 # the checkpoint truncates lineage: drop the interim caches
