@@ -46,7 +46,12 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # and BFS whose hop joins scan 10x edges
           "dedup_minhash_lsh", "traverse_bfs",
           # iterative analytics: 10 pagerank rounds shuffle 10x messages
-          "graph_pagerank"]
+          "graph_pagerank",
+          # round-3 ops: retrieval fans the inverted-index slice 10x (and
+          # every doc is a 10-copy dup group), packing folds 10x groups,
+          # redaction/collocations are scan-bound
+          "retrieval_hybrid_rrf", "text_pii_redaction",
+          "text_collocations_pmi", "pack_sequences"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
