@@ -633,3 +633,19 @@ def test_dataset_split_stable_and_proportional(docs):
     assert counts["train"] / total > 0.8
     assert 0 < counts.get("val", 0) < 0.15 * total
     assert 0 < counts.get("test", 0) < 0.15 * total
+
+
+def test_bm25_indexed_equals_inline(spark, docs):
+    """Querying a prebuilt (persisted) index must equal the inline form —
+    the ingest-time/query-time split cannot change scores."""
+    from vivace_graph_v3_spark.pipeline.text import (
+        bm25_index, bm25_topk, bm25_topk_indexed, Bm25Index)
+
+    terms = ["spark", "merge", "window"]
+    inline = bm25_topk(docs, terms, k=15)
+    idx = bm25_index(docs)
+    persisted = Bm25Index(idx.postings.localCheckpoint(eager=True),
+                          idx.doc_len.localCheckpoint(eager=True),
+                          idx.stats.localCheckpoint(eager=True))
+    indexed = bm25_topk_indexed(persisted, terms, k=15)
+    assert rows_set(inline) == rows_set(indexed)

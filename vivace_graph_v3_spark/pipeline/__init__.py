@@ -14,7 +14,8 @@ from vivace_graph_v3_spark.pipeline.retrieval import dense_topk, hybrid_rrf
 from vivace_graph_v3_spark.pipeline.packing import (
     pack_sequences, packing_stats)
 from vivace_graph_v3_spark.pipeline.text import (
-    redact_pii, collocations_pmi, dataset_split)
+    redact_pii, collocations_pmi, dataset_split,
+    Bm25Index, bm25_index, bm25_topk, bm25_topk_indexed)
 
 __all__ = [
     "with_token_count", "with_quality_score", "with_lang_id",
@@ -28,4 +29,5 @@ __all__ = [
     "resize_image", "frame_sample",
     "dense_topk", "hybrid_rrf", "pack_sequences", "packing_stats",
     "redact_pii", "collocations_pmi", "dataset_split",
+    "Bm25Index", "bm25_index", "bm25_topk", "bm25_topk_indexed",
 ]

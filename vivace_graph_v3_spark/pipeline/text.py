@@ -324,32 +324,50 @@ def unigram_logprob(df: DataFrame, *, text_col: str = "text",
                  .alias("avg_neg_logp")))
 
 
-def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
-              k1: float = 1.2, b: float = 0.75,
-              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """BM25 keyword retrieval (Robertson-Spärck Jones): top-k documents for
-    a bag of query terms — the lexical complement to the embedding ANN
-    operators in pipeline/similarity.py. Returns (id, score, rank), ranked
-    by the 6-decimal-rounded score with id as the deterministic tiebreak.
+class Bm25Index:
+    """The persisted half of BM25 retrieval: term-frequency postings,
+    per-doc lengths, and corpus stats. At 100 TB these three frames are
+    written ONCE at ingest (postings partitioned/bucketed by term so a
+    query prunes to its terms' buckets) and every query touches only its
+    inverted-index slice — recomputing them per query would rescan the
+    corpus. ``bm25_topk`` builds one inline for the ad-hoc case."""
 
-    Everything is relational: document lengths and per-term document
-    frequencies are map-side-combined aggregates; only rows containing a
-    query term survive the explode filter, so the scoring join touches the
-    inverted-index slice for the query, not the corpus. idf uses the
-    standard +1 form (never negative)."""
+    def __init__(self, postings: DataFrame, doc_len: DataFrame,
+                 stats: DataFrame) -> None:
+        self.postings = postings  # (id, w, tf)
+        self.doc_len = doc_len    # (id, dl)
+        self.stats = stats        # 1 row: (n_docs, avgdl)
+
+
+def bm25_index(df: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id") -> Bm25Index:
+    """Build the ingest-time BM25 index: one explode + two map-side
+    combined aggregates over the corpus. All three outputs are plain
+    DataFrames, so the caller persists them however the deployment stores
+    tables (for the scale path: postings bucketed by ``w``)."""
     words = (ensure_parallelism(df)
              .select(F.col(id_col).alias("id"),
                      F.explode(tokens(F.col(text_col))).alias("w")))
+    postings = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
     dl = words.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
     # avgdl as exact-int-sum / count: bit-identical across engines and
     # aggregation orders (double avg() accumulates order-dependently)
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"))
-    tf = (words.filter(F.col("w").isin(*query_terms))
-          .groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    return Bm25Index(postings, dl, stats)
+
+
+def bm25_topk_indexed(index: Bm25Index, query_terms: list[str],
+                      k: int = 10, *, k1: float = 1.2,
+                      b: float = 0.75) -> DataFrame:
+    """Query-time BM25 against a prebuilt index: the postings filter is the
+    only corpus-sized touch, and with term-bucketed postings it prunes to
+    the query's buckets. Returns (id, score, rank)."""
+    tf = index.postings.filter(F.col("w").isin(*query_terms))
     dfreq = tf.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     idf = F.log((F.col("n_docs") - F.col("df") + 0.5)
                 / (F.col("df") + 0.5) + 1.0)
+    dl, stats = index.doc_len, index.stats
     norm = F.col("tf") * (k1 + 1) / (
         F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
     scored = (tf.join(F.broadcast(dfreq), "w")
@@ -368,6 +386,25 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
     w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
     return (top.withColumn("rank", F.row_number().over(w))
             .select("id", "score", "rank"))
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
+              k1: float = 1.2, b: float = 0.75,
+              text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """BM25 keyword retrieval (Robertson-Spärck Jones): top-k documents for
+    a bag of query terms — the lexical complement to the embedding ANN
+    operators in pipeline/similarity.py. Returns (id, score, rank), ranked
+    by the 6-decimal-rounded score with id as the deterministic tiebreak.
+
+    Ad-hoc convenience form: builds the index inline and queries it in one
+    lazy plan (Catalyst prunes the unfiltered postings aggregate down to
+    the query's term slice before it is ever materialized). Deployments
+    that serve many queries persist ``bm25_index`` output once instead —
+    see Bm25Index for the 100 TB shape. idf uses the standard +1 form
+    (never negative)."""
+    return bm25_topk_indexed(
+        bm25_index(df, text_col=text_col, id_col=id_col),
+        query_terms, k, k1=k1, b=b)
 
 
 # -- PII redaction -------------------------------------------------------------
