@@ -128,3 +128,32 @@ def test_aggregate_messages(spark):
         g2, msg_to_dst=F.col("src_v"), src_cols=["v"],
         agg=F.max("msg").alias("value")).collect()}
     assert nbr["c"] == ord("b") and nbr["b"] == ord("a")
+
+
+def test_random_walks_deterministic_and_valid(spark):
+    """Walks are a pure function of the graph: every emitted transition is
+    a real edge, repeated generation is identical, and walks stop at
+    vertices with no outgoing edges."""
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.operators.walks import random_walks
+
+    edges = [("a", "b", 1), ("a", "c", 1), ("b", "c", 1), ("c", "a", 1),
+             ("c", "d", 1), ("d", "z", 1)]
+    g = _graph(spark, ["a", "b", "c", "d", "z"], edges)  # z is a sink
+
+    w1 = random_walks(g, walk_length=4, walks_per_node=3)
+    w2 = random_walks(g, walk_length=4, walks_per_node=3)
+    r1 = {(r["walk_id"], r["step"], r["node"]) for r in w1.collect()}
+    r2 = {(r["walk_id"], r["step"], r["node"]) for r in w2.collect()}
+    assert r1 == r2 and len(r1) > 15
+    # every step-(t -> t+1) transition is a real directed edge
+    a = w1.select("walk_id", F.col("step").alias("s"), F.col("node").alias("u"))
+    b = w1.select("walk_id", (F.col("step") - 1).alias("s"),
+                  F.col("node").alias("v"))
+    trans = a.join(b, ["walk_id", "s"]).select("u", "v").distinct().collect()
+    eset = {(s, d) for s, d, _ in edges}
+    assert trans and all((t["u"], t["v"]) in eset for t in trans)
+    # z has no out-edges: its walks emit only step 0
+    z = [r for r in r1 if r[0].startswith("z#")]
+    assert z and all(s == 0 for _, s, _ in z)

@@ -3463,6 +3463,61 @@ FROM packed GROUP BY source
 """)
 
 
+def q_graph_random_walks(spark, sf_dir):
+    """Deterministic DeepWalk-style walk corpus: 2 walks x 3 steps from
+    every F6 vertex, neighbor choice = md5-hash(walk|step|node) mod degree
+    (operators/walks.py). The oracle replays the identical arithmetic with
+    unrolled SQL steps, so the whole corpus value-hash-matches."""
+    from vivace_graph_v3_spark.operators.walks import random_walks
+
+    g = load_tpch_graph(spark, sf_dir)
+    return random_walks(g, walk_length=3, walks_per_node=2)
+
+
+def _md5h_sql(expr: str) -> str:
+    """64-bit md5-derived hash of an arbitrary SQL string expression —
+    the DuckDB mirror of pipeline/dedup.md5_hash64."""
+    h8 = f"('0x' || substr(md5({expr}),1,8))::BIGINT"
+    l8 = f"('0x' || substr(md5({expr}),9,8))::BIGINT"
+    return (f"(({h8} - CASE WHEN {h8} >= 2147483648 THEN 4294967296 "
+            f"ELSE 0 END) * 4294967296 + {l8})")
+
+
+def _walk_step_sql(i: int) -> str:
+    h = _md5h_sql(f"w.walk_id || '|{i - 1}|' || w.node")
+    return f"""
+s{i} AS MATERIALIZED (
+  SELECT w.walk_id, n.dst AS node
+  FROM s{i - 1} w
+  JOIN deg d ON d.src = w.node
+  JOIN nbr n ON n.src = w.node
+   AND n.idx = (({h} % d.deg) + d.deg) % d.deg + 1
+)"""
+
+
+SQL_GRAPH_RANDOM_WALKS = (
+    "WITH vertices AS MATERIALIZED (" + _F6_VERTICES_SQL + """),
+edges AS MATERIALIZED (
+  SELECT DISTINCT src, dst FROM (""" + _F6_EDGES_SQL + """)
+),
+nbr AS MATERIALIZED (
+  SELECT src, dst,
+         row_number() OVER (PARTITION BY src ORDER BY dst) AS idx
+  FROM edges
+),
+deg AS MATERIALIZED (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+s0 AS MATERIALIZED (
+  SELECT id || '#' || CAST(wk AS VARCHAR) AS walk_id, id AS node
+  FROM vertices, UNNEST(range(0, 2)) AS t(wk)
+),"""
+    + ",".join(_walk_step_sql(i) for i in (1, 2, 3)) + """
+SELECT walk_id, 0 AS step, node FROM s0
+UNION ALL SELECT walk_id, 1, node FROM s1
+UNION ALL SELECT walk_id, 2, node FROM s2
+UNION ALL SELECT walk_id, 3, node FROM s3
+""")
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3600,6 +3655,7 @@ REGISTRY: dict[str, tuple] = {
     "incoming_edges_goal": (q_incoming_edges_goal, SQL_INCOMING_EDGES_GOAL),
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
+    "graph_random_walks": (q_graph_random_walks, SQL_GRAPH_RANDOM_WALKS),
 }
 
 

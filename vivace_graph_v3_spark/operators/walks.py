@@ -1,0 +1,69 @@
+"""Deterministic random-walk generation — the graph-ML training-data
+operator (DeepWalk, Perozzi et al. 2014; node2vec, Grover & Leskovec 2016:
+walks are the corpus that skip-gram embedding training consumes).
+
+Instead of RNG neighbor choice, each step picks
+``neighbor[ hash(walk_id | step | current) mod degree ]`` with the
+cross-engine md5-derived 64-bit hash (pipeline/dedup.md5_hash64). That
+makes the walk corpus a pure function of the graph — reproducible across
+runs, engines, partitionings, and re-ingestions, exactly like the
+deterministic sampling/split operators, and checkable against a SQL
+oracle that replays the same arithmetic.
+
+Scale shape: the neighbor index (one row_number over edges partitioned by
+src) and degree table are ingest-time artifacts; each step of the walk is
+ONE hash equi-join of the O(#walks) cursor frame against the neighbor
+index — walk state never grows with the graph, and steps parallelize over
+walks. The cursor is checkpointed per step (frames are small; lineage
+stays flat).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from vivace_graph_v3_spark.graph import GraphStore
+from vivace_graph_v3_spark.operators.graph_algorithms import _edge_pairs
+from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+
+def random_walks(graph: GraphStore, *, edge_type: str | None = None,
+                 walk_length: int = 3, walks_per_node: int = 1) -> DataFrame:
+    """Generate ``walks_per_node`` walks of up to ``walk_length`` steps
+    from every vertex. Returns (walk_id, step, node); a walk that reaches
+    a vertex with no outgoing edges terminates early (no further rows).
+    walk_id = ``<start>#<k>``."""
+    # distinct neighbor list, deterministically indexed: multi-edges
+    # collapse so row_number's (src, dst) order is a total order
+    edges = _edge_pairs(graph, edge_type).dropDuplicates(["src", "dst"])
+    nbr = (edges.withColumn(
+        "idx", F.row_number().over(Window.partitionBy("src").orderBy("dst")))
+        .localCheckpoint(eager=True))
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+           .localCheckpoint(eager=True))
+
+    starts = (graph.scan_vertices(columns=["id"]).select("id")
+              .dropDuplicates()
+              .select(F.col("id").alias("node"),
+                      F.explode(F.sequence(
+                          F.lit(0), F.lit(walks_per_node - 1))).alias("wk"))
+              .select(F.concat(F.col("node"), F.lit("#"),
+                               F.col("wk").cast("string")).alias("walk_id"),
+                      F.col("node")))
+    out = starts.withColumn("step", F.lit(0))
+    cur = starts.localCheckpoint(eager=True)
+    for step in range(walk_length):
+        key = F.concat(F.col("walk_id"), F.lit(f"|{step}|"), F.col("node"))
+        # pick the index from the degree table FIRST (1 row per walk), then
+        # equi-join on (src, idx) — never fan a walk out by its degree
+        picked = (cur.join(deg, cur["node"] == deg["src"])
+                  .select("walk_id",
+                          F.col("node").alias("src"),
+                          (F.pmod(md5_hash64(key), F.col("deg")) + 1)
+                          .alias("idx")))
+        nxt = (picked.join(nbr, ["src", "idx"])
+               .select("walk_id", F.col("dst").alias("node"))
+               .localCheckpoint(eager=True))
+        out = out.unionByName(nxt.withColumn("step", F.lit(step + 1)))
+        cur = nxt
+    return out.select("walk_id", "step", "node")
