@@ -157,3 +157,18 @@ def test_random_walks_deterministic_and_valid(spark):
     # z has no out-edges: its walks emit only step 0
     z = [r for r in r1 if r[0].startswith("z#")]
     assert z and all(s == 0 for _, s, _ in z)
+
+
+def test_skipgram_pairs_handcomputed(spark):
+    from vivace_graph_v3_spark.operators.walks import skipgram_pairs
+
+    walks = spark.createDataFrame(
+        [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c"), ("w", 3, "d")],
+        "walk_id string, step int, node string")
+    got = {(r["center"], r["context"]): r["n_pairs"]
+           for r in skipgram_pairs(walks, window=1).collect()}
+    # window 1 on a-b-c-d: adjacent pairs only, both directions
+    assert got == {("a", "b"): 1, ("b", "a"): 1, ("b", "c"): 1,
+                   ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1}
+    wide = skipgram_pairs(walks, window=3, count=False)
+    assert wide.count() == 12  # all ordered pairs of 4 distinct positions

@@ -3518,6 +3518,29 @@ UNION ALL SELECT walk_id, 3, node FROM s3
 """)
 
 
+def q_graph_skipgram_pairs(spark, sf_dir):
+    """Skip-gram co-occurrence counts over the deterministic walk corpus
+    (window 2) — the (center, context, n_pairs) samples embedding training
+    consumes. Oracle = the walks oracle self-joined with the same band."""
+    from vivace_graph_v3_spark.operators.walks import (
+        random_walks, skipgram_pairs)
+
+    g = load_tpch_graph(spark, sf_dir)
+    walks = random_walks(g, walk_length=3, walks_per_node=2)
+    return skipgram_pairs(walks, window=2)
+
+
+SQL_GRAPH_SKIPGRAM_PAIRS = (
+    "WITH walks AS MATERIALIZED (" + SQL_GRAPH_RANDOM_WALKS + """
+)
+SELECT a.node AS center, b.node AS context, count(*) AS n_pairs
+FROM walks a JOIN walks b
+  ON a.walk_id = b.walk_id AND a.step <> b.step
+ AND abs(a.step - b.step) <= 2
+GROUP BY a.node, b.node
+""")
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3656,6 +3679,8 @@ REGISTRY: dict[str, tuple] = {
     "dataset_split": (q_dataset_split, SQL_DATASET_SPLIT),
     "packing_stats": (q_packing_stats, SQL_PACKING_STATS),
     "graph_random_walks": (q_graph_random_walks, SQL_GRAPH_RANDOM_WALKS),
+    "graph_skipgram_pairs": (q_graph_skipgram_pairs,
+                             SQL_GRAPH_SKIPGRAM_PAIRS),
 }
 
 

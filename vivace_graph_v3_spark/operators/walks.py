@@ -67,3 +67,30 @@ def random_walks(graph: GraphStore, *, edge_type: str | None = None,
         out = out.unionByName(nxt.withColumn("step", F.lit(step + 1)))
         cur = nxt
     return out.select("walk_id", "step", "node")
+
+
+def skipgram_pairs(walks: DataFrame, *, window: int = 2,
+                   count: bool = True) -> DataFrame:
+    """Turn a walk corpus into skip-gram training pairs: for every walk,
+    emit (center, context) for all positions within ``window`` steps
+    (both directions, self excluded) — the sample format skip-gram
+    embedding training consumes. With ``count=True``, aggregate to
+    (center, context, n_pairs), the co-occurrence counts that matrix-
+    factorization embedding variants use.
+
+    One band-limited self-join per walk (|step delta| <= window expressed
+    as an equi-join on walk_id with a tight range residual — walks are
+    walk_length-bounded, so the per-walk fan-out is a small constant) plus
+    an optional map-side-combined count."""
+    a = walks.select("walk_id", F.col("step").alias("s"),
+                     F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("t"),
+                     F.col("node").alias("context"))
+    pairs = (a.join(b, "walk_id")
+             .filter((F.col("t") != F.col("s"))
+                     & (F.abs(F.col("t") - F.col("s")) <= window))
+             .select("center", "context"))
+    if not count:
+        return pairs
+    return (pairs.groupBy("center", "context")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
