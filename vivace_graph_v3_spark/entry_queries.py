@@ -3545,9 +3545,13 @@ GROUP BY a.node, b.node
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
 # sketches, geo, pipeline) plus text_repetition (driver-red in r2, fixed).
-# Round-2 driver-green entries follow from position 51; rotate again next
-# round to cover the remaining never-sampled handful (text_lang_id,
-# training_pipeline, dedup_contamination, multimodal_features, q2, q4).
+# Round-2 driver-green entries follow from position 51. Rotate again next
+# round to cover what has still never been driver-sampled: text_lang_id,
+# training_pipeline, dedup_contamination, multimodal_features, q2, q4, and
+# the nine round-3 additions appended at the end (retrieval_hybrid_rrf,
+# text_pii_redaction, text_collocations_pmi, pack_sequences,
+# incoming_edges_goal, dataset_split, packing_stats, graph_random_walks,
+# graph_skipgram_pairs — all judge/local-green vs DuckDB this round).
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
