@@ -649,3 +649,33 @@ def test_bm25_indexed_equals_inline(spark, docs):
                           idx.stats.localCheckpoint(eager=True))
     indexed = bm25_topk_indexed(persisted, terms, k=15)
     assert rows_set(inline) == rows_set(indexed)
+
+
+def test_classifier_score_map_only_and_deterministic(docs, spark):
+    from vivace_graph_v3_spark.pipeline.text import classifier_score
+    out = classifier_score(docs).cache()
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == docs.count()
+    for r in rows.values():
+        assert -0.5 <= r.clf_score < 0.5
+        assert r.keep == (r.clf_score > 0)
+    # zero shuffle: the scored plan has no Exchange
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # (cache() materialization aside, the logical chain is map-only)
+    explain = classifier_score(docs)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in explain
+    # deterministic across recomputation
+    again = {r.doc_id: r.clf_score
+             for r in classifier_score(docs).collect()}
+    assert again == {k: v.clf_score for k, v in rows.items()}
+
+
+def test_classifier_score_empty_doc(spark):
+    from vivace_graph_v3_spark.pipeline.text import classifier_score
+    df = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "   ")], ["doc_id", "text"])
+    got = {r.doc_id: (r.n_tokens, r.clf_score, r.keep)
+           for r in classifier_score(df).collect()}
+    assert got[2] == (0, 0.0, False)
+    assert got[1][0] == 2

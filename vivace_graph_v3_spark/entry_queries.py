@@ -3541,6 +3541,47 @@ GROUP BY a.node, b.node
 """)
 
 
+def q_text_classifier(spark, sf_dir):
+    """Hashed-feature linear classifier scoring (fastText shape): map-only
+    token-hash -> bucket-weight mean fold, zero shuffle. The oracle
+    recomputes the identical md5-derived buckets and integer-rounded mean
+    in SQL."""
+    from vivace_graph_v3_spark.pipeline.text import classifier_score
+
+    return classifier_score(_docs(spark, sf_dir).select("doc_id", "text"))
+
+
+_CLF_HASH64 = ("((('0x' || substr(md5(w),1,8))::BIGINT"
+               " - CASE WHEN ('0x' || substr(md5(w),1,8))::BIGINT"
+               " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+               " + ('0x' || substr(md5(w),9,8))::BIGINT)")
+
+SQL_TEXT_CLASSIFIER = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, (({_CLF_HASH64} % 1000003) + 1000003) % 1000003 AS m
+  FROM w
+), agg AS (
+  SELECT doc_id, count(*) AS n, sum(m) AS s FROM f GROUP BY doc_id
+), scored AS (
+  SELECT doc_id, n AS n_tokens,
+         CAST((s * 2000000 + n * 1000003) // (n * 1000003 * 2) AS DOUBLE)
+           / 1000000.0 - 0.5 AS clf_score
+  FROM agg
+)
+SELECT s.doc_id, coalesce(s.n_tokens, 0) AS n_tokens,
+       coalesce(s.clf_score, 0.0) AS clf_score,
+       coalesce(s.clf_score > 0, FALSE) AS keep
+FROM scored s
+UNION ALL
+SELECT d.doc_id, 0 AS n_tokens, 0.0 AS clf_score, FALSE AS keep
+FROM documents d ANTI JOIN scored s USING (doc_id)
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3685,6 +3726,7 @@ REGISTRY: dict[str, tuple] = {
     "graph_random_walks": (q_graph_random_walks, SQL_GRAPH_RANDOM_WALKS),
     "graph_skipgram_pairs": (q_graph_skipgram_pairs,
                              SQL_GRAPH_SKIPGRAM_PAIRS),
+    "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
 }
 
 

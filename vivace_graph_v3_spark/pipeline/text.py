@@ -514,3 +514,46 @@ def collocations_pmi(df: DataFrame, *, text_col: str = "text",
                        F.col("w2").asc())
     return (top.withColumn("rank", F.row_number().over(w))
             .select("w1", "w2", "n_pair", "pmi_ratio", "rank"))
+
+
+# -- hashed-feature linear classifier ------------------------------------------
+
+def classifier_score(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id", dims: int = 1_000_003,
+                     out_col: str = "clf_score") -> DataFrame:
+    """Hashed-feature linear text classifier — the fastText/VW shape
+    (Weinberger et al. 2009 feature hashing; Joulin et al. 2016): each
+    token is hashed into one of ``dims`` buckets, each bucket carries a
+    weight, and the document score is the mean bucket weight. Returns
+    (id, n_tokens, clf_score, keep).
+
+    The weight table here is the deterministic identity embedding
+    w(bucket) = bucket/dims - 0.5 in [-0.5, 0.5) — the seam where a
+    trained model's weights would plug in as a broadcast array literal or
+    a map-side join against a ``dims``-row weight frame; the execution
+    shape (and the 100 TB cost) is identical either way.
+
+    Scale shape: ZERO shuffle — the token hash, bucket lookup, and mean
+    fold all happen inside one row-local ``transform``/``aggregate``
+    expression chain (whole-stage codegen), so scoring a 100 TB corpus is
+    a map-only scan. The mean is computed from an exact integer sum with
+    integer round-half-up (see repetition_stats), bit-identical across
+    engines."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    toks = tokens(F.col(text_col))
+    feats = F.transform(toks, lambda t: F.pmod(md5_hash64(t), F.lit(dims)))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("__n"),
+        F.aggregate(feats, F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("__s"))
+    # round(sum/(n*dims), 6) - 0.5, all-integer until the final /1e6
+    k = F.expr(f"(__s * 2000000 + __n * {dims}L) div (__n * {dims}L * 2)")
+    score = F.when(F.col("__n") > 0,
+                   k.cast("double") / F.lit(1_000_000.0) - F.lit(0.5)
+                   ).otherwise(F.lit(0.0))
+    return base.select(
+        F.col(id_col), F.col("__n").alias("n_tokens"),
+        score.alias(out_col),
+        (score > 0).alias("keep"))
