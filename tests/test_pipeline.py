@@ -679,3 +679,21 @@ def test_classifier_score_empty_doc(spark):
            for r in classifier_score(df).collect()}
     assert got[2] == (0, 0.0, False)
     assert got[1][0] == 2
+
+
+def test_vocab_topn_tie_break_and_coverage(spark):
+    from vivace_graph_v3_spark.pipeline.text import vocab_topn, vocab_coverage
+    df = spark.createDataFrame(
+        [(1, "s1", "b b a a c"), (2, "s2", "d d e")],
+        ["doc_id", "source", "text"])
+    # counts: a=2 b=2 d=2 c=1 e=1 -> top3 by (c desc, w asc) = a, b, d
+    vocab = [r.w for r in vocab_topn(df, vocab_size=3).collect()]
+    assert vocab == ["a", "b", "d"]
+    cov = {r.source: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in vocab_coverage(df, vocab_size=3).collect()}
+    assert cov["s1"] == (5, 1, 0.2)       # c is OOV
+    assert cov["s2"] == (3, 1, 0.333333)  # e is OOV
+    # membership join must be a broadcast (vocab is bounded by N)
+    plan = vocab_coverage(df, vocab_size=3) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan

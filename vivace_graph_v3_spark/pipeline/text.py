@@ -557,3 +557,49 @@ def classifier_score(df: DataFrame, *, text_col: str = "text",
         F.col(id_col), F.col("__n").alias("n_tokens"),
         score.alias(out_col),
         (score > 0).alias("keep"))
+
+
+# -- vocabulary induction / coverage -------------------------------------------
+
+def vocab_topn(df: DataFrame, *, text_col: str = "text",
+               vocab_size: int = 500) -> DataFrame:
+    """Top-N vocabulary by corpus frequency with a deterministic
+    (count desc, word asc) tie-break — the first step of tokenizer/vocab
+    training. The count table is a map-side-combined aggregate bounded by
+    |vocab|; the top-N is orderBy+limit, which Spark executes as
+    TakeOrderedAndProject (per-partition partial top-N merged on one
+    reducer over N·P rows), never a global sort of the vocabulary."""
+    words = (ensure_parallelism(df)
+             .select(F.explode(tokens(F.col(text_col))).alias("w")))
+    counts = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    return (counts.orderBy(F.col("c").desc(), F.col("w").asc())
+            .limit(vocab_size))
+
+
+def vocab_coverage(df: DataFrame, *, text_col: str = "text",
+                   source_col: str = "source",
+                   vocab_size: int = 500) -> DataFrame:
+    """Out-of-vocabulary rate per source against the corpus top-N
+    vocabulary — the coverage diagnostic run before freezing a tokenizer
+    (a source whose OOV rate is high will fragment into byte-level
+    tokens). Returns (source, n_tokens, n_oov, oov_rate).
+
+    Scale shape: the vocabulary is N rows by construction, so the
+    membership join is an explicit ``broadcast`` (the one case where a
+    forced broadcast is size-safe at any corpus scale); the word stream
+    is never shuffled except for the final per-source aggregate, which
+    map-side-combines down to |sources| rows. The rate uses the integer
+    round-half-up from repetition_stats (engine-stable)."""
+    words = (ensure_parallelism(df)
+             .select(F.col(source_col).alias("source"),
+                     F.explode(tokens(F.col(text_col))).alias("w")))
+    vocab = (vocab_topn(df, text_col=text_col, vocab_size=vocab_size)
+             .select("w", F.lit(1).alias("__in")))
+    joined = words.join(F.broadcast(vocab), "w", "left")
+    agg = (joined.groupBy("source")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                F.sum(F.when(F.col("__in").isNull(), 1).otherwise(0))
+                .cast("long").alias("n_oov")))
+    rate = F.expr("(n_oov * 2000000 + n_tokens) div (n_tokens * 2)") \
+        .cast("double") / F.lit(1_000_000.0)
+    return agg.select("source", "n_tokens", "n_oov", rate.alias("oov_rate"))
