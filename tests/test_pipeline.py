@@ -697,3 +697,21 @@ def test_vocab_topn_tie_break_and_coverage(spark):
     plan = vocab_coverage(df, vocab_size=3) \
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
+
+
+def test_label_centroid_outliers_flags_injected_outlier(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        label_centroid_outliers)
+    import random
+    rnd = random.Random(7)
+    rows = [(i, 0, [rnd.uniform(-0.1, 0.1) for _ in range(8)])
+            for i in range(40)]
+    rows.append((99, 0, [5.0] * 8))  # far outlier
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"]) \
+        .withColumn("embedding", F.col("embedding").cast("array<float>"))
+    out = {r.vec_id: r for r in label_centroid_outliers(df).collect()}
+    assert len(out) == 41
+    assert out[99].is_outlier
+    # top-5% of 41 rows = ranks with rank*100 <= 205 -> exactly 2 flagged
+    assert sum(1 for r in out.values() if r.is_outlier) == 2
+    assert max(r.dist2 for r in out.values()) == out[99].dist2

@@ -3611,6 +3611,40 @@ GROUP BY source
 """
 
 
+def q_embedding_outliers(spark, sf_dir):
+    """Per-label centroid-distance outlier flags over the embeddings
+    table (top-5% most distant per label). Decimal-accumulated distances
+    make the hash engine-stable; the flag is all-integer rank math."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        label_centroid_outliers)
+
+    return label_centroid_outliers(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_OUTLIERS = r"""
+WITH e AS (
+  SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+         unnest(embedding) AS x
+  FROM embeddings
+), cent AS (
+  SELECT label, pos,
+         CAST(sum(CAST(x AS DECIMAL(38,12))) AS DOUBLE) / count(*) AS c
+  FROM e GROUP BY label, pos
+), d AS (
+  SELECT vec_id, label,
+         round(CAST(sum(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
+                             AS DECIMAL(38,12))) AS DOUBLE), 6) AS dist2
+  FROM e JOIN cent USING (label, pos)
+  GROUP BY vec_id, label
+)
+SELECT vec_id, label, dist2,
+       (row_number() OVER (PARTITION BY label
+                           ORDER BY dist2 DESC, vec_id) * 100
+        <= count(*) OVER (PARTITION BY label) * 5) AS is_outlier
+FROM d
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3757,6 +3791,7 @@ REGISTRY: dict[str, tuple] = {
                              SQL_GRAPH_SKIPGRAM_PAIRS),
     "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
+    "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
 }
 
 

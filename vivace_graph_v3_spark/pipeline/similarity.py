@@ -226,3 +226,50 @@ def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     return (cand.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def label_centroid_outliers(emb: DataFrame, *, vec_col: str = "embedding",
+                            id_col: str = "vec_id",
+                            label_col: str = "label",
+                            outlier_pct: int = 5) -> DataFrame:
+    """Per-class embedding outlier pruning — the semantic-curation pass
+    that drops mislabeled / off-distribution vectors before training
+    (the prototype-distance heuristic of SemDeDup-class pipelines,
+    Abbas et al. 2023; Sorscher et al. 2022 prototypicality): each
+    vector's squared L2 distance to its label centroid, with the top
+    ``outlier_pct`` percent most distant per label flagged. Returns
+    (vec_id, label, dist2, is_outlier).
+
+    Engine-stable numerics: the centroid is an exact DECIMAL(38,12)
+    per-dimension sum divided once in double; per-element squared diffs
+    are pure IEEE doubles; the per-vector sum re-accumulates in decimal
+    (order-independent), so both engines compute bit-identical distances.
+    The flag is all-integer: rank*100 <= count*pct over the ROUNDED
+    distance with id tie-break.
+
+    Scale shape: centroids are |labels| x dims rows (tiny) and broadcast
+    back; the per-vector re-aggregate shuffles on vec_id with map-side
+    combine. The flag window hash-partitions by label — the exact
+    formulation; at extreme per-label cardinality swap the rank for an
+    approx_percentile threshold broadcast (the flag then tolerates sketch
+    error at the boundary), keeping everything else unchanged."""
+    e = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(label_col).alias("label"),
+                   F.posexplode(F.col(vec_col)).alias("pos", "x"))
+    cent = (e.groupBy("label", "pos")
+            .agg((F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
+                  / F.count(F.lit(1))).alias("c")))
+    diff = F.col("x").cast("double") - F.col("c")
+    dists = (e.join(F.broadcast(cent), ["label", "pos"])
+             .select("vec_id", "label",
+                     (diff * diff).cast("decimal(38,12)").alias("sq"))
+             .groupBy("vec_id", "label")
+             .agg(F.round(F.sum("sq").cast("double"), 6).alias("dist2")))
+    w = Window.partitionBy("label").orderBy(F.col("dist2").desc(),
+                                            F.col("vec_id").asc())
+    cnt = Window.partitionBy("label")
+    return (dists
+            .withColumn("is_outlier",
+                        F.row_number().over(w) * 100
+                        <= F.count(F.lit(1)).over(cnt) * outlier_pct)
+            .select("vec_id", "label", "dist2", "is_outlier"))
