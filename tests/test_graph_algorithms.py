@@ -172,3 +172,20 @@ def test_skipgram_pairs_handcomputed(spark):
                    ("c", "b"): 1, ("c", "d"): 1, ("d", "c"): 1}
     wide = skipgram_pairs(walks, window=3, count=False)
     assert wide.count() == 12  # all ordered pairs of 4 distinct positions
+
+
+def test_hits_star(star):
+    from vivace_graph_v3_spark.operators.graph_algorithms import hits
+    hs = {r["id"]: (r["hub"], r["auth"]) for r in
+          hits(star, max_iter=4).collect()}
+    assert set(hs) == {"h", "a", "b", "c"}
+    # a,b,c all point at h: h is the top authority, normalized to 1
+    assert hs["h"][1] == 1.0
+    # a,b,c are the (equal) top hubs; h's only out-edge hits a weak
+    # authority, so its hub score is below the spokes'
+    assert hs["a"][0] == hs["b"][0] == hs["c"][0] == 1.0
+    assert hs["h"][0] < 1.0
+    # only h and a are ever pointed at
+    assert hs["b"][1] == hs["c"][1] == 0.0
+    for h, a in hs.values():
+        assert 0.0 <= h <= 1.0 and 0.0 <= a <= 1.0

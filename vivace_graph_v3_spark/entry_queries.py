@@ -3645,6 +3645,55 @@ FROM d
 """
 
 
+def q_graph_hits(spark, sf_dir):
+    """HITS hubs/authorities, 5 fixed alternating rounds over the full F6
+    graph, max-normalized at the end; oracle = the same rounds unrolled as
+    SQL CTE stages. 4-decimal rounding absorbs sum-order ulp drift."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import hits
+
+    g = load_tpch_graph(spark, sf_dir)
+    hs = hits(g, max_iter=5)
+    return (hs.select("id", F.round("hub", 4).alias("hub"),
+                      F.round("auth", 4).alias("auth"))
+            .orderBy(F.desc(F.round("auth", 4)),
+                     F.desc(F.round("hub", 4)), "id").limit(50))
+
+
+def _hits_oracle_sql(rounds: int = 5) -> str:
+    """Unrolled alternating hub/authority sums mirroring
+    operators/graph_algorithms.hits: un-normalized linear updates, one
+    max-normalization at the end."""
+    parts = [f"""
+WITH vertices AS MATERIALIZED ({_F6_VERTICES_SQL}),
+edges AS MATERIALIZED ({_F6_EDGES_SQL}),
+a0 AS MATERIALIZED (SELECT id, 1.0 AS score FROM vertices)"""]
+    for i in range(1, rounds + 1):
+        p = i - 1
+        parts.append(f"""
+h{i} AS MATERIALIZED (
+  SELECT e.src AS id, SUM(a.score) AS score
+  FROM a{p} a JOIN edges e ON e.dst = a.id GROUP BY e.src
+),
+a{i} AS MATERIALIZED (
+  SELECT e.dst AS id, SUM(h.score) AS score
+  FROM h{i} h JOIN edges e ON e.src = h.id GROUP BY e.dst
+)""")
+    return (",".join(parts) + f"""
+SELECT id, round(hub, 4) AS hub, round(auth, 4) AS auth FROM (
+  SELECT v.id,
+         COALESCE(h.score, 0.0) / (SELECT MAX(score) FROM h{rounds}) AS hub,
+         COALESCE(a.score, 0.0) / (SELECT MAX(score) FROM a{rounds}) AS auth
+  FROM vertices v
+  LEFT JOIN h{rounds} h ON h.id = v.id
+  LEFT JOIN a{rounds} a ON a.id = v.id
+)
+ORDER BY round(auth, 4) DESC, round(hub, 4) DESC, id LIMIT 50
+""")
+
+
+SQL_GRAPH_HITS = _hits_oracle_sql()
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3792,6 +3841,7 @@ REGISTRY: dict[str, tuple] = {
     "text_classifier": (q_text_classifier, SQL_TEXT_CLASSIFIER),
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
+    "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
 }
 
 

@@ -480,3 +480,61 @@ def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
     return (deg.join(alive, "id", "left_semi")
             if deg is not None else
             alive.withColumn("degree", F.lit(0)))
+
+
+def hits(graph: GraphStore, *, edge_type: str | None = None,
+         max_iter: int = 5, bcast_guard: int = 2_000_000) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over active edges:
+    alternating hub = sum of pointed-to authorities, authority = sum of
+    incoming hubs. Returns (id, hub, auth) for every vertex, each score
+    max-normalized to [0, 1].
+
+    Numerics: the iteration runs UN-normalized (the update is linear, so
+    any per-round scaling only rescales the eigenvector — rankings are
+    identical) and normalizes once at the end by the MAX score, which is
+    order-independent, so no per-round double-sum normalization constant
+    can drift between engines. Scores stay well inside double range for
+    any realistic iteration count (growth ~ lambda_max^rounds).
+
+    Scale shape (mirrors pagerank above): the edge list is partitioned
+    once and persisted; each half-round is one join of the static edges
+    with the O(|V|) score frame (broadcast under ``bcast_guard``, shuffle
+    join past it) followed by one map-side-combined aggregate. Reference
+    analog: none — the reference exposes traverse/recursive rules but no
+    eigenvector scores; cited as beyond-ref alongside pagerank
+    (SURVEY.md §2.3)."""
+    vertices = (graph.scan_vertices(columns=["id"]).select("id")
+                .dropDuplicates().localCheckpoint(eager=True))
+    n = vertices.count()
+    nparts = max(4, min(int(graph.spark.conf.get(
+        "spark.sql.shuffle.partitions", "32")) * 4, n // 100_000 + 1))
+    edges = (_edge_pairs(graph, edge_type)
+             .repartition(nparts, F.col("src")).persist())
+    _b = (lambda df: F.broadcast(df)) if n <= bcast_guard else (lambda df: df)
+    auth = vertices.withColumn("score", F.lit(1.0)) \
+        .localCheckpoint(eager=True)
+    hub = None
+    try:
+        for _ in range(max_iter):
+            hub = (edges.join(_b(auth), edges["dst"] == auth["id"])
+                   .groupBy("src").agg(F.sum("score").alias("score"))
+                   .withColumnRenamed("src", "id")
+                   .localCheckpoint(eager=True))
+            auth = (edges.join(_b(hub), edges["src"] == hub["id"])
+                    .groupBy("dst").agg(F.sum("score").alias("score"))
+                    .withColumnRenamed("dst", "id")
+                    .localCheckpoint(eager=True))
+    finally:
+        edges.unpersist()
+    h_max = hub.agg(F.max("score").alias("m"))
+    a_max = auth.agg(F.max("score").alias("m"))
+    h = (vertices
+         .join(hub.withColumnRenamed("score", "h"), "id", "left")
+         .crossJoin(F.broadcast(h_max))
+         .select("id", (F.coalesce(F.col("h"), F.lit(0.0))
+                        / F.col("m")).alias("hub")))
+    return (h.join(auth.withColumnRenamed("score", "a"), "id", "left")
+            .crossJoin(F.broadcast(a_max.withColumnRenamed("m", "am")))
+            .select("id", "hub",
+                    (F.coalesce(F.col("a"), F.lit(0.0))
+                     / F.col("am")).alias("auth")))
