@@ -3694,6 +3694,57 @@ ORDER BY round(auth, 4) DESC, round(hub, 4) DESC, id LIMIT 50
 SQL_GRAPH_HITS = _hits_oracle_sql()
 
 
+def q_profile_lineitem(spark, sf_dir):
+    """One-pass per-column profiling report over lineitem (counts, nulls,
+    exact distincts, extremes, decimal-stable means) — the pre-ingest
+    data-quality summary. Single scan; the wide aggregate row explodes
+    into the long report in-plan."""
+    from vivace_graph_v3_spark.operators.profile import profile_table
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return profile_table(li, ["l_quantity", "l_extendedprice", "l_discount",
+                              "l_returnflag", "l_shipdate"])
+
+
+def _profile_oracle_sql() -> str:
+    """DuckDB mirror of q_profile_lineitem: one wide aggregate CTE
+    unioned out per column."""
+    num = ["l_quantity", "l_extendedprice", "l_discount"]
+    txt = ["l_returnflag", "l_shipdate"]
+    aggs = ["count(*) AS n"]
+    for c in num + txt:
+        aggs.append(f"count(CASE WHEN {c} IS NULL THEN 1 END) AS null_{c}")
+        aggs.append(f"count(DISTINCT {c}) AS dist_{c}")
+        if c in num:
+            aggs.append(f"CAST(min({c}) AS DOUBLE) AS min_{c}")
+            aggs.append(f"CAST(max({c}) AS DOUBLE) AS max_{c}")
+            aggs.append(
+                f"round(CAST(sum(CAST({c} AS DECIMAL(38,12))) AS DOUBLE)"
+                f" / count({c}), 6) AS mean_{c}")
+        else:
+            aggs.append(f"CAST(min({c}) AS VARCHAR) AS min_{c}")
+            aggs.append(f"CAST(max({c}) AS VARCHAR) AS max_{c}")
+    sels = []
+    for c in num + txt:
+        if c in num:
+            row = (f"min_{c} AS min_num, max_{c} AS max_num, "
+                   f"mean_{c} AS mean, CAST(NULL AS VARCHAR) AS min_str, "
+                   f"CAST(NULL AS VARCHAR) AS max_str")
+        else:
+            row = (f"CAST(NULL AS DOUBLE) AS min_num, "
+                   f"CAST(NULL AS DOUBLE) AS max_num, "
+                   f"CAST(NULL AS DOUBLE) AS mean, "
+                   f"min_{c} AS min_str, max_{c} AS max_str")
+        sels.append(f"SELECT '{c}' AS \"column\", n AS n_rows, "
+                    f"null_{c} AS n_null, dist_{c} AS n_distinct, {row} "
+                    f"FROM w")
+    return ("WITH w AS (SELECT " + ",\n       ".join(aggs)
+            + " FROM lineitem)\n" + "\nUNION ALL\n".join(sels))
+
+
+SQL_PROFILE_LINEITEM = _profile_oracle_sql()
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3842,6 +3893,7 @@ REGISTRY: dict[str, tuple] = {
     "vocab_coverage": (q_vocab_coverage, SQL_VOCAB_COVERAGE),
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
+    "profile_lineitem": (q_profile_lineitem, SQL_PROFILE_LINEITEM),
 }
 
 
