@@ -34,3 +34,55 @@ def test_profile_single_scan(spark):
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
     # one scan feeding one aggregate chain: Range appears exactly once
     assert plan.count("Range (0, 100") == 1
+
+
+def test_histogram_basic(spark):
+    from vivace_graph_v3_spark.operators.profile import histogram
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "x double")
+    rows = {r.bin: r for r in histogram(df, "x", bins=10).collect()}
+    assert len(rows) == 10
+    assert all(r.n == 10 for r in rows.values())
+    assert rows[0].lo == 0.0 and rows[9].hi == 99.0
+    # top edge clamps into last bin
+    one = histogram(df, "x", bins=10, lo=0, hi=99).collect()
+    assert sum(r.n for r in one) == 100
+
+
+def test_histogram_explicit_bounds_single_pass(spark):
+    from vivace_graph_v3_spark.operators.profile import histogram
+    df = spark.range(1000).select(F.col("id").cast("double").alias("x"))
+    plan = histogram(df, "x", bins=4, lo=0, hi=999) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan  # no inline min/max pass
+
+
+def test_morton_key_locality_and_bounds(spark):
+    from vivace_graph_v3_spark.operators.layout import morton_key
+    df = spark.createDataFrame(
+        [(x, y) for x in range(4) for y in range(4)], "x long, y long")
+    key = morton_key(["x", "y"], [(0, 3), (0, 3)], bits=2)
+    got = {(r.x, r.y): r.z for r in df.select("x", "y", key.alias("z")).collect()}
+    # classic 4x4 morton curve: (0,0)=0 (1,0)=1 (0,1)=2 (1,1)=3 (2,0)=4 ...
+    assert got[(0, 0)] == 0 and got[(1, 0)] == 1
+    assert got[(0, 1)] == 2 and got[(1, 1)] == 3
+    assert got[(2, 0)] == 4 and got[(3, 3)] == 15
+    assert len(set(got.values())) == 16  # bijective on the grid
+
+
+def test_zorder_write_plan_range_partitions(spark):
+    from vivace_graph_v3_spark.operators.layout import zorder_write_plan
+    df = spark.createDataFrame(
+        [(x, y) for x in range(32) for y in range(32)], "x long, y long")
+    out = zorder_write_plan(df, ["x", "y"], [(0, 31), (0, 31)],
+                            bits=5, partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+    # each partition owns a contiguous curve segment
+    parts = out.select(F.spark_partition_id().alias("p"), "zkey").collect()
+    bounds = {}
+    for r in parts:
+        lo, hi = bounds.get(r.p, (r.zkey, r.zkey))
+        bounds[r.p] = (min(lo, r.zkey), max(hi, r.zkey))
+    ordered = sorted(bounds.values())
+    for (l1, h1), (l2, h2) in zip(ordered, ordered[1:]):
+        assert h1 <= l2

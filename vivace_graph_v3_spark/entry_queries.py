@@ -3745,6 +3745,72 @@ def _profile_oracle_sql() -> str:
 SQL_PROFILE_LINEITEM = _profile_oracle_sql()
 
 
+def q_histogram_price(spark, sf_dir):
+    """20-bin equi-width histogram of l_extendedprice (inline min/max
+    bounds). Bin edges are fixed-order IEEE arithmetic rounded to 6
+    decimals, identical across engines."""
+    from vivace_graph_v3_spark.operators.profile import histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return histogram(li, "l_extendedprice", bins=20)
+
+
+SQL_HISTOGRAM_PRICE = """
+WITH b AS (
+  SELECT CAST(min(l_extendedprice) AS DOUBLE) AS lo,
+         CAST(max(l_extendedprice) AS DOUBLE) AS hi
+  FROM lineitem
+), s AS (
+  SELECT CAST(least(floor((CAST(l_extendedprice AS DOUBLE) - lo)
+                          / ((hi - lo) / 20.0)), 19) AS BIGINT) AS bin,
+         lo, hi
+  FROM lineitem CROSS JOIN b
+  WHERE l_extendedprice IS NOT NULL
+    AND l_extendedprice >= lo AND l_extendedprice <= hi
+)
+SELECT bin, round(lo + bin * ((hi - lo) / 20.0), 6) AS lo,
+       round(lo + (bin + 1) * ((hi - lo) / 20.0), 6) AS hi,
+       count(*) AS n
+FROM s GROUP BY 1, 2, 3
+"""
+
+
+def q_zorder_key(spark, sf_dir):
+    """Morton (Z-order) clustering key over (l_partkey, l_suppkey) with
+    write-time stats ranges — the map-only key computation behind
+    clustered lakehouse writes. Returns every lineitem's key; the oracle
+    replays the identical scale + bit-interleave arithmetic."""
+    from vivace_graph_v3_spark.operators.layout import morton_key
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = morton_key(["l_partkey", "l_suppkey"],
+                     [(1, 200_000), (1, 10_000)], bits=16)
+    return li.select("l_orderkey", "l_linenumber", key.alias("zkey"))
+
+
+def _zorder_oracle_sql(bits: int = 16) -> str:
+    def scale(col, lo, hi):
+        span = max(hi - lo, 1)
+        m = (1 << bits) - 1
+        return (f"greatest(0, least(CAST(floor(CAST(({col} - {lo}) * {m} "
+                f"AS DOUBLE) / {float(span)}) AS BIGINT), {m}))")
+    sa = scale("l_partkey", 1, 200_000)
+    sb = scale("l_suppkey", 1, 10_000)
+    terms = []
+    for j in range(bits):
+        terms.append(f"(((a >> {j}) & 1) << {j * 2})")
+        terms.append(f"(((b >> {j}) & 1) << {j * 2 + 1})")
+    return f"""
+WITH s AS (
+  SELECT l_orderkey, l_linenumber, {sa} AS a, {sb} AS b FROM lineitem
+)
+SELECT l_orderkey, l_linenumber, ({' | '.join(terms)}) AS zkey FROM s
+"""
+
+
+SQL_ZORDER_KEY = _zorder_oracle_sql()
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3894,6 +3960,8 @@ REGISTRY: dict[str, tuple] = {
     "embedding_outliers": (q_embedding_outliers, SQL_EMBEDDING_OUTLIERS),
     "graph_hits": (q_graph_hits, SQL_GRAPH_HITS),
     "profile_lineitem": (q_profile_lineitem, SQL_PROFILE_LINEITEM),
+    "histogram_price": (q_histogram_price, SQL_HISTOGRAM_PRICE),
+    "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
 }
 
 

@@ -1,0 +1,72 @@
+"""Data-layout optimization: Z-order (Morton) clustering keys.
+
+Writing a 100 TB table clustered on a space-filling curve over its two or
+three hottest filter columns lets min/max-zone-map file skipping prune
+multi-dimensional predicates — the standard lakehouse write optimization.
+The key itself is pure integer bit arithmetic (whole-stage codegen,
+map-only); ``zorder_write_plan`` shows the intended use: range-partition
+by the key, sort within partitions, write.
+
+Morton interleaving reference: the classic bit-interleave construction
+(Morton 1966); widely used by lakehouse table formats for multi-column
+data skipping.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+
+def _scale_to_bits(col: Column, lo: int, hi: int, bits: int) -> Column:
+    """Map an integer column in [lo, hi] onto [0, 2^bits) by linear
+    scaling — all-integer (numerator product stays under 2^63 for
+    realistic ranges), so identical in every engine. Out-of-range values
+    clamp."""
+    span = max(hi - lo, 1)
+    if span * ((1 << bits) - 1) >= (1 << 53):
+        raise ValueError("range too wide for exact double scaling")
+    # floor(exact-product / span) in double: the product is < 2^53 (exact)
+    # and quotients sit >= 1/span away from integers, far outside double
+    # rounding error — so floor(double) == integer division in any engine
+    scaled = F.floor(((col.cast("long") - F.lit(lo))
+                      * F.lit((1 << bits) - 1)).cast("double")
+                     / F.lit(float(span))).cast("long")
+    return F.greatest(F.lit(0), F.least(scaled, F.lit((1 << bits) - 1)))
+
+
+def morton_key(cols: list[Column | str], ranges: list[tuple[int, int]], *,
+               bits: int = 16) -> Column:
+    """Interleaved Z-order key over 2..4 integer columns. ``ranges`` gives
+    each column's (min, max) — at write time these come from table stats,
+    which keeps key computation MAP-ONLY (no inline min/max pass). Bit j
+    of scaled column i lands at key bit j*len(cols)+i."""
+    k = len(cols)
+    if not 2 <= k <= 4:
+        raise ValueError("morton_key interleaves 2..4 columns")
+    if k * bits > 62:
+        raise ValueError(f"{k} cols x {bits} bits exceeds a signed long")
+    scaled = [
+        _scale_to_bits(F.col(c) if isinstance(c, str) else c, lo, hi, bits)
+        for c, (lo, hi) in zip(cols, ranges)]
+    key = F.lit(0).cast("long")
+    for j in range(bits):
+        for i, s in enumerate(scaled):
+            bit = F.shiftright(s, j).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(bit, j * k + i))
+    return key
+
+
+def zorder_write_plan(df: DataFrame, cols: list[str],
+                      ranges: list[tuple[int, int]], *,
+                      bits: int = 16, partitions: int | None = None,
+                      key_col: str = "zkey") -> DataFrame:
+    """The clustered-write shape: compute the Morton key, RANGE-partition
+    on it (so each output file owns a compact curve segment => tight
+    per-file min/max on every interleaved column), sort within
+    partitions, and leave the frame ready for ``.write``. One range
+    shuffle — the same cost as any global sort-write — buying
+    multi-dimensional file skipping afterwards."""
+    keyed = df.withColumn(key_col, morton_key(cols, ranges, bits=bits))
+    parted = (keyed.repartitionByRange(partitions, F.col(key_col))
+              if partitions else keyed.repartitionByRange(F.col(key_col)))
+    return parted.sortWithinPartitions(key_col)

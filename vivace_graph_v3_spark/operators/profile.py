@@ -83,3 +83,31 @@ def profile_table(df: DataFrame, columns: list[str] | None = None, *,
         ))
     return (wide.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*"))
+
+
+def histogram(df: DataFrame, col: str, bins: int = 20, *,
+              lo: float | None = None, hi: float | None = None) -> DataFrame:
+    """Equi-width histogram of a numeric column: (bin, lo, hi, n) for each
+    NON-EMPTY bin. Bounds default to the column min/max (one extra
+    aggregate pass); passing explicit ``lo``/``hi`` (e.g. from a profile
+    run or write-time stats) makes it a single map-side-combined aggregate
+    — the 100 TB shape. Values at the top edge clamp into the last bin.
+
+    Determinism: bin width and edges are fixed-order IEEE double
+    arithmetic (identical in any engine); edges are rounded to 6 decimals
+    for a stable value hash."""
+    x = F.col(col).cast("double")
+    if lo is None or hi is None:
+        b = df.agg(F.min(x).alias("__lo"), F.max(x).alias("__hi"))
+        src = df.crossJoin(F.broadcast(b))
+        lo_c, hi_c = F.col("__lo"), F.col("__hi")
+    else:
+        src = df
+        lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
+    w = (hi_c - lo_c) / F.lit(float(bins))
+    bin_ = F.least(F.floor((x - lo_c) / w), F.lit(bins - 1)).cast("long")
+    return (src.filter(x.isNotNull() & (x >= lo_c) & (x <= hi_c))
+            .groupBy(bin_.alias("bin"),
+                     F.round(lo_c + bin_ * w, 6).alias("lo"),
+                     F.round(lo_c + (bin_ + 1) * w, 6).alias("hi"))
+            .agg(F.count(F.lit(1)).alias("n")))
