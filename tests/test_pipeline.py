@@ -715,3 +715,21 @@ def test_label_centroid_outliers_flags_injected_outlier(spark):
     # top-5% of 41 rows = ranks with rank*100 <= 205 -> exactly 2 flagged
     assert sum(1 for r in out.values() if r.is_outlier) == 2
     assert max(r.dist2 for r in out.values()) == out[99].dist2
+
+
+def test_incremental_dedup_matches_full_pairs(docs, spark):
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        minhash_dedup_incremental, minhash_dedup_pairs, minhash_index)
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    inc = {(r.new_id, r.dup_of)
+           for r in minhash_dedup_incremental(
+               new, minhash_index(old), threshold=0.5).collect()}
+    # the full-corpus pair job restricted to cross-set pairs must agree
+    full = minhash_dedup_pairs(docs, threshold=0.5).collect()
+    cross = set()
+    for r in full:
+        for a, b in [(r.id_a, r.id_b), (r.id_b, r.id_a)]:
+            if a % 10 == 0 and b % 10 != 0:
+                cross.add((a, b))
+    assert inc == cross

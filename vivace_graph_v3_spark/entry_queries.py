@@ -3811,6 +3811,47 @@ SELECT l_orderkey, l_linenumber, ({' | '.join(terms)}) AS zkey FROM s
 SQL_ZORDER_KEY = _zorder_oracle_sql()
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dedup: new batch (doc_id % 10 == 0) probed against
+    the persisted MinHash index of the already-ingested corpus (the other
+    90%) — probe cost scales with the batch, never the corpus. Candidates
+    are exact-Jaccard verified, so (with the documented full-recall
+    banding margin on this fixture) the result equals the oracle's exact
+    cross-set pair set at threshold 0.5."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        minhash_dedup_incremental, minhash_index)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    old = docs.filter(F.col("doc_id") % 10 != 0)
+    new = docs.filter(F.col("doc_id") % 10 == 0)
+    idx = minhash_index(old)
+    return minhash_dedup_incremental(new, idx, threshold=0.5) \
+        .select("new_id", "dup_of")
+
+
+SQL_DEDUP_INCREMENTAL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+)
+SELECT a.doc_id AS new_id, b.doc_id AS dup_of
+FROM inv a JOIN inv b ON a.shingle = b.shingle
+WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+GROUP BY a.doc_id, b.doc_id
+HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6)
+       >= 0.5
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -3962,6 +4003,7 @@ REGISTRY: dict[str, tuple] = {
     "profile_lineitem": (q_profile_lineitem, SQL_PROFILE_LINEITEM),
     "histogram_price": (q_histogram_price, SQL_HISTOGRAM_PRICE),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
+    "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
 }
 
 

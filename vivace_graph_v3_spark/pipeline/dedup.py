@@ -149,10 +149,11 @@ def minhash_signatures(df: DataFrame, *, text_col: str = "text",
     return base.select("id", "__sh", sig.alias("minhash"))
 
 
-def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16,
-                           rows_per_band: int = 4) -> DataFrame:
-    """Band the signature (b bands of r rows), bucket-join: pairs sharing any
-    band bucket are candidates. Emits distinct (id_a < id_b)."""
+def band_rows(sigs: DataFrame, *, bands: int = 16,
+              rows_per_band: int = 4) -> DataFrame:
+    """Explode a signature frame into (id, band, bucket) posting rows —
+    the banded-LSH bucket table. Map-only; this is also the frame an
+    ingest-time index persists (see MinhashIndex)."""
     banded = sigs.select(
         "id",
         F.explode(F.array(*[
@@ -161,8 +162,15 @@ def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16,
                          ",", *[F.col("minhash")[b * rows_per_band + r].cast("string")
                                 for r in range(rows_per_band)])).alias("bucket"))
             for b in range(bands)])).alias("bb"))
-    banded = banded.select("id", F.col("bb.band").alias("band"),
-                           F.col("bb.bucket").alias("bucket"))
+    return banded.select("id", F.col("bb.band").alias("band"),
+                         F.col("bb.bucket").alias("bucket"))
+
+
+def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16,
+                           rows_per_band: int = 4) -> DataFrame:
+    """Band the signature (b bands of r rows), bucket-join: pairs sharing any
+    band bucket are candidates. Emits distinct (id_a < id_b)."""
+    banded = band_rows(sigs, bands=bands, rows_per_band=rows_per_band)
     a, b = banded.alias("a"), banded.alias("b")
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
@@ -468,3 +476,86 @@ def dedup_survivors(docs: DataFrame, pairs: DataFrame, *,
     victims = labels.filter(F.col("cluster") != F.col("id")).select("id")
     return docs.join(victims.withColumnRenamed("id", id_col), id_col,
                      "left_anti")
+
+
+# -- incremental (ingest-time index + batch probe) -----------------------------
+
+class MinhashIndex:
+    """The persisted half of INCREMENTAL near-dedup: at 100 TB you never
+    re-pair the whole corpus when a new crawl lands — you keep the banded
+    posting table (|corpus| x bands rows, bucketed by (band, bucket)) and
+    a per-doc verification side (shingle set + signature) on disk, and
+    each new batch probes them. Write once at ingest; probe cost scales
+    with the BATCH, not the corpus."""
+
+    def __init__(self, postings: DataFrame, side: DataFrame):
+        self.postings = postings  # (id, band, bucket)
+        self.side = side          # (id, sh, sz, minhash)
+
+
+def minhash_index(df: DataFrame, *, text_col: str = "text",
+                  id_col: str = "doc_id", n: int = 3,
+                  num_hashes: int = 64, bands: int = 16) -> MinhashIndex:
+    """Build the ingest-time index frames for ``minhash_dedup_incremental``.
+    Both frames are one map-only pass over the corpus."""
+    sigs = minhash_signatures(df, text_col=text_col, id_col=id_col, n=n,
+                              num_hashes=num_hashes)
+    postings = band_rows(sigs, bands=bands,
+                         rows_per_band=num_hashes // bands)
+    side = sigs.select("id", F.col("__sh").alias("sh"),
+                       F.size("__sh").alias("sz"), "minhash")
+    return MinhashIndex(postings, side)
+
+
+def minhash_dedup_incremental(new_docs: DataFrame, index: MinhashIndex, *,
+                              text_col: str = "text", id_col: str = "doc_id",
+                              n: int = 3, num_hashes: int = 64,
+                              bands: int = 16,
+                              threshold: float = 0.8) -> DataFrame:
+    """Near-dups of a NEW batch against an already-indexed corpus:
+    (new_id, dup_of, jaccard) for every new doc whose exact shingle
+    Jaccard with an indexed doc clears ``threshold``. New-vs-new pairs
+    within the batch are the ordinary ``minhash_dedup_pairs`` job and are
+    deliberately out of scope here.
+
+    Scale shape: the batch's band rows hash-join the persisted postings
+    on (band, bucket) — with the postings bucketed on those keys this is
+    a co-located join that never shuffles the corpus; the estimate
+    prefilter (free from the signatures) then bounds the exact-verify
+    join to surviving candidates only."""
+    sigs = minhash_signatures(new_docs, text_col=text_col, id_col=id_col,
+                              n=n, num_hashes=num_hashes).persist()
+    try:
+        bnew = band_rows(sigs, bands=bands,
+                         rows_per_band=num_hashes // bands)
+        cands = (bnew.alias("a")
+                 .join(index.postings.alias("b"),
+                       (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.id") != F.col("b.id")))
+                 .select(F.col("a.id").alias("new_id"),
+                         F.col("b.id").alias("dup_of"))
+                 .dropDuplicates())
+        new_side = sigs.select(F.col("id").alias("new_id"),
+                               F.col("__sh").alias("sh_a"),
+                               F.size("__sh").alias("sz_a"),
+                               F.col("minhash").alias("mh_a"))
+        old_side = index.side.select(F.col("id").alias("dup_of"),
+                                     F.col("sh").alias("sh_b"),
+                                     F.col("sz").alias("sz_b"),
+                                     F.col("minhash").alias("mh_b"))
+        joined = cands.join(new_side, "new_id").join(old_side, "dup_of")
+        est = (F.size(F.filter(F.zip_with("mh_a", "mh_b",
+                                          lambda a, b: a == b),
+                               lambda x: x)) / F.lit(num_hashes))
+        margin = 3.0 * (0.25 / num_hashes) ** 0.5
+        joined = joined.filter(est >= threshold - margin)
+        common = F.size(F.array_intersect("sh_a", "sh_b"))
+        jac = common / (F.col("sz_a") + F.col("sz_b") - common)
+        out = (joined.withColumn("jaccard", F.round(jac, 6))
+               .filter(F.col("jaccard") >= threshold)
+               .select("new_id", "dup_of", "jaccard")
+               .localCheckpoint(eager=True))
+        return out
+    finally:
+        sigs.unpersist()
