@@ -1,0 +1,46 @@
+"""Funnel + cohort retention over a hand-built event log."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from vivace_graph_v3_spark.operators.product_analytics import (
+    cohort_retention, funnel)
+
+
+def _ev(spark, rows):
+    # (user, type, day_offset) -> nanos timestamps anchored at a Monday
+    base = 19723  # 2024-01-01, a Monday (epoch days)
+    data = [(u, t, (base * 86_400 + off * 3_600) * 1_000_000_000)
+            for u, t, off in rows]
+    return spark.createDataFrame(data, "user_id long, event_type string, ts long")
+
+
+def test_funnel_ordering_and_span(spark):
+    ev = _ev(spark, [
+        (1, "view", 0), (1, "click", 1), (1, "purchase", 2),   # converts all
+        (2, "view", 0), (2, "purchase", 1),                    # skips click
+        (3, "click", 0), (3, "view", 1),                       # click BEFORE view
+        (4, "view", 0), (4, "click", 24 * 8),                  # outside 7d span
+    ])
+    got = {r.step_name: (r.n_users, r.conversion)
+           for r in funnel(ev, ["view", "click", "purchase"],
+                           max_span_days=7).collect()}
+    assert got["view"] == (4, 1.0)
+    assert got["click"] == (1, 0.25)     # only user 1 clicks after viewing in-span
+    assert got["purchase"] == (1, 0.25)
+
+
+def test_cohort_retention_triangle(spark):
+    ev = _ev(spark, [
+        (1, "view", 0), (1, "view", 24 * 7), (1, "view", 24 * 14),
+        (2, "view", 24 * 7), (2, "view", 24 * 21),
+    ])
+    got = {(str(r.cohort_week), r.week_offset): r.n_users
+           for r in cohort_retention(ev).collect()}
+    assert got[("2024-01-01", 0)] == 1
+    assert got[("2024-01-01", 1)] == 1
+    assert got[("2024-01-01", 2)] == 1
+    assert got[("2024-01-08", 0)] == 1
+    assert got[("2024-01-08", 2)] == 1
+    assert ("2024-01-08", 1) not in got

@@ -3852,6 +3852,118 @@ HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6)
 """
 
 
+def q_distinctive_terms(spark, sf_dir):
+    """Top-5 class-based-TF-IDF distinctive terms per source — the
+    cluster-labeling pass for corpus exploration. Ratio-form scoring (no
+    transcendental log), vocab-bounded joins, aggregated-frame rank
+    window."""
+    from vivace_graph_v3_spark.pipeline.text import distinctive_terms
+
+    return distinctive_terms(_docs(spark, sf_dir).select("source", "text"))
+
+
+SQL_DISTINCTIVE_TERMS = r"""
+WITH w AS (
+  SELECT source AS "group",
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), pg AS (
+  SELECT "group", w, count(*) AS n FROM w GROUP BY "group", w
+  HAVING count(*) >= 5
+), ov AS (
+  SELECT w, count(*) AS n_all FROM w GROUP BY w
+), gt AS (
+  SELECT "group", count(*) AS g_total FROM w GROUP BY "group"
+), nt AS (
+  SELECT count(*) AS n_total FROM w
+), scored AS (
+  SELECT pg."group", pg.w AS term, pg.n,
+         round(CAST(pg.n AS DOUBLE) * nt.n_total
+               / (CAST(gt.g_total AS DOUBLE) * ov.n_all), 6) AS score
+  FROM pg JOIN ov USING (w) JOIN gt USING ("group") CROSS JOIN nt
+)
+SELECT "group", term, n, score,
+       rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY "group"
+                               ORDER BY score DESC, term) AS rank
+  FROM scored)
+WHERE rank <= 5
+"""
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered view->click->purchase funnel (strictly-increasing
+    first-occurrence chaining, 7-day span cap) with integer-rounded
+    conversion rates. User-keyed joins only — never event-sized."""
+    from vivace_graph_v3_spark.operators.product_analytics import funnel
+
+    return funnel(_events(spark, sf_dir), ["view", "click", "purchase"],
+                  max_span_days=7)
+
+
+SQL_EVENTS_FUNNEL = """
+WITH ev AS (
+  SELECT user_id, event_type, epoch_ns(ts) AS ts FROM events
+), s1 AS (
+  SELECT user_id, min(ts) AS t, min(ts) AS t0 FROM ev
+  WHERE event_type = 'view' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, any_value(s1.t0) AS t0, min(e.ts) AS t
+  FROM ev e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'click' AND e.ts > s1.t
+    AND e.ts <= s1.t0 + 7 * 86400000000000
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min(e.ts) AS t
+  FROM ev e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > s2.t
+    AND e.ts <= s2.t0 + 7 * 86400000000000
+  GROUP BY e.user_id
+), u AS (
+  SELECT 1 AS step, 'view' AS step_name, count(*) AS n_users FROM s1
+  UNION ALL SELECT 2, 'click', count(*) FROM s2
+  UNION ALL SELECT 3, 'purchase', count(*) FROM s3
+), b AS (
+  SELECT n_users AS base FROM u WHERE step = 1
+)
+SELECT step, step_name, n_users,
+       CASE WHEN base > 0
+            THEN CAST((n_users * 2000000 + base) // (base * 2) AS DOUBLE)
+                 / 1000000.0
+            ELSE 0.0 END AS conversion
+FROM u CROSS JOIN b
+"""
+
+
+def q_events_retention(spark, sf_dir):
+    """Weekly cohort retention triangle over events: cohort by
+    week-of-first-event, activity per (cohort, week offset). All-integer
+    offsets; user-bounded joins."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        cohort_retention)
+
+    return cohort_retention(_events(spark, sf_dir))
+
+
+SQL_EVENTS_RETENTION = """
+WITH d AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+), w AS (
+  SELECT user_id, day - ((day + 3) % 7) AS wk FROM d
+), f AS (
+  SELECT user_id, min(wk) AS cw FROM w GROUP BY user_id
+), aw AS (
+  SELECT DISTINCT user_id, wk FROM w
+)
+SELECT DATE '1970-01-01' + CAST(f.cw AS INTEGER) AS cohort_week,
+       (aw.wk - f.cw) // 7 AS week_offset,
+       count(*) AS n_users
+FROM aw JOIN f USING (user_id)
+GROUP BY 1, 2
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4004,6 +4116,9 @@ REGISTRY: dict[str, tuple] = {
     "histogram_price": (q_histogram_price, SQL_HISTOGRAM_PRICE),
     "zorder_key": (q_zorder_key, SQL_ZORDER_KEY),
     "dedup_incremental": (q_dedup_incremental, SQL_DEDUP_INCREMENTAL),
+    "distinctive_terms": (q_distinctive_terms, SQL_DISTINCTIVE_TERMS),
+    "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
+    "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
 }
 
 

@@ -603,3 +603,39 @@ def vocab_coverage(df: DataFrame, *, text_col: str = "text",
     rate = F.expr("(n_oov * 2000000 + n_tokens) div (n_tokens * 2)") \
         .cast("double") / F.lit(1_000_000.0)
     return agg.select("source", "n_tokens", "n_oov", rate.alias("oov_rate"))
+
+
+def distinctive_terms(df: DataFrame, *, text_col: str = "text",
+                      group_col: str = "source", k: int = 5,
+                      min_count: int = 5) -> DataFrame:
+    """Top-k distinctive terms per group by class-based TF-IDF — the
+    cluster-labeling statistic of BERTopic-style corpus exploration
+    (Grootendorst 2022): score(w, g) = tf(w in g) * N_total /
+    (tf_g_total * tf(w overall)), i.e. how over-represented w is in g
+    versus the corpus. Ranking by the ratio form keeps the arithmetic a
+    fixed-order IEEE multiply/divide chain (no transcendental log — same
+    rationale as collocations_pmi). Returns (group, term, n, score, rank).
+
+    Scale shape: both count tables are map-side-combined aggregates
+    bounded by |vocab| (x |groups| for the per-group one); the scoring
+    join is vocab-sized; per-group top-k is a rank window over the
+    already-aggregated (group, term) frame — never corpus-sized."""
+    words = (ensure_parallelism(df)
+             .select(F.col(group_col).alias("group"),
+                     F.explode(tokens(F.col(text_col))).alias("w")))
+    per_group = (words.groupBy("group", "w")
+                 .agg(F.count(F.lit(1)).alias("n"))
+                 .filter(F.col("n") >= min_count))
+    overall = words.groupBy("w").agg(F.count(F.lit(1)).alias("n_all"))
+    g_tot = words.groupBy("group").agg(F.count(F.lit(1)).alias("g_total"))
+    n_tot = words.agg(F.count(F.lit(1)).alias("n_total"))
+    score = (F.col("n").cast("double") * F.col("n_total")
+             / (F.col("g_total").cast("double") * F.col("n_all")))
+    scored = (per_group.join(overall, "w").join(F.broadcast(g_tot), "group")
+              .crossJoin(F.broadcast(n_tot))
+              .select("group", F.col("w").alias("term"), "n",
+                      F.round(score, 6).alias("score")))
+    w_rank = Window.partitionBy("group").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k))
