@@ -54,6 +54,15 @@ BENCH_QUERIES = [
     "text_pii_redaction",
     "text_collocations_pmi",
     "pack_sequences",
+    "text_classifier",
+    "vocab_coverage",
+    "embedding_outliers",
+    "graph_hits",
+    "profile_lineitem",
+    "zorder_key",
+    "dedup_incremental",
+    "events_funnel",
+    "events_retention",
 ]
 
 

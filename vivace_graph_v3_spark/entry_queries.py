@@ -3971,10 +3971,14 @@ GROUP BY 1, 2
 # Round-2 driver-green entries follow from position 51. Rotate again next
 # round to cover what has still never been driver-sampled: text_lang_id,
 # training_pipeline, dedup_contamination, multimodal_features, q2, q4, and
-# the nine round-3 additions appended at the end (retrieval_hybrid_rrf,
+# the round-3 additions appended at the end (retrieval_hybrid_rrf,
 # text_pii_redaction, text_collocations_pmi, pack_sequences,
 # incoming_edges_goal, dataset_split, packing_stats, graph_random_walks,
-# graph_skipgram_pairs — all judge/local-green vs DuckDB this round).
+# graph_skipgram_pairs, text_classifier, vocab_coverage,
+# embedding_outliers, graph_hits, profile_lineitem, histogram_price,
+# zorder_key, dedup_incremental, distinctive_terms, events_funnel,
+# events_retention — all local-green vs DuckDB this round via
+# tools/check_contract.py, as are all 116 pre-existing entries).
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
