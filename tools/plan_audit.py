@@ -44,6 +44,10 @@ AUDITED = [
     "q17_small_quantity", "ann_ivf_recall", "multimodal_decode",
     "retrieval_hybrid_rrf", "text_pii_redaction", "text_collocations_pmi",
     "pack_sequences", "incoming_edges_goal",
+    "text_classifier", "vocab_coverage", "embedding_outliers",
+    "graph_hits", "profile_lineitem", "histogram_price", "zorder_key",
+    "dedup_incremental", "distinctive_terms", "events_funnel",
+    "events_retention",
 ]
 
 

@@ -3646,20 +3646,20 @@ FROM d
 
 
 def q_graph_hits(spark, sf_dir):
-    """HITS hubs/authorities, 5 fixed alternating rounds over the full F6
+    """HITS hubs/authorities, 3 fixed alternating rounds over the full F6
     graph, max-normalized at the end; oracle = the same rounds unrolled as
     SQL CTE stages. 4-decimal rounding absorbs sum-order ulp drift."""
     from vivace_graph_v3_spark.operators.graph_algorithms import hits
 
     g = load_tpch_graph(spark, sf_dir)
-    hs = hits(g, max_iter=5)
+    hs = hits(g, max_iter=3)
     return (hs.select("id", F.round("hub", 4).alias("hub"),
                       F.round("auth", 4).alias("auth"))
             .orderBy(F.desc(F.round("auth", 4)),
                      F.desc(F.round("hub", 4)), "id").limit(50))
 
 
-def _hits_oracle_sql(rounds: int = 5) -> str:
+def _hits_oracle_sql(rounds: int = 3) -> str:
     """Unrolled alternating hub/authority sums mirroring
     operators/graph_algorithms.hits: un-normalized linear updates, one
     max-normalization at the end."""
