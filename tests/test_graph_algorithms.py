@@ -189,3 +189,21 @@ def test_hits_star(star):
     assert hs["b"][1] == hs["c"][1] == 0.0
     for h, a in hs.values():
         assert 0.0 <= h <= 1.0 and 0.0 <= a <= 1.0
+
+
+def test_common_neighbor_similarity(spark):
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        common_neighbor_similarity)
+    # x,y share 2 of 3 srcs; hub points at everything and must be capped out
+    g = _graph(spark, ["s1", "s2", "s3", "hub", "x", "y", "z"],
+               [("s1", "x", 1), ("s1", "y", 1),
+                ("s2", "x", 1), ("s2", "y", 1),
+                ("s3", "x", 1), ("s3", "z", 1),
+                ("hub", "x", 1), ("hub", "y", 1), ("hub", "z", 1)])
+    rows = common_neighbor_similarity(g, degree_cap=2, min_common=1).collect()
+    got = {(r.id_a, r.id_b): (r.common, r.jaccard) for r in rows}
+    # hub capped (fanout 3 > 2): x deg 3, y deg 2, z deg 1
+    assert got[("x", "y")] == (2, round(2 / 3, 6))
+    assert got[("x", "z")] == (1, round(1 / 3, 6))
+    assert ("y", "z") not in got
+    assert rows[0].rank == 1 and rows[0].id_a == "x" and rows[0].id_b == "y"

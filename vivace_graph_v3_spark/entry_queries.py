@@ -3964,6 +3964,46 @@ GROUP BY 1, 2
 """
 
 
+def q_graph_link_prediction(spark, sf_dir):
+    """Top-50 common-neighbor Jaccard pairs among parts sharing orders
+    (the `contains` edges), hub srcs capped at fanout 50. Inverted-index
+    pair join — never all-pairs; oracle mirrors the exact arithmetic."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        common_neighbor_similarity)
+
+    g = load_tpch_graph(spark, sf_dir)
+    return common_neighbor_similarity(g, edge_type="contains",
+                                      degree_cap=50, min_common=2, k=50)
+
+
+SQL_GRAPH_LINK_PREDICTION = """
+WITH e AS (
+  SELECT DISTINCT 'orders:'||l_orderkey AS src, 'part:'||l_partkey AS dst
+  FROM lineitem
+), capped AS (
+  SELECT src FROM e GROUP BY src HAVING count(*) <= 50
+), ec AS (
+  SELECT e.src, e.dst FROM e JOIN capped USING (src)
+), common AS (
+  SELECT a.dst AS id_a, b.dst AS id_b, count(*) AS common
+  FROM ec a JOIN ec b ON a.src = b.src AND a.dst < b.dst
+  GROUP BY a.dst, b.dst
+  HAVING count(*) >= 2
+), deg AS (
+  SELECT dst, count(*) AS deg FROM ec GROUP BY dst
+)
+SELECT id_a, id_b, common, jaccard,
+       row_number() OVER (ORDER BY jaccard DESC, id_a, id_b) AS rank
+FROM (
+  SELECT c.id_a, c.id_b, c.common,
+         round(c.common / (da.deg + db.deg - c.common), 6) AS jaccard
+  FROM common c JOIN deg da ON da.dst = c.id_a
+                JOIN deg db ON db.dst = c.id_b
+)
+ORDER BY jaccard DESC, id_a, id_b LIMIT 50
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4123,6 +4163,8 @@ REGISTRY: dict[str, tuple] = {
     "distinctive_terms": (q_distinctive_terms, SQL_DISTINCTIVE_TERMS),
     "events_funnel": (q_events_funnel, SQL_EVENTS_FUNNEL),
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
+    "graph_link_prediction": (q_graph_link_prediction,
+                              SQL_GRAPH_LINK_PREDICTION),
 }
 
 

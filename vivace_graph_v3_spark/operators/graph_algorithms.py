@@ -553,3 +553,57 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
             .select("id", "hub",
                     (F.coalesce(F.col("a"), F.lit(0.0))
                      / F.col("am")).alias("auth")))
+
+
+def common_neighbor_similarity(graph: GraphStore, *,
+                               edge_type: str | None = None,
+                               degree_cap: int | None = None,
+                               min_common: int = 1,
+                               k: int = 50) -> DataFrame:
+    """Link-prediction similarity: pairs of DST vertices ranked by the
+    Jaccard overlap of their in-neighbor (SRC) sets — the classic
+    common-neighbors / co-occurrence score (Liben-Nowell & Kleinberg
+    2003). Returns the top-``k`` pairs (id_a, id_b, common, jaccard,
+    rank) with deterministic (score desc, id asc) tie-break.
+
+    Scale shape: the pair generation is an inverted-index self-join on
+    the shared SRC — cost is sum over srcs of fanout², NOT all-pairs.
+    ``degree_cap`` drops hub srcs above a fanout bound first (the
+    standard guard: a 10^6-fanout hub would alone contribute 10^12
+    pairs while carrying almost no signal — same hub-capping as
+    production link-prediction pipelines). Top-k is orderBy+limit
+    (TakeOrdered), never a global sort."""
+    e = (_edge_pairs(graph, edge_type)
+         .select("src", "dst").dropDuplicates())
+    if degree_cap is not None:
+        fan = e.groupBy("src").agg(F.count(F.lit(1)).alias("fan"))
+        e = (e.join(fan.filter(F.col("fan") <= degree_cap), "src",
+                    "left_semi"))
+    e = e.persist()
+    try:
+        a, b = e.alias("a"), e.alias("b")
+        common = (a.join(b, (F.col("a.src") == F.col("b.src"))
+                         & (F.col("a.dst") < F.col("b.dst")))
+                  .groupBy(F.col("a.dst").alias("id_a"),
+                           F.col("b.dst").alias("id_b"))
+                  .agg(F.count(F.lit(1)).alias("common"))
+                  .filter(F.col("common") >= min_common))
+        deg = e.groupBy("dst").agg(F.count(F.lit(1)).alias("deg"))
+        jac = (F.col("common")
+               / (F.col("deg_a") + F.col("deg_b") - F.col("common")))
+        scored = (common
+                  .join(deg.select(F.col("dst").alias("id_a"),
+                                   F.col("deg").alias("deg_a")), "id_a")
+                  .join(deg.select(F.col("dst").alias("id_b"),
+                                   F.col("deg").alias("deg_b")), "id_b")
+                  .select("id_a", "id_b", "common",
+                          F.round(jac, 6).alias("jaccard")))
+        top = scored.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(),
+                             F.col("id_b").asc()).limit(k)
+        w = Window.orderBy(F.col("jaccard").desc(), F.col("id_a").asc(),
+                           F.col("id_b").asc())
+        out = (top.withColumn("rank", F.row_number().over(w))
+               .localCheckpoint(eager=True))
+        return out
+    finally:
+        e.unpersist()
