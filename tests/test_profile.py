@@ -86,3 +86,17 @@ def test_zorder_write_plan_range_partitions(spark):
     ordered = sorted(bounds.values())
     for (l1, h1), (l2, h2) in zip(ordered, ordered[1:]):
         assert h1 <= l2
+
+
+def test_distribution_drift_identical_vs_shifted(spark):
+    from vivace_graph_v3_spark.operators.profile import distribution_drift
+    rows = [("a", v) for v in range(0, 1000, 10)] \
+        + [("b", v) for v in range(0, 1000, 10)] \
+        + [("c", v + 5000) for v in range(0, 1000, 10)]
+    df = spark.createDataFrame(rows, "src string, x long")
+    got = {r.group: r.chi2 for r in
+           distribution_drift(df, group_col="src", value_col="x").collect()}
+    # a and b are identical distributions -> equal (nonzero, since the
+    # corpus includes c's far buckets); c is disjointly shifted -> largest
+    assert got["a"] == got["b"]
+    assert got["c"] > got["a"] > 0

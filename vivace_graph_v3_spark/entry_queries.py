@@ -4004,6 +4004,42 @@ ORDER BY jaccard DESC, id_a, id_b LIMIT 50
 """
 
 
+def q_source_drift(spark, sf_dir):
+    """Chi-square drift of each source's document-length (n_chars)
+    distribution vs the corpus mix, over width-100 buckets. One
+    corpus-sized aggregate; decimal-accumulated statistic."""
+    from vivace_graph_v3_spark.operators.profile import distribution_drift
+
+    return distribution_drift(_docs(spark, sf_dir),
+                              group_col="source", value_col="n_chars")
+
+
+SQL_SOURCE_DRIFT = """
+WITH gb AS (
+  SELECT source AS "group", n_chars // 100 AS bucket, count(*) AS o
+  FROM documents GROUP BY 1, 2
+), corpus AS (
+  SELECT bucket, sum(o) AS c FROM gb GROUP BY bucket
+), totals AS (
+  SELECT "group", sum(o) AS n_rows FROM gb GROUP BY "group"
+), n AS (
+  SELECT sum(c) AS n_total FROM corpus
+), filled AS (
+  SELECT t."group", t.n_rows, coalesce(gb.o, 0) AS o, corpus.c, n.n_total
+  FROM totals t CROSS JOIN corpus
+  LEFT JOIN gb ON gb."group" = t."group" AND gb.bucket = corpus.bucket
+  CROSS JOIN n
+)
+SELECT "group", n_rows,
+       round(CAST(sum(CAST(
+         (o - CAST(n_rows AS DOUBLE) * c / n_total)
+         * (o - CAST(n_rows AS DOUBLE) * c / n_total)
+         / (CAST(n_rows AS DOUBLE) * c / n_total) AS DECIMAL(38,12)))
+         AS DOUBLE), 6) AS chi2
+FROM filled GROUP BY "group", n_rows
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4165,6 +4201,7 @@ REGISTRY: dict[str, tuple] = {
     "events_retention": (q_events_retention, SQL_EVENTS_RETENTION),
     "graph_link_prediction": (q_graph_link_prediction,
                               SQL_GRAPH_LINK_PREDICTION),
+    "source_drift": (q_source_drift, SQL_SOURCE_DRIFT),
 }
 
 

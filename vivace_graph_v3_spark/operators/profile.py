@@ -111,3 +111,42 @@ def histogram(df: DataFrame, col: str, bins: int = 20, *,
                      F.round(lo_c + bin_ * w, 6).alias("lo"),
                      F.round(lo_c + (bin_ + 1) * w, 6).alias("hi"))
             .agg(F.count(F.lit(1)).alias("n")))
+
+
+def distribution_drift(df: DataFrame, *, group_col: str, value_col: str,
+                       bucket_width: int = 100) -> DataFrame:
+    """Per-group distribution drift of an integer column against the
+    whole-corpus distribution, as the chi-square statistic over
+    fixed-width buckets — the standard data-quality monitor for "did this
+    source/day start looking different" (a PSI/chi-square drift check).
+    Returns (group, n_rows, chi2) with chi2 = sum over corpus-occupied
+    buckets of (observed - expected)^2 / expected, where expected =
+    n_group * bucket_share(corpus). High chi2 = the group's distribution
+    diverges from the corpus mix.
+
+    Determinism: bucketing is integer division; each bucket's term is a
+    fixed-order IEEE expression of exact integer counts; the cross-bucket
+    sum accumulates in DECIMAL(38,12) (order-independent), rounded to 6.
+
+    Scale shape: one map-side-combined aggregate to (group, bucket)
+    counts — the only corpus-sized pass; everything after operates on
+    |groups| x |buckets| rows. The bucket-share frame is broadcast."""
+    b = F.expr(f"`{value_col}` div {bucket_width}")
+    gb = (df.select(F.col(group_col).alias("group"), b.alias("bucket"))
+          .groupBy("group", "bucket").agg(F.count(F.lit(1)).alias("o")))
+    corpus = gb.groupBy("bucket").agg(F.sum("o").alias("c"))
+    totals = gb.groupBy("group").agg(F.sum("o").alias("n_rows"))
+    n = corpus.agg(F.sum("c").alias("n_total"))
+    # zero-fill: every group x every corpus-occupied bucket
+    full = (totals.crossJoin(F.broadcast(corpus))
+            .join(gb, ["group", "bucket"], "left")
+            .crossJoin(F.broadcast(n))
+            .select("group", "n_rows",
+                    F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+                    "c", "n_total"))
+    e = (F.col("n_rows").cast("double") * F.col("c")) / F.col("n_total")
+    term = (F.col("o") - e) * (F.col("o") - e) / e
+    return (full.groupBy("group", "n_rows")
+            .agg(F.round(F.sum(term.cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("chi2"))
+            .select("group", "n_rows", "chi2"))
