@@ -47,7 +47,7 @@ AUDITED = [
     "text_classifier", "vocab_coverage", "embedding_outliers",
     "graph_hits", "profile_lineitem", "histogram_price", "zorder_key",
     "dedup_incremental", "distinctive_terms", "events_funnel",
-    "events_retention",
+    "events_retention", "graph_link_prediction", "source_drift",
 ]
 
 

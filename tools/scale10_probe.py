@@ -51,7 +51,16 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # every doc is a 10-copy dup group), packing folds 10x groups,
           # redaction/collocations are scan-bound
           "retrieval_hybrid_rrf", "text_pii_redaction",
-          "text_collocations_pmi", "pack_sequences"]
+          "text_collocations_pmi", "pack_sequences",
+          # late round-3 ops: zero-shuffle classifier and the profiler
+          # are scan-bound; vocab/drift reduce to vocab/bucket-sized
+          # frames; incremental dedup probes a 10x posting index with a
+          # 10x batch; funnel/retention are user-bounded; HITS and
+          # link-prediction shuffle 10x edges
+          "text_classifier", "vocab_coverage", "profile_lineitem",
+          "source_drift", "dedup_incremental", "events_funnel",
+          "events_retention", "graph_hits", "graph_link_prediction",
+          "zorder_key"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
