@@ -733,3 +733,15 @@ def test_incremental_dedup_matches_full_pairs(docs, spark):
             if a % 10 == 0 and b % 10 != 0:
                 cross.add((a, b))
     assert inc == cross
+
+
+def test_bigram_logprob_prefers_fluent_text(spark):
+    from vivace_graph_v3_spark.pipeline.text import bigram_logprob
+    # doc 1 repeats one bigram pattern (predictable); doc 2 is all
+    # distinct transitions (every bigram unique -> improbable)
+    rows = [(1, "a b " * 20), (2, " ".join(f"w{i}" for i in range(40)))]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.id: r for r in bigram_logprob(df).collect()}
+    assert got[1].n_bigrams == 39 and got[2].n_bigrams == 39
+    assert got[1].avg_neg_logp2 < got[2].avg_neg_logp2
+    assert got[1].avg_neg_logp2 >= 0

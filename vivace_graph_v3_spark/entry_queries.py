@@ -4040,6 +4040,50 @@ FROM filled GROUP BY "group", n_rows
 """
 
 
+def q_text_bigram_logprob(spark, sf_dir):
+    """Interpolated bigram LM negative log-prob per doc (lambda=0.75,
+    corpus-self-trained) — the KenLM-style quality proxy. Count frames
+    are vocab/observed-pair bounded; per-doc mean decimal-accumulates."""
+    from vivace_graph_v3_spark.pipeline.text import bigram_logprob
+
+    return bigram_logprob(_docs(spark, sf_dir))
+
+
+SQL_TEXT_BIGRAM_LOGPROB = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+  FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg
+), uni AS (
+  SELECT unnest(toks) AS w FROM t
+), uc AS (
+  SELECT w, count(*) AS c FROM uni GROUP BY w
+), n AS (
+  SELECT sum(c) AS n FROM uc
+), bc AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+)
+SELECT doc_id AS id, count(*) AS n_bigrams,
+       round(CAST(sum(CAST(-log2(0.75 * bc.c12 / u1.c
+                                 + 0.25 * u2.c / n.n)
+                           AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         AS avg_neg_logp2
+FROM pairs
+JOIN bc USING (w1, w2)
+JOIN uc u1 ON u1.w = pairs.w1
+JOIN uc u2 ON u2.w = pairs.w2
+CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4202,6 +4246,7 @@ REGISTRY: dict[str, tuple] = {
     "graph_link_prediction": (q_graph_link_prediction,
                               SQL_GRAPH_LINK_PREDICTION),
     "source_drift": (q_source_drift, SQL_SOURCE_DRIFT),
+    "text_bigram_logprob": (q_text_bigram_logprob, SQL_TEXT_BIGRAM_LOGPROB),
 }
 
 

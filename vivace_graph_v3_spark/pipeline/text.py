@@ -639,3 +639,56 @@ def distinctive_terms(df: DataFrame, *, text_col: str = "text",
         F.col("score").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k))
+
+
+def bigram_logprob(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   lam: float = 0.75) -> DataFrame:
+    """Corpus-self-trained INTERPOLATED bigram negative log-probability per
+    document — the stronger LM-based quality proxy (the KenLM-filtering
+    shape used by CCNet/ROOTS-class pipelines, here trained on the corpus
+    itself so no external model is needed):
+
+        p(w2|w1) = lam * c(w1 w2)/c(w1) + (1-lam) * c(w2)/N
+
+    Returns (id, n_bigrams, avg_neg_logp2); fluent/templated text scores
+    low, noise scores high. ``lam``'s default 0.75 is an exact binary
+    fraction, so the interpolation arithmetic is engine-exact; log2 is
+    evaluated per distinct probability value and the per-doc mean
+    accumulates in decimal (the unigram_logprob convention).
+
+    Scale shape: both count tables are map-side-combined aggregates —
+    unigrams |vocab|-bounded, bigrams bounded by DISTINCT OBSERVED pairs
+    (Zipf-small relative to the corpus); the scoring joins key the
+    corpus's bigram stream against those aggregated frames and nothing
+    else. At 100 TB the count frames are ingest-time artifacts exactly
+    like Bm25Index."""
+    toks = tokens(F.col(text_col))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), toks.alias("x"))
+            .filter(F.size("x") >= 2))
+    bigrams = (base.select(
+        "id",
+        F.explode(F.zip_with(
+            F.slice(F.col("x"), 1, F.size("x") - 1),
+            F.slice(F.col("x"), 2, F.size("x") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("p"))
+        .select("id", "p.w1", "p.w2"))
+    uni = (ensure_parallelism(df)
+           .select(F.explode(tokens(F.col(text_col))).alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    n_tot = uni.agg(F.sum("c").alias("n"))
+    big = (bigrams.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c12")))
+    c1 = uni.select(F.col("w").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("w").alias("w2"), F.col("c").alias("c2"))
+    p = (F.lit(lam) * F.col("c12") / F.col("c1")
+         + F.lit(1.0 - lam) * F.col("c2") / F.col("n"))
+    scored = (bigrams.join(big, ["w1", "w2"]).join(c1, "w1").join(c2, "w2")
+              .crossJoin(F.broadcast(n_tot))
+              .select("id", (-F.log2(p)).alias("nlp")))
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(F.col("nlp").cast("decimal(38,12)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_neg_logp2")))
