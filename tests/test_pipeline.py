@@ -745,3 +745,17 @@ def test_bigram_logprob_prefers_fluent_text(spark):
     assert got[1].n_bigrams == 39 and got[2].n_bigrams == 39
     assert got[1].avg_neg_logp2 < got[2].avg_neg_logp2
     assert got[1].avg_neg_logp2 >= 0
+
+
+def test_quality_gate_per_source_fraction(spark):
+    from vivace_graph_v3_spark.pipeline.text import quality_gate
+    rows = [(i, "s1" if i < 20 else "s2",
+             " ".join(f"t{i}w{j}" for j in range(5))) for i in range(30)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "text"])
+    kept = quality_gate(df, keep_pct=50).collect()
+    by_src = {}
+    for r in kept:
+        by_src.setdefault(r.source, []).append(r.doc_id)
+    # floor(20*0.5)=10 and floor(10*0.5)=5 survivors per stratum
+    assert len(by_src["s1"]) == 10
+    assert len(by_src["s2"]) == 5

@@ -4084,6 +4084,42 @@ GROUP BY doc_id
 """
 
 
+def q_quality_gate(spark, sf_dir):
+    """Per-source quality gate: keep the top-75% of each source by the
+    hashed-classifier score — the stratified percentile cut a curation
+    pipeline ships. All-integer rank cut over the 6-decimal score."""
+    from vivace_graph_v3_spark.pipeline.text import quality_gate
+
+    return quality_gate(_docs(spark, sf_dir))
+
+
+SQL_QUALITY_GATE = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, (({_CLF_HASH64} % 1000003) + 1000003) % 1000003 AS m
+  FROM w
+), agg AS (
+  SELECT doc_id, count(*) AS n, sum(m) AS s FROM f GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id, d.source,
+         coalesce(CAST((a.s * 2000000 + a.n * 1000003)
+                       // (a.n * 1000003 * 2) AS DOUBLE) / 1000000.0 - 0.5,
+                  0.0) AS clf_score,
+         coalesce(a.n, 0) AS n_tokens
+  FROM documents d LEFT JOIN agg a USING (doc_id)
+)
+SELECT doc_id, source, clf_score, n_tokens FROM (
+  SELECT *, row_number() OVER (PARTITION BY source
+                               ORDER BY clf_score DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM scored)
+WHERE rn * 100 <= cnt * 75
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4247,6 +4283,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_GRAPH_LINK_PREDICTION),
     "source_drift": (q_source_drift, SQL_SOURCE_DRIFT),
     "text_bigram_logprob": (q_text_bigram_logprob, SQL_TEXT_BIGRAM_LOGPROB),
+    "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
 }
 
 

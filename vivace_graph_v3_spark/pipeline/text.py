@@ -692,3 +692,32 @@ def bigram_logprob(df: DataFrame, *, text_col: str = "text",
                  F.round(F.sum(F.col("nlp").cast("decimal(38,12)"))
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("avg_neg_logp2")))
+
+
+def quality_gate(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", source_col: str = "source",
+                 keep_pct: int = 75) -> DataFrame:
+    """Per-source quality gate: keep the top ``keep_pct`` percent of each
+    source's documents by classifier score — the composition a curation
+    pipeline actually ships (score -> per-stratum percentile cut, so one
+    noisy source cannot crowd out the rest of the mix). Returns the kept
+    (doc_id, source, clf_score, n_tokens).
+
+    The cut is all-integer rank arithmetic over the 6-decimal score with
+    id tie-break (rank*100 <= count*keep_pct), the embedding_outliers
+    convention — engine-exact, no percentile interpolation. The rank
+    window hash-partitions by source (strata are numerous and balanced in
+    a real mix; an extreme stratum can swap in a sketch threshold, same
+    caveat as label_centroid_outliers)."""
+    scored = classifier_score(df.select(id_col, source_col, text_col),
+                              text_col=text_col, id_col=id_col)
+    scored = scored.join(df.select(id_col, source_col), id_col)
+    w = Window.partitionBy(source_col).orderBy(
+        F.col("clf_score").desc(), F.col(id_col).asc())
+    cnt = Window.partitionBy(source_col)
+    return (scored
+            .withColumn("__keep",
+                        F.row_number().over(w) * 100
+                        <= F.count(F.lit(1)).over(cnt) * keep_pct)
+            .filter(F.col("__keep"))
+            .select(id_col, source_col, "clf_score", "n_tokens"))
