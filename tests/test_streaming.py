@@ -205,3 +205,46 @@ def test_view_maintenance_equals_cold_recompute(master, spark, tmp_path):
                   for r in cold.table().collect()}
     assert incremental == recomputed
     assert {r["id"] for r in vm.table().collect()} == live
+
+
+def test_dedup_ingest_batches_and_stream(master, spark, tmp_path):
+    """Streaming curation ingest: each batch dedups within itself and
+    against the persisted index; only survivors land in the corpus and
+    the index grows by exactly the survivors."""
+    from vivace_graph_v3_spark.streaming.ingest import (
+        dedup_ingest_batch, dedup_ingest_stream)
+
+    d_a = "alpha beta gamma delta " * 8
+    d_b = "one two three four five " * 8
+    d_c = "totally different words entirely here " * 8
+    idx = str(tmp_path / "idx")
+    corp = str(tmp_path / "corpus")
+
+    b1 = spark.createDataFrame(
+        [(1, d_a), (2, d_a + "tail"), (3, d_b)], ["doc_id", "text"])
+    s1 = dedup_ingest_batch(b1, idx, corp, threshold=0.5)
+    assert s1["n_in"] == 3 and s1["n_batch_dups"] == 1
+    assert s1["n_index_dups"] == 0 and s1["n_kept"] == 2
+
+    # batch 2: doc 10 duplicates the already-ingested d_b; doc 11 is new
+    b2 = spark.createDataFrame(
+        [(10, d_b + "x"), (11, d_c)], ["doc_id", "text"])
+    s2 = dedup_ingest_batch(b2, idx, corp, threshold=0.5)
+    assert s2 == {"n_in": 2, "n_batch_dups": 0,
+                  "n_index_dups": 1, "n_kept": 1}
+    kept = {r.doc_id for r in spark.read.parquet(corp).collect()}
+    assert kept == {1, 3, 11}
+    assert spark.read.parquet(f"{idx}/side").count() == 3
+
+    # same pipeline through a real streaming query
+    src = str(tmp_path / "src")
+    (spark.createDataFrame([(20, d_c + "y"), (21, "brand new content " * 9)],
+                           ["doc_id", "text"])
+     .coalesce(1).write.mode("append").json(src))
+    stream = (spark.readStream.schema("doc_id long, text string")
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = dedup_ingest_stream(stream, idx, corp,
+                            checkpoint=str(tmp_path / "cp"), threshold=0.5)
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.read.parquet(corp).collect()}
+    assert kept == {1, 3, 11, 21}  # 20 deduped against streamed-in 11

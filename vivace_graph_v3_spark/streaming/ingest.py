@@ -59,3 +59,85 @@ def upsert_stream(stream: DataFrame, graph: VersionedGraph, type_name: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+# -- streaming corpus curation (incremental near-dedup at the door) -----------
+
+def _index_frames(spark, index_dir: str):
+    """Load the persisted MinHash index halves, or None if absent (first
+    batch)."""
+    import os
+
+    from vivace_graph_v3_spark.pipeline.dedup import MinhashIndex
+
+    post_p, side_p = f"{index_dir}/postings", f"{index_dir}/side"
+    if not (os.path.isdir(post_p) and os.path.isdir(side_p)):
+        return None
+    return MinhashIndex(spark.read.parquet(post_p),
+                        spark.read.parquet(side_p))
+
+
+def dedup_ingest_batch(batch: DataFrame, index_dir: str, corpus_dir: str, *,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       threshold: float = 0.8, n: int = 3,
+                       num_hashes: int = 64, bands: int = 16) -> dict:
+    """One curation-ingest step: near-dedup an arriving batch WITHIN
+    itself and AGAINST everything already ingested, append the survivors
+    to the corpus, and grow the persisted MinHash index with exactly the
+    survivors' postings — so the next batch's probe cost still scales
+    with that batch, never the corpus. Returns counts
+    {n_in, n_batch_dups, n_index_dups, n_kept}.
+
+    In-batch survivor choice is the greedy min-id rule (any doc appearing
+    as the larger id of a dup pair is dropped). The index append is the
+    same two map-only frames `minhash_index` builds."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        band_rows, minhash_dedup_incremental, minhash_dedup_pairs,
+        minhash_signatures)
+
+    spark = batch.sparkSession
+    batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+    n_in = batch.count()
+    pairs = minhash_dedup_pairs(batch, text_col=text_col, id_col=id_col,
+                                n=n, num_hashes=num_hashes, bands=bands,
+                                threshold=threshold)
+    losers = pairs.select(F.col("id_b").alias(id_col)).dropDuplicates()
+    kept = batch.join(losers, id_col, "left_anti")
+    idx = _index_frames(spark, index_dir)
+    if idx is not None:
+        dups = minhash_dedup_incremental(
+            kept, idx, text_col=text_col, id_col=id_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold)
+        dup_ids = dups.select(F.col("new_id").alias(id_col)).dropDuplicates()
+        kept = kept.join(dup_ids, id_col, "left_anti")
+    kept = kept.localCheckpoint(eager=True)
+    n_kept = kept.count()
+    n_batch_dups = n_in - batch.join(losers, id_col, "left_anti").count()
+    sigs = minhash_signatures(kept, text_col=text_col, id_col=id_col, n=n,
+                              num_hashes=num_hashes)
+    (band_rows(sigs, bands=bands, rows_per_band=num_hashes // bands)
+     .write.mode("append").parquet(f"{index_dir}/postings"))
+    (sigs.select("id", F.col("__sh").alias("sh"),
+                 F.size("__sh").alias("sz"), "minhash")
+     .write.mode("append").parquet(f"{index_dir}/side"))
+    kept.write.mode("append").parquet(corpus_dir)
+    return {"n_in": n_in, "n_batch_dups": n_batch_dups,
+            "n_index_dups": n_in - n_batch_dups - n_kept, "n_kept": n_kept}
+
+
+def dedup_ingest_stream(stream: DataFrame, index_dir: str, corpus_dir: str,
+                        *, checkpoint: str, available_now: bool = True,
+                        **kw):
+    """Drive ``dedup_ingest_batch`` from a streaming document source via
+    foreachBatch — the streaming face of incremental curation: each
+    micro-batch is deduped within itself and against the ever-growing
+    index, and only survivors land in the corpus."""
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        dedup_ingest_batch(batch, index_dir, corpus_dir, **kw)
+
+    writer = (stream.writeStream.foreachBatch(apply)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
