@@ -48,6 +48,7 @@ AUDITED = [
     "graph_hits", "profile_lineitem", "histogram_price", "zorder_key",
     "dedup_incremental", "distinctive_terms", "events_funnel",
     "events_retention", "graph_link_prediction", "source_drift",
+    "text_bigram_logprob", "quality_gate",
 ]
 
 
