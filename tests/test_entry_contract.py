@@ -57,3 +57,23 @@ def test_no_previously_green_entry_dropped():
                  if isinstance(r, dict) and r.get("hash_match")}
         missing = green - qs
         assert not missing, f"{os.path.basename(path)} green entries dropped: {missing}"
+
+
+def test_every_oracle_sql_parses_in_duckdb():
+    """EXPLAIN-prepare every registry oracle against DuckDB views of the
+    smallest SF — catches reserved-word/syntax regressions (e.g. `full`
+    as a CTE name) in seconds without running the queries."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    bad = []
+    for name, sql in entry_mod.oracle_sql().items():
+        try:
+            con.execute(f"EXPLAIN {sql}")
+        except Exception as ex:  # noqa: BLE001 - collect every failure
+            bad.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
+    assert not bad, "\n".join(bad)
