@@ -4120,6 +4120,36 @@ WHERE rn * 100 <= cnt * 75
 """
 
 
+def q_multimodal_audio(spark, sf_dir):
+    """REAL audio decode: JVM-synthesized 16-bit PCM WAV bytes per doc,
+    RIFF-parsed on executors by the stdlib wave module, featurized to
+    exact integer stats (mean-square energy) the oracle predicts in
+    closed form — the full synthesize->pack->parse->featurize loop is
+    verified bit-for-bit."""
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        decode_audio_features, synthesize_wav_media)
+
+    media = synthesize_wav_media(_docs(spark, sf_dir), "doc_id")
+    return decode_audio_features(media)
+
+
+# sample i of doc d: s = ((d*31 + i*17) % 65536) - 32768; 44-byte header
+# + 64 samples * 2 bytes; mean_square = sum(s^2) // 64
+SQL_MULTIMODAL_AUDIO = """
+WITH s AS (
+  SELECT doc_id, unnest(range(0, 64)) AS i FROM documents
+), v AS (
+  SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS smp FROM s
+)
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(44 + 128 AS BIGINT) AS n_bytes,
+       CAST(8000 AS BIGINT) AS sample_rate,
+       CAST(64 AS BIGINT) AS n_samples,
+       sum(smp * smp) // 64 AS mean_square
+FROM v GROUP BY doc_id
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4284,6 +4314,7 @@ REGISTRY: dict[str, tuple] = {
     "source_drift": (q_source_drift, SQL_SOURCE_DRIFT),
     "text_bigram_logprob": (q_text_bigram_logprob, SQL_TEXT_BIGRAM_LOGPROB),
     "quality_gate": (q_quality_gate, SQL_QUALITY_GATE),
+    "multimodal_audio": (q_multimodal_audio, SQL_MULTIMODAL_AUDIO),
 }
 
 

@@ -207,3 +207,91 @@ def frame_sample(df: DataFrame, every_ms: int = 250) -> DataFrame:
                                                   F.lit(0)),
                              F.lit(every_ms))))
         .select("media_id", "frame_ts_ms"))
+
+
+# -- audio (WAV PCM) ----------------------------------------------------------
+
+AUDIO_FEATURE_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), True),
+    T.StructField("n_bytes", T.LongType(), True),
+    T.StructField("sample_rate", T.LongType(), True),
+    T.StructField("n_samples", T.LongType(), True),
+    T.StructField("mean_square", T.LongType(), True),
+])
+
+
+def synthesize_wav_media(df: DataFrame, id_col: str, *,
+                         n_samples: int = 64,
+                         sample_rate: int = 8000) -> DataFrame:
+    """REAL audio bytes, generated JVM-side: a valid 16-bit mono PCM RIFF/
+    WAV file per row where sample i = ((id*31 + i*17) mod 65536) - 32768 —
+    a closed form whose decoded energy an SQL oracle predicts exactly.
+    The 44-byte header is a binary literal (all fields constant for fixed
+    n/rate); samples pack to little-endian two's-complement via hex
+    expressions and one unhex. No Python, no shuffle — scan-speed audio
+    synthesis (production reads binary columns from parquet/object
+    storage; this is the harness for the decode plumbing)."""
+    import struct
+
+    data_len = n_samples * 2
+    header = (b"RIFF" + struct.pack("<I", 36 + data_len) + b"WAVEfmt "
+              + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate,
+                            sample_rate * 2, 2, 16)
+              + b"data" + struct.pack("<I", data_len))
+    idn = F.col(id_col).cast("long")
+    # stored u16 two's complement of s = u16' - 32768 where
+    # u16' = (id*31 + i*17) % 65536  =>  stored = (u16' + 32768) % 65536
+    def _stored(i):
+        return F.pmod(idn * 31 + i.cast("long") * 17 + 32768, F.lit(65536))
+
+    sample_hex = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), F.lit(n_samples - 1)),
+        lambda i: F.concat(
+            F.lpad(F.hex(_stored(i) % 256), 2, "0"),
+            F.lpad(F.hex(F.floor(_stored(i) / 256).cast("long")), 2, "0"))))
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.concat(F.lit(header), F.unhex(sample_hex)).alias("media"),
+        F.struct(
+            F.lit("audio").alias("kind"),
+            F.lit("audio/wav").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            (F.lit(n_samples) * 1000 / F.lit(sample_rate)).cast("long")
+            .alias("duration_ms")).alias("meta"))
+
+
+def decode_audio_features(media: DataFrame) -> DataFrame:
+    """Decode WAV bytes on the executors with the STDLIB ``wave`` module
+    (real RIFF parsing, no optional dependency) and extract exact integer
+    features: sample count, rate, and mean-square energy (sum(s^2) div n
+    — all-integer, so the oracle can verify the full synthesize->pack->
+    parse->featurize loop bit-for-bit). Arrow-batched mapInPandas; binary
+    never leaves the executor."""
+
+    def run(batches):
+        import io
+        import struct
+        import wave
+
+        import pandas as pd
+
+        for pdf in batches:
+            out = {"media_id": [], "n_bytes": [], "sample_rate": [],
+                   "n_samples": [], "mean_square": []}
+            for mid, blob in zip(pdf["media_id"], pdf["media"]):
+                raw = bytes(blob)
+                with wave.open(io.BytesIO(raw)) as w:
+                    n = w.getnframes()
+                    rate = w.getframerate()
+                    frames = w.readframes(n)
+                samples = struct.unpack(f"<{n}h", frames)
+                out["media_id"].append(mid)
+                out["n_bytes"].append(len(raw))
+                out["sample_rate"].append(rate)
+                out["n_samples"].append(n)
+                out["mean_square"].append(
+                    sum(s * s for s in samples) // n if n else 0)
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(run, schema=AUDIO_FEATURE_SCHEMA)
