@@ -207,3 +207,20 @@ def test_common_neighbor_similarity(spark):
     assert got[("x", "z")] == (1, round(1 / 3, 6))
     assert ("y", "z") not in got
     assert rows[0].rank == 1 and rows[0].id_a == "x" and rows[0].id_b == "y"
+
+
+def test_neighbor_feature_rounds_by_hand(spark):
+    """h0/h1/h2 on a path a-b-c (undirected): degrees 1,2,1;
+    h1: a<-b =2, b<-(a,c)=1, c<-b=2; h2: a<-b=1, b<-mean(2,2)=2, c<-b=1."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import _edge_pairs
+    import vivace_graph_v3_spark.entry_queries as eq
+    g = _graph(spark, ["a", "b", "c"], [("a", "b", 1), ("b", "c", 1)])
+    from pyspark.sql import functions as F
+    e = _edge_pairs(g, None, undirected=True).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    h1 = (e.join(deg.withColumnRenamed("src", "dst")
+                 .withColumnRenamed("deg", "nd"), "dst")
+          .groupBy("src")
+          .agg((F.sum("nd").cast("double") / F.count(F.lit(1))).alias("h1")))
+    got = {r.src: r.h1 for r in h1.collect()}
+    assert got == {"a": 2.0, "b": 1.0, "c": 2.0}
