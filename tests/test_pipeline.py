@@ -784,3 +784,31 @@ def test_wav_synthesis_is_valid_riff_and_decodes_exactly(spark):
     ms = sum(s * s for s in expect) // 64
     assert feats["7"].mean_square == ms
     assert feats["7"].n_bytes == 44 + 128
+
+
+def test_span_corruption_structure(spark):
+    from vivace_graph_v3_spark.pipeline.text import span_corruption
+    df = spark.createDataFrame(
+        [(i, " ".join(f"tok{j}" for j in range(30))) for i in range(20)],
+        ["doc_id", "text"])
+    rows = span_corruption(df, rate_pct=30).collect()
+    import re
+    for r in rows:
+        assert r.n_tokens == 30
+        sentinels = re.findall(r"<extra_id_(\d+)>", r.inputs)
+        # sentinels are consecutively numbered from 0, same set in targets
+        assert sentinels == [str(k) for k in range(len(sentinels))]
+        assert re.findall(r"<extra_id_(\d+)>", r.targets) == sentinels
+        # reconstruction: replacing each sentinel in inputs by its span
+        # yields the original token sequence
+        spans = {}
+        parts = re.split(r"<extra_id_(\d+)>", r.targets)
+        for k, body in zip(parts[1::2], parts[2::2]):
+            spans[k] = body.strip()
+        rebuilt = re.sub(r"<extra_id_(\d+)>",
+                         lambda mm: spans[mm.group(1)], r.inputs)
+        assert " ".join(rebuilt.split()) == \
+            " ".join(f"tok{j}" for j in range(30))
+        # masked fraction sane for rate 30 over 20x30 tokens
+    total_masked = sum(r.n_masked for r in rows)
+    assert 0.15 < total_masked / (20 * 30) < 0.45

@@ -721,3 +721,59 @@ def quality_gate(df: DataFrame, *, text_col: str = "text",
                         <= F.count(F.lit(1)).over(cnt) * keep_pct)
             .filter(F.col("__keep"))
             .select(id_col, source_col, "clf_score", "n_tokens"))
+
+
+def span_corruption(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", rate_pct: int = 15) -> DataFrame:
+    """T5-style span-corruption objective construction (Raffel et al.
+    2020 §3.1.4): deterministically mask ~``rate_pct``% of tokens (a
+    content-keyed hash decides each position, so the sample is
+    reproducible across runs/engines/partitionings), collapse each
+    contiguous masked run into one ``<extra_id_K>`` sentinel in the
+    inputs, and emit the masked spans behind their sentinels as the
+    target. Returns (doc_id, n_tokens, n_masked, inputs, targets).
+
+    Scale shape: ZERO shuffle — mask decisions, run grouping, and both
+    output strings are built by one row-local ``aggregate`` fold over
+    the token array (whole-stage codegen), the same map-only profile as
+    classifier_score. The 100 TB objective-construction pass is a plain
+    scan."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(1), n)
+
+    def masked(i):
+        h = md5_hash64(F.concat(F.col(id_col).cast("string"), F.lit(":"),
+                                i.cast("string")))
+        return F.pmod(h, F.lit(100)) < F.lit(rate_pct)
+
+    pairs = F.zip_with(toks, idx,
+                       lambda t, i: F.struct(t.alias("t"),
+                                             masked(i).alias("m")))
+    empty = F.array().cast("array<string>")
+    init = F.struct(empty.alias("inp"), empty.alias("tgt"),
+                    F.lit(0).alias("k"), F.lit(False).alias("prev"))
+
+    def step(acc, x):
+        sent = F.concat(F.lit("<extra_id_"), acc["k"].cast("string"),
+                        F.lit(">"))
+        new_run = x["m"] & ~acc["prev"]
+        inp = F.when(x["m"] & acc["prev"], acc["inp"]) \
+            .when(x["m"], F.concat(acc["inp"], F.array(sent))) \
+            .otherwise(F.concat(acc["inp"], F.array(x["t"])))
+        tgt = F.when(new_run, F.concat(acc["tgt"], F.array(sent, x["t"]))) \
+            .when(x["m"], F.concat(acc["tgt"], F.array(x["t"]))) \
+            .otherwise(acc["tgt"])
+        return F.struct(inp.alias("inp"), tgt.alias("tgt"),
+                        (acc["k"] + new_run.cast("int")).alias("k"),
+                        x["m"].alias("prev"))
+
+    folded = F.aggregate(pairs, init, step)
+    n_masked = F.size(F.filter(pairs, lambda x: x["m"]))
+    return df.select(
+        F.col(id_col), n.cast("long").alias("n_tokens"),
+        n_masked.cast("long").alias("n_masked"),
+        F.array_join(folded["inp"], " ").alias("inputs"),
+        F.array_join(folded["tgt"], " ").alias("targets"))
