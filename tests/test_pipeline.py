@@ -812,3 +812,25 @@ def test_span_corruption_structure(spark):
         # masked fraction sane for rate 30 over 20x30 tokens
     total_masked = sum(r.n_masked for r in rows)
     assert 0.15 < total_masked / (20 * 30) < 0.45
+
+
+def test_ppm_stream_roundtrip_and_sampling(spark):
+    from vivace_graph_v3_spark.pipeline.imagecodec import (
+        decode_netpbm_stream, encode_netpbm)
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        synthesize_ppm_stream_media, video_frame_features)
+    # python-side codec roundtrip with mixed frame sizes
+    stream = (encode_netpbm(2, 2, 3, bytes(range(12)))
+              + encode_netpbm(1, 1, 1, b"\x7f"))
+    frames = decode_netpbm_stream(stream)
+    assert [(f[0], f[1], f[2]) for f in frames] == [(2, 2, 3), (1, 1, 1)]
+    assert frames[0][3] == bytes(range(12)) and frames[1][3] == b"\x7f"
+    # spark path: synthesized stream decodes to the closed-form features
+    df = spark.createDataFrame([(300,)], ["doc_id"])
+    rows = video_frame_features(
+        synthesize_ppm_stream_media(df, "doc_id", n_frames=6), every=2) \
+        .collect()
+    got = {r.frame_idx: r.mean_pixel for r in rows}
+    assert got == {0: (300 + 0) % 256, 2: (300 + 2) % 256,
+                   4: (300 + 4) % 256}
+    assert all(r.n_frames == 6 for r in rows)

@@ -4268,6 +4268,29 @@ FROM stats s LEFT JOIN inp i USING (doc_id) LEFT JOIN tgt g USING (doc_id)
 """
 
 
+def q_multimodal_video(spark, sf_dir):
+    """REAL video-path decode: a concatenated netpbm frame stream per doc
+    (6 frames, frame f = constant raster (doc_id+f) % 256), RIFF-free
+    container parsed frame-by-frame on executors by the in-repo codec,
+    sampled every 2nd frame, each sampled frame featurized to its exact
+    integer mean pixel — the sample-and-featurize stage of video ingest,
+    verified in closed form."""
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        synthesize_ppm_stream_media, video_frame_features)
+
+    media = synthesize_ppm_stream_media(_docs(spark, sf_dir), "doc_id")
+    return video_frame_features(media, every=2)
+
+
+SQL_MULTIMODAL_VIDEO = """
+SELECT CAST(doc_id AS VARCHAR) AS media_id,
+       CAST(6 AS BIGINT) AS n_frames,
+       CAST(f AS BIGINT) AS frame_idx,
+       (doc_id + f) % 256 AS mean_pixel
+FROM documents, unnest([0, 2, 4]) AS t(f)
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4436,6 +4459,7 @@ REGISTRY: dict[str, tuple] = {
     "graph_neighbor_features": (q_graph_neighbor_features,
                                 SQL_GRAPH_NEIGHBOR_FEATURES),
     "span_corruption": (q_span_corruption, SQL_SPAN_CORRUPTION),
+    "multimodal_video": (q_multimodal_video, SQL_MULTIMODAL_VIDEO),
 }
 
 

@@ -105,3 +105,30 @@ def resize_netpbm(blob: bytes, width: int, height: int) -> bytes:
     xs = (np.arange(width) * sw) // width
     out = arr[ys][:, xs]
     return encode_netpbm(width, height, channels, out.tobytes())
+
+
+def decode_netpbm_stream(blob: bytes) -> list[tuple[int, int, int, bytes]]:
+    """Decode a CONCATENATED netpbm stream (the classic multi-image ppm
+    convention: frames appended back to back) into its frames. Each
+    frame's length is derived from its own header, so mixed sizes are
+    fine; raises on any truncated frame."""
+    frames: list[tuple[int, int, int, bytes]] = []
+    i = 0
+    n = len(blob)
+    while i < n:
+        sub = blob[i:]
+        magic = bytes(sub[:2])
+        if magic not in (b"P6", b"P5"):
+            raise ValueError(
+                f"frame {len(frames)}: bad magic {magic!r} at offset {i}")
+        channels = 3 if magic == b"P6" else 1
+        (width, height, maxval), off = _read_header_tokens(sub, 3)
+        if not 0 < maxval < 256:
+            raise ValueError(f"unsupported maxval {maxval}")
+        need = width * height * channels
+        raster = bytes(sub[off:off + need])
+        if len(raster) < need:
+            raise ValueError(f"truncated frame {len(frames)}")
+        frames.append((width, height, channels, raster))
+        i += off + need
+    return frames
