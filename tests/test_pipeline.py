@@ -834,3 +834,28 @@ def test_ppm_stream_roundtrip_and_sampling(spark):
     assert got == {0: (300 + 0) % 256, 2: (300 + 2) % 256,
                    4: (300 + 4) % 256}
     assert all(r.n_frames == 6 for r in rows)
+
+
+def test_decontaminated_split_quarantines_leaks(spark):
+    from vivace_graph_v3_spark.pipeline.text import (
+        dataset_split, decontaminated_split)
+    base = [(i, f"unique{i} " + " ".join(f"w{i}x{j}" for j in range(10)))
+            for i in range(200)]
+    df = spark.createDataFrame(base, ["doc_id", "text"])
+    splits = {r.doc_id: r.split for r in dataset_split(df).collect()}
+    held = [i for i, s in splits.items() if s != "train"]
+    assert held, "fixture needs at least one held-out doc"
+    # clone a held-out doc's text into a train doc -> it must be quarantined
+    leak_src = held[0]
+    train_ids = [i for i, s in splits.items() if s == "train"]
+    victim = train_ids[0]
+    leaked = [(i, dict(base)[leak_src] if i == victim else t)
+              for i, t in base]
+    out = {r.doc_id: r.split for r in decontaminated_split(
+        spark.createDataFrame(leaked, ["doc_id", "text"])).collect()}
+    assert out[victim] == "quarantined"
+    assert out[leak_src] == splits[leak_src]
+    # non-leaky train docs keep their label; every doc is labeled
+    assert len(out) == 200
+    others = [i for i in train_ids if i != victim]
+    assert all(out[i] == "train" for i in others)

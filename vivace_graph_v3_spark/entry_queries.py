@@ -4291,6 +4291,50 @@ FROM documents, unnest([0, 2, 4]) AS t(f)
 """
 
 
+def q_decontaminated_split(spark, sf_dir):
+    """Leakage-safe split: deterministic train/val/test buckets, then
+    train docs sharing any 5-gram with a held-out doc are labeled
+    'quarantined' instead of leaking into training. Split is map-only;
+    eviction is the broadcast contamination join."""
+    from vivace_graph_v3_spark.pipeline.text import decontaminated_split
+
+    return decontaminated_split(_docs(spark, sf_dir)
+                                .select("doc_id", "text"))
+
+
+SQL_DECONTAMINATED_SPLIT = rf"""
+WITH labeled AS (
+  SELECT doc_id, text,
+         CASE WHEN b < 500 THEN 'test'
+              WHEN b < 1000 THEN 'val'
+              ELSE 'train' END AS split
+  FROM (SELECT doc_id, text,
+               (({_MIX_HASH64} % 10000) + 10000) % 10000 AS b
+        FROM documents)
+), sh AS (
+  SELECT doc_id, split,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 4, 0)),
+           i -> array_to_string(toks[i:i+4], ' '))) AS sh
+  FROM (SELECT doc_id, split,
+               list_filter(string_split_regex(trim(text), '\s+'),
+                           x -> x <> '') AS toks
+        FROM labeled)
+), ev AS (
+  SELECT DISTINCT unnest(sh) AS shingle FROM sh WHERE split <> 'train'
+), bad AS (
+  SELECT DISTINCT t.doc_id
+  FROM (SELECT doc_id, unnest(sh) AS shingle FROM sh
+        WHERE split = 'train') t
+  JOIN ev USING (shingle)
+)
+SELECT l.doc_id,
+       CASE WHEN l.split = 'train' AND b.doc_id IS NOT NULL
+            THEN 'quarantined' ELSE l.split END AS split
+FROM labeled l LEFT JOIN bad b USING (doc_id)
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4460,6 +4504,8 @@ REGISTRY: dict[str, tuple] = {
                                 SQL_GRAPH_NEIGHBOR_FEATURES),
     "span_corruption": (q_span_corruption, SQL_SPAN_CORRUPTION),
     "multimodal_video": (q_multimodal_video, SQL_MULTIMODAL_VIDEO),
+    "decontaminated_split": (q_decontaminated_split,
+                             SQL_DECONTAMINATED_SPLIT),
 }
 
 

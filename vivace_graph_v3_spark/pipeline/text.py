@@ -777,3 +777,39 @@ def span_corruption(df: DataFrame, *, text_col: str = "text",
         n_masked.cast("long").alias("n_masked"),
         F.array_join(folded["inp"], " ").alias("inputs"),
         F.array_join(folded["tgt"], " ").alias("targets"))
+
+
+def decontaminated_split(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id", val_pct: int = 5,
+                         test_pct: int = 5, n: int = 5,
+                         min_common: int = 1) -> DataFrame:
+    """Leakage-safe dataset split: assign deterministic train/val/test
+    buckets (dataset_split), then EVICT from train every document that
+    shares an n-gram shingle with any val/test document — the combined
+    split+decontamination step that keeps held-out sets honest (a train
+    doc that near-quotes an eval doc inflates eval scores exactly like
+    benchmark contamination). Returns (doc_id, split) where evicted train
+    docs are labeled 'quarantined' (dropping them silently would hide the
+    leakage rate; callers filter split == 'train').
+
+    Scale shape: the split is map-only; the eviction is
+    ngram_contamination's join — the val/test shingle set is eval-sized,
+    so AQE broadcasts it and the corpus is never shuffled by shingle."""
+    from vivace_graph_v3_spark.pipeline.dedup import ngram_contamination
+
+    labeled = dataset_split(df, key_col=id_col, val_pct=val_pct,
+                            test_pct=test_pct)
+    held = labeled.filter(F.col("split") != "train") \
+        .select(id_col, text_col)
+    train = labeled.filter(F.col("split") == "train")
+    contaminated = ngram_contamination(
+        train.select(id_col, text_col), held, text_col=text_col,
+        id_col=id_col, n=n, min_common=min_common) \
+        .select(F.col("id").alias(id_col))
+    quarantined = train.join(contaminated, id_col, "left_semi") \
+        .select(id_col, F.lit("quarantined").alias("split"))
+    clean_train = train.join(contaminated, id_col, "left_anti") \
+        .select(id_col, F.col("split"))
+    return (labeled.filter(F.col("split") != "train")
+            .select(id_col, "split")
+            .unionByName(clean_train).unionByName(quarantined))
