@@ -48,7 +48,9 @@ AUDITED = [
     "graph_hits", "profile_lineitem", "histogram_price", "zorder_key",
     "dedup_incremental", "distinctive_terms", "events_funnel",
     "events_retention", "graph_link_prediction", "source_drift",
-    "text_bigram_logprob", "quality_gate",
+    "text_bigram_logprob", "quality_gate", "multimodal_audio",
+    "multimodal_video", "span_corruption", "decontaminated_split",
+    "graph_neighbor_features",
 ]
 
 
