@@ -4342,14 +4342,15 @@ FROM labeled l LEFT JOIN bad b USING (doc_id)
 # Round-2 driver-green entries follow from position 51. Rotate again next
 # round to cover what has still never been driver-sampled: text_lang_id,
 # training_pipeline, dedup_contamination, multimodal_features, q2, q4, and
-# the round-3 additions appended at the end (retrieval_hybrid_rrf,
-# text_pii_redaction, text_collocations_pmi, pack_sequences,
-# incoming_edges_goal, dataset_split, packing_stats, graph_random_walks,
-# graph_skipgram_pairs, text_classifier, vocab_coverage,
-# embedding_outliers, graph_hits, profile_lineitem, histogram_price,
-# zorder_key, dedup_incremental, distinctive_terms, events_funnel,
-# events_retention — all local-green vs DuckDB this round via
-# tools/check_contract.py, as are all 116 pre-existing entries).
+# the round-3 additions appended at the end (positions 92+: from
+# retrieval_hybrid_rrf through decontaminated_split — 25 new oracle-
+# checked entries this round: classifier/quality-gate/vocab/bigram-LM/
+# span-corruption/decontaminated-split text ops, embedding outliers,
+# HITS/link-prediction/neighbor-features graph ops, profiler/histogram/
+# drift/zorder, incremental dedup, funnel/retention, audio/video decode
+# — ALL local-green vs DuckDB via tools/check_contract.py, as are all
+# 116 pre-existing entries: full-sweep 131/131 plus per-entry checks
+# for the last five).
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
