@@ -4160,8 +4160,14 @@ def q_graph_neighbor_features(spark, sf_dir):
     from vivace_graph_v3_spark.operators.graph_algorithms import _edge_pairs
 
     g = load_tpch_graph(spark, sf_dir)
-    e = _edge_pairs(g, None, undirected=True).select("src", "dst")
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # the undirected union is referenced by three joins and the degree
+    # aggregate by two — checkpoint both or the multi-type edge scan
+    # replays once per reference (the plan audit showed 108 file scans
+    # un-materialized; 12 after)
+    e = (_edge_pairs(g, None, undirected=True).select("src", "dst")
+         .localCheckpoint(eager=True))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg")) \
+        .localCheckpoint(eager=True)
     h1 = (e.join(deg.withColumnRenamed("src", "dst")
                  .withColumnRenamed("deg", "nd"), "dst")
           .groupBy("src")
