@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "dedup_incremental",
     "events_funnel",
     "events_retention",
+    "span_corruption",
+    "multimodal_audio",
+    "decontaminated_split",
 ]
 
 

@@ -737,7 +737,10 @@ def span_corruption(df: DataFrame, *, text_col: str = "text",
     output strings are built by one row-local ``aggregate`` fold over
     the token array (whole-stage codegen), the same map-only profile as
     classifier_score. The 100 TB objective-construction pass is a plain
-    scan."""
+    scan. Cost note: the fold re-copies its accumulator arrays, so work
+    is O(L^2) array elements per document — negligible at chunk-sized L
+    (a 4k-token chunk is ~8M element moves) but run AFTER chunk_tokens,
+    not on mile-long raw documents."""
     from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
 
     toks = tokens(F.col(text_col))
