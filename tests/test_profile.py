@@ -100,3 +100,23 @@ def test_distribution_drift_identical_vs_shifted(spark):
     # corpus includes c's far buckets); c is disjointly shifted -> largest
     assert got["a"] == got["b"]
     assert got["c"] > got["a"] > 0
+
+
+def test_table_diff_all_change_kinds(spark):
+    from vivace_graph_v3_spark.operators.profile import table_diff
+    old = spark.createDataFrame(
+        [(1, "a", 10), (2, "b", 20), (3, "c", None), (4, "d", 40)],
+        "k long, s string, v long")
+    new = spark.createDataFrame(
+        [(1, "a", 10),          # unchanged -> omitted
+         (2, "b", 21),          # changed
+         (3, "c", None),        # unchanged with NULL payload -> omitted
+         (5, "e", 50)],         # added; 4 removed
+        "k long, s string, v long")
+    got = {r.k: r.change for r in table_diff(old, new, ["k"]).collect()}
+    assert got == {2: "changed", 4: "removed", 5: "added"}
+    # compare_cols narrows the comparison
+    narrowed = {r.k: r.change
+                for r in table_diff(old, new, ["k"],
+                                    compare_cols=["s"]).collect()}
+    assert narrowed == {4: "removed", 5: "added"}

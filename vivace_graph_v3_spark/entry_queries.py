@@ -4341,6 +4341,56 @@ FROM labeled l LEFT JOIN bad b USING (doc_id)
 """
 
 
+def q_table_diff(spark, sf_dir):
+    """CDC-style snapshot diff: lineitem vs a derived 'next version'
+    (rows with l_linenumber 7 dropped => removed; quantity bumped on
+    l_linenumber 1 => changed; synthetic linenumber 99 rows for orders
+    div by 100 => added). One full-outer hash join on the key."""
+    from vivace_graph_v3_spark.operators.profile import table_diff
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    key = ["l_orderkey", "l_linenumber"]
+    new = (li.filter(F.col("l_linenumber") != 7)
+           .withColumn("l_quantity",
+                       F.when(F.col("l_linenumber") == 1,
+                              F.col("l_quantity") + 1)
+                       .otherwise(F.col("l_quantity"))))
+    added = (li.filter(F.col("l_orderkey") % 100 == 0)
+             .groupBy("l_orderkey")
+             .agg(F.lit(99).alias("l_linenumber"),
+                  F.lit(1.0).alias("l_quantity")))
+    new = new.select(*key, "l_quantity") \
+        .unionByName(added.select(*key, "l_quantity"))
+    return table_diff(li.select(*key, "l_quantity"), new, key)
+
+
+SQL_TABLE_DIFF = """
+WITH old AS (
+  SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+), new AS (
+  SELECT l_orderkey, l_linenumber,
+         CASE WHEN l_linenumber = 1 THEN l_quantity + 1
+              ELSE l_quantity END AS l_quantity
+  FROM lineitem WHERE l_linenumber <> 7
+  UNION ALL
+  SELECT DISTINCT l_orderkey, 99 AS l_linenumber, 1.0 AS l_quantity
+  FROM lineitem WHERE l_orderkey % 100 = 0
+)
+SELECT coalesce(o.l_orderkey, n.l_orderkey) AS l_orderkey,
+       coalesce(o.l_linenumber, n.l_linenumber) AS l_linenumber,
+       CASE WHEN o.l_orderkey IS NULL THEN 'added'
+            WHEN n.l_orderkey IS NULL THEN 'removed'
+            WHEN o.l_quantity IS DISTINCT FROM n.l_quantity
+              THEN 'changed' END AS change
+FROM old o FULL OUTER JOIN new n
+  ON o.l_orderkey = n.l_orderkey AND o.l_linenumber = n.l_linenumber
+WHERE CASE WHEN o.l_orderkey IS NULL THEN 'added'
+           WHEN n.l_orderkey IS NULL THEN 'removed'
+           WHEN o.l_quantity IS DISTINCT FROM n.l_quantity
+             THEN 'changed' END IS NOT NULL
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4513,6 +4563,7 @@ REGISTRY: dict[str, tuple] = {
     "multimodal_video": (q_multimodal_video, SQL_MULTIMODAL_VIDEO),
     "decontaminated_split": (q_decontaminated_split,
                              SQL_DECONTAMINATED_SPLIT),
+    "table_diff": (q_table_diff, SQL_TABLE_DIFF),
 }
 
 

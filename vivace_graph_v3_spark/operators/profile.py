@@ -150,3 +150,34 @@ def distribution_drift(df: DataFrame, *, group_col: str, value_col: str,
             .agg(F.round(F.sum(term.cast("decimal(38,12)"))
                          .cast("double"), 6).alias("chi2"))
             .select("group", "n_rows", "chi2"))
+
+
+def table_diff(old: DataFrame, new: DataFrame, key_cols: list[str], *,
+               compare_cols: list[str] | None = None) -> DataFrame:
+    """Snapshot diff — the CDC-style comparison between two versions of a
+    keyed table: returns (key..., change) with change in
+    {'added', 'removed', 'changed'}; unchanged rows are omitted. The
+    basis of incremental replication audits and "what did this batch
+    touch" reports (the relational face of the MVCC store's txn-log
+    delta).
+
+    Scale shape: one full-outer hash join on the key — the minimal cost
+    of any exact diff; column comparison is null-safe eqNullSafe inside
+    the join output (no second pass)."""
+    cols = compare_cols or [c for c in old.columns if c not in key_cols]
+    # presence markers survive all-null payload rows; ONE full-outer join
+    # carries markers and both payloads
+    o = old.select(*key_cols, F.lit(1).alias("__in_o"),
+                   *[F.col(c).alias(f"__o_{c}") for c in cols])
+    nw = new.select(*key_cols, F.lit(1).alias("__in_n"),
+                    *[F.col(c).alias(f"__n_{c}") for c in cols])
+    j = o.join(nw, key_cols, "full_outer")
+    same = F.lit(True)
+    for c in cols:
+        same = same & F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}"))
+    change = (F.when(F.col("__in_o").isNull(), "added")
+              .when(F.col("__in_n").isNull(), "removed")
+              .when(~same, "changed"))
+    return (j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*key_cols, "change"))
