@@ -224,3 +224,26 @@ def test_neighbor_feature_rounds_by_hand(spark):
           .agg((F.sum("nd").cast("double") / F.count(F.lit(1))).alias("h1")))
     got = {r.src: r.h1 for r in h1.collect()}
     assert got == {"a": 2.0, "b": 1.0, "c": 2.0}
+
+
+def test_negative_samples_deterministic_and_uniformish(spark):
+    from vivace_graph_v3_spark.operators.walks import negative_samples
+    pairs = spark.createDataFrame(
+        [(f"c{i}", f"x{i}") for i in range(200)], ["center", "context"])
+    verts = spark.createDataFrame([(f"v{i}",) for i in range(50)], ["id"])
+    out = negative_samples(pairs, verts, k=4).collect()
+    assert len(out) == 800
+    # negatives come from the vertex universe; k indexes present per pair
+    assert {r.negative[0] for r in out} == {"v"}
+    by_pair = {}
+    for r in out:
+        by_pair.setdefault((r.center, r.context), set()).add(r.neg_idx)
+    assert all(v == {0, 1, 2, 3} for v in by_pair.values())
+    # deterministic across recomputation
+    again = negative_samples(pairs, verts, k=4).collect()
+    assert {(r.center, r.context, r.neg_idx, r.negative) for r in out} \
+        == {(r.center, r.context, r.neg_idx, r.negative) for r in again}
+    # roughly uniform: no vertex hogs the noise distribution
+    from collections import Counter
+    counts = Counter(r.negative for r in out)
+    assert max(counts.values()) < 800 / 50 * 3

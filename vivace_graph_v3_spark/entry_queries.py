@@ -4418,6 +4418,47 @@ GROUP BY r.r_name
 """
 
 
+def q_graph_negative_samples(spark, sf_dir):
+    """word2vec-style negative sampling over the skip-gram pairs of the
+    deterministic walk corpus: 3 hash-drawn negatives per pair from the
+    rank-indexed vertex table. Pure function of the graph; oracle
+    replays the identical hash arithmetic."""
+    from vivace_graph_v3_spark.operators.walks import (
+        negative_samples, random_walks, skipgram_pairs)
+
+    g = load_tpch_graph(spark, sf_dir)
+    walks = random_walks(g, walk_length=3, walks_per_node=2)
+    pairs = skipgram_pairs(walks, window=2)
+    verts = g.scan_vertices(columns=["id"]).select("id")
+    return negative_samples(pairs, verts, k=3)
+
+
+SQL_GRAPH_NEGATIVE_SAMPLES = (
+    "WITH walks AS MATERIALIZED (" + SQL_GRAPH_RANDOM_WALKS + """
+), sg AS MATERIALIZED (
+  SELECT a.node AS center, b.node AS context
+  FROM walks a JOIN walks b
+    ON a.walk_id = b.walk_id AND a.step <> b.step
+   AND abs(a.step - b.step) <= 2
+  GROUP BY a.node, b.node
+), ranked AS MATERIALIZED (
+  SELECT id AS negative, row_number() OVER (ORDER BY id) - 1 AS r
+  FROM (SELECT DISTINCT id FROM ("""
+    + _F6_VERTICES_SQL + """))
+), nn AS (
+  SELECT count(*) AS c FROM ranked
+), ex AS (
+  SELECT center, context, unnest(range(0, 3)) AS neg_idx FROM sg
+)
+SELECT ex.center, ex.context, ex.neg_idx, ranked.negative
+FROM ex CROSS JOIN nn
+JOIN ranked ON ranked.r =
+  (("""
+    + _span_hash64("ex.center || '|' || ex.context || '|' "
+                   "|| ex.neg_idx::VARCHAR")
+    + " % nn.c) + nn.c) % nn.c\n")
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4592,6 +4633,8 @@ REGISTRY: dict[str, tuple] = {
                              SQL_DECONTAMINATED_SPLIT),
     "table_diff": (q_table_diff, SQL_TABLE_DIFF),
     "sql_interface": (q_sql_interface, SQL_SQL_INTERFACE),
+    "graph_negative_samples": (q_graph_negative_samples,
+                               SQL_GRAPH_NEGATIVE_SAMPLES),
 }
 
 

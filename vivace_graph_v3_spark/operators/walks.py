@@ -94,3 +94,35 @@ def skipgram_pairs(walks: DataFrame, *, window: int = 2,
         return pairs
     return (pairs.groupBy("center", "context")
             .agg(F.count(F.lit(1)).alias("n_pairs")))
+
+
+def negative_samples(pairs: DataFrame, vertices: DataFrame, *,
+                     k: int = 3, id_col: str = "id") -> DataFrame:
+    """Attach ``k`` deterministic negative samples to every skip-gram
+    pair — the final ingredient of word2vec-style embedding training
+    (Mikolov et al. 2013 negative sampling). Negative j for a pair is
+    the vertex whose dense rank (by id) equals
+    ``hash(center|context|j) mod |V|`` — a pure function of the graph,
+    reproducible across engines/runs like the walks themselves (uniform
+    draw; the classic freq^0.75 tilt plugs in by replacing the uniform
+    rank table with a cumulative-weight one, same join shape). Returns
+    (center, context, neg_idx, negative).
+
+    Scale shape: the rank table is |V| rows built once (one sort-shuffle
+    at vocab scale); sampling is a k-way explode of the pair stream plus
+    ONE hash equi-join against the rank table. Collisions (negative ==
+    center or context) are kept — standard practice: dropping them biases
+    the noise distribution, and their rate is O(1/|V|)."""
+    ranked = (vertices.select(F.col(id_col).alias("negative"))
+              .dropDuplicates()
+              .withColumn("__r", F.row_number()
+                          .over(Window.orderBy("negative")) - 1))
+    n = ranked.count()
+    exploded = pairs.select(
+        "center", "context",
+        F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"))
+    key = F.concat(F.col("center"), F.lit("|"), F.col("context"),
+                   F.lit("|"), F.col("neg_idx").cast("string"))
+    picked = exploded.withColumn("__r", F.pmod(md5_hash64(key), F.lit(n)))
+    return (picked.join(ranked, "__r")
+            .select("center", "context", "neg_idx", "negative"))
