@@ -4459,6 +4459,51 @@ JOIN ranked ON ranked.r =
     + " % nn.c) + nn.c) % nn.c\n")
 
 
+def q_events_anomalies(spark, sf_dir):
+    """Per-user value anomalies: events whose squared deviation from the
+    user's mean exceeds 9x the user's variance (|z| > 3 without any
+    sqrt — the comparison stays in exact rational arithmetic over
+    decimal-accumulated moments, so no transcendental can drift).
+    Two-pass: per-user moments (map-side combined), broadcast-joined
+    back to the stream."""
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    mom = (ev.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("value").cast(DEC)).alias("s1"),
+                F.sum((F.col("value") * F.col("value")).cast(DEC))
+                .alias("s2")))
+    # mean = s1/n; var = s2/n - mean^2; flag (x-mean)^2 > 9*var,
+    # multiplied through by n^2: (n*x - s1)^2 > 9*(n*s2 - s1^2).
+    # s1/s2 are EXACT decimal sums (order-independent); every further
+    # step is double arithmetic with identical association in both
+    # engines, so the comparison is bit-deterministic.
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    lhs = nd * F.col("value") - s1d
+    rhs = nd * s2d - s1d * s1d
+    return (ev.join(F.broadcast(mom), "user_id")
+            .filter(lhs * lhs > 9.0 * rhs)
+            .select("event_id", "user_id",
+                    F.round(F.col("value"), 6).alias("value")))
+
+
+SQL_EVENTS_ANOMALIES = """
+WITH mom AS (
+  SELECT user_id, count(*) AS n,
+         sum(CAST(value AS DECIMAL(38,12))) AS s1,
+         sum(CAST(value * value AS DECIMAL(38,12))) AS s2
+  FROM events GROUP BY user_id
+)
+SELECT e.event_id, e.user_id, round(e.value, 6) AS value
+FROM events e JOIN mom USING (user_id)
+WHERE (CAST(mom.n AS DOUBLE) * e.value - CAST(mom.s1 AS DOUBLE))
+      * (CAST(mom.n AS DOUBLE) * e.value - CAST(mom.s1 AS DOUBLE))
+      > 9.0 * (CAST(mom.n AS DOUBLE) * CAST(mom.s2 AS DOUBLE)
+               - CAST(mom.s1 AS DOUBLE) * CAST(mom.s1 AS DOUBLE))
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4635,6 +4680,7 @@ REGISTRY: dict[str, tuple] = {
     "sql_interface": (q_sql_interface, SQL_SQL_INTERFACE),
     "graph_negative_samples": (q_graph_negative_samples,
                                SQL_GRAPH_NEGATIVE_SAMPLES),
+    "events_anomalies": (q_events_anomalies, SQL_EVENTS_ANOMALIES),
 }
 
 
