@@ -192,3 +192,36 @@ def test_correlate_streams_matches_batch(spark, tmp_path):
                                    & (F.col("lt") >= F.col("rt")
                                       - F.expr("INTERVAL 15 minutes"))).collect()}
         assert all(by_key[m] >= last_rt for m in missing)
+
+
+def test_stateful_streaming_anomalies(spark, tmp_path):
+    """Streaming 3-sigma flags: baseline accumulates across batches; an
+    outlier arriving in a later batch is flagged against PRIOR moments."""
+    from vivace_graph_v3_spark.streaming.events import (
+        read_event_stream, run_available_now)
+    from vivace_graph_v3_spark.streaming.stateful import streaming_anomalies
+
+    src = str(tmp_path / "src")
+    base = [(i, f"2024-01-01 00:{i:02d}:00", 7, float(10 + (i % 3)))
+            for i in range(10)]
+    spike = [(99, "2024-01-01 01:00:00", 7, 1000.0),
+             (100, "2024-01-01 01:01:00", 7, 11.0)]
+    for rows in (base, spike):
+        (spark.createDataFrame(
+            rows, "event_id long, t string, user_id long, value double")
+         .select("event_id",
+                 (F.unix_timestamp("t").cast("long")
+                  * 1_000_000_000).alias("ts"),
+                 "user_id", F.lit("click").alias("event_type"), "value",
+                 F.lit("{}").alias("props"))
+         .coalesce(1).write.mode("append").parquet(src))
+
+    ev = read_event_stream(spark, src, max_files_per_trigger=1)
+    q = run_available_now(streaming_anomalies(ev),
+                          checkpoint=str(tmp_path / "cp"), timeout=20)
+    rows = spark.table(q.mem_table).collect()
+    assert len(rows) == 12  # every event emitted exactly once
+    spikes = [r for r in rows if r["value"] == 1000.0]
+    assert spikes and spikes[0]["is_anomaly"] and spikes[0]["n_seen"] == 10
+    # ordinary values never flag, including the one after the spike
+    assert not any(r["is_anomaly"] for r in rows if r["value"] != 1000.0)

@@ -68,3 +68,56 @@ def running_totals(events: DataFrame, *, key_col: str = "user_id",
 
 def _noop(*_a: Any) -> None:  # pragma: no cover
     return None
+
+
+# -- streaming anomaly detection ----------------------------------------------
+
+ANOM_OUT_SCHEMA = ("key string, event_ms long, value double, "
+                   "n_seen long, is_anomaly boolean")
+ANOM_STATE_SCHEMA = "n long, s1 double, s2 double"
+
+
+def _anomaly_update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                    state: GroupState) -> Iterable[pd.DataFrame]:
+    if state.hasTimedOut:  # pragma: no cover - eviction only frees state
+        state.remove()
+        return
+    n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+    out: list[dict] = []
+    for pdf in pdfs:
+        for ms, v in zip(pdf["event_ms"], pdf["value"]):
+            v = float(v)
+            # test against the moments of PRIOR events only (an anomaly
+            # must not dilute the baseline it is judged against);
+            # (n*v - s1)^2 > 9*(n*s2 - s1^2), the batch entry's exact
+            # rational form — needs n >= 2 for a defined variance
+            flag = bool(n >= 2
+                        and (n * v - s1) ** 2 > 9.0 * (n * s2 - s1 * s1))
+            out.append({"key": key[0], "event_ms": int(ms), "value": v,
+                        "n_seen": n, "is_anomaly": flag})
+            n, s1, s2 = n + 1, s1 + v, s2 + v * v
+    state.update((n, s1, s2))
+    state.setTimeoutDuration(300_000)
+    yield pd.DataFrame(out, columns=["key", "event_ms", "value",
+                                     "n_seen", "is_anomaly"])
+
+
+def streaming_anomalies(events: DataFrame, *, key_col: str = "user_id",
+                        value_col: str = "value",
+                        ts_col: str = "event_time") -> DataFrame:
+    """Streaming 3-sigma anomaly flags: per-key running moments carried
+    across micro-batches (the streaming face of the batch
+    ``events_anomalies`` entry); each event is tested against the
+    moments of the events BEFORE it, so a burst of outliers cannot
+    normalize itself away within a batch. Arrow-batched state, timeout
+    eviction for idle keys."""
+    from pyspark.sql import functions as F
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("event_ms"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(_anomaly_update, ANOM_OUT_SCHEMA,
+                                    ANOM_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
