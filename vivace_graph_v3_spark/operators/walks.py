@@ -113,10 +113,13 @@ def negative_samples(pairs: DataFrame, vertices: DataFrame, *,
     ONE hash equi-join against the rank table. Collisions (negative ==
     center or context) are kept — standard practice: dropping them biases
     the noise distribution, and their rate is O(1/|V|)."""
+    # checkpoint the rank table: it is counted AND joined (two jobs),
+    # and its lineage re-scans the multi-type vertex union otherwise
     ranked = (vertices.select(F.col(id_col).alias("negative"))
               .dropDuplicates()
               .withColumn("__r", F.row_number()
-                          .over(Window.orderBy("negative")) - 1))
+                          .over(Window.orderBy("negative")) - 1)
+              .localCheckpoint(eager=True))
     n = ranked.count()
     exploded = pairs.select(
         "center", "context",
