@@ -4504,6 +4504,53 @@ WHERE (CAST(mom.n AS DOUBLE) * e.value - CAST(mom.s1 AS DOUBLE))
 """
 
 
+def q_salted_revenue(spark, sf_dir):
+    """Revenue per order priority computed through the SALTED join
+    rewrite (hot-key-splitting form) — semantics must equal the plain
+    join the oracle runs. Decimal-accumulated revenue."""
+    from vivace_graph_v3_spark.operators.skew import salted_join
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey",
+                  (F.col("l_extendedprice")
+                   * (1 - F.col("l_discount"))).alias("rev")))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("l_orderkey"),
+                      "o_orderpriority"))
+    j = salted_join(li, orders, ["l_orderkey"], salts=8)
+    return (j.groupBy("o_orderpriority")
+            .agg(_dsum(F.col("rev")).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_items")))
+
+
+SQL_SALTED_REVENUE = """
+SELECT o_orderpriority,
+       CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                     AS DECIMAL(38,12))) AS DOUBLE) AS revenue,
+       count(*) AS n_items
+FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+"""
+
+
+def q_two_phase_distinct(spark, sf_dir):
+    """Exact distinct parts per supplier-nation via the skew-safe
+    two-phase rewrite — must equal the oracle's COUNT(DISTINCT)."""
+    from vivace_graph_v3_spark.operators.skew import two_phase_distinct
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    j = li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+    return two_phase_distinct(j, ["s_nationkey"], "l_partkey")
+
+
+SQL_TWO_PHASE_DISTINCT = """
+SELECT s_nationkey, count(DISTINCT l_partkey) AS n_distinct
+FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+GROUP BY s_nationkey
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4681,6 +4728,8 @@ REGISTRY: dict[str, tuple] = {
     "graph_negative_samples": (q_graph_negative_samples,
                                SQL_GRAPH_NEGATIVE_SAMPLES),
     "events_anomalies": (q_events_anomalies, SQL_EVENTS_ANOMALIES),
+    "salted_revenue": (q_salted_revenue, SQL_SALTED_REVENUE),
+    "two_phase_distinct": (q_two_phase_distinct, SQL_TWO_PHASE_DISTINCT),
 }
 
 
