@@ -4551,6 +4551,63 @@ GROUP BY s_nationkey
 """
 
 
+def q_customer_rfm(spark, sf_dir):
+    """RFM segmentation — the classic warehouse customer scoring: per
+    customer the most recent order epoch-day (R), order count (F), and
+    decimal-exact total spend (M), each bucketed into integer quartiles
+    by the all-integer rank rule (rank*4 <= cnt*q — no ntile, whose
+    tie-handling differs across engines). Returns one row per customer
+    with the three quartile codes (1 = top)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = (o.groupBy("o_custkey")
+           .agg(F.max(F.expr(
+               "unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000"))
+               .alias("r_day"),
+               F.count(F.lit(1)).alias("f_cnt"),
+               F.sum(F.col("o_totalprice").cast(DEC)).cast("double")
+               .alias("m_total")))
+
+    def quart(col, col2):
+        # quartile 1..4 by rank desc (higher value = better = quartile 1)
+        w = Window.orderBy(F.col(col).desc(), F.col("o_custkey").asc())
+        rn = F.row_number().over(w)
+        cnt = F.count(F.lit(1)).over(Window.partitionBy())
+        return (F.when(rn * 4 <= cnt, 1)
+                .when(rn * 4 <= cnt * 2, 2)
+                .when(rn * 4 <= cnt * 3, 3).otherwise(4).alias(col2))
+
+    return per.select("o_custkey", quart("r_day", "r_q"),
+                      quart("f_cnt", "f_q"), quart("m_total", "m_q"))
+
+
+SQL_CUSTOMER_RFM = """
+WITH per AS (
+  SELECT o_custkey,
+         max(epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+           AS r_day,
+         count(*) AS f_cnt,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE)
+           AS m_total
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT o_custkey,
+         row_number() OVER (ORDER BY r_day DESC, o_custkey) AS rr,
+         row_number() OVER (ORDER BY f_cnt DESC, o_custkey) AS fr,
+         row_number() OVER (ORDER BY m_total DESC, o_custkey) AS mr,
+         count(*) OVER () AS cnt
+  FROM per
+)
+SELECT o_custkey,
+       CASE WHEN rr * 4 <= cnt THEN 1 WHEN rr * 4 <= cnt * 2 THEN 2
+            WHEN rr * 4 <= cnt * 3 THEN 3 ELSE 4 END AS r_q,
+       CASE WHEN fr * 4 <= cnt THEN 1 WHEN fr * 4 <= cnt * 2 THEN 2
+            WHEN fr * 4 <= cnt * 3 THEN 3 ELSE 4 END AS f_q,
+       CASE WHEN mr * 4 <= cnt THEN 1 WHEN mr * 4 <= cnt * 2 THEN 2
+            WHEN mr * 4 <= cnt * 3 THEN 3 ELSE 4 END AS m_q
+FROM ranked
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4731,6 +4788,7 @@ REGISTRY: dict[str, tuple] = {
     "events_anomalies": (q_events_anomalies, SQL_EVENTS_ANOMALIES),
     "salted_revenue": (q_salted_revenue, SQL_SALTED_REVENUE),
     "two_phase_distinct": (q_two_phase_distinct, SQL_TWO_PHASE_DISTINCT),
+    "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
 }
 
 
