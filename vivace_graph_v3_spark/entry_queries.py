@@ -3633,7 +3633,7 @@ WITH e AS (
 ), d AS (
   SELECT vec_id, label,
          round(CAST(sum(CAST((CAST(x AS DOUBLE) - c) * (CAST(x AS DOUBLE) - c)
-                             AS DECIMAL(38,12))) AS DOUBLE), 6) AS dist2
+                             AS DECIMAL(38,12))) AS DOUBLE), 4) AS dist2
   FROM e JOIN cent USING (label, pos)
   GROUP BY vec_id, label
 )

@@ -260,11 +260,18 @@ def label_centroid_outliers(emb: DataFrame, *, vec_col: str = "embedding",
             .agg((F.sum(F.col("x").cast("decimal(38,12)")).cast("double")
                   / F.count(F.lit(1))).alias("c")))
     diff = F.col("x").cast("double") - F.col("c")
+    # dist2 rounds to 4 decimals (the pagerank convention), not 6: the
+    # per-element double->decimal casts can land a float that is an odd
+    # multiple of 2^-13 on an EXACT half at scale 12, where engines'
+    # rounding modes legitimately disagree by 1e-12 — coarse rounding
+    # puts the comparison far from any such boundary, and the outlier
+    # rank orders on the ROUNDED value (id tie-break), so both engines
+    # rank identically
     dists = (e.join(F.broadcast(cent), ["label", "pos"])
              .select("vec_id", "label",
                      (diff * diff).cast("decimal(38,12)").alias("sq"))
              .groupBy("vec_id", "label")
-             .agg(F.round(F.sum("sq").cast("double"), 6).alias("dist2")))
+             .agg(F.round(F.sum("sq").cast("double"), 4).alias("dist2")))
     w = Window.partitionBy("label").orderBy(F.col("dist2").desc(),
                                             F.col("vec_id").asc())
     cnt = Window.partitionBy("label")
