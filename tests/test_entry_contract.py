@@ -77,3 +77,16 @@ def test_every_oracle_sql_parses_in_duckdb():
         except Exception as ex:  # noqa: BLE001 - collect every failure
             bad.append(f"{name}: {type(ex).__name__}: {str(ex)[:120]}")
     assert not bad, "\n".join(bad)
+
+
+def test_ann_recall_fixture_constants_still_measured(spark):
+    """The ANN recall oracles embed MEASURED fixture constants (ANN
+    candidate generation is not SQL-expressible). Pin them: if the
+    testdata fixture regenerates, this fails loudly instead of the
+    driver hash silently drifting. sf0.01 is the driver's contract SF."""
+    qs = entry_mod.queries()
+    sf = "/root/testdata/sf0.01"
+    got = {name: qs[name](spark, sf).first().asDict()
+           for name in ("ann_ivf_recall", "ann_lsh_recall")}
+    assert got["ann_ivf_recall"]["n_hits"] == 46, got
+    assert got["ann_lsh_recall"]["n_hits"] == 48, got
