@@ -14,7 +14,6 @@ Run: python tools/plan_audit.py [sf_dir]
 from __future__ import annotations
 
 import os
-import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -50,7 +49,8 @@ AUDITED = [
     "events_retention", "graph_link_prediction", "source_drift",
     "text_bigram_logprob", "quality_gate", "multimodal_audio",
     "multimodal_video", "span_corruption", "decontaminated_split",
-    "graph_neighbor_features",
+    "graph_neighbor_features", "table_diff", "sql_interface",
+    "graph_negative_samples", "events_anomalies",
 ]
 
 
@@ -65,26 +65,18 @@ def audit(sf_dir: str) -> str:
              "", f"sf_dir: `{sf_dir}`", "",
              "| query | joins (bcast/smj/shj) | scans | read cols/scan | "
              "pushed filters | python |", "|---|---|---|---|---|---|"]
+    from vivace_graph_v3_spark.plans import plan_facts
+
     for name in AUDITED:
         df = qs[name](spark, sf_dir)
         df.collect()  # populate the *executed* (post-AQE) plan
-        plan = df._jdf.queryExecution().executedPlan().toString()
-        bcast = len(re.findall(r"BroadcastHashJoin", plan))
-        smj = len(re.findall(r"SortMergeJoin", plan))
-        shj = len(re.findall(r"ShuffledHashJoin", plan))
-        # count output columns from the FileScan bracket list, not the
-        # ReadSchema string (which Spark truncates at ~100 chars, corrupting
-        # naive comma counts)
-        scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
-        cols = [len([c for c in s.split(",") if c.strip()]) for s in scans]
-        pushed = len(re.findall(r"PushedFilters: \[[^\]]+\]", plan))
-        py_row = "row-UDF!" if "BatchEvalPython" in plan else (
-            "arrow" if "ArrowEvalPython" in plan or "MapInPandas" in plan
-            or "FlatMapGroupsInPandas" in plan
-            else "-")
+        f = plan_facts(df)
+        py_row = "row-UDF!" if f.row_udf else ("arrow" if f.arrow else "-")
         lines.append(
-            f"| {name} | {bcast}/{smj}/{shj} | {len(scans)} | "
-            f"{','.join(map(str, cols)) or '-'} | {pushed} | {py_row} |")
+            f"| {name} | {f.broadcast_joins}/{f.sort_merge_joins}/"
+            f"{f.shuffled_hash_joins} | {len(f.scans)} | "
+            f"{','.join(map(str, f.scans)) or '-'} | "
+            f"{f.pushed_filters} | {py_row} |")
     lines += ["", "Notes:",
               "- `row-UDF!` would mark a row-at-a-time Python UDF in the hot "
               "path — none expected; pandas/Arrow paths show `arrow`.",
