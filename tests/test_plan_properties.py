@@ -78,6 +78,21 @@ CASES = {
     # contamination: eval side broadcasts; corpus is never shuffled by
     # shingle (the only exchange is the per-doc count aggregation)
     "dedup_contamination": lambda p: "BroadcastHashJoin" in p,
+    # round-3 additions — lock in their designed shapes:
+    # classifier scoring is a map-only expression chain
+    "text_classifier": lambda p: ("Join" not in p and "Exchange" not in p),
+    # the vocabulary membership join must broadcast (N-bounded by design)
+    "vocab_coverage": lambda p: "BroadcastHashJoin" in p,
+    # zorder key computation is map-only
+    "zorder_key": lambda p: ("Join" not in p and "Exchange" not in p),
+    # span corruption is a map-only fold
+    "span_corruption": lambda p: ("Join" not in p and "Exchange" not in p),
+    # audio decode runs through Arrow-batched pandas, never row-Python
+    "multimodal_audio": lambda p: ("MapInPandas" in p
+                                   and "BatchEvalPython" not in p),
+    # (source_drift deliberately cross-joins a broadcast 1-row scalar —
+    # BroadcastNestedLoopJoin with IdentityBroadcastMode — which NO_GO
+    # would flag, so it is asserted via PLAN_AUDIT instead)
 }
 
 
