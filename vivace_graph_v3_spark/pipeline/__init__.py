@@ -15,7 +15,17 @@ from vivace_graph_v3_spark.pipeline.packing import (
     pack_sequences, packing_stats)
 from vivace_graph_v3_spark.pipeline.text import (
     redact_pii, collocations_pmi, dataset_split,
-    Bm25Index, bm25_index, bm25_topk, bm25_topk_indexed)
+    Bm25Index, bm25_index, bm25_topk, bm25_topk_indexed,
+    classifier_score, quality_gate, vocab_topn, vocab_coverage,
+    distinctive_terms, bigram_logprob, span_corruption,
+    decontaminated_split)
+from vivace_graph_v3_spark.pipeline.dedup import (
+    MinhashIndex, minhash_index, minhash_dedup_incremental)
+from vivace_graph_v3_spark.pipeline.similarity import (
+    label_centroid_outliers)
+from vivace_graph_v3_spark.pipeline.multimodal import (
+    synthesize_wav_media, decode_audio_features,
+    synthesize_ppm_stream_media, video_frame_features)
 
 __all__ = [
     "with_token_count", "with_quality_score", "with_lang_id",
@@ -30,4 +40,10 @@ __all__ = [
     "dense_topk", "hybrid_rrf", "pack_sequences", "packing_stats",
     "redact_pii", "collocations_pmi", "dataset_split",
     "Bm25Index", "bm25_index", "bm25_topk", "bm25_topk_indexed",
+    "classifier_score", "quality_gate", "vocab_topn", "vocab_coverage",
+    "distinctive_terms", "bigram_logprob", "span_corruption",
+    "decontaminated_split", "MinhashIndex", "minhash_index",
+    "minhash_dedup_incremental", "label_centroid_outliers",
+    "synthesize_wav_media", "decode_audio_features",
+    "synthesize_ppm_stream_media", "video_frame_features",
 ]
