@@ -4608,6 +4608,27 @@ FROM ranked
 """
 
 
+def q_entity_fuzzy_pairs(spark, sf_dir):
+    """Blocked fuzzy entity matching: customer pairs within a nation
+    whose names are within edit distance 2 — Fellegi-Sunter-style
+    blocking + exact integer Levenshtein verification (JVM built-in),
+    so the oracle matches bit-for-bit."""
+    from vivace_graph_v3_spark.operators.entity import blocked_fuzzy_pairs
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return blocked_fuzzy_pairs(c, key_col="c_custkey", name_col="c_name",
+                               block_cols=["c_nationkey"], max_edit=2)
+
+
+SQL_ENTITY_FUZZY_PAIRS = """
+SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+       levenshtein(a.c_name, b.c_name) AS edit
+FROM customer a JOIN customer b
+  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+WHERE levenshtein(a.c_name, b.c_name) <= 2
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4789,6 +4810,7 @@ REGISTRY: dict[str, tuple] = {
     "salted_revenue": (q_salted_revenue, SQL_SALTED_REVENUE),
     "two_phase_distinct": (q_two_phase_distinct, SQL_TWO_PHASE_DISTINCT),
     "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
+    "entity_fuzzy_pairs": (q_entity_fuzzy_pairs, SQL_ENTITY_FUZZY_PAIRS),
 }
 
 
