@@ -4629,6 +4629,26 @@ WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
 
+def q_export_shards(spark, sf_dir):
+    """Deterministic shard assignment for model-ready export: per-shard
+    document counts under the content-keyed md5 bucket (the manifest's
+    count column, computed without writing). The oracle reproduces the
+    identical bucket arithmetic."""
+    from vivace_graph_v3_spark.pipeline.export import with_shard
+
+    docs = _docs(spark, sf_dir).select("doc_id")
+    return (with_shard(docs, "doc_id", n_shards=16)
+            .groupBy("shard").agg(F.count(F.lit(1)).alias("n_rows")))
+
+
+SQL_EXPORT_SHARDS = f"""
+SELECT CAST((({_MIX_HASH64} % 16) + 16) % 16 AS INTEGER) AS shard,
+       count(*) AS n_rows
+FROM documents
+GROUP BY 1
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4811,6 +4831,7 @@ REGISTRY: dict[str, tuple] = {
     "two_phase_distinct": (q_two_phase_distinct, SQL_TWO_PHASE_DISTINCT),
     "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
     "entity_fuzzy_pairs": (q_entity_fuzzy_pairs, SQL_ENTITY_FUZZY_PAIRS),
+    "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
 }
 
 
