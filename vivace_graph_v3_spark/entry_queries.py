@@ -4649,6 +4649,58 @@ GROUP BY 1
 """
 
 
+def q_events_wow_change(spark, sf_dir):
+    """Week-over-week KPI report: weekly event counts per type with the
+    percent change vs the prior week — lag window over the tiny weekly
+    rollup (never over raw events), integer-round-half-up change ratio.
+    Weeks are integer epoch-day arithmetic (Monday-truncated), the
+    events nanos convention."""
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"`ts` div {86_400_000_000_000}")
+    wk = day - (day + 3) % 7
+    weekly = (ev.select(F.col("event_type"), wk.alias("wk"))
+              .groupBy("event_type", "wk")
+              .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy("wk")
+    prev = F.lag("n").over(w)
+    # round(100*(n-prev)/prev, 2) via integer half-up on the signed
+    # numerator: sign-split keeps the div arithmetic non-negative
+    num = (F.col("n") - prev) * 10000
+    mag = F.expr("(abs((n - __prev) * 10000) * 2 + __prev) "
+                 "div (__prev * 2)")
+    pct = (F.when(prev.isNull(), None)
+           .otherwise(F.signum(num).cast("long") * mag))
+    return (weekly.withColumn("__prev", prev)
+            .select("event_type",
+                    F.date_from_unix_date(F.col("wk").cast("int"))
+                    .alias("week"),
+                    "n",
+                    (pct.cast("double") / 100).alias("wow_pct")))
+
+
+SQL_EVENTS_WOW_CHANGE = """
+WITH weekly AS (
+  SELECT event_type,
+         (epoch_ns(ts) // 86400000000000)
+           - (((epoch_ns(ts) // 86400000000000) + 3) % 7) AS wk,
+         count(*) AS n
+  FROM events GROUP BY 1, 2
+), lagged AS (
+  SELECT event_type, wk, n,
+         lag(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+  FROM weekly
+)
+SELECT event_type,
+       DATE '1970-01-01' + CAST(wk AS INTEGER) AS week, n,
+       CASE WHEN prev IS NULL THEN NULL
+            ELSE CAST(CASE WHEN n >= prev THEN 1 ELSE -1 END
+                      * ((abs((n - prev) * 10000) * 2 + prev)
+                         // (prev * 2)) AS DOUBLE) / 100
+       END AS wow_pct
+FROM lagged
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4832,6 +4884,7 @@ REGISTRY: dict[str, tuple] = {
     "customer_rfm": (q_customer_rfm, SQL_CUSTOMER_RFM),
     "entity_fuzzy_pairs": (q_entity_fuzzy_pairs, SQL_ENTITY_FUZZY_PAIRS),
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
+    "events_wow_change": (q_events_wow_change, SQL_EVENTS_WOW_CHANGE),
 }
 
 
