@@ -50,7 +50,9 @@ AUDITED = [
     "text_bigram_logprob", "quality_gate", "multimodal_audio",
     "multimodal_video", "span_corruption", "decontaminated_split",
     "graph_neighbor_features", "table_diff", "sql_interface",
-    "graph_negative_samples", "events_anomalies",
+    "graph_negative_samples", "events_anomalies", "salted_revenue",
+    "two_phase_distinct", "customer_rfm", "entity_fuzzy_pairs",
+    "export_shards", "events_wow_change",
 ]
 
 

@@ -4709,15 +4709,16 @@ FROM lagged
 # round to cover what has still never been driver-sampled: text_lang_id,
 # training_pipeline, dedup_contamination, multimodal_features, q2, q4, and
 # the round-3 additions appended at the end (positions 92+: from
-# retrieval_hybrid_rrf through two_phase_distinct — 32 new oracle-
+# retrieval_hybrid_rrf through events_wow_change — 36 new oracle-
 # checked entries this round: classifier/quality-gate/vocab/bigram-LM/
 # span-corruption/decontaminated-split text ops, embedding outliers,
 # HITS/link-prediction/neighbor-features/negative-samples graph ops,
 # profiler/histogram/drift/zorder/table-diff, incremental dedup,
-# funnel/retention/anomalies, audio/video decode, SQL front-end, and
-# the salted-join/two-phase-distinct skew rewrites — ALL local-green vs
+# funnel/retention/anomalies/WoW-change, audio/video decode, the SQL
+# front-end, RFM, blocked fuzzy entity matching, shard export, and the
+# salted-join/two-phase-distinct skew rewrites — ALL local-green vs
 # DuckDB via tools/check_contract.py this round, as are all 116
-# pre-existing entries).
+# pre-existing entries (final full sweeps: 142/142, then 143/143).
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "graph_pagerank": (q_graph_pagerank, SQL_GRAPH_PAGERANK),
