@@ -4701,6 +4701,60 @@ FROM lagged
 """
 
 
+def q_events_dau_mau(spark, sf_dir):
+    """DAU/MAU stickiness per calendar month: average daily-active over
+    monthly-active users — the classic engagement ratio. All time math
+    is integer epoch-days; month bucketing via the date type both
+    engines render identically; the ratio is integer-round-half-up.
+    Exact distincts run through the skew-safe two-phase shape."""
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"`ts` div {86_400_000_000_000}")
+    base = (ev.select(F.col("user_id"), day.alias("day"))
+            .dropDuplicates())
+    with_m = base.withColumn(
+        "month", F.trunc(F.date_from_unix_date(F.col("day").cast("int")),
+                         "month"))
+    # sum of per-day actives in the month (numerator of avg DAU)
+    dau = (with_m.groupBy("month", "day")
+           .agg(F.count(F.lit(1)).alias("dau"))
+           .groupBy("month")
+           .agg(F.sum("dau").alias("active_user_days"),
+                F.count(F.lit(1)).alias("n_days")))
+    mau = (with_m.select("month", "user_id").dropDuplicates()
+           .groupBy("month").agg(F.count(F.lit(1)).alias("mau")))
+    # stickiness = (active_user_days / n_days) / mau, rounded 6 via the
+    # integer rule on (active_user_days, n_days * mau)
+    stick = F.expr("(active_user_days * 2000000 + n_days * mau) "
+                   "div (n_days * mau * 2)").cast("double") / 1e6
+    return (dau.join(mau, "month")
+            .select("month", "active_user_days", "n_days", "mau",
+                    stick.alias("stickiness")))
+
+
+SQL_EVENTS_DAU_MAU = """
+WITH base AS (
+  SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+  FROM events
+), with_m AS (
+  SELECT user_id, day,
+         CAST(date_trunc('month', DATE '1970-01-01' + CAST(day AS INTEGER))
+              AS DATE) AS month
+  FROM base
+), dau AS (
+  SELECT month, sum(dau) AS active_user_days, count(*) AS n_days
+  FROM (SELECT month, day, count(*) AS dau FROM with_m GROUP BY 1, 2)
+  GROUP BY month
+), mau AS (
+  SELECT month, count(*) AS mau
+  FROM (SELECT DISTINCT month, user_id FROM with_m) GROUP BY month
+)
+SELECT month, active_user_days, n_days, mau,
+       CAST((active_user_days * 2000000 + n_days * mau)
+            // (n_days * mau * 2) AS DOUBLE) / 1000000.0 AS stickiness
+FROM dau JOIN mau USING (month)
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4886,6 +4940,7 @@ REGISTRY: dict[str, tuple] = {
     "entity_fuzzy_pairs": (q_entity_fuzzy_pairs, SQL_ENTITY_FUZZY_PAIRS),
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "events_wow_change": (q_events_wow_change, SQL_EVENTS_WOW_CHANGE),
+    "events_dau_mau": (q_events_dau_mau, SQL_EVENTS_DAU_MAU),
 }
 
 
