@@ -4755,6 +4755,46 @@ FROM dau JOIN mau USING (month)
 """
 
 
+def q_order_status_transitions(spark, sf_dir):
+    """Markov transition counts over each customer's order-status
+    sequence (ordered by date, orderkey tie-break) — the
+    state-transition telemetry report. The lag window partitions by
+    customer (customer-bounded tasks); output is the |states|^2 matrix
+    with row-normalized probabilities via integer rounding."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    pairs = (o.select("o_custkey", "o_orderdate", "o_orderkey",
+                      F.col("o_orderstatus").alias("to_s"))
+             .withColumn("from_s", F.lag("to_s").over(w))
+             .filter(F.col("from_s").isNotNull())
+             .groupBy("from_s", "to_s")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = pairs.groupBy("from_s").agg(F.sum("n").alias("row_n"))
+    p = F.expr("(n * 2000000 + row_n) div (row_n * 2)").cast("double") / 1e6
+    return (pairs.join(tot, "from_s")
+            .select("from_s", "to_s", "n", p.alias("p")))
+
+
+SQL_ORDER_STATUS_TRANSITIONS = """
+WITH seq AS (
+  SELECT o_custkey, o_orderstatus AS to_s,
+         lag(o_orderstatus) OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderdate, o_orderkey)
+           AS from_s
+  FROM orders
+), pairs AS (
+  SELECT from_s, to_s, count(*) AS n FROM seq
+  WHERE from_s IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_s, sum(n) AS row_n FROM pairs GROUP BY from_s
+)
+SELECT from_s, to_s, n,
+       CAST((n * 2000000 + row_n) // (row_n * 2) AS DOUBLE) / 1000000.0
+         AS p
+FROM pairs JOIN tot USING (from_s)
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -4941,6 +4981,8 @@ REGISTRY: dict[str, tuple] = {
     "export_shards": (q_export_shards, SQL_EXPORT_SHARDS),
     "events_wow_change": (q_events_wow_change, SQL_EVENTS_WOW_CHANGE),
     "events_dau_mau": (q_events_dau_mau, SQL_EVENTS_DAU_MAU),
+    "order_status_transitions": (q_order_status_transitions,
+                                 SQL_ORDER_STATUS_TRANSITIONS),
 }
 
 
