@@ -4837,6 +4837,47 @@ FROM ranked GROUP BY 1
 """
 
 
+def q_revenue_gini(spark, sf_dir):
+    """Gini coefficient of customer revenue concentration — the
+    inequality summary over the customer dimension:
+    G = (2*sum(i*x_i) - (n+1)*sum(x)) / (n*sum(x)) with x ascending.
+    Both moment sums are exact decimals over integer ranks, cast once to
+    double for the final division, rounded to 4 decimals (the safe
+    convention for decimal-cast boundaries)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("x")))
+    w = Window.orderBy(F.col("x").asc(), F.col("o_custkey").asc())
+    ranked = per.select(F.col("x"), F.row_number().over(w).alias("i"))
+    agg = ranked.agg(
+        F.sum(F.col("x") * F.col("i")).alias("sxi"),
+        F.sum("x").alias("sx"),
+        F.count(F.lit(1)).alias("n"))
+    g = ((2.0 * F.col("sxi").cast("double")
+          - (F.col("n") + 1).cast("double") * F.col("sx").cast("double"))
+         / (F.col("n").cast("double") * F.col("sx").cast("double")))
+    return agg.select(F.col("n").alias("n_customers"),
+                      F.round(g, 4).alias("gini"))
+
+
+SQL_REVENUE_GINI = """
+WITH per AS (
+  SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(38,12))) AS x
+  FROM orders GROUP BY o_custkey
+), ranked AS (
+  SELECT x, row_number() OVER (ORDER BY x ASC, o_custkey ASC) AS i
+  FROM per
+), agg AS (
+  SELECT sum(x * i) AS sxi, sum(x) AS sx, count(*) AS n FROM ranked
+)
+SELECT n AS n_customers,
+       round((2.0 * CAST(sxi AS DOUBLE)
+              - CAST(n + 1 AS DOUBLE) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE)), 4) AS gini
+FROM agg
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -5026,6 +5067,7 @@ REGISTRY: dict[str, tuple] = {
     "order_status_transitions": (q_order_status_transitions,
                                  SQL_ORDER_STATUS_TRANSITIONS),
     "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
+    "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
 }
 
 
