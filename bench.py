@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "span_corruption",
     "multimodal_audio",
     "decontaminated_split",
+    "customer_rfm",
+    "events_wow_change",
+    "events_dau_mau",
+    "revenue_pareto",
+    "entity_fuzzy_pairs",
 ]
 
 

@@ -4609,22 +4609,29 @@ FROM ranked
 
 
 def q_entity_fuzzy_pairs(spark, sf_dir):
-    """Blocked fuzzy entity matching: customer pairs within a nation
-    whose names are within edit distance 2 — Fellegi-Sunter-style
-    blocking + exact integer Levenshtein verification (JVM built-in),
-    so the oracle matches bit-for-bit."""
+    """Blocked fuzzy entity matching: customer pairs within a
+    (nation, 15-char name prefix) block whose names are within edit
+    distance 2 — Fellegi-Sunter blocking (the prefix key is the
+    standard recall/cost dial: nation-only blocking grows pairs
+    quadratically with SF — 27 s at sf0.1 vs ~2 s with the prefix) +
+    exact integer Levenshtein verification, so the oracle matches
+    bit-for-bit under the SAME declared blocking."""
     from vivace_graph_v3_spark.operators.entity import blocked_fuzzy_pairs
 
-    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .withColumn("__blk", F.substring("c_name", 1, 15)))
     return blocked_fuzzy_pairs(c, key_col="c_custkey", name_col="c_name",
-                               block_cols=["c_nationkey"], max_edit=2)
+                               block_cols=["c_nationkey", "__blk"],
+                               max_edit=2)
 
 
 SQL_ENTITY_FUZZY_PAIRS = """
 SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
        levenshtein(a.c_name, b.c_name) AS edit
 FROM customer a JOIN customer b
-  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+  ON a.c_nationkey = b.c_nationkey
+ AND substr(a.c_name, 1, 15) = substr(b.c_name, 1, 15)
+ AND a.c_custkey < b.c_custkey
 WHERE levenshtein(a.c_name, b.c_name) <= 2
 """
 
