@@ -4885,6 +4885,40 @@ FROM agg
 """
 
 
+def q_dedup_agreement(spark, sf_dir):
+    """Method-agreement diagnostic for near-dedup tuning: pair counts
+    from the exact-Jaccard pipeline (via MinHash-LSH, full-recall at
+    this gate) and SimHash, plus their overlap — the report an operator
+    reads before picking thresholds for a new corpus. One row."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        minhash_dedup_pairs, simhash_dup_pairs)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    jac = (minhash_dedup_pairs(docs, threshold=0.5)
+           .select("id_a", "id_b"))
+    sim = (simhash_dup_pairs(docs, max_hamming=10, token_hash="md5")
+           .select("id_a", "id_b"))
+    both = jac.join(sim, ["id_a", "id_b"], "left_semi")
+    return (jac.agg(F.count(F.lit(1)).alias("n_jaccard"))
+            .crossJoin(sim.agg(F.count(F.lit(1)).alias("n_simhash")))
+            .crossJoin(both.agg(F.count(F.lit(1)).alias("n_both"))))
+
+
+SQL_DEDUP_AGREEMENT = (
+    "WITH jac AS MATERIALIZED (SELECT id_a, id_b FROM ("
+    + SQL_DEDUP_NGRAM_JACCARD + """
+)), sim AS MATERIALIZED ("""
+    + SQL_DEDUP_SIMHASH + """
+)
+SELECT (SELECT count(*) FROM jac) AS n_jaccard,
+       (SELECT count(*) FROM sim) AS n_simhash,
+       (SELECT count(*) FROM jac
+        WHERE EXISTS (SELECT 1 FROM sim
+                      WHERE sim.id_a = jac.id_a
+                        AND sim.id_b = jac.id_b)) AS n_both
+""")
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -5075,6 +5109,7 @@ REGISTRY: dict[str, tuple] = {
                                  SQL_ORDER_STATUS_TRANSITIONS),
     "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
+    "dedup_agreement": (q_dedup_agreement, SQL_DEDUP_AGREEMENT),
 }
 
 
