@@ -4919,6 +4919,42 @@ SELECT (SELECT count(*) FROM jac) AS n_jaccard,
 """)
 
 
+def q_supplier_lead_time(spark, sf_dir):
+    """Shipping lead-time SLA report per supplier: mean days between
+    order date and line-item ship date — all-integer epoch-day diffs
+    with the integer-round-half-up mean, plus the max. Suppliers are a
+    dimension; one fact-sized join keyed on orderkey."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP)) div 86400000000") \
+        - F.expr("unix_micros(CAST(o_orderdate AS TIMESTAMP)) div 86400000000")
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .select("l_suppkey", d.alias("days")))
+    return (j.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("n_items"),
+                 F.expr("(sum(days) * 2000000 + count(1)) div (count(1) * 2)")
+                 .cast("double").alias("__k"),
+                 F.max("days").alias("max_days"))
+            .select("l_suppkey", "n_items",
+                    (F.col("__k") / 1e6).alias("avg_days"), "max_days"))
+
+
+SQL_SUPPLIER_LEAD_TIME = """
+WITH j AS (
+  SELECT l_suppkey,
+         (epoch_us(CAST(l_shipdate AS TIMESTAMP)) // 86400000000)
+         - (epoch_us(CAST(o_orderdate AS TIMESTAMP)) // 86400000000)
+           AS days
+  FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+)
+SELECT l_suppkey, count(*) AS n_items,
+       CAST((sum(days) * 2000000 + count(*)) // (count(*) * 2) AS DOUBLE)
+         / 1000000.0 AS avg_days,
+       max(days) AS max_days
+FROM j GROUP BY l_suppkey
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -5110,6 +5146,7 @@ REGISTRY: dict[str, tuple] = {
     "revenue_pareto": (q_revenue_pareto, SQL_REVENUE_PARETO),
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
     "dedup_agreement": (q_dedup_agreement, SQL_DEDUP_AGREEMENT),
+    "supplier_lead_time": (q_supplier_lead_time, SQL_SUPPLIER_LEAD_TIME),
 }
 
 
