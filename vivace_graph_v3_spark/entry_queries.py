@@ -4955,6 +4955,71 @@ FROM j GROUP BY l_suppkey
 """
 
 
+def q_text_lexical_diversity(spark, sf_dir):
+    """Type-token ratio per source — the lexical-diversity corpus
+    signal (low TTR = repetitive/templated source). Distinct types run
+    the skew-safe two-phase shape; the ratio is integer-round-half-up."""
+    from vivace_graph_v3_spark.pipeline.text import tokens as _tokens
+
+    words = (_docs(spark, sf_dir)
+             .select(F.col("source"),
+                     F.explode(_tokens(F.col("text"))).alias("w")))
+    types_ = (words.dropDuplicates()
+              .groupBy("source").agg(F.count(F.lit(1)).alias("n_types")))
+    toks = words.groupBy("source").agg(F.count(F.lit(1)).alias("n_tokens"))
+    ttr = F.expr("(n_types * 2000000 + n_tokens) div (n_tokens * 2)") \
+        .cast("double") / 1e6
+    return (toks.join(types_, "source")
+            .select("source", "n_tokens", "n_types", ttr.alias("ttr")))
+
+
+SQL_TEXT_LEXICAL_DIVERSITY = r"""
+WITH w AS (
+  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), ty AS (
+  SELECT source, count(*) AS n_types
+  FROM (SELECT DISTINCT source, w FROM w) GROUP BY source
+), tk AS (
+  SELECT source, count(*) AS n_tokens FROM w GROUP BY source
+)
+SELECT source, n_tokens, n_types,
+       CAST((n_types * 2000000 + n_tokens) // (n_tokens * 2) AS DOUBLE)
+         / 1000000.0 AS ttr
+FROM tk JOIN ty USING (source)
+"""
+
+
+def q_graph_degree_histogram(spark, sf_dir):
+    """Degree-distribution histogram of the full F6 graph (undirected
+    total degree, width-10 bins) — the first diagnostic run on any new
+    graph. Degrees are a vertex-bounded aggregate; binning is exact
+    integer division."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import _edge_pairs
+
+    g = load_tpch_graph(spark, sf_dir)
+    e = _edge_pairs(g, None, undirected=True).select("src")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    return (deg.groupBy(F.expr("deg div 10").alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n_vertices"),
+                 F.min("deg").alias("min_deg"), F.max("deg").alias("max_deg")))
+
+
+SQL_GRAPH_DEGREE_HISTOGRAM = (
+    f"WITH base AS ({_F6_EDGES_SQL}),"
+    + """
+e AS (
+  SELECT src FROM base UNION ALL SELECT dst FROM base
+), deg AS (
+  SELECT src, count(*) AS deg FROM e GROUP BY src
+)
+SELECT deg // 10 AS bin, count(*) AS n_vertices,
+       min(deg) AS min_deg, max(deg) AS max_deg
+FROM deg GROUP BY 1
+""")
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -5147,6 +5212,10 @@ REGISTRY: dict[str, tuple] = {
     "revenue_gini": (q_revenue_gini, SQL_REVENUE_GINI),
     "dedup_agreement": (q_dedup_agreement, SQL_DEDUP_AGREEMENT),
     "supplier_lead_time": (q_supplier_lead_time, SQL_SUPPLIER_LEAD_TIME),
+    "text_lexical_diversity": (q_text_lexical_diversity,
+                               SQL_TEXT_LEXICAL_DIVERSITY),
+    "graph_degree_histogram": (q_graph_degree_histogram,
+                               SQL_GRAPH_DEGREE_HISTOGRAM),
 }
 
 
