@@ -5020,6 +5020,58 @@ FROM deg GROUP BY 1
 """)
 
 
+def q_brand_revenue_share(spark, sf_dir):
+    """Market-share-by-brand report: each brand's revenue share of the
+    total — decimal-exact revenue sums, integer-round-half-up share on
+    the decimal micro-units (cast to exact integer micros BEFORE the
+    ratio, so no double enters the share arithmetic at all). Brand
+    dimension joined via AQE-decided strategy."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet") \
+        .select("p_partkey", "p_brand")
+    rev = (li.join(p, li["l_partkey"] == p["p_partkey"])
+           .groupBy("p_brand")
+           .agg(F.sum((F.col("l_extendedprice")
+                       * (1 - F.col("l_discount"))).cast(DEC))
+                .alias("rev")))
+    # The decimal sums carry 1e-11 dust that differs BETWEEN engines
+    # (Spark casts each double term via its shortest decimal repr,
+    # DuckDB via the exact binary expansion); cast once to double (the
+    # _dsum convention) and ROUND — not floor — to integer 1e-4 units:
+    # revenues are near-exact 4-decimal values, so rev*1e4 sits within
+    # ~1e-5 of an integer, which is exactly where floor is maximally
+    # unstable and round is maximally safe (its boundary is at .5).
+    # Unit scale keeps the share arithmetic inside a long.
+    units = F.expr(
+        "CAST(round(CAST(rev AS DOUBLE) * 10000, 0) AS BIGINT)")
+    based = rev.select("p_brand", units.alias("m"))
+    tot = based.agg(F.sum("m").alias("t"))
+    share = F.expr("(m * 2000000 + t) div (t * 2)").cast("double") / 1e6
+    return (based.crossJoin(F.broadcast(tot))
+            .select("p_brand", (F.col("m").cast("double") / 1e4)
+                    .alias("revenue"),
+                    share.alias("share")))
+
+
+SQL_BRAND_REVENUE_SHARE = """
+WITH rev AS (
+  SELECT p_brand,
+         sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(38,12)))
+           AS rev
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+  GROUP BY p_brand
+), based AS (
+  SELECT p_brand, CAST(round(CAST(rev AS DOUBLE) * 10000, 0) AS BIGINT) AS m
+  FROM rev
+), tot AS (
+  SELECT sum(m) AS t FROM based
+)
+SELECT p_brand, CAST(m AS DOUBLE) / 10000.0 AS revenue,
+       CAST((m * 2000000 + t) // (t * 2) AS DOUBLE) / 1000000.0 AS share
+FROM based CROSS JOIN tot
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
 # insertion order. Round 3 leads with the 49 entries that had never had a
 # driver row (graph algorithms, recursive rules, TPC-H q6-q22, temporal ops,
@@ -5216,6 +5268,7 @@ REGISTRY: dict[str, tuple] = {
                                SQL_TEXT_LEXICAL_DIVERSITY),
     "graph_degree_histogram": (q_graph_degree_histogram,
                                SQL_GRAPH_DEGREE_HISTOGRAM),
+    "brand_revenue_share": (q_brand_revenue_share, SQL_BRAND_REVENUE_SHARE),
 }
 
 
