@@ -5080,7 +5080,7 @@ FROM based CROSS JOIN tot
 # round to cover what has still never been driver-sampled: text_lang_id,
 # training_pipeline, dedup_contamination, multimodal_features, q2, q4, and
 # the round-3 additions appended at the end (positions 92+: from
-# retrieval_hybrid_rrf through dedup_agreement — 41 new oracle-
+# retrieval_hybrid_rrf through brand_revenue_share — 45 new oracle-
 # checked entries this round: classifier/quality-gate/vocab/bigram-LM/
 # span-corruption/decontaminated-split text ops, embedding outliers,
 # HITS/link-prediction/neighbor-features/negative-samples graph ops,
