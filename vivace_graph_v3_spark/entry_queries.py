@@ -886,7 +886,11 @@ WITH t AS (
   SELECT doc_id, w, count(*) AS c
   FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w
 ), top AS (
-  SELECT doc_id, max(c) AS top_c, sum(c) AS n_words FROM wc GROUP BY doc_id
+  -- CAST: DuckDB sum(int) is HUGEINT, which pandas renders float64
+  -- ("123.000000") while Spark's BIGINT renders "123" (VERDICT r3 #1).
+  SELECT doc_id, max(c) AS top_c,
+         CAST(sum(c) AS BIGINT) AS n_words
+  FROM wc GROUP BY doc_id
 ), bg AS (
   SELECT doc_id,
          CASE WHEN len(toks) >= 2
@@ -2133,9 +2137,16 @@ def q_multimodal_features(spark, sf_dir):
 
     media = synthesize_media(_docs(spark, sf_dir), "doc_id")
     feats = decode_and_featurize(media, batch_feature_dim=8, fake=True)
+    # The contract serializes the vector to ONE %.6f string column: the
+    # driver canonicalizes through pandas, and an array<double> cell makes
+    # its sort_values raise (unhashable list) -> permanent err row
+    # (VERDICT r3 #2). Library callers still get the array from
+    # decode_and_featurize.
     return feats.select(
         "media_id", "kind", "n_bytes",
-        F.transform("feature", lambda x: F.round(x, 6)).alias("feature"))
+        F.concat_ws(",", F.transform(
+            "feature", lambda x: F.format_string("%.6f", x)))
+        .alias("feature"))
 
 
 SQL_MULTIMODAL_FEATURES = """
@@ -2144,9 +2155,10 @@ WITH m AS (
          'FAKE-MEDIA:' || CAST(doc_id AS VARCHAR) AS s
   FROM documents)
 SELECT media_id, 'image' AS kind, length(s) AS n_bytes,
-       list_transform(range(0, 8), i ->
-         round(ascii(substr(s, (CAST(i AS INT) % length(s)) + 1, 1)) / 255.0,
-               6)) AS feature
+       array_to_string(list_transform(range(0, 8), i ->
+         printf('%.6f',
+                ascii(substr(s, (CAST(i AS INT) % length(s)) + 1, 1))
+                / 255.0)), ',') AS feature
 FROM m
 """
 
@@ -2162,7 +2174,14 @@ def q_multimodal_decode(spark, sf_dir):
         decode_and_featurize, synthesize_ppm_media)
 
     media = synthesize_ppm_media(_docs(spark, sf_dir), "doc_id", size=8)
-    return decode_and_featurize(media, batch_feature_dim=8, fake=False)
+    feats = decode_and_featurize(media, batch_feature_dim=8, fake=False)
+    # Vector serialized to one %.6f string column — see q_multimodal_features
+    # for why (pandas-canonicalizer array-cell crash, VERDICT r3 #2).
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        F.concat_ws(",", F.transform(
+            "feature", lambda x: F.format_string("%.6f", x)))
+        .alias("feature"))
 
 
 # 203 = len("P6\n8 8\n255\n") + 8*8*3; feature[j] = ((doc_id + j) % 256)/255
@@ -2170,8 +2189,9 @@ def q_multimodal_decode(spark, sf_dir):
 SQL_MULTIMODAL_DECODE = """
 SELECT CAST(doc_id AS VARCHAR) AS media_id, 'image' AS kind,
        CAST(203 AS BIGINT) AS n_bytes,
-       list_transform(range(0, 8), j ->
-         ((doc_id + CAST(j AS BIGINT)) % 256) / 255.0) AS feature
+       array_to_string(list_transform(range(0, 8), j ->
+         printf('%.6f', ((doc_id + CAST(j AS BIGINT)) % 256) / 255.0)),
+         ',') AS feature
 FROM documents
 """
 
@@ -2638,10 +2658,10 @@ def q_q12_priority_shipping(spark, sf_dir):
 
 SQL_Q12_PRIORITY_SHIPPING = """
 SELECT l_returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON o_orderkey = l_orderkey
 GROUP BY l_returnflag
 """
@@ -2814,7 +2834,7 @@ SQL_EVENTS_JSON_PROPS = """
 SELECT event_type,
        count(CASE WHEN CAST(json_extract(props, '$.k') AS INT) >= 50
                   THEN 1 END) AS n_high,
-       sum(CAST(json_extract(props, '$.k') AS INT)) AS sum_k
+       CAST(sum(CAST(json_extract(props, '$.k') AS INT)) AS BIGINT) AS sum_k
 FROM events GROUP BY event_type
 """
 
@@ -3456,7 +3476,7 @@ SQL_PACKING_STATS = (
     "WITH packed AS (" + SQL_PACK_SEQUENCES + """
 )
 SELECT source, count(DISTINCT bin) AS n_bins, count(*) AS n_items,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
        round(CAST(sum(n_tokens) AS DOUBLE) / (count(DISTINCT bin) * 256), 6)
          AS fill_ratio
 FROM packed GROUP BY source
@@ -3603,7 +3623,8 @@ WITH w AS (
   SELECT w, 1 AS infl FROM c ORDER BY c DESC, w LIMIT 500
 )
 SELECT source, count(*) AS n_tokens,
-       sum(CASE WHEN v.infl IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(sum(CASE WHEN v.infl IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_oov,
        CAST((sum(CASE WHEN v.infl IS NULL THEN 1 ELSE 0 END) * 2000000
              + count(*)) // (count(*) * 2) AS DOUBLE) / 1000000.0 AS oov_rate
 FROM w LEFT JOIN v USING (w)
@@ -4021,7 +4042,7 @@ WITH gb AS (
 ), corpus AS (
   SELECT bucket, sum(o) AS c FROM gb GROUP BY bucket
 ), totals AS (
-  SELECT "group", sum(o) AS n_rows FROM gb GROUP BY "group"
+  SELECT "group", CAST(sum(o) AS BIGINT) AS n_rows FROM gb GROUP BY "group"
 ), n AS (
   SELECT sum(c) AS n_total FROM corpus
 ), filled AS (
@@ -4145,7 +4166,7 @@ SELECT CAST(doc_id AS VARCHAR) AS media_id,
        CAST(44 + 128 AS BIGINT) AS n_bytes,
        CAST(8000 AS BIGINT) AS sample_rate,
        CAST(64 AS BIGINT) AS n_samples,
-       sum(smp * smp) // 64 AS mean_square
+       CAST(sum(smp * smp) // 64 AS BIGINT) AS mean_square
 FROM v GROUP BY doc_id
 """
 
@@ -4265,7 +4286,7 @@ WITH t AS (
   GROUP BY nb.doc_id
 ), stats AS (
   SELECT doc_id, count(*) AS n_tokens,
-         sum(CASE WHEN msk THEN 1 ELSE 0 END) AS n_masked
+         CAST(sum(CASE WHEN msk THEN 1 ELSE 0 END) AS BIGINT) AS n_masked
   FROM m GROUP BY doc_id
 )
 SELECT s.doc_id, s.n_tokens, s.n_masked,
@@ -4711,8 +4732,10 @@ FROM lagged
 def q_events_dau_mau(spark, sf_dir):
     """DAU/MAU stickiness per calendar month: average daily-active over
     monthly-active users — the classic engagement ratio. All time math
-    is integer epoch-days; month bucketing via the date type both
-    engines render identically; the ratio is integer-round-half-up.
+    is integer epoch-days; month is emitted as a 'YYYY-MM-DD' STRING
+    because a DATE renders differently through the driver's pandas
+    canonicalizer (Spark date -> '2024-01-01', DuckDB DATE ->
+    datetime64 '2024-01-01 00:00:00'); the ratio is integer-round-half-up.
     Exact distincts run through the skew-safe two-phase shape."""
     ev = _events(spark, sf_dir)
     day = F.expr(f"`ts` div {86_400_000_000_000}")
@@ -4734,7 +4757,8 @@ def q_events_dau_mau(spark, sf_dir):
     stick = F.expr("(active_user_days * 2000000 + n_days * mau) "
                    "div (n_days * mau * 2)").cast("double") / 1e6
     return (dau.join(mau, "month")
-            .select("month", "active_user_days", "n_days", "mau",
+            .select(F.col("month").cast("string").alias("month"),
+                    "active_user_days", "n_days", "mau",
                     stick.alias("stickiness")))
 
 
@@ -4748,14 +4772,15 @@ WITH base AS (
               AS DATE) AS month
   FROM base
 ), dau AS (
-  SELECT month, sum(dau) AS active_user_days, count(*) AS n_days
+  SELECT month, CAST(sum(dau) AS BIGINT) AS active_user_days,
+         count(*) AS n_days
   FROM (SELECT month, day, count(*) AS dau FROM with_m GROUP BY 1, 2)
   GROUP BY month
 ), mau AS (
   SELECT month, count(*) AS mau
   FROM (SELECT DISTINCT month, user_id FROM with_m) GROUP BY month
 )
-SELECT month, active_user_days, n_days, mau,
+SELECT strftime(month, '%Y-%m-%d') AS month, active_user_days, n_days, mau,
        CAST((active_user_days * 2000000 + n_days * mau)
             // (n_days * mau * 2) AS DOUBLE) / 1000000.0 AS stickiness
 FROM dau JOIN mau USING (month)
