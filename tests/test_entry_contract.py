@@ -79,6 +79,110 @@ def test_every_oracle_sql_parses_in_duckdb():
     assert not bad, "\n".join(bad)
 
 
+def _spark_render_class(dt):
+    """How the driver's pandas canonicalizer will RENDER a Spark column of
+    this type (toPandas without arrow): the class, not the type, is what
+    must match the oracle side."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType)):
+        return "int"       # pandas int64 -> "123" (float64 if nulls at runtime)
+    if isinstance(dt, (T.FloatType, T.DoubleType)):
+        return "float"     # pandas float64 -> "123.000000"
+    if isinstance(dt, T.DecimalType):
+        return "pydecimal"  # object Decimal -> "123.45" (never %.6f) — hazard
+    if isinstance(dt, T.StringType):
+        return "str"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "pydate"    # object datetime.date -> "2024-01-01" (no time part)
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "ts"        # datetime64 -> "2024-01-01 00:00:00"
+    if isinstance(dt, (T.ArrayType, T.MapType, T.StructType, T.BinaryType)):
+        return "list"      # unhashable cell -> sort_values TypeError — hazard
+    return f"other:{dt.simpleString()}"
+
+
+def _duck_render_class(pdf, col):
+    """Render class of an oracle column AS FETCHED via fetchdf() — this is
+    the ground truth for e.g. HUGEINT/DECIMAL silently becoming float64."""
+    import datetime
+    import decimal
+
+    import numpy as np
+    import pandas as pd
+
+    dtype = pdf.dtypes[col]
+    if pd.api.types.is_bool_dtype(dtype):
+        return "bool"
+    if pd.api.types.is_integer_dtype(dtype):
+        return "int"
+    if pd.api.types.is_float_dtype(dtype):
+        return "float"
+    if pd.api.types.is_datetime64_any_dtype(dtype):
+        return "ts"
+    # object column: classify by a non-null value
+    for v in pdf[col]:
+        if v is None or (isinstance(v, float) and v != v):
+            continue
+        if isinstance(v, str):
+            return "str"
+        if isinstance(v, decimal.Decimal):
+            return "pydecimal"
+        if isinstance(v, datetime.date) and not isinstance(v, datetime.datetime):
+            return "pydate"
+        if isinstance(v, (list, tuple, dict, np.ndarray, bytes)):
+            return "list"
+        return f"other:{type(v).__name__}"
+    return "str"  # all-null object column renders "None" like an empty str col
+
+
+def test_oracle_pandas_render_classes_match(spark):
+    """Standing dtype-hazard gate (VERDICT r3 #2): for every registry entry,
+    the pandas RENDER class of each oracle column (actually fetched via
+    fetchdf at sf0.001, so HUGEINT/DECIMAL -> float64 is observed, not
+    inferred) must equal the render class of the Spark column, and neither
+    side may be list-like (crashes the driver's sort_values) or a class
+    pandas prints asymmetrically (Spark Decimal/date objects).
+
+    This is what made text_repetition red for three rounds while the
+    arrow-based local mimic stayed green — never again."""
+    import duckdb
+
+    con = duckdb.connect()
+    sf = "/root/testdata/sf0.001"
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+    hazards = []
+    for name, sql in sorted(oracles.items()):
+        spark_classes = {f.name: _spark_render_class(f.dataType)
+                         for f in qs[name](spark, SF_DIR).schema.fields}
+        pdf = con.execute(sql).fetchdf()
+        for col in pdf.columns:
+            dclass = _duck_render_class(pdf, col)
+            sclass = spark_classes.get(col)
+            if sclass is None:
+                hazards.append(f"{name}.{col}: oracle-only column")
+            elif dclass == "list" or sclass == "list":
+                hazards.append(f"{name}.{col}: list-like cell "
+                               f"(spark={sclass}, oracle={dclass})")
+            elif (sclass == "int" and dclass == "float"
+                  and pdf[col].isna().any()):
+                # NOT a hazard: the oracle column is float only because it
+                # holds NULLs — and the (equal) Spark result then also has
+                # nulls, so toPandas renders float64 on BOTH sides
+                # (events_asof_join.click_ts, driver-green r3).
+                pass
+            elif dclass != sclass:
+                hazards.append(f"{name}.{col}: render mismatch "
+                               f"spark={sclass} vs oracle={dclass}")
+    assert not hazards, "driver-canonicalizer hazards:\n" + "\n".join(hazards)
+
+
 def test_ann_recall_fixture_constants_still_measured(spark):
     """The ANN recall oracles embed MEASURED fixture constants (ANN
     candidate generation is not SQL-expressible). Pin them: if the
