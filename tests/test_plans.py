@@ -35,3 +35,13 @@ def test_assert_plan_flags_exchanges_and_broadcast(spark):
     assert f.broadcast_joins == 1
     with pytest.raises(AssertionError, match="exchanges"):
         assert_plan(j, max_exchanges=0)
+
+
+def test_plan_facts_counts_single_partition_exchange(spark):
+    """A global (ungrouped) aggregate shuffles via `Exchange
+    SinglePartition` — capital S, which a case-sensitive lowercase regex
+    missed, silently zeroing the exchange gate (ADVICE r3)."""
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    g = li.agg(F.sum("l_quantity").alias("s"))
+    g.collect()
+    assert plan_facts(g).exchanges >= 1

@@ -120,3 +120,14 @@ def test_table_diff_all_change_kinds(spark):
                 for r in table_diff(old, new, ["k"],
                                     compare_cols=["s"]).collect()}
     assert narrowed == {4: "removed", 5: "added"}
+
+
+def test_histogram_constant_column_single_bin(spark):
+    """Degenerate range (min == max) must yield ONE bin 0 with lo == hi,
+    not NaN-arithmetic landing every row in bin bins-1 (ADVICE r3)."""
+    from vivace_graph_v3_spark.operators.profile import histogram
+    df = spark.createDataFrame([(7.5,)] * 40, "x double")
+    rows = histogram(df, "x", bins=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.bin == 0 and r.lo == 7.5 and r.hi == 7.5 and r.n == 40

@@ -42,3 +42,17 @@ def test_two_phase_distinct_equals_count_distinct(spark):
     got = {(r.k, r.n_distinct) for r in
            two_phase_distinct(df, ["k"], "v").collect()}
     assert got == want
+
+
+def test_two_phase_distinct_null_semantics_match_count_distinct(spark):
+    """countDistinct ignores NULL values; keys whose values are all NULL
+    report 0 (ADVICE r3: a kept (key, NULL) row was off-by-one per key)."""
+    df = spark.createDataFrame(
+        [("a", 1), ("a", None), ("a", 2), ("b", None), ("c", 3), ("c", 3)],
+        "k string, v int")
+    want = {(r.k, r.n) for r in
+            df.groupBy("k").agg(F.countDistinct("v").alias("n")).collect()}
+    got = {(r.k, r.n_distinct) for r in
+           two_phase_distinct(df, ["k"], "v").collect()}
+    assert got == want
+    assert ("a", 2) in got and ("b", 0) in got

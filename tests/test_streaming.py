@@ -248,3 +248,20 @@ def test_dedup_ingest_batches_and_stream(master, spark, tmp_path):
     q.awaitTermination(120)
     kept = {r.doc_id for r in spark.read.parquet(corp).collect()}
     assert kept == {1, 3, 11, 21}  # 20 deduped against streamed-in 11
+
+
+def test_index_frames_probe_uses_spark_reader(spark, tmp_path):
+    """Index existence is probed via spark.read (works on HDFS/S3 URIs),
+    not os.path.isdir (ADVICE r3): absent dir -> None, present -> loaded."""
+    from vivace_graph_v3_spark.streaming.ingest import _index_frames
+
+    missing = str(tmp_path / "nope")
+    assert _index_frames(spark, missing) is None
+
+    idx_dir = str(tmp_path / "idx")
+    spark.range(3).selectExpr("id AS band", "id AS band_hash",
+                              "id AS doc_id").write.parquet(
+                                  f"{idx_dir}/postings")
+    spark.range(3).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text") \
+        .write.parquet(f"{idx_dir}/side")
+    assert _index_frames(spark, idx_dir) is not None

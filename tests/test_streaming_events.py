@@ -225,3 +225,42 @@ def test_stateful_streaming_anomalies(spark, tmp_path):
     assert spikes and spikes[0]["is_anomaly"] and spikes[0]["n_seen"] == 10
     # ordinary values never flag, including the one after the spike
     assert not any(r["is_anomaly"] for r in rows if r["value"] != 1000.0)
+
+
+def test_anomaly_update_folds_in_event_time_order():
+    """_anomaly_update must be deterministic in the face of arbitrary
+    micro-batch row order: the fold sorts by event_ms first (ADVICE r3),
+    so a shuffled batch produces bit-identical output to a sorted one."""
+    import pandas as pd
+
+    from vivace_graph_v3_spark.streaming.stateful import _anomaly_update
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def update(self, v):
+            self.saved = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    base = pd.DataFrame({
+        "event_ms": [1000 * i for i in range(12)],
+        "value": [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.5, 9.0, 10.0,
+                  1000.0, 10.0, 11.0],
+    })
+    shuffled = base.sample(frac=1.0, random_state=7).reset_index(drop=True)
+
+    def run(pdf):
+        st = FakeState()
+        out = pd.concat(list(_anomaly_update(("k",), iter([pdf]), st)),
+                        ignore_index=True)
+        return out.sort_values("event_ms").reset_index(drop=True), st.saved
+
+    out_sorted, st_a = run(base)
+    out_shuf, st_b = run(shuffled)
+    pd.testing.assert_frame_equal(out_sorted, out_shuf)
+    assert st_a == st_b
+    spike = out_sorted[out_sorted["value"] == 1000.0].iloc[0]
+    assert bool(spike["is_anomaly"]) and int(spike["n_seen"]) == 9

@@ -105,7 +105,12 @@ def histogram(df: DataFrame, col: str, bins: int = 20, *,
         src = df
         lo_c, hi_c = F.lit(float(lo)), F.lit(float(hi))
     w = (hi_c - lo_c) / F.lit(float(bins))
-    bin_ = F.least(F.floor((x - lo_c) / w), F.lit(bins - 1)).cast("long")
+    # degenerate range (constant column, or explicit lo == hi): width 0
+    # makes (x - lo)/w NaN, which least() would silently clamp into bin
+    # bins-1 — put everything in ONE bin 0 with lo == hi edges instead
+    bin_ = (F.when(w == 0, F.lit(0))
+            .otherwise(F.least(F.floor((x - lo_c) / w), F.lit(bins - 1)))
+            .cast("long"))
     return (src.filter(x.isNotNull() & (x >= lo_c) & (x <= hi_c))
             .groupBy(bin_.alias("bin"),
                      F.round(lo_c + bin_ * w, 6).alias("lo"),

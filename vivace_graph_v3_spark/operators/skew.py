@@ -54,7 +54,10 @@ def two_phase_distinct(df: DataFrame, key_cols: list[str],
     already-distinct pairs (map-side combinable). Returns
     (key..., n_distinct). Semantically identical to
     ``groupBy(key).agg(countDistinct(value))``, which plans the same hot
-    key into one Expand partition."""
+    key into one Expand partition — including on NULLs: dropDuplicates
+    keeps at most one (key, NULL) row, and the null-skipping
+    ``count(value)`` then ignores it, so keys holding NULLs are not
+    over-counted and all-NULL keys report 0, exactly like countDistinct."""
     return (df.select(*key_cols, value_col).dropDuplicates()
             .groupBy(*key_cols)
-            .agg(F.count(F.lit(1)).alias("n_distinct")))
+            .agg(F.count(value_col).alias("n_distinct")))

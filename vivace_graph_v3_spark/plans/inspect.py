@@ -57,7 +57,13 @@ def plan_facts(df: DataFrame, *, executed: bool = True) -> PlanFacts:
         broadcast_joins=len(re.findall(r"BroadcastHashJoin", plan)),
         sort_merge_joins=len(re.findall(r"SortMergeJoin", plan)),
         shuffled_hash_joins=len(re.findall(r"ShuffledHashJoin", plan)),
-        exchanges=len(re.findall(r"Exchange (hash|range|single)", plan)),
+        # Spark prints "Exchange hashpartitioning(...)", "Exchange
+        # rangepartitioning(...)" and "Exchange SinglePartition" (capital S)
+        # — match case-insensitively or single-partition (global-aggregate)
+        # shuffles are never counted and the max_exchanges gate is porous.
+        exchanges=len(re.findall(
+            r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
+            plan, re.IGNORECASE)),
         scans=[len([c for c in s.split(",") if c.strip()]) for s in scans],
         pushed_filters=len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)),
         row_udf="BatchEvalPython" in plan,

@@ -65,16 +65,19 @@ def upsert_stream(stream: DataFrame, graph: VersionedGraph, type_name: str,
 
 def _index_frames(spark, index_dir: str):
     """Load the persisted MinHash index halves, or None if absent (first
-    batch)."""
-    import os
+    batch). Existence is probed through Spark's reader, not os.path —
+    index_dir may be HDFS/S3, where a local isdir always says no and the
+    against-corpus dedup would be silently skipped every batch."""
+    from pyspark.errors import AnalysisException
 
     from vivace_graph_v3_spark.pipeline.dedup import MinhashIndex
 
     post_p, side_p = f"{index_dir}/postings", f"{index_dir}/side"
-    if not (os.path.isdir(post_p) and os.path.isdir(side_p)):
+    try:
+        return MinhashIndex(spark.read.parquet(post_p),
+                            spark.read.parquet(side_p))
+    except AnalysisException:  # PATH_NOT_FOUND / UNABLE_TO_INFER_SCHEMA
         return None
-    return MinhashIndex(spark.read.parquet(post_p),
-                        spark.read.parquet(side_p))
 
 
 def dedup_ingest_batch(batch: DataFrame, index_dir: str, corpus_dir: str, *,

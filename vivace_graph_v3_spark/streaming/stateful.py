@@ -84,7 +84,14 @@ def _anomaly_update(key: tuple, pdfs: Iterable[pd.DataFrame],
         return
     n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
     out: list[dict] = []
-    for pdf in pdfs:
+    # fold in event-time order: micro-batch row order is partition/arrival
+    # dependent, and "tested against the moments of events BEFORE it" must
+    # mean before in EVENT time or n_seen/is_anomaly are nondeterministic
+    # across runs
+    frames = [p for p in pdfs if len(p)]
+    for pdf in ([pd.concat(frames, ignore_index=True)
+                 .sort_values("event_ms", kind="mergesort")]
+                if frames else []):
         for ms, v in zip(pdf["event_ms"], pdf["value"]):
             v = float(v)
             # test against the moments of PRIOR events only (an anomaly
