@@ -514,20 +514,34 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
     beyond-ref alongside pagerank (SURVEY.md §2.3)."""
     vertices = (graph.scan_vertices(columns=["id"]).select("id")
                 .dropDuplicates().localCheckpoint(eager=True))
-    n = vertices.count()
-    nparts = max(4, min(int(graph.spark.conf.get(
-        "spark.sql.shuffle.partitions", "32")) * 4, n // 100_000 + 1))
-    edges = (_edge_pairs(graph, edge_type)
-             .repartition(nparts, F.col("src")).persist())
+    # Partition count deliberately EQUALS spark.sql.shuffle.partitions:
+    # each half-round's groupBy emits state hashed (id, nparts), and the
+    # next half-round joins that state against the pre-hashed edge copy —
+    # equal counts mean BOTH join inputs are already co-located, so the
+    # only per-half-round exchange left is the unavoidable |E| message
+    # groupBy. (Size the conf, not this code, per deployment; AQE may
+    # still coalesce tiny state maps, re-adding only a |V|-sized shuffle.)
+    nparts = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # TWO persisted copies of the edge list, pre-hashed on each join key:
+    # the hub half-round joins on dst, the authority half-round on src —
+    # with one copy the other half-round reshuffles the FULL |E| edge list
+    # every iteration (3 |E|-sized exchanges per round); with both copies
+    # the join side is already co-located and only the |E| message groupBy
+    # plus the |V| state shuffle remain (2 per round). Same pre-partition
+    # trade pagerank makes; memory holds 2x edges, which on a cluster is
+    # storage-tier disk/memory, not driver.
+    pairs = _edge_pairs(graph, edge_type)
+    e_by_dst = pairs.repartition(nparts, F.col("dst")).persist()
+    e_by_src = pairs.repartition(nparts, F.col("src")).persist()
     auth = vertices.withColumn("score", F.lit(1.0))
     hub = None
     def _hub_from(a):
-        return (edges.join(a, edges["dst"] == a["id"])
+        return (e_by_dst.join(a, e_by_dst["dst"] == a["id"])
                 .groupBy("src").agg(F.sum("score").alias("score"))
                 .withColumnRenamed("src", "id"))
 
     def _auth_from(h):
-        return (edges.join(h, edges["src"] == h["id"])
+        return (e_by_src.join(h, e_by_src["src"] == h["id"])
                 .groupBy("dst").agg(F.sum("score").alias("score"))
                 .withColumnRenamed("dst", "id"))
 
@@ -540,19 +554,24 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
         hub = _hub_from(auth).localCheckpoint(eager=True)
         auth = _auth_from(hub).localCheckpoint(eager=True)
     finally:
-        edges.unpersist()
-    h_max = hub.agg(F.max("score").alias("m"))
-    a_max = auth.agg(F.max("score").alias("m"))
+        e_by_dst.unpersist()
+        e_by_src.unpersist()
+    # ONE job for both normalization constants (they are scalars over the
+    # already-checkpointed final frames — a 2-row collect, not a data
+    # collect), inlined as literals: saves two broadcast-subquery jobs and
+    # two BroadcastExchanges in the output assembly.
+    rows = (hub.select(F.lit("h").alias("t"), "score")
+            .unionByName(auth.select(F.lit("a").alias("t"), "score"))
+            .groupBy("t").agg(F.max("score").alias("m")).collect())
+    maxes = {r["t"]: r["m"] for r in rows}
     h = (vertices
          .join(hub.withColumnRenamed("score", "h"), "id", "left")
-         .crossJoin(F.broadcast(h_max))
          .select("id", (F.coalesce(F.col("h"), F.lit(0.0))
-                        / F.col("m")).alias("hub")))
+                        / F.lit(maxes["h"])).alias("hub")))
     return (h.join(auth.withColumnRenamed("score", "a"), "id", "left")
-            .crossJoin(F.broadcast(a_max.withColumnRenamed("m", "am")))
             .select("id", "hub",
                     (F.coalesce(F.col("a"), F.lit(0.0))
-                     / F.col("am")).alias("auth")))
+                     / F.lit(maxes["a"])).alias("auth")))
 
 
 def common_neighbor_similarity(graph: GraphStore, *,
