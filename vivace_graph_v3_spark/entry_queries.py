@@ -1435,16 +1435,29 @@ _F6_VERTICES_SQL = """
 """
 
 
-def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85) -> str:
+def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85,
+                         sources: list[str] | None = None) -> str:
     """Unrolled power iteration mirroring operators/graph_algorithms.pagerank
-    exactly: per-round contribution sum, dangling mass folded in uniformly,
-    identical expression association."""
+    exactly: per-round contribution sum, dangling mass folded in, identical
+    expression association. ``sources`` mirrors PERSONALIZED pagerank: the
+    teleport vector is |V|/|S| on the sources and 0 elsewhere (mass-|V|
+    convention), and BOTH the base teleport and the dangling redistribution
+    scale by it, exactly like the operator's ``base = (...) * tele``."""
+    if sources is None:
+        tele_cte = "SELECT id, 1.0 AS t FROM vertices"
+    else:
+        in_list = ", ".join(f"'{s}'" for s in sources)
+        tele_cte = f"""SELECT v.id,
+    CASE WHEN v.id IN ({in_list}) THEN nv.n / {float(len(sources))}
+         ELSE 0.0 END AS t
+  FROM vertices v CROSS JOIN nv"""
     parts = [f"""
 WITH vertices AS MATERIALIZED ({_F6_VERTICES_SQL}),
 edges AS MATERIALIZED ({_F6_EDGES_SQL}),
 deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
 nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices),
-r0 AS MATERIALIZED (SELECT id, 1.0 AS rank FROM vertices)"""]
+tele AS MATERIALIZED ({tele_cte}),
+r0 AS MATERIALIZED (SELECT id, t AS rank FROM tele)"""]
     for i in range(1, rounds + 1):
         p = i - 1
         parts.append(f"""
@@ -1459,9 +1472,10 @@ dang{i} AS MATERIALIZED (
 ),
 r{i} AS MATERIALIZED (
   SELECT v.id,
-         (((1.0 - {damping}) + ({damping} * g.dang) / nv.n)
+         ((((1.0 - {damping}) + ({damping} * g.dang) / nv.n) * t.t)
           + {damping} * COALESCE(rc.recv, 0.0)) AS rank
   FROM vertices v
+  JOIN tele t ON t.id = v.id
   LEFT JOIN recv{i} rc ON rc.id = v.id
   CROSS JOIN dang{i} g CROSS JOIN nv
 )""")
@@ -1473,6 +1487,27 @@ ORDER BY round(rank, 4) DESC, id LIMIT 50
 
 
 SQL_GRAPH_PAGERANK = _pagerank_oracle_sql()
+
+# three nation hubs as the teleport set — present at every SF
+_PPR_SOURCES = ["nation:1", "nation:7", "nation:13"]
+
+
+def q_graph_pagerank_personalized(spark, sf_dir):
+    """PERSONALIZED PageRank (random walk with restart to a 3-nation
+    teleport set), 10 fixed power iterations: teleport AND dangling
+    redistribution target only the sources (graph_algorithms.pagerank's
+    ``sources=`` path, source validation at :147-159); oracle = the same
+    rounds unrolled with the teleport vector joined into every round.
+    4-decimal rounded ranks, rank-ordered on the rounded value."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import pagerank
+
+    g = load_tpch_graph(spark, sf_dir)
+    pr = pagerank(g, max_iter=10, tol=None, sources=_PPR_SOURCES)
+    return (pr.select("id", F.round("rank", 4).alias("rank"))
+            .orderBy(F.desc("rank"), "id").limit(50))
+
+
+SQL_GRAPH_PAGERANK_PERSONALIZED = _pagerank_oracle_sql(sources=_PPR_SOURCES)
 
 
 def q_graph_label_propagation(spark, sf_dir):
@@ -3901,6 +3936,78 @@ HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6)
 """
 
 
+def q_curation_ingest(spark, sf_dir):
+    """Batch face of the STREAMING curation-ingest pipeline
+    (streaming/ingest.dedup_ingest_batch, driven by foreachBatch in
+    dedup_ingest_stream): the arriving batch (doc_id % 10 == 0) is
+    near-deduped WITHIN itself (greedy min-id rule — any doc that is the
+    larger id of a dup pair is dropped) and the survivors AGAINST the
+    ingested corpus index (the other 90%, the per-session persisted
+    MinHash index). Returns every batch doc's disposition
+    (doc_id, status in {'batch_dup','index_dup','kept'}) — the exact
+    per-doc decisions the stream's counts summarize, oracle-checked the
+    same way replication_subset checks its stream transform."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        minhash_dedup_incremental, minhash_dedup_pairs)
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    pairs = minhash_dedup_pairs(batch, threshold=0.5)
+    losers = (pairs.select(F.col("id_b").alias("doc_id"))
+              .dropDuplicates())
+    kept1 = batch.join(losers, "doc_id", "left_anti")
+    idx = _session_minhash_index(spark, sf_dir)
+    idx_dups = (minhash_dedup_incremental(kept1, idx, threshold=0.5)
+                .select(F.col("new_id").alias("doc_id")).dropDuplicates())
+    return (batch.select("doc_id")
+            .join(losers.withColumn("__b", F.lit(1)), "doc_id", "left")
+            .join(idx_dups.withColumn("__i", F.lit(1)), "doc_id", "left")
+            .select("doc_id",
+                    F.when(F.col("__b") == 1, F.lit("batch_dup"))
+                    .when(F.col("__i") == 1, F.lit("index_dup"))
+                    .otherwise(F.lit("kept")).alias("status")))
+
+
+SQL_CURATION_INGEST = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+), blose AS (
+  SELECT DISTINCT b.doc_id
+  FROM inv a JOIN inv b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 = 0 AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6)
+         >= 0.5
+), xlose AS (
+  SELECT DISTINCT a.doc_id
+  FROM inv a JOIN inv b ON a.shingle = b.shingle
+  WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+    AND a.doc_id NOT IN (SELECT doc_id FROM blose)
+  GROUP BY a.doc_id, b.doc_id
+  HAVING round(count(*) / (any_value(a.sz) + any_value(b.sz) - count(*)), 6)
+         >= 0.5
+)
+SELECT d.doc_id,
+       CASE WHEN bl.doc_id IS NOT NULL THEN 'batch_dup'
+            WHEN xl.doc_id IS NOT NULL THEN 'index_dup'
+            ELSE 'kept' END AS status
+FROM documents d
+LEFT JOIN blose bl ON bl.doc_id = d.doc_id
+LEFT JOIN xlose xl ON xl.doc_id = d.doc_id
+WHERE d.doc_id % 10 = 0
+"""
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -5323,6 +5430,10 @@ REGISTRY: dict[str, tuple] = {
     "graph_degree_histogram": (q_graph_degree_histogram,
                                 SQL_GRAPH_DEGREE_HISTOGRAM),
     "brand_revenue_share": (q_brand_revenue_share, SQL_BRAND_REVENUE_SHARE),
+    # round-4 additions (never driver-sampled yet — lead the r5 rotation)
+    "curation_ingest": (q_curation_ingest, SQL_CURATION_INGEST),
+    "graph_pagerank_personalized": (q_graph_pagerank_personalized,
+                                    SQL_GRAPH_PAGERANK_PERSONALIZED),
 }
 
 
