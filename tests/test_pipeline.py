@@ -859,3 +859,47 @@ def test_decontaminated_split_quarantines_leaks(spark):
     assert len(out) == 200
     others = [i for i in train_ids if i != victim]
     assert all(out[i] == "train" for i in others)
+
+
+def test_multimodal_pil_branch_where_available(spark):
+    """CI-optional exercise of the PIL seam (multimodal._import_pil /
+    _decode_image_real's non-netpbm branch): skipped where Pillow is
+    absent (this container's default), real wherever it exists — the
+    branch is never permanently dead code."""
+    import io
+
+    import pytest
+
+    Image = pytest.importorskip("PIL.Image")
+
+    import numpy as np
+
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        _decode_image_real, _resize_image_real)
+
+    # constant-gray 8x8 PNG: decoded grayscale == 120 everywhere
+    img = Image.new("RGB", (8, 8), (120, 120, 120))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    blob = buf.getvalue()
+
+    feat = _decode_image_real(blob, 8)
+    assert len(feat) == 8
+    assert np.allclose(feat, 120.0 / 255.0)
+
+    out = _resize_image_real(blob, 4, 2)
+    assert out[:8] == b"\x89PNG\r\n\x1a\n"
+    assert Image.open(io.BytesIO(out)).size == (4, 2)
+
+    # and through the Spark mapInPandas path on a non-netpbm blob
+    df = spark.createDataFrame(
+        [("m1", bytearray(blob), {"kind": "image", "mime": "image/png",
+                                  "width": 8, "height": 8,
+                                  "duration_ms": None})],
+        "media_id string, media binary, "
+        "meta struct<kind:string,mime:string,width:int,height:int,"
+        "duration_ms:bigint>")
+    from vivace_graph_v3_spark.pipeline.multimodal import decode_and_featurize
+    row = decode_and_featurize(df, fake=False).first()
+    assert row["n_bytes"] == len(blob)
+    assert np.allclose(row["feature"], 120.0 / 255.0)
