@@ -903,3 +903,72 @@ def test_multimodal_pil_branch_where_available(spark):
     row = decode_and_featurize(df, fake=False).first()
     assert row["n_bytes"] == len(blob)
     assert np.allclose(row["feature"], 120.0 / 255.0)
+
+
+def test_remove_boilerplate_counts_and_reassembly(spark):
+    """Spans repeated across >=2 docs are removed; unique spans survive in
+    original order; empty docs come through with zero counts."""
+    from vivace_graph_v3_spark.pipeline.text import remove_boilerplate
+
+    bp = "one two three four"  # the shared (boilerplate) 4-token span
+    df = spark.createDataFrame(
+        [(1, f"{bp} alpha beta gamma delta"),
+         (2, f"epsilon zeta eta theta {bp}"),
+         (3, "iota kappa"),
+         (4, "   ")],
+        "doc_id long, text string")
+    rows = {r["id"]: r for r in
+            remove_boilerplate(df, id_col="doc_id", chunk_tokens=4,
+                               min_docs=2).collect()}
+    assert rows[1]["n_chunks"] == 2 and rows[1]["n_removed"] == 1
+    assert rows[1]["cleaned"] == "alpha beta gamma delta"
+    assert rows[2]["cleaned"] == "epsilon zeta eta theta"
+    assert rows[3]["n_removed"] == 0 and rows[3]["cleaned"] == "iota kappa"
+    assert rows[4]["n_chunks"] == 0 and rows[4]["cleaned"] == ""
+
+
+def test_containment_asymmetric_catches_what_jaccard_misses(spark):
+    """A short doc fully quoted inside a long one: containment(short ->
+    long) = 1.0 while Jaccard stays below any dedup threshold."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        containment_pairs, ngram_jaccard_pairs)
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = ("zero one two three four five six seven eight nine ten "
+             + short + " eleven twelve thirteen fourteen fifteen sixteen")
+    df = spark.createDataFrame([(1, short), (2, long_)],
+                               "doc_id long, text string")
+    cont = {(r.inner_id, r.outer_id): r.containment
+            for r in containment_pairs(df, threshold=0.8).collect()}
+    assert cont == {(1, 2): 1.0}  # directed: only short-in-long
+    assert ngram_jaccard_pairs(df, threshold=0.3).count() == 0
+
+
+def test_stratified_sample_exact_counts_and_determinism(spark):
+    from vivace_graph_v3_spark.pipeline.text import stratified_sample
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 3}") for i in range(100)], "doc_id long, source string")
+    got = stratified_sample(df, 5, key_col="doc_id").collect()
+    by_src = {}
+    for r in got:
+        by_src.setdefault(r.source, set()).add(r.doc_id)
+    assert {len(v) for v in by_src.values()} == {5}
+    again = stratified_sample(df.repartition(7), 5, key_col="doc_id").collect()
+    assert {(r.doc_id, r.source) for r in again} == {(r.doc_id, r.source)
+                                                     for r in got}
+
+
+def test_quantize_embeddings_error_bound_and_zero_vector(spark):
+    """Reconstruction error of int8 quantization is bounded by
+    (scale/2)^2 per dim; all-zero vectors report (0, 0)."""
+    from vivace_graph_v3_spark.pipeline.similarity import quantize_embeddings
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.125]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>")
+    rows = {r.vec_id: r for r in quantize_embeddings(df).collect()}
+    scale = 1.0 / 127.0
+    assert rows[1]["scale_nano"] == int(scale * 1e9 + 0.5)
+    assert 0 <= rows[1]["mse_nano"] <= int((scale / 2) ** 2 * 1e9 + 1)
+    assert rows[2]["scale_nano"] == 0 and rows[2]["mse_nano"] == 0

@@ -4008,6 +4008,148 @@ WHERE d.doc_id % 10 = 0
 """
 
 
+def q_text_boilerplate(spark, sf_dir):
+    """C4/RefinedWeb-style exact repeated-span removal
+    (pipeline/text.remove_boilerplate): disjoint 8-token spans occurring
+    in >= 2 distinct docs are boilerplate; every doc re-emitted with
+    those spans deleted. Output per doc: span counts plus the
+    cross-engine md5-64 hash of the cleaned text (the hash makes the
+    reconstructed STRING itself oracle-checked, not just the counts)."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+    from vivace_graph_v3_spark.pipeline.text import remove_boilerplate
+
+    out = remove_boilerplate(_docs(spark, sf_dir), chunk_tokens=8,
+                             min_docs=2)
+    return out.select(F.col("id").alias("doc_id"), "n_chunks", "n_removed",
+                      md5_hash64(F.col("cleaned")).alias("cleaned_hash"))
+
+
+_HASH64_OF = ("((('0x' || substr(md5({c}),1,8))::BIGINT"
+              " - CASE WHEN ('0x' || substr(md5({c}),1,8))::BIGINT"
+              " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+              " + ('0x' || substr(md5({c}),9,8))::BIGINT)")
+
+SQL_TEXT_BOILERPLATE = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id, i AS chunk_i,
+         array_to_string(toks[i*8+1 : i*8+8], ' ') AS chunk
+  FROM t, unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1))
+       AS u(i)
+  WHERE len(toks) > 0
+), bp AS (
+  SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+), rebuilt AS (
+  SELECT c.doc_id, count(*) AS n_chunks,
+         CAST(sum(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_removed,
+         coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                             ' ' ORDER BY c.chunk_i), '') AS cleaned
+  FROM ch c LEFT JOIN bp b USING (chunk)
+  GROUP BY c.doc_id
+)
+SELECT t.doc_id,
+       CAST(coalesce(r.n_chunks, 0) AS BIGINT) AS n_chunks,
+       CAST(coalesce(r.n_removed, 0) AS BIGINT) AS n_removed,
+       HASHEXPR AS cleaned_hash
+FROM t LEFT JOIN rebuilt r USING (doc_id)
+""".replace("HASHEXPR", _HASH64_OF.format(c="coalesce(r.cleaned, '')"))
+
+
+def q_dedup_containment(spark, sf_dir):
+    """Directed containment pairs (pipeline/dedup.containment_pairs):
+    |sh(inner) ∩ sh(outer)| / |sh(inner)| >= 0.8 over 3-gram shingles —
+    the quote-inclusion / snippet-scrape detector Jaccard misses. Inverted
+    shingle index, never all-pairs; integer-round-half-up ratio."""
+    from vivace_graph_v3_spark.pipeline.dedup import containment_pairs
+
+    return containment_pairs(_docs(spark, sf_dir).select("doc_id", "text"),
+                             threshold=0.8)
+
+
+SQL_DEDUP_CONTAINMENT = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+)
+SELECT a.doc_id AS inner_id, b.doc_id AS outer_id,
+       CAST((count(*) * 2000000 + any_value(a.sz))
+            // (any_value(a.sz) * 2) AS DOUBLE) / 1000000.0 AS containment
+FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+GROUP BY a.doc_id, b.doc_id
+HAVING CAST((count(*) * 2000000 + any_value(a.sz))
+            // (any_value(a.sz) * 2) AS DOUBLE) / 1000000.0 >= 0.8
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic per-source 25-doc sample (pipeline/text.
+    stratified_sample): smallest (md5-hash64(doc_id), doc_id) per source —
+    exact per-stratum counts, stable across runs/engines/partitionings."""
+    from vivace_graph_v3_spark.pipeline.text import stratified_sample
+
+    return (stratified_sample(_docs(spark, sf_dir), 25)
+            .select("doc_id", "source"))
+
+
+SQL_STRATIFIED_SAMPLE = f"""
+SELECT doc_id, source FROM (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY {_MIX_HASH64} ASC, doc_id ASC) AS rn
+  FROM documents
+) WHERE rn <= 25
+"""
+
+
+def q_embedding_quantize(spark, sf_dir):
+    """Per-vector int8 scalar-quantization audit (pipeline/similarity.
+    quantize_embeddings): scale and reconstruction MSE in integer
+    nano-units (half-up floor), all map-only expression folds with an
+    exact decimal accumulator — oracle is unnest + decimal SUM, which
+    matches bit-for-bit because decimal addition is order-exact."""
+    from vivace_graph_v3_spark.pipeline.similarity import quantize_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return quantize_embeddings(emb)
+
+
+SQL_EMBEDDING_QUANTIZE = """
+WITH e AS (
+  SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
+), m AS (
+  SELECT vec_id, max(abs(x)) AS amax, count(*) AS dim FROM e GROUP BY vec_id
+), q AS (
+  SELECT e.vec_id,
+         (x - least(greatest(floor(x / (amax / 127.0) + 0.5), -127.0),
+                    127.0) * (amax / 127.0)) AS d
+  FROM e JOIN m USING (vec_id) WHERE amax > 0
+), s AS (
+  SELECT vec_id,
+         CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS errsum
+  FROM q GROUP BY vec_id
+)
+SELECT m.vec_id,
+       CAST(floor(CASE WHEN m.amax > 0 THEN m.amax / 127.0 ELSE 0.0 END
+                  * 1000000000.0 + 0.5) AS BIGINT) AS scale_nano,
+       CAST(floor(CASE WHEN m.amax > 0 THEN s.errsum / m.dim ELSE 0.0 END
+                  * 1000000000.0 + 0.5) AS BIGINT) AS mse_nano
+FROM m LEFT JOIN s USING (vec_id)
+"""
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -5434,6 +5576,10 @@ REGISTRY: dict[str, tuple] = {
     "curation_ingest": (q_curation_ingest, SQL_CURATION_INGEST),
     "graph_pagerank_personalized": (q_graph_pagerank_personalized,
                                     SQL_GRAPH_PAGERANK_PERSONALIZED),
+    "text_boilerplate": (q_text_boilerplate, SQL_TEXT_BOILERPLATE),
+    "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
 }
 
 

@@ -86,6 +86,42 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
             .select("id_a", "id_b", "jaccard"))
 
 
+def containment_pairs(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id", n: int = 3,
+                      threshold: float = 0.8) -> DataFrame:
+    """ASYMMETRIC near-dup detection: directed pairs (inner, outer) where
+    containment(inner -> outer) = |sh(inner) ∩ sh(outer)| / |sh(inner)|
+    >= threshold — the Broder containment coefficient. Catches what
+    Jaccard structurally cannot: a short document quoted/embedded inside
+    a much longer one has high containment but low Jaccard (the union is
+    dominated by the long doc), the common quote-inclusion /
+    snippet-scrape case in web corpora.
+
+    Same inverted-index shape as ngram_jaccard_pairs (explode shingles,
+    hash self-join, group) — cost is per-shingle posting-list fanout²,
+    never all-pairs; run it on blocked/candidate inputs at raw-corpus
+    scale. Both directions are emitted when both clear the threshold
+    (containment is not symmetric). Self-pairs excluded."""
+    base = ensure_parallelism(df).select(F.col(id_col).alias("id"),
+                     shingle_hashes(F.col(text_col), n).alias("sh"))
+    base = base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.id") != F.col("b.id")))
+              .groupBy(F.col("a.id").alias("inner_id"),
+                       F.col("b.id").alias("outer_id"),
+                       F.col("a.sz").alias("sz_in"))
+              .agg(F.count(F.lit(1)).alias("common")))
+    # round-half-up in integer arithmetic so the 6-decimal value is
+    # bit-identical to any SQL oracle (the engine-stable ratio recipe)
+    cont = (F.expr("(common * 2000000 + sz_in) div (sz_in * 2)")
+            .cast("double") / 1e6)
+    return (common.withColumn("containment", cont)
+            .filter(F.col("containment") >= threshold)
+            .select("inner_id", "outer_id", "containment"))
+
+
 def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, *,
                         text_col: str = "text", id_col: str = "doc_id",
                         n: int = 5, min_common: int = 1) -> DataFrame:

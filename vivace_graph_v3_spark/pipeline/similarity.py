@@ -280,3 +280,48 @@ def label_centroid_outliers(emb: DataFrame, *, vec_col: str = "embedding",
                         F.row_number().over(w) * 100
                         <= F.count(F.lit(1)).over(cnt) * outlier_pct)
             .select("vec_id", "label", "dist2", "is_outlier"))
+
+
+def quantize_embeddings(emb: DataFrame, *, vec_col: str = "embedding",
+                        id_col: str = "vec_id") -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization audit — the standard
+    compression step before shipping an embedding corpus to an ANN
+    service (scale = max|x|/127, q_j = round(x_j/scale) clamped to
+    [-127, 127]) — reporting, per vector, the scale and the
+    reconstruction MSE in integer NANO-units so the output is
+    engine-exact (no float render at all). Returns
+    (id, scale_nano, mse_nano); all-zero vectors report (0, 0).
+
+    Scale shape: a single map-only expression fold per row
+    (F.aggregate with an exact DECIMAL(38,12) accumulator — order
+    irrelevant, so any SQL oracle's unnest+SUM matches bit-for-bit);
+    no shuffle, no UDF — quantizing 100 TB of vectors runs at scan
+    speed. Rounding is floor(x + 0.5) (half-up, IEEE-deterministic in
+    every engine) rather than round(), whose half-even vs half-up
+    conventions differ across engines."""
+    xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(xs, F.abs))
+    scale = amax / F.lit(127.0)
+
+    def term(x):
+        q = F.least(F.greatest(F.floor(x / scale + F.lit(0.5))
+                               .cast("double"),
+                               F.lit(-127.0)), F.lit(127.0))
+        d = x - q * scale
+        return (d * d).cast("decimal(38,12)")
+
+    # re-cast each partial sum: Spark widens (38,12)+(38,12) to (39,12),
+    # which would no longer match the accumulator type (values are tiny,
+    # the cast is exact)
+    errsum = F.aggregate(xs, F.lit(0).cast("decimal(38,12)"),
+                         lambda acc, x: (acc + term(x))
+                         .cast("decimal(38,12)"))
+    mse = F.when(amax > 0, errsum.cast("double") / F.size(xs)) \
+        .otherwise(F.lit(0.0))
+    sc = F.when(amax > 0, scale).otherwise(F.lit(0.0))
+    return emb.select(
+        F.col(id_col),
+        F.floor(sc * F.lit(1e9) + F.lit(0.5)).cast("long")
+        .alias("scale_nano"),
+        F.floor(mse * F.lit(1e9) + F.lit(0.5)).cast("long")
+        .alias("mse_nano"))

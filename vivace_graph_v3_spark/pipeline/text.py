@@ -275,6 +275,96 @@ def deterministic_sample(df: DataFrame, rate: float, *,
     return df.filter(b < thresh)
 
 
+def stratified_sample(df: DataFrame, k: int, *,
+                      group_col: str = "source",
+                      key_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-group top-k sample: within each group keep the k
+    rows with the smallest (md5-hash64(key), key) — a reproducible
+    stratified sample whose membership is stable across runs, engines and
+    partitionings (the same property as deterministic_sample, but with an
+    exact per-stratum COUNT instead of an expected rate — the shape
+    eval-set construction and per-source inspection pulls need).
+
+    Scale: one hash-partitioned window per group; group cardinality is
+    small (sources/languages), row volume within a group is the corpus —
+    rank-then-filter is the standard two-phase top-k per key and never
+    global-sorts."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    h = md5_hash64(F.col(key_col).cast("string"))
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(key_col).asc())
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= k).drop("__rn"))
+
+
+def boilerplate_chunks(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", chunk_tokens: int = 8,
+                       min_docs: int = 2) -> DataFrame:
+    """The boilerplate table for remove_boilerplate: disjoint
+    ``chunk_tokens``-token spans (the last span may be shorter) that occur
+    in >= ``min_docs`` DISTINCT documents — the exact repeated-span unit
+    C4/RefinedWeb-style cleaning removes (headers, footers, licence
+    blurbs). Returns (chunk, n_docs). One explode + one groupBy; the
+    span table is duplicate-bounded, far smaller than the corpus."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "))
+    return (df.filter(F.size(toks) > 0)
+            .select(F.col(id_col).alias("__id"),
+                    F.explode(chunks).alias("chunk"))
+            .groupBy("chunk")
+            .agg(F.countDistinct("__id").alias("n_docs"))
+            .filter(F.col("n_docs") >= min_docs))
+
+
+def remove_boilerplate(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", chunk_tokens: int = 8,
+                       min_docs: int = 2) -> DataFrame:
+    """Exact repeated-span (boilerplate) removal: re-emit every document
+    with its cross-document-repeated ``chunk_tokens``-token spans deleted
+    (whitespace-normalized, spans joined by single spaces). Returns
+    (id, n_chunks, n_removed, cleaned) — the cleaned text plus audit
+    counts.
+
+    Scale shape: chunking is map-only; the boilerplate table is matched
+    with a LEFT JOIN on the chunk string (hash shuffle on the span — the
+    span table side is duplicate-bounded and usually broadcastable, which
+    Catalyst/AQE decides from its measured size), and the document is
+    reassembled with an order-preserving groupBy fold — no window over
+    the corpus, no driver loop."""
+    toks = tokens(F.col(text_col))
+    n_chunks = F.ceil(F.size(toks) / F.lit(chunk_tokens)).cast("int")
+    # guard the empty doc: sequence(0, -1) would emit [0, -1], not []
+    chunks = F.when(F.size(toks) > 0, F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * chunk_tokens + 1, chunk_tokens), " "))
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    bp = boilerplate_chunks(df, text_col=text_col, id_col=id_col,
+                            chunk_tokens=chunk_tokens, min_docs=min_docs)
+    exploded = (df.select(F.col(id_col).alias("id"),
+                          F.posexplode_outer(chunks)
+                          .alias("chunk_i", "chunk")))
+    marked = (exploded.join(bp.select("chunk",
+                                      F.lit(True).alias("__bp")),
+                            "chunk", "left"))
+    return (marked.groupBy("id")
+            .agg(F.count("chunk").alias("n_chunks"),
+                 F.sum(F.when(F.col("__bp"), 1).otherwise(0))
+                 .alias("n_removed"),
+                 F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(
+                             F.when(F.col("__bp").isNull() &
+                                    F.col("chunk").isNotNull(),
+                                    F.struct("chunk_i", "chunk")))),
+                         lambda s: s["chunk"]),
+                     " ").alias("cleaned")))
+
+
 def training_mix(df: DataFrame, weights: dict[str, float], *,
                  source_col: str = "source",
                  key_col: str = "doc_id",
