@@ -5394,8 +5394,10 @@ FROM based CROSS JOIN tot
 # entries (q13_customer_distribution, customer_rfm, order_status_transitions,
 # revenue_pareto, revenue_gini, dedup_agreement, supplier_lead_time,
 # text_lexical_diversity, graph_degree_histogram, brand_revenue_share,
-# distinctive_terms) plus anything newly registered this round (appended at
-# the end, after brand_revenue_share).
+# distinctive_terms) plus the 6 entries registered this round (appended at
+# the end: curation_ingest, graph_pagerank_personalized, text_boilerplate,
+# dedup_containment, stratified_sample, embedding_quantize) = 17 for the
+# r5 front, leaving 33 slots for re-confirming earlier rows.
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
