@@ -972,3 +972,68 @@ def test_quantize_embeddings_error_bound_and_zero_vector(spark):
     assert rows[1]["scale_nano"] == int(scale * 1e9 + 0.5)
     assert 0 <= rows[1]["mse_nano"] <= int((scale / 2) ** 2 * 1e9 + 1)
     assert rows[2]["scale_nano"] == 0 and rows[2]["mse_nano"] == 0
+
+
+def test_token_budget_mix_fills_to_budget_deterministically(spark):
+    from vivace_graph_v3_spark.pipeline.text import token_budget_mix
+
+    df = spark.createDataFrame(
+        [(i, "a" if i % 2 == 0 else "b", "w " * 10) for i in range(40)]
+        + [(100, "c", "w w w"), (101, "a", "")],
+        "doc_id long, source string, text string")
+    out = token_budget_mix(df, {"a": 35, "b": 1000},
+                           source_col="source").collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r.source, []).append(r)
+    # a: 10-token docs, budget 35 -> exactly 3 docs fit; the 0-token doc
+    # sorts somewhere in hash order but cum stays <= 35 wherever it lands
+    assert sum(r.n_tokens for r in by_src["a"]) <= 35
+    assert max(r.cum_tokens for r in by_src["a"]) <= 35
+    assert len([r for r in by_src["a"] if r.n_tokens > 0]) == 3
+    # b: all 20 docs fit in 1000
+    assert len(by_src["b"]) == 20
+    # c: unbudgeted source dropped entirely
+    assert "c" not in by_src
+    # determinism across partitionings
+    again = token_budget_mix(df.repartition(5), {"a": 35, "b": 1000},
+                             source_col="source").collect()
+    assert {(r.doc_id, r.cum_tokens) for r in again} == \
+        {(r.doc_id, r.cum_tokens) for r in out}
+
+
+def test_cms_never_underestimates_and_matches_exact_on_sparse(spark):
+    from vivace_graph_v3_spark.operators.sketches import (
+        cms_build, cms_estimate)
+
+    import pyspark.sql.functions as F
+
+    words = spark.createDataFrame(
+        [(f"w{i % 7}",) for i in range(70)] + [("rare",)], "w string")
+    cms = cms_build(words, "w", depth=4, width=1024)
+    true = words.groupBy("w").agg(F.count(F.lit(1)).alias("t"))
+    est = cms_estimate(cms, true.select("w"), "w", depth=4, width=1024)
+    rows = {r.w: (r.t, r.est) for r in true.join(est, "w").collect()}
+    assert all(est >= t for t, est in rows.values())
+    # 8 distinct words in 4096 cells: collisions are overwhelmingly
+    # unlikely, so estimates are exact here
+    assert all(est == t for t, est in rows.values())
+    assert rows["rare"] == (1, 1)
+
+
+def test_rerank_topk_scores_only_bm25_candidates(spark):
+    from vivace_graph_v3_spark.pipeline.retrieval import rerank_topk
+
+    docs = spark.createDataFrame(
+        [(i, "query term here" if i < 5 else "other words only")
+         for i in range(50)], "doc_id long, text string")
+    emb = spark.createDataFrame(
+        [(i, [1.0, 0.0] if i == 3 else [0.6, 0.8]) for i in range(50)],
+        "vec_id long, embedding array<double>")
+    out = rerank_topk(docs, emb, ["query"], [1.0, 0.0], k=3, k_each=5)
+    rows = out.collect()
+    # only the 5 lexical matches are candidates; vec 3 is the perfect
+    # cosine match and must rank first
+    assert [r.id for r in rows][0] == 3
+    assert all(r.id < 5 for r in rows) and len(rows) == 3
+    assert rows[0].cosine == 1.0

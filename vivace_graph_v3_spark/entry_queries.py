@@ -4150,6 +4150,153 @@ FROM m LEFT JOIN s USING (vec_id)
 """
 
 
+def q_retrieval_rerank(spark, sf_dir):
+    """Two-stage retrieve-then-rerank (pipeline/retrieval.rerank_topk):
+    BM25 top-20 candidates, cosine-rescored against the query embedding
+    (vec_id 0), reranked top-10 — the production RAG shape where dense
+    scoring cost is decoupled from corpus size (the rerank join is 20
+    broadcast rows, the corpus never shuffles)."""
+    from vivace_graph_v3_spark.pipeline.retrieval import rerank_topk
+
+    qv = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+          .select("embedding").first()[0])
+    return rerank_topk(_docs(spark, sf_dir), _emb(spark, sf_dir),
+                       ["spark", "merge", "window"], list(qv),
+                       k=10, k_each=20)
+
+
+SQL_RETRIEVAL_RERANK = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), dl AS (
+  SELECT id, count(*) AS dl FROM w GROUP BY id
+), stats AS (
+  SELECT count(*) AS n_docs, sum(dl) / count(*) AS avgdl FROM dl
+), tf AS (
+  SELECT id, w, count(*) AS tf FROM w
+  WHERE w IN ('spark', 'merge', 'window') GROUP BY id, w
+), dfreq AS (
+  SELECT w, count(*) AS df FROM tf GROUP BY w
+), scored AS (
+  SELECT tf.id,
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl))
+           AS s
+  FROM tf JOIN dfreq USING (w) JOIN dl USING (id) CROSS JOIN stats
+), totals AS (
+  SELECT id, round(CAST(sum(CAST(s AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS score
+  FROM scored GROUP BY id
+), cand AS (
+  SELECT id FROM (
+    SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+    FROM totals)
+  WHERE rank <= 20
+), rescored AS (
+  SELECT e.vec_id AS id,
+         round(list_cosine_similarity(
+           CAST(e.embedding AS DOUBLE[]),
+           CAST((SELECT embedding FROM embeddings WHERE vec_id = 0)
+                AS DOUBLE[])), 6) AS cosine
+  FROM embeddings e JOIN cand ON cand.id = e.vec_id
+)
+SELECT id, cosine, rank FROM (
+  SELECT id, cosine,
+         row_number() OVER (ORDER BY cosine DESC, id ASC) AS rank
+  FROM rescored)
+WHERE rank <= 10
+"""
+
+
+def q_token_budget_mix(spark, sf_dir):
+    """Token-budgeted mixture (pipeline/text.token_budget_mix): fill 500
+    tokens per source for src0..src4 in deterministic md5-hash order —
+    the "N tokens per source" form training mixes are specified in.
+    Returns the kept docs with per-doc and cumulative token counts."""
+    from vivace_graph_v3_spark.pipeline.text import token_budget_mix
+
+    budgets = {f"src{i}": 500 for i in range(5)}
+    return (token_budget_mix(_docs(spark, sf_dir), budgets)
+            .select("doc_id", "source", "n_tokens", "cum_tokens"))
+
+
+SQL_TOKEN_BUDGET_MIX = rf"""
+WITH t AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         {_MIX_HASH64} AS h
+  FROM documents
+  WHERE source IN ('src0', 'src1', 'src2', 'src3', 'src4')
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM t
+) WHERE cum_tokens <= 500
+"""
+
+
+def q_cms_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters (operators/sketches.py): a 4x1024
+    CMS over every word occurrence, probed with the exact top-10 words.
+    Because the sketch hashes are the cross-engine md5-64, the oracle
+    rebuilds the SKETCH itself and the estimates match exactly — an
+    exact-value contract on an approximate structure (est >= true always;
+    overcount is the collision mass)."""
+    from vivace_graph_v3_spark.operators.sketches import (
+        cms_build, cms_estimate)
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    words = (_docs(spark, sf_dir)
+             .select(F.explode(tokens(F.col("text"))).alias("w")))
+    cms = cms_build(words, "w", depth=4, width=1024)
+    true = (words.groupBy("w").agg(F.count(F.lit(1)).alias("true_cnt"))
+            .orderBy(F.desc("true_cnt"), F.asc("w")).limit(10))
+    est = cms_estimate(cms, true.select("w"), "w", depth=4, width=1024)
+    return (true.join(est, "w")
+            .select(F.col("w").alias("word"), "true_cnt", "est",
+                    (F.col("est") - F.col("true_cnt")).alias("overcount")))
+
+
+def _cms_sql(depth: int = 4, width: int = 1024) -> str:
+    js = ", ".join(f"({j})" for j in range(depth))
+    h = _HASH64_OF.format(c="(CAST(d.j AS VARCHAR) || '|' || w.w)")
+    hp = _HASH64_OF.format(c="(CAST(d.j AS VARCHAR) || '|' || t.w)")
+    return rf"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), cnt AS (
+  SELECT w, count(*) AS true_cnt FROM w GROUP BY w
+), top AS (
+  SELECT w, true_cnt FROM cnt ORDER BY true_cnt DESC, w ASC LIMIT 10
+), cells AS (
+  SELECT d.j, (({h} % {width}) + {width}) % {width} AS bucket,
+         count(*) AS cnt
+  FROM w CROSS JOIN (VALUES {js}) AS d(j)
+  GROUP BY 1, 2
+)
+SELECT t.w AS word, t.true_cnt,
+       CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS est,
+       CAST(min(coalesce(c.cnt, 0)) - t.true_cnt AS BIGINT) AS overcount
+FROM top t CROSS JOIN (VALUES {js}) AS d(j)
+LEFT JOIN cells c
+  ON c.j = d.j AND c.bucket = (({hp} % {width}) + {width}) % {width}
+GROUP BY t.w, t.true_cnt
+"""
+
+
+SQL_CMS_HEAVY_HITTERS = _cms_sql()
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -5582,6 +5729,9 @@ REGISTRY: dict[str, tuple] = {
     "dedup_containment": (q_dedup_containment, SQL_DEDUP_CONTAINMENT),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "embedding_quantize": (q_embedding_quantize, SQL_EMBEDDING_QUANTIZE),
+    "retrieval_rerank": (q_retrieval_rerank, SQL_RETRIEVAL_RERANK),
+    "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
+    "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
 }
 
 

@@ -59,3 +59,30 @@ def hybrid_rrf(docs: DataFrame, emb: DataFrame, query_terms: list[str],
     w = Window.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
     return (top.withColumn("rank", F.row_number().over(w))
             .select("id", "rrf_score", "rank"))
+
+
+def rerank_topk(docs: DataFrame, emb: DataFrame, query_terms: list[str],
+                query_vec: list[float], *, k: int = 10,
+                k_each: int = 20) -> DataFrame:
+    """Two-stage retrieve-then-rerank — the production RAG shape: a cheap
+    high-recall lexical stage (BM25 top-``k_each`` over the inverted-index
+    slice) followed by a dense precision stage that cosine-scores ONLY
+    those candidates against the query vector. Returns the reranked
+    top-``k`` as (id, cosine, rank).
+
+    Scale: the rerank join is ``k_each`` rows broadcast against the
+    embedding table (equi-join on the id, corpus side never shuffles) —
+    the dense model's cost is decoupled from corpus size, which is the
+    entire point of the architecture. Assumes doc_id == vec_id."""
+    cand = (bm25_topk(docs, query_terms, k=k_each).select("id"))
+    scored = (emb.join(F.broadcast(cand),
+                       emb["vec_id"] == cand["id"], "left_semi")
+              .select(F.col("vec_id").alias("id"),
+                      F.round(cosine(F.col("embedding"),
+                                     F.array(*[F.lit(float(x))
+                                               for x in query_vec])), 6)
+                      .alias("cosine")))
+    top = scored.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("id", "cosine", "rank"))

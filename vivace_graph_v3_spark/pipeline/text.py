@@ -386,6 +386,39 @@ def training_mix(df: DataFrame, weights: dict[str, float], *,
     return df.filter(b < thresh)
 
 
+def token_budget_mix(df: DataFrame, budgets: dict[str, int], *,
+                     source_col: str = "source", key_col: str = "doc_id",
+                     text_col: str = "text") -> DataFrame:
+    """Token-BUDGETED corpus mixture: for each source, keep documents in
+    deterministic (md5-hash64(key), key) order while the running token
+    total stays within that source's budget — "fill N tokens per source"
+    is how training mixes are actually specified, where training_mix's
+    per-source RATES need the corpus size known up front. Sources absent
+    from ``budgets`` are dropped. A doc is kept iff the cumulative count
+    INCLUDING it fits (the first overflowing doc is cut, nothing after it
+    is backfilled — order-stable membership). Returns the kept rows plus
+    (n_tokens, cum_tokens).
+
+    Scale: one window cumsum per source (group count is small — sources,
+    not docs) over the hash order; no global sort, no driver state."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    h = md5_hash64(F.col(key_col).cast("string"))
+    w = (Window.partitionBy(source_col)
+         .orderBy(h.asc(), F.col(key_col).asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    budget = F.lit(0)
+    for src, b in sorted(budgets.items(), reverse=True):
+        budget = F.when(F.col(source_col) == src, F.lit(int(b))) \
+            .otherwise(budget)
+    ntok = F.size(tokens(F.col(text_col)))
+    return (df.withColumn("n_tokens", ntok.cast("long"))
+            .withColumn("cum_tokens", F.sum("n_tokens").over(w))
+            # budget > 0 guard: a 0-token doc in an unbudgeted source
+            # would otherwise pass cum(0) <= budget(0)
+            .filter((budget > 0) & (F.col("cum_tokens") <= budget)))
+
+
 def unigram_logprob(df: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Corpus-self-trained unigram negative log-probability per document —
