@@ -76,6 +76,13 @@ BENCH_QUERIES = [
     "events_dau_mau",
     "revenue_pareto",
     "entity_fuzzy_pairs",
+    "text_boilerplate",
+    "dedup_containment",
+    "stratified_sample",
+    "embedding_quantize",
+    "retrieval_rerank",
+    "token_budget_mix",
+    "cms_heavy_hitters",
 ]
 
 

@@ -1037,3 +1037,20 @@ def test_rerank_topk_scores_only_bm25_candidates(spark):
     assert [r.id for r in rows][0] == 3
     assert all(r.id < 5 for r in rows) and len(rows) == 3
     assert rows[0].cosine == 1.0
+
+
+def test_mmr_prefers_diversity_over_redundancy(spark):
+    """Two near-identical high-relevance vectors: plain top-2 takes both;
+    MMR takes one of them plus the diverse runner-up."""
+    from vivace_graph_v3_spark.pipeline.retrieval import dense_topk, mmr_topk
+
+    q = [1.0, 0.1]  # NOT equal to any vector, else MMR scores all cancel
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.9999, 0.01]), (3, [0.7, 0.7]),
+         (4, [0.0, 1.0])],
+        "vec_id long, embedding array<double>")
+    plain = [r.id for r in dense_topk(emb, q, 2).collect()]
+    assert set(plain) == {1, 2}  # the redundant near-identical pair
+    mmr = [r.id for r in
+           mmr_topk(emb, q, k=2, pool=4, lam=0.5).orderBy("rank").collect()]
+    assert mmr[0] in (1, 2) and mmr[1] in (3, 4)

@@ -4297,6 +4297,70 @@ GROUP BY t.w, t.true_cnt
 SQL_CMS_HEAVY_HITTERS = _cms_sql()
 
 
+def q_retrieval_mmr(spark, sf_dir):
+    """Maximal-Marginal-Relevance diverse top-5 from a top-20 cosine pool
+    (pipeline/retrieval.mmr_topk, lambda 0.7, query = embedding of
+    vec_id 0): the diversity pass over an ANN result list. The greedy is
+    pool-bounded, so the oracle unrolls the identical 5 selection steps
+    as CTE stages."""
+    from vivace_graph_v3_spark.pipeline.retrieval import mmr_topk
+
+    qv = (_emb(spark, sf_dir).filter(F.col("vec_id") == 0)
+          .select("embedding").first()[0])
+    return mmr_topk(_emb(spark, sf_dir), list(qv), k=5, pool=20, lam=0.7)
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7) -> str:
+    """Unrolled MMR greedy mirroring pipeline/retrieval.mmr_topk: the
+    lambda weights are emitted with Python repr so SQL parses the SAME
+    doubles Spark's lit(lam)/lit(1.0-lam) use (1.0-0.7 is
+    0.30000000000000004, not 0.3)."""
+    w_rel, w_div = repr(float(lam)), repr(1.0 - lam)
+    cos0 = ("round(list_cosine_similarity(CAST({e} AS DOUBLE[]), "
+            "CAST((SELECT embedding FROM embeddings WHERE vec_id = 0) "
+            "AS DOUBLE[])), 6)")
+    parts = [f"""
+WITH cand AS (
+  SELECT id, cosine FROM (
+    SELECT vec_id AS id, {cos0.format(e='embedding')} AS cosine,
+           row_number() OVER (
+             ORDER BY {cos0.format(e='embedding')} DESC, vec_id ASC) AS rn
+    FROM embeddings) WHERE rn <= {pool}
+), pairs AS (
+  SELECT a.vec_id AS id, b.vec_id AS other,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS sim
+  FROM embeddings a
+  JOIN cand ca ON ca.id = a.vec_id
+  JOIN embeddings b ON b.vec_id <> a.vec_id
+  JOIN cand cb ON cb.id = b.vec_id
+), sel1 AS (
+  SELECT id, cosine, 1 AS rank FROM cand
+  ORDER BY cosine DESC, id ASC LIMIT 1
+), selu1 AS (SELECT * FROM sel1)"""]
+    for t in range(2, k + 1):
+        p = t - 1
+        parts.append(f"""
+sel{t} AS (
+  SELECT id, cosine, {t} AS rank FROM (
+    SELECT c.id, c.cosine,
+           {w_rel} * c.cosine - {w_div} * coalesce(p.maxsim, 0.0) AS mmr
+    FROM cand c LEFT JOIN (
+      SELECT id, max(sim) AS maxsim FROM pairs
+      WHERE other IN (SELECT id FROM selu{p}) GROUP BY id) p USING (id)
+    WHERE c.id NOT IN (SELECT id FROM selu{p}))
+  ORDER BY mmr DESC, id ASC LIMIT 1
+),
+selu{t} AS (SELECT * FROM selu{p} UNION ALL SELECT * FROM sel{t})""")
+    return ",".join(parts) + f"""
+SELECT id, cosine, rank FROM selu{k}
+"""
+
+
+SQL_RETRIEVAL_MMR = _mmr_sql()
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -5732,6 +5796,7 @@ REGISTRY: dict[str, tuple] = {
     "retrieval_rerank": (q_retrieval_rerank, SQL_RETRIEVAL_RERANK),
     "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
+    "retrieval_mmr": (q_retrieval_mmr, SQL_RETRIEVAL_MMR),
 }
 
 

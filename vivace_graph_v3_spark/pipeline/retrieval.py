@@ -86,3 +86,56 @@ def rerank_topk(docs: DataFrame, emb: DataFrame, query_terms: list[str],
     w = Window.orderBy(F.col("cosine").desc(), F.col("id").asc())
     return (top.withColumn("rank", F.row_number().over(w))
             .select("id", "cosine", "rank"))
+
+
+def mmr_topk(emb: DataFrame, query_vec: list[float], *, k: int = 5,
+             pool: int = 20, lam: float = 0.7,
+             vec_col: str = "embedding", id_col: str = "vec_id") -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) diverse
+    top-k: greedily pick, k times, the candidate maximizing
+    lam * cos(query, c) - (1-lam) * max_{s in selected} cos(c, s) —
+    relevance traded against redundancy, the standard diversity pass over
+    an ANN result list (and a near-dup-aware retrieval primitive).
+
+    Scale shape: the greedy is inherently sequential, but only over the
+    POOL (top-``pool`` by query cosine), never the corpus: the corpus
+    contributes one map-only scan (dense_topk), the pool's pairwise
+    cosine matrix is pool^2 tiny broadcast rows, and the k selection
+    steps unroll as k lazy DataFrame stages over that matrix — bounded
+    data, no driver loop over corpus rows, and an SQL engine can unroll
+    the identical k CTE stages (which is exactly how the contract oracle
+    verifies it). Ties break by id; cosines are 6-dp rounded so the
+    trade-off arithmetic is bit-identical across engines."""
+    cand = (dense_topk(emb, query_vec, pool, vec_col=vec_col,
+                       id_col=id_col)
+            .select("id", "cosine").localCheckpoint(eager=True))
+    vecs = (emb.join(F.broadcast(cand.select("id")),
+                     emb[id_col] == cand["id"], "left_semi")
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")))
+    a, b = vecs.alias("a"), vecs.alias("b")
+    pairs = (a.join(b, F.col("a.id") != F.col("b.id"))
+             .select(F.col("a.id").alias("id"), F.col("b.id").alias("other"),
+                     F.round(cosine(F.col("a.v"), F.col("b.v")), 6)
+                     .alias("sim"))
+             .localCheckpoint(eager=True))
+    sel = (cand.orderBy(F.col("cosine").desc(), F.col("id").asc()).limit(1)
+           .select("id", "cosine", F.lit(1).alias("rank")))
+    for step in range(2, k + 1):
+        pen = (pairs.join(F.broadcast(sel.select(F.col("id").alias("other"))),
+                          "other")
+               .groupBy("id").agg(F.max("sim").alias("maxsim")))
+        remaining = cand.join(sel.select("id"), "id", "left_anti")
+        scored = (remaining.join(pen, "id", "left")
+                  .select("id", "cosine",
+                          (F.lit(lam) * F.col("cosine")
+                           - F.lit(1.0 - lam)
+                           * F.coalesce(F.col("maxsim"), F.lit(0.0)))
+                          .alias("mmr")))
+        nxt = (scored.orderBy(F.col("mmr").desc(), F.col("id").asc())
+               .limit(1)
+               .select("id", "cosine", F.lit(step).alias("rank")))
+        # checkpoint the (<= step)-row selection: each step reads `sel`
+        # twice (penalty join + anti join), so a lazy chain doubles the
+        # plan subtree per step — k tiny jobs beat a 2^k plan
+        sel = sel.unionByName(nxt).localCheckpoint(eager=True)
+    return sel.select("id", "cosine", "rank")
