@@ -53,6 +53,11 @@ AUDITED = [
     "graph_negative_samples", "events_anomalies", "salted_revenue",
     "two_phase_distinct", "customer_rfm", "entity_fuzzy_pairs",
     "export_shards", "events_wow_change",
+    # round-4 additions
+    "curation_ingest", "graph_pagerank_personalized", "text_boilerplate",
+    "dedup_containment", "stratified_sample", "embedding_quantize",
+    "retrieval_rerank", "token_budget_mix", "cms_heavy_hitters",
+    "retrieval_mmr",
 ]
 
 
