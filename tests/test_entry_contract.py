@@ -194,3 +194,30 @@ def test_ann_recall_fixture_constants_still_measured(spark):
            for name in ("ann_ivf_recall", "ann_lsh_recall")}
     assert got["ann_ivf_recall"]["n_hits"] == 46, got
     assert got["ann_lsh_recall"]["n_hits"] == 48, got
+
+
+def test_contract_values_partitioning_invariant(spark):
+    """The determinism claim behind every oracle: contract values must not
+    depend on physical layout. Re-run a cross-section of entries (window,
+    shuffle-agg, hash-mix, sketch, skew-rewrite shapes) under a different
+    shuffle-partition count and input partitioning, and require identical
+    canonical hashes."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from check_contract import canon_pdf
+
+    qs = entry_mod.queries()
+    names = ["text_repetition", "events_sessions", "token_budget_mix",
+             "cms_heavy_hitters", "two_phase_distinct", "embedding_quantize"]
+    before = {}
+    for n in names:
+        before[n] = canon_pdf(qs[n](spark, SF_DIR).toPandas())[0]
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "7")
+    try:
+        for n in names:
+            h, _, _ = canon_pdf(qs[n](spark, SF_DIR).toPandas())
+            assert h == before[n], f"{n} hash changed with partitioning"
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
