@@ -4361,6 +4361,74 @@ SELECT id, cosine, rank FROM selu{k}
 SQL_RETRIEVAL_MMR = _mmr_sql()
 
 
+def q_curation_v2(spark, sf_dir):
+    """Round-4 END-TO-END curation pipeline in one lazy plan, composing
+    this round's operators: boilerplate-span removal (8-token spans in
+    >= 2 docs) -> drop docs emptied by cleaning -> exact dedup on the
+    CLEANED text (min-id survivor) -> 400-token-per-source budget mix in
+    deterministic hash order. Returns the final kept set with its token
+    accounting — the artifact a training run would consume. The oracle
+    recomputes the identical four stages in SQL."""
+    from vivace_graph_v3_spark.pipeline.dedup import exact_dedup
+    from vivace_graph_v3_spark.pipeline.text import (
+        remove_boilerplate, token_budget_mix)
+
+    docs = _docs(spark, sf_dir)
+    cleaned = (remove_boilerplate(docs, chunk_tokens=8, min_docs=2)
+               .filter(F.col("cleaned") != "")
+               .join(docs.select(F.col("doc_id").alias("id"), "source"),
+                     "id"))
+    surv = exact_dedup(cleaned, text_col="cleaned", id_col="id")
+    budgets = {f"src{i}": 400 for i in range(20)}
+    out = token_budget_mix(surv, budgets, source_col="source",
+                           key_col="id", text_col="cleaned")
+    return out.select(F.col("id").alias("doc_id"), "source", "n_tokens",
+                      "cum_tokens")
+
+
+SQL_CURATION_V2 = (r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id, i AS chunk_i,
+         array_to_string(toks[i*8+1 : i*8+8], ' ') AS chunk
+  FROM t, unnest(generate_series(0, CAST(ceil(len(toks)/8.0) AS INT) - 1))
+       AS u(i)
+  WHERE len(toks) > 0
+), bp AS (
+  SELECT chunk FROM ch GROUP BY chunk HAVING count(DISTINCT doc_id) >= 2
+), rebuilt AS (
+  SELECT c.doc_id,
+         coalesce(string_agg(CASE WHEN b.chunk IS NULL THEN c.chunk END,
+                             ' ' ORDER BY c.chunk_i), '') AS cleaned
+  FROM ch c LEFT JOIN bp b USING (chunk)
+  GROUP BY c.doc_id
+), cleaned AS (
+  SELECT r.doc_id, d.source, r.cleaned
+  FROM rebuilt r JOIN documents d USING (doc_id)
+  WHERE r.cleaned <> ''
+), surv AS (
+  SELECT min(doc_id) AS doc_id FROM cleaned GROUP BY cleaned
+), kept AS (
+  SELECT c.doc_id, c.source,
+         CAST(len(list_filter(string_split_regex(trim(c.cleaned), '\s+'),
+                              x -> x <> '')) AS BIGINT) AS n_tokens,
+         HEXPR AS h
+  FROM cleaned c JOIN surv s ON s.doc_id = c.doc_id
+)
+SELECT doc_id, source, n_tokens, cum_tokens FROM (
+  SELECT doc_id, source, n_tokens,
+         CAST(sum(n_tokens) OVER (
+           PARTITION BY source ORDER BY h ASC, doc_id ASC
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_tokens
+  FROM kept
+) WHERE cum_tokens <= 400
+""").replace("HEXPR", _MIX_HASH64.replace("doc_id", "c.doc_id"))
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -5799,6 +5867,7 @@ REGISTRY: dict[str, tuple] = {
     "token_budget_mix": (q_token_budget_mix, SQL_TOKEN_BUDGET_MIX),
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "retrieval_mmr": (q_retrieval_mmr, SQL_RETRIEVAL_MMR),
+    "curation_v2": (q_curation_v2, SQL_CURATION_V2),
 }
 
 
