@@ -247,3 +247,19 @@ def test_negative_samples_deterministic_and_uniformish(spark):
     from collections import Counter
     counts = Counter(r.negative for r in out)
     assert max(counts.values()) < 800 / 50 * 3
+
+
+def test_walk_census_counts_walks_not_paths(spark):
+    """DP-on-counts semantics: multi-edges multiply; a diamond produces 2
+    length-2 walks; vertices with no out-edges report zeros."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import walk_census
+
+    # diamond a->b, a->c, b->d, c->d plus d->e and a DOUBLE edge b->d
+    g = _graph(spark, "abcde",
+               [("a", "b", 1), ("a", "c", 1), ("b", "d", 1), ("b", "d", 1),
+                ("c", "d", 1), ("d", "e", 1)])
+    rows = {r.id: (r.w1, r.w2, r.w3) for r in walk_census(g).collect()}
+    assert rows["a"] == (2, 3, 3)   # a->{b,c}; a->b->d x2 + a->c->d; ->e x3
+    assert rows["b"] == (2, 2, 0)   # two parallel b->d edges; b->d->e x2
+    assert rows["d"] == (1, 0, 0)
+    assert rows["e"] == (0, 0, 0)

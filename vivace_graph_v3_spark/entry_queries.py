@@ -4429,6 +4429,44 @@ SELECT doc_id, source, n_tokens, cum_tokens FROM (
 """).replace("HEXPR", _MIX_HASH64.replace("doc_id", "c.doc_id"))
 
 
+def q_graph_walk_census(spark, sf_dir):
+    """Per-vertex walk census over the F6 graph: w_k = number of directed
+    walks of length exactly k (k = 1..3, multi-edges counted), computed as
+    count-vector dynamic programming (one join + aggregate per level —
+    never path enumeration, whose instance count dwarfs |E|). Top-50 by
+    (w3, w2, w1, id)."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import walk_census
+
+    g = load_tpch_graph(spark, sf_dir)
+    return (walk_census(g, max_len=3)
+            .orderBy(F.desc("w3"), F.desc("w2"), F.desc("w1"), "id")
+            .limit(50))
+
+
+SQL_GRAPH_WALK_CENSUS = f"""
+WITH vertices AS MATERIALIZED ({_F6_VERTICES_SQL}),
+edges AS MATERIALIZED ({_F6_EDGES_SQL}),
+w1 AS (
+  SELECT src AS id, CAST(count(*) AS BIGINT) AS w FROM edges GROUP BY src
+), w2 AS (
+  SELECT e.src AS id, CAST(sum(p.w) AS BIGINT) AS w
+  FROM edges e JOIN w1 p ON p.id = e.dst GROUP BY e.src
+), w3 AS (
+  SELECT e.src AS id, CAST(sum(p.w) AS BIGINT) AS w
+  FROM edges e JOIN w2 p ON p.id = e.dst GROUP BY e.src
+)
+SELECT v.id,
+       CAST(coalesce(w1.w, 0) AS BIGINT) AS w1,
+       CAST(coalesce(w2.w, 0) AS BIGINT) AS w2,
+       CAST(coalesce(w3.w, 0) AS BIGINT) AS w3
+FROM vertices v
+LEFT JOIN w1 ON w1.id = v.id
+LEFT JOIN w2 ON w2.id = v.id
+LEFT JOIN w3 ON w3.id = v.id
+ORDER BY w3 DESC, w2 DESC, w1 DESC, v.id LIMIT 50
+"""
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -5868,6 +5906,7 @@ REGISTRY: dict[str, tuple] = {
     "cms_heavy_hitters": (q_cms_heavy_hitters, SQL_CMS_HEAVY_HITTERS),
     "retrieval_mmr": (q_retrieval_mmr, SQL_RETRIEVAL_MMR),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
+    "graph_walk_census": (q_graph_walk_census, SQL_GRAPH_WALK_CENSUS),
 }
 
 

@@ -626,3 +626,36 @@ def common_neighbor_similarity(graph: GraphStore, *,
         return out
     finally:
         e.unpersist()
+
+
+def walk_census(graph: GraphStore, *, edge_type: str | None = None,
+                max_len: int = 3) -> DataFrame:
+    """Per-vertex walk census: w_k(v) = number of directed walks of length
+    exactly k starting at v (multi-edges counted), for k = 1..max_len —
+    the motif/connectivity profile used as a cheap structural feature and
+    a fanout forecaster for traversal planning.
+
+    Scale shape — this is DYNAMIC PROGRAMMING ON COUNTS, not path
+    enumeration: w_k = A · w_{k-1} computed as one join + one aggregate
+    over the |V|-sized count vector per level, so cost is O(max_len · |E|)
+    regardless of how many walks exist (the walk COUNT can be astronomically
+    larger than |E|; materializing instances would be the classic
+    mistake)."""
+    verts = graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
+    e = _edge_pairs(graph, edge_type)
+    levels = []
+    wk = (e.groupBy("src").agg(F.count(F.lit(1)).alias("w"))
+          .withColumnRenamed("src", "id"))
+    levels.append(wk)
+    for _ in range(2, max_len + 1):
+        wk = (e.join(wk, e["dst"] == wk["id"])
+              .groupBy("src").agg(F.sum("w").alias("w"))
+              .withColumnRenamed("src", "id"))
+        levels.append(wk)
+    out = verts
+    for k, lv in enumerate(levels, start=1):
+        out = (out.join(lv.withColumnRenamed("w", f"w{k}"), "id", "left")
+               .withColumn(f"w{k}",
+                           F.coalesce(F.col(f"w{k}"), F.lit(0))
+                           .cast("long")))
+    return out
