@@ -45,3 +45,37 @@ def test_plan_facts_counts_single_partition_exchange(spark):
     g = li.agg(F.sum("l_quantity").alias("s"))
     g.collect()
     assert plan_facts(g).exchanges >= 1
+
+
+def test_round4_operator_plan_shapes(spark):
+    """CI gates on the round-4 operators' physical plans — the properties
+    that make them 100 TB-shaped, pinned so a regression fails loudly:
+    - token_budget_mix / stratified_sample: map + one window, no join,
+      no row-UDF
+    - retrieval_rerank: candidate side joins BROADCAST (corpus never
+      shuffles for the rerank)
+    - embedding_quantize: pure map-only expression fold — ZERO exchanges
+    - cms_heavy_hitters: sketch probe joins broadcast
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    quant = qs["embedding_quantize"](spark, sf)
+    quant.collect()
+    assert_plan(quant, max_exchanges=0)
+
+    mix = qs["token_budget_mix"](spark, sf)
+    mix.collect()
+    f = plan_facts(mix)
+    assert f.broadcast_joins + f.sort_merge_joins + f.shuffled_hash_joins == 0
+    assert not f.row_udf
+
+    rr = qs["retrieval_rerank"](spark, sf)
+    rr.collect()
+    assert plan_facts(rr).broadcast_joins >= 1
+
+    cms = qs["cms_heavy_hitters"](spark, sf)
+    cms.collect()
+    assert plan_facts(cms).broadcast_joins >= 1
