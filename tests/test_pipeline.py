@@ -1054,3 +1054,18 @@ def test_mmr_prefers_diversity_over_redundancy(spark):
     mmr = [r.id for r in
            mmr_topk(emb, q, k=2, pool=4, lam=0.5).orderBy("rank").collect()]
     assert mmr[0] in (1, 2) and mmr[1] in (3, 4)
+
+
+def test_sft_pairs_split_boundary(spark):
+    from vivace_graph_v3_spark.pipeline.text import sft_pairs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(40))),
+         (2, "a b c"), (3, "")],
+        "doc_id long, text string")
+    rows = {r.id: r for r in sft_pairs(df, prompt_tokens=32).collect()}
+    assert rows[1].n_prompt == 32 and rows[1].n_completion == 8
+    assert rows[1].prompt.split(" ")[-1] == "t31"
+    assert rows[1].completion == "t32 t33 t34 t35 t36 t37 t38 t39"
+    assert rows[2].n_prompt == 3 and rows[2].completion == ""
+    assert rows[3].n_prompt == 0 and rows[3].prompt == ""

@@ -4467,6 +4467,43 @@ ORDER BY w3 DESC, w2 DESC, w1 DESC, v.id LIMIT 50
 """
 
 
+def q_sft_pairs(spark, sf_dir):
+    """SFT example construction (pipeline/text.sft_pairs): fixed 32-token
+    prompt/completion split, hash-verified strings (the md5-64 of both
+    sides makes the reconstructed text itself part of the contract) plus
+    exact token accounting."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+    from vivace_graph_v3_spark.pipeline.text import sft_pairs
+
+    out = sft_pairs(_docs(spark, sf_dir), prompt_tokens=32)
+    return out.select(F.col("id").alias("doc_id"),
+                      md5_hash64(F.col("prompt")).alias("prompt_hash"),
+                      md5_hash64(F.col("completion")).alias("completion_hash"),
+                      "n_prompt", "n_completion")
+
+
+SQL_SFT_PAIRS = (r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         array_to_string(toks[1:32], ' ') AS prompt,
+         CASE WHEN len(toks) > 32
+              THEN array_to_string(toks[33:len(toks)], ' ')
+              ELSE '' END AS completion,
+         CAST(least(len(toks), 32) AS BIGINT) AS n_prompt,
+         CAST(greatest(len(toks) - 32, 0) AS BIGINT) AS n_completion
+  FROM t
+)
+SELECT doc_id, PHASH AS prompt_hash, CHASH AS completion_hash,
+       n_prompt, n_completion
+FROM s
+""").replace("PHASH", _HASH64_OF.format(c="prompt")) \
+    .replace("CHASH", _HASH64_OF.format(c="completion"))
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -5907,6 +5944,7 @@ REGISTRY: dict[str, tuple] = {
     "retrieval_mmr": (q_retrieval_mmr, SQL_RETRIEVAL_MMR),
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "graph_walk_census": (q_graph_walk_census, SQL_GRAPH_WALK_CENSUS),
+    "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
 }
 
 

@@ -419,6 +419,33 @@ def token_budget_mix(df: DataFrame, budgets: dict[str, int], *,
             .filter((budget > 0) & (F.col("cum_tokens") <= budget)))
 
 
+def sft_pairs(df: DataFrame, *, text_col: str = "text",
+              id_col: str = "doc_id", prompt_tokens: int = 32) -> DataFrame:
+    """Supervised-fine-tuning example construction: split each document at
+    a fixed token boundary into (prompt, completion) — the continuation
+    objective's data prep. Returns (id, prompt, completion, n_prompt,
+    n_completion); documents at or under the boundary get an empty
+    completion (callers typically filter n_completion > 0). Whitespace is
+    normalized to single spaces by the token join, so the pair is a pure
+    function of the token sequence. Map-only: expression-only split at
+    scan speed, no shuffle."""
+    toks = tokens(F.col(text_col))
+    n = F.size(toks)
+    prompt = F.array_join(F.slice(toks, 1, prompt_tokens), " ")
+    completion = F.when(
+        n > prompt_tokens,
+        F.array_join(F.slice(toks, prompt_tokens + 1,
+                             F.greatest(n - prompt_tokens, F.lit(0))), " ")
+    ).otherwise(F.lit(""))
+    return df.select(
+        F.col(id_col).alias("id"),
+        prompt.alias("prompt"),
+        completion.alias("completion"),
+        F.least(n, F.lit(prompt_tokens)).cast("long").alias("n_prompt"),
+        F.greatest(n - prompt_tokens, F.lit(0)).cast("long")
+        .alias("n_completion"))
+
+
 def unigram_logprob(df: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Corpus-self-trained unigram negative log-probability per document —
