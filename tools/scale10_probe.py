@@ -60,7 +60,15 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "text_classifier", "vocab_coverage", "profile_lineitem",
           "source_drift", "dedup_incremental", "events_funnel",
           "events_retention", "graph_hits", "graph_link_prediction",
-          "zorder_key"]
+          "zorder_key",
+          # round-4 ops: boilerplate's span table grows with dup volume
+          # (every chunk is a 10-copy group); containment's inverted index
+          # fans 10x postings; census DP shuffles 10x edges twice;
+          # quantize/sft/budget-mix are scan-bound; CMS is a fixed-cell
+          # aggregate no matter the volume
+          "text_boilerplate", "dedup_containment", "graph_walk_census",
+          "embedding_quantize", "sft_pairs", "token_budget_mix",
+          "cms_heavy_hitters", "stratified_sample"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
