@@ -5367,6 +5367,42 @@ FROM lagged
 """
 
 
+def q_events_recency_score(spark, sf_dir):
+    """Recency-weighted user-activity score: per user,
+    sum over events of 1 / (1 + age_days), age measured against the
+    corpus's max event day — the standard recency-decayed engagement
+    feature, but with RATIONAL decay instead of exp(): 1/(1+k) for
+    integer k is one IEEE division, bit-identical in every engine,
+    where pow/exp are libm-dependent and are not. Integer epoch-day
+    math; decimal-accumulated order-independent sum. Top-100 by
+    (score, user_id)."""
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"`ts` div {86_400_000_000_000}")
+    d = ev.select(F.col("user_id"), day.alias("day"))
+    ref = d.agg(F.max("day").alias("ref_day"))
+    term = 1.0 / (1 + F.col("ref_day") - F.col("day"))
+    return (d.crossJoin(F.broadcast(ref))
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 _dsum(term).alias("recency_score"))
+            .orderBy(F.desc("recency_score"), "user_id").limit(100))
+
+
+SQL_EVENTS_RECENCY_SCORE = """
+WITH d AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day FROM events
+), r AS (
+  SELECT max(day) AS ref_day FROM d
+)
+SELECT user_id, count(*) AS n_events,
+       CAST(sum(CAST(1.0 / (1 + r.ref_day - d.day) AS DECIMAL(38,12)))
+            AS DOUBLE) AS recency_score
+FROM d CROSS JOIN r
+GROUP BY user_id
+ORDER BY recency_score DESC, user_id LIMIT 100
+"""
+
+
 def q_events_dau_mau(spark, sf_dir):
     """DAU/MAU stickiness per calendar month: average daily-active over
     monthly-active users — the classic engagement ratio. All time math
@@ -5946,6 +5982,8 @@ REGISTRY: dict[str, tuple] = {
     "curation_v2": (q_curation_v2, SQL_CURATION_V2),
     "graph_walk_census": (q_graph_walk_census, SQL_GRAPH_WALK_CENSUS),
     "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
+    "events_recency_score": (q_events_recency_score,
+                             SQL_EVENTS_RECENCY_SCORE),
 }
 
 
