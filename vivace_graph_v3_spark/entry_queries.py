@@ -5381,10 +5381,13 @@ def q_events_recency_score(spark, sf_dir):
     d = ev.select(F.col("user_id"), day.alias("day"))
     ref = d.agg(F.max("day").alias("ref_day"))
     term = 1.0 / (1 + F.col("ref_day") - F.col("day"))
+    # scale-12 accumulation (not _dsum's money-grade scale 6): decay terms
+    # are O(1e-2..1), and 6-dp truncation loses ~1e-6 per term
+    dec12 = F.sum(term.cast("decimal(38,12)")).cast("double")
     return (d.crossJoin(F.broadcast(ref))
             .groupBy("user_id")
             .agg(F.count(F.lit(1)).alias("n_events"),
-                 _dsum(term).alias("recency_score"))
+                 dec12.alias("recency_score"))
             .orderBy(F.desc("recency_score"), "user_id").limit(100))
 
 
@@ -5395,8 +5398,10 @@ WITH d AS (
   SELECT max(day) AS ref_day FROM d
 )
 SELECT user_id, count(*) AS n_events,
-       CAST(sum(CAST(1.0 / (1 + r.ref_day - d.day) AS DECIMAL(38,12)))
-            AS DOUBLE) AS recency_score
+       -- 1.0 must be DOUBLE: DuckDB types a bare 1.0 as DECIMAL(2,1) and
+       -- the division then happens in low-scale decimal, not IEEE
+       CAST(sum(CAST(CAST(1.0 AS DOUBLE) / (1 + r.ref_day - d.day)
+                     AS DECIMAL(38,12))) AS DOUBLE) AS recency_score
 FROM d CROSS JOIN r
 GROUP BY user_id
 ORDER BY recency_score DESC, user_id LIMIT 100
