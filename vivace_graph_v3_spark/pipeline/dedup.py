@@ -97,29 +97,62 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     dominated by the long doc), the common quote-inclusion /
     snippet-scrape case in web corpora.
 
-    Same inverted-index shape as ngram_jaccard_pairs (explode shingles,
-    hash self-join, group) — cost is per-shingle posting-list fanout²,
-    never all-pairs; run it on blocked/candidate inputs at raw-corpus
-    scale. Both directions are emitted when both clear the threshold
-    (containment is not symmetric). Self-pairs excluded."""
+    Candidate generation uses PREFIX FILTERING (Chaudhuri et al. SSJoin
+    2006; Xiao et al. PPJoin 2008), which keeps the result EXACT: if
+    |A ∩ B| >= t·|A| then A can miss at most (1-t)·|A| of its shingles,
+    so among A's floor((1-t)·|A|)+1 globally-rarest shingles at least one
+    must hit B — only those prefix shingles are exploded on the inner
+    side (the outer side posts everything), shrinking the inverted-index
+    fanout by ~1/(1-t) and, on skew, by the rare-first ordering.
+    Survivor pairs are then verified with one array_intersect over the
+    two full shingle sets — candidate-bounded, no second index pass.
+    (The +1 absorbs the 6-dp round-half-up acceptance slack for any
+    |A| < 4·10^5.) Both directions are emitted when both clear the
+    threshold (containment is not symmetric). Self-pairs excluded.
+    At raw-corpus scale run it on blocked/candidate inputs; the measured
+    10x-data probe ratio dropped from 12.6x to ~linear-in-output after
+    prefix filtering (SCALING.md)."""
     base = ensure_parallelism(df).select(F.col(id_col).alias("id"),
                      shingle_hashes(F.col(text_col), n).alias("sh"))
-    base = base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
-    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col("a.id") != F.col("b.id")))
-              .groupBy(F.col("a.id").alias("inner_id"),
-                       F.col("b.id").alias("outer_id"),
-                       F.col("a.sz").alias("sz_in"))
-              .agg(F.count(F.lit(1)).alias("common")))
-    # round-half-up in integer arithmetic so the 6-decimal value is
-    # bit-identical to any SQL oracle (the engine-stable ratio recipe)
-    cont = (F.expr("(common * 2000000 + sz_in) div (sz_in * 2)")
-            .cast("double") / 1e6)
-    return (common.withColumn("containment", cont)
-            .filter(F.col("containment") >= threshold)
-            .select("inner_id", "outer_id", "containment"))
+    base = (base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+            .persist())
+    try:
+        inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
+        # global rarity order: document frequency, ties by shingle hash
+        dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        ranked = inv.join(dfreq, "shingle")
+        w = Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                             F.col("shingle").asc())
+        prefix = (ranked.withColumn("__pos", F.row_number().over(w))
+                  .filter(F.col("__pos") <=
+                          F.floor((1.0 - threshold) * F.col("sz")) + 1)
+                  .select("id", "shingle"))
+        a, b = prefix.alias("a"), inv.alias("b")
+        cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                       & (F.col("a.id") != F.col("b.id")))
+                .select(F.col("a.id").alias("inner_id"),
+                        F.col("b.id").alias("outer_id"))
+                .dropDuplicates())
+        # exact verification: one intersect over the full shingle sets
+        common = (cand
+                  .join(base.select(F.col("id").alias("inner_id"),
+                                    F.col("sh").alias("sh_in"),
+                                    F.col("sz").alias("sz_in")), "inner_id")
+                  .join(base.select(F.col("id").alias("outer_id"),
+                                    F.col("sh").alias("sh_out")), "outer_id")
+                  .select("inner_id", "outer_id", "sz_in",
+                          F.size(F.array_intersect("sh_in", "sh_out"))
+                          .alias("common")))
+        # round-half-up in integer arithmetic so the 6-decimal value is
+        # bit-identical to any SQL oracle (the engine-stable ratio recipe)
+        cont = (F.expr("(common * 2000000 + sz_in) div (sz_in * 2)")
+                .cast("double") / 1e6)
+        out = (common.withColumn("containment", cont)
+               .filter(F.col("containment") >= threshold)
+               .select("inner_id", "outer_id", "containment"))
+        return out.localCheckpoint(eager=True)
+    finally:
+        base.unpersist()
 
 
 def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, *,
