@@ -131,3 +131,20 @@ def test_histogram_constant_column_single_bin(spark):
     assert len(rows) == 1
     r = rows[0]
     assert r.bin == 0 and r.lo == 7.5 and r.hi == 7.5 and r.n == 40
+
+
+def test_ks_drift_detects_shifted_group(spark):
+    """A group drawn from a shifted distribution has a much larger KS
+    statistic than groups matching the corpus; identical groups get a
+    small one. KS is bounded in [0, 1]."""
+    from vivace_graph_v3_spark.operators.profile import ks_drift
+
+    rows = ([("a", v) for v in range(100)]
+            + [("b", v) for v in range(100)]
+            + [("c", v + 500) for v in range(100)])  # shifted way right
+    df = spark.createDataFrame(rows, "g string, x int")
+    ks = {r.g: r.ks for r in
+          ks_drift(df, group_col="g", value_col="x").collect()}
+    assert all(0.0 <= v <= 1.0 for v in ks.values())
+    assert ks["c"] > 0.6                       # disjoint support
+    assert ks["a"] == ks["b"] and ks["a"] < 0.4

@@ -5408,6 +5408,51 @@ ORDER BY recency_score DESC, user_id LIMIT 100
 """
 
 
+def q_source_ks_drift(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift per source vs the corpus over
+    n_chars (operators/profile.ks_drift) — the distribution-SHAPE monitor
+    beside source_drift's chi-square. D is an exact integer maximum
+    divided once (round-half-up), so the statistic hashes identically in
+    any engine."""
+    from vivace_graph_v3_spark.operators.profile import ks_drift
+
+    return ks_drift(_docs(spark, sf_dir), group_col="source",
+                    value_col="n_chars")
+
+
+SQL_SOURCE_KS_DRIFT = """
+WITH counts AS (
+  SELECT source AS g, n_chars AS x, count(*) AS c FROM documents GROUP BY 1, 2
+), groups AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n_g FROM counts GROUP BY g
+), allx AS (SELECT DISTINCT x FROM counts),
+na AS (SELECT CAST(sum(c) AS BIGINT) AS n_all FROM counts),
+grid AS (
+  SELECT gr.g, gr.n_g, a.x, coalesce(c.c, 0) AS c
+  FROM groups gr CROSS JOIN allx a
+  LEFT JOIN counts c ON c.g = gr.g AND c.x = a.x
+), cg AS (
+  SELECT g, n_g, x,
+         CAST(sum(c) OVER (PARTITION BY g ORDER BY x
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cum_g
+  FROM grid
+), corpus AS (
+  SELECT x, sum(c) AS ca FROM counts GROUP BY x
+), call AS (
+  SELECT x, CAST(sum(ca) OVER (ORDER BY x
+    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_all
+  FROM corpus
+)
+SELECT g AS source, n_g AS n_rows,
+       CAST((max(abs(cum_g * n_all - cum_all * n_g)) * 2000000
+             + any_value(n_g * n_all))
+            // (any_value(n_g * n_all) * 2) AS DOUBLE) / 1000000.0 AS ks
+FROM cg JOIN call USING (x) CROSS JOIN na
+GROUP BY g, n_g
+"""
+
+
 def q_events_dau_mau(spark, sf_dir):
     """DAU/MAU stickiness per calendar month: average daily-active over
     monthly-active users — the classic engagement ratio. All time math
@@ -5989,6 +6034,7 @@ REGISTRY: dict[str, tuple] = {
     "sft_pairs": (q_sft_pairs, SQL_SFT_PAIRS),
     "events_recency_score": (q_events_recency_score,
                              SQL_EVENTS_RECENCY_SCORE),
+    "source_ks_drift": (q_source_ks_drift, SQL_SOURCE_KS_DRIFT),
 }
 
 
