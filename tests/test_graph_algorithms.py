@@ -263,3 +263,20 @@ def test_walk_census_counts_walks_not_paths(spark):
     assert rows["b"] == (2, 2, 0)   # two parallel b->d edges; b->d->e x2
     assert rows["d"] == (1, 0, 0)
     assert rows["e"] == (0, 0, 0)
+
+
+def test_weighted_pagerank_follows_weight_mass(spark):
+    """a splits rank 9:1 between b and c by weight; weighted pagerank must
+    rank b above c, uniform must tie them."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import pagerank
+
+    g = _graph(spark, "abc", [("a", "b", 9), ("a", "c", 1)])
+    uni = {r.id: r.rank for r in
+           pagerank(g, max_iter=5, tol=None).collect()}
+    wtd = {r.id: r.rank for r in
+           pagerank(g, max_iter=5, tol=None, weighted=True).collect()}
+    assert abs(uni["b"] - uni["c"]) < 1e-12
+    assert wtd["b"] > wtd["c"]
+    # mass-|V| conservation holds in both variants
+    assert abs(sum(uni.values()) - 3.0) < 1e-6
+    assert abs(sum(wtd.values()) - 3.0) < 1e-6

@@ -1435,8 +1435,33 @@ _F6_VERTICES_SQL = """
 """
 
 
+# weighted F6 edge list: contains carries l_quantity, everything else 1.0
+# (mirrors load_tpch_graph's weights, graph.py)
+_F6_EDGES_W_SQL = """
+    SELECT 'customer:'||c_custkey AS src, 'nation:'||c_nationkey AS dst,
+           CAST(1.0 AS DOUBLE) AS weight
+    FROM customer
+    UNION ALL
+    SELECT 'supplier:'||s_suppkey, 'nation:'||s_nationkey,
+           CAST(1.0 AS DOUBLE) FROM supplier
+    UNION ALL
+    SELECT 'nation:'||n_nationkey, 'region:'||n_regionkey,
+           CAST(1.0 AS DOUBLE) FROM nation
+    UNION ALL
+    SELECT 'customer:'||o_custkey, 'orders:'||o_orderkey,
+           CAST(1.0 AS DOUBLE) FROM orders
+    UNION ALL
+    SELECT 'orders:'||l_orderkey, 'part:'||l_partkey,
+           CAST(l_quantity AS DOUBLE) FROM lineitem
+    UNION ALL
+    SELECT 'orders:'||l_orderkey, 'supplier:'||l_suppkey,
+           CAST(1.0 AS DOUBLE) FROM lineitem
+"""
+
+
 def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85,
-                         sources: list[str] | None = None) -> str:
+                         sources: list[str] | None = None,
+                         weighted: bool = False) -> str:
     """Unrolled power iteration mirroring operators/graph_algorithms.pagerank
     exactly: per-round contribution sum, dangling mass folded in, identical
     expression association. ``sources`` mirrors PERSONALIZED pagerank: the
@@ -1451,10 +1476,19 @@ def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85,
     CASE WHEN v.id IN ({in_list}) THEN nv.n / {float(len(sources))}
          ELSE 0.0 END AS t
   FROM vertices v CROSS JOIN nv"""
+    if weighted:
+        edges_sql = _F6_EDGES_W_SQL
+        deg_sql = "SELECT src, SUM(weight) AS deg FROM edges GROUP BY src"
+        # mirror Spark's association exactly: rank * (weight / Σw)
+        contrib = "SUM(r.rank * (e.weight / d.deg))"
+    else:
+        edges_sql = _F6_EDGES_SQL
+        deg_sql = "SELECT src, COUNT(*) AS deg FROM edges GROUP BY src"
+        contrib = "SUM(r.rank / d.deg)"
     parts = [f"""
 WITH vertices AS MATERIALIZED ({_F6_VERTICES_SQL}),
-edges AS MATERIALIZED ({_F6_EDGES_SQL}),
-deg AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+edges AS MATERIALIZED ({edges_sql}),
+deg AS MATERIALIZED ({deg_sql}),
 nv AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vertices),
 tele AS MATERIALIZED ({tele_cte}),
 r0 AS MATERIALIZED (SELECT id, t AS rank FROM tele)"""]
@@ -1462,7 +1496,7 @@ r0 AS MATERIALIZED (SELECT id, t AS rank FROM tele)"""]
         p = i - 1
         parts.append(f"""
 recv{i} AS MATERIALIZED (
-  SELECT e.dst AS id, SUM(r.rank / d.deg) AS recv
+  SELECT e.dst AS id, {contrib} AS recv
   FROM r{p} r JOIN deg d ON d.src = r.id JOIN edges e ON e.src = r.id
   GROUP BY e.dst
 ),
@@ -1508,6 +1542,23 @@ def q_graph_pagerank_personalized(spark, sf_dir):
 
 
 SQL_GRAPH_PAGERANK_PERSONALIZED = _pagerank_oracle_sql(sources=_PPR_SOURCES)
+
+
+def q_graph_pagerank_weighted(spark, sf_dir):
+    """WEIGHTED PageRank, 10 fixed power iterations: contributions split
+    by edge weight (contains edges carry l_quantity, everything else 1.0)
+    instead of 1/out-degree — the strength-aware centrality. Same plan
+    shape as uniform pagerank (the weight-sum replaces the degree count);
+    oracle mirrors rank * (weight / Σw) association exactly."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import pagerank
+
+    g = load_tpch_graph(spark, sf_dir)
+    pr = pagerank(g, max_iter=10, tol=None, weighted=True)
+    return (pr.select("id", F.round("rank", 4).alias("rank"))
+            .orderBy(F.desc("rank"), "id").limit(50))
+
+
+SQL_GRAPH_PAGERANK_WEIGHTED = _pagerank_oracle_sql(weighted=True)
 
 
 def q_graph_label_propagation(spark, sf_dir):
@@ -6035,6 +6086,8 @@ REGISTRY: dict[str, tuple] = {
     "events_recency_score": (q_events_recency_score,
                              SQL_EVENTS_RECENCY_SCORE),
     "source_ks_drift": (q_source_ks_drift, SQL_SOURCE_KS_DRIFT),
+    "graph_pagerank_weighted": (q_graph_pagerank_weighted,
+                                SQL_GRAPH_PAGERANK_WEIGHTED),
 }
 
 

@@ -78,6 +78,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
              damping: float = 0.85, max_iter: int = 20,
              tol: float | None = 1.0e-4,
              sources: list | None = None,
+             weighted: bool = False,
              bcast_guard: int = 2_000_000,
              check_every: int = 1) -> DataFrame:
     """Standard damped PageRank over active edges. Returns (id, rank) with
@@ -114,10 +115,22 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     n = vertices.count()
     nparts = max(4, min(int(graph.spark.conf.get(
         "spark.sql.shuffle.partitions", "32")) * 4, n // 100_000 + 1))
-    edges = _edge_pairs(graph, edge_type).repartition(nparts, F.col("src"))
-    out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
-    edges_w = (edges.join(out_deg, "src")
-               .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("inv")))
+    # ``weighted``: contributions split by edge weight (w / Σw_out) instead
+    # of 1/out-degree — same plan shape, the weight-sum replaces the count.
+    # Weight sums are order-exact here in practice (integer-valued doubles
+    # sum exactly); the contract's 4-dp rank rounding absorbs any residue.
+    edges = (_edge_pairs(graph, edge_type, weighted=weighted)
+             .repartition(nparts, F.col("src")))
+    if weighted:
+        out_deg = edges.groupBy("src").agg(F.sum("weight").alias("deg"))
+        edges_w = (edges.join(out_deg, "src")
+                   .select("src", "dst",
+                           (F.col("weight") / F.col("deg")).alias("inv")))
+    else:
+        out_deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        edges_w = (edges.join(out_deg, "src")
+                   .select("src", "dst",
+                           (F.lit(1.0) / F.col("deg")).alias("inv")))
     # the dangling set is static (vertices with no out-edges). Instead of a
     # per-round semi-join + separate aggregate job for the dangling mass,
     # fold it into the SAME contribution shuffle: every dangling vertex
