@@ -83,6 +83,9 @@ BENCH_QUERIES = [
     "retrieval_rerank",
     "token_budget_mix",
     "cms_heavy_hitters",
+    "sft_pairs",
+    "events_recency_score",
+    "source_ks_drift",
 ]
 
 

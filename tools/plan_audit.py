@@ -57,7 +57,8 @@ AUDITED = [
     "curation_ingest", "graph_pagerank_personalized", "text_boilerplate",
     "dedup_containment", "stratified_sample", "embedding_quantize",
     "retrieval_rerank", "token_budget_mix", "cms_heavy_hitters",
-    "retrieval_mmr",
+    "retrieval_mmr", "curation_v2", "graph_walk_census", "sft_pairs",
+    "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
 ]
 
 
