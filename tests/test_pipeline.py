@@ -1069,3 +1069,58 @@ def test_sft_pairs_split_boundary(spark):
     assert rows[1].completion == "t32 t33 t34 t35 t36 t37 t38 t39"
     assert rows[2].n_prompt == 3 and rows[2].completion == ""
     assert rows[3].n_prompt == 0 and rows[3].prompt == ""
+
+
+def test_containment_prefix_filtering_equals_naive(spark):
+    """The SSJoin prefix filter must be invisible in the RESULT: compare
+    containment_pairs against a naive full-inverted-index computation on a
+    seeded random corpus with planted containments and near-misses."""
+    import random
+
+    from vivace_graph_v3_spark.pipeline.dedup import containment_pairs
+
+    rng = random.Random(42)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    # plant: doc 100+i contains doc i's text plus noise (high containment
+    # i -> 100+i); doc 200+i shares only half (near-miss)
+    for i in range(5):
+        base = rows[i][1]
+        rows.append((100 + i, base + " " +
+                     " ".join(rng.choice(vocab) for _ in range(20))))
+        toks = base.split()
+        rows.append((200 + i, " ".join(toks[:len(toks) // 2]) + " " +
+                     " ".join(rng.choice(vocab) for _ in range(25))))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {(r.inner_id, r.outer_id, r.containment)
+           for r in containment_pairs(df, threshold=0.6).collect()}
+
+    # naive: full inverted-index group count, no prefix pruning
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.pipeline.dedup import shingle_hashes
+
+    base = df.select(F.col("doc_id").alias("id"),
+                     shingle_hashes(F.col("text"), 3).alias("sh"))
+    base = base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    naive = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                    & (F.col("a.id") != F.col("b.id")))
+             .groupBy(F.col("a.id").alias("inner_id"),
+                      F.col("b.id").alias("outer_id"),
+                      F.col("a.sz").alias("sz_in"))
+             .agg(F.count(F.lit(1)).alias("common"))
+             .withColumn("containment",
+                         F.expr("(common * 2000000 + sz_in) div (sz_in * 2)")
+                         .cast("double") / 1e6)
+             .filter(F.col("containment") >= 0.6)
+             .select("inner_id", "outer_id", "containment"))
+    want = {(r.inner_id, r.outer_id, r.containment) for r in naive.collect()}
+    assert got == want
+    # the planted containments are found, in the right direction
+    for i in range(5):
+        assert any(p[0] == i and p[1] == 100 + i for p in got)
