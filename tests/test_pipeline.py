@@ -1124,3 +1124,50 @@ def test_containment_prefix_filtering_equals_naive(spark):
     # the planted containments are found, in the right direction
     for i in range(5):
         assert any(p[0] == i and p[1] == 100 + i for p in got)
+
+
+def test_training_mix_upsample_copies_and_determinism(spark):
+    from vivace_graph_v3_spark.pipeline.text import training_mix_upsample
+
+    df = spark.createDataFrame(
+        [(i, "hot" if i < 40 else ("flat" if i < 80 else "cold"))
+         for i in range(120)], "doc_id long, source string")
+    out = training_mix_upsample(df, {"hot": 2.5, "flat": 1.0})
+    rows = out.collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r.source, []).append(r)
+    assert "cold" not in by                      # unweighted source dropped
+    assert len(by["flat"]) == 40                 # exactly one copy each
+    assert all(r.copy == 0 for r in by["flat"])
+    # hot: 2 full copies of all 40, plus ~half get a 3rd copy
+    copies = {}
+    for r in by["hot"]:
+        copies.setdefault(r.doc_id, set()).add(r.copy)
+    assert all({0, 1} <= c for c in copies.values())
+    third = sum(1 for c in copies.values() if 2 in c)
+    assert 10 <= third <= 30                     # ~50% of 40, hash-keyed
+    # deterministic under repartitioning
+    again = training_mix_upsample(df.repartition(7), {"hot": 2.5, "flat": 1.0})
+    assert {(r.doc_id, r.source, r.copy) for r in again.collect()} == \
+        {(r.doc_id, r.source, r.copy) for r in rows}
+
+
+def test_hard_negatives_excludes_same_label_and_ranks(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import hard_negatives
+
+    emb = spark.createDataFrame(
+        [(1, [1.0, 0.0], 0), (2, [0.99, 0.1], 0),   # same-label near-dup
+         (3, [0.9, 0.2], 1), (4, [0.0, 1.0], 1), (5, [0.5, 0.5], 2)],
+        "vec_id long, embedding array<double>, label int")
+    out = hard_negatives(emb, k=2).collect()
+    by_anchor = {}
+    for r in out:
+        by_anchor.setdefault(r.anchor_id, []).append(r)
+    labels = {1: 0, 2: 0, 3: 1, 4: 1, 5: 2}
+    for a, rs in by_anchor.items():
+        assert all(labels[r.negative_id] != labels[a] for r in rs)
+        assert [r.rank for r in sorted(rs, key=lambda x: x.rank)] == \
+            list(range(1, len(rs) + 1))
+    # anchor 1's hardest different-label negative is 3 (closest direction)
+    assert sorted(by_anchor[1], key=lambda r: r.rank)[0].negative_id == 3

@@ -4555,6 +4555,68 @@ FROM s
     .replace("CHASH", _HASH64_OF.format(c="completion"))
 
 
+def q_training_mix_upsample(spark, sf_dir):
+    """UPSAMPLING mixture (pipeline/text.training_mix_upsample): src0 at
+    2.5 epochs (2 full copies + a deterministic half), src1 at 1.0, src2
+    at 0.25; everything else dropped. Emits the copy ordinal — the repeat
+    bookkeeping a multi-epoch mix needs. Map-only explode; re-runs
+    reproduce the identical multiset."""
+    from vivace_graph_v3_spark.pipeline.text import training_mix_upsample
+
+    out = training_mix_upsample(_docs(spark, sf_dir),
+                                {"src0": 2.5, "src1": 1.0, "src2": 0.25})
+    return out.select("doc_id", "source", "copy")
+
+
+SQL_TRAINING_MIX_UPSAMPLE = ("""
+WITH s AS (
+  SELECT doc_id, source,
+         CASE source WHEN 'src0' THEN 3 WHEN 'src1' THEN 1
+                     WHEN 'src2' THEN 1 ELSE 0 END AS max_copies,
+         CASE source WHEN 'src0' THEN 5000 WHEN 'src1' THEN 0
+                     WHEN 'src2' THEN 2500 ELSE -1 END AS frac
+  FROM documents
+), e AS (
+  SELECT doc_id, source, frac,
+         max_copies - CASE WHEN frac > 0 THEN 1 ELSE 0 END AS whole,
+         unnest(generate_series(0, max_copies - 1)) AS copy
+  FROM s WHERE max_copies > 0
+)
+SELECT doc_id, source, CAST(copy AS INT) AS copy
+FROM e
+WHERE copy < whole OR ((HEXPR % 10000) + 10000) % 10000 < frac
+""").replace("HEXPR", _HASH64_OF.format(
+    c="(CAST(doc_id AS VARCHAR) || '#' || CAST(copy AS VARCHAR))"))
+
+
+def q_embedding_hard_negatives(spark, sf_dir):
+    """Contrastive hard negatives (pipeline/similarity.hard_negatives):
+    for every anchor, the 3 most cosine-similar DIFFERENT-label vectors —
+    the metric-learning pair miner. Exact all-pairs at contract scale; the
+    100 TB path ranks within sign-LSH candidate blocks instead."""
+    from vivace_graph_v3_spark.pipeline.similarity import hard_negatives
+
+    return hard_negatives(_emb(spark, sf_dir), k=3)
+
+
+SQL_EMBEDDING_HARD_NEGATIVES = """
+SELECT anchor_id, negative_id, cosine, rank FROM (
+  SELECT a.vec_id AS anchor_id, b.vec_id AS negative_id,
+         round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                      CAST(b.embedding AS DOUBLE[])), 6)
+           AS cosine,
+         row_number() OVER (
+           PARTITION BY a.vec_id
+           ORDER BY round(list_cosine_similarity(
+                      CAST(a.embedding AS DOUBLE[]),
+                      CAST(b.embedding AS DOUBLE[])), 6) DESC,
+                    b.vec_id ASC) AS rank
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id <> b.vec_id AND a.label <> b.label
+) WHERE rank <= 3
+"""
+
+
 def q_distinctive_terms(spark, sf_dir):
     """Top-5 class-based-TF-IDF distinctive terms per source — the
     cluster-labeling pass for corpus exploration. Ratio-form scoring (no
@@ -6089,6 +6151,10 @@ REGISTRY: dict[str, tuple] = {
     "source_ks_drift": (q_source_ks_drift, SQL_SOURCE_KS_DRIFT),
     "graph_pagerank_weighted": (q_graph_pagerank_weighted,
                                 SQL_GRAPH_PAGERANK_WEIGHTED),
+    "training_mix_upsample": (q_training_mix_upsample,
+                              SQL_TRAINING_MIX_UPSAMPLE),
+    "embedding_hard_negatives": (q_embedding_hard_negatives,
+                                 SQL_EMBEDDING_HARD_NEGATIVES),
 }
 
 

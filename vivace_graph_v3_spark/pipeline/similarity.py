@@ -325,3 +325,35 @@ def quantize_embeddings(emb: DataFrame, *, vec_col: str = "embedding",
         .alias("scale_nano"),
         F.floor(mse * F.lit(1e9) + F.lit(0.5)).cast("long")
         .alias("mse_nano"))
+
+
+def hard_negatives(emb: DataFrame, *, k: int = 3,
+                   vec_col: str = "embedding", id_col: str = "vec_id",
+                   label_col: str = "label") -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor, the ``k`` most
+    cosine-similar vectors carrying a DIFFERENT label — the pairs that
+    actually move a contrastive/metric-learning loss (easy random
+    negatives are near-zero gradient). Returns
+    (anchor_id, negative_id, cosine, rank) with deterministic
+    (cosine desc, id) tie-break; cosines 6-dp rounded.
+
+    This is the EXACT (all-pairs) formulation for bounded inputs — the
+    100 TB path swaps the pair generator for the sign-LSH candidate join
+    (embedding_dup_pairs' blocking) and ranks within candidates: same
+    downstream ranking, pair volume bounded by bucket collisions instead
+    of n²."""
+    a = emb.select(F.col(id_col).alias("anchor_id"),
+                   F.col(vec_col).alias("va"),
+                   F.col(label_col).alias("la"))
+    b = emb.select(F.col(id_col).alias("negative_id"),
+                   F.col(vec_col).alias("vb"),
+                   F.col(label_col).alias("lb"))
+    pairs = (a.join(b, (F.col("anchor_id") != F.col("negative_id"))
+                    & (F.col("la") != F.col("lb")))
+             .select("anchor_id", "negative_id",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6)
+                     .alias("cosine")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k))

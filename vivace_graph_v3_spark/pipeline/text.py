@@ -446,6 +446,50 @@ def sft_pairs(df: DataFrame, *, text_col: str = "text",
         .alias("n_completion"))
 
 
+def training_mix_upsample(df: DataFrame, weights: dict[str, float], *,
+                          source_col: str = "source",
+                          key_col: str = "doc_id",
+                          buckets: int = 10_000) -> DataFrame:
+    """Source-weighted mixture that also UPSAMPLES: a weight of 2.5 emits
+    every row of that source twice plus a deterministic half of it a third
+    time (training_mix only downsamples — but real mixes repeat the
+    scarce high-quality sources for multiple epochs). Emits a ``copy``
+    ordinal (0-based) so downstream shuffling/packing can tell repeats
+    apart; fractional selection is hash-keyed per (key, copy), so re-runs
+    and incremental top-ups reproduce the identical multiset. Sources
+    absent from ``weights`` are dropped.
+
+    Scale shape: one map-only explode of at most ceil(weight) per row —
+    no shuffle, no state; the 100 TB corpus is expanded at scan speed."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    max_copies = F.lit(0)
+    thresh = F.lit(-1)  # per-copy fractional threshold in bucket units
+    for src, wgt in sorted(weights.items(), reverse=True):
+        if wgt < 0:
+            raise ValueError(f"negative weight for {src}")
+        whole = int(wgt)
+        frac = int(round((wgt - whole) * buckets))
+        max_copies = F.when(F.col(source_col) == src,
+                            F.lit(whole + (1 if frac else 0))) \
+            .otherwise(max_copies)
+        thresh = F.when(F.col(source_col) == src, F.lit(frac)) \
+            .otherwise(thresh)
+    copies = F.explode(F.sequence(F.lit(0), max_copies - 1))
+    out = (df.filter(max_copies > 0)
+           .withColumn("copy", copies)
+           .withColumn("__whole", max_copies
+                       - F.when(thresh > 0, 1).otherwise(0)))
+    # the final (fractional) copy keeps only rows whose (key, copy) hash
+    # lands under the fraction; whole copies keep everything
+    b = F.pmod(md5_hash64(F.concat(F.col(key_col).cast("string"),
+                                   F.lit("#"),
+                                   F.col("copy").cast("string"))),
+               F.lit(buckets))
+    return (out.filter((F.col("copy") < F.col("__whole")) | (b < thresh))
+            .drop("__whole"))
+
+
 def unigram_logprob(df: DataFrame, *, text_col: str = "text",
                     id_col: str = "doc_id") -> DataFrame:
     """Corpus-self-trained unigram negative log-probability per document —
