@@ -5947,13 +5947,14 @@ FROM based CROSS JOIN tot
 # entries (q13_customer_distribution, customer_rfm, order_status_transitions,
 # revenue_pareto, revenue_gini, dedup_agreement, supplier_lead_time,
 # text_lexical_diversity, graph_degree_histogram, brand_revenue_share,
-# distinctive_terms) plus the 16 entries registered this round (appended
+# distinctive_terms) plus the 18 entries registered this round (appended
 # at the end: curation_ingest, graph_pagerank_personalized,
 # text_boilerplate, dedup_containment, stratified_sample,
 # embedding_quantize, retrieval_rerank, token_budget_mix,
 # cms_heavy_hitters, retrieval_mmr, curation_v2, graph_walk_census,
 # sft_pairs, events_recency_score, source_ks_drift,
-# graph_pagerank_weighted) = 27 for the r5 front, leaving 23 slots for
+# graph_pagerank_weighted, training_mix_upsample,
+# embedding_hard_negatives) = 29 for the r5 front, leaving 21 slots for
 # re-confirming earlier rows.
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
