@@ -1,0 +1,81 @@
+"""WARC Python Data Source: record parsing, gzip members, Spark scan with
+one partition per file, and the curation handoff (payload -> documents)."""
+
+import gzip
+
+import pyspark.sql.functions as F
+import pytest
+
+from vivace_graph_v3_spark.sources.warc import (
+    WarcDataSource, parse_warc_file)
+
+
+def _record(uri: str, body: bytes, rtype: str = "response") -> bytes:
+    head = (f"WARC/1.0\r\n"
+            f"WARC-Type: {rtype}\r\n"
+            f"WARC-Target-URI: {uri}\r\n"
+            f"WARC-Date: 2024-01-01T00:00:00Z\r\n"
+            f"WARC-Record-ID: <urn:uuid:{abs(hash(uri)) % 10**8}>\r\n"
+            f"Content-Type: text/plain\r\n"
+            f"Content-Length: {len(body)}\r\n\r\n").encode()
+    return head + body + b"\r\n\r\n"
+
+
+def _write_warc(path, records, gz=False):
+    if gz:
+        # one gzip member per record — the .warc.gz convention
+        with open(path, "wb") as f:
+            for r in records:
+                f.write(gzip.compress(r))
+    else:
+        with open(path, "wb") as f:
+            for r in records:
+                f.write(r)
+
+
+def test_parse_warc_plain_and_gz(tmp_path):
+    recs = [_record("http://a.example/1", b"hello world"),
+            _record("http://a.example/2", b"x" * 100),
+            _record("http://a.example/3", b"", rtype="warcinfo")]
+    p1 = tmp_path / "a.warc"
+    p2 = tmp_path / "a.warc.gz"
+    _write_warc(str(p1), recs)
+    _write_warc(str(p2), recs, gz=True)
+    for p in (p1, p2):
+        got = list(parse_warc_file(str(p)))
+        assert [r["target_uri"] for r in got] == [
+            "http://a.example/1", "http://a.example/2", "http://a.example/3"]
+        assert got[0]["payload"] == b"hello world"
+        assert got[1]["content_length"] == 100
+        assert got[2]["warc_type"] == "warcinfo"
+
+
+def test_warc_datasource_scan_and_partitioning(spark, tmp_path):
+    for i in range(3):
+        _write_warc(str(tmp_path / f"seg{i}.warc"),
+                    [_record(f"http://s{i}.example/{j}",
+                             f"doc {i}-{j} body words".encode())
+                     for j in range(4)])
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load(str(tmp_path))
+    assert df.count() == 12
+    assert df.rdd.getNumPartitions() == 3  # one partition per file
+    # glob load + filter pushStage works as a normal scan
+    one = (spark.read.format("warc").load(str(tmp_path / "seg1.warc"))
+           .filter(F.col("warc_type") == "response"))
+    assert one.count() == 4
+    # curation handoff: payload -> text -> the standard documents shape
+    docs = (df.filter(F.col("warc_type") == "response")
+            .select(F.col("record_id").alias("doc_id"),
+                    F.col("payload").cast("string").alias("text"),
+                    F.col("target_uri").alias("source")))
+    from vivace_graph_v3_spark.pipeline.text import with_token_count
+    toks = with_token_count(docs)
+    assert toks.agg(F.sum("n_tokens")).first()[0] == 12 * 4
+
+
+def test_warc_reader_rejects_garbage(tmp_path):
+    p = tmp_path / "bad.warc"
+    p.write_bytes(b"HTTP/1.1 200 OK\r\n\r\nnot a warc")
+    with pytest.raises(Exception, match="not a WARC"):
+        list(parse_warc_file(str(p)))

@@ -1,0 +1,136 @@
+"""WARC (Web ARChive, ISO 28500) reader as a Spark 4 Python Data Source.
+
+WARC is the wire format of web-scale text corpora (Common Crawl et al.), so
+an engine aimed at training-data curation needs to scan it natively:
+
+    spark.dataSource.register(WarcDataSource)
+    df = spark.read.format("warc").load("/data/crawl/*.warc")
+    # -> (warc_type, target_uri, warc_date, record_id, content_type,
+    #     content_length, payload binary)
+
+Design:
+- One InputPartition per file (WARC records are length-delimited, so the
+  file is the natural split unit; at 100 TB Common Crawl ships ~1 GB
+  segment files by the hundred-thousand, which is exactly the
+  one-file-one-task shape). The record parser is a streaming generator —
+  constant memory per task regardless of file size.
+- The parser is dependency-free stdlib: records are
+  "WARC/1.0\\r\\n<headers>\\r\\n\\r\\n<Content-Length bytes>\\r\\n\\r\\n".
+  Gzip members (the .warc.gz convention: one gzip member per record) are
+  handled transparently per file.
+- Payloads stay OPAQUE BINARY with typed metadata — the multimodal-column
+  convention: decode downstream (pipeline/multimodal.py, pipeline/text.py),
+  never in the scanner.
+"""
+
+from __future__ import annotations
+
+import glob as _glob
+import gzip
+import io
+import os
+from typing import Iterator
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
+
+WARC_SCHEMA = StructType([
+    StructField("warc_type", StringType()),
+    StructField("target_uri", StringType()),
+    StructField("warc_date", StringType()),
+    StructField("record_id", StringType()),
+    StructField("content_type", StringType()),
+    StructField("content_length", LongType()),
+    StructField("payload", BinaryType()),
+])
+
+
+def parse_warc_stream(stream) -> Iterator[dict]:
+    """Stream WARC records off a binary file object: constant memory,
+    tolerant of trailing garbage/blank lines between records."""
+    while True:
+        # seek the version line
+        line = stream.readline()
+        if not line:
+            return
+        if not line.strip():
+            continue
+        if not line.startswith(b"WARC/"):
+            raise ValueError(f"not a WARC record boundary: {line[:40]!r}")
+        headers: dict[str, str] = {}
+        while True:
+            h = stream.readline()
+            if not h or h in (b"\r\n", b"\n"):
+                break
+            k, _, v = h.decode("utf-8", "replace").partition(":")
+            headers[k.strip().lower()] = v.strip()
+        n = int(headers.get("content-length", "0"))
+        payload = stream.read(n)
+        yield {
+            "warc_type": headers.get("warc-type"),
+            "target_uri": headers.get("warc-target-uri"),
+            "warc_date": headers.get("warc-date"),
+            "record_id": headers.get("warc-record-id"),
+            "content_type": headers.get("content-type"),
+            "content_length": n,
+            "payload": payload,
+        }
+
+
+def parse_warc_file(path: str) -> Iterator[dict]:
+    """Open plain or per-record-gzipped (.gz) WARC and stream records."""
+    if path.endswith(".gz"):
+        # the .warc.gz convention concatenates one gzip member per record;
+        # GzipFile transparently reads across members
+        with gzip.open(path, "rb") as f:
+            yield from parse_warc_stream(io.BufferedReader(f))
+    else:
+        with open(path, "rb") as f:
+            yield from parse_warc_stream(f)
+
+
+class _WarcPartition(InputPartition):
+    def __init__(self, path: str):
+        self.path = path
+
+
+class _WarcReader(DataSourceReader):
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc source needs a load(path)")
+
+    def partitions(self):
+        paths = sorted(_glob.glob(self.path)) if any(
+            c in self.path for c in "*?[") else None
+        if paths is None:
+            if os.path.isdir(self.path):
+                paths = sorted(
+                    os.path.join(self.path, p) for p in os.listdir(self.path)
+                    if p.endswith((".warc", ".warc.gz")))
+            else:
+                paths = [self.path]
+        if not paths:
+            raise ValueError(f"no WARC files under {self.path}")
+        return [_WarcPartition(p) for p in paths]
+
+    def read(self, partition: _WarcPartition):
+        for rec in parse_warc_file(partition.path):
+            yield (rec["warc_type"], rec["target_uri"], rec["warc_date"],
+                   rec["record_id"], rec["content_type"],
+                   rec["content_length"], rec["payload"])
+
+
+class WarcDataSource(DataSource):
+    """spark.read.format("warc").load(path_or_glob)"""
+
+    @classmethod
+    def name(cls) -> str:
+        return "warc"
+
+    def schema(self):
+        return WARC_SCHEMA
+
+    def reader(self, schema):
+        return _WarcReader(self.options)
