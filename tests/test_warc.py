@@ -79,3 +79,40 @@ def test_warc_reader_rejects_garbage(tmp_path):
     p.write_bytes(b"HTTP/1.1 200 OK\r\n\r\nnot a warc")
     with pytest.raises(Exception, match="not a WARC"):
         list(parse_warc_file(str(p)))
+
+
+def test_warc_streaming_tails_new_segments(spark, tmp_path):
+    """The streaming face: first availableNow run drains the existing
+    segments; new files landing later are picked up (and ONLY them) by the
+    next run against the same checkpoint — file-count offsets replay
+    exactly."""
+    land = tmp_path / "land"
+    land.mkdir()
+    cp = str(tmp_path / "cp")
+    for i in range(2):
+        _write_warc(str(land / f"seg{i}.warc"),
+                    [_record(f"http://s{i}.example/{j}", b"body")
+                     for j in range(3)])
+    spark.dataSource.register(WarcDataSource)
+
+    def drain(_table):
+        got = []
+
+        def sink(batch, _bid):
+            got.extend(r.target_uri for r in batch.collect())
+
+        q = (spark.readStream.format("warc").load(str(land))
+             .writeStream.foreachBatch(sink)
+             .option("checkpointLocation", cp)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return set(got)
+
+    first = drain("warc_b1")
+    assert len(first) == 6 and all("s0" in u or "s1" in u for u in first)
+
+    _write_warc(str(land / "seg2.warc"),
+                [_record(f"http://s2.example/{j}", b"body")
+                 for j in range(2)])
+    second = drain("warc_b2")
+    assert len(second) == 2 and all("s2" in u for u in second)

@@ -31,7 +31,9 @@ import io
 import os
 from typing import Iterator
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (DataSource, DataSourceReader,
+                                    InputPartition,
+                                    SimpleDataSourceStreamReader)
 from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
                                StructType)
 
@@ -122,8 +124,57 @@ class _WarcReader(DataSourceReader):
                    rec["content_length"], rec["payload"])
 
 
+class _WarcStreamReader(SimpleDataSourceStreamReader):
+    """Streaming tailer for a WARC landing directory: each micro-batch
+    reads the records of every segment file that arrived since the last
+    offset. The offset is the count of files consumed in deterministic
+    sorted order — append-only landing dirs (the crawl-delivery shape)
+    replay exactly via readBetweenOffsets, which is what gives
+    foreachBatch pipelines (streaming/ingest.dedup_ingest_stream)
+    end-to-end exactly-once on top of their checkpoint."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("warc stream needs a load(path) directory")
+
+    def _files(self):
+        return sorted(
+            os.path.join(self.path, p) for p in os.listdir(self.path)
+            if p.endswith((".warc", ".warc.gz")))
+
+    def initialOffset(self) -> dict:
+        return {"n_files": 0}
+
+    def _rows(self, paths):
+        # materialized (not a generator): Spark's prefetch cache
+        # copy.copy()s the returned iterator for replay, which generators
+        # don't support. A micro-batch is a handful of segment files —
+        # bounded by arrival rate, not corpus size.
+        return iter([
+            (rec["warc_type"], rec["target_uri"], rec["warc_date"],
+             rec["record_id"], rec["content_type"], rec["content_length"],
+             rec["payload"])
+            for p in paths for rec in parse_warc_file(p)])
+
+    def read(self, start: dict):
+        files = self._files()
+        new = files[start["n_files"]:]
+        return self._rows(new), {"n_files": len(files)}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        files = self._files()
+        return self._rows(files[start["n_files"]:end["n_files"]])
+
+    def commit(self, end: dict) -> None:
+        pass  # nothing to clean up: the landing dir is append-only
+
+
 class WarcDataSource(DataSource):
-    """spark.read.format("warc").load(path_or_glob)"""
+    """Batch: ``spark.read.format("warc").load(path_or_glob)``.
+    Streaming: ``spark.readStream.format("warc").load(landing_dir)`` —
+    tails the directory, one micro-batch per set of newly-arrived
+    segment files (sorted-order offsets, exact replay)."""
 
     @classmethod
     def name(cls) -> str:
@@ -134,3 +185,6 @@ class WarcDataSource(DataSource):
 
     def reader(self, schema):
         return _WarcReader(self.options)
+
+    def simpleStreamReader(self, schema):
+        return _WarcStreamReader(self.options)
