@@ -116,3 +116,47 @@ def test_warc_streaming_tails_new_segments(spark, tmp_path):
                  for j in range(2)])
     second = drain("warc_b2")
     assert len(second) == 2 and all("s2" in u for u in second)
+
+
+def test_warc_to_curation_ingest_end_to_end(spark, tmp_path):
+    """The full ingestion story: crawl segments land as WARC, the streaming
+    scanner tails them, and the curation ingest near-dedups every
+    micro-batch within itself AND against the ever-growing corpus index —
+    only novel documents reach the corpus."""
+    from vivace_graph_v3_spark.streaming.ingest import dedup_ingest_stream
+
+    land = tmp_path / "land"
+    land.mkdir()
+    texts = {
+        "u1": "alpha beta gamma delta epsilon zeta eta theta",
+        "u2": "one two three four five six seven eight nine ten",
+        "u2b": "one two three four five six seven eight nine ten",  # dup of u2
+        "u3": "totally different content words here for the third doc",
+    }
+    _write_warc(str(land / "seg0.warc"),
+                [_record(f"http://x.example/{k}", texts[k].encode())
+                 for k in ("u1", "u2", "u2b")])
+    spark.dataSource.register(WarcDataSource)
+
+    docs = (spark.readStream.format("warc").load(str(land))
+            .filter(F.col("warc_type") == "response")
+            .select(F.col("target_uri").alias("doc_id"),
+                    F.col("payload").cast("string").alias("text")))
+    idx, corp = str(tmp_path / "idx"), str(tmp_path / "corp")
+    q = dedup_ingest_stream(docs, idx, corp,
+                            checkpoint=str(tmp_path / "cp"),
+                            threshold=0.5)
+    q.awaitTermination(180)
+    kept1 = {r.doc_id for r in spark.read.parquet(corp).collect()}
+    assert kept1 == {"http://x.example/u1", "http://x.example/u2"}
+
+    # second segment arrives: one dup-of-corpus, one novel
+    _write_warc(str(land / "seg1.warc"),
+                [_record("http://y.example/copy", texts["u2"].encode()),
+                 _record("http://y.example/new", texts["u3"].encode())])
+    q = dedup_ingest_stream(docs, idx, corp,
+                            checkpoint=str(tmp_path / "cp"),
+                            threshold=0.5)
+    q.awaitTermination(180)
+    kept2 = {r.doc_id for r in spark.read.parquet(corp).collect()}
+    assert kept2 == kept1 | {"http://y.example/new"}
