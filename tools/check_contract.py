@@ -77,7 +77,12 @@ def main(sf_dir: str, only: list[str]):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs, oracles = e.queries(), e.oracle_sql()
-    names = only or sorted(qs)
+    if only == ["--first50"]:
+        # exactly the driver's sample: the first 50 REGISTRY entries in
+        # insertion order
+        names = list(qs)[:50]
+    else:
+        names = only or sorted(qs)
     failures = []
     for name in names:
         t0 = time.time()
