@@ -44,3 +44,36 @@ def test_cohort_retention_triangle(spark):
     assert got[("2024-01-08", 0)] == 1
     assert got[("2024-01-08", 2)] == 1
     assert ("2024-01-08", 1) not in got
+
+
+def test_events_burstiness_entry_fano_semantics(spark):
+    """Fano factor from integer moments: uniform daily activity -> 0;
+    bursty activity -> positive; single-active-day users -> 0."""
+    import pyspark.sql.functions as F
+
+    from vivace_graph_v3_spark.entry_queries import q_events_burstiness
+
+    # build a tiny events parquet with controlled daily counts
+    import tempfile
+    tmp = tempfile.mkdtemp(prefix="vgv3burst_")
+    day_ns = 86_400_000_000_000
+    rows = []
+    # uniform: 2 events/day for 5 days; bursty: 9 on one day, 1 on another
+    for d in range(5):
+        rows += [("u_uniform", d * day_ns + i) for i in range(2)]
+    rows += [("u_bursty", 0 * day_ns + i) for i in range(9)]
+    rows += [("u_bursty", 1 * day_ns)]
+    rows += [("u_one", 3 * day_ns)]
+    (spark.createDataFrame(rows, "user_id string, ns long")
+     .select("user_id",
+             F.timestamp_micros((F.col("ns") / 1000).cast("long"))
+             .alias("ts"),
+             F.lit("view").alias("event_type"),
+             F.lit("{}").alias("props"),
+             F.monotonically_increasing_id().alias("event_id"))
+     .write.mode("overwrite").parquet(f"{tmp}/events.parquet"))
+    got = {r.user_id: r for r in q_events_burstiness(spark, tmp).collect()}
+    assert got["u_uniform"].fano == 0.0
+    assert got["u_one"].fano == 0.0 and got["u_one"].n_days == 1
+    # bursty: n=2, S1=10, S2=82 -> (2*82-100)/(2*10) = 64/20 = 3.2
+    assert got["u_bursty"].fano == 3.2

@@ -5566,6 +5566,69 @@ GROUP BY g, n_g
 """
 
 
+def q_lang_id_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: predicted vs labeled language with
+    counts — the eval artifact any classifier-driven curation stage ships
+    with (text_lang_id gives the per-doc predictions; this is its quality
+    report). One aggregate over the prediction pass."""
+    from vivace_graph_v3_spark.pipeline.text import with_lang_id
+
+    return (with_lang_id(_docs(spark, sf_dir))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+SQL_LANG_ID_CONFUSION = (
+    "WITH pred AS (" + SQL_TEXT_LANG_ID + """
+)
+SELECT d.lang, p.lang_pred, count(*) AS n
+FROM pred p JOIN documents d USING (doc_id)
+GROUP BY d.lang, p.lang_pred
+""")
+
+
+def q_events_burstiness(spark, sf_dir):
+    """Per-user burstiness of daily activity: the Fano factor
+    (variance / mean) of the user's ACTIVE-day event counts — uniform
+    posting ~ small, bursty posting ~ large. Computed EXACTLY in integer
+    arithmetic from (n, Σx, Σx²): fano = (n·S2 − S1²) / (n·S1), rounded
+    half-up to 6 decimals via the integer recipe — no floating moments,
+    so the value hashes identically in any engine. One groupBy to daily
+    counts (map-side combined), one to user moments."""
+    ev = _events(spark, sf_dir)
+    day = F.expr(f"`ts` div {86_400_000_000_000}")
+    daily = (ev.select(F.col("user_id"), day.alias("day"))
+             .groupBy("user_id", "day")
+             .agg(F.count(F.lit(1)).alias("x")))
+    mom = (daily.groupBy("user_id")
+           .agg(F.count(F.lit(1)).alias("n_days"),
+                F.sum("x").alias("n_events"),
+                F.sum(F.col("x") * F.col("x")).alias("s2")))
+    fano = (F.expr("((n_days * s2 - n_events * n_events) * 2000000 "
+                   "+ n_days * n_events) div (n_days * n_events * 2)")
+            .cast("double") / 1e6)
+    return mom.select("user_id", "n_days", "n_events",
+                      fano.alias("fano"))
+
+
+SQL_EVENTS_BURSTINESS = """
+WITH daily AS (
+  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day, count(*) AS x
+  FROM events GROUP BY 1, 2
+), mom AS (
+  SELECT user_id, count(*) AS n_days,
+         CAST(sum(x) AS BIGINT) AS n_events,
+         CAST(sum(x * x) AS BIGINT) AS s2
+  FROM daily GROUP BY user_id
+)
+SELECT user_id, n_days, n_events,
+       CAST(((n_days * s2 - n_events * n_events) * 2000000
+             + n_days * n_events) // (n_days * n_events * 2) AS DOUBLE)
+         / 1000000.0 AS fano
+FROM mom
+"""
+
+
 def q_events_dau_mau(spark, sf_dir):
     """DAU/MAU stickiness per calendar month: average daily-active over
     monthly-active users — the classic engagement ratio. All time math
@@ -5947,15 +6010,15 @@ FROM based CROSS JOIN tot
 # entries (q13_customer_distribution, customer_rfm, order_status_transitions,
 # revenue_pareto, revenue_gini, dedup_agreement, supplier_lead_time,
 # text_lexical_diversity, graph_degree_histogram, brand_revenue_share,
-# distinctive_terms) plus the 18 entries registered this round (appended
+# distinctive_terms) plus the 20 entries registered this round (appended
 # at the end: curation_ingest, graph_pagerank_personalized,
 # text_boilerplate, dedup_containment, stratified_sample,
 # embedding_quantize, retrieval_rerank, token_budget_mix,
 # cms_heavy_hitters, retrieval_mmr, curation_v2, graph_walk_census,
 # sft_pairs, events_recency_score, source_ks_drift,
 # graph_pagerank_weighted, training_mix_upsample,
-# embedding_hard_negatives) = 29 for the r5 front, leaving 21 slots for
-# re-confirming earlier rows.
+# embedding_hard_negatives, lang_id_confusion, events_burstiness) = 31
+# for the r5 front, leaving 19 slots for re-confirming earlier rows.
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -6156,6 +6219,8 @@ REGISTRY: dict[str, tuple] = {
                               SQL_TRAINING_MIX_UPSAMPLE),
     "embedding_hard_negatives": (q_embedding_hard_negatives,
                                  SQL_EMBEDDING_HARD_NEGATIVES),
+    "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
+    "events_burstiness": (q_events_burstiness, SQL_EVENTS_BURSTINESS),
 }
 
 
