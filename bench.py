@@ -180,16 +180,27 @@ def main() -> int:
         sf_val = float(sf)
     except ValueError:
         sf_val = None
-    print(json.dumps({
-        "metric": "headline_suite_seconds",
-        "value": total,
-        "unit": "sec",
-        "queries": timings,
-        "reps": REPS,
-        "spread": spread,
-        "sf": sf_val,
-    }))
+    # reps/spread are diagnostics -> stderr. The driver keeps only a ~2000-char
+    # tail of stdout and parses the LAST line as JSON, so the final line must
+    # stay comfortably under that (round-4 lesson: spread inlined here pushed
+    # the line past the tail window and the driver recorded parsed=null).
+    print(json.dumps({"reps": REPS, "spread": spread}), file=sys.stderr)
+    print(final_json_line(total, timings, sf_val))
     return 0
+
+
+def final_json_line(total: float, timings: dict[str, float], sf_val) -> str:
+    """The ONE stdout JSON line the driver parses. Compact separators and
+    2-decimal per-query values keep it under the driver's ~2000-char stdout
+    tail window even with the full 65-op suite (gated by
+    tests/test_bench_contract.py)."""
+    return json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": round(total, 2),
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in timings.items()},
+        "sf": sf_val,
+    }, separators=(",", ":"))
 
 
 if __name__ == "__main__":

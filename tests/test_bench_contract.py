@@ -1,0 +1,50 @@
+"""Standing gate: bench.py's final stdout JSON line must fit the driver's
+stdout-tail window.
+
+Round-4 post-mortem: the driver captures only the last ~2000 characters of
+bench.py stdout and parses the LAST line as JSON. Round 4 inlined a per-op
+``spread`` map into that line, pushing it past the window; the driver saw a
+brace-less truncated line and recorded ``parsed: null`` — the round lost its
+bench grade despite rc=0. This test rebuilds the line with worst-case widths
+for every op in BENCH_QUERIES (plus the five mvcc write-path keys) and fails
+if it could ever exceed a conservative 1900-char budget.
+"""
+
+import json
+
+import bench
+
+
+MVCC_KEYS = [
+    "mvcc_insert_20k",
+    "mvcc_update_20k",
+    "mvcc_delete_10k",
+    "mvcc_snapshot",
+    "mvcc_replay",
+]
+
+
+def _worst_case_line() -> str:
+    # 999.99 is wider than any plausible per-op median at sf0.1 (suite total
+    # has been ~60-120 s); total itself gets the same worst-case width.
+    timings = {k: 999.99 for k in bench.BENCH_QUERIES + MVCC_KEYS}
+    return bench.final_json_line(99999.99, timings, 0.1)
+
+
+def test_final_line_fits_driver_tail_window():
+    line = _worst_case_line()
+    assert len(line) < 1900, (
+        f"bench final JSON line worst-case {len(line)} chars >= 1900; "
+        "the driver's stdout tail is ~2000 chars — trim BENCH_QUERIES or "
+        "shorten the encoding before adding more ops"
+    )
+
+
+def test_final_line_is_parseable_single_line():
+    line = _worst_case_line()
+    assert "\n" not in line
+    obj = json.loads(line)
+    assert obj["metric"] == "headline_suite_seconds"
+    assert obj["unit"] == "sec"
+    assert set(obj["queries"]) == set(bench.BENCH_QUERIES + MVCC_KEYS)
+    assert obj["sf"] == 0.1
