@@ -280,3 +280,17 @@ def test_weighted_pagerank_follows_weight_mass(spark):
     # mass-|V| conservation holds in both variants
     assert abs(sum(uni.values()) - 3.0) < 1e-6
     assert abs(sum(wtd.values()) - 3.0) < 1e-6
+
+
+def test_hits_edgeless_graph_returns_zero_scores(spark):
+    """Round-4 advice regression: on a graph with vertices but no edges the
+    hub/auth frames are empty, the combined max aggregate yields zero rows,
+    and the norm lookup must not KeyError (nor divide by a 0.0 max) — every
+    vertex simply scores 0.0/0.0."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import hits
+
+    g = _graph(spark, ["a", "b", "c"], [])
+    rows = {r["id"]: (r["hub"], r["auth"])
+            for r in hits(g, max_iter=3).collect()}
+    assert set(rows) == {"a", "b", "c"}
+    assert all(v == (0.0, 0.0) for v in rows.values())

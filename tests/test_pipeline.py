@@ -1071,10 +1071,16 @@ def test_sft_pairs_split_boundary(spark):
     assert rows[3].n_prompt == 0 and rows[3].prompt == ""
 
 
-def test_containment_prefix_filtering_equals_naive(spark):
+@pytest.mark.parametrize("threshold", [0.6, 0.666667, 0.8])
+def test_containment_prefix_filtering_equals_naive(spark, threshold):
     """The SSJoin prefix filter must be invisible in the RESULT: compare
     containment_pairs against a naive full-inverted-index computation on a
-    seeded random corpus with planted containments and near-misses."""
+    seeded random corpus with planted containments and near-misses.
+
+    0.666667 is the adversarial threshold from the round-4 advice: the
+    round-half-up acceptance admits common = ceil(t*sz)-1 whenever
+    0 < frac(t*sz) <= sz/2e6 (e.g. sz=3, t=0.666667 accepts common=2),
+    so a floor((1-t)*sz)+1 prefix is one shingle too short."""
     import random
 
     from vivace_graph_v3_spark.pipeline.dedup import containment_pairs
@@ -1096,7 +1102,7 @@ def test_containment_prefix_filtering_equals_naive(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
 
     got = {(r.inner_id, r.outer_id, r.containment)
-           for r in containment_pairs(df, threshold=0.6).collect()}
+           for r in containment_pairs(df, threshold=threshold).collect()}
 
     # naive: full inverted-index group count, no prefix pruning
     from pyspark.sql import functions as F
@@ -1117,13 +1123,42 @@ def test_containment_prefix_filtering_equals_naive(spark):
              .withColumn("containment",
                          F.expr("(common * 2000000 + sz_in) div (sz_in * 2)")
                          .cast("double") / 1e6)
-             .filter(F.col("containment") >= 0.6)
+             .filter(F.col("containment") >= threshold)
              .select("inner_id", "outer_id", "containment"))
     want = {(r.inner_id, r.outer_id, r.containment) for r in naive.collect()}
     assert got == want
     # the planted containments are found, in the right direction
     for i in range(5):
         assert any(p[0] == i and p[1] == 100 + i for p in got)
+
+
+def test_containment_rounding_slack_regression(spark):
+    """Round-4 advice regression: sz=3, threshold=0.666667 — round-half-up
+    accepts common=2 (2/3 -> 0.666667 == t), but a floor((1-t)*sz)+1 = 1
+    prefix only posts the single rarest shingle; if the outer doc misses
+    exactly that one, the qualifying pair was never generated. The inner
+    doc's 3 shingles are built so its rarest shingle (unique to it) is the
+    one the outer doc lacks."""
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.pipeline.dedup import (containment_pairs,
+                                                      shingle_hashes)
+
+    # inner: 5 words -> 3 trigram shingles; outer repeats inner's LAST two
+    # trigrams (making them common, df=2) and not the first (df=1, rarest).
+    inner = "a b c d e"            # shingles: (a b c) (b c d) (c d e)
+    outer = "x b c d e y"          # shingles: (x b c) (b c d) (c d e) (d e y)
+    df = spark.createDataFrame([(1, inner), (2, outer)],
+                               "doc_id long, text string")
+    # sanity: the rarest inner shingle really is the non-shared one
+    sh = {r.doc_id: set(r.s) for r in
+          df.select("doc_id", shingle_hashes(F.col("text"), 3).alias("s"))
+          .collect()}
+    assert len(sh[1] & sh[2]) == 2 and len(sh[1]) == 3
+
+    got = {(r.inner_id, r.outer_id): r.containment
+           for r in containment_pairs(df, threshold=0.666667).collect()}
+    assert (1, 2) in got and got[(1, 2)] == 0.666667
 
 
 def test_training_mix_upsample_copies_and_determinism(spark):

@@ -148,3 +148,24 @@ def test_ks_drift_detects_shifted_group(spark):
     assert all(0.0 <= v <= 1.0 for v in ks.values())
     assert ks["c"] > 0.6                       # disjoint support
     assert ks["a"] == ks["b"] and ks["a"] < 0.4
+
+
+def test_ks_ratio_decimal_arithmetic_survives_overflow_scale(spark):
+    """Round-4 advice regression: ks_drift's rounding step multiplies
+    max(num) by 2,000,000 where num/den scale as n_g*n_all; in BIGINT that
+    wraps (ANSI off) or throws (ANSI on) once n_g*n_all exceeds ~4.6e12.
+    The DECIMAL(38,0) recipe must return the exact round-half-up quotient
+    at that scale. num/den here model a 600k-row group in a 10M-row corpus
+    (den = 6e12), far past the BIGINT boundary of 9.22e18/2e6."""
+    from pyspark.sql import functions as F
+
+    num, den = 5_999_999_999_999, 6_000_000_000_000   # ratio ~ 1.0
+    df = spark.createDataFrame([(num, den)], "num long, den long")
+    q = df.select(
+        F.expr("(CAST(max(num) AS DECIMAL(38,0)) * 2000000 "
+               " + any_value(den)) "
+               "div (CAST(any_value(den) AS DECIMAL(38,0)) * 2)")
+        .alias("q")).collect()[0].q
+    # exact round-half-up of num/den * 1e6
+    want = (num * 2_000_000 + den) // (den * 2)
+    assert q == want == 1_000_000  # ratio ~1.0 -> 1.000000 at 6dp scale

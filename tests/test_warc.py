@@ -160,3 +160,49 @@ def test_warc_to_curation_ingest_end_to_end(spark, tmp_path):
     q.awaitTermination(180)
     kept2 = {r.doc_id for r in spark.read.parquet(corp).collect()}
     assert kept2 == kept1 | {"http://y.example/new"}
+
+
+def test_warc_stream_offset_survives_out_of_order_names(tmp_path):
+    """Round-4 advice regression: the offset is a (last-name, below-count)
+    watermark, not a file count. A newly-landed file whose name sorts
+    BEFORE an already-consumed one must not shift the index (the count
+    scheme re-emitted the current tail and permanently skipped the
+    newcomer); it is detected and raised instead."""
+    from vivace_graph_v3_spark.sources.warc import _WarcStreamReader
+
+    land = tmp_path / "land"
+    land.mkdir()
+    for name in ("seg1.warc", "seg3.warc"):
+        _write_warc(str(land / name),
+                    [_record(f"http://{name}/x", b"body")])
+    r = _WarcStreamReader({"path": str(land)})
+
+    rows, off1 = r.read(r.initialOffset())
+    assert {t[1] for t in rows} == {"http://seg1.warc/x",
+                                    "http://seg3.warc/x"}
+    assert off1 == {"last": "seg3.warc", "n_below": 2}
+
+    # normal append above the watermark: only the new file is read
+    _write_warc(str(land / "seg4.warc"), [_record("http://seg4.warc/x",
+                                                  b"body")])
+    rows, off2 = r.read(off1)
+    assert [t[1] for t in rows] == ["http://seg4.warc/x"]
+    assert off2 == {"last": "seg4.warc", "n_below": 3}
+
+    # replay between offsets is exact
+    replay = list(r.readBetweenOffsets(off1, off2))
+    assert [t[1] for t in replay] == ["http://seg4.warc/x"]
+
+    # a file landing BELOW the committed watermark is a contract
+    # violation: raised, never silently skipped or double-read
+    _write_warc(str(land / "seg2.warc"), [_record("http://seg2.warc/x",
+                                                  b"body")])
+    with pytest.raises(ValueError, match="append-only"):
+        r.read(off2)
+    # and replay of the old range detects the shifted listing too
+    with pytest.raises(ValueError, match="changed under the checkpoint"):
+        r.readBetweenOffsets(r.initialOffset(), off1)
+
+    # legacy count-only offsets are refused, not misinterpreted
+    with pytest.raises(ValueError, match="legacy"):
+        r.read({"n_files": 2})

@@ -1472,8 +1472,15 @@ def _pagerank_oracle_sql(rounds: int = 10, damping: float = 0.85,
         tele_cte = "SELECT id, 1.0 AS t FROM vertices"
     else:
         in_list = ", ".join(f"'{s}'" for s in sources)
+        # denominator = sources PRESENT in the vertex set, mirroring the
+        # operator's `matched` count (graph_algorithms.py pagerank
+        # validates sources and divides by how many actually exist; it
+        # only raises when none do) — len(sources) here would diverge the
+        # moment a personalization id is absent from the graph (r4 advice)
         tele_cte = f"""SELECT v.id,
-    CASE WHEN v.id IN ({in_list}) THEN nv.n / {float(len(sources))}
+    CASE WHEN v.id IN ({in_list})
+         THEN nv.n / (SELECT CAST(COUNT(*) AS DOUBLE) FROM vertices
+                      WHERE id IN ({in_list}))
          ELSE 0.0 END AS t
   FROM vertices v CROSS JOIN nv"""
     if weighted:

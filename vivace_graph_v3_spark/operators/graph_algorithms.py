@@ -577,14 +577,20 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
             .unionByName(auth.select(F.lit("a").alias("t"), "score"))
             .groupBy("t").agg(F.max("score").alias("m")).collect())
     maxes = {r["t"]: r["m"] for r in rows}
+    # an edgeless graph yields empty hub/auth frames -> the union
+    # aggregates to zero rows (no 'h'/'a' keys); a max of 0.0 or null
+    # would divide by zero. Normalize by 1.0 then: every vertex gets the
+    # correct 0.0 score through the coalesce.
+    m_h = maxes.get("h") or 1.0
+    m_a = maxes.get("a") or 1.0
     h = (vertices
          .join(hub.withColumnRenamed("score", "h"), "id", "left")
          .select("id", (F.coalesce(F.col("h"), F.lit(0.0))
-                        / F.lit(maxes["h"])).alias("hub")))
+                        / F.lit(m_h)).alias("hub")))
     return (h.join(auth.withColumnRenamed("score", "a"), "id", "left")
             .select("id", "hub",
                     (F.coalesce(F.col("a"), F.lit(0.0))
-                     / F.lit(maxes["a"])).alias("auth")))
+                     / F.lit(m_a)).alias("auth")))
 
 
 def common_neighbor_similarity(graph: GraphStore, *,

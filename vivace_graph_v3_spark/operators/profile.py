@@ -230,8 +230,15 @@ def ks_drift(df: DataFrame, *, group_col: str, value_col: str) -> DataFrame:
                             - F.col("cum_all") * F.col("n_g"))
                       .alias("num"),
                       (F.col("n_g") * F.col("n_all")).alias("den")))
-    ks = (F.expr("(max(num) * 2000000 + any_value(den)) "
-                 "div (any_value(den) * 2)").cast("double") / 1e6)
+    # num/den scale as n_g*n_all, so the *2000000 step must run in
+    # DECIMAL(38,0): in BIGINT it overflows once n_g*n_all > ~4.6e12
+    # (e.g. a 500k-row group in a 10M-row corpus) — silently wrong with
+    # ANSI off, runtime error with ANSI on. The quotient itself is always
+    # <= 2000001, so `div`'s BIGINT result is safe.
+    ks = (F.expr("(CAST(max(num) AS DECIMAL(38,0)) * 2000000 "
+                 " + any_value(den)) "
+                 "div (CAST(any_value(den) AS DECIMAL(38,0)) * 2)")
+          .cast("double") / 1e6)
     return (scored.groupBy(F.col("g").alias(group_col))
             .agg(F.any_value(F.col("n_g")).cast("long").alias("n_rows"),
                  ks.alias("ks")))

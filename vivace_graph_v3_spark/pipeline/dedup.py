@@ -100,14 +100,17 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     Candidate generation uses PREFIX FILTERING (Chaudhuri et al. SSJoin
     2006; Xiao et al. PPJoin 2008), which keeps the result EXACT: if
     |A ∩ B| >= t·|A| then A can miss at most (1-t)·|A| of its shingles,
-    so among A's floor((1-t)·|A|)+1 globally-rarest shingles at least one
+    so among A's floor((1-t)·|A|)+2 globally-rarest shingles at least one
     must hit B — only those prefix shingles are exploded on the inner
     side (the outer side posts everything), shrinking the inverted-index
     fanout by ~1/(1-t) and, on skew, by the rare-first ordering.
     Survivor pairs are then verified with one array_intersect over the
     two full shingle sets — candidate-bounded, no second index pass.
-    (The +1 absorbs the 6-dp round-half-up acceptance slack for any
-    |A| < 4·10^5.) Both directions are emitted when both clear the
+    (The +2, not the textbook +1: the 6-dp round-half-up acceptance can
+    admit common = ceil(t·|A|)-1 whenever 0 < frac(t·|A|) <= |A|/2e6 —
+    e.g. t=0.666667 with |A|=3 accepts common=2 — so the prefix must
+    reach one shingle deeper; one extra unit covers any |A| < 2·10^6.)
+    Both directions are emitted when both clear the
     threshold (containment is not symmetric). Self-pairs excluded.
     At raw-corpus scale run it on blocked/candidate inputs; the measured
     10x-data probe ratio dropped from 12.6x to ~linear-in-output after
@@ -125,7 +128,7 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
                                              F.col("shingle").asc())
         prefix = (ranked.withColumn("__pos", F.row_number().over(w))
                   .filter(F.col("__pos") <=
-                          F.floor((1.0 - threshold) * F.col("sz")) + 1)
+                          F.floor((1.0 - threshold) * F.col("sz")) + 2)
                   .select("id", "shingle"))
         a, b = prefix.alias("a"), inv.alias("b")
         cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))

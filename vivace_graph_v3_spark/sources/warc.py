@@ -127,11 +127,18 @@ class _WarcReader(DataSourceReader):
 class _WarcStreamReader(SimpleDataSourceStreamReader):
     """Streaming tailer for a WARC landing directory: each micro-batch
     reads the records of every segment file that arrived since the last
-    offset. The offset is the count of files consumed in deterministic
-    sorted order — append-only landing dirs (the crawl-delivery shape)
-    replay exactly via readBetweenOffsets, which is what gives
-    foreachBatch pipelines (streaming/ingest.dedup_ingest_stream)
-    end-to-end exactly-once on top of their checkpoint."""
+    offset. The offset is the NAME of the last consumed file plus the
+    count of listed files at-or-below that name — NOT a bare file count:
+    "append-only" landing dirs don't guarantee lexicographically
+    increasing names, and under a count offset a new file sorting before
+    an already-consumed one shifts the index, re-emitting the current
+    tail file and permanently skipping the newcomer (round-4 advice). A
+    batch takes every file whose name sorts strictly above the watermark;
+    a file that lands BELOW it (or a deletion under it) changes the
+    below-watermark count and is raised as a hard error rather than
+    silently skipped — exactly-once for foreachBatch pipelines
+    (streaming/ingest.dedup_ingest_stream) must never lose records
+    quietly."""
 
     def __init__(self, options):
         self.path = options.get("path")
@@ -144,7 +151,7 @@ class _WarcStreamReader(SimpleDataSourceStreamReader):
             if p.endswith((".warc", ".warc.gz")))
 
     def initialOffset(self) -> dict:
-        return {"n_files": 0}
+        return {"last": "", "n_below": 0}
 
     def _rows(self, paths):
         # materialized (not a generator): Spark's prefetch cache
@@ -157,14 +164,45 @@ class _WarcStreamReader(SimpleDataSourceStreamReader):
              rec["payload"])
             for p in paths for rec in parse_warc_file(p)])
 
+    @staticmethod
+    def _watermark(offset: dict) -> tuple[str, int]:
+        if "last" not in offset:
+            raise ValueError(
+                "warc stream offset has no 'last' filename (legacy "
+                "file-count offsets cannot name which files they covered "
+                "once new arrivals re-sort the listing) — restart the "
+                "stream with a fresh checkpoint")
+        return offset["last"], offset.get("n_below", 0)
+
     def read(self, start: dict):
+        last, n_below = self._watermark(start)
         files = self._files()
-        new = files[start["n_files"]:]
-        return self._rows(new), {"n_files": len(files)}
+        below = [f for f in files if os.path.basename(f) <= last]
+        if len(below) != n_below:
+            raise ValueError(
+                f"warc stream: {len(below)} files sort at-or-below the "
+                f"committed watermark {last!r} but {n_below} were "
+                f"consumed — a segment landed out of name order (or one "
+                f"was deleted); the directory violates the append-only "
+                f"delivery contract and the stream cannot attribute the "
+                f"difference to any offset range")
+        new = files[len(below):]
+        end = {"last": os.path.basename(new[-1]) if new else last,
+               "n_below": n_below + len(new)}
+        return self._rows(new), end
 
     def readBetweenOffsets(self, start: dict, end: dict):
-        files = self._files()
-        return self._rows(files[start["n_files"]:end["n_files"]])
+        lo, n_lo = self._watermark(start)
+        hi, n_hi = self._watermark(end)
+        files = [f for f in self._files()
+                 if lo < os.path.basename(f) <= hi]
+        if len(files) != n_hi - n_lo:
+            raise ValueError(
+                f"warc stream replay: offset range ({lo!r}, {hi!r}] "
+                f"covered {n_hi - n_lo} files at commit time but "
+                f"{len(files)} are listed now — the landing directory "
+                f"changed under the checkpoint")
+        return self._rows(files)
 
     def commit(self, end: dict) -> None:
         pass  # nothing to clean up: the landing dir is append-only
