@@ -6004,28 +6004,16 @@ FROM based CROSS JOIN tot
 """
 
 
-# Driver-coverage note: the correctness driver hashes the FIRST 50 entries in
-# insertion order. Round 4 leads with (a) the 5 r3 driver-red entries, all
-# fixed this round (pandas-canonicalizer hazards: HUGEINT->float64 renders
-# and array-cell sort crashes — VERDICT r3), and (b) 45 of the 56 entries no
-# driver round has ever sampled, including every latent-red the judge's
-# dtype scan flagged (packing_stats, vocab_coverage, source_drift,
-# multimodal_audio, span_corruption, events_dau_mau) plus the two
-# date-render latents our own dtype-hazard test then caught
-# (events_retention, events_wow_change). Cumulative driver coverage after
-# r4 should be 144/155. Round 5: rotate in the 11 deferred report-style
-# entries (q13_customer_distribution, customer_rfm, order_status_transitions,
-# revenue_pareto, revenue_gini, dedup_agreement, supplier_lead_time,
-# text_lexical_diversity, graph_degree_histogram, brand_revenue_share,
-# distinctive_terms) plus the 20 entries registered this round (appended
-# at the end: curation_ingest, graph_pagerank_personalized,
-# text_boilerplate, dedup_containment, stratified_sample,
-# embedding_quantize, retrieval_rerank, token_budget_mix,
-# cms_heavy_hitters, retrieval_mmr, curation_v2, graph_walk_census,
-# sft_pairs, events_recency_score, source_ks_drift,
-# graph_pagerank_weighted, training_mix_upsample,
-# embedding_hard_negatives, lang_id_confusion, events_burstiness) = 31
-# for the r5 front, leaving 19 slots for re-confirming earlier rows.
+# Driver-coverage note: the correctness driver hashes the FIRST 50 entries
+# in insertion order; _R5_FRONT below (not this literal's order) decides the
+# sample — the dict literal is append-only so diffs stay reviewable.
+# Round-5 rotation: all 31 entries no driver round has ever sampled (the 11
+# report-style entries deferred from r4 + the 20 registered in r4) lead,
+# followed by new round-5 registrations, then re-confirm slots drawn from
+# the OLDEST driver rows (last sampled r1/r2) spanning every subsystem.
+# Cumulative driver coverage after r4: 146/175 distinct entries (some rows
+# were sampled in two rounds); this front closes the full 31-entry
+# never-sampled set in one round.
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -6229,6 +6217,40 @@ REGISTRY: dict[str, tuple] = {
     "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
     "events_burstiness": (q_events_burstiness, SQL_EVENTS_BURSTINESS),
 }
+
+# Round-5 driver sample order. Three blocks:
+#   1. the 31 entries never sampled by any driver round (r4-deferred
+#      report-style + the 20 r4 registrations),
+#   2. new round-5 registrations (insert here as they land),
+#   3. re-confirm slots: the oldest driver rows (last sampled r1/r2),
+#      one per subsystem, so ancient greens get re-evidenced.
+# Everything not listed keeps its literal order after the front.
+_R5_FRONT = [
+    # -- block 1: never driver-sampled (31) --
+    "q13_customer_distribution", "distinctive_terms", "customer_rfm",
+    "order_status_transitions", "revenue_pareto", "revenue_gini",
+    "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
+    "graph_degree_histogram", "brand_revenue_share", "curation_ingest",
+    "graph_pagerank_personalized", "text_boilerplate", "dedup_containment",
+    "stratified_sample", "embedding_quantize", "retrieval_rerank",
+    "token_budget_mix", "cms_heavy_hitters", "retrieval_mmr", "curation_v2",
+    "graph_walk_census", "sft_pairs", "events_recency_score",
+    "source_ks_drift", "graph_pagerank_weighted", "training_mix_upsample",
+    "embedding_hard_negatives", "lang_id_confusion", "events_burstiness",
+    # -- block 2: round-5 registrations --
+    # -- block 3: re-confirms (oldest driver rows, r1/r2) --
+    "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
+    "traverse_bfs", "findall_orders", "bagof_by_nation",
+    "view_reduce_groups", "view_range_paging", "q1_pricing_summary",
+    "q5_nation_revenue", "spatial_radius", "events_hourly_window",
+    "replication_subset", "text_quality", "dedup_exact",
+    "dedup_minhash_lsh", "dedup_survivors", "ann_ivf_recall",
+]
+
+_ordered = {n: REGISTRY[n] for n in _R5_FRONT}
+for _n, _v in REGISTRY.items():
+    _ordered.setdefault(_n, _v)
+REGISTRY = _ordered
 
 
 def queries():
