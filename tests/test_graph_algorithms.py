@@ -294,3 +294,23 @@ def test_hits_edgeless_graph_returns_zero_scores(spark):
             for r in hits(g, max_iter=3).collect()}
     assert set(rows) == {"a", "b", "c"}
     assert all(v == (0.0, 0.0) for v in rows.values())
+
+
+def test_landmark_closeness_path_graph(spark):
+    """Path a-b-c-d (undirected): closeness(a) over depth 6 = 3/(1+2+3);
+    closeness(b) = 3/(1+1+2). Depth bound respected: with max_depth=1,
+    a reaches only b."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        landmark_closeness)
+
+    g = _graph(spark, ["a", "b", "c", "d"],
+               [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)])
+    rows = {r.lm: r for r in
+            landmark_closeness(g, ["a", "b"], max_depth=6).collect()}
+    assert rows["a"].n_reached == 4 and rows["a"].sum_dist == 6
+    assert rows["a"].closeness == 0.5          # 3/6
+    assert rows["b"].n_reached == 4 and rows["b"].sum_dist == 4
+    assert rows["b"].closeness == 0.75         # 3/4
+    shallow = {r.lm: r for r in
+               landmark_closeness(g, ["a"], max_depth=1).collect()}
+    assert shallow["a"].n_reached == 2 and shallow["a"].sum_dist == 1

@@ -1206,3 +1206,52 @@ def test_hard_negatives_excludes_same_label_and_ranks(spark):
             list(range(1, len(rs) + 1))
     # anchor 1's hardest different-label negative is 3 (closest direction)
     assert sorted(by_anchor[1], key=lambda r: r.rank)[0].negative_id == 3
+
+
+def test_duplicate_span_stats_planted_dup(spark):
+    """Two docs sharing an exact 12-word span + one unique doc: the
+    sharing docs get dup counts over their shared shingles, the unique
+    doc gets 0; short docs (<n words) are excluded."""
+    from vivace_graph_v3_spark.pipeline.dedup import duplicate_span_stats
+
+    span = " ".join(f"s{i}" for i in range(12))     # 3 10-gram shingles
+    rows = [(1, span + " tail1 tail2"),
+            (2, "head1 head2 " + span),
+            (3, " ".join(f"u{i}" for i in range(15))),
+            (4, "too short")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.id: r for r in duplicate_span_stats(df, n=10).collect()}
+    assert set(got) == {1, 2, 3}                    # doc 4 has no spans
+    # docs 1/2: 5 shingles each (14 words), 3 shared
+    assert got[1].n_spans == 5 and got[1].n_dup == 3
+    assert got[2].n_spans == 5 and got[2].n_dup == 3
+    assert got[1].dup_rate == 0.6
+    assert got[3].n_spans == 6 and got[3].n_dup == 0 and got[3].dup_rate == 0.0
+
+
+def test_bpe_pair_stats_hand_computed(spark):
+    """'aaa ab' + 'ab': pairs aa(x2 from aaa), ab(x2: 'ab' freq 2);
+    position-wise counting inside a word, frequency-weighted across the
+    vocab."""
+    from vivace_graph_v3_spark.pipeline.tokenizer import bpe_pair_stats
+
+    df = spark.createDataFrame([(1, "aaa ab"), (2, "ab")],
+                               "doc_id long, text string")
+    got = {r.pair: r.freq for r in bpe_pair_stats(df, top_k=10).collect()}
+    assert got == {"aa": 2, "ab": 2}
+
+
+def test_grid_quantile_gate_exact_quantile_and_ties(spark):
+    """n=8 with drop_pct=25 -> k=2: threshold is the 2nd-smallest quality;
+    ties at the threshold are kept (>= semantics)."""
+    from vivace_graph_v3_spark.pipeline.text import grid_quantile_gate
+
+    rows = [("s", 0.1), ("s", 0.2), ("s", 0.2), ("s", 0.3),
+            ("s", 0.4), ("s", 0.5), ("s", 0.6), ("s", 0.7),
+            ("t", 0.9), ("t", 0.8)]                # n=2 -> k=1, thr=0.8
+    df = spark.createDataFrame(rows, "source string, quality double")
+    got = {r.source: r for r in grid_quantile_gate(df, drop_pct=25).collect()}
+    assert got["s"].n_docs == 8 and got["s"].threshold == 0.2
+    assert got["s"].n_kept == 7                    # only the 0.1 dropped
+    assert got["t"].n_docs == 2 and got["t"].threshold == 0.8
+    assert got["t"].n_kept == 2

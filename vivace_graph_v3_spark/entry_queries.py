@@ -6004,6 +6004,186 @@ FROM based CROSS JOIN tot
 """
 
 
+# ---------------------------------------------------------------------------
+# round-5 additions
+# ---------------------------------------------------------------------------
+
+def q_duplicate_ngram_spans(spark, sf_dir):
+    """Corpus duplicated-text rate (Lee et al. 2022 motivation): per doc,
+    the fraction of its distinct 10-gram word shingles occurring in at
+    least one other document. One shingle-hash shuffle for document
+    frequencies + one join back — O(total shingles), never pairwise
+    (pipeline/dedup.duplicate_span_stats)."""
+    from vivace_graph_v3_spark.pipeline.dedup import duplicate_span_stats
+
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
+    return (duplicate_span_stats(docs, n=10)
+            .select(F.col("id").alias("doc_id"), "n_spans", "n_dup",
+                    "dup_rate"))
+
+
+SQL_DUPLICATE_NGRAM_SPANS = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 9, 0)),
+           i -> array_to_string(toks[i:i+9], ' '))) AS sh
+  FROM t WHERE len(toks) >= 10
+), inv AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM s
+), dfreq AS (
+  SELECT shingle, count(*) AS df FROM inv GROUP BY shingle
+)
+SELECT inv.doc_id,
+       CAST(any_value(inv.sz) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_dup,
+       CAST((sum(CASE WHEN dfreq.df >= 2 THEN 1 ELSE 0 END) * 2000000
+             + any_value(inv.sz)) // (any_value(inv.sz) * 2) AS DOUBLE)
+         / 1000000.0 AS dup_rate
+FROM inv JOIN dfreq USING (shingle)
+GROUP BY inv.doc_id
+"""
+
+
+def q_bpe_pair_stats(spark, sf_dir):
+    """First BPE merge iteration over the corpus: top-30 adjacent
+    character pairs by frequency, counted per position over the DISTINCT
+    word vocabulary weighted by word frequency — one corpus shuffle, then
+    vocab-bounded work (pipeline/tokenizer.bpe_pair_stats; Sennrich et
+    al. 2016)."""
+    from vivace_graph_v3_spark.pipeline.tokenizer import bpe_pair_stats
+
+    return bpe_pair_stats(_docs(spark, sf_dir), top_k=30)
+
+
+SQL_BPE_PAIR_STATS = r"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+  FROM documents
+), wf AS (
+  SELECT w, count(*) AS f FROM words GROUP BY w
+), pairs AS (
+  SELECT unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair, f
+  FROM wf WHERE length(w) >= 2
+)
+SELECT pair, CAST(sum(f) AS BIGINT) AS freq
+FROM pairs GROUP BY pair
+ORDER BY freq DESC, pair LIMIT 30
+"""
+
+
+def q_quality_adaptive_gate(spark, sf_dir):
+    """Per-source adaptive quality threshold via an EXACT grid quantile
+    (pipeline/text.grid_quantile_gate): drop each source's bottom 25% by
+    heuristic quality. Unlike quality_gate's per-source ROW window, the
+    quantile here runs over the 6-dp-rounded VALUE grid (per-(source,
+    value) counts map-side combine; cumulative window is value-bounded) —
+    the shape that stays exact when one stratum holds 10^10 rows."""
+    from vivace_graph_v3_spark.pipeline.text import (grid_quantile_gate,
+                                                     with_quality_score)
+
+    scored = with_quality_score(_docs(spark, sf_dir))
+    return (grid_quantile_gate(scored, drop_pct=25)
+            .select("source", "n_docs", "n_kept", "threshold"))
+
+
+SQL_QUALITY_ADAPTIVE_GATE = rf"""
+WITH t AS (
+  SELECT doc_id, source, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+           AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_chars, punct, len(toks) AS n_toks,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+                         x -> x IN ({_STOP_SQL}))) AS stops,
+         (n_chars - len(toks) + 1) / greatest(len(toks), 1) AS mean_wl
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         floor((least(n_chars / 500.0, 1.0) * 0.3
+                + (1.0 - least(punct / greatest(n_chars, 1) * 5.0, 1.0)) * 0.2
+                + least(stops / greatest(n_toks, 1) * 5.0, 1.0) * 0.3
+                + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0
+                        THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000.0 + 0.5)
+           / 1000000.0 AS quality
+  FROM s
+), counts AS (
+  SELECT source, quality, count(*) AS c FROM q GROUP BY source, quality
+), totals AS (
+  SELECT source, sum(c) AS n FROM counts GROUP BY source
+), cum AS (
+  SELECT source, quality,
+         sum(c) OVER (PARTITION BY source ORDER BY quality) AS cum
+  FROM counts
+), thr AS (
+  SELECT cum.source, min(quality) AS threshold,
+         CAST(any_value(n) AS BIGINT) AS n_docs
+  FROM cum JOIN totals USING (source)
+  WHERE cum * 100 >= n * 25
+  GROUP BY cum.source
+)
+SELECT thr.source, n_docs,
+       CAST(count(*) AS BIGINT) AS n_kept, threshold
+FROM thr JOIN q ON q.source = thr.source AND q.quality >= thr.threshold
+GROUP BY thr.source, n_docs, threshold
+"""
+
+
+def q_graph_closeness_landmarks(spark, sf_dir):
+    """Depth-6 landmark closeness centrality (Freeman; Eppstein-Wang
+    landmark shape) of three nation hubs over the undirected F6 graph —
+    frontier BFS carrying (landmark, vertex), anti-joined against the
+    visited set per round (operators/graph_algorithms.landmark_closeness).
+    Oracle: six unrolled min-dist relaxation rounds over the same
+    undirected edge set."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        landmark_closeness)
+
+    g = load_tpch_graph(spark, sf_dir)
+    return landmark_closeness(g, _PPR_SOURCES, max_depth=6)
+
+
+def _closeness_oracle_sql(landmarks: list[str], depth: int = 6) -> str:
+    vals = ", ".join(f"('{l}')" for l in landmarks)
+    parts = [f"""
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_F6_EDGES_SQL})),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+v0 AS MATERIALIZED (
+  SELECT lm, lm AS id, 0 AS dist FROM (VALUES {vals}) t(lm)
+)"""]
+    for k in range(1, depth + 1):
+        parts.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT lm, id, MIN(dist) AS dist FROM (
+    SELECT lm, id, dist FROM v{k - 1}
+    UNION ALL
+    SELECT v.lm, e.dst AS id, v.dist + 1 AS dist
+    FROM v{k - 1} v JOIN e ON e.src = v.id
+  ) GROUP BY lm, id
+)""")
+    return (",".join(parts) + f"""
+SELECT lm, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(sum(dist) AS BIGINT) AS sum_dist,
+       CAST(((count(*) - 1) * 2000000 + sum(dist)) // (sum(dist) * 2)
+            AS DOUBLE) / 1000000.0 AS closeness
+FROM v{depth} GROUP BY lm
+""")
+
+
+SQL_GRAPH_CLOSENESS_LANDMARKS = _closeness_oracle_sql(_PPR_SOURCES)
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -6216,6 +6396,14 @@ REGISTRY: dict[str, tuple] = {
                                  SQL_EMBEDDING_HARD_NEGATIVES),
     "lang_id_confusion": (q_lang_id_confusion, SQL_LANG_ID_CONFUSION),
     "events_burstiness": (q_events_burstiness, SQL_EVENTS_BURSTINESS),
+    # round-5 registrations
+    "duplicate_ngram_spans": (q_duplicate_ngram_spans,
+                              SQL_DUPLICATE_NGRAM_SPANS),
+    "bpe_pair_stats": (q_bpe_pair_stats, SQL_BPE_PAIR_STATS),
+    "quality_adaptive_gate": (q_quality_adaptive_gate,
+                              SQL_QUALITY_ADAPTIVE_GATE),
+    "graph_closeness_landmarks": (q_graph_closeness_landmarks,
+                                  SQL_GRAPH_CLOSENESS_LANDMARKS),
 }
 
 # Round-5 driver sample order. Three blocks:
@@ -6238,6 +6426,8 @@ _R5_FRONT = [
     "source_ks_drift", "graph_pagerank_weighted", "training_mix_upsample",
     "embedding_hard_negatives", "lang_id_confusion", "events_burstiness",
     # -- block 2: round-5 registrations --
+    "duplicate_ngram_spans", "bpe_pair_stats", "quality_adaptive_gate",
+    "graph_closeness_landmarks",
     # -- block 3: re-confirms (oldest driver rows, r1/r2) --
     "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
     "traverse_bfs", "findall_orders", "bagof_by_nation",

@@ -631,3 +631,42 @@ def minhash_dedup_incremental(new_docs: DataFrame, index: MinhashIndex, *,
         return out
     finally:
         sigs.unpersist()
+
+
+# -- intra-corpus duplicated-text rate ----------------------------------------
+
+def duplicate_span_stats(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id", n: int = 10) -> DataFrame:
+    """Per-document duplicated-text rate: the fraction of a document's
+    distinct word ``n``-gram shingles that occur in at least one OTHER
+    document — the corpus-level substring-duplication diagnostic that
+    motivates training-data dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better": repeated spans dominate
+    memorization). Documents shorter than ``n`` words are excluded (they
+    have no n-gram spans).
+
+    Returns (id, n_spans, n_dup, dup_rate) with the integer
+    round-half-up ratio recipe, so the 6-decimal rate is bit-identical
+    in any engine.
+
+    Scale shape: one map-side-combined shuffle on the 64-bit shingle
+    hash for document frequencies, one shuffle joining frequencies back,
+    one per-doc aggregate — cost is O(total shingles), never pairwise.
+    Because shingles are distinct per document (shingle_hashes
+    dedupes), the shingle count per key IS the document frequency; a
+    shingle shared by k docs costs k join rows, bounded by the
+    duplication it measures."""
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"),
+                    shingle_hashes(F.col(text_col), n).alias("sh"))
+            .withColumn("sz", F.size("sh")).filter(F.col("sz") > 0))
+    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
+    dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    per_doc = (inv.join(dfreq, "shingle")
+               .groupBy("id")
+               .agg(F.any_value("sz").alias("n_spans"),
+                    F.sum(F.when(F.col("df") >= 2, 1).otherwise(0))
+                    .alias("n_dup")))
+    rate = (F.expr("(n_dup * 2000000 + n_spans) div (n_spans * 2)")
+            .cast("double") / 1e6)
+    return per_doc.select("id", "n_spans", "n_dup", rate.alias("dup_rate"))

@@ -1010,3 +1010,45 @@ def decontaminated_split(df: DataFrame, *, text_col: str = "text",
     return (labeled.filter(F.col("split") != "train")
             .select(id_col, "split")
             .unionByName(clean_train).unionByName(quarantined))
+
+
+def grid_quantile_gate(df: DataFrame, *, quality_col: str = "quality",
+                       group_col: str = "source",
+                       drop_pct: int = 25) -> DataFrame:
+    """Per-group adaptive quality threshold via an EXACT grid quantile:
+    drop each group's bottom ``drop_pct`` percent by quality. Returns one
+    row per group: (group, n_docs, n_kept, threshold), where threshold is
+    the k-th smallest quality (k = ceil(drop_pct% * n)) and kept rows are
+    those with quality >= threshold.
+
+    Scale contrast with quality_gate: that operator ranks ROWS inside a
+    per-source window — fine when strata are balanced, row-bounded when
+    one source is corpus-sized. Here the quantile is computed over the
+    VALUE GRID instead: quality is 6-decimal rounded, so per-(group,
+    value) counts map-side combine the corpus away and the cumulative
+    window runs over at most 1e6+1 distinct values per group (the
+    ks_drift shape) — exact, sketch-free, and safe when a single stratum
+    holds 10^10 rows. All rank arithmetic is integer (rank*100 vs
+    n*drop_pct convention), no percentile interpolation."""
+    g, q = F.col(group_col), F.col(quality_col)
+    counts = (df.groupBy(g.alias("g"), q.alias("q"))
+              .agg(F.count(F.lit(1)).alias("c")))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    wg = (Window.partitionBy("g").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn("cum", F.sum("c").over(wg))
+    # k = ceil(n * drop_pct / 100), at least 1 when the group is non-empty
+    thr = (cum.join(totals, "g")
+           .filter(F.col("cum") * 100 >= F.col("n") * drop_pct)
+           .groupBy("g")
+           .agg(F.min("q").alias("threshold"), F.any_value("n").alias("n")))
+    kept = (df.join(thr.select(F.col("g").alias(group_col), "threshold"),
+                    group_col)
+            .filter(q >= F.col("threshold"))
+            .groupBy(g.alias("g"))
+            .agg(F.count(F.lit(1)).alias("n_kept")))
+    return (thr.join(kept, "g")
+            .select(F.col("g").alias(group_col),
+                    F.col("n").cast("long").alias("n_docs"),
+                    F.col("n_kept").cast("long").alias("n_kept"),
+                    "threshold"))
