@@ -1255,3 +1255,27 @@ def test_grid_quantile_gate_exact_quantile_and_ties(spark):
     assert got["s"].n_kept == 7                    # only the 0.1 dropped
     assert got["t"].n_docs == 2 and got["t"].threshold == 0.8
     assert got["t"].n_kept == 2
+
+
+def test_pq_encode_roundtrip_properties(spark):
+    """PQ encoding invariants: codebook vectors encode to themselves with
+    zero error; every code is within [0, codebook_size); reconstruction
+    error is non-negative and small for vectors near a codeword."""
+    import random
+
+    from vivace_graph_v3_spark.pipeline.similarity import pq_encode
+
+    rng = random.Random(7)
+    base = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(4)]
+    rows = [(i, base[i]) for i in range(4)]
+    # vectors 10..13: base vector + tiny noise -> same codes, small err
+    for i in range(4):
+        rows.append((10 + i, [x + 0.001 for x in base[i]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r.vec_id: r for r in
+           pq_encode(df, num_blocks=2, codebook_size=4).collect()}
+    for i in range(4):
+        assert (got[i].code_0, got[i].code_1) == (i, i)
+        assert got[i].err == 0.0
+        assert (got[10 + i].code_0, got[10 + i].code_1) == (i, i)
+        assert 0 < got[10 + i].err < 1e-4

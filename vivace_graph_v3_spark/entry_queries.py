@@ -6184,6 +6184,104 @@ FROM v{depth} GROUP BY lm
 SQL_GRAPH_CLOSENESS_LANDMARKS = _closeness_oracle_sql(_PPR_SOURCES)
 
 
+def q_embedding_pq(spark, sf_dir):
+    """Product-quantization encoding (Jégou et al. 2011) of the 64-dim
+    embeddings into 4 sub-vector codes + reconstruction error, codebook =
+    the 16 lowest-id vectors (deterministic, so the oracle recomputes the
+    WHOLE thing — no fixture constants). Encoding is a per-row expression
+    argmin over codeword literals: zero joins, zero shuffle
+    (pipeline/similarity.pq_encode)."""
+    from vivace_graph_v3_spark.pipeline.similarity import pq_encode
+
+    return pq_encode(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_PQ = """
+WITH cb AS (
+  SELECT vec_id AS code, embedding AS cv FROM embeddings WHERE vec_id < 16
+), blocks AS (
+  SELECT unnest(generate_series(0, 3)) AS b
+), dists AS (
+  SELECT e.vec_id, blocks.b, cb.code,
+         list_reduce(list_transform(generate_series(1, 16),
+           i -> (CAST(e.embedding[blocks.b * 16 + i] AS DOUBLE)
+                 - CAST(cb.cv[blocks.b * 16 + i] AS DOUBLE))
+                * (CAST(e.embedding[blocks.b * 16 + i] AS DOUBLE)
+                   - CAST(cb.cv[blocks.b * 16 + i] AS DOUBLE))),
+           (acc, x) -> acc + x) AS dist
+  FROM embeddings e CROSS JOIN blocks CROSS JOIN cb
+), best AS (
+  SELECT vec_id, b, code, dist,
+         row_number() OVER (PARTITION BY vec_id, b
+                            ORDER BY dist, code) AS rn
+  FROM dists
+)
+SELECT vec_id,
+       CAST(max(CASE WHEN b = 0 THEN code END) AS INT) AS code_0,
+       CAST(max(CASE WHEN b = 1 THEN code END) AS INT) AS code_1,
+       CAST(max(CASE WHEN b = 2 THEN code END) AS INT) AS code_2,
+       CAST(max(CASE WHEN b = 3 THEN code END) AS INT) AS code_3,
+       floor((max(CASE WHEN b = 0 THEN dist END)
+              + max(CASE WHEN b = 1 THEN dist END)
+              + max(CASE WHEN b = 2 THEN dist END)
+              + max(CASE WHEN b = 3 THEN dist END)) * 1000000.0 + 0.5)
+         / 1000000.0 AS err
+FROM best WHERE rn = 1
+GROUP BY vec_id
+"""
+
+
+_BUCKETED_CACHE: dict[str, bool] = {}
+
+
+def q_bucketed_join_colocated(spark, sf_dir):
+    """Exchange-free co-located join on bucketed tables
+    (operators/bucketing.py): customer and orders are written ONCE per
+    session bucketed by custkey (the 100 TB write-time decision — pay the
+    shuffle at ingest, never per query); the per-nation revenue aggregate
+    then joins them bucket-to-bucket. The entry HARD-ASSERTS the physical
+    plan has no Exchange under the join (assert_no_shuffle_join), so a
+    planner regression fails the contract run, not just a perf audit.
+    Oracle: the same join relationally — bucketing must be invisible in
+    the result."""
+    from vivace_graph_v3_spark.operators.bucketing import (
+        assert_no_shuffle_join, bucketed_join, write_bucketed)
+
+    import hashlib
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    # deterministic across processes (python hash() is salted), so reruns
+    # overwrite the same warehouse tables instead of accreting new ones
+    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    ct, ot = f"vgv3_b_cust_{suffix}", f"vgv3_b_ord_{suffix}"
+    if not _BUCKETED_CACHE.get(key):
+        cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+                .select("c_custkey", "c_nationkey"))
+        orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .select(F.col("o_custkey").alias("c_custkey"),
+                          "o_totalprice"))
+        write_bucketed(cust, ct, ["c_custkey"], buckets=8)
+        write_bucketed(orders, ot, ["c_custkey"], buckets=8)
+        _BUCKETED_CACHE[key] = True
+    joined = bucketed_join(spark, ct, ot, ["c_custkey"])
+    agg = (joined.groupBy("c_nationkey")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(38,12)"))
+                .cast("double").alias("revenue")))
+    assert_no_shuffle_join(joined)
+    return agg.select("c_nationkey", "n_orders",
+                      F.round("revenue", 2).alias("revenue"))
+
+
+SQL_BUCKETED_JOIN_COLOCATED = """
+SELECT c_nationkey, CAST(count(*) AS BIGINT) AS n_orders,
+       round(CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE), 2)
+         AS revenue
+FROM customer JOIN orders ON o_custkey = c_custkey
+GROUP BY c_nationkey
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -6404,6 +6502,9 @@ REGISTRY: dict[str, tuple] = {
                               SQL_QUALITY_ADAPTIVE_GATE),
     "graph_closeness_landmarks": (q_graph_closeness_landmarks,
                                   SQL_GRAPH_CLOSENESS_LANDMARKS),
+    "embedding_pq": (q_embedding_pq, SQL_EMBEDDING_PQ),
+    "bucketed_join_colocated": (q_bucketed_join_colocated,
+                                SQL_BUCKETED_JOIN_COLOCATED),
 }
 
 # Round-5 driver sample order. Three blocks:
@@ -6427,7 +6528,7 @@ _R5_FRONT = [
     "embedding_hard_negatives", "lang_id_confusion", "events_burstiness",
     # -- block 2: round-5 registrations --
     "duplicate_ngram_spans", "bpe_pair_stats", "quality_adaptive_gate",
-    "graph_closeness_landmarks",
+    "graph_closeness_landmarks", "embedding_pq", "bucketed_join_colocated",
     # -- block 3: re-confirms (oldest driver rows, r1/r2) --
     "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
     "traverse_bfs", "findall_orders", "bagof_by_nation",

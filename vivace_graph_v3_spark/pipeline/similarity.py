@@ -357,3 +357,60 @@ def hard_negatives(emb: DataFrame, *, k: int = 3,
         F.col("cosine").desc(), F.col("negative_id").asc())
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k))
+
+
+# -- product quantization -------------------------------------------------------
+
+def pq_encode(corpus: DataFrame, *, vec_col: str = "embedding",
+              id_col: str = "vec_id", num_blocks: int = 4,
+              codebook: list[list[float]] | None = None,
+              codebook_size: int = 16) -> DataFrame:
+    """Product quantization (Jégou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search"): split the D-dim vector
+    into ``num_blocks`` contiguous sub-vectors and replace each with the
+    id of its nearest codeword — a 64-dim float32 vector compresses to
+    ``num_blocks`` bytes, the standard memory layout under IVF at
+    billion-vector scale (IVF-PQ).
+
+    ``codebook`` is a list of full-dim codeword vectors (each block uses
+    its slice). Default: the vectors of the first ``codebook_size`` ids —
+    a deterministic sample; deployments swap in per-block k-means
+    codewords through the same mechanism (train once at ingest, inline as
+    plan-time literals at encode, exactly the ivf_index seam).
+
+    Scale shape: encoding is a pure per-row expression argmin over the
+    codeword literals — zero joins, zero shuffle, map-only over the
+    corpus (the write-time pass at 100 TB). Squared-L2 distances fold
+    left-to-right per sub-vector, so the doubles are bit-determined
+    cross-engine. Returns (id, code_0..code_{B-1}, err) with err = total
+    squared reconstruction error, 6-dp floor(x*1e6+0.5) rounded."""
+    if codebook is None:
+        rows = (corpus.filter(F.col(id_col) < codebook_size)
+                .orderBy(id_col).select(vec_col).collect())
+        codebook = [list(r[0]) for r in rows]
+    dim = len(codebook[0])
+    if dim % num_blocks:
+        raise ValueError(f"dim {dim} not divisible into {num_blocks} blocks")
+    blen = dim // num_blocks
+
+    def _sq_dist(sub, lit_vals):
+        lit_arr = F.array(*[F.lit(float(x)) for x in lit_vals])
+        return F.aggregate(
+            F.zip_with(sub, lit_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    out_cols = [F.col(id_col)]
+    err = F.lit(0.0)
+    for b in range(num_blocks):
+        sub = F.transform(F.slice(F.col(vec_col), b * blen + 1, blen),
+                          lambda x: x.cast("double"))
+        cands = F.array(*[
+            F.struct(_sq_dist(sub, cw[b * blen:(b + 1) * blen]).alias("d"),
+                     F.lit(code).alias("code"))
+            for code, cw in enumerate(codebook)])
+        best = F.array_min(cands)     # struct order: dist asc, code asc
+        out_cols.append(best.getField("code").alias(f"code_{b}"))
+        err = err + best.getField("d")
+    err6 = (F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast("double")
+            / F.lit(1000000.0))
+    return corpus.select(*out_cols, err6.alias("err"))
