@@ -1279,3 +1279,22 @@ def test_pq_encode_roundtrip_properties(spark):
         assert got[i].err == 0.0
         assert (got[10 + i].code_0, got[10 + i].code_1) == (i, i)
         assert 0 < got[10 + i].err < 1e-4
+
+
+def test_doc_keywords_rare_term_wins(spark):
+    """A term unique to one doc outranks corpus-wide terms: linear idf
+    N/df dominates tf for rare words; rank window is (score desc, term)."""
+    from vivace_graph_v3_spark.pipeline.text import doc_keywords
+
+    df = spark.createDataFrame(
+        [(1, "common words common words zebra"),
+         (2, "common words common words"),
+         (3, "common words other other")],
+        "doc_id long, text string")
+    got = {(r.id, r.rank): r for r in doc_keywords(df, k=2).collect()}
+    assert got[(1, 1)].term == "zebra"         # df=1 -> score 1*3/1 = 3
+    assert got[(1, 1)].score == 3.0
+    assert got[(3, 1)].term == "other"         # tf=2, df=1 -> 6
+    assert got[(3, 1)].score == 6.0
+    # doc 2 only has corpus-wide terms: score 2*3/3 = 2
+    assert got[(2, 1)].score == 2.0

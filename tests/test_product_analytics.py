@@ -77,3 +77,27 @@ def test_events_burstiness_entry_fano_semantics(spark):
     assert got["u_one"].fano == 0.0 and got["u_one"].n_days == 1
     # bursty: n=2, S1=10, S2=82 -> (2*82-100)/(2*10) = 64/20 = 3.2
     assert got["u_bursty"].fano == 3.2
+
+
+def test_cusum_changepoint_locates_level_shift(spark):
+    """20-day series with a clean level shift at day 11: CUSUM magnitude
+    peaks on the last pre-shift day (the classic single-change locator);
+    a flat series peaks at |dev| = 0 arbitrarily early."""
+    import datetime
+
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        cusum_changepoint)
+
+    rows = []
+    for d in range(20):
+        ts = datetime.datetime(2024, 1, 1 + d)
+        rows.append((ts, "shifted", 10.0 if d < 10 else 20.0))
+        rows.append((ts, "flat", 5.0))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string, value double")
+    got = {r.event_type: r for r in cusum_changepoint(df).collect()}
+    assert got["shifted"].change_day == "2024-01-10"
+    # scaled units 1e4/unit: s_pre=1e5, total=3e6, n=20;
+    # cusum(day10) = 10*(1e5*20 - 3e6) = -1e7
+    assert got["shifted"].peak_dev == -10000000
+    assert got["shifted"].n_days == 20
+    assert got["flat"].peak_dev == 0 and got["flat"].change_day == "2024-01-01"

@@ -6282,6 +6282,88 @@ GROUP BY c_nationkey
 """
 
 
+def q_text_keywords(spark, sf_dir):
+    """Top-3 keywords per document by linear-idf tf-idf (ratio form, no
+    transcendental log — the distinctive_terms determinism rationale):
+    score = tf * N_docs / df, (score desc, term asc) rank
+    (pipeline/text.doc_keywords). One term-key shuffle, vocab-bounded df
+    table, doc-bounded rank window."""
+    from vivace_graph_v3_spark.pipeline.text import doc_keywords
+
+    return (doc_keywords(_docs(spark, sf_dir), k=3)
+            .select(F.col("id").alias("doc_id"), "term", "tf", "score",
+                    "rank"))
+
+
+SQL_TEXT_KEYWORDS = r"""
+WITH words AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> ''), x -> lower(x))) AS w
+    FROM documents)
+  WHERE length(w) >= 4
+), tf AS (
+  SELECT doc_id, w, count(*) AS tf FROM words GROUP BY doc_id, w
+), dfreq AS (
+  SELECT w, count(*) AS df FROM (SELECT DISTINCT doc_id, w FROM words)
+  GROUP BY w
+), nd AS (
+  SELECT count(DISTINCT doc_id) AS n_docs FROM documents
+), scored AS (
+  SELECT doc_id, w AS term, tf,
+         round(CAST(tf AS DOUBLE) * n_docs / df, 6) AS score
+  FROM tf JOIN dfreq USING (w) CROSS JOIN nd
+)
+SELECT doc_id, term, tf, score, CAST(rank AS BIGINT) AS rank FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+                               ORDER BY score DESC, term) AS rank
+  FROM scored)
+WHERE rank <= 3
+"""
+
+
+def q_events_changepoint(spark, sf_dir):
+    """Per-event-type CUSUM change-point (Page 1954) over the daily value
+    series — peak |cumulative deviation| day. All-BIGINT arithmetic:
+    values integer-scaled, deviation cross-multiplied (s*n_days - total),
+    so the locator is engine-exact
+    (operators/product_analytics.cusum_changepoint)."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        cusum_changepoint)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cusum_changepoint(ev)
+
+
+SQL_EVENTS_CHANGEPOINT = """
+WITH daily AS (
+  SELECT event_type AS g, strftime(ts, '%Y-%m-%d') AS d,
+         CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT)
+           AS s
+  FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')
+), totals AS (
+  SELECT g, CAST(sum(s) AS BIGINT) AS total, count(*) AS n_days
+  FROM daily GROUP BY g
+), cum AS (
+  SELECT daily.g, d,
+         sum(s * n_days) OVER (PARTITION BY daily.g ORDER BY d)
+           - row_number() OVER (PARTITION BY daily.g ORDER BY d) * total
+           AS cusum,
+         n_days
+  FROM daily JOIN totals USING (g)
+)
+SELECT g AS event_type, d AS change_day,
+       CAST(cusum AS BIGINT) AS peak_dev,
+       CAST(n_days AS BIGINT) AS n_days
+FROM (SELECT *, row_number() OVER (PARTITION BY g
+                                   ORDER BY abs(cusum) DESC, d) AS rn
+      FROM cum)
+WHERE rn = 1
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -6505,6 +6587,8 @@ REGISTRY: dict[str, tuple] = {
     "embedding_pq": (q_embedding_pq, SQL_EMBEDDING_PQ),
     "bucketed_join_colocated": (q_bucketed_join_colocated,
                                 SQL_BUCKETED_JOIN_COLOCATED),
+    "text_keywords": (q_text_keywords, SQL_TEXT_KEYWORDS),
+    "events_changepoint": (q_events_changepoint, SQL_EVENTS_CHANGEPOINT),
 }
 
 # Round-5 driver sample order. Three blocks:
@@ -6529,6 +6613,7 @@ _R5_FRONT = [
     # -- block 2: round-5 registrations --
     "duplicate_ngram_spans", "bpe_pair_stats", "quality_adaptive_gate",
     "graph_closeness_landmarks", "embedding_pq", "bucketed_join_colocated",
+    "text_keywords", "events_changepoint",
     # -- block 3: re-confirms (oldest driver rows, r1/r2) --
     "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
     "traverse_bfs", "findall_orders", "bagof_by_nation",

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from functools import reduce
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 from pyspark.sql.types import LongType, TimestampNTZType, TimestampType
 
 NANOS_PER_DAY = 86_400_000_000_000
@@ -106,3 +106,50 @@ def cohort_retention(events: DataFrame, *, ts_col: str = "ts",
                     .alias("week_offset"))
             .groupBy("cohort_week", "week_offset")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def cusum_changepoint(events: DataFrame, *, ts_col: str = "ts",
+                      group_col: str = "event_type",
+                      value_col: str = "value") -> DataFrame:
+    """CUSUM change-point detection (Page 1954) per group over the daily
+    value series: the day where the cumulative deviation from the group
+    mean peaks in magnitude — the classic single-change locator for
+    level shifts in a metric stream.
+
+    Engine-exact formulation: daily values are scaled to integers
+    (floor(x*1e4 + 0.5), bit-determined on doubles), and the deviation is
+    cross-multiplied instead of divided — dev_d = s_d * n_days - total —
+    so the running CUSUM is pure BIGINT arithmetic; the peak day and its
+    deviation are identical in any engine, no floating accumulation.
+
+    Returns (group, change_day, peak_dev, n_days): change_day = earliest
+    day attaining max |cusum|, peak_dev the signed scaled deviation
+    there.
+
+    Scale shape: the corpus is touched once by the (group, day)
+    aggregate, which map-side combines; everything after is
+    days-x-groups bounded (window cumsum per group over the day grid —
+    the ks_drift grid discipline)."""
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd")
+    scaled = F.floor(F.col(value_col) * 10000.0 + 0.5).cast("long")
+    daily = (events.groupBy(F.col(group_col).alias("g"), day.alias("d"))
+             .agg(F.sum(scaled).alias("s")))
+    totals = (daily.groupBy("g")
+              .agg(F.sum("s").alias("total"),
+                   F.count(F.lit(1)).alias("n_days")))
+    wc = (Window.partitionBy("g").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (daily.join(totals, "g")
+           .withColumn("cusum",
+                       F.sum(F.col("s") * F.col("n_days")).over(wc)
+                       - F.row_number().over(
+                           Window.partitionBy("g").orderBy("d"))
+                       * F.col("total")))
+    w_peak = Window.partitionBy("g").orderBy(
+        F.abs("cusum").desc(), F.col("d").asc())
+    return (cum.withColumn("__rn", F.row_number().over(w_peak))
+            .filter(F.col("__rn") == 1)
+            .select(F.col("g").alias(group_col),
+                    F.col("d").alias("change_day"),
+                    F.col("cusum").alias("peak_dev"),
+                    F.col("n_days").cast("long").alias("n_days")))

@@ -1052,3 +1052,42 @@ def grid_quantile_gate(df: DataFrame, *, quality_col: str = "quality",
                     F.col("n").cast("long").alias("n_docs"),
                     F.col("n_kept").cast("long").alias("n_kept"),
                     "threshold"))
+
+
+def doc_keywords(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", k: int = 3,
+                 min_len: int = 4) -> DataFrame:
+    """Top-k keywords per document by tf-idf with the LINEAR idf ratio:
+    score(w, d) = tf(w, d) * N_docs / df(w) — the per-document companion
+    to distinctive_terms' class-based variant, and the cheapest useful
+    keyword extractor for corpus triage/routing. The ratio form (no
+    transcendental log) keeps the score a fixed-order IEEE
+    multiply/divide chain, deterministic in any engine; the ranking it
+    induces favors the same rare-but-frequent-here terms. Tokens shorter
+    than ``min_len`` chars are dropped (articles/particles dominate
+    otherwise). Returns (id, term, tf, score, rank), rank 1..k with
+    (score desc, term asc) tie-break.
+
+    Scale shape: tf is a map-side-combined (doc, term) aggregate; df is
+    vocab-bounded; the scoring join shuffles the (doc, term) frame on the
+    term — O(corpus tokens), one shuffle more than a pure scan and never
+    quadratic. Per-doc top-k is a rank window over (doc, term) counts,
+    doc-bounded."""
+    words = (ensure_parallelism(df)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(F.transform(tokens(F.col(text_col)), F.lower))
+                     .alias("w"))
+             .filter(F.length("w") >= min_len))
+    tf = words.groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (words.dropDuplicates()
+             .groupBy("w").agg(F.count(F.lit(1)).alias("df")))
+    n_docs = df.select(F.col(id_col)).dropDuplicates() \
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    score = (F.col("tf").cast("double") * F.col("n_docs") / F.col("df"))
+    scored = (tf.join(dfreq, "w").crossJoin(F.broadcast(n_docs))
+              .select("id", F.col("w").alias("term"), "tf",
+                      F.round(score, 6).alias("score")))
+    w_rank = Window.partitionBy("id").orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w_rank))
+            .filter(F.col("rank") <= k))
