@@ -79,3 +79,46 @@ def test_round4_operator_plan_shapes(spark):
     cms = qs["cms_heavy_hitters"](spark, sf)
     cms.collect()
     assert plan_facts(cms).broadcast_joins >= 1
+
+
+def test_round5_operator_plan_shapes(spark):
+    """CI gates on the round-5 operators' physical plans:
+    - embedding_pq: per-row expression argmin over codeword literals —
+      ZERO exchanges, no join, no row-UDF (the IVF-PQ encode pass)
+    - bpe_pair_stats: exactly the two aggregate shuffles (word counts,
+      pair counts) + TakeOrdered — no global sort, no join
+    - bucketed_join_colocated: NO exchange under the join (bucket
+      metadata carries the co-partitioning) — also hard-asserted inside
+      the entry itself
+    - text_keywords: the df side joins without broadcasting the corpus;
+      no row-UDF anywhere
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    pq = qs["embedding_pq"](spark, sf)
+    pq.collect()
+    fpq = plan_facts(pq)
+    assert fpq.exchanges == 0 and not fpq.row_udf
+    assert fpq.joins == 0
+
+    bpe = qs["bpe_pair_stats"](spark, sf)
+    bpe.collect()
+    fb = plan_facts(bpe)
+    assert fb.joins == 0 and not fb.row_udf
+    assert fb.exchanges <= 2        # two groupBys; TakeOrdered adds none
+
+    bj = qs["bucketed_join_colocated"](spark, sf)
+    bj.collect()
+    fj = plan_facts(bj)
+    assert fj.sort_merge_joins + fj.shuffled_hash_joins \
+        + fj.broadcast_joins >= 1   # it IS a join...
+    # ...but the join children read bucketed tables: the only exchange
+    # allowed is the one above the final (post-join) aggregate
+    assert fj.exchanges <= 1
+
+    kw = qs["text_keywords"](spark, sf)
+    kw.collect()
+    assert not plan_facts(kw).row_udf
