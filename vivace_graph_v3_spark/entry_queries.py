@@ -6255,6 +6255,18 @@ def q_bucketed_join_colocated(spark, sf_dir):
     suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     ct, ot = f"vgv3_b_cust_{suffix}", f"vgv3_b_ord_{suffix}"
     if not _BUCKETED_CACHE.get(key):
+        # a previous SESSION's managed-table directory survives in the
+        # warehouse while the fresh in-memory catalog has forgotten the
+        # table — saveAsTable then fails LOCATION_ALREADY_EXISTS. Drop
+        # catalog entries and clear stale locations before writing.
+        import os
+        import shutil
+        from urllib.parse import urlparse
+
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+        for t in (ct, ot):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
         cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
                 .select("c_custkey", "c_nationkey"))
         orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
