@@ -1298,3 +1298,51 @@ def test_doc_keywords_rare_term_wins(spark):
     assert got[(3, 1)].score == 6.0
     # doc 2 only has corpus-wide terms: score 2*3/3 = 2
     assert got[(2, 1)].score == 2.0
+
+
+def test_sparse_dot_pairs_values_and_hub_cap(spark):
+    from vivace_graph_v3_spark.pipeline.text import sparse_dot_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana apple hub"),
+         (2, "apple banana hub"),
+         (3, "cherry hub"),
+         (4, "banana cherry hub")],
+        "doc_id long, text string")
+    # df: apple=2, banana=3, cherry=2, hub=4 -> df_cap=3 drops hub
+    got = {(r.doc_a, r.doc_b): r.dot
+           for r in sparse_dot_pairs(docs, min_dot=1, df_cap=3,
+                                     top_k=10).collect()}
+    # (1,2): apple 2*1 + banana 1*1 = 3; hub contributes nothing
+    assert got[(1, 2)] == 3
+    assert got[(1, 4)] == 1          # banana
+    assert got[(2, 4)] == 1          # banana
+    assert got[(3, 4)] == 1          # cherry
+    assert len(got) == 4
+
+
+def test_ahash64_closed_form_and_phash_pairs(spark):
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        ahash64, phash_dup_pairs, synthesize_ppm_media)
+
+    docs = spark.createDataFrame(
+        [(0,), (7,), (256,), (300,)], "doc_id long")
+    media = synthesize_ppm_media(docs, "doc_id", size=8)
+    hashes = {r.media_id: (r.hash_lo, r.hash_hi)
+              for r in ahash64(media, grid=8).collect()}
+
+    def expect(d):
+        p = [(d + x) % 256 for x in range(8)]
+        s = sum(p)
+        pat = sum(1 << x for x in range(8) if p[x] * 8 >= s)
+        v = pat * 0x01010101
+        return (v, v)  # rows repeat: lo == hi
+
+    for d in (0, 7, 256, 300):
+        assert hashes[str(d)] == expect(d), d
+    # doc 0 and doc 256 have identical rasters -> hamming 0 pair
+    pairs = {(r.media_a, r.media_b): r.hamming
+             for r in phash_dup_pairs(ahash64(media, grid=8),
+                                      max_hamming=16, band_bits=4,
+                                      top_k=10).collect()}
+    assert pairs[("0", "256")] == 0

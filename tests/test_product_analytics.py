@@ -101,3 +101,52 @@ def test_cusum_changepoint_locates_level_shift(spark):
     assert got["shifted"].peak_dev == -10000000
     assert got["shifted"].n_days == 20
     assert got["flat"].peak_dev == 0 and got["flat"].change_day == "2024-01-01"
+
+
+def test_cohort_ltv_triangle(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import cohort_ltv
+
+    orders = spark.createDataFrame(
+        [(1, datetime(2024, 1, 5), 10.005),    # cohort 2024-01, offset 0
+         (1, datetime(2024, 3, 1), 20.0),      # offset 2
+         (2, datetime(2024, 3, 10), 5.0),      # cohort 2024-03, offset 0
+         (2, datetime(2024, 3, 20), 7.0)],     # same month, same cell
+        "o_custkey long, o_orderdate timestamp, o_totalprice double")
+    got = {(r.cohort_month, r.month_offset): (r.revenue_cents, r.n_customers)
+           for r in cohort_ltv(orders).collect()}
+    # 10.005 * 100 + 0.5 -> floor(1001.0) = 1001 (half-up cents)
+    assert got[("2024-01", 0)] == (1001, 1)
+    assert got[("2024-01", 2)] == (2000, 1)
+    assert got[("2024-03", 0)] == (1200, 1)
+    assert len(got) == 3
+
+
+def test_basket_pair_rules_support_and_distinct(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        basket_pair_rules)
+
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 20),      # dup lineitem must not inflate
+         (2, 10), (2, 20),
+         (3, 10), (3, 30)],
+        "l_orderkey long, l_partkey long")
+    rows = basket_pair_rules(li, min_support=2, top_k=10).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.part_a, r.part_b, r.pair_count) == (10, 20, 2)
+    assert (r.count_a, r.count_b) == (3, 2)
+    assert r.conf_a_to_b_ppm == 2 * 1_000_000 // 3
+    assert r.conf_b_to_a_ppm == 1_000_000
+
+
+def test_dow_profile_shares(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import dow_profile
+
+    # base epoch-day 19723 is a Monday -> dow 1; +1 day -> Tuesday
+    ev = _ev(spark, [(1, "a", 0), (2, "a", 0), (3, "a", 24),
+                     (1, "b", 24)])
+    got = {(r.event_type, r.dow): (r.n_events, r.share_ppm)
+           for r in dow_profile(ev).collect()}
+    assert got[("a", 1)] == (2, 666_666)
+    assert got[("a", 2)] == (1, 333_333)
+    assert got[("b", 2)] == (1, 1_000_000)

@@ -169,3 +169,16 @@ def test_ks_ratio_decimal_arithmetic_survives_overflow_scale(spark):
     # exact round-half-up of num/den * 1e6
     want = (num * 2_000_000 + den) // (den * 2)
     assert q == want == 1_000_000  # ratio ~1.0 -> 1.000000 at 6dp scale
+
+
+def test_k_anonymity_classes(spark):
+    from vivace_graph_v3_spark.operators.profile import k_anonymity
+
+    df = spark.createDataFrame(
+        [(1, "A"), (1, "A"), (1, "A"), (1, "B"), (2, "A")],
+        "nat int, seg string")
+    got = {(r.nat, r.seg): (r.class_size, r.at_risk)
+           for r in k_anonymity(df, ["nat", "seg"], k=3).collect()}
+    assert got[(1, "A")] == (3, False)
+    assert got[(1, "B")] == (1, True)
+    assert got[(2, "A")] == (1, True)

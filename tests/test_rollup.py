@@ -43,3 +43,28 @@ def test_cascade_validates_widths(spark):
         rollup_cascade(df, ts_col="ts", value_col="v", widths=[100, 10])
     with pytest.raises(ValueError):
         rollup_cascade(df, ts_col="ts", value_col="v", widths=[10, 25])
+
+
+def test_gap_fill_locf(spark):
+    from datetime import datetime
+
+    from vivace_graph_v3_spark.operators.rollup import gap_fill_locf
+
+    ev = spark.createDataFrame(
+        [("a", datetime(2024, 1, 1, 5)), ("a", datetime(2024, 1, 1, 9)),
+         ("a", datetime(2024, 1, 4)),
+         ("b", datetime(2024, 1, 3))],
+        "event_type string, ts timestamp")
+    got = {(r.event_type, r.day): (r.n_events, r.filled)
+           for r in gap_fill_locf(ev).collect()}
+    # calendar spans the global min..max day (2024-01-01 .. 2024-01-04)
+    assert got[("a", "2024-01-01")] == (2, False)
+    assert got[("a", "2024-01-02")] == (2, True)    # carried forward
+    assert got[("a", "2024-01-03")] == (2, True)
+    assert got[("a", "2024-01-04")] == (1, False)
+    # b starts after the global lo: leading gap fills with 0
+    assert got[("b", "2024-01-01")] == (0, True)
+    assert got[("b", "2024-01-02")] == (0, True)
+    assert got[("b", "2024-01-03")] == (1, False)
+    assert got[("b", "2024-01-04")] == (1, True)
+    assert len(got) == 8

@@ -6376,6 +6376,244 @@ WHERE rn = 1
 """
 
 
+def q_events_gap_fill(spark, sf_dir):
+    """Dense daily series per event type with LOCF gap filling — the
+    TimescaleDB time_bucket_gapfill()+locf() shape the reference has no
+    analogue for (no time-series surface). Calendar from sequence() over
+    the observed span, counts carried forward by a last(ignorenulls)
+    window over the days-x-groups grid only
+    (operators/rollup.gap_fill_locf)."""
+    from vivace_graph_v3_spark.operators.rollup import gap_fill_locf
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return gap_fill_locf(ev)
+
+
+SQL_EVENTS_GAP_FILL = """
+WITH daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS n_raw
+  FROM events GROUP BY 1, 2
+), span AS (
+  SELECT min(d) AS lo, max(d) AS hi FROM daily
+), cal AS (
+  SELECT g, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM (SELECT DISTINCT g FROM daily), span
+), j AS (
+  SELECT cal.g, cal.d, daily.n_raw
+  FROM cal LEFT JOIN daily ON cal.g = daily.g AND cal.d = daily.d
+)
+SELECT g AS event_type, strftime(d, '%Y-%m-%d') AS day,
+       CAST(coalesce(last_value(n_raw IGNORE NULLS) OVER (
+         PARTITION BY g ORDER BY d
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
+         AS n_events,
+       n_raw IS NULL AS filled
+FROM j
+"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Cohort lifetime-value triangle over orders: first-order-month
+    cohorts x month offset, revenue in exact half-up cents plus distinct
+    buyers (operators/product_analytics.cohort_ltv). All-integer; the
+    revenue face of the events_retention headcount triangle."""
+    from vivace_graph_v3_spark.operators.product_analytics import cohort_ltv
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return cohort_ltv(orders)
+
+
+SQL_COHORT_LTV = """
+WITH per AS (
+  SELECT o_custkey AS u,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), first AS (
+  SELECT u, min(m) AS cm FROM per GROUP BY u
+)
+SELECT printf('%04d-%02d', cm // 12, cm % 12 + 1) AS cohort_month,
+       CAST(m - cm AS BIGINT) AS month_offset,
+       CAST(sum(cents) AS BIGINT) AS revenue_cents,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_customers
+FROM per JOIN first USING (u)
+GROUP BY cm, m - cm
+"""
+
+
+def q_basket_pair_rules(spark, sf_dir):
+    """Market-basket association pairs (Agrawal & Srikant 1994): parts
+    co-ordered in the same order with support counts and integer-ppm
+    confidences, deterministic top-50
+    (operators/product_analytics.basket_pair_rules). The self-join runs
+    on DISTINCT (order, item) so split lineitems don't inflate support."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        basket_pair_rules)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return basket_pair_rules(li, min_support=2, top_k=50)
+
+
+SQL_BASKET_PAIR_RULES = """
+WITH items AS (
+  SELECT DISTINCT l_orderkey AS o, l_partkey AS i FROM lineitem
+), freq AS (
+  SELECT i, count(*) AS cnt FROM items GROUP BY i
+), pairs AS (
+  SELECT a.i AS part_a, b.i AS part_b, count(*) AS pair_count
+  FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+  GROUP BY a.i, b.i
+  HAVING count(*) >= 2
+)
+SELECT part_a, part_b, CAST(pair_count AS BIGINT) AS pair_count,
+       CAST(fa.cnt AS BIGINT) AS count_a, CAST(fb.cnt AS BIGINT) AS count_b,
+       CAST(pair_count * 1000000 // fa.cnt AS BIGINT) AS conf_a_to_b_ppm,
+       CAST(pair_count * 1000000 // fb.cnt AS BIGINT) AS conf_b_to_a_ppm
+FROM pairs
+JOIN freq fa ON fa.i = part_a
+JOIN freq fb ON fb.i = part_b
+ORDER BY pair_count DESC, part_a, part_b
+LIMIT 50
+"""
+
+
+def q_k_anonymity_audit(spark, sf_dir):
+    """k-anonymity audit (Sweeney 2002) over customer quasi-identifiers
+    (nation, market segment): equivalence-class sizes with an at_risk
+    flag for classes under k=10 (operators/profile.k_anonymity) — the
+    pre-export governance check of a training-data pipeline."""
+    from vivace_graph_v3_spark.operators.profile import k_anonymity
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return k_anonymity(cust, ["c_nationkey", "c_mktsegment"], k=10)
+
+
+SQL_K_ANONYMITY_AUDIT = """
+SELECT c_nationkey, c_mktsegment,
+       CAST(count(*) AS BIGINT) AS class_size,
+       count(*) < 10 AS at_risk
+FROM customer
+GROUP BY c_nationkey, c_mktsegment
+"""
+
+
+def q_events_seasonality(spark, sf_dir):
+    """Day-of-week seasonality profile per event type: weekday counts and
+    integer-ppm shares (operators/product_analytics.dow_profile).
+    Weekday from epoch-day integer arithmetic (Monday=1), so both
+    engines agree without timezone/locale surface."""
+    from vivace_graph_v3_spark.operators.product_analytics import dow_profile
+
+    return dow_profile(_events(spark, sf_dir))
+
+
+SQL_EVENTS_SEASONALITY = """
+WITH d AS (
+  SELECT event_type AS g,
+         (epoch_ns(ts) // 86400000000000 + 3) % 7 + 1 AS dow
+  FROM events
+), c AS (
+  SELECT g, dow, count(*) AS n_events FROM d GROUP BY 1, 2
+), t AS (
+  SELECT g, sum(n_events) AS total FROM c GROUP BY g
+)
+SELECT g AS event_type, CAST(dow AS BIGINT) AS dow,
+       CAST(n_events AS BIGINT) AS n_events,
+       CAST(n_events * 1000000 // total AS BIGINT) AS share_ppm
+FROM c JOIN t USING (g)
+"""
+
+
+def q_text_sparse_dot_pairs(spark, sf_dir):
+    """Sparse lexical similarity pairs through an inverted index: integer
+    tf-vector dot products with a document-frequency hub cap, top-100
+    (pipeline/text.sparse_dot_pairs) — the sparse complement of the
+    dense embedding pair generators; term-partitioned join, never
+    all-pairs."""
+    from vivace_graph_v3_spark.pipeline.text import sparse_dot_pairs
+
+    return sparse_dot_pairs(_docs(spark, sf_dir),
+                            min_dot=2, df_cap=200, top_k=100)
+
+
+SQL_TEXT_SPARSE_DOT_PAIRS = r"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                            x -> x <> '')) AS t
+  FROM documents
+), tf AS (
+  SELECT doc_id AS d, t, count(*) AS tf FROM toks GROUP BY 1, 2
+), keep AS (
+  SELECT t FROM tf GROUP BY t HAVING count(*) BETWEEN 2 AND 200
+), posted AS (
+  SELECT tf.* FROM tf JOIN keep USING (t)
+)
+SELECT a.d AS doc_a, b.d AS doc_b, CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+FROM posted a JOIN posted b ON a.t = b.t AND a.d < b.d
+GROUP BY 1, 2
+HAVING sum(a.tf * b.tf) >= 2
+ORDER BY dot DESC, doc_a, doc_b
+LIMIT 100
+"""
+
+
+def q_multimodal_phash_dedup(spark, sf_dir):
+    """Image near-duplicate pairs end-to-end on REAL decoded pixels:
+    JVM-synthesized binary PPM bytes -> executor-side netpbm decode ->
+    integer average-hash (pipeline/multimodal.ahash64) -> banded-LSH
+    hamming pairs (phash_dup_pairs). 4-bit bands because the 8x8 ramp
+    raster has only 8 informative hash bits (rows repeat), so narrow
+    bands keep the collision probability meaningful at hamming<=16;
+    the oracle predicts the hash closed-form from the synthetic pixel
+    function (doc_id + x) % 256 and mirrors the banding exactly."""
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        ahash64, phash_dup_pairs, synthesize_ppm_media)
+
+    media = synthesize_ppm_media(_docs(spark, sf_dir), "doc_id", size=8)
+    return phash_dup_pairs(ahash64(media, grid=8),
+                           max_hamming=16, band_bits=4, top_k=100)
+
+
+# hash closed form: column pattern pat = sum_x [p(x)*8 >= sum_x p(x)] << x
+# with p(x) = (doc_id + x) % 256; every row repeats it, so
+# lo = hi = pat * 0x01010101. Bands mirror phash_dup_pairs(band_bits=4).
+SQL_MULTIMODAL_PHASH_DEDUP = """
+WITH base AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         list_transform(range(0, 8), x -> (doc_id + x) % 256) AS p
+  FROM documents
+), pat AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, 8),
+           x -> CASE WHEN p[x + 1] * 8 >= list_sum(p)
+                     THEN 1 << x ELSE 0 END)) AS BIGINT) AS pt
+  FROM base
+), hashes AS (
+  SELECT media_id, pt * 16843009 AS lo, pt * 16843009 AS hi FROM pat
+), banded AS (
+  SELECT media_id, lo, hi, band_id,
+         CASE WHEN band_id < 8 THEN (lo >> (band_id * 4)) & 15
+              ELSE (hi >> ((band_id - 8) * 4)) & 15 END AS band_val
+  FROM hashes, (SELECT unnest(range(0, 16)) AS band_id)
+), cand AS (
+  SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
+         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+  FROM banded a
+  JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
+               AND a.media_id < b.media_id
+)
+SELECT media_a, media_b,
+       CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
+            AS BIGINT) AS hamming
+FROM cand
+WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 16
+ORDER BY hamming, media_a, media_b
+LIMIT 100
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -6601,6 +6839,15 @@ REGISTRY: dict[str, tuple] = {
                                 SQL_BUCKETED_JOIN_COLOCATED),
     "text_keywords": (q_text_keywords, SQL_TEXT_KEYWORDS),
     "events_changepoint": (q_events_changepoint, SQL_EVENTS_CHANGEPOINT),
+    "events_gap_fill": (q_events_gap_fill, SQL_EVENTS_GAP_FILL),
+    "cohort_ltv": (q_cohort_ltv, SQL_COHORT_LTV),
+    "basket_pair_rules": (q_basket_pair_rules, SQL_BASKET_PAIR_RULES),
+    "k_anonymity_audit": (q_k_anonymity_audit, SQL_K_ANONYMITY_AUDIT),
+    "events_seasonality": (q_events_seasonality, SQL_EVENTS_SEASONALITY),
+    "text_sparse_dot_pairs": (q_text_sparse_dot_pairs,
+                              SQL_TEXT_SPARSE_DOT_PAIRS),
+    "multimodal_phash_dedup": (q_multimodal_phash_dedup,
+                               SQL_MULTIMODAL_PHASH_DEDUP),
 }
 
 # Round-5 driver sample order. Three blocks:
@@ -6625,7 +6872,9 @@ _R5_FRONT = [
     # -- block 2: round-5 registrations --
     "duplicate_ngram_spans", "bpe_pair_stats", "quality_adaptive_gate",
     "graph_closeness_landmarks", "embedding_pq", "bucketed_join_colocated",
-    "text_keywords", "events_changepoint",
+    "text_keywords", "events_changepoint", "events_gap_fill",
+    "cohort_ltv", "basket_pair_rules", "k_anonymity_audit",
+    "events_seasonality", "text_sparse_dot_pairs", "multimodal_phash_dedup",
     # -- block 3: re-confirms (oldest driver rows, r1/r2) --
     "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
     "traverse_bfs", "findall_orders", "bagof_by_nation",

@@ -153,3 +153,104 @@ def cusum_changepoint(events: DataFrame, *, ts_col: str = "ts",
                     F.col("d").alias("change_day"),
                     F.col("cusum").alias("peak_dev"),
                     F.col("n_days").cast("long").alias("n_days")))
+
+
+def cohort_ltv(orders: DataFrame, *, ts_col: str = "o_orderdate",
+               user_col: str = "o_custkey",
+               value_col: str = "o_totalprice") -> DataFrame:
+    """Cohort lifetime-value triangle: customers are cohorted by the month
+    of their first order; for every (cohort_month, month_offset) the total
+    revenue that cohort spent in that month plus the distinct buyers.
+    Complements cohort_retention (headcount) with the revenue dimension —
+    the standard LTV curve input.
+
+    All-integer: months are year*12+month ordinals, revenue is per-order
+    half-up cents (floor(x*100+0.5) on the double, bit-determined) summed
+    as BIGINT. cohort_month renders '%04d-%02d' so both engines
+    canonicalize identically.
+
+    Scale shape: one (user -> first month) aggregate and one
+    (cohort, offset) aggregate, both map-side combining; the join carrying
+    first-month onto orders is user-bounded, and the output is
+    months^2-bounded regardless of order volume."""
+    m = (F.year(ts_col) * 12 + F.month(ts_col) - 1).cast("long")
+    cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
+    per = orders.select(F.col(user_col).alias("u"), m.alias("m"),
+                        cents.alias("cents"))
+    first = per.groupBy("u").agg(F.min("m").alias("cm"))
+    return (per.join(first, "u")
+            .groupBy("cm", (F.col("m") - F.col("cm")).alias("month_offset"))
+            .agg(F.sum("cents").alias("revenue_cents"),
+                 F.countDistinct("u").alias("n_customers"))
+            .select(F.format_string("%04d-%02d", (F.col("cm") / 12)
+                                    .cast("int"),
+                                    (F.col("cm") % 12 + 1).cast("int"))
+                    .alias("cohort_month"),
+                    "month_offset", "revenue_cents", "n_customers"))
+
+
+def basket_pair_rules(lineitem: DataFrame, *, order_col: str = "l_orderkey",
+                      item_col: str = "l_partkey", min_support: int = 2,
+                      top_k: int = 50) -> DataFrame:
+    """Market-basket association pairs (Agrawal & Srikant 1994 support/
+    confidence, pair stage): parts co-occurring in the same order, with
+    co-count, each side's basket count, and integer-ppm confidences.
+
+    Returns top_k rows (part_a < part_b, pair_count, count_a, count_b,
+    conf_a_to_b_ppm, conf_b_to_a_ppm) by pair_count, ties broken on ids —
+    deterministic. ppm = pair*1000000 div count, pure BIGINT (exact while
+    pair_count < 9e12; beyond that switch the literal to DECIMAL(38,0)).
+
+    Scale shape: the classic self-join on the order key, but on the
+    DISTINCT (order, item) pairs so quantity-split lineitems don't
+    inflate counts; baskets are naturally small (TPC-H ~4 items), so the
+    per-order pair fan-out is k^2-bounded per basket, and the pair
+    aggregate map-side combines. A pathological mega-basket would need a
+    per-order item cap upstream — baskets here are order-bounded, unlike
+    the document-shingle case that needs df caps."""
+    items = (lineitem.select(F.col(order_col).alias("o"),
+                             F.col(item_col).alias("i"))
+             .distinct())
+    freq = items.groupBy("i").agg(F.count(F.lit(1)).alias("cnt"))
+    a = items.select("o", F.col("i").alias("ia"))
+    b = items.select("o", F.col("i").alias("ib"))
+    pairs = (a.join(b, "o")
+             .filter(F.col("ia") < F.col("ib"))
+             .groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("pair_count"))
+             .filter(F.col("pair_count") >= min_support))
+    fa = freq.select(F.col("i").alias("ia"), F.col("cnt").alias("count_a"))
+    fb = freq.select(F.col("i").alias("ib"), F.col("cnt").alias("count_b"))
+    out = (pairs.join(fa, "ia").join(fb, "ib")
+           .select(F.col("ia").alias("part_a"), F.col("ib").alias("part_b"),
+                   "pair_count", "count_a", "count_b",
+                   F.expr("pair_count * 1000000 div count_a")
+                   .alias("conf_a_to_b_ppm"),
+                   F.expr("pair_count * 1000000 div count_b")
+                   .alias("conf_b_to_a_ppm")))
+    return (out.orderBy(F.desc("pair_count"), "part_a", "part_b")
+            .limit(top_k))
+
+
+def dow_profile(events: DataFrame, *, ts_col: str = "ts",
+                group_col: str = "event_type") -> DataFrame:
+    """Day-of-week seasonality profile per group: event count for each
+    weekday and its integer-ppm share of the group's total — the seasonal
+    index a forecasting pipeline divides out before trend fitting.
+
+    Weekday is computed from the epoch-day integer ((day+3) mod 7 + 1 with
+    Monday=1, the cohort_retention convention) so both engines agree on
+    boundaries without timezone/locale surface. share_ppm =
+    n*1000000 div group_total, pure BIGINT.
+
+    Scale shape: one (group, dow) map-side-combining aggregate over the
+    corpus; the share join runs on the groups-x-7 bounded result."""
+    events = _nanos(events, ts_col)
+    day = F.expr(f"`{ts_col}` div {NANOS_PER_DAY}")
+    dow = ((day + 3) % 7 + 1).cast("long")
+    counts = (events.groupBy(F.col(group_col).alias("g"), dow.alias("dow"))
+              .agg(F.count(F.lit(1)).alias("n_events")))
+    totals = counts.groupBy("g").agg(F.sum("n_events").alias("total"))
+    return (counts.join(totals, "g")
+            .select(F.col("g").alias(group_col), "dow", "n_events",
+                    F.expr("n_events * 1000000 div total")
+                    .alias("share_ppm")))

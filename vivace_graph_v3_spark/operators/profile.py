@@ -242,3 +242,20 @@ def ks_drift(df: DataFrame, *, group_col: str, value_col: str) -> DataFrame:
     return (scored.groupBy(F.col("g").alias(group_col))
             .agg(F.any_value(F.col("n_g")).cast("long").alias("n_rows"),
                  ks.alias("ks")))
+
+
+def k_anonymity(df: DataFrame, qi_cols: list[str], *,
+                k: int = 10) -> DataFrame:
+    """Data-governance audit (Sweeney 2002 k-anonymity): equivalence
+    classes over the quasi-identifier columns with their sizes and an
+    at_risk flag for classes smaller than k — the rows a release would
+    have to generalize or suppress. A training-data pipeline runs this
+    before exporting anything keyed on user-ish attributes.
+
+    Returns (*qi_cols, class_size, at_risk) — all-integer/boolean, one
+    hash aggregate with map-side combine; output is bounded by the QI
+    domain product, not the row count, so the plan is a single shuffle
+    at any corpus size."""
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"))
+            .withColumn("at_risk", F.col("class_size") < k))

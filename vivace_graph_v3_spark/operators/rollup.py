@@ -55,3 +55,44 @@ def rollup_cascade(df: DataFrame, *, ts_col: str, value_col: str,
                     F.max("max_v").alias("max_v")))
         levels.append(nxt)
     return levels
+
+
+def gap_fill_locf(df: DataFrame, *, ts_col: str = "ts",
+                  group_col: str = "event_type") -> DataFrame:
+    """Time-bucket downsample with gap filling: per group, the daily event
+    count over a dense calendar, missing days carried forward from the last
+    observed day (LOCF — the TimescaleDB ``time_bucket_gapfill`` +
+    ``locf()`` pattern; no reference analogue, the time-series surface the
+    reference lacks).
+
+    Returns (group, day 'yyyy-MM-dd' string, n_events, filled): observed
+    days keep their count with filled=false; calendar days with no events
+    repeat the previous observed count with filled=true (0 before the
+    first observation). All-integer values, dates rendered as strings so
+    both engines canonicalize identically.
+
+    Scale shape: the raw table is touched exactly once by the (group, day)
+    count, which map-side combines down to |groups| x |days| rows;
+    the dense calendar is a ``sequence()`` explode over that bounded grid,
+    and the LOCF window runs per group over calendar days only — never
+    over raw events. At 100 TB the post-aggregate state is a few thousand
+    rows regardless of corpus size."""
+    from pyspark.sql import Window
+
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (df.groupBy(F.col(group_col).alias("g"), day.alias("d"))
+             .agg(F.count(F.lit(1)).alias("n_raw")))
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (daily.select("g").distinct()
+           .crossJoin(F.broadcast(span))
+           .select("g", F.explode(F.sequence("lo", "hi")).alias("d")))
+    w = (Window.partitionBy("g").orderBy("d")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    filled = (cal.join(daily, ["g", "d"], "left")
+              .select("g", "d",
+                      F.coalesce(F.last("n_raw", ignorenulls=True).over(w),
+                                 F.lit(0)).alias("n_events"),
+                      F.col("n_raw").isNull().alias("filled")))
+    return filled.select(F.col("g").alias(group_col),
+                         F.date_format("d", "yyyy-MM-dd").alias("day"),
+                         "n_events", "filled")

@@ -362,3 +362,106 @@ def video_frame_features(media: DataFrame, *, every: int = 2) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(run, schema=FRAME_FEATURE_SCHEMA)
+
+
+AHASH_SCHEMA = T.StructType([
+    T.StructField("media_id", T.StringType(), True),
+    T.StructField("hash_lo", T.LongType(), True),
+    T.StructField("hash_hi", T.LongType(), True),
+])
+
+
+def ahash64(df: DataFrame, *, grid: int = 8) -> DataFrame:
+    """Perceptual average-hash over REAL decoded pixels: decode the media
+    blob (in-repo netpbm codec — no Pillow), nearest-neighbor downsample
+    to grid x grid (the resize_netpbm index formula), and emit one bit per
+    cell: channel-sum >= image mean. All comparisons are integer
+    (bit = s*cells >= total), so the hash is engine-exact and an SQL
+    oracle can predict it for synthetic rasters.
+
+    The 64 bits are returned as two BIGINT halves (hash_lo bits 0-31,
+    hash_hi bits 32-63) to keep every value positive and portable across
+    engines without signed-shift edge cases.
+
+    Scale shape: mapInPandas over Arrow batches — bytes never leave the
+    executor, output is 2 ints per image; the downstream pair join (see
+    phash_dup_pairs) works on hashes only."""
+
+    def run(batches: Iterator) -> Iterator:
+        import numpy as np
+        import pandas as pd
+
+        from vivace_graph_v3_spark.pipeline.imagecodec import decode_netpbm
+
+        for pdf in batches:
+            los, his = [], []
+            for blob in pdf["media"]:
+                w, h, c, raster = decode_netpbm(bytes(blob))
+                arr = (np.frombuffer(raster, dtype=np.uint8)
+                       .reshape(h, w, c).astype(np.int64).sum(axis=2))
+                ys = (np.arange(grid) * h) // grid
+                xs = (np.arange(grid) * w) // grid
+                cells = arr[ys][:, xs]
+                bits = (cells * (grid * grid) >= cells.sum()).reshape(-1)
+                val = 0
+                for j, bset in enumerate(bits):
+                    if bset:
+                        val |= 1 << j
+                los.append(val & 0xFFFFFFFF)
+                his.append(val >> 32)
+            yield pd.DataFrame({"media_id": pdf["media_id"],
+                                "hash_lo": los, "hash_hi": his})
+
+    return df.mapInPandas(run, schema=AHASH_SCHEMA)
+
+
+def phash_dup_pairs(hashes: DataFrame, *, max_hamming: int = 16,
+                    band_bits: int = 16, top_k: int = 100) -> DataFrame:
+    """Near-duplicate image pairs by perceptual-hash Hamming distance,
+    banded-LSH blocked: the 64-bit hash splits into 64/band_bits bands and
+    only pairs agreeing on at least one band are generated — the SimHash
+    text path (pipeline/dedup.simhash_dup_pairs) applied to pixels, so
+    recall semantics are the documented band-collision contract, never
+    all-pairs.
+
+    band_bits tunes the LSH operating point: 16 (default) for
+    high-entropy hashes; smaller bands for low-entropy hashes (an aHash
+    of a grid-structured image carries far fewer than 64 informative
+    bits, so 4-bit bands keep collision probability meaningful at the
+    same hamming target). Returns the deterministic top_k
+    (media_a, media_b, hamming) by distance then ids.
+
+    Scale shape: the join shuffles on (band_id, band_value); a band
+    bucket holds only hash-colliding images, and the verify step is two
+    xor+popcounts per candidate."""
+    if 64 % band_bits:
+        raise ValueError("band_bits must divide 64")
+    mask = (1 << band_bits) - 1
+    nbands = 64 // band_bits
+    bands = []
+    for i in range(nbands):
+        off = i * band_bits
+        src = "hash_lo" if off < 32 else "hash_hi"
+        bands.append(F.shiftright(src, off % 32).bitwiseAND(F.lit(mask))
+                     .alias(f"b{i}"))
+    h = hashes.select("media_id", "hash_lo", "hash_hi", *bands)
+    stack_args = ", ".join(f"{i}, b{i}" for i in range(nbands))
+    banded = h.selectExpr(
+        "media_id", "hash_lo", "hash_hi",
+        f"stack({nbands}, {stack_args}) as (band_id, band_val)")
+    a = banded.select(F.col("media_id").alias("media_a"),
+                      F.col("hash_lo").alias("lo_a"),
+                      F.col("hash_hi").alias("hi_a"), "band_id", "band_val")
+    b = banded.select(F.col("media_id").alias("media_b"),
+                      F.col("hash_lo").alias("lo_b"),
+                      F.col("hash_hi").alias("hi_b"), "band_id", "band_val")
+    cand = (a.join(b, ["band_id", "band_val"])
+            .filter(F.col("media_a") < F.col("media_b"))
+            .select("media_a", "media_b", "lo_a", "hi_a", "lo_b", "hi_b")
+            .distinct())
+    ham = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+           + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))).cast("long")
+    return (cand.select("media_a", "media_b", ham.alias("hamming"))
+            .filter(F.col("hamming") <= max_hamming)
+            .orderBy("hamming", "media_a", "media_b")
+            .limit(top_k))

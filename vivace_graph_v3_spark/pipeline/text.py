@@ -1091,3 +1091,39 @@ def doc_keywords(df: DataFrame, *, text_col: str = "text",
         F.col("score").desc(), F.col("term").asc())
     return (scored.withColumn("rank", F.row_number().over(w_rank))
             .filter(F.col("rank") <= k))
+
+
+def sparse_dot_pairs(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id", min_dot: int = 6,
+                     df_cap: int = 200, top_k: int = 100) -> DataFrame:
+    """Sparse lexical similarity pairs: documents scored by the integer dot
+    product of their term-frequency vectors, generated through an inverted
+    index (term-at-a-time self-join) — the sparse-vector complement of the
+    dense embedding pair generators in pipeline/dedup.py.
+
+    Terms with document frequency > df_cap are dropped before pairing
+    (the DISCO/prefix-filter hub guard: a stopword-grade term in D docs
+    would alone fan out D^2 candidate pairs); terms in a single doc
+    cannot pair and are dropped too. Returns the deterministic top_k
+    (doc_a, doc_b, dot) by dot desc then ids — all-BIGINT.
+
+    Scale shape: tf and df are one map-side-combining aggregate each; the
+    pair generator shuffles by TERM so each task sees one posting list,
+    and the df cap bounds every list at df_cap entries -> at most
+    df_cap^2/2 pairs per term regardless of corpus size. The final
+    aggregate shuffles on the pair key. No all-pairs stage anywhere."""
+    tf = (df.select(F.col(id_col).alias("d"),
+                    F.explode(tokens(F.lower(F.col(text_col)))).alias("t"))
+          .groupBy("d", "t").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = (tf.groupBy("t").agg(F.count(F.lit(1)).alias("df"))
+             .filter((F.col("df") >= 2) & (F.col("df") <= df_cap)))
+    posted = tf.join(dfreq.select("t"), "t")
+    a = posted.select("t", F.col("d").alias("doc_a"), F.col("tf").alias("tfa"))
+    b = posted.select("t", F.col("d").alias("doc_b"), F.col("tf").alias("tfb"))
+    return (a.join(b, "t")
+            .filter(F.col("doc_a") < F.col("doc_b"))
+            .groupBy("doc_a", "doc_b")
+            .agg(F.sum(F.col("tfa") * F.col("tfb")).alias("dot"))
+            .filter(F.col("dot") >= min_dot)
+            .orderBy(F.desc("dot"), "doc_a", "doc_b")
+            .limit(top_k))
