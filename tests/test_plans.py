@@ -122,3 +122,50 @@ def test_round5_operator_plan_shapes(spark):
     kw = qs["text_keywords"](spark, sf)
     kw.collect()
     assert not plan_facts(kw).row_udf
+
+
+def test_round5b_operator_plan_shapes(spark):
+    """CI gates on the second batch of round-5 operators:
+    - events_gap_fill: the raw table feeds exactly ONE aggregate; the
+      dense-calendar side is grid-bounded and the span frame broadcasts
+      (never a shuffle keyed on raw events after the daily rollup)
+    - cohort_ltv / events_seasonality: aggregate + grid-bounded join,
+      no row-UDF
+    - basket_pair_rules / text_sparse_dot_pairs: the pair stage is a
+      TakeOrdered two-phase top-k — no single-task global Sort
+    - k_anonymity_audit: ONE exchange (the class aggregate), map-side
+      combined
+    - multimodal_phash_dedup: the only Python is the Arrow-batched
+      decode (mapInPandas); no row-at-a-time UDF
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    gf = qs["events_gap_fill"](spark, sf)
+    gf.collect()
+    fgf = plan_facts(gf)
+    assert fgf.broadcast_joins >= 1 and not fgf.row_udf
+
+    ka = qs["k_anonymity_audit"](spark, sf)
+    ka.collect()
+    fka = plan_facts(ka)
+    assert fka.joins == 0 and fka.exchanges == 1 and not fka.row_udf
+    assert fka.partial_aggregates >= 1
+
+    for name in ("cohort_ltv", "events_seasonality"):
+        df = qs[name](spark, sf)
+        df.collect()
+        assert not plan_facts(df).row_udf, name
+
+    for name in ("basket_pair_rules", "text_sparse_dot_pairs"):
+        df = qs[name](spark, sf)
+        df.collect()
+        f = plan_facts(df)
+        assert f.take_ordered, f"{name}: top-k must be TakeOrdered"
+        assert not f.row_udf, name
+
+    ph = qs["multimodal_phash_dedup"](spark, sf)
+    ph.collect()
+    assert not plan_facts(ph).row_udf

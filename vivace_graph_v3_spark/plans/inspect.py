@@ -31,6 +31,8 @@ class PlanFacts:
     pushed_filters: int = 0
     row_udf: bool = False
     arrow: bool = False
+    take_ordered: bool = False      # two-phase top-k (no global Sort)
+    partial_aggregates: int = 0     # map-side combine stages
     plan: str = ""
 
     @property
@@ -69,6 +71,9 @@ def plan_facts(df: DataFrame, *, executed: bool = True) -> PlanFacts:
         row_udf="BatchEvalPython" in plan,
         arrow=("ArrowEvalPython" in plan or "MapInPandas" in plan
                or "FlatMapGroupsInPandas" in plan),
+        take_ordered="TakeOrderedAndProject" in plan,
+        partial_aggregates=len(re.findall(
+            r"HashAggregate\([^)]*keys=[^)]*functions=\[partial_", plan)),
         plan=plan)
 
 
