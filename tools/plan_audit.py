@@ -59,6 +59,12 @@ AUDITED = [
     "retrieval_rerank", "token_budget_mix", "cms_heavy_hitters",
     "retrieval_mmr", "curation_v2", "graph_walk_census", "sft_pairs",
     "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
+    # round-5 additions
+    "duplicate_ngram_spans", "bpe_pair_stats", "quality_adaptive_gate",
+    "graph_closeness_landmarks", "embedding_pq", "bucketed_join_colocated",
+    "text_keywords", "events_changepoint", "events_gap_fill", "cohort_ltv",
+    "basket_pair_rules", "k_anonymity_audit", "events_seasonality",
+    "text_sparse_dot_pairs", "multimodal_phash_dedup",
 ]
 
 

@@ -68,7 +68,18 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # aggregate no matter the volume
           "text_boilerplate", "dedup_containment", "graph_walk_census",
           "embedding_quantize", "sft_pairs", "token_budget_mix",
-          "cms_heavy_hitters", "stratified_sample"]
+          "cms_heavy_hitters", "stratified_sample",
+          # round-5 batch-2 ops: gap-fill's window runs over the
+          # days-x-groups grid (volume only feeds the daily aggregate);
+          # cohort/basket/seasonality are aggregate+bounded-join; the
+          # sparse-dot df hub cap is ABSOLUTE, so 10x copies push every
+          # term over it (empty result — the cap doing its job on a
+          # degenerate corpus; the tf/df aggregates still scan 10x); the
+          # phash pair join is banded on hash values (10x images, same
+          # 256 patterns -> bucket growth probes the LSH-join regime)
+          "events_gap_fill", "cohort_ltv", "basket_pair_rules",
+          "events_seasonality", "text_sparse_dot_pairs",
+          "multimodal_phash_dedup", "k_anonymity_audit"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
