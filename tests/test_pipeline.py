@@ -1346,3 +1346,26 @@ def test_ahash64_closed_form_and_phash_pairs(spark):
                                       max_hamming=16, band_bits=4,
                                       top_k=10).collect()}
     assert pairs[("0", "256")] == 0
+
+
+def test_dim_truncation_recall_overlap(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        dim_truncation_recall)
+
+    # 3-d corpus, truncate to the first 2 dims; query = vec 0 = (1,0,0).
+    # full cosines: v1=(0,1,0) -> 0; v2=(1,0,5) -> 0.196; v3=(0.9,0.5,0)
+    # -> 0.874. truncated: v1 -> 0; v2 -> 1.0; v3 -> 0.874.
+    # full top-1 = v3 but truncated top-1 = v2 -> overlap 0 at k=1.
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0]),
+         (2, [1.0, 0.0, 5.0]), (3, [0.9, 0.5, 0.0])],
+        "vec_id long, embedding array<float>")
+    got = {r.query_id: r.n_overlap
+           for r in dim_truncation_recall(emb, n_queries=1, k=1,
+                                          dims=2).collect()}
+    assert got == {0: 0}
+    # at k=2 both rankings hold {v2, v3} -> full overlap
+    got2 = {r.query_id: r.n_overlap
+            for r in dim_truncation_recall(emb, n_queries=1, k=2,
+                                           dims=2).collect()}
+    assert got2 == {0: 2}

@@ -169,3 +169,30 @@ def test_round5b_operator_plan_shapes(spark):
     ph = qs["multimodal_phash_dedup"](spark, sf)
     ph.collect()
     assert not plan_facts(ph).row_udf
+
+
+def test_round5c_operator_plan_shapes(spark):
+    """CI gates for the last round-5 ops:
+    - ann_truncation_recall: BOTH brute-force passes broadcast the query
+      side — the corpus is never shuffled for scoring
+    - order_lag_features: all three window features share ONE customer
+      shuffle (a single Window over one exchange), no join, no row-UDF
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+
+    tr = qs["ann_truncation_recall"](spark, SF_DIR)
+    tr.collect()
+    ftr = plan_facts(tr)
+    # the two scoring passes are non-equi (query_id != neighbor_id) ->
+    # BroadcastNestedLoopJoin with the QUERY side broadcast
+    assert ftr.broadcast_joins + ftr.broadcast_nl_joins >= 2
+    assert ftr.sort_merge_joins + ftr.shuffled_hash_joins == 0
+    assert not ftr.row_udf
+
+    lf = qs["order_lag_features"](spark, SF_DIR)
+    lf.collect()
+    flf = plan_facts(lf)
+    assert flf.joins == 0 and not flf.row_udf
+    assert flf.exchanges == 1

@@ -150,3 +150,24 @@ def test_dow_profile_shares(spark):
     assert got[("a", 1)] == (2, 666_666)
     assert got[("a", 2)] == (1, 333_333)
     assert got[("b", 2)] == (1, 1_000_000)
+
+
+def test_order_lag_features_windows(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        order_lag_features)
+
+    orders = spark.createDataFrame(
+        [(101, 1, datetime(2024, 1, 1), 10.0),
+         (102, 1, datetime(2024, 1, 4), 20.0),
+         (103, 1, datetime(2024, 1, 4), 30.0),    # same day: key-ordered
+         (104, 1, datetime(2024, 2, 1), 40.0),
+         (201, 2, datetime(2024, 1, 10), 5.0)],
+        "o_orderkey long, o_custkey long, o_orderdate timestamp, "
+        "o_totalprice double")
+    got = {r.o_orderkey: (r.order_idx, r.gap_days, r.rolling3_cents)
+           for r in order_lag_features(orders).collect()}
+    assert got[101] == (1, None, 1000)
+    assert got[102] == (2, 3, 3000)
+    assert got[103] == (3, 0, 6000)
+    assert got[104] == (4, 28, 9000)        # rolling3 drops order 101
+    assert got[201] == (1, None, 500)

@@ -6614,6 +6614,86 @@ LIMIT 100
 """
 
 
+def q_ann_truncation_recall(spark, sf_dir):
+    """Matryoshka truncation evaluation: per query, how many of the exact
+    full-64d cosine top-10 survive truncation to the first 16 dims
+    (pipeline/similarity.dim_truncation_recall) — two broadcast-query
+    brute-force passes, corpus never shuffled; round-6 + id tie-break
+    makes both rankings engine-exact."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        dim_truncation_recall)
+
+    return dim_truncation_recall(_emb(spark, sf_dir),
+                                 n_queries=20, k=10, dims=16)
+
+
+SQL_ANN_TRUNCATION_RECALL = """
+WITH fullk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 20)
+  WHERE rank <= 10
+), trunck AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        CAST(q.embedding[1:16] AS DOUBLE[]),
+                        CAST(c.embedding[1:16] AS DOUBLE[])), 6) DESC,
+                      c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 20)
+  WHERE rank <= 10
+)
+SELECT f.query_id,
+       CAST(sum(CASE WHEN t.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_overlap
+FROM fullk f
+LEFT JOIN trunck t
+  ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+GROUP BY f.query_id
+"""
+
+
+def q_order_lag_features(spark, sf_dir):
+    """Windowed sequential features per customer order history: 1-based
+    order index, integer day gap since the previous order (null first),
+    rolling-3 spend in half-up cents — one customer-key shuffle serving
+    all three window features
+    (operators/product_analytics.order_lag_features)."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        order_lag_features)
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return order_lag_features(orders)
+
+
+SQL_ORDER_LAG_FEATURES = """
+WITH base AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS day,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT o_orderkey, o_custkey,
+       CAST(row_number() OVER w AS BIGINT) AS order_idx,
+       CAST(day - lag(day) OVER w AS BIGINT) AS gap_days,
+       CAST(sum(cents) OVER (w ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS rolling3_cents
+FROM base
+WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -6848,6 +6928,9 @@ REGISTRY: dict[str, tuple] = {
                               SQL_TEXT_SPARSE_DOT_PAIRS),
     "multimodal_phash_dedup": (q_multimodal_phash_dedup,
                                SQL_MULTIMODAL_PHASH_DEDUP),
+    "ann_truncation_recall": (q_ann_truncation_recall,
+                              SQL_ANN_TRUNCATION_RECALL),
+    "order_lag_features": (q_order_lag_features, SQL_ORDER_LAG_FEATURES),
 }
 
 # Round-5 driver sample order. Three blocks:
@@ -6875,6 +6958,7 @@ _R5_FRONT = [
     "text_keywords", "events_changepoint", "events_gap_fill",
     "cohort_ltv", "basket_pair_rules", "k_anonymity_audit",
     "events_seasonality", "text_sparse_dot_pairs", "multimodal_phash_dedup",
+    "ann_truncation_recall", "order_lag_features",
     # -- block 3: re-confirms (oldest driver rows, r1/r2) --
     "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
     "traverse_bfs", "findall_orders", "bagof_by_nation",

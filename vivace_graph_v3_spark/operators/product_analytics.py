@@ -254,3 +254,32 @@ def dow_profile(events: DataFrame, *, ts_col: str = "ts",
             .select(F.col("g").alias(group_col), "dow", "n_events",
                     F.expr("n_events * 1000000 div total")
                     .alias("share_ppm")))
+
+
+def order_lag_features(orders: DataFrame, *, ts_col: str = "o_orderdate",
+                       user_col: str = "o_custkey",
+                       key_col: str = "o_orderkey",
+                       value_col: str = "o_totalprice") -> DataFrame:
+    """Per-entity sequential feature engineering — the windowed lag/rolling
+    features an ML pipeline derives from an order history: per order its
+    1-based index in the customer's history, days since the previous
+    order (null for the first), and the rolling sum of the last 3 order
+    values in half-up cents.
+
+    All-integer (epoch-day arithmetic, cents BIGINT); the window orders
+    by (day, order key) so same-day orders rank deterministically.
+
+    Scale shape: ONE shuffle on the customer key serves all three window
+    features (Spark computes them in a single Window physical operator);
+    history length per customer is naturally bounded, so no skew
+    mitigation is needed on this key shape."""
+    day = F.unix_date(F.to_date(ts_col))
+    cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
+    base = orders.select(F.col(key_col), F.col(user_col), day.alias("day"),
+                         cents.alias("cents"))
+    w = Window.partitionBy(user_col).orderBy("day", key_col)
+    return base.select(
+        key_col, user_col,
+        F.row_number().over(w).cast("long").alias("order_idx"),
+        (F.col("day") - F.lag("day").over(w)).cast("long").alias("gap_days"),
+        F.sum("cents").over(w.rowsBetween(-2, 0)).alias("rolling3_cents"))

@@ -414,3 +414,36 @@ def pq_encode(corpus: DataFrame, *, vec_col: str = "embedding",
     err6 = (F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast("double")
             / F.lit(1000000.0))
     return corpus.select(*out_cols, err6.alias("err"))
+
+
+def dim_truncation_recall(emb: DataFrame, *, n_queries: int = 20, k: int = 10,
+                          dims: int = 16, vec_col: str = "embedding",
+                          id_col: str = "vec_id") -> DataFrame:
+    """Matryoshka-style truncation evaluation (Kusupati et al. 2022): how
+    much of the exact full-dimension cosine top-k survives when vectors
+    are truncated to their first ``dims`` coordinates — the measurement a
+    pipeline runs before switching storage/recall tiers to shorter
+    vectors. Returns one row per query (query_id, n_overlap) with
+    n_overlap in [0, k].
+
+    Exactness: both rankings use the round-6 cosine + id tie-break
+    discipline of cosine_topk_bruteforce, so an SQL oracle reproduces
+    them bit-for-bit; the overlap count is a pure set intersection.
+
+    Scale shape: two broadcast-query brute-force passes (the corpus never
+    shuffles) + a k-row-per-query join. At 100 TB the same measurement
+    runs on a deterministic corpus sample — the estimate needs thousands
+    of rows, not the corpus."""
+    queries = emb.filter(F.col(id_col) < n_queries)
+    full = cosine_topk_bruteforce(emb, queries, k=k,
+                                  vec_col=vec_col, id_col=id_col)
+    tcorp = emb.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims))
+    tq = queries.withColumn(vec_col, F.slice(F.col(vec_col), 1, dims))
+    trunc = (cosine_topk_bruteforce(tcorp, tq, k=k,
+                                    vec_col=vec_col, id_col=id_col)
+             .select("query_id", "neighbor_id", F.lit(1).alias("hit")))
+    return (full.select("query_id", "neighbor_id")
+            .join(trunc, ["query_id", "neighbor_id"], "left")
+            .groupBy("query_id")
+            .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+                 .alias("n_overlap")))

@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 @dataclass
 class PlanFacts:
     broadcast_joins: int = 0
+    broadcast_nl_joins: int = 0     # non-equi broadcast (nested-loop)
     sort_merge_joins: int = 0
     shuffled_hash_joins: int = 0
     exchanges: int = 0
@@ -57,6 +58,7 @@ def plan_facts(df: DataFrame, *, executed: bool = True) -> PlanFacts:
     scans = re.findall(r"FileScan parquet \[([^\]]*)\]", plan)
     return PlanFacts(
         broadcast_joins=len(re.findall(r"BroadcastHashJoin", plan)),
+        broadcast_nl_joins=len(re.findall(r"BroadcastNestedLoopJoin", plan)),
         sort_merge_joins=len(re.findall(r"SortMergeJoin", plan)),
         shuffled_hash_joins=len(re.findall(r"ShuffledHashJoin", plan)),
         # Spark prints "Exchange hashpartitioning(...)", "Exchange
