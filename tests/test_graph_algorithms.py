@@ -314,3 +314,20 @@ def test_landmark_closeness_path_graph(spark):
     shallow = {r.lm: r for r in
                landmark_closeness(g, ["a"], max_depth=1).collect()}
     assert shallow["a"].n_reached == 2 and shallow["a"].sum_dist == 1
+
+
+def test_community_modularity_invariants(spark):
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    rows = eq.queries()["graph_modularity"](spark,
+                                            "/root/testdata/sf0.001").collect()
+    assert rows, "no communities"
+    # degree sums over ALL communities add to the arc total 2m; the
+    # top-50 here covers every community with arcs on this tiny graph
+    m2 = sum(r.degree_sum for r in rows)
+    assert sum(r.internal_arcs for r in rows) <= m2
+    for r in rows:
+        assert 0 <= r.internal_arcs <= r.degree_sum
+        assert -1_000_000 <= r.q_ppm <= 1_000_000
+    # modularity of a partition is < 1: sum of contributions sane
+    assert sum(r.q_ppm for r in rows) <= 1_000_000

@@ -65,7 +65,7 @@ AUDITED = [
     "text_keywords", "events_changepoint", "events_gap_fill", "cohort_ltv",
     "basket_pair_rules", "k_anonymity_audit", "events_seasonality",
     "text_sparse_dot_pairs", "multimodal_phash_dedup",
-    "ann_truncation_recall", "order_lag_features",
+    "ann_truncation_recall", "order_lag_features", "graph_modularity",
 ]
 
 

@@ -1581,7 +1581,7 @@ def q_graph_label_propagation(spark, sf_dir):
             .orderBy(F.desc("size"), "label").limit(50))
 
 
-def _lpa_oracle_sql(rounds: int = 3) -> str:
+def _lpa_oracle_sql(rounds: int = 3, final: str | None = None) -> str:
     """Unrolled synchronous label propagation mirroring
     operators/graph_algorithms.label_propagation: per-round neighbor-label
     frequency argmax with (count desc, label asc) tie-break; vertices with
@@ -1611,6 +1611,8 @@ l{i} AS MATERIALIZED (
   SELECT v.id, COALESCE(b.label, v.label) AS label
   FROM l{p} v LEFT JOIN b{i} b ON b.src = v.id
 )""")
+    if final is not None:
+        return ",".join(parts) + final
     return (",".join(parts)
             + f"""
 SELECT label, COUNT(*) AS size FROM l{rounds}
@@ -6694,6 +6696,44 @@ WINDOW w AS (PARTITION BY o_custkey ORDER BY day, o_orderkey)
 """
 
 
+def q_graph_modularity(spark, sf_dir):
+    """Modularity report for the LPA communities (Newman 2006): per
+    community size, internal arcs, degree sum, and the cross-multiplied
+    integer-ppm modularity contribution
+    (operators/graph_algorithms.community_modularity). Oracle = the LPA
+    rounds unrolled (shared generator with graph_label_propagation) plus
+    the same BIGINT modularity arithmetic."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        community_modularity)
+
+    g = load_tpch_graph(spark, sf_dir)
+    return community_modularity(g, edge_type="in_nation", max_iter=3)
+
+
+_MODULARITY_TAIL = """,
+lab AS MATERIALIZED (SELECT id, label FROM l{r}),
+j AS MATERIALIZED (
+  SELECT a.label AS lsrc, b.label AS ldst
+  FROM ue e JOIN lab a ON a.id = e.src JOIN lab b ON b.id = e.dst
+), m AS (SELECT count(*) AS m2 FROM j),
+per AS (
+  SELECT lsrc AS label, count(*) AS degree_sum,
+         sum(CASE WHEN lsrc = ldst THEN 1 ELSE 0 END) AS internal_arcs
+  FROM j GROUP BY lsrc
+), sz AS (SELECT label, count(*) AS size FROM lab GROUP BY label)
+SELECT s.label, CAST(s.size AS BIGINT) AS size,
+       CAST(coalesce(p.internal_arcs, 0) AS BIGINT) AS internal_arcs,
+       CAST(coalesce(p.degree_sum, 0) AS BIGINT) AS degree_sum,
+       CAST((coalesce(p.internal_arcs, 0) * m.m2
+             - coalesce(p.degree_sum, 0) * coalesce(p.degree_sum, 0))
+            * 1000000 // (m.m2 * m.m2) AS BIGINT) AS q_ppm
+FROM sz s LEFT JOIN per p ON p.label = s.label, m
+ORDER BY size DESC, s.label LIMIT 50
+"""
+
+SQL_GRAPH_MODULARITY = _lpa_oracle_sql(final=_MODULARITY_TAIL.format(r=3))
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -6931,6 +6971,7 @@ REGISTRY: dict[str, tuple] = {
     "ann_truncation_recall": (q_ann_truncation_recall,
                               SQL_ANN_TRUNCATION_RECALL),
     "order_lag_features": (q_order_lag_features, SQL_ORDER_LAG_FEATURES),
+    "graph_modularity": (q_graph_modularity, SQL_GRAPH_MODULARITY),
 }
 
 # Round-5 driver sample order. Three blocks:

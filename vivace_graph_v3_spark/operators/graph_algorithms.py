@@ -727,3 +727,45 @@ def landmark_closeness(graph: GraphStore, landmarks: list[str], *,
                         "div (sum_dist * 2)").cast("double") / 1e6)
     return agg.select("lm", F.col("n_reached").cast("long").alias("n_reached"),
                       "sum_dist", closeness.alias("closeness"))
+
+
+def community_modularity(graph: GraphStore, *, edge_type: str | None = None,
+                         max_iter: int = 3, top_k: int = 50) -> DataFrame:
+    """Community quality report (Newman 2006 modularity) for the LPA
+    partition above: per community its size, internal arc count, degree
+    sum, and integer-ppm modularity contribution
+    q_c = e_c/2m - (d_c/2m)^2 computed cross-multiplied in BIGINT
+    (q_ppm = (e2*m2 - d^2)*1e6 div m2^2, where m2 = 2m arcs and e2 counts
+    both directions of internal edges) — engine-exact, no floating
+    accumulation; both engines truncate integer division toward zero.
+    At corpora where m2^2 exceeds BIGINT, lift the expression to
+    DECIMAL(38,0) (the ks_drift discipline).
+
+    Scale shape: one |E| join against the |V| label frame + one
+    aggregate; the 1-row arc total broadcasts (the HITS norm pattern).
+    Communities with no arcs keep zero stats via the left join."""
+    labels = label_propagation(graph, edge_type=edge_type, max_iter=max_iter)
+    arcs = _edge_pairs(graph, edge_type, undirected=True)
+    j = (arcs
+         .join(labels.select(F.col("id").alias("src"),
+                             F.col("label").alias("lsrc")), "src")
+         .join(labels.select(F.col("id").alias("dst"),
+                             F.col("label").alias("ldst")), "dst"))
+    per = (j.groupBy(F.col("lsrc").alias("label"))
+           .agg(F.count(F.lit(1)).alias("degree_sum"),
+                F.sum(F.when(F.col("lsrc") == F.col("ldst"), 1)
+                      .otherwise(0)).alias("internal_arcs")))
+    m = j.agg(F.count(F.lit(1)).alias("m2"))
+    sz = labels.groupBy("label").agg(F.count(F.lit(1)).alias("size"))
+    out = (sz.join(per, "label", "left")
+           .crossJoin(F.broadcast(m))
+           .select("label", F.col("size").cast("long").alias("size"),
+                   F.coalesce("internal_arcs", F.lit(0)).cast("long")
+                   .alias("internal_arcs"),
+                   F.coalesce("degree_sum", F.lit(0)).cast("long")
+                   .alias("degree_sum"),
+                   F.expr("(coalesce(internal_arcs, 0) * m2 "
+                          "- coalesce(degree_sum, 0) * coalesce(degree_sum, 0)"
+                          ") * 1000000 div (m2 * m2)").cast("long")
+                   .alias("q_ppm")))
+    return out.orderBy(F.desc("size"), "label").limit(top_k)
