@@ -209,7 +209,12 @@ def test_contract_values_partitioning_invariant(spark):
 
     qs = entry_mod.queries()
     names = ["text_repetition", "events_sessions", "token_budget_mix",
-             "cms_heavy_hitters", "two_phase_distinct", "embedding_quantize"]
+             "cms_heavy_hitters", "two_phase_distinct", "embedding_quantize",
+             # round-5 shapes: LOCF window over the calendar grid, banded
+             # LSH pair join, inverted-index pair top-k, modularity's
+             # 1-row broadcast total
+             "events_gap_fill", "multimodal_phash_dedup",
+             "text_sparse_dot_pairs", "graph_modularity"]
     before = {}
     for n in names:
         before[n] = canon_pdf(qs[n](spark, SF_DIR).toPandas())[0]
