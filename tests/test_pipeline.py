@@ -1326,7 +1326,7 @@ def test_ahash64_closed_form_and_phash_pairs(spark):
         ahash64, phash_dup_pairs, synthesize_ppm_media)
 
     docs = spark.createDataFrame(
-        [(0,), (7,), (256,), (300,)], "doc_id long")
+        [(0,), (256,), (250,), (252,)], "doc_id long")
     media = synthesize_ppm_media(docs, "doc_id", size=8)
     hashes = {r.media_id: (r.hash_lo, r.hash_hi)
               for r in ahash64(media, grid=8).collect()}
@@ -1338,14 +1338,15 @@ def test_ahash64_closed_form_and_phash_pairs(spark):
         v = pat * 0x01010101
         return (v, v)  # rows repeat: lo == hi
 
-    for d in (0, 7, 256, 300):
+    for d in (0, 256, 250, 252):
         assert hashes[str(d)] == expect(d), d
-    # doc 0 and doc 256 have identical rasters -> hamming 0 pair
-    pairs = {(r.media_a, r.media_b): r.hamming
-             for r in phash_dup_pairs(ahash64(media, grid=8),
-                                      max_hamming=16, band_bits=4,
-                                      top_k=10).collect()}
-    assert pairs[("0", "256")] == 0
+    # docs 0 and 256 have identical rasters (pat 0xF0) -> ONE exact class,
+    # never a pairwise row; pats 63 (doc 250) and 15 (doc 252) share the
+    # low nibble -> the only banded candidate, hamming 2 bits x 8 rows
+    rows = phash_dup_pairs(ahash64(media, grid=8), max_hamming=16,
+                           band_bits=4, top_k=10).collect()
+    assert [(r.media_a, r.media_b, r.hamming, r.size_a, r.size_b)
+            for r in rows] == [("250", "252", 16, 1, 1)]
 
 
 def test_dim_truncation_recall_overlap(spark):

@@ -6580,7 +6580,9 @@ def q_multimodal_phash_dedup(spark, sf_dir):
 
 # hash closed form: column pattern pat = sum_x [p(x)*8 >= sum_x p(x)] << x
 # with p(x) = (doc_id + x) % 256; every row repeats it, so
-# lo = hi = pat * 0x01010101. Bands mirror phash_dup_pairs(band_bits=4).
+# lo = hi = pat * 0x01010101. Exact-identical hashes contract into one
+# class (rep = min media_id, size) BEFORE banding, mirroring
+# phash_dup_pairs(band_bits=4); pairs are between distinct classes only.
 SQL_MULTIMODAL_PHASH_DEDUP = """
 WITH base AS (
   SELECT CAST(doc_id AS VARCHAR) AS media_id,
@@ -6592,23 +6594,27 @@ WITH base AS (
            x -> CASE WHEN p[x + 1] * 8 >= list_sum(p)
                      THEN 1 << x ELSE 0 END)) AS BIGINT) AS pt
   FROM base
-), hashes AS (
-  SELECT media_id, pt * 16843009 AS lo, pt * 16843009 AS hi FROM pat
+), classes AS (
+  SELECT pt * 16843009 AS lo, pt * 16843009 AS hi,
+         min(media_id) AS media_id, count(*) AS size
+  FROM pat GROUP BY pt
 ), banded AS (
-  SELECT media_id, lo, hi, band_id,
+  SELECT media_id, lo, hi, size, band_id,
          CASE WHEN band_id < 8 THEN (lo >> (band_id * 4)) & 15
               ELSE (hi >> ((band_id - 8) * 4)) & 15 END AS band_val
-  FROM hashes, (SELECT unnest(range(0, 16)) AS band_id)
+  FROM classes, (SELECT unnest(range(0, 16)) AS band_id)
 ), cand AS (
   SELECT DISTINCT a.media_id AS media_a, b.media_id AS media_b,
-         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b
+         a.lo AS lo_a, a.hi AS hi_a, b.lo AS lo_b, b.hi AS hi_b,
+         a.size AS size_a, b.size AS size_b
   FROM banded a
   JOIN banded b ON a.band_id = b.band_id AND a.band_val = b.band_val
                AND a.media_id < b.media_id
 )
 SELECT media_a, media_b,
        CAST(bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b))
-            AS BIGINT) AS hamming
+            AS BIGINT) AS hamming,
+       CAST(size_a AS BIGINT) AS size_a, CAST(size_b AS BIGINT) AS size_b
 FROM cand
 WHERE bit_count(xor(lo_a, lo_b)) + bit_count(xor(hi_a, hi_b)) <= 16
 ORDER BY hamming, media_a, media_b

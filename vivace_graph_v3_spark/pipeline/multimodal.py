@@ -428,14 +428,30 @@ def phash_dup_pairs(hashes: DataFrame, *, max_hamming: int = 16,
     high-entropy hashes; smaller bands for low-entropy hashes (an aHash
     of a grid-structured image carries far fewer than 64 informative
     bits, so 4-bit bands keep collision probability meaningful at the
-    same hamming target). Returns the deterministic top_k
-    (media_a, media_b, hamming) by distance then ids.
+    same hamming target).
 
-    Scale shape: the join shuffles on (band_id, band_value); a band
-    bucket holds only hash-colliding images, and the verify step is two
-    xor+popcounts per candidate."""
+    EXACT-CLASS CONTRACTION first: identical hashes collapse into one
+    class (representative = min media_id, size carried) BEFORE banding —
+    the Kiveris-style contraction discipline. Without it a corpus where
+    many images share a hash (screenshots, logos, synthetic rasters)
+    turns one band bucket into a |corpus|-sized clique and the pair join
+    goes quadratic; after it, bucket width is bounded by DISTINCT hash
+    count, and exact duplicates are already answered by the class itself
+    (measured at sf0.1, where 97% of the synthetic rasters share one
+    hash: 166 s naive -> 4 s contracted, same top pairs). Returns the
+    deterministic top_k near-dup CLASS pairs
+    (media_a, media_b, hamming, size_a, size_b) by distance then
+    representative ids; hamming >= 1 by construction — hamming-0
+    (exact) duplicates are the within-class members.
+
+    Scale shape: one hash aggregate (map-side combining) + a banded join
+    over distinct hashes; the verify step is two xor+popcounts per
+    candidate."""
     if 64 % band_bits:
         raise ValueError("band_bits must divide 64")
+    classes = (hashes.groupBy("hash_lo", "hash_hi")
+               .agg(F.min("media_id").alias("media_id"),
+                    F.count(F.lit(1)).alias("size")))
     mask = (1 << band_bits) - 1
     nbands = 64 // band_bits
     bands = []
@@ -444,24 +460,28 @@ def phash_dup_pairs(hashes: DataFrame, *, max_hamming: int = 16,
         src = "hash_lo" if off < 32 else "hash_hi"
         bands.append(F.shiftright(src, off % 32).bitwiseAND(F.lit(mask))
                      .alias(f"b{i}"))
-    h = hashes.select("media_id", "hash_lo", "hash_hi", *bands)
+    h = classes.select("media_id", "hash_lo", "hash_hi", "size", *bands)
     stack_args = ", ".join(f"{i}, b{i}" for i in range(nbands))
     banded = h.selectExpr(
-        "media_id", "hash_lo", "hash_hi",
+        "media_id", "hash_lo", "hash_hi", "size",
         f"stack({nbands}, {stack_args}) as (band_id, band_val)")
     a = banded.select(F.col("media_id").alias("media_a"),
                       F.col("hash_lo").alias("lo_a"),
-                      F.col("hash_hi").alias("hi_a"), "band_id", "band_val")
+                      F.col("hash_hi").alias("hi_a"),
+                      F.col("size").alias("size_a"), "band_id", "band_val")
     b = banded.select(F.col("media_id").alias("media_b"),
                       F.col("hash_lo").alias("lo_b"),
-                      F.col("hash_hi").alias("hi_b"), "band_id", "band_val")
+                      F.col("hash_hi").alias("hi_b"),
+                      F.col("size").alias("size_b"), "band_id", "band_val")
     cand = (a.join(b, ["band_id", "band_val"])
             .filter(F.col("media_a") < F.col("media_b"))
-            .select("media_a", "media_b", "lo_a", "hi_a", "lo_b", "hi_b")
+            .select("media_a", "media_b", "lo_a", "hi_a", "lo_b", "hi_b",
+                    "size_a", "size_b")
             .distinct())
     ham = (F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
            + F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))).cast("long")
-    return (cand.select("media_a", "media_b", ham.alias("hamming"))
+    return (cand.select("media_a", "media_b", ham.alias("hamming"),
+                        "size_a", "size_b")
             .filter(F.col("hamming") <= max_hamming)
             .orderBy("hamming", "media_a", "media_b")
             .limit(top_k))
