@@ -7005,7 +7005,7 @@ _R5_FRONT = [
     "text_keywords", "events_changepoint", "events_gap_fill",
     "cohort_ltv", "basket_pair_rules", "k_anonymity_audit",
     "events_seasonality", "text_sparse_dot_pairs", "multimodal_phash_dedup",
-    "ann_truncation_recall", "order_lag_features",
+    "ann_truncation_recall", "order_lag_features", "graph_modularity",
     # -- block 3: re-confirms (oldest driver rows, r1/r2) --
     "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
     "traverse_bfs", "findall_orders", "bagof_by_nation",
