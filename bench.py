@@ -86,6 +86,9 @@ BENCH_QUERIES = [
     "sft_pairs",
     "events_recency_score",
     "source_ks_drift",
+    "events_gap_fill",
+    "cohort_ltv",
+    "multimodal_phash_dedup",
 ]
 
 
