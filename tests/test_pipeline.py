@@ -1370,3 +1370,20 @@ def test_dim_truncation_recall_overlap(spark):
             for r in dim_truncation_recall(emb, n_queries=1, k=2,
                                            dims=2).collect()}
     assert got2 == {0: 2}
+
+
+def test_classifier_calibration_buckets(spark):
+    from vivace_graph_v3_spark.pipeline.text import classifier_calibration
+
+    docs = spark.createDataFrame(
+        [(1, "aa bb cc", "en"), (2, "aa bb cc", "de"),
+         (3, "zz yy", "en"), (4, "", "en")],
+        "doc_id long, text string, lang string")
+    rows = {r.bucket: (r.n, r.n_pos, r.pos_ppm)
+            for r in classifier_calibration(docs, bins=50).collect()}
+    # docs 1 and 2 share a text -> same score bucket; n=2, one 'en'
+    shared = [v for v in rows.values() if v[0] == 2]
+    assert shared == [(2, 1, 500_000)]
+    # empty doc scores 0.0 -> bucket floor(0.5*50)=25
+    assert rows[25][0] >= 1
+    assert sum(v[0] for v in rows.values()) == 4

@@ -66,6 +66,7 @@ AUDITED = [
     "basket_pair_rules", "k_anonymity_audit", "events_seasonality",
     "text_sparse_dot_pairs", "multimodal_phash_dedup",
     "ann_truncation_recall", "order_lag_features", "graph_modularity",
+    "classifier_calibration",
 ]
 
 

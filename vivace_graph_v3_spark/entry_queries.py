@@ -6740,6 +6740,49 @@ ORDER BY size DESC, s.label LIMIT 50
 SQL_GRAPH_MODULARITY = _lpa_oracle_sql(final=_MODULARITY_TAIL.format(r=3))
 
 
+def q_classifier_calibration(spark, sf_dir):
+    """Reliability table for the hashed-feature classifier: round-6 scores
+    bucketed into 50 equal-width cells over [-0.5, 0.5) vs the lang='en'
+    ground truth; integer-ppm positive rates
+    (pipeline/text.classifier_calibration). Scoring stays the map-only
+    expression fold; the table is one bins-bounded aggregate."""
+    from vivace_graph_v3_spark.pipeline.text import classifier_calibration
+
+    return classifier_calibration(_docs(spark, sf_dir), bins=50)
+
+
+SQL_CLASSIFIER_CALIBRATION = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, (({_CLF_HASH64} % 1000003) + 1000003) % 1000003 AS m
+  FROM w
+), agg AS (
+  SELECT doc_id, count(*) AS n, sum(m) AS s FROM f GROUP BY doc_id
+), scored AS (
+  SELECT doc_id,
+         CAST((s * 2000000 + n * 1000003) // (n * 1000003 * 2) AS DOUBLE)
+           / 1000000.0 - 0.5 AS clf_score
+  FROM agg
+), allscored AS (
+  SELECT d.doc_id, coalesce(s.clf_score, 0.0) AS clf_score, d.lang
+  FROM documents d LEFT JOIN scored s USING (doc_id)
+), bucketed AS (
+  SELECT least(CAST(floor((clf_score + 0.5) * 50) AS BIGINT), 49) AS bucket,
+         lang
+  FROM allscored
+)
+SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_pos,
+       CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS pos_ppm
+FROM bucketed GROUP BY bucket
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -6978,6 +7021,8 @@ REGISTRY: dict[str, tuple] = {
                               SQL_ANN_TRUNCATION_RECALL),
     "order_lag_features": (q_order_lag_features, SQL_ORDER_LAG_FEATURES),
     "graph_modularity": (q_graph_modularity, SQL_GRAPH_MODULARITY),
+    "classifier_calibration": (q_classifier_calibration,
+                               SQL_CLASSIFIER_CALIBRATION),
 }
 
 # Round-5 driver sample order. Three blocks:

@@ -1127,3 +1127,35 @@ def sparse_dot_pairs(df: DataFrame, *, text_col: str = "text",
             .filter(F.col("dot") >= min_dot)
             .orderBy(F.desc("dot"), "doc_a", "doc_b")
             .limit(top_k))
+
+
+def classifier_calibration(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id", label_col: str = "lang",
+                           positive: str = "en",
+                           bins: int = 50) -> DataFrame:
+    """Calibration table for the hashed-feature classifier above: scores
+    bucketed into ``bins`` equal-width cells over [-0.5, 0.5) against a
+    ground-truth label column — the reliability-diagram input an ML data
+    pipeline checks before trusting a quality filter's threshold.
+
+    Returns (bucket, n, n_pos, pos_ppm): bucket = floor((score+0.5)*bins)
+    clamped to bins-1 (fixed-order IEEE arithmetic on the round-6 score,
+    identical in any engine); pos_ppm = n_pos*1e6 div n in BIGINT.
+
+    Scale shape: scoring is the map-only expression fold of
+    classifier_score; the calibration table is ONE map-side-combining
+    aggregate over a bins-bounded key — corpus volume only affects the
+    scan."""
+    scored = classifier_score(df.select(F.col(id_col), F.col(text_col),
+                                        F.col(label_col)),
+                              text_col=text_col, id_col=id_col)
+    labeled = scored.join(df.select(id_col, label_col), id_col)
+    bucket = F.least(F.floor((F.col("clf_score") + 0.5) * bins).cast("long"),
+                     F.lit(bins - 1))
+    return (labeled
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col(label_col) == positive, 1).otherwise(0))
+                 .alias("n_pos"))
+            .select("bucket", "n", "n_pos",
+                    F.expr("n_pos * 1000000 div n").alias("pos_ppm")))
