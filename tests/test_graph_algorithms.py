@@ -331,3 +331,18 @@ def test_community_modularity_invariants(spark):
         assert -1_000_000 <= r.q_ppm <= 1_000_000
     # modularity of a partition is < 1: sum of contributions sane
     assert sum(r.q_ppm for r in rows) <= 1_000_000
+
+
+def test_clustering_coefficient_triangle_plus_tail(spark):
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        clustering_coefficient)
+
+    # triangle a-b-c plus pendant c-d: cc(a)=cc(b)=1, cc(c)=1/3, d dropped
+    g = _graph(spark, ["a", "b", "c", "d"],
+               [("a", "b", 1), ("b", "c", 1), ("a", "c", 1), ("c", "d", 1)])
+    got = {r.id: (r.degree, r.n_triangles, r.cc_ppm)
+           for r in clustering_coefficient(g).collect()}
+    assert got["a"] == (2, 1, 1_000_000)
+    assert got["b"] == (2, 1, 1_000_000)
+    assert got["c"] == (3, 1, 333_333)
+    assert "d" not in got

@@ -1387,3 +1387,17 @@ def test_classifier_calibration_buckets(spark):
     # empty doc scores 0.0 -> bucket floor(0.5*50)=25
     assert rows[25][0] >= 1
     assert sum(v[0] for v in rows.values()) == 4
+
+
+def test_ndcg_perfect_retrieval_is_unity(spark):
+    from vivace_graph_v3_spark.pipeline.retrieval import ndcg_at_k
+
+    docs = spark.createDataFrame(
+        [(1, "apple banana"), (2, "apple"), (3, "cherry")],
+        "doc_id long, text string")
+    row = ndcg_at_k(docs, [(7, ["apple", "banana"])], k=3).first()
+    # BM25 ranks d1 (both terms) over d2 (one term); ideal order identical
+    assert row.query_id == 7
+    assert row.dcg_ppm == 2 * 1_000_000 + 1 * 630_930
+    assert row.idcg_ppm == row.dcg_ppm
+    assert row.ndcg_ppm == 1_000_000

@@ -171,3 +171,52 @@ def test_order_lag_features_windows(spark):
     assert got[103] == (3, 0, 6000)
     assert got[104] == (4, 28, 9000)        # rolling3 drops order 101
     assert got[201] == (1, None, 500)
+
+
+def test_autocorrelation_hand_series(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        NANOS_PER_DAY, autocorrelation)
+
+    # daily counts x = [1, 2, 1, 2] over days 0..3:
+    # y = 4x - 6 = [-2, 2, -2, 2]; den = 16
+    # lag1 num = -12 -> -750000 ppm; lag2 num = 8 -> 500000 ppm
+    rows = []
+    for day, n in enumerate([1, 2, 1, 2]):
+        rows += [(u, "e", day * NANOS_PER_DAY + u) for u in range(n)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {r.lag: (r.n_terms, r.acf_ppm)
+           for r in autocorrelation(ev, max_lag=2).collect()}
+    assert got[1] == (3, -750_000)
+    assert got[2] == (2, 500_000)
+
+
+def test_series_smooth_two_taps(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        NANOS_PER_DAY, series_smooth)
+
+    # daily counts [1, 2]: day0 = 1.0; day1 = (2 + 0.5) / 1.5 -> 1666667
+    rows = [(0, "e", 0), (0, "e", NANOS_PER_DAY), (1, "e", NANOS_PER_DAY + 1)]
+    ev = spark.createDataFrame(rows, "user_id long, event_type string, ts long")
+    got = {r.day: r.smooth_ppm for r in series_smooth(ev, taps=2).collect()}
+    assert got[0] == 1_000_000
+    assert got[1] == 1_666_667
+
+
+def test_attribution_last_touch_channels(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        NANOS_PER_DAY, attribution_last_touch)
+
+    d = NANOS_PER_DAY
+    rows = [
+        (1, "click", 0 * d, 0.0), (1, "purchase", 1 * d, 10.0),  # click
+        (2, "view", 0 * d, 0.0), (2, "purchase", 10 * d, 20.0),  # stale: organic
+        (3, "purchase", 5 * d, 30.0),                            # no touch
+        (4, "view", 0 * d, 0.0), (4, "click", 1 * d, 0.0),       # latest wins
+        (4, "purchase", 2 * d, 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, event_type string, ts long, value double")
+    got = {r.channel: (r.n_conversions, r.revenue_cents)
+           for r in attribution_last_touch(ev, window_days=7).collect()}
+    assert got["click"] == (2, 5000)
+    assert got["(organic)"] == (2, 5000)

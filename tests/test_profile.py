@@ -182,3 +182,32 @@ def test_k_anonymity_classes(spark):
     assert got[(1, "A")] == (3, False)
     assert got[(1, "B")] == (1, True)
     assert got[(2, "A")] == (1, True)
+
+
+def test_l_diversity_flags_homogeneous_classes(spark):
+    from vivace_graph_v3_spark.operators.profile import l_diversity
+
+    df = spark.createDataFrame(
+        [(1, "A", "flu"), (1, "A", "flu"), (1, "A", "cold"),
+         (1, "B", "flu"), (1, "B", "cold"), (2, "A", "flu")],
+        "nat int, seg string, dx string")
+    got = {(r.nat, r.seg): (r.class_size, r.n_sensitive, r.at_risk)
+           for r in l_diversity(df, ["nat", "seg"], "dx", l=2).collect()}
+    assert got[(1, "A")] == (3, 2, False)
+    assert got[(1, "B")] == (2, 2, False)
+    assert got[(2, "A")] == (1, 1, True)
+
+
+def test_compaction_plan_groups_by_running_size(spark):
+    from vivace_graph_v3_spark.operators.layout import compaction_plan
+
+    files = spark.createDataFrame(
+        [("t1", 1, 100), ("t1", 2, 100), ("t1", 3, 100),
+         ("t2", 1, 400), ("t2", 2, 10)],
+        "prefix string, file_id long, size_bytes long")
+    got = {(r.prefix, r.file_id): r.group_id
+           for r in compaction_plan(files, target_bytes=150).collect()}
+    # t1 exclusive cumsums 0/100/200 -> groups 0, 0, 1 (prefix-local)
+    assert got[("t1", 1)] == 0 and got[("t1", 2)] == 0
+    assert got[("t1", 3)] == 1
+    assert got[("t2", 1)] == 0 and got[("t2", 2)] == 2

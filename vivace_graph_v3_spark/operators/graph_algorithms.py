@@ -349,6 +349,48 @@ def triangle_count(graph: GraphStore, *, edge_type: str | None = None) -> DataFr
     return tri.agg(F.count(F.lit(1)).alias("n_triangles"))
 
 
+def clustering_coefficient(graph: GraphStore, *,
+                           edge_type: str | None = None,
+                           min_degree: int = 2) -> DataFrame:
+    """Local clustering coefficient per vertex (Watts-Strogatz 1998) over the
+    undirected simple graph: cc(v) = 2*tri(v) / (deg(v)*(deg(v)-1)).
+
+    Per-vertex triangle counts reuse the canonical a<b<c two-join formulation
+    of :func:`triangle_count`; each closed triangle credits all three corners
+    with one union (no second counting join). The coefficient is emitted as an
+    integer ppm ratio (``cc_ppm``) so the oracle comparison is exact integer
+    arithmetic, never float division drift.
+
+    Scale: two shuffles on edge endpoints (same as the global count) plus one
+    groupBy on vertex id; both AQE-skew-splittable. Degree comes from one
+    map-side-combined aggregation of the deduped edge list — no all-pairs
+    stage anywhere. Reference analogue: adjacency scans over vertex edge
+    lists (vivace-graph-v3 traversal.lisp neighbor walks); re-expressed here
+    as set-join triangle closure.
+    """
+    e = (_edge_pairs(graph, edge_type, undirected=True)
+         .filter(F.col("src") < F.col("dst")).dropDuplicates(["src", "dst"]))
+    deg = (e.select(F.col("src").alias("id"))
+           .unionAll(e.select(F.col("dst").alias("id")))
+           .groupBy("id").agg(F.count(F.lit(1)).alias("degree")))
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    corners = (tri.select(F.col("a").alias("id"))
+               .unionAll(tri.select(F.col("b").alias("id")))
+               .unionAll(tri.select(F.col("c").alias("id"))))
+    tri_v = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
+    out = (deg.join(tri_v, "id", "left")
+           .withColumn("n_triangles",
+                       F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long"))
+           .filter(F.col("degree") >= min_degree))
+    return out.select(
+        "id", F.col("degree").cast("long").alias("degree"), "n_triangles",
+        F.expr("n_triangles * 2000000L div (degree * (degree - 1L))")
+        .alias("cc_ppm"))
+
+
 def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
                    weighted: bool = False, max_iter: int = 50,
                    direction: str = "out") -> DataFrame:

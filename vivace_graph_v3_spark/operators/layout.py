@@ -70,3 +70,36 @@ def zorder_write_plan(df: DataFrame, cols: list[str],
     parted = (keyed.repartitionByRange(partitions, F.col(key_col))
               if partitions else keyed.repartitionByRange(F.col(key_col)))
     return parted.sortWithinPartitions(key_col)
+
+
+def compaction_plan(files: DataFrame, *, prefix_col: str = "prefix",
+                    file_col: str = "file_id", size_col: str = "size_bytes",
+                    target_bytes: int = 128 * 1024 * 1024) -> DataFrame:
+    """Small-file compaction planner: assign each input file to an output
+    group so groups approach ``target_bytes`` — the OPTIMIZE/rewrite step
+    every lakehouse table needs after streaming or small-batch ingest
+    (thousands of tiny parquet files kill scan startup at 100 TB).
+
+    Packing rule (deterministic, streaming-friendly): within a prefix,
+    files pack in file-name order and a file opens a new group when the
+    running size BEFORE it has crossed a multiple of target_bytes —
+    i.e. group = exclusive_cumsum div target. Pure BIGINT window math;
+    oracle-exact. (First-fit-decreasing would pack ~1% tighter but is
+    order-sensitive and needs a driver loop; the cumsum rule is the one
+    that distributes.)
+
+    Scale shape: ONE window shuffle keyed on the table prefix — file
+    inventories are metadata-sized (millions of rows for a 100 TB table,
+    not data-sized), so the whole plan is a metadata pass.
+    """
+    from pyspark.sql import Window
+
+    w = (Window.partitionBy(prefix_col).orderBy(file_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    before = F.coalesce(F.sum(size_col).over(w), F.lit(0)).cast("long")
+    return (files.select(prefix_col, file_col,
+                         F.col(size_col).cast("long").alias(size_col))
+            .withColumn("_before", before)
+            .withColumn("group_id",
+                        F.expr(f"_before div {int(target_bytes)}L"))
+            .drop("_before"))

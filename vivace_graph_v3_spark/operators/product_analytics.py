@@ -283,3 +283,131 @@ def order_lag_features(orders: DataFrame, *, ts_col: str = "o_orderdate",
         F.row_number().over(w).cast("long").alias("order_idx"),
         (F.col("day") - F.lag("day").over(w)).cast("long").alias("gap_days"),
         F.sum("cents").over(w.rowsBetween(-2, 0)).alias("rolling3_cents"))
+
+
+def autocorrelation(events: DataFrame, *, ts_col: str = "ts",
+                    max_lag: int = 7) -> DataFrame:
+    """Sample autocorrelation function of the daily event-count series,
+    lags 1..max_lag — the stationarity diagnostic a forecasting pipeline
+    runs before model selection (Box-Jenkins ACF).
+
+    Exactness: with S = sum(x) and n = days, center as y_t = n*x_t - S
+    (pure BIGINT — multiplying the classic (x_t - S/n) through by n).
+    Then r_k = sum(y_t * y_{t-k}) / sum(y_t^2) exactly; the emitted
+    acf_ppm = floor(num/den * 1e6 + 0.5) goes through one IEEE double
+    division on identical integers, so both engines produce identical
+    bits (no libm surface, no float accumulation order).
+
+    Scale shape: the daily aggregate is one map-side-combining groupBy;
+    everything after runs on the days-sized series (bounded by the
+    retention window, thousands of rows at most), joined to itself per
+    lag on an equi-key — negligible at any corpus size."""
+    events = _nanos(events, ts_col)
+    day = F.expr(f"`{ts_col}` div {NANOS_PER_DAY}")
+    daily = (events.groupBy(day.alias("day"))
+             .agg(F.count(F.lit(1)).alias("x")))
+    stats = daily.agg(F.sum("x").alias("s"),
+                      F.count(F.lit(1)).alias("n"))
+    y = (daily.crossJoin(F.broadcast(stats))
+         .select("day", (F.col("n") * F.col("x") - F.col("s")).alias("y")))
+    den = y.agg(F.sum(F.col("y") * F.col("y")).alias("den"))
+    spark = events.sparkSession
+    lags = spark.range(1, max_lag + 1).select(F.col("id").alias("lag"))
+    cur = y.select(F.col("day"), F.col("y").alias("y1"))
+    prv = y.select(F.col("day").alias("pday"), F.col("y").alias("y0"))
+    num = (lags.crossJoin(cur)
+           .join(prv, F.col("day") - F.col("lag") == F.col("pday"))
+           .groupBy("lag")
+           .agg(F.sum(F.col("y1") * F.col("y0")).alias("num"),
+                F.count(F.lit(1)).alias("n_terms")))
+    return (num.crossJoin(F.broadcast(den))
+            .select("lag", "n_terms",
+                    F.floor(F.col("num").cast("double") / F.col("den")
+                            * F.lit(1000000.0) + F.lit(0.5))
+                    .cast("long").alias("acf_ppm"))
+            .orderBy("lag"))
+
+
+def series_smooth(events: DataFrame, *, ts_col: str = "ts",
+                  taps: int = 8) -> DataFrame:
+    """Truncated exponential smoothing (FIR form) of the daily event-count
+    series: smooth_t = sum_{l<taps} x_{t-l} * 2^-l / sum of the weights
+    present — the trend line a dashboard overlays on a daily metric.
+
+    alpha is fixed at 1/2 so every weight 2^-l is an exact binary
+    fraction: the weighted numerator is a sum of integers scaled by
+    2^-(taps-1), exactly representable, and both engines produce
+    bit-identical doubles before the single division (emitted as
+    smooth_ppm via the floor(x*1e6+0.5) integer contract). Lags index
+    prior OBSERVED days (row lags), so gap days don't contribute zero
+    taps — the operator is gap-insensitive by construction.
+
+    Scale shape: one groupBy to the daily series, then one window sorted
+    by day over the days-sized frame — a single window operator computes
+    all tap lags in one pass (one shuffle of thousands of rows)."""
+    events = _nanos(events, ts_col)
+    day = F.expr(f"`{ts_col}` div {NANOS_PER_DAY}")
+    daily = (events.groupBy(day.alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events")))
+    w = Window.orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for l in range(taps):
+        x = F.lag("n_events", l).over(w) if l else F.col("n_events")
+        wt = F.lit(2.0 ** (-l))
+        num = num + F.coalesce(x.cast("double"), F.lit(0.0)) * wt
+        den = den + F.when(x.isNotNull(), wt).otherwise(F.lit(0.0))
+    return (daily.select(
+        "day", "n_events",
+        F.floor(num / den * F.lit(1000000.0) + F.lit(0.5))
+        .cast("long").alias("smooth_ppm"))
+        .orderBy("day"))
+
+
+def attribution_last_touch(events: DataFrame, *,
+                           conversion_type: str = "purchase",
+                           touch_types: tuple = ("click", "view", "signup"),
+                           window_days: int = 7,
+                           ts_col: str = "ts", user_col: str = "user_id",
+                           type_col: str = "event_type",
+                           value_col: str = "value") -> DataFrame:
+    """Last-touch marketing attribution: each conversion credits the
+    user's most recent PRIOR touch event (strictly earlier in the
+    (ts, event_type) order) within ``window_days``; report per-channel
+    credited conversions and
+    revenue. Conversions with no qualifying touch land in the
+    '(organic)' row.
+
+    Revenue sums in half-up cents (BIGINT) so cross-engine float
+    accumulation order cannot drift the totals.
+
+    Scale shape: the classic single-window formulation — union the
+    tagged streams, ONE window shuffle on user_id carrying
+    last(touch, ignorenulls), then filter to conversions: cost is one
+    shuffle of the filtered event subset, never a conversions-x-touches
+    join. Per-user frames are retention-bounded; the final per-channel
+    aggregate is dimension-sized."""
+    events = _nanos(events, ts_col)
+    is_touch = F.col(type_col).isin(*touch_types)
+    is_conv = F.col(type_col) == conversion_type
+    tagged = (events.filter(is_touch | is_conv)
+              .select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"),
+                      F.col(type_col).alias("et"),
+                      F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
+                      .alias("cents"),
+                      F.when(is_touch, F.col(type_col)).alias("touch"),
+                      F.when(is_touch, F.col(ts_col)).alias("touch_t")))
+    w = (Window.partitionBy("u").orderBy("t", "et")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    credited = (tagged.withColumn(
+        "last_touch", F.last("touch", ignorenulls=True).over(w))
+        .withColumn("last_touch_t", F.last("touch_t", ignorenulls=True).over(w))
+        .filter(F.col("et") == conversion_type))
+    horizon = F.lit(window_days * NANOS_PER_DAY)
+    channel = F.when(
+        F.col("last_touch_t").isNotNull()
+        & (F.col("t") - F.col("last_touch_t") <= horizon),
+        F.col("last_touch")).otherwise(F.lit("(organic)"))
+    return (credited.groupBy(channel.alias("channel"))
+            .agg(F.count(F.lit(1)).alias("n_conversions"),
+                 F.sum("cents").alias("revenue_cents")))

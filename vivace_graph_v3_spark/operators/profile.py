@@ -259,3 +259,25 @@ def k_anonymity(df: DataFrame, qi_cols: list[str], *,
     return (df.groupBy(*qi_cols)
             .agg(F.count(F.lit(1)).alias("class_size"))
             .withColumn("at_risk", F.col("class_size") < k))
+
+
+def l_diversity(df: DataFrame, qi_cols: list[str], sensitive_col: str, *,
+                l: int = 3) -> DataFrame:
+    """Distinct l-diversity audit (Machanavalhala et al. 2007), the
+    companion check to :func:`k_anonymity`: a release is l-diverse when
+    every quasi-identifier equivalence class contains at least ``l``
+    distinct values of the sensitive attribute — k-anonymity alone
+    cannot stop attribute disclosure when a class is homogeneous.
+
+    Returns (*qi_cols, class_size, n_sensitive, at_risk) with at_risk =
+    n_sensitive < l. Exact distinct (not approx) because the audit is a
+    gate, not an estimate.
+
+    Scale shape: one aggregation keyed on (QI..., sensitive) then one on
+    (QI...) — Spark plans count(distinct) as exactly this two-phase
+    expand, both phases map-side-combining; output bounded by the QI
+    domain product."""
+    return (df.groupBy(*qi_cols)
+            .agg(F.count(F.lit(1)).alias("class_size"),
+                 F.countDistinct(sensitive_col).alias("n_sensitive"))
+            .withColumn("at_risk", F.col("n_sensitive") < l))

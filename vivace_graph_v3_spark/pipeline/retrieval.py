@@ -139,3 +139,71 @@ def mmr_topk(emb: DataFrame, query_vec: list[float], *, k: int = 5,
         # plan subtree per step — k tiny jobs beat a 2^k plan
         sel = sel.unionByName(nxt).localCheckpoint(eager=True)
     return sel.select("id", "cosine", "rank")
+
+
+# 1/log2(rank+1) discounts for ranks 1..10, fixed as integer ppm literals so
+# DCG accumulates in pure BIGINT (no libm log2 surface, no float sum order):
+# both the Spark plan and the SQL oracle consume this same table.
+NDCG_DISCOUNT_PPM = (1000000, 630930, 500000, 430677, 386853,
+                     356207, 333333, 315465, 301030, 289065)
+
+
+def ndcg_at_k(docs: DataFrame, queries: list[tuple[int, list[str]]], *,
+              k: int = 10, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Ranking-quality evaluation: nDCG@k of the BM25 retriever per query
+    (Järvelin & Kekäläinen 2002) against a term-coverage relevance label —
+    gain(doc) = number of distinct query terms present in the doc's
+    whitespace token set. The eval harness every retrieval change gets
+    gated on.
+
+    All-integer contract: DCG_ppm = sum(gain_r * NDCG_DISCOUNT_PPM[r]),
+    IDCG_ppm the same over the corpus's ideal (gain-sorted) top-k, and
+    ndcg_ppm = DCG_ppm * 1e6 div IDCG_ppm — BIGINT end to end, so the
+    oracle comparison has zero float surface.
+
+    Scale shape: per query, gains come from ONE map-only corpus scan
+    (array_intersect against a literal term array — no explode, no join);
+    both the retrieved and ideal lists are TakeOrderedAndProject top-k, so
+    nothing corpus-sized ever sorts globally or shuffles; the per-query
+    frames that join afterwards are k rows. Queries iterate as separate
+    lazy subplans unioned at the end (query batches are dozens, not
+    corpus-scale).
+    """
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    spark = docs.sparkSession
+    out = None
+    for qid, terms in queries:
+        term_arr = F.array(*[F.lit(t) for t in terms])
+        gains = docs.select(
+            F.col(id_col).alias("id"),
+            F.size(F.array_intersect(
+                F.array_distinct(tokens(F.col(text_col))), term_arr))
+            .cast("long").alias("gain"))
+        from vivace_graph_v3_spark.pipeline.text import bm25_topk
+        retrieved = (bm25_topk(docs, terms, k=k, text_col=text_col,
+                               id_col=id_col)
+                     .join(gains, "id")
+                     .select("rank", "gain"))
+        ideal = (gains.orderBy(F.col("gain").desc(), F.col("id").asc())
+                 .limit(k)
+                 .select(F.row_number().over(
+                     Window.orderBy(F.col("gain").desc(), F.col("id").asc()))
+                     .alias("rank"), "gain"))
+        disc = F.create_map(*[x for r, d in enumerate(NDCG_DISCOUNT_PPM, 1)
+                              for x in (F.lit(r), F.lit(d))])
+
+        def dcg(frame, alias):
+            return (frame.select((F.col("gain")
+                                  * disc[F.col("rank")]).alias("c"))
+                    .agg(F.sum("c").cast("long").alias(alias)))
+
+        row = (dcg(retrieved, "dcg_ppm")
+               .crossJoin(dcg(ideal, "idcg_ppm"))
+               .select(F.lit(qid).cast("long").alias("query_id"),
+                       "dcg_ppm", "idcg_ppm",
+                       F.expr("dcg_ppm * 1000000L div idcg_ppm")
+                       .alias("ndcg_ppm")))
+        out = row if out is None else out.unionByName(row)
+    return out
