@@ -346,3 +346,14 @@ def test_clustering_coefficient_triangle_plus_tail(spark):
     assert got["b"] == (2, 1, 1_000_000)
     assert got["c"] == (3, 1, 333_333)
     assert "d" not in got
+
+
+def test_assortativity_path_is_perfectly_disassortative(spark):
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        degree_assortativity)
+
+    # path a-b-c: every arc joins deg-1 to deg-2 -> r = -1 exactly
+    g = _graph(spark, ["a", "b", "c"], [("a", "b", 1), ("b", "c", 1)])
+    row = degree_assortativity(g).first()
+    assert (row.m2, row.sum_j, row.sum_jk, row.sum_j2) == (4, 6, 8, 10)
+    assert row.r_ppm == -1_000_000

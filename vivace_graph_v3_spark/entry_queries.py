@@ -7059,6 +7059,79 @@ SQL_RETRIEVAL_NDCG = "\nUNION ALL\n".join(
     _ndcg_oracle_block(qid, terms) for qid, terms in _NDCG_QUERIES)
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension built from the event log (user x event_type
+    runs): consecutive identical values compress into one version with
+    [valid_from, valid_to) nanos intervals, 1-based version index, and an
+    is_current flag — ONE business-key shuffle serves both windows
+    (operators/scd.scd2_build). The relational face of the reference's
+    MVCC revision chain."""
+    from vivace_graph_v3_spark.operators.scd import scd2_build
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = ev.select("user_id", "event_type", "event_id",
+                   (F.unix_micros(F.col("ts").cast("timestamp"))
+                    * F.lit(1000)).alias("t"))
+    return scd2_build(ev, "user_id", "t", ["event_type"],
+                      tiebreak_cols=["event_id"]).drop("event_id")
+
+
+SQL_SCD2_HISTORY = """
+WITH ordered AS (
+  SELECT user_id, event_type, event_id, epoch_ns(ts) AS t FROM events
+), marked AS (
+  SELECT *, lag(event_type) OVER w AS prev
+  FROM ordered WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), runs AS (
+  SELECT user_id, event_type, t, event_id FROM marked
+  WHERE prev IS NULL OR prev <> event_type
+)
+SELECT user_id, event_type, t AS valid_from,
+       lead(t) OVER w2 AS valid_to,
+       CAST(row_number() OVER w2 AS BIGINT) AS version,
+       lead(t) OVER w2 IS NULL AS is_current
+FROM runs WINDOW w2 AS (PARTITION BY user_id ORDER BY t, event_id)
+"""
+
+
+def q_graph_assortativity(spark, sf_dir):
+    """Degree assortativity of the part co-purchase graph (Newman 2002):
+    all four moments in exact BIGINT over the doubled edge list, one IEEE
+    division for r_ppm
+    (operators/graph_algorithms.degree_assortativity)."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        degree_assortativity)
+
+    return degree_assortativity(_copurchase_graph(spark, sf_dir))
+
+
+SQL_GRAPH_ASSORTATIVITY = """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), arcs AS (
+  SELECT u AS s, v AS d FROM e UNION ALL SELECT v, u FROM e
+), deg AS (
+  SELECT s AS id, count(*) AS dg FROM arcs GROUP BY s
+), jk AS (
+  SELECT ds.dg AS j, dd.dg AS k
+  FROM arcs JOIN deg ds ON ds.id = arcs.s JOIN deg dd ON dd.id = arcs.d
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(j) AS BIGINT) AS sum_j,
+         CAST(sum(j * k) AS BIGINT) AS sum_jk,
+         CAST(sum(j * j) AS BIGINT) AS sum_j2
+  FROM jk
+)
+SELECT m2, sum_j, sum_jk, sum_j2,
+       CAST(floor(CAST(m2 * sum_jk - sum_j * sum_j AS DOUBLE)
+                  / CAST(m2 * sum_j2 - sum_j * sum_j AS DOUBLE)
+                  * 1000000 + 0.5) AS BIGINT) AS r_ppm
+FROM m
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -7309,6 +7382,8 @@ REGISTRY: dict[str, tuple] = {
     "events_attribution": (q_events_attribution, SQL_EVENTS_ATTRIBUTION),
     "l_diversity_audit": (q_l_diversity_audit, SQL_L_DIVERSITY_AUDIT),
     "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
+    "graph_assortativity": (q_graph_assortativity, SQL_GRAPH_ASSORTATIVITY),
 }
 
 # Round-5 driver sample order. Three blocks:
