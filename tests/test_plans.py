@@ -196,3 +196,45 @@ def test_round5c_operator_plan_shapes(spark):
     flf = plan_facts(lf)
     assert flf.joins == 0 and not flf.row_udf
     assert flf.exchanges == 1
+
+
+def test_round5d_operator_plan_shapes(spark):
+    """CI gates for the round-5 late batch:
+    - scd2_history: run compression + interval windows share ONE
+      business-key Exchange (the headline claim of operators/scd.py)
+    - compaction_plan: a single metadata-sized window shuffle
+    - events_smoothing / events_attribution: daily-rollup or tag pass
+      plus one window/aggregate — exactly two exchanges, no join
+    - l_diversity_audit: pure aggregation, no join
+    - retrieval_ndcg: both the retrieved and ideal top-k lists are
+      TakeOrdered two-phase — nothing corpus-sized sorts globally
+    - the graph moments/closure ops and the ACF stay JVM-only
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+
+    for name, want_exch in (("scd2_history", 1), ("compaction_plan", 1),
+                            ("events_smoothing", 2),
+                            ("events_attribution", 2)):
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        f = plan_facts(df)
+        assert f.joins == 0 and not f.row_udf, name
+        assert f.exchanges == want_exch, f"{name}: {f.exchanges} exchanges"
+
+    ld = qs["l_diversity_audit"](spark, SF_DIR)
+    ld.collect()
+    fld = plan_facts(ld)
+    assert fld.joins == 0 and not fld.row_udf and fld.exchanges <= 2
+
+    nd = qs["retrieval_ndcg"](spark, SF_DIR)
+    nd.collect()
+    fnd = plan_facts(nd)
+    assert fnd.take_ordered and not fnd.row_udf
+
+    for name in ("graph_clustering_coefficient", "graph_assortativity",
+                 "events_autocorrelation"):
+        df = qs[name](spark, SF_DIR)
+        df.collect()
+        assert not plan_facts(df).row_udf, name

@@ -211,3 +211,19 @@ def test_compaction_plan_groups_by_running_size(spark):
     assert got[("t1", 1)] == 0 and got[("t1", 2)] == 0
     assert got[("t1", 3)] == 1
     assert got[("t2", 1)] == 0 and got[("t2", 2)] == 2
+
+
+def test_zonemap_skip_stats_sorted_layout_prunes(spark):
+    from vivace_graph_v3_spark.operators.layout import zonemap_skip_stats
+
+    # keys 0..999 uniform; arrival ids shuffled mod-wise; predicate 100..199
+    df = spark.createDataFrame(
+        [(k, (k * 7919) % 1000) for k in range(1000)], "key long, a long")
+    got = {r.layout: (r.n_files, r.n_skipped)
+           for r in zonemap_skip_stats(df, "key", 100, 199,
+                                       arrival_col="a",
+                                       n_files=10).collect()}
+    # range layout: 10 files of 100 keys each -> exactly 9 skippable
+    assert got["keysorted"] == (10, 9)
+    # arrival layout: every file spans nearly the whole key range -> 0
+    assert got["arrival"] == (10, 0)

@@ -67,6 +67,11 @@ AUDITED = [
     "text_sparse_dot_pairs", "multimodal_phash_dedup",
     "ann_truncation_recall", "order_lag_features", "graph_modularity",
     "classifier_calibration",
+    # round-5 late batch
+    "graph_clustering_coefficient", "compaction_plan",
+    "events_autocorrelation", "events_smoothing", "events_attribution",
+    "l_diversity_audit", "retrieval_ndcg", "scd2_history",
+    "graph_assortativity", "zonemap_skip_stats",
 ]
 
 

@@ -7132,6 +7132,47 @@ FROM m
 """
 
 
+def q_zonemap_skip_stats(spark, sf_dir):
+    """Zone-map skip-rate estimator over orders: files a 1997-only scan
+    can prune under a date-range-partitioned layout vs ingest order —
+    the planner's is-the-OPTIMIZE-worth-it answer, all-integer
+    (operators/layout.zonemap_skip_stats)."""
+    from vivace_graph_v3_spark.operators.layout import zonemap_skip_stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    orders = orders.select(
+        F.datediff(F.col("o_orderdate").cast("date"),
+                   F.lit("1970-01-01").cast("date"))
+        .cast("long").alias("day"),
+        "o_orderkey")
+    # epoch days 9862..10226 = calendar year 1997
+    return zonemap_skip_stats(orders, "day", 9862, 10226,
+                              arrival_col="o_orderkey", n_files=64)
+
+
+SQL_ZONEMAP_SKIP_STATS = """
+WITH base AS (
+  SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS k,
+         o_orderkey AS a
+  FROM orders
+), b AS (SELECT min(k) AS kmin, max(k) AS kmax FROM base),
+zones AS (
+  SELECT 'keysorted' AS layout, (k - kmin) * 64 // (kmax - kmin + 1) AS f,
+         min(k) AS zmin, max(k) AS zmax
+  FROM base, b GROUP BY 1, 2
+  UNION ALL
+  SELECT 'arrival', a % 64, min(k), max(k) FROM base GROUP BY 1, 2
+)
+SELECT layout, CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(CASE WHEN zmax < 9862 OR zmin > 10226
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped,
+       CAST(sum(CASE WHEN zmax < 9862 OR zmin > 10226
+                     THEN 1 ELSE 0 END) * 1000000
+            // count(*) AS BIGINT) AS skip_ppm
+FROM zones GROUP BY layout
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -7384,6 +7425,7 @@ REGISTRY: dict[str, tuple] = {
     "retrieval_ndcg": (q_retrieval_ndcg, SQL_RETRIEVAL_NDCG),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "graph_assortativity": (q_graph_assortativity, SQL_GRAPH_ASSORTATIVITY),
+    "zonemap_skip_stats": (q_zonemap_skip_stats, SQL_ZONEMAP_SKIP_STATS),
 }
 
 # Round-5 driver sample order. Three blocks:

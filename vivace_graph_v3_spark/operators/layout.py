@@ -103,3 +103,47 @@ def compaction_plan(files: DataFrame, *, prefix_col: str = "prefix",
             .withColumn("group_id",
                         F.expr(f"_before div {int(target_bytes)}L"))
             .drop("_before"))
+
+
+def zonemap_skip_stats(df: DataFrame, key_col: str, lo: int, hi: int, *,
+                       arrival_col: str, n_files: int = 64) -> DataFrame:
+    """Zone-map skip-rate estimator: how many files a range predicate
+    ``key in [lo, hi]`` can prune under two write layouts — ``keysorted``
+    (range-partitioned on the key, the zorder_write_plan outcome) vs
+    ``arrival`` (ingest order, modeled as ``arrival_col % n_files``).
+    The planner's answer to "is the OPTIMIZE/Z-order rewrite worth it?";
+    returns one row per layout: (layout, n_files, n_skipped, skip_ppm).
+
+    File assignment is deterministic and all-integer so the oracle
+    reproduces it exactly: the keysorted layout is an equal-width range
+    bucket floor((key-kmin)*n/(kmax-kmin+1)) computed map-only from a
+    1-row broadcast of the key bounds (how repartitionByRange splits when
+    keys are uniform); a file is skippable when its min/max zone misses
+    [lo, hi] entirely.
+
+    Scale shape: one pass for bounds (1-row broadcast), one map-side
+    combined aggregate per layout keyed on (layout, file) — file
+    inventories are metadata-sized. No sort, no window, no join beyond
+    the bounds broadcast."""
+    key = F.col(key_col).cast("long")
+    bounds = df.agg(F.min(key).alias("_kmin"), F.max(key).alias("_kmax"))
+    keyed = (df.select(key.alias("_k"),
+                       F.col(arrival_col).cast("long").alias("_a"))
+             .crossJoin(F.broadcast(bounds)))
+    sorted_file = F.expr(f"(_k - _kmin) * {int(n_files)}L div "
+                         f"(_kmax - _kmin + 1L)")
+    arrival_file = F.pmod(F.col("_a"), F.lit(n_files))
+    zones = None
+    for layout, file_of in (("keysorted", sorted_file),
+                            ("arrival", arrival_file)):
+        z = (keyed.groupBy(file_of.alias("f"))
+             .agg(F.min("_k").alias("zmin"), F.max("_k").alias("zmax"))
+             .select(F.lit(layout).alias("layout"), "zmin", "zmax"))
+        zones = z if zones is None else zones.unionByName(z)
+    skipped = F.when((F.col("zmax") < F.lit(lo))
+                     | (F.col("zmin") > F.lit(hi)), 1).otherwise(0)
+    return (zones.groupBy("layout")
+            .agg(F.count(F.lit(1)).alias("n_files"),
+                 F.sum(skipped).cast("long").alias("n_skipped"))
+            .withColumn("skip_ppm",
+                        F.expr("n_skipped * 1000000L div n_files")))
