@@ -357,3 +357,17 @@ def test_assortativity_path_is_perfectly_disassortative(spark):
     row = degree_assortativity(g).first()
     assert (row.m2, row.sum_j, row.sum_jk, row.sum_j2) == (4, 6, 8, 10)
     assert row.r_ppm == -1_000_000
+
+
+def test_k_truss_two_triangles_and_pendant(spark):
+    from vivace_graph_v3_spark.operators.graph_algorithms import k_truss
+
+    # triangles abc and bcd share edge b-c; d-e is a pendant bridge
+    g = _graph(spark, ["a", "b", "c", "d", "e"],
+               [("a", "b", 1), ("a", "c", 1), ("b", "c", 1),
+                ("b", "d", 1), ("c", "d", 1), ("d", "e", 1)])
+    t3 = {(r.src, r.dst): r.support for r in k_truss(g, 3).collect()}
+    assert set(t3) == {("a", "b"), ("a", "c"), ("b", "c"),
+                       ("b", "d"), ("c", "d")}       # bridge d-e peeled
+    assert t3[("b", "c")] == 2
+    assert k_truss(g, 4).count() == 0                # cascade empties it

@@ -71,7 +71,7 @@ AUDITED = [
     "graph_clustering_coefficient", "compaction_plan",
     "events_autocorrelation", "events_smoothing", "events_attribution",
     "l_diversity_audit", "retrieval_ndcg", "scd2_history",
-    "graph_assortativity", "zonemap_skip_stats",
+    "graph_assortativity", "zonemap_skip_stats", "graph_ktruss",
 ]
 
 

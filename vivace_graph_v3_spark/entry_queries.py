@@ -7173,6 +7173,65 @@ FROM zones GROUP BY layout
 """
 
 
+def q_graph_ktruss(spark, sf_dir):
+    """k-truss (k=9) edge peeling over the part co-purchase graph
+    (Cohen 2008): surviving canonical edges with their fixpoint triangle
+    support (operators/graph_algorithms.k_truss). sf0.01 converges in 11
+    peel rounds (measured); the oracle unrolls 14 — post-fixpoint rounds
+    are no-ops, so the margin is harmless."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import k_truss
+
+    t = k_truss(_copurchase_graph(spark, sf_dir), 9)
+    # support per UNORDERED edge is canonical-order-insensitive, but the
+    # emitted orientation is not: the operator canonicalizes by string id
+    # ('11' < '2') while the oracle uses integer order — re-orient
+    # numerically so both engines print the same (src, dst)
+    u = F.least(F.col("src").cast("long"), F.col("dst").cast("long"))
+    v = F.greatest(F.col("src").cast("long"), F.col("dst").cast("long"))
+    return t.select(u.cast("string").alias("src"),
+                    v.cast("string").alias("dst"),
+                    F.col("support").cast("long").alias("support"))
+
+
+def _ktruss_oracle_sql(k: int = 9, rounds: int = 14) -> str:
+    """Unrolled edge peeling mirroring operators/graph_algorithms.k_truss:
+    per-round canonical triangle enumeration (a<b<c), three-side support
+    credit, drop edges under k-2. Integer u<v canonicalization matches the
+    operator's string order because triangle/side SETS are
+    order-insensitive (same argument as clustering_coefficient)."""
+    parts = [f"""
+WITH e0 AS MATERIALIZED (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+)"""]
+    sup = """
+t{i} AS MATERIALIZED (
+  SELECT p1.u AS a, p1.v AS b, p2.v AS c
+  FROM e{p} p1 JOIN e{p} p2 ON p1.v = p2.u
+               JOIN e{p} p3 ON p1.u = p3.u AND p2.v = p3.v
+),
+s{i} AS MATERIALIZED (
+  SELECT u, v, count(*) AS sup FROM (
+    SELECT a AS u, b AS v FROM t{i}
+    UNION ALL SELECT b, c FROM t{i}
+    UNION ALL SELECT a, c FROM t{i}
+  ) GROUP BY u, v
+)"""
+    for i in range(1, rounds + 1):
+        parts.append(sup.format(i=i, p=i - 1))
+        parts.append(f"""
+e{i} AS MATERIALIZED (SELECT u, v FROM s{i} WHERE sup >= {k - 2})""")
+    return (",".join(parts) + f"""
+SELECT CAST(u AS VARCHAR) AS src, CAST(v AS VARCHAR) AS dst,
+       CAST(sup AS BIGINT) AS support
+FROM s{rounds} WHERE sup >= {k - 2}
+""")
+
+
+SQL_GRAPH_KTRUSS = _ktruss_oracle_sql()
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -7426,6 +7485,7 @@ REGISTRY: dict[str, tuple] = {
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "graph_assortativity": (q_graph_assortativity, SQL_GRAPH_ASSORTATIVITY),
     "zonemap_skip_stats": (q_zonemap_skip_stats, SQL_ZONEMAP_SKIP_STATS),
+    "graph_ktruss": (q_graph_ktruss, SQL_GRAPH_KTRUSS),
 }
 
 # Round-5 driver sample order. Three blocks:

@@ -391,6 +391,71 @@ def clustering_coefficient(graph: GraphStore, *,
         .alias("cc_ppm"))
 
 
+def _edge_support(e: DataFrame) -> DataFrame:
+    """Per-edge triangle support over a canonical (src<dst) simple edge
+    list: enumerate each triangle once (a<b<c, the triangle_count
+    formulation) and credit its three sides. Returns (src, dst, support)
+    for edges in >= 1 triangle."""
+    ab = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    tri = ab.join(bc, "b").join(ac, ["a", "c"])
+    sides = (tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+             .unionAll(tri.select(F.col("b").alias("src"),
+                                  F.col("c").alias("dst")))
+             .unionAll(tri.select(F.col("a").alias("src"),
+                                  F.col("c").alias("dst"))))
+    return sides.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).alias("support"))
+
+
+def k_truss(graph: GraphStore, k: int, *, edge_type: str | None = None,
+            max_iter: int = 30) -> DataFrame:
+    """k-truss (Cohen 2008): the maximal subgraph in which every edge
+    participates in at least k-2 triangles — the cohesive-subgraph
+    refinement of :func:`k_core` (every k-truss is inside the (k-1)-core,
+    but prunes bridge edges cores keep). Edge-peel to fixpoint: recompute
+    support over SURVIVING edges, drop edges under k-2, repeat. The
+    k-truss is unique, so peel order is irrelevant — no ordering contract.
+    Returns the surviving canonical edges with their final support.
+
+    Scale: each round is one triangle enumeration over the shrinking edge
+    set (two endpoint-keyed shuffles, AQE-skew-splittable — never
+    vertex-pair all-pairs) plus a side aggregate; the edge set shrinks
+    monotonically so rounds get cheaper. Rounds are checkpoint-truncated
+    like the other iterative operators."""
+    sup_min = k - 2
+    e = (_edge_pairs(graph, edge_type, undirected=True)
+         .filter(F.col("src") < F.col("dst")).dropDuplicates(["src", "dst"])
+         .localCheckpoint(eager=True))
+    n_edges = e.count()
+    sup = None
+    converged = False
+    for _ in range(max_iter):
+        sup = _edge_support(e)
+        kept = (sup.filter(F.col("support") >= sup_min)
+                .localCheckpoint(eager=True))
+        n_next = kept.count()
+        e = kept.select("src", "dst")
+        if n_next == n_edges:
+            converged = True   # kept == e, so sup describes the fixpoint
+            break
+        n_edges = n_next
+        if n_edges == 0:
+            converged = True
+            break
+    if not converged:
+        # max_iter exhausted pre-fixpoint: supports were counted against
+        # the pre-peel set; recompute once against the final edge set so
+        # the (src, dst, support) contract stays honest (edges that fell
+        # out of every triangle report 0)
+        return (e.join(_edge_support(e), ["src", "dst"], "left")
+                .withColumn("support", F.coalesce(F.col("support"),
+                                                  F.lit(0).cast("long"))))
+    return (sup.filter(F.col("support") >= sup_min) if sup is not None
+            else e.withColumn("support", F.lit(0).cast("long")))
+
+
 def degree_assortativity(graph: GraphStore, *,
                          edge_type: str | None = None) -> DataFrame:
     """Degree assortativity coefficient (Newman 2002): the Pearson
