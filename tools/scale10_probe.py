@@ -79,7 +79,21 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # 256 patterns -> bucket growth probes the LSH-join regime)
           "events_gap_fill", "cohort_ltv", "basket_pair_rules",
           "events_seasonality", "text_sparse_dot_pairs",
-          "multimodal_phash_dedup", "k_anonymity_audit"]
+          "multimodal_phash_dedup", "k_anonymity_audit",
+          # round-5 late batch: SCD2 windows are history-bounded per key
+          # (10x keys, same frame sizes); attribution is one user window;
+          # the zone-map estimator and compaction planner are
+          # metadata-sized aggregates over 10x input rows; assortativity's
+          # moments are two endpoint joins + a 1-row aggregate; the ACF /
+          # smoothing series length is calendar-bounded (volume only
+          # feeds the daily rollup); nDCG scans 10x corpus map-only.
+          # (clustering_coefficient / k_truss are probed separately — the
+          # 10x copurchase triangle join is minutes-long and its scaling
+          # is already characterized by the graph heavies above.)
+          "scd2_history", "events_attribution", "zonemap_skip_stats",
+          "compaction_plan", "graph_assortativity",
+          "events_autocorrelation", "events_smoothing", "retrieval_ndcg",
+          "l_diversity_audit"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
@@ -102,9 +116,9 @@ def build(spark, out_dir: str, n_copies: int) -> None:
             .write.mode("overwrite").parquet(f"{out_dir}/{t}.parquet")
 
 
-def run(spark, qs, sf_dir: str) -> dict[str, float]:
+def run(spark, qs, sf_dir: str, only: list[str] | None = None) -> dict[str, float]:
     times = {}
-    for name in PROBES:
+    for name in (only or PROBES):
         t0 = time.time()
         n = qs[name](spark, sf_dir).count()
         times[name] = round(time.time() - t0, 3)
@@ -118,6 +132,7 @@ def main() -> int:
     from vivace_graph_v3_spark import entry_queries as eq
 
     n_copies = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    only = sys.argv[2:] or None   # optional op subset
     spark = get_spark("scale10-probe")
     spark.sparkContext.setLogLevel("ERROR")
     # events.ts is TIMESTAMP(NANOS); read it as long (same as entry_queries)
@@ -130,8 +145,8 @@ def main() -> int:
         build(spark, tmp, n_copies)
         print(f"# build {n_copies}x: {round(time.time() - t0, 1)}s",
               file=sys.stderr)
-        base = run(spark, qs, SRC)
-        big = run(spark, qs, tmp)
+        base = run(spark, qs, SRC, only)
+        big = run(spark, qs, tmp, only)
         ratio = {k: round(big[k] / base[k], 2) for k in base}
         print(json.dumps({"n_copies": n_copies, "base_s": base,
                           "big_s": big, "ratio": ratio}))
