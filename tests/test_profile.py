@@ -227,3 +227,16 @@ def test_zonemap_skip_stats_sorted_layout_prunes(spark):
     assert got["keysorted"] == (10, 9)
     # arrival layout: every file spans nearly the whole key range -> 0
     assert got["arrival"] == (10, 0)
+
+
+def test_winsorize_stats_hand_percentiles(spark):
+    from vivace_graph_v3_spark.operators.profile import winsorize_stats
+
+    # 10 values 1..10 dollars; 10/90 band -> lo=1.00, hi=9.00 (grid rule:
+    # min value whose cumulative count reaches ceil(n*pct/100))
+    df = spark.createDataFrame([("g", float(i)) for i in range(1, 11)],
+                               "grp string, val double")
+    r = winsorize_stats(df, "val", "grp", lo_pct=10, hi_pct=90).first()
+    assert (r.n, r.lo_thr, r.hi_thr) == (10, 100, 900)
+    assert (r.n_clipped_lo, r.n_clipped_hi) == (0, 1)       # only 10.00 clips
+    assert r.winsorized_sum_cents == sum(range(100, 1000, 100)) + 900

@@ -7232,6 +7232,53 @@ FROM s{rounds} WHERE sup >= {k - 2}
 SQL_GRAPH_KTRUSS = _ktruss_oracle_sql()
 
 
+def q_winsorize_orders(spark, sf_dir):
+    """Winsorized order-value statistics per order priority: exact
+    value-grid 5/95 percentile clip thresholds, clip counts, and the
+    winsorized revenue sum in half-up cents — all-integer
+    (operators/profile.winsorize_stats)."""
+    from vivace_graph_v3_spark.operators.profile import winsorize_stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return winsorize_stats(orders, "o_totalprice", "o_orderpriority",
+                           lo_pct=5, hi_pct=95)
+
+
+SQL_WINSORIZE_ORDERS = """
+WITH rows_ AS (
+  SELECT o_orderpriority AS g,
+         CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS q
+  FROM orders
+), counts AS (
+  SELECT g, q, count(*) AS c FROM rows_ GROUP BY g, q
+), totals AS (
+  SELECT g, CAST(sum(c) AS BIGINT) AS n FROM counts GROUP BY g
+), cum AS (
+  SELECT counts.g, q, n,
+         sum(c) OVER (PARTITION BY counts.g ORDER BY q
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM counts JOIN totals ON totals.g = counts.g
+), thr AS (
+  SELECT g, min(CASE WHEN cum * 100 >= n * 5 THEN q END) AS lo_thr,
+         min(CASE WHEN cum * 100 >= n * 95 THEN q END) AS hi_thr,
+         any_value(n) AS n
+  FROM cum GROUP BY g
+)
+SELECT r.g AS o_orderpriority, CAST(t.n AS BIGINT) AS n,
+       CAST(t.lo_thr AS BIGINT) AS lo_thr,
+       CAST(t.hi_thr AS BIGINT) AS hi_thr,
+       CAST(sum(CASE WHEN r.q < t.lo_thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_lo,
+       CAST(sum(CASE WHEN r.q > t.hi_thr THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_clipped_hi,
+       CAST(sum(greatest(t.lo_thr, least(t.hi_thr, r.q))) AS BIGINT)
+         AS winsorized_sum_cents
+FROM rows_ r JOIN thr t ON t.g = r.g
+GROUP BY r.g, t.n, t.lo_thr, t.hi_thr
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -7486,6 +7533,7 @@ REGISTRY: dict[str, tuple] = {
     "graph_assortativity": (q_graph_assortativity, SQL_GRAPH_ASSORTATIVITY),
     "zonemap_skip_stats": (q_zonemap_skip_stats, SQL_ZONEMAP_SKIP_STATS),
     "graph_ktruss": (q_graph_ktruss, SQL_GRAPH_KTRUSS),
+    "winsorize_orders": (q_winsorize_orders, SQL_WINSORIZE_ORDERS),
 }
 
 # Round-5 driver sample order. Three blocks:

@@ -281,3 +281,53 @@ def l_diversity(df: DataFrame, qi_cols: list[str], sensitive_col: str, *,
             .agg(F.count(F.lit(1)).alias("class_size"),
                  F.countDistinct(sensitive_col).alias("n_sensitive"))
             .withColumn("at_risk", F.col("n_sensitive") < l))
+
+
+def winsorize_stats(df, value_col: str, group_col: str, *,
+                    lo_pct: int = 5, hi_pct: int = 95):
+    """Winsorized robust statistics per group: clip values outside the
+    exact [lo_pct, hi_pct] percentile band and report the thresholds,
+    clip counts, and winsorized sum — the outlier-taming step numeric
+    feature pipelines run before scaling (Tukey/Dixon trimming, kept as
+    clipping so row count is preserved).
+
+    Values are half-up cents (BIGINT); percentiles use the VALUE-GRID
+    exact-quantile recipe of pipeline/text.grid_quantile_gate (threshold
+    = min value whose cumulative count reaches ceil(n*pct/100)), so the
+    whole contract is integer arithmetic — no interpolation, no
+    approx-percentile drift.
+
+    Scale shape: one map-side-combined (group, value) count, a cumulative
+    window over the value grid (domain-bounded, not row-bounded — safe
+    when one group holds 1e10 rows), then one broadcast of the per-group
+    thresholds back onto the rows for the clip aggregate.
+    """
+    from pyspark.sql import functions as F
+
+    g = F.col(group_col)
+    cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
+    rows = df.select(g.alias("g"), cents.alias("q"))
+    counts = rows.groupBy("g", "q").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("g").agg(F.sum("c").alias("n"))
+    wg = (Window.partitionBy("g").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = counts.withColumn("cum", F.sum("c").over(wg)).join(totals, "g")
+    thr = (cum.groupBy("g").agg(
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * lo_pct,
+                     F.col("q"))).alias("lo_thr"),
+        F.min(F.when(F.col("cum") * 100 >= F.col("n") * hi_pct,
+                     F.col("q"))).alias("hi_thr"),
+        F.any_value("n").alias("n")))
+    clipped = F.greatest(F.col("lo_thr"),
+                         F.least(F.col("hi_thr"), F.col("q")))
+    return (rows.join(F.broadcast(thr), "g")
+            .groupBy("g", "lo_thr", "hi_thr", "n")
+            .agg(F.sum(F.when(F.col("q") < F.col("lo_thr"), 1)
+                       .otherwise(0)).cast("long").alias("n_clipped_lo"),
+                 F.sum(F.when(F.col("q") > F.col("hi_thr"), 1)
+                       .otherwise(0)).cast("long").alias("n_clipped_hi"),
+                 F.sum(clipped).cast("long").alias("winsorized_sum_cents"))
+            .select(F.col("g").alias(group_col),
+                    F.col("n").cast("long").alias("n"),
+                    "lo_thr", "hi_thr", "n_clipped_lo", "n_clipped_hi",
+                    "winsorized_sum_cents"))
