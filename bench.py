@@ -89,6 +89,12 @@ BENCH_QUERIES = [
     "events_gap_fill",
     "cohort_ltv",
     "multimodal_phash_dedup",
+    # round-5 late batch representatives (cheap at sf0.1; the triangle
+    # heavies graph_clustering_coefficient/graph_ktruss are characterized
+    # in SCALING.md instead of the bench cadence)
+    "scd2_history",
+    "events_attribution",
+    "zonemap_skip_stats",
 ]
 
 
