@@ -265,3 +265,46 @@ def test_index_frames_probe_uses_spark_reader(spark, tmp_path):
     spark.range(3).selectExpr("id AS doc_id", "CAST(id AS STRING) AS text") \
         .write.parquet(f"{idx_dir}/side")
     assert _index_frames(spark, idx_dir) is not None
+
+
+def test_scd2_incremental_matches_recompute(spark, tmp_path):
+    """CDC micro-batches maintain the SCD2 dimension incrementally —
+    including a LATE-ARRIVING change that splices into closed history —
+    and the result equals scd2_build over the full log."""
+    from vivace_graph_v3_spark.operators.scd import scd2_build
+    from vivace_graph_v3_spark.streaming.ingest import (
+        scd2_apply_batch, scd2_apply_stream)
+
+    dim = str(tmp_path / "dim")
+    schema = "k long, t long, attr string"
+    b1 = spark.createDataFrame(
+        [(1, 10, "a"), (1, 30, "b"), (2, 10, "x")], schema)
+    s1 = scd2_apply_batch(b1, dim, "k", "t", ["attr"])
+    assert s1 == {"n_changes": 3, "n_affected_keys": 2, "n_dim_rows": 3}
+
+    # batch 2: late change for key 1 at t=20 (splices between 10 and 30),
+    # fresh key 3; key 2 untouched
+    b2 = spark.createDataFrame([(1, 20, "c"), (3, 5, "z")], schema)
+    s2 = scd2_apply_batch(b2, dim, "k", "t", ["attr"])
+    assert s2["n_affected_keys"] == 2 and s2["n_dim_rows"] == 5
+
+    full_log = b1.unionByName(b2)
+    want = {tuple(r) for r in scd2_build(
+        full_log, "k", "t", ["attr"], tiebreak_cols=["attr"]).collect()}
+    got = {tuple(r) for r in spark.read.parquet(dim).collect()}
+    assert got == want
+    # the spliced interval: key 1 is 'c' over [20, 30)
+    assert (1, "c", 20, 30, 2, False) in got
+
+    # same pipeline through a real streaming query
+    src = str(tmp_path / "src")
+    (spark.createDataFrame([(2, 40, "y")], schema)
+     .coalesce(1).write.mode("append").json(src))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = scd2_apply_stream(stream, dim, "k", "t", ["attr"],
+                          checkpoint=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    rows = {tuple(r) for r in spark.read.parquet(dim).collect()}
+    assert (2, "y", 40, None, 2, True) in rows
+    assert (2, "x", 10, 40, 1, False) in rows
