@@ -68,3 +68,18 @@ def test_gap_fill_locf(spark):
     assert got[("b", "2024-01-03")] == (1, False)
     assert got[("b", "2024-01-04")] == (1, True)
     assert len(got) == 8
+
+
+def test_holt_forecast_hand_two_days(spark):
+    from datetime import datetime
+
+    from vivace_graph_v3_spark.operators.rollup import holt_forecast
+
+    # counts [4, 8]: l0=4,b0=0; l1=0.5*8+0.5*4=6, b1=0.5*(6-4)=1
+    rows = ([(datetime(2024, 1, 1, h), "e") for h in range(4)]
+            + [(datetime(2024, 1, 2, h), "e") for h in range(8)])
+    ev = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    r = holt_forecast(ev, horizon=7).first()
+    assert r.n_days == 2
+    assert (r.level_ppm, r.trend_ppm) == (6_000_000, 1_000_000)
+    assert (r.forecast1_ppm, r.forecast7_ppm) == (7_000_000, 13_000_000)

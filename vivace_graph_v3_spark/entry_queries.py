@@ -7279,6 +7279,54 @@ GROUP BY r.g, t.n, t.lo_thr, t.hi_thr
 """
 
 
+def q_events_forecast(spark, sf_dir):
+    """Holt linear-trend forecast of each event type's daily count
+    (alpha=beta=1/2): final level/trend state and 1-/7-step-ahead
+    forecasts in integer ppm. The sequential F.aggregate fold performs
+    the identical IEEE operation sequence as the oracle's recursive CTE,
+    so the doubles match bit-for-bit
+    (operators/rollup.holt_forecast)."""
+    from vivace_graph_v3_spark.operators.rollup import holt_forecast
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return holt_forecast(ev, horizon=7)
+
+
+SQL_EVENTS_FORECAST = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS g, CAST(ts AS DATE) AS d, count(*) AS n
+  FROM events GROUP BY 1, 2
+), span AS (SELECT min(d) AS lo, max(d) AS hi FROM daily),
+cal AS (
+  SELECT g, CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+           AS d
+  FROM (SELECT DISTINCT g FROM daily), span
+), dense AS (
+  SELECT cal.g, cal.d, coalesce(daily.n, 0) AS n
+  FROM cal LEFT JOIN daily ON daily.g = cal.g AND daily.d = cal.d
+), idx AS (
+  SELECT g, row_number() OVER (PARTITION BY g ORDER BY d) - 1 AS i, n
+  FROM dense
+), nd AS (SELECT g, count(*) AS n_days FROM idx GROUP BY g),
+st AS (
+  SELECT g, 0 AS i, CAST(n AS DOUBLE) AS l, CAST(0.0 AS DOUBLE) AS b
+  FROM idx WHERE i = 0
+  UNION ALL
+  SELECT st.g, st.i + 1,
+         0.5 * idx.n + 0.5 * (st.l + st.b),
+         0.5 * ((0.5 * idx.n + 0.5 * (st.l + st.b)) - st.l) + 0.5 * st.b
+  FROM st JOIN idx ON idx.g = st.g AND idx.i = st.i + 1
+)
+SELECT st.g AS event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(floor(l * 1000000 + 0.5) AS BIGINT) AS level_ppm,
+       CAST(floor(b * 1000000 + 0.5) AS BIGINT) AS trend_ppm,
+       CAST(floor((l + b) * 1000000 + 0.5) AS BIGINT) AS forecast1_ppm,
+       CAST(floor((l + 7.0 * b) * 1000000 + 0.5) AS BIGINT)
+         AS forecast7_ppm
+FROM st JOIN nd USING (g) WHERE st.i = nd.n_days - 1
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -7534,6 +7582,7 @@ REGISTRY: dict[str, tuple] = {
     "zonemap_skip_stats": (q_zonemap_skip_stats, SQL_ZONEMAP_SKIP_STATS),
     "graph_ktruss": (q_graph_ktruss, SQL_GRAPH_KTRUSS),
     "winsorize_orders": (q_winsorize_orders, SQL_WINSORIZE_ORDERS),
+    "events_forecast": (q_events_forecast, SQL_EVENTS_FORECAST),
 }
 
 # Round-5 driver sample order. Three blocks:

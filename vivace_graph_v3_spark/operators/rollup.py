@@ -96,3 +96,56 @@ def gap_fill_locf(df: DataFrame, *, ts_col: str = "ts",
     return filled.select(F.col("g").alias(group_col),
                          F.date_format("d", "yyyy-MM-dd").alias("day"),
                          "n_events", "filled")
+
+
+def holt_forecast(df: DataFrame, *, ts_col: str = "ts",
+                  group_col: str = "event_type",
+                  horizon: int = 7) -> DataFrame:
+    """Holt linear-trend forecast (Holt 1957) of each group's daily event
+    count: level/trend double-smoothing with alpha = beta = 1/2 over the
+    dense calendar (missing days count 0), emitting the final state and
+    the 1- and ``horizon``-step-ahead forecasts in integer ppm.
+
+    Determinism: alpha = 1/2 makes every smoothing weight an exact binary
+    fraction, and the fold runs STRICTLY sequentially over a per-group
+    sorted day array (F.aggregate over collect_list) — the identical IEEE
+    operation sequence a recursive-CTE oracle performs, so the doubles
+    match bit-for-bit even once fraction bits exceed the mantissa.
+    Init: l_0 = x_0, b_0 = 0 (documented; series long enough to wash it).
+
+    Scale shape: the raw table is touched once by the (group, day) count;
+    the calendar grid and the per-group fold are |groups| x |days| —
+    calendar-bounded, never corpus-bounded (the gap_fill_locf argument).
+    The fold itself is a Catalyst higher-order function: JVM-side, no
+    Python, no window, no shuffle beyond the grid rollup."""
+    day = F.date_trunc("day", F.col(ts_col)).cast("date")
+    daily = (df.groupBy(F.col(group_col).alias("g"), day.alias("d"))
+             .agg(F.count(F.lit(1)).alias("n")))
+    span = daily.agg(F.min("d").alias("lo"), F.max("d").alias("hi"))
+    cal = (daily.select("g").distinct()
+           .crossJoin(F.broadcast(span))
+           .select("g", F.explode(F.sequence("lo", "hi")).alias("d")))
+    dense = (cal.join(daily, ["g", "d"], "left")
+             .select("g", "d", F.coalesce("n", F.lit(0)).alias("n")))
+    arr = (dense.groupBy("g")
+           .agg(F.sort_array(F.collect_list(F.struct("d", "n"))).alias("xs")))
+    step = """(acc, x) -> named_struct(
+        'i', acc.i + 1L,
+        'l', CASE WHEN acc.i = 0L THEN CAST(x.n AS DOUBLE)
+                  ELSE 0.5D * x.n + 0.5D * (acc.l + acc.b) END,
+        'b', CASE WHEN acc.i = 0L THEN CAST(0.0 AS DOUBLE)
+                  ELSE 0.5D * ((0.5D * x.n + 0.5D * (acc.l + acc.b))
+                               - acc.l) + 0.5D * acc.b END)"""
+    st = arr.select(
+        "g", F.size("xs").cast("long").alias("n_days"),
+        F.expr("aggregate(xs, named_struct('i', 0L, "
+               "'l', CAST(0.0 AS DOUBLE), 'b', CAST(0.0 AS DOUBLE)), "
+               + step + ")").alias("st"))
+    ppm = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    return st.select(
+        F.col("g").alias(group_col), "n_days",
+        ppm(F.col("st.l")).alias("level_ppm"),
+        ppm(F.col("st.b")).alias("trend_ppm"),
+        ppm(F.col("st.l") + F.col("st.b")).alias("forecast1_ppm"),
+        ppm(F.col("st.l") + F.lit(float(horizon)) * F.col("st.b"))
+        .alias(f"forecast{horizon}_ppm"))
