@@ -234,7 +234,8 @@ def test_round5d_operator_plan_shapes(spark):
     assert fnd.take_ordered and not fnd.row_udf
 
     for name in ("graph_clustering_coefficient", "graph_assortativity",
-                 "events_autocorrelation"):
+                 "events_autocorrelation", "winsorize_orders",
+                 "events_forecast"):
         df = qs[name](spark, SF_DIR)
         df.collect()
         assert not plan_facts(df).row_udf, name
