@@ -1401,3 +1401,16 @@ def test_ndcg_perfect_retrieval_is_unity(spark):
     assert row.dcg_ppm == 2 * 1_000_000 + 1 * 630_930
     assert row.idcg_ppm == row.dcg_ppm
     assert row.ndcg_ppm == 1_000_000
+
+
+def test_vocab_growth_buckets_and_cumulatives(spark):
+    from vivace_graph_v3_spark.pipeline.text import vocab_growth
+
+    docs = spark.createDataFrame(
+        [(1, "a b"), (2, "b c"), (3, "c d d")],
+        "doc_id long, text string")
+    got = {r.bucket_end: (r.n_docs, r.cum_tokens, r.cum_vocab)
+           for r in vocab_growth(docs, bucket=2).collect()}
+    # bucket 2 = docs 1-2: 4 tokens, vocab {a,b,c}; bucket 4 adds doc 3
+    assert got[2] == (2, 4, 3)
+    assert got[4] == (3, 7, 4)

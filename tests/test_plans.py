@@ -235,7 +235,7 @@ def test_round5d_operator_plan_shapes(spark):
 
     for name in ("graph_clustering_coefficient", "graph_assortativity",
                  "events_autocorrelation", "winsorize_orders",
-                 "events_forecast"):
+                 "events_forecast", "item_cf_similarity", "vocab_growth"):
         df = qs[name](spark, SF_DIR)
         df.collect()
         assert not plan_facts(df).row_udf, name

@@ -220,3 +220,23 @@ def test_attribution_last_touch_channels(spark):
            for r in attribution_last_touch(ev, window_days=7).collect()}
     assert got["click"] == (2, 5000)
     assert got["(organic)"] == (2, 5000)
+
+
+def test_item_cf_similarity_hand_cosine(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        item_cf_similarity)
+
+    # customers 1,2 both buy parts 10+20; customer 3 buys 10 only:
+    # c10=3, c20=2, co=2 -> sim = 2/sqrt(6)
+    orders = spark.createDataFrame(
+        [(1, 1), (2, 2), (3, 3)], "o_orderkey long, o_custkey long")
+    li = spark.createDataFrame(
+        [(1, 10), (1, 20), (2, 10), (2, 20), (3, 10)],
+        "l_orderkey long, l_partkey long")
+    got = {(r.item, r.neighbor): (r.co, r.sim_ppm, r.rank)
+           for r in item_cf_similarity(orders, li, k=5,
+                                       min_pair=2).collect()}
+    import math
+    want = math.floor(2 / math.sqrt(6.0) * 1000000 + 0.5)
+    assert got[(10, 20)] == (2, want, 1)
+    assert got[(20, 10)] == (2, want, 1)

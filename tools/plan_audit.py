@@ -72,7 +72,8 @@ AUDITED = [
     "events_autocorrelation", "events_smoothing", "events_attribution",
     "l_diversity_audit", "retrieval_ndcg", "scd2_history",
     "graph_assortativity", "zonemap_skip_stats", "graph_ktruss",
-    "winsorize_orders", "events_forecast",
+    "winsorize_orders", "events_forecast", "item_cf_similarity",
+    "vocab_growth",
 ]
 
 

@@ -411,3 +411,53 @@ def attribution_last_touch(events: DataFrame, *,
     return (credited.groupBy(channel.alias("channel"))
             .agg(F.count(F.lit(1)).alias("n_conversions"),
                  F.sum("cents").alias("revenue_cents")))
+
+
+def item_cf_similarity(orders: DataFrame, lineitem: DataFrame, *,
+                       k: int = 5, min_pair: int = 2) -> DataFrame:
+    """Item-item collaborative-filtering similarity (Sarwar et al. 2001):
+    cosine over the binary customer-item matrix, top-k neighbors per
+    item — the recommender complement to the per-ORDER basket rules
+    (this one finds parts bought by the same CUSTOMER across orders).
+
+    sim(i,j) = co(i,j) / sqrt(c_i * c_j) emitted as integer ppm: all
+    counts are BIGINT, the product is exactly representable in a double
+    at any realistic customer count, and IEEE sqrt/divide are correctly
+    rounded — bit-stable across engines. rank is (sim desc, neighbor asc)
+    deterministic.
+
+    Scale shape: the user-item frame is DISTINCT (one row per customer x
+    part); pair generation is a per-customer self-join, so fan-out is
+    O(items-per-customer^2) per user — purchase-history-bounded, never
+    catalog x catalog. The neighbor rank window runs over surviving
+    pairs (min_pair prunes the tail first)."""
+    ui = (orders.select(F.col("o_orderkey").alias("o"),
+                        F.col("o_custkey").alias("u"))
+          .join(lineitem.select(F.col("l_orderkey").alias("o"),
+                                F.col("l_partkey").alias("i")), "o")
+          .select("u", "i").dropDuplicates())
+    freq = ui.groupBy("i").agg(F.count(F.lit(1)).alias("c"))
+    a = ui.select("u", F.col("i").alias("ia"))
+    b = ui.select("u", F.col("i").alias("ib"))
+    pairs = (a.join(b, "u").filter(F.col("ia") < F.col("ib"))
+             .groupBy("ia", "ib").agg(F.count(F.lit(1)).alias("co"))
+             .filter(F.col("co") >= min_pair))
+    pairs = (pairs
+             .join(freq.select(F.col("i").alias("ia"),
+                               F.col("c").alias("ca")), "ia")
+             .join(freq.select(F.col("i").alias("ib"),
+                               F.col("c").alias("cb")), "ib"))
+    sim = F.floor(F.col("co").cast("double")
+                  / F.sqrt((F.col("ca") * F.col("cb")).cast("double"))
+                  * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    both = (pairs.select(F.col("ia").alias("item"),
+                         F.col("ib").alias("neighbor"), "co",
+                         sim.alias("sim_ppm"))
+            .unionByName(pairs.select(
+                F.col("ib").alias("item"), F.col("ia").alias("neighbor"),
+                "co", sim.alias("sim_ppm"))))
+    w = Window.partitionBy("item").orderBy(F.desc("sim_ppm"), "neighbor")
+    return (both.withColumn("rank", F.row_number().over(w).cast("long"))
+            .filter(F.col("rank") <= k)
+            .select("item", "neighbor", F.col("co").cast("long").alias("co"),
+                    "sim_ppm", "rank"))

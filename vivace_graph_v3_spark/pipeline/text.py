@@ -1159,3 +1159,44 @@ def classifier_calibration(df: DataFrame, *, text_col: str = "text",
                  .alias("n_pos"))
             .select("bucket", "n", "n_pos",
                     F.expr("n_pos * 1000000 div n").alias("pos_ppm")))
+
+
+def vocab_growth(df: DataFrame, *, text_col: str = "text",
+                 id_col: str = "doc_id", bucket: int = 50) -> DataFrame:
+    """Heaps-law vocabulary growth curve: cumulative distinct vocabulary
+    and token volume after each ``bucket`` of documents in id order —
+    the diagnostic that tells a tokenizer/dedup pipeline whether a
+    corpus's vocabulary is saturating (duplicated crawls flatten early;
+    fresh domains keep climbing, Heaps 1978).
+
+    Exact and shuffle-light: a token's contribution to the curve is its
+    FIRST-occurrence document, so the corpus reduces to one min()
+    aggregate per distinct token (vocab-bounded), then a cumulative sum
+    over the bucket grid. Token volume is a per-bucket count. No window
+    ever touches corpus-sized data.
+
+    Returns (bucket_end, n_docs, cum_tokens, cum_vocab): buckets are
+    over the doc-ID VALUE grid (bucket_end = ceil(id/bucket)*bucket),
+    not a global rank — ranking would need a corpus-sized sort window,
+    while value bucketing is map-only (ingest order and id order
+    coincide in append-only corpora, which is what the curve means)."""
+    based = (df.select(F.col(id_col).cast("long").alias("r"),
+                       tokens(F.col(text_col)).alias("ws")))
+    w = based.select("r", F.explode("ws").alias("w"))
+    b = F.expr(f"((r + {bucket - 1}L) div {bucket}L) * {bucket}L")
+    first = (w.groupBy("w").agg(F.min("r").alias("fr"))
+             .select(F.expr(f"((fr + {bucket - 1}L) div {bucket}L) "
+                            f"* {bucket}L").alias("b"))
+             .groupBy("b").agg(F.count(F.lit(1)).alias("new_vocab")))
+    toks = (w.select(b.alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("n_tok")))
+    docs = (based.select(b.alias("b"))
+            .groupBy("b").agg(F.count(F.lit(1)).alias("n_docs")))
+    wb = Window.orderBy("b").rowsBetween(Window.unboundedPreceding, 0)
+    return (docs.join(toks, "b", "left").join(first, "b", "left")
+            .select(F.col("b").alias("bucket_end"),
+                    F.sum("n_docs").over(wb).cast("long").alias("n_docs"),
+                    F.sum(F.coalesce("n_tok", F.lit(0))).over(wb)
+                    .cast("long").alias("cum_tokens"),
+                    F.sum(F.coalesce("new_vocab", F.lit(0))).over(wb)
+                    .cast("long").alias("cum_vocab")))
