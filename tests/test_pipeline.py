@@ -1414,3 +1414,16 @@ def test_vocab_growth_buckets_and_cumulatives(spark):
     # bucket 2 = docs 1-2: 4 tokens, vocab {a,b,c}; bucket 4 adds doc 3
     assert got[2] == (2, 4, 3)
     assert got[4] == (3, 7, 4)
+
+
+def test_dedup_cluster_sizes_distribution(spark):
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_cluster_sizes
+
+    docs = spark.createDataFrame(
+        [(1, "a"), (2, "A "), (3, "b"), (4, "c"), (5, "c")],
+        "doc_id long, text string")
+    got = {r.size: (r.n_clusters, r.n_docs, r.share_ppm)
+           for r in dedup_cluster_sizes(docs).collect()}
+    # norm('a')==norm('A ') -> one 2-cluster; 'c' twice -> another; 'b' alone
+    assert got[2] == (2, 4, 800_000)
+    assert got[1] == (1, 1, 200_000)

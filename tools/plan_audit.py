@@ -73,7 +73,7 @@ AUDITED = [
     "l_diversity_audit", "retrieval_ndcg", "scd2_history",
     "graph_assortativity", "zonemap_skip_stats", "graph_ktruss",
     "winsorize_orders", "events_forecast", "item_cf_similarity",
-    "vocab_growth",
+    "vocab_growth", "dedup_cluster_sizes",
 ]
 
 

@@ -7406,6 +7406,31 @@ WINDOW win AS (ORDER BY d.b ROWS BETWEEN UNBOUNDED PRECEDING
 """
 
 
+def q_dedup_cluster_sizes(spark, sf_dir):
+    """Duplicate-cluster size distribution for the exact-dedup pass:
+    (size, n_clusters, n_docs, share_ppm) — the pre-drop curation report
+    (pipeline/dedup.dedup_cluster_sizes). Oracle groups by the same
+    normalized text the fingerprint hashes (collision-free at contract
+    scale, the dedup_exact assumption)."""
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_cluster_sizes
+
+    return dedup_cluster_sizes(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_CLUSTER_SIZES = r"""
+WITH c AS (
+  SELECT regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+         count(*) AS size
+  FROM documents GROUP BY 1
+), t AS (SELECT CAST(sum(size) AS BIGINT) AS n_total FROM c)
+SELECT CAST(size AS BIGINT) AS size,
+       CAST(count(*) AS BIGINT) AS n_clusters,
+       CAST(size * count(*) AS BIGINT) AS n_docs,
+       CAST(size * count(*) * 1000000 // n_total AS BIGINT) AS share_ppm
+FROM c, t GROUP BY size, n_total
+"""
+
+
 # Driver-coverage note: the correctness driver hashes the FIRST 50 entries
 # in insertion order; _R5_FRONT below (not this literal's order) decides the
 # sample — the dict literal is append-only so diffs stay reviewable.
@@ -7664,6 +7689,7 @@ REGISTRY: dict[str, tuple] = {
     "events_forecast": (q_events_forecast, SQL_EVENTS_FORECAST),
     "item_cf_similarity": (q_item_cf_similarity, SQL_ITEM_CF_SIMILARITY),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
+    "dedup_cluster_sizes": (q_dedup_cluster_sizes, SQL_DEDUP_CLUSTER_SIZES),
 }
 
 # Round-5 driver sample order. Three blocks:

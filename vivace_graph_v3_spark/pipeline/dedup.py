@@ -670,3 +670,30 @@ def duplicate_span_stats(df: DataFrame, *, text_col: str = "text",
     rate = (F.expr("(n_dup * 2000000 + n_spans) div (n_spans * 2)")
             .cast("double") / 1e6)
     return per_doc.select("id", "n_spans", "n_dup", rate.alias("dup_rate"))
+
+
+def dedup_cluster_sizes(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id") -> DataFrame:
+    """Duplicate-cluster size distribution for the exact-dedup pass: one
+    row per cluster size with the cluster count, document count, and
+    each size's share of the corpus in integer ppm — the one-screen
+    curation report ("how much of this crawl is 10-way duplicated?")
+    every dedup run prints before anything is dropped.
+
+    Same normalization + 64-bit fingerprint as :func:`exact_dedup`, so
+    the report describes exactly what that pass would keep. Scale: the
+    corpus collapses in one fingerprint hash-shuffle to (fp, size), then
+    a size-domain-bounded second aggregate — never a text shuffle."""
+    fp = F.xxhash64(normalized_text(F.col(text_col)))
+    clusters = (df.select(fp.alias("__fp"))
+                .groupBy("__fp").agg(F.count(F.lit(1)).alias("size")))
+    total = clusters.agg(F.sum("size").alias("n_total"))
+    return (clusters.groupBy("size")
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .crossJoin(F.broadcast(total))
+            .select(F.col("size").cast("long").alias("size"),
+                    F.col("n_clusters").cast("long").alias("n_clusters"),
+                    (F.col("size") * F.col("n_clusters")).cast("long")
+                    .alias("n_docs"),
+                    F.expr("size * n_clusters * 1000000L div n_total")
+                    .alias("share_ppm")))
