@@ -51,3 +51,39 @@ def test_interval_join_left_keeps_unmatched(spark):
                          end_col="hi", how="left").collect()
     by_pid = {r["pid"]: r["iid"] for r in rows}
     assert by_pid == {1: 10, 2: None}
+
+
+def test_interval_concurrency_matches_bruteforce(spark):
+    import random
+
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.operators.interval import interval_concurrency
+
+    rng = random.Random(42)
+    ivs = []
+    for _ in range(200):
+        s = rng.randint(0, 100)
+        ivs.append((s, s + rng.randint(0, 20)))
+    df = spark.createDataFrame(ivs, "s long, e long")
+    out = {r.t: r.depth for r in
+           interval_concurrency(df, start_col="s", end_col="e").collect()}
+    # brute-force: depth at time t = count of intervals with s <= t <= e
+    for t in range(0, 130):
+        expected = sum(1 for s, e in ivs if s <= t <= e)
+        # emitted rows carry the depth at their boundary; between
+        # boundaries depth is the last emitted value
+        boundary_depth = [d for bt, d in sorted(out.items()) if bt <= t]
+        got = boundary_depth[-1] if boundary_depth else 0
+        assert got == expected, (t, got, expected)
+
+
+def test_interval_concurrency_closed_endpoints(spark):
+    from vivace_graph_v3_spark.operators.interval import interval_concurrency
+
+    # [0, 5] and [5, 9]: both open at t=5 (closed intervals)
+    df = spark.createDataFrame([(0, 5), (5, 9)], "s long, e long")
+    out = {r.t: r.depth for r in
+           interval_concurrency(df, start_col="s", end_col="e").collect()}
+    assert out[5] == 2
+    assert out[6] == 1

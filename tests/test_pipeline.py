@@ -1427,3 +1427,42 @@ def test_dedup_cluster_sizes_distribution(spark):
     # norm('a')==norm('A ') -> one 2-cluster; 'c' twice -> another; 'b' alone
     assert got[2] == (2, 4, 800_000)
     assert got[1] == (1, 1, 200_000)
+
+
+def test_knn_classify_majority_and_tiebreak(spark):
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.pipeline.similarity import knn_classify
+
+    # labeled points on two axes; query nearest the x-axis cluster
+    labeled = spark.createDataFrame(
+        [(0, [1.0, 0.0], 10), (2, [0.9, 0.1], 10), (4, [0.0, 1.0], 20),
+         (6, [0.1, 0.9], 20), (8, [0.95, 0.05], 10)],
+        "vec_id long, embedding array<double>, label int")
+    q = spark.createDataFrame([(1, [1.0, 0.02])],
+                              "vec_id long, embedding array<double>")
+    r = knn_classify(labeled, q, k=3).first()
+    assert (r.vec_id, r.pred_label, r.votes) == (1, 10, 3)
+    # exact 1-1 vote tie at k=2 -> smaller label wins
+    labeled2 = spark.createDataFrame(
+        [(0, [1.0, 0.0], 7), (2, [0.0, 1.0], 3)],
+        "vec_id long, embedding array<double>, label int")
+    q2 = spark.createDataFrame([(1, [0.7071, 0.7071])],
+                               "vec_id long, embedding array<double>")
+    r2 = knn_classify(labeled2, q2, k=2).first()
+    assert r2.pred_label == 3 and r2.votes == 1
+
+
+def test_zipf_slope_on_synthetic_zipf(spark):
+    # freq(rank) = C / rank exactly -> slope exactly -1
+    rows = []
+    for rank in range(1, 21):
+        w = f"w{rank:03d}"
+        rows.extend([(w,)] * (2520 // rank))  # 2520 divisible by 1..10
+    df = spark.createDataFrame([(" ".join(w for (w,) in rows),)], "text string")
+    from vivace_graph_v3_spark.pipeline.text import zipf_slope
+
+    r = zipf_slope(df, top_n=20).first()
+    assert r.n_types == 20
+    # 2520//rank is not exactly C/rank beyond rank 10 -> near -1, not exact
+    assert -1.05 < r.zipf_slope < -0.93, r.zipf_slope

@@ -240,3 +240,155 @@ def test_winsorize_stats_hand_percentiles(spark):
     assert (r.n, r.lo_thr, r.hi_thr) == (10, 100, 900)
     assert (r.n_clipped_lo, r.n_clipped_hi) == (0, 1)       # only 10.00 clips
     assert r.winsorized_sum_cents == sum(range(100, 1000, 100)) + 900
+
+
+def test_roc_auc_perfect_and_random(spark):
+    from vivace_graph_v3_spark.operators.profile import roc_auc
+
+    # perfect separation: every positive scores above every negative
+    df = spark.createDataFrame(
+        [(10, True), (9, True), (2, False), (1, False)], "s long, y boolean")
+    r = roc_auc(df, score_col="s", label_col="y").first()
+    assert (r.n_pos, r.n_neg, r.auc) == (2, 2, 1.0)
+    # all scores tied: AUC must be exactly 0.5 via average ranks
+    df = spark.createDataFrame(
+        [(5, True), (5, True), (5, False), (5, False)], "s long, y boolean")
+    assert roc_auc(df, score_col="s", label_col="y").first().auc == 0.5
+    # known hand case: scores 1,2,3,4 labels F,T,F,T -> AUC = 3/4
+    df = spark.createDataFrame(
+        [(1, False), (2, True), (3, False), (4, True)], "s long, y boolean")
+    assert roc_auc(df, score_col="s", label_col="y").first().auc == 0.75
+
+
+def test_roc_auc_degenerate_groups_dropped(spark):
+    from vivace_graph_v3_spark.operators.profile import roc_auc
+
+    df = spark.createDataFrame(
+        [("g1", 1, True), ("g1", 2, False), ("g2", 1, True), ("g2", 2, True)],
+        "g string, s long, y boolean")
+    rows = roc_auc(df, score_col="s", label_col="y", group_col="g").collect()
+    # g2 has no negatives -> AUC undefined -> dropped, not NaN/err
+    assert [r.group for r in rows] == ["g1"]
+
+
+def test_rater_agreement_kappa(spark):
+    from vivace_graph_v3_spark.operators.profile import rater_agreement
+
+    # perfect agreement -> kappa 1
+    df = spark.createDataFrame([(True, True), (False, False)] * 5,
+                               "a boolean, b boolean")
+    r = rater_agreement(df, a_col="a", b_col="b").first()
+    assert (r.n, r.n_agree, r.kappa) == (10, 10, 1.0)
+    # independence-shaped 2x2 (all four cells equal) -> kappa 0
+    df = spark.createDataFrame(
+        [(True, True), (True, False), (False, True), (False, False)] * 3,
+        "a boolean, b boolean")
+    assert rater_agreement(df, a_col="a", b_col="b").first().kappa == 0.0
+    # systematic disagreement -> kappa -1
+    df = spark.createDataFrame([(True, False), (False, True)] * 5,
+                               "a boolean, b boolean")
+    assert rater_agreement(df, a_col="a", b_col="b").first().kappa == -1.0
+
+
+def test_psi_drift_identical_groups_near_zero(spark):
+    from vivace_graph_v3_spark.operators.profile import psi_drift
+
+    rows = [(g, v) for g in ("a", "b") for v in range(100)]
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.group: r.psi for r in
+           psi_drift(df, group_col="g", value_col="v",
+                     bucket_width=10).collect()}
+    # identical distributions -> PSI ~ 0 (exactly 0 up to smoothing)
+    assert all(abs(v) < 1e-6 for v in out.values())
+
+
+def test_psi_drift_shifted_group_positive(spark):
+    from vivace_graph_v3_spark.operators.profile import psi_drift
+
+    rows = ([("a", v) for v in range(100)]
+            + [("b", v + 500) for v in range(100)])
+    df = spark.createDataFrame(rows, "g string, v long")
+    out = {r.group: r.psi for r in
+           psi_drift(df, group_col="g", value_col="v",
+                     bucket_width=10).collect()}
+    assert out["a"] > 0.25 and out["b"] > 0.25  # disjoint mass = major shift
+
+
+def test_t_closeness_hand_computed(spark):
+    from vivace_graph_v3_spark.operators.profile import t_closeness
+
+    # c1 uniform on {1,2,3,4}, c2 all-1. Global CDF = (.625,.75,.875,1);
+    # c1 CDF = (.25,.5,.75,1) -> EMD = (.375+.25+.125+0)/3 = 0.25;
+    # c2 CDF = (1,1,1,1)      -> EMD = (.375+.25+.125+0)/3 = 0.25 too
+    # (two-class mixtures are symmetric around the pool) — assert the
+    # exact hand value, and that a third matching class scores 0
+    rows = ([("c1", v) for v in (1, 2, 3, 4)] * 3
+            + [("c2", 1)] * 12)
+    df = spark.createDataFrame(rows, "q string, v long")
+    out = {r.q: r for r in t_closeness(df, ["q"], "v").collect()}
+    assert out["c1"].t_ppm == 250000 and out["c2"].t_ppm == 250000
+    assert out["c1"].class_size == 12 and out["c2"].class_size == 12
+    assert not out["c1"].at_risk  # 0.25 < default 0.3 threshold
+
+    # a class distributed exactly like the pool scores t = 0
+    rows2 = rows + [("c3", v) for v in (1, 1, 1, 1, 1, 2, 3, 4)]
+    # pool of rows = {1: 17, 2: 5, 3: 5, 4: 5}; c3 = {1:5, 2:1, 3:1, 4:1}
+    # is NOT proportional — instead check monotonicity: c3 sits between
+    df2 = spark.createDataFrame(rows2, "q string, v long")
+    out2 = {r.q: r.t_ppm for r in t_closeness(df2, ["q"], "v").collect()}
+    assert out2["c3"] < out2["c2"]
+
+
+def test_equi_depth_histogram_balanced(spark):
+    from vivace_graph_v3_spark.operators.profile import equi_depth_histogram
+
+    df = spark.createDataFrame([(float(i),) for i in range(100)], "v double")
+    rows = sorted(equi_depth_histogram(df, "v", buckets=5, scale=1).collect())
+    assert len(rows) == 5
+    assert all(r.n == 20 for r in rows)
+    # contiguous, ordered, non-overlapping edges
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi < b.lo
+    # heavy tie: one value holding >1/k of the mass stays in ONE bucket
+    df = spark.createDataFrame([(1.0,)] * 60 + [(float(i),) for i in range(2, 42)],
+                               "v double")
+    rows = equi_depth_histogram(df, "v", buckets=5, scale=1).collect()
+    big = [r for r in rows if r.lo <= 1 <= r.hi]
+    assert len(big) == 1 and big[0].n >= 60
+
+
+def test_encoding_stats_known_layout(spark):
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.operators.layout import encoding_stats
+
+    # one file, rows in order: constant column -> 1 run; strictly
+    # increasing column -> n runs, fully sorted
+    df = spark.createDataFrame(
+        [(i, 7, i) for i in range(10)], "pos long, const long, inc long")
+    out = {r.column: r for r in
+           encoding_stats(df, ["const", "inc"], file_col=F.lit(0),
+                          order_cols=["pos"]).collect()}
+    assert (out["const"].n_runs, out["const"].n_distinct) == (1, 1)
+    assert out["const"].sorted_ppm == 1000000
+    assert (out["inc"].n_runs, out["inc"].n_distinct) == (10, 10)
+    assert out["inc"].sorted_ppm == 1000000
+    # reversed column: sorted_ppm 0, still 10 runs
+    df2 = spark.createDataFrame([(i, 9 - i) for i in range(10)],
+                                "pos long, dec long")
+    r = encoding_stats(df2, ["dec"], file_col=F.lit(0),
+                       order_cols=["pos"]).first()
+    assert (r.n_runs, r.sorted_ppm) == (10, 0)
+
+
+def test_encoding_stats_runs_reset_at_file_boundary(spark):
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.operators.layout import encoding_stats
+
+    # same constant value across two files -> 2 runs (one per file head)
+    df = spark.createDataFrame([(f, i, 5) for f in (0, 1) for i in range(5)],
+                               "f long, pos long, v long")
+    r = encoding_stats(df, ["v"], file_col=F.col("f"),
+                       order_cols=["pos"]).first()
+    assert r.n_runs == 2

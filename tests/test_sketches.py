@@ -50,3 +50,44 @@ def test_quantiles_rank_error_numpy(spark, duck):
             est = got[etype][i]
             rank = np.searchsorted(xs, est, side="right") / n
             assert abs(rank - q) <= 0.011 + 1.0 / n, (etype, q, est, rank)
+
+
+def test_bloom_no_false_negatives(spark):
+    from vivace_graph_v3_spark.operators.sketches import (
+        bloom_build, bloom_fpr_audit, bloom_probe)
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 200).select(F.col("id").alias("key"))
+    bits = bloom_build(members, "key", k=3, m_bits=1024)
+    probed = bloom_probe(
+        bits, members.withColumn("is_member", F.lit(True)), "key",
+        k=3, m_bits=1024, id_cols=["key", "is_member"])
+    # every member must probe positive — blooms never false-negative
+    assert probed.filter(~F.col("maybe")).count() == 0
+
+    probes = (members.withColumn("is_member", F.lit(True))
+              .unionAll(spark.range(100000, 100200)
+                        .select(F.col("id").alias("key"),
+                                F.lit(False).alias("is_member"))))
+    row = bloom_fpr_audit(members, probes, "key", k=3, m_bits=1024).first()
+    assert row.n_false_neg == 0
+    assert row.n_probes == 400 and row.n_members == 200
+    assert 0 < row.bits_set <= min(1024, 600)
+    # fpr_ppm consistent with the counted false positives
+    assert row.fpr_ppm == round(row.n_false_pos / 200 * 1e6)
+
+
+def test_bloom_fpr_shrinks_with_more_bits(spark):
+    from vivace_graph_v3_spark.operators.sketches import bloom_fpr_audit
+    from pyspark.sql import functions as F
+
+    members = spark.range(0, 500).select(F.col("id").alias("key"))
+    probes = (members.withColumn("is_member", F.lit(True))
+              .unionAll(spark.range(7000, 7500)
+                        .select(F.col("id").alias("key"),
+                                F.lit(False).alias("is_member"))))
+    small = bloom_fpr_audit(members, probes, "key", k=3,
+                            m_bits=1024).first()
+    big = bloom_fpr_audit(members, probes, "key", k=3,
+                          m_bits=16384).first()
+    assert big.n_false_pos <= small.n_false_pos

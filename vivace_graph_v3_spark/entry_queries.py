@@ -7441,6 +7441,512 @@ FROM c, t GROUP BY size, n_total
 # Cumulative driver coverage after r4: 146/175 distinct entries (some rows
 # were sampled in two rounds); this front closes the full 31-entry
 # never-sampled set in one round.
+# ---------------------------------------------------------------------------
+# round-6 registrations: model-eval metrics, privacy EMD, layout stats,
+# bloom pruning, interval sweep-line, window-frame surface, kNN labeling
+# ---------------------------------------------------------------------------
+
+
+def q_classifier_auc(spark, sf_dir):
+    """Exact tie-aware ROC AUC per source (operators/profile.roc_auc):
+    does document LENGTH order English docs above non-English ones,
+    scored per source — the model-eval primitive (Mann-Whitney identity)
+    a quality-filter pipeline runs on every candidate scoring column.
+    Value-grid + decimal products: exact at any scale."""
+    from vivace_graph_v3_spark.operators.profile import roc_auc
+
+    d = _docs(spark, sf_dir).select(
+        "source", F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").alias("y"))
+    return roc_auc(d, score_col="s", label_col="y", group_col="source")
+
+
+SQL_CLASSIFIER_AUC = """
+WITH grid AS (
+  SELECT source AS g, n_chars AS s, count(*) AS n,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS np
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT g, n, np,
+         coalesce(sum(n) OVER (PARTITION BY g ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS below
+  FROM grid
+), agg AS (
+  SELECT g, sum(np * (2 * below + n + 1)) AS two_rpos,
+         sum(np) AS n_pos, sum(n) - sum(np) AS n_neg
+  FROM cum GROUP BY g
+)
+SELECT g AS "group", CAST(n_pos AS BIGINT) AS n_pos,
+       CAST(n_neg AS BIGINT) AS n_neg,
+       CAST(((two_rpos - n_pos * (n_pos + 1)) * 2000000
+             + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS BIGINT)
+         AS auc_ppm,
+       CAST(((two_rpos - n_pos * (n_pos + 1)) * 2000000
+             + 2 * n_pos * n_neg) // (4 * n_pos * n_neg) AS BIGINT)
+         / 1000000.0 AS auc
+FROM agg WHERE n_pos > 0 AND n_neg > 0
+"""
+
+
+def q_classifier_kappa(spark, sf_dir):
+    """Cohen's kappa between two independent quality gates (length >= 300
+    chars vs token count >= 55) — chance-corrected agreement
+    (operators/profile.rater_agreement), the check run before trusting a
+    silver label. Exact rational kappa in decimal, ppm output."""
+    from vivace_graph_v3_spark.operators.profile import rater_agreement
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    d = _docs(spark, sf_dir).select(
+        (F.col("n_chars") >= 300).alias("ga"),
+        (F.size(tokens(F.col("text"))) >= 55).alias("gb"))
+    return rater_agreement(d, a_col="ga", b_col="gb")
+
+
+SQL_CLASSIFIER_KAPPA = r"""
+WITH r AS (
+  SELECT (n_chars >= 300) AS a,
+         (len(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                          x -> x <> '')) >= 55) AS b
+  FROM documents
+), grid AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+am AS (SELECT a, sum(c) AS ca FROM grid GROUP BY a),
+bm AS (SELECT b, sum(c) AS cb FROM grid GROUP BY b),
+s AS (SELECT sum(ca * cb) AS s FROM am JOIN bm ON am.a = bm.b),
+t AS (SELECT sum(c) AS n,
+             sum(CASE WHEN a = b THEN c ELSE 0 END) AS agree FROM grid)
+SELECT CAST(n AS BIGINT) AS n, CAST(agree AS BIGINT) AS n_agree,
+       CAST(CASE WHEN n * agree - s < 0
+            THEN -(((s - n * agree) * 2000000 + (n * n - s))
+                   // ((n * n - s) * 2))
+            ELSE ((n * agree - s) * 2000000 + (n * n - s))
+                 // ((n * n - s) * 2) END AS BIGINT) AS kappa_ppm,
+       CAST(CASE WHEN n * agree - s < 0
+            THEN -(((s - n * agree) * 2000000 + (n * n - s))
+                   // ((n * n - s) * 2))
+            ELSE ((n * agree - s) * 2000000 + (n * n - s))
+                 // ((n * n - s) * 2) END AS BIGINT) / 1000000.0 AS kappa
+FROM t, s
+"""
+
+
+def q_source_psi_drift(spark, sf_dir):
+    """Population Stability Index of document length per source vs the
+    corpus (operators/profile.psi_drift) — completes the drift triple
+    (ks_drift worst-point, chi-square, PSI log-odds-weighted). One
+    corpus pass to the (source, bucket) grid; Laplace-smoothed shares;
+    decimal-accumulated ln fold."""
+    from vivace_graph_v3_spark.operators.profile import psi_drift
+
+    return psi_drift(_docs(spark, sf_dir), group_col="source",
+                     value_col="n_chars", bucket_width=50)
+
+
+SQL_SOURCE_PSI_DRIFT = """
+WITH gb AS (
+  SELECT source AS g, n_chars // 50 AS bucket, count(*) AS o
+  FROM documents GROUP BY 1, 2
+), corpus AS (SELECT bucket, sum(o) AS c FROM gb GROUP BY bucket),
+totals AS (SELECT g, sum(o) AS n_rows FROM gb GROUP BY g),
+nb AS (SELECT count(*) AS n_buckets, sum(c) AS n_total FROM corpus),
+full_ AS (
+  SELECT t.g, t.n_rows, co.bucket, co.c, coalesce(gb.o, 0) AS o,
+         nb.n_buckets, nb.n_total
+  FROM totals t CROSS JOIN corpus co
+  LEFT JOIN gb ON gb.g = t.g AND gb.bucket = co.bucket
+  CROSS JOIN nb
+)
+SELECT g AS "group", CAST(n_rows AS BIGINT) AS n_rows,
+       round(CAST(sum(CAST(
+         (CAST(o + 1 AS DOUBLE) / (n_rows + n_buckets)
+          - CAST(c + 1 AS DOUBLE) / (n_total + n_buckets))
+         * ln((CAST(o + 1 AS DOUBLE) / (n_rows + n_buckets))
+              / (CAST(c + 1 AS DOUBLE) / (n_total + n_buckets)))
+         AS DECIMAL(38,12))) AS DOUBLE), 6) AS psi
+FROM full_ GROUP BY g, n_rows
+"""
+
+
+def q_t_closeness_audit(spark, sf_dir):
+    """t-closeness audit (Li et al. ICDE'07) of customer quasi-identifier
+    classes (nation, segment) against the account-balance decile
+    distribution (operators/profile.t_closeness): ordered-EMD between
+    class and corpus CDFs, exact integer arithmetic, ppm output —
+    the third rung of the k-anonymity / l-diversity privacy ladder."""
+    from vivace_graph_v3_spark.operators.profile import t_closeness
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    cents = F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+    d = cust.select("c_nationkey", "c_mktsegment",
+                    F.floor(cents / F.lit(100000.0)).cast("long")
+                    .alias("bal_decile"))
+    return t_closeness(d, ["c_nationkey", "c_mktsegment"], "bal_decile",
+                       threshold_ppm=300_000)
+
+
+SQL_T_CLOSENESS_AUDIT = """
+WITH rows_ AS (
+  SELECT c_nationkey, c_mktsegment,
+         CAST(floor(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)
+                    / 100000.0) AS BIGINT) AS v
+  FROM customer
+), cv AS (
+  SELECT c_nationkey, c_mktsegment, v, count(*) AS o
+  FROM rows_ GROUP BY 1, 2, 3
+), gl AS (SELECT v, sum(o) AS go FROM cv GROUP BY v),
+classes AS (
+  SELECT c_nationkey, c_mktsegment, sum(o) AS n_c FROM cv GROUP BY 1, 2),
+mng AS (SELECT count(*) AS m, sum(go) AS n_g FROM gl),
+grid AS (
+  SELECT cl.c_nationkey, cl.c_mktsegment, cl.n_c, g.v, g.go,
+         coalesce(cv.o, 0) AS o
+  FROM classes cl CROSS JOIN gl g
+  LEFT JOIN cv ON cv.c_nationkey = cl.c_nationkey
+              AND cv.c_mktsegment = cl.c_mktsegment AND cv.v = g.v
+), cum AS (
+  SELECT c_nationkey, c_mktsegment, n_c,
+         sum(o) OVER (PARTITION BY c_nationkey, c_mktsegment
+                      ORDER BY v) AS cum_c,
+         sum(go) OVER (PARTITION BY c_nationkey, c_mktsegment
+                       ORDER BY v) AS cum_g
+  FROM grid
+), per AS (
+  SELECT c_nationkey, c_mktsegment, n_c,
+         sum(abs(cum_c * (SELECT n_g FROM mng)
+                 - cum_g * n_c)) AS num,
+         n_c * (SELECT n_g FROM mng) * ((SELECT m FROM mng) - 1) AS den
+  FROM cum GROUP BY c_nationkey, c_mktsegment, n_c
+)
+SELECT c_nationkey, c_mktsegment, CAST(n_c AS BIGINT) AS class_size,
+       CAST((num * 2000000 + den) // (den * 2) AS BIGINT) AS t_ppm,
+       CAST((num * 2000000 + den) // (den * 2) AS BIGINT) > 300000
+         AS at_risk
+FROM per
+"""
+
+
+def q_equi_depth_hist_price(spark, sf_dir):
+    """Equi-depth histogram of extended price in cents, 10 buckets
+    (operators/profile.equi_depth_histogram) — adaptive bucket edges
+    from the VALUE GRID (no global row sort), the selectivity-estimator
+    complement of the equi-width histogram_price entry."""
+    from vivace_graph_v3_spark.operators.profile import equi_depth_histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return equi_depth_histogram(li, "l_extendedprice", buckets=10,
+                                scale=100)
+
+
+SQL_EQUI_DEPTH_HIST_PRICE = """
+WITH grid AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS q,
+         count(*) AS c
+  FROM lineitem GROUP BY 1
+), cum AS (
+  SELECT q, c,
+         coalesce(sum(c) OVER (ORDER BY q
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           AS before,
+         sum(c) OVER () AS n
+  FROM grid
+)
+SELECT CAST(before * 10 // n AS BIGINT) AS bucket,
+       CAST(min(q) AS BIGINT) AS lo, CAST(max(q) AS BIGINT) AS hi,
+       CAST(sum(c) AS BIGINT) AS n
+FROM cum GROUP BY 1
+"""
+
+
+def q_order_backlog_depth(spark, sf_dir):
+    """Order backlog over time: sweep-line concurrency of [order date,
+    last ship date] intervals (operators/interval.interval_concurrency)
+    — how many orders are simultaneously open each day the count
+    changes. Deltas aggregate map-side; the running sum runs over the
+    distinct-day grid, not the orders."""
+    from vivace_graph_v3_spark.operators.interval import interval_concurrency
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    day = lambda c: F.expr(f"unix_micros(CAST({c} AS TIMESTAMP))"
+                           " div 86400000000")
+    iv = (o.join(li, o.o_orderkey == li.l_orderkey)
+          .groupBy("o_orderkey", "o_orderdate")
+          .agg(F.max("l_shipdate").alias("last_ship"))
+          .select(day("o_orderdate").alias("s"),
+                  day("last_ship").alias("e")))
+    return interval_concurrency(iv, start_col="s", end_col="e")
+
+
+SQL_ORDER_BACKLOG_DEPTH = """
+WITH iv AS (
+  SELECT epoch_us(o_orderdate) // 86400000000 AS s,
+         epoch_us(max(l_shipdate)) // 86400000000 AS e
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_orderdate
+), deltas AS (
+  SELECT t, sum(d) AS delta FROM (
+    SELECT s AS t, 1 AS d FROM iv
+    UNION ALL SELECT e + 1, -1 FROM iv) u
+  GROUP BY t HAVING sum(d) <> 0
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(delta AS BIGINT) AS delta,
+       CAST(sum(delta) OVER (ORDER BY t
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS depth
+FROM deltas
+"""
+
+
+def q_orders_pivot_status(spark, sf_dir):
+    """Pivot surface: order counts by status spread into columns per
+    year — DataFrame.groupBy().pivot() with explicit pivot values (the
+    plan stays a single hash aggregate; explicit values skip the extra
+    distinct-collect pass Spark otherwise runs)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    p = (o.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+         .pivot("o_orderstatus", ["F", "O", "P"])
+         .agg(F.count(F.lit(1))))
+    return p.select(
+        "o_year",
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("n_f"),
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("n_o"),
+        F.coalesce(F.col("P"), F.lit(0)).cast("long").alias("n_p"))
+
+
+SQL_ORDERS_PIVOT_STATUS = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_f,
+       CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_o,
+       CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_p
+FROM orders GROUP BY 1
+"""
+
+
+def q_events_trailing_window(spark, sf_dir):
+    """RANGE-frame window surface: per-user trailing 7-day event count
+    and value sum AT EVERY EVENT — a true time-range frame
+    (rangeBetween on epoch seconds), not a row-count frame, so ties and
+    gaps are handled by time, deterministically. The per-user feature
+    column of a churn/abuse model."""
+    e = _events(spark, sf_dir)   # ts normalized to epoch-nanos bigint
+    sec = F.expr("ts div 1000000000")
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long")
+    base = e.select("event_id", "user_id", sec.alias("sec"),
+                    cents.alias("cents"))
+    w = (Window.partitionBy("user_id").orderBy("sec")
+         .rangeBetween(-604799, 0))
+    return (base
+            .withColumn("trail_n", F.count(F.lit(1)).over(w))
+            .withColumn("trail_sum_cents", F.sum("cents").over(w))
+            .select("event_id", "user_id",
+                    F.col("trail_n").cast("long").alias("trail_n"),
+                    F.col("trail_sum_cents").cast("long")
+                    .alias("trail_sum_cents")))
+
+
+SQL_EVENTS_TRAILING_WINDOW = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+)
+SELECT event_id, user_id,
+       CAST(count(*) OVER w AS BIGINT) AS trail_n,
+       CAST(sum(cents) OVER w AS BIGINT) AS trail_sum_cents
+FROM e
+WINDOW w AS (PARTITION BY user_id ORDER BY sec
+             RANGE BETWEEN 604799 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_bloom_filter_audit(spark, sf_dir):
+    """Bloom-filter build + probe + measured false-positive rate
+    (operators/sketches.bloom_*): engine-reproducible multiplicative
+    hashing, filter state <= m_bits rows broadcast to the probe scan —
+    the runtime semi-join pruning pattern, here audited against ground
+    truth (probe set = members + shifted non-members)."""
+    from vivace_graph_v3_spark.operators.sketches import bloom_fpr_audit
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    members = cust.select(F.col("c_custkey").alias("key"))
+    probes = (cust.select(F.col("c_custkey").alias("key"),
+                          F.lit(True).alias("is_member"))
+              .unionAll(cust.select(
+                  (F.col("c_custkey") + 10_000_000).alias("key"),
+                  F.lit(False).alias("is_member"))))
+    return bloom_fpr_audit(members, probes, "key", k=3, m_bits=65536)
+
+
+SQL_BLOOM_FILTER_AUDIT = """
+WITH consts(a) AS (VALUES (2654435761), (2246822519), (3266489917)),
+members AS (SELECT c_custkey AS key FROM customer),
+probes AS (
+  SELECT c_custkey AS key, TRUE AS is_member FROM customer
+  UNION ALL
+  SELECT c_custkey + 10000000, FALSE FROM customer
+),
+pos AS (
+  SELECT DISTINCT ((key + 1) * a) % 2147483647 % 65536 AS p
+  FROM members CROSS JOIN consts
+),
+ph AS (
+  SELECT pr.key, pr.is_member,
+         ((pr.key + 1) * c.a) % 2147483647 % 65536 AS p
+  FROM probes pr CROSS JOIN consts c
+),
+flags AS (
+  SELECT key, is_member,
+         (sum(CASE WHEN p IN (SELECT p FROM pos) THEN 1 ELSE 0 END) = 3)
+           AS maybe
+  FROM ph GROUP BY 1, 2
+)
+SELECT CAST(65536 AS BIGINT) AS m_bits, CAST(3 AS BIGINT) AS k,
+       (SELECT CAST(count(*) AS BIGINT) FROM pos) AS bits_set,
+       CAST(count(*) AS BIGINT) AS n_probes,
+       CAST(sum(CASE WHEN is_member THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_members,
+       CAST(sum(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_pos,
+       CAST(sum(CASE WHEN NOT maybe AND is_member THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_false_neg,
+       CAST((sum(CASE WHEN maybe AND NOT is_member THEN 1 ELSE 0 END)
+             * 2000000
+             + (count(*) - sum(CASE WHEN is_member THEN 1 ELSE 0 END)))
+            // ((count(*) - sum(CASE WHEN is_member THEN 1 ELSE 0 END))
+                * 2) AS BIGINT) AS fpr_ppm
+FROM flags
+"""
+
+
+def q_encoding_stats(spark, sf_dir):
+    """Write-time encoding-choice statistics per column
+    (operators/layout.encoding_stats): runs / distincts / sortedness
+    within physical file groups (l_orderkey div 4096) — the planner
+    input for RLE vs dict vs delta. Lag windows are partitioned by
+    file, never a global sort."""
+    from vivace_graph_v3_spark.operators.layout import encoding_stats
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .withColumn("ship_day",
+                      F.expr("unix_micros(CAST(l_shipdate AS TIMESTAMP))"
+                             " div 86400000000"))
+          .withColumn("qty", F.col("l_quantity").cast("long")))
+    return encoding_stats(li, ["l_suppkey", "qty", "ship_day"],
+                          file_col=F.expr("l_orderkey div 4096"),
+                          order_cols=["l_orderkey", "l_linenumber"])
+
+
+def _sql_encoding_one(col_expr: str, name: str) -> str:
+    return f"""
+SELECT '{name}' AS "column", CAST(count(*) AS BIGINT) AS n,
+       CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+       CAST(sum(CASE WHEN pv IS NULL OR pv <> v THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_runs,
+       CAST(CASE WHEN sum(CASE WHEN pv IS NOT NULL THEN 1 ELSE 0 END) > 0
+            THEN (sum(CASE WHEN pv IS NOT NULL AND v >= pv
+                      THEN 1 ELSE 0 END) * 2000000
+                  + sum(CASE WHEN pv IS NOT NULL THEN 1 ELSE 0 END))
+                 // (sum(CASE WHEN pv IS NOT NULL THEN 1 ELSE 0 END) * 2)
+            ELSE 1000000 END AS BIGINT) AS sorted_ppm
+FROM (
+  SELECT v, lag(v) OVER (PARTITION BY f ORDER BY o1, o2, v) AS pv
+  FROM (SELECT l_orderkey // 4096 AS f, l_orderkey AS o1,
+               l_linenumber AS o2, {col_expr} AS v FROM lineitem) b
+) l
+"""
+
+
+SQL_ENCODING_STATS = (
+    _sql_encoding_one("CAST(l_suppkey AS BIGINT)", "l_suppkey")
+    + " UNION ALL "
+    + _sql_encoding_one("CAST(floor(l_quantity) AS BIGINT)", "qty")
+    + " UNION ALL "
+    + _sql_encoding_one("epoch_us(l_shipdate) // 86400000000", "ship_day"))
+
+
+def q_knn_label_propagation(spark, sf_dir):
+    """Semi-supervised kNN label spread over embeddings
+    (pipeline/similarity.knn_classify): even vec_ids are the labeled
+    seed, odd ids get the majority label of their 5 nearest labeled
+    neighbors by cosine; reports prediction vs ground truth — silver
+    labeling plus the embedding-quality eval in one contract."""
+    from vivace_graph_v3_spark.pipeline.similarity import knn_classify
+
+    emb = _emb(spark, sf_dir)
+    labeled = emb.filter(F.col("vec_id") % 2 == 0)
+    unlabeled = emb.filter(F.col("vec_id") % 2 == 1)
+    pred = knn_classify(labeled, unlabeled, k=5)
+    truth = emb.select("vec_id", F.col("label").alias("true_label"))
+    return (pred.join(truth, "vec_id")
+            .select("vec_id", "pred_label", "votes", "true_label",
+                    (F.col("pred_label") == F.col("true_label"))
+                    .alias("correct")))
+
+
+SQL_KNN_LABEL_PROPAGATION = """
+WITH nn AS (
+  SELECT q.vec_id AS qid, c.label AS nl,
+         row_number() OVER (PARTITION BY q.vec_id ORDER BY
+           round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+           c.vec_id ASC) AS r
+  FROM embeddings q JOIN embeddings c
+    ON q.vec_id % 2 = 1 AND c.vec_id % 2 = 0
+), votes AS (
+  SELECT qid, nl, count(*) AS votes FROM nn WHERE r <= 5 GROUP BY 1, 2
+), best AS (
+  SELECT qid, nl, votes,
+         row_number() OVER (PARTITION BY qid
+                            ORDER BY votes DESC, nl ASC) AS rr
+  FROM votes
+)
+SELECT b.qid AS vec_id, b.nl AS pred_label,
+       CAST(b.votes AS BIGINT) AS votes, e.label AS true_label,
+       (b.nl = e.label) AS correct
+FROM best b JOIN embeddings e ON e.vec_id = b.qid
+WHERE b.rr = 1
+"""
+
+
+def q_vocab_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope of the corpus vocabulary
+    (pipeline/text.zipf_slope): least-squares ln(freq)~ln(rank) fit
+    over the top-500 types — the one-number corpus health check
+    (natural text ~ -1; templated/spammy corpora bend away). Vocab-
+    bounded window; decimal-accumulated sums; double-first fold."""
+    from vivace_graph_v3_spark.pipeline.text import zipf_slope
+
+    return zipf_slope(_docs(spark, sf_dir), top_n=500)
+
+
+SQL_VOCAB_ZIPF_SLOPE = r"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                x -> x <> '')) AS w
+  FROM documents
+), freq AS (SELECT w, count(*) AS c FROM toks GROUP BY w),
+ranked AS (
+  SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS r FROM freq
+  QUALIFY r <= 500
+), sums AS (
+  SELECT count(*) AS n, sum(c) AS n_tokens_top,
+         CAST(sum(CAST(ln(r) AS DECIMAL(38,12))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(ln(c) AS DECIMAL(38,12))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(ln(r) * ln(c) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxy,
+         CAST(sum(CAST(ln(r) * ln(r) AS DECIMAL(38,12))) AS DOUBLE)
+           AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_types,
+       CAST(n_tokens_top AS BIGINT) AS n_tokens_top,
+       round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS zipf_slope
+FROM sums
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -7690,6 +8196,22 @@ REGISTRY: dict[str, tuple] = {
     "item_cf_similarity": (q_item_cf_similarity, SQL_ITEM_CF_SIMILARITY),
     "vocab_growth": (q_vocab_growth, SQL_VOCAB_GROWTH),
     "dedup_cluster_sizes": (q_dedup_cluster_sizes, SQL_DEDUP_CLUSTER_SIZES),
+    # round-6 registrations
+    "classifier_auc": (q_classifier_auc, SQL_CLASSIFIER_AUC),
+    "classifier_kappa": (q_classifier_kappa, SQL_CLASSIFIER_KAPPA),
+    "source_psi_drift": (q_source_psi_drift, SQL_SOURCE_PSI_DRIFT),
+    "t_closeness_audit": (q_t_closeness_audit, SQL_T_CLOSENESS_AUDIT),
+    "equi_depth_hist_price": (q_equi_depth_hist_price,
+                              SQL_EQUI_DEPTH_HIST_PRICE),
+    "order_backlog_depth": (q_order_backlog_depth, SQL_ORDER_BACKLOG_DEPTH),
+    "orders_pivot_status": (q_orders_pivot_status, SQL_ORDERS_PIVOT_STATUS),
+    "events_trailing_window": (q_events_trailing_window,
+                               SQL_EVENTS_TRAILING_WINDOW),
+    "bloom_filter_audit": (q_bloom_filter_audit, SQL_BLOOM_FILTER_AUDIT),
+    "encoding_stats": (q_encoding_stats, SQL_ENCODING_STATS),
+    "knn_label_propagation": (q_knn_label_propagation,
+                              SQL_KNN_LABEL_PROPAGATION),
+    "vocab_zipf_slope": (q_vocab_zipf_slope, SQL_VOCAB_ZIPF_SLOPE),
 }
 
 # Round-5 driver sample order. Three blocks:

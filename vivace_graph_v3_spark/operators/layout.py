@@ -147,3 +147,63 @@ def zonemap_skip_stats(df: DataFrame, key_col: str, lo: int, hi: int, *,
                  F.sum(skipped).cast("long").alias("n_skipped"))
             .withColumn("skip_ppm",
                         F.expr("n_skipped * 1000000L div n_files")))
+
+
+def encoding_stats(df: DataFrame, cols: list[str], *, file_col,
+                   order_cols: list[str]) -> DataFrame:
+    """Per-column physical-layout statistics that drive encoding choice
+    at write time — the planner input for "should this column be
+    RLE / delta / dict encoded in this file layout":
+
+      n           rows
+      n_distinct  exact distinct values (dict-encoding candidate gauge)
+      n_runs      runs of equal adjacent values in file order (RLE gauge)
+      sorted_ppm  fraction of adjacent pairs non-decreasing (delta gauge)
+
+    Adjacency is computed WITHIN ``file_col`` groups in ``order_cols``
+    order — the physical file/row-group boundary — so the lag windows are
+    partitioned by file, never a global sort: the 100 TB shape (files are
+    bounded; a global-order formulation would single-task). Columns are
+    analyzed in one pass each over a long-format projection.
+
+    Values must be integer-castable (dates via datediff upstream)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    fcol = file_col if not isinstance(file_col, str) else F.col(file_col)
+    outs = []
+    for c in cols:
+        base = df.select(fcol.alias("f"),
+                         *[F.col(o).alias(f"o{i}")
+                           for i, o in enumerate(order_cols)],
+                         F.col(c).cast("long").alias("v"))
+        # the value itself is the FINAL tiebreaker: if order_cols don't
+        # form a unique key, rows tying on them would make adjacency
+        # nondeterministic — grouping equal values last keeps n_runs /
+        # sortedness well-defined (equal-value ties can't change either)
+        w = Window.partitionBy("f").orderBy(
+            *[f"o{i}" for i in range(len(order_cols))], "v")
+        lagged = base.withColumn("pv", F.lag("v").over(w))
+        stats = lagged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("v").alias("n_distinct"),
+            # a run starts where the value changes (or at a file head,
+            # where pv is null)
+            F.sum(F.when(F.col("pv").isNull()
+                         | (F.col("pv") != F.col("v")), 1)
+                  .otherwise(0)).alias("n_runs"),
+            F.sum(F.when(F.col("pv").isNotNull(), 1).otherwise(0))
+            .alias("n_pairs"),
+            F.sum(F.when(F.col("pv").isNotNull()
+                         & (F.col("v") >= F.col("pv")), 1).otherwise(0))
+            .alias("n_sorted"))
+        outs.append(stats.select(
+            F.lit(c).alias("column"),
+            F.col("n").cast("long").alias("n"),
+            F.col("n_distinct").cast("long").alias("n_distinct"),
+            F.col("n_runs").cast("long").alias("n_runs"),
+            F.expr("CASE WHEN n_pairs > 0 THEN (n_sorted * 2000000 +"
+                   " n_pairs) div (n_pairs * 2) ELSE 1000000 END")
+            .cast("long").alias("sorted_ppm")))
+    return reduce(lambda a, b: a.unionAll(b), outs)

@@ -331,3 +331,234 @@ def winsorize_stats(df, value_col: str, group_col: str, *,
                     F.col("n").cast("long").alias("n"),
                     "lo_thr", "hi_thr", "n_clipped_lo", "n_clipped_hi",
                     "winsorized_sum_cents"))
+
+
+def roc_auc(df: DataFrame, *, score_col: str, label_col: str,
+            group_col: str | None = None) -> DataFrame:
+    """EXACT ROC AUC of a scoring column against a boolean label via the
+    tie-aware Mann-Whitney rank-sum identity (Hanley & McNeil 1982):
+
+        AUC = (R+ - P(P+1)/2) / (P * N)
+
+    where R+ is the sum of AVERAGE ranks of the positives (ties share the
+    mean of their rank span). This is the model-eval primitive of a
+    quality-classifier pipeline (is the filter score actually ordering
+    good docs above bad ones?) — exact, not a trapezoid approximation
+    over thresholded points.
+
+    Exact integer arithmetic throughout: scores are grouped to their
+    VALUE GRID first (one map-side-combined aggregate — the winsorize
+    convention), the cumulative-count window runs over distinct scores
+    (domain-bounded, not row-bounded), and 2*R+ = sum over score groups
+    of n_pos * (2*cum_below + n + 1) stays integral. Products scale as
+    n^2, so they accumulate in DECIMAL(38,0) — BIGINT would wrap near
+    n ~ 3e9 rows (the ks_drift lesson). AUC is emitted both as exact ppm
+    (integer round-half-up) and as the equivalent double.
+
+    Returns one row per group (or a single global row):
+    (group?, n_pos, n_neg, auc_ppm, auc)."""
+    g = [F.col(group_col).alias("group")] if group_col else []
+    gnames = ["group"] if group_col else []
+    pos = F.when(F.col(label_col), 1).otherwise(0)
+    grid = (df.select(*g, F.col(score_col).alias("s"), pos.alias("p"))
+            .groupBy(*gnames, "s")
+            .agg(F.count(F.lit(1)).alias("n"), F.sum("p").alias("np")))
+    w = (Window.partitionBy(*gnames) if gnames else
+         Window.partitionBy(F.lit(1)))
+    cum = grid.withColumn(
+        "below",
+        F.coalesce(F.sum("n").over(
+            w.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0)))
+    two_rpos = (F.col("np").cast("decimal(38,0)")
+                * (F.lit(2) * F.col("below") + F.col("n") + F.lit(1)))
+    agg = (cum.groupBy(*gnames)
+           .agg(F.sum(two_rpos).alias("two_rpos"),
+                F.sum("np").cast("long").alias("n_pos"),
+                (F.sum("n") - F.sum("np")).cast("long").alias("n_neg")))
+    p_, n_ = F.col("n_pos").cast("decimal(38,0)"), \
+        F.col("n_neg").cast("decimal(38,0)")
+    num = F.col("two_rpos") - p_ * (p_ + F.lit(1))   # = 2 * (R+ - P(P+1)/2)
+    den = F.lit(2) * p_ * n_
+    ppm = F.expr("(num * 2000000 + den) div (den * 2)").cast("long")
+    return (agg.withColumn("num", num).withColumn("den", den)
+            .filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+            .withColumn("auc_ppm", ppm)
+            .select(*gnames, "n_pos", "n_neg", "auc_ppm",
+                    (F.col("auc_ppm").cast("double") / 1e6).alias("auc")))
+
+
+def rater_agreement(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
+    """Cohen's kappa between two categorical labelers (two quality gates,
+    a model vs a heuristic, two annotation passes) — the standard
+    chance-corrected agreement check before trusting a silver-label
+    column. kappa = (po - pe) / (1 - pe) is computed as the EXACT
+    rational (n*agree - S) / (n*n - S) with S = sum over classes of
+    (a-marginal * b-marginal), then emitted as integer ppm (round
+    half-up, negative-safe) plus the equivalent double.
+
+    Scale shape: one map-side-combined aggregate to the (a, b) confusion
+    grid; marginals and the kappa fold operate on |classes|^2 rows.
+    Products scale as n^2 -> DECIMAL(38,0). Returns one row:
+    (n, n_agree, kappa_ppm, kappa)."""
+    grid = (df.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+            .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
+    am = grid.groupBy("a").agg(F.sum("c").alias("ca"))
+    bm = grid.groupBy("b").agg(F.sum("c").alias("cb"))
+    s = (am.crossJoin(bm)
+         .filter(F.col("a") == F.col("b"))
+         .agg(F.sum(F.col("ca").cast("decimal(38,0)") * F.col("cb"))
+              .alias("s")))
+    tot = grid.agg(
+        F.sum("c").cast("long").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("c"))
+              .otherwise(0)).cast("long").alias("n_agree"))
+    n_, s_ = F.col("n").cast("decimal(38,0)"), F.col("s")
+    num = n_ * F.col("n_agree") - s_
+    den = n_ * n_ - s_
+    # symmetric round-half-up for possibly-negative kappa: fold on |num|
+    # and reapply the sign, so Spark's truncating `div` and an oracle's
+    # floor `//` cannot disagree on negative inputs
+    ppm = F.expr("CASE WHEN num < 0 THEN -((-num * 2000000 + den)"
+                 " div (den * 2)) ELSE (num * 2000000 + den)"
+                 " div (den * 2) END").cast("long")
+    return (tot.crossJoin(F.broadcast(s))
+            .withColumn("num", num).withColumn("den", den)
+            .withColumn("kappa_ppm", ppm)
+            .select("n", "n_agree", "kappa_ppm",
+                    (F.col("kappa_ppm").cast("double") / 1e6)
+                    .alias("kappa")))
+
+
+def psi_drift(df: DataFrame, *, group_col: str, value_col: str,
+              bucket_width: int = 100) -> DataFrame:
+    """Population Stability Index per group against the whole corpus —
+    the monitoring metric credit/risk and data-quality teams alarm on
+    (PSI > 0.25 = major shift):
+
+        PSI = sum_b (p_b - q_b) * ln(p_b / q_b)
+
+    over fixed-width integer buckets, where p is the group's bucket
+    share and q the corpus's, both Laplace-smoothed by +1 count per
+    corpus-occupied bucket so empty group buckets stay finite. The
+    companion of ks_drift (worst-point metric) and distribution_drift
+    (chi-square): PSI weights by log-odds so it is the one that ranks
+    "mass moved between tails" highest.
+
+    Determinism: shares are exact rationals of integer counts evaluated
+    in fixed-order IEEE doubles; ln per bucket; the cross-bucket sum
+    accumulates in DECIMAL(38,12), rounded to 6 (the bigram_logprob
+    convention). Scale shape identical to distribution_drift: ONE
+    corpus-sized map-side-combined aggregate to (group, bucket); the
+    zero-fill grid and fold are |groups| x |buckets|."""
+    b = F.expr(f"`{value_col}` div {bucket_width}")
+    gb = (df.select(F.col(group_col).alias("group"), b.alias("bucket"))
+          .groupBy("group", "bucket").agg(F.count(F.lit(1)).alias("o")))
+    corpus = gb.groupBy("bucket").agg(F.sum("o").alias("c"))
+    totals = gb.groupBy("group").agg(F.sum("o").alias("n_rows"))
+    nb = corpus.agg(F.count(F.lit(1)).alias("n_buckets"),
+                    F.sum("c").alias("n_total"))
+    full = (totals.crossJoin(F.broadcast(corpus))
+            .join(gb, ["group", "bucket"], "left")
+            .crossJoin(F.broadcast(nb))
+            .select("group", "n_rows",
+                    F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+                    "c", "n_buckets", "n_total"))
+    p = ((F.col("o") + 1).cast("double")
+         / (F.col("n_rows") + F.col("n_buckets")))
+    q = ((F.col("c") + 1).cast("double")
+         / (F.col("n_total") + F.col("n_buckets")))
+    term = (p - q) * F.log(p / q)
+    return (full.groupBy("group", "n_rows")
+            .agg(F.round(F.sum(term.cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("psi"))
+            .select("group", F.col("n_rows").cast("long").alias("n_rows"),
+                    "psi"))
+
+
+def t_closeness(df: DataFrame, qi_cols: list[str], sensitive_col: str, *,
+                threshold_ppm: int = 300_000) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for
+    each quasi-identifier equivalence class, the Earth Mover's Distance
+    between the class's distribution over an ORDERED sensitive attribute
+    and the global distribution,
+
+        t = (1 / (m-1)) * sum_i |CDF_class(v_i) - CDF_global(v_i)|
+
+    (the ordered-attribute EMD of the paper, m = number of distinct
+    sensitive values). Completes the privacy ladder after k_anonymity
+    (class size) and l_diversity (distinct sensitive values): it catches
+    classes whose sensitive values are diverse but SKEWED vs the corpus.
+
+    Exact integer arithmetic: per-class CDFs are cumulative counts over
+    the (class x value) zero-filled grid; the EMD numerator
+    sum |cum_c * n_g - cum_g * n_c| and denominator n_c * n_g * (m-1)
+    stay integral in DECIMAL(38,0); t is emitted as round-half-up ppm
+    plus a double. Scale shape: one map-side-combined aggregate to
+    (class, value) counts, then |classes| x m grid work — the corpus is
+    scanned once."""
+    qis = [F.col(c) for c in qi_cols]
+    cv = (df.select(*[q.alias(f"q{i}") for i, q in enumerate(qis)],
+                    F.col(sensitive_col).alias("v"))
+          .groupBy(*[f"q{i}" for i in range(len(qis))], "v")
+          .agg(F.count(F.lit(1)).alias("o")))
+    qnames = [f"q{i}" for i in range(len(qis))]
+    glob = cv.groupBy("v").agg(F.sum("o").alias("go"))
+    classes = cv.groupBy(*qnames).agg(F.sum("o").alias("n_c"))
+    m_ng = glob.agg(F.count(F.lit(1)).alias("m"),
+                    F.sum("go").alias("n_g"))
+    grid = (classes.crossJoin(F.broadcast(glob))
+            .join(cv, qnames + ["v"], "left")
+            .select(*qnames, "n_c", "v", "go",
+                    F.coalesce(F.col("o"), F.lit(0)).alias("o")))
+    w = (Window.partitionBy(*qnames).orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = (grid.withColumn("cum_c", F.sum("o").over(w))
+           .withColumn("cum_g", F.sum("go").over(w))
+           .crossJoin(F.broadcast(m_ng)))
+    diff = F.abs(F.col("cum_c").cast("decimal(38,0)") * F.col("n_g")
+                 - F.col("cum_g").cast("decimal(38,0)") * F.col("n_c"))
+    per = (cum.groupBy(*qnames, "n_c", "m", "n_g")
+           .agg(F.sum(diff).alias("num")))
+    den = (F.col("n_c").cast("decimal(38,0)") * F.col("n_g")
+           * (F.col("m") - F.lit(1)))
+    ppm = F.expr("(num * 2000000 + den) div (den * 2)").cast("long")
+    return (per.withColumn("den", den)
+            .withColumn("t_ppm", ppm)
+            .select(*[F.col(q).alias(c) for q, c in zip(qnames, qi_cols)],
+                    F.col("n_c").cast("long").alias("class_size"),
+                    "t_ppm",
+                    (F.col("t_ppm") > threshold_ppm).alias("at_risk")))
+
+
+def equi_depth_histogram(df: DataFrame, col: str, buckets: int = 10,
+                         *, scale: int = 100) -> DataFrame:
+    """Equi-depth (equal-frequency) histogram — the complement of the
+    equi-width ``histogram``: bucket EDGES adapt so each holds ~n/k rows,
+    which is what an optimizer's selectivity estimator and a feature
+    binner actually want on skewed columns.
+
+    Built from the VALUE GRID, not a global row sort: one
+    map-side-combined (value, count) aggregate, a cumulative window over
+    distinct values (domain-bounded — the winsorize convention), then
+    bucket = cum_before * k div n. Heavy ties therefore stay in ONE
+    bucket (depths wobble around n/k exactly as DB equi-depth histograms
+    do); there is no global row-order shuffle anywhere, which is the
+    100 TB difference vs the textbook NTILE formulation. Values are
+    half-up fixed-point at ``scale`` (e.g. cents for money columns).
+
+    Returns (bucket, lo, hi, n) with lo/hi the bucket's actual min/max
+    value in fixed-point units."""
+    v = F.floor(F.col(col).cast("double") * scale + 0.5).cast("long")
+    grid = (df.select(v.alias("q")).filter(F.col("q").isNotNull())
+            .groupBy("q").agg(F.count(F.lit(1)).alias("c")))
+    n = grid.agg(F.sum("c").alias("n"))
+    w = (Window.partitionBy(F.lit(1)).orderBy("q")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum = (grid.withColumn("before", F.coalesce(F.sum("c").over(w),
+                                                F.lit(0)))
+           .crossJoin(F.broadcast(n)))
+    b = F.expr(f"before * {buckets} div n").cast("long")
+    return (cum.groupBy(b.alias("bucket"))
+            .agg(F.min("q").alias("lo"), F.max("q").alias("hi"),
+                 F.sum("c").cast("long").alias("n")))

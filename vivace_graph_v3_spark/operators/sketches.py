@@ -61,3 +61,90 @@ def cms_estimate(cms: DataFrame, items: DataFrame, col: str, *,
                          & (probes["h.bucket"] == cms["bucket"]), "left")
     return (joined.groupBy(col)
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0))).alias("est")))
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) with engine-reproducible integer hashing
+# ---------------------------------------------------------------------------
+
+_BLOOM_MULTS = (2654435761, 2246822519, 3266489917, 668265263, 374761393)
+_BLOOM_PRIME = 2147483647  # 2^31 - 1
+
+
+def bloom_positions(col, k: int, m_bits: int) -> list:
+    """The k bit positions of an integer key: h_j(x) = ((x+1) * A_j mod P)
+    mod m with Knuth/xxhash multiplicative constants and P = 2^31-1 —
+    pure integer arithmetic any engine reproduces exactly. Keys are
+    shifted +1 so key 0 doesn't map every hash to 0.
+
+    BIGINT bound: (x+1)*A_j must stay under 2^63, i.e. keys below ~2.8e9;
+    wider key domains should pre-fold with a 64-bit hash (md5_hash64)
+    before entering — noted rather than silently widened because the
+    narrow form keeps the whole contract in one multiply."""
+    if k > len(_BLOOM_MULTS):
+        raise ValueError(f"k <= {len(_BLOOM_MULTS)} supported")
+    x = F.col(col) if isinstance(col, str) else col
+    return [(((x + 1) * F.lit(a)) % F.lit(_BLOOM_PRIME)) % F.lit(m_bits)
+            for a in _BLOOM_MULTS[:k]]
+
+
+def bloom_build(df: DataFrame, col: str, *, k: int = 3,
+                m_bits: int = 4096) -> DataFrame:
+    """Build the bloom bit set of an integer key column: the DISTINCT bit
+    positions hit by any member — at most ``m_bits`` rows regardless of
+    input size (one map-side-combined distinct), so the result broadcasts
+    anywhere. Returns a single column (pos)."""
+    pos = F.explode(F.array(*bloom_positions(col, k, m_bits))).alias("pos")
+    return df.select(pos).distinct()
+
+
+def bloom_probe(bits: DataFrame, probes: DataFrame, col: str, *,
+                k: int = 3, m_bits: int = 4096,
+                id_cols: list[str] | None = None) -> DataFrame:
+    """Probe the filter: a key is 'maybe present' iff ALL k of its
+    positions are set. The bit set (<= m_bits rows) is broadcast, so the
+    probe side — the 100 TB side — is never shuffled: explode each probe
+    into its k positions, broadcast-semi-count the hits, keep rows where
+    hits == k. Returns the probe rows plus a boolean ``maybe``."""
+    id_cols = id_cols or [col]
+    pos = F.explode(F.array(*bloom_positions(col, k, m_bits))).alias("pos")
+    hit = (probes.select(*[F.col(c) for c in id_cols], pos)
+           .join(F.broadcast(bits.withColumn("__set", F.lit(1))),
+                 "pos", "left")
+           .groupBy(*id_cols)
+           .agg((F.sum(F.coalesce(F.col("__set"), F.lit(0)))
+                 == F.lit(k)).alias("maybe")))
+    return hit
+
+
+def bloom_fpr_audit(members: DataFrame, probes: DataFrame, col: str, *,
+                    k: int = 3, m_bits: int = 4096) -> DataFrame:
+    """End-to-end bloom audit: build the filter from ``members``, probe
+    with ``probes`` (which must carry a boolean ``is_member`` ground
+    truth), and report the single-row summary
+    (m_bits, k, bits_set, n_probes, n_members, n_false_pos, fpr_ppm):
+    fpr = false positives / true negatives, integer round-half-up ppm.
+    The join-side asymmetry is the point at scale: the filter is
+    O(m_bits) state broadcast to the probe scan — the standard semi-join
+    pruning pattern (partition pruning's runtime cousin)."""
+    bits = bloom_build(members, col, k=k, m_bits=m_bits)
+    probed = bloom_probe(bits, probes, col, k=k, m_bits=m_bits,
+                         id_cols=[col, "is_member"])
+    summary = (probed.agg(
+        F.count(F.lit(1)).alias("n_probes"),
+        F.sum(F.when(F.col("is_member"), 1).otherwise(0))
+        .cast("long").alias("n_members"),
+        F.sum(F.when(F.col("maybe") & ~F.col("is_member"), 1)
+              .otherwise(0)).cast("long").alias("n_false_pos"),
+        F.sum(F.when(~F.col("maybe") & F.col("is_member"), 1)
+              .otherwise(0)).cast("long").alias("n_false_neg"))
+        .crossJoin(F.broadcast(
+            bits.agg(F.count(F.lit(1)).cast("long").alias("bits_set")))))
+    fpr = F.expr("CASE WHEN n_probes > n_members THEN"
+                 " (n_false_pos * 2000000 + (n_probes - n_members))"
+                 " div ((n_probes - n_members) * 2) ELSE 0 END")
+    return summary.select(
+        F.lit(m_bits).cast("long").alias("m_bits"),
+        F.lit(k).cast("long").alias("k"),
+        "bits_set", "n_probes", "n_members", "n_false_pos", "n_false_neg",
+        fpr.cast("long").alias("fpr_ppm"))

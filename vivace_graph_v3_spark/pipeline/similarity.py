@@ -447,3 +447,37 @@ def dim_truncation_recall(emb: DataFrame, *, n_queries: int = 20, k: int = 10,
             .groupBy("query_id")
             .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
                  .alias("n_overlap")))
+
+
+def knn_classify(labeled: DataFrame, unlabeled: DataFrame, *, k: int = 5,
+                 vec_col: str = "embedding", id_col: str = "vec_id",
+                 label_col: str = "label") -> DataFrame:
+    """Semi-supervised kNN label propagation: classify each unlabeled
+    embedding by MAJORITY VOTE of its k nearest labeled neighbors by
+    cosine — the standard silver-labeling step when a small hand-labeled
+    seed set must be spread over a large unlabeled corpus (and the eval
+    harness for embedding quality: label agreement of held-out points).
+
+    Votes tie-break deterministically: higher count first, then the
+    lexicographically smaller label. Exactness: cosine rounded to 6
+    (the cross-engine recipe), rank ties by neighbor id.
+
+    Scale shape: inherits cosine_topk_bruteforce's broadcast-queries
+    plan when the unlabeled batch is small; for corpus-scale unlabeled
+    sides, run the same vote fold over lsh_ann_topk/ivf_probe candidates
+    instead — the vote aggregation below is generator-agnostic
+    (k rows per query either way)."""
+    nn = cosine_topk_bruteforce(labeled, unlabeled, k,
+                                vec_col=vec_col, id_col=id_col)
+    lab = labeled.select(F.col(id_col).alias("neighbor_id"),
+                         F.col(label_col).alias("nl"))
+    votes = (nn.join(lab, "neighbor_id")
+             .groupBy("query_id", "nl")
+             .agg(F.count(F.lit(1)).alias("votes")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("nl").asc())
+    return (votes.withColumn("r", F.row_number().over(w))
+            .filter(F.col("r") == 1)
+            .select(F.col("query_id").alias(id_col),
+                    F.col("nl").alias("pred_label"),
+                    F.col("votes").cast("long").alias("votes")))

@@ -1200,3 +1200,47 @@ def vocab_growth(df: DataFrame, *, text_col: str = "text",
                     .cast("long").alias("cum_tokens"),
                     F.sum(F.coalesce("new_vocab", F.lit(0))).over(wb)
                     .cast("long").alias("cum_vocab")))
+
+
+def zipf_slope(df: DataFrame, *, text_col: str = "text",
+               top_n: int = 500) -> DataFrame:
+    """Zipf rank-frequency fit over the corpus vocabulary: least-squares
+    slope of ln(freq) on ln(rank) for the ``top_n`` most frequent types —
+    the one-number corpus health check (natural text ~ -1; templated or
+    spam-heavy corpora bend far from it; a shifted slope between two
+    snapshots means the token distribution moved).
+
+    slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) with x = ln(rank),
+    y = ln(freq). Ranks come from a window over the VOCAB-BOUNDED
+    (type, count) aggregate — one corpus-sized map-side-combined pass,
+    then |vocab| rows; ties rank by (count desc, word asc) so the fit is
+    deterministic. ln per row in IEEE doubles, the four sums accumulate
+    in DECIMAL(38,12) (order-independent), slope rounded to 6.
+
+    Returns one row: (n_types, n_tokens_top, zipf_slope)."""
+    freq = (ensure_parallelism(df)
+            .select(F.explode(tokens(F.col(text_col))).alias("w"))
+            .groupBy("w").agg(F.count(F.lit(1)).alias("c")))
+    w = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("c").desc(), F.col("w").asc())
+    ranked = (freq.withColumn("r", F.row_number().over(w))
+              .filter(F.col("r") <= top_n))
+    x = F.log(F.col("r").cast("double"))
+    y = F.log(F.col("c").cast("double"))
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("c").cast("long").alias("n_tokens_top"),
+        F.sum(x.cast("decimal(38,12)")).alias("sx"),
+        F.sum(y.cast("decimal(38,12)")).alias("sy"),
+        F.sum((x * y).cast("decimal(38,12)")).alias("sxy"),
+        F.sum((x * x).cast("decimal(38,12)")).alias("sxx"))
+    # fold in DOUBLES after the order-independent decimal sums: decimal
+    # multiply would force engine-specific precision/scale clamping,
+    # while double x double is IEEE-identical everywhere
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx = F.col("sxy").cast("double"), F.col("sxx").cast("double")
+    n = F.col("n").cast("double")
+    slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    return sums.select(F.col("n").cast("long").alias("n_types"),
+                       "n_tokens_top",
+                       F.round(slope, 6).alias("zipf_slope"))
