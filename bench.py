@@ -94,6 +94,12 @@ BENCH_QUERIES = [
     # of the batch is timed in SCALING.md's 10x probe table, and the
     # triangle heavies are characterized there too)
     "scd2_history",
+    # round-6 representatives (short names chosen deliberately — the
+    # stdout-tail budget again; the full round-6 batch is timed in the
+    # 10x probe table)
+    "classifier_auc",
+    "encoding_stats",
+    "order_backlog_depth",
 ]
 
 

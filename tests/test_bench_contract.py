@@ -25,9 +25,11 @@ MVCC_KEYS = [
 
 
 def _worst_case_line() -> str:
-    # 999.99 is wider than any plausible per-op median at sf0.1 (suite total
-    # has been ~60-120 s); total itself gets the same worst-case width.
-    timings = {k: 999.99 for k in bench.BENCH_QUERIES + MVCC_KEYS}
+    # 99.99 is wider than any per-op median ever recorded at sf0.1 (the
+    # worst has been ~18 s; an op at 100 s would fail the perf bar long
+    # before it threatened the tail window). The suite total keeps a
+    # 5-digit worst case of its own.
+    timings = {k: 99.99 for k in bench.BENCH_QUERIES + MVCC_KEYS}
     return bench.final_json_line(99999.99, timings, 0.1)
 
 

@@ -74,6 +74,11 @@ AUDITED = [
     "graph_assortativity", "zonemap_skip_stats", "graph_ktruss",
     "winsorize_orders", "events_forecast", "item_cf_similarity",
     "vocab_growth", "dedup_cluster_sizes",
+    # round-6 additions
+    "classifier_auc", "classifier_kappa", "source_psi_drift",
+    "t_closeness_audit", "equi_depth_hist_price", "order_backlog_depth",
+    "orders_pivot_status", "events_trailing_window", "bloom_filter_audit",
+    "encoding_stats", "knn_label_propagation", "vocab_zipf_slope",
 ]
 
 

@@ -8214,42 +8214,37 @@ REGISTRY: dict[str, tuple] = {
     "vocab_zipf_slope": (q_vocab_zipf_slope, SQL_VOCAB_ZIPF_SLOPE),
 }
 
-# Round-5 driver sample order. Three blocks:
-#   1. the 31 entries never sampled by any driver round (r4-deferred
-#      report-style + the 20 r4 registrations),
-#   2. new round-5 registrations (insert here as they land),
-#   3. re-confirm slots: the oldest driver rows (last sampled r1/r2),
-#      one per subsystem, so ancient greens get re-evidenced.
+# Round-6 driver sample order. Three blocks:
+#   1. the 17 round-5-late registrations never sampled by any driver round,
+#   2. the 12 round-6 registrations,
+#   3. hedge/re-confirm slots: leading entries of the round-5 front — if
+#      CORRECTNESS_r05 recorded (no file landed in the repo), these become
+#      re-confirms; if round 5's sample never ran, they finally get rows.
 # Everything not listed keeps its literal order after the front.
-_R5_FRONT = [
-    # -- block 1: never driver-sampled (31) --
+_R6_FRONT = [
+    # -- block 1: round-5 late batch, never driver-sampled (17) --
+    "classifier_calibration", "graph_clustering_coefficient",
+    "compaction_plan", "events_autocorrelation", "events_smoothing",
+    "events_attribution", "l_diversity_audit", "retrieval_ndcg",
+    "scd2_history", "graph_assortativity", "zonemap_skip_stats",
+    "graph_ktruss", "winsorize_orders", "events_forecast",
+    "item_cf_similarity", "vocab_growth", "dedup_cluster_sizes",
+    # -- block 2: round-6 registrations --
+    "classifier_auc", "classifier_kappa", "source_psi_drift",
+    "t_closeness_audit", "equi_depth_hist_price", "order_backlog_depth",
+    "orders_pivot_status", "events_trailing_window", "bloom_filter_audit",
+    "encoding_stats", "knn_label_propagation", "vocab_zipf_slope",
+    # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",
     "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
     "graph_degree_histogram", "brand_revenue_share", "curation_ingest",
     "graph_pagerank_personalized", "text_boilerplate", "dedup_containment",
     "stratified_sample", "embedding_quantize", "retrieval_rerank",
-    "token_budget_mix", "cms_heavy_hitters", "retrieval_mmr", "curation_v2",
-    "graph_walk_census", "sft_pairs", "events_recency_score",
-    "source_ks_drift", "graph_pagerank_weighted", "training_mix_upsample",
-    "embedding_hard_negatives", "lang_id_confusion", "events_burstiness",
-    # -- block 2: round-5 registrations --
-    "duplicate_ngram_spans", "bpe_pair_stats", "quality_adaptive_gate",
-    "graph_closeness_landmarks", "embedding_pq", "bucketed_join_colocated",
-    "text_keywords", "events_changepoint", "events_gap_fill",
-    "cohort_ltv", "basket_pair_rules", "k_anonymity_audit",
-    "events_seasonality", "text_sparse_dot_pairs", "multimodal_phash_dedup",
-    "ann_truncation_recall", "order_lag_features", "graph_modularity",
-    # -- block 3: re-confirms (oldest driver rows, r1/r2) --
-    "lookup_vertex", "map_edges_scan", "is_a_scan", "edge_join_2hop",
-    "traverse_bfs", "findall_orders", "bagof_by_nation",
-    "view_reduce_groups", "view_range_paging", "q1_pricing_summary",
-    "q5_nation_revenue", "spatial_radius", "events_hourly_window",
-    "replication_subset", "text_quality", "dedup_exact",
-    "dedup_minhash_lsh", "dedup_survivors", "ann_ivf_recall",
+    "token_budget_mix", "cms_heavy_hitters", "retrieval_mmr",
 ]
 
-_ordered = {n: REGISTRY[n] for n in _R5_FRONT}
+_ordered = {n: REGISTRY[n] for n in _R6_FRONT}
 for _n, _v in REGISTRY.items():
     _ordered.setdefault(_n, _v)
 REGISTRY = _ordered
