@@ -240,3 +240,89 @@ def test_item_cf_similarity_hand_cosine(spark):
     want = math.floor(2 / math.sqrt(6.0) * 1000000 + 0.5)
     assert got[(10, 20)] == (2, want, 1)
     assert got[(20, 10)] == (2, want, 1)
+
+
+def test_mad_outliers_hand_case(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        mad_outliers)
+
+    # values 1..9 plus an extreme 1000: lower median of 10 values = 5,
+    # deviations {0..4, 995} -> MAD = 2 (lower median of
+    # {4,3,2,1,0,1,2,3,4,995} sorted: 0,1,1,2,2,3,3,4,4,995 -> 5th = 2);
+    # outlier rule |v-5|*10 > 35*2=70 -> |v-5| > 7 -> only 1000
+    rows = [("a", float(v)) for v in list(range(1, 10)) + [1000]]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    row = mad_outliers(df).first()
+    assert (row.n, row.median_cents, row.mad_cents) == (10, 500, 200)
+    assert row.n_outliers == 1
+
+
+def test_attribution_linear_splits_evenly(spark):
+    from datetime import datetime
+
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        attribution_linear)
+
+    # user u: click, view, view, then a 6.00 purchase -> click gets 1/3,
+    # view 2/3; user v: purchase with no touches -> organic
+    rows = [
+        ("u", datetime(2024, 1, 1, 10), "click", 0.0),
+        ("u", datetime(2024, 1, 1, 11), "view", 0.0),
+        ("u", datetime(2024, 1, 1, 12), "view", 0.0),
+        ("u", datetime(2024, 1, 1, 13), "purchase", 6.0),
+        ("v", datetime(2024, 1, 2, 10), "purchase", 9.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string, value double")
+    out = {r.channel: r for r in attribution_linear(df).collect()}
+    assert out["click"].credit_ppm == 333333
+    assert out["view"].credit_ppm == 666666
+    assert out["click"].revenue_cents == 200
+    assert out["view"].revenue_cents == 400
+    assert out["(organic)"].credit_ppm == 1000000
+    assert out["(organic)"].revenue_cents == 900
+    assert "signup" not in out  # zero-credit channels drop out
+
+
+def test_session_paths_orders_and_ranks(spark):
+    from datetime import datetime
+
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        session_paths)
+
+    rows = [
+        # u day1: view > click > purchase (ts order)
+        ("u", datetime(2024, 1, 1, 9), "view"),
+        ("u", datetime(2024, 1, 1, 10), "click"),
+        ("u", datetime(2024, 1, 1, 11), "purchase"),
+        ("u", datetime(2024, 1, 1, 12), "error"),  # beyond depth 3
+        # v day1: view > click > purchase too
+        ("v", datetime(2024, 1, 1, 9), "view"),
+        ("v", datetime(2024, 1, 1, 10), "click"),
+        ("v", datetime(2024, 1, 1, 11), "purchase"),
+        # w day1: single-event session pads with ''
+        ("w", datetime(2024, 1, 1, 9), "signup"),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id string, ts timestamp, event_type string")
+    out = session_paths(df, depth=3, top_k=10).collect()
+    assert out[0].path == "view>click>purchase"
+    assert out[0].n_sessions == 2 and out[0].rank == 1
+    assert ("signup>>", 1) in [(r.path, r.n_sessions) for r in out]
+
+
+def test_centroid_drift_identical_halves(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import centroid_drift
+
+    # label 7: even and odd halves identical vectors -> cosine 1.0;
+    # label 8: orthogonal halves -> cosine 0.0
+    rows = [
+        (0, [1.0, 0.0], 7), (1, [1.0, 0.0], 7),
+        (2, [0.5, 0.5], 7), (3, [0.5, 0.5], 7),
+        (4, [1.0, 0.0], 8), (5, [0.0, 1.0], 8),
+    ]
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    out = {r.label: r.centroid_cosine for r in centroid_drift(df).collect()}
+    assert out[7] == 1.0
+    assert out[8] == 0.0

@@ -79,6 +79,8 @@ AUDITED = [
     "t_closeness_audit", "equi_depth_hist_price", "order_backlog_depth",
     "orders_pivot_status", "events_trailing_window", "bloom_filter_audit",
     "encoding_stats", "knn_label_propagation", "vocab_zipf_slope",
+    "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
+    "rollup_revenue", "session_paths", "embedding_centroid_drift",
 ]
 
 

@@ -7947,6 +7947,255 @@ FROM sums
 """
 
 
+def q_events_mad_outliers(spark, sf_dir):
+    """Hampel robust outlier summary per event type: exact value-grid
+    lower median + MAD in cents, |v - med|*10 > 35*MAD flags —
+    50%-breakdown-robust where the 3-sigma events_anomalies entry is
+    outlier-inflatable (operators/product_analytics.mad_outliers).
+    Two domain-bounded value-grid passes; outliers counted from the
+    grid, one corpus scan."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        mad_outliers)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return mad_outliers(ev)
+
+
+SQL_EVENTS_MAD_OUTLIERS = """
+WITH rows_ AS (
+  SELECT event_type AS g,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS q
+  FROM events
+), grid AS (SELECT g, q, count(*) AS c FROM rows_ GROUP BY 1, 2),
+tot AS (SELECT g, sum(c) AS n FROM grid GROUP BY g),
+med AS (
+  SELECT g, n, min(CASE WHEN cum * 2 >= n THEN q END) AS med
+  FROM (SELECT g, q, c, sum(c) OVER (PARTITION BY g ORDER BY q) AS cum
+        FROM grid) x JOIN tot USING (g)
+  GROUP BY g, n
+), dgrid AS (
+  SELECT grid.g, med.n, med.med, abs(q - med) AS d, sum(c) AS c
+  FROM grid JOIN med USING (g) GROUP BY 1, 2, 3, 4
+), mad AS (
+  SELECT g, n, med, min(CASE WHEN cum * 2 >= n THEN d END) AS mad
+  FROM (SELECT g, n, med, d, c,
+               sum(c) OVER (PARTITION BY g ORDER BY d) AS cum
+        FROM dgrid) x
+  GROUP BY g, n, med
+)
+SELECT dgrid.g AS event_type, CAST(mad.n AS BIGINT) AS n,
+       CAST(mad.med AS BIGINT) AS median_cents,
+       CAST(mad.mad AS BIGINT) AS mad_cents,
+       CAST(sum(CASE WHEN dgrid.d * 10 > 35 * mad.mad
+                THEN dgrid.c ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dgrid JOIN mad USING (g)
+GROUP BY 1, 2, 3, 4
+"""
+
+
+def q_events_attribution_linear(spark, sf_dir):
+    """Linear multi-touch attribution: each purchase's credit splits
+    equally across ALL prior 7-day touches (click/view/signup), exact
+    integer ppm/cents shares, one user-keyed RANGE window — the
+    multi-touch complement of the last-touch entry
+    (operators/product_analytics.attribution_linear)."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        attribution_linear)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return attribution_linear(ev, window_days=7)
+
+
+SQL_EVENTS_ATTRIBUTION_LINEAR = """
+WITH tagged AS (
+  SELECT user_id AS u, epoch_ns(ts) AS t, event_type AS et,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events
+  WHERE event_type IN ('purchase', 'click', 'view', 'signup')
+), counted AS (
+  SELECT u, t, et, cents,
+         coalesce(sum(CASE WHEN et = 'click' THEN 1 ELSE 0 END)
+           OVER w, 0) AS c_click,
+         coalesce(sum(CASE WHEN et = 'view' THEN 1 ELSE 0 END)
+           OVER w, 0) AS c_view,
+         coalesce(sum(CASE WHEN et = 'signup' THEN 1 ELSE 0 END)
+           OVER w, 0) AS c_signup
+  FROM tagged
+  WINDOW w AS (PARTITION BY u ORDER BY t
+               RANGE BETWEEN 604800000000000 PRECEDING AND 1 PRECEDING)
+), convs AS (
+  SELECT cents, c_click, c_view, c_signup,
+         c_click + c_view + c_signup AS tot
+  FROM counted WHERE et = 'purchase'
+), stacked AS (
+  SELECT cents, tot, 'click' AS channel, c_click AS c FROM convs
+  UNION ALL SELECT cents, tot, 'view', c_view FROM convs
+  UNION ALL SELECT cents, tot, 'signup', c_signup FROM convs
+), credited AS (
+  SELECT channel, CAST(sum(c * 1000000 // tot) AS BIGINT) AS credit_ppm,
+         CAST(sum(cents * c // tot) AS BIGINT) AS revenue_cents
+  FROM stacked WHERE tot > 0 GROUP BY channel
+  HAVING sum(c * 1000000 // tot) > 0
+), organic AS (
+  SELECT '(organic)' AS channel,
+         CAST(count(*) * 1000000 AS BIGINT) AS credit_ppm,
+         CAST(coalesce(sum(cents), 0) AS BIGINT) AS revenue_cents
+  FROM convs WHERE tot = 0 HAVING count(*) > 0
+)
+SELECT * FROM credited UNION ALL SELECT * FROM organic
+"""
+
+
+def q_metrics_unpivot(spark, sf_dir):
+    """Unpivot (melt) surface — DataFrame.unpivot turns the wide
+    lineitem metric columns into (metric, value) long format, then one
+    per-metric summary aggregate: the wide-to-long reshape every
+    feature-store export needs, JVM-side (Expand node), no UDF."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    wide = li.select(
+        F.floor(F.col("l_quantity")).cast("long").alias("qty"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long")
+        .alias("price_cents"),
+        F.floor(F.col("l_discount") * 100 + 0.5).cast("long")
+        .alias("disc_pct"))
+    long = wide.unpivot([], ["qty", "price_cents", "disc_pct"],
+                        "metric", "v")
+    return (long.groupBy("metric")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.sum("v").cast("long").alias("total"),
+                 F.min("v").alias("lo"), F.max("v").alias("hi")))
+
+
+SQL_METRICS_UNPIVOT = """
+WITH wide AS (
+  SELECT CAST(floor(l_quantity) AS BIGINT) AS qty,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)
+           AS price_cents,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS disc_pct
+  FROM lineitem
+), long AS (
+  SELECT 'qty' AS metric, qty AS v FROM wide
+  UNION ALL SELECT 'price_cents', price_cents FROM wide
+  UNION ALL SELECT 'disc_pct', disc_pct FROM wide
+)
+SELECT metric, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(v) AS BIGINT) AS total,
+       CAST(min(v) AS BIGINT) AS lo, CAST(max(v) AS BIGINT) AS hi
+FROM long GROUP BY metric
+"""
+
+
+def q_rollup_revenue(spark, sf_dir):
+    """ROLLUP surface — DataFrame.rollup over (year, status) with
+    grouping_id: subtotal rows per year and a grand total in ONE Expand
+    pass (no re-aggregation), revenue in half-up cents. The hierarchy
+    report face of the grouping-sets entry."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+    return (o.select(F.year("o_orderdate").cast("long").alias("o_year"),
+                     F.col("o_orderstatus").alias("status"),
+                     cents.alias("cents"))
+            .rollup("o_year", "status")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_orders"),
+                 F.sum("cents").cast("long").alias("revenue_cents"),
+                 F.grouping_id().cast("long").alias("gid")))
+
+
+SQL_ROLLUP_REVENUE = """
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       o_orderstatus AS status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+            AS BIGINT) AS revenue_cents,
+       CAST(GROUPING(year(o_orderdate)) * 2 + GROUPING(o_orderstatus)
+            AS BIGINT) AS gid
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderstatus)
+"""
+
+
+def q_session_paths(spark, sf_dir):
+    """Clickstream entry-path mining: top-20 first-3-event-type paths
+    per (user, day) session, deterministic ordering and tie-breaks —
+    one (user, day) window shuffle, map-side path counting, top-k via
+    TakeOrderedAndProject
+    (operators/product_analytics.session_paths)."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        session_paths)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return session_paths(ev, depth=3, top_k=20)
+
+
+SQL_SESSION_PATHS = """
+WITH base AS (
+  SELECT user_id AS u, epoch_ns(ts) // 86400000000000 AS d,
+         epoch_ns(ts) AS t, event_type AS et
+  FROM events
+), ranked AS (
+  SELECT u, d, et,
+         row_number() OVER (PARTITION BY u, d ORDER BY t, et) AS rn
+  FROM base QUALIFY rn <= 3
+), sess AS (
+  SELECT u, d,
+         coalesce(max(CASE WHEN rn = 1 THEN et END), '') AS e0,
+         coalesce(max(CASE WHEN rn = 2 THEN et END), '') AS e1,
+         coalesce(max(CASE WHEN rn = 3 THEN et END), '') AS e2
+  FROM ranked GROUP BY u, d
+), counts AS (
+  SELECT concat_ws('>', e0, e1, e2) AS path, count(*) AS n_sessions
+  FROM sess GROUP BY 1
+)
+SELECT path, CAST(n_sessions AS BIGINT) AS n_sessions,
+       CAST(row_number() OVER (ORDER BY n_sessions DESC, path ASC)
+            AS BIGINT) AS rank
+FROM counts
+QUALIFY rank <= 20
+"""
+
+
+def q_embedding_centroid_drift(spark, sf_dir):
+    """Per-label centroid stability: cosine between the even-id and
+    odd-id half centroids of each label
+    (pipeline/similarity.centroid_drift) — one corpus pass to
+    (label, half, dim) decimal sums; drifting/heterogeneous labels
+    surface as low cosine. The pre-check before trusting per-label
+    centroids for outlier pruning or IVF seeding."""
+    from vivace_graph_v3_spark.pipeline.similarity import centroid_drift
+
+    return centroid_drift(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_CENTROID_DRIFT = """
+WITH exploded AS (
+  SELECT label AS lbl, vec_id % 2 = 0 AS even,
+         generate_subscripts(embedding, 1) AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), sums AS (
+  SELECT lbl, even, dim,
+         sum(CAST(x AS DECIMAL(38,12))) AS s, count(*) AS c
+  FROM exploded GROUP BY 1, 2, 3
+), means AS (
+  SELECT lbl, even, dim, CAST(s AS DOUBLE) / c AS m FROM sums
+), j AS (
+  SELECT a.lbl, a.m AS ma, b.m AS mb
+  FROM (SELECT * FROM means WHERE even) a
+  JOIN (SELECT * FROM means WHERE NOT even) b
+    ON a.lbl = b.lbl AND a.dim = b.dim
+), agg AS (
+  SELECT lbl,
+         CAST(sum(CAST(ma * mb AS DECIMAL(38,12))) AS DOUBLE) AS dot,
+         CAST(sum(CAST(ma * ma AS DECIMAL(38,12))) AS DOUBLE) AS na,
+         CAST(sum(CAST(mb * mb AS DECIMAL(38,12))) AS DOUBLE) AS nb
+  FROM j GROUP BY lbl
+)
+SELECT lbl AS label, round(dot / (sqrt(na) * sqrt(nb)), 6)
+         AS centroid_cosine
+FROM agg WHERE dot / (sqrt(na) * sqrt(nb)) IS NOT NULL
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8212,6 +8461,14 @@ REGISTRY: dict[str, tuple] = {
     "knn_label_propagation": (q_knn_label_propagation,
                               SQL_KNN_LABEL_PROPAGATION),
     "vocab_zipf_slope": (q_vocab_zipf_slope, SQL_VOCAB_ZIPF_SLOPE),
+    "events_mad_outliers": (q_events_mad_outliers, SQL_EVENTS_MAD_OUTLIERS),
+    "events_attribution_linear": (q_events_attribution_linear,
+                                  SQL_EVENTS_ATTRIBUTION_LINEAR),
+    "metrics_unpivot": (q_metrics_unpivot, SQL_METRICS_UNPIVOT),
+    "rollup_revenue": (q_rollup_revenue, SQL_ROLLUP_REVENUE),
+    "session_paths": (q_session_paths, SQL_SESSION_PATHS),
+    "embedding_centroid_drift": (q_embedding_centroid_drift,
+                                 SQL_EMBEDDING_CENTROID_DRIFT),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8234,6 +8491,8 @@ _R6_FRONT = [
     "t_closeness_audit", "equi_depth_hist_price", "order_backlog_depth",
     "orders_pivot_status", "events_trailing_window", "bloom_filter_audit",
     "encoding_stats", "knn_label_propagation", "vocab_zipf_slope",
+    "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
+    "rollup_revenue", "session_paths", "embedding_centroid_drift",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

@@ -461,3 +461,166 @@ def item_cf_similarity(orders: DataFrame, lineitem: DataFrame, *,
             .filter(F.col("rank") <= k)
             .select("item", "neighbor", F.col("co").cast("long").alias("co"),
                     "sim_ppm", "rank"))
+
+
+def mad_outliers(events: DataFrame, *,
+                 type_col: str = "event_type", value_col: str = "value",
+                 k_tenths: int = 35) -> DataFrame:
+    """Robust outlier summary per event type using MEDIAN / MAD instead
+    of mean / sigma (Hampel identifier, k = 3.5 by default): the
+    3-sigma flags of ``events_anomalies`` break down when the outliers
+    themselves inflate sigma; median absolute deviation is 50%-
+    breakdown robust.
+
+    Exactness: values are half-up cents; the median is the LOWER median
+    (min value whose doubled cumulative count reaches n) computed on the
+    VALUE GRID — one map-side-combined (type, cents) count, cumulative
+    window over distinct values only (the winsorize convention). The MAD
+    repeats the same recipe on |v - median| — a second domain-bounded
+    pass. A point is an outlier when |v - med| * 10 > k_tenths * MAD —
+    all-BIGINT, no division.
+
+    Returns (event_type, n, median_cents, mad_cents, n_outliers).
+
+    Scale shape: two value-grid aggregates + one broadcast of the
+    per-type thresholds back onto the counted grid (NOT the raw rows —
+    outliers are counted from the grid, so the corpus is scanned once)."""
+    cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
+    rows = events.select(F.col(type_col).alias("g"), cents.alias("q"))
+    grid = rows.groupBy("g", "q").agg(F.count(F.lit(1)).alias("c"))
+    tot = grid.groupBy("g").agg(F.sum("c").alias("n"))
+    wg = (Window.partitionBy("g").orderBy("q")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    med = (grid.withColumn("cum", F.sum("c").over(wg)).join(tot, "g")
+           .groupBy("g", "n")
+           .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n"),
+                             F.col("q"))).alias("med")))
+    dev = (grid.join(F.broadcast(med), "g")
+           .select("g", "n", "med", F.abs(F.col("q") - F.col("med"))
+                   .alias("d"), "c"))
+    dgrid = dev.groupBy("g", "n", "med", "d").agg(F.sum("c").alias("c"))
+    wd = (Window.partitionBy("g").orderBy("d")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    mad = (dgrid.withColumn("cum", F.sum("c").over(wd))
+           .groupBy("g", "n", "med")
+           .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n"),
+                             F.col("d"))).alias("mad")))
+    out = (dgrid.select("g", "d", "c")
+           .join(F.broadcast(mad), "g")
+           .groupBy("g", "n", "med", "mad")
+           .agg(F.sum(F.when(F.col("d") * 10 > F.lit(k_tenths)
+                             * F.col("mad"), F.col("c"))
+                      .otherwise(0)).alias("n_outliers")))
+    return out.select(F.col("g").alias(type_col),
+                      F.col("n").cast("long").alias("n"),
+                      F.col("med").alias("median_cents"),
+                      F.col("mad").alias("mad_cents"),
+                      F.col("n_outliers").cast("long").alias("n_outliers"))
+
+
+def attribution_linear(events: DataFrame, *,
+                       conversion_type: str = "purchase",
+                       touch_types: tuple = ("click", "view", "signup"),
+                       window_days: int = 7,
+                       ts_col: str = "ts", user_col: str = "user_id",
+                       type_col: str = "event_type",
+                       value_col: str = "value") -> DataFrame:
+    """LINEAR multi-touch attribution — each conversion's credit splits
+    EQUALLY across every prior touch within ``window_days`` (vs
+    attribution_last_touch's winner-take-all). Per-channel shares are
+    counted with one RANGE window per conversion (conditional counts
+    per channel in the same frame — no conversions-x-touches join), so
+    the plan stays a single user-keyed window shuffle exactly like the
+    last-touch shape.
+
+    Credit is exact integer arithmetic: a conversion with t total
+    touches and c_ch touches of one channel adds c_ch * 1e6 div t
+    credit-ppm and revenue_cents * c_ch div t cents to that channel
+    (truncating div; remainders — at most t-1 microppm/cents per
+    conversion — are dropped, deterministically). Touchless conversions
+    credit '(organic)' in full. Returns
+    (channel, credit_ppm, revenue_cents)."""
+    events = _nanos(events, ts_col)
+    is_touch = F.col(type_col).isin(*touch_types)
+    is_conv = F.col(type_col) == conversion_type
+    tagged = (events.filter(is_touch | is_conv)
+              .select(F.col(user_col).alias("u"),
+                      F.col(ts_col).alias("t"),
+                      F.col(type_col).alias("et"),
+                      F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
+                      .alias("cents")))
+    horizon = window_days * NANOS_PER_DAY
+    w = (Window.partitionBy("u").orderBy("t")
+         .rangeBetween(-horizon, -1))
+    counted = tagged
+    for ch in touch_types:
+        # a conversion with NO prior rows gets an empty frame — sum()
+        # over it is NULL, which would silently drop the conversion
+        # from both the credited and the organic branch: coalesce to 0
+        counted = counted.withColumn(
+            f"c_{ch}",
+            F.coalesce(F.sum(F.when(F.col("et") == ch, 1).otherwise(0))
+                       .over(w), F.lit(0)))
+    convs = counted.filter(F.col("et") == conversion_type)
+    total = reduce(lambda a, b: a + b,
+                   [F.col(f"c_{ch}") for ch in touch_types])
+    convs = convs.withColumn("tot", total)
+    stacked = convs.select("cents", "tot", F.explode(F.array(*[
+        F.struct(F.lit(ch).alias("channel"),
+                 F.col(f"c_{ch}").alias("c")) for ch in touch_types
+    ])).alias("s")).select("cents", "tot", "s.channel", "s.c")
+    credited = (stacked.filter(F.col("tot") > 0)
+                .groupBy("channel")
+                .agg(F.sum(F.expr("c * 1000000 div tot"))
+                     .cast("long").alias("credit_ppm"),
+                     F.sum(F.expr("cents * c div tot"))
+                     .cast("long").alias("revenue_cents"))
+                .filter(F.col("credit_ppm") > 0))
+    organic = (convs.filter(F.col("tot") == 0)
+               .agg(F.count(F.lit(1)).alias("nc"),
+                    F.coalesce(F.sum("cents"), F.lit(0)).alias("rc"))
+               .select(F.lit("(organic)").alias("channel"),
+                       (F.col("nc") * 1_000_000).cast("long")
+                       .alias("credit_ppm"),
+                       F.col("rc").cast("long").alias("revenue_cents"))
+               .filter(F.col("credit_ppm") > 0))
+    return credited.unionAll(organic)
+
+
+def session_paths(events: DataFrame, *, ts_col: str = "ts",
+                  user_col: str = "user_id", type_col: str = "event_type",
+                  depth: int = 3, top_k: int = 20) -> DataFrame:
+    """Top entry paths: the first ``depth`` event types of each
+    (user, day) session concatenated with '>' — the clickstream
+    path-mining report (where do sessions start and go). Deterministic:
+    events order by (ts, event_id is not assumed — ties order by
+    event type) within the session; paths rank by (count desc, path
+    asc).
+
+    Scale shape: ONE window shuffle on (user, day) ranks events; the
+    first-``depth`` pivot is a conditional aggregate on the same keys
+    (no second shuffle — same partitioning); path counting is a
+    map-side-combinable aggregate on the path string; top-k is a
+    TakeOrderedAndProject, never a global sort."""
+    events = _nanos(events, ts_col)
+    day = F.expr(f"`{ts_col}` div {NANOS_PER_DAY}")
+    base = events.select(F.col(user_col).alias("u"), day.alias("d"),
+                         F.col(ts_col).alias("t"),
+                         F.col(type_col).alias("et"))
+    w = Window.partitionBy("u", "d").orderBy("t", "et")
+    ranked = (base.withColumn("rn", F.row_number().over(w))
+              .filter(F.col("rn") <= depth))
+    slots = [F.max(F.when(F.col("rn") == i + 1, F.col("et")))
+             .alias(f"e{i}") for i in range(depth)]
+    sess = ranked.groupBy("u", "d").agg(*slots)
+    path = F.concat_ws(">", *[F.coalesce(F.col(f"e{i}"), F.lit(""))
+                              for i in range(depth)])
+    counts = (sess.select(path.alias("path"))
+              .groupBy("path").agg(F.count(F.lit(1)).alias("n_sessions")))
+    wr = Window.partitionBy(F.lit(1)).orderBy(
+        F.col("n_sessions").desc(), F.col("path").asc())
+    return (counts.withColumn("rank", F.row_number().over(wr))
+            .filter(F.col("rank") <= top_k)
+            .select("path", F.col("n_sessions").cast("long")
+                    .alias("n_sessions"),
+                    F.col("rank").cast("long").alias("rank")))

@@ -481,3 +481,53 @@ def knn_classify(labeled: DataFrame, unlabeled: DataFrame, *, k: int = 5,
             .select(F.col("query_id").alias(id_col),
                     F.col("nl").alias("pred_label"),
                     F.col("votes").cast("long").alias("votes")))
+
+
+def centroid_drift(emb: DataFrame, *, vec_col: str = "embedding",
+                   id_col: str = "vec_id",
+                   label_col: str = "label") -> DataFrame:
+    """Per-label embedding centroid drift between two deterministic
+    halves of the corpus (even vs odd ids): cosine similarity of the
+    two mean vectors — the embedding-space stability monitor (a label
+    whose halves disagree marks a drifting / heterogeneous class, the
+    check run before trusting per-label centroids for outlier pruning
+    or IVF seeding).
+
+    Exactness: per-dimension sums accumulate in DECIMAL(38,12) over a
+    posexplode (order-independent), means divide in doubles, and the
+    closing cosine folds the (label x dim)-bounded mean table with one
+    more decimal accumulation, rounded to 6 — the cross-engine recipe.
+
+    Scale shape: ONE corpus pass to (label, half, dim) sums —
+    map-side-combined, dims-bounded state; everything downstream is
+    |labels| x dims rows."""
+    half = (F.col(id_col) % 2 == 0)
+    exploded = (emb.select(F.col(label_col).alias("lbl"),
+                           half.alias("even"),
+                           F.posexplode(F.col(vec_col))
+                           .alias("dim", "x")))
+    # float -> DOUBLE first (exact widening), THEN decimal: a direct
+    # float->decimal cast could round differently across engines
+    sums = (exploded.groupBy("lbl", "even", "dim")
+            .agg(F.sum(F.col("x").cast("double").cast("decimal(38,12)"))
+                 .alias("s"),
+                 F.count(F.lit(1)).alias("c")))
+    means = sums.select("lbl", "even", "dim",
+                        (F.col("s").cast("double") / F.col("c"))
+                        .alias("m"))
+    a = (means.filter(F.col("even")).select(
+        "lbl", "dim", F.col("m").alias("ma")))
+    b = (means.filter(~F.col("even")).select(
+        "lbl", "dim", F.col("m").alias("mb")))
+    j = a.join(b, ["lbl", "dim"])
+    agg = (j.groupBy("lbl")
+           .agg(F.sum((F.col("ma") * F.col("mb")).cast("decimal(38,12)"))
+                .cast("double").alias("dot"),
+                F.sum((F.col("ma") * F.col("ma")).cast("decimal(38,12)"))
+                .cast("double").alias("na"),
+                F.sum((F.col("mb") * F.col("mb")).cast("decimal(38,12)"))
+                .cast("double").alias("nb")))
+    cos = F.round(F.col("dot") / (F.sqrt("na") * F.sqrt("nb")), 6)
+    return (agg.select(F.col("lbl").alias(label_col),
+                       cos.alias("centroid_cosine"))
+            .filter(F.col("centroid_cosine").isNotNull()))
