@@ -89,3 +89,15 @@ def test_retract_goal_requires_write_and_mutates(spark, tmp_path):
         B.select(store, ["?p"], goals, allowed_effects={"eval"})
     B.select(store, ["?p"], goals)  # write allowed by default
     assert [r["name"] for r in vg.read("person").collect()] == ["ann"]
+
+
+def test_fk_integrity_audit_counts(spark):
+    from vivace_graph_v3_spark.operators.integrity import fk_integrity_audit
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk long")
+    child = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 2), (4, 99), (5, None)], "id long, fk long")
+    r = fk_integrity_audit([("child->parent", child, "fk", parent, "pk")]) \
+        .first()
+    assert (r.fk, r.n_child, r.n_null_keys, r.n_orphans) == \
+        ("child->parent", 5, 1, 1)

@@ -1466,3 +1466,14 @@ def test_zipf_slope_on_synthetic_zipf(spark):
     assert r.n_types == 20
     # 2520//rank is not exactly C/rank beyond rank 10 -> near -1, not exact
     assert -1.05 < r.zipf_slope < -0.93, r.zipf_slope
+
+
+def test_embedding_dim_stats_flags_constant_dim(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import embedding_dim_stats
+
+    rows = [(i, [float(i), 3.0]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = {r.dim: r for r in embedding_dim_stats(df).collect()}
+    assert out[0].n == 10 and out[0].mean == 4.5
+    assert out[0].var == 8.25 and not out[0].degenerate
+    assert out[1].var == 0.0 and out[1].degenerate

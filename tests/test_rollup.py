@@ -83,3 +83,21 @@ def test_holt_forecast_hand_two_days(spark):
     assert r.n_days == 2
     assert (r.level_ppm, r.trend_ppm) == (6_000_000, 1_000_000)
     assert (r.forecast1_ppm, r.forecast7_ppm) == (7_000_000, 13_000_000)
+
+
+def test_ohlc_resample_deterministic_ties(spark):
+    from vivace_graph_v3_spark.operators.rollup import ohlc_resample
+
+    # two events with IDENTICAL ts in one bucket: open/close break the
+    # tie by event_id; high/low independent of order
+    ns = 1_000_000_000
+    rows = [
+        ("a", 10 * ns, 1, 5.0),
+        ("a", 10 * ns, 2, 7.0),   # same ts, higher id -> close
+        ("a", 20 * ns, 3, 1.0),   # later ts but still same hour bucket
+    ]
+    df = spark.createDataFrame(rows, "event_type string, ts long, "
+                                     "event_id long, value double")
+    r = ohlc_resample(df).first()
+    assert (r.n, r.open_cents, r.close_cents) == (3, 500, 100)
+    assert (r.high_cents, r.low_cents) == (700, 100)

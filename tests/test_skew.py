@@ -56,3 +56,17 @@ def test_two_phase_distinct_null_semantics_match_count_distinct(spark):
            two_phase_distinct(df, ["k"], "v").collect()}
     assert got == want
     assert ("a", 2) in got and ("b", 0) in got
+
+
+def test_key_skew_profile_hand_case(spark):
+    from vivace_graph_v3_spark.operators.skew import key_skew_profile
+
+    # keys: a x6, b x2, c x1, d x1 -> n_rows 10, n_keys 4, max 6,
+    # fanout grid {1:2, 2:1, 6:1}: p50 = min c with cum*2>=4 -> 1
+    # (cum at c=1 is 2, 2*2>=4), p99 = 6, top1 share = 600000
+    rows = [("a",)] * 6 + [("b",)] * 2 + [("c",), ("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    r = key_skew_profile(df, "k").first()
+    assert (r.n_rows, r.n_keys, r.max_per_key) == (10, 4, 6)
+    assert (r.p50_per_key, r.p99_per_key) == (1, 6)
+    assert r.top1_share_ppm == 600000

@@ -81,6 +81,8 @@ AUDITED = [
     "encoding_stats", "knn_label_propagation", "vocab_zipf_slope",
     "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
+    "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
+    "events_ohlc_hourly",
 ]
 
 

@@ -8196,6 +8196,156 @@ FROM agg WHERE dot / (sqrt(na) * sqrt(nb)) IS NOT NULL
 """
 
 
+def q_embedding_dim_stats(spark, sf_dir):
+    """Per-dimension embedding health report: mean/variance and a
+    degenerate-dimension flag (pipeline/similarity.embedding_dim_stats)
+    — the pre-index whitening/pruning check; one corpus pass,
+    dims-bounded state, decimal-accumulated moments."""
+    from vivace_graph_v3_spark.pipeline.similarity import embedding_dim_stats
+
+    return embedding_dim_stats(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_DIM_STATS = """
+WITH exploded AS (
+  SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(unnest(embedding) AS DOUBLE) AS x
+  FROM embeddings
+), sums AS (
+  SELECT dim, count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,12))) AS s,
+         sum(CAST(x * x AS DECIMAL(38,12))) AS ss
+  FROM exploded GROUP BY dim
+)
+SELECT CAST(dim AS BIGINT) AS dim, CAST(n AS BIGINT) AS n,
+       round(CAST(s AS DOUBLE) / n, 6) AS mean,
+       round(CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+         AS var,
+       round(CAST(ss AS DOUBLE) / n
+             - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n), 6)
+         * 1000000 < 100 AS degenerate
+FROM sums
+"""
+
+
+def q_key_skew_profile(spark, sf_dir):
+    """Join-key skew diagnosis of lineitem.l_partkey
+    (operators/skew.key_skew_profile): exact per-key fanout
+    distribution (max / p50 / p99 / top-1 share) from the fanout VALUE
+    GRID — the decide-before-you-join planner input that motivates the
+    salted_revenue / two_phase_distinct rewrites."""
+    from vivace_graph_v3_spark.operators.skew import key_skew_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return key_skew_profile(li, "l_partkey")
+
+
+SQL_KEY_SKEW_PROFILE = """
+WITH counts AS (
+  SELECT l_partkey AS k, count(*) AS c FROM lineitem GROUP BY 1
+), grid AS (
+  SELECT c, count(*) AS n_keys_c FROM counts GROUP BY c
+), cum AS (
+  SELECT c, sum(n_keys_c) OVER (ORDER BY c) AS cum FROM grid
+), tot AS (
+  SELECT sum(c * n_keys_c) AS n_rows, sum(n_keys_c) AS n_keys,
+         max(c) AS max_per_key
+  FROM grid
+), pct AS (
+  SELECT min(CASE WHEN cum * 2 >= (SELECT n_keys FROM tot) THEN c END)
+           AS p50_per_key,
+         min(CASE WHEN cum * 100 >= (SELECT n_keys FROM tot) * 99
+                  THEN c END) AS p99_per_key
+  FROM cum
+)
+SELECT CAST(n_rows AS BIGINT) AS n_rows, CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(max_per_key AS BIGINT) AS max_per_key,
+       CAST(p50_per_key AS BIGINT) AS p50_per_key,
+       CAST(p99_per_key AS BIGINT) AS p99_per_key,
+       CAST(max_per_key * 1000000 // n_rows AS BIGINT) AS top1_share_ppm
+FROM tot, pct
+"""
+
+
+def q_fk_integrity_audit(spark, sf_dir):
+    """Relational FK audit over the four TPC-H foreign keys
+    (operators/integrity.fk_integrity_audit): orphan and NULL-key counts
+    per relationship via left-anti joins (broadcast for dimension
+    parents, shuffle semi-join otherwise) — the referential complement
+    of the graph-side integrity_report, run before any shard export."""
+    from vivace_graph_v3_spark.operators.integrity import fk_integrity_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    s = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    return fk_integrity_audit([
+        ("lineitem.orderkey->orders", li, "l_orderkey", o, "o_orderkey"),
+        ("orders.custkey->customer", o, "o_custkey", c, "c_custkey"),
+        ("lineitem.partkey->part", li, "l_partkey", p, "p_partkey"),
+        ("lineitem.suppkey->supplier", li, "l_suppkey", s, "s_suppkey"),
+    ])
+
+
+def _sql_fk_one(name: str, child: str, ccol: str, parent: str,
+                pcol: str) -> str:
+    return f"""
+SELECT '{name}' AS fk,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}) AS n_child,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}
+        WHERE {ccol} IS NULL) AS n_null_keys,
+       (SELECT CAST(count(*) AS BIGINT) FROM {child}
+        WHERE {ccol} IS NOT NULL
+          AND {ccol} NOT IN (SELECT {pcol} FROM {parent})) AS n_orphans
+"""
+
+
+SQL_FK_INTEGRITY_AUDIT = (
+    _sql_fk_one("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+                "orders", "o_orderkey")
+    + " UNION ALL " + _sql_fk_one("orders.custkey->customer", "orders",
+                                  "o_custkey", "customer", "c_custkey")
+    + " UNION ALL " + _sql_fk_one("lineitem.partkey->part", "lineitem",
+                                  "l_partkey", "part", "p_partkey")
+    + " UNION ALL " + _sql_fk_one("lineitem.suppkey->supplier", "lineitem",
+                                  "l_suppkey", "supplier", "s_suppkey"))
+
+
+def q_events_ohlc_hourly(spark, sf_dir):
+    """OHLC candle resampling per (event type, hour)
+    (operators/rollup.ohlc_resample): open/close by (ts, event_id)
+    struct min/max — ONE map-side-combinable aggregate, no per-bucket
+    sort; the metrics-downsample / financial-candle shape."""
+    from vivace_graph_v3_spark.operators.rollup import ohlc_resample
+
+    return ohlc_resample(_events(spark, sf_dir))
+
+
+SQL_EVENTS_OHLC_HOURLY = """
+WITH base AS (
+  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS bucket,
+         epoch_ns(ts) AS t, event_id AS i,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events
+), ranked AS (
+  SELECT g, bucket, v,
+         row_number() OVER (PARTITION BY g, bucket ORDER BY t, i) AS ra,
+         row_number() OVER (PARTITION BY g, bucket
+                            ORDER BY t DESC, i DESC) AS rd
+  FROM base
+)
+SELECT g AS event_type, CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CASE WHEN ra = 1 THEN v END) AS BIGINT) AS open_cents,
+       CAST(max(v) AS BIGINT) AS high_cents,
+       CAST(min(v) AS BIGINT) AS low_cents,
+       CAST(max(CASE WHEN rd = 1 THEN v END) AS BIGINT) AS close_cents
+FROM ranked GROUP BY g, bucket
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8469,6 +8619,10 @@ REGISTRY: dict[str, tuple] = {
     "session_paths": (q_session_paths, SQL_SESSION_PATHS),
     "embedding_centroid_drift": (q_embedding_centroid_drift,
                                  SQL_EMBEDDING_CENTROID_DRIFT),
+    "embedding_dim_stats": (q_embedding_dim_stats, SQL_EMBEDDING_DIM_STATS),
+    "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
+    "fk_integrity_audit": (q_fk_integrity_audit, SQL_FK_INTEGRITY_AUDIT),
+    "events_ohlc_hourly": (q_events_ohlc_hourly, SQL_EVENTS_OHLC_HOURLY),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8493,6 +8647,8 @@ _R6_FRONT = [
     "encoding_stats", "knn_label_propagation", "vocab_zipf_slope",
     "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
+    "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
+    "events_ohlc_hourly",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

@@ -126,3 +126,35 @@ def integrity_report(graph: GraphStore) -> DataFrame:
     spark = graph.spark
     rows = [(name, df.count()) for name, df in checks.items()]
     return spark.createDataFrame(rows, "check string, violations long")
+
+
+def fk_integrity_audit(pairs: list[tuple[str, DataFrame, str, DataFrame, str]]
+                       ) -> DataFrame:
+    """Relational foreign-key audit — the referential-integrity
+    complement of the graph-side check_data_integrity (backup.lisp:46-80
+    validates vertex/edge structural invariants; this validates the
+    RELATIONAL projection): for each (name, child, child_col, parent,
+    parent_col) pair, count child rows whose key has no parent (orphans)
+    and child rows with NULL keys.
+
+    Returns (fk, n_child, n_null_keys, n_orphans). Scale shape: one
+    left-anti join per pair — Catalyst broadcasts the parent when small
+    (dimension FKs) and falls back to a shuffle semi-join otherwise; the
+    counts are map-side-combined. Run it before export: shard manifests
+    assume closed FKs."""
+    outs = []
+    for name, child, ccol, parent, pcol in pairs:
+        keys = child.select(F.col(ccol).alias("k"))
+        nn = keys.filter(F.col("k").isNull())
+        orphans = (keys.filter(F.col("k").isNotNull())
+                   .join(parent.select(F.col(pcol).alias("k")).distinct(),
+                         "k", "left_anti"))
+        outs.append(
+            keys.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(nn.agg(F.count(F.lit(1)).alias("n_null_keys")))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(F.lit(name).alias("fk"),
+                    F.col("n_child").cast("long").alias("n_child"),
+                    F.col("n_null_keys").cast("long").alias("n_null_keys"),
+                    F.col("n_orphans").cast("long").alias("n_orphans")))
+    return reduce(lambda a, b: a.unionAll(b), outs)

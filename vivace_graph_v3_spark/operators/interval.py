@@ -72,9 +72,16 @@ def interval_concurrency(intervals: DataFrame, *, start_col: str,
     (t, delta, depth) where depth is the count open in [t, next_t)."""
     s = F.col(start_col).cast("long")
     e = F.col(end_col).cast("long") + 1
-    deltas = (intervals.select(s.alias("t"), F.lit(1).alias("d"))
-              .unionAll(intervals.select(e.alias("t"),
-                                         F.lit(-1).alias("d")))
+    # both boundary deltas come out of ONE pass over the intervals (an
+    # explode of two (t, d) structs) — a unionAll of two selects would
+    # make Spark compute the interval frame twice, doubling any upstream
+    # join/aggregate work feeding this operator
+    deltas = (intervals
+              .select(F.explode(F.array(
+                  F.struct(s.alias("t"), F.lit(1).alias("d")),
+                  F.struct(e.alias("t"), F.lit(-1).alias("d"))))
+                  .alias("b"))
+              .select("b.t", "b.d")
               .groupBy("t").agg(F.sum("d").alias("delta"))
               .filter(F.col("delta") != 0))
     w = (Window.partitionBy(F.lit(1)).orderBy("t")

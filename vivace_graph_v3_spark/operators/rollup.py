@@ -149,3 +149,42 @@ def holt_forecast(df: DataFrame, *, ts_col: str = "ts",
         ppm(F.col("st.l") + F.col("st.b")).alias("forecast1_ppm"),
         ppm(F.col("st.l") + F.lit(float(horizon)) * F.col("st.b"))
         .alias(f"forecast{horizon}_ppm"))
+
+
+def ohlc_resample(events: DataFrame, *, ts_col: str = "ts",
+                  group_col: str = "event_type", value_col: str = "value",
+                  bucket_ns: int = 3_600_000_000_000,
+                  id_col: str = "event_id") -> DataFrame:
+    """OHLC (open/high/low/close) resampling per (group, time bucket) —
+    the financial-candle / metrics-downsample shape. ``ts`` must already
+    be epoch-nanos (the events convention); values are half-up cents.
+
+    Determinism: open/close pick the first/last row by (ts, id) — the id
+    tiebreak makes simultaneous events unambiguous; they are computed as
+    min/max over a (t, id, cents) STRUCT (lexicographic struct ordering,
+    one aggregate — no row_number window pass), so the whole op is ONE
+    map-side-combinable aggregate per (group, bucket): the 100 TB shape
+    (no per-bucket sort anywhere).
+
+    Returns (group, bucket, n, open_cents, high_cents, low_cents,
+    close_cents)."""
+    cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
+    base = events.select(
+        F.col(group_col).alias("g"),
+        F.expr(f"`{ts_col}` div {bucket_ns}").alias("bucket"),
+        F.struct(F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                 cents.alias("v")).alias("s"),
+        cents.alias("cents"))
+    agg = (base.groupBy("g", "bucket")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.min("s").alias("first_s"), F.max("s").alias("last_s"),
+                F.max("cents").alias("high_cents"),
+                F.min("cents").alias("low_cents")))
+    return agg.select(
+        F.col("g").alias(group_col),
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("n").cast("long").alias("n"),
+        F.col("first_s.v").alias("open_cents"),
+        F.col("high_cents").alias("high_cents"),
+        F.col("low_cents").alias("low_cents"),
+        F.col("last_s.v").alias("close_cents"))

@@ -61,3 +61,45 @@ def two_phase_distinct(df: DataFrame, key_cols: list[str],
     return (df.select(*key_cols, value_col).dropDuplicates()
             .groupBy(*key_cols)
             .agg(F.count(value_col).alias("n_distinct")))
+
+
+def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
+    """Join-key skew diagnosis — the numbers you need BEFORE deciding
+    between a plain shuffle join, a broadcast, salting, or an AQE skew
+    split: per-key fanout distribution of a prospective join key.
+
+    Returns one row: (n_rows, n_keys, max_per_key, p50_per_key,
+    p99_per_key, top1_share_ppm). Percentiles are exact lower
+    percentiles over the VALUE GRID of per-key counts (a grid bounded
+    by the number of DISTINCT fanout sizes — tiny even when keys are
+    billions), so the whole profile is one map-side-combined count
+    aggregate plus grid-sized work; all integer arithmetic.
+
+    Reading it: max_per_key * row_width ~ the largest single-task
+    payload a shuffle join would see; top1_share near 1e6 means one hot
+    key dominates (salt it); p99/p50 >> 1 means a long tail (AQE skew
+    join handles it)."""
+    from pyspark.sql import Window
+
+    counts = (df.select(F.col(key_col).alias("k"))
+              .groupBy("k").agg(F.count(F.lit(1)).alias("c")))
+    grid = counts.groupBy("c").agg(F.count(F.lit(1)).alias("n_keys_c"))
+    w = (Window.partitionBy(F.lit(1)).orderBy("c")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = grid.withColumn("cum", F.sum("n_keys_c").over(w))
+    tot = grid.agg(
+        F.sum(F.col("c").cast("decimal(38,0)") * F.col("n_keys_c"))
+        .cast("long").alias("n_rows"),
+        F.sum("n_keys_c").cast("long").alias("n_keys"),
+        F.max("c").cast("long").alias("max_per_key"))
+    pct = (cum.crossJoin(F.broadcast(tot))
+           .agg(F.min(F.when(F.col("cum") * 2 >= F.col("n_keys"),
+                             F.col("c"))).cast("long").alias("p50_per_key"),
+                F.min(F.when(F.col("cum") * 100 >= F.col("n_keys") * 99,
+                             F.col("c"))).cast("long")
+                .alias("p99_per_key")))
+    return (tot.crossJoin(F.broadcast(pct))
+            .select("n_rows", "n_keys", "max_per_key", "p50_per_key",
+                    "p99_per_key",
+                    F.expr("max_per_key * 1000000 div n_rows")
+                    .cast("long").alias("top1_share_ppm")))

@@ -531,3 +531,31 @@ def centroid_drift(emb: DataFrame, *, vec_col: str = "embedding",
     return (agg.select(F.col("lbl").alias(label_col),
                        cos.alias("centroid_cosine"))
             .filter(F.col("centroid_cosine").isNotNull()))
+
+
+def embedding_dim_stats(emb: DataFrame, *, vec_col: str = "embedding",
+                        var_floor_micro: int = 100) -> DataFrame:
+    """Per-dimension embedding health: n, mean, population variance, and
+    a degenerate flag for near-zero-variance dimensions (a collapsed or
+    constant dimension wastes index capacity and distorts cosine — the
+    standard pre-index whitening/pruning check).
+
+    Exactness: float values widen to DOUBLE (exact) before
+    DECIMAL(38,12) accumulation of sum and sum-of-squares
+    (order-independent); mean and var = E[x^2] - E[x]^2 fold in doubles
+    and round to 6 — the cross-engine recipe. One corpus pass,
+    dims-bounded state."""
+    exploded = emb.select(F.posexplode(F.col(vec_col)).alias("dim", "x"))
+    xd = F.col("x").cast("double")
+    sums = (exploded.groupBy("dim")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(xd.cast("decimal(38,12)")).alias("s"),
+                 F.sum((xd * xd).cast("decimal(38,12)")).alias("ss")))
+    mean = F.col("s").cast("double") / F.col("n")
+    var = F.col("ss").cast("double") / F.col("n") - mean * mean
+    return (sums.select(F.col("dim").cast("long").alias("dim"),
+                        F.col("n").cast("long").alias("n"),
+                        F.round(mean, 6).alias("mean"),
+                        F.round(var, 6).alias("var"))
+            .withColumn("degenerate",
+                        F.col("var") * 1_000_000 < F.lit(var_floor_micro)))
