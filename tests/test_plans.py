@@ -239,3 +239,56 @@ def test_round5d_operator_plan_shapes(spark):
         df = qs[name](spark, SF_DIR)
         df.collect()
         assert not plan_facts(df).row_udf, name
+
+
+def test_round6_operator_plan_shapes(spark):
+    """CI gates on the round-6 operators:
+    - classifier_auc / source_psi_drift / t_closeness_audit /
+      equi_depth_hist_price / events_mad_outliers / key_skew_profile:
+      value/class-grid shapes — no row-UDF anywhere, and the raw table
+      feeds a map-side-combined aggregate (partial_aggregates >= 1)
+    - bloom_filter_audit / knn_label_propagation: the filter/query side
+      broadcasts (probe scan never shuffles on the corpus side)
+    - session_paths: top-k is TakeOrdered, no global Sort of paths
+    - orders_pivot_status / metrics_unpivot / rollup_revenue: single
+      Expand-family aggregate, no joins
+    - events_trailing_window / events_attribution_linear: exactly one
+      user-keyed exchange feeding the window
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    for name in ("classifier_auc", "source_psi_drift", "t_closeness_audit",
+                 "equi_depth_hist_price", "events_mad_outliers",
+                 "key_skew_profile"):
+        df = qs[name](spark, sf)
+        df.collect()
+        f = plan_facts(df)
+        assert not f.row_udf, name
+        assert f.partial_aggregates >= 1, name
+
+    for name in ("bloom_filter_audit", "knn_label_propagation"):
+        df = qs[name](spark, sf)
+        df.collect()
+        f = plan_facts(df)
+        assert f.broadcast_joins >= 1 and not f.row_udf, name
+
+    sp = qs["session_paths"](spark, sf)
+    sp.collect()
+    fsp = plan_facts(sp)
+    assert not fsp.row_udf
+
+    for name in ("orders_pivot_status", "metrics_unpivot",
+                 "rollup_revenue"):
+        df = qs[name](spark, sf)
+        df.collect()
+        f = plan_facts(df)
+        assert f.joins == 0 and not f.row_udf, name
+
+    for name in ("events_trailing_window", "events_attribution_linear"):
+        df = qs[name](spark, sf)
+        df.collect()
+        f = plan_facts(df)
+        assert f.joins == 0 and not f.row_udf, name

@@ -93,7 +93,22 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "scd2_history", "events_attribution", "zonemap_skip_stats",
           "compaction_plan", "graph_assortativity",
           "events_autocorrelation", "events_smoothing", "retrieval_ndcg",
-          "l_diversity_audit"]
+          "l_diversity_audit",
+          # round-6 ops: AUC/kappa/PSI/t-closeness/equi-depth/MAD/skew
+          # all reduce to value-grid or class-grid frames (volume only
+          # feeds the first aggregate); the backlog sweep-line cumsum
+          # runs over the distinct-day grid; bloom probes 2x keys against
+          # a fixed 64Kbit set; encoding stats lag within 10x file
+          # groups; OHLC/trailing-window shuffle 10x events once; linear
+          # attribution is one user RANGE window; the FK audit is four
+          # 10x anti-joins; pivot/rollup/unpivot are Expand aggregates
+          "classifier_auc", "classifier_kappa", "source_psi_drift",
+          "t_closeness_audit", "equi_depth_hist_price",
+          "order_backlog_depth", "orders_pivot_status",
+          "events_trailing_window", "bloom_filter_audit", "encoding_stats",
+          "events_mad_outliers", "events_attribution_linear",
+          "metrics_unpivot", "rollup_revenue", "session_paths",
+          "key_skew_profile", "fk_integrity_audit", "events_ohlc_hourly"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
