@@ -191,9 +191,11 @@ def test_ann_recall_fixture_constants_still_measured(spark):
     qs = entry_mod.queries()
     sf = "/root/testdata/sf0.01"
     got = {name: qs[name](spark, sf).first().asDict()
-           for name in ("ann_ivf_recall", "ann_lsh_recall")}
+           for name in ("ann_ivf_recall", "ann_lsh_recall",
+                        "ann_ivfpq_recall")}
     assert got["ann_ivf_recall"]["n_hits"] == 46, got
     assert got["ann_lsh_recall"]["n_hits"] == 48, got
+    assert got["ann_ivfpq_recall"]["n_hits"] == 42, got
 
 
 def test_contract_values_partitioning_invariant(spark):

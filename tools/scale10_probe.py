@@ -108,7 +108,8 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "events_trailing_window", "bloom_filter_audit", "encoding_stats",
           "events_mad_outliers", "events_attribution_linear",
           "metrics_unpivot", "rollup_revenue", "session_paths",
-          "key_skew_profile", "fk_integrity_audit", "events_ohlc_hourly"]
+          "key_skew_profile", "fk_integrity_audit", "events_ohlc_hourly",
+          "ann_ivfpq_recall"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

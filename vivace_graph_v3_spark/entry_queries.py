@@ -8346,6 +8346,39 @@ FROM ranked GROUP BY g, bucket
 """
 
 
+def q_ann_ivfpq_recall(spark, sf_dir):
+    """Recall@5 of the full IVF-PQ query path vs exact brute force
+    (pipeline/similarity.ivfpq_probe): IVF cell probe -> ADC scoring of
+    PQ codes (candidates carry num_blocks BYTES, never the float
+    vectors) -> exact rerank of the top-96 — the billion-vector memory
+    layout, end-to-end. Deterministic on the fixture (decimal centroid
+    training, literal codebooks, 6-dp half-up ADC ranking with id
+    tiebreaks), so the oracle pins the measured hit count exactly like
+    the other ANN recall contracts."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        ivf_index, ivfpq_probe, pq_encode)
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    indexed, cents = ivf_index(emb, num_centroids=8, iterations=1)
+    # deterministic codebook: first 16 vectors (the pq_encode default,
+    # materialized here because the probe needs the same literals) —
+    # ingest-time artifacts at scale, exactly the ivf_index seam
+    cb_rows = (emb.filter(F.col("vec_id") < 16).orderBy("vec_id")
+               .select("embedding").collect())
+    codebook = [list(r[0]) for r in cb_rows]
+    codes = pq_encode(emb, num_blocks=4, codebook=codebook)
+    ic = indexed.join(
+        codes.select("vec_id", "code_0", "code_1", "code_2", "code_3"),
+        "vec_id")
+    ann = ivfpq_probe(ic, cents, codebook, queries, 5, nprobe=4,
+                      rerank=96)
+    return _ann_recall_row(spark, sf_dir, ann)
+
+
+SQL_ANN_IVFPQ_RECALL = _SQL_ANN_RECALL.format(hits=42)
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8623,6 +8656,7 @@ REGISTRY: dict[str, tuple] = {
     "key_skew_profile": (q_key_skew_profile, SQL_KEY_SKEW_PROFILE),
     "fk_integrity_audit": (q_fk_integrity_audit, SQL_FK_INTEGRITY_AUDIT),
     "events_ohlc_hourly": (q_events_ohlc_hourly, SQL_EVENTS_OHLC_HOURLY),
+    "ann_ivfpq_recall": (q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8648,7 +8682,7 @@ _R6_FRONT = [
     "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
-    "events_ohlc_hourly",
+    "events_ohlc_hourly", "ann_ivfpq_recall",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

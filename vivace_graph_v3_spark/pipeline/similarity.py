@@ -559,3 +559,85 @@ def embedding_dim_stats(emb: DataFrame, *, vec_col: str = "embedding",
                         F.round(var, 6).alias("var"))
             .withColumn("degenerate",
                         F.col("var") * 1_000_000 < F.lit(var_floor_micro)))
+
+
+def ivfpq_probe(indexed_codes: DataFrame, centroids: list[list[float]],
+                codebook: list[list[float]], queries: DataFrame, k: int, *,
+                nprobe: int = 4, num_blocks: int = 4, rerank: int = 32,
+                vec_col: str = "embedding",
+                id_col: str = "vec_id") -> DataFrame:
+    """IVF-PQ query path (Jégou et al. 2011, the billion-vector layout):
+    probe the top-``nprobe`` IVF cells, score candidates by ASYMMETRIC
+    DISTANCE (query sub-vectors against the plan-time codeword literals
+    of each candidate's PQ codes — the classic ADC lookup, here an
+    element_at into a per-block distance array computed once per row),
+    keep the best ``rerank`` per query, then exact-cosine re-rank the
+    survivors only.
+
+    This is the memory story at scale: the candidate join touches ONLY
+    (id, centroid_id, code_0..code_{B-1}) — num_blocks bytes of payload
+    per corpus row, never the float vectors; full vectors are fetched
+    (id-equi-join) for just ``rerank`` rows per query. Codebook and
+    centroids ship as plan-time literals (KBs).
+
+    ``indexed_codes`` = ivf_index output joined with pq_encode output
+    (both ingest-time, persisted partitioned by centroid_id in a
+    deployment). Returns (query_id, neighbor_id, cosine, rank)."""
+    dim = len(codebook[0])
+    blen = dim // num_blocks
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("qv"))
+    probes = (q.select(
+        "query_id", "qv",
+        F.explode(F.slice(F.reverse(F.array_sort(
+            _cell_sims(F.col("qv"), centroids))), 1, nprobe)).alias("cell"))
+        .select("query_id", "qv",
+                (-F.col("cell.negid")).cast("int").alias("centroid_id")))
+
+    def _sq_dist(sub, lit_vals):
+        lit_arr = F.array(*[F.lit(float(x)) for x in lit_vals])
+        return F.aggregate(
+            F.zip_with(sub, lit_arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0), lambda acc, x: acc + x)
+
+    # per-block ADC lookup tables: dist(query sub-vector, codeword j)
+    # for every codeword — one array expression per block, evaluated
+    # once per (query, cell) row, then element_at by the candidate's code
+    luts = []
+    for b in range(num_blocks):
+        sub = F.transform(F.slice(F.col("qv"), b * blen + 1, blen),
+                          lambda x: x.cast("double"))
+        luts.append(F.array(*[
+            _sq_dist(sub, cw[b * blen:(b + 1) * blen])
+            for cw in codebook]).alias(f"lut_{b}"))
+    probes = probes.select("query_id", "qv", "centroid_id", *luts)
+
+    code_cols = [f"code_{b}" for b in range(num_blocks)]
+    cands = (probes.join(
+        indexed_codes.select(F.col(id_col).alias("neighbor_id"),
+                             "centroid_id", *code_cols),
+        "centroid_id")
+        .filter(F.col("query_id") != F.col("neighbor_id")))
+    adc = None
+    for b in range(num_blocks):
+        term = F.element_at(F.col(f"lut_{b}"), F.col(f"code_{b}") + 1)
+        adc = term if adc is None else adc + term
+    # 6-dp half-up rounding + id tiebreak: the ADC ranking (and therefore
+    # the rerank candidate set) is engine- and partitioning-exact
+    adc6 = F.floor(adc * 1e6 + F.lit(0.5)).cast("long")
+    wa = Window.partitionBy("query_id").orderBy(
+        adc6.asc(), F.col("neighbor_id").asc())
+    short = (cands.withColumn("adc_rank", F.row_number().over(wa))
+             .filter(F.col("adc_rank") <= rerank)
+             .select("query_id", "qv", "neighbor_id"))
+    full = indexed_codes.select(F.col(id_col).alias("neighbor_id"),
+                                F.col(vec_col).alias("cv"))
+    rer = (short.join(full, "neighbor_id")
+           .withColumn("cosine",
+                       F.round(cosine(F.col("qv"), F.col("cv")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (rer.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "cosine", "rank"))
