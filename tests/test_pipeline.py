@@ -1477,3 +1477,31 @@ def test_embedding_dim_stats_flags_constant_dim(spark):
     assert out[0].n == 10 and out[0].mean == 4.5
     assert out[0].var == 8.25 and not out[0].degenerate
     assert out[1].var == 0.0 and out[1].degenerate
+
+
+def test_bpe_learn_merges_hand_sequence(spark):
+    from vivace_graph_v3_spark.pipeline.tokenizer import bpe_learn_merges
+
+    # corpus: "abab" x3, "abc" x2 -> vocab {abab: 3, abc: 2}
+    # step 1 pairs: (a,b) 3*2 + 2 = 8; (b,a) 3; (b,c) 2 -> merge ab
+    # step 2 segs: [ab ab] x3, [ab c] x2 -> (ab,ab) 3; (ab,c) 2 -> abab
+    # step 3 segs: [abab] x3, [ab c] x2 -> (ab,c) 2 -> abc
+    df = spark.createDataFrame(
+        [("abab abab abab abc abc",)], "text string")
+    merges = bpe_learn_merges(df, n_merges=3)
+    assert [(m["lhs"], m["rhs"], m["pair_count"]) for m in merges] == \
+        [("a", "b", 8), ("ab", "ab", 3), ("ab", "c", 2)]
+    assert merges[1]["new_token"] == "abab"
+
+
+def test_bpe_learn_merges_greedy_overlap(spark):
+    from vivace_graph_v3_spark.pipeline.tokenizer import bpe_learn_merges
+
+    # "aaa": pair (a,a) counts overlapping (2 per word); the MERGE is
+    # greedy left-to-right, so one step yields [aa, a], and step 2's top
+    # pair is (aa, a)
+    df = spark.createDataFrame([("aaa aaa",)], "text string")
+    merges = bpe_learn_merges(df, n_merges=2)
+    assert (merges[0]["lhs"], merges[0]["rhs"], merges[0]["pair_count"]) \
+        == ("a", "a", 4)
+    assert (merges[1]["lhs"], merges[1]["rhs"]) == ("aa", "a")

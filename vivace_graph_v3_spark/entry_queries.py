@@ -8379,6 +8379,68 @@ def q_ann_ivfpq_recall(spark, sf_dir):
 SQL_ANN_IVFPQ_RECALL = _SQL_ANN_RECALL.format(hits=42)
 
 
+def q_bpe_learn_merges(spark, sf_dir):
+    """Iterative BPE merge learning, 3 steps
+    (pipeline/tokenizer.bpe_learn_merges): the actual tokenizer-training
+    loop over the frequency-weighted vocabulary — each step counts
+    adjacent pairs (vocab-bounded aggregate), picks the argmax merge
+    deterministically, and rewrites segmentations via shared-semantics
+    string replace. The oracle replays all 3 iterations in staged CTEs."""
+    from vivace_graph_v3_spark.pipeline.tokenizer import bpe_learn_merges
+
+    rows = bpe_learn_merges(_docs(spark, sf_dir), n_merges=3)
+    return spark.createDataFrame(
+        [(r["step"], r["lhs"], r["rhs"], r["pair_count"], r["new_token"])
+         for r in rows],
+        "step long, lhs string, rhs string, pair_count long, "
+        "new_token string")
+
+
+SQL_BPE_LEARN_MERGES = """
+WITH wf AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) u
+  GROUP BY w
+), seg0 AS (
+  SELECT f, array_to_string(list_transform(
+           generate_series(1, length(w)), i -> w[i]), chr(31)) AS seg
+  FROM wf
+), t1 AS (SELECT f, string_split(seg, chr(31)) AS toks FROM seg0),
+p1 AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, sum(f) AS cnt
+  FROM t1, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+), m1 AS (SELECT l, r, cnt FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+seg1 AS (
+  SELECT f, replace(seg, (SELECT l || chr(31) || r FROM m1),
+                    (SELECT l || r FROM m1)) AS seg
+  FROM seg0
+), t2 AS (SELECT f, string_split(seg, chr(31)) AS toks FROM seg1),
+p2 AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, sum(f) AS cnt
+  FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+), m2 AS (SELECT l, r, cnt FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+seg2 AS (
+  SELECT f, replace(seg, (SELECT l || chr(31) || r FROM m2),
+                    (SELECT l || r FROM m2)) AS seg
+  FROM seg1
+), t3 AS (SELECT f, string_split(seg, chr(31)) AS toks FROM seg2),
+p3 AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, sum(f) AS cnt
+  FROM t3, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+), m3 AS (SELECT l, r, cnt FROM p3 ORDER BY cnt DESC, l, r LIMIT 1)
+SELECT CAST(1 AS BIGINT) AS step, l AS lhs, r AS rhs,
+       CAST(cnt AS BIGINT) AS pair_count, l || r AS new_token FROM m1
+UNION ALL
+SELECT CAST(2 AS BIGINT), l, r, CAST(cnt AS BIGINT), l || r FROM m2
+UNION ALL
+SELECT CAST(3 AS BIGINT), l, r, CAST(cnt AS BIGINT), l || r FROM m3
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8657,6 +8719,7 @@ REGISTRY: dict[str, tuple] = {
     "fk_integrity_audit": (q_fk_integrity_audit, SQL_FK_INTEGRITY_AUDIT),
     "events_ohlc_hourly": (q_events_ohlc_hourly, SQL_EVENTS_OHLC_HOURLY),
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
+    "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8682,7 +8745,7 @@ _R6_FRONT = [
     "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
-    "events_ohlc_hourly", "ann_ivfpq_recall",
+    "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

@@ -62,3 +62,57 @@ def bpe_pair_stats(df: DataFrame, *, text_col: str = "text",
             .agg(F.sum("f").cast("long").alias("freq"))
             .orderBy(F.desc("freq"), "pair")
             .limit(top_k))
+
+
+BPE_SEP = "\x1f"   # unit separator: never occurs inside [a-z]+ words
+
+
+def bpe_learn_merges(df: DataFrame, *, n_merges: int = 3,
+                     text_col: str = "text") -> list[dict]:
+    """Iterative BPE merge LEARNING (Sennrich et al. 2016) — the actual
+    training loop, not just the first iteration's statistics: start from
+    character segmentations of the frequency-weighted vocabulary, and
+    ``n_merges`` times (a) count adjacent token pairs, (b) pick the most
+    frequent (ties: count desc, then left/right token asc — a total
+    order), (c) merge every occurrence greedily left-to-right.
+
+    Returns the learned merge table as a list of dicts
+    (step, lhs, rhs, pair_count, new_token) — driver-side by nature:
+    each merge decision is ONE aggregated row that must become a
+    plan-time literal for the next iteration (the train_centroids /
+    codebook seam; the sequential dependence is inherent to BPE).
+
+    Scale shape: after word_frequencies' single corpus shuffle,
+    everything operates on the DISTINCT vocabulary (Heaps-bounded): the
+    segmentation state is a separator-joined string column rebuilt by
+    chained ``replace`` expressions (both engines share replace's
+    non-overlapping left-to-right semantics, so "aaa" + merge (a,a) ->
+    [aa, a] — the BPE greedy convention), and each pair count is one
+    vocab-sized aggregate with a 1-row collect. Production trainers
+    update pair counts incrementally instead of recounting; at
+    |vocab| ~ 1e6 rows the recount is noise next to the corpus pass."""
+    wf = word_frequencies(df, text_col=text_col)
+    seg = F.expr("array_join(transform(sequence(1, length(w)), "
+                 f"i -> substring(w, i, 1)), '{BPE_SEP}')")
+    base = wf.select("f", seg.alias("seg"))
+    merges: list[dict] = []
+    for step in range(1, n_merges + 1):
+        toks = F.split(F.col("seg"), BPE_SEP)
+        pair = F.explode(F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r"))))
+        top = (base.filter(F.size(toks) >= 2)
+               .select("f", pair.alias("p"))
+               .groupBy("p.l", "p.r")
+               .agg(F.sum("f").cast("long").alias("cnt"))
+               .orderBy(F.desc("cnt"), "l", "r")
+               .take(1))
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append({"step": step, "lhs": l, "rhs": r,
+                       "pair_count": int(cnt), "new_token": l + r})
+        base = base.select("f", F.expr(
+            f"replace(seg, '{l}{BPE_SEP}{r}', '{l}{r}')").alias("seg"))
+    return merges
