@@ -82,7 +82,7 @@ AUDITED = [
     "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
-    "events_ohlc_hourly", "ann_ivfpq_recall",
+    "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
 ]
 
 
