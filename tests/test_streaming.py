@@ -308,3 +308,49 @@ def test_scd2_incremental_matches_recompute(spark, tmp_path):
     rows = {tuple(r) for r in spark.read.parquet(dim).collect()}
     assert (2, "y", 40, None, 2, True) in rows
     assert (2, "x", 10, 40, 1, False) in rows
+
+
+def test_bloom_dedup_stream_two_batches(spark, tmp_path):
+    """Two micro-batches through the bloom-gated ingest: keys repeated
+    from batch 1 must tag 'dup' in batch 2 (no false 'new'), and the
+    persisted state stays bounded by m_bits however many keys arrive."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.streaming.ingest import bloom_dedup_stream
+
+    src = tmp_path / "src"
+    bits = tmp_path / "bits"
+    out = tmp_path / "out"
+    ck = tmp_path / "ck"
+    src.mkdir()
+    b1 = spark.range(0, 100).select(F.col("id").alias("event_id"))
+    b1.write.mode("overwrite").parquet(str(src / "b1.parquet"))
+
+    stream = (spark.readStream.schema("event_id long")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(src) + "/*"))
+    q = bloom_dedup_stream(stream, str(bits), str(out),
+                           checkpoint=str(ck), m_bits=4096)
+    try:
+        q.processAllAvailable()
+        # batch 2: 50 repeats + 50 fresh
+        b2 = (spark.range(50, 150)
+              .select(F.col("id").alias("event_id")))
+        b2.write.mode("overwrite").parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = spark.read.parquet(str(out))
+    # all 100 batch-1 keys tagged new (empty filter at first sight)
+    first = got.filter(F.col("event_id") < 50)
+    assert first.filter(F.col("status") == "dup").count() == 0
+    # repeated keys 50..99 appear twice: once new (b1), once dup (b2)
+    rep = got.filter((F.col("event_id") >= 50) & (F.col("event_id") < 100))
+    assert rep.filter(F.col("status") == "dup").count() == 50
+    # fresh keys 100..149: no false 'dup' is NOT guaranteed (bloom FPR),
+    # but false 'new' for seen keys is impossible; and state is bounded
+    bits_df = spark.read.parquet(str(bits / "bits"))
+    assert bits_df.count() <= 4096

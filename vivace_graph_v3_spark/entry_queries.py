@@ -8441,6 +8441,49 @@ SELECT CAST(3 AS BIGINT), l, r, CAST(cnt AS BIGINT), l || r FROM m3
 """
 
 
+def q_bloom_dedup_ingest(spark, sf_dir):
+    """Batch face of the bloom-gated streaming dedup ingest
+    (streaming/ingest.bloom_dedup_batch / bloom_dedup_stream): keys seen
+    in the already-ingested half (even event_ids) gate the arriving half
+    (odd event_ids) through the fixed-size bloom bit set — 'dup' may
+    rarely be wrong (measured FPR), 'new' never is, and state never
+    grows with key cardinality. Oracle recomputes the identical integer
+    hashing."""
+    from vivace_graph_v3_spark.operators.sketches import (
+        bloom_build, bloom_probe)
+
+    ev = _events(spark, sf_dir)
+    seen = ev.filter(F.col("event_id") % 2 == 0) \
+        .select(F.col("event_id").alias("key"))
+    arriving = ev.filter(F.col("event_id") % 2 == 1) \
+        .select(F.col("event_id").alias("key"))
+    bits = bloom_build(seen, "key", k=3, m_bits=65536)
+    probed = bloom_probe(bits, arriving, "key", k=3, m_bits=65536,
+                         id_cols=["key"])
+    return probed.select(
+        F.col("key").alias("event_id"),
+        F.when(F.col("maybe"), F.lit("dup")).otherwise(F.lit("new"))
+        .alias("status"))
+
+
+SQL_BLOOM_DEDUP_INGEST = """
+WITH consts(a) AS (VALUES (2654435761), (2246822519), (3266489917)),
+pos AS (
+  SELECT DISTINCT ((event_id + 1) * a) % 2147483647 % 65536 AS p
+  FROM events CROSS JOIN consts WHERE event_id % 2 = 0
+),
+ph AS (
+  SELECT event_id, ((event_id + 1) * c.a) % 2147483647 % 65536 AS p
+  FROM events CROSS JOIN consts c WHERE event_id % 2 = 1
+)
+SELECT event_id,
+       CASE WHEN sum(CASE WHEN p IN (SELECT p FROM pos)
+                     THEN 1 ELSE 0 END) = 3
+            THEN 'dup' ELSE 'new' END AS status
+FROM ph GROUP BY event_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8720,6 +8763,7 @@ REGISTRY: dict[str, tuple] = {
     "events_ohlc_hourly": (q_events_ohlc_hourly, SQL_EVENTS_OHLC_HOURLY),
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
+    "bloom_dedup_ingest": (q_bloom_dedup_ingest, SQL_BLOOM_DEDUP_INGEST),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8746,6 +8790,7 @@ _R6_FRONT = [
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
+    "bloom_dedup_ingest",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

@@ -219,3 +219,75 @@ def scd2_apply_stream(stream: DataFrame, dim_path: str, key_col: str,
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def bloom_dedup_batch(batch: DataFrame, bits_dir: str, *,
+                      key_col: str = "event_id", k: int = 3,
+                      m_bits: int = 65536) -> DataFrame:
+    """One micro-batch of bloom-gated EXACTLY-ONCE-ish ingest: probe each
+    arriving key against the persisted bloom bit set (see
+    operators/sketches), tag rows 'dup' whose keys are maybe-present,
+    'new' otherwise, and fold the new keys' bits back into the store.
+
+    The deliberate tradeoff (why a stream would choose this over
+    dropDuplicates state): the state is a FIXED m_bits-row set however
+    many keys have ever been seen — no per-key state store growth, no
+    watermark eviction — at the price of a measured false-positive rate
+    (a 'dup' tag can be wrong, a 'new' tag cannot). Everything is the
+    engine-reproducible integer hashing of bloom_positions, so the batch
+    face is exactly oracle-checkable.
+
+    Returns the batch with a ``status`` column; the caller routes 'new'
+    rows downstream (dedup_ingest_batch pattern)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.operators.sketches import (
+        bloom_build, bloom_probe)
+
+    spark = batch.sparkSession
+    path = f"{bits_dir}/bits"
+    if os.path.exists(path):
+        bits = spark.read.parquet(path)
+    else:
+        bits = spark.createDataFrame([], "pos long")
+    probed = bloom_probe(bits, batch, key_col, k=k, m_bits=m_bits,
+                         id_cols=[key_col])
+    out = (batch.join(probed, key_col)
+           .withColumn("status", F.when(F.col("maybe"), F.lit("dup"))
+                       .otherwise(F.lit("new")))
+           .drop("maybe"))
+    # materialize BEFORE the state swap: the tagged frame's lineage reads
+    # the current bits parquet, which the swap below replaces — a lazy
+    # return would hit FILE_NOT_EXIST when the caller finally writes it
+    out = out.localCheckpoint(eager=True)
+    new_bits = bloom_build(
+        out.filter(F.col("status") == "new").select(key_col),
+        key_col, k=k, m_bits=m_bits)
+    merged = bits.unionByName(new_bits).distinct()
+    merged.write.mode("overwrite").parquet(f"{bits_dir}/bits_next")
+    # atomic-enough swap for the local test harness; a deployment uses a
+    # transactional table (the txn-log pattern of mvcc.py) for the state
+    spark.read.parquet(f"{bits_dir}/bits_next").write \
+        .mode("overwrite").parquet(path)
+    return out
+
+
+def bloom_dedup_stream(stream: DataFrame, bits_dir: str, out_dir: str, *,
+                       key_col: str = "event_id",
+                       checkpoint: str | None = None, k: int = 3,
+                       m_bits: int = 65536):
+    """Streaming face: foreachBatch(bloom_dedup_batch), appending tagged
+    rows to ``out_dir``. State is the fixed-size bloom parquet — the
+    unbounded-key dedup-ingest shape where a state store would grow
+    without bound."""
+    def _apply(batch, batch_id):
+        out = bloom_dedup_batch(batch, bits_dir, key_col=key_col,
+                                k=k, m_bits=m_bits)
+        out.write.mode("append").parquet(out_dir)
+
+    writer = stream.writeStream.foreachBatch(_apply).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
