@@ -19,7 +19,7 @@ def _canon(df):
 def test_documents_roundtrip_jsonl_and_csv(spark, tmp_path):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     want = _canon(docs)
-    for fmt in ("jsonl", "csv"):
+    for fmt in ("jsonl", "csv", "orc"):
         path = str(tmp_path / fmt)
         write_documents(docs, path, fmt=fmt, partitions=3)
         got = read_documents(spark, path, fmt=fmt)

@@ -189,3 +189,79 @@ def test_deterministic_sample_monotone(spark, rate, buckets):
         assert kept == set()
     if rate == 1.0:
         assert len(kept) == 500
+
+
+def test_roc_auc_matches_bruteforce_reference(spark):
+    """Differential: exact AUC operator vs an O(P*N) pure-Python
+    pairwise reference (ties worth 1/2) on random labeled scores."""
+    import random
+
+    from vivace_graph_v3_spark.operators.profile import roc_auc
+
+    rng = random.Random(7)
+    for trial in range(3):
+        rows = [(rng.randint(0, 20), rng.random() < 0.4)
+                for _ in range(rng.randint(5, 60))]
+        if not any(y for _, y in rows) or all(y for _, y in rows):
+            rows += [(1, True), (2, False)]
+        pos = [s for s, y in rows if y]
+        neg = [s for s, y in rows if not y]
+        wins = sum(1.0 if p > n else 0.5 if p == n else 0.0
+                   for p in pos for n in neg)
+        expected = wins / (len(pos) * len(neg))
+        df = spark.createDataFrame(rows, "s long, y boolean")
+        got = roc_auc(df, score_col="s", label_col="y").first().auc
+        assert abs(got - expected) < 1.5e-6, (trial, got, expected)
+
+
+def test_t_closeness_matches_bruteforce_reference(spark):
+    """Differential: ordered-EMD t-closeness vs a pure-Python CDF walk
+    on random (class, value) data."""
+    import random
+    from fractions import Fraction
+
+    from vivace_graph_v3_spark.operators.profile import t_closeness
+
+    rng = random.Random(11)
+    rows = [(f"c{rng.randint(0, 3)}", rng.randint(0, 5))
+            for _ in range(200)]
+    df = spark.createDataFrame(rows, "q string, v long")
+    got = {r.q: r.t_ppm for r in t_closeness(df, ["q"], "v").collect()}
+
+    values = sorted({v for _, v in rows})
+    n_g = len(rows)
+    for cls in {q for q, _ in rows}:
+        cvs = [v for q, v in rows if q == cls]
+        n_c = len(cvs)
+        cum_c = cum_g = 0
+        total = Fraction(0)
+        for v in values:
+            cum_c += sum(1 for x in cvs if x == v)
+            cum_g += sum(1 for _, x in rows if x == v)
+            total += abs(Fraction(cum_c, n_c) - Fraction(cum_g, n_g))
+        t = total / (len(values) - 1)
+        expected_ppm = int((t * 2_000_000 + 1) // 2)  # round half up
+        assert got[cls] == expected_ppm, (cls, got[cls], expected_ppm)
+
+
+def test_mad_outliers_matches_bruteforce_reference(spark):
+    """Differential: value-grid median/MAD vs sorted-list lower medians
+    in pure Python."""
+    import random
+
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        mad_outliers)
+
+    rng = random.Random(13)
+    rows = [("t", round(rng.uniform(0, 50), 2)) for _ in range(300)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = mad_outliers(df).first()
+
+    cents = sorted(int(round(v * 100)) for _, v in rows)
+    n = len(cents)
+    lower_median = cents[(n - 1) // 2] if n % 2 else cents[n // 2 - 1]
+    devs = sorted(abs(c - lower_median) for c in cents)
+    mad = devs[(n - 1) // 2] if n % 2 else devs[n // 2 - 1]
+    n_out = sum(1 for c in cents if abs(c - lower_median) * 10 > 35 * mad)
+    assert (r.median_cents, r.mad_cents, r.n_outliers) == \
+        (lower_median, mad, n_out)

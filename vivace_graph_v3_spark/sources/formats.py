@@ -1,5 +1,5 @@
-"""Interchange-format connectors: read/write the engine's tables as JSONL
-or CSV in addition to parquet.
+"""Interchange-format connectors: read/write the engine's tables as JSONL,
+CSV, or ORC in addition to parquet.
 
 The reference ingests through its own heap serializer and exposes
 backup/restore (backup.lisp); the Spark-first analog is format-agnostic
@@ -38,6 +38,8 @@ def write_documents(df: DataFrame, path: str, *, fmt: str = "jsonl",
         w.option("header", True).option("quoteAll", True).csv(path)
     elif fmt == "parquet":
         w.parquet(path)
+    elif fmt == "orc":
+        w.orc(path)
     else:
         raise ValueError(f"unknown format: {fmt}")
 
@@ -55,6 +57,8 @@ def read_documents(spark: SparkSession, path: str, *,
               .option("header", True).csv(path))
     elif fmt == "parquet":
         df = spark.read.parquet(path)
+    elif fmt == "orc":
+        df = spark.read.orc(path)
     else:
         raise ValueError(f"unknown format: {fmt}")
     return df.select(
