@@ -392,3 +392,21 @@ def test_encoding_stats_runs_reset_at_file_boundary(spark):
     r = encoding_stats(df, ["v"], file_col=F.col("f"),
                        order_cols=["pos"]).first()
     assert r.n_runs == 2
+
+
+def test_rater_agreement_degenerate_null_kappa(spark):
+    from vivace_graph_v3_spark.operators.profile import rater_agreement
+
+    # both raters constant -> pe = 1 -> kappa undefined (NULL), not a
+    # divide-by-zero
+    df = spark.createDataFrame([(True, True)] * 4, "a boolean, b boolean")
+    r = rater_agreement(df, a_col="a", b_col="b").first()
+    assert r.n == 4 and r.kappa_ppm is None and r.kappa is None
+
+
+def test_t_closeness_single_value_zero(spark):
+    from vivace_graph_v3_spark.operators.profile import t_closeness
+
+    df = spark.createDataFrame([("c1", 5), ("c2", 5)], "q string, v long")
+    rows = t_closeness(df, ["q"], "v").collect()
+    assert all(r.t_ppm == 0 and not r.at_risk for r in rows)

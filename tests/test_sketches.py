@@ -91,3 +91,15 @@ def test_bloom_fpr_shrinks_with_more_bits(spark):
     big = bloom_fpr_audit(members, probes, "key", k=3,
                           m_bits=16384).first()
     assert big.n_false_pos <= small.n_false_pos
+
+
+def test_bloom_build_ignores_null_keys(spark):
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.operators.sketches import bloom_build
+
+    with_nulls = spark.createDataFrame([(1,), (None,), (2,)], "key long")
+    without = spark.createDataFrame([(1,), (2,)], "key long")
+    b1 = set(r.pos for r in bloom_build(with_nulls, "key").collect())
+    b2 = set(r.pos for r in bloom_build(without, "key").collect())
+    assert b1 == b2 and None not in b1

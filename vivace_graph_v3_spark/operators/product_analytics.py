@@ -486,7 +486,11 @@ def mad_outliers(events: DataFrame, *,
     per-type thresholds back onto the counted grid (NOT the raw rows —
     outliers are counted from the grid, so the corpus is scanned once)."""
     cents = F.floor(F.col(value_col) * 100.0 + 0.5).cast("long")
-    rows = events.select(F.col(type_col).alias("g"), cents.alias("q"))
+    # NULL values would land in the value grid and sort differently
+    # across engines (Spark nulls-first vs SQL nulls-last) — exclude
+    # them from the distribution outright
+    rows = (events.select(F.col(type_col).alias("g"), cents.alias("q"))
+            .filter(F.col("q").isNotNull()))
     grid = rows.groupBy("g", "q").agg(F.count(F.lit(1)).alias("c"))
     tot = grid.groupBy("g").agg(F.sum("c").alias("n"))
     wg = (Window.partitionBy("g").orderBy("q")

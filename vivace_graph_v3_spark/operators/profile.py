@@ -418,8 +418,11 @@ def rater_agreement(df: DataFrame, *, a_col: str, b_col: str) -> DataFrame:
     den = n_ * n_ - s_
     # symmetric round-half-up for possibly-negative kappa: fold on |num|
     # and reapply the sign, so Spark's truncating `div` and an oracle's
-    # floor `//` cannot disagree on negative inputs
-    ppm = F.expr("CASE WHEN num < 0 THEN -((-num * 2000000 + den)"
+    # floor `//` cannot disagree on negative inputs. den = 0 (both
+    # raters constant -> pe = 1) leaves kappa undefined: NULL, not a
+    # divide-by-zero (which some engines raise on integral division)
+    ppm = F.expr("CASE WHEN den = 0 THEN NULL"
+                 " WHEN num < 0 THEN -((-num * 2000000 + den)"
                  " div (den * 2)) ELSE (num * 2000000 + den)"
                  " div (den * 2) END").cast("long")
     return (tot.crossJoin(F.broadcast(s))
@@ -522,7 +525,11 @@ def t_closeness(df: DataFrame, qi_cols: list[str], sensitive_col: str, *,
            .agg(F.sum(diff).alias("num")))
     den = (F.col("n_c").cast("decimal(38,0)") * F.col("n_g")
            * (F.col("m") - F.lit(1)))
-    ppm = F.expr("(num * 2000000 + den) div (den * 2)").cast("long")
+    # m = 1 (a single sensitive value corpus-wide) makes every class
+    # distribution identical to the global one: t = 0 by definition,
+    # and the guard avoids an integral divide-by-zero
+    ppm = F.expr("CASE WHEN den = 0 THEN 0 ELSE"
+                 " (num * 2000000 + den) div (den * 2) END").cast("long")
     return (per.withColumn("den", den)
             .withColumn("t_ppm", ppm)
             .select(*[F.col(q).alias(c) for q, c in zip(qnames, qi_cols)],

@@ -94,8 +94,12 @@ def bloom_build(df: DataFrame, col: str, *, k: int = 3,
     positions hit by any member — at most ``m_bits`` rows regardless of
     input size (one map-side-combined distinct), so the result broadcasts
     anywhere. Returns a single column (pos)."""
+    x = F.col(col) if isinstance(col, str) else col
     pos = F.explode(F.array(*bloom_positions(col, k, m_bits))).alias("pos")
-    return df.select(pos).distinct()
+    # NULL keys hash to NULL positions, which would add a phantom NULL
+    # row to the bit set (inflating bits_set) while never matching any
+    # probe — drop them; membership of NULL is meaningless in a bloom
+    return df.filter(x.isNotNull()).select(pos).distinct()
 
 
 def bloom_probe(bits: DataFrame, probes: DataFrame, col: str, *,
