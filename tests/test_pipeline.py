@@ -1505,3 +1505,36 @@ def test_bpe_learn_merges_greedy_overlap(spark):
     assert (merges[0]["lhs"], merges[0]["rhs"], merges[0]["pair_count"]) \
         == ("a", "a", 4)
     assert (merges[1]["lhs"], merges[1]["rhs"]) == ("aa", "a")
+
+
+def test_train_logreg_separates_classes(spark):
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+    from vivace_graph_v3_spark.pipeline.text import train_logreg
+
+    rows = [(i, "aaa aaa aaa", True) for i in range(20)] + \
+           [(100 + i, "bbb bbb bbb", False) for i in range(20)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, y boolean")
+    w = {r.bucket: r.w for r in
+         train_logreg(df, label_col="y", buckets=32, steps=2).collect()}
+    b_pos = spark.range(1).select(
+        F.pmod(md5_hash64(F.lit("aaa")), F.lit(32)).alias("b")).first().b
+    b_neg = spark.range(1).select(
+        F.pmod(md5_hash64(F.lit("bbb")), F.lit(32)).alias("b")).first().b
+    # positive-class token weight must exceed negative-class token weight
+    assert w[b_pos] > 0 > w[b_neg]
+    # bias exists and only hit buckets are emitted
+    assert -1 in w and set(w) == {-1, b_pos, b_neg}
+
+
+def test_curriculum_order_interleaves_sources(spark):
+    from vivace_graph_v3_spark.pipeline.text import curriculum_order
+
+    rows = [(1, "s1", 100), (2, "s1", 90), (3, "s2", 80), (4, "s2", 70)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, "
+                                     "n_chars long")
+    out = {r.curriculum_rank: r.doc_id for r in
+           curriculum_order(df, score_col="n_chars").collect()}
+    # round-robin: best of s1, best of s2, second of s1, second of s2
+    assert out == {1: 1, 2: 3, 3: 2, 4: 4}

@@ -83,7 +83,7 @@ AUDITED = [
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
-    "bloom_dedup_ingest",
+    "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
 ]
 
 

@@ -8484,6 +8484,87 @@ FROM ph GROUP BY event_id
 """
 
 
+def q_curriculum_order(spark, sf_dir):
+    """Curriculum / source-interleaved training order
+    (pipeline/text.curriculum_order): best-first within source by
+    length, round-robin across sources — every tie broken, so the whole
+    schedule is one oracle-checkable permutation."""
+    from vivace_graph_v3_spark.pipeline.text import curriculum_order
+
+    return curriculum_order(_docs(spark, sf_dir), score_col="n_chars")
+
+
+SQL_CURRICULUM_ORDER = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY n_chars DESC, doc_id) AS src_rank
+  FROM documents
+)
+SELECT doc_id, source, CAST(src_rank AS BIGINT) AS src_rank,
+       CAST(row_number() OVER (ORDER BY src_rank, source, doc_id)
+            AS BIGINT) AS curriculum_rank
+FROM ranked
+"""
+
+
+def q_classifier_train_logreg(spark, sf_dir):
+    """Distributed logistic-regression TRAINING of a hashed-feature
+    English-detector (pipeline/text.train_logreg): 2 full-batch GD
+    steps, md5-hash features pmod 32 + bias, decimal-accumulated
+    gradients, 6-dp-rounded sigmoid and weight updates — so the oracle
+    replays the entire training run in staged SQL CTEs and matches the
+    final weight vector exactly. The trainable counterpart of the
+    classifier_score seam."""
+    from vivace_graph_v3_spark.pipeline.text import train_logreg
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "text", (F.col("lang") == "en").alias("is_en"))
+    return train_logreg(d, label_col="is_en", buckets=32, steps=2,
+                        lr=0.5)
+
+
+SQL_CLASSIFIER_TRAIN_LOGREG = rf"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), tf0 AS (
+  SELECT doc_id, y, (({_CLF_HASH64} % 32) + 32) % 32 AS b,
+         count(*) AS tf
+  FROM toks GROUP BY 1, 2, 3
+), x AS (
+  SELECT doc_id, y, b, tf FROM tf0
+  UNION ALL
+  SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END, -1, 1
+  FROM documents
+), nn AS (SELECT count(*) AS n FROM documents),
+g1 AS (
+  SELECT b, sum(CAST((0.5 - y) * tf AS DECIMAL(38,12))) AS s
+  FROM x GROUP BY b
+), w1 AS (
+  SELECT b, round(0.0 - 0.5 * (CAST(s AS DOUBLE) / (SELECT n FROM nn)),
+                  6) AS w
+  FROM g1
+), z2 AS (
+  SELECT x.doc_id, x.y, sum(CAST(x.tf * w1.w AS DECIMAL(38,12))) AS zd
+  FROM x JOIN w1 ON x.b = w1.b
+  GROUP BY 1, 2
+), p2 AS (
+  SELECT doc_id, y, round(1.0 / (1.0 + exp(-CAST(zd AS DOUBLE))), 6) AS p
+  FROM z2
+), g2 AS (
+  SELECT x.b, sum(CAST((p2.p - x.y) * x.tf AS DECIMAL(38,12))) AS s
+  FROM x JOIN p2 USING (doc_id) GROUP BY x.b
+)
+SELECT CAST(w1.b AS INTEGER) AS bucket,
+       round(w1.w - 0.5 * (CAST(g2.s AS DOUBLE) / (SELECT n FROM nn)),
+             6) AS w
+FROM w1 JOIN g2 ON w1.b = g2.b
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8764,6 +8845,9 @@ REGISTRY: dict[str, tuple] = {
     "ann_ivfpq_recall": (q_ann_ivfpq_recall, SQL_ANN_IVFPQ_RECALL),
     "bpe_learn_merges": (q_bpe_learn_merges, SQL_BPE_LEARN_MERGES),
     "bloom_dedup_ingest": (q_bloom_dedup_ingest, SQL_BLOOM_DEDUP_INGEST),
+    "curriculum_order": (q_curriculum_order, SQL_CURRICULUM_ORDER),
+    "classifier_train_logreg": (q_classifier_train_logreg,
+                                SQL_CLASSIFIER_TRAIN_LOGREG),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8790,7 +8874,7 @@ _R6_FRONT = [
     "rollup_revenue", "session_paths", "embedding_centroid_drift",
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
-    "bloom_dedup_ingest",
+    "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

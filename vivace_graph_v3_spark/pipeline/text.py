@@ -1244,3 +1244,111 @@ def zipf_slope(df: DataFrame, *, text_col: str = "text",
     return sums.select(F.col("n").cast("long").alias("n_types"),
                        "n_tokens_top",
                        F.round(slope, 6).alias("zipf_slope"))
+
+
+def curriculum_order(df: DataFrame, *, score_col: str,
+                     source_col: str = "source",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Deterministic curriculum ordering for training-data feeding:
+    rank documents WITHIN each source by (score desc, id), then
+    interleave sources round-robin by rank — so the training stream
+    sees the best examples of every source first, with no source
+    monopolizing any window of the schedule (the data-ordering /
+    source-interleaving step of a curriculum or annealing recipe).
+
+    curriculum_rank = dense global position of (src_rank, source, id) —
+    all ties broken, fully reproducible.
+
+    Scale shape: one window shuffle keyed by source for src_rank; the
+    global interleave rank is a second window over (src_rank, source) —
+    at scale that global row_number is replaced by writing out sorted by
+    (src_rank, source, id) (repartitionByRange + sortWithinPartitions,
+    the zorder_write_plan pattern); the contract keeps the explicit rank
+    column so the order itself is oracle-checked."""
+    ws = Window.partitionBy(source_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc())
+    ranked = df.select(id_col, source_col, score_col) \
+        .withColumn("src_rank", F.row_number().over(ws))
+    wg = Window.partitionBy(F.lit(1)).orderBy(
+        "src_rank", source_col, id_col)
+    return (ranked.withColumn("curriculum_rank",
+                              F.row_number().over(wg))
+            .select(id_col, source_col,
+                    F.col("src_rank").cast("long").alias("src_rank"),
+                    F.col("curriculum_rank").cast("long")
+                    .alias("curriculum_rank")))
+
+
+def train_logreg(df: DataFrame, *, text_col: str = "text",
+                 label_col: str = "y", id_col: str = "doc_id",
+                 buckets: int = 32, steps: int = 2,
+                 lr: float = 0.5) -> DataFrame:
+    """Distributed training of a hashed-feature LOGISTIC REGRESSION
+    quality classifier — full-batch gradient descent, the trainable
+    counterpart of classifier_score's fixed-weight seam:
+
+        p   = sigmoid(x . w)            (per doc)
+        g_b = sum_docs (p - y) * tf_b / n
+        w_b <- round(w_b - lr * g_b, 6)
+
+    Determinism is engineered at every step: features are the md5-64
+    token hash pmod ``buckets`` (the cross-engine classifier_score
+    convention) plus a bias bucket -1; per-doc scores and per-bucket
+    gradients accumulate term-wise in DECIMAL(38,12)
+    (order-independent); the sigmoid output and each weight update are
+    rounded to 6 decimals, so the weight vector after every step is an
+    exact 6-dp decimal both engines agree on — an oracle can replay the
+    whole training run in staged SQL CTEs and match bit-for-bit.
+
+    Scale shape: the corpus is touched once per step through a
+    (doc, bucket, tf) frame (map-side-combined); the weight table
+    (``buckets``+1 rows) broadcasts into the score join and comes back
+    to the driver once per step as plan-time literals for the next —
+    the train_centroids / bpe_learn_merges seam; lr defaults to an
+    exact binary fraction. Returns the final (bucket, w) frame."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    toks = tokens(F.col(text_col))
+    tf = (df.select(F.col(id_col).alias("id"),
+                    F.col(label_col).cast("int").alias("y"),
+                    F.explode(toks).alias("t"))
+          .select("id", "y",
+                  F.pmod(md5_hash64(F.col("t")), F.lit(buckets)).alias("b"))
+          .groupBy("id", "y", "b").agg(F.count(F.lit(1)).alias("tf")))
+    bias = df.select(F.col(id_col).alias("id"),
+                     F.col(label_col).cast("int").alias("y"),
+                     F.lit(-1).alias("b"), F.lit(1).alias("tf"))
+    x = tf.unionByName(bias).localCheckpoint(eager=True)
+    n = df.count()
+    all_b = [-1] + list(range(buckets))
+    w = {b: 0.0 for b in all_b}
+    spark = df.sparkSession
+    for _ in range(steps):
+        wmap = F.create_map(*[F.lit(v) for b_ in all_b
+                              for v in (b_, w[b_])])
+        z = (x.groupBy("id", "y")
+             .agg(F.sum((F.col("tf") * F.element_at(wmap, F.col("b")))
+                        .cast("decimal(38,12)")).alias("zd")))
+        p = z.select("id", "y",
+                     F.round(F.lit(1.0) / (F.lit(1.0)
+                             + F.exp(-F.col("zd").cast("double"))), 6)
+                     .alias("p"))
+        grad = (x.join(p.select("id", "p"), "id")
+                .groupBy("b")
+                .agg(F.sum(((F.col("p") - F.col("y")) * F.col("tf"))
+                           .cast("decimal(38,12)")).alias("s")))
+        upd = grad.select(
+            "b",
+            F.round(F.element_at(wmap, F.col("b"))
+                    - F.lit(lr) * (F.col("s").cast("double") / F.lit(n)),
+                    6).alias("w"))
+        rows = upd.collect()
+        hit = {r["b"]: (r["w"] or 0.0) for r in rows}
+        # buckets never hit by any token keep their previous weight in
+        # the working vector (needed for element_at next step) ...
+        w = {b_: hit.get(b_, w[b_]) for b_ in all_b}
+    # ... but only TRAINED buckets (ones that received gradient — i.e.
+    # appeared in the feature frame) are emitted: an absent feature has
+    # no learned weight, and scoring treats missing buckets as 0
+    return spark.createDataFrame(
+        sorted(hit.items()), "bucket int, w double")
