@@ -1538,3 +1538,35 @@ def test_curriculum_order_interleaves_sources(spark):
            curriculum_order(df, score_col="n_chars").collect()}
     # round-robin: best of s1, best of s2, second of s1, second of s2
     assert out == {1: 1, 2: 3, 3: 2, 4: 4}
+
+
+def test_bpe_compression_saves_on_repetitive_corpus(spark):
+    from vivace_graph_v3_spark.pipeline.tokenizer import bpe_compression
+
+    df = spark.createDataFrame([("abab abab abab abc abc",)], "text string")
+    r = bpe_compression(df, n_merges=3).first()
+    # vocab {abab x3, abc x2}: chars = 3*4 + 2*3 = 18; merges ab, abab,
+    # abc -> abab = 1 token, abc = 1 token -> tokens_after = 5
+    assert (r.chars_total, r.tokens_after) == (18, 5)
+    assert r.n_merges == 3 and r.n_word_types == 2
+    assert r.saved_ppm == 722222
+
+
+def test_dataset_card_counts(spark):
+    from vivace_graph_v3_spark.pipeline.text import dataset_card
+
+    rows = [
+        (1, "the cat", "en", "s1"),
+        (2, "the cat", "en", "s1"),      # exact dup of 1
+        (3, "le chat", "fr", "s1"),
+        (4, "unique text", "en", "s2"),
+    ]
+    df = spark.createDataFrame(rows,
+                               "doc_id long, text string, lang string, "
+                               "source string")
+    out = {r.source: r for r in dataset_card(df).collect()}
+    s1 = out["s1"]
+    assert (s1.n_docs, s1.n_tokens, s1.dup_docs) == (3, 6, 2)
+    assert s1.en_ppm == 666667 and s1.vocab_size == 4
+    s2 = out["s2"]
+    assert (s2.n_docs, s2.dup_docs, s2.dup_ppm) == (1, 0, 0)

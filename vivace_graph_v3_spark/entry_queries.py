@@ -8565,6 +8565,121 @@ FROM w1 JOIN g2 ON w1.b = g2.b
 """
 
 
+def q_bpe_compression(spark, sf_dir):
+    """BPE learn->apply round trip (pipeline/tokenizer.bpe_compression):
+    the 3 learned merges applied back to the vocabulary, reporting
+    corpus chars vs post-merge tokens and the integer savings rate —
+    the tokenizer-quality number that feeds training cost models."""
+    from vivace_graph_v3_spark.pipeline.tokenizer import bpe_compression
+
+    return bpe_compression(_docs(spark, sf_dir), n_merges=3)
+
+
+SQL_BPE_COMPRESSION = """
+WITH wf AS (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents) u
+  GROUP BY w
+), seg0 AS (
+  SELECT w, f, array_to_string(list_transform(
+           generate_series(1, length(w)), i -> w[i]), chr(31)) AS seg
+  FROM wf
+), t1 AS (SELECT f, string_split(seg, chr(31)) AS toks FROM seg0),
+p1 AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, sum(f) AS cnt
+  FROM t1, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+), m1 AS (SELECT l, r FROM p1 ORDER BY cnt DESC, l, r LIMIT 1),
+seg1 AS (
+  SELECT f, replace(seg, (SELECT l || chr(31) || r FROM m1),
+                    (SELECT l || r FROM m1)) AS seg
+  FROM seg0
+), t2 AS (SELECT f, string_split(seg, chr(31)) AS toks FROM seg1),
+p2 AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, sum(f) AS cnt
+  FROM t2, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+), m2 AS (SELECT l, r FROM p2 ORDER BY cnt DESC, l, r LIMIT 1),
+seg2 AS (
+  SELECT f, replace(seg, (SELECT l || chr(31) || r FROM m2),
+                    (SELECT l || r FROM m2)) AS seg
+  FROM seg1
+), t3 AS (SELECT f, string_split(seg, chr(31)) AS toks FROM seg2),
+p3 AS (
+  SELECT toks[i] AS l, toks[i + 1] AS r, sum(f) AS cnt
+  FROM t3, unnest(generate_series(1, len(toks) - 1)) AS u(i)
+  WHERE len(toks) >= 2 GROUP BY 1, 2
+), m3 AS (SELECT l, r FROM p3 ORDER BY cnt DESC, l, r LIMIT 1),
+seg3 AS (
+  SELECT f, replace(seg, (SELECT l || chr(31) || r FROM m3),
+                    (SELECT l || r FROM m3)) AS seg
+  FROM seg2
+), agg AS (
+  SELECT count(*) AS n_word_types, sum(f) AS n_word_occurrences,
+         sum(f * len(string_split(seg, chr(31)))) AS tokens_after,
+         sum(f * length(replace(seg, chr(31), ''))) AS chars_total
+  FROM seg3
+)
+SELECT CAST(3 AS BIGINT) AS n_merges,
+       CAST(n_word_types AS BIGINT) AS n_word_types,
+       CAST(n_word_occurrences AS BIGINT) AS n_word_occurrences,
+       CAST(chars_total AS BIGINT) AS chars_total,
+       CAST(tokens_after AS BIGINT) AS tokens_after,
+       CAST(((chars_total - tokens_after) * 2000000 + chars_total)
+            // (chars_total * 2) AS BIGINT) AS saved_ppm
+FROM agg
+"""
+
+
+def q_dataset_card(spark, sf_dir):
+    """Per-source dataset card (pipeline/text.dataset_card): doc/char/
+    token volumes, English share, exact-dup rate, vocabulary size — the
+    release-artifact summary composed from the counting, fingerprint,
+    and vocab subsystems, one oracle-checkable table."""
+    from vivace_graph_v3_spark.pipeline.text import dataset_card
+
+    return dataset_card(_docs(spark, sf_dir))
+
+
+SQL_DATASET_CARD = rf"""
+WITH base AS (
+  SELECT source AS src, lang, length(text) AS n_chars,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS n_toks,
+         {_HASH64_OF.format(c="text")} AS fp
+  FROM documents
+), vols AS (
+  SELECT src, count(*) AS n_docs, sum(n_chars) AS n_chars,
+         sum(n_toks) AS n_tokens,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_en
+  FROM base GROUP BY src
+), dupc AS (
+  SELECT fp FROM base GROUP BY fp HAVING count(*) > 1
+), dups AS (
+  SELECT src, count(*) AS dup_docs FROM base
+  WHERE fp IN (SELECT fp FROM dupc) GROUP BY src
+), vocab AS (
+  SELECT source AS src, count(DISTINCT t) AS vocab_size FROM (
+    SELECT source, unnest(list_filter(
+      string_split_regex(trim(text), '\s+'), x -> x <> '')) AS t
+    FROM documents) u
+  GROUP BY source
+)
+SELECT vols.src AS source, CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST((n_en * 2000000 + n_docs) // (n_docs * 2) AS BIGINT)
+         AS en_ppm,
+       CAST(coalesce(dup_docs, 0) AS BIGINT) AS dup_docs,
+       CAST((coalesce(dup_docs, 0) * 2000000 + n_docs) // (n_docs * 2)
+            AS BIGINT) AS dup_ppm,
+       CAST(coalesce(vocab_size, 0) AS BIGINT) AS vocab_size
+FROM vols LEFT JOIN dups ON vols.src = dups.src
+LEFT JOIN vocab ON vols.src = vocab.src
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8848,6 +8963,8 @@ REGISTRY: dict[str, tuple] = {
     "curriculum_order": (q_curriculum_order, SQL_CURRICULUM_ORDER),
     "classifier_train_logreg": (q_classifier_train_logreg,
                                 SQL_CLASSIFIER_TRAIN_LOGREG),
+    "bpe_compression": (q_bpe_compression, SQL_BPE_COMPRESSION),
+    "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8875,6 +8992,7 @@ _R6_FRONT = [
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
+    "bpe_compression", "dataset_card",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

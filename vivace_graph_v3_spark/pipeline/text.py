@@ -1352,3 +1352,54 @@ def train_logreg(df: DataFrame, *, text_col: str = "text",
     # no learned weight, and scoring treats missing buckets as 0
     return spark.createDataFrame(
         sorted(hit.items()), "bucket int, w double")
+
+
+def dataset_card(df: DataFrame, *, text_col: str = "text",
+                 source_col: str = "source", lang_col: str = "lang",
+                 id_col: str = "doc_id") -> DataFrame:
+    """Per-source dataset card — the one-table summary a corpus release
+    ships with: document/char/token volumes, English share, exact-dup
+    rate, and source vocabulary size. Composes the subsystems a real
+    card draws on (token counting, fingerprint dedup, vocab induction)
+    into one oracle-checkable report.
+
+    Scale shape: three map-side-combined aggregates over one corpus
+    scan each — (source) volumes, (fingerprint) dup classes joined back
+    source-bounded, (source, token) vocab counts — all reduced to
+    |sources|-row frames before the final broadcast joins."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    toks = tokens(F.col(text_col))
+    base = df.select(F.col(source_col).alias("src"),
+                     F.col(lang_col).alias("lang"),
+                     F.length(text_col).alias("n_chars"),
+                     F.size(toks).alias("n_toks"),
+                     md5_hash64(F.col(text_col)).alias("fp"))
+    vols = (base.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_chars").cast("long").alias("n_chars"),
+                 F.sum("n_toks").cast("long").alias("n_tokens"),
+                 F.sum(F.when(F.col("lang") == "en", 1).otherwise(0))
+                 .alias("n_en")))
+    dup_classes = (base.groupBy("fp")
+                   .agg(F.count(F.lit(1)).alias("cnt"))
+                   .filter(F.col("cnt") > 1))
+    dups = (base.join(F.broadcast(dup_classes), "fp", "left_semi")
+            .groupBy("src").agg(F.count(F.lit(1)).alias("dup_docs")))
+    vocab = (df.select(F.col(source_col).alias("src"),
+                       F.explode(toks).alias("t"))
+             .groupBy("src")
+             .agg(F.countDistinct("t").alias("vocab_size")))
+    en_ppm = F.expr("(n_en * 2000000 + n_docs) div (n_docs * 2)")
+    dup_ppm = F.expr("(coalesce(dup_docs, 0) * 2000000 + n_docs)"
+                     " div (n_docs * 2)")
+    return (vols.join(dups, "src", "left").join(vocab, "src", "left")
+            .select(F.col("src").alias(source_col),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "n_chars", "n_tokens",
+                    en_ppm.cast("long").alias("en_ppm"),
+                    F.coalesce(F.col("dup_docs"), F.lit(0)).cast("long")
+                    .alias("dup_docs"),
+                    dup_ppm.cast("long").alias("dup_ppm"),
+                    F.coalesce(F.col("vocab_size"), F.lit(0)).cast("long")
+                    .alias("vocab_size")))

@@ -116,3 +116,42 @@ def bpe_learn_merges(df: DataFrame, *, n_merges: int = 3,
         base = base.select("f", F.expr(
             f"replace(seg, '{l}{BPE_SEP}{r}', '{l}{r}')").alias("seg"))
     return merges
+
+
+def bpe_compression(df: DataFrame, *, n_merges: int = 3,
+                    text_col: str = "text") -> DataFrame:
+    """Learn ``n_merges`` BPE merges (bpe_learn_merges), APPLY them to
+    the vocabulary, and report the corpus-level compression they buy —
+    the learn->apply round trip that tells you whether the next merge
+    budget is worth it (tokens-per-char is the tokenizer-quality number
+    that feeds cost models).
+
+    Returns one row: (n_merges, n_word_types, n_word_occurrences,
+    chars_total, tokens_after, saved_ppm) — chars_total is the
+    char-level token count (the BPE starting point), tokens_after the
+    count after the learned merges, saved_ppm the integer round-half-up
+    savings rate. All integer arithmetic; the apply step is the same
+    replace chain the learner used, evaluated once over the
+    Heaps-bounded vocabulary."""
+    merges = bpe_learn_merges(df, n_merges=n_merges, text_col=text_col)
+    wf = word_frequencies(df, text_col=text_col)
+    seg = F.expr("array_join(transform(sequence(1, length(w)), "
+                 f"i -> substring(w, i, 1)), '{BPE_SEP}')")
+    # apply: the same replace chain the learner used, nested expressions
+    col = seg
+    for m in merges:
+        col = F.replace(col, F.lit(m["lhs"] + BPE_SEP + m["rhs"]),
+                        F.lit(m["lhs"] + m["rhs"]))
+    toks_after = F.size(F.split(col, BPE_SEP))
+    agg = wf.agg(
+        F.count(F.lit(1)).cast("long").alias("n_word_types"),
+        F.sum("f").cast("long").alias("n_word_occurrences"),
+        F.sum(F.col("f") * F.length("w")).cast("long")
+        .alias("chars_total"),
+        F.sum(F.col("f") * toks_after).cast("long").alias("tokens_after"))
+    saved = F.expr("((chars_total - tokens_after) * 2000000 + chars_total)"
+                   " div (chars_total * 2)")
+    return agg.select(
+        F.lit(len(merges)).cast("long").alias("n_merges"),
+        "n_word_types", "n_word_occurrences", "chars_total",
+        "tokens_after", saved.cast("long").alias("saved_ppm"))
