@@ -84,7 +84,7 @@ AUDITED = [
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
-    "bpe_compression", "dataset_card",
+    "bpe_compression", "dataset_card", "join_cardinality_audit",
 ]
 
 

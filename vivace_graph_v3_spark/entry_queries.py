@@ -8680,6 +8680,32 @@ LEFT JOIN vocab ON vols.src = vocab.src
 """
 
 
+def q_join_cardinality_audit(spark, sf_dir):
+    """Exact-vs-estimated join cardinality for lineitem x lineitem on
+    l_partkey (operators/skew.join_cardinality_audit): sum of per-key
+    fanout products from the count tables (key-bounded, the join is
+    never executed) against the optimizer independence estimate — the
+    decide-before-you-join companion of key_skew_profile."""
+    from vivace_graph_v3_spark.operators.skew import join_cardinality_audit
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return join_cardinality_audit(li, li, "l_partkey", "l_partkey")
+
+
+SQL_JOIN_CARDINALITY_AUDIT = """
+WITH a AS (SELECT l_partkey AS k, count(*) AS a FROM lineitem GROUP BY 1),
+j AS (SELECT sum(a * a) AS exact_rows FROM a),
+t AS (SELECT sum(a) AS n, count(*) AS d FROM a)
+SELECT CAST(n AS BIGINT) AS n_left, CAST(n AS BIGINT) AS n_right,
+       CAST(d AS BIGINT) AS d_left, CAST(d AS BIGINT) AS d_right,
+       CAST(exact_rows AS BIGINT) AS exact_rows,
+       CAST(n * n // d AS BIGINT) AS estimate_rows,
+       CAST((abs(n * n // d - exact_rows) * 2000000 + exact_rows)
+            // (exact_rows * 2) AS BIGINT) AS err_ppm
+FROM t, j
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8965,6 +8991,8 @@ REGISTRY: dict[str, tuple] = {
                                 SQL_CLASSIFIER_TRAIN_LOGREG),
     "bpe_compression": (q_bpe_compression, SQL_BPE_COMPRESSION),
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
+    "join_cardinality_audit": (q_join_cardinality_audit,
+                               SQL_JOIN_CARDINALITY_AUDIT),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -8992,7 +9020,7 @@ _R6_FRONT = [
     "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
-    "bpe_compression", "dataset_card",
+    "bpe_compression", "dataset_card", "join_cardinality_audit",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

@@ -103,3 +103,40 @@ def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
                     "p99_per_key",
                     F.expr("max_per_key * 1000000 div n_rows")
                     .cast("long").alias("top1_share_ppm")))
+
+
+def join_cardinality_audit(left: DataFrame, right: DataFrame,
+                           left_key: str, right_key: str) -> DataFrame:
+    """Pre-join cardinality audit: the EXACT output size of an equi-join
+    (sum over keys of a_k * b_k, computed from the two per-key count
+    tables — key-bounded work, never the join itself) next to the
+    textbook independence estimate n_a * n_b / max(d_a, d_b) that a
+    Selinger-style optimizer would use. The ratio tells you how wrong
+    the uniform assumption is on this key BEFORE you pay for the join —
+    the companion diagnostic to key_skew_profile.
+
+    Returns one row: (n_left, n_right, d_left, d_right, exact_rows,
+    estimate_rows, err_ppm) with err = |exact - est| / exact. Products
+    accumulate in DECIMAL(38,0) (a_k * b_k sums reach n_a * n_b at the
+    hot-key extreme)."""
+    a = (left.select(F.col(left_key).alias("k"))
+         .groupBy("k").agg(F.count(F.lit(1)).alias("a")))
+    b = (right.select(F.col(right_key).alias("k"))
+         .groupBy("k").agg(F.count(F.lit(1)).alias("b")))
+    j = (a.join(b, "k")
+         .agg(F.sum(F.col("a").cast("decimal(38,0)") * F.col("b"))
+              .cast("long").alias("exact_rows")))
+    ta = a.agg(F.sum("a").cast("long").alias("n_left"),
+               F.count(F.lit(1)).cast("long").alias("d_left"))
+    tb = b.agg(F.sum("b").cast("long").alias("n_right"),
+               F.count(F.lit(1)).cast("long").alias("d_right"))
+    est = F.expr("CAST(n_left AS DECIMAL(38,0)) * n_right"
+                 " div greatest(d_left, d_right)")
+    err = F.expr("CASE WHEN exact_rows = 0 THEN NULL ELSE"
+                 " (abs(estimate_rows - exact_rows) * 2000000"
+                 "  + exact_rows) div (exact_rows * 2) END")
+    return (ta.crossJoin(tb).crossJoin(j)
+            .withColumn("estimate_rows", est.cast("long"))
+            .select("n_left", "n_right", "d_left", "d_right",
+                    "exact_rows", "estimate_rows",
+                    err.cast("long").alias("err_ppm")))
