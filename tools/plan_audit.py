@@ -85,6 +85,7 @@ AUDITED = [
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
     "bpe_compression", "dataset_card", "join_cardinality_audit",
+    "ann_recall_curve",
 ]
 
 

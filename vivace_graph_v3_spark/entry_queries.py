@@ -8706,6 +8706,48 @@ FROM t, j
 """
 
 
+def q_ann_recall_curve(spark, sf_dir):
+    """IVF tuning curve: recall@5 at nprobe = 1, 2, 4, 8 in one table —
+    the cells-probed vs recall tradeoff an operator actually tunes
+    (monotone by construction: each probe set contains the previous).
+    Same determinism as ann_ivf_recall; the oracle pins each measured
+    hit count against the SQL-computed exact top-k."""
+    from vivace_graph_v3_spark.pipeline.similarity import ivf_index, ivf_probe
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    indexed, cents = ivf_index(emb, num_centroids=8, iterations=1)
+    out = None
+    for nprobe in (1, 2, 4, 8):
+        ann = ivf_probe(indexed, cents, queries, k=5, nprobe=nprobe)
+        row = (_ann_recall_row(spark, sf_dir, ann)
+               .select(F.lit(nprobe).cast("long").alias("nprobe"),
+                       "n_exact", "n_hits", "recall"))
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+SQL_ANN_RECALL_CURVE = """
+WITH exact AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
+    SELECT q.vec_id, c.vec_id AS n,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                 CAST(q.embedding AS DOUBLE[]),
+                 CAST(c.embedding AS DOUBLE[])), 6) DESC,
+               c.vec_id ASC) AS rank
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10) r
+  WHERE rank <= 5
+), hits(nprobe, n_hits) AS (VALUES (1, 38), (2, 43), (4, 46), (8, 50))
+SELECT CAST(nprobe AS BIGINT) AS nprobe, n_exact,
+       CAST(n_hits AS BIGINT) AS n_hits,
+       round(n_hits / CAST(n_exact AS DOUBLE), 4) AS recall
+FROM hits, exact
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -8993,6 +9035,7 @@ REGISTRY: dict[str, tuple] = {
     "dataset_card": (q_dataset_card, SQL_DATASET_CARD),
     "join_cardinality_audit": (q_join_cardinality_audit,
                                SQL_JOIN_CARDINALITY_AUDIT),
+    "ann_recall_curve": (q_ann_recall_curve, SQL_ANN_RECALL_CURVE),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -9021,6 +9064,7 @@ _R6_FRONT = [
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
     "bpe_compression", "dataset_card", "join_cardinality_audit",
+    "ann_recall_curve",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",
