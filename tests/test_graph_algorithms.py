@@ -371,3 +371,16 @@ def test_k_truss_two_triangles_and_pendant(spark):
                        ("b", "d"), ("c", "d")}       # bridge d-e peeled
     assert t3[("b", "c")] == 2
     assert k_truss(g, 4).count() == 0                # cascade empties it
+
+
+def test_avg_neighbor_degree_star_graph(spark):
+    """Star K_{1,4}: hub degree 4, leaves degree 1. k_nn(4) = 1 (hub's
+    neighbors are leaves), k_nn(1) = 4 (leaves see the hub)."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        avg_neighbor_degree)
+
+    g = _graph(spark, [f"v{i}" for i in range(5)],
+               [("v0", f"v{i}", 1) for i in range(1, 5)])
+    out = {r.k: r.knn_ppm for r in avg_neighbor_degree(g).collect()}
+    assert out[4] == 1_000_000
+    assert out[1] == 4_000_000

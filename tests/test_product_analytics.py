@@ -326,3 +326,23 @@ def test_centroid_drift_identical_halves(spark):
     out = {r.label: r.centroid_cosine for r in centroid_drift(df).collect()}
     assert out[7] == 1.0
     assert out[8] == 0.0
+
+
+def test_interpurchase_gaps_value_grid(spark):
+    from datetime import datetime
+
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        interpurchase_gaps)
+
+    orders = spark.createDataFrame(
+        [(1, "c1", datetime(2024, 1, 1)), (2, "c1", datetime(2024, 1, 11)),
+         (3, "c1", datetime(2024, 1, 14)), (4, "c2", datetime(2024, 2, 1)),
+         (5, "c2", datetime(2024, 2, 3))],
+        "o_orderkey long, o_custkey string, o_orderdate timestamp")
+    cust = spark.createDataFrame([("c1", "SEG_A"), ("c2", "SEG_A")],
+                                 "c_custkey string, c_mktsegment string")
+    r = interpurchase_gaps(orders, cust).first()
+    # gaps: c1 -> 10, 3; c2 -> 2; grid {2,3,10}: lower median (n=3) = 3,
+    # p90 = 10, max = 10
+    assert (r.segment, r.n_gaps) == ("SEG_A", 3)
+    assert (r.median_gap_days, r.p90_gap_days, r.max_gap_days) == (3, 10, 10)

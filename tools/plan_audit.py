@@ -85,7 +85,7 @@ AUDITED = [
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
     "bpe_compression", "dataset_card", "join_cardinality_audit",
-    "ann_recall_curve",
+    "ann_recall_curve", "graph_knn_degree", "customer_order_gaps",
 ]
 
 

@@ -8748,6 +8748,82 @@ FROM hits, exact
 """
 
 
+def q_graph_knn_degree(spark, sf_dir):
+    """Average-neighbor-degree curve k_nn(k) over the full F6 graph
+    (operators/graph_algorithms.avg_neighbor_degree) — the functional
+    companion of graph_assortativity: falling curve = hubs attach to
+    leaves. Exact integer ppm means over the degree value grid."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        avg_neighbor_degree)
+
+    g = load_tpch_graph(spark, sf_dir)
+    return avg_neighbor_degree(g)
+
+
+SQL_GRAPH_KNN_DEGREE = (
+    f"WITH base AS ({_F6_EDGES_SQL}),"
+    + """
+e AS (
+  SELECT src AS u, dst AS v FROM base
+  UNION ALL SELECT dst, src FROM base
+), deg AS (
+  SELECT u AS node, count(*) AS deg FROM e GROUP BY u
+), j AS (
+  SELECT du.deg AS du, dv.deg AS dv
+  FROM e JOIN deg du ON e.u = du.node JOIN deg dv ON e.v = dv.node
+)
+SELECT CAST(du AS BIGINT) AS k, CAST(count(*) AS BIGINT) AS n_endpoints,
+       CAST((sum(dv) * 2000000 + count(*)) // (count(*) * 2) AS BIGINT)
+         AS knn_ppm
+FROM j GROUP BY du
+""")
+
+
+def q_customer_order_gaps(spark, sf_dir):
+    """Inter-purchase gap distribution per market segment
+    (operators/product_analytics.interpurchase_gaps): one
+    customer-keyed lag window, then exact value-grid lower-median /
+    p90 / max of the day gaps — the replenishment-cycle feature block
+    order_lag_features' per-row lags don't summarize."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        interpurchase_gaps)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return interpurchase_gaps(o, c)
+
+
+SQL_CUSTOMER_ORDER_GAPS = """
+WITH gaps AS (
+  SELECT o_custkey AS cust,
+         epoch_us(o_orderdate) // 86400000000
+         - lag(epoch_us(o_orderdate) // 86400000000)
+             OVER (PARTITION BY o_custkey
+                   ORDER BY epoch_us(o_orderdate) // 86400000000,
+                            o_orderkey) AS gap
+  FROM orders
+  QUALIFY gap IS NOT NULL
+), grid AS (
+  SELECT c_mktsegment AS segment, gap, count(*) AS c
+  FROM gaps JOIN customer ON cust = c_custkey
+  GROUP BY 1, 2
+), tot AS (SELECT segment, sum(c) AS n FROM grid GROUP BY segment),
+cum AS (
+  SELECT segment, gap, c,
+         sum(c) OVER (PARTITION BY segment ORDER BY gap) AS cum
+  FROM grid
+)
+SELECT cum.segment, CAST(any_value(n) AS BIGINT) AS n_gaps,
+       CAST(min(CASE WHEN cum * 2 >= n THEN gap END) AS BIGINT)
+         AS median_gap_days,
+       CAST(min(CASE WHEN cum * 10 >= n * 9 THEN gap END) AS BIGINT)
+         AS p90_gap_days,
+       CAST(max(gap) AS BIGINT) AS max_gap_days
+FROM cum JOIN tot ON cum.segment = tot.segment
+GROUP BY cum.segment
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -9036,6 +9112,8 @@ REGISTRY: dict[str, tuple] = {
     "join_cardinality_audit": (q_join_cardinality_audit,
                                SQL_JOIN_CARDINALITY_AUDIT),
     "ann_recall_curve": (q_ann_recall_curve, SQL_ANN_RECALL_CURVE),
+    "graph_knn_degree": (q_graph_knn_degree, SQL_GRAPH_KNN_DEGREE),
+    "customer_order_gaps": (q_customer_order_gaps, SQL_CUSTOMER_ORDER_GAPS),
 }
 
 # Round-6 driver sample order. Three blocks:
@@ -9064,7 +9142,7 @@ _R6_FRONT = [
     "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
     "bpe_compression", "dataset_card", "join_cardinality_audit",
-    "ann_recall_curve",
+    "ann_recall_curve", "graph_knn_degree", "customer_order_gaps",
     # -- block 3: hedge slots from the round-5 front (21) --
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

@@ -919,3 +919,33 @@ def community_modularity(graph: GraphStore, *, edge_type: str | None = None,
                           ") * 1000000 div (m2 * m2)").cast("long")
                    .alias("q_ppm")))
     return out.orderBy(F.desc("size"), "label").limit(top_k)
+
+
+def avg_neighbor_degree(graph: GraphStore, *, edge_type: str | None = None,
+                        bin_width: int = 1) -> DataFrame:
+    """Average-neighbor-degree curve k_nn(k) (Pastor-Satorras et al.
+    2001) — the functional companion of the scalar degree_assortativity:
+    for each degree value k, the mean degree of the neighbors of
+    degree-k vertices. A falling curve = disassortative (hubs attach to
+    leaves), flat = uncorrelated.
+
+    Exact integer arithmetic: per-degree sums of neighbor degrees in
+    BIGINT, mean as round-half-up ppm of the exact rational. Shape: one
+    degree aggregate (vertex-bounded), one edge join carrying both
+    endpoint degrees (the assortativity join), then a degree-value-grid
+    aggregate. ``bin_width`` > 1 coarsens the curve for heavy-tailed
+    graphs. Returns (k, n_vertices? no — n_edge_endpoints, knn_ppm)."""
+    e = _edge_pairs(graph, edge_type, undirected=True)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    du = deg.select(F.col("src").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("src").alias("v"), F.col("deg").alias("dv"))
+    joined = (e.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+              .join(du, "u").join(dv, "v"))
+    k = F.expr(f"du div {bin_width} * {bin_width}")
+    return (joined.groupBy(k.alias("k"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_endpoints"),
+                 F.sum("dv").cast("long").alias("sum_nbr_deg"))
+            .select("k", "n_endpoints",
+                    F.expr("(sum_nbr_deg * 2000000 + n_endpoints)"
+                           " div (n_endpoints * 2)").cast("long")
+                    .alias("knn_ppm")))

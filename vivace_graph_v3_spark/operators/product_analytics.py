@@ -628,3 +628,45 @@ def session_paths(events: DataFrame, *, ts_col: str = "ts",
             .select("path", F.col("n_sessions").cast("long")
                     .alias("n_sessions"),
                     F.col("rank").cast("long").alias("rank")))
+
+
+def interpurchase_gaps(orders: DataFrame, customer: DataFrame, *,
+                       ts_col: str = "o_orderdate",
+                       cust_col: str = "o_custkey",
+                       key_col: str = "o_orderkey",
+                       seg_col: str = "c_mktsegment",
+                       cust_key: str = "c_custkey") -> DataFrame:
+    """Inter-purchase gap distribution per customer segment: consecutive
+    order-day gaps from one per-customer window (lag over epoch days,
+    orderkey tiebreak), then exact value-grid lower-median / p90 / max
+    per segment — the replenishment-cycle feature block of a demand
+    model, and the corpus-level view order_lag_features' per-row lags
+    don't give you.
+
+    One customer-keyed window shuffle; the gap VALUE GRID per segment is
+    domain-bounded (distinct gap lengths), so the percentile windows
+    never touch row-scale data. All integer."""
+    day = F.expr(f"unix_micros(CAST(`{ts_col}` AS TIMESTAMP))"
+                 " div 86400000000")
+    w = Window.partitionBy("cust").orderBy("d", "k")
+    gaps = (orders.select(F.col(cust_col).alias("cust"),
+                          day.alias("d"), F.col(key_col).alias("k"))
+            .withColumn("gap", F.col("d") - F.lag("d").over(w))
+            .filter(F.col("gap").isNotNull()))
+    seg = customer.select(F.col(cust_key).alias("cust"),
+                          F.col(seg_col).alias("segment"))
+    grid = (gaps.join(seg, "cust")
+            .groupBy("segment", "gap").agg(F.count(F.lit(1)).alias("c")))
+    tot = grid.groupBy("segment").agg(F.sum("c").alias("n"))
+    wg = (Window.partitionBy("segment").orderBy("gap")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    cum = grid.withColumn("cum", F.sum("c").over(wg)).join(tot, "segment")
+    return (cum.groupBy("segment")
+            .agg(F.any_value("n").cast("long").alias("n_gaps"),
+                 F.min(F.when(F.col("cum") * 2 >= F.col("n"),
+                              F.col("gap"))).cast("long")
+                 .alias("median_gap_days"),
+                 F.min(F.when(F.col("cum") * 10 >= F.col("n") * 9,
+                              F.col("gap"))).cast("long")
+                 .alias("p90_gap_days"),
+                 F.max("gap").cast("long").alias("max_gap_days")))
