@@ -292,3 +292,72 @@ def test_round6_operator_plan_shapes(spark):
         df.collect()
         f = plan_facts(df)
         assert f.joins == 0 and not f.row_udf, name
+
+
+def test_round7_stats_operator_plan_shapes(spark):
+    """CI gates on the stats/rolling batch:
+    - chi2_independence: raw table hits ONE map-side-combined aggregate;
+      everything downstream (marginals, total) runs on the domain-bounded
+      cell grid; the 1-row totals frame joins as broadcast
+    - benford_audit: single partial aggregate to <= 9 rows + broadcast
+      total, no sort-merge join, no row-UDF
+    - theilsen_trend: the pairwise self-join runs on the month grid, not
+      the raw table (every join input is post-aggregate)
+    - events_rolling_distinct: exactly the two documented shuffles
+      (presence pairs, per-day distinct) plus the day semi join; the
+      explode is map-only (no exchange between dedup and explode)
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    for name in ("chi2_independence", "benford_audit", "theilsen_trend",
+                 "events_rolling_distinct"):
+        df = qs[name](spark, sf)
+        df.collect()
+        f = plan_facts(df)
+        assert not f.row_udf, name
+        assert f.partial_aggregates >= 1, name
+
+    f = plan_facts(qs["benford_audit"](spark, sf))
+    assert f.sort_merge_joins == 0
+    # the 1-row share denominator joins keyless -> BroadcastNestedLoop
+    assert f.broadcast_joins + f.broadcast_nl_joins >= 1
+
+
+def test_round7_text_operator_plan_shapes(spark):
+    """CI gates on the round-7 text/training batch:
+    - text_readability: map-only (no exchange, no join, no row-UDF)
+    - tokenizer_fertility: one map-side-combined aggregate, no joins
+    - dpo_preference_pairs: the pairing join runs on post-window frames
+      keyed by (source, rank) — no row-UDF, no cartesian
+    - shard_interleave_audit: windows partition by shard (never a
+      global single-partition sort of the corpus)
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    df = qs["text_readability"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert f.joins == 0 and f.exchanges == 0 and not f.row_udf
+
+    df = qs["tokenizer_fertility"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert f.joins == 0 and not f.row_udf
+    assert f.partial_aggregates >= 1
+
+    df = qs["dpo_preference_pairs"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert not f.row_udf and f.cartesian_products == 0
+
+    df = qs["shard_interleave_audit"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert not f.row_udf
+    assert f.single_partition_exchanges == 0

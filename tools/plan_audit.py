@@ -86,6 +86,9 @@ AUDITED = [
     "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
     "bpe_compression", "dataset_card", "join_cardinality_audit",
     "ann_recall_curve", "graph_knn_degree", "customer_order_gaps",
+    "chi2_independence", "benford_audit", "theilsen_trend",
+    "events_rolling_distinct", "text_readability", "tokenizer_fertility",
+    "dpo_preference_pairs", "shard_interleave_audit",
 ]
 
 

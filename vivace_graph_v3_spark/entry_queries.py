@@ -8824,6 +8824,331 @@ GROUP BY cum.segment
 """
 
 
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease per document (pipeline/text.readability_stats):
+    deterministic vowel-group syllable heuristic, IEEE-stable double
+    score over exact integer counts, banded easy/medium/hard."""
+    from vivace_graph_v3_spark.pipeline.text import readability_stats
+
+    return readability_stats(_docs(spark, sf_dir))
+
+
+SQL_TEXT_READABILITY = r"""
+WITH t AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), s AS (
+  SELECT doc_id, len(toks) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]+')), 1)
+           AS n_sentences,
+         len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           + len(list_filter(toks,
+                             x -> NOT regexp_matches(x, '[aeiouyAEIOUY]')))
+           AS n_syllables
+  FROM t
+), scored AS (
+  SELECT doc_id, n_words, n_sentences, n_syllables,
+         206.835
+           - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sentences AS DOUBLE))
+           - 84.6 * (CAST(n_syllables AS DOUBLE) / CAST(n_words AS DOUBLE))
+           AS flesch
+  FROM s WHERE n_words > 0
+)
+SELECT doc_id, CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables, flesch,
+       CASE WHEN flesch >= 60.0 THEN 'easy'
+            WHEN flesch >= 30.0 THEN 'medium'
+            ELSE 'hard' END AS band
+FROM scored
+"""
+
+
+def q_tokenizer_fertility(spark, sf_dir):
+    """Tokenizer fertility per language (pipeline/text.tokenizer_fertility):
+    BPE-ish subtokens per word and chars per subtoken as exact integer
+    ppm over BIGINT sums — the multilingual tokenizer-efficiency audit."""
+    from vivace_graph_v3_spark.pipeline.text import tokenizer_fertility
+
+    return tokenizer_fertility(_docs(spark, sf_dir))
+
+
+SQL_TOKENIZER_FERTILITY = r"""
+WITH per AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS w,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+           AS b,
+         length(text) AS ch
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+       CAST(sum(b) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(ch) AS BIGINT) AS n_chars,
+       CAST((sum(b) * 2000000 + sum(w)) // (sum(w) * 2) AS BIGINT)
+         AS fertility_ppm,
+       CAST((sum(ch) * 2000000 + sum(b)) // (sum(b) * 2) AS BIGINT)
+         AS chars_per_bpe_ppm
+FROM per GROUP BY lang
+"""
+
+
+def q_dpo_preference_pairs(spark, sf_dir):
+    """Preference-pair construction for DPO-style training
+    (pipeline/text.preference_pairs): within each source, best-vs-worst
+    pairing by the deterministic quality score, strictly positive
+    margins only."""
+    from vivace_graph_v3_spark.pipeline.text import preference_pairs
+
+    return preference_pairs(_docs(spark, sf_dir))
+
+
+SQL_DPO_PREFERENCE_PAIRS = rf"""
+WITH t AS (
+  SELECT doc_id, source, text, length(text) AS n_chars,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks,
+         length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) AS punct
+  FROM documents
+), s AS (
+  SELECT doc_id, source, n_chars, punct, len(toks) AS n_toks,
+         len(list_filter(list_transform(toks, x -> lower(x)),
+                         x -> x IN ({_STOP_SQL}))) AS stops,
+         (n_chars - len(toks) + 1) / greatest(len(toks), 1) AS mean_wl
+  FROM t
+), q AS (
+  SELECT doc_id, source,
+         floor((least(n_chars / 500.0, 1.0) * 0.3
+                + (1.0 - least(punct / greatest(n_chars, 1) * 5.0, 1.0)) * 0.2
+                + least(stops / greatest(n_toks, 1) * 5.0, 1.0) * 0.3
+                + (CASE WHEN mean_wl >= 3.0 AND mean_wl <= 12.0
+                        THEN 1.0 ELSE 0.3 END) * 0.2) * 1000000.0 + 0.5)
+           / 1000000.0 AS quality
+  FROM s
+), r AS (
+  SELECT doc_id, source, quality,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY quality DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY source) AS cnt
+  FROM q
+), top AS (
+  SELECT source, rn AS pair_rank, doc_id AS chosen_id,
+         quality AS chosen_q
+  FROM r WHERE rn * 2 <= cnt
+), bot AS (
+  SELECT source, cnt - rn + 1 AS pair_rank, doc_id AS rejected_id,
+         quality AS rejected_q
+  FROM r WHERE rn * 2 > cnt
+)
+SELECT top.source AS source, CAST(top.pair_rank AS BIGINT) AS pair_rank,
+       chosen_id, rejected_id, chosen_q, rejected_q,
+       chosen_q - rejected_q AS margin
+FROM top JOIN bot ON top.source = bot.source
+                  AND top.pair_rank = bot.pair_rank
+WHERE chosen_q - rejected_q > 0
+"""
+
+
+def q_shard_interleave_audit(spark, sf_dir):
+    """Export-order shuffle-quality audit
+    (pipeline/export.interleave_audit): per-source run-length stats of
+    consecutive same-source documents in the deterministic 16-shard
+    export order."""
+    from vivace_graph_v3_spark.pipeline.export import interleave_audit
+
+    return interleave_audit(_docs(spark, sf_dir), "doc_id", "source")
+
+
+SQL_SHARD_INTERLEAVE_AUDIT = f"""
+WITH base AS (
+  SELECT doc_id AS k, source AS g,
+         CAST((({_MIX_HASH64} % 16) + 16) % 16 AS INT) AS shard,
+         {_MIX_HASH64} AS h
+  FROM documents
+), marked AS (
+  SELECT shard, g, h, k,
+         CASE WHEN lag(g) OVER w IS NULL OR lag(g) OVER w <> g
+              THEN 1 ELSE 0 END AS brk
+  FROM base WINDOW w AS (PARTITION BY shard ORDER BY h, k)
+), numbered AS (
+  SELECT shard, g,
+         sum(brk) OVER (PARTITION BY shard ORDER BY h, k) AS run_id
+  FROM marked
+), runs AS (
+  SELECT shard, run_id, g, count(*) AS run_len
+  FROM numbered GROUP BY 1, 2, 3
+)
+SELECT g AS source, CAST(sum(run_len) AS BIGINT) AS n_docs,
+       count(*) AS n_runs, CAST(max(run_len) AS BIGINT) AS max_run,
+       CAST((sum(run_len) * 2000000 + count(*)) // (count(*) * 2)
+            AS BIGINT) AS mean_run_ppm
+FROM runs GROUP BY g
+"""
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square independence grid between market segment and nation on
+    customer (operators/stats.chi2_independence): exact integer-ppm
+    expected counts and contributions over the domain-bounded contingency
+    grid, plus the grid-total chi2 (exact BIGINT sum of ppm terms) and
+    Cramér's V."""
+    from vivace_graph_v3_spark.operators.stats import chi2_independence
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return chi2_independence(c, "c_mktsegment", "c_nationkey")
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH cells AS (
+  SELECT c_mktsegment AS a, c_nationkey AS b, count(*) AS o
+  FROM customer GROUP BY 1, 2
+), rt AS (SELECT a, CAST(sum(o) AS BIGINT) AS ra FROM cells GROUP BY a),
+ct AS (SELECT b, CAST(sum(o) AS BIGINT) AS cb FROM cells GROUP BY b),
+tot AS (SELECT CAST(sum(o) AS BIGINT) AS n,
+               count(DISTINCT a) AS r_card, count(DISTINCT b) AS c_card
+        FROM cells),
+g AS (
+  SELECT a, b, o, ra, cb, n, r_card, c_card
+  FROM cells JOIN rt USING (a) JOIN ct USING (b) CROSS JOIN tot
+), scored AS (
+  SELECT a, b, o,
+         CAST((ra * cb * 2000000 + n) // (n * 2) AS BIGINT) AS expected_ppm,
+         CAST((CAST(o * n - ra * cb AS HUGEINT) * (o * n - ra * cb)
+               * 2000000 + ra * cb * n)
+              // (CAST(ra AS HUGEINT) * cb * n * 2) AS BIGINT)
+           AS contrib_ppm,
+         n, r_card, c_card
+  FROM g
+)
+SELECT a AS c_mktsegment, b AS c_nationkey, CAST(o AS BIGINT) AS observed,
+       expected_ppm, contrib_ppm,
+       CAST(sum(contrib_ppm) OVER () AS BIGINT) AS chi2_total_ppm,
+       CAST((r_card - 1) * (c_card - 1) AS BIGINT) AS dof,
+       sqrt((CAST(sum(contrib_ppm) OVER () AS DOUBLE) / 1e6)
+            / (CAST(n AS DOUBLE)
+               * CAST(least(r_card - 1, c_card - 1) AS DOUBLE)))
+         AS cramers_v
+FROM scored
+"""
+
+
+def q_benford_audit(spark, sf_dir):
+    """Benford first-significant-digit audit of order totals
+    (operators/stats.benford_first_digit): observed digit shares in
+    exact integer ppm vs hardcoded Benford-expected ppm — the forensic
+    anomaly screen over a monetary column."""
+    from vivace_graph_v3_spark.operators.stats import benford_first_digit
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return benford_first_digit(o, "o_totalprice")
+
+
+_BENFORD_CASE = ("CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in
+    [(1, 301030), (2, 176091), (3, 124939), (4, 96910), (5, 79181),
+     (6, 66947), (7, 57992), (8, 51153), (9, 45757)]) + " END")
+
+SQL_BENFORD_AUDIT = f"""
+WITH cents AS (
+  SELECT CAST(round(o_totalprice * 100) AS BIGINT) AS c
+  FROM orders WHERE o_totalprice > 0
+), d AS (
+  SELECT CAST(substr(CAST(c AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM cents GROUP BY 1
+), tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM d),
+scored AS (
+  SELECT digit, n,
+         CAST((n * 2000000 + n_total) // (n_total * 2) AS BIGINT)
+           AS observed_ppm,
+         CAST({_BENFORD_CASE} AS BIGINT) AS benford_ppm
+  FROM d CROSS JOIN tot
+)
+SELECT digit, n, observed_ppm, benford_ppm,
+       abs(observed_ppm - benford_ppm) AS abs_dev_ppm
+FROM scored
+"""
+
+
+def q_theilsen_trend(spark, sf_dir):
+    """Theil–Sen robust monthly-revenue trend per market segment
+    (operators/stats.theilsen_trend): lower median of all pairwise
+    slopes over the (month-index, revenue-cents) grid — each slope one
+    IEEE division of exact integers, the median picked by the integer
+    cum-count rule, so the doubles are engine-stable."""
+    from vivace_graph_v3_spark.operators.stats import theilsen_trend
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    monthly = (o.join(c, o["o_custkey"] == c["c_custkey"])
+               .groupBy(F.col("c_mktsegment").alias("segment"),
+                        (F.year("o_orderdate") * 12
+                         + F.month("o_orderdate") - 1).alias("m"))
+               .agg(F.round(F.sum(F.col("o_totalprice")
+                                  .cast("decimal(38,6)")) * 100)
+                    .cast("long").alias("y_cents")))
+    return theilsen_trend(monthly, "segment", "m", "y_cents")
+
+
+SQL_THEILSEN_TREND = """
+WITH monthly AS (
+  SELECT c_mktsegment AS g,
+         year(o_orderdate) * 12 + month(o_orderdate) - 1 AS x,
+         CAST(round(sum(CAST(o_totalprice AS DECIMAL(38,6))) * 100)
+              AS BIGINT) AS y
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT i.g AS g,
+         CAST(j.y - i.y AS DOUBLE) / CAST(j.x - i.x AS DOUBLE) AS slope
+  FROM monthly i JOIN monthly j ON i.g = j.g AND i.x < j.x
+), grid AS (SELECT g, slope, count(*) AS c FROM pairs GROUP BY 1, 2),
+cum AS (
+  SELECT g, slope, c,
+         sum(c) OVER (PARTITION BY g ORDER BY slope) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n_pairs
+  FROM grid
+), med AS (
+  SELECT g, CAST(any_value(n_pairs) AS BIGINT) AS n_pairs,
+         min(slope) AS slope
+  FROM cum WHERE cum * 2 >= n_pairs GROUP BY g
+), npts AS (SELECT g, count(*) AS n_points FROM monthly GROUP BY g)
+SELECT med.g AS segment, CAST(n_points AS BIGINT) AS n_points,
+       n_pairs, slope
+FROM med JOIN npts ON med.g = npts.g
+"""
+
+
+def q_events_rolling_distinct(spark, sf_dir):
+    """Exact trailing-7-day distinct users per day
+    (operators/product_analytics.rolling_distinct_users): the sliding
+    companion of events_dau_mau, rewritten as coverage explosion because
+    COUNT(DISTINCT) OVER RANGE is inexpressible as a window aggregate."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        rolling_distinct_users)
+
+    return rolling_distinct_users(_events(spark, sf_dir), window_days=7)
+
+
+SQL_EVENTS_ROLLING_DISTINCT = """
+WITH pairs AS (
+  SELECT DISTINCT epoch_ns(ts) // 86400000000000 AS d, user_id AS u
+  FROM events
+), days AS (SELECT DISTINCT d FROM pairs),
+covered AS (
+  SELECT d + i AS cover_d, u
+  FROM pairs CROSS JOIN (SELECT unnest(generate_series(0, 6)) AS i)
+)
+SELECT CAST(cover_d AS BIGINT) AS epoch_day,
+       CAST(count(DISTINCT u) AS BIGINT) AS n_users
+FROM covered JOIN days ON covered.cover_d = days.d
+GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -9114,6 +9439,17 @@ REGISTRY: dict[str, tuple] = {
     "ann_recall_curve": (q_ann_recall_curve, SQL_ANN_RECALL_CURVE),
     "graph_knn_degree": (q_graph_knn_degree, SQL_GRAPH_KNN_DEGREE),
     "customer_order_gaps": (q_customer_order_gaps, SQL_CUSTOMER_ORDER_GAPS),
+    "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+    "benford_audit": (q_benford_audit, SQL_BENFORD_AUDIT),
+    "theilsen_trend": (q_theilsen_trend, SQL_THEILSEN_TREND),
+    "events_rolling_distinct": (q_events_rolling_distinct,
+                                SQL_EVENTS_ROLLING_DISTINCT),
+    "text_readability": (q_text_readability, SQL_TEXT_READABILITY),
+    "tokenizer_fertility": (q_tokenizer_fertility, SQL_TOKENIZER_FERTILITY),
+    "dpo_preference_pairs": (q_dpo_preference_pairs,
+                             SQL_DPO_PREFERENCE_PAIRS),
+    "shard_interleave_audit": (q_shard_interleave_audit,
+                               SQL_SHARD_INTERLEAVE_AUDIT),
 }
 
 # Round-6 driver sample order. Three blocks:

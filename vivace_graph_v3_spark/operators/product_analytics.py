@@ -670,3 +670,39 @@ def interpurchase_gaps(orders: DataFrame, customer: DataFrame, *,
                               F.col("gap"))).cast("long")
                  .alias("p90_gap_days"),
                  F.max("gap").cast("long").alias("max_gap_days")))
+
+
+def rolling_distinct_users(events: DataFrame, *, ts_col: str = "ts",
+                           user_col: str = "user_id",
+                           window_days: int = 7) -> DataFrame:
+    """EXACT trailing-window distinct-user count per day (rolling WAU for
+    window_days=7) — the sliding companion of the calendar-bucket DAU/MAU
+    entry. Distinct-over-sliding-window cannot be expressed as a window
+    aggregate (COUNT(DISTINCT) OVER RANGE is unsupported in Spark and
+    quadratic where supported), so it is rewritten as coverage explosion:
+
+      distinct (user, day) presence pairs           (1 shuffle, combine)
+      -> each pair covers days [d, d+W-1]           (map-only, fanout W)
+      -> distinct (cover_day, user), count per day  (1 shuffle)
+      -> keep days that exist in the data            (semi join)
+
+    Scale shape: the exploded frame is W x |distinct user-days|, bounded
+    by W x corpus-activity, not W x rows; both shuffles are map-side
+    combined. For 100 TB keep W small (7/28) or switch to the sketch
+    (sketch_approx_distinct) — this operator is the exact contract.
+    Returns (epoch_day, n_users) for every day present in the events."""
+    ev = _nanos(events, ts_col)
+    day = F.expr(f"`{ts_col}` div {86_400_000_000_000}")
+    pairs = (ev.select(day.alias("d"), F.col(user_col).alias("u"))
+             .dropDuplicates())
+    days = pairs.select("d").dropDuplicates()
+    covered = pairs.select(
+        F.explode(F.sequence(F.col("d"),
+                             F.col("d") + F.lit(window_days - 1)))
+        .alias("cover_d"), "u")
+    return (covered.join(days.withColumnRenamed("d", "cover_d"), "cover_d",
+                         "left_semi")
+            .groupBy("cover_d")
+            .agg(F.count_distinct("u").alias("n_users"))
+            .select(F.col("cover_d").cast("long").alias("epoch_day"),
+                    F.col("n_users").cast("long").alias("n_users")))

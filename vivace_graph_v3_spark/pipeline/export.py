@@ -17,7 +17,7 @@ aggregate (map-side combined, XOR hash is order-insensitive so no sort).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
 
@@ -72,3 +72,48 @@ def verify_shards(spark: SparkSession, path: str) -> DataFrame:
             .when(F.col("content_hash") != F.col("a_hash"), "content"))
     return (j.withColumn("kind", kind).filter(F.col("kind").isNotNull())
             .select("shard", "kind"))
+
+
+def interleave_audit(df: DataFrame, key_col: str, group_col: str, *,
+                     n_shards: int = 16) -> DataFrame:
+    """Shuffle-quality audit of the export order: within each shard, in
+    the deterministic export order (content-hash, then key), measure the
+    RUN LENGTHS of consecutive rows sharing the same ``group_col`` (e.g.
+    source). A well-shuffled corpus has short runs (mean near the
+    i.i.d. expectation); long runs mean a training consumer reading
+    shards sequentially sees correlated batches — the data-ordering
+    pathology curriculum/mixing work warns about.
+
+    Returns per group: (group, n_docs, n_runs, max_run, mean_run_ppm)
+    with mean_run = n_docs/n_runs as an exact integer ppm.
+
+    Scale shape: one window pass partitioned BY SHARD (parallelism =
+    shard count; size the shard count to the cluster — at 100 TB exports
+    use thousands of shards, so per-partition data is file-sized, and
+    the same audit runs map-local per shard). The run aggregation is
+    map-side combined; output is group-domain-bounded."""
+    h = md5_hash64(F.col(key_col).cast("string"))
+    base = (with_shard(df, key_col, n_shards=n_shards)
+            .select(F.col(key_col).alias("k"),
+                    F.col(group_col).alias("g"), "shard",
+                    h.alias("h")))
+    w = Window.partitionBy("shard").orderBy("h", "k")
+    runs = (base
+            .withColumn("brk", F.when(
+                F.lag("g").over(w).isNull()
+                | (F.lag("g").over(w) != F.col("g")), 1).otherwise(0))
+            .withColumn("run_id", F.sum("brk").over(
+                Window.partitionBy("shard").orderBy("h", "k")
+                .rowsBetween(Window.unboundedPreceding, 0)))
+            .groupBy("shard", "run_id", "g")
+            .agg(F.count(F.lit(1)).alias("run_len")))
+    return (runs.groupBy("g")
+            .agg(F.sum("run_len").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_runs"),
+                 F.max("run_len").alias("max_run"))
+            .select(F.col("g").alias(group_col),
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    F.col("n_runs").cast("long").alias("n_runs"),
+                    F.col("max_run").cast("long").alias("max_run"),
+                    F.expr("(n_docs * 2000000 + n_runs) div (n_runs * 2)")
+                    .alias("mean_run_ppm")))

@@ -1403,3 +1403,111 @@ def dataset_card(df: DataFrame, *, text_col: str = "text",
                     dup_ppm.cast("long").alias("dup_ppm"),
                     F.coalesce(F.col("vocab_size"), F.lit(0)).cast("long")
                     .alias("vocab_size")))
+
+
+def readability_stats(df: DataFrame, *, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Flesch reading-ease per document with a DETERMINISTIC syllable
+    heuristic — the classic curation-time difficulty signal (used to
+    stratify corpora by complexity, e.g. educational-content filters).
+
+    score = 206.835 - 1.015*(words/sentences) - 84.6*(syllables/words)
+
+    Heuristics, all expression-only and engine-mirrorable:
+    - sentences: runs of [.!?] (min 1 so headlines don't divide by zero)
+    - syllables: vowel-group count [aeiouy]+ over the lowercased text,
+      plus 1 for each vowel-less word (every word sounds at least once)
+
+    The score is a chain of IEEE double div/mul/sub over exact integers
+    — bit-identical in any IEEE-754 engine, no libm calls. Banding
+    thresholds compare those stable doubles. Map-only; no shuffle."""
+    text = F.col(text_col)
+    toks = tokens(text)
+    n_words = F.size(toks)
+    n_sent = F.greatest(
+        F.size(F.regexp_extract_all(text, F.lit(r"[.!?]+"), F.lit(0))),
+        F.lit(1))
+    vgroups = F.size(F.regexp_extract_all(F.lower(text),
+                                          F.lit(r"[aeiouy]+"), F.lit(0)))
+    novowel = F.size(F.filter(
+        toks, lambda w: ~w.rlike("[aeiouyAEIOUY]")))
+    n_syl = vgroups + novowel
+    wps = n_words.cast("double") / n_sent.cast("double")
+    spw = n_syl.cast("double") / n_words.cast("double")
+    flesch = (F.lit(206.835) - F.lit(1.015) * wps - F.lit(84.6) * spw)
+    return (df.filter(n_words > 0)
+            .select(F.col(id_col),
+                    n_words.cast("long").alias("n_words"),
+                    n_sent.cast("long").alias("n_sentences"),
+                    n_syl.cast("long").alias("n_syllables"),
+                    flesch.alias("flesch"),
+                    F.when(flesch >= 60.0, "easy")
+                    .when(flesch >= 30.0, "medium")
+                    .otherwise("hard").alias("band")))
+
+
+def tokenizer_fertility(df: DataFrame, *, text_col: str = "text",
+                        lang_col: str = "lang") -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish subtokens per whitespace
+    word and characters per subtoken — the standard multilingual-tokenizer
+    efficiency audit (a language with fertility 2x pays 2x context for the
+    same text; see e.g. the XLM-R/BLOOM tokenizer analyses). Integer-ppm
+    ratios over exact BIGINT sums; one map-side-combined aggregate."""
+    text = F.col(text_col)
+    per = df.select(
+        F.col(lang_col).alias("lang"),
+        F.size(tokens(text)).alias("w"),
+        F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .alias("b"),
+        F.length(text).alias("ch"))
+    agg = (per.groupBy("lang")
+           .agg(F.count(F.lit(1)).alias("n_docs"),
+                F.sum("w").alias("n_words"),
+                F.sum("b").alias("n_bpe_tokens"),
+                F.sum("ch").alias("n_chars")))
+    return agg.select(
+        "lang", "n_docs", "n_words", "n_bpe_tokens", "n_chars",
+        F.expr("(n_bpe_tokens * 2000000 + n_words) div (n_words * 2)")
+        .alias("fertility_ppm"),
+        F.expr("(n_chars * 2000000 + n_bpe_tokens) div (n_bpe_tokens * 2)")
+        .alias("chars_per_bpe_ppm"))
+
+
+def preference_pairs(df: DataFrame, *, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     source_col: str = "source") -> DataFrame:
+    """DPO/RLHF-style preference-pair construction from a scalar quality
+    signal: within each source, rank documents by the heuristic quality
+    score (ties broken by id — fully deterministic), then pair rank i
+    with rank (n - i + 1): best vs worst, second-best vs second-worst,
+    floor(n/2) pairs per source, keeping only strictly-positive margins.
+    This is the classifier-margin recipe for synthesizing preference
+    data from unlabeled corpora when no human ranking exists.
+
+    The margin is a subtraction of two 6-dp-stabilized doubles — engine
+    stable. One window shuffle on source; the pairing is a self-join on
+    the domain-bounded (source, rank) key. Returns
+    (source, pair_rank, chosen_id, rejected_id, chosen_q, rejected_q,
+    margin)."""
+    scored = (with_quality_score(df, text_col=text_col)
+              .select(F.col(id_col).alias("id"),
+                      F.col(source_col).alias("src"), "quality"))
+    w = Window.partitionBy("src").orderBy(F.col("quality").desc(),
+                                          F.col("id").asc())
+    ranked = (scored.withColumn("rn", F.row_number().over(w))
+              .withColumn("cnt", F.count(F.lit(1))
+                          .over(Window.partitionBy("src"))))
+    top = (ranked.filter(F.col("rn") * 2 <= F.col("cnt"))
+           .select("src", F.col("rn").alias("pair_rank"),
+                   F.col("id").alias("chosen_id"),
+                   F.col("quality").alias("chosen_q")))
+    bot = (ranked.filter(F.col("rn") * 2 > F.col("cnt"))
+           .select("src", (F.col("cnt") - F.col("rn") + 1).alias("pair_rank"),
+                   F.col("id").alias("rejected_id"),
+                   F.col("quality").alias("rejected_q")))
+    return (top.join(bot, ["src", "pair_rank"])
+            .withColumn("margin", F.col("chosen_q") - F.col("rejected_q"))
+            .filter(F.col("margin") > 0)
+            .select(F.col("src").alias(source_col), "pair_rank",
+                    "chosen_id", "rejected_id", "chosen_q", "rejected_q",
+                    "margin"))

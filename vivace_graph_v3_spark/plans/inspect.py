@@ -27,7 +27,11 @@ class PlanFacts:
     broadcast_nl_joins: int = 0     # non-equi broadcast (nested-loop)
     sort_merge_joins: int = 0
     shuffled_hash_joins: int = 0
+    cartesian_products: int = 0     # unbroadcast cross joins — almost
+                                    # always a scale bug
     exchanges: int = 0
+    single_partition_exchanges: int = 0  # global funnels (Exchange
+                                         # SinglePartition)
     scans: list[int] = field(default_factory=list)  # columns read per scan
     pushed_filters: int = 0
     row_udf: bool = False
@@ -65,9 +69,12 @@ def plan_facts(df: DataFrame, *, executed: bool = True) -> PlanFacts:
         # rangepartitioning(...)" and "Exchange SinglePartition" (capital S)
         # — match case-insensitively or single-partition (global-aggregate)
         # shuffles are never counted and the max_exchanges gate is porous.
+        cartesian_products=len(re.findall(r"CartesianProduct", plan)),
         exchanges=len(re.findall(
             r"Exchange (hashpartitioning|rangepartitioning|SinglePartition)",
             plan, re.IGNORECASE)),
+        single_partition_exchanges=len(re.findall(
+            r"Exchange SinglePartition", plan)),
         scans=[len([c for c in s.split(",") if c.strip()]) for s in scans],
         pushed_filters=len(re.findall(r"PushedFilters: \[[^\]]+\]", plan)),
         row_udf="BatchEvalPython" in plan,
