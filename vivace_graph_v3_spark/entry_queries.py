@@ -6252,23 +6252,37 @@ def q_bucketed_join_colocated(spark, sf_dir):
     import hashlib
 
     key = f"{spark.sparkContext.applicationId}:{sf_dir}"
-    # deterministic across processes (python hash() is salted), so reruns
-    # overwrite the same warehouse tables instead of accreting new ones
-    suffix = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    # SESSION-scoped names (md5 is process-stable, unlike salted hash()):
+    # a purely sf_dir-keyed name let two live sessions race — one
+    # overwrote the managed table's files while the other was mid-scan
+    # (FAILED_READ_FILE.FILE_NOT_EXIST). Dead sessions' directories are
+    # garbage-collected below instead of being reused.
+    suffix = hashlib.md5(key.encode()).hexdigest()[:8]
     ct, ot = f"vgv3_b_cust_{suffix}", f"vgv3_b_ord_{suffix}"
     if not _BUCKETED_CACHE.get(key):
-        # a previous SESSION's managed-table directory survives in the
+        # a previous SESSION's managed-table directory can survive in the
         # warehouse while the fresh in-memory catalog has forgotten the
         # table — saveAsTable then fails LOCATION_ALREADY_EXISTS. Drop
-        # catalog entries and clear stale locations before writing.
+        # catalog entries and clear stale locations before writing, and
+        # opportunistically sweep bucketed dirs older than a day (their
+        # owning sessions are long dead; live concurrent sessions are
+        # younger than that).
         import os
         import shutil
+        import time as _time
         from urllib.parse import urlparse
 
         wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
         for t in (ct, ot):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
             shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        if os.path.isdir(wh):
+            cutoff = _time.time() - 86400
+            for d in os.listdir(wh):
+                p = os.path.join(wh, d)
+                if (d.startswith("vgv3_b_") and d not in (ct, ot)
+                        and os.path.getmtime(p) < cutoff):
+                    shutil.rmtree(p, ignore_errors=True)
         cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
                 .select("c_custkey", "c_nationkey"))
         orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
