@@ -177,9 +177,18 @@ class Select:
                  params: dict[str, Any] | None = None,
                  allowed_effects: set[str] | None = None,
                  include_deleted: bool = False,
-                 io_input=None):
+                 io_input=None, reorder: bool = True):
         self.graph = graph
         self.vars = vars
+        if reorder:
+            # connectivity-aware pre-ordering (query/reorder.py): identity
+            # on already-connected goal lists, avoids CartesianProduct on
+            # badly-ordered ones. Catalyst does NOT reorder inner joins
+            # without CBO stats, so this is the builder's job.
+            from vivace_graph_v3_spark.query.reorder import reorder_goals
+
+            etypes = set(graph.edge_types())
+            goals = reorder_goals(list(goals), lambda h: h in etypes)
         self.goals = goals
         self.limit = limit
         self.skip = skip
@@ -1078,7 +1087,7 @@ def select_flat(graph, var: str, goals, **opts) -> DataFrame:
 def select_count(graph, goals, **opts) -> int:
     """select-count (prologc.lisp:1044-1049)."""
     row = Select(graph, [], goals, **opts)
-    plan = row.compile_goals(Plan(), goals)
+    plan = row.compile_goals(Plan(), row.goals)
     return plan.df.count()
 
 
