@@ -384,3 +384,37 @@ def test_avg_neighbor_degree_star_graph(spark):
     out = {r.k: r.knn_ppm for r in avg_neighbor_degree(g).collect()}
     assert out[4] == 1_000_000
     assert out[1] == 4_000_000
+
+
+def test_landmark_eccentricity_path_graph(spark):
+    """Path a-b-c-d: ecc(a)=3, ecc(b)=2; diameter_lb = 3 on both rows.
+    Depth bound respected: max_depth=1 caps ecc at 1."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        landmark_eccentricity)
+
+    g = _graph(spark, ["a", "b", "c", "d"],
+               [("a", "b", 1), ("b", "c", 1), ("c", "d", 1)])
+    rows = {r.lm: r for r in
+            landmark_eccentricity(g, ["a", "b"], max_depth=6).collect()}
+    assert rows["a"].ecc == 3 and rows["a"].n_reached == 4
+    assert rows["b"].ecc == 2 and rows["b"].n_reached == 4
+    assert rows["a"].diameter_lb == 3 and rows["b"].diameter_lb == 3
+    shallow = landmark_eccentricity(g, ["a"], max_depth=1).collect()[0]
+    assert shallow.ecc == 1 and shallow.n_reached == 2
+
+
+def test_pair_cosine_audit_hand_vectors(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import pair_cosine_audit
+
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0]),
+         (3, [-1.0, 0.0])],
+        ["vec_id", "embedding"])
+    out = {(r.stride, r.vec_id): r.cos
+           for r in pair_cosine_audit(emb, strides=(1, 2)).collect()}
+    assert out[(1, 0)] == 1.0     # identical vectors
+    assert out[(1, 1)] == 0.0     # orthogonal
+    assert out[(2, 1)] == -1.0    # opposite
+    assert (2, 2) not in out      # id 4 absent -> no pair
+    # every id pairs only with id+stride
+    assert set(out) == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 1)}

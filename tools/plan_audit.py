@@ -88,7 +88,8 @@ AUDITED = [
     "ann_recall_curve", "graph_knn_degree", "customer_order_gaps",
     "chi2_independence", "benford_audit", "theilsen_trend",
     "events_rolling_distinct", "text_readability", "tokenizer_fertility",
-    "dpo_preference_pairs", "shard_interleave_audit",
+    "dpo_preference_pairs", "shard_interleave_audit", "graph_eccentricity",
+    "embedding_pair_cosine",
 ]
 
 

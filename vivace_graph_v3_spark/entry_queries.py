@@ -8838,6 +8838,71 @@ GROUP BY cum.segment
 """
 
 
+def q_graph_eccentricity(spark, sf_dir):
+    """Depth-6 landmark eccentricity + witnessed diameter lower bound
+    over the undirected F6 graph
+    (operators/graph_algorithms.landmark_eccentricity) — the
+    BoundingDiameters-style estimation shape; same frontier-BFS engine
+    as the closeness entry, different aggregate."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        landmark_eccentricity)
+
+    g = load_tpch_graph(spark, sf_dir)
+    return landmark_eccentricity(g, _PPR_SOURCES, max_depth=6)
+
+
+def _eccentricity_oracle_sql(landmarks: list[str], depth: int = 6) -> str:
+    vals = ", ".join(f"('{l}')" for l in landmarks)
+    parts = [f"""
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_F6_EDGES_SQL})),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+v0 AS MATERIALIZED (
+  SELECT lm, lm AS id, 0 AS dist FROM (VALUES {vals}) t(lm)
+)"""]
+    for k in range(1, depth + 1):
+        parts.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT lm, id, MIN(dist) AS dist FROM (
+    SELECT lm, id, dist FROM v{k - 1}
+    UNION ALL
+    SELECT v.lm, e.dst AS id, v.dist + 1 AS dist
+    FROM v{k - 1} v JOIN e ON e.src = v.id
+  ) GROUP BY lm, id
+)""")
+    return (",".join(parts) + f"""
+SELECT lm, CAST(count(*) AS BIGINT) AS n_reached,
+       CAST(max(dist) AS BIGINT) AS ecc,
+       CAST(max(max(dist)) OVER () AS BIGINT) AS diameter_lb
+FROM v{depth} GROUP BY lm
+""")
+
+
+SQL_GRAPH_ECCENTRICITY = _eccentricity_oracle_sql(_PPR_SOURCES)
+
+
+def q_embedding_pair_cosine(spark, sf_dir):
+    """Embedding isotropy audit (pipeline/similarity.pair_cosine_audit):
+    cosine over deterministic id-stride pairs (i, i+s), s in {1, 8, 64} —
+    reproducible geometry check, 6-dp rounding as in every embedding
+    contract."""
+    from vivace_graph_v3_spark.pipeline.similarity import pair_cosine_audit
+
+    return pair_cosine_audit(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_PAIR_COSINE = """
+SELECT s.stride AS stride, a.vec_id AS vec_id,
+       round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                    CAST(b.embedding AS DOUBLE[])), 6)
+         AS cos
+FROM embeddings a
+CROSS JOIN (VALUES (1), (8), (64)) s(stride)
+JOIN embeddings b ON b.vec_id = a.vec_id + s.stride
+"""
+
+
 def q_text_readability(spark, sf_dir):
     """Flesch reading-ease per document (pipeline/text.readability_stats):
     deterministic vowel-group syllable heuristic, IEEE-stable double
@@ -9464,6 +9529,9 @@ REGISTRY: dict[str, tuple] = {
                              SQL_DPO_PREFERENCE_PAIRS),
     "shard_interleave_audit": (q_shard_interleave_audit,
                                SQL_SHARD_INTERLEAVE_AUDIT),
+    "graph_eccentricity": (q_graph_eccentricity, SQL_GRAPH_ECCENTRICITY),
+    "embedding_pair_cosine": (q_embedding_pair_cosine,
+                              SQL_EMBEDDING_PAIR_COSINE),
 }
 
 # Round-6 driver sample order. Three blocks:

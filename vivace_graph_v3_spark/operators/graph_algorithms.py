@@ -949,3 +949,46 @@ def avg_neighbor_degree(graph: GraphStore, *, edge_type: str | None = None,
                     F.expr("(sum_nbr_deg * 2000000 + n_endpoints)"
                            " div (n_endpoints * 2)").cast("long")
                     .alias("knn_ppm")))
+
+
+def landmark_eccentricity(graph: GraphStore, landmarks: list[str], *,
+                          edge_type: str | None = None, max_depth: int = 8,
+                          undirected: bool = True) -> DataFrame:
+    """Depth-bounded eccentricity of ``landmarks`` and the graph-diameter
+    LOWER BOUND they witness: ecc(l) = max BFS distance from l within
+    ``max_depth``; diameter >= max over any landmark set (the standard
+    landmark/BoundingDiameters estimation shape — exact eccentricity
+    needs all-pairs, production graphs bound it from sampled vertices).
+
+    Same frontier-BFS engine shape as landmark_closeness above: per round
+    one frontier-edge join + one anti-join against visited, k landmarks
+    widen the frontier, never the graph; rounds bounded by max_depth.
+    Returns (lm, n_reached, ecc, diameter_lb) — diameter_lb constant
+    across rows (a window max over the landmark-bounded result)."""
+    spark = graph.spark
+    edges = (_edge_pairs(graph, edge_type, undirected=undirected)
+             .select("src", "dst").dropDuplicates().persist())
+    visited = (spark.createDataFrame([(l, l, 0) for l in landmarks],
+                                     "lm string, id string, dist int")
+               .localCheckpoint(eager=True))
+    frontier = visited
+    try:
+        for depth in range(1, max_depth + 1):
+            nxt = (frontier.join(edges, frontier["id"] == edges["src"])
+                   .select("lm", F.col("dst").alias("id"))
+                   .dropDuplicates()
+                   .join(visited.select("lm", "id"), ["lm", "id"],
+                         "left_anti")
+                   .withColumn("dist", F.lit(depth))
+                   .localCheckpoint(eager=True))
+            if nxt.isEmpty():
+                break
+            visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+            frontier = nxt
+    finally:
+        edges.unpersist()
+    agg = (visited.groupBy("lm")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_reached"),
+                F.max("dist").cast("long").alias("ecc")))
+    w = Window.partitionBy(F.lit(1))  # landmark-domain-bounded (k rows)
+    return agg.withColumn("diameter_lb", F.max("ecc").over(w))

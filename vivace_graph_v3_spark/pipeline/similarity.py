@@ -641,3 +641,33 @@ def ivfpq_probe(indexed_codes: DataFrame, centroids: list[list[float]],
     return (rer.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "cosine", "rank"))
+
+
+def pair_cosine_audit(emb: DataFrame, *, strides: tuple = (1, 8, 64),
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Embedding-geometry audit: cosine similarity over DETERMINISTIC
+    id-stride pairs (i, i+s) for each stride — a cheap isotropy /
+    collapse check (a healthy embedding table shows near-zero mean
+    pairwise cosine at every stride; a collapsed or duplicated one shows
+    mass near 1; cf. the anisotropy analyses of Ethayarajh 2019). The
+    fixed strides replace random sampling so the audit is reproducible
+    and oracle-checkable.
+
+    One self-equi-join per stride on id+s (union via a stride explode —
+    a single join keyed on the shifted id, never all-pairs). Returns
+    (stride, vec_id, cos) with the 6-dp rounding every embedding
+    contract uses."""
+    from vivace_graph_v3_spark.pipeline.dedup import cosine
+
+    a = emb.select(F.col(id_col).alias("vec_id"),
+                   F.col(vec_col).alias("va"))
+    a = a.select("vec_id", "va",
+                 F.explode(F.array(*[F.lit(s) for s in strides]))
+                 .alias("stride"))
+    b = emb.select(F.col(id_col).alias("bid"),
+                   F.col(vec_col).alias("vb"))
+    return (a.join(b, a["vec_id"] + a["stride"] == b["bid"])
+            .select("stride", "vec_id",
+                    F.round(cosine(F.col("va"), F.col("vb")), 6)
+                    .alias("cos")))
