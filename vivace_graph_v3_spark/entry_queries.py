@@ -8838,6 +8838,142 @@ GROUP BY cum.segment
 """
 
 
+def q_multimodal_dims(spark, sf_dir):
+    """Header sniffing without decode (pipeline/multimodal.sniff_ppm_dims):
+    width/height parsed out of real variable-dimension binary PPM headers
+    with pure JVM string expressions — the scan-speed first pass that
+    gates which images ever pay the Python decode. Oracle predicts the
+    dims from the synthesizer's closed form (w = 4 + id%5,
+    h = 4 + (id*3)%5)."""
+    from vivace_graph_v3_spark.pipeline.multimodal import (
+        sniff_ppm_dims, synthesize_ppm_media_var)
+
+    media = synthesize_ppm_media_var(_docs(spark, sf_dir), "doc_id")
+    return sniff_ppm_dims(media)
+
+
+SQL_MULTIMODAL_DIMS = """
+WITH d AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         4 + doc_id % 5 AS w, 4 + (doc_id * 3) % 5 AS h
+  FROM documents
+)
+SELECT media_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(floor((w * 2000000 + h) / (h * 2)) AS BIGINT) AS aspect_ppm
+FROM d
+"""
+
+
+def q_text_truncation_curve(spark, sf_dir):
+    """Context-length planning table (pipeline/text.truncation_loss_curve):
+    token mass and document count surviving truncation at L in
+    {64,128,256,512} — exact integer ppm."""
+    from vivace_graph_v3_spark.pipeline.text import truncation_loss_curve
+
+    return truncation_loss_curve(_docs(spark, sf_dir))
+
+
+SQL_TEXT_TRUNCATION_CURVE = r"""
+WITH n AS (
+  SELECT len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+), g AS (
+  SELECT n.n, l.max_len
+  FROM n CROSS JOIN (VALUES (64), (128), (256), (512)) l(max_len)
+)
+SELECT max_len, count(*) AS n_docs,
+       CAST(sum(CASE WHEN n > max_len THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_docs_truncated,
+       CAST(sum(least(n, max_len)) AS BIGINT) AS kept_tokens,
+       CAST(sum(n) AS BIGINT) AS total_tokens,
+       CAST((sum(least(n, max_len)) * 2000000 + sum(n)) // (sum(n) * 2)
+            AS BIGINT) AS kept_ppm
+FROM g GROUP BY max_len
+"""
+
+
+def q_dedup_sampling_weights(spark, sf_dir):
+    """Repetition-aware sampling weights
+    (pipeline/dedup.dedup_sampling_weights): weight 1/|exact-dup cluster|
+    in integer ppm per document — equal mass per distinct content without
+    hard-dropping copies."""
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_sampling_weights
+
+    return dedup_sampling_weights(_docs(spark, sf_dir))
+
+
+SQL_DEDUP_SAMPLING_WEIGHTS = r"""
+WITH c AS (
+  SELECT doc_id,
+         regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+  FROM documents
+), s AS (
+  SELECT norm, count(*) AS cluster_size FROM c GROUP BY norm
+)
+SELECT doc_id, CAST(cluster_size AS BIGINT) AS cluster_size,
+       CAST((1 * 2000000 + cluster_size) // (cluster_size * 2) AS BIGINT)
+         AS weight_ppm
+FROM c JOIN s USING (norm)
+"""
+
+
+def q_mvcc_revision_diff(spark, sf_dir):
+    """Time-travel diff between two committed states (mvcc.revision_diff,
+    visibility rule of transactions.lisp:444-462) over an events-derived
+    changelog: ids repeat across epochs (id = event_id % 997), op cycles
+    insert/update/delete, so all three change kinds appear. The oracle
+    replays the same two as-of states relationally."""
+    from vivace_graph_v3_spark.mvcc import revision_diff
+
+    ev = _events(spark, sf_dir)
+    log = ev.select(
+        F.col("event_id").cast("long").alias("commit_epoch"),
+        F.lit("vertex").alias("kind"),
+        F.lit("event").alias("type"),
+        F.element_at(F.array(F.lit("insert"), F.lit("update"),
+                             F.lit("delete")),
+                     (F.col("event_id") % 3 + 1).cast("int")).alias("op"),
+        F.concat(F.lit("ev:"), F.col("event_id") % 997).alias("id"))
+    return revision_diff(log, 3000, 6000)
+
+
+SQL_MVCC_REVISION_DIFF = """
+WITH log AS (
+  SELECT event_id AS commit_epoch, 'vertex' AS kind, 'event' AS type,
+         CASE event_id % 3 WHEN 0 THEN 'insert' WHEN 1 THEN 'update'
+              ELSE 'delete' END AS op,
+         'ev:' || CAST(event_id % 997 AS VARCHAR) AS id
+  FROM events
+), a AS (
+  SELECT kind, type, id, commit_epoch AS rev_a FROM (
+    SELECT *, row_number() OVER (PARTITION BY kind, type, id
+                                 ORDER BY commit_epoch DESC) AS rn
+    FROM log WHERE commit_epoch <= 3000)
+  WHERE rn = 1 AND op <> 'delete'
+), b AS (
+  SELECT kind, type, id, commit_epoch AS rev_b FROM (
+    SELECT *, row_number() OVER (PARTITION BY kind, type, id
+                                 ORDER BY commit_epoch DESC) AS rn
+    FROM log WHERE commit_epoch <= 6000)
+  WHERE rn = 1 AND op <> 'delete'
+)
+SELECT coalesce(a.kind, b.kind) AS kind,
+       coalesce(a.type, b.type) AS type,
+       coalesce(a.id, b.id) AS id,
+       CASE WHEN rev_a IS NULL THEN 'added'
+            WHEN rev_b IS NULL THEN 'removed'
+            WHEN rev_b > rev_a THEN 'updated' END AS change,
+       rev_a, rev_b
+FROM a FULL OUTER JOIN b
+  ON a.kind = b.kind AND a.type = b.type AND a.id = b.id
+WHERE CASE WHEN rev_a IS NULL THEN 'added'
+           WHEN rev_b IS NULL THEN 'removed'
+           WHEN rev_b > rev_a THEN 'updated' END IS NOT NULL
+"""
+
+
 def q_graph_eccentricity(spark, sf_dir):
     """Depth-6 landmark eccentricity + witnessed diameter lower bound
     over the undirected F6 graph
@@ -9532,6 +9668,12 @@ REGISTRY: dict[str, tuple] = {
     "graph_eccentricity": (q_graph_eccentricity, SQL_GRAPH_ECCENTRICITY),
     "embedding_pair_cosine": (q_embedding_pair_cosine,
                               SQL_EMBEDDING_PAIR_COSINE),
+    "multimodal_dims": (q_multimodal_dims, SQL_MULTIMODAL_DIMS),
+    "text_truncation_curve": (q_text_truncation_curve,
+                              SQL_TEXT_TRUNCATION_CURVE),
+    "dedup_sampling_weights": (q_dedup_sampling_weights,
+                               SQL_DEDUP_SAMPLING_WEIGHTS),
+    "mvcc_revision_diff": (q_mvcc_revision_diff, SQL_MVCC_REVISION_DIFF),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -392,3 +392,39 @@ class VersionedGraph:
             df = df.filter(F.col("dst") == dst)
         tx = self.begin().mark_deleted(edge_type, df.select("id"))
         return self.commit(tx)
+
+
+def revision_diff(log: DataFrame, epoch_a: int, epoch_b: int, *,
+                  id_cols: tuple = ("kind", "type", "id")) -> DataFrame:
+    """Time-travel diff straight off the txn log: which entities were
+    added / removed / updated between the committed states AS OF
+    ``epoch_a`` and AS OF ``epoch_b`` (a <= b) — the "what changed since
+    the last snapshot" question replication, cache invalidation, and
+    incremental-export consumers ask (visibility rule of
+    transactions.lisp:444-462: latest op at commit_epoch <= E wins, a
+    winning delete hides the id).
+
+    Two bounded window passes over the SAME id-partitioned shuffle (the
+    log is filtered to epoch <= b once; the as-of-a state is the same
+    window with the epoch predicate pushed into the ranking), then one
+    full outer join on the id. Returns (*id_cols, change, rev_a, rev_b)
+    with change in added|removed|updated; unchanged ids are dropped."""
+    def state(epoch: int) -> DataFrame:
+        w = Window.partitionBy(*[F.col(c) for c in id_cols]) \
+                  .orderBy(F.col("commit_epoch").desc())
+        return (log.filter(F.col("commit_epoch") <= epoch)
+                .withColumn("__rn", F.row_number().over(w))
+                .filter(F.col("__rn") == 1)
+                .filter(F.col("op") != "delete")
+                .select(*id_cols,
+                        F.col("commit_epoch").alias("rev")))
+
+    a = state(epoch_a).withColumnRenamed("rev", "rev_a")
+    b = state(epoch_b).withColumnRenamed("rev", "rev_b")
+    j = a.join(b, list(id_cols), "full_outer")
+    change = (F.when(F.col("rev_a").isNull(), "added")
+              .when(F.col("rev_b").isNull(), "removed")
+              .when(F.col("rev_b") > F.col("rev_a"), "updated"))
+    return (j.withColumn("change", change)
+            .filter(F.col("change").isNotNull())
+            .select(*id_cols, "change", "rev_a", "rev_b"))

@@ -697,3 +697,25 @@ def dedup_cluster_sizes(df: DataFrame, text_col: str = "text",
                     .alias("n_docs"),
                     F.expr("size * n_clusters * 1000000L div n_total")
                     .alias("share_ppm")))
+
+
+def dedup_sampling_weights(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Repetition-aware sampling weights: every document gets weight
+    1/|its exact-duplicate cluster| (integer ppm), so a corpus sampled by
+    these weights sees each distinct CONTENT with equal mass no matter
+    how many copies crawled in — the standard alternative to hard-drop
+    dedup when provenance diversity should survive (one copy per epoch in
+    expectation; cf. the duplication-discussion in Lee et al. 2022).
+
+    One fingerprint aggregate (map-side combined) + one join back on the
+    fingerprint — same keys and scale shape as dedup_exact. Returns
+    (doc_id, cluster_size, weight_ppm)."""
+    base = df.select(F.col(id_col),
+                     F.xxhash64(normalized_text(F.col(text_col)))
+                     .alias("fp"))
+    sizes = base.groupBy("fp").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return (base.join(sizes, "fp")
+            .select(F.col(id_col), "cluster_size",
+                    F.expr("(1 * 2000000 + cluster_size)"
+                           " div (cluster_size * 2)").alias("weight_ppm")))

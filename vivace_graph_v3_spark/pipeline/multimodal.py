@@ -485,3 +485,60 @@ def phash_dup_pairs(hashes: DataFrame, *, max_hamming: int = 16,
             .filter(F.col("hamming") <= max_hamming)
             .orderBy("hamming", "media_a", "media_b")
             .limit(top_k))
+
+
+def synthesize_ppm_media_var(df: DataFrame, id_col: str, *,
+                             min_size: int = 4,
+                             n_sizes: int = 5) -> DataFrame:
+    """Variable-dimension PPM synthesis: like synthesize_ppm_media but
+    each row gets its own rectangle — width ``min_size + (id % n_sizes)``,
+    height ``min_size + ((id * 3) % n_sizes)`` — the harness for
+    metadata-sniffing operators, which are uninteresting over a
+    constant-dimension corpus. Same closed pixel form ((id + x) % 256),
+    same all-JVM hex construction, no Python, no shuffle."""
+    idn = F.col(id_col).cast("long")
+    w = (F.lit(min_size) + F.pmod(idn, F.lit(n_sizes))).cast("long")
+    h = (F.lit(min_size) + F.pmod(idn * 3, F.lit(n_sizes))).cast("long")
+    header_hex = F.hex(F.encode(
+        F.concat(F.lit("P6\n"), w.cast("string"), F.lit(" "),
+                 h.cast("string"), F.lit("\n255\n")), "UTF-8"))
+    pix_hex = F.concat_ws("", F.transform(
+        F.sequence(F.lit(0), w * h - 1),
+        lambda p: F.repeat(
+            F.lpad(F.hex(F.pmod(idn + F.pmod(p.cast("long"), w),
+                                F.lit(256))), 2, "0"), 3)))
+    return df.select(
+        F.col(id_col).cast("string").alias("media_id"),
+        F.unhex(F.concat(header_hex, pix_hex)).alias("media"),
+        F.struct(
+            F.lit("image").alias("kind"),
+            F.lit("image/x-portable-pixmap").alias("mime"),
+            w.cast("int").alias("width"), h.cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms")).alias("meta"))
+
+
+def sniff_ppm_dims(media: DataFrame, *, media_col: str = "media",
+                   id_col: str = "media_id") -> DataFrame:
+    """Metadata sniffing WITHOUT decoding: parse width/height out of the
+    binary P6 header with pure JVM string expressions (decode the ASCII
+    prefix, regexp the two dimension fields) — the pattern for the
+    cheap first pass of a multimodal pipeline: dimension/aspect filters
+    run at scan speed over billions of images, and only survivors pay
+    the Python (Arrow) decode in decode_image_features.
+
+    Returns (media_id, width, height, n_pixels, aspect_ppm). Map-only."""
+    # the P6 header fits well inside 32 bytes for any sane dimensions;
+    # raster bytes past it are arbitrary, so decode as ISO-8859-1 (total:
+    # every byte maps to a char; the ASCII header is unchanged) — UTF-8
+    # would throw MALFORMED_CHARACTER_CODING on raster bytes
+    head = F.decode(F.expr(f"substring({media_col}, 1, 32)"), "ISO-8859-1")
+    w = F.regexp_extract(head, r"P6\s+(\d+)\s+(\d+)", 1).cast("long")
+    h = F.regexp_extract(head, r"P6\s+(\d+)\s+(\d+)", 2).cast("long")
+    # dims are header-bounded (<= ~1e5), so the ppm numerator stays far
+    # inside double-exact integer range; floor(double) == integer div here
+    aspect = F.floor((w * F.lit(2000000) + h) / (h * F.lit(2))).cast("long")
+    return media.select(
+        F.col(id_col),
+        w.alias("width"), h.alias("height"),
+        (w * h).alias("n_pixels"),
+        aspect.alias("aspect_ppm"))

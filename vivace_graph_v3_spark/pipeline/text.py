@@ -1511,3 +1511,32 @@ def preference_pairs(df: DataFrame, *, text_col: str = "text",
             .select(F.col("src").alias(source_col), "pair_rank",
                     "chosen_id", "rejected_id", "chosen_q", "rejected_q",
                     "margin"))
+
+
+def truncation_loss_curve(df: DataFrame, *, text_col: str = "text",
+                          max_lens: tuple = (64, 128, 256, 512)) -> DataFrame:
+    """Context-length planning table: for each candidate max sequence
+    length L, what fraction of corpus tokens survives truncating every
+    document at L, and how many documents get cut at all — the numbers
+    that pick a pretraining context length / packing window. One
+    map-side-combined aggregate over (doc x L) where L is a tiny literal
+    grid (map-only explode, fanout |max_lens|). All integer; the kept
+    share is exact ppm.
+
+    Returns (max_len, n_docs, n_docs_truncated, kept_tokens,
+    total_tokens, kept_ppm)."""
+    n = F.size(tokens(F.col(text_col)))
+    per = df.select(n.alias("n")).select(
+        "n", F.explode(F.array(*[F.lit(int(l)) for l in max_lens]))
+        .alias("max_len"))
+    return (per.groupBy("max_len")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.when(F.col("n") > F.col("max_len"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_docs_truncated"),
+                 F.sum(F.least(F.col("n"), F.col("max_len"))).cast("long")
+                 .alias("kept_tokens"),
+                 F.sum("n").cast("long").alias("total_tokens"))
+            .withColumn("kept_ppm",
+                        F.expr("(kept_tokens * 2000000 + total_tokens)"
+                               " div (total_tokens * 2)")))
