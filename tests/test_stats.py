@@ -143,3 +143,27 @@ class TestRollingDistinct:
         out = {r["epoch_day"]: r["n_users"]
                for r in rolling_distinct_users(df, window_days=1).collect()}
         assert out == {0: 3, 1: 4}
+
+
+class TestBoxplot:
+    def test_hand_five_number(self, spark):
+        from vivace_graph_v3_spark.operators.profile import boxplot_stats
+
+        # 1..8 plus one far outlier 100
+        rows = [("g", v) for v in list(range(1, 9)) + [100]]
+        df = spark.createDataFrame(rows, ["grp", "val"])
+        r = boxplot_stats(df, "grp", "val").collect()[0]
+        # n=9: q1 = min x with cum*4 >= 9  -> x=3 (cum 3*4=12)
+        # median cum*2 >= 9 -> x=5; q3 cum*4 >= 27 -> x=7
+        assert (r["n_rows"], r["min_x"], r["max_x"]) == (9, 1, 100)
+        assert (r["q1"], r["median"], r["q3"], r["iqr"]) == (3, 5, 7, 4)
+        # fences: [3 - 6, 7 + 6] = [-3, 13] -> only 100 falls outside
+        assert r["n_outliers"] == 1
+
+    def test_constant_group_zero_iqr(self, spark):
+        from vivace_graph_v3_spark.operators.profile import boxplot_stats
+
+        df = spark.createDataFrame([("g", 5)] * 4, ["grp", "val"])
+        r = boxplot_stats(df, "grp", "val").collect()[0]
+        assert r["iqr"] == 0 and r["n_outliers"] == 0
+        assert r["q1"] == r["median"] == r["q3"] == 5

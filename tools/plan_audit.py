@@ -90,7 +90,7 @@ AUDITED = [
     "events_rolling_distinct", "text_readability", "tokenizer_fertility",
     "dpo_preference_pairs", "shard_interleave_audit", "graph_eccentricity",
     "embedding_pair_cosine", "multimodal_dims", "text_truncation_curve",
-    "dedup_sampling_weights", "mvcc_revision_diff",
+    "dedup_sampling_weights", "mvcc_revision_diff", "boxplot_chars",
 ]
 
 

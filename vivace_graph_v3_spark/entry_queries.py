@@ -8838,6 +8838,45 @@ GROUP BY cum.segment
 """
 
 
+def q_boxplot_chars(spark, sf_dir):
+    """Per-source boxplot of document lengths
+    (operators/profile.boxplot_stats): exact value-grid five-number
+    summary + Tukey outlier counts, all integer."""
+    from vivace_graph_v3_spark.operators.profile import boxplot_stats
+
+    return boxplot_stats(_docs(spark, sf_dir), "source", "n_chars")
+
+
+SQL_BOXPLOT_CHARS = """
+WITH grid AS (
+  SELECT source AS g, n_chars AS x, count(*) AS c
+  FROM documents GROUP BY 1, 2
+), cum AS (
+  SELECT g, x, c,
+         sum(c) OVER (PARTITION BY g ORDER BY x) AS cum,
+         sum(c) OVER (PARTITION BY g) AS n
+  FROM grid
+), q AS (
+  SELECT g, CAST(any_value(n) AS BIGINT) AS n_rows,
+         CAST(min(x) AS BIGINT) AS min_x, CAST(max(x) AS BIGINT) AS max_x,
+         CAST(min(CASE WHEN cum * 4 >= n THEN x END) AS BIGINT) AS q1,
+         CAST(min(CASE WHEN cum * 2 >= n THEN x END) AS BIGINT) AS median,
+         CAST(min(CASE WHEN cum * 4 >= n * 3 THEN x END) AS BIGINT) AS q3
+  FROM cum GROUP BY g
+), qq AS (SELECT *, q3 - q1 AS iqr FROM q),
+o AS (
+  SELECT grid.g,
+         CAST(sum(CASE WHEN grid.x * 2 < qq.q1 * 2 - qq.iqr * 3
+                         OR grid.x * 2 > qq.q3 * 2 + qq.iqr * 3
+                       THEN grid.c ELSE 0 END) AS BIGINT) AS n_outliers
+  FROM grid JOIN qq ON grid.g = qq.g GROUP BY grid.g
+)
+SELECT qq.g AS source, n_rows, min_x, q1, median, q3, max_x, iqr,
+       n_outliers
+FROM qq JOIN o ON qq.g = o.g
+"""
+
+
 def q_multimodal_dims(spark, sf_dir):
     """Header sniffing without decode (pipeline/multimodal.sniff_ppm_dims):
     width/height parsed out of real variable-dimension binary PPM headers
@@ -9674,6 +9713,7 @@ REGISTRY: dict[str, tuple] = {
     "dedup_sampling_weights": (q_dedup_sampling_weights,
                                SQL_DEDUP_SAMPLING_WEIGHTS),
     "mvcc_revision_diff": (q_mvcc_revision_diff, SQL_MVCC_REVISION_DIFF),
+    "boxplot_chars": (q_boxplot_chars, SQL_BOXPLOT_CHARS),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -569,3 +569,50 @@ def equi_depth_histogram(df: DataFrame, col: str, buckets: int = 10,
     return (cum.groupBy(b.alias("bucket"))
             .agg(F.min("q").alias("lo"), F.max("q").alias("hi"),
                  F.sum("c").cast("long").alias("n")))
+
+
+def boxplot_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """Five-number summary + Tukey outlier counts per group over an
+    INTEGER value column — the boxplot every profiling UI draws, computed
+    exactly on the value grid (Tukey 1977 fences at q1/q3 -/+ 1.5*IQR).
+
+    Quartiles are the exact lower-quantile elements picked by the integer
+    cum-count rule (cum*4 >= n for q1, cum*2 >= n for the median,
+    cum*4 >= 3n for q3) — actual data values, no interpolation, so every
+    output column is engine-exact. Fences need the *1.5 multiplier: kept
+    integer by scaling both sides by 2 (x < 2*q1 - 3*IQR/... folded as
+    2*x < 2*q1 - 3*iqr), no floats anywhere.
+
+    Scale shape: one hash aggregate to the (group, value) grid, window
+    cumsums over the grid (domain-bounded), one broadcast-size join of
+    the per-group fences back onto the grid for the outlier counts."""
+    grid = (df.groupBy(F.col(group_col).alias("g"),
+                       F.col(value_col).cast("long").alias("x"))
+            .agg(F.count(F.lit(1)).alias("c")))
+    wc = (Window.partitionBy("g").orderBy("x")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    wt = Window.partitionBy("g")
+    cum = (grid.withColumn("cum", F.sum("c").over(wc))
+           .withColumn("n", F.sum("c").over(wt)))
+    q = (cum.groupBy("g")
+         .agg(F.any_value("n").cast("long").alias("n_rows"),
+              F.min("x").cast("long").alias("min_x"),
+              F.max("x").cast("long").alias("max_x"),
+              F.min(F.when(F.col("cum") * 4 >= F.col("n"), F.col("x")))
+              .cast("long").alias("q1"),
+              F.min(F.when(F.col("cum") * 2 >= F.col("n"), F.col("x")))
+              .cast("long").alias("median"),
+              F.min(F.when(F.col("cum") * 4 >= F.col("n") * 3, F.col("x")))
+              .cast("long").alias("q3")))
+    q = q.withColumn("iqr", F.col("q3") - F.col("q1"))
+    fences = q.select("g", "q1", "q3", "iqr")
+    out = (grid.join(fences, "g")
+           .groupBy("g")
+           .agg(F.sum(F.when(
+                    (F.col("x") * 2 < F.col("q1") * 2 - F.col("iqr") * 3)
+                    | (F.col("x") * 2 > F.col("q3") * 2 + F.col("iqr") * 3),
+                    F.col("c")).otherwise(0)).cast("long")
+                .alias("n_outliers")))
+    return (q.join(out, "g")
+            .select(F.col("g").alias(group_col), "n_rows", "min_x", "q1",
+                    "median", "q3", "max_x", "iqr", "n_outliers"))
