@@ -91,6 +91,7 @@ AUDITED = [
     "dpo_preference_pairs", "shard_interleave_audit", "graph_eccentricity",
     "embedding_pair_cosine", "multimodal_dims", "text_truncation_curve",
     "dedup_sampling_weights", "mvcc_revision_diff", "boxplot_chars",
+    "join_view_incremental",
 ]
 
 

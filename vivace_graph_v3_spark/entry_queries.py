@@ -8838,6 +8838,73 @@ GROUP BY cum.segment
 """
 
 
+_JOIN_VIEW_CACHE: dict[str, str] = {}
+
+
+def q_join_view_incremental(spark, sf_dir):
+    """Incrementally-maintained JOIN view (streaming/join_view.py): a
+    customer/orders store is committed in four txn batches (create
+    vertices, create edges, slot updates on custkey%10==0, deletes of
+    custkey%97==0), the maintainer drains the log with BUCKET-SCOPED
+    rewrites, and the materialized view's final contents must equal the
+    oracle's relational prediction of the post-mutation join — the
+    views.lisp:331-427 insert/delete maintenance semantics, verified
+    through the actual streaming foreachBatch path (built once per
+    session, like the MinHash index entry)."""
+    import tempfile
+
+    from pyspark.sql import types as T
+    from vivace_graph_v3_spark.mvcc import VersionedGraph
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+    from vivace_graph_v3_spark.streaming.join_view import JoinViewMaintainer
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    path = _JOIN_VIEW_CACHE.get(key)
+    if path is None:
+        path = tempfile.mkdtemp(prefix="vgv3_jv_")
+        reg = SchemaRegistry()
+        reg.def_vertex("acct", {"bal": T.DoubleType()})
+        reg.def_edge("pays", ())
+        vg = VersionedGraph(spark, reg, f"{path}/g")
+        cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        verts = cust.select(
+            F.concat(F.lit("c"), F.col("c_custkey")).alias("id"),
+            F.col("c_acctbal").alias("bal"))
+        edges = orders.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("id"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("src"),
+            F.concat(F.lit("d"), F.col("o_orderkey")).alias("dst"),
+            F.lit(1.0).alias("weight"))
+        vg.commit(vg.begin().create("acct", verts))
+        vg.commit(vg.begin().create("pays", edges))
+        upd = (vg.read("acct")
+               .filter(F.regexp_extract("id", r"c(\d+)", 1)
+                       .cast("long") % 10 == 0)
+               .select("id", (F.col("bal") + 100).alias("bal"), "revision"))
+        vg.commit(vg.begin().save("acct", upd))
+        dead = (vg.read("acct")
+                .filter(F.regexp_extract("id", r"c(\d+)", 1)
+                        .cast("long") % 97 == 0).select("id"))
+        vg.commit(vg.begin().mark_deleted("acct", dead))
+        m = JoinViewMaintainer(vg, f"{path}/view", edge_type="pays",
+                               vertex_type="acct", slot="bal", n_buckets=16)
+        m.catch_up(checkpoint=f"{path}/ck")
+        _JOIN_VIEW_CACHE[key] = path
+    return (spark.read.parquet(f"{path}/view")
+            .select("id", "src", "bal"))
+
+
+SQL_JOIN_VIEW_INCREMENTAL = """
+SELECT 'o' || CAST(o_orderkey AS VARCHAR) AS id,
+       'c' || CAST(o_custkey AS VARCHAR) AS src,
+       CASE WHEN c_custkey % 10 = 0 THEN c_acctbal + 100
+            ELSE c_acctbal END AS bal
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE c_custkey % 97 <> 0
+"""
+
+
 def q_boxplot_chars(spark, sf_dir):
     """Per-source boxplot of document lengths
     (operators/profile.boxplot_stats): exact value-grid five-number
@@ -9714,6 +9781,8 @@ REGISTRY: dict[str, tuple] = {
                                SQL_DEDUP_SAMPLING_WEIGHTS),
     "mvcc_revision_diff": (q_mvcc_revision_diff, SQL_MVCC_REVISION_DIFF),
     "boxplot_chars": (q_boxplot_chars, SQL_BOXPLOT_CHARS),
+    "join_view_incremental": (q_join_view_incremental,
+                              SQL_JOIN_VIEW_INCREMENTAL),
 }
 
 # Round-6 driver sample order. Three blocks:
