@@ -1,0 +1,106 @@
+"""Unit tests for operators/stats_inference.py — hand-computable
+fixtures for Kaplan–Meier, one-way ANOVA, Mann–Whitney U, and the
+deterministic ticket-lottery weighted sampler."""
+
+import hashlib
+import math
+
+from vivace_graph_v3_spark.operators.stats_inference import (
+    anova_oneway, kaplan_meier, mann_whitney_u, weighted_ticket_sample)
+
+
+class TestKaplanMeier:
+    def test_hand_life_table(self, spark):
+        # subjects: 1(event) 2(censor) 3(event) 3(event) 4(censor) 5(event)
+        rows = [(1, 1), (2, 0), (3, 1), (3, 1), (4, 0), (5, 1)]
+        df = spark.createDataFrame(rows, ["dur", "ev"])
+        out = {r["t"]: r for r in kaplan_meier(df, "dur", "ev").collect()}
+        assert [out[t]["n_risk"] for t in (1, 2, 3, 4, 5)] == [6, 5, 4, 2, 1]
+        assert math.isclose(out[1]["survival"], 5 / 6)
+        assert math.isclose(out[2]["survival"], 5 / 6)  # censor: no drop
+        assert math.isclose(out[3]["survival"], 5 / 6 * 2 / 4)
+        assert math.isclose(out[4]["survival"], 5 / 12)
+        assert out[5]["survival"] == 0.0
+        assert out[3]["n_events"] == 2 and out[2]["n_censored"] == 1
+
+    def test_monotone_non_increasing(self, spark):
+        rows = [(t % 7 + 1, t % 3 != 0) for t in range(200)]
+        df = spark.createDataFrame(
+            [(t, int(e)) for t, e in rows], ["dur", "ev"])
+        out = sorted(kaplan_meier(df, "dur", "ev").collect(),
+                     key=lambda r: r["t"])
+        surv = [r["survival"] for r in out]
+        assert all(0.0 <= s <= 1.0 for s in surv)
+        assert all(a >= b for a, b in zip(surv, surv[1:]))
+
+
+class TestAnova:
+    def test_hand_two_groups(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3), ("b", 4), ("b", 5), ("b", 6)],
+            ["g", "v"])
+        out = {r["g"]: r for r in anova_oneway(df, "g", "v").collect()}
+        assert out["a"]["n"] == 3 and out["a"]["s"] == 6
+        assert math.isclose(out["a"]["mean"], 2.0)
+        r = out["b"]
+        # SSB = 3*(2-3.5)^2 + 3*(5-3.5)^2 = 13.5; SSW = 2 + 2 = 4
+        assert math.isclose(r["ssb"], 13.5)
+        assert math.isclose(r["ssw"], 4.0)
+        assert r["dof_between"] == 1 and r["dof_within"] == 4
+        assert math.isclose(r["f_stat"], 13.5 / 1.0)
+
+    def test_equal_groups_zero_f(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 3), ("b", 1), ("b", 3)], ["g", "v"])
+        r = anova_oneway(df, "g", "v").collect()[0]
+        assert math.isclose(r["ssb"], 0.0, abs_tol=1e-12)
+        assert math.isclose(r["f_stat"], 0.0, abs_tol=1e-12)
+
+
+class TestMannWhitney:
+    def test_hand_with_ties(self, spark):
+        df = spark.createDataFrame(
+            [("a", 1), ("a", 2), ("a", 3), ("b", 2), ("b", 3), ("b", 4)],
+            ["g", "v"])
+        r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        # midranks: 1->1, 2->2.5, 3->4.5, 4->6; R_a = 8 -> U_a = 2
+        assert r["n_a"] == 3 and r["n_b"] == 3
+        assert r["u2_a"] == 4 and r["u2_b"] == 14
+        var = (9 / 12) * (7 - 12 / 30)
+        assert math.isclose(r["z"], (4 - 9) / (2 * math.sqrt(var)))
+
+    def test_identical_groups_symmetric(self, spark):
+        rows = [("a", v) for v in (1, 2, 3, 4)] + \
+               [("b", v) for v in (1, 2, 3, 4)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        r = mann_whitney_u(df, "g", "v", "a", "b").collect()[0]
+        assert r["u2_a"] == r["u2_b"]  # 2U = n_a*n_b each
+        assert math.isclose(r["z"], 0.0, abs_tol=1e-12)
+
+
+def _md5_64(s: str) -> int:
+    v = int(hashlib.md5(s.encode()).hexdigest()[:16], 16)
+    return v - (1 << 64) if v >= (1 << 63) else v
+
+
+class TestTicketSample:
+    def test_matches_python_reference(self, spark):
+        rows = [(f"k{i}", 1 + i % 4) for i in range(40)]
+        df = spark.createDataFrame(rows, ["key", "w"])
+        got = [(r["key"], r["priority"])
+               for r in weighted_ticket_sample(df, "key", "w", 10).collect()]
+        ref = sorted(
+            ((k, min(_md5_64(f"{k}#{j}") for j in range(w)))
+             for k, w in rows),
+            key=lambda kv: (kv[1], kv[0]))[:10]
+        assert got == ref
+
+    def test_deterministic_and_weight_monotone(self, spark):
+        rows = [(f"d{i}", 1 if i < 500 else 8) for i in range(1000)]
+        df = spark.createDataFrame(rows, ["key", "w"])
+        s1 = weighted_ticket_sample(df, "key", "w", 100).collect()
+        s2 = weighted_ticket_sample(df, "key", "w", 100).collect()
+        assert [r["key"] for r in s1] == [r["key"] for r in s2]
+        heavy = sum(1 for r in s1 if r["weight"] == 8)
+        # 8 tickets vs 1: heavy rows should dominate the winners
+        assert heavy > 70

@@ -91,7 +91,8 @@ AUDITED = [
     "dpo_preference_pairs", "shard_interleave_audit", "graph_eccentricity",
     "embedding_pair_cosine", "multimodal_dims", "text_truncation_curve",
     "dedup_sampling_weights", "mvcc_revision_diff", "boxplot_chars",
-    "join_view_incremental",
+    "join_view_incremental", "survival_km", "anova_quantity_returnflag",
+    "mann_whitney_quantity", "weighted_sample_tickets",
 ]
 
 

@@ -9470,6 +9470,228 @@ GROUP BY 1
 """
 
 
+def q_survival_km(spark, sf_dir):
+    """Kaplan–Meier life table over customer reorder behavior
+    (operators/stats_inference.kaplan_meier): each consecutive order
+    pair contributes an observed gap-in-days duration, each customer's
+    last order a right-censored duration to the corpus horizon. Exact
+    BIGINT risk sets; survival = ordered fold-product of correctly-
+    rounded factors (engine-stable)."""
+    from vivace_graph_v3_spark.operators.stats_inference import kaplan_meier
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    nxt = F.lead("o_orderdate").over(
+        Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+    mx = o.agg(F.max("o_orderdate").alias("md"))
+    subj = (o.withColumn("nxt", nxt).crossJoin(F.broadcast(mx))
+            .select(
+                F.when(F.col("nxt").isNotNull(),
+                       F.datediff("nxt", "o_orderdate"))
+                .otherwise(F.datediff("md", "o_orderdate")).alias("dur"),
+                F.when(F.col("nxt").isNotNull(), 1).otherwise(0)
+                .alias("ev")))
+    return kaplan_meier(subj, "dur", "ev")
+
+
+SQL_SURVIVAL_KM = """
+WITH mx AS (SELECT max(o_orderdate) AS md FROM orders),
+s AS (
+  SELECT o_orderdate,
+         lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                 ORDER BY o_orderdate, o_orderkey) AS nxt
+  FROM orders
+), subj AS (
+  SELECT CASE WHEN nxt IS NULL THEN date_diff('day', o_orderdate, md)
+              ELSE date_diff('day', o_orderdate, nxt) END AS t,
+         CASE WHEN nxt IS NULL THEN 0 ELSE 1 END AS e
+  FROM s CROSS JOIN mx
+), grid AS (
+  SELECT t, CAST(sum(e) AS BIGINT) AS n_events,
+         CAST(sum(1 - e) AS BIGINT) AS n_censored
+  FROM subj GROUP BY t
+), tot AS (
+  SELECT CAST(sum(n_events + n_censored) AS BIGINT) AS n_subjects FROM grid
+), g AS (
+  SELECT t, n_events, n_censored,
+         n_subjects
+           - sum(n_events + n_censored)
+               OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND CURRENT ROW)
+           + n_events + n_censored AS n_risk
+  FROM grid CROSS JOIN tot
+), f AS (
+  SELECT t, n_risk, n_events, n_censored,
+         CAST(n_risk - n_events AS DOUBLE) / CAST(n_risk AS DOUBLE)
+           AS factor
+  FROM g
+), l AS (
+  SELECT t, n_risk, n_events, n_censored,
+         list(factor) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS fl
+  FROM f
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       n_events, n_censored,
+       list_reduce(list_prepend(CAST(1.0 AS DOUBLE), fl),
+                   (a, b) -> a * b) AS survival
+FROM l
+"""
+
+
+def q_anova_quantity_returnflag(spark, sf_dir):
+    """One-way ANOVA of lineitem quantity across return flags
+    (operators/stats_inference.anova_oneway): exact BIGINT group sums /
+    sums of squares (quantity is 1-50 — sum(v^2) safe past 1e15 rows),
+    F statistic from a pinned-order fold of correctly-rounded doubles;
+    per-group rows carry the constant SSB/SSW/dof/F (chi2 grid shape)."""
+    from vivace_graph_v3_spark.operators.stats_inference import anova_oneway
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.select("l_returnflag",
+                   F.col("l_quantity").cast("long").alias("qty"))
+    return anova_oneway(li, "l_returnflag", "qty")
+
+
+SQL_ANOVA_QUANTITY_RETURNFLAG = """
+WITH g AS (
+  SELECT l_returnflag AS g, count(*) AS n,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s,
+         CAST(sum(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT))
+              AS BIGINT) AS q
+  FROM lineitem GROUP BY 1
+), t AS (
+  SELECT CAST(sum(n) AS BIGINT) AS n_total,
+         CAST(sum(s) AS BIGINT) AS s_total,
+         CAST(sum(q) AS BIGINT) AS q_total,
+         count(*) AS k,
+         list(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * CAST(s AS DOUBLE)
+              ORDER BY g) AS terms
+  FROM g
+), c AS (
+  SELECT n_total, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+                     (a, b) -> a + b) AS fold,
+         CAST(q_total AS DOUBLE) AS qd,
+         CAST(s_total AS DOUBLE) / CAST(n_total AS DOUBLE)
+           * CAST(s_total AS DOUBLE) AS grand
+  FROM t
+), cc AS (
+  SELECT fold - grand AS ssb, qd - fold AS ssw,
+         CAST(k - 1 AS BIGINT) AS dof_between,
+         CAST(n_total - k AS BIGINT) AS dof_within
+  FROM c
+)
+SELECT g AS l_returnflag, CAST(n AS BIGINT) AS n, s,
+       CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean,
+       ssb, ssw, dof_between, dof_within,
+       (ssb / CAST(dof_between AS DOUBLE))
+         / (ssw / CAST(dof_within AS DOUBLE)) AS f_stat
+FROM g CROSS JOIN cc
+"""
+
+
+def q_mann_whitney_quantity(spark, sf_dir):
+    """Mann–Whitney U test of lineitem quantity, R vs A return flags
+    (operators/stats_inference.mann_whitney_u): doubled-rank integer
+    grid (2U exact BIGINT even with midrank ties), tie-corrected normal
+    z from a pinned-order double fold over the 50-value grid."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        mann_whitney_u)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.select("l_returnflag",
+                   F.col("l_quantity").cast("long").alias("qty"))
+    return mann_whitney_u(li, "l_returnflag", "qty", "R", "A")
+
+
+SQL_MANN_WHITNEY_QUANTITY = """
+WITH grid AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v,
+         CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)
+              AS BIGINT) AS ca,
+         CAST(sum(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END)
+              AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+  GROUP BY 1
+), cum AS (
+  SELECT v, ca, cb,
+         sum(ca + cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND CURRENT ROW) AS cum
+  FROM grid
+), scored AS (
+  SELECT v, ca, cb,
+         ca * (2 * (cum - ca - cb) + ca + cb + 1) AS r2a,
+         (CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE))
+           * CAST(ca + cb AS DOUBLE) - CAST(ca + cb AS DOUBLE) AS tie
+  FROM cum
+), agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         CAST(sum(r2a) AS BIGINT) AS ra2,
+         list(tie ORDER BY v) AS ties
+  FROM scored
+), folded AS (
+  SELECT n_a, n_b, ra2,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ties),
+                     (a, b) -> a + b) AS tie_sum
+  FROM agg
+), u AS (
+  SELECT n_a, n_b, ra2 - n_a * (n_a + 1) AS u2_a, tie_sum FROM folded
+)
+SELECT n_a, n_b, CAST(u2_a AS BIGINT) AS u2_a,
+       CAST(2 * n_a * n_b - u2_a AS BIGINT) AS u2_b,
+       CAST(u2_a - n_a * n_b AS DOUBLE)
+         / (CAST(2.0 AS DOUBLE) * sqrt(
+              (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0)
+              * ((CAST(n_a + n_b AS DOUBLE) + 1.0)
+                 - tie_sum / (CAST(n_a + n_b AS DOUBLE)
+                              * (CAST(n_a + n_b AS DOUBLE) - 1.0)))))
+         AS z
+FROM u
+"""
+
+
+_TICKET_HASH64 = ("((('0x' || substr(md5(tk),1,8))::BIGINT"
+                  " - CASE WHEN ('0x' || substr(md5(tk),1,8))::BIGINT"
+                  " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+                  " + ('0x' || substr(md5(tk),9,8))::BIGINT)")
+
+
+def q_weighted_sample_tickets(spark, sf_dir):
+    """Deterministic ticket-lottery weighted sample of documents
+    (operators/stats_inference.weighted_ticket_sample): weight = 1 +
+    min(7, len(text) div 500) tickets per doc, ticket draws are
+    cross-engine md5-hash64 of doc_id#j, winners = 100 smallest minimum
+    tickets — reproducible weighted subsampling with zero RNG state."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        weighted_ticket_sample)
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.select(
+        "doc_id",
+        (F.lit(1) + F.least(F.lit(7), (F.length("text") / F.lit(500))
+                            .cast("long"))).alias("w"))
+    return weighted_ticket_sample(d, "doc_id", "w", 100)
+
+
+SQL_WEIGHTED_SAMPLE_TICKETS = f"""
+WITH d AS (
+  SELECT doc_id, 1 + least(7, length(text) // 500) AS weight
+  FROM documents
+), t AS (
+  SELECT doc_id, weight,
+         doc_id::VARCHAR || '#' || j::VARCHAR AS tk
+  FROM d CROSS JOIN LATERAL (
+    SELECT unnest(generate_series(0, weight - 1)) AS j)
+), pri AS (
+  SELECT doc_id, CAST(any_value(weight) AS BIGINT) AS weight,
+         CAST(min({_TICKET_HASH64}) AS BIGINT) AS priority
+  FROM t GROUP BY doc_id
+)
+SELECT doc_id, weight, priority
+FROM pri ORDER BY priority, doc_id LIMIT 100
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -9781,6 +10003,13 @@ REGISTRY: dict[str, tuple] = {
                                SQL_DEDUP_SAMPLING_WEIGHTS),
     "mvcc_revision_diff": (q_mvcc_revision_diff, SQL_MVCC_REVISION_DIFF),
     "boxplot_chars": (q_boxplot_chars, SQL_BOXPLOT_CHARS),
+    "survival_km": (q_survival_km, SQL_SURVIVAL_KM),
+    "anova_quantity_returnflag": (q_anova_quantity_returnflag,
+                                  SQL_ANOVA_QUANTITY_RETURNFLAG),
+    "mann_whitney_quantity": (q_mann_whitney_quantity,
+                              SQL_MANN_WHITNEY_QUANTITY),
+    "weighted_sample_tickets": (q_weighted_sample_tickets,
+                                SQL_WEIGHTED_SAMPLE_TICKETS),
     "join_view_incremental": (q_join_view_incremental,
                               SQL_JOIN_VIEW_INCREMENTAL),
 }

@@ -1,0 +1,235 @@
+"""Inferential-statistics operators: Kaplan–Meier survival estimation,
+one-way ANOVA, Mann–Whitney U, and deterministic ticket-weighted
+sampling without replacement.
+
+Reference parity: vivace-graph-v3 exposes its store to arbitrary Prolog
+aggregation (select + functors over map-reduced views, views.lisp /
+prolog-functors.lisp); these are the classical inference reports a user
+of that surface would assemble by hand over slot values. Each is one
+declarative Catalyst plan whose per-row math follows the engine-exactness
+discipline of operators/stats.py.
+
+Cross-engine exactness notes (shared by every operator here):
+
+- **Integer → double casts are IEEE round-to-nearest in both engines**
+  (JVM ``(double) long``, DuckDB ``static_cast<double>``), so a BIGINT
+  aggregate cast to double is bit-identical even beyond 2^53.
+- **div/mul/sub/add/sqrt over identical doubles are correctly rounded**,
+  so any fixed-order chain of them is engine-stable. The one hazard is
+  *reduction order* of float sums/products — neither engine guarantees
+  an aggregation order. Everywhere a float reduction crosses the
+  comparison boundary we therefore fold an **explicitly ordered array**
+  (Spark ``aggregate(sort_array(collect_list(struct(key, x))))``,
+  DuckDB ``list_reduce(list_prepend(0.0, list(x ORDER BY key)))``) —
+  a deterministic left fold of correctly-rounded ops. The arrays are
+  domain-bounded (group count / distinct-value grid), never row-bounded.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "kaplan_meier",
+    "anova_oneway",
+    "mann_whitney_u",
+    "weighted_ticket_sample",
+]
+
+
+def _fold_sum(arr: Column) -> Column:
+    """Deterministic left fold-sum of an ordered array<double>."""
+    return F.aggregate(arr, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def kaplan_meier(df: DataFrame, time_col: str, event_col: str) -> DataFrame:
+    """Kaplan–Meier product-limit survival estimator (Kaplan & Meier
+    1958) over right-censored durations: one input row per subject with
+    an integer duration and ``event`` 1 (observed) / 0 (censored).
+    Returns the life table — one row per distinct duration with the
+    at-risk count, event count, censored count, and the survival
+    estimate S(t) = prod_{t_i <= t} (1 - d_i / n_i).
+
+    Exactness: each factor ``(n_i - d_i) / n_i`` is one correctly-rounded
+    division of exact BIGINTs; S(t) is a left fold-product of those
+    factors in ascending-time order via an ordered window collect_list —
+    multiplication is correctly rounded, so the chain is engine-stable
+    (censor-only times contribute an exact 1.0 factor, a no-op).
+
+    Scale shape: one map-side-combined aggregate collapses subjects to
+    the distinct-duration grid; every later step (window cumsum for the
+    risk set, prefix-product) runs on that domain-bounded grid — the
+    documented single-partition window is over distinct durations, not
+    subjects. Subject count enters as a 1-row broadcast."""
+    t, e = F.col(time_col), F.col(event_col)
+    grid = (df.select(t.cast("long").alias("t"),
+                      e.cast("long").alias("e"))
+            .groupBy("t")
+            .agg(F.sum("e").alias("n_events"),
+                 F.sum(F.lit(1) - F.col("e")).alias("n_censored")))
+    tot = grid.agg(F.sum(F.col("n_events") + F.col("n_censored"))
+                   .alias("n_subjects"))
+    w = (Window.orderBy("t")  # distinct-duration grid, see docstring
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    g = (grid.crossJoin(F.broadcast(tot))
+         .withColumn("removed_cum",
+                     F.sum(F.col("n_events") + F.col("n_censored")).over(w))
+         .withColumn("n_risk",
+                     F.col("n_subjects") - F.col("removed_cum")
+                     + F.col("n_events") + F.col("n_censored"))
+         .withColumn("factor",
+                     (F.col("n_risk") - F.col("n_events")).cast("double")
+                     / F.col("n_risk").cast("double")))
+    surv = F.aggregate(F.collect_list("factor").over(w), F.lit(1.0),
+                       lambda acc, x: acc * x)
+    return (g.withColumn("survival", surv)
+            .select("t", "n_risk", "n_events", "n_censored", "survival"))
+
+
+def anova_oneway(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
+    """One-way ANOVA (Fisher) of an **integer-valued** measure across
+    groups: per-group n / sum / mean plus the (constant) between/within
+    sums of squares, degrees of freedom, and F statistic.
+
+    Exactness: per-group sums and sums of squares are exact BIGINTs
+    (caller contract: |value| small enough that sum(v^2) fits — e.g.
+    quantity-like measures; a 1-50 measure stays in range past 1e15
+    rows). Every float is then a fixed chain of correctly-rounded ops on
+    exact integers: group term ``(S_g/n_g)*S_g``, grand term
+    ``(S/N)*S`` (never an integer square, so no overflow path), SSB =
+    ordered fold-sum of group terms minus the grand term, SSW =
+    ``sum(v^2) - fold`` — the fold order is pinned by sort_array over
+    (group, term) structs.
+
+    Scale shape: one hash aggregate to the group grid; the fold and the
+    1-row totals operate on |groups| rows. F and SS columns are
+    broadcast back onto the per-group rows (chi2_independence shape)."""
+    v = F.col(value_col).cast("long")
+    g = (df.groupBy(F.col(group_col).alias("g"))
+         .agg(F.count(F.lit(1)).alias("n"),
+              F.sum(v).alias("s"),
+              F.sum(v * v).alias("q")))
+    g = g.withColumn(
+        "term", (F.col("s").cast("double") / F.col("n").cast("double"))
+        * F.col("s").cast("double"))
+    tot = g.agg(
+        F.sum("n").alias("n_total"), F.sum("s").alias("s_total"),
+        F.sum("q").alias("q_total"), F.count(F.lit(1)).alias("k"),
+        F.sort_array(F.collect_list(F.struct("g", "term"))).alias("terms"))
+    tot = tot.select(
+        "n_total", "s_total", "k",
+        F.aggregate("terms", F.lit(0.0),
+                    lambda acc, s: acc + s["term"]).alias("fold"),
+        F.col("q_total").cast("double").alias("qd"))
+    tot = (tot.withColumn(
+        "grand", (F.col("s_total").cast("double")
+                  / F.col("n_total").cast("double"))
+        * F.col("s_total").cast("double"))
+        .withColumn("ssb", F.col("fold") - F.col("grand"))
+        .withColumn("ssw", F.col("qd") - F.col("fold"))
+        .withColumn("dof_between", (F.col("k") - 1).cast("long"))
+        .withColumn("dof_within",
+                    (F.col("n_total") - F.col("k")).cast("long"))
+        .withColumn(
+            "f_stat",
+            (F.col("ssb") / F.col("dof_between").cast("double"))
+            / (F.col("ssw") / F.col("dof_within").cast("double"))))
+    return (g.select(F.col("g").alias(group_col), "n", "s",
+                     (F.col("s").cast("double")
+                      / F.col("n").cast("double")).alias("mean"))
+            .crossJoin(F.broadcast(tot.select(
+                "ssb", "ssw", "dof_between", "dof_within", "f_stat"))))
+
+
+def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
+                   group_a, group_b) -> DataFrame:
+    """Mann–Whitney U rank-sum test (Mann & Whitney 1947) between two
+    groups of an integer-valued measure, with midrank tie handling and
+    the tie-corrected normal approximation. Returns one row:
+    n_a, n_b, u2_a, u2_b (both **doubled** U statistics — 2U is always
+    an exact integer even with .5 midranks), and the z score.
+
+    Exactness: ranks live on the doubled-rank integer grid
+    (``2*midrank = 2*cum_before + c + 1``), so the rank sum and both U
+    statistics are exact BIGINTs. The tie correction sum(c^3 - c) is a
+    fold over the distinct-value grid of ``((c*c)*c - c)`` computed in
+    doubles (each op correctly rounded; c as double is an exact cast),
+    ordered by value via sort_array — engine-stable without the BIGINT
+    overflow a c^3 integer would hit near c ~ 2e6. z is then a fixed
+    chain of correctly-rounded double ops.
+
+    Scale shape: one aggregate to the distinct-value grid (domain-
+    bounded by caller contract — quantity-like measures); the window
+    cumsum and the fold run on that grid; output is one row."""
+    gcol = F.col(group_col)
+    grid = (df.filter(gcol.isin([group_a, group_b]))
+            .groupBy(F.col(value_col).cast("long").alias("v"))
+            .agg(F.sum(F.when(gcol == group_a, 1).otherwise(0)).alias("ca"),
+                 F.sum(F.when(gcol == group_b, 1).otherwise(0)).alias("cb")))
+    w = (Window.orderBy("v")  # distinct-value grid, see docstring
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    c = F.col("ca") + F.col("cb")
+    grid = (grid.withColumn("cum", F.sum(c).over(w))
+            .withColumn("r2a", F.col("ca")
+                        * (2 * (F.col("cum") - c) + c + 1))
+            .withColumn("tie",
+                        (c.cast("double") * c.cast("double"))
+                        * c.cast("double") - c.cast("double")))
+    agg = grid.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+        F.sum("r2a").alias("ra2"),
+        F.sort_array(F.collect_list(F.struct("v", "tie"))).alias("ties"))
+    agg = agg.select(
+        "n_a", "n_b", "ra2",
+        F.aggregate("ties", F.lit(0.0),
+                    lambda acc, s: acc + s["tie"]).alias("tie_sum"))
+    na_d, nb_d = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    n_d = (F.col("n_a") + F.col("n_b")).cast("double")
+    var = (na_d * nb_d / F.lit(12.0)) * (
+        (n_d + F.lit(1.0))
+        - F.col("tie_sum") / (n_d * (n_d - F.lit(1.0))))
+    return (agg
+            .withColumn("u2_a",
+                        F.col("ra2") - F.col("n_a") * (F.col("n_a") + 1))
+            .withColumn("u2_b",
+                        2 * F.col("n_a") * F.col("n_b") - F.col("u2_a"))
+            .withColumn(
+                "z",
+                (F.col("u2_a") - F.col("n_a") * F.col("n_b")).cast("double")
+                / (F.lit(2.0) * F.sqrt(var)))
+            .select("n_a", "n_b", "u2_a", "u2_b", "z"))
+
+
+def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,
+                           k: int) -> DataFrame:
+    """Deterministic weighted sampling without replacement by the
+    **ticket-lottery** scheme: a row with integer weight w holds w
+    lottery tickets; each ticket's draw is the cross-engine
+    md5-derived 64-bit hash of ``key#ticket_index``; a row's priority is
+    its best (minimum) ticket and the k rows with the smallest
+    (priority, key) win. Higher weight => more tickets => stochastically
+    smaller minimum => higher inclusion probability, with zero RNG
+    state — the same corpus always yields the same sample, and the
+    sample is reproducible by any engine that can compute md5
+    (pipeline/dedup.md5_hash64 convention).
+
+    Scale shape: ticket expansion is map-only (sequence + explode,
+    bounded by the integer weight cap the caller enforces); the
+    per-key min is one map-side-combined aggregate; the global top-k
+    compiles to TakeOrderedAndProject (per-partition heads + k-row
+    merge), never a full sort."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    t = (df.select(F.col(key_col).alias("key"),
+                   F.col(weight_col).cast("long").alias("weight"))
+         .withColumn("j", F.explode(
+             F.sequence(F.lit(0), F.col("weight") - 1)))
+         .withColumn("ticket", md5_hash64(
+             F.concat(F.col("key").cast("string"), F.lit("#"),
+                      F.col("j").cast("string")))))
+    pri = (t.groupBy("key")
+           .agg(F.min("ticket").alias("priority"),
+                F.first("weight").alias("weight")))
+    return (pri.orderBy("priority", "key").limit(k)
+            .select(F.col("key").alias(key_col), "weight", "priority"))
