@@ -1,0 +1,100 @@
+"""Tests for plans/matview.py — summary-catalog rollup answering:
+correctness vs the base computation, covering/fallback decisions,
+coarsest-grid selection, and the no-base-scan plan guarantee."""
+
+import tempfile
+
+from pyspark.sql import functions as F
+
+from vivace_graph_v3_spark.plans.matview import (
+    AggSpec, SummaryCatalog)
+
+
+def _base_df(spark):
+    rows = [("US", "A", 2020, 10), ("US", "A", 2020, 20),
+            ("US", "B", 2021, 30), ("FR", "A", 2021, 40),
+            ("FR", "B", 2020, 50), ("FR", "B", 2021, 60)]
+    return spark.createDataFrame(rows, ["nation", "seg", "yr", "v"])
+
+
+def _catalog(spark):
+    cat = SummaryCatalog(spark)
+    spec = cat.register(
+        "fine", lambda sp: _base_df(sp), ["nation", "seg", "yr"],
+        [AggSpec("sum", "v"), AggSpec("count"),
+         AggSpec("min", "v"), AggSpec("max", "v")],
+        tempfile.mkdtemp(prefix="mv_fine_"))
+    cat.materialize(spec)
+    return cat, spec
+
+
+class TestRollupAnswer:
+    def test_rollup_matches_base(self, spark):
+        cat, _ = _catalog(spark)
+        df, src = cat.answer(
+            ["nation"],
+            {"n": AggSpec("count"), "s": AggSpec("sum", "v"),
+             "mx": AggSpec("max", "v"), "a": AggSpec("avg", "v")})
+        assert src == "fine"
+        got = {r["nation"]: r for r in df.collect()}
+        assert got["US"]["n"] == 3 and got["US"]["s"] == 60
+        assert got["US"]["mx"] == 30 and got["US"]["a"] == 20.0
+        assert got["FR"]["s"] == 150 and got["FR"]["a"] == 50.0
+
+    def test_grid_filter_pruning(self, spark):
+        cat, _ = _catalog(spark)
+        df, src = cat.answer([], {"s": AggSpec("sum", "v")},
+                             filters={"seg": "B"})
+        assert src == "fine"
+        assert df.collect()[0]["s"] == 140
+
+    def test_non_grid_filter_falls_back(self, spark):
+        cat, _ = _catalog(spark)
+        df, src = cat.answer(
+            ["nation"], {"s": AggSpec("sum", "v")},
+            filters={"v": 30}, base=lambda sp: _base_df(sp))
+        assert src == "base"
+        assert {r["nation"]: r["s"] for r in df.collect()} == {"US": 30}
+
+    def test_uncovered_agg_falls_back(self, spark):
+        cat, _ = _catalog(spark)
+        # min over a column the grid never stored
+        df, src = cat.answer(
+            ["nation"], {"m": AggSpec("min", "yr")},
+            base=lambda sp: _base_df(sp))
+        assert src == "base"
+        assert {r["nation"]: r["m"] for r in df.collect()} == \
+            {"US": 2020, "FR": 2020}
+
+    def test_coarsest_covering_grid_wins(self, spark):
+        cat, _ = _catalog(spark)
+        coarse = cat.register(
+            "coarse", lambda sp: _base_df(sp), ["nation"],
+            [AggSpec("sum", "v"), AggSpec("count")],
+            tempfile.mkdtemp(prefix="mv_coarse_"))
+        cat.materialize(coarse)
+        _, src = cat.answer(["nation"], {"s": AggSpec("sum", "v")})
+        assert src == "coarse"
+        # but a seg-grouped query can only use the fine grid
+        _, src = cat.answer(["seg"], {"s": AggSpec("sum", "v")})
+        assert src == "fine"
+
+    def test_answer_never_scans_base(self, spark):
+        cat, spec = _catalog(spark)
+        df, src = cat.answer(["seg"], {"s": AggSpec("sum", "v")})
+        assert src == "fine"
+        files = df.inputFiles()
+        assert files and all(spec.path in f for f in files)
+
+    def test_avg_is_sum_over_count_not_avg_of_avg(self, spark):
+        # skewed grid: one cell n=1 v=100, one cell n=3 v=0 each
+        rows = [("g", "x", 1, 100)] + [("g", "y", 1, 0)] * 3
+        cat = SummaryCatalog(spark)
+        spec = cat.register(
+            "s", lambda sp: sp.createDataFrame(
+                rows, ["k", "cell", "yr", "v"]), ["k", "cell"],
+            [AggSpec("sum", "v"), AggSpec("count")],
+            tempfile.mkdtemp(prefix="mv_avg_"))
+        cat.materialize(spec)
+        df, _ = cat.answer(["k"], {"a": AggSpec("avg", "v")})
+        assert df.collect()[0]["a"] == 25.0  # avg-of-avg would say 50

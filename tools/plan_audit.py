@@ -93,6 +93,7 @@ AUDITED = [
     "dedup_sampling_weights", "mvcc_revision_diff", "boxplot_chars",
     "join_view_incremental", "survival_km", "anova_quantity_returnflag",
     "mann_whitney_quantity", "weighted_sample_tickets",
+    "matview_rollup_answer",
 ]
 
 

@@ -9692,6 +9692,78 @@ FROM pri ORDER BY priority, doc_id LIMIT 100
 """
 
 
+_MATVIEW_CACHE: dict[str, object] = {}
+
+
+def _session_summary_catalog(spark, sf_dir: str):
+    """Build + materialize the order-revenue summary grid ONCE per
+    session (ingest-time work in deployments, mirroring the
+    dedup_incremental / ivf_index seam)."""
+    from vivace_graph_v3_spark.plans.matview import AggSpec, SummaryCatalog
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    cat = _MATVIEW_CACHE.get(key)
+    if cat is None:
+        import tempfile
+
+        def base(sp):
+            o = sp.read.parquet(f"{sf_dir}/orders.parquet")
+            c = sp.read.parquet(f"{sf_dir}/customer.parquet")
+            return (o.join(c, o["o_custkey"] == c["c_custkey"])
+                    .select("c_nationkey", "c_mktsegment",
+                            F.year("o_orderdate").alias("o_year"),
+                            F.round(F.col("o_totalprice") * 100)
+                            .cast("long").alias("cents")))
+
+        cat = SummaryCatalog(spark)
+        spec = cat.register(
+            "rev_by_nation_segment_year", base,
+            ["c_nationkey", "c_mktsegment", "o_year"],
+            [AggSpec("sum", "cents"), AggSpec("count"),
+             AggSpec("min", "cents"), AggSpec("max", "cents")],
+            tempfile.mkdtemp(prefix="vgv3_matview_"))
+        cat.materialize(spec)
+        cat._base = base  # kept for fallback-path contracts/tests
+        _MATVIEW_CACHE[key] = cat
+    return cat
+
+
+def q_matview_rollup_answer(spark, sf_dir):
+    """Automatic summary-table rewrite (plans/matview.SummaryCatalog):
+    avg/sum/count/max of order revenue by market segment answered from
+    the persisted (nation, segment, year) grid — the catalog picks the
+    covering grid itself (Gray et al. 1996 cube rollup; Gupta & Mumick
+    1995 matview answering); the base tables are never rescanned. avg is
+    derived sum/count (never avg-of-avg), all from exact BIGINT cents."""
+    cat = _session_summary_catalog(spark, sf_dir)
+    from vivace_graph_v3_spark.plans.matview import AggSpec
+
+    df, source = cat.answer(
+        ["c_mktsegment"],
+        {"n_orders": AggSpec("count"),
+         "sum_cents": AggSpec("sum", "cents"),
+         "max_cents": AggSpec("max", "cents"),
+         "avg_cents": AggSpec("avg", "cents")})
+    assert source == "rev_by_nation_segment_year"
+    return df.withColumn("answered_from_grid", F.lit(source is not None))
+
+
+SQL_MATVIEW_ROLLUP_ANSWER = """
+WITH base AS (
+  SELECT c_mktsegment,
+         CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+)
+SELECT c_mktsegment,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(cents) AS BIGINT) AS sum_cents,
+       CAST(max(cents) AS BIGINT) AS max_cents,
+       CAST(sum(cents) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_cents,
+       TRUE AS answered_from_grid
+FROM base GROUP BY c_mktsegment
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -10003,6 +10075,8 @@ REGISTRY: dict[str, tuple] = {
                                SQL_DEDUP_SAMPLING_WEIGHTS),
     "mvcc_revision_diff": (q_mvcc_revision_diff, SQL_MVCC_REVISION_DIFF),
     "boxplot_chars": (q_boxplot_chars, SQL_BOXPLOT_CHARS),
+    "matview_rollup_answer": (q_matview_rollup_answer,
+                              SQL_MATVIEW_ROLLUP_ANSWER),
     "survival_km": (q_survival_km, SQL_SURVIVAL_KM),
     "anova_quantity_returnflag": (q_anova_quantity_returnflag,
                                   SQL_ANOVA_QUANTITY_RETURNFLAG),

@@ -1,0 +1,172 @@
+"""Materialized-summary catalog with automatic rollup rewrite.
+
+The classic summary-table optimization (Gray et al., "Data Cube", ICDE
+1996; Gupta & Mumick, "Maintenance of Materialized Views", 1995): a
+persisted aggregate grid grouped by columns G with decomposable
+aggregates can answer ANY query that groups by a subset G' ⊆ G and asks
+for aggregates derivable from the grid — by re-aggregating the grid
+instead of scanning the base table. At 100 TB this is the difference
+between a corpus scan and a read of a few thousand grid rows.
+
+Reference parity: vivace-graph-v3's map-reduced views (views.lisp:
+345-373) ARE per-key summary tables, maintained incrementally on
+commit; the reference makes the user pick the view by name
+(``invoke-reduced-view``). This module adds the piece Spark makes
+natural: a catalog that picks a covering summary AUTOMATICALLY and
+falls back to the base scan when none covers — the engine-side rewrite,
+not a user-side convention.
+
+Derivability rules (the standard distributive/algebraic split):
+
+- ``sum(x)``   <- SUM of grid ``sum_x``
+- ``count(*)`` <- SUM of grid ``count_all``
+- ``min/max(x)`` <- MIN/MAX of grid ``min_x``/``max_x``
+- ``avg(x)``   <- SUM(sum_x) / SUM(count_all)  (algebraic: derived from
+  two distributive grid columns, never AVG-of-AVG)
+
+Filters are admissible only on grid group columns (then they prune the
+grid exactly); any filter on a non-grid column forces base fallback.
+
+Scale shape: ``materialize`` is one map-side-combined aggregate of the
+base (the only base scan); every ``answer`` that hits reads the
+grid parquet — domain-bounded — and re-aggregates with map-side
+combine. Catalog selection prefers the COARSEST covering grid (fewest
+grid rows to re-scan).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+__all__ = ["AggSpec", "SummarySpec", "SummaryCatalog"]
+
+_DISTRIBUTIVE = {"sum", "count", "min", "max"}
+
+
+@dataclass(frozen=True)
+class AggSpec:
+    """One requested/stored aggregate: kind in sum|count|min|max|avg;
+    col is None for count(*)."""
+
+    kind: str
+    col: str | None = None
+
+    def grid_col(self) -> str:
+        return f"{self.kind}_{self.col}" if self.col else "count_all"
+
+
+@dataclass
+class SummarySpec:
+    """A registered summary: base provider, grid keys, stored aggs."""
+
+    name: str
+    base: object  # Callable[[SparkSession], DataFrame]
+    group_cols: tuple[str, ...]
+    aggs: tuple[AggSpec, ...]
+    path: str
+    materialized: bool = field(default=False, init=False)
+
+    def _stored(self) -> set[tuple[str, str | None]]:
+        return {(a.kind, a.col) for a in self.aggs}
+
+    def covers(self, group_cols, aggs, filter_cols) -> bool:
+        if not set(group_cols) <= set(self.group_cols):
+            return False
+        if not set(filter_cols) <= set(self.group_cols):
+            return False
+        stored = self._stored()
+        for a in aggs:
+            if a.kind == "avg":
+                if ("sum", a.col) not in stored or \
+                        ("count", None) not in stored:
+                    return False
+            elif a.kind not in _DISTRIBUTIVE or \
+                    (a.kind, a.col) not in stored:
+                return False
+        return True
+
+
+class SummaryCatalog:
+    """Register summaries, materialize them once, answer queries from
+    the coarsest covering grid — or the base, if none covers."""
+
+    def __init__(self, spark: SparkSession):
+        self.spark = spark
+        self._specs: list[SummarySpec] = []
+
+    def register(self, name: str, base, group_cols, aggs,
+                 path: str) -> SummarySpec:
+        spec = SummarySpec(name, base, tuple(group_cols), tuple(aggs), path)
+        self._specs.append(spec)
+        return spec
+
+    def materialize(self, spec: SummarySpec) -> None:
+        """One base scan -> persisted grid parquet. Re-run to refresh
+        (deployments hook this to the txn-log ViewMaintainer cadence)."""
+        df = spec.base(self.spark)
+        exprs = []
+        for a in spec.aggs:
+            if a.kind == "count":
+                exprs.append(F.count(F.lit(1)).alias("count_all"))
+            else:
+                exprs.append(getattr(F, a.kind)(a.col).alias(a.grid_col()))
+        (df.groupBy(*spec.group_cols).agg(*exprs)
+         .write.mode("overwrite").parquet(spec.path))
+        spec.materialized = True
+
+    # -- the rewrite ---------------------------------------------------------
+
+    def _grid_agg(self, a: AggSpec):
+        g = a.grid_col()
+        if a.kind in ("sum", "count"):
+            return F.sum(g)
+        return getattr(F, a.kind)(g)
+
+    def answer(self, group_cols, aggs, *, filters=None,
+               base=None) -> tuple[DataFrame, str]:
+        """Answer ``SELECT group_cols, aggs FROM base WHERE filters
+        GROUP BY group_cols``. Returns (df, source) where source is the
+        summary name used, or 'base' on fallback.
+
+        ``aggs`` maps output column -> AggSpec. ``filters`` maps
+        column -> exact value (conjunctive equality; the admissible
+        grid-prunable shape). ``base`` (Callable[[SparkSession],
+        DataFrame]) is required only when no summary covers."""
+        filters = dict(filters or {})
+        cands = [s for s in self._specs if s.materialized and
+                 s.covers(group_cols, aggs.values(), filters.keys())]
+        if cands:
+            # coarsest covering grid = fewest extra key columns
+            spec = min(cands, key=lambda s: len(s.group_cols))
+            g = self.spark.read.parquet(spec.path)
+            for c, v in filters.items():
+                g = g.filter(F.col(c) == F.lit(v))
+            exprs = []
+            for out, a in aggs.items():
+                if a.kind == "avg":
+                    exprs.append(
+                        (F.sum(f"sum_{a.col}").cast("double")
+                         / F.sum("count_all").cast("double")).alias(out))
+                else:
+                    exprs.append(self._grid_agg(a).alias(out))
+            if group_cols:
+                return g.groupBy(*group_cols).agg(*exprs), spec.name
+            return g.agg(*exprs), spec.name
+        if base is None:
+            raise ValueError("no covering summary and no base fallback")
+        df = base(self.spark)
+        for c, v in filters.items():
+            df = df.filter(F.col(c) == F.lit(v))
+        exprs = []
+        for out, a in aggs.items():
+            if a.kind == "count":
+                exprs.append(F.count(F.lit(1)).alias(out))
+            elif a.kind == "avg":
+                exprs.append(F.avg(a.col).alias(out))
+            else:
+                exprs.append(getattr(F, a.kind)(a.col).alias(out))
+        if group_cols:
+            return df.groupBy(*group_cols).agg(*exprs), "base"
+        return df.agg(*exprs), "base"
