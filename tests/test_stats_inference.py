@@ -6,7 +6,8 @@ import hashlib
 import math
 
 from vivace_graph_v3_spark.operators.stats_inference import (
-    anova_oneway, kaplan_meier, mann_whitney_u, weighted_ticket_sample)
+    anova_oneway, kaplan_meier, kendall_tau_b, kruskal_wallis,
+    mann_whitney_u, weighted_ticket_sample)
 
 
 class TestKaplanMeier:
@@ -104,3 +105,98 @@ class TestTicketSample:
         heavy = sum(1 for r in s1 if r["weight"] == 8)
         # 8 tickets vs 1: heavy rows should dominate the winners
         assert heavy > 70
+
+
+class TestKendallTauB:
+    def test_perfect_concordance(self, spark):
+        df = spark.createDataFrame([(i, i) for i in range(1, 6)],
+                                   ["x", "y"])
+        r = kendall_tau_b(df, "x", "y").collect()[0]
+        assert r["n"] == 5 and r["concordant"] == 10
+        assert r["discordant"] == 0
+        assert r["ties_x"] == 0 and r["ties_y"] == 0
+        assert math.isclose(r["tau_b"], 1.0)
+
+    def test_perfect_discordance(self, spark):
+        df = spark.createDataFrame([(i, 10 - i) for i in range(1, 6)],
+                                   ["x", "y"])
+        r = kendall_tau_b(df, "x", "y").collect()[0]
+        assert r["concordant"] == 0 and r["discordant"] == 10
+        assert math.isclose(r["tau_b"], -1.0)
+
+    def test_vs_bruteforce_with_ties(self, spark):
+        import itertools
+        import random
+        rnd = random.Random(7)
+        data = [(rnd.randint(0, 5), rnd.randint(0, 3)) for _ in range(80)]
+        c = d = tx = ty = 0
+        for (x1, y1), (x2, y2) in itertools.combinations(data, 2):
+            if x1 == x2:
+                tx += 1
+            if y1 == y2:
+                ty += 1
+            if x1 != x2 and y1 != y2:
+                if (x1 - x2) * (y1 - y2) > 0:
+                    c += 1
+                else:
+                    d += 1
+        n0 = len(data) * (len(data) - 1) // 2
+        df = spark.createDataFrame(data, ["x", "y"])
+        r = kendall_tau_b(df, "x", "y").collect()[0]
+        assert (r["concordant"], r["discordant"]) == (c, d)
+        assert (r["ties_x"], r["ties_y"]) == (tx, ty)
+        assert math.isclose(
+            r["tau_b"],
+            (c - d) / (math.sqrt(n0 - tx) * math.sqrt(n0 - ty)),
+            rel_tol=1e-12)
+
+
+def _kw_brute(pairs):
+    """Pure-Python Kruskal-Wallis with midranks + tie correction."""
+    from collections import Counter
+    cnt = Counter(v for _, v in pairs)
+    ranks, cum = {}, 0
+    for v in sorted(cnt):
+        ranks[v] = cum + (cnt[v] + 1) / 2.0
+        cum += cnt[v]
+    n = len(pairs)
+    groups = {}
+    for g, v in pairs:
+        groups.setdefault(g, []).append(ranks[v])
+    h = (12.0 / (n * (n + 1))
+         * sum(sum(rs) ** 2 / len(rs) for rs in groups.values())
+         - 3 * (n + 1))
+    tie = sum(c ** 3 - c for c in cnt.values())
+    return h, h / (1 - tie / (n ** 3 - n)), len(groups) - 1
+
+
+class TestKruskalWallis:
+    def test_vs_bruteforce(self, spark):
+        import random
+        rnd = random.Random(11)
+        pairs = [(rnd.choice("abc"), rnd.randint(1, 8))
+                 for _ in range(120)]
+        df = spark.createDataFrame(pairs, ["g", "v"])
+        rows = kruskal_wallis(df, "g", "v").collect()
+        h, h_tc, dof = _kw_brute(pairs)
+        assert len(rows) == 3
+        assert all(r["dof"] == dof for r in rows)
+        assert math.isclose(rows[0]["h"], h, rel_tol=1e-9)
+        assert math.isclose(rows[0]["h_tie_corrected"], h_tc, rel_tol=1e-9)
+        # doubled-rank sums are exact integers: 2 * midrank sum per group
+        from collections import Counter
+        cnt = Counter(v for _, v in pairs)
+        ranks, cum = {}, 0
+        for v in sorted(cnt):
+            ranks[v] = cum + (cnt[v] + 1) / 2.0
+            cum += cnt[v]
+        for r in rows:
+            want = round(2 * sum(ranks[v] for g, v in pairs if g == r["g"]))
+            assert r["rank2_sum"] == want
+
+    def test_no_group_effect_small_h(self, spark):
+        rows = [("a", v) for v in range(1, 11)] + \
+               [("b", v) for v in range(1, 11)]
+        df = spark.createDataFrame(rows, ["g", "v"])
+        out = kruskal_wallis(df, "g", "v").collect()
+        assert math.isclose(out[0]["h"], 0.0, abs_tol=1e-9)

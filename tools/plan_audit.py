@@ -92,7 +92,8 @@ AUDITED = [
     "embedding_pair_cosine", "multimodal_dims", "text_truncation_curve",
     "dedup_sampling_weights", "mvcc_revision_diff", "boxplot_chars",
     "join_view_incremental", "survival_km", "anova_quantity_returnflag",
-    "mann_whitney_quantity", "weighted_sample_tickets",
+    "mann_whitney_quantity", "weighted_sample_tickets", "kendall_tau",
+    "kruskal_quantity",
     "matview_rollup_answer",
 ]
 

@@ -9692,6 +9692,114 @@ FROM pri ORDER BY priority, doc_id LIMIT 100
 """
 
 
+def q_kendall_tau(spark, sf_dir):
+    """Kendall tau-b rank correlation between lineitem quantity and
+    line number (operators/stats_inference.kendall_tau_b): exact
+    BIGINT concordant/discordant/tie pair counts from the 50x7
+    contingency grid (cell-count products over ordered grid-cell
+    pairs — never an O(n^2) row self-join), tau-b as a pinned chain
+    of correctly-rounded double ops."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        kendall_tau_b)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.select(F.col("l_quantity").cast("long").alias("q"),
+                   F.col("l_linenumber").cast("long").alias("ln"))
+    return kendall_tau_b(li, "q", "ln")
+
+
+SQL_KENDALL_TAU = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x, CAST(l_linenumber AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), cd AS (
+  SELECT CAST(coalesce(sum(CASE WHEN a.y < b.y THEN a.c * b.c END), 0)
+              AS BIGINT) AS concordant,
+         CAST(coalesce(sum(CASE WHEN a.y > b.y THEN a.c * b.c END), 0)
+              AS BIGINT) AS discordant
+  FROM cells a JOIN cells b ON a.x < b.x
+), xt AS (
+  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_x
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)
+), yt AS (
+  SELECT CAST(sum(t * (t - 1) // 2) AS BIGINT) AS ties_y
+  FROM (SELECT CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)
+), nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM cells)
+SELECT n, concordant, discordant, ties_x, ties_y,
+       CAST(concordant - discordant AS DOUBLE)
+         / (sqrt(CAST(n * (n - 1) // 2 - ties_x AS DOUBLE))
+            * sqrt(CAST(n * (n - 1) // 2 - ties_y AS DOUBLE))) AS tau_b
+FROM cd CROSS JOIN xt CROSS JOIN yt CROSS JOIN nn
+"""
+
+
+def q_kruskal_quantity(spark, sf_dir):
+    """Kruskal-Wallis H across return flags over lineitem quantity
+    (operators/stats_inference.kruskal_wallis): doubled midranks on
+    the 50-value grid keep every per-group rank sum an exact BIGINT;
+    H and the tie correction are pinned-order double folds (g-ordered
+    group terms, v-ordered tie terms)."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        kruskal_wallis)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.select("l_returnflag",
+                   F.col("l_quantity").cast("long").alias("qty"))
+    return kruskal_wallis(li, "l_returnflag", "qty")
+
+
+SQL_KRUSKAL_QUANTITY = """
+WITH vg AS (
+  SELECT CAST(l_quantity AS BIGINT) AS v, l_returnflag AS g,
+         CAST(count(*) AS BIGINT) AS cg
+  FROM lineitem GROUP BY 1, 2
+), vt AS (
+  SELECT v, CAST(sum(cg) AS BIGINT) AS c FROM vg GROUP BY v
+), vr AS (
+  SELECT v, c,
+         2 * (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - c) + c + 1 AS r2,
+         (CAST(c AS DOUBLE) * CAST(c AS DOUBLE)) * CAST(c AS DOUBLE)
+           - CAST(c AS DOUBLE) AS tie
+  FROM vt
+), pg AS (
+  SELECT g, CAST(sum(cg) AS BIGINT) AS n_g,
+         CAST(sum(cg * r2) AS BIGINT) AS r2sum
+  FROM vg JOIN vr USING (v) GROUP BY g
+), gs AS (
+  SELECT CAST(sum(n_g) AS BIGINT) AS n, count(*) AS k,
+         list(CAST(r2sum AS DOUBLE) / CAST(n_g AS DOUBLE)
+              * CAST(r2sum AS DOUBLE) ORDER BY g) AS terms
+  FROM pg
+), tf AS (
+  SELECT list(tie ORDER BY v) AS ties FROM vr
+), c1 AS (
+  SELECT n, k,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), terms),
+                     (a, b) -> a + b) AS fold,
+         list_reduce(list_prepend(CAST(0.0 AS DOUBLE), ties),
+                     (a, b) -> a + b) AS tie_sum
+  FROM gs CROSS JOIN tf
+), c2 AS (
+  SELECT n, k, tie_sum,
+         (12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)))
+           * (0.25 * fold) - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS h
+  FROM c1
+), c3 AS (
+  SELECT h,
+         h / (1.0 - tie_sum
+              / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+                 - CAST(n AS DOUBLE))) AS h_tie_corrected,
+         CAST(k - 1 AS BIGINT) AS dof
+  FROM c2
+)
+SELECT g AS l_returnflag, n_g AS n, r2sum AS rank2_sum,
+       h, h_tie_corrected, dof
+FROM pg CROSS JOIN c3
+"""
+
+
 _MATVIEW_CACHE: dict[str, object] = {}
 
 
@@ -10086,6 +10194,8 @@ REGISTRY: dict[str, tuple] = {
                                 SQL_WEIGHTED_SAMPLE_TICKETS),
     "join_view_incremental": (q_join_view_incremental,
                               SQL_JOIN_VIEW_INCREMENTAL),
+    "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
+    "kruskal_quantity": (q_kruskal_quantity, SQL_KRUSKAL_QUANTITY),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -35,6 +35,8 @@ __all__ = [
     "anova_oneway",
     "mann_whitney_u",
     "weighted_ticket_sample",
+    "kendall_tau_b",
+    "kruskal_wallis",
 ]
 
 
@@ -199,6 +201,119 @@ def mann_whitney_u(df: DataFrame, group_col: str, value_col: str,
                 (F.col("u2_a") - F.col("n_a") * F.col("n_b")).cast("double")
                 / (F.lit(2.0) * F.sqrt(var)))
             .select("n_a", "n_b", "u2_a", "u2_b", "z"))
+
+
+def kendall_tau_b(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Kendall rank correlation tau-b (Kendall 1938) between two
+    integer-valued columns, tie-corrected, computed EXACTLY on the
+    (x, y) contingency grid: concordant/discordant mass is a sum of
+    cell-count products over ordered grid-cell pairs — O(|X|·|Y|)^2
+    grid work, never an O(n^2) row self-join. Returns one row:
+    n, concordant, discordant, ties_x, ties_y (pair counts, exact
+    BIGINT — caller contract n <~ 3e9 so n^2/2 fits), and tau_b.
+
+    Exactness: every pair count is exact BIGINT; tau_b =
+    (C - D) / (sqrt(n0 - n1) * sqrt(n0 - n2)) as a fixed chain of
+    correctly-rounded double ops (two sqrts multiplied, never the
+    BIGINT product n0^2-scale that would overflow).
+
+    Scale shape: one aggregate to the grid; the grid crossJoin is
+    domain-bounded (|X|·|Y| cells); marginals are grid re-aggregates;
+    output is one row."""
+    cells = (df.groupBy(F.col(x_col).cast("long").alias("x"),
+                        F.col(y_col).cast("long").alias("y"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    a = cells.select(F.col("x").alias("x1"), F.col("y").alias("y1"),
+                     F.col("c").alias("c1"))
+    b = cells.select(F.col("x").alias("x2"), F.col("y").alias("y2"),
+                     F.col("c").alias("c2"))
+    pairs = a.join(b, (F.col("x1") < F.col("x2")))
+    cd = pairs.agg(
+        F.coalesce(F.sum(F.when(F.col("y1") < F.col("y2"),
+                                F.col("c1") * F.col("c2"))), F.lit(0))
+        .alias("concordant"),
+        F.coalesce(F.sum(F.when(F.col("y1") > F.col("y2"),
+                                F.col("c1") * F.col("c2"))), F.lit(0))
+        .alias("discordant"))
+    xt = (cells.groupBy("x").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("ties_x")))
+    yt = (cells.groupBy("y").agg(F.sum("c").alias("t"))
+          .agg(F.sum(F.expr("t * (t - 1) div 2")).alias("ties_y")))
+    n = cells.agg(F.sum("c").alias("n"))
+    out = (cd.crossJoin(F.broadcast(xt)).crossJoin(F.broadcast(yt))
+           .crossJoin(F.broadcast(n)))
+    n0 = F.expr("n * (n - 1) div 2")
+    return out.select(
+        "n", "concordant", "discordant", "ties_x", "ties_y",
+        ((F.col("concordant") - F.col("discordant")).cast("double")
+         / (F.sqrt((n0 - F.col("ties_x")).cast("double"))
+            * F.sqrt((n0 - F.col("ties_y")).cast("double"))))
+        .alias("tau_b"))
+
+
+def kruskal_wallis(df: DataFrame, group_col: str,
+                   value_col: str) -> DataFrame:
+    """Kruskal–Wallis H test (1952) — the k-group rank ANOVA — over an
+    integer-valued measure, with midrank ties on the doubled-rank grid
+    and the standard tie correction. Returns one row per group
+    (n, rank-sum as exact doubled BIGINT) plus the constant H,
+    tie-corrected H, and dof.
+
+    Exactness: doubled midranks keep every rank sum an exact BIGINT
+    (mann_whitney_u discipline); sum R_g^2/n_g is a pinned-order fold
+    of ``(R2_g/n_g)*R2_g`` doubles (never the BIGINT square that
+    overflows at R2 ~ 3e9); ties fold as in mann_whitney_u.
+
+    Scale shape: one aggregate to the (value, group) grid; window
+    cumsum on the distinct-value grid; folds over |groups| and
+    |values| arrays."""
+    vgrid = (df.groupBy(F.col(value_col).cast("long").alias("v"),
+                        F.col(group_col).alias("g"))
+             .agg(F.count(F.lit(1)).alias("cg")))
+    vtot = vgrid.groupBy("v").agg(F.sum("cg").alias("c"))
+    w = (Window.orderBy("v")  # distinct-value grid
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    vtot = (vtot.withColumn("cum", F.sum("c").over(w))
+            .withColumn("r2", 2 * (F.col("cum") - F.col("c"))
+                        + F.col("c") + 1)
+            .withColumn("tie", (F.col("c").cast("double")
+                                * F.col("c").cast("double"))
+                        * F.col("c").cast("double")
+                        - F.col("c").cast("double")))
+    per_g = (vgrid.join(vtot.select("v", "r2"), "v")
+             .groupBy("g")
+             .agg(F.sum("cg").alias("n_g"),
+                  F.sum(F.col("cg") * F.col("r2")).alias("r2sum")))
+    gstats = per_g.agg(
+        F.sum("n_g").alias("n"), F.count(F.lit(1)).alias("k"),
+        F.sort_array(F.collect_list(F.struct(
+            "g", ((F.col("r2sum").cast("double")
+                   / F.col("n_g").cast("double"))
+                  * F.col("r2sum").cast("double")).alias("term"))))
+        .alias("terms"))
+    tfold = vtot.agg(
+        F.sort_array(F.collect_list(F.struct("v", "tie"))).alias("ties"))
+    const = (gstats.crossJoin(F.broadcast(tfold))
+             .select(
+                 "n", "k",
+                 F.aggregate("terms", F.lit(0.0),
+                             lambda acc, s: acc + s["term"]).alias("fold"),
+                 F.aggregate("ties", F.lit(0.0),
+                             lambda acc, s: acc + s["tie"])
+                 .alias("tie_sum")))
+    n_d = F.col("n").cast("double")
+    h = (F.lit(12.0) / (n_d * (n_d + F.lit(1.0)))) \
+        * (F.lit(0.25) * F.col("fold")) \
+        - F.lit(3.0) * (n_d + F.lit(1.0))
+    tie_corr = F.lit(1.0) - F.col("tie_sum") / (n_d * n_d * n_d - n_d)
+    const = (const.withColumn("h", h)
+             .withColumn("h_tie_corrected", F.col("h") / tie_corr)
+             .withColumn("dof", (F.col("k") - 1).cast("long"))
+             .select("h", "h_tie_corrected", "dof"))
+    return (per_g.select(F.col("g").alias(group_col),
+                         F.col("n_g").alias("n"),
+                         F.col("r2sum").alias("rank2_sum"))
+            .crossJoin(F.broadcast(const)))
 
 
 def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,
