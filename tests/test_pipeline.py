@@ -1570,3 +1570,36 @@ def test_dataset_card_counts(spark):
     assert s1.en_ppm == 666667 and s1.vocab_size == 4
     s2 = out["s2"]
     assert (s2.n_docs, s2.dup_docs, s2.dup_ppm) == (1, 0, 0)
+
+
+class TestCrossSourceLeakage:
+    def test_leakage_matrix(self, spark):
+        from vivace_graph_v3_spark.pipeline.dedup import cross_source_leakage
+        boiler = "shared boilerplate prefix that is long enough "
+        rows = [
+            (1, boiler + "tail one", "s1"),
+            (2, boiler + "tail two", "s1"),
+            (3, boiler + "tail three", "s2"),
+            (4, boiler + "tail four", "s3"),
+            (5, "unique text in s1 only with no siblings", "s1"),
+            (6, "another family entirely present twice", "s2"),
+            (7, "another family ENTIRELY   present twice", "s3"),
+        ]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {(r["source_a"], r["source_b"]): r
+               for r in cross_source_leakage(
+                   df, prefix_chars=30).collect()}
+        # boiler family spans s1(x2), s2, s3; "another family" spans
+        # s2, s3 (normalization folds case + whitespace)
+        assert out[("s1", "s2")]["n_families"] == 1
+        assert out[("s1", "s2")]["n_doc_pairs"] == 2  # 2x1
+        assert out[("s1", "s3")]["n_doc_pairs"] == 2
+        assert out[("s2", "s3")]["n_families"] == 2
+        assert out[("s2", "s3")]["n_doc_pairs"] == 2  # 1x1 + 1x1
+        assert ("s1", "s1") not in out
+
+    def test_no_cross_family_no_rows(self, spark):
+        from vivace_graph_v3_spark.pipeline.dedup import cross_source_leakage
+        rows = [(1, "aaaa bbbb cccc", "s1"), (2, "dddd eeee ffff", "s2")]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        assert cross_source_leakage(df, prefix_chars=8).count() == 0

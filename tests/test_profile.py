@@ -1,5 +1,6 @@
 """One-pass table profiler."""
 
+import pytest
 from datetime import date
 
 from pyspark.sql import functions as F
@@ -410,3 +411,56 @@ def test_t_closeness_single_value_zero(spark):
     df = spark.createDataFrame([("c1", 5), ("c2", 5)], "q string, v long")
     rows = t_closeness(df, ["q"], "v").collect()
     assert all(r.t_ppm == 0 and not r.at_risk for r in rows)
+
+
+def test_js_divergence_identical_group_zero(spark):
+    from vivace_graph_v3_spark.operators.profile import js_divergence
+    rows = [("a", v) for v in (10, 20, 30, 40)] * 5 + \
+           [("b", v) for v in (10, 20, 30, 40)] * 5
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["group"]: r["jsd_bits"]
+           for r in js_divergence(df, group_col="g", value_col="v",
+                                  bucket_width=10).collect()}
+    # both groups match the corpus distribution exactly -> JSD 0
+    assert out["a"] == 0.0 and out["b"] == 0.0
+
+
+def test_js_divergence_vs_python(spark):
+    import math as m
+    from vivace_graph_v3_spark.operators.profile import js_divergence
+    rows = [("a", v) for v in (5, 5, 15, 25)] + \
+           [("b", v) for v in (15, 25, 25, 35, 35, 35)]
+    df = spark.createDataFrame(rows, ["g", "v"])
+    got = {r["group"]: r
+           for r in js_divergence(df, group_col="g", value_col="v",
+                                  bucket_width=10).collect()}
+
+    def brute(grp):
+        from collections import Counter
+        gb = Counter(v // 10 for g, v in rows if g == grp)
+        cb = Counter(v // 10 for _, v in rows)
+        ns, nt = sum(gb.values()), sum(cb.values())
+        jsd = 0.0
+        for b in cb:
+            p, q = gb.get(b, 0) / ns, cb[b] / nt
+            mm = (p + q) / 2
+            jsd += (0.5 * p * m.log2(p / mm) if p else 0.0) \
+                + 0.5 * q * m.log2(q / mm)
+        return jsd
+
+    for g in ("a", "b"):
+        assert got[g]["jsd_bits"] == pytest.approx(brute(g), abs=1e-6)
+        assert 0.0 <= got[g]["jsd_bits"] <= 1.0
+
+
+def test_js_divergence_disjoint_groups_bounded(spark):
+    from vivace_graph_v3_spark.operators.profile import js_divergence
+    rows = [("a", 5)] * 10 + [("b", 995)] * 10
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r["group"]: r["jsd_bits"]
+           for r in js_divergence(df, group_col="g", value_col="v",
+                                  bucket_width=10).collect()}
+    # a group fully disjoint from the other half of the corpus:
+    # JSD(p, (p+q)/2 mix) is strictly inside (0, 1) and symmetric
+    assert out["a"] == out["b"]
+    assert 0.3 < out["a"] < 1.0

@@ -7,7 +7,7 @@ import math
 
 from vivace_graph_v3_spark.operators.stats_inference import (
     anova_oneway, kaplan_meier, kendall_tau_b, kruskal_wallis,
-    mann_whitney_u, weighted_ticket_sample)
+    mann_whitney_u, spearman_rho, weighted_ticket_sample)
 
 
 class TestKaplanMeier:
@@ -200,3 +200,55 @@ class TestKruskalWallis:
         df = spark.createDataFrame(rows, ["g", "v"])
         out = kruskal_wallis(df, "g", "v").collect()
         assert math.isclose(out[0]["h"], 0.0, abs_tol=1e-9)
+
+
+def _spearman_brute(pairs):
+    """Pearson correlation of midranks, pure Python."""
+    from collections import Counter
+
+    def midranks(vals):
+        cnt = Counter(vals)
+        r, cum = {}, 0
+        for v in sorted(cnt):
+            r[v] = cum + (cnt[v] + 1) / 2.0
+            cum += cnt[v]
+        return r
+
+    rx = midranks([x for x, _ in pairs])
+    ry = midranks([y for _, y in pairs])
+    xs = [rx[x] for x, _ in pairs]
+    ys = [ry[y] for _, y in pairs]
+    n = len(pairs)
+    mx, my = sum(xs) / n, sum(ys) / n
+    num = sum((a - mx) * (b - my) for a, b in zip(xs, ys))
+    dx = sum((a - mx) ** 2 for a in xs)
+    dy = sum((b - my) ** 2 for b in ys)
+    return num / math.sqrt(dx * dy)
+
+
+class TestSpearmanRho:
+    def test_monotone_is_one(self, spark):
+        df = spark.createDataFrame([(i, i * i) for i in range(1, 9)],
+                                   ["x", "y"])
+        r = spearman_rho(df, "x", "y").collect()[0]
+        assert math.isclose(r["rho"], 1.0)
+        assert r["s_xy"] == r["s_xx"] == r["s_yy"]
+
+    def test_vs_bruteforce_with_ties(self, spark):
+        import random
+        rnd = random.Random(23)
+        data = [(rnd.randint(0, 6), rnd.randint(0, 4)) for _ in range(150)]
+        df = spark.createDataFrame(data, ["x", "y"])
+        r = spearman_rho(df, "x", "y").collect()[0]
+        assert r["n"] == 150
+        assert math.isclose(r["rho"], _spearman_brute(data), rel_tol=1e-9)
+        # doubled centered moments are 4x the midrank moments
+        from collections import Counter
+        cnt = Counter(x for x, _ in data)
+        rk, cum = {}, 0
+        for v in sorted(cnt):
+            rk[v] = cum + (cnt[v] + 1) / 2.0
+            cum += cnt[v]
+        mean = (150 + 1) / 2.0
+        want_sxx = round(4 * sum((rk[x] - mean) ** 2 for x, _ in data))
+        assert r["s_xx"] == want_sxx

@@ -9800,6 +9800,133 @@ FROM pg CROSS JOIN c3
 """
 
 
+def q_spearman_rho(spark, sf_dir):
+    """Spearman rank correlation between lineitem quantity and discount
+    (operators/stats_inference.spearman_rho): Pearson on doubled
+    midranks over the 50x11 contingency grid, centered moments exact in
+    DECIMAL(38,0) and emitted as BIGINT, rho as a pinned double chain."""
+    from vivace_graph_v3_spark.operators.stats_inference import spearman_rho
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    li = li.select(F.col("l_quantity").cast("long").alias("q"),
+                   F.round(F.col("l_discount") * 100).cast("long")
+                   .alias("disc"))
+    return spearman_rho(li, "q", "disc")
+
+
+SQL_SPEARMAN_RHO = """
+WITH cells AS (
+  SELECT CAST(l_quantity AS BIGINT) AS x,
+         CAST(round(l_discount * 100) AS BIGINT) AS y,
+         CAST(count(*) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+), mx AS (
+  SELECT x, t, 2 * (sum(t) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2x
+  FROM (SELECT x, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY x)
+), my AS (
+  SELECT y, t, 2 * (sum(t) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED
+           PRECEDING AND CURRENT ROW) - t) + t + 1 AS r2y
+  FROM (SELECT y, CAST(sum(c) AS BIGINT) AS t FROM cells GROUP BY y)
+), nn AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n, CAST(sum(c) + 1 AS BIGINT) AS np1
+  FROM cells
+), num AS (
+  SELECT sum(CAST(c * (r2x - np1) * (r2y - np1) AS DECIMAL(38,0))) AS num_d
+  FROM cells JOIN mx USING (x) JOIN my USING (y) CROSS JOIN nn
+), dx AS (
+  SELECT sum(CAST(t * (r2x - np1) * (r2x - np1) AS DECIMAL(38,0))) AS dx_d
+  FROM mx CROSS JOIN nn
+), dy AS (
+  SELECT sum(CAST(t * (r2y - np1) * (r2y - np1) AS DECIMAL(38,0))) AS dy_d
+  FROM my CROSS JOIN nn
+)
+SELECT n, CAST(num_d AS BIGINT) AS s_xy, CAST(dx_d AS BIGINT) AS s_xx,
+       CAST(dy_d AS BIGINT) AS s_yy,
+       CAST(num_d AS DOUBLE)
+         / (sqrt(CAST(dx_d AS DOUBLE)) * sqrt(CAST(dy_d AS DOUBLE))) AS rho
+FROM num CROSS JOIN dx CROSS JOIN dy CROSS JOIN (SELECT n FROM nn) t
+"""
+
+
+def q_source_jsd(spark, sf_dir):
+    """Jensen-Shannon divergence of each source's doc-length
+    distribution vs the corpus (operators/profile.js_divergence):
+    200-char buckets, exact-count shares, log2 bits, DECIMAL(38,12)
+    order-independent accumulation rounded to 6 (psi convention)."""
+    from vivace_graph_v3_spark.operators.profile import js_divergence
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.select("source", F.length("text").alias("len"))
+    return (js_divergence(d, group_col="source", value_col="len",
+                          bucket_width=200)
+            .withColumnRenamed("group", "source"))
+
+
+SQL_SOURCE_JSD = """
+WITH gb AS (
+  SELECT source AS g, length(text) // 200 AS bucket,
+         CAST(count(*) AS BIGINT) AS o
+  FROM documents GROUP BY 1, 2
+), corpus AS (
+  SELECT bucket, CAST(sum(o) AS BIGINT) AS c FROM gb GROUP BY 1
+), totals AS (
+  SELECT g, CAST(sum(o) AS BIGINT) AS n_rows FROM gb GROUP BY 1
+), nt AS (SELECT CAST(sum(c) AS BIGINT) AS n_total FROM corpus),
+full_grid AS (
+  SELECT t.g, t.n_rows, coalesce(gb.o, 0) AS o, corpus.c, nt.n_total
+  FROM totals t CROSS JOIN corpus
+  LEFT JOIN gb ON gb.g = t.g AND gb.bucket = corpus.bucket
+  CROSS JOIN nt
+), terms AS (
+  SELECT g, n_rows,
+         CASE WHEN o > 0 THEN
+           0.5 * (CAST(o AS DOUBLE) / CAST(n_rows AS DOUBLE))
+             * log2((CAST(o AS DOUBLE) / CAST(n_rows AS DOUBLE))
+                    / ((CAST(o AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                        + CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+                       / 2.0))
+         ELSE 0.0 END
+         + 0.5 * (CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+             * log2((CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+                    / ((CAST(o AS DOUBLE) / CAST(n_rows AS DOUBLE)
+                        + CAST(c AS DOUBLE) / CAST(n_total AS DOUBLE))
+                       / 2.0)) AS term
+  FROM full_grid
+)
+SELECT g AS source, n_rows,
+       round(CAST(sum(CAST(term AS DECIMAL(38,12))) AS DOUBLE), 6)
+         AS jsd_bits
+FROM terms GROUP BY 1, 2
+"""
+
+
+def q_dedup_cross_source(spark, sf_dir):
+    """Cross-source near-duplicate leakage matrix
+    (pipeline/dedup.cross_source_leakage): families keyed by the first
+    120 normalized chars (prefix fingerprint), counted per unordered
+    source pair — grid-bounded join, never row x row."""
+    from vivace_graph_v3_spark.pipeline.dedup import cross_source_leakage
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_source_leakage(d)
+
+
+SQL_DEDUP_CROSS_SOURCE = r"""
+WITH fam AS (
+  SELECT substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                1, 120) AS fam,
+         source AS src, CAST(count(*) AS BIGINT) AS c
+  FROM documents GROUP BY 1, 2
+)
+SELECT a.src AS source_a, b.src AS source_b,
+       CAST(count(*) AS BIGINT) AS n_families,
+       CAST(sum(a.c * b.c) AS BIGINT) AS n_doc_pairs
+FROM fam a JOIN fam b ON a.fam = b.fam AND a.src < b.src
+GROUP BY 1, 2
+"""
+
+
 _MATVIEW_CACHE: dict[str, object] = {}
 
 
@@ -10196,6 +10323,9 @@ REGISTRY: dict[str, tuple] = {
                               SQL_JOIN_VIEW_INCREMENTAL),
     "kendall_tau": (q_kendall_tau, SQL_KENDALL_TAU),
     "kruskal_quantity": (q_kruskal_quantity, SQL_KRUSKAL_QUANTITY),
+    "spearman_rho": (q_spearman_rho, SQL_SPEARMAN_RHO),
+    "source_jsd": (q_source_jsd, SQL_SOURCE_JSD),
+    "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -479,6 +479,49 @@ def psi_drift(df: DataFrame, *, group_col: str, value_col: str,
                     "psi"))
 
 
+def js_divergence(df: DataFrame, *, group_col: str, value_col: str,
+                  bucket_width: int = 100) -> DataFrame:
+    """Jensen-Shannon divergence (Lin 1991) per group against the whole
+    corpus, in bits, over fixed-width integer buckets:
+
+        JSD = 0.5 * KL(p || m) + 0.5 * KL(q || m),  m = (p + q) / 2
+
+    Symmetric, bounded in [0, 1] with log2, and finite without
+    smoothing (m > 0 wherever either side has mass) — the divergence
+    training-mix dashboards prefer over PSI/KL when sources can have
+    empty buckets. p = group bucket share, q = corpus bucket share.
+
+    Determinism: shares are exact rationals of integer counts in
+    fixed-order IEEE doubles; log2 per bucket; the cross-bucket sum
+    accumulates in DECIMAL(38,12), rounded to 6 (the psi_drift
+    convention). Scale shape: ONE corpus-sized map-side-combined
+    aggregate to (group, bucket); the zero-fill grid is
+    |groups| x |buckets|."""
+    b = F.expr(f"`{value_col}` div {bucket_width}")
+    gb = (df.select(F.col(group_col).alias("group"), b.alias("bucket"))
+          .groupBy("group", "bucket").agg(F.count(F.lit(1)).alias("o")))
+    corpus = gb.groupBy("bucket").agg(F.sum("o").alias("c"))
+    totals = gb.groupBy("group").agg(F.sum("o").alias("n_rows"))
+    nt = corpus.agg(F.sum("c").alias("n_total"))
+    full = (totals.crossJoin(F.broadcast(corpus))
+            .join(gb, ["group", "bucket"], "left")
+            .crossJoin(F.broadcast(nt))
+            .select("group", "n_rows",
+                    F.coalesce(F.col("o"), F.lit(0)).alias("o"),
+                    "c", "n_total"))
+    p = F.col("o").cast("double") / F.col("n_rows").cast("double")
+    q = F.col("c").cast("double") / F.col("n_total").cast("double")
+    m = (p + q) / F.lit(2.0)
+    term = (F.when(F.col("o") > 0,
+                   F.lit(0.5) * p * F.log2(p / m)).otherwise(F.lit(0.0))
+            + F.lit(0.5) * q * F.log2(q / m))
+    return (full.groupBy("group", "n_rows")
+            .agg(F.round(F.sum(term.cast("decimal(38,12)"))
+                         .cast("double"), 6).alias("jsd_bits"))
+            .select("group", F.col("n_rows").cast("long").alias("n_rows"),
+                    "jsd_bits"))
+
+
 def t_closeness(df: DataFrame, qi_cols: list[str], sensitive_col: str, *,
                 threshold_ppm: int = 300_000) -> DataFrame:
     """t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007): for

@@ -37,6 +37,7 @@ __all__ = [
     "weighted_ticket_sample",
     "kendall_tau_b",
     "kruskal_wallis",
+    "spearman_rho",
 ]
 
 
@@ -314,6 +315,66 @@ def kruskal_wallis(df: DataFrame, group_col: str,
                          F.col("n_g").alias("n"),
                          F.col("r2sum").alias("rank2_sum"))
             .crossJoin(F.broadcast(const)))
+
+
+def spearman_rho(df: DataFrame, x_col: str, y_col: str) -> DataFrame:
+    """Spearman rank correlation (1904) with midrank ties = Pearson
+    correlation of the midranks, computed EXACTLY on the (x, y)
+    contingency grid. Doubled midranks (mann_whitney_u discipline) keep
+    every rank integral; the three centered moments
+    ``N = sum c*(r2x - (n+1))*(r2y - (n+1))``, ``Dx``, ``Dy`` accumulate
+    in DECIMAL(38,0) (order-independent exact integers — the products
+    scale as n^3, past BIGINT at ~2.6e6 rows), are emitted as BIGINT
+    (caller contract: moments < 2^63, i.e. n <~ 2e6 rows at contract SF;
+    the internal accumulation stays exact to n ~ 4.6e12), and rho is one
+    pinned chain of correctly-rounded double ops.
+
+    Scale shape: one aggregate to the joint grid; marginal rank grids
+    are re-aggregates of the joint grid; the only windows run on the
+    domain-bounded distinct-value grids; output is one row."""
+    cells = (df.groupBy(F.col(x_col).cast("long").alias("x"),
+                        F.col(y_col).cast("long").alias("y"))
+             .agg(F.count(F.lit(1)).alias("c")))
+    def marginal(col):
+        m = cells.groupBy(col).agg(F.sum("c").alias("t"))
+        w = (Window.orderBy(col)
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (m.withColumn("cum", F.sum("t").over(w))
+                .select(col, "t",
+                        (2 * (F.col("cum") - F.col("t")) + F.col("t") + 1)
+                        .alias("r2")))
+    mx = marginal("x").select("x", F.col("t").alias("tx"),
+                              F.col("r2").alias("r2x"))
+    my = marginal("y").select("y", F.col("t").alias("ty"),
+                              F.col("r2").alias("r2y"))
+    n1 = cells.agg(F.sum("c").alias("n")).select(
+        "n", (F.col("n") + 1).alias("np1"))
+    dec = "decimal(38,0)"
+    joint = (cells.join(mx.select("x", "r2x"), "x")
+             .join(my.select("y", "r2y"), "y")
+             .crossJoin(F.broadcast(n1)))
+    # doubled centered ranks: r2 - (n+1) is twice (midrank - mean rank)
+    num = joint.agg(F.sum(
+        (F.col("c") * (F.col("r2x") - F.col("np1"))
+         * (F.col("r2y") - F.col("np1"))).cast(dec)).alias("num_d"))
+    dx = (mx.crossJoin(F.broadcast(n1))
+          .agg(F.sum((F.col("tx") * (F.col("r2x") - F.col("np1"))
+                      * (F.col("r2x") - F.col("np1"))).cast(dec))
+               .alias("dx_d")))
+    dy = (my.crossJoin(F.broadcast(n1))
+          .agg(F.sum((F.col("ty") * (F.col("r2y") - F.col("np1"))
+                      * (F.col("r2y") - F.col("np1"))).cast(dec))
+               .alias("dy_d")))
+    out = (num.crossJoin(F.broadcast(dx)).crossJoin(F.broadcast(dy))
+           .crossJoin(F.broadcast(n1.select("n"))))
+    return out.select(
+        "n",
+        F.col("num_d").cast("long").alias("s_xy"),
+        F.col("dx_d").cast("long").alias("s_xx"),
+        F.col("dy_d").cast("long").alias("s_yy"),
+        (F.col("num_d").cast("double")
+         / (F.sqrt(F.col("dx_d").cast("double"))
+            * F.sqrt(F.col("dy_d").cast("double")))).alias("rho"))
 
 
 def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,

@@ -47,6 +47,40 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     return df.join(survivors, id_col, "left_semi")
 
 
+def cross_source_leakage(df: DataFrame, *, text_col: str = "text",
+                         source_col: str = "source",
+                         prefix_chars: int = 120) -> DataFrame:
+    """Near-duplicate family leakage matrix across sources — the
+    curation report that tells you which source pairs share content
+    (mirror sites, syndication, template farms) BEFORE mixing them into
+    a training run. Families are keyed by the first ``prefix_chars``
+    normalized characters (prefix fingerprint: catches truncated-copy
+    and boilerplate families that whole-text hashing misses); every
+    unordered source pair sharing a family is counted. Output per
+    (source_a < source_b): n_families, n_doc_pairs (sum over families
+    of count_a * count_b).
+
+    100 TB shape: one shuffle of 64-bit prefix fingerprints to the
+    (family, source) grid — duplicate-family-bounded, never the corpus;
+    the pair join is grid x grid within a family, never row x row.
+    Fingerprint-equality-equals-text-equality follows the exact_dedup
+    convention (xxhash64 collisions are ignorable at any corpus size
+    that fits a cluster)."""
+    key = F.xxhash64(F.substring(normalized_text(F.col(text_col)),
+                                 1, prefix_chars))
+    fams = (df.select(key.alias("fam"), F.col(source_col).alias("src"))
+            .groupBy("fam", "src").agg(F.count(F.lit(1)).alias("c")))
+    a = fams.select("fam", F.col("src").alias("source_a"),
+                    F.col("c").alias("ca"))
+    b = fams.select("fam", F.col("src").alias("source_b"),
+                    F.col("c").alias("cb"))
+    pairs = a.join(b, "fam").filter(F.col("source_a") < F.col("source_b"))
+    # (fam, src) is unique per side, so each (fam, a, b) row is one family
+    return (pairs.groupBy("source_a", "source_b")
+            .agg(F.count(F.lit(1)).alias("n_families"),
+                 F.sum(F.col("ca") * F.col("cb")).alias("n_doc_pairs")))
+
+
 # -- shingles -------------------------------------------------------------------
 
 def shingle_hashes(text_col, n: int = 3):
