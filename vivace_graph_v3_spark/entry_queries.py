@@ -9927,6 +9927,52 @@ GROUP BY 1, 2
 """
 
 
+_RESULT_CACHE: dict[str, object] = {}
+
+
+def q_result_cache_hit(spark, sf_dir):
+    """Answer a per-region nation count through the MVCC-epoch result
+    cache (plans/result_cache.ResultCache): first call materializes the
+    result parquet, the repeat is served from it without rescanning the
+    store (pinned by tests/test_result_cache.py); returned values are
+    byte-equal to the uncached plan, which is what the oracle checks."""
+    from pyspark.sql import types as T
+
+    from vivace_graph_v3_spark.mvcc import VersionedGraph
+    from vivace_graph_v3_spark.plans.result_cache import ResultCache
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+
+    key = f"{spark.sparkContext.applicationId}:{sf_dir}"
+    rc = _RESULT_CACHE.get(key)
+    if rc is None:
+        import tempfile
+
+        tmp = tempfile.mkdtemp(prefix="vgv3_rc_")
+        reg = SchemaRegistry()
+        reg.def_vertex("nation_node", {"regionkey": T.LongType()})
+        vg = VersionedGraph(spark, reg, f"{tmp}/g")
+        n = (spark.read.parquet(f"{sf_dir}/nation.parquet")
+             .select(F.concat(F.lit("n"), F.col("n_nationkey")).alias("id"),
+                     F.col("n_regionkey").cast("long").alias("regionkey")))
+        vg.commit(vg.begin().create("nation_node", n))
+        rc = ResultCache(vg, f"{tmp}/cache")
+        _RESULT_CACHE[key] = rc
+
+    def build():
+        return (rc.graph.read("nation_node").groupBy("regionkey")
+                .agg(F.count(F.lit(1)).alias("n_nations")))
+
+    rc.run(build)          # warm (or prior call in this session)
+    return rc.run(build)   # served from the cached result parquet
+
+
+SQL_RESULT_CACHE_HIT = """
+SELECT CAST(n_regionkey AS BIGINT) AS regionkey,
+       CAST(count(*) AS BIGINT) AS n_nations
+FROM nation GROUP BY 1
+"""
+
+
 _MATVIEW_CACHE: dict[str, object] = {}
 
 
@@ -10326,6 +10372,7 @@ REGISTRY: dict[str, tuple] = {
     "spearman_rho": (q_spearman_rho, SQL_SPEARMAN_RHO),
     "source_jsd": (q_source_jsd, SQL_SOURCE_JSD),
     "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
+    "result_cache_hit": (q_result_cache_hit, SQL_RESULT_CACHE_HIT),
 }
 
 # Round-6 driver sample order. Three blocks:
