@@ -361,3 +361,36 @@ def test_round7_text_operator_plan_shapes(spark):
     f = plan_facts(df)
     assert not f.row_udf
     assert f.single_partition_exchanges == 0
+
+
+def test_round7_inference_plan_shapes(spark):
+    """CI gates on the inference-stats / mix-diagnostics batch:
+    - kendall_tau / kruskal_quantity / spearman_rho / anova /
+      mann_whitney / survival_km: the raw table hits ONE map-side-
+      combined aggregate; every join below runs on domain-bounded grids
+      (never a raw-row self-join, never a cartesian product)
+    - weighted_sample_tickets: two-phase top-k (TakeOrderedAndProject),
+      no global single-partition sort
+    - source_jsd / dedup_cross_source / boxplot_chars: grid-scoped joins
+      only, no row-at-a-time UDF anywhere
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    for name in ("kendall_tau", "kruskal_quantity", "spearman_rho",
+                 "anova_quantity_returnflag", "mann_whitney_quantity",
+                 "survival_km", "source_jsd", "dedup_cross_source",
+                 "boxplot_chars"):
+        df = qs[name](spark, sf)
+        df.collect()
+        f = plan_facts(df)
+        assert not f.row_udf, name
+        assert f.cartesian_products == 0, name
+        assert f.partial_aggregates >= 1, name
+
+    df = qs["weighted_sample_tickets"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert f.take_ordered and not f.row_udf
