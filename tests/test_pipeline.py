@@ -1603,3 +1603,66 @@ class TestCrossSourceLeakage:
         rows = [(1, "aaaa bbbb cccc", "s1"), (2, "dddd eeee ffff", "s2")]
         df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
         assert cross_source_leakage(df, prefix_chars=8).count() == 0
+
+
+class TestDoremiMixWeights:
+    def test_uniform_when_identical_sources(self, spark):
+        from vivace_graph_v3_spark.pipeline.text import doremi_mix_weights
+        rows = [(i, "alpha beta gamma delta", f"s{i % 2}")
+                for i in range(8)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = doremi_mix_weights(df).collect()
+        # identical distributions -> zero excess everywhere -> uniform
+        assert all(r["excess"] == 0.0 for r in out)
+        assert all(r["weight_ppm"] == 500_000 for r in out)
+
+    def test_hard_domain_upweighted(self, spark):
+        from vivace_graph_v3_spark.pipeline.text import doremi_mix_weights
+        # "easy" repeats common words; "hard" is all hapaxes (rare words
+        # -> high neg-logp under the corpus unigram LM)
+        rows = [(i, "the the the the", "easy") for i in range(10)] + \
+               [(100 + i, f"zq{i}a zq{i}b zq{i}c zq{i}d", "hard")
+                for i in range(10)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = {r["source"]: r for r in doremi_mix_weights(df).collect()}
+        assert out["hard"]["mean_nll"] > out["easy"]["mean_nll"]
+        assert out["hard"]["excess"] > 0.0 and out["easy"]["excess"] == 0.0
+        # hard holds ALL the excess: (1-s)*1 + s/2 = 0.9e6 at s=0.2
+        assert out["hard"]["weight_ppm"] == 900_000
+        assert out["easy"]["weight_ppm"] == 100_000
+
+    def test_weights_sum_to_unity(self, spark):
+        from vivace_graph_v3_spark.pipeline.text import doremi_mix_weights
+        rows = [(i, f"w{i % 7} common tok{i % 3}", f"s{i % 4}")
+                for i in range(40)]
+        df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+        out = doremi_mix_weights(df).collect()
+        assert abs(sum(r["weight_ppm"] for r in out) - 1_000_000) <= len(out)
+
+
+class TestEmbeddingCovariance:
+    def test_vs_numpy(self, spark):
+        import numpy as np
+        from vivace_graph_v3_spark.pipeline.similarity import (
+            embedding_covariance)
+        rng = np.random.RandomState(5)
+        mat = rng.randn(60, 4).astype("float32")
+        rows = [(i, [float(v) for v in mat[i]]) for i in range(60)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        out = {(r["i"], r["j"]): r["cov"]
+               for r in embedding_covariance(df, dims=4).collect()}
+        want = np.cov(mat.astype("float64").T, bias=True)
+        assert len(out) == 10
+        for (i, j), cov in out.items():
+            assert cov == pytest.approx(want[i][j], abs=2e-6)
+
+    def test_diagonal_matches_dim_stats_var(self, spark):
+        from vivace_graph_v3_spark.pipeline.similarity import (
+            embedding_covariance, embedding_dim_stats)
+        rows = [(i, [float(i % 5), float((i * 3) % 7)]) for i in range(40)]
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        cov = {(r["i"], r["j"]): r["cov"]
+               for r in embedding_covariance(df, dims=2).collect()}
+        var = {r["dim"]: r["var"] for r in embedding_dim_stats(df).collect()}
+        assert cov[(0, 0)] == pytest.approx(var[0], abs=1e-6)
+        assert cov[(1, 1)] == pytest.approx(var[1], abs=1e-6)

@@ -9927,6 +9927,93 @@ GROUP BY 1, 2
 """
 
 
+def q_doremi_mix_weights(spark, sf_dir):
+    """One-step DoReMi-style domain reweighting over documents
+    (pipeline/text.doremi_mix_weights): per-source excess unigram loss
+    vs the corpus mean, normalized and mixed with a uniform prior —
+    DECIMAL-accumulated word-level sums, pinned double chains, ppm
+    weights."""
+    from vivace_graph_v3_spark.pipeline.text import doremi_mix_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return doremi_mix_weights(d)
+
+
+SQL_DOREMI_MIX_WEIGHTS = r"""
+WITH w AS (
+  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), v AS (SELECT w, count(*) AS c FROM w GROUP BY w),
+t AS (SELECT sum(c) AS total FROM v),
+scored AS (
+  SELECT source, -log2(c / total) AS nl FROM w JOIN v USING (w) CROSS JOIN t
+), per_s AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n_words,
+         sum(CAST(nl AS DECIMAL(38,12))) AS nll
+  FROM scored GROUP BY source
+), corpus AS (
+  SELECT sum(nll) AS nll_t, CAST(sum(n_words) AS BIGINT) AS nw_t FROM per_s
+), per AS (
+  SELECT source, n_words,
+         CAST(nll AS DOUBLE) / CAST(n_words AS DOUBLE) AS mean_nll,
+         greatest(0.0, CAST(nll AS DOUBLE) / CAST(n_words AS DOUBLE)
+                  - CAST(nll_t AS DOUBLE) / CAST(nw_t AS DOUBLE)) AS excess
+  FROM per_s CROSS JOIN corpus
+), p2 AS (
+  SELECT source, n_words, mean_nll, excess,
+         CAST(excess AS DECIMAL(38,12)) AS excess_dec
+  FROM per
+), tots AS (
+  SELECT sum(excess_dec) AS tot_dec, CAST(count(*) AS BIGINT) AS k FROM p2
+)
+SELECT source, n_words, round(mean_nll, 6) AS mean_nll,
+       round(excess, 6) AS excess,
+       CAST(round((CASE WHEN tot_dec = 0 THEN 1.0 / CAST(k AS DOUBLE)
+             ELSE 0.8 * (CAST(excess_dec AS DOUBLE)
+                         / CAST(tot_dec AS DOUBLE))
+                  + 0.2 / CAST(k AS DOUBLE) END) * 1000000) AS BIGINT)
+         AS weight_ppm
+FROM p2 CROSS JOIN tots
+"""
+
+
+def q_embedding_covariance(spark, sf_dir):
+    """Covariance matrix (upper triangle, first 8 dims) of the embedding
+    corpus (pipeline/similarity.embedding_covariance): map-only term
+    expansion + one map-side-combined aggregate, DECIMAL-exact moments,
+    cov = E[xy] - E[x]E[y] pinned and rounded to 6."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        embedding_covariance)
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return embedding_covariance(e, dims=8)
+
+
+SQL_EMBEDDING_COVARIANCE = """
+WITH e AS (
+  SELECT ii.i AS i, jj.j AS j,
+         CAST(embedding[ii.i + 1] AS DOUBLE) AS x,
+         CAST(embedding[jj.j + 1] AS DOUBLE) AS y
+  FROM embeddings
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) ii
+  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS j) jj
+  WHERE jj.j >= ii.i
+), sums AS (
+  SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+         sum(CAST(x AS DECIMAL(38,12))) AS sx,
+         sum(CAST(y AS DECIMAL(38,12))) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+  FROM e GROUP BY 1, 2
+)
+SELECT CAST(i AS BIGINT) AS i, CAST(j AS BIGINT) AS j, n,
+       round(CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS cov
+FROM sums
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10373,6 +10460,9 @@ REGISTRY: dict[str, tuple] = {
     "source_jsd": (q_source_jsd, SQL_SOURCE_JSD),
     "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
     "result_cache_hit": (q_result_cache_hit, SQL_RESULT_CACHE_HIT),
+    "doremi_mix_weights": (q_doremi_mix_weights, SQL_DOREMI_MIX_WEIGHTS),
+    "embedding_covariance": (q_embedding_covariance,
+                             SQL_EMBEDDING_COVARIANCE),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -561,6 +561,46 @@ def embedding_dim_stats(emb: DataFrame, *, vec_col: str = "embedding",
                         F.col("var") * 1_000_000 < F.lit(var_floor_micro)))
 
 
+def embedding_covariance(emb: DataFrame, *, vec_col: str = "embedding",
+                         dims: int = 8) -> DataFrame:
+    """Covariance matrix of the first ``dims`` embedding dimensions
+    (upper triangle incl. the variance diagonal) — the input to
+    whitening / ZCA and the correlated-dimension audit that
+    embedding_dim_stats' per-dim marginals can't see.
+
+    Exactness: float values widen to DOUBLE (exact); each per-row
+    product x_i*x_j is one correctly-rounded double op; products and
+    marginals accumulate in DECIMAL(38,12) (order-independent);
+    cov = E[xy] - E[x]E[y] folds in pinned doubles, rounded to 6.
+
+    Scale shape: ONE map-only expansion to dims*(dims+1)/2 terms per row
+    followed by a map-side-combined aggregate to a dims^2-bounded frame;
+    no joins, no windows."""
+    pairs = [(i, j) for i in range(dims) for j in range(i, dims)]
+    terms = F.array(*[
+        F.struct(F.lit(i).alias("i"), F.lit(j).alias("j"),
+                 F.col(vec_col)[i].cast("double").alias("x"),
+                 F.col(vec_col)[j].cast("double").alias("y"))
+        for i, j in pairs])
+    e = emb.select(F.explode(terms).alias("t")).select(
+        F.col("t.i").alias("i"), F.col("t.j").alias("j"),
+        F.col("t.x").alias("x"), F.col("t.y").alias("y"))
+    sums = (e.groupBy("i", "j")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col("x").cast("decimal(38,12)")).alias("sx"),
+                 F.sum(F.col("y").cast("decimal(38,12)")).alias("sy"),
+                 F.sum((F.col("x") * F.col("y")).cast("decimal(38,12)"))
+                 .alias("sxy")))
+    nd = F.col("n").cast("double")
+    cov = (F.col("sxy").cast("double") / nd
+           - (F.col("sx").cast("double") / nd)
+           * (F.col("sy").cast("double") / nd))
+    return sums.select(F.col("i").cast("long").alias("i"),
+                       F.col("j").cast("long").alias("j"),
+                       F.col("n").cast("long").alias("n"),
+                       F.round(cov, 6).alias("cov"))
+
+
 def ivfpq_probe(indexed_codes: DataFrame, centroids: list[list[float]],
                 codebook: list[list[float]], queries: DataFrame, k: int, *,
                 nprobe: int = 4, num_blocks: int = 4, rerank: int = 32,

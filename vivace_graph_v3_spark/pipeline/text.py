@@ -365,6 +365,67 @@ def remove_boilerplate(df: DataFrame, *, text_col: str = "text",
                      " ").alias("cleaned")))
 
 
+def doremi_mix_weights(df: DataFrame, *, text_col: str = "text",
+                       source_col: str = "source",
+                       smoothing: float = 0.2) -> DataFrame:
+    """One-step DoReMi-style domain reweighting (Xie et al. 2023,
+    arXiv:2305.10429, simplified to a single excess-loss step with the
+    corpus-self-trained unigram LM as the reference model): domains whose
+    words are less probable under the corpus distribution (higher mean
+    negative log-prob than the corpus mean) get up-weighted
+    proportionally to their EXCESS loss, then mixed with a uniform prior:
+
+        w_s = (1 - smoothing) * excess_s / sum(excess) + smoothing / k
+
+    (uniform when no domain has excess). Returns per source: n_words,
+    mean_nll, excess, weight_ppm.
+
+    Determinism: word-level neg-log-probs accumulate per source in
+    DECIMAL(38,12) (order-independent); means/excess/weights are pinned
+    double chains from those exact sums; the excess normalizer re-sums
+    DECIMAL-rounded excesses. Scale shape: the corpus is touched by ONE
+    exploded-word aggregate pair (vocab frame + per-source sums, both
+    map-side combined); everything downstream is |sources| rows."""
+    words = (ensure_parallelism(df)
+             .select(F.col(source_col).alias("source"),
+                     F.explode(tokens(F.col(text_col))).alias("w")))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (words.join(vocab, "w")
+              .crossJoin(F.broadcast(total))
+              .select("source", (-F.log2(F.col("c") / F.col("total")))
+                      .alias("neg_logp")))
+    per_s = (scored.groupBy("source")
+             .agg(F.count(F.lit(1)).alias("n_words"),
+                  F.sum(F.col("neg_logp").cast("decimal(38,12)"))
+                  .alias("nll")))
+    corpus = per_s.agg(F.sum("nll").alias("nll_t"),
+                       F.sum("n_words").alias("nw_t"))
+    mean_s = F.col("nll").cast("double") / F.col("n_words").cast("double")
+    ref = F.col("nll_t").cast("double") / F.col("nw_t").cast("double")
+    per = (per_s.crossJoin(F.broadcast(corpus))
+           .select("source", "n_words", F.col("nll").alias("nll_d"),
+                   mean_s.alias("mean_nll"),
+                   F.greatest(F.lit(0.0), mean_s - ref).alias("excess")))
+    per = per.withColumn("excess_dec",
+                         F.col("excess").cast("decimal(38,12)"))
+    tots = per.agg(F.sum("excess_dec").alias("tot_dec"),
+                   F.count(F.lit(1)).alias("k"))
+    s = float(smoothing)
+    shared = (F.lit(1.0 - s)
+              * (F.col("excess_dec").cast("double")
+                 / F.col("tot_dec").cast("double"))
+              + F.lit(s) / F.col("k").cast("double"))
+    uniform = F.lit(1.0) / F.col("k").cast("double")
+    w = F.when(F.col("tot_dec") == 0, uniform).otherwise(shared)
+    return (per.crossJoin(F.broadcast(tots))
+            .select("source", "n_words",
+                    F.round("mean_nll", 6).alias("mean_nll"),
+                    F.round("excess", 6).alias("excess"),
+                    F.round(w * 1_000_000).cast("long")
+                    .alias("weight_ppm")))
+
+
 def training_mix(df: DataFrame, weights: dict[str, float], *,
                  source_col: str = "source",
                  key_col: str = "doc_id",
