@@ -109,7 +109,32 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "events_mad_outliers", "events_attribution_linear",
           "metrics_unpivot", "rollup_revenue", "session_paths",
           "key_skew_profile", "fk_integrity_audit", "events_ohlc_hourly",
-          "ann_ivfpq_recall"]
+          "ann_ivfpq_recall",
+          # round-7 ops: the stats family (chi2/theilsen/anova/
+          # mann-whitney/kendall/kruskal/spearman/boxplot/survival)
+          # reduces the 10x table to value-grid frames in ONE partial
+          # aggregate — only that first pass scans more; readability /
+          # fertility / truncation / sampling-weights / dims are
+          # map-only or map+1-agg; tickets explode 10x weights into a
+          # two-phase top-k; jsd/doremi re-aggregate to
+          # |sources| x |buckets| / |vocab| frames; cross-source joins
+          # the (family, source) grid; covariance expands 36 terms/row
+          # map-only; rolling-distinct windows the day grid; matview /
+          # result-cache / revision-diff / join-view rebuild their
+          # session stores at the 10x dir (ingest-time in deployments)
+          "chi2_independence", "benford_audit", "theilsen_trend",
+          "events_rolling_distinct", "text_readability",
+          "tokenizer_fertility", "dpo_preference_pairs",
+          "shard_interleave_audit", "graph_eccentricity",
+          "embedding_pair_cosine", "multimodal_dims",
+          "text_truncation_curve", "dedup_sampling_weights",
+          "mvcc_revision_diff", "boxplot_chars", "matview_rollup_answer",
+          "survival_km", "anova_quantity_returnflag",
+          "mann_whitney_quantity", "weighted_sample_tickets",
+          "join_view_incremental", "kendall_tau", "kruskal_quantity",
+          "spearman_rho", "source_jsd", "dedup_cross_source",
+          "result_cache_hit", "doremi_mix_weights",
+          "embedding_covariance"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
