@@ -418,3 +418,43 @@ def test_pair_cosine_audit_hand_vectors(spark):
     assert (2, 2) not in out      # id 4 absent -> no pair
     # every id pairs only with id+stride
     assert set(out) == {(1, 0), (1, 1), (1, 2), (2, 0), (2, 1)}
+
+
+class TestCCIncremental:
+    def test_merges_and_noops(self, spark):
+        from vivace_graph_v3_spark.operators.graph_algorithms import (
+            cc_incremental)
+        labels = spark.createDataFrame(
+            [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d"), ("e", "e")],
+            ["id", "comp"])
+        # a-b already one component (intra edge = no-op); c joins it;
+        # d and e merge with each other; transitive chain via labels
+        new = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("d", "e")], ["src", "dst"])
+        out = {r["id"]: r["comp"]
+               for r in cc_incremental(labels, new).collect()}
+        assert out == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "d"}
+
+    def test_empty_batch_identity(self, spark):
+        from vivace_graph_v3_spark.operators.graph_algorithms import (
+            cc_incremental)
+        labels = spark.createDataFrame([("x", "x"), ("y", "y")],
+                                       ["id", "comp"])
+        new = spark.createDataFrame([], "src string, dst string")
+        out = {r["id"]: r["comp"]
+               for r in cc_incremental(labels, new).collect()}
+        assert out == {"x": "x", "y": "y"}
+
+    def test_chain_of_component_merges(self, spark):
+        from vivace_graph_v3_spark.operators.graph_algorithms import (
+            cc_incremental)
+        # four components merged into one through a label chain:
+        # c1-c2, c2-c3, c3-c4 — requires transitive closure on the
+        # label graph, not one-hop min
+        labels = spark.createDataFrame(
+            [(f"v{i}", f"c{i}") for i in range(1, 5)], ["id", "comp"])
+        new = spark.createDataFrame(
+            [("v1", "v2"), ("v2", "v3"), ("v3", "v4")], ["src", "dst"])
+        out = {r["id"]: r["comp"]
+               for r in cc_incremental(labels, new).collect()}
+        assert set(out.values()) == {"c1"}

@@ -10014,6 +10014,47 @@ FROM sums
 """
 
 
+def q_graph_cc_incremental(spark, sf_dir):
+    """Incremental connected components
+    (operators/graph_algorithms.cc_incremental): each customer's order
+    chain is fragmented by holding out every third link; fragment-level
+    labels (the persisted state) are then repaired by applying ONLY the
+    held-out batch — label-graph merge + one broadcast relabel join,
+    never a full recompute. Final labels must equal the from-scratch
+    components (min orderkey per customer), which is what the oracle
+    checks."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        cc_incremental)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    o = (o.select("o_custkey", "o_orderkey", "o_orderdate")
+         .withColumn("rn", F.row_number().over(w))
+         .withColumn("nxt", F.lead("o_orderkey").over(w)))
+    # link i joins chain positions i and i+1; links with i % 3 == 0 are
+    # the "new batch", everything else is the already-ingested graph
+    held = (o.filter(F.col("nxt").isNotNull() & (F.col("rn") % 3 == 0))
+            .select(F.col("o_orderkey").alias("src"),
+                    F.col("nxt").alias("dst")))
+    # persisted labels: min orderkey per (customer, fragment) where
+    # fragment = #held links before this position = (rn - 1) div 3
+    frag = F.expr("(rn - 1) div 3")
+    labels = o.select(
+        F.col("o_orderkey").alias("id"),
+        F.min("o_orderkey").over(
+            Window.partitionBy("o_custkey", frag)).alias("comp"))
+    return (cc_incremental(labels, held)
+            .select(F.col("id").cast("long").alias("id"),
+                    F.col("comp").cast("long").alias("comp")))
+
+
+SQL_GRAPH_CC_INCREMENTAL = """
+SELECT CAST(o_orderkey AS BIGINT) AS id,
+       CAST(min(o_orderkey) OVER (PARTITION BY o_custkey) AS BIGINT) AS comp
+FROM orders
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10461,6 +10502,8 @@ REGISTRY: dict[str, tuple] = {
     "dedup_cross_source": (q_dedup_cross_source, SQL_DEDUP_CROSS_SOURCE),
     "result_cache_hit": (q_result_cache_hit, SQL_RESULT_CACHE_HIT),
     "doremi_mix_weights": (q_doremi_mix_weights, SQL_DOREMI_MIX_WEIGHTS),
+    "graph_cc_incremental": (q_graph_cc_incremental,
+                             SQL_GRAPH_CC_INCREMENTAL),
     "embedding_covariance": (q_embedding_covariance,
                              SQL_EMBEDDING_COVARIANCE),
 }

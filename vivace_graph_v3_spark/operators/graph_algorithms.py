@@ -335,6 +335,47 @@ def connected_components(graph: GraphStore, *, edge_type: str | None = None,
     return labels
 
 
+def cc_incremental(labels: DataFrame, new_edges: DataFrame, *,
+                   src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+    """Incremental connected components: update persisted labels
+    ``(id, comp)`` after a NEW undirected edge batch WITHOUT touching the
+    full edge set — only components incident to new edges can merge, so
+    every step is batch-bounded:
+
+    1. project each new edge to its endpoints' labels (two equi-joins of
+       the batch into the label table — at 100 TB the batch side
+       broadcasts against a bucketed label layout);
+    2. collapse the resulting (comp_a, comp_b) LABEL graph with
+       :func:`~vivace_graph_v3_spark.pipeline.dedup.dedup_clusters`
+       (driver union-find under its 2M-pair guard, distributed
+       min-label + pointer jumping past it);
+    3. apply the old->merged map to the label table with ONE broadcast
+       left join (the map has at most one row per touched component).
+
+    Callers first append brand-new vertices as singleton labels
+    (``comp = id``); deletions need a recompute of the affected
+    components (component splits are not incremental in this model —
+    the standard trade of label-store CC maintenance)."""
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_clusters
+
+    lsrc = labels.select(F.col("id").alias(src_col),
+                         F.col("comp").alias("c1"))
+    ldst = labels.select(F.col("id").alias(dst_col),
+                         F.col("comp").alias("c2"))
+    merges = (new_edges.join(lsrc, src_col).join(ldst, dst_col)
+              .select("c1", "c2")
+              .filter(F.col("c1") != F.col("c2"))
+              .dropDuplicates())
+    if merges.isEmpty():
+        return labels.select("id", "comp")
+    cmap = (dedup_clusters(merges, id_a="c1", id_b="c2")
+            .select(F.col("id").alias("comp"),
+                    F.col("cluster").alias("__merged")))
+    return (labels.join(F.broadcast(cmap), "comp", "left")
+            .select("id", F.coalesce(F.col("__merged"), F.col("comp"))
+                    .alias("comp")))
+
+
 def triangle_count(graph: GraphStore, *, edge_type: str | None = None) -> DataFrame:
     """Global triangle count over the undirected simple graph. Canonical-order
     join (a<b<c) counts each triangle once; returns one row (n_triangles).
