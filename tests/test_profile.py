@@ -464,3 +464,30 @@ def test_js_divergence_disjoint_groups_bounded(spark):
     # JSD(p, (p+q)/2 mix) is strictly inside (0, 1) and symmetric
     assert out["a"] == out["b"]
     assert 0.3 < out["a"] < 1.0
+
+
+def test_delete_cascade_audit_chain(spark):
+    from vivace_graph_v3_spark.operators.profile import delete_cascade_audit
+    cust = spark.createDataFrame([(1, "del"), (2, "keep"), (3, "del")],
+                                 ["ck", "tag"])
+    orders = spark.createDataFrame(
+        [(10, 1), (11, 1), (12, 2), (13, 3)], ["ok", "ck"])
+    items = spark.createDataFrame(
+        [(10, 1), (10, 2), (11, 1), (12, 1), (13, 1)], ["ok", "ln"])
+    seed = cust.filter(F.col("tag") == "del")
+    out = {r["table"]: r["n_rows"] for r in delete_cascade_audit(
+        seed, "ck",
+        [("orders", orders, "__seed__", "ck", "ok"),
+         ("items", items, "orders", "ok", None)]).collect()}
+    # customers 1,3 -> orders 10,11,13 -> items on 10(x2),11,13
+    assert out == {"__seed__": 2, "orders": 3, "items": 4}
+
+
+def test_delete_cascade_audit_empty_seed(spark):
+    from vivace_graph_v3_spark.operators.profile import delete_cascade_audit
+    cust = spark.createDataFrame([(1,)], ["ck"])
+    orders = spark.createDataFrame([(10, 1)], ["ok", "ck"])
+    out = {r["table"]: r["n_rows"] for r in delete_cascade_audit(
+        cust.filter(F.col("ck") < 0), "ck",
+        [("orders", orders, "__seed__", "ck", None)]).collect()}
+    assert out == {"__seed__": 0, "orders": 0}

@@ -10055,6 +10055,39 @@ FROM orders
 """
 
 
+def q_delete_cascade_audit(spark, sf_dir):
+    """Right-to-be-forgotten cascade pre-flight
+    (operators/profile.delete_cascade_audit): customers with
+    c_acctbal < -900 as the erase set, cascading customer -> orders ->
+    lineitem via broadcast semi-joins; per-table affected-row counts."""
+    from vivace_graph_v3_spark.operators.profile import delete_cascade_audit
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    seed = c.filter(F.col("c_acctbal") < -900)
+    return delete_cascade_audit(
+        seed, "c_custkey",
+        [("orders", o, "__seed__", "o_custkey", "o_orderkey"),
+         ("lineitem", li, "orders", "l_orderkey", None)])
+
+
+SQL_DELETE_CASCADE_AUDIT = """
+WITH seed AS (
+  SELECT DISTINCT c_custkey FROM customer WHERE c_acctbal < -900
+), o AS (
+  SELECT o_orderkey FROM orders
+  WHERE o_custkey IN (SELECT c_custkey FROM seed)
+)
+SELECT '__seed__' AS "table", CAST(count(*) AS BIGINT) AS n_rows FROM seed
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT) FROM o
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT) FROM lineitem
+WHERE l_orderkey IN (SELECT o_orderkey FROM o)
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10506,6 +10539,8 @@ REGISTRY: dict[str, tuple] = {
                              SQL_GRAPH_CC_INCREMENTAL),
     "embedding_covariance": (q_embedding_covariance,
                              SQL_EMBEDDING_COVARIANCE),
+    "delete_cascade_audit": (q_delete_cascade_audit,
+                             SQL_DELETE_CASCADE_AUDIT),
 }
 
 # Round-6 driver sample order. Three blocks:

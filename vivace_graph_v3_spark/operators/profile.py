@@ -244,6 +244,43 @@ def ks_drift(df: DataFrame, *, group_col: str, value_col: str) -> DataFrame:
                  ks.alias("ks")))
 
 
+def delete_cascade_audit(seed: DataFrame, seed_key: str,
+                         cascades: list[tuple[str, DataFrame, str, str]],
+                         ) -> DataFrame:
+    """Right-to-be-forgotten impact report: given a SEED set of keys to
+    erase, walk the FK cascade and count the rows each table loses —
+    the pre-flight every GDPR/CCPA deletion job runs before mutating
+    anything; chains (customer -> orders -> lineitem) compose.
+
+    Each cascade hop is ``(name, df, parent_name, fk, key_out)``:
+    the hop's affected rows are those whose ``fk`` appears in the
+    parent level's key set (``"__seed__"`` for the seed); ``key_out``
+    (or None for a leaf) is the column its own children join on.
+    Returns (table, n_rows) with the seed counted under ``__seed__``.
+
+    Scale shape: one LEFT SEMI join per cascade level on the FK — the
+    delete set broadcasts (it is human-sized relative to the tables);
+    counts are 1-row aggregates; the union is |tables| rows."""
+    keys: dict[str, DataFrame] = {
+        "__seed__": seed.select(F.col(seed_key).alias("__k"))
+        .dropDuplicates()}
+    rows = [("__seed__", keys["__seed__"])]
+    for name, df, parent_name, fk, key_out in cascades:
+        parent = keys[parent_name]
+        hit = df.join(F.broadcast(parent.select(F.col("__k").alias(fk))),
+                      fk, "left_semi")
+        if key_out is not None:
+            keys[name] = (hit.select(F.col(key_out).alias("__k"))
+                          .dropDuplicates())
+        rows.append((name, hit))
+    out = None
+    for name, df in rows:
+        c = df.agg(F.count(F.lit(1)).alias("n_rows")) \
+            .select(F.lit(name).alias("table"), "n_rows")
+        out = c if out is None else out.unionByName(c)
+    return out
+
+
 def k_anonymity(df: DataFrame, qi_cols: list[str], *,
                 k: int = 10) -> DataFrame:
     """Data-governance audit (Sweeney 2002 k-anonymity): equivalence
