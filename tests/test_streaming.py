@@ -354,3 +354,40 @@ def test_bloom_dedup_stream_two_batches(spark, tmp_path):
     # but false 'new' for seen keys is impossible; and state is bounded
     bits_df = spark.read.parquet(str(bits / "bits"))
     assert bits_df.count() <= 4096
+
+
+def test_cc_label_maintenance_batches_and_stream(spark, tmp_path):
+    """Incremental CC label store across micro-batches: singletons
+    appear, merges repair only touched components, and the final labels
+    equal from-scratch components on the union edge set."""
+    from vivace_graph_v3_spark.streaming.ingest import (cc_apply_batch,
+                                                        cc_apply_stream)
+
+    labels = str(tmp_path / "labels")
+    schema = "src string, dst string"
+    b1 = spark.createDataFrame([("a", "b"), ("c", "d")], schema)
+    s1 = cc_apply_batch(b1, labels)
+    assert s1 == {"n_edges": 2, "n_new_vertices": 4, "n_vertices": 4}
+    got = {r["id"]: r["comp"]
+           for r in spark.read.parquet(labels).collect()}
+    assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+    # batch 2 bridges the two components and introduces a new vertex
+    b2 = spark.createDataFrame([("b", "c"), ("e", "e")], schema)
+    s2 = cc_apply_batch(b2, labels)
+    assert s2["n_new_vertices"] == 1 and s2["n_vertices"] == 5
+    got = {r["id"]: r["comp"]
+           for r in spark.read.parquet(labels).collect()}
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a", "e": "e"}
+
+    # batch 3 through a real streaming query: e joins the big component
+    src = str(tmp_path / "src")
+    (spark.createDataFrame([("d", "e")], schema)
+     .coalesce(1).write.mode("append").json(src))
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).json(src))
+    q = cc_apply_stream(stream, labels, checkpoint=str(tmp_path / "cp"))
+    q.awaitTermination(120)
+    got = {r["id"]: r["comp"]
+           for r in spark.read.parquet(labels).collect()}
+    assert got == {k: "a" for k in "abcde"}

@@ -291,3 +291,76 @@ def bloom_dedup_stream(stream: DataFrame, bits_dir: str, out_dir: str, *,
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+# -- incremental connected-components maintenance ------------------------------
+
+
+def cc_apply_batch(edges: DataFrame, labels_path: str, *,
+                   src_col: str = "src", dst_col: str = "dst") -> dict:
+    """Apply one edge micro-batch to a persisted connected-components
+    label store (operators/graph_algorithms.cc_incremental is the
+    merge kernel; this is the streaming face). Per batch:
+
+    1. vertices never seen before are appended as singleton labels
+       (``comp = id``) — an anti-join of the batch's endpoint set;
+    2. the batch-bounded label-graph merge repairs the labels;
+    3. the store is rewritten via a staging-dir swap (object-store
+       deployments: MERGE INTO keyed on the touched components only —
+       the repair map is component-bounded, see cc_incremental).
+
+    Cost per batch scales with the batch and the touched components,
+    never the graph."""
+    import os
+    import shutil
+
+    from pyspark.errors import AnalysisException
+
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        cc_incremental)
+
+    spark = edges.sparkSession
+    e = (edges.select(F.col(src_col).alias("src"),
+                      F.col(dst_col).alias("dst"))
+         .dropDuplicates())
+    try:
+        labels = spark.read.parquet(labels_path)
+    except AnalysisException:  # first batch: empty store
+        labels = None
+    endpoints = (e.select(F.col("src").alias("id"))
+                 .unionByName(e.select(F.col("dst").alias("id")))
+                 .dropDuplicates())
+    if labels is None:
+        labels = endpoints.withColumn("comp", F.col("id"))
+        n_new = endpoints.count()
+    else:
+        fresh = endpoints.join(labels, "id", "left_anti")
+        n_new = fresh.count()
+        labels = labels.unionByName(
+            fresh.withColumn("comp", F.col("id")))
+    out = cc_incremental(labels, e)
+    staging = labels_path.rstrip("/") + ".staging"
+    out.write.mode("overwrite").parquet(staging)
+    if os.path.isdir(labels_path):
+        shutil.rmtree(labels_path)
+    os.rename(staging, labels_path)
+    n_rows = spark.read.parquet(labels_path).count()
+    return {"n_edges": e.count(), "n_new_vertices": n_new,
+            "n_vertices": n_rows}
+
+
+def cc_apply_stream(stream: DataFrame, labels_path: str, *,
+                    checkpoint: str, src_col: str = "src",
+                    dst_col: str = "dst", available_now: bool = True):
+    """Drive :func:`cc_apply_batch` from a streaming edge source via
+    foreachBatch — each micro-batch is one atomic label repair."""
+
+    def apply(batch: DataFrame, _batch_id: int) -> None:
+        cc_apply_batch(batch, labels_path, src_col=src_col,
+                       dst_col=dst_col)
+
+    writer = (stream.writeStream.foreachBatch(apply)
+              .option("checkpointLocation", checkpoint))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
