@@ -10088,6 +10088,47 @@ WHERE l_orderkey IN (SELECT o_orderkey FROM o)
 """
 
 
+def q_customer_spend_deciles(spark, sf_dir):
+    """Rank-window surface completion: NTILE deciles + percent_rank +
+    cume_dist over customer total spend (exact cents), totally ordered
+    by (spend, custkey) so every rank function is deterministic; the
+    doubles are exact-integer ratios (pinned single divisions).
+
+    Scale note: a global rank window single-partitions its input; at
+    100 TB the same answer comes from the two-pass shape used by
+    operators/skew.two_phase_distinct — repartitionByRange(cents) +
+    per-partition rank + broadcast per-partition offsets (rank(v) =
+    local_rank + rows_before_partition); the contract keeps the direct
+    window because the customer frame is one aggregate's output, orders
+    of magnitude smaller than the fact tables."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                  .alias("cents")))
+    w = Window.orderBy("cents", "o_custkey")
+    return spend.select(
+        F.col("o_custkey").cast("long").alias("custkey"),
+        "cents",
+        F.ntile(10).over(w).cast("long").alias("decile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))
+
+
+SQL_CUSTOMER_SPEND_DECILES = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                         AS BIGINT) AS cents
+  FROM orders GROUP BY 1
+)
+SELECT CAST(o_custkey AS BIGINT) AS custkey, cents,
+       CAST(ntile(10) OVER w AS BIGINT) AS decile,
+       percent_rank() OVER w AS pct_rank,
+       cume_dist() OVER w AS cume
+FROM spend
+WINDOW w AS (ORDER BY cents, o_custkey)
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10541,6 +10582,8 @@ REGISTRY: dict[str, tuple] = {
                              SQL_EMBEDDING_COVARIANCE),
     "delete_cascade_audit": (q_delete_cascade_audit,
                              SQL_DELETE_CASCADE_AUDIT),
+    "customer_spend_deciles": (q_customer_spend_deciles,
+                               SQL_CUSTOMER_SPEND_DECILES),
 }
 
 # Round-6 driver sample order. Three blocks:
