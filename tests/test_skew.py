@@ -70,3 +70,35 @@ def test_key_skew_profile_hand_case(spark):
     assert (r.n_rows, r.n_keys, r.max_per_key) == (10, 4, 6)
     assert (r.p50_per_key, r.p99_per_key) == (1, 6)
     assert r.top1_share_ppm == 600000
+
+
+class TestRankedTwoPhase:
+    def test_equals_direct_window(self, spark):
+        import random
+        from pyspark.sql import Window
+        from vivace_graph_v3_spark.operators.skew import ranked_two_phase
+        rnd = random.Random(3)
+        rows = [(i, rnd.randint(0, 50)) for i in range(500)]
+        df = spark.createDataFrame(rows, ["id", "v"]).repartition(8)
+        got = {r["id"]: r["rank"]
+               for r in ranked_two_phase(df, ["v", "id"],
+                                         num_partitions=6).collect()}
+        w = Window.orderBy("v", "id")
+        want = {r["id"]: r["rk"]
+                for r in df.withColumn("rk", F.row_number().over(w))
+                .collect()}
+        assert got == want
+
+    def test_no_global_funnel_on_data_path(self, spark):
+        from vivace_graph_v3_spark.operators.skew import ranked_two_phase
+        from vivace_graph_v3_spark.plans import plan_facts
+        df = spark.range(0, 20_000).select(
+            F.col("id"), (F.col("id") * 37 % 1000).alias("v"))
+        out = ranked_two_phase(df, ["v", "id"], num_partitions=8)
+        out.collect()
+        f = plan_facts(out)
+        # the corpus ranks through rangepartitioning (parallel windows);
+        # the only SinglePartition exchange is the |partitions|-row
+        # offsets frame
+        assert "rangepartitioning" in f.plan.lower()
+        assert f.single_partition_exchanges <= 1

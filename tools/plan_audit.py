@@ -93,7 +93,10 @@ AUDITED = [
     "dedup_sampling_weights", "mvcc_revision_diff", "boxplot_chars",
     "join_view_incremental", "survival_km", "anova_quantity_returnflag",
     "mann_whitney_quantity", "weighted_sample_tickets", "kendall_tau",
-    "kruskal_quantity", "spearman_rho", "source_jsd", "dedup_cross_source", "result_cache_hit", "doremi_mix_weights", "embedding_covariance", "graph_cc_incremental", "delete_cascade_audit", "customer_spend_deciles",
+    "kruskal_quantity", "spearman_rho", "source_jsd", "dedup_cross_source",
+    "result_cache_hit", "doremi_mix_weights", "embedding_covariance",
+    "graph_cc_incremental", "delete_cascade_audit", "customer_spend_deciles",
+    "orders_global_rank",
     "matview_rollup_answer",
 ]
 

@@ -10129,6 +10129,31 @@ WINDOW w AS (ORDER BY cents, o_custkey)
 """
 
 
+def q_orders_global_rank(spark, sf_dir):
+    """Global rank of every order by price WITHOUT a single-partition
+    window (operators/skew.ranked_two_phase): range repartition ->
+    parallel partition-local windows -> broadcast offset join. The only
+    global-rank shape that survives 100 TB; equality with the direct
+    window is what the oracle checks."""
+    from vivace_graph_v3_spark.operators.skew import ranked_two_phase
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = o.select(F.col("o_orderkey").cast("long").alias("orderkey"),
+                 F.round(F.col("o_totalprice") * 100).cast("long")
+                 .alias("cents"))
+    return ranked_two_phase(o, ["cents", "orderkey"])
+
+
+SQL_ORDERS_GLOBAL_RANK = """
+SELECT CAST(o_orderkey AS BIGINT) AS orderkey,
+       CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+       CAST(row_number() OVER (ORDER BY CAST(round(o_totalprice * 100)
+                                             AS BIGINT), o_orderkey)
+            AS BIGINT) AS rank
+FROM orders
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10584,6 +10609,7 @@ REGISTRY: dict[str, tuple] = {
                              SQL_DELETE_CASCADE_AUDIT),
     "customer_spend_deciles": (q_customer_spend_deciles,
                                SQL_CUSTOMER_SPEND_DECILES),
+    "orders_global_rank": (q_orders_global_rank, SQL_ORDERS_GLOBAL_RANK),
 }
 
 # Round-6 driver sample order. Three blocks:

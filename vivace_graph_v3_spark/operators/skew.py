@@ -63,6 +63,45 @@ def two_phase_distinct(df: DataFrame, key_cols: list[str],
             .agg(F.count(value_col).alias("n_distinct")))
 
 
+def ranked_two_phase(df: DataFrame, order_cols: list[str], *,
+                     rank_col: str = "rank",
+                     num_partitions: int | None = None) -> DataFrame:
+    """Global dense row-number over ``order_cols`` (which must form a
+    TOTAL order — include a unique tiebreak) WITHOUT the single-partition
+    window funnel: the classic two-phase global sort rank.
+
+    Phase 1: ``repartitionByRange(order_cols)`` — Spark's range
+    partitioner samples boundaries, so partition i holds strictly
+    smaller keys than partition i+1 and every partition ranks in
+    PARALLEL with a partition-local window.
+    Phase 2: per-partition row counts (|partitions| rows) cumsum into
+    start offsets, broadcast-joined back: ``rank = offset + local``.
+
+    At 100 TB this is the only viable global-rank shape — the direct
+    ``Window.orderBy`` moves the entire frame through one task. Equality
+    with the direct window is property-tested; the plan carries no
+    SinglePartition exchange on the data path (gated in test_plans)."""
+    if num_partitions:
+        parts = df.repartitionByRange(num_partitions, *order_cols)
+    else:
+        parts = df.repartitionByRange(*order_cols)
+    from pyspark.sql import Window
+    parts = parts.withColumn("__pid", F.spark_partition_id())
+    w = Window.partitionBy("__pid").orderBy(*order_cols)
+    local = parts.withColumn("__lrank", F.row_number().over(w))
+    counts = local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__n"))
+    # offsets frame is |partitions| rows — the one tiny global window
+    wo = (Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__n").over(wo), F.lit(0)))
+    return (local.join(F.broadcast(offsets.select("__pid", "__off")),
+                       "__pid")
+            .withColumn(rank_col, (F.col("__off") + F.col("__lrank"))
+                        .cast("long"))
+            .drop("__pid", "__lrank", "__off"))
+
+
 def key_skew_profile(df: DataFrame, key_col: str) -> DataFrame:
     """Join-key skew diagnosis — the numbers you need BEFORE deciding
     between a plain shuffle join, a broadcast, salting, or an AQE skew
