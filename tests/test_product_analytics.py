@@ -346,3 +346,56 @@ def test_interpurchase_gaps_value_grid(spark):
     # p90 = 10, max = 10
     assert (r.segment, r.n_gaps) == ("SEG_A", 3)
     assert (r.median_gap_days, r.p90_gap_days, r.max_gap_days) == (3, 10, 10)
+
+
+def test_ab_experiment_report_counts_and_z(spark):
+    import hashlib
+    import math
+
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        ab_experiment_report)
+
+    def arm(u):
+        h = hashlib.md5(str(u).encode()).hexdigest()[:16]
+        v = int(h, 16)
+        v = v - (1 << 64) if v >= (1 << 63) else v
+        return v % 2
+
+    rows = []
+    eid = 0
+    # 40 users view; user u purchases u%4 times (converter iff >= 2)
+    for u in range(40):
+        rows.append((eid, u, "view")); eid += 1
+        for _ in range(u % 4):
+            rows.append((eid, u, "purchase")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type"])
+    out = {r["arm"]: r for r in ab_experiment_report(
+        df, min_conversions=2).collect()}
+    want = {0: {"n": 0, "c": 0}, 1: {"n": 0, "c": 0}}
+    for u in range(40):
+        a = arm(u)
+        want[a]["n"] += 1
+        want[a]["c"] += 1 if (u % 4) >= 2 else 0
+    for a in (0, 1):
+        assert out[a]["n_users"] == want[a]["n"]
+        assert out[a]["n_converters"] == want[a]["c"]
+        assert out[a]["conv_ppm"] == want[a]["c"] * 1_000_000 // want[a]["n"]
+    n0, c0 = want[0]["n"], want[0]["c"]
+    n1, c1 = want[1]["n"], want[1]["c"]
+    pp = (c0 + c1) / (n0 + n1)
+    zz = (c1 / n1 - c0 / n0) / math.sqrt(
+        pp * (1 - pp) * (1 / n0 + 1 / n1))
+    assert out[0]["z"] == out[1]["z"] == round(zz, 6)
+
+
+def test_ab_experiment_degenerate_all_convert_z_zero(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        ab_experiment_report)
+    rows = []
+    eid = 0
+    for u in range(10):
+        rows.append((eid, u, "view")); eid += 1
+        rows.append((eid, u, "purchase")); eid += 1
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type"])
+    out = ab_experiment_report(df).collect()
+    assert all(r["z"] == 0.0 for r in out)  # pp=1 -> guarded, not 0/0

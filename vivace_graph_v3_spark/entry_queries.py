@@ -10154,6 +10154,65 @@ FROM orders
 """
 
 
+_AB_HASH64 = ("((('0x' || substr(md5(CAST(e.u AS VARCHAR)),1,8))::BIGINT"
+              " - CASE WHEN ('0x' || substr(md5(CAST(e.u AS VARCHAR)),1,8))"
+              "::BIGINT >= 2147483648 THEN 4294967296 ELSE 0 END)"
+              " * 4294967296"
+              " + ('0x' || substr(md5(CAST(e.u AS VARCHAR)),9,8))::BIGINT)")
+
+
+def q_ab_experiment(spark, sf_dir):
+    """Two-arm A/B report over events
+    (operators/product_analytics.ab_experiment_report): exposed users
+    ('view') hash-assigned to arms, converters ('purchase') counted per
+    arm, exact conv_ppm + pooled two-proportion z."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        ab_experiment_report)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ab_experiment_report(ev, min_conversions=14)
+
+
+SQL_AB_EXPERIMENT = f"""
+WITH exposed AS (
+  SELECT DISTINCT user_id AS u FROM events WHERE event_type = 'view'
+), conv AS (
+  SELECT user_id AS u FROM events WHERE event_type = 'purchase'
+  GROUP BY 1 HAVING count(*) >= 14
+), assigned AS (
+  SELECT ((({_AB_HASH64}) % 2) + 2) % 2 AS arm,
+         CASE WHEN c.u IS NOT NULL THEN 1 ELSE 0 END AS cv
+  FROM exposed e LEFT JOIN conv c ON e.u = c.u
+), per AS (
+  SELECT arm, CAST(count(*) AS BIGINT) AS n_users,
+         CAST(sum(cv) AS BIGINT) AS n_converters
+  FROM assigned GROUP BY 1
+), zf AS (
+  SELECT round(CASE WHEN
+      sqrt((CAST(a.n_converters + b.n_converters AS DOUBLE)
+            / CAST(a.n_users + b.n_users AS DOUBLE))
+           * (1.0 - CAST(a.n_converters + b.n_converters AS DOUBLE)
+              / CAST(a.n_users + b.n_users AS DOUBLE))
+           * (1.0 / CAST(a.n_users AS DOUBLE)
+              + 1.0 / CAST(b.n_users AS DOUBLE))) > 0
+    THEN
+      (CAST(b.n_converters AS DOUBLE) / CAST(b.n_users AS DOUBLE)
+       - CAST(a.n_converters AS DOUBLE) / CAST(a.n_users AS DOUBLE))
+      / sqrt((CAST(a.n_converters + b.n_converters AS DOUBLE)
+              / CAST(a.n_users + b.n_users AS DOUBLE))
+             * (1.0 - CAST(a.n_converters + b.n_converters AS DOUBLE)
+                / CAST(a.n_users + b.n_users AS DOUBLE))
+             * (1.0 / CAST(a.n_users AS DOUBLE)
+                + 1.0 / CAST(b.n_users AS DOUBLE)))
+    ELSE 0.0 END, 6) AS z
+  FROM per a JOIN per b ON a.arm = 0 AND b.arm = 1
+)
+SELECT CAST(arm AS BIGINT) AS arm, n_users, n_converters,
+       n_converters * 1000000 // n_users AS conv_ppm, z
+FROM per CROSS JOIN zf
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10610,6 +10669,7 @@ REGISTRY: dict[str, tuple] = {
     "customer_spend_deciles": (q_customer_spend_deciles,
                                SQL_CUSTOMER_SPEND_DECILES),
     "orders_global_rank": (q_orders_global_rank, SQL_ORDERS_GLOBAL_RANK),
+    "ab_experiment": (q_ab_experiment, SQL_AB_EXPERIMENT),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -706,3 +706,58 @@ def rolling_distinct_users(events: DataFrame, *, ts_col: str = "ts",
             .agg(F.count_distinct("u").alias("n_users"))
             .select(F.col("cover_d").cast("long").alias("epoch_day"),
                     F.col("n_users").cast("long").alias("n_users")))
+
+
+def ab_experiment_report(events: DataFrame, *, user_col: str = "user_id",
+                         type_col: str = "event_type",
+                         exposure_type: str = "view",
+                         convert_type: str = "purchase",
+                         min_conversions: int = 1) -> DataFrame:
+    """Deterministic two-arm A/B experiment report: every EXPOSED user
+    is assigned an arm by content-keyed hash (the dataset_split
+    convention — assignment survives re-runs, engine changes, and data
+    top-ups, which RNG assignment cannot), converters are exposed users
+    with at least ``min_conversions`` conversion events. Per arm: n_users, n_converters,
+    exact integer conv_ppm; both rows carry the pooled two-proportion
+    z statistic (arm 1 minus arm 0) as a pinned double chain over the
+    exact counts.
+
+    Scale shape: two distinct-user aggregates + one user-keyed left
+    join; the per-arm frame is 2 rows; no windows."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    exposed = (events.filter(F.col(type_col) == exposure_type)
+               .select(F.col(user_col).alias("u")).dropDuplicates())
+    conv = (events.filter(F.col(type_col) == convert_type)
+            .groupBy(F.col(user_col).alias("u"))
+            .agg(F.count(F.lit(1)).alias("__n"))
+            .filter(F.col("__n") >= min_conversions)
+            .select("u", F.lit(1).alias("cv")))
+    assigned = (exposed.join(conv, "u", "left")
+                .select(F.pmod(md5_hash64(F.col("u").cast("string")),
+                               F.lit(2)).alias("arm"),
+                        F.coalesce(F.col("cv"), F.lit(0)).alias("cv")))
+    per = (assigned.groupBy("arm")
+           .agg(F.count(F.lit(1)).alias("n_users"),
+                F.sum("cv").alias("n_converters")))
+    a = per.filter(F.col("arm") == 0).select(
+        F.col("n_users").alias("n0"), F.col("n_converters").alias("c0"))
+    b = per.filter(F.col("arm") == 1).select(
+        F.col("n_users").alias("n1"), F.col("n_converters").alias("c1"))
+    nd0 = F.col("n0").cast("double")
+    nd1 = F.col("n1").cast("double")
+    p0 = F.col("c0").cast("double") / nd0
+    p1 = F.col("c1").cast("double") / nd1
+    pp = ((F.col("c0") + F.col("c1")).cast("double")
+          / (F.col("n0") + F.col("n1")).cast("double"))
+    den = F.sqrt(pp * (F.lit(1.0) - pp)
+                 * (F.lit(1.0) / nd0 + F.lit(1.0) / nd1))
+    z = (a.crossJoin(b)
+         .select(F.when(den > 0, (p1 - p0) / den).otherwise(F.lit(0.0))
+                 .alias("z")))
+    return (per.crossJoin(F.broadcast(z))
+            .select(F.col("arm").cast("long").alias("arm"),
+                    "n_users", "n_converters",
+                    F.expr("n_converters * 1000000 div n_users")
+                    .alias("conv_ppm"),
+                    F.round("z", 6).alias("z")))
