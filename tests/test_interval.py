@@ -87,3 +87,43 @@ def test_interval_concurrency_closed_endpoints(spark):
            interval_concurrency(df, start_col="s", end_col="e").collect()}
     assert out[5] == 2
     assert out[6] == 1
+
+
+def test_allen_relation_census_all_13(spark):
+    from vivace_graph_v3_spark.operators.interval import (
+        allen_relation_census)
+    # one pair per relation, all in distinct groups; (a, b) with a < b
+    rows = [
+        ("g1", 1, 0, 2), ("g1", 2, 5, 8),       # before (a ends first)
+        ("g2", 1, 5, 8), ("g2", 2, 0, 2),       # after
+        ("g3", 1, 0, 3), ("g3", 2, 3, 6),       # meets
+        ("g4", 1, 3, 6), ("g4", 2, 0, 3),       # met_by
+        ("g5", 1, 0, 4), ("g5", 2, 2, 7),       # overlaps
+        ("g6", 1, 2, 7), ("g6", 2, 0, 4),       # overlapped_by
+        ("g7", 1, 0, 3), ("g7", 2, 0, 6),       # starts
+        ("g8", 1, 0, 6), ("g8", 2, 0, 3),       # started_by
+        ("g9", 1, 3, 6), ("g9", 2, 0, 6),       # finishes
+        ("gA", 1, 0, 6), ("gA", 2, 3, 6),       # finished_by
+        ("gB", 1, 2, 4), ("gB", 2, 0, 6),       # during
+        ("gC", 1, 0, 6), ("gC", 2, 2, 4),       # contains
+        ("gD", 1, 1, 5), ("gD", 2, 1, 5),       # equals
+    ]
+    df = spark.createDataFrame(rows, ["g", "i", "s", "e"])
+    out = {r["relation"]: r["n_pairs"]
+           for r in allen_relation_census(df, group_col="g", id_col="i",
+                                          start_col="s",
+                                          end_col="e").collect()}
+    assert out == {k: 1 for k in (
+        "before", "after", "meets", "met_by", "overlaps", "overlapped_by",
+        "starts", "started_by", "finishes", "finished_by", "during",
+        "contains", "equals")}
+
+
+def test_allen_census_group_scoped(spark):
+    from vivace_graph_v3_spark.operators.interval import (
+        allen_relation_census)
+    # same intervals in DIFFERENT groups -> no pairs at all
+    rows = [("g1", 1, 0, 2), ("g2", 2, 0, 2)]
+    df = spark.createDataFrame(rows, ["g", "i", "s", "e"])
+    assert allen_relation_census(df, group_col="g", id_col="i",
+                                 start_col="s", end_col="e").count() == 0

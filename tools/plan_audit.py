@@ -96,7 +96,7 @@ AUDITED = [
     "kruskal_quantity", "spearman_rho", "source_jsd", "dedup_cross_source",
     "result_cache_hit", "doremi_mix_weights", "embedding_covariance",
     "graph_cc_incremental", "delete_cascade_audit", "customer_spend_deciles",
-    "orders_global_rank", "ab_experiment",
+    "orders_global_rank", "ab_experiment", "allen_census",
     "matview_rollup_answer",
 ]
 

@@ -10213,6 +10213,56 @@ FROM per CROSS JOIN zf
 """
 
 
+def q_allen_census(spark, sf_dir):
+    """Allen interval-algebra census over intra-order shipment windows
+    (operators/interval.allen_relation_census): [shipdate,
+    shipdate + quantity days] per lineitem, every ordered pair within an order classified into
+    the 13 basic relations, counted globally — group-scoped pair join
+    (<= 21 pairs per order), integer day arithmetic."""
+    from vivace_graph_v3_spark.operators.interval import (
+        allen_relation_census)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    s = F.datediff(F.col("l_shipdate"), F.lit("1992-01-01")).cast("long")
+    iv = li.select("l_orderkey", "l_linenumber", s.alias("s"),
+                   (s + F.col("l_quantity").cast("long")).alias("e"))
+    return allen_relation_census(iv, group_col="l_orderkey",
+                                 id_col="l_linenumber",
+                                 start_col="s", end_col="e")
+
+
+SQL_ALLEN_CENSUS = """
+WITH iv AS (
+  SELECT l_orderkey AS g, l_linenumber AS i,
+         CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+           AS s,
+         CAST(date_diff('day', DATE '1992-01-01', l_shipdate) AS BIGINT)
+           + CAST(l_quantity AS BIGINT) AS e
+  FROM lineitem
+), p AS (
+  SELECT a.s AS sa, a.e AS ea, b.s AS sb, b.e AS eb
+  FROM iv a JOIN iv b ON a.g = b.g AND a.i < b.i
+)
+SELECT CASE
+         WHEN sa = sb AND ea = eb THEN 'equals'
+         WHEN ea < sb THEN 'before'
+         WHEN eb < sa THEN 'after'
+         WHEN ea = sb THEN 'meets'
+         WHEN eb = sa THEN 'met_by'
+         WHEN sa = sb AND ea < eb THEN 'starts'
+         WHEN sa = sb AND ea > eb THEN 'started_by'
+         WHEN ea = eb AND sa > sb THEN 'finishes'
+         WHEN ea = eb AND sa < sb THEN 'finished_by'
+         WHEN sa > sb AND ea < eb THEN 'during'
+         WHEN sa < sb AND ea > eb THEN 'contains'
+         WHEN sa < sb THEN 'overlaps'
+         ELSE 'overlapped_by'
+       END AS relation,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM p GROUP BY 1
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10670,6 +10720,7 @@ REGISTRY: dict[str, tuple] = {
                                SQL_CUSTOMER_SPEND_DECILES),
     "orders_global_rank": (q_orders_global_rank, SQL_ORDERS_GLOBAL_RANK),
     "ab_experiment": (q_ab_experiment, SQL_AB_EXPERIMENT),
+    "allen_census": (q_allen_census, SQL_ALLEN_CENSUS),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -89,3 +89,47 @@ def interval_concurrency(intervals: DataFrame, *, start_col: str,
     return (deltas.withColumn("depth", F.sum("delta").over(w))
             .select("t", F.col("delta").cast("long").alias("delta"),
                     F.col("depth").cast("long").alias("depth")))
+
+
+def allen_relation_census(intervals: DataFrame, *, group_col: str,
+                          id_col: str, start_col: str,
+                          end_col: str) -> DataFrame:
+    """Census of Allen's interval algebra (Allen 1983) over every
+    ordered pair of intervals SHARING a group key: classifies each pair
+    into one of the 13 basic relations (before / meets / overlaps /
+    starts / during / finishes / equals + inverses collapse onto the
+    ordered pair id_a < id_b) and counts globally per relation — the
+    temporal-integrity profile of any interval table (do shipments
+    overlap? abut? nest?).
+
+    The pair join is group-scoped (an order has <= 7 lineitems, so
+    <= 21 pairs per group — never corpus x corpus); classification is a
+    pure expression ladder; the census is one map-side-combined
+    aggregate to <= 13 rows. Integer day arithmetic only."""
+    base = intervals.select(F.col(group_col).alias("g"),
+                            F.col(id_col).alias("i"),
+                            F.col(start_col).alias("s"),
+                            F.col(end_col).alias("e"))
+    a = base.select("g", F.col("i").alias("ia"), F.col("s").alias("sa"),
+                    F.col("e").alias("ea"))
+    b = base.select("g", F.col("i").alias("ib"), F.col("s").alias("sb"),
+                    F.col("e").alias("eb"))
+    p = a.join(b, "g").filter(F.col("ia") < F.col("ib"))
+    sa, ea, sb, eb = (F.col("sa"), F.col("ea"), F.col("sb"), F.col("eb"))
+    rel = (
+        F.when((sa == sb) & (ea == eb), "equals")
+        .when(ea < sb, "before")
+        .when(eb < sa, "after")
+        .when(ea == sb, "meets")
+        .when(eb == sa, "met_by")
+        .when((sa == sb) & (ea < eb), "starts")
+        .when((sa == sb) & (ea > eb), "started_by")
+        .when((ea == eb) & (sa > sb), "finishes")
+        .when((ea == eb) & (sa < sb), "finished_by")
+        .when((sa > sb) & (ea < eb), "during")
+        .when((sa < sb) & (ea > eb), "contains")
+        .when(sa < sb, "overlaps")
+        .otherwise("overlapped_by"))
+    return (p.select(rel.alias("relation"))
+            .groupBy("relation")
+            .agg(F.count(F.lit(1)).alias("n_pairs")))
