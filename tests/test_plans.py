@@ -394,3 +394,44 @@ def test_round7_inference_plan_shapes(spark):
     df.collect()
     f = plan_facts(df)
     assert f.take_ordered and not f.row_udf
+
+
+def test_round7b_operator_plan_shapes(spark):
+    """CI gates on the late round-7 batch:
+    - graph_cc_incremental: the relabel map joins BROADCAST (the label
+      table is never shuffled for the repair)
+    - delete_cascade_audit: every cascade hop joins broadcast, no
+      sort-merge join of fact tables
+    - ab_experiment: two aggregates + one user join, no row-UDF
+    - allen_census: the pair join is a group-keyed equi-join (never a
+      cartesian product); census is one partial aggregate
+    """
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    qs = eq.queries()
+    sf = SF_DIR
+
+    df = qs["graph_cc_incremental"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert f.broadcast_joins >= 1 and not f.row_udf
+
+    df = qs["delete_cascade_audit"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    # at sf0.001 the seed can be empty and AQE eliminates the joins
+    # entirely (empty-relation propagation) — gate only the negatives
+    assert f.sort_merge_joins == 0 and f.cartesian_products == 0
+    assert not f.row_udf
+
+    df = qs["ab_experiment"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert not f.row_udf and f.cartesian_products == 0
+    assert f.partial_aggregates >= 1
+
+    df = qs["allen_census"](spark, sf)
+    df.collect()
+    f = plan_facts(df)
+    assert f.cartesian_products == 0 and not f.row_udf
+    assert f.partial_aggregates >= 1
