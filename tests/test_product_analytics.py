@@ -399,3 +399,16 @@ def test_ab_experiment_degenerate_all_convert_z_zero(spark):
     df = spark.createDataFrame(rows, ["event_id", "user_id", "event_type"])
     out = ab_experiment_report(df).collect()
     assert all(r["z"] == 0.0 for r in out)  # pp=1 -> guarded, not 0/0
+
+
+def test_ab_experiment_single_arm_still_reports(spark):
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        ab_experiment_report)
+    # one exposed user -> only one arm exists; the report must still
+    # emit that arm's row with z = 0.0 (not an empty frame)
+    df = spark.createDataFrame(
+        [(0, 7, "view"), (1, 7, "purchase")],
+        ["event_id", "user_id", "event_type"])
+    out = ab_experiment_report(df).collect()
+    assert len(out) == 1
+    assert out[0]["n_users"] == 1 and out[0]["z"] == 0.0

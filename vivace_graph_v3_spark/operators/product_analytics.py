@@ -740,10 +740,13 @@ def ab_experiment_report(events: DataFrame, *, user_col: str = "user_id",
     per = (assigned.groupBy("arm")
            .agg(F.count(F.lit(1)).alias("n_users"),
                 F.sum("cv").alias("n_converters")))
-    a = per.filter(F.col("arm") == 0).select(
-        F.col("n_users").alias("n0"), F.col("n_converters").alias("c0"))
-    b = per.filter(F.col("arm") == 1).select(
-        F.col("n_users").alias("n1"), F.col("n_converters").alias("c1"))
+    # conditional aggregation (not filter+crossJoin): a missing arm
+    # leaves n0/n1 NULL instead of emptying the report
+    zrow = per.agg(
+        F.sum(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.sum(F.when(F.col("arm") == 0, F.col("n_converters"))).alias("c0"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+        F.sum(F.when(F.col("arm") == 1, F.col("n_converters"))).alias("c1"))
     nd0 = F.col("n0").cast("double")
     nd1 = F.col("n1").cast("double")
     p0 = F.col("c0").cast("double") / nd0
@@ -752,9 +755,10 @@ def ab_experiment_report(events: DataFrame, *, user_col: str = "user_id",
           / (F.col("n0") + F.col("n1")).cast("double"))
     den = F.sqrt(pp * (F.lit(1.0) - pp)
                  * (F.lit(1.0) / nd0 + F.lit(1.0) / nd1))
-    z = (a.crossJoin(b)
-         .select(F.when(den > 0, (p1 - p0) / den).otherwise(F.lit(0.0))
-                 .alias("z")))
+    z = zrow.select(
+        F.when(F.col("n0").isNull() | F.col("n1").isNull(), F.lit(0.0))
+        .when(den > 0, (p1 - p0) / den).otherwise(F.lit(0.0))
+        .alias("z"))
     return (per.crossJoin(F.broadcast(z))
             .select(F.col("arm").cast("long").alias("arm"),
                     "n_users", "n_converters",
