@@ -112,3 +112,32 @@ class TestInterleaveAudit:
         # one run per shard that received any rows
         assert r["n_docs"] == 20
         assert r["n_runs"] <= 2
+
+
+class TestQuantileNormalize:
+    def test_equal_groups_identical_distributions(self, spark):
+        from vivace_graph_v3_spark.pipeline.text import quantile_normalize
+        rows = [(i, "a", v) for i, v in enumerate([10, 20, 30, 40])] + \
+               [(10 + i, "b", v) for i, v in enumerate([100, 200, 300, 400])]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "len"])
+        out = quantile_normalize(df, group_col="source", value_col="len",
+                                 id_col="doc_id").collect()
+        by_g = {}
+        for r in out:
+            by_g.setdefault(r["source"], []).append(r["norm"])
+        # post-normalization distributions are identical across groups
+        assert sorted(by_g["a"]) == sorted(by_g["b"])
+        # reference at rank 1 = mean(10, 100)
+        r1 = [r for r in out if r["rank"] == 1]
+        assert all(r["norm"] == 55.0 for r in r1)
+
+    def test_unequal_groups_truncated_reference(self, spark):
+        from vivace_graph_v3_spark.pipeline.text import quantile_normalize
+        rows = [(1, "a", 10), (2, "a", 20), (3, "b", 30)]
+        df = spark.createDataFrame(rows, ["doc_id", "source", "len"])
+        out = {r["doc_id"]: r["norm"]
+               for r in quantile_normalize(df, group_col="source",
+                                           value_col="len",
+                                           id_col="doc_id").collect()}
+        assert out[1] == 20.0 and out[3] == 20.0   # rank 1: mean(10, 30)
+        assert out[2] == 20.0                      # rank 2: only group a

@@ -10263,6 +10263,35 @@ FROM p GROUP BY 1
 """
 
 
+def q_quantile_normalize(spark, sf_dir):
+    """Quantile normalization of doc lengths across sources
+    (pipeline/text.quantile_normalize): per-source rank windows, exact
+    rank-grid reference (BIGINT sum / count), broadcast map-back —
+    after normalization every source has an identical length
+    distribution."""
+    from vivace_graph_v3_spark.pipeline.text import quantile_normalize
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = d.select("doc_id", "source", F.length("text").alias("len"))
+    return quantile_normalize(d)
+
+
+SQL_QUANTILE_NORMALIZE = """
+WITH ranked AS (
+  SELECT doc_id, source, CAST(length(text) AS BIGINT) AS len,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY length(text), doc_id)
+              AS BIGINT) AS rank
+  FROM documents
+), ref AS (
+  SELECT rank, CAST(sum(len) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS norm
+  FROM ranked GROUP BY 1
+)
+SELECT doc_id, source, len, rank, norm
+FROM ranked JOIN ref USING (rank)
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10721,6 +10750,8 @@ REGISTRY: dict[str, tuple] = {
     "orders_global_rank": (q_orders_global_rank, SQL_ORDERS_GLOBAL_RANK),
     "ab_experiment": (q_ab_experiment, SQL_AB_EXPERIMENT),
     "allen_census": (q_allen_census, SQL_ALLEN_CENSUS),
+    "quantile_normalize_lengths": (q_quantile_normalize,
+                                   SQL_QUANTILE_NORMALIZE),
 }
 
 # Round-6 driver sample order. Three blocks:

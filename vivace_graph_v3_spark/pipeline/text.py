@@ -426,6 +426,37 @@ def doremi_mix_weights(df: DataFrame, *, text_col: str = "text",
                     .alias("weight_ppm")))
 
 
+def quantile_normalize(df: DataFrame, *, group_col: str = "source",
+                       value_col: str = "len",
+                       id_col: str = "doc_id") -> DataFrame:
+    """Quantile normalization (Bolstad et al. 2003 — the microarray /
+    batch-effect workhorse) of an integer metric across groups: rank
+    within each group (ties broken by id for a total order), then map
+    every rank to the MEAN of the values holding that rank across
+    groups — after which every group has an identical distribution.
+    With unequal group sizes a rank beyond a group's end simply
+    averages over the groups that reach it (the standard
+    truncated-reference generalization).
+
+    Exactness: the reference is sum(value)/count at each rank — exact
+    BIGINT sum, one pinned double division. Scale shape: one
+    group-partitioned rank window (parallel across groups), a
+    rank-grid-bounded reference frame (max group size rows), one
+    broadcast-able join back."""
+    w = Window.partitionBy(group_col).orderBy(value_col, id_col)
+    ranked = df.select(id_col, group_col,
+                       F.col(value_col).cast("long").alias(value_col)) \
+        .withColumn("__r", F.row_number().over(w))
+    ref = (ranked.groupBy("__r")
+           .agg(F.count(F.lit(1)).alias("k"),
+                F.sum(value_col).alias("s")))
+    ref = ref.select("__r", (F.col("s").cast("double")
+                             / F.col("k").cast("double")).alias("norm"))
+    return (ranked.join(F.broadcast(ref), "__r")
+            .select(id_col, group_col, value_col,
+                    F.col("__r").cast("long").alias("rank"), "norm"))
+
+
 def training_mix(df: DataFrame, weights: dict[str, float], *,
                  source_col: str = "source",
                  key_col: str = "doc_id",
