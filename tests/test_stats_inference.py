@@ -7,7 +7,8 @@ import math
 
 from vivace_graph_v3_spark.operators.stats_inference import (
     anova_oneway, kaplan_meier, kendall_tau_b, kruskal_wallis,
-    mann_whitney_u, spearman_rho, weighted_ticket_sample)
+    mann_whitney_u, spearman_rho, weighted_ticket_sample,
+    wilcoxon_signed_rank)
 
 
 class TestKaplanMeier:
@@ -252,3 +253,41 @@ class TestSpearmanRho:
         mean = (150 + 1) / 2.0
         want_sxx = round(4 * sum((rk[x] - mean) ** 2 for x, _ in data))
         assert r["s_xx"] == want_sxx
+
+
+def _wilcoxon_brute(pairs):
+    """Pure-Python signed-rank with midranks + tie correction."""
+    from collections import Counter
+    ds = [x - y for x, y in pairs if x != y]
+    n = len(ds)
+    cnt = Counter(abs(d) for d in ds)
+    ranks, cum = {}, 0
+    for a in sorted(cnt):
+        ranks[a] = cum + (cnt[a] + 1) / 2.0
+        cum += cnt[a]
+    wplus = sum(ranks[abs(d)] for d in ds if d > 0)
+    ties = sum(c ** 3 - c for c in cnt.values())
+    var = n * (n + 1) * (2 * n + 1) / 24.0 - ties / 48.0
+    z = (wplus - n * (n + 1) / 4.0) / math.sqrt(var)
+    return n, round(2 * wplus), z
+
+
+class TestWilcoxonSignedRank:
+    def test_vs_bruteforce_with_ties_and_zeros(self, spark):
+        import random
+        rnd = random.Random(17)
+        pairs = [(rnd.randint(0, 8), rnd.randint(0, 8))
+                 for _ in range(100)]
+        df = spark.createDataFrame(pairs, ["x", "y"])
+        r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+        n, w2, z = _wilcoxon_brute(pairs)
+        assert (r["n"], r["w2_plus"]) == (n, w2)
+        assert math.isclose(r["z"], z, rel_tol=1e-9)
+
+    def test_symmetric_pairs_z_zero(self, spark):
+        # d and -d equally present -> W+ at its mean -> z = 0
+        pairs = [(5, 1), (1, 5), (7, 2), (2, 7)]
+        df = spark.createDataFrame(pairs, ["x", "y"])
+        r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
+        assert r["n"] == 4
+        assert math.isclose(r["z"], 0.0, abs_tol=1e-12)

@@ -10292,6 +10292,69 @@ FROM ranked JOIN ref USING (rank)
 """
 
 
+def q_wilcoxon_order_growth(spark, sf_dir):
+    """Wilcoxon signed-rank of first-vs-second order value per customer
+    (operators/stats_inference.wilcoxon_signed_rank): paired cents,
+    zero diffs drop, doubled midranks on the distinct-|d| grid,
+    tie-corrected normal z — 'do repeat orders grow?'."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        wilcoxon_signed_rank)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    r = (o.withColumn("__rn", F.row_number().over(w))
+         .filter(F.col("__rn") <= 2)
+         .groupBy("o_custkey")
+         .agg(F.max(F.when(F.col("__rn") == 1,
+                           F.round(F.col("o_totalprice") * 100)
+                           .cast("long"))).alias("first_cents"),
+              F.max(F.when(F.col("__rn") == 2,
+                           F.round(F.col("o_totalprice") * 100)
+                           .cast("long"))).alias("second_cents"))
+         .filter(F.col("second_cents").isNotNull()))
+    return wilcoxon_signed_rank(r, "second_cents", "first_cents")
+
+
+SQL_WILCOXON_ORDER_GROWTH = """
+WITH r AS (
+  SELECT o_custkey, o_totalprice,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY o_orderdate, o_orderkey) AS rn
+  FROM orders
+), pair AS (
+  SELECT o_custkey,
+         max(CASE WHEN rn = 1 THEN CAST(round(o_totalprice * 100)
+                                        AS BIGINT) END) AS fc,
+         max(CASE WHEN rn = 2 THEN CAST(round(o_totalprice * 100)
+                                        AS BIGINT) END) AS sc
+  FROM r WHERE rn <= 2 GROUP BY 1
+  HAVING max(CASE WHEN rn = 2 THEN 1 END) IS NOT NULL
+), d AS (
+  SELECT sc - fc AS d FROM pair WHERE sc - fc <> 0
+), grid AS (
+  SELECT abs(d) AS a, CAST(count(*) AS BIGINT) AS c,
+         CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS cpos
+  FROM d GROUP BY 1
+), rk AS (
+  SELECT a, c, cpos,
+         2 * (sum(c) OVER (ORDER BY a ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND CURRENT ROW) - c) + c + 1 AS r2
+  FROM grid
+), agg AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n,
+         CAST(sum(cpos * r2) AS BIGINT) AS w2_plus,
+         CAST(sum(c * (c - 1) * (c + 1)) AS BIGINT) AS ties
+  FROM rk
+)
+SELECT n, w2_plus,
+       CAST(w2_plus - n * (n + 1) // 2 AS DOUBLE)
+         / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)
+                * (2.0 * CAST(n AS DOUBLE) + 1.0) / 6.0
+                - CAST(ties AS DOUBLE) / 12.0) AS z
+FROM agg
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10752,6 +10815,8 @@ REGISTRY: dict[str, tuple] = {
     "allen_census": (q_allen_census, SQL_ALLEN_CENSUS),
     "quantile_normalize_lengths": (q_quantile_normalize,
                                    SQL_QUANTILE_NORMALIZE),
+    "wilcoxon_order_growth": (q_wilcoxon_order_growth,
+                              SQL_WILCOXON_ORDER_GROWTH),
 }
 
 # Round-6 driver sample order. Three blocks:
