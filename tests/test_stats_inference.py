@@ -5,6 +5,8 @@ deterministic ticket-lottery weighted sampler."""
 import hashlib
 import math
 
+import pytest
+
 from vivace_graph_v3_spark.operators.stats_inference import (
     anova_oneway, kaplan_meier, kendall_tau_b, kruskal_wallis,
     mann_whitney_u, spearman_rho, weighted_ticket_sample,
@@ -291,3 +293,33 @@ class TestWilcoxonSignedRank:
         r = wilcoxon_signed_rank(df, "x", "y").collect()[0]
         assert r["n"] == 4
         assert math.isclose(r["z"], 0.0, abs_tol=1e-12)
+
+
+class TestIpfRaking:
+    def test_marginals_converge_to_uniform(self, spark):
+        from vivace_graph_v3_spark.operators.stats_inference import (
+            ipf_raking)
+        rows = ([("s1", "en")] * 8 + [("s1", "fr")] * 2
+                + [("s2", "en")] * 3 + [("s2", "fr")] * 7)
+        df = spark.createDataFrame(rows, ["src", "lng"])
+        out = ipf_raking(df, "src", "lng", iterations=8).collect()
+        total = sum(r["weight"] for r in out)
+        by_r, by_c = {}, {}
+        for r in out:
+            by_r[r["src"]] = by_r.get(r["src"], 0) + r["weight"]
+            by_c[r["lng"]] = by_c.get(r["lng"], 0) + r["weight"]
+        assert total == pytest.approx(20.0, abs=1e-3)
+        for v in by_r.values():
+            assert v == pytest.approx(10.0, abs=1e-2)
+        for v in by_c.values():
+            assert v == pytest.approx(10.0, abs=1e-2)
+        # mass is preserved per cell direction: all weights positive
+        assert all(r["weight"] > 0 for r in out)
+
+    def test_already_uniform_is_fixpoint(self, spark):
+        from vivace_graph_v3_spark.operators.stats_inference import (
+            ipf_raking)
+        rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+        df = spark.createDataFrame(rows, ["src", "lng"])
+        out = ipf_raking(df, "src", "lng", iterations=3).collect()
+        assert all(r["weight"] == 1.0 for r in out)

@@ -97,7 +97,7 @@ AUDITED = [
     "result_cache_hit", "doremi_mix_weights", "embedding_covariance",
     "graph_cc_incremental", "delete_cascade_audit", "customer_spend_deciles",
     "orders_global_rank", "ab_experiment", "allen_census",
-    "quantile_normalize_lengths", "wilcoxon_order_growth",
+    "quantile_normalize_lengths", "wilcoxon_order_growth", "ipf_raking",
     "matview_rollup_answer",
 ]
 

@@ -10355,6 +10355,51 @@ FROM agg
 """
 
 
+def q_ipf_raking(spark, sf_dir):
+    """IPF/raking of the (source, lang) corpus grid toward uniform
+    marginals (operators/stats_inference.ipf_raking): 2 full scaling
+    rounds, 6-dp rounded engine-replayable weights."""
+    from vivace_graph_v3_spark.operators.stats_inference import ipf_raking
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ipf_raking(d, "source", "lang", iterations=2)
+
+
+SQL_IPF_RAKING = """
+WITH grid AS (
+  SELECT source AS r, lang AS c, CAST(count(*) AS BIGINT) AS n
+  FROM documents GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS NT,
+         CAST(count(DISTINCT r) AS BIGINT) AS KR,
+         CAST(count(DISTINCT c) AS BIGINT) AS KC
+  FROM grid
+), g0 AS (SELECT r, c, n, CAST(n AS DOUBLE) AS w FROM grid),
+s1 AS (SELECT r, sum(CAST(w AS DECIMAL(38,12))) AS S FROM g0 GROUP BY 1),
+g1 AS (
+  SELECT r, c, n, round(w * ((CAST(NT AS DOUBLE) / CAST(KR AS DOUBLE))
+                             / CAST(S AS DOUBLE)), 6) AS w
+  FROM g0 JOIN s1 USING (r) CROSS JOIN tot
+), s2 AS (SELECT c, sum(CAST(w AS DECIMAL(38,12))) AS S FROM g1 GROUP BY 1),
+g2 AS (
+  SELECT r, c, n, round(w * ((CAST(NT AS DOUBLE) / CAST(KC AS DOUBLE))
+                             / CAST(S AS DOUBLE)), 6) AS w
+  FROM g1 JOIN s2 USING (c) CROSS JOIN tot
+), s3 AS (SELECT r, sum(CAST(w AS DECIMAL(38,12))) AS S FROM g2 GROUP BY 1),
+g3 AS (
+  SELECT r, c, n, round(w * ((CAST(NT AS DOUBLE) / CAST(KR AS DOUBLE))
+                             / CAST(S AS DOUBLE)), 6) AS w
+  FROM g2 JOIN s3 USING (r) CROSS JOIN tot
+), s4 AS (SELECT c, sum(CAST(w AS DECIMAL(38,12))) AS S FROM g3 GROUP BY 1),
+g4 AS (
+  SELECT r, c, n, round(w * ((CAST(NT AS DOUBLE) / CAST(KC AS DOUBLE))
+                             / CAST(S AS DOUBLE)), 6) AS w
+  FROM g3 JOIN s4 USING (c) CROSS JOIN tot
+)
+SELECT r AS source, c AS lang, n, w AS weight FROM g4
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10817,6 +10862,7 @@ REGISTRY: dict[str, tuple] = {
                                    SQL_QUANTILE_NORMALIZE),
     "wilcoxon_order_growth": (q_wilcoxon_order_growth,
                               SQL_WILCOXON_ORDER_GROWTH),
+    "ipf_raking": (q_ipf_raking, SQL_IPF_RAKING),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -39,6 +39,7 @@ __all__ = [
     "kruskal_wallis",
     "spearman_rho",
     "wilcoxon_signed_rank",
+    "ipf_raking",
 ]
 
 
@@ -420,6 +421,52 @@ def wilcoxon_signed_rank(df: DataFrame, x_col: str,
         "n", "w2_plus",
         ((F.col("w2_plus") - F.expr("n * (n + 1) div 2")).cast("double")
          / F.sqrt(var2)).alias("z"))
+
+
+def ipf_raking(df: DataFrame, row_col: str, col_col: str, *,
+               iterations: int = 2) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan 1940):
+    rescale the (row, col) contingency grid's cell weights so the
+    weighted marginals converge to UNIFORM target shares over rows and
+    over columns, alternating row- and column-scaling ``iterations``
+    full rounds — the survey-reweighting step a curation pipeline uses
+    to de-bias a corpus toward balanced (source x language) mass
+    without dropping rows.
+
+    Engine-replayable iteration (the classifier_train_logreg
+    convention): weights round to 6 dp after EVERY scaling step, each
+    step's marginal sums accumulate in DECIMAL(38,12)
+    (order-independent), and each update is one pinned double chain
+    ``w * ((N/K) / S)``. Returns (row, col, n, weight).
+
+    Scale shape: ONE corpus aggregate to the grid; every iteration
+    touches only the grid (|rows| x |cols| cells) with broadcast
+    marginal frames."""
+    grid = (df.groupBy(F.col(row_col).alias("r"), F.col(col_col).alias("c"))
+            .agg(F.count(F.lit(1)).alias("n")))
+    tot = grid.agg(F.sum("n").alias("NT"),
+                   F.countDistinct("r").alias("KR"),
+                   F.countDistinct("c").alias("KC"))
+    g = grid.withColumn("w", F.col("n").cast("double"))
+    for _ in range(iterations):
+        for dim, k in (("r", "KR"), ("c", "KC")):
+            sums = (g.groupBy(dim)
+                    .agg(F.sum(F.col("w").cast("decimal(38,12)"))
+                         .alias("S")))
+            g = (g.join(F.broadcast(sums), dim)
+                 .crossJoin(F.broadcast(tot))
+                 .withColumn(
+                     "w",
+                     F.round(F.col("w")
+                             * ((F.col("NT").cast("double")
+                                 / F.col(k).cast("double"))
+                                / F.col("S").cast("double")), 6))
+                 .select("r", "c", "n", "w"))
+        # each step references g twice (marginal sums + join), doubling
+        # the plan; checkpoint per round like every iterative operator
+        g = g.localCheckpoint(eager=True)
+    return g.select(F.col("r").alias(row_col), F.col("c").alias(col_col),
+                    "n", F.col("w").alias("weight"))
 
 
 def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,
