@@ -323,3 +323,31 @@ class TestIpfRaking:
         df = spark.createDataFrame(rows, ["src", "lng"])
         out = ipf_raking(df, "src", "lng", iterations=3).collect()
         assert all(r["weight"] == 1.0 for r in out)
+
+
+class TestMantelHaenszel:
+    def test_vs_hand_computation(self, spark):
+        from vivace_graph_v3_spark.operators.stats_inference import (
+            mantel_haenszel_or)
+        # stratum 1: a=4 b=1 c=2 d=3 (n=10); stratum 2: a=2 b=3 c=1 d=4
+        rows = ([("s1", True, True)] * 4 + [("s1", True, False)]
+                + [("s1", False, True)] * 2 + [("s1", False, False)] * 3
+                + [("s2", True, True)] * 2 + [("s2", True, False)] * 3
+                + [("s2", False, True)] + [("s2", False, False)] * 4)
+        df = spark.createDataFrame(rows, ["st", "e", "o"])
+        out = {r["stratum"]: r for r in mantel_haenszel_or(
+            df, stratum_col="st", exposed_col="e",
+            outcome_col="o").collect()}
+        assert (out["s1"]["a"], out["s1"]["b"],
+                out["s1"]["c"], out["s1"]["d"]) == (4, 1, 2, 3)
+        want = (4 * 3 / 10 + 2 * 4 / 10) / (1 * 2 / 10 + 3 * 1 / 10)
+        assert out["s1"]["or_mh"] == out["s2"]["or_mh"] == round(want, 6)
+
+    def test_zero_denominator_guarded(self, spark):
+        from vivace_graph_v3_spark.operators.stats_inference import (
+            mantel_haenszel_or)
+        rows = [("s1", True, True), ("s1", False, False)]
+        df = spark.createDataFrame(rows, ["st", "e", "o"])
+        out = mantel_haenszel_or(df, stratum_col="st", exposed_col="e",
+                                 outcome_col="o").collect()
+        assert out[0]["or_mh"] == 0.0  # b*c = 0 everywhere -> guarded

@@ -10400,6 +10400,63 @@ SELECT r AS source, c AS lang, n, w AS weight FROM g4
 """
 
 
+def q_mantel_haenszel(spark, sf_dir):
+    """Mantel-Haenszel odds ratio of BUILDING-segment membership vs
+    having an URGENT order, stratified by nation
+    (operators/stats_inference.mantel_haenszel_or) — the
+    confounder-adjusted association across the nation strata."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        mantel_haenszel_or)
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = (o.filter(F.col("o_orderpriority") == "1-URGENT")
+              .select(F.col("o_custkey").alias("c_custkey"))
+              .dropDuplicates().withColumn("out", F.lit(True)))
+    flags = (c.join(urgent, "c_custkey", "left")
+             .select(F.col("c_nationkey").cast("long").alias("nation"),
+                     (F.col("c_mktsegment") == "BUILDING").alias("exp"),
+                     F.coalesce(F.col("out"), F.lit(False)).alias("out")))
+    return mantel_haenszel_or(flags, stratum_col="nation",
+                              exposed_col="exp", outcome_col="out")
+
+
+SQL_MANTEL_HAENSZEL = """
+WITH urgent AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+), flags AS (
+  SELECT CAST(c_nationkey AS BIGINT) AS stratum,
+         c_mktsegment = 'BUILDING' AS e,
+         u.o_custkey IS NOT NULL AS o
+  FROM customer LEFT JOIN urgent u ON c_custkey = u.o_custkey
+), g AS (
+  SELECT stratum,
+         CAST(coalesce(sum(CASE WHEN e AND o THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS a,
+         CAST(coalesce(sum(CASE WHEN e AND NOT o THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS b,
+         CAST(coalesce(sum(CASE WHEN NOT e AND o THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS c,
+         CAST(coalesce(sum(CASE WHEN NOT e AND NOT o THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS d
+  FROM flags GROUP BY 1
+), tot AS (
+  SELECT sum(CAST(CAST(a * d AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE)
+                  AS DECIMAL(38,12))) AS sn,
+         sum(CAST(CAST(b * c AS DOUBLE)
+                  / CAST(a + b + c + d AS DOUBLE)
+                  AS DECIMAL(38,12))) AS sd
+  FROM g
+)
+SELECT stratum, a, b, c, d,
+       CASE WHEN sd = 0 THEN 0.0
+            ELSE round(CAST(sn AS DOUBLE) / CAST(sd AS DOUBLE), 6)
+       END AS or_mh
+FROM g CROSS JOIN tot
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10863,6 +10920,7 @@ REGISTRY: dict[str, tuple] = {
     "wilcoxon_order_growth": (q_wilcoxon_order_growth,
                               SQL_WILCOXON_ORDER_GROWTH),
     "ipf_raking": (q_ipf_raking, SQL_IPF_RAKING),
+    "mantel_haenszel_or": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
 }
 
 # Round-6 driver sample order. Three blocks:

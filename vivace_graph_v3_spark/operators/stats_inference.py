@@ -40,6 +40,7 @@ __all__ = [
     "spearman_rho",
     "wilcoxon_signed_rank",
     "ipf_raking",
+    "mantel_haenszel_or",
 ]
 
 
@@ -467,6 +468,43 @@ def ipf_raking(df: DataFrame, row_col: str, col_col: str, *,
         g = g.localCheckpoint(eager=True)
     return g.select(F.col("r").alias(row_col), F.col("c").alias(col_col),
                     "n", F.col("w").alias("weight"))
+
+
+def mantel_haenszel_or(df: DataFrame, *, stratum_col: str,
+                       exposed_col: str, outcome_col: str) -> DataFrame:
+    """Mantel-Haenszel common odds ratio (1959) across K strata of 2x2
+    tables — the confounder-adjusted association estimate:
+
+        OR_MH = sum_i(a_i * d_i / n_i) / sum_i(b_i * c_i / n_i)
+
+    with a=exposed+outcome, b=exposed-only, c=outcome-only, d=neither.
+    Returns per-stratum rows (stratum, a, b, c, d) with the constant
+    or_mh on every row (chi2 grid shape).
+
+    Exactness: cell counts are one exact BIGINT aggregate; each
+    stratum term is one pinned double division of exact integers,
+    accumulated in DECIMAL(38,12) (order-independent); the final ratio
+    is one division. Scale shape: ONE corpus aggregate to the
+    (stratum, exposed, outcome) grid; terms fold on |strata| rows."""
+    g = (df.groupBy(F.col(stratum_col).alias("stratum"))
+         .agg(*[F.coalesce(F.sum(F.when(
+             (F.col(exposed_col).cast("boolean") == F.lit(pe))
+             & (F.col(outcome_col).cast("boolean") == F.lit(po)),
+             F.lit(1)).otherwise(F.lit(0))), F.lit(0)).alias(name)
+             for name, pe, po in (("a", True, True), ("b", True, False),
+                                  ("c", False, True),
+                                  ("d", False, False))]))
+    n = (F.col("a") + F.col("b") + F.col("c") + F.col("d")).cast("double")
+    tnum = ((F.col("a") * F.col("d")).cast("double") / n)
+    tden = ((F.col("b") * F.col("c")).cast("double") / n)
+    tot = g.agg(F.sum(tnum.cast("decimal(38,12)")).alias("sn"),
+                F.sum(tden.cast("decimal(38,12)")).alias("sd"))
+    or_mh = (tot.select(
+        F.when(F.col("sd") == 0, F.lit(0.0))
+        .otherwise(F.round(F.col("sn").cast("double")
+                           / F.col("sd").cast("double"), 6))
+        .alias("or_mh")))
+    return g.crossJoin(F.broadcast(or_mh))
 
 
 def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,
