@@ -351,3 +351,41 @@ class TestMantelHaenszel:
         out = mantel_haenszel_or(df, stratum_col="st", exposed_col="e",
                                  outcome_col="o").collect()
         assert out[0]["or_mh"] == 0.0  # b*c = 0 everywhere -> guarded
+
+
+class TestCronbachAlpha:
+    def test_vs_numpy_reference(self, spark):
+        import numpy as np
+        from vivace_graph_v3_spark.operators.stats_inference import (
+            cronbach_alpha)
+        rng = np.random.RandomState(9)
+        base = rng.randint(0, 10, 50)
+        items = np.stack([base + rng.randint(0, 3, 50)
+                          for _ in range(4)], axis=1)
+        rows = [tuple(int(v) for v in r) for r in items]
+        df = spark.createDataFrame(rows, ["a", "b", "c", "d"])
+        r = cronbach_alpha(df, ["a", "b", "c", "d"]).collect()[0]
+        iv = items.var(axis=0).sum()
+        tv = items.sum(axis=1).var()
+        want = 4 / 3 * (1 - iv / tv)
+        assert r["n"] == 50 and r["k"] == 4
+        assert r["alpha"] == pytest.approx(want, abs=1e-6)
+        assert r["alpha"] > 0.8  # items share the same latent trait
+
+    def test_independent_items_low_alpha(self, spark):
+        import numpy as np
+        from vivace_graph_v3_spark.operators.stats_inference import (
+            cronbach_alpha)
+        rng = np.random.RandomState(4)
+        rows = [tuple(int(v) for v in rng.randint(0, 10, 3))
+                for _ in range(200)]
+        df = spark.createDataFrame(rows, ["a", "b", "c"])
+        r = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+        assert abs(r["alpha"]) < 0.3
+
+    def test_requires_two_items(self, spark):
+        from vivace_graph_v3_spark.operators.stats_inference import (
+            cronbach_alpha)
+        df = spark.createDataFrame([(1,)], ["a"])
+        with pytest.raises(ValueError):
+            cronbach_alpha(df, ["a"])

@@ -98,7 +98,7 @@ AUDITED = [
     "graph_cc_incremental", "delete_cascade_audit", "customer_spend_deciles",
     "orders_global_rank", "ab_experiment", "allen_census",
     "quantile_normalize_lengths", "wilcoxon_order_growth", "ipf_raking",
-    "mantel_haenszel_or",
+    "mantel_haenszel_or", "cronbach_alpha_events",
     "matview_rollup_answer",
 ]
 

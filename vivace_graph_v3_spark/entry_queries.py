@@ -10457,6 +10457,73 @@ FROM g CROSS JOIN tot
 """
 
 
+def q_cronbach_alpha(spark, sf_dir):
+    """Cronbach's alpha over per-user event-type counts
+    (operators/stats_inference.cronbach_alpha): the five event-type
+    activity counts as 'items', one exact-moment aggregate, pinned
+    variance chains — 'do the activity channels measure one trait?'."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        cronbach_alpha)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    types = ["click", "view", "purchase", "signup", "error"]
+    wide = (ev.groupBy("user_id")
+            .agg(*[F.coalesce(F.sum(F.when(F.col("event_type") == t,
+                                           F.lit(1))), F.lit(0))
+                   .alias(f"n_{t}") for t in types]))
+    return cronbach_alpha(wide, [f"n_{t}" for t in types])
+
+
+SQL_CRONBACH_ALPHA = """
+WITH wide AS (
+  SELECT user_id,
+         CAST(coalesce(sum(CASE WHEN event_type = 'click' THEN 1 END), 0)
+              AS BIGINT) AS i0,
+         CAST(coalesce(sum(CASE WHEN event_type = 'view' THEN 1 END), 0)
+              AS BIGINT) AS i1,
+         CAST(coalesce(sum(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+              AS BIGINT) AS i2,
+         CAST(coalesce(sum(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+              AS BIGINT) AS i3,
+         CAST(coalesce(sum(CASE WHEN event_type = 'error' THEN 1 END), 0)
+              AS BIGINT) AS i4
+  FROM events GROUP BY 1
+), m AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(i0) AS BIGINT) AS s0, CAST(sum(i0 * i0) AS BIGINT) AS q0,
+         CAST(sum(i1) AS BIGINT) AS s1, CAST(sum(i1 * i1) AS BIGINT) AS q1,
+         CAST(sum(i2) AS BIGINT) AS s2, CAST(sum(i2 * i2) AS BIGINT) AS q2,
+         CAST(sum(i3) AS BIGINT) AS s3, CAST(sum(i3 * i3) AS BIGINT) AS q3,
+         CAST(sum(i4) AS BIGINT) AS s4, CAST(sum(i4 * i4) AS BIGINT) AS q4,
+         CAST(sum(i0 + i1 + i2 + i3 + i4) AS BIGINT) AS st,
+         CAST(sum((i0 + i1 + i2 + i3 + i4) * (i0 + i1 + i2 + i3 + i4))
+              AS BIGINT) AS qt
+  FROM wide
+)
+SELECT n, CAST(5 AS BIGINT) AS k,
+       round(5.0 / 4.0 * (1.0 -
+         ((CAST(q0 AS DOUBLE) / CAST(n AS DOUBLE)
+           - (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE))
+             * (CAST(s0 AS DOUBLE) / CAST(n AS DOUBLE)))
+          + (CAST(q1 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s1 AS DOUBLE) / CAST(n AS DOUBLE)))
+          + (CAST(q2 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s2 AS DOUBLE) / CAST(n AS DOUBLE)))
+          + (CAST(q3 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s3 AS DOUBLE) / CAST(n AS DOUBLE)))
+          + (CAST(q4 AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(s4 AS DOUBLE) / CAST(n AS DOUBLE))))
+         / (CAST(qt AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(st AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(st AS DOUBLE) / CAST(n AS DOUBLE)))), 6) AS alpha
+FROM m
+"""
+
+
 _RESULT_CACHE: dict[str, object] = {}
 
 
@@ -10921,6 +10988,7 @@ REGISTRY: dict[str, tuple] = {
                               SQL_WILCOXON_ORDER_GROWTH),
     "ipf_raking": (q_ipf_raking, SQL_IPF_RAKING),
     "mantel_haenszel_or": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
+    "cronbach_alpha_events": (q_cronbach_alpha, SQL_CRONBACH_ALPHA),
 }
 
 # Round-6 driver sample order. Three blocks:

@@ -41,6 +41,7 @@ __all__ = [
     "wilcoxon_signed_rank",
     "ipf_raking",
     "mantel_haenszel_or",
+    "cronbach_alpha",
 ]
 
 
@@ -505,6 +506,48 @@ def mantel_haenszel_or(df: DataFrame, *, stratum_col: str,
                            / F.col("sd").cast("double"), 6))
         .alias("or_mh")))
     return g.crossJoin(F.broadcast(or_mh))
+
+
+def cronbach_alpha(df: DataFrame, item_cols: list[str]) -> DataFrame:
+    """Cronbach's alpha (1951) internal-consistency reliability over k
+    integer item columns:
+
+        alpha = k/(k-1) * (1 - sum_i var(item_i) / var(total))
+
+    with population variances. Returns one row: n, k, alpha.
+
+    Exactness: per-item and total sums / sums-of-squares are exact
+    BIGINT aggregates (caller contract: sum(v^2) within BIGINT); each
+    variance is the pinned chain E[x^2] - E[x]^2 over exact integers;
+    the item-variance sum folds k pinned doubles in a fixed expression
+    (k is a plan-time constant, so the addition order is literal).
+    Scale shape: ONE map-side-combined aggregate; 1-row output."""
+    k = len(item_cols)
+    if k < 2:
+        raise ValueError("cronbach_alpha needs >= 2 item columns")
+    items = [F.col(c).cast("long") for c in item_cols]
+    total = items[0]
+    for it in items[1:]:
+        total = total + it
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, it in enumerate(items):
+        aggs += [F.sum(it).alias(f"s{i}"),
+                 F.sum(it * it).alias(f"q{i}")]
+    aggs += [F.sum(total).alias("st"), F.sum(total * total).alias("qt")]
+    a = df.agg(*aggs)
+    nd = F.col("n").cast("double")
+
+    def var(s, q):
+        m = F.col(s).cast("double") / nd
+        return F.col(q).cast("double") / nd - m * m
+
+    item_var = var("s0", "q0")
+    for i in range(1, k):
+        item_var = item_var + var(f"s{i}", f"q{i}")
+    alpha = (F.lit(float(k)) / F.lit(float(k - 1))
+             * (F.lit(1.0) - item_var / var("st", "qt")))
+    return a.select("n", F.lit(k).cast("long").alias("k"),
+                    F.round(alpha, 6).alias("alpha"))
 
 
 def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,
