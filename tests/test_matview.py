@@ -98,3 +98,45 @@ class TestRollupAnswer:
         cat.materialize(spec)
         df, _ = cat.answer(["k"], {"a": AggSpec("avg", "v")})
         assert df.collect()[0]["a"] == 25.0  # avg-of-avg would say 50
+
+
+class TestCountCol:
+    """Regression (ADVICE r5): AggSpec('count', col) passed covers() but
+    materialize() only ever wrote count(*), so answer() failed — and avg
+    over a nullable column silently over-counted its denominator."""
+
+    def _null_catalog(self, spark):
+        rows = [("g", "x", 10), ("g", "x", None), ("g", "y", 30),
+                ("g", "y", None), ("g", "y", 50)]
+        cat = SummaryCatalog(spark)
+        spec = cat.register(
+            "nn", lambda sp: sp.createDataFrame(
+                rows, "k string, cell string, v int"), ["k", "cell"],
+            [AggSpec("sum", "v"), AggSpec("count", "v"), AggSpec("count")],
+            tempfile.mkdtemp(prefix="mv_cnt_"))
+        cat.materialize(spec)
+        return cat
+
+    def test_count_col_materializes_and_answers(self, spark):
+        cat = self._null_catalog(spark)
+        df, src = cat.answer(["k"], {"nv": AggSpec("count", "v"),
+                                     "n": AggSpec("count")})
+        assert src == "nn"
+        row = df.collect()[0]
+        assert row["nv"] == 3 and row["n"] == 5  # count(v) skips NULLs
+
+    def test_avg_uses_nonnull_denominator(self, spark):
+        cat = self._null_catalog(spark)
+        df, src = cat.answer(["k"], {"a": AggSpec("avg", "v")})
+        assert src == "nn"
+        # F.avg semantics: (10+30+50)/3, not /5
+        assert df.collect()[0]["a"] == 30.0
+
+    def test_base_fallback_count_col_skips_nulls(self, spark):
+        rows = [("g", 1), ("g", None), ("g", 3)]
+        cat = SummaryCatalog(spark)
+        df, src = cat.answer(
+            ["k"], {"nv": AggSpec("count", "v")},
+            base=lambda sp: sp.createDataFrame(rows, "k string, v int"))
+        assert src == "base"
+        assert df.collect()[0]["nv"] == 2

@@ -65,3 +65,29 @@ def test_fifo_eviction(vg, tmp_path):
         rc.run(lambda k=k: vg.read("person").filter(F.col("age") > k))
     assert len(rc._index) == 2
     assert len(os.listdir(tmp_path / "rc")) == 2
+
+
+def test_literal_only_difference_fingerprints_apart(vg):
+    # regression (ADVICE r5): deleting every '#\d+' from the plan text
+    # also deleted string literals that LOOK like expr ids, so these two
+    # collided and the second silently got the first's cached result
+    d1 = vg.read("person").filter(F.col("name") == "a#1").select("id")
+    d2 = vg.read("person").filter(F.col("name") == "a#2").select("id")
+    assert plan_fingerprint(d1) != plan_fingerprint(d2)
+
+
+def test_output_alias_difference_fingerprints_apart(vg):
+    # canonicalization strips aliases; the analyzed-text ingredient must
+    # keep result-column renames apart or a hit returns wrong col names
+    d1 = _agg(vg).withColumnRenamed("n", "x")
+    assert plan_fingerprint(d1) != plan_fingerprint(_agg(vg))
+
+
+def test_literal_collision_serves_fresh_result(vg, tmp_path):
+    rc = ResultCache(vg, str(tmp_path / "rc"))
+    q1 = rc.run(lambda: vg.read("person")
+                .filter(F.col("name") == "ann#1").select("id"))
+    q2 = rc.run(lambda: vg.read("person")
+                .filter(F.col("name") == "ann").select("id"))
+    assert q1.count() == 0 and q2.count() == 1
+    assert rc.stats == {"hits": 0, "misses": 2}

@@ -10991,34 +10991,45 @@ REGISTRY: dict[str, tuple] = {
     "cronbach_alpha_events": (q_cronbach_alpha, SQL_CRONBACH_ALPHA),
 }
 
-# Round-6 driver sample order. Three blocks:
-#   1. the 17 round-5-late registrations never sampled by any driver round,
-#   2. the 12 round-6 registrations,
-#   3. hedge/re-confirm slots: leading entries of the round-5 front — if
-#      CORRECTNESS_r05 recorded (no file landed in the repo), these become
-#      re-confirms; if round 5's sample never ran, they finally get rows.
-# Everything not listed keeps its literal order after the front.
+# ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
+# r1-r5 cumulative: 194 distinct entries driver-green; 89 never sampled
+# (the list in VERDICT.md round 5 "What's missing" #1).
+# Round 6 front (_R6_FRONT): 50 drawn from those 89, prioritizing the
+# §2-mapped mvcc_revision_diff, the engine-feature entries
+# (matview_rollup_answer, result_cache_hit, join_view_incremental,
+# graph_cc_incremental), and the stats batch. New round-6 registrations
+# are PREPENDED to the front as they land (each pushes the front's tail
+# entry into _R7_QUEUE's head so the front stays exactly 50).
+# Round 7 queue (_R7_QUEUE): the remaining 39 never-sampled entries,
+# staged at positions 51+ so round 7's rotation is a two-line swap:
+# front = _R7_QUEUE + re-confirm slots drawn from the oldest r1/r2 rows.
 _R6_FRONT = [
-    # -- block 1: round-5 late batch, never driver-sampled (17) --
-    "classifier_calibration", "graph_clustering_coefficient",
-    "compaction_plan", "events_autocorrelation", "events_smoothing",
-    "events_attribution", "l_diversity_audit", "retrieval_ndcg",
-    "scd2_history", "graph_assortativity", "zonemap_skip_stats",
-    "graph_ktruss", "winsorize_orders", "events_forecast",
-    "item_cf_similarity", "vocab_growth", "dedup_cluster_sizes",
-    # -- block 2: round-6 registrations --
-    "classifier_auc", "classifier_kappa", "source_psi_drift",
-    "t_closeness_audit", "equi_depth_hist_price", "order_backlog_depth",
-    "orders_pivot_status", "events_trailing_window", "bloom_filter_audit",
-    "encoding_stats", "knn_label_propagation", "vocab_zipf_slope",
-    "events_mad_outliers", "events_attribution_linear", "metrics_unpivot",
-    "rollup_revenue", "session_paths", "embedding_centroid_drift",
-    "embedding_dim_stats", "key_skew_profile", "fk_integrity_audit",
-    "events_ohlc_hourly", "ann_ivfpq_recall", "bpe_learn_merges",
-    "bloom_dedup_ingest", "curriculum_order", "classifier_train_logreg",
-    "bpe_compression", "dataset_card", "join_cardinality_audit",
-    "ann_recall_curve", "graph_knn_degree", "customer_order_gaps",
-    # -- block 3: hedge slots from the round-5 front (21) --
+    # §2-mapped + engine features (5)
+    "mvcc_revision_diff", "matview_rollup_answer", "result_cache_hit",
+    "join_view_incremental", "graph_cc_incremental",
+    # stats / inference batch (16)
+    "chi2_independence", "benford_audit", "theilsen_trend",
+    "kendall_tau", "kruskal_quantity", "spearman_rho", "survival_km",
+    "anova_quantity_returnflag", "mann_whitney_quantity",
+    "wilcoxon_order_growth", "ipf_raking", "mantel_haenszel_or",
+    "cronbach_alpha_events", "ab_experiment", "weighted_sample_tickets",
+    "quantile_normalize_lengths",
+    # analytics / audits (9)
+    "boxplot_chars", "customer_spend_deciles", "orders_global_rank",
+    "allen_census", "delete_cascade_audit", "source_jsd",
+    "dedup_cross_source", "doremi_mix_weights", "embedding_covariance",
+    # graph / embedding / pipeline (11)
+    "graph_eccentricity", "graph_modularity", "embedding_pair_cosine",
+    "multimodal_dims", "text_truncation_curve", "dedup_sampling_weights",
+    "tokenizer_fertility", "dpo_preference_pairs", "shard_interleave_audit",
+    "text_readability", "events_rolling_distinct",
+    # remaining never-sampled picks (9)
+    "order_lag_features", "ann_truncation_recall", "multimodal_phash_dedup",
+    "text_sparse_dot_pairs", "events_seasonality", "k_anonymity_audit",
+    "graph_walk_census", "curation_v2", "sft_pairs",
+]
+
+_R7_QUEUE = [
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",
     "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
@@ -11026,9 +11037,16 @@ _R6_FRONT = [
     "graph_pagerank_personalized", "text_boilerplate", "dedup_containment",
     "stratified_sample", "embedding_quantize", "retrieval_rerank",
     "token_budget_mix", "cms_heavy_hitters", "retrieval_mmr",
+    "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
+    "training_mix_upsample", "embedding_hard_negatives",
+    "lang_id_confusion", "events_burstiness", "duplicate_ngram_spans",
+    "bpe_pair_stats", "quality_adaptive_gate", "graph_closeness_landmarks",
+    "embedding_pq", "bucketed_join_colocated", "text_keywords",
+    "events_changepoint", "events_gap_fill", "cohort_ltv",
+    "basket_pair_rules",
 ]
 
-_ordered = {n: REGISTRY[n] for n in _R6_FRONT}
+_ordered = {n: REGISTRY[n] for n in _R6_FRONT + _R7_QUEUE}
 for _n, _v in REGISTRY.items():
     _ordered.setdefault(_n, _v)
 REGISTRY = _ordered

@@ -570,8 +570,13 @@ def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,
     merge), never a full sort."""
     from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
 
+    # weight < 1 means "no tickets" — filter BEFORE the explode: Spark's
+    # sequence(0, w-1) auto-reverses for w <= 0 (w=0 yields [0,-1]), which
+    # would hand tickets to zero/negative-weight rows (and diverge from
+    # SQL generate_series, which yields an empty set there)
     t = (df.select(F.col(key_col).alias("key"),
                    F.col(weight_col).cast("long").alias("weight"))
+         .filter(F.col("weight") >= 1)
          .withColumn("j", F.explode(
              F.sequence(F.lit(0), F.col("weight") - 1)))
          .withColumn("ticket", md5_hash64(

@@ -20,9 +20,15 @@ Derivability rules (the standard distributive/algebraic split):
 
 - ``sum(x)``   <- SUM of grid ``sum_x``
 - ``count(*)`` <- SUM of grid ``count_all``
+- ``count(x)`` <- SUM of grid ``count_x``  (non-null count, its own
+  grid column — never conflated with ``count_all``)
 - ``min/max(x)`` <- MIN/MAX of grid ``min_x``/``max_x``
-- ``avg(x)``   <- SUM(sum_x) / SUM(count_all)  (algebraic: derived from
-  two distributive grid columns, never AVG-of-AVG)
+- ``avg(x)``   <- SUM(sum_x) / SUM(count_x)  (algebraic: derived from
+  two distributive grid columns, never AVG-of-AVG). When the summary
+  stores only ``count(*)``, avg derives from ``count_all`` under a
+  **documented non-null contract**: with NULLs in x that denominator
+  over-counts vs ``F.avg`` — register ``AggSpec("count", x)`` alongside
+  ``AggSpec("sum", x)`` whenever x is nullable.
 
 Filters are admissible only on grid group columns (then they prune the
 grid exactly); any filter on a non-grid column forces base fallback.
@@ -79,8 +85,11 @@ class SummarySpec:
         stored = self._stored()
         for a in aggs:
             if a.kind == "avg":
-                if ("sum", a.col) not in stored or \
-                        ("count", None) not in stored:
+                # exact denominator is count(x); count(*) is accepted
+                # under the documented non-null contract (module doc)
+                if ("sum", a.col) not in stored or (
+                        ("count", a.col) not in stored
+                        and ("count", None) not in stored):
                     return False
             elif a.kind not in _DISTRIBUTIVE or \
                     (a.kind, a.col) not in stored:
@@ -108,9 +117,11 @@ class SummaryCatalog:
         df = spec.base(self.spark)
         exprs = []
         for a in spec.aggs:
-            if a.kind == "count":
+            if a.kind == "count" and a.col is None:
                 exprs.append(F.count(F.lit(1)).alias("count_all"))
             else:
+                # count(col) = F.count(col): non-null count, stored under
+                # its own grid column (count_<col>), never count_all
                 exprs.append(getattr(F, a.kind)(a.col).alias(a.grid_col()))
         (df.groupBy(*spec.group_cols).agg(*exprs)
          .write.mode("overwrite").parquet(spec.path))
@@ -143,12 +154,17 @@ class SummaryCatalog:
             g = self.spark.read.parquet(spec.path)
             for c, v in filters.items():
                 g = g.filter(F.col(c) == F.lit(v))
+            stored = spec._stored()
             exprs = []
             for out, a in aggs.items():
                 if a.kind == "avg":
+                    # exact (null-aware) denominator when count(x) is
+                    # stored; count_all under the non-null contract
+                    denom = (f"count_{a.col}"
+                             if ("count", a.col) in stored else "count_all")
                     exprs.append(
                         (F.sum(f"sum_{a.col}").cast("double")
-                         / F.sum("count_all").cast("double")).alias(out))
+                         / F.sum(denom).cast("double")).alias(out))
                 else:
                     exprs.append(self._grid_agg(a).alias(out))
             if group_cols:
@@ -161,8 +177,10 @@ class SummaryCatalog:
             df = df.filter(F.col(c) == F.lit(v))
         exprs = []
         for out, a in aggs.items():
-            if a.kind == "count":
+            if a.kind == "count" and a.col is None:
                 exprs.append(F.count(F.lit(1)).alias(out))
+            elif a.kind == "count":
+                exprs.append(F.count(a.col).alias(out))
             elif a.kind == "avg":
                 exprs.append(F.avg(a.col).alias(out))
             else:

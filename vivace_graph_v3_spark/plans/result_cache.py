@@ -42,11 +42,33 @@ _EXPR_ID = re.compile(r"#\d+")
 
 
 def plan_fingerprint(df: DataFrame) -> str:
-    """Stable fingerprint of a DataFrame's analyzed logical plan:
-    auto-assigned expression ids (``name#123``) are normalized away so
-    the same query built twice fingerprints identically."""
-    text = df._jdf.queryExecution().analyzed().toString()
-    return hashlib.sha256(_EXPR_ID.sub("#", text).encode()).hexdigest()[:24]
+    """Stable fingerprint of a DataFrame's analyzed logical plan.
+
+    Two ingredients, because neither alone is safe:
+
+    - Spark's **canonicalized** plan text: expr ids are normalized by
+      the engine itself (rebuild-stable) while **literal values
+      survive** — so two queries whose only difference is a string
+      literal that itself looks like an expr id (``'a#1'`` vs
+      ``'a#2'``) fingerprint apart. (Deleting every ``#\\d+`` from the
+      analyzed text, the previous scheme, collapsed those two and could
+      serve the wrong cached result. ``semanticHash()`` is NOT usable
+      here: on MVCC read plans it hashes embedded in-memory relations
+      by identity and drifts between builds of the same query.)
+    - the analyzed plan text with every ``#<digits>`` token rewritten
+      to its first-appearance index — canonicalization strips output
+      aliases, so this ingredient keeps queries that differ only in a
+      result column NAME apart.
+    """
+    analyzed = df._jdf.queryExecution().analyzed()
+    seen: dict[str, str] = {}
+
+    def canon(m: re.Match) -> str:
+        return seen.setdefault(m.group(0), f"#c{len(seen)}")
+
+    body = (analyzed.canonicalized().toString() + "\n===\n"
+            + _EXPR_ID.sub(canon, analyzed.toString()))
+    return hashlib.sha256(body.encode()).hexdigest()[:24]
 
 
 class ResultCache:

@@ -341,9 +341,16 @@ def cc_apply_batch(edges: DataFrame, labels_path: str, *,
     out = cc_incremental(labels, e)
     staging = labels_path.rstrip("/") + ".staging"
     out.write.mode("overwrite").parquet(staging)
+    # crash-safe swap: rename the live store ASIDE first, then rename
+    # staging in, then delete the old copy — a crash between any two
+    # steps leaves either the old or the new store intact on disk
+    # (rmtree-then-rename had a window that lost the whole label store)
+    old = labels_path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(labels_path):
-        shutil.rmtree(labels_path)
+        os.rename(labels_path, old)
     os.rename(staging, labels_path)
+    shutil.rmtree(old, ignore_errors=True)
     n_rows = spark.read.parquet(labels_path).count()
     return {"n_edges": e.count(), "n_new_vertices": n_new,
             "n_vertices": n_rows}

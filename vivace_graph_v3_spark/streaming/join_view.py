@@ -140,10 +140,18 @@ class JoinViewMaintainer:
         for b in buckets:
             live = f"{self.table_path}/bucket={b}"
             staged = f"{tmp}/bucket={b}"
+            # crash-safe per-bucket swap: rename live aside before the
+            # staged dir moves in, so a crash mid-swap leaves a
+            # recoverable copy (batch replay can also repair, but the
+            # aside costs one rename). The aside lives OUTSIDE the
+            # table root so partition discovery never sees it.
+            old = f"{self.table_path}.old-b{b}"
+            shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(live):
-                shutil.rmtree(live)
+                os.rename(live, old)
             if os.path.exists(staged):
                 os.rename(staged, live)
+            shutil.rmtree(old, ignore_errors=True)
             # a bucket whose keys all retired simply disappears
         shutil.rmtree(tmp, ignore_errors=True)
 
