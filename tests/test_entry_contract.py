@@ -183,19 +183,80 @@ def test_oracle_pandas_render_classes_match(spark):
     assert not hazards, "driver-canonicalizer hazards:\n" + "\n".join(hazards)
 
 
-def test_ann_recall_fixture_constants_still_measured(spark):
-    """The ANN recall oracles embed MEASURED fixture constants (ANN
-    candidate generation is not SQL-expressible). Pin them: if the
-    testdata fixture regenerates, this fails loudly instead of the
-    driver hash silently drifting. sf0.01 is the driver's contract SF."""
-    qs = entry_mod.queries()
+# Oracles whose VALUES(...) rows are PARAMETERS of the computation (hash
+# constants, landmark ids, discount grids, polygon coordinates, length /
+# stride grids) — inputs chosen by the author, not measured results, so
+# they need no re-measurement. Any oracle containing VALUES that is not
+# listed here must carry a MEASURED-PIN marker and be re-measured below.
+_PARAM_VALUES_ORACLES = {
+    "graph_eccentricity",        # landmark vertex ids
+    "embedding_pair_cosine",     # probe pair ids
+    "text_truncation_curve",     # max_len grid (64/128/256/512)
+    "cms_heavy_hitters",         # CMS row hash constants
+    "graph_closeness_landmarks", # landmark vertex ids
+    "geo_polygon_metrics",       # polygon coordinates
+    "geo_polygon_intersects",    # polygon coordinates
+    "retrieval_ndcg",            # rank-discount grid
+    "bloom_filter_audit",        # bloom hash constants
+    "bloom_dedup_ingest",        # bloom hash constants
+}
+
+
+def _pinned_constants(sql: str) -> list[tuple]:
+    """Extract measured-pin literals from an oracle SQL: single-pin
+    oracles embed ``<n> AS n_hits``; curve oracles embed
+    ``hits(nprobe, n_hits) AS (VALUES (p, h), ...)``."""
+    import re
+
+    m = re.search(r"VALUES\s*((?:\(\s*\d+\s*,\s*\d+\s*\)\s*,?\s*)+)\s*\)",
+                  sql) if "hits(nprobe" in sql else None
+    if m:
+        return [tuple(int(x) for x in pair)
+                for pair in re.findall(r"\((\d+)\s*,\s*(\d+)\)", m.group(1))]
+    m = re.search(r"(\d+) AS n_hits", sql)
+    assert m, "MEASURED-PIN oracle with no recognizable pinned constant"
+    return [(int(m.group(1)),)]
+
+
+def test_measured_pin_constants_complete(spark):
+    """Every oracle that pins a MEASURED constant (ANN candidate
+    generation is not SQL-expressible) is (a) explicitly marked, (b)
+    enumerated here, and (c) re-measured at the driver's contract SF —
+    no future pinned oracle can ship ungated, and if the testdata
+    fixture regenerates this fails loudly instead of the driver hash
+    silently drifting.
+
+    Completeness: an oracle containing VALUES must either be in the
+    parameter allowlist (author-chosen inputs) or carry the
+    MEASURED-PIN marker; every MEASURED-PIN oracle must be re-measured
+    in this test."""
+    qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
+
+    pinned = {n for n, sql in oracles.items() if "MEASURED-PIN" in sql}
+    unaccounted = {
+        n for n, sql in oracles.items()
+        if "VALUES" in sql and n not in _PARAM_VALUES_ORACLES
+        and n not in pinned}
+    assert not unaccounted, (
+        f"oracles with VALUES literals neither allowlisted as parameters "
+        f"nor marked MEASURED-PIN: {unaccounted}")
+    assert pinned == {"ann_ivf_recall", "ann_lsh_recall",
+                      "ann_ivfpq_recall", "ann_recall_curve"}, (
+        f"MEASURED-PIN set changed ({pinned}) — extend the re-measure "
+        f"block below for any new pinned oracle")
+
     sf = "/root/testdata/sf0.01"
-    got = {name: qs[name](spark, sf).first().asDict()
-           for name in ("ann_ivf_recall", "ann_lsh_recall",
-                        "ann_ivfpq_recall")}
-    assert got["ann_ivf_recall"]["n_hits"] == 46, got
-    assert got["ann_lsh_recall"]["n_hits"] == 48, got
-    assert got["ann_ivfpq_recall"]["n_hits"] == 42, got
+    # single-pin oracles: re-measure n_hits
+    for name in ("ann_ivf_recall", "ann_lsh_recall", "ann_ivfpq_recall"):
+        (want,), = _pinned_constants(oracles[name])
+        got = qs[name](spark, sf).first()["n_hits"]
+        assert got == want, f"{name}: measured {got} != pinned {want}"
+    # curve oracle: re-measure every (nprobe, n_hits) row
+    want_curve = _pinned_constants(oracles["ann_recall_curve"])
+    got_curve = sorted((r["nprobe"], r["n_hits"]) for r in
+                       qs["ann_recall_curve"](spark, sf).collect())
+    assert got_curve == sorted(want_curve), (
+        f"ann_recall_curve: measured {got_curve} != pinned {want_curve}")
 
 
 def test_contract_values_partitioning_invariant(spark):

@@ -1215,6 +1215,8 @@ def q_ann_lsh_recall(spark, sf_dir):
 # brute-force entry hash-matches); the ANN hit count is the measured fixture
 # constant — ANN itself is not SQL-expressible.
 _SQL_ANN_RECALL = """
+-- MEASURED-PIN: n_hits is a measured fixture constant, re-verified by
+-- tests/test_entry_contract.py::test_measured_pin_constants_complete
 SELECT count(*) AS n_exact, {hits} AS n_hits,
        round({hits} / count(*), 4) AS recall
 FROM (""" + SQL_ANN_BRUTEFORCE_TOPK + ")"
@@ -8742,6 +8744,9 @@ def q_ann_recall_curve(spark, sf_dir):
 
 
 SQL_ANN_RECALL_CURVE = """
+-- MEASURED-PIN: the hits(...) VALUES rows are measured fixture
+-- constants, re-verified by
+-- tests/test_entry_contract.py::test_measured_pin_constants_complete
 WITH exact AS (
   SELECT CAST(count(*) AS BIGINT) AS n_exact FROM (
     SELECT q.vec_id, c.vec_id AS n,
