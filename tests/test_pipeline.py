@@ -1666,3 +1666,42 @@ class TestEmbeddingCovariance:
         var = {r["dim"]: r["var"] for r in embedding_dim_stats(df).collect()}
         assert cov[(0, 0)] == pytest.approx(var[0], abs=1e-6)
         assert cov[(1, 1)] == pytest.approx(var[1], abs=1e-6)
+
+
+def test_seed_scan_topk_matches_expression_path_exactly(spark):
+    """The Arrow seed-broadcast scan (broadcast_corpus=True) must return
+    the EXACT rows of the JVM-expression path — same raw fold order,
+    rounding and ranking in Spark — including under a different
+    partitioning of the query side."""
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        cosine_topk_bruteforce)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    seed = emb.filter(F.col("vec_id") % 2 == 0)
+    qs = emb.filter(F.col("vec_id") % 2 == 1)
+    ref = sorted(tuple(r) for r in
+                 cosine_topk_bruteforce(seed, qs, 5).collect())
+    got = sorted(tuple(r) for r in
+                 cosine_topk_bruteforce(seed, qs, 5,
+                                        broadcast_corpus=True).collect())
+    assert got == ref
+    got7 = sorted(tuple(r) for r in
+                  cosine_topk_bruteforce(seed, qs.repartition(7), 5,
+                                         broadcast_corpus=True).collect())
+    assert got7 == ref
+
+
+def test_seed_scan_empty_seed(spark):
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        cosine_topk_bruteforce)
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    empty = emb.filter(F.lit(False))
+    out = cosine_topk_bruteforce(empty, emb.limit(3), 5,
+                                 broadcast_corpus=True)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
