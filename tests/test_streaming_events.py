@@ -264,3 +264,28 @@ def test_anomaly_update_folds_in_event_time_order():
     assert st_a == st_b
     spike = out_sorted[out_sorted["value"] == 1000.0].iloc[0]
     assert bool(spike["is_anomaly"]) and int(spike["n_seen"]) == 9
+
+
+def test_stateful_contract_run_carries_state_across_batches(spark):
+    """The stateful contract artifact (entry_queries._session_stateful_run)
+    must genuinely exercise CROSS-BATCH state: the 4-file event-id-range
+    source means most keys appear in several micro-batches, so their
+    running-total rows must show strictly growing n — and the final
+    accumulation must equal the batch aggregate."""
+    import pyspark.sql.functions as F
+
+    from vivace_graph_v3_spark import entry_queries as eq
+
+    base = eq._session_stateful_run(spark, SF_DIR)
+    t = spark.read.parquet(f"{base}/totals").filter(~F.col("final"))
+    per_key = (t.groupBy("key").agg(F.count(F.lit(1)).alias("n_rows"),
+                                    F.max("n").alias("n_max"))
+               .collect())
+    multi = [r for r in per_key if r["n_rows"] >= 2]
+    assert multi, "no key appeared in more than one micro-batch"
+    # rows per key are distinct accumulation points: max n == total events
+    ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+    want = {str(r["user_id"]): r["c"] for r in
+            ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()}
+    got = {r["key"]: r["n_max"] for r in per_key}
+    assert got == want

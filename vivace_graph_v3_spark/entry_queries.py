@@ -10658,6 +10658,179 @@ FROM base GROUP BY c_mktsegment
 """
 
 
+# ---------------------------------------------------------------------------
+# round-6 registrations: stateful-streaming contract faces + goal-path geo
+# ---------------------------------------------------------------------------
+
+def _session_stateful_run(spark, sf_dir: str) -> str:
+    """Run the two applyInPandasWithState operators (streaming/stateful.py)
+    ONCE per (sf_dir, events mtime) over a deterministic 4-file source and
+    persist their sinks. The source splits events into event_id-range
+    files with strictly increasing mtimes and maxFilesPerTrigger=1, so
+    the stream drains in 4 micro-batches in event-time order — state
+    genuinely carries across batches, yet every output row is
+    batch-boundary-deterministic (values are integer cents, so all
+    running moments are exact in doubles and in the oracle's BIGINTs)."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from vivace_graph_v3_spark.streaming.stateful import (
+        running_totals, streaming_anomalies)
+
+    mt = os.path.getmtime(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vgv3_stateful_{tag}")
+    if os.path.isdir(path):
+        return path
+    stage = tempfile.mkdtemp(prefix="vgv3_stateful_build_")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select(F.col("user_id"), F.col("event_id").alias("t"),
+                  F.floor(F.col("value") * 100 + 0.5).cast("long")
+                  .alias("cents")))
+    mn, mx = ev.agg(F.min("t"), F.max("t")).first()
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    span = (mx - mn + 1)
+    for i in range(4):
+        lo = mn + span * i // 4
+        hi = mn + span * (i + 1) // 4
+        part_dir = os.path.join(stage, f"part{i}")
+        (ev.filter((F.col("t") >= lo) & (F.col("t") < hi))
+         .coalesce(1).write.parquet(part_dir))
+        (pf,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(src, f"q{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (mt + i + 1, mt + i + 1))
+    from vivace_graph_v3_spark.streaming.events import run_available_now
+
+    for name, op in (("totals", running_totals),
+                     ("anomalies", streaming_anomalies)):
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = op(stream, key_col="user_id", value_col="cents", ts_col="t")
+        # a stateful query holding processing-time timers does not
+        # self-terminate under availableNow — run_available_now drains
+        # until the 4-file snapshot is exhausted, then stops the query
+        run_available_now(out, checkpoint=os.path.join(stage, f"ck_{name}"),
+                          out_path=os.path.join(stage, name), timeout=8)
+        # the streaming sink's _spark_metadata records ABSOLUTE staging
+        # paths, which the atomic rename below would orphan — drop it so
+        # readers list the part files directly (plain parquet dir)
+        shutil.rmtree(os.path.join(stage, name, "_spark_metadata"))
+        shutil.rmtree(os.path.join(stage, f"ck_{name}"),
+                      ignore_errors=True)
+    try:
+        os.rename(stage, path)
+    except OSError:  # concurrent builder won: use theirs
+        shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def q_stateful_running_totals(spark, sf_dir):
+    """Contract face of the applyInPandasWithState running-totals
+    operator (streaming/stateful.py:running_totals): per-key (count,
+    sum, last-event-ms) state carried across 4 real micro-batches; the
+    projection keeps each key's final accumulation (max n per key), so
+    the result is the full per-key aggregate regardless of which batches
+    a key appeared in — which is exactly what the oracle predicts
+    relationally."""
+    base = _session_stateful_run(spark, sf_dir)
+    t = spark.read.parquet(f"{base}/totals").filter(~F.col("final"))
+    return (t.groupBy("key")
+            .agg(F.max(F.struct("n", "total", "last_event_ms")).alias("s"))
+            .select("key", F.col("s.n").alias("n"),
+                    F.col("s.total").alias("total"),
+                    F.col("s.last_event_ms").alias("last_event_ms")))
+
+
+SQL_STATEFUL_RUNNING_TOTALS = """
+SELECT CAST(user_id AS VARCHAR) AS key,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS DOUBLE)
+         AS total,
+       CAST(max(event_id) * 1000 AS BIGINT) AS last_event_ms
+FROM events GROUP BY 1
+"""
+
+
+def q_stateful_anomalies(spark, sf_dir):
+    """Contract face of the applyInPandasWithState cross-batch anomaly
+    operator (streaming/stateful.py:streaming_anomalies): every event is
+    flagged against the running moments of the events BEFORE it in event
+    time, with the moments carried across the 4 micro-batches. Values
+    are integer cents, so the stream's double accumulators and the
+    oracle's BIGINT window sums agree exactly and the 3-sigma inequality
+    ((n*v - s1)^2 > 9(n*s2 - s1^2)) is cross-engine exact."""
+    base = _session_stateful_run(spark, sf_dir)
+    return (spark.read.parquet(f"{base}/anomalies")
+            .select("key", "event_ms", "value", "n_seen", "is_anomaly"))
+
+
+SQL_STATEFUL_ANOMALIES = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_id,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), w AS (
+  SELECT key, event_id, c,
+         count(*) OVER pre AS n,
+         coalesce(sum(c) OVER pre, 0) AS s1,
+         coalesce(sum(c * c) OVER pre, 0) AS s2
+  FROM e
+  WINDOW pre AS (PARTITION BY key ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT key, CAST(event_id * 1000 AS BIGINT) AS event_ms,
+       CAST(c AS DOUBLE) AS value, CAST(n AS BIGINT) AS n_seen,
+       (n >= 2 AND (n*c - s1)*(n*c - s1) > 9*(n*s2 - s1*s1)) AS is_anomaly
+FROM w
+"""
+
+
+def q_geo_goal_rings(spark, sf_dir):
+    """Spatial predicates through the GOAL surface (builder.py geo
+    functors — prolog-functors.lisp:929-954 parity), not
+    operators/spatial.py: coordinates are bound per customer with `is`
+    arithmetic over the c_custkey slot, `geo-near` filters by radius
+    (bbox prefilter + haversine), and `geo-distance` binds the geodesic
+    distance which a comparison goal then splits into 10 km / 20 km
+    rings."""
+    from vivace_graph_v3_spark.query import builder as B
+
+    g = load_tpch_graph(spark, sf_dir)
+    coord_goals = [
+        ("is-a", "?c", "customer"),
+        ("node-slot-value", "?c", "c_custkey", "?k"),
+        ("is", "?lat", ("+", _CLAT,
+                        ("/", ("-", ("mod", "?k", 100), 50), 100.0))),
+        ("is", "?lon", ("+", _CLON,
+                        ("/", ("-", ("mod", ("*", "?k", 7), 100), 50),
+                         100.0))),
+    ]
+    inner = B.select(g, ["?c"], coord_goals + [
+        ("geo-near", "?lat", "?lon", _CLAT, _CLON, 10_000.0)])
+    outer = B.select(g, ["?c"], coord_goals + [
+        ("geo-near", "?lat", "?lon", _CLAT, _CLON, 20_000.0),
+        ("geo-distance", "?lat", "?lon", _CLAT, _CLON, "?d"),
+        ("<", 10_000.0, "?d")])
+    return (inner.select(F.col("c").alias("id"),
+                         F.lit("inner").alias("ring"))
+            .unionByName(outer.select(F.col("c").alias("id"),
+                                      F.lit("outer").alias("ring"))))
+
+
+SQL_GEO_GOAL_RINGS = f"""
+WITH pts AS ({_GEO_SQL_BASE}),
+d AS (SELECT id, {_HAV_SQL} AS d FROM pts)
+SELECT id, 'inner' AS ring FROM d WHERE d <= 10000.0
+UNION ALL
+SELECT id, 'outer' AS ring FROM d WHERE d <= 20000.0 AND d > 10000.0
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
@@ -11005,6 +11178,11 @@ REGISTRY: dict[str, tuple] = {
     "ipf_raking": (q_ipf_raking, SQL_IPF_RAKING),
     "mantel_haenszel_or": (q_mantel_haenszel, SQL_MANTEL_HAENSZEL),
     "cronbach_alpha_events": (q_cronbach_alpha, SQL_CRONBACH_ALPHA),
+    # round-6 registrations
+    "stateful_running_totals": (q_stateful_running_totals,
+                                SQL_STATEFUL_RUNNING_TOTALS),
+    "stateful_anomalies": (q_stateful_anomalies, SQL_STATEFUL_ANOMALIES),
+    "geo_goal_rings": (q_geo_goal_rings, SQL_GEO_GOAL_RINGS),
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
@@ -11020,6 +11198,8 @@ REGISTRY: dict[str, tuple] = {
 # staged at positions 51+ so round 7's rotation is a two-line swap:
 # front = _R7_QUEUE + re-confirm slots drawn from the oldest r1/r2 rows.
 _R6_FRONT = [
+    # round-6 NEW registrations: stateful-streaming faces + goal-path geo
+    "stateful_running_totals", "stateful_anomalies", "geo_goal_rings",
     # §2-mapped + engine features (5)
     "mvcc_revision_diff", "matview_rollup_answer", "result_cache_hit",
     "join_view_incremental", "graph_cc_incremental",
@@ -11039,13 +11219,13 @@ _R6_FRONT = [
     "multimodal_dims", "text_truncation_curve", "dedup_sampling_weights",
     "tokenizer_fertility", "dpo_preference_pairs", "shard_interleave_audit",
     "text_readability", "events_rolling_distinct",
-    # remaining never-sampled picks (9)
+    # remaining never-sampled picks (6)
     "order_lag_features", "ann_truncation_recall", "multimodal_phash_dedup",
     "text_sparse_dot_pairs", "events_seasonality", "k_anonymity_audit",
-    "graph_walk_census", "curation_v2", "sft_pairs",
 ]
 
 _R7_QUEUE = [
+    "graph_walk_census", "curation_v2", "sft_pairs",
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",
     "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
