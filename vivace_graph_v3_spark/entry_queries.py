@@ -10790,6 +10790,228 @@ FROM w
 """
 
 
+def q_dq_expectation_audit(spark, sf_dir):
+    """Declarative data-quality gate (operators/quality.expectation_audit
+    + referential_violations): eight named expectations over orders and
+    lineitem — value domains, date sanity, cross-column ordering, FK
+    resolution — each a violation count from ONE map-side-combined scan
+    per table (never a per-rule re-scan); NULL comparisons count as
+    violations. The Great-Expectations-style audit a curation pipeline
+    runs before data enters a training mix."""
+    from vivace_graph_v3_spark.operators.quality import (
+        expectation_audit, referential_violations)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    ro = expectation_audit(o, {
+        "orders_price_positive": F.col("o_totalprice") > 0,
+        "orders_status_domain": F.col("o_orderstatus").isin("O", "F", "P"),
+        "orders_date_range": F.col("o_orderdate").between(
+            "1992-01-01", "1998-12-31"),
+        "orders_custkey_present": F.col("o_custkey").isNotNull(),
+    })
+    rl = expectation_audit(li, {
+        "lineitem_qty_range": F.col("l_quantity").between(1, 50),
+        "lineitem_price_positive": F.col("l_extendedprice") > 0,
+        "lineitem_discount_range": F.col("l_discount").between(0.0, 0.10),
+    })
+    rr = (referential_violations(li, o, "l_orderkey", "o_orderkey")
+          .select(F.lit("lineitem_orderkey_resolves").alias("rule"),
+                  "n_checked", "n_violations", "pass"))
+    return ro.unionByName(rl).unionByName(rr)
+
+
+SQL_DQ_EXPECTATION_AUDIT = """
+WITH o AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS v_price,
+    sum(CASE WHEN o_orderstatus IN ('O','F','P') THEN 0 ELSE 1 END)
+      AS v_status,
+    sum(CASE WHEN o_orderdate BETWEEN DATE '1992-01-01'
+             AND DATE '1998-12-31' THEN 0 ELSE 1 END) AS v_date,
+    sum(CASE WHEN o_custkey IS NOT NULL THEN 0 ELSE 1 END) AS v_cust
+  FROM orders
+), l AS (
+  SELECT count(*) AS n,
+    sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS v_qty,
+    sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS v_price,
+    sum(CASE WHEN l_discount BETWEEN 0.0 AND 0.10 THEN 0 ELSE 1 END)
+      AS v_disc
+  FROM lineitem
+), fk AS (
+  SELECT (SELECT count(*) FROM lineitem) AS n,
+         (SELECT count(*) FROM lineitem
+          WHERE l_orderkey IS NULL
+             OR l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           AS v
+)
+SELECT rule, CAST(n_checked AS BIGINT) AS n_checked,
+       CAST(n_violations AS BIGINT) AS n_violations,
+       n_violations = 0 AS pass
+FROM (
+  SELECT 'orders_price_positive' AS rule, n AS n_checked,
+         v_price AS n_violations FROM o
+  UNION ALL SELECT 'orders_status_domain', n, v_status FROM o
+  UNION ALL SELECT 'orders_date_range', n, v_date FROM o
+  UNION ALL SELECT 'orders_custkey_present', n, v_cust FROM o
+  UNION ALL SELECT 'lineitem_qty_range', n, v_qty FROM l
+  UNION ALL SELECT 'lineitem_price_positive', n, v_price FROM l
+  UNION ALL SELECT 'lineitem_discount_range', n, v_disc FROM l
+  UNION ALL SELECT 'lineitem_orderkey_resolves', n, v FROM fk
+)
+"""
+
+
+_MD5_FOLD_SQL = (
+    "((('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+    " - CASE WHEN ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT"
+    " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+    " + ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),9,8))::BIGINT)")
+
+
+def q_cv_fold_assignment(spark, sf_dir):
+    """Deterministic hash-based cross-validation folds
+    (operators/stats_inference.hash_fold_assignment): every doc lands in
+    the md5-derived fold 0..4 — the same fold in ANY engine, no RNG
+    state — reported as the (fold, lang) balance grid an eval harness
+    checks before trusting per-fold metrics."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        hash_fold_assignment)
+
+    d = _docs(spark, sf_dir)
+    return (d.withColumn("fold", hash_fold_assignment(d, "doc_id",
+                                                      n_folds=5))
+            .groupBy("fold", "lang")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+SQL_CV_FOLD_ASSIGNMENT = f"""
+SELECT CAST((({_MD5_FOLD_SQL} % 5) + 5) % 5 AS BIGINT) AS fold,
+       lang, CAST(count(*) AS BIGINT) AS n
+FROM documents GROUP BY 1, 2
+"""
+
+
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman-optimal stratified-sample allocation over document sources
+    (operators/stats_inference.neyman_allocation): stratum h gets
+    n_h ∝ N_h * S_h of a 1000-doc budget (exact BIGINT moments →
+    bit-stable doubles; largest-remainder integerization with
+    deterministic ties) — the variance-minimizing sampling plan for a
+    quality-audit budget."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        neyman_allocation)
+
+    return neyman_allocation(_docs(spark, sf_dir), "source", "n_chars",
+                             total_n=1000)
+
+
+SQL_NEYMAN_ALLOCATION = """
+WITH m AS (
+  SELECT source AS stratum, count(*) AS nh,
+         sum(CAST(n_chars AS BIGINT)) AS s1,
+         sum(CAST(n_chars AS BIGINT) * CAST(n_chars AS BIGINT)) AS s2
+  FROM documents GROUP BY 1 HAVING count(*) >= 2
+), w AS (
+  SELECT stratum, nh,
+         sqrt((CAST(nh AS DOUBLE) * CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE))
+              / (CAST(nh AS DOUBLE) * (CAST(nh AS DOUBLE) - 1.0))) AS sh
+  FROM m
+), ww AS (SELECT *, CAST(nh AS DOUBLE) * sh AS wgt FROM w),
+t AS (
+  SELECT list_reduce(list_prepend(0.0, list(wgt ORDER BY stratum)),
+                     (a, b) -> a + b) AS tw
+  FROM ww
+), seats AS (
+  SELECT stratum, nh, sh, wgt / tw * 1000.0 AS seat FROM ww, t
+), base AS (
+  SELECT stratum, nh, sh, CAST(floor(seat) AS BIGINT) AS base,
+         seat - floor(seat) AS rem
+  FROM seats
+), short AS (SELECT 1000 - sum(base) AS k FROM base),
+rk AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, stratum ASC) AS r
+  FROM base
+)
+SELECT stratum, CAST(nh AS BIGINT) AS n_stratum,
+       round(sh, 6) AS s_h,
+       CAST(base + CASE WHEN r <= (SELECT k FROM short)
+                        THEN 1 ELSE 0 END AS BIGINT) AS alloc
+FROM rk
+"""
+
+
+def q_bootstrap_ci_mean(spark, sf_dir):
+    """Percentile bootstrap CI for mean order value via the POISSON
+    bootstrap (operators/stats_inference.poisson_bootstrap_ci): each
+    order enters replicate b Poisson(1)-many times, the count derived
+    from a cross-engine md5 hash of (orderkey, b) through the exact
+    inverse CDF — the distributed bootstrap (no resample shuffle, B=200
+    weighted aggregates of one scan), fully deterministic."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        poisson_bootstrap_ci)
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                 .alias("cents"), "o_orderkey"))
+    return poisson_bootstrap_ci(o, "cents", key_col="o_orderkey",
+                                n_replicates=200)
+
+
+_MD5_BOOT_SQL = (
+    "((('0x' || substr(md5(k),1,8))::BIGINT"
+    " - CASE WHEN ('0x' || substr(md5(k),1,8))::BIGINT"
+    " >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+    " + ('0x' || substr(md5(k),9,8))::BIGINT)")
+
+SQL_BOOTSTRAP_CI_MEAN = f"""
+WITH rows_ AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR) AS k,
+         b
+  FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b)
+), h AS (
+  SELECT v, b,
+         CAST({_MD5_BOOT_SQL} AS DOUBLE) / 18446744073709551616.0 + 0.5
+           AS u
+  FROM rows_
+), c AS (
+  SELECT v, b,
+    CASE WHEN u < 0.36787944117144233 THEN 0
+         WHEN u < 0.7357588823428847 THEN 1
+         WHEN u < 0.9196986029286058 THEN 2
+         WHEN u < 0.9810118431238462 THEN 3
+         WHEN u < 0.9963401531726563 THEN 4
+         WHEN u < 0.9994058151824183 THEN 5
+         WHEN u < 0.9999167588507119 THEN 6
+         WHEN u < 0.9999897508033253 THEN 7
+         WHEN u < 0.9999988885714516 THEN 8
+         ELSE 9 END AS c
+  FROM h
+), rep AS (
+  SELECT b, CAST(sum(c * v) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS m
+  FROM c GROUP BY b HAVING sum(c) > 0
+), rk AS (
+  SELECT m, row_number() OVER (ORDER BY m ASC, b ASC) AS r,
+         count(*) OVER () AS nrep
+  FROM rep
+), ci AS (
+  SELECT max(CASE WHEN r = 5 THEN m END) AS ci_lo,
+         max(CASE WHEN r = 195 THEN m END) AS ci_hi,
+         CAST(any_value(nrep) AS BIGINT) AS n_replicates
+  FROM rk
+), tot AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+              AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS mean
+  FROM orders
+)
+SELECT n_rows, n_replicates, mean, ci_lo, ci_hi FROM tot, ci
+"""
+
+
 def q_geo_goal_rings(spark, sf_dir):
     """Spatial predicates through the GOAL surface (builder.py geo
     functors — prolog-functors.lisp:929-954 parity), not
@@ -11183,6 +11405,11 @@ REGISTRY: dict[str, tuple] = {
                                 SQL_STATEFUL_RUNNING_TOTALS),
     "stateful_anomalies": (q_stateful_anomalies, SQL_STATEFUL_ANOMALIES),
     "geo_goal_rings": (q_geo_goal_rings, SQL_GEO_GOAL_RINGS),
+    "dq_expectation_audit": (q_dq_expectation_audit,
+                             SQL_DQ_EXPECTATION_AUDIT),
+    "cv_fold_assignment": (q_cv_fold_assignment, SQL_CV_FOLD_ASSIGNMENT),
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
+    "bootstrap_ci_mean": (q_bootstrap_ci_mean, SQL_BOOTSTRAP_CI_MEAN),
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
@@ -11198,8 +11425,11 @@ REGISTRY: dict[str, tuple] = {
 # staged at positions 51+ so round 7's rotation is a two-line swap:
 # front = _R7_QUEUE + re-confirm slots drawn from the oldest r1/r2 rows.
 _R6_FRONT = [
-    # round-6 NEW registrations: stateful-streaming faces + goal-path geo
+    # round-6 NEW registrations: stateful-streaming faces, goal-path geo,
+    # data-quality gate, CV folds, Neyman allocation, Poisson bootstrap
     "stateful_running_totals", "stateful_anomalies", "geo_goal_rings",
+    "dq_expectation_audit", "cv_fold_assignment", "neyman_allocation",
+    "bootstrap_ci_mean",
     # §2-mapped + engine features (5)
     "mvcc_revision_diff", "matview_rollup_answer", "result_cache_hit",
     "join_view_incremental", "graph_cc_incremental",
@@ -11219,12 +11449,13 @@ _R6_FRONT = [
     "multimodal_dims", "text_truncation_curve", "dedup_sampling_weights",
     "tokenizer_fertility", "dpo_preference_pairs", "shard_interleave_audit",
     "text_readability", "events_rolling_distinct",
-    # remaining never-sampled picks (6)
-    "order_lag_features", "ann_truncation_recall", "multimodal_phash_dedup",
-    "text_sparse_dot_pairs", "events_seasonality", "k_anonymity_audit",
+    # remaining never-sampled picks (2)
+    "order_lag_features", "ann_truncation_recall",
 ]
 
 _R7_QUEUE = [
+    "multimodal_phash_dedup", "text_sparse_dot_pairs",
+    "events_seasonality", "k_anonymity_audit",
     "graph_walk_census", "curation_v2", "sft_pairs",
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",

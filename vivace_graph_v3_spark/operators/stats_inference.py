@@ -42,6 +42,9 @@ __all__ = [
     "ipf_raking",
     "mantel_haenszel_or",
     "cronbach_alpha",
+    "poisson_bootstrap_ci",
+    "neyman_allocation",
+    "hash_fold_assignment",
 ]
 
 
@@ -587,3 +590,128 @@ def weighted_ticket_sample(df: DataFrame, key_col: str, weight_col: str,
                 F.first("weight").alias("weight")))
     return (pri.orderBy("priority", "key").limit(k)
             .select(F.col("key").alias(key_col), "weight", "priority"))
+
+
+def poisson_bootstrap_ci(df: DataFrame, value_col: str, *,
+                         n_replicates: int = 200,
+                         key_col: str | None = None,
+                         alpha: float = 0.05) -> DataFrame:
+    """Percentile bootstrap CI for the mean by the **Poisson bootstrap**
+    (Chamandy et al., "Estimating Uncertainty for Massive Data Streams",
+    Google 2012; Kleiner et al. BLB, 2014 discuss why classical
+    resampling does not distribute): each row enters replicate b
+    ``c ~ Poisson(1)`` times, with c derived from a cross-engine md5
+    hash of (key, b) through the exact inverse CDF — fully
+    deterministic, zero RNG state, and embarrassingly parallel: no
+    resample shuffle ever happens, each replicate is a weighted
+    aggregate of the same scan.
+
+    ``value_col`` must be integer-valued (cents discipline): replicate
+    sums then stay exact BIGINTs in both engines and the replicate means
+    (exact-int ratios) are bit-identical doubles. Returns one row:
+    (n_rows, n_replicates, mean, ci_lo, ci_hi) where the bounds are the
+    floor(alpha/2 * B)-th / (B - floor(alpha/2 * B))-th smallest
+    replicate means (ties broken by replicate id).
+
+    Scale shape: one scan fanned out x B (map-only explode of a
+    B-element sequence), map-side-combined to B rows; B is a constant
+    (default 200), never data-sized."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    key_col = key_col or value_col
+    b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b")
+    rows = df.select(F.col(value_col).cast("long").alias("v"),
+                     F.col(key_col).cast("string").alias("k"), b)
+    # u in [0, 1): signed-64 hash scaled into the unit interval with
+    # pure double ops (identical IEEE rounding in both engines)
+    u = (md5_hash64(F.concat(F.col("k"), F.lit("#"),
+                             F.col("b").cast("string")))
+         .cast("double") / F.lit(18446744073709551616.0) + F.lit(0.5))
+    # exact Poisson(1) inverse CDF (cumulative e^-1 * sum 1/j!), capped
+    # at 9 (P(X > 9) < 1.1e-7)
+    cdf = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+           0.9810118431238462, 0.9963401531726563, 0.9994058151824183,
+           0.9999167588507119, 0.9999897508033253, 0.9999988885714516]
+    c = F.lit(9)
+    for j in range(len(cdf) - 1, -1, -1):
+        c = F.when(u < F.lit(cdf[j]), F.lit(j)).otherwise(c)
+    rep = (rows.withColumn("c", c)
+           .groupBy("b")
+           .agg(F.sum(F.col("c") * F.col("v")).alias("s"),
+                F.sum("c").alias("n"))
+           .filter(F.col("n") > 0)
+           .select("b", (F.col("s").cast("double")
+                         / F.col("n").cast("double")).alias("m")))
+    w = Window.orderBy(F.col("m").asc(), F.col("b").asc())
+    ranked = rep.withColumn("r", F.row_number().over(w))
+    lo_r = max(int(alpha / 2 * n_replicates), 1)
+    hi_r = n_replicates - lo_r
+    base = df.agg(F.count(F.lit(1)).alias("n_rows"),
+                  F.sum(F.col(value_col).cast("long")).alias("s"))
+    return (base.crossJoin(
+        ranked.agg(
+            F.max(F.when(F.col("r") == lo_r, F.col("m"))).alias("ci_lo"),
+            F.max(F.when(F.col("r") == hi_r, F.col("m"))).alias("ci_hi"),
+            F.count(F.lit(1)).alias("n_replicates")))
+        .select(F.col("n_rows").cast("long").alias("n_rows"),
+                F.col("n_replicates").cast("long").alias("n_replicates"),
+                (F.col("s").cast("double") / F.col("n_rows").cast("double"))
+                .alias("mean"), "ci_lo", "ci_hi"))
+
+
+def neyman_allocation(df: DataFrame, stratum_col: str, value_col: str,
+                      total_n: int) -> DataFrame:
+    """Neyman-optimal stratified-sample allocation (Neyman 1934):
+    stratum h of size N_h with sample std S_h gets
+    n_h = total_n * N_h S_h / sum(N_h S_h) — the allocation minimizing
+    the stratified-mean variance at fixed budget. Fractional seats are
+    integerized by the largest-remainder rule (ties by stratum name),
+    so the result is a deterministic integer plan summing to total_n.
+
+    ``value_col`` must be integer-valued: variances come from exact
+    BIGINT moments (n*Σx² - (Σx)²), so shares are bit-identical
+    doubles cross-engine. One map-side-combined scan; everything after
+    is |strata| rows."""
+    m = (df.groupBy(F.col(stratum_col).alias("stratum"))
+         .agg(F.count(F.lit(1)).alias("nh"),
+              F.sum(F.col(value_col).cast("long")).alias("s1"),
+              F.sum(F.col(value_col).cast("long")
+                    * F.col(value_col).cast("long")).alias("s2"))
+         .filter(F.col("nh") >= 2))
+    sh = F.sqrt((F.col("nh").cast("double") * F.col("s2").cast("double")
+                 - F.col("s1").cast("double") * F.col("s1").cast("double"))
+                / (F.col("nh").cast("double")
+                   * (F.col("nh").cast("double") - 1.0)))
+    m = m.withColumn("w", F.col("nh").cast("double") * sh)
+    # sum over |strata| doubles is order-dependent in principle, so
+    # fold deterministically over the stratum-ordered array
+    tot = m.agg(F.aggregate(
+        F.array_sort(F.collect_list(F.struct("stratum", "w"))),
+        F.lit(0.0), lambda acc, x: acc + x["w"]).alias("tw"))
+    j = m.crossJoin(tot)
+    seats = F.col("w") / F.col("tw") * F.lit(float(total_n))
+    j = j.select("stratum", "nh", F.round(sh, 6).alias("s_h"),
+                 F.floor(seats).cast("long").alias("base"),
+                 (seats - F.floor(seats)).alias("rem"))
+    short = (j.agg((F.lit(total_n) - F.sum("base")).alias("k"))
+             .first()["k"])
+    w = Window.orderBy(F.col("rem").desc(), F.col("stratum").asc())
+    return (j.withColumn("rk", F.row_number().over(w))
+            .select("stratum", F.col("nh").cast("long").alias("n_stratum"),
+                    "s_h",
+                    (F.col("base")
+                     + F.when(F.col("rk") <= int(short), 1).otherwise(0))
+                    .cast("long").alias("alloc")))
+
+
+def hash_fold_assignment(df: DataFrame, key_col: str, *,
+                         n_folds: int = 5) -> Column:
+    """Deterministic cross-validation fold id for a row: the md5-derived
+    64-bit hash of the key, mod n_folds (non-negative). The same key
+    always lands in the same fold in any engine that can compute md5 —
+    the leakage-safe way to split grouped data (all rows of a key share
+    a fold by construction when keyed on the group id)."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    return F.pmod(md5_hash64(F.col(key_col).cast("string")),
+                  F.lit(n_folds)).cast("long")
