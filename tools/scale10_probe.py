@@ -134,7 +134,19 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "join_view_incremental", "kendall_tau", "kruskal_quantity",
           "spearman_rho", "source_jsd", "dedup_cross_source",
           "result_cache_hit", "doremi_mix_weights",
-          "embedding_covariance"]
+          "embedding_covariance",
+          # round-6 (session 6) ops: the stateful faces drain a real
+          # 4-micro-batch stream over 10x events at the 10x dir
+          # (ingest-time convention); geo rings are a map-only filter +
+          # haversine; the DQ audit is one map-side-combined aggregate
+          # per table + an FK anti-join; folds/Neyman reduce to
+          # fold-x-lang / strata grids; the Poisson bootstrap fans the
+          # scan x200 map-only into B-row aggregates; knn re-probed
+          # after the Arrow seed-scan fix
+          "stateful_running_totals", "stateful_anomalies",
+          "geo_goal_rings", "dq_expectation_audit", "cv_fold_assignment",
+          "neyman_allocation", "bootstrap_ci_mean",
+          "knn_label_propagation"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

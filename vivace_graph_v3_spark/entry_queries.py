@@ -10968,13 +10968,15 @@ _MD5_BOOT_SQL = (
 SQL_BOOTSTRAP_CI_MEAN = f"""
 WITH rows_ AS (
   SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
-         CAST(o_orderkey AS VARCHAR) || '#' || CAST(b AS VARCHAR) AS k,
+         ((({_MD5_BOOT_SQL.replace('md5(k)',
+                'md5(CAST(o_orderkey AS VARCHAR))')}) % 2147483647)
+          + 2147483647) % 2147483647 AS h0,
          b
   FROM orders CROSS JOIN (SELECT unnest(generate_series(0, 199)) AS b)
 ), h AS (
   SELECT v, b,
-         CAST({_MD5_BOOT_SQL} AS DOUBLE) / 18446744073709551616.0 + 0.5
-           AS u
+         CAST(((h0 * 48271 + b * 16807 + 12345) % 2147483647 * 69621
+               + 1013904223) % 2147483647 AS DOUBLE) / 2147483647.0 AS u
   FROM rows_
 ), c AS (
   SELECT v, b,
@@ -11009,6 +11011,171 @@ WITH rows_ AS (
   FROM orders
 )
 SELECT n_rows, n_replicates, mean, ci_lo, ci_hi FROM tot, ci
+"""
+
+
+def q_feature_woe_iv(spark, sf_dir):
+    """Weight of evidence / information value of the source feature
+    against the is-English label (operators/features.woe_iv, Siddiqi
+    2006): the scorecard-standard predictive-power report a feature
+    pipeline runs before admitting a categorical feature. One grid
+    aggregate; smoothed ln shares, 6-dp; fold-summed IV."""
+    from vivace_graph_v3_spark.operators.features import woe_iv
+
+    d = _docs(spark, sf_dir)
+    return woe_iv(d.select("source", (F.col("lang") == "en").alias("y")),
+                  "source", "y")
+
+
+SQL_FEATURE_WOE_IV = """
+WITH g AS (
+  SELECT source AS category,
+         sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS n_good,
+         sum(CASE WHEN lang = 'en' THEN 0 ELSE 1 END) AS n_bad
+  FROM documents GROUP BY 1
+), t AS (SELECT sum(n_good) AS tg, sum(n_bad) AS tb FROM g),
+w AS (
+  SELECT category, n_good, n_bad,
+         ln((CAST(n_good AS DOUBLE) + 0.5) / (CAST(tg AS DOUBLE) + 1.0))
+         - ln((CAST(n_bad AS DOUBLE) + 0.5) / (CAST(tb AS DOUBLE) + 1.0))
+           AS woe_raw,
+         (CAST(n_good AS DOUBLE) / CAST(tg AS DOUBLE)
+          - CAST(n_bad AS DOUBLE) / CAST(tb AS DOUBLE)) AS share_diff
+  FROM g, t
+), iv AS (
+  SELECT round(list_reduce(
+      list_prepend(0.0, list(share_diff * woe_raw ORDER BY category)),
+      (a, b) -> a + b), 6) AS iv_total
+  FROM w
+)
+SELECT category, CAST(n_good AS BIGINT) AS n_good,
+       CAST(n_bad AS BIGINT) AS n_bad,
+       round(woe_raw, 6) AS woe, iv_total
+FROM w, iv
+"""
+
+
+def q_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target encoding of return flag against quantity
+    (operators/features.target_encoding_loo, Micci-Barreca 2001): each
+    lineitem's encoding is the mean quantity of the OTHER rows of its
+    flag — the leakage-safe categorical encoder. Exact-int ratio per
+    row; one grid aggregate + broadcast-back join."""
+    from vivace_graph_v3_spark.operators.features import target_encoding_loo
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return target_encoding_loo(li, "l_returnflag", "l_quantity",
+                               ["l_orderkey", "l_linenumber"])
+
+
+SQL_TARGET_ENCODING_LOO = """
+WITH g AS (
+  SELECT l_returnflag AS c, sum(CAST(l_quantity AS BIGINT)) AS s,
+         count(*) AS n
+  FROM lineitem GROUP BY 1
+)
+SELECT l_orderkey, l_linenumber, l_returnflag,
+       CASE WHEN n > 1 THEN
+         CAST(s - CAST(l_quantity AS BIGINT) AS DOUBLE)
+         / CAST(n - 1 AS DOUBLE) END AS encoding
+FROM lineitem JOIN g ON l_returnflag = g.c
+"""
+
+
+def q_decision_stump_split(spark, sf_dir):
+    """Best single Gini split of order value against the is-finished
+    label (operators/features.decision_stump_split — CART's root step,
+    Breiman 1984): candidate thresholds are the distinct cents values;
+    the winning (threshold, leaf sizes, weighted Gini) row. Grid cumsum
+    + TakeOrdered argmin; ties to the smallest threshold."""
+    from vivace_graph_v3_spark.operators.features import (
+        decision_stump_split)
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")
+                 .alias("cents"),
+                 (F.col("o_orderstatus") == "F").alias("y")))
+    return decision_stump_split(o, "cents", "y")
+
+
+SQL_DECISION_STUMP_SPLIT = """
+WITH grid AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS v,
+         count(*) AS n,
+         sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS np
+  FROM orders GROUP BY 1
+), t AS (SELECT sum(n) AS nt, sum(np) AS pt FROM grid),
+c AS (
+  SELECT v, sum(n) OVER w AS nl, sum(np) OVER w AS pl, nt, pt
+  FROM grid, t
+  WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW)
+), s AS (
+  SELECT v, nl, nt - nl AS nr, pl, pt - pl AS pr,
+         (CAST(nl AS DOUBLE) *
+            (1.0 - (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   * (CAST(pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                 - (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE))
+                   * (CAST(nl - pl AS DOUBLE) / CAST(nl AS DOUBLE)))
+          + CAST(nt - nl AS DOUBLE) *
+            (1.0 - (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                   * (CAST(pt - pl AS DOUBLE) / CAST(nt - nl AS DOUBLE))
+                 - (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                    / CAST(nt - nl AS DOUBLE))
+                   * (CAST((nt - nl) - (pt - pl) AS DOUBLE)
+                      / CAST(nt - nl AS DOUBLE))))
+         / CAST(nt AS DOUBLE) AS gini
+  FROM c WHERE nl >= 1 AND nt - nl >= 1
+)
+SELECT v AS threshold, CAST(nl AS BIGINT) AS n_left,
+       CAST(nr AS BIGINT) AS n_right, CAST(pl AS BIGINT) AS n_pos_left,
+       CAST(pr AS BIGINT) AS n_pos_right, round(gini, 6) AS gini
+FROM s ORDER BY gini ASC, threshold ASC LIMIT 1
+"""
+
+
+def q_embedding_isotropy(spark, sf_dir):
+    """Isotropy of the embedding space
+    (pipeline/similarity.embedding_isotropy — Mu & Viswanath 2018,
+    Ethayarajh 2019): the norm of the mean unit vector; near 0 =
+    isotropic, large = a dominant common direction (cosine saturation).
+    One pass to dims-bounded decimal state."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        embedding_isotropy)
+
+    return embedding_isotropy(_emb(spark, sf_dir))
+
+
+SQL_EMBEDDING_ISOTROPY = """
+WITH rows_ AS (
+  SELECT vec_id,
+         sqrt(list_reduce(list_prepend(0.0, list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))),
+              (a, b) -> a + b)) AS nrm,
+         embedding
+  FROM embeddings
+), u AS (
+  SELECT vec_id, j AS dim,
+         CAST(embedding[j + 1] AS DOUBLE) / nrm AS ux
+  FROM rows_ CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS j)
+), sums AS (
+  SELECT dim, sum(CAST(ux AS DECIMAL(38,12))) AS s, count(*) AS c
+  FROM u GROUP BY dim
+), means AS (
+  SELECT dim, CAST(s AS DOUBLE) / CAST(c AS DOUBLE) AS m FROM sums
+), fold AS (
+  SELECT round(sqrt(list_reduce(
+      list_prepend(0.0, list(m * m ORDER BY dim)),
+      (a, b) -> a + b)), 6) AS mean_unit_norm
+  FROM means
+), t AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_vectors,
+         CAST(max(len(embedding)) AS BIGINT) AS dims
+  FROM embeddings
+)
+SELECT n_vectors, dims, mean_unit_norm,
+       round(1.0 - mean_unit_norm, 6) AS isotropy
+FROM t, fold
 """
 
 
@@ -11410,6 +11577,12 @@ REGISTRY: dict[str, tuple] = {
     "cv_fold_assignment": (q_cv_fold_assignment, SQL_CV_FOLD_ASSIGNMENT),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "bootstrap_ci_mean": (q_bootstrap_ci_mean, SQL_BOOTSTRAP_CI_MEAN),
+    "feature_woe_iv": (q_feature_woe_iv, SQL_FEATURE_WOE_IV),
+    "target_encoding_loo": (q_target_encoding_loo,
+                            SQL_TARGET_ENCODING_LOO),
+    "decision_stump_split": (q_decision_stump_split,
+                             SQL_DECISION_STUMP_SPLIT),
+    "embedding_isotropy": (q_embedding_isotropy, SQL_EMBEDDING_ISOTROPY),
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
@@ -11429,7 +11602,8 @@ _R6_FRONT = [
     # data-quality gate, CV folds, Neyman allocation, Poisson bootstrap
     "stateful_running_totals", "stateful_anomalies", "geo_goal_rings",
     "dq_expectation_audit", "cv_fold_assignment", "neyman_allocation",
-    "bootstrap_ci_mean",
+    "bootstrap_ci_mean", "feature_woe_iv", "target_encoding_loo",
+    "decision_stump_split", "embedding_isotropy",
     # §2-mapped + engine features (5)
     "mvcc_revision_diff", "matview_rollup_answer", "result_cache_hit",
     "join_view_incremental", "graph_cc_incremental",
@@ -11448,12 +11622,11 @@ _R6_FRONT = [
     "graph_eccentricity", "graph_modularity", "embedding_pair_cosine",
     "multimodal_dims", "text_truncation_curve", "dedup_sampling_weights",
     "tokenizer_fertility", "dpo_preference_pairs", "shard_interleave_audit",
-    "text_readability", "events_rolling_distinct",
-    # remaining never-sampled picks (2)
-    "order_lag_features", "ann_truncation_recall",
 ]
 
 _R7_QUEUE = [
+    "text_readability", "events_rolling_distinct",
+    "order_lag_features", "ann_truncation_recall",
     "multimodal_phash_dedup", "text_sparse_dot_pairs",
     "events_seasonality", "k_anonymity_audit",
     "graph_walk_census", "curation_v2", "sft_pairs",

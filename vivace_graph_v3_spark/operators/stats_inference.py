@@ -619,14 +619,25 @@ def poisson_bootstrap_ci(df: DataFrame, value_col: str, *,
     from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
 
     key_col = key_col or value_col
+    # ONE md5 per ROW (the expensive primitive), then a cheap
+    # overflow-safe Lehmer double-round mix per (row, replicate):
+    # md5 per (row, b) measured 33 s at sf0.1 (30M digests); the integer
+    # mix is codegen'd multiply-mod arithmetic, identical in DuckDB.
+    m_prime = 2147483647  # 2^31 - 1: products stay < 2^48, no overflow
+    h0 = F.pmod(md5_hash64(F.col(key_col).cast("string")),
+                F.lit(m_prime))
     b = F.explode(F.sequence(F.lit(0), F.lit(n_replicates - 1))).alias("b")
-    rows = df.select(F.col(value_col).cast("long").alias("v"),
-                     F.col(key_col).cast("string").alias("k"), b)
-    # u in [0, 1): signed-64 hash scaled into the unit interval with
-    # pure double ops (identical IEEE rounding in both engines)
-    u = (md5_hash64(F.concat(F.col("k"), F.lit("#"),
-                             F.col("b").cast("string")))
-         .cast("double") / F.lit(18446744073709551616.0) + F.lit(0.5))
+    # h0 MUST be projected in its own select below the explode: with
+    # both in one select, Catalyst inlines the md5 expression above the
+    # Generate and recomputes it per (row, replicate) — measured 29 s
+    # vs 1.2 s at sf0.1 for the two-step shape
+    rows = (df.select(F.col(value_col).cast("long").alias("v"),
+                      h0.alias("h0"))
+            .select("v", "h0", b))
+    x1 = F.pmod(F.col("h0") * F.lit(48271)
+                + F.col("b") * F.lit(16807) + F.lit(12345), F.lit(m_prime))
+    x2 = F.pmod(x1 * F.lit(69621) + F.lit(1013904223), F.lit(m_prime))
+    u = x2.cast("double") / F.lit(float(m_prime))
     # exact Poisson(1) inverse CDF (cumulative e^-1 * sum 1/j!), capped
     # at 9 (P(X > 9) < 1.1e-7)
     cdf = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,

@@ -826,3 +826,46 @@ def pair_cosine_audit(emb: DataFrame, *, strides: tuple = (1, 8, 64),
             .select("stride", "vec_id",
                     F.round(cosine(F.col("va"), F.col("vb")), 6)
                     .alias("cos")))
+
+
+def embedding_isotropy(emb: DataFrame, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id") -> DataFrame:
+    """Isotropy diagnostic of an embedding space (Ethayarajh 2019;
+    Mu & Viswanath 2018 'All-but-the-Top'): the norm of the mean UNIT
+    vector. Isotropic spaces have mean-unit-norm near 0; a large value
+    marks a dominant common direction (the usual cause of cosine
+    saturation and poor retrieval contrast). Returns one row:
+    (n_vectors, dims, mean_unit_norm, isotropy = 1 - mean_unit_norm).
+
+    Exactness: per-row norms are the cosine fold (left fold of squared
+    elements, sqrt); unit components accumulate per dim in
+    DECIMAL(38,12) (order-free); the closing norm folds the dims-bounded
+    mean table in dim order. Scale: ONE corpus pass to dims-bounded
+    state."""
+    exploded = (emb.select(F.col(id_col).alias("id"),
+                           F.posexplode(F.col(vec_col)).alias("dim", "x"),
+                           F.col(vec_col).alias("v")))
+    norm = F.sqrt(F.aggregate(
+        F.col("v"), F.lit(0.0),
+        lambda acc, e: acc + e.cast("double") * e.cast("double")))
+    unit = (exploded
+            .select("id", "dim",
+                    (F.col("x").cast("double") / norm).alias("u")))
+    sums = (unit.groupBy("dim")
+            .agg(F.sum(F.col("u").cast("decimal(38,12)")).alias("s"),
+                 F.count(F.lit(1)).alias("c")))
+    means = sums.select("dim", (F.col("s").cast("double")
+                                / F.col("c").cast("double")).alias("m"))
+    n = emb.agg(F.count(F.lit(1)).alias("n_vectors"),
+                F.max(F.size(F.col(vec_col))).alias("dims"))
+    fold = F.sqrt(F.aggregate(F.col("ms"), F.lit(0.0),
+                              lambda acc, s: acc + s["m"] * s["m"]))
+    mean_norm = (means.agg(F.sort_array(
+        F.collect_list(F.struct("dim", "m"))).alias("ms"))
+        .select(F.round(fold, 6).alias("mean_unit_norm")))
+    return (n.crossJoin(mean_norm)
+            .select(F.col("n_vectors").cast("long").alias("n_vectors"),
+                    F.col("dims").cast("long").alias("dims"),
+                    "mean_unit_norm",
+                    F.round(F.lit(1.0) - F.col("mean_unit_norm"), 6)
+                    .alias("isotropy")))
