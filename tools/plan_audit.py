@@ -100,6 +100,11 @@ AUDITED = [
     "quantile_normalize_lengths", "wilcoxon_order_growth", "ipf_raking",
     "mantel_haenszel_or", "cronbach_alpha_events",
     "matview_rollup_answer",
+    # round-6 (session 6) additions
+    "stateful_running_totals", "stateful_anomalies", "geo_goal_rings",
+    "dq_expectation_audit", "cv_fold_assignment", "neyman_allocation",
+    "bootstrap_ci_mean", "feature_woe_iv", "target_encoding_loo",
+    "decision_stump_split", "embedding_isotropy",
 ]
 
 
