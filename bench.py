@@ -71,10 +71,10 @@ BENCH_QUERIES = [
     "span_corruption",
     "multimodal_audio",
     "decontaminated_split",
-    "customer_rfm",
-    "events_wow_change",
-    "events_dau_mau",
-    "revenue_pareto",
+    # (customer_rfm / events_wow_change / events_dau_mau / revenue_pareto
+    # rotated out in session 6 to fund the three additions below within
+    # the driver's stdout-tail budget — all four remain timed in
+    # SCALING.md's probe tables and stay oracle-checked in the registry)
     "entity_fuzzy_pairs",
     "text_boilerplate",
     "dedup_containment",
@@ -100,6 +100,12 @@ BENCH_QUERIES = [
     "classifier_auc",
     "encoding_stats",
     "order_backlog_depth",
+    # session-6 representatives: the knn fix (16.3 -> ~2 s, Arrow seed
+    # scan), the DQ gate, and the Poisson bootstrap (all short names —
+    # stdout-tail budget; the rest of the batch is in the probe table)
+    "knn_label_propagation",
+    "dq_expectation_audit",
+    "bootstrap_ci_mean",
 ]
 
 
