@@ -10722,6 +10722,19 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
         shutil.rmtree(os.path.join(stage, name, "_spark_metadata"))
         shutil.rmtree(os.path.join(stage, f"ck_{name}"),
                       ignore_errors=True)
+    # completeness gate before the artifact goes live: the drain's stop
+    # can in principle race a final batch commit under heavy host load —
+    # never publish a partial artifact (the next call rebuilds instead)
+    n_events = ev.count()
+    tot = spark.read.parquet(os.path.join(stage, "totals"))
+    got_n = (tot.filter(~F.col("final")).groupBy("key").agg(F.max("n"))
+             .agg(F.sum("max(n)")).first()[0])
+    anom_n = spark.read.parquet(os.path.join(stage, "anomalies")).count()
+    if got_n != n_events or anom_n != n_events:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError(
+            f"stateful stream drain incomplete: totals covered {got_n} "
+            f"and anomalies {anom_n} of {n_events} events — rebuild")
     try:
         os.rename(stage, path)
     except OSError:  # concurrent builder won: use theirs
