@@ -199,6 +199,7 @@ _PARAM_VALUES_ORACLES = {
     "retrieval_ndcg",            # rank-discount grid
     "bloom_filter_audit",        # bloom hash constants
     "bloom_dedup_ingest",        # bloom hash constants
+    "graph_rich_club",           # degree-threshold grid (2/4/8/16)
 }
 
 

@@ -96,3 +96,104 @@ def test_isotropy_of_orthonormal_basis(spark):
         "vec_id long, embedding array<float>")
     r2 = embedding_isotropy(aligned).first()
     assert r2["mean_unit_norm"] == 1.0 and r2["isotropy"] == 0.0
+
+
+class TestRichClub:
+    def test_complete_core_with_pendant_leaves(self, spark):
+        """K4 among a,b,c,d plus 5 leaves on a. Degrees: a=8, b=c=d=3,
+        leaves=1. Club(k=2) = {a,b,c,d} -> 6 edges, phi = 1.0 (K4 fully
+        connected); club(k=3) = {a} -> phi undefined."""
+        from tests.test_graph_algorithms import _graph
+        from vivace_graph_v3_spark.operators.graph_algorithms import (
+            rich_club_coefficient)
+
+        core = ["a", "b", "c", "d"]
+        vertices = core + [f"l{i}" for i in range(5)]
+        edges = [(x, y, 1) for xi, x in enumerate(core)
+                 for y in core[xi + 1:]] + \
+                [("a", f"l{i}", 1) for i in range(5)]
+        g = _graph(spark, vertices, edges)
+        out = {r["k"]: r for r in
+               rich_club_coefficient(g, [2, 3]).collect()}
+        assert out[2]["n_club"] == 4 and out[2]["n_club_edges"] == 6
+        assert out[2]["phi_ppm"] == 1_000_000
+        assert out[3]["n_club"] == 1 and out[3]["phi_ppm"] is None
+
+
+class TestCuped:
+    def test_perfect_covariate_kills_variance(self, spark):
+        """post = pre exactly: theta = 1, adjusted means equal the grand
+        mean of post in every arm, var_ratio = 0."""
+        from vivace_graph_v3_spark.operators.product_analytics import (
+            cuped_adjusted_report)
+
+        rows = [(i % 2, 100 + i * 7, 100 + i * 7) for i in range(200)]
+        df = spark.createDataFrame(rows, "arm int, pre long, post long")
+        out = {r["arm"]: r for r in cuped_adjusted_report(df).collect()}
+        grand = sum(100 + i * 7 for i in range(200)) / 200
+        for arm in (0, 1):
+            assert abs(out[arm]["theta"] - 1.0) < 1e-9
+            assert abs(out[arm]["cuped_mean"] - round(grand, 6)) < 1e-6
+            assert abs(out[arm]["var_ratio"]) < 1e-9
+
+    def test_useless_covariate_changes_nothing(self, spark):
+        """pre constant-ish orthogonal to post: theta ~ 0, adjusted mean
+        ~ raw mean."""
+        from vivace_graph_v3_spark.operators.product_analytics import (
+            cuped_adjusted_report)
+
+        # pre cycles with period 8, post with period 4: every (post
+        # class, pre value) combination appears equally often, so
+        # cov(pre, post) = 0 exactly -> theta = 0 -> no adjustment
+        rows = [(i % 2, (i // 4) % 2, [10, 20, 30, 40][i % 4])
+                for i in range(400)]
+        df = spark.createDataFrame(rows, "arm int, pre long, post long")
+        out = cuped_adjusted_report(df).collect()
+        for r in out:
+            assert r["theta"] == 0.0
+            assert r["cuped_mean"] == r["raw_mean"]
+
+
+class TestChecksumManifest:
+    def test_partition_and_order_invariant(self, spark):
+        from vivace_graph_v3_spark.operators.integrity import (
+            replica_checksum_manifest)
+
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "k long, v string")
+        a = sorted(map(tuple, replica_checksum_manifest(
+            df, "k", ["k", "v"], n_buckets=8).collect()))
+        b = sorted(map(tuple, replica_checksum_manifest(
+            df.repartition(13).sortWithinPartitions("v"), "k", ["k", "v"],
+            n_buckets=8).collect()))
+        assert a == b and len(a) == 8
+
+    def test_detects_single_cell_divergence(self, spark):
+        from pyspark.sql import functions as F
+
+        from vivace_graph_v3_spark.operators.integrity import (
+            replica_checksum_manifest)
+
+        df = spark.createDataFrame(
+            [(i, f"v{i}") for i in range(1000)], "k long, v string")
+        tampered = df.withColumn(
+            "v", F.when(F.col("k") == 537, "vX").otherwise(F.col("v")))
+        a = {r["bucket"]: r["checksum"] for r in
+             replica_checksum_manifest(df, "k", ["k", "v"]).collect()}
+        b = {r["bucket"]: r["checksum"] for r in
+             replica_checksum_manifest(tampered, "k", ["k", "v"]).collect()}
+        diff = [k for k in a if a[k] != b[k]]
+        assert diff == [537 % 64]
+
+
+def test_split_leakage_by_group_is_zero_by_row_is_not(spark):
+    from vivace_graph_v3_spark.operators.quality import split_leakage_audit
+
+    rows = [(i, i % 40) for i in range(2000)]  # 40 groups x 50 rows
+    df = spark.createDataFrame(rows, "row_id long, grp long")
+    out = {r["scheme"]: r for r in
+           split_leakage_audit(df, "grp", "row_id").collect()}
+    assert out["by_group"]["n_leaky_groups"] == 0
+    assert out["by_row"]["n_leaky_groups"] > 30  # 50 rows/group, 3 folds
+    assert out["by_group"]["n_rows"] == out["by_row"]["n_rows"] == 2000
+    assert out["by_group"]["n_groups"] == 40

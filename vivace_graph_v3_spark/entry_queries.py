@@ -11192,6 +11192,231 @@ FROM t, fold
 """
 
 
+def _md5_hash64_sql(expr: str) -> str:
+    """DuckDB twin of pipeline.dedup.md5_hash64 over an arbitrary SQL
+    string expression."""
+    e = f"md5({expr})"
+    return (f"((('0x' || substr({e},1,8))::BIGINT"
+            f" - CASE WHEN ('0x' || substr({e},1,8))::BIGINT"
+            f" >= 2147483648 THEN 4294967296 ELSE 0 END) * 4294967296"
+            f" + ('0x' || substr({e},9,8))::BIGINT)")
+
+
+def q_graph_rich_club(spark, sf_dir):
+    """Rich-club coefficient curve over the F6 graph
+    (operators/graph_algorithms.rich_club_coefficient, Zhou & Mondragon
+    2004): density among vertices of degree > k for k in {2,4,8,16} —
+    do the hubs wire to each other? Canonical-edge dedup + one degree
+    aggregate + constant-grid club joins; exact integer-ppm density."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        rich_club_coefficient)
+
+    g = load_tpch_graph(spark, sf_dir)
+    return rich_club_coefficient(g, [2, 4, 8, 16])
+
+
+SQL_GRAPH_RICH_CLUB = (
+    f"WITH base AS ({_F6_EDGES_SQL}),"
+    + """
+canon AS MATERIALIZED (
+  SELECT least(src, dst) AS a, greatest(src, dst) AS b
+  FROM base WHERE src <> dst GROUP BY 1, 2
+), deg AS MATERIALIZED (
+  SELECT v, count(*) AS deg FROM (
+    SELECT a AS v FROM canon UNION ALL SELECT b FROM canon)
+  GROUP BY v
+), ks(k) AS (VALUES (2), (4), (8), (16)),
+-- MATERIALIZED: with inlined CTEs DuckDB's planner re-derives club
+-- per reference and the three-way join never finishes at sf0.01
+club AS MATERIALIZED (SELECT k, v FROM deg, ks WHERE deg > k),
+sizes AS (SELECT k, count(*) AS n_club FROM club GROUP BY k),
+ce AS (
+  SELECT ca.k, count(*) AS n_club_edges
+  FROM canon JOIN club ca ON canon.a = ca.v
+             JOIN club cb ON canon.b = cb.v AND ca.k = cb.k
+  GROUP BY ca.k
+)
+SELECT CAST(k AS BIGINT) AS k, CAST(n_club AS BIGINT) AS n_club,
+       CAST(coalesce(n_club_edges, 0) AS BIGINT) AS n_club_edges,
+       CAST(CASE WHEN n_club >= 2 THEN
+            2 * coalesce(n_club_edges, 0) * 1000000
+            // (n_club * (n_club - 1)) END AS BIGINT) AS phi_ppm
+FROM sizes LEFT JOIN ce USING (k)
+""")
+
+
+def q_ab_cuped_report(spark, sf_dir):
+    """CUPED variance-reduced A/B report
+    (operators/product_analytics.cuped_adjusted_report — Deng, Xu,
+    Kohavi & Walker, WSDM 2013): customers hash into two arms; the 1996
+    spend metric is adjusted by the 1995 pre-period covariate with
+    theta from pooled exact integer moments. Per-arm adjusted means are
+    linear in exact sums — no per-row float accumulation anywhere."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        cuped_adjusted_report)
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    spend = (o.groupBy("o_custkey")
+             .agg(F.sum(F.when(F.year("o_orderdate") == 1995,
+                               F.floor(F.col("o_totalprice") * 100 + 0.5)
+                               .cast("long")).otherwise(0)).alias("pre"),
+                  F.sum(F.when(F.year("o_orderdate") == 1996,
+                               F.floor(F.col("o_totalprice") * 100 + 0.5)
+                               .cast("long")).otherwise(0)).alias("post")))
+    units = (c.select("c_custkey")
+             .join(spend, c["c_custkey"] == spend["o_custkey"], "left")
+             .select("c_custkey",
+                     F.coalesce("pre", F.lit(0)).alias("pre"),
+                     F.coalesce("post", F.lit(0)).alias("post"))
+             .withColumn("arm", F.pmod(md5_hash64(
+                 F.concat(F.lit("cuped#"),
+                          F.col("c_custkey").cast("string"))), F.lit(2))
+                 .cast("long")))
+    return cuped_adjusted_report(units)
+
+
+SQL_AB_CUPED_REPORT = f"""
+WITH spend AS (
+  SELECT o_custkey,
+         sum(CASE WHEN year(o_orderdate) = 1995 THEN
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             ELSE 0 END) AS pre,
+         sum(CASE WHEN year(o_orderdate) = 1996 THEN
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+             ELSE 0 END) AS post
+  FROM orders GROUP BY 1
+), units AS (
+  SELECT c_custkey, coalesce(pre, 0) AS pre, coalesce(post, 0) AS post,
+         (({_md5_hash64_sql("'cuped#' || CAST(c_custkey AS VARCHAR)")}
+           % 2) + 2) % 2 AS arm
+  FROM customer LEFT JOIN spend ON o_custkey = c_custkey
+), m AS (
+  SELECT count(*) AS n, sum(pre) AS sx, sum(post) AS sy,
+         sum(pre * pre) AS sxx, sum(pre * post) AS sxy,
+         sum(post * post) AS syy
+  FROM units
+), k AS (
+  SELECT
+    (CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+     - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+       * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+    / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+       - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+         * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS theta,
+    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS grand_mean_pre,
+    1.0 - ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+            - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+              * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+           / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+          * ((CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+              - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)))
+             / (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+                - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+                  * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))))
+          * (CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)))
+          / (CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+             - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+               * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))) AS var_ratio
+  FROM m
+), arms AS (
+  SELECT arm, count(*) AS n_units, sum(pre) AS ax, sum(post) AS ay
+  FROM units GROUP BY arm
+)
+SELECT arm, CAST(n_units AS BIGINT) AS n_units,
+       round(CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE), 6)
+         AS raw_mean,
+       round(CAST(ay AS DOUBLE) / CAST(n_units AS DOUBLE)
+             - theta * (CAST(ax AS DOUBLE) / CAST(n_units AS DOUBLE)
+                        - grand_mean_pre), 6) AS cuped_mean,
+       round(theta, 6) AS theta, round(var_ratio, 6) AS var_ratio
+FROM arms, k
+"""
+
+
+def q_replica_checksum_manifest(spark, sf_dir):
+    """Order-free replica checksum manifest over orders
+    (operators/integrity.replica_checksum_manifest): per-bucket BIT-XOR
+    of cross-engine row hashes — any engine, any partitioning, any row
+    order yields the identical 64-row manifest, so replica divergence
+    is a 64-row compare instead of a full diff (the logical-layer
+    companion of check-data-integrity + the replication stream)."""
+    from vivace_graph_v3_spark.operators.integrity import (
+        replica_checksum_manifest)
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .withColumn("cents", F.floor(F.col("o_totalprice") * 100 + 0.5)
+                     .cast("long")))
+    return replica_checksum_manifest(
+        o, "o_orderkey",
+        ["o_orderkey", "o_custkey", "o_orderstatus", "cents",
+         "o_orderdate"])
+
+
+SQL_REPLICA_CHECKSUM_MANIFEST = f"""
+WITH r AS (
+  SELECT o_orderkey % 64 AS bucket,
+         {_md5_hash64_sql(
+             "CAST(o_orderkey AS VARCHAR) || '|' || "
+             "CAST(o_custkey AS VARCHAR) || '|' || o_orderstatus || '|' "
+             "|| CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) "
+             "AS VARCHAR) || '|' || CAST(o_orderdate AS VARCHAR)")} AS h
+  FROM orders
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor(h) AS BIGINT) AS checksum
+FROM r GROUP BY bucket
+"""
+
+
+def q_split_leakage_audit(spark, sf_dir):
+    """Group-leakage audit of train/val/test splitting
+    (operators/quality.split_leakage_audit): hashing orders into 3
+    folds by CUSTOMER keeps every customer inside one split (leakage 0
+    by construction); hashing by ORDER scatters customers across splits
+    — the eval-contamination bug the audit quantifies before any model
+    sees the data."""
+    from vivace_graph_v3_spark.operators.quality import (
+        split_leakage_audit)
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return split_leakage_audit(o, "o_custkey", "o_orderkey")
+
+
+def _fold3_sql(expr: str) -> str:
+    h = _md5_hash64_sql(f"CAST({expr} AS VARCHAR)")
+    return f"((({h}) % 3) + 3) % 3"
+
+
+SQL_SPLIT_LEAKAGE_AUDIT = f"""
+WITH bg AS (
+  SELECT o_custkey AS g, count(*) AS n,
+         count(DISTINCT {_fold3_sql('o_custkey')}) AS d
+  FROM orders GROUP BY 1
+), br AS (
+  SELECT o_custkey AS g, count(*) AS n,
+         count(DISTINCT {_fold3_sql('o_orderkey')}) AS d
+  FROM orders GROUP BY 1
+)
+SELECT 'by_group' AS scheme, CAST(sum(n) AS BIGINT) AS n_rows,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_leaky_groups
+FROM bg
+UNION ALL
+SELECT 'by_row', CAST(sum(n) AS BIGINT), CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+FROM br
+"""
+
+
 def q_geo_goal_rings(spark, sf_dir):
     """Spatial predicates through the GOAL surface (builder.py geo
     functors — prolog-functors.lisp:929-954 parity), not
@@ -11596,6 +11821,12 @@ REGISTRY: dict[str, tuple] = {
     "decision_stump_split": (q_decision_stump_split,
                              SQL_DECISION_STUMP_SPLIT),
     "embedding_isotropy": (q_embedding_isotropy, SQL_EMBEDDING_ISOTROPY),
+    "graph_rich_club": (q_graph_rich_club, SQL_GRAPH_RICH_CLUB),
+    "ab_cuped_report": (q_ab_cuped_report, SQL_AB_CUPED_REPORT),
+    "replica_checksum_manifest": (q_replica_checksum_manifest,
+                                  SQL_REPLICA_CHECKSUM_MANIFEST),
+    "split_leakage_audit": (q_split_leakage_audit,
+                            SQL_SPLIT_LEAKAGE_AUDIT),
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
@@ -11616,7 +11847,8 @@ _R6_FRONT = [
     "stateful_running_totals", "stateful_anomalies", "geo_goal_rings",
     "dq_expectation_audit", "cv_fold_assignment", "neyman_allocation",
     "bootstrap_ci_mean", "feature_woe_iv", "target_encoding_loo",
-    "decision_stump_split", "embedding_isotropy",
+    "decision_stump_split", "embedding_isotropy", "graph_rich_club",
+    "ab_cuped_report", "replica_checksum_manifest", "split_leakage_audit",
     # §2-mapped + engine features (5)
     "mvcc_revision_diff", "matview_rollup_answer", "result_cache_hit",
     "join_view_incremental", "graph_cc_incremental",
@@ -11631,13 +11863,14 @@ _R6_FRONT = [
     "boxplot_chars", "customer_spend_deciles", "orders_global_rank",
     "allen_census", "delete_cascade_audit", "source_jsd",
     "dedup_cross_source", "doremi_mix_weights", "embedding_covariance",
-    # graph / embedding / pipeline (11)
+    # graph / embedding / pipeline
     "graph_eccentricity", "graph_modularity", "embedding_pair_cosine",
-    "multimodal_dims", "text_truncation_curve", "dedup_sampling_weights",
-    "tokenizer_fertility", "dpo_preference_pairs", "shard_interleave_audit",
+    "multimodal_dims", "text_truncation_curve",
 ]
 
 _R7_QUEUE = [
+    "dedup_sampling_weights", "tokenizer_fertility",
+    "dpo_preference_pairs", "shard_interleave_audit",
     "text_readability", "events_rolling_distinct",
     "order_lag_features", "ann_truncation_recall",
     "multimodal_phash_dedup", "text_sparse_dot_pairs",

@@ -1033,3 +1033,44 @@ def landmark_eccentricity(graph: GraphStore, landmarks: list[str], *,
                 F.max("dist").cast("long").alias("ecc")))
     w = Window.partitionBy(F.lit(1))  # landmark-domain-bounded (k rows)
     return agg.withColumn("diameter_lb", F.max("ecc").over(w))
+
+
+def rich_club_coefficient(graph: GraphStore, thresholds: list[int],
+                          *, edge_type: str | None = None) -> DataFrame:
+    """Rich-club coefficient phi(k) (Zhou & Mondragon 2004; Colizza et
+    al. 2006 normalization is a null-model concern left to the caller):
+    among the n_k vertices of degree > k, phi(k) = 2 E_k / (n_k (n_k-1))
+    where E_k counts the simple undirected edges with BOTH endpoints in
+    the club. Returns one row per threshold:
+    (k, n_club, n_club_edges, phi_ppm) with exact integer-ppm density.
+
+    Scale shape: one canonical-edge dedup, one vertex-bounded degree
+    aggregate, then per-threshold broadcast-joined club filters — the
+    threshold grid is a constant, never data-sized."""
+    e = _edge_pairs(graph, edge_type)
+    canon = (e.select(F.least("src", "dst").alias("a"),
+                      F.greatest("src", "dst").alias("b"))
+             .filter(F.col("a") != F.col("b"))
+             .dropDuplicates())
+    deg = (canon.select(F.col("a").alias("v"))
+           .unionByName(canon.select(F.col("b").alias("v")))
+           .groupBy("v").agg(F.count(F.lit(1)).alias("deg")))
+    ks = F.explode(F.array(*[F.lit(int(k)) for k in thresholds])).alias("k")
+    club = deg.select("v", "deg").crossJoin(deg.sparkSession.range(1)
+                                            .select(ks)).filter(
+        F.col("deg") > F.col("k")).select("k", "v")
+    sizes = club.groupBy("k").agg(F.count(F.lit(1)).alias("n_club"))
+    ce = (canon.join(club.withColumnRenamed("v", "a"), "a")
+          .join(club.withColumnRenamed("v", "b"), ["k", "b"])
+          .groupBy("k").agg(F.count(F.lit(1)).alias("n_club_edges")))
+    out = (sizes.join(ce, "k", "left")
+           .select(F.col("k").cast("long").alias("k"),
+                   F.col("n_club").cast("long").alias("n_club"),
+                   F.coalesce("n_club_edges", F.lit(0)).cast("long")
+                   .alias("n_club_edges")))
+    # floor(exact-double division) == BIGINT // here: numerator <= 2e11
+    phi = F.when(F.col("n_club") >= 2, F.floor(
+        (F.lit(2) * F.col("n_club_edges") * F.lit(1_000_000))
+        .cast("double") / (F.col("n_club")
+                           * (F.col("n_club") - 1)).cast("double")))
+    return out.withColumn("phi_ppm", phi.cast("long"))

@@ -765,3 +765,58 @@ def ab_experiment_report(events: DataFrame, *, user_col: str = "user_id",
                     F.expr("n_converters * 1000000 div n_users")
                     .alias("conv_ppm"),
                     F.round("z", 6).alias("z")))
+
+
+def cuped_adjusted_report(units: DataFrame, *, arm_col: str = "arm",
+                          pre_col: str = "pre",
+                          post_col: str = "post") -> DataFrame:
+    """CUPED variance-reduced A/B report (Deng, Xu, Kohavi & Walker,
+    WSDM 2013): theta = cov(pre, post) / var(pre) from POOLED exact
+    integer moments; each arm's adjusted mean is then
+    mean(post) - theta * (mean(pre) - grand mean(pre)) — linear in the
+    per-arm sums, so no per-row float accumulation exists anywhere.
+    ``pre``/``post`` must be integer-valued (cents discipline); products
+    accumulate in DECIMAL(38,0), exact far past BIGINT.
+
+    Returns one row per arm: n, raw mean, CUPED-adjusted mean, plus the
+    pooled theta and the variance-reduction factor 1 - rho^2 (the CUPED
+    guarantee) as constants. Scale: one map-side-combined moment
+    aggregate; everything after is |arms| rows."""
+    x = F.col(pre_col).cast("decimal(19,0)")
+    y = F.col(post_col).cast("decimal(19,0)")
+    m = units.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"), F.sum(y).alias("sy"),
+        F.sum((x * x).cast("decimal(38,0)")).alias("sxx"),
+        F.sum((x * y).cast("decimal(38,0)")).alias("sxy"),
+        F.sum((y * y).cast("decimal(38,0)")).alias("syy"))
+    nd = F.col("n").cast("double")
+    cov = F.col("sxy").cast("double") / nd \
+        - (F.col("sx").cast("double") / nd) \
+        * (F.col("sy").cast("double") / nd)
+    varx = F.col("sxx").cast("double") / nd \
+        - (F.col("sx").cast("double") / nd) \
+        * (F.col("sx").cast("double") / nd)
+    vary = F.col("syy").cast("double") / nd \
+        - (F.col("sy").cast("double") / nd) \
+        * (F.col("sy").cast("double") / nd)
+    consts = m.select(
+        (cov / varx).alias("theta"),
+        (F.col("sx").cast("double") / nd).alias("grand_mean_pre"),
+        (F.lit(1.0) - (cov / varx) * (cov / varx) * varx / vary)
+        .alias("var_ratio"))
+    arms = (units.groupBy(F.col(arm_col).alias("arm"))
+            .agg(F.count(F.lit(1)).alias("n_units"),
+                 F.sum(x).alias("ax"), F.sum(y).alias("ay")))
+    and_ = F.col("n_units").cast("double")
+    return (arms.crossJoin(F.broadcast(consts))
+            .select("arm", F.col("n_units").cast("long").alias("n_units"),
+                    F.round(F.col("ay").cast("double") / and_, 6)
+                    .alias("raw_mean"),
+                    F.round(F.col("ay").cast("double") / and_
+                            - F.col("theta")
+                            * (F.col("ax").cast("double") / and_
+                               - F.col("grand_mean_pre")), 6)
+                    .alias("cuped_mean"),
+                    F.round("theta", 6).alias("theta"),
+                    F.round("var_ratio", 6).alias("var_ratio")))

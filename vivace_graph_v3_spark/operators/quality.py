@@ -65,3 +65,32 @@ def referential_violations(child: DataFrame, parent: DataFrame,
                     (F.col("__o") + F.col("__nl")).cast("long")
                     .alias("n_violations"),
                     ((F.col("__o") + F.col("__nl")) == 0).alias("pass")))
+
+
+def split_leakage_audit(df: DataFrame, group_col: str, row_col: str,
+                        *, n_folds: int = 3) -> DataFrame:
+    """Group-leakage comparison of two train/val/test split schemes over
+    the same table: splitting by the GROUP key's hash fold keeps every
+    group inside one split (leakage-safe by construction); splitting by
+    the ROW key's hash fold scatters a group's rows across splits — the
+    classic eval-contamination bug this audit exists to catch before a
+    model sees the data. Returns one row per scheme:
+    (scheme, n_rows, n_groups, n_leaky_groups) where a leaky group spans
+    more than one split."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        hash_fold_assignment)
+
+    out = []
+    for scheme, key in (("by_group", group_col), ("by_row", row_col)):
+        split = hash_fold_assignment(df, key, n_folds=n_folds)
+        g = (df.withColumn("__split", split)
+             .groupBy(F.col(group_col).alias("g"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.countDistinct("__split").alias("d")))
+        out.append(g.agg(
+            F.lit(scheme).alias("scheme"),
+            F.sum("n").cast("long").alias("n_rows"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("d") > 1, 1).otherwise(0)).cast("long")
+            .alias("n_leaky_groups")))
+    return out[0].unionByName(out[1])
