@@ -105,6 +105,8 @@ AUDITED = [
     "dq_expectation_audit", "cv_fold_assignment", "neyman_allocation",
     "bootstrap_ci_mean", "feature_woe_iv", "target_encoding_loo",
     "decision_stump_split", "embedding_isotropy",
+    "graph_rich_club", "ab_cuped_report", "replica_checksum_manifest",
+    "split_leakage_audit",
 ]
 
 

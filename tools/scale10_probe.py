@@ -146,7 +146,12 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "stateful_running_totals", "stateful_anomalies",
           "geo_goal_rings", "dq_expectation_audit", "cv_fold_assignment",
           "neyman_allocation", "bootstrap_ci_mean",
-          "knn_label_propagation"]
+          "knn_label_propagation",
+          # session-6 batch 3: rich-club is grid joins over the deduped
+          # edge set; CUPED/checksums/leakage are single moment/hash
+          # aggregates
+          "graph_rich_club", "ab_cuped_report",
+          "replica_checksum_manifest", "split_leakage_audit"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
