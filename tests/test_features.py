@@ -197,3 +197,53 @@ def test_split_leakage_by_group_is_zero_by_row_is_not(spark):
     assert out["by_row"]["n_leaky_groups"] > 30  # 50 rows/group, 3 folds
     assert out["by_group"]["n_rows"] == out["by_row"]["n_rows"] == 2000
     assert out["by_group"]["n_groups"] == 40
+
+
+class TestSkyline:
+    def test_hand_computed_frontier(self, spark):
+        from vivace_graph_v3_spark.operators.stats import skyline_2d
+
+        # (cost, value): frontier = (1,5), (3,7), (6,9); (2,4) dominated
+        # by (1,5); (3,6) dominated by (3,7); (7,9) dominated by (6,9);
+        # duplicate frontier point (3,7) counted twice
+        rows = [(1, 5), (2, 4), (3, 7), (3, 7), (3, 6), (6, 9), (7, 9)]
+        df = spark.createDataFrame(rows, "cost long, val long")
+        out = sorted(map(tuple, skyline_2d(df, "cost", "val").collect()))
+        assert out == [(1, 5, 1), (3, 7, 2), (6, 9, 1)]
+
+    def test_monotone_and_undominated(self, spark):
+        """Property: frontier is strictly increasing in BOTH dims when
+        sorted by cost, and no input point dominates any frontier point."""
+        from vivace_graph_v3_spark.operators.stats import skyline_2d
+
+        rows = [((i * 37) % 100, (i * 53) % 100) for i in range(500)]
+        df = spark.createDataFrame(rows, "cost long, val long")
+        sky = sorted((r["cost"], r["val"])
+                     for r in skyline_2d(df, "cost", "val").collect())
+        for (c1, v1), (c2, v2) in zip(sky, sky[1:]):
+            assert c1 < c2 and v1 < v2
+        for c, v in rows:
+            for sc, sv in sky:
+                assert not (c <= sc and v >= sv and (c < sc or v > sv)), \
+                    f"({c},{v}) dominates frontier point ({sc},{sv})"
+
+
+def test_conformal_coverage_hits_guarantee(spark):
+    """Split-conformal guarantee: coverage >= 1 - alpha in expectation;
+    with exchangeable folds and 2000 rows the empirical coverage must
+    land near 90% (and qhat must be a real calibration residual)."""
+    from pyspark.sql import functions as F
+
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        split_conformal_report)
+
+    rows = [(i, 50 + (i * 17) % 100, 100.0) for i in range(2000)]
+    df = spark.createDataFrame(rows, "k long, y long, yhat double")
+    r = split_conformal_report(df, "y", "yhat", "k", alpha=0.1).first()
+    assert r["n_cal"] + r["n_test"] == 2000
+    assert 850_000 <= r["coverage_ppm"] <= 980_000
+    assert r["target_ppm"] == 900_000
+    # determinism under repartition
+    r2 = split_conformal_report(df.repartition(7), "y", "yhat", "k",
+                                alpha=0.1).first()
+    assert r == r2

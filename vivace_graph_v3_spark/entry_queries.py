@@ -11417,6 +11417,97 @@ FROM br
 """
 
 
+def q_skyline_parts(spark, sf_dir):
+    """2-D skyline / Pareto frontier of parts (operators/stats.skyline_2d
+    — Borzsony, Kossmann & Stocker, ICDE 2001): the parts no other part
+    beats on BOTH price (lower) and size (larger) — the classic
+    multi-criteria shortlist operator. One grid aggregate + a
+    domain-bounded frontier window; exact integer cents/size."""
+    from vivace_graph_v3_spark.operators.stats import skyline_2d
+
+    p = (spark.read.parquet(f"{sf_dir}/part.parquet")
+         .select(F.floor(F.col("p_retailprice") * 100 + 0.5).cast("long")
+                 .alias("cents"), "p_size"))
+    return skyline_2d(p, "cents", "p_size")
+
+
+SQL_SKYLINE_PARTS = """
+WITH p AS (
+  SELECT CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS x,
+         CAST(p_size AS BIGINT) AS y
+  FROM part
+), grid AS (SELECT x, max(y) AS best_y FROM p GROUP BY x),
+f AS (
+  SELECT x, best_y,
+         max(best_y) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS prev
+  FROM grid
+), sky AS (SELECT x, best_y FROM f WHERE prev IS NULL OR best_y > prev),
+ab AS (SELECT x, y, count(*) AS n_rows FROM p GROUP BY 1, 2)
+SELECT sky.x AS cents, sky.best_y AS p_size,
+       CAST(n_rows AS BIGINT) AS n_rows
+FROM sky JOIN ab ON sky.x = ab.x AND sky.best_y = ab.y
+"""
+
+
+def q_conformal_coverage(spark, sf_dir):
+    """Split-conformal prediction-interval calibration
+    (operators/stats_inference.split_conformal_report — Papadopoulos et
+    al. 2002): predict quantity by the per-returnflag mean, hash rows
+    into calibration/test folds, take qhat as the
+    ceil((n+1)(1-alpha))-th smallest calibration residual, and report
+    the empirical test coverage of +/- qhat against the 90% guarantee —
+    the distribution-free eval gate for any point predictor."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        split_conformal_report)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    mu = (li.groupBy("l_returnflag")
+          .agg((F.sum(F.col("l_quantity").cast("long")).cast("double")
+                / F.count(F.lit(1)).cast("double")).alias("yhat")))
+    d = (li.join(F.broadcast(mu), "l_returnflag")
+         .select(F.concat_ws("#", F.col("l_orderkey"),
+                             F.col("l_linenumber")).alias("rk"),
+                 F.col("l_quantity").alias("y"), "yhat"))
+    return split_conformal_report(d, "y", "yhat", "rk", alpha=0.1)
+
+
+SQL_CONFORMAL_COVERAGE = f"""
+WITH m AS (
+  SELECT l_returnflag AS c,
+         CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE)
+         / CAST(count(*) AS DOUBLE) AS yhat
+  FROM lineitem GROUP BY 1
+), r AS (
+  SELECT abs(CAST(l_quantity AS DOUBLE) - yhat) AS s,
+         (({_md5_hash64_sql(
+             "CAST(l_orderkey AS VARCHAR) || '#' || "
+             "CAST(l_linenumber AS VARCHAR)")} % 2) + 2) % 2 AS fold
+  FROM lineitem JOIN m ON l_returnflag = m.c
+), cal AS (SELECT s FROM r WHERE fold = 0),
+grid AS (SELECT s, count(*) AS c FROM cal GROUP BY s),
+cum AS (
+  SELECT s, sum(c) OVER (ORDER BY s ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW) AS cum
+  FROM grid
+), nc AS (SELECT count(*) AS n_cal FROM cal),
+q AS (
+  SELECT min(s) AS qhat FROM cum, nc
+  WHERE cum >= ceil((n_cal + 1) * 0.9)
+), t AS (
+  SELECT count(*) AS n_test,
+         sum(CASE WHEN s <= qhat THEN 1 ELSE 0 END) AS n_cov
+  FROM r, q WHERE fold = 1
+)
+SELECT CAST(n_cal AS BIGINT) AS n_cal, CAST(n_test AS BIGINT) AS n_test,
+       round(qhat, 6) AS qhat,
+       CAST((n_cov * 2000000 + n_test) // (n_test * 2) AS BIGINT)
+         AS coverage_ppm,
+       CAST(900000 AS BIGINT) AS target_ppm
+FROM t, nc, q
+"""
+
+
 def q_geo_goal_rings(spark, sf_dir):
     """Spatial predicates through the GOAL surface (builder.py geo
     functors — prolog-functors.lisp:929-954 parity), not
@@ -11827,6 +11918,8 @@ REGISTRY: dict[str, tuple] = {
                                   SQL_REPLICA_CHECKSUM_MANIFEST),
     "split_leakage_audit": (q_split_leakage_audit,
                             SQL_SPLIT_LEAKAGE_AUDIT),
+    "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
+    "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
@@ -11849,6 +11942,7 @@ _R6_FRONT = [
     "bootstrap_ci_mean", "feature_woe_iv", "target_encoding_loo",
     "decision_stump_split", "embedding_isotropy", "graph_rich_club",
     "ab_cuped_report", "replica_checksum_manifest", "split_leakage_audit",
+    "skyline_parts", "conformal_coverage",
     # §2-mapped + engine features (5)
     "mvcc_revision_diff", "matview_rollup_answer", "result_cache_hit",
     "join_view_incremental", "graph_cc_incremental",
@@ -11865,10 +11959,10 @@ _R6_FRONT = [
     "dedup_cross_source", "doremi_mix_weights", "embedding_covariance",
     # graph / embedding / pipeline
     "graph_eccentricity", "graph_modularity", "embedding_pair_cosine",
-    "multimodal_dims", "text_truncation_curve",
 ]
 
 _R7_QUEUE = [
+    "multimodal_dims", "text_truncation_curve",
     "dedup_sampling_weights", "tokenizer_fertility",
     "dpo_preference_pairs", "shard_interleave_audit",
     "text_readability", "events_rolling_distinct",

@@ -170,3 +170,39 @@ def theilsen_trend(df: DataFrame, group_col: str, x_col: str,
     return (med.join(npts, "g")
             .select(F.col("g").alias(group_col), "n_points", "n_pairs",
                     "slope"))
+
+
+def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
+    """2-D skyline / Pareto frontier (Borzsony, Kossmann & Stocker,
+    ICDE 2001): the points not DOMINATED by any other — q dominates p
+    when q.min_col <= p.min_col and q.max_col >= p.max_col with at
+    least one strict. Classic sort-based evaluation, relationalized:
+    aggregate to the (min_col -> max(max_col)) value grid, then a point
+    survives iff its max_col exceeds the running maximum over all
+    STRICTLY smaller min_col values (a same-cost point with larger
+    max_col kills it via the per-cost max). Returns the frontier:
+    (min_col, max_col, n_rows) ascending in min_col, descending in
+    max_col by construction.
+
+    Both columns must be integer-valued. Scale shape: one
+    map-side-combined grid aggregate; the ordered window runs over the
+    DISTINCT min_col grid (domain-bounded, kaplan_meier discipline),
+    never over rows."""
+    x, y = F.col(min_col).cast("long"), F.col(max_col).cast("long")
+    grid = (df.select(x.alias("x"), y.alias("y"))
+            .groupBy("x").agg(F.max("y").alias("best_y")))
+    # count rows AT the frontier point (x, best_y), not all rows at x
+    at_best = (df.select(x.alias("x"), y.alias("y"))
+               .groupBy("x", "y").agg(F.count(F.lit(1)).alias("n_rows")))
+    w = (Window.orderBy("x")  # distinct-x grid, see docstring
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (grid
+                .withColumn("prev_best", F.max("best_y").over(w))
+                .filter(F.col("prev_best").isNull()
+                        | (F.col("best_y") > F.col("prev_best"))))
+    return (frontier.join(at_best,
+                          (frontier["x"] == at_best["x"])
+                          & (frontier["best_y"] == at_best["y"]))
+            .select(frontier["x"].alias(min_col),
+                    F.col("best_y").alias(max_col),
+                    F.col("n_rows").cast("long").alias("n_rows")))

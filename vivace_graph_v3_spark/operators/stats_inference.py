@@ -726,3 +726,52 @@ def hash_fold_assignment(df: DataFrame, key_col: str, *,
 
     return F.pmod(md5_hash64(F.col(key_col).cast("string")),
                   F.lit(n_folds)).cast("long")
+
+
+def split_conformal_report(df: DataFrame, y_col: str, yhat_col: str,
+                           key_col: str, *, alpha: float = 0.1) -> DataFrame:
+    """Split-conformal prediction-interval calibration (Papadopoulos et
+    al. 2002; Vovk's inductive conformal): rows hash into a calibration
+    and a test fold; qhat is the ceil((n_cal+1)(1-alpha))-th smallest
+    absolute residual |y - yhat| on the calibration fold; the report
+    checks empirical test coverage of [yhat - qhat, yhat + qhat]
+    against the 1-alpha guarantee. Fully deterministic (md5 fold,
+    rank-by-(score, key) tie-break).
+
+    Returns one row: (n_cal, n_test, qhat, coverage_ppm, target_ppm).
+    Scale shape: scores aggregate to their distinct-value grid before
+    the quantile cumsum (domain-bounded when yhat is a grid prediction,
+    e.g. a per-category encoder); coverage is one map-side-combined
+    aggregate."""
+    fold = hash_fold_assignment(df, key_col, n_folds=2)
+    scored = df.select(
+        fold.alias("fold"),
+        F.abs(F.col(y_col).cast("double")
+              - F.col(yhat_col).cast("double")).alias("s"))
+    cal = scored.filter(F.col("fold") == 0)
+    grid = cal.groupBy("s").agg(F.count(F.lit(1)).alias("c"))
+    w = (Window.orderBy("s")  # distinct-score grid, see docstring
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    cum = grid.withColumn("cum", F.sum("c").over(w))
+    n_cal_df = cal.agg(F.count(F.lit(1)).alias("n_cal"))
+    # k = ceil((n_cal + 1) * (1 - alpha)); qhat = k-th smallest score
+    k = F.ceil((F.col("n_cal") + 1) * F.lit(1.0 - alpha))
+    qhat = (cum.crossJoin(F.broadcast(n_cal_df))
+            .filter(F.col("cum") >= k)
+            .agg(F.min("s").alias("qhat")))
+    test = scored.filter(F.col("fold") == 1)
+    cov = (test.crossJoin(F.broadcast(qhat))
+           .agg(F.count(F.lit(1)).alias("n_test"),
+                F.sum(F.when(F.col("s") <= F.col("qhat"), 1).otherwise(0))
+                .alias("n_covered")))
+    return (n_cal_df.crossJoin(qhat).crossJoin(cov)
+            .select(F.col("n_cal").cast("long").alias("n_cal"),
+                    F.col("n_test").cast("long").alias("n_test"),
+                    F.round("qhat", 6).alias("qhat"),
+                    # exact BIGINT half-up ppm (integer div, never a
+                    # truncated double quotient)
+                    F.expr("(n_covered * 2000000 + n_test) div "
+                           "(n_test * 2)").cast("long")
+                    .alias("coverage_ppm"),
+                    F.lit(int((1 - alpha) * 1_000_000)).cast("long")
+                    .alias("target_ppm")))
