@@ -106,7 +106,7 @@ AUDITED = [
     "bootstrap_ci_mean", "feature_woe_iv", "target_encoding_loo",
     "decision_stump_split", "embedding_isotropy",
     "graph_rich_club", "ab_cuped_report", "replica_checksum_manifest",
-    "split_leakage_audit",
+    "split_leakage_audit", "skyline_parts", "conformal_coverage",
 ]
 
 

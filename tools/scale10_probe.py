@@ -151,7 +151,10 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # edge set; CUPED/checksums/leakage are single moment/hash
           # aggregates
           "graph_rich_club", "ab_cuped_report",
-          "replica_checksum_manifest", "split_leakage_audit"]
+          "replica_checksum_manifest", "split_leakage_audit",
+          # skyline = grid aggregate + frontier window over distinct
+          # prices; conformal = grid-quantile + one coverage aggregate
+          "skyline_parts", "conformal_coverage"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -10704,37 +10704,76 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
         dst = os.path.join(src, f"q{i}.parquet")
         shutil.move(pf, dst)
         os.utime(dst, (mt + i + 1, mt + i + 1))
-    from vivace_graph_v3_spark.streaming.events import run_available_now
+    n_events = ev.count()
 
-    for name, op in (("totals", running_totals),
-                     ("anomalies", streaming_anomalies)):
+    def drain_once(name, op, attempt):
+        out_dir = os.path.join(stage, f"{name}_a{attempt}")
         stream = (spark.readStream.schema(ev.schema)
                   .option("maxFilesPerTrigger", "1").parquet(src))
         out = op(stream, key_col="user_id", value_col="cents", ts_col="t")
-        # a stateful query holding processing-time timers does not
-        # self-terminate under availableNow — run_available_now drains
-        # until the 4-file snapshot is exhausted, then stops the query
-        run_available_now(out, checkpoint=os.path.join(stage, f"ck_{name}"),
-                          out_path=os.path.join(stage, name), timeout=8)
+        # a stateful query holding processing-time timers neither
+        # self-terminates under availableNow NOR unblocks
+        # processAllAvailable() (it sits in "no new data but cleaning up
+        # state" timer batches forever). Drain rule: stop only after
+        # SEVERAL consecutive zero-input progresses with no data
+        # available — a single idle poll raced batch boundaries under
+        # load and shipped 1 of 4 batches once (caught by the coverage
+        # gate below).
+        import time as _time
+
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation",
+                     os.path.join(stage, f"ck_{name}_a{attempt}"))
+             .trigger(availableNow=True).start())
+        streak, deadline = 0, _time.time() + 300
+        while q.isActive and streak < 4 and _time.time() < deadline:
+            _time.sleep(1.0)
+            p = q.lastProgress
+            if (p is not None and p["numInputRows"] == 0
+                    and not q.status["isDataAvailable"]):
+                streak += 1
+            else:
+                streak = 0
+        try:
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:
+            # stopping mid-timer-batch can surface the interrupted
+            # batch's state-commit error as the query's terminal
+            # exception; the data batches are already committed and the
+            # coverage gate below decides whether this attempt counts
+            pass
         # the streaming sink's _spark_metadata records ABSOLUTE staging
         # paths, which the atomic rename below would orphan — drop it so
         # readers list the part files directly (plain parquet dir)
-        shutil.rmtree(os.path.join(stage, name, "_spark_metadata"))
-        shutil.rmtree(os.path.join(stage, f"ck_{name}"),
-                      ignore_errors=True)
-    # completeness gate before the artifact goes live: the drain's stop
-    # can in principle race a final batch commit under heavy host load —
-    # never publish a partial artifact (the next call rebuilds instead)
-    n_events = ev.count()
-    tot = spark.read.parquet(os.path.join(stage, "totals"))
-    got_n = (tot.filter(~F.col("final")).groupBy("key").agg(F.max("n"))
-             .agg(F.sum("max(n)")).first()[0])
-    anom_n = spark.read.parquet(os.path.join(stage, "anomalies")).count()
-    if got_n != n_events or anom_n != n_events:
-        shutil.rmtree(stage, ignore_errors=True)
-        raise RuntimeError(
-            f"stateful stream drain incomplete: totals covered {got_n} "
-            f"and anomalies {anom_n} of {n_events} events — rebuild")
+        shutil.rmtree(os.path.join(out_dir, "_spark_metadata"))
+        return out_dir
+
+    def coverage(name, out_dir):
+        df = spark.read.parquet(out_dir)
+        if name == "totals":
+            return (df.filter(~F.col("final")).groupBy("key")
+                    .agg(F.max("n").alias("mn"))
+                    .agg(F.sum("mn")).first()[0])
+        return df.count()
+
+    for name, op in (("totals", running_totals),
+                     ("anomalies", streaming_anomalies)):
+        for attempt in range(3):
+            try:
+                out_dir = drain_once(name, op, attempt)
+                ok = coverage(name, out_dir) == n_events
+            except Exception:  # a failed attempt, not a failed entry
+                ok, out_dir = False, None
+            if ok:
+                os.rename(out_dir, os.path.join(stage, name))
+                break
+            if out_dir:
+                shutil.rmtree(out_dir, ignore_errors=True)
+        else:
+            shutil.rmtree(stage, ignore_errors=True)
+            raise RuntimeError(
+                f"stateful {name} drain incomplete after 3 attempts")
     try:
         os.rename(stage, path)
     except OSError:  # concurrent builder won: use theirs
