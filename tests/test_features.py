@@ -119,6 +119,24 @@ class TestRichClub:
         assert out[2]["phi_ppm"] == 1_000_000
         assert out[3]["n_club"] == 1 and out[3]["phi_ppm"] is None
 
+    def test_phi_ppm_integer_div_exact_at_scale(self, spark):
+        """ADVICE r6: phi_ppm must be BIGINT `div`, never floor of a
+        double quotient — past n_club*(n_club-1) ~ 2^32 a remainder
+        smaller than half an ulp can round the double up across an
+        integer. Assert Spark's `div` agrees with Python's exact //
+        on club sizes where the double mantissa is already saturated."""
+        cases = [(131_079, 17_182_233_162 // 2_000_000 * 131  # arbitrary
+                  ), (1_048_577, 123_456_789_012),
+                 (2_000_003, 987_654_321_987)]
+        rows = [(int(n), int(e)) for n, e in cases]
+        df = spark.createDataFrame(rows, "n_club long, n_club_edges long")
+        got = {r["n_club"]: r["phi"] for r in df.selectExpr(
+            "n_club",
+            "(2 * n_club_edges * 1000000) div (n_club * (n_club - 1)) "
+            "AS phi").collect()}
+        for n, e in rows:
+            assert got[n] == (2 * e * 1_000_000) // (n * (n - 1))
+
 
 class TestCuped:
     def test_perfect_covariate_kills_variance(self, spark):

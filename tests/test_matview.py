@@ -23,7 +23,7 @@ def _catalog(spark):
         "fine", lambda sp: _base_df(sp), ["nation", "seg", "yr"],
         [AggSpec("sum", "v"), AggSpec("count"),
          AggSpec("min", "v"), AggSpec("max", "v")],
-        tempfile.mkdtemp(prefix="mv_fine_"))
+        tempfile.mkdtemp(prefix="mv_fine_"), assume_nonnull={"v"})
     cat.materialize(spec)
     return cat, spec
 
@@ -94,7 +94,7 @@ class TestRollupAnswer:
             "s", lambda sp: sp.createDataFrame(
                 rows, ["k", "cell", "yr", "v"]), ["k", "cell"],
             [AggSpec("sum", "v"), AggSpec("count")],
-            tempfile.mkdtemp(prefix="mv_avg_"))
+            tempfile.mkdtemp(prefix="mv_avg_"), assume_nonnull={"v"})
         cat.materialize(spec)
         df, _ = cat.answer(["k"], {"a": AggSpec("avg", "v")})
         assert df.collect()[0]["a"] == 25.0  # avg-of-avg would say 50
@@ -131,6 +131,49 @@ class TestCountCol:
         assert src == "nn"
         # F.avg semantics: (10+30+50)/3, not /5
         assert df.collect()[0]["a"] == 30.0
+
+    def test_avg_refused_without_nonnull_opt_in(self, spark):
+        """ADVICE r6: a summary storing sum(x) + count(*) but not
+        count(x) must NOT silently answer avg(x) from the over-counting
+        count_all denominator — without the explicit assume_nonnull
+        opt-in it simply does not cover, and the answer comes from base
+        with exact F.avg semantics."""
+        import warnings
+
+        rows = [("g", "x", 10), ("g", "x", None), ("g", "y", 30),
+                ("g", "y", None), ("g", "y", 50)]
+
+        def base(sp):
+            return sp.createDataFrame(rows, "k string, cell string, v int")
+
+        cat = SummaryCatalog(spark)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            spec = cat.register(
+                "gap", base, ["k", "cell"],
+                [AggSpec("sum", "v"), AggSpec("count")],
+                tempfile.mkdtemp(prefix="mv_gap_"))
+            assert any("assume_nonnull" in str(x.message) for x in w)
+        cat.materialize(spec)
+        assert not spec.covers(["k"], [AggSpec("avg", "v")], [])
+        df, src = cat.answer(["k"], {"a": AggSpec("avg", "v")}, base=base)
+        assert src == "base"
+        assert df.collect()[0]["a"] == 30.0  # (10+30+50)/3, never /5
+        # sum/count themselves still answer from the grid
+        _, src = cat.answer(["k"], {"s": AggSpec("sum", "v")})
+        assert src == "gap"
+
+    def test_nonnull_opt_in_registers_without_warning(self, spark):
+        import warnings
+
+        cat = SummaryCatalog(spark)
+        with warnings.catch_warnings(record=True) as w:
+            warnings.simplefilter("always")
+            cat.register(
+                "ok", lambda sp: _base_df(sp), ["nation"],
+                [AggSpec("sum", "v"), AggSpec("count")],
+                tempfile.mkdtemp(prefix="mv_ok_"), assume_nonnull={"v"})
+            assert not w
 
     def test_base_fallback_count_col_skips_nulls(self, spark):
         rows = [("g", 1), ("g", None), ("g", 3)]

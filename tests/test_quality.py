@@ -111,12 +111,12 @@ class TestHashFolds:
 
         df = spark.createDataFrame([(i % 50, i) for i in range(500)],
                                    "g int, row int")
-        out = df.withColumn("f", hash_fold_assignment(df, "g", n_folds=5))
+        out = df.withColumn("f", hash_fold_assignment("g", n_folds=5))
         assert out.filter((F.col("f") < 0) | (F.col("f") >= 5)).count() == 0
         # all rows of a group share its fold (leakage-safe split)
         assert (out.groupBy("g").agg(F.countDistinct("f").alias("d"))
                 .filter(F.col("d") > 1).count()) == 0
         # deterministic across computations
-        again = df.withColumn("f", hash_fold_assignment(df, "g"))
+        again = df.withColumn("f", hash_fold_assignment("g"))
         assert sorted(map(tuple, out.collect())) == \
             sorted(map(tuple, again.collect()))

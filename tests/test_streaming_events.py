@@ -266,6 +266,58 @@ def test_anomaly_update_folds_in_event_time_order():
     assert bool(spike["is_anomaly"]) and int(spike["n_seen"]) == 9
 
 
+def test_anomaly_update_exact_at_double_breaking_scale():
+    """ADVICE r6: once per-key sums pass ~2^26.5 units, (n*v - s1)^2 and
+    s1*s1 exceed 2^53 and the double-rounded 3-sigma inequality can flip
+    vs an exact-integer oracle. The values below are a concrete flip
+    case (double arithmetic says False, exact integers say True) — the
+    operator must take the exact branch, and its persisted state must
+    round-trip the accumulators losslessly (decimal(38,0), not double)."""
+    from decimal import Decimal
+
+    import pandas as pd
+
+    from vivace_graph_v3_spark.streaming.stateful import _anomaly_update
+
+    prior = [187768204, 187768202, 187768205, 187768200,
+             187768199, 187768202]
+    v = 187768194
+    n, s1 = len(prior), sum(prior)
+    s2 = sum(x * x for x in prior)
+    # the case is genuinely adversarial: the old double formula disagrees
+    assert ((n * float(v) - float(s1)) ** 2
+            > 9.0 * (n * float(s2) - float(s1) * float(s1))) is False
+    assert ((n * v - s1) ** 2 > 9 * (n * s2 - s1 * s1)) is True
+
+    class FakeState:
+        hasTimedOut = False
+
+        def __init__(self):
+            self.exists = False
+
+        def update(self, val):
+            self.saved, self.exists = val, True
+
+        @property
+        def get(self):
+            return self.saved
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    st = FakeState()
+    batch1 = pd.DataFrame({"event_ms": [1000 * i for i in range(n)],
+                           "value": [float(x) for x in prior]})
+    list(_anomaly_update(("k",), iter([batch1]), st))
+    # state carries exact integers as Decimal — no double rounding
+    sn, ss1, ss2 = st.saved
+    assert (sn, int(ss1), int(ss2)) == (n, s1, s2)
+    assert isinstance(ss1, Decimal) and isinstance(ss2, Decimal)
+    batch2 = pd.DataFrame({"event_ms": [1000 * n], "value": [float(v)]})
+    (out,) = list(_anomaly_update(("k",), iter([batch2]), st))
+    assert bool(out.iloc[0]["is_anomaly"]) is True  # the exact verdict
+
+
 def test_stateful_contract_run_carries_state_across_batches(spark):
     """The stateful contract artifact (entry_queries._session_stateful_run)
     must genuinely exercise CROSS-BATCH state: the 4-file event-id-range

@@ -10615,7 +10615,11 @@ def _session_summary_catalog(spark, sf_dir: str):
             ["c_nationkey", "c_mktsegment", "o_year"],
             [AggSpec("sum", "cents"), AggSpec("count"),
              AggSpec("min", "cents"), AggSpec("max", "cents")],
-            tempfile.mkdtemp(prefix="vgv3_matview_"))
+            tempfile.mkdtemp(prefix="vgv3_matview_"),
+            # cents = round(o_totalprice*100) over an inner join: no
+            # NULLs by construction — the explicit opt-in that lets
+            # avg_cents use the count(*) grid column as denominator
+            assume_nonnull={"cents"})
         cat.materialize(spec)
         cat._base = base  # kept for fallback-path contracts/tests
         _MATVIEW_CACHE[key] = cat
@@ -10931,7 +10935,7 @@ def q_cv_fold_assignment(spark, sf_dir):
         hash_fold_assignment)
 
     d = _docs(spark, sf_dir)
-    return (d.withColumn("fold", hash_fold_assignment(d, "doc_id",
+    return (d.withColumn("fold", hash_fold_assignment("doc_id",
                                                       n_folds=5))
             .groupBy("fold", "lang")
             .agg(F.count(F.lit(1)).alias("n")))

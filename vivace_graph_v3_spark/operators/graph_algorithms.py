@@ -1068,9 +1068,11 @@ def rich_club_coefficient(graph: GraphStore, thresholds: list[int],
                    F.col("n_club").cast("long").alias("n_club"),
                    F.coalesce("n_club_edges", F.lit(0)).cast("long")
                    .alias("n_club_edges")))
-    # floor(exact-double division) == BIGINT // here: numerator <= 2e11
-    phi = F.when(F.col("n_club") >= 2, F.floor(
-        (F.lit(2) * F.col("n_club_edges") * F.lit(1_000_000))
-        .cast("double") / (F.col("n_club")
-                           * (F.col("n_club") - 1)).cast("double")))
+    # exact BIGINT integer division (ADVICE r6): a double quotient's
+    # F.floor can round up across an integer once n_club*(n_club-1)
+    # passes ~2^32; `div` matches the oracle's // at any scale
+    # (numerator 2e6 * |club edges| stays within int64 below ~4.6e12
+    # club edges — far beyond any per-k club this operator bounds)
+    phi = F.when(F.col("n_club") >= 2, F.expr(
+        "(2 * n_club_edges * 1000000) div (n_club * (n_club - 1))"))
     return out.withColumn("phi_ppm", phi.cast("long"))

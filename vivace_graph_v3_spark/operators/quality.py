@@ -22,7 +22,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F
 
-__all__ = ["expectation_audit", "referential_violations"]
+__all__ = ["expectation_audit", "referential_violations",
+           "split_leakage_audit"]
 
 
 def expectation_audit(df: DataFrame,
@@ -82,7 +83,7 @@ def split_leakage_audit(df: DataFrame, group_col: str, row_col: str,
 
     out = []
     for scheme, key in (("by_group", group_col), ("by_row", row_col)):
-        split = hash_fold_assignment(df, key, n_folds=n_folds)
+        split = hash_fold_assignment(key, n_folds=n_folds)
         g = (df.withColumn("__split", split)
              .groupBy(F.col(group_col).alias("g"))
              .agg(F.count(F.lit(1)).alias("n"),

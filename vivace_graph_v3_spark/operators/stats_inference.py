@@ -715,13 +715,15 @@ def neyman_allocation(df: DataFrame, stratum_col: str, value_col: str,
                     .cast("long").alias("alloc")))
 
 
-def hash_fold_assignment(df: DataFrame, key_col: str, *,
-                         n_folds: int = 5) -> Column:
+def hash_fold_assignment(key_col: str, *, n_folds: int = 5) -> Column:
     """Deterministic cross-validation fold id for a row: the md5-derived
     64-bit hash of the key, mod n_folds (non-negative). The same key
     always lands in the same fold in any engine that can compute md5 —
     the leakage-safe way to split grouped data (all rows of a key share
-    a fold by construction when keyed on the group id)."""
+    a fold by construction when keyed on the group id). Returns a pure
+    Column bound to no particular DataFrame — apply it wherever the key
+    column is in scope (the former ``df`` parameter was unused and
+    misleading; ADVICE r6)."""
     from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
 
     return F.pmod(md5_hash64(F.col(key_col).cast("string")),
@@ -743,7 +745,7 @@ def split_conformal_report(df: DataFrame, y_col: str, yhat_col: str,
     the quantile cumsum (domain-bounded when yhat is a grid prediction,
     e.g. a per-category encoder); coverage is one map-side-combined
     aggregate."""
-    fold = hash_fold_assignment(df, key_col, n_folds=2)
+    fold = hash_fold_assignment(key_col, n_folds=2)
     scored = df.select(
         fold.alias("fold"),
         F.abs(F.col(y_col).cast("double")

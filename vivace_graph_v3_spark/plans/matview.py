@@ -25,10 +25,13 @@ Derivability rules (the standard distributive/algebraic split):
 - ``min/max(x)`` <- MIN/MAX of grid ``min_x``/``max_x``
 - ``avg(x)``   <- SUM(sum_x) / SUM(count_x)  (algebraic: derived from
   two distributive grid columns, never AVG-of-AVG). When the summary
-  stores only ``count(*)``, avg derives from ``count_all`` under a
-  **documented non-null contract**: with NULLs in x that denominator
-  over-counts vs ``F.avg`` — register ``AggSpec("count", x)`` alongside
-  ``AggSpec("sum", x)`` whenever x is nullable.
+  stores only ``count(*)``, avg derives from ``count_all`` ONLY under
+  an **explicit opt-in non-null contract**: pass
+  ``assume_nonnull={"x"}`` at ``register()`` time to assert x has no
+  NULLs (with NULLs that denominator over-counts vs ``F.avg``).
+  Without the opt-in, a summary storing sum(x) but not count(x) simply
+  does not cover avg(x) — the query falls back to base instead of
+  silently diverging — and ``register()`` warns about the gap.
 
 Filters are admissible only on grid group columns (then they prune the
 grid exactly); any filter on a non-grid column forces base fallback.
@@ -65,13 +68,17 @@ class AggSpec:
 
 @dataclass
 class SummarySpec:
-    """A registered summary: base provider, grid keys, stored aggs."""
+    """A registered summary: base provider, grid keys, stored aggs.
+    ``assume_nonnull`` is the explicit opt-in set of columns the caller
+    contracts to be NULL-free (lets avg(x) use count_all as its
+    denominator when count(x) is not stored)."""
 
     name: str
     base: object  # Callable[[SparkSession], DataFrame]
     group_cols: tuple[str, ...]
     aggs: tuple[AggSpec, ...]
     path: str
+    assume_nonnull: frozenset = frozenset()
     materialized: bool = field(default=False, init=False)
 
     def _stored(self) -> set[tuple[str, str | None]]:
@@ -86,10 +93,13 @@ class SummarySpec:
         for a in aggs:
             if a.kind == "avg":
                 # exact denominator is count(x); count(*) is accepted
-                # under the documented non-null contract (module doc)
-                if ("sum", a.col) not in stored or (
-                        ("count", a.col) not in stored
-                        and ("count", None) not in stored):
+                # ONLY under the explicit assume_nonnull opt-in — a
+                # summary can never silently answer avg over-counted
+                if ("sum", a.col) not in stored:
+                    return False
+                if ("count", a.col) not in stored and not (
+                        ("count", None) in stored
+                        and a.col in self.assume_nonnull):
                     return False
             elif a.kind not in _DISTRIBUTIVE or \
                     (a.kind, a.col) not in stored:
@@ -106,8 +116,30 @@ class SummaryCatalog:
         self._specs: list[SummarySpec] = []
 
     def register(self, name: str, base, group_cols, aggs,
-                 path: str) -> SummarySpec:
-        spec = SummarySpec(name, base, tuple(group_cols), tuple(aggs), path)
+                 path: str, *, assume_nonnull=()) -> SummarySpec:
+        """Register a summary. ``assume_nonnull`` is the explicit
+        opt-in set of stored columns contracted NULL-free; it is the
+        only way avg(x) may be answered from count(*) when count(x) is
+        not stored. Warns when a sum(x) is stored avg-incapably (no
+        count(x), no opt-in) — the likely-unintended registration gap
+        ADVICE r6 flagged."""
+        spec = SummarySpec(name, base, tuple(group_cols), tuple(aggs),
+                           path, frozenset(assume_nonnull))
+        stored = spec._stored()
+        gaps = sorted(
+            c for k, c in stored
+            if k == "sum" and c is not None and ("count", c) not in stored
+            and c not in spec.assume_nonnull)
+        if gaps:
+            import warnings
+
+            warnings.warn(
+                f"summary {name!r} stores sum({', '.join(gaps)}) without "
+                f"count(<col>) or an assume_nonnull opt-in: avg over "
+                f"these columns will NOT be answered from this grid "
+                f"(base fallback). Store AggSpec('count', col) or pass "
+                f"assume_nonnull={{...}} if the column is NULL-free.",
+                stacklevel=2)
         self._specs.append(spec)
         return spec
 

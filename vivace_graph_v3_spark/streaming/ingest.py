@@ -323,6 +323,13 @@ def cc_apply_batch(edges: DataFrame, labels_path: str, *,
     e = (edges.select(F.col(src_col).alias("src"),
                       F.col(dst_col).alias("dst"))
          .dropDuplicates())
+    # crash recovery (ADVICE r6): a crash BETWEEN the two renames of the
+    # swap below leaves the live path absent with the data intact only
+    # at the .old aside — restore the aside before reading, so the next
+    # batch self-heals instead of restarting from an empty store
+    old = labels_path.rstrip("/") + ".old"
+    if not os.path.isdir(labels_path) and os.path.isdir(old):
+        os.rename(old, labels_path)
     try:
         labels = spark.read.parquet(labels_path)
     except AnalysisException:  # first batch: empty store
@@ -345,7 +352,6 @@ def cc_apply_batch(edges: DataFrame, labels_path: str, *,
     # staging in, then delete the old copy — a crash between any two
     # steps leaves either the old or the new store intact on disk
     # (rmtree-then-rename had a window that lost the whole label store)
-    old = labels_path.rstrip("/") + ".old"
     shutil.rmtree(old, ignore_errors=True)
     if os.path.isdir(labels_path):
         os.rename(labels_path, old)

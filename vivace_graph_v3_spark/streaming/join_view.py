@@ -90,11 +90,39 @@ class JoinViewMaintainer:
         tmp = self.table_path + ".staging"
         self._join_rows().write.mode("overwrite") \
             .partitionBy("bucket").parquet(tmp)
+        # rename-aside swap (never rmtree-then-rename a live store): a
+        # crash between any two steps leaves old or new intact on disk
+        old = self.table_path + ".old"
+        shutil.rmtree(old, ignore_errors=True)
         if os.path.exists(self.table_path):
-            shutil.rmtree(self.table_path)
+            os.rename(self.table_path, old)
         os.rename(tmp, self.table_path)
+        shutil.rmtree(old, ignore_errors=True)
 
     # -- incremental maintenance ---------------------------------------------
+
+    def _recover_asides(self) -> None:
+        """Crash recovery (ADVICE r6): a crash between the two renames
+        of a swap leaves the live dir absent with the data intact only
+        at its aside — restore any orphaned aside (whole-table ``.old``
+        or per-bucket ``.old-b<b>``) whose live counterpart is missing,
+        so the next batch self-heals instead of dropping rows."""
+        root = os.path.dirname(self.table_path) or "."
+        base = os.path.basename(self.table_path)
+        if not os.path.isdir(root):
+            return
+        for name in os.listdir(root):
+            if name == f"{base}.old":
+                if not os.path.exists(self.table_path):
+                    os.rename(os.path.join(root, name), self.table_path)
+                continue
+            if not name.startswith(f"{base}.old-b"):
+                continue
+            b = name[len(f"{base}.old-b"):]
+            live = f"{self.table_path}/bucket={b}"
+            if not os.path.exists(live):
+                os.makedirs(self.table_path, exist_ok=True)
+                os.rename(os.path.join(root, name), live)
 
     def _touched_keys(self, batch: DataFrame) -> DataFrame:
         """src keys whose view rows may change: ids of touched vertices of
@@ -109,6 +137,7 @@ class JoinViewMaintainer:
         return v.unionByName(e).distinct()
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
+        self._recover_asides()
         touched = self._touched_keys(batch)
         if touched.isEmpty():
             return

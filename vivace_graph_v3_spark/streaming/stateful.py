@@ -74,7 +74,12 @@ def _noop(*_a: Any) -> None:  # pragma: no cover
 
 ANOM_OUT_SCHEMA = ("key string, event_ms long, value double, "
                    "n_seen long, is_anomaly boolean")
-ANOM_STATE_SCHEMA = "n long, s1 double, s2 double"
+# s1/s2 are EXACT integer accumulators (sum of units, sum of squared
+# units) stored as decimal(38,0): doubles lose the low bits of
+# (n*v - s1)^2 once per-key sums pass ~2^26.5 units and the 3-sigma
+# inequality can flip against an exact-integer oracle; decimal(38,0)
+# round-trips Python ints up to 1e38 through Arrow with no rounding.
+ANOM_STATE_SCHEMA = "n long, s1 decimal(38,0), s2 decimal(38,0)"
 
 
 def _anomaly_update(key: tuple, pdfs: Iterable[pd.DataFrame],
@@ -82,7 +87,11 @@ def _anomaly_update(key: tuple, pdfs: Iterable[pd.DataFrame],
     if state.hasTimedOut:  # pragma: no cover - eviction only frees state
         state.remove()
         return
-    n, s1, s2 = state.get if state.exists else (0, 0.0, 0.0)
+    if state.exists:
+        n, s1, s2 = state.get
+        n, s1, s2 = int(n), int(s1), int(s2)
+    else:
+        n, s1, s2 = 0, 0, 0
     out: list[dict] = []
     # fold in event-time order: micro-batch row order is partition/arrival
     # dependent, and "tested against the moments of events BEFORE it" must
@@ -94,16 +103,23 @@ def _anomaly_update(key: tuple, pdfs: Iterable[pd.DataFrame],
                 if frames else []):
         for ms, v in zip(pdf["event_ms"], pdf["value"]):
             v = float(v)
+            # values arrive as pre-quantized integer units (the operator
+            # contract — callers pass e.g. cents); all moments carry as
+            # arbitrary-precision Python ints so the inequality is exact
+            # at ANY scale, matching a BIGINT/HUGEINT relational oracle
+            vi = int(v)
             # test against the moments of PRIOR events only (an anomaly
             # must not dilute the baseline it is judged against);
             # (n*v - s1)^2 > 9*(n*s2 - s1^2), the batch entry's exact
             # rational form — needs n >= 2 for a defined variance
             flag = bool(n >= 2
-                        and (n * v - s1) ** 2 > 9.0 * (n * s2 - s1 * s1))
+                        and (n * vi - s1) ** 2 > 9 * (n * s2 - s1 * s1))
             out.append({"key": key[0], "event_ms": int(ms), "value": v,
                         "n_seen": n, "is_anomaly": flag})
-            n, s1, s2 = n + 1, s1 + v, s2 + v * v
-    state.update((n, s1, s2))
+            n, s1, s2 = n + 1, s1 + vi, s2 + vi * vi
+    from decimal import Decimal
+
+    state.update((n, Decimal(s1), Decimal(s2)))
     state.setTimeoutDuration(300_000)
     yield pd.DataFrame(out, columns=["key", "event_ms", "value",
                                      "n_seen", "is_anomaly"])
@@ -117,7 +133,13 @@ def streaming_anomalies(events: DataFrame, *, key_col: str = "user_id",
     ``events_anomalies`` entry); each event is tested against the
     moments of the events BEFORE it, so a burst of outliers cannot
     normalize itself away within a batch. Arrow-batched state, timeout
-    eviction for idle keys."""
+    eviction for idle keys.
+
+    Contract: ``value_col`` holds pre-quantized integer units (e.g.
+    cents) — the moments accumulate as exact arbitrary-precision
+    integers in state (decimal(38,0) storage), so the 3-sigma
+    inequality is bit-exact against an integer relational oracle at any
+    scale, not just below the 2^53 double mantissa."""
     from pyspark.sql import functions as F
 
     prepared = events.select(
