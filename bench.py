@@ -164,6 +164,36 @@ def write_benchmarks(spark, samples: dict[str, list[float]]) -> None:
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+# sub-second ops rerun this many extra passes (n = REPS + EXTRA_REPS):
+# their absolute deltas are noise-sized, yet their medians dominate the
+# cross-round drift adjudication (VERDICT r6: two consecutive official
+# windows were load-noised) — n=5 tightens exactly those medians at a
+# few seconds of extra wall time
+FAST_OP_EXTRA_REPS = max(0, int(os.environ.get(
+    "SPARK_GRAFT_BENCH_EXTRA_REPS", "2")))
+FAST_OP_CUTOFF_S = 1.0
+
+
+def calibration_seconds(spark) -> float:
+    """Fixed-cost JVM calibration op: sum a hash-mix over a 150M-row
+    range on a pinned 8-partition layout — whole-stage codegen, no I/O,
+    no shuffle, byte-identical work every call. Returns the MIN of 3
+    runs (the least load-contaminated estimate of clean machine speed).
+    Timed before and after the suite and emitted in the final JSON
+    line, so a host-load-drifted bench window is detectable from
+    BENCH_rN.json alone: same code + same machine => cal moves only
+    with external load."""
+    from pyspark.sql import functions as F
+
+    runs = []
+    for _ in range(3):
+        t0 = time.time()
+        spark.range(0, 150_000_000, 1, 8).select(
+            F.sum((F.col("id") * 2654435761 % 2147483648) % 97)).first()
+        runs.append(time.time() - t0)
+    return round(min(runs), 3)
+
+
 def main() -> int:
     from vivace_graph_v3_spark.session import get_spark
     from vivace_graph_v3_spark import entry_queries as eq
@@ -175,21 +205,40 @@ def main() -> int:
     # warm the JVM/parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    cal_pre = calibration_seconds(spark)
+    print(f"# calibration pre-suite: {cal_pre}s", file=sys.stderr)
+
     # rep-major order: every query runs once per rep, so a transient host
     # stall lands on a different query each pass instead of biasing one
     samples: dict[str, list[float]] = {}
+
+    def run_one(rep, name):
+        fn = qs[name]
+        t0 = time.time()
+        df = fn(spark, SF_DIR)
+        n = df.count()
+        dt = round(time.time() - t0, 3)
+        samples.setdefault(name, []).append(dt)
+        print(f"# rep{rep} {name}: {n} rows in {dt}s", file=sys.stderr)
+
     for rep in range(REPS):
         for name in BENCH_QUERIES:
-            fn = qs[name]
-            t0 = time.time()
-            df = fn(spark, SF_DIR)
-            n = df.count()
-            dt = round(time.time() - t0, 3)
-            samples.setdefault(name, []).append(dt)
-            print(f"# rep{rep} {name}: {n} rows in {dt}s", file=sys.stderr)
+            run_one(rep, name)
         write_benchmarks(spark, samples)
 
     import statistics
+
+    # extra passes for the sub-second ops (incl. the mvcc write path:
+    # write_benchmarks reruns on a fresh throwaway store each pass)
+    fast = [k for k in BENCH_QUERIES
+            if statistics.median(samples[k]) < FAST_OP_CUTOFF_S]
+    for extra in range(FAST_OP_EXTRA_REPS):
+        for name in fast:
+            run_one(REPS + extra, name)
+        write_benchmarks(spark, samples)
+
+    cal_post = calibration_seconds(spark)
+    print(f"# calibration post-suite: {cal_post}s", file=sys.stderr)
 
     timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
@@ -204,23 +253,31 @@ def main() -> int:
     # tail of stdout and parses the LAST line as JSON, so the final line must
     # stay comfortably under that (round-4 lesson: spread inlined here pushed
     # the line past the tail window and the driver recorded parsed=null).
-    print(json.dumps({"reps": REPS, "spread": spread}), file=sys.stderr)
-    print(final_json_line(total, timings, sf_val))
+    print(json.dumps({"reps": REPS, "extra_reps_fast": FAST_OP_EXTRA_REPS,
+                      "spread": spread}), file=sys.stderr)
+    print(final_json_line(total, timings, sf_val, cal_pre, cal_post))
     return 0
 
 
-def final_json_line(total: float, timings: dict[str, float], sf_val) -> str:
+def final_json_line(total: float, timings: dict[str, float], sf_val,
+                    cal_pre: float | None = None,
+                    cal_post: float | None = None) -> str:
     """The ONE stdout JSON line the driver parses. Compact separators and
     2-decimal per-query values keep it under the driver's ~2000-char stdout
     tail window even with the full 65-op suite (gated by
-    tests/test_bench_contract.py)."""
-    return json.dumps({
+    tests/test_bench_contract.py). ``cal`` carries the fixed-cost
+    calibration timings bracketing the suite — the load-drift marker."""
+    obj = {
         "metric": "headline_suite_seconds",
         "value": round(total, 2),
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
-    }, separators=(",", ":"))
+    }
+    if cal_pre is not None:
+        obj["cal"] = [round(cal_pre, 2),
+                      round(cal_post, 2) if cal_post is not None else None]
+    return json.dumps(obj, separators=(",", ":"))
 
 
 if __name__ == "__main__":

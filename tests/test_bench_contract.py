@@ -30,7 +30,7 @@ def _worst_case_line() -> str:
     # before it threatened the tail window). The suite total keeps a
     # 5-digit worst case of its own.
     timings = {k: 99.99 for k in bench.BENCH_QUERIES + MVCC_KEYS}
-    return bench.final_json_line(99999.99, timings, 0.1)
+    return bench.final_json_line(99999.99, timings, 0.1, 99.99, 99.99)
 
 
 def test_final_line_fits_driver_tail_window():
@@ -50,3 +50,5 @@ def test_final_line_is_parseable_single_line():
     assert obj["unit"] == "sec"
     assert set(obj["queries"]) == set(bench.BENCH_QUERIES + MVCC_KEYS)
     assert obj["sf"] == 0.1
+    # the load-drift calibration marker (VERDICT r6 item 2) rides along
+    assert obj["cal"] == [99.99, 99.99]

@@ -10741,12 +10741,18 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
         try:
             q.stop()
             q.awaitTermination(60)
-        except Exception:
+        except Exception as ex:
             # stopping mid-timer-batch can surface the interrupted
             # batch's state-commit error as the query's terminal
             # exception; the data batches are already committed and the
-            # coverage gate below decides whether this attempt counts
-            pass
+            # coverage gate below decides whether this attempt counts.
+            # Record it (VERDICT r6 residual nit): a RECURRING
+            # state-commit failure must be visible in the artifact dir,
+            # not silently retried away.
+            marker = os.path.join(stage, "stop_exceptions.log")
+            with open(marker, "a") as fh:
+                fh.write(f"{name} attempt={attempt} "
+                         f"{type(ex).__name__}: {str(ex)[:400]}\n")
         # the streaming sink's _spark_metadata records ABSOLUTE staging
         # paths, which the atomic rename below would orphan — drop it so
         # readers list the part files directly (plain parquet dir)
@@ -11592,7 +11598,146 @@ SELECT id, 'outer' AS ring FROM d WHERE d <= 20000.0 AND d > 10000.0
 """
 
 
+# ---------------------------------------------------------------------------
+# round-7 registrations: WAL/txn-log round-trip + once/cut determinism —
+# the two remaining pytest-only §2 engine faces that ARE oracle-expressible
+# (VERDICT r6 next-round item 3)
+# ---------------------------------------------------------------------------
+
+
+def _session_wal_graph(spark, sf_dir: str) -> str:
+    """Drive the REAL MVCC write path (mvcc.py Transaction/commit —
+    transactions.lisp:255-266, 1906-1952 ``with-transaction``/``%commit``,
+    1382-1424 ``persist-tx``) ONCE per (sf_dir, customer mtime) and
+    persist the graph dir. Three commits:
+
+    - epoch 1: ``create`` every customer as a ``cust`` vertex (insert,
+      revision 0);
+    - epoch 2: copy→mutate→``save`` the custkey%7==0 cohort with a
+      +100-cent balance bump (OCC revision carry + bump → revision 1);
+    - epoch 3: ``mark_deleted`` the custkey%11==3 cohort (tombstone,
+      revision = current + 1: 2 where the update also hit, else 1).
+
+    The WAL the entry reads back is the exact relational image the
+    oracle predicts from the customer table alone — the round-trip
+    proves serialization, OCC bookkeeping, and the append-only log
+    layout, not just the read path."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from vivace_graph_v3_spark.mvcc import VersionedGraph
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+
+    mt = os.path.getmtime(f"{sf_dir}/customer.parquet")
+    tag = hashlib.sha256(f"wal:{sf_dir}:{int(mt)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vgv3_wal_{tag}")
+    if os.path.isdir(path):
+        return path
+    stage = tempfile.mkdtemp(prefix="vgv3_wal_build_")
+    reg = SchemaRegistry()
+    reg.def_vertex("cust", {"name": T.StringType(), "cents": T.LongType(),
+                            "segment": T.StringType()})
+    vg = VersionedGraph(spark, reg, os.path.join(stage, "g"))
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    rows = c.select(
+        F.concat(F.lit("customer:"), F.col("c_custkey").cast("string"))
+        .alias("id"),
+        F.col("c_name").alias("name"),
+        # floor(x*100 + 0.5): the engine-stable cents quantization (both
+        # engines floor identically; round() ties differ cross-engine)
+        F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long").alias("cents"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_custkey").alias("__k"))
+    vg.commit(vg.begin().create("cust", rows.drop("__k")))
+    upd = (vg.read("cust")
+           .join(rows.filter(F.col("__k") % 7 == 0).select("id"),
+                 "id", "left_semi")
+           .select("id", "name", (F.col("cents") + 100).alias("cents"),
+                   "segment", "revision"))
+    vg.commit(vg.begin().save("cust", upd))
+    dels = rows.filter(F.col("__k") % 11 == 3).select("id")
+    vg.commit(vg.begin().mark_deleted("cust", dels))
+    try:
+        os.rename(stage, path)
+    except OSError:  # concurrent builder won: use theirs
+        shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def q_wal_txn_log_roundtrip(spark, sf_dir):
+    """WAL/txn-log round-trip contract (mvcc.py:139 ``commit`` →
+    ``persist-tx`` parity, transactions.lisp:1382-1424): three real
+    commits through ``Transaction`` (insert / OCC save / tombstone),
+    then the raw append-only log read back and projected to its
+    relational image — commit epoch, op, id, revision bookkeeping,
+    tombstone flag, and the JSON payload's typed slots. committed_at is
+    the only column excluded (wall-clock)."""
+    import os
+
+    from vivace_graph_v3_spark.mvcc import LOG_SCHEMA
+
+    base = _session_wal_graph(spark, sf_dir)
+    log = spark.read.schema(LOG_SCHEMA).parquet(
+        os.path.join(base, "g", "log"))
+    p = F.from_json("payload", "name string, cents long, segment string")
+    return log.select("commit_epoch", "op", "id", "revision", "deleted",
+                      p["cents"].alias("cents"),
+                      p["segment"].alias("segment"))
+
+
+SQL_WAL_TXN_LOG_ROUNDTRIP = """
+WITH c AS (
+  SELECT 'customer:'||c_custkey AS id, c_custkey AS k,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         c_mktsegment AS segment
+  FROM customer
+)
+SELECT CAST(1 AS BIGINT) AS commit_epoch, 'insert' AS op, id,
+       CAST(0 AS BIGINT) AS revision, FALSE AS deleted, cents, segment
+FROM c
+UNION ALL
+SELECT 2, 'update', id, 1, FALSE, cents + 100, segment
+FROM c WHERE k % 7 = 0
+UNION ALL
+SELECT 3, 'delete', id, CASE WHEN k % 7 = 0 THEN 2 ELSE 1 END, TRUE,
+       CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR)
+FROM c WHERE k % 11 = 3
+"""
+
+
+def q_once_goal_first_order(spark, sf_dir):
+    """once/1 soft-cut determinism contract (builder.py ``_g_once`` —
+    prologc.lisp:520-545): the first ``placed`` order per customer,
+    where "first" is the documented engine contract replacing the
+    reference's heap-discovery order — newly-bound variables sort
+    ascending (here the order vertex id, a binary string compare both
+    engines share). Customers with no orders have no once/1 solution
+    and drop, exactly as the goal conjunction prescribes."""
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?c", "?o"], [
+        ("is-a", "?c", "customer"),
+        ("once", ("placed", "?c", "?o")),
+    ])
+    return df.select(F.col("c").alias("c_id"),
+                     F.col("o").alias("first_order"))
+
+
+SQL_ONCE_GOAL_FIRST_ORDER = """
+SELECT 'customer:'||o_custkey AS c_id,
+       min('orders:'||o_orderkey) AS first_order
+FROM orders GROUP BY 1
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "wal_txn_log_roundtrip": (q_wal_txn_log_roundtrip,
+                              SQL_WAL_TXN_LOG_ROUNDTRIP),
+    "once_goal_first_order": (q_once_goal_first_order,
+                              SQL_ONCE_GOAL_FIRST_ORDER),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
                                SQL_Q12_PRIORITY_SHIPPING),
@@ -11966,70 +12111,72 @@ REGISTRY: dict[str, tuple] = {
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
-# r1-r5 cumulative: 194 distinct entries driver-green; 89 never sampled
-# (the list in VERDICT.md round 5 "What's missing" #1).
-# Round 6 front (_R6_FRONT): 50 drawn from those 89, prioritizing the
-# §2-mapped mvcc_revision_diff, the engine-feature entries
-# (matview_rollup_answer, result_cache_hit, join_view_incremental,
-# graph_cc_incremental), and the stats batch. New round-6 registrations
-# are PREPENDED to the front as they land (each pushes the front's tail
-# entry into _R7_QUEUE's head so the front stays exactly 50).
-# Round 7 queue (_R7_QUEUE): the remaining 39 never-sampled entries,
-# staged at positions 51+ so round 7's rotation is a two-line swap:
-# front = _R7_QUEUE + re-confirm slots drawn from the oldest r1/r2 rows.
-_R6_FRONT = [
-    # round-6 NEW registrations: stateful-streaming faces, goal-path geo,
-    # data-quality gate, CV folds, Neyman allocation, Poisson bootstrap
-    "stateful_running_totals", "stateful_anomalies", "geo_goal_rings",
-    "dq_expectation_audit", "cv_fold_assignment", "neyman_allocation",
-    "bootstrap_ci_mean", "feature_woe_iv", "target_encoding_loo",
-    "decision_stump_split", "embedding_isotropy", "graph_rich_club",
-    "ab_cuped_report", "replica_checksum_manifest", "split_leakage_audit",
-    "skyline_parts", "conformal_coverage",
-    # §2-mapped + engine features (5)
-    "mvcc_revision_diff", "matview_rollup_answer", "result_cache_hit",
-    "join_view_incremental", "graph_cc_incremental",
-    # stats / inference batch (16)
-    "chi2_independence", "benford_audit", "theilsen_trend",
-    "kendall_tau", "kruskal_quantity", "spearman_rho", "survival_km",
-    "anova_quantity_returnflag", "mann_whitney_quantity",
-    "wilcoxon_order_growth", "ipf_raking", "mantel_haenszel_or",
-    "cronbach_alpha_events", "ab_experiment", "weighted_sample_tickets",
-    "quantile_normalize_lengths",
-    # analytics / audits (9)
-    "boxplot_chars", "customer_spend_deciles", "orders_global_rank",
-    "allen_census", "delete_cascade_audit", "source_jsd",
-    "dedup_cross_source", "doremi_mix_weights", "embedding_covariance",
-    # graph / embedding / pipeline
-    "graph_eccentricity", "graph_modularity", "embedding_pair_cosine",
-]
-
-_R7_QUEUE = [
-    "multimodal_dims", "text_truncation_curve",
-    "dedup_sampling_weights", "tokenizer_fertility",
-    "dpo_preference_pairs", "shard_interleave_audit",
-    "text_readability", "events_rolling_distinct",
-    "order_lag_features", "ann_truncation_recall",
-    "multimodal_phash_dedup", "text_sparse_dot_pairs",
-    "events_seasonality", "k_anonymity_audit",
+# r1-r6 cumulative: 244 distinct entries driver-green. After round 6,
+# 56 entries had never been driver-sampled (VERDICT r6 "What's missing"
+# #1) — more than one round's sample, so rounds 7 AND 8 finish them.
+# Round 7 front (_R7_FRONT): the 2 NEW round-7 registrations
+# (wal_txn_log_roundtrip, once_goal_first_order — the last
+# oracle-expressible §2 engine faces) + 48 of the 56, leading with the
+# 5 engine-face priorities the r6 judge named (each guards a distinct
+# subsystem), then the staged _R7_QUEUE order.
+# Round 8 queue (_R8_QUEUE), staged at positions 51+ per VERDICT r6
+# item 6: the 8 never-sampled leftovers FIRST, then re-confirm slots —
+# the 51 entries whose only driver rows are r1/r2 (computed from
+# CORRECTNESS_r01/r02; their code has been refactored many times since
+# they last earned a row). Round 8's rotation is again a two-line swap:
+# front = first 50 of _R8_QUEUE (+ any new r8 registrations prepended,
+# pushing the tail down).
+_R7_FRONT = [
+    # round-7 NEW registrations (WAL round-trip, once/cut determinism)
+    "wal_txn_log_roundtrip", "once_goal_first_order",
+    # engine-face priorities (VERDICT r6 item 1)
+    "curation_ingest", "bucketed_join_colocated", "multimodal_phash_dedup",
+    "ann_truncation_recall", "dedup_containment",
+    # remainder of the never-sampled backlog, staged order
+    "multimodal_dims", "text_truncation_curve", "dedup_sampling_weights",
+    "tokenizer_fertility", "dpo_preference_pairs", "shard_interleave_audit",
+    "text_readability", "events_rolling_distinct", "order_lag_features",
+    "text_sparse_dot_pairs", "events_seasonality", "k_anonymity_audit",
     "graph_walk_census", "curation_v2", "sft_pairs",
     "q13_customer_distribution", "distinctive_terms", "customer_rfm",
     "order_status_transitions", "revenue_pareto", "revenue_gini",
     "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
-    "graph_degree_histogram", "brand_revenue_share", "curation_ingest",
-    "graph_pagerank_personalized", "text_boilerplate", "dedup_containment",
-    "stratified_sample", "embedding_quantize", "retrieval_rerank",
-    "token_budget_mix", "cms_heavy_hitters", "retrieval_mmr",
-    "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
-    "training_mix_upsample", "embedding_hard_negatives",
-    "lang_id_confusion", "events_burstiness", "duplicate_ngram_spans",
-    "bpe_pair_stats", "quality_adaptive_gate", "graph_closeness_landmarks",
-    "embedding_pq", "bucketed_join_colocated", "text_keywords",
-    "events_changepoint", "events_gap_fill", "cohort_ltv",
-    "basket_pair_rules",
+    "graph_degree_histogram", "brand_revenue_share",
+    "graph_pagerank_personalized", "text_boilerplate", "stratified_sample",
+    "embedding_quantize", "retrieval_rerank", "token_budget_mix",
+    "cms_heavy_hitters", "retrieval_mmr", "events_recency_score",
+    "source_ks_drift", "graph_pagerank_weighted", "training_mix_upsample",
+    "embedding_hard_negatives", "lang_id_confusion", "events_burstiness",
+    "duplicate_ngram_spans", "bpe_pair_stats",
 ]
 
-_ordered = {n: REGISTRY[n] for n in _R6_FRONT + _R7_QUEUE}
+_R8_QUEUE = [
+    # the 8 never-driver-sampled leftovers — round 8's first priority
+    "quality_adaptive_gate", "graph_closeness_landmarks", "embedding_pq",
+    "text_keywords", "events_changepoint", "events_gap_fill", "cohort_ltv",
+    "basket_pair_rules",
+    # re-confirm slots: entries whose only driver rows are r1/r2
+    # (the r1 names ann_ivf_topk / ann_lsh_topk were later superseded by
+    # ann_ivf_recall / ann_lsh_recall, which carry the coverage)
+    "ann_bruteforce_topk", "ann_ivf_recall",
+    "ann_lsh_recall", "bagof_by_nation", "dedup_embedding",
+    "dedup_embedding_recall", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors",
+    "degree_centrality", "edge_join_2hop", "edge_weighted_filter",
+    "events_hourly_window", "events_latest_per_user", "findall_orders",
+    "forall", "is_a_scan", "is_arithmetic", "limit_skip", "lookup_vertex",
+    "map_edges_scan", "map_vertices_scan", "mvcc_snapshot_read",
+    "not_anti_join", "or_union", "parts_per_customer",
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "regex_match", "replication_subset", "select_count",
+    "semi_join_exists", "setof_segments", "slot_compare", "spatial_knn",
+    "spatial_radius", "text_chunks", "text_fingerprint", "text_quality",
+    "text_token_count", "traverse_bfs", "unique_var", "view_desc_paging",
+    "view_key_lookup", "view_range_paging", "view_reduce_groups",
+    "view_reduce_total",
+]
+
+_ordered = {n: REGISTRY[n] for n in _R7_FRONT + _R8_QUEUE}
 for _n, _v in REGISTRY.items():
     _ordered.setdefault(_n, _v)
 REGISTRY = _ordered
