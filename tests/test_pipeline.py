@@ -98,6 +98,42 @@ def test_minhash_lsh_finds_injected_neardups(spark, docs):
     assert found <= exact
 
 
+def test_minhash_hot_bucket_star_cap(spark, docs):
+    """The max_bucket hot-bucket guard (tools/skew_probe.py's shape): a
+    mass of identical docs forms one giant LSH bucket whose clique join
+    is quadratic. With the cap, the over-cap bucket emits a star to its
+    min id — LINEAR candidates — and the connectivity consumers
+    (dedup_clusters) recover the identical components."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        dedup_clusters, minhash_lsh_candidates, minhash_signatures)
+
+    base = docs.select("doc_id", "text").limit(20)
+    hot_text = base.orderBy("doc_id").first()["text"]
+    hot = spark.range(200).select(
+        (F.col("id") + 2_000_000).alias("doc_id"), F.lit(hot_text).alias("text"))
+    both = base.unionByName(hot)
+    sigs = minhash_signatures(both).persist()
+    full = minhash_lsh_candidates(sigs)
+    capped = minhash_lsh_candidates(sigs, max_bucket=16)
+    n_full, n_capped = full.count(), capped.count()
+    # the clique is quadratic in the 201-doc hot group, the star linear
+    assert n_full > 201 * 100 / 2  # >= C(201,2) / pessimism margin
+    assert n_capped < 3 * 201 + n_full - 201 * 200 / 2 + 1000
+    # connectivity is preserved: identical clusters either way
+    lab_full = {r["id"]: r["cluster"] for r in dedup_clusters(full).collect()}
+    lab_capped = {r["id"]: r["cluster"]
+                  for r in dedup_clusters(capped).collect()}
+    comp_full = {}
+    for i, c in lab_full.items():
+        comp_full.setdefault(c, set()).add(i)
+    comp_capped = {}
+    for i, c in lab_capped.items():
+        comp_capped.setdefault(c, set()).add(i)
+    assert set(map(frozenset, comp_full.values())) == \
+        set(map(frozenset, comp_capped.values()))
+    sigs.unpersist()
+
+
 def test_simhash_identical_and_neardup(spark, docs):
     base = docs.limit(5).select("doc_id", "text")
     clone = base.select((F.col("doc_id") + 1_000_000).alias("doc_id"), "text")

@@ -102,3 +102,65 @@ def test_plan_properties(spark, name):
     for bad in NO_GO:
         assert bad not in plan, f"{name}: {bad} in executed plan"
     assert CASES[name](plan), f"{name}: plan property violated:\n{plan[:2000]}"
+
+
+# -- PLAN_AUDIT snapshot gate (VERDICT r6 stretch item) -----------------------
+#
+# PLAN_AUDIT.md is the checked-in record of each headline entry's executed
+# plan shape at sf0.01. This gate re-derives the same facts for a
+# representative cross-subsystem subset and asserts the invariants that a
+# Catalyst-behavior change (e.g. a future Spark upgrade) must not silently
+# break: no NEW sort-merge join where the audit recorded broadcast-only, the
+# python column stays arrow-or-absent (never a row UDF), and the scan count
+# per entry is stable. Tests run at sf0.001 (conftest SF_DIR) while the
+# audit ran at sf0.01 — join strategy can only shift TOWARD broadcast at the
+# smaller SF, so smj is asserted as <= the snapshot, scans as ==.
+
+SNAPSHOT_GATE = [
+    "is_a_scan", "edge_join_2hop", "parts_per_customer",
+    "q1_pricing_summary", "q5_nation_revenue", "dedup_exact",
+    "ann_bruteforce_topk", "events_hourly_window",
+    "q13_customer_distribution", "graph_pagerank", "retrieval_hybrid_rrf",
+    "multimodal_audio", "knn_label_propagation", "matview_rollup_answer",
+]
+
+
+def _audit_snapshot():
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "PLAN_AUDIT.md")
+    rows = {}
+    with open(path) as fh:
+        for line in fh:
+            parts = [p.strip() for p in line.strip().strip("|").split("|")]
+            if len(parts) != 6 or parts[0] in ("query", "---"):
+                continue
+            name, joins, scans, _cols, _pushed, py = parts
+            if "/" not in joins:
+                continue
+            b, smj, shj = (int(x) for x in joins.split("/"))
+            rows[name] = {"bcast": b, "smj": smj, "shj": shj,
+                          "scans": int(scans), "python": py}
+    return rows
+
+
+@pytest.mark.parametrize("name", SNAPSHOT_GATE)
+def test_plan_matches_audit_snapshot(spark, name):
+    from vivace_graph_v3_spark.plans import plan_facts
+
+    snap = _audit_snapshot()
+    assert name in snap, f"{name} missing from PLAN_AUDIT.md"
+    df = eq.queries()[name](spark, SF_DIR)
+    df.collect()
+    f = plan_facts(df)
+    assert not f.row_udf, f"{name}: row-at-a-time Python UDF appeared"
+    want = snap[name]
+    got_py = "row-UDF!" if f.row_udf else ("arrow" if f.arrow else "-")
+    assert got_py == want["python"], (
+        f"{name}: python boundary changed {want['python']} -> {got_py}")
+    assert f.sort_merge_joins <= want["smj"], (
+        f"{name}: NEW sort-merge join ({f.sort_merge_joins} > "
+        f"{want['smj']} in the audited snapshot)")
+    assert len(f.scans) == want["scans"], (
+        f"{name}: scan count changed {want['scans']} -> {len(f.scans)}")

@@ -107,6 +107,8 @@ AUDITED = [
     "decision_stump_split", "embedding_isotropy",
     "graph_rich_club", "ab_cuped_report", "replica_checksum_manifest",
     "split_leakage_audit", "skyline_parts", "conformal_coverage",
+    # round-7 additions
+    "wal_txn_log_roundtrip", "once_goal_first_order",
 ]
 
 

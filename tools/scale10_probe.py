@@ -154,7 +154,11 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "replica_checksum_manifest", "split_leakage_audit",
           # skyline = grid aggregate + frontier window over distinct
           # prices; conformal = grid-quantile + one coverage aggregate
-          "skyline_parts", "conformal_coverage"]
+          "skyline_parts", "conformal_coverage",
+          # round-7 ops: the WAL round-trip commits 10x rows through
+          # three log appends (write-path volume); once/cut is one
+          # min-per-customer aggregate-shaped window over 10x orders
+          "wal_txn_log_roundtrip", "once_goal_first_order"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -704,12 +704,19 @@ FROM events GROUP BY 1, 2
 
 
 def q_events_latest_per_user(spark, sf_dir):
+    """Latest event per user as a MAX-STRUCT aggregate, not a
+    partitionBy(user) row_number window: the struct max over
+    (ts, event_id, payload) is the row with the greatest (ts, event_id)
+    — identical to the oracle's row_number DESC — but it partial-
+    aggregates map-side, so a power-law user holding half the corpus
+    costs one combiner cell instead of one unsplittable window
+    partition (tools/skew_probe.py records the head-to-head)."""
     ev = _events(spark, sf_dir)
-    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(),
-                                              F.col("event_id").desc())
-    return (ev.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("user_id", "event_id", "event_type"))
+    return (ev.groupBy("user_id")
+            .agg(F.max(F.struct("ts", "event_id", "event_type"))
+                 .alias("s"))
+            .select("user_id", F.col("s.event_id").alias("event_id"),
+                    F.col("s.event_type").alias("event_type")))
 
 
 SQL_EVENTS_LATEST_PER_USER = """

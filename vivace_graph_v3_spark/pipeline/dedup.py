@@ -273,22 +273,56 @@ def band_rows(sigs: DataFrame, *, bands: int = 16,
 
 
 def minhash_lsh_candidates(sigs: DataFrame, *, bands: int = 16,
-                           rows_per_band: int = 4) -> DataFrame:
+                           rows_per_band: int = 4,
+                           max_bucket: int | None = None) -> DataFrame:
     """Band the signature (b bands of r rows), bucket-join: pairs sharing any
-    band bucket are candidates. Emits distinct (id_a < id_b)."""
+    band bucket are candidates. Emits distinct (id_a < id_b).
+
+    ``max_bucket`` is the HOT-BUCKET guard for power-law corpora
+    (tools/skew_probe.py records the motivating shape): the within-
+    bucket clique join is quadratic in bucket width, so one bucket
+    holding k docs — in practice a mass of byte-identical or boilerplate
+    pages whose r band hashes all collide — emits k(k-1)/2 pairs.
+    With a cap, an over-cap bucket emits a STAR to its min id (k-1
+    pairs) instead: connectivity-driven consumers (``dedup_clusters``,
+    ``dedup_survivors``) recover the identical components whenever the
+    over-cap bucket's members are mutual near-dups (the overwhelmingly
+    common cause of a giant bucket — identical docs share ALL buckets),
+    while the candidate count stays linear in corpus size. The trade:
+    two genuinely-distinct docs inside an over-cap bucket are only
+    candidates via the star hub or a second, smaller shared bucket —
+    the standard recall/cost bound at 100 TB. ``None`` (default) keeps
+    the exact clique semantics the oracle entries pin."""
     banded = band_rows(sigs, bands=bands, rows_per_band=rows_per_band)
-    a, b = banded.alias("a"), banded.alias("b")
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.bucket") == F.col("b.bucket"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .dropDuplicates())
+    if max_bucket is None:
+        a, b = banded.alias("a"), banded.alias("b")
+        return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                       & (F.col("a.bucket") == F.col("b.bucket"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("id_a"),
+                        F.col("b.id").alias("id_b"))
+                .dropDuplicates())
+    sizes = (banded.groupBy("band", "bucket")
+             .agg(F.count(F.lit(1)).alias("__w"), F.min("id").alias("__hub")))
+    tagged = banded.join(sizes, ["band", "bucket"])
+    small = tagged.filter(F.col("__w") <= max_bucket)
+    a, b = small.alias("a"), small.alias("b")
+    clique = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                     & (F.col("a.bucket") == F.col("b.bucket"))
+                     & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("id_a"),
+                      F.col("b.id").alias("id_b")))
+    star = (tagged.filter((F.col("__w") > max_bucket)
+                          & (F.col("id") != F.col("__hub")))
+            .select(F.col("__hub").alias("id_a"), F.col("id").alias("id_b")))
+    return clique.unionByName(star).dropDuplicates()
 
 
 def minhash_dedup_pairs(df: DataFrame, *, text_col: str = "text",
                         id_col: str = "doc_id", n: int = 3,
                         num_hashes: int = 64, bands: int = 16,
-                        threshold: float = 0.8) -> DataFrame:
+                        threshold: float = 0.8,
+                        max_bucket: int | None = None) -> DataFrame:
     """MinHash-LSH near-dup pipeline: signatures -> banded candidates ->
     minhash-estimate prefilter -> exact-jaccard verification.
 
@@ -301,7 +335,8 @@ def minhash_dedup_pairs(df: DataFrame, *, text_col: str = "text",
                               num_hashes=num_hashes).persist()
     try:
         cands = minhash_lsh_candidates(sigs, bands=bands,
-                                       rows_per_band=num_hashes // bands)
+                                       rows_per_band=num_hashes // bands,
+                                       max_bucket=max_bucket)
         side = sigs.select("id", F.col("__sh").alias("sh"),
                            F.size("__sh").alias("sz"), "minhash")
         joined = (cands
