@@ -23,26 +23,38 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 OUT_SCHEMA = ("key string, n long, total double, last_event_ms long, "
               "final boolean")
-STATE_SCHEMA = "n long, total double, last_event_ms long"
+# total carries as an EXACT integer accumulator of pre-quantized units
+# (decimal(38,0) state, same contract as the anomaly operator below):
+# a double state cell silently loses low bits once a key's running sum
+# passes 2^53, diverging from an integer relational oracle. The OUTPUT
+# stays double (one IEEE-correct cast at emit — the same cast the
+# oracle applies to its BIGINT sum).
+STATE_SCHEMA = "n long, total decimal(38,0), last_event_ms long"
 
 
 def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
             state: GroupState) -> Iterable[pd.DataFrame]:
+    from decimal import Decimal
+
     if state.hasTimedOut:
         n, total, last = state.get
         state.remove()
-        yield pd.DataFrame([{"key": key[0], "n": n, "total": total,
+        yield pd.DataFrame([{"key": key[0], "n": n, "total": float(total),
                              "last_event_ms": last, "final": True}])
         return
-    n, total, last = state.get if state.exists else (0, 0.0, 0)
+    if state.exists:
+        n, total, last = state.get
+        total = int(total)
+    else:
+        n, total, last = 0, 0, 0
     for pdf in pdfs:
         n += len(pdf)
-        total += float(pdf["value"].sum())
         if len(pdf):
+            total += int(pdf["value"].astype("int64").sum())
             last = max(last, int(pdf["event_ms"].max()))
-    state.update((n, total, last))
+    state.update((n, Decimal(total), last))
     state.setTimeoutDuration(60_000)
-    yield pd.DataFrame([{"key": key[0], "n": n, "total": total,
+    yield pd.DataFrame([{"key": key[0], "n": n, "total": float(total),
                          "last_event_ms": last, "final": False}])
 
 
@@ -53,7 +65,13 @@ def running_totals(events: DataFrame, *, key_col: str = "user_id",
     micro-batch, plus a ``final`` row when a key's state times out.
 
     Input must be a streaming DataFrame with the given columns. All state
-    transfer is Arrow-batched pandas (no row-at-a-time Python)."""
+    transfer is Arrow-batched pandas (no row-at-a-time Python).
+
+    Contract: ``value_col`` holds pre-quantized integer units (e.g.
+    cents) — the running sum carries as an exact arbitrary-precision
+    integer in state (decimal(38,0) storage) and is cast to double once
+    at emit, so it matches an integer relational oracle at any scale,
+    not just below the 2^53 double mantissa."""
     from pyspark.sql import functions as F
 
     prepared = events.select(
