@@ -1741,3 +1741,17 @@ def test_seed_scan_empty_seed(spark):
                                  broadcast_corpus=True)
     assert out.count() == 0
     assert out.columns == ["query_id", "neighbor_id", "cosine", "rank"]
+
+
+def test_ngram_novelty_hand_values(spark):
+    from vivace_graph_v3_spark.pipeline.dedup import ngram_novelty
+
+    train = spark.createDataFrame([("a b c d",)], "text string")
+    test = spark.createDataFrame([("a b c x y",)], "text string")
+    row = ngram_novelty(train, test).collect()[0]
+    # test trigrams: "a b c" (seen), "b c x", "c x y" (novel)
+    assert row["n_test_ngrams"] == 3 and row["n_novel"] == 2
+    assert row["novelty_ppm"] == 2_000_000 // 3
+    # fully-seen test split: zero novelty (left-join null -> 0)
+    row0 = ngram_novelty(train, train).collect()[0]
+    assert row0["n_novel"] == 0 and row0["novelty_ppm"] == 0

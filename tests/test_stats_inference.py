@@ -389,3 +389,67 @@ class TestCronbachAlpha:
         df = spark.createDataFrame([(1,)], ["a"])
         with pytest.raises(ValueError):
             cronbach_alpha(df, ["a"])
+
+
+def test_kish_ess_hand_values(spark):
+    from vivace_graph_v3_spark.operators.stats_inference import kish_ess
+
+    df = spark.createDataFrame(
+        [("u", 1), ("u", 1), ("u", 1), ("u", 1), ("s", 3), ("s", 1)],
+        "g string, w int")
+    out = {r["g"]: r for r in kish_ess(df, "w", group_col="g").collect()}
+    # uniform weights: ESS = n, deff = 1
+    assert out["u"]["ess_milli"] == 4000 and out["u"]["deff_milli"] == 1000
+    # skewed 3:1 -> ESS = 16/10 = 1.6, deff = 2*10/16 = 1.25
+    assert out["s"]["ess_milli"] == 1600 and out["s"]["deff_milli"] == 1250
+
+
+def test_bh_fdr_step_up_hand_example(spark):
+    """Classic BH: rates .01 .02 .30 .40 .90 at q=0.1 over m=5 give
+    thresholds .02i -> k=2, exactly the two smallest rejected."""
+    from vivace_graph_v3_spark.operators.stats_inference import bh_fdr
+
+    rows = [("a", 1, 100), ("b", 2, 100), ("c", 30, 100),
+            ("d", 40, 100), ("e", 90, 100)]
+    df = spark.createDataFrame(rows, "cell string, hits int, n int")
+    out = {r["cell"]: r for r in
+           bh_fdr(df, "hits", "n", ["cell"], q_milli=100).collect()}
+    assert [out[c]["rejected"] for c in "abcde"] == \
+        [True, True, False, False, False]
+    assert [out[c]["rank"] for c in "abcde"] == [1, 2, 3, 4, 5]
+
+
+def test_bh_fdr_step_up_not_step_down(spark):
+    """The STEP-UP property: a later rank satisfying the inequality
+    rescues every earlier rank, even ones that individually fail."""
+    from vivace_graph_v3_spark.operators.stats_inference import bh_fdr
+
+    # p = .019, .021, .022 at q=.1, m=3: thresholds .0333i
+    # rank1: 19/1000 <= .0333 ok; rank2: .021 <= .0666 ok;
+    # rank3: .022 <= .1 ok -> ALL rejected (step-up k=3)
+    rows = [("a", 19, 1000), ("b", 21, 1000), ("c", 22, 1000)]
+    df = spark.createDataFrame(rows, "cell string, hits int, n int")
+    out = bh_fdr(df, "hits", "n", ["cell"], q_milli=100).collect()
+    assert all(r["rejected"] for r in out)
+
+
+def test_krippendorff_alpha_hand_values(spark):
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        krippendorff_alpha_nominal)
+
+    # units (a,a) (a,b) (b,b) (b,b): coincidences o_aa=2 o_ab=o_ba=1
+    # o_bb=4; N=8, D=2, marginals 3/5 -> alpha = 1 - 7*2/30 = 16/30
+    df = spark.createDataFrame(
+        [("a", "a"), ("a", "b"), ("b", "b"), ("b", "b")],
+        "a string, b string")
+    row = krippendorff_alpha_nominal(df, "a", "b").collect()[0]
+    assert row["n_units"] == 4 and row["n_categories"] == 2
+    assert row["n_disagree_pairs"] == 2
+    assert row["alpha_ppm"] == 1_000_000 - (7 * 2 * 1_000_000) // 30
+
+    # degenerate single-category data: alpha undefined, never a
+    # divide-by-zero
+    one = spark.createDataFrame([("x", "x"), ("x", "x")],
+                                "a string, b string")
+    assert krippendorff_alpha_nominal(one, "a", "b").collect()[0][
+        "alpha_ppm"] is None

@@ -109,6 +109,8 @@ AUDITED = [
     "split_leakage_audit", "skyline_parts", "conformal_coverage",
     # round-7 additions
     "wal_txn_log_roundtrip", "once_goal_first_order",
+    "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
+    "krippendorff_labelers",
 ]
 
 

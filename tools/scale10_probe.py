@@ -157,8 +157,12 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "skyline_parts", "conformal_coverage",
           # round-7 ops: the WAL round-trip commits 10x rows through
           # three log appends (write-path volume); once/cut is one
-          # min-per-customer aggregate-shaped window over 10x orders
-          "wal_txn_log_roundtrip", "once_goal_first_order"]
+          # min-per-customer aggregate-shaped window over 10x orders;
+          # novelty anti-joins the 10x shingle vocabulary; ESS/FDR/alpha
+          # reduce to lang/cell/label grids in one aggregate each
+          "wal_txn_log_roundtrip", "once_goal_first_order",
+          "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
+          "krippendorff_labelers"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

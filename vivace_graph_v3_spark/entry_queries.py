@@ -11740,7 +11740,198 @@ FROM orders GROUP BY 1
 """
 
 
+def q_ngram_novelty(spark, sf_dir):
+    """n-gram novelty / memorization audit (pipeline/dedup.ngram_novelty
+    — the n-gram-level complement of the doc-level contamination flag,
+    GPT-3 appendix C lineage): the corpus splits train/test on the
+    deterministic md5 doc fold; per language, the share of the test
+    split's distinct trigrams that never occur in the training split,
+    as an exact BIGINT ppm. Low novelty = the held-out text is largely
+    reconstructible from training n-grams."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        hash_fold_assignment)
+    from vivace_graph_v3_spark.pipeline.dedup import ngram_novelty
+
+    d = _docs(spark, sf_dir).withColumn(
+        "fold", hash_fold_assignment("doc_id", n_folds=5))
+    return ngram_novelty(d.filter(F.col("fold") != 0),
+                         d.filter(F.col("fold") == 0), group_col="lang")
+
+
+SQL_NGRAM_NOVELTY = rf"""
+WITH d AS (
+  SELECT lang, text,
+         CAST((({_MD5_FOLD_SQL} % 5) + 5) % 5 AS BIGINT) AS fold
+  FROM documents
+), t AS (
+  SELECT lang, fold,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM d
+), s AS (
+  SELECT lang, fold,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM t WHERE len(toks) >= 3
+), tr AS (
+  SELECT DISTINCT sh FROM (SELECT unnest(sh) AS sh FROM s WHERE fold <> 0)
+), te AS (
+  SELECT DISTINCT lang, sh
+  FROM (SELECT lang, unnest(sh) AS sh FROM s WHERE fold = 0)
+), tot AS (
+  SELECT lang, count(*) AS n_test_ngrams FROM te GROUP BY 1
+), nov AS (
+  SELECT lang, count(*) AS n_novel FROM te ANTI JOIN tr USING (sh)
+  GROUP BY 1
+)
+SELECT tot.lang,
+       CAST(n_test_ngrams AS BIGINT) AS n_test_ngrams,
+       CAST(coalesce(n_novel, 0) AS BIGINT) AS n_novel,
+       CAST(coalesce(n_novel, 0) * 1000000 // n_test_ngrams AS BIGINT)
+         AS novelty_ppm
+FROM tot LEFT JOIN nov ON tot.lang = nov.lang
+"""
+
+
+def q_mix_ess_design_effect(spark, sf_dir):
+    """Kish effective sample size / design effect of the corpus's
+    per-document token-count weights, per language
+    (operators/stats_inference.kish_ess; Kish 1965): the token-budget
+    diagnostic a training-mix pipeline reads before trusting a weighted
+    sample — deff in exact integer milli units."""
+    from vivace_graph_v3_spark.operators.stats_inference import kish_ess
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    d = _docs(spark, sf_dir).select(
+        "lang", F.size(tokens(F.col("text"))).alias("w"))
+    return kish_ess(d, "w", group_col="lang")
+
+
+SQL_MIX_ESS_DESIGN_EFFECT = r"""
+WITH t AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS w
+  FROM documents
+), g AS (
+  SELECT lang, count(*) AS n, sum(w) AS s, sum(w * w) AS q
+  FROM t GROUP BY 1
+)
+SELECT lang, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_w,
+       CAST(q AS BIGINT) AS sum_w2,
+       CAST(s * s * 1000 // q AS BIGINT) AS ess_milli,
+       CAST(n * q * 1000 // (s * s) AS BIGINT) AS deff_milli
+FROM g
+"""
+
+
+def q_fdr_bh_segments(spark, sf_dir):
+    """Benjamini–Hochberg step-up FDR over the (segment, priority)
+    hypothesis grid (operators/stats_inference.bh_fdr; Benjamini &
+    Hochberg 1995): each cell's empirical rate is the share of its
+    orders priced above 150k; BH rejects the smallest k rates with
+    p_(i) <= q*i/m at q = 0.10, decided by exact integer
+    cross-multiplication — the multiple-testing gate an
+    experimentation pipeline runs before acting on per-cell lifts."""
+    from vivace_graph_v3_spark.operators.stats_inference import bh_fdr
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    grid = (o.join(c, o["o_custkey"] == c["c_custkey"])
+            .groupBy("c_mktsegment", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.when(F.col("o_totalprice") > 150000, 1)
+                       .otherwise(0)).alias("hits")))
+    return bh_fdr(grid, "hits", "n",
+                  ["c_mktsegment", "o_orderpriority"], q_milli=100)
+
+
+SQL_FDR_BH_SEGMENTS = """
+WITH g AS (
+  SELECT c_mktsegment, o_orderpriority, count(*) AS n,
+         sum(CASE WHEN o_totalprice > 150000 THEN 1 ELSE 0 END) AS hits
+  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2
+), r AS (
+  SELECT *, CAST(hits AS DOUBLE) / CAST(n AS DOUBLE) AS p,
+         row_number() OVER (ORDER BY CAST(hits AS DOUBLE)
+                            / CAST(n AS DOUBLE),
+                            c_mktsegment, o_orderpriority) AS rank,
+         count(*) OVER () AS m
+  FROM g
+), k AS (
+  SELECT max(CASE WHEN hits * m * 1000 <= rank * 100 * n
+             THEN rank ELSE 0 END) AS k FROM r
+)
+SELECT c_mktsegment, o_orderpriority, CAST(n AS BIGINT) AS n,
+       CAST(hits AS BIGINT) AS hits, p, CAST(rank AS BIGINT) AS rank,
+       rank <= k AS rejected
+FROM r, k
+"""
+
+
+def q_krippendorff_labelers(spark, sf_dir):
+    """Krippendorff's alpha between two deterministic document
+    labelers (operators/stats_inference.krippendorff_alpha_nominal;
+    Krippendorff 2004) — a char-length tercile rater vs a token-count
+    tercile rater over the same docs: the inter-annotator agreement
+    gate a labeling pipeline runs on silver data, exact integer ppm
+    from the coincidence matrix."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        krippendorff_alpha_nominal)
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    d = _docs(spark, sf_dir)
+    la = (F.when(F.length("text") < 220, "short")
+          .when(F.length("text") < 380, "mid").otherwise("long"))
+    lb = (F.when(F.size(tokens(F.col("text"))) < 40, "short")
+          .when(F.size(tokens(F.col("text"))) < 70, "mid")
+          .otherwise("long"))
+    return krippendorff_alpha_nominal(
+        d.select(la.alias("a"), lb.alias("b")), "a", "b")
+
+
+SQL_KRIPPENDORFF_LABELERS = r"""
+WITH u AS (
+  SELECT CASE WHEN length(text) < 220 THEN 'short'
+              WHEN length(text) < 380 THEN 'mid' ELSE 'long' END AS a,
+         CASE WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) < 40 THEN 'short'
+              WHEN len(list_filter(string_split_regex(trim(text), '\s+'),
+                                   x -> x <> '')) < 70 THEN 'mid'
+              ELSE 'long' END AS b
+  FROM documents
+), cells AS (
+  SELECT x, y, sum(c) AS o FROM (
+    SELECT a AS x, b AS y, count(*) AS c FROM u GROUP BY 1, 2
+    UNION ALL
+    SELECT b AS x, a AS y, count(*) AS c FROM u GROUP BY 1, 2
+  ) GROUP BY 1, 2
+), marg AS (
+  SELECT x, sum(o) AS n_c FROM cells GROUP BY 1
+), tot AS (
+  SELECT (SELECT sum(o) FROM cells) AS N,
+         (SELECT sum(CASE WHEN x <> y THEN o ELSE 0 END) FROM cells) AS D,
+         (SELECT sum(n_c * n_c) FROM marg) AS sum_nc2,
+         (SELECT count(*) FROM marg) AS n_categories
+)
+SELECT CAST(N / 2 AS BIGINT) AS n_units,
+       CAST(n_categories AS BIGINT) AS n_categories,
+       CAST(D AS BIGINT) AS n_disagree_pairs,
+       CAST(CASE WHEN N * N - sum_nc2 > 0 THEN
+            1000000 - ((N - 1) * D * 1000000) // (N * N - sum_nc2)
+            END AS BIGINT) AS alpha_ppm
+FROM tot
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
+    "mix_ess_design_effect": (q_mix_ess_design_effect,
+                              SQL_MIX_ESS_DESIGN_EFFECT),
+    "fdr_bh_segments": (q_fdr_bh_segments, SQL_FDR_BH_SEGMENTS),
+    "krippendorff_labelers": (q_krippendorff_labelers,
+                              SQL_KRIPPENDORFF_LABELERS),
     "wal_txn_log_roundtrip": (q_wal_txn_log_roundtrip,
                               SQL_WAL_TXN_LOG_ROUNDTRIP),
     "once_goal_first_order": (q_once_goal_first_order,
@@ -12134,7 +12325,12 @@ REGISTRY: dict[str, tuple] = {
 # front = first 50 of _R8_QUEUE (+ any new r8 registrations prepended,
 # pushing the tail down).
 _R7_FRONT = [
-    # round-7 NEW registrations (WAL round-trip, once/cut determinism)
+    # round-7 NEW registrations (prepended per convention, each pushing
+    # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
+    # once/cut determinism, then the LLM-pipeline batch — n-gram
+    # novelty, Kish ESS/deff, BH FDR, Krippendorff alpha
+    "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
+    "krippendorff_labelers",
     "wal_txn_log_roundtrip", "once_goal_first_order",
     # engine-face priorities (VERDICT r6 item 1)
     "curation_ingest", "bucketed_join_colocated", "multimodal_phash_dedup",
@@ -12153,11 +12349,14 @@ _R7_FRONT = [
     "embedding_quantize", "retrieval_rerank", "token_budget_mix",
     "cms_heavy_hitters", "retrieval_mmr", "events_recency_score",
     "source_ks_drift", "graph_pagerank_weighted", "training_mix_upsample",
-    "embedding_hard_negatives", "lang_id_confusion", "events_burstiness",
-    "duplicate_ngram_spans", "bpe_pair_stats",
+    "embedding_hard_negatives",
 ]
 
 _R8_QUEUE = [
+    # front-tail entries displaced by the round-7 LLM-pipeline batch
+    # (never driver-sampled; first priority alongside the leftovers)
+    "lang_id_confusion", "events_burstiness", "duplicate_ngram_spans",
+    "bpe_pair_stats",
     # the 8 never-driver-sampled leftovers — round 8's first priority
     "quality_adaptive_gate", "graph_closeness_landmarks", "embedding_pq",
     "text_keywords", "events_changepoint", "events_gap_fill", "cohort_ltv",

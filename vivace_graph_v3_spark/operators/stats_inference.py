@@ -45,6 +45,9 @@ __all__ = [
     "poisson_bootstrap_ci",
     "neyman_allocation",
     "hash_fold_assignment",
+    "kish_ess",
+    "bh_fdr",
+    "krippendorff_alpha_nominal",
 ]
 
 
@@ -777,3 +780,118 @@ def split_conformal_report(df: DataFrame, y_col: str, yhat_col: str,
                     .alias("coverage_ppm"),
                     F.lit(int((1 - alpha) * 1_000_000)).cast("long")
                     .alias("target_ppm")))
+
+
+def kish_ess(df: DataFrame, weight_col: str, *,
+             group_col: str | None = None) -> DataFrame:
+    """Kish effective sample size and design effect of a weighted sample
+    (Kish 1965): ESS = (Σw)²/Σw², deff = n·Σw²/(Σw)². The diagnostic a
+    training-mix pipeline runs on its per-document sampling weights —
+    a mix whose deff is 3 wastes two-thirds of its token budget on
+    re-seen documents.
+
+    Weights are integer units (caller contract — e.g. token counts or
+    milli-weights), so both ratios are exact BIGINT ``div`` in milli
+    units, matching the oracle at any engine. Returns one row per group
+    (or one global row): (group, n, sum_w, sum_w2, ess_milli,
+    deff_milli).
+
+    Scale shape: ONE map-side-combined aggregate per group — the two
+    moments and the count; nothing downstream of the group grid."""
+    w = F.col(weight_col).cast("long")
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("g")
+    g = (df.select(grp, w.alias("w"))
+         .groupBy("g")
+         .agg(F.count(F.lit(1)).alias("n"), F.sum("w").alias("s"),
+              F.sum(F.col("w") * F.col("w")).alias("q")))
+    return g.select(
+        F.col("g").alias(group_col or "scope"),
+        F.col("n").cast("long").alias("n"),
+        F.col("s").cast("long").alias("sum_w"),
+        F.col("q").cast("long").alias("sum_w2"),
+        F.expr("s * s * 1000 div q").cast("long").alias("ess_milli"),
+        F.expr("n * q * 1000 div (s * s)").cast("long")
+        .alias("deff_milli"))
+
+
+def bh_fdr(stats: DataFrame, hit_col: str, n_col: str, key_cols: list[str],
+           *, q_milli: int = 100) -> DataFrame:
+    """Benjamini–Hochberg step-up FDR control (Benjamini & Hochberg
+    1995) over m empirical rates: each hypothesis i carries an exact
+    rational rate p_i = hits_i / n_i; BH sorts p ascending and rejects
+    the smallest k hypotheses where k = max{i : p_(i) <= q·i/m}. The
+    multiple-testing gate an experimentation pipeline runs over
+    per-segment metrics before acting on "significant" cells.
+
+    Exactness: the BH inequality is evaluated by integer
+    cross-multiplication (hits·m·1000 <= i·q_milli·n — never a float
+    compare); the SORT key is the IEEE double hits/n, which both
+    engines produce bit-identically from the same integers (one
+    correctly-rounded division), with the key columns as tiebreak.
+
+    Returns one row per hypothesis: key columns + (n, hits, p, rank,
+    rejected). Scale shape: one map-side-combined aggregate built the
+    (hits, n) grid upstream; everything here is windows over the
+    m-row hypothesis grid (domain-bounded)."""
+    p = (F.col(hit_col).cast("double") / F.col(n_col).cast("double"))
+    base = stats.withColumn("p", p)  # one correctly-rounded division —
+    # bit-identical in both engines, safe as a sort key unrounded
+    w = Window.orderBy(F.col("p").asc(), *[F.col(c).asc() for c in key_cols])
+    m = Window.partitionBy(F.lit(1))
+    ranked = (base.withColumn("rank", F.row_number().over(w))
+              .withColumn("m", F.count(F.lit(1)).over(m)))
+    cond = (F.col(hit_col).cast("long") * F.col("m") * 1000
+            <= F.col("rank") * F.lit(q_milli) * F.col(n_col).cast("long"))
+    ranked = ranked.withColumn(
+        "k", F.max(F.when(cond, F.col("rank")).otherwise(0)).over(m))
+    return (ranked.select(*key_cols,
+                          F.col(n_col).cast("long").alias("n"),
+                          F.col(hit_col).cast("long").alias("hits"),
+                          "p", F.col("rank").cast("long").alias("rank"),
+                          (F.col("rank") <= F.col("k")).alias("rejected")))
+
+
+def krippendorff_alpha_nominal(df: DataFrame, label_a: str,
+                               label_b: str) -> DataFrame:
+    """Krippendorff's alpha for NOMINAL data with two raters per unit
+    and no missing values (Krippendorff 2004, coincidence-matrix form):
+    alpha = 1 − (N−1)·D / Σ_c n_c(N−n_c), where each unit contributes
+    its ordered label pairs to the coincidence counts, D = number of
+    disagreeing ordered pairs, N = 2n total values, and n_c the value
+    marginals. The inter-annotator (or model-vs-model) agreement gate a
+    labeling pipeline runs before trusting a silver dataset; unlike
+    Cohen's kappa (``classifier_kappa``) it generalizes to missing data
+    and many raters — this is the two-rater complete-data kernel.
+
+    All quantities are exact integers; alpha is reported as
+    alpha_ppm = 1e6 − (N−1)·D·1e6 div Σ_c n_c(N−n_c) (numerator
+    non-negative, so ``div`` is floor in both engines).
+
+    Scale shape: one map-side-combined aggregate per (a, b) label-pair
+    cell (grid-bounded by |labels|²); the marginals and the alpha fold
+    run on that grid."""
+    pairs = (df.select(F.col(label_a).cast("string").alias("a"),
+                       F.col(label_b).cast("string").alias("b"))
+             .groupBy("a", "b").agg(F.count(F.lit(1)).alias("c")))
+    # ordered coincidences: each unit contributes (a,b) AND (b,a)
+    cells = (pairs.select(F.col("a").alias("x"), F.col("b").alias("y"), "c")
+             .unionByName(pairs.select(F.col("b").alias("x"),
+                                       F.col("a").alias("y"), "c"))
+             .groupBy("x", "y").agg(F.sum("c").alias("o")))
+    marg = cells.groupBy("x").agg(F.sum("o").alias("n_c"))
+    tot = (cells.agg(
+        F.sum("o").alias("N"),
+        F.sum(F.when(F.col("x") != F.col("y"), F.col("o")).otherwise(0))
+        .alias("D"))
+        .crossJoin(F.broadcast(
+            marg.agg(F.sum(F.col("n_c") * F.col("n_c")).alias("sum_nc2"),
+                     F.count(F.lit(1)).alias("n_categories"))))
+        .withColumn("denom", F.col("N") * F.col("N") - F.col("sum_nc2")))
+    return tot.select(
+        (F.col("N") / 2).cast("long").alias("n_units"),
+        F.col("n_categories").cast("long").alias("n_categories"),
+        F.col("D").cast("long").alias("n_disagree_pairs"),
+        # denom = 0 iff every value is one category: alpha undefined
+        F.when(F.col("denom") > 0,
+               F.expr("1000000 - ((N - 1) * D * 1000000) div denom"))
+        .cast("long").alias("alpha_ppm"))

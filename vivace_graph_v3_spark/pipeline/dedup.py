@@ -221,6 +221,59 @@ def ngram_contamination(docs: DataFrame, eval_docs: DataFrame, *,
             .filter(F.col("n_common") >= min_common))
 
 
+def shingle_strings(text_col, n: int = 3):
+    """Distinct word n-gram shingles as STRINGS (space-joined) — the
+    cross-engine-reproducible sibling of :func:`shingle_hashes` (xxhash64
+    has no DuckDB twin; the raw shingle text does)."""
+    toks = tokens(text_col)
+    count = F.greatest(F.size(toks) - (n - 1), F.lit(0))
+    idx = F.sequence(F.lit(0), count - 1)
+    shingles = F.when(count > 0, F.transform(
+        idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+    )).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(shingles)
+
+
+def ngram_novelty(train: DataFrame, test: DataFrame, *,
+                  text_col: str = "text", group_col: str | None = None,
+                  n: int = 3) -> DataFrame:
+    """Memorization / novelty audit: what fraction of a held-out split's
+    distinct word n-grams NEVER occur anywhere in the training split?
+    Low novelty means the eval text is largely reconstructible from
+    training n-grams — the n-gram-level complement of the doc-level
+    ``ngram_contamination`` flag (GPT-3 appendix C lineage) and the
+    standard memorization proxy a data card reports per subset.
+
+    Returns one row per ``group_col`` value (or one global row):
+    (group, n_test_ngrams, n_novel, novelty_ppm) with novelty_ppm an
+    exact BIGINT ``div``.
+
+    Scale shape: the training vocabulary is one distinct-aggregate of
+    exploded shingles (map-side pre-aggregation absorbs within-doc
+    repeats); the novelty check is a left-anti shuffle join on the
+    shingle — the same co-partitioned shape either way at 100 TB, and
+    Bloom-prefilterable. Per-group counters are map-side-combined."""
+    tr = (train.select(F.explode(shingle_strings(F.col(text_col), n))
+                       .alias("sh"))
+          .dropDuplicates())
+    grp = (F.col(group_col) if group_col else F.lit("all")).alias("g")
+    te = (test.select(grp, F.explode(shingle_strings(F.col(text_col), n))
+                      .alias("sh"))
+          .dropDuplicates())
+    novel = te.join(tr, "sh", "left_anti")
+    tot = te.groupBy("g").agg(F.count(F.lit(1)).alias("n_test_ngrams"))
+    nov = novel.groupBy("g").agg(F.count(F.lit(1)).alias("n_novel"))
+    return (tot.join(nov, "g", "left")
+            .select(F.col("g").alias(group_col or "split"),
+                    F.col("n_test_ngrams").cast("long")
+                    .alias("n_test_ngrams"),
+                    F.coalesce("n_novel", F.lit(0)).cast("long")
+                    .alias("n_novel"),
+                    F.expr("coalesce(n_novel, 0) * 1000000 div "
+                           "n_test_ngrams").cast("long")
+                    .alias("novelty_ppm")))
+
+
 # -- minhash + LSH -----------------------------------------------------------------
 
 def minhash_signatures(df: DataFrame, *, text_col: str = "text",
