@@ -151,6 +151,11 @@ def test_plan_matches_audit_snapshot(spark, name):
 
     snap = _audit_snapshot()
     assert name in snap, f"{name} missing from PLAN_AUDIT.md"
+    # another test module may have left an input table .cache()d, which
+    # turns its parquet scans into InMemoryTableScans and voids the
+    # scan-count compare (same caveat as the text_chunks case above) —
+    # the audit snapshot is of COLD plans, so compare cold
+    spark.catalog.clearCache()
     df = eq.queries()[name](spark, SF_DIR)
     df.collect()
     f = plan_facts(df)
