@@ -92,6 +92,27 @@ def test_snapshot_replay_roundtrip(vg, spark, tmp_path):
     assert [r["name"] for r in rows] == ["ann"]
 
 
+def test_compact_crash_window_base_aside_recovers(vg, spark):
+    """ADVICE r6 swap rule applied to compact(): a crash between the two
+    renames of the base swap leaves the base only at the .old aside —
+    the next read restores it instead of silently reading an empty
+    base."""
+    import os
+    import shutil
+
+    vg.commit(vg.begin().create("person", _people(spark, [("p1", "a", 1),
+                                                          ("p2", "b", 2)])))
+    vg.compact()
+    base = vg._base_path(vg.registry.get("person"))
+    assert os.path.isdir(base)
+    # simulate the crash window
+    os.rename(base, base + ".old")
+    assert sorted(r["id"] for r in vg.read("person").collect()) == \
+        ["p1", "p2"]
+    assert os.path.isdir(base) and not os.path.exists(base + ".old")
+    shutil.rmtree(base + ".old", ignore_errors=True)
+
+
 def test_compact_preserves_state_and_retention(vg, spark):
     vg.commit(vg.begin().create("person", _people(spark, [("p1", "ann", 30)])))
     for age in (31, 32, 33):

@@ -110,7 +110,8 @@ AUDITED = [
     # round-7 additions
     "wal_txn_log_roundtrip", "once_goal_first_order",
     "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
-    "krippendorff_labelers",
+    "krippendorff_labelers", "mvcc_compact_roundtrip",
+    "mvcc_snapshot_replay",
 ]
 
 

@@ -162,7 +162,10 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # reduce to lang/cell/label grids in one aggregate each
           "wal_txn_log_roundtrip", "once_goal_first_order",
           "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
-          "krippendorff_labelers"]
+          "krippendorff_labelers",
+          # compaction folds the 10x log into base copy-on-write;
+          # snapshot/replay rewrite the 10x live set once each
+          "mvcc_compact_roundtrip", "mvcc_snapshot_replay"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

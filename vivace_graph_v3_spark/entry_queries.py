@@ -11716,6 +11716,114 @@ FROM c WHERE k % 11 = 3
 """
 
 
+def _wal_vg(spark, graph_dir: str):
+    """Reconstruct the WAL graph handle over a persisted artifact dir."""
+    from pyspark.sql import types as T
+
+    from vivace_graph_v3_spark.mvcc import VersionedGraph
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.def_vertex("cust", {"name": T.StringType(), "cents": T.LongType(),
+                            "segment": T.StringType()})
+    return VersionedGraph(spark, reg, graph_dir)
+
+
+def q_mvcc_compact_roundtrip(spark, sf_dir):
+    """``compact()`` round-trip (mvcc.py:346 — the epoch-gated reaper +
+    copy-on-write base fold, transactions.lisp:470-599): a COPY of the
+    three-commit WAL graph is compacted — delta log folded into the
+    typed base parquet, log cleared — and the post-compact read must be
+    the exact current state the oracle derives from the customer table:
+    live rows only (the %11 tombstones gone), updated cents (+100 on
+    the %7 cohort), and the OCC revision bookkeeping preserved
+    (1 where the save hit, else 0). Proves merge-on-read and the
+    compacted base agree bit-for-bit."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    mt = os.path.getmtime(f"{sf_dir}/customer.parquet")
+    tag = hashlib.sha256(f"walc:{sf_dir}:{int(mt)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vgv3_walc_{tag}")
+    if not os.path.isdir(path):
+        src = _session_wal_graph(spark, sf_dir)
+        stage = tempfile.mkdtemp(prefix="vgv3_walc_build_")
+        shutil.copytree(os.path.join(src, "g"), os.path.join(stage, "g"))
+        _wal_vg(spark, os.path.join(stage, "g")).compact()
+        try:
+            os.rename(stage, path)
+        except OSError:  # concurrent builder won
+            shutil.rmtree(stage, ignore_errors=True)
+    vg = _wal_vg(spark, os.path.join(path, "g"))
+    assert not os.listdir(vg.log_path), "compact must clear the delta log"
+    return vg.read("cust").select("id", "cents", "segment", "revision")
+
+
+SQL_MVCC_COMPACT_ROUNDTRIP = """
+WITH c AS (
+  SELECT 'customer:'||c_custkey AS id, c_custkey AS k,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         c_mktsegment AS segment
+  FROM customer
+)
+SELECT id,
+       cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS cents,
+       segment,
+       CAST(CASE WHEN k % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS revision
+FROM c WHERE k % 11 <> 3
+"""
+
+
+def q_mvcc_snapshot_replay(spark, sf_dir):
+    """``snapshot`` → ``replay`` round-trip (mvcc.py:307,338 —
+    txn-log.lisp:3-38): the three-commit WAL graph is dumped as
+    replayable insert rows and rebuilt into a FRESH graph; the rebuilt
+    read must carry the live state with revisions RESET to 0 (a
+    snapshot is a new epoch-1 baseline, not a history copy — exactly
+    the reference's dump format). The revision column is what
+    distinguishes this oracle from the compact round-trip's."""
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+
+    from vivace_graph_v3_spark.mvcc import VersionedGraph
+
+    mt = os.path.getmtime(f"{sf_dir}/customer.parquet")
+    tag = hashlib.sha256(f"walr:{sf_dir}:{int(mt)}".encode()).hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vgv3_walr_{tag}")
+    if not os.path.isdir(path):
+        src = _session_wal_graph(spark, sf_dir)
+        stage = tempfile.mkdtemp(prefix="vgv3_walr_build_")
+        vg = _wal_vg(spark, os.path.join(src, "g"))
+        snap = os.path.join(stage, "snap")
+        vg.snapshot(snap)
+        VersionedGraph.replay(spark, vg.registry, snap,
+                              os.path.join(stage, "g2"))
+        try:
+            os.rename(stage, path)
+        except OSError:  # concurrent builder won
+            shutil.rmtree(stage, ignore_errors=True)
+    vg2 = _wal_vg(spark, os.path.join(path, "g2"))
+    return vg2.read("cust").select("id", "cents", "segment", "revision")
+
+
+SQL_MVCC_SNAPSHOT_REPLAY = """
+WITH c AS (
+  SELECT 'customer:'||c_custkey AS id, c_custkey AS k,
+         CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS cents,
+         c_mktsegment AS segment
+  FROM customer
+)
+SELECT id,
+       cents + CASE WHEN k % 7 = 0 THEN 100 ELSE 0 END AS cents,
+       segment, CAST(0 AS BIGINT) AS revision
+FROM c WHERE k % 11 <> 3
+"""
+
+
 def q_once_goal_first_order(spark, sf_dir):
     """once/1 soft-cut determinism contract (builder.py ``_g_once`` —
     prologc.lisp:520-545): the first ``placed`` order per customer,
@@ -11936,6 +12044,10 @@ REGISTRY: dict[str, tuple] = {
                               SQL_WAL_TXN_LOG_ROUNDTRIP),
     "once_goal_first_order": (q_once_goal_first_order,
                               SQL_ONCE_GOAL_FIRST_ORDER),
+    "mvcc_compact_roundtrip": (q_mvcc_compact_roundtrip,
+                               SQL_MVCC_COMPACT_ROUNDTRIP),
+    "mvcc_snapshot_replay": (q_mvcc_snapshot_replay,
+                             SQL_MVCC_SNAPSHOT_REPLAY),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
                                SQL_Q12_PRIORITY_SHIPPING),
@@ -12332,6 +12444,7 @@ _R7_FRONT = [
     "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
     "krippendorff_labelers",
     "wal_txn_log_roundtrip", "once_goal_first_order",
+    "mvcc_compact_roundtrip", "mvcc_snapshot_replay",
     # engine-face priorities (VERDICT r6 item 1)
     "curation_ingest", "bucketed_join_colocated", "multimodal_phash_dedup",
     "ann_truncation_recall", "dedup_containment",
@@ -12348,13 +12461,13 @@ _R7_FRONT = [
     "graph_pagerank_personalized", "text_boilerplate", "stratified_sample",
     "embedding_quantize", "retrieval_rerank", "token_budget_mix",
     "cms_heavy_hitters", "retrieval_mmr", "events_recency_score",
-    "source_ks_drift", "graph_pagerank_weighted", "training_mix_upsample",
-    "embedding_hard_negatives",
+    "source_ks_drift", "graph_pagerank_weighted",
 ]
 
 _R8_QUEUE = [
-    # front-tail entries displaced by the round-7 LLM-pipeline batch
+    # front-tail entries displaced by the round-7 new registrations
     # (never driver-sampled; first priority alongside the leftovers)
+    "training_mix_upsample", "embedding_hard_negatives",
     "lang_id_confusion", "events_burstiness", "duplicate_ngram_spans",
     "bpe_pair_stats",
     # the 8 never-driver-sampled leftovers — round 8's first priority

@@ -244,6 +244,11 @@ class VersionedGraph:
 
     def _base(self, nt) -> DataFrame:
         p = self._base_path(nt)
+        # crash recovery: a compact() interrupted between its two swap
+        # renames leaves the base only at the .old aside — restore it
+        # (same self-healing rule as the streaming stores, ADVICE r6)
+        if not os.path.exists(p) and os.path.isdir(p + ".old"):
+            os.rename(p + ".old", p)
         if os.path.exists(p):
             return self.spark.read.parquet(p)
         return self.spark.createDataFrame([], nt.struct_type())
@@ -368,9 +373,18 @@ class VersionedGraph:
             tmp = self._base_path(nt) + ".compacting"
             cur.write.mode("overwrite").parquet(tmp)
             final = self._base_path(nt)
+            # rename-aside swap (never rmtree-then-rename a live store —
+            # the ADVICE r6 rule): a crash between any two steps leaves
+            # old or new base intact; and with the log still present,
+            # merge-on-read over either base is identical (the per-id
+            # window re-derives the same latest rows), so the swap is
+            # crash-idempotent end to end
+            old = final + ".old"
+            shutil.rmtree(old, ignore_errors=True)
             if os.path.exists(final):
-                shutil.rmtree(final)
+                os.rename(final, old)
             os.rename(tmp, final)
+            shutil.rmtree(old, ignore_errors=True)
         shutil.rmtree(self.log_path)
         os.makedirs(self.log_path, exist_ok=True)
 
