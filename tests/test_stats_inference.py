@@ -453,3 +453,59 @@ def test_krippendorff_alpha_hand_values(spark):
                                 "a string, b string")
     assert krippendorff_alpha_nominal(one, "a", "b").collect()[0][
         "alpha_ppm"] is None
+
+
+def test_new_operators_match_pure_python_references(spark):
+    """Seeded randomized cross-check: bh_fdr / kish_ess /
+    krippendorff_alpha_nominal against direct pure-Python
+    implementations of the textbook formulas."""
+    import random
+
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        bh_fdr, kish_ess, krippendorff_alpha_nominal)
+
+    rng = random.Random(42)
+
+    for trial in range(3):
+        # --- BH ---
+        m = rng.randrange(5, 20)
+        rows = [(f"c{i:02d}", rng.randrange(0, 50), rng.randrange(50, 500))
+                for i in range(m)]
+        rows = [(c, min(h, n), n) for c, h, n in rows]
+        df = spark.createDataFrame(rows, "cell string, hits int, n int")
+        got = {r["cell"]: r["rejected"]
+               for r in bh_fdr(df, "hits", "n", ["cell"]).collect()}
+        ordered = sorted(rows, key=lambda r: (r[1] / r[2], r[0]))
+        k = max([i + 1 for i, (c, h, n) in enumerate(ordered)
+                 if h * m * 1000 <= (i + 1) * 100 * n], default=0)
+        want = {c: (i + 1 <= k) for i, (c, h, n) in enumerate(ordered)}
+        assert got == want, f"BH mismatch on trial {trial}"
+
+        # --- Kish ESS ---
+        ws = [rng.randrange(1, 100) for _ in range(rng.randrange(2, 30))]
+        df = spark.createDataFrame([(w,) for w in ws], "w int")
+        row = kish_ess(df, "w").collect()[0]
+        s, q = sum(ws), sum(w * w for w in ws)
+        assert row["ess_milli"] == s * s * 1000 // q
+        assert row["deff_milli"] == len(ws) * q * 1000 // (s * s)
+
+        # --- Krippendorff ---
+        units = [(rng.choice("xyz"), rng.choice("xyz"))
+                 for _ in range(rng.randrange(10, 60))]
+        df = spark.createDataFrame(units, "a string, b string")
+        row = krippendorff_alpha_nominal(df, "a", "b").collect()[0]
+        from collections import Counter
+        o = Counter()
+        for a, b in units:
+            o[(a, b)] += 1
+            o[(b, a)] += 1
+        N = sum(o.values())
+        D = sum(c for (x, y), c in o.items() if x != y)
+        marg = Counter()
+        for (x, _y), c in o.items():
+            marg[x] += c
+        denom = N * N - sum(c * c for c in marg.values())
+        want_ppm = (1_000_000 - ((N - 1) * D * 1_000_000) // denom
+                    if denom > 0 else None)
+        assert row["alpha_ppm"] == want_ppm
+        assert row["n_units"] == len(units)
