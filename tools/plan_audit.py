@@ -111,7 +111,8 @@ AUDITED = [
     "wal_txn_log_roundtrip", "once_goal_first_order",
     "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
     "krippendorff_labelers", "mvcc_compact_roundtrip",
-    "mvcc_snapshot_replay",
+    "mvcc_snapshot_replay", "not_in_list_goal", "unify_eq_goal",
+    "call_functor_goal",
 ]
 
 

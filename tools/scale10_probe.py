@@ -165,7 +165,9 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "krippendorff_labelers",
           # compaction folds the 10x log into base copy-on-write;
           # snapshot/replay rewrite the 10x live set once each
-          "mvcc_compact_roundtrip", "mvcc_snapshot_replay"]
+          "mvcc_compact_roundtrip", "mvcc_snapshot_replay",
+          # functor goals: one pruned scan + filter / one hash join
+          "not_in_list_goal", "unify_eq_goal", "call_functor_goal"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -11716,6 +11716,82 @@ FROM c WHERE k % 11 = 3
 """
 
 
+def q_not_in_list_goal(spark, sf_dir):
+    """``not-in-list``/2 through the goal path (builder.py _g_not_in_list
+    ← prolog-functors.lisp:94-96): customers whose market segment is
+    outside an exclusion list — the negative-membership filter as a
+    compiled goal, not a hand-written .filter."""
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?c", "?s"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_mktsegment", "?s"),
+        ("not-in-list", "?s", ["BUILDING", "MACHINERY"]),
+    ])
+    return df.select(F.col("c").alias("c_id"),
+                     F.col("s").alias("segment"))
+
+
+SQL_NOT_IN_LIST_GOAL = """
+SELECT 'customer:'||c_custkey AS c_id, c_mktsegment AS segment
+FROM customer WHERE c_mktsegment NOT IN ('BUILDING', 'MACHINERY')
+"""
+
+
+def q_unify_eq_goal(spark, sf_dir):
+    """``=``/2 unification of two BOUND variables (builder.py
+    compile_goal_eq ← prologc.lisp unify): customers and suppliers
+    whose independently-bound nation keys unify — the declarative
+    cross-product-plus-equality that Catalyst rewrites into a hash
+    join (the unification-as-join face of the engine)."""
+    g = load_tpch_graph(spark, sf_dir)
+    df = select(g, ["?c", "?s"], [
+        ("is-a", "?c", "customer"),
+        ("slot", "?c", "c_nationkey", "?n"),
+        ("is-a", "?s", "supplier"),
+        ("slot", "?s", "s_nationkey", "?m"),
+        ("=", "?n", "?m"),
+    ])
+    return df.select(F.col("c").alias("c_id"), F.col("s").alias("s_id"))
+
+
+SQL_UNIFY_EQ_GOAL = """
+SELECT 'customer:'||c_custkey AS c_id, 'supplier:'||s_suppkey AS s_id
+FROM customer JOIN supplier ON c_nationkey = s_nationkey
+"""
+
+
+def q_call_functor_goal(spark, sf_dir):
+    """User-registered functor invoked with ``call``/N (builder.py
+    register_functor ← def-global-prolog-functor,
+    prolog-functors.lisp:9-21): a Python-defined relation (customers
+    with acctbal > 5000) merges into the plan like any built-in goal,
+    then composes with a slot binding."""
+    from vivace_graph_v3_spark.query import builder as B
+
+    def high_balance(builder, plan, args):
+        (var,) = args
+        rel = (builder.graph.scan_vertices(
+            "customer", columns=["id", "c_acctbal"])
+            .filter(F.col("c_acctbal") > 5000)
+            .select(F.col("id").alias(B.var_col(var))))
+        return plan.merge(rel, [B.var_col(var)]).df
+
+    B.register_functor("high-balance-cust", high_balance)
+    g = load_tpch_graph(spark, sf_dir)
+    df = B.select(g, ["?c", "?s"], [
+        ("call", "high-balance-cust", "?c"),
+        ("slot", "?c", "c_mktsegment", "?s"),
+    ])
+    return df.select(F.col("c").alias("c_id"),
+                     F.col("s").alias("segment"))
+
+
+SQL_CALL_FUNCTOR_GOAL = """
+SELECT 'customer:'||c_custkey AS c_id, c_mktsegment AS segment
+FROM customer WHERE c_acctbal > 5000
+"""
+
+
 def _wal_vg(spark, graph_dir: str):
     """Reconstruct the WAL graph handle over a persisted artifact dir."""
     from pyspark.sql import types as T
@@ -12048,6 +12124,9 @@ REGISTRY: dict[str, tuple] = {
                                SQL_MVCC_COMPACT_ROUNDTRIP),
     "mvcc_snapshot_replay": (q_mvcc_snapshot_replay,
                              SQL_MVCC_SNAPSHOT_REPLAY),
+    "not_in_list_goal": (q_not_in_list_goal, SQL_NOT_IN_LIST_GOAL),
+    "unify_eq_goal": (q_unify_eq_goal, SQL_UNIFY_EQ_GOAL),
+    "call_functor_goal": (q_call_functor_goal, SQL_CALL_FUNCTOR_GOAL),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
                                SQL_Q12_PRIORITY_SHIPPING),
@@ -12445,6 +12524,7 @@ _R7_FRONT = [
     "krippendorff_labelers",
     "wal_txn_log_roundtrip", "once_goal_first_order",
     "mvcc_compact_roundtrip", "mvcc_snapshot_replay",
+    "not_in_list_goal", "unify_eq_goal", "call_functor_goal",
     # engine-face priorities (VERDICT r6 item 1)
     "curation_ingest", "bucketed_join_colocated", "multimodal_phash_dedup",
     "ann_truncation_recall", "dedup_containment",
@@ -12460,13 +12540,13 @@ _R7_FRONT = [
     "graph_degree_histogram", "brand_revenue_share",
     "graph_pagerank_personalized", "text_boilerplate", "stratified_sample",
     "embedding_quantize", "retrieval_rerank", "token_budget_mix",
-    "cms_heavy_hitters", "retrieval_mmr", "events_recency_score",
-    "source_ks_drift", "graph_pagerank_weighted",
+    "cms_heavy_hitters", "retrieval_mmr",
 ]
 
 _R8_QUEUE = [
     # front-tail entries displaced by the round-7 new registrations
     # (never driver-sampled; first priority alongside the leftovers)
+    "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
     "training_mix_upsample", "embedding_hard_negatives",
     "lang_id_confusion", "events_burstiness", "duplicate_ngram_spans",
     "bpe_pair_stats",
