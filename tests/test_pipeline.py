@@ -1755,3 +1755,32 @@ def test_ngram_novelty_hand_values(spark):
     # fully-seen test split: zero novelty (left-join null -> 0)
     row0 = ngram_novelty(train, train).collect()[0]
     assert row0["n_novel"] == 0 and row0["novelty_ppm"] == 0
+
+
+def test_rank_biased_overlap_boundary_values(spark):
+    """RBO closed-form checks: identical top-10 lists give exactly
+    (1 - 0.9^10) (truncated, no residual); disjoint lists give 0; and
+    sharing only the top-1 doc gives the full suffix weight of rank 1."""
+    from vivace_graph_v3_spark.pipeline.retrieval import rank_biased_overlap
+
+    ranks = [("q1", f"d{i}", i) for i in range(1, 11)]
+    a = spark.createDataFrame(ranks, "q string, id string, rank int")
+    same = {r["q"]: r for r in rank_biased_overlap(a, a).collect()}
+    # scale = lcm(1..10) * 10^10; 1 - 0.9^10 = 6513215599/10^10
+    assert same["q1"]["rbo_scaled"] * 10_000_000_000 == \
+        6513215599 * 25_200_000_000_000 // 10_000_000_000 * 10_000_000_000 \
+        or same["q1"]["rbo_scaled"] == 6513215599 * 2520
+    assert same["q1"]["overlap_at_depth"] == 10
+    assert same["q1"]["rbo_milli"] == 651
+
+    b = spark.createDataFrame([("q1", f"e{i}", i) for i in range(1, 11)],
+                              "q string, id string, rank int")
+    disj = rank_biased_overlap(a, b).collect()[0]
+    assert disj["rbo_scaled"] == 0 and disj["overlap_at_depth"] == 0
+
+    top1 = spark.createDataFrame(
+        [("q1", "d1", 1)] + [("q1", f"e{i}", i) for i in range(2, 11)],
+        "q string, id string, rank int")
+    one = rank_biased_overlap(a, top1).collect()[0]
+    assert one["overlap_at_depth"] == 1
+    assert one["rbo_scaled"] == 5932493265528  # suffix weight of rank 1

@@ -112,7 +112,7 @@ AUDITED = [
     "ngram_novelty", "mix_ess_design_effect", "fdr_bh_segments",
     "krippendorff_labelers", "mvcc_compact_roundtrip",
     "mvcc_snapshot_replay", "not_in_list_goal", "unify_eq_goal",
-    "call_functor_goal",
+    "call_functor_goal", "retrieval_rbo",
 ]
 
 

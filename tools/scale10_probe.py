@@ -167,7 +167,9 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # snapshot/replay rewrite the 10x live set once each
           "mvcc_compact_roundtrip", "mvcc_snapshot_replay",
           # functor goals: one pruned scan + filter / one hash join
-          "not_in_list_goal", "unify_eq_goal", "call_functor_goal"]
+          "not_in_list_goal", "unify_eq_goal", "call_functor_goal",
+          # RBO: tf grid aggregate + two depth-10 windows + grid join
+          "retrieval_rbo"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -11716,6 +11716,80 @@ FROM c WHERE k % 11 = 3
 """
 
 
+_RBO_TERMS = ("join", "hash", "scan")
+# suffix-weight literals for RBO(p=0.9, depth=10) scaled by
+# S = lcm(1..10) * 10^10 = 25_200_000_000_000 — suffix[m-1] is the exact
+# integer contribution of a doc whose worse rank is m (see
+# pipeline/retrieval.rank_biased_overlap)
+_RBO_SUFFIX = (5932493265528, 3412493265528, 2278493265528,
+               1598093265528, 1138823265528, 808148865528, 560143065528,
+               368824305528, 218160782028, 97629963228)
+_RBO_SCALE = 25_200_000_000_000
+
+
+def q_retrieval_rbo(spark, sf_dir):
+    """Rank-biased overlap between two retrieval scorers
+    (pipeline/retrieval.rank_biased_overlap; Webber, Moffat & Zobel
+    2010): per query term, the top-10 docs by RAW term frequency vs by
+    RELATIVE frequency (tf normalized by doc length) — the
+    length-normalization A/B a retrieval stack runs before swapping
+    scorers. Exact integer arithmetic end to end (rational p = 0.9
+    weights pre-scaled to integers; rankings tie-broken by doc_id)."""
+    from vivace_graph_v3_spark.pipeline.retrieval import (
+        rank_biased_overlap)
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(F.col("text")).alias("toks"))
+    d = d.select("doc_id", F.size("toks").alias("n_toks"),
+                 F.explode("toks").alias("w"))
+    tf = (d.filter(F.col("w").isin(*_RBO_TERMS))
+          .groupBy(F.col("w").alias("q"), "doc_id", "n_toks")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    wa = Window.partitionBy("q").orderBy(F.desc("tf"), F.asc("doc_id"))
+    rel = F.expr("tf * 1000000 div n_toks")
+    wb = Window.partitionBy("q").orderBy(rel.desc(), F.asc("doc_id"))
+    a = tf.select("q", "doc_id", F.row_number().over(wa).alias("rank"))
+    b = tf.select("q", "doc_id", F.row_number().over(wb).alias("rank"))
+    return rank_biased_overlap(a, b, group_col="q", id_col="doc_id")
+
+
+SQL_RETRIEVAL_RBO = rf"""
+WITH d AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks
+  FROM documents
+), tf AS (
+  SELECT w AS q, doc_id, n_toks, count(*) AS tf FROM (
+    SELECT doc_id, len(toks) AS n_toks, unnest(toks) AS w FROM d)
+  WHERE w IN ('join', 'hash', 'scan')
+  GROUP BY 1, 2, 3
+), a AS (
+  SELECT q, doc_id, row_number() OVER (PARTITION BY q
+         ORDER BY tf DESC, doc_id) AS ra
+  FROM tf QUALIFY ra <= 10
+), b AS (
+  SELECT q, doc_id, row_number() OVER (PARTITION BY q
+         ORDER BY tf * 1000000 // n_toks DESC, doc_id) AS rb
+  FROM tf QUALIFY rb <= 10
+), j AS (
+  SELECT a.q,
+         CASE greatest(ra, rb)
+           {' '.join(f"WHEN {m + 1} THEN CAST({s} AS BIGINT)"
+                     for m, s in enumerate(_RBO_SUFFIX))}
+         END AS c
+  FROM a JOIN b ON a.q = b.q AND a.doc_id = b.doc_id
+), g AS (SELECT DISTINCT q FROM tf)
+SELECT g.q, CAST(coalesce(count(c), 0) AS BIGINT) AS overlap_at_depth,
+       CAST(coalesce(sum(c), 0) AS BIGINT) AS rbo_scaled,
+       CAST(coalesce(sum(c), 0) * 1000 // {_RBO_SCALE} AS BIGINT)
+         AS rbo_milli
+FROM g LEFT JOIN j ON g.q = j.q
+GROUP BY g.q
+"""
+
+
 def q_not_in_list_goal(spark, sf_dir):
     """``not-in-list``/2 through the goal path (builder.py _g_not_in_list
     ← prolog-functors.lisp:94-96): customers whose market segment is
@@ -12127,6 +12201,7 @@ REGISTRY: dict[str, tuple] = {
     "not_in_list_goal": (q_not_in_list_goal, SQL_NOT_IN_LIST_GOAL),
     "unify_eq_goal": (q_unify_eq_goal, SQL_UNIFY_EQ_GOAL),
     "call_functor_goal": (q_call_functor_goal, SQL_CALL_FUNCTOR_GOAL),
+    "retrieval_rbo": (q_retrieval_rbo, SQL_RETRIEVAL_RBO),
     "text_repetition": (q_text_repetition, SQL_TEXT_REPETITION),
     "q12_priority_shipping": (q_q12_priority_shipping,
                                SQL_Q12_PRIORITY_SHIPPING),
@@ -12525,6 +12600,7 @@ _R7_FRONT = [
     "wal_txn_log_roundtrip", "once_goal_first_order",
     "mvcc_compact_roundtrip", "mvcc_snapshot_replay",
     "not_in_list_goal", "unify_eq_goal", "call_functor_goal",
+    "retrieval_rbo",
     # engine-face priorities (VERDICT r6 item 1)
     "curation_ingest", "bucketed_join_colocated", "multimodal_phash_dedup",
     "ann_truncation_recall", "dedup_containment",
@@ -12540,12 +12616,13 @@ _R7_FRONT = [
     "graph_degree_histogram", "brand_revenue_share",
     "graph_pagerank_personalized", "text_boilerplate", "stratified_sample",
     "embedding_quantize", "retrieval_rerank", "token_budget_mix",
-    "cms_heavy_hitters", "retrieval_mmr",
+    "cms_heavy_hitters",
 ]
 
 _R8_QUEUE = [
     # front-tail entries displaced by the round-7 new registrations
     # (never driver-sampled; first priority alongside the leftovers)
+    "retrieval_mmr",
     "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
     "training_mix_upsample", "embedding_hard_negatives",
     "lang_id_confusion", "events_burstiness", "duplicate_ngram_spans",

@@ -207,3 +207,61 @@ def ndcg_at_k(docs: DataFrame, queries: list[tuple[int, list[str]]], *,
                        .alias("ndcg_ppm")))
         out = row if out is None else out.unionByName(row)
     return out
+
+
+def rank_biased_overlap(ranks_a: DataFrame, ranks_b: DataFrame, *,
+                        group_col: str = "q", id_col: str = "id",
+                        rank_col: str = "rank", depth: int = 10,
+                        p_num: int = 9, p_den: int = 10) -> DataFrame:
+    """Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    between two top-``depth`` rankings per group — the top-weighted
+    ranking-similarity measure a retrieval pipeline uses to compare two
+    scorers (RBO handles non-conjoint lists; Spearman/Kendall need the
+    same item set). RBO@d = (1-p) * sum_{d=1..D} p^(d-1) * |A_d ∩ B_d|/d
+    with persistence p = p_num/p_den.
+
+    Exactness: with rational p every depth weight is an exact integer
+    once scaled by S = lcm(1..D) * p_den^D — a common doc ranked (ra,
+    rb) contributes the SUFFIX-SUM of weights from depth max(ra, rb),
+    precomputed driver-side as literal ints, so the whole measure is
+    one join + one integer aggregate and matches any engine bit-for-bit.
+    Returns (group, overlap_at_depth, rbo_scaled, rbo_milli) where
+    rbo_scaled / S is the [0, 1] value.
+
+    Scale shape: inputs are already top-``depth`` lists (domain-bounded:
+    |groups| * depth rows); everything here is a broadcast-sized join
+    and a grid aggregate."""
+    import math
+
+    lcm = math.lcm(*range(1, depth + 1))
+    # w_d = (1-p) p^(d-1) scaled by S = lcm * p_den^depth:
+    #     = (p_den - p_num) * p_num^(d-1) * p_den^(depth - d) * lcm / d
+    w = [(p_den - p_num) * p_num ** (d - 1) * p_den ** (depth - d)
+         * (lcm // d) for d in range(1, depth + 1)]
+    scale = lcm * p_den ** depth
+    suffix = [sum(w[m:]) for m in range(depth)]  # suffix[m] = sum w_{m+1..D}
+
+    a = ranks_a.select(F.col(group_col).alias("g"),
+                       F.col(id_col).alias("i"),
+                       F.col(rank_col).alias("ra")).filter(
+        F.col("ra") <= depth)
+    b = ranks_b.select(F.col(group_col).alias("g"),
+                       F.col(id_col).alias("i"),
+                       F.col(rank_col).alias("rb")).filter(
+        F.col("rb") <= depth)
+    m = F.greatest("ra", "rb")
+    contrib = F.element_at(
+        F.array(*[F.lit(int(s)) for s in suffix]), m.cast("int"))
+    joined = a.join(b, ["g", "i"]).select("g", contrib.alias("c"))
+    groups = (a.select("g").unionByName(b.select("g")).dropDuplicates())
+    agg = joined.groupBy("g").agg(
+        F.count(F.lit(1)).alias("overlap_at_depth"),
+        F.sum("c").alias("rbo_scaled"))
+    return (groups.join(agg, "g", "left")
+            .select(F.col("g").alias(group_col),
+                    F.coalesce("overlap_at_depth", F.lit(0)).cast("long")
+                    .alias("overlap_at_depth"),
+                    F.coalesce("rbo_scaled", F.lit(0)).cast("long")
+                    .alias("rbo_scaled"),
+                    F.expr(f"coalesce(rbo_scaled, 0) * 1000 div "
+                           f"{scale}").cast("long").alias("rbo_milli")))
