@@ -252,12 +252,17 @@ def rank_biased_overlap(ranks_a: DataFrame, ranks_b: DataFrame, *,
     m = F.greatest("ra", "rb")
     contrib = F.element_at(
         F.array(*[F.lit(int(s)) for s in suffix]), m.cast("int"))
-    joined = a.join(b, ["g", "i"]).select("g", contrib.alias("c"))
+    # both sides are <= |groups| * depth rows BY CONSTRUCTION (the rank
+    # filter), but they come out of windows so Catalyst has no stats —
+    # hint the broadcast instead of letting it fall back to sort-merge
+    joined = a.join(F.broadcast(b), ["g", "i"]).select(
+        "g", contrib.alias("c"))
     groups = (a.select("g").unionByName(b.select("g")).dropDuplicates())
     agg = joined.groupBy("g").agg(
         F.count(F.lit(1)).alias("overlap_at_depth"),
         F.sum("c").alias("rbo_scaled"))
-    return (groups.join(agg, "g", "left")
+    # agg is <= |groups| rows — broadcast the grid, same rationale
+    return (groups.join(F.broadcast(agg), "g", "left")
             .select(F.col("g").alias(group_col),
                     F.coalesce("overlap_at_depth", F.lit(0)).cast("long")
                     .alias("overlap_at_depth"),
