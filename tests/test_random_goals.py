@@ -79,3 +79,33 @@ def test_random_negation_and_unique(spark, duck_f6):
         """
         want = {r[0] for r in duck_f6.execute(sql).fetchall()}
         assert got == want, f"case {case}: thr={thr}"
+
+
+def test_random_once_with_not_in_list(spark, duck_f6):
+    """once/1 + not-in-list under random exclusion lists: the first
+    placed order per surviving customer must equal the SQL group-min
+    (the documented ascending-binding determinism contract)."""
+    g = load_tpch_graph(spark, SF_DIR)
+    rng = random.Random(SEED + 2)
+    segs = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+    for case in range(6):
+        excl = rng.sample(segs, rng.randrange(1, 4))
+        goals = [
+            ("is-a", "?c", "customer"),
+            ("slot", "?c", "c_mktsegment", "?s"),
+            ("not-in-list", "?s", excl),
+            ("once", ("placed", "?c", "?o")),
+        ]
+        got = {(r["c"], r["o"]) for r in select(g, ["?c", "?o"], goals)
+               .collect()}
+        in_list = ", ".join(f"'{s}'" for s in excl)
+        sql = f"""
+            SELECT 'customer:' || o_custkey,
+                   min('orders:' || o_orderkey)
+            FROM orders JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment NOT IN ({in_list})
+            GROUP BY 1
+        """
+        want = {tuple(r) for r in duck_f6.execute(sql).fetchall()}
+        assert got == want, f"case {case}: excl={excl}"
