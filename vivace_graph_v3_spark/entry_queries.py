@@ -4195,6 +4195,9 @@ def q_embedding_quantize(spark, sf_dir):
     return quantize_embeddings(emb)
 
 
+# residual quantized to integer nano units BEFORE squaring, then pure
+# BIGINT arithmetic — a double->DECIMAL cast is engine-unstable in the
+# last place (see quantize_embeddings docstring; r7 sf0.1 sweep find)
 SQL_EMBEDDING_QUANTIZE = """
 WITH e AS (
   SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x FROM embeddings
@@ -4202,19 +4205,19 @@ WITH e AS (
   SELECT vec_id, max(abs(x)) AS amax, count(*) AS dim FROM e GROUP BY vec_id
 ), q AS (
   SELECT e.vec_id,
-         (x - least(greatest(floor(x / (amax / 127.0) + 0.5), -127.0),
-                    127.0) * (amax / 127.0)) AS d
+         CAST(floor((x - least(greatest(floor(x / (amax / 127.0) + 0.5),
+                                        -127.0), 127.0) * (amax / 127.0))
+                    * 1000000000.0 + 0.5) AS BIGINT) AS dn
   FROM e JOIN m USING (vec_id) WHERE amax > 0
 ), s AS (
-  SELECT vec_id,
-         CAST(sum(CAST(d * d AS DECIMAL(38,12))) AS DOUBLE) AS errsum
-  FROM q GROUP BY vec_id
+  SELECT vec_id, sum(dn * dn) AS es FROM q GROUP BY vec_id
 )
 SELECT m.vec_id,
        CAST(floor(CASE WHEN m.amax > 0 THEN m.amax / 127.0 ELSE 0.0 END
                   * 1000000000.0 + 0.5) AS BIGINT) AS scale_nano,
-       CAST(floor(CASE WHEN m.amax > 0 THEN s.errsum / m.dim ELSE 0.0 END
-                  * 1000000000.0 + 0.5) AS BIGINT) AS mse_nano
+       CAST(CASE WHEN m.amax > 0 THEN
+            (2 * s.es + m.dim * 1000000000) // (2 * m.dim * 1000000000)
+            ELSE 0 END AS BIGINT) AS mse_nano
 FROM m LEFT JOIN s USING (vec_id)
 """
 
@@ -5989,7 +5992,14 @@ def q_brand_revenue_share(spark, sf_dir):
         "CAST(round(CAST(rev AS DOUBLE) * 10000, 0) AS BIGINT)")
     based = rev.select("p_brand", units.alias("m"))
     tot = based.agg(F.sum("m").alias("t"))
-    share = F.expr("(m * 2000000 + t) div (t * 2)").cast("double") / 1e6
+    # the half-up ppm numerator m*2e6 passes int64 once per-brand
+    # revenue units exceed ~4.6e12 (hit at sf0.1 — caught by the r7
+    # sf0.1 oracle sweep); widen the intermediate to DECIMAL(38,0),
+    # whose div matches DuckDB HUGEINT // exactly
+    share = F.expr(
+        "CAST((CAST(m AS DECIMAL(38,0)) * 2000000 + t) div "
+        "(CAST(t AS DECIMAL(38,0)) * 2) AS BIGINT)"
+    ).cast("double") / 1e6
     return (based.crossJoin(F.broadcast(tot))
             .select("p_brand", (F.col("m").cast("double") / 1e4)
                     .alias("revenue"),
@@ -6010,7 +6020,8 @@ WITH rev AS (
   SELECT sum(m) AS t FROM based
 )
 SELECT p_brand, CAST(m AS DOUBLE) / 10000.0 AS revenue,
-       CAST((m * 2000000 + t) // (t * 2) AS DOUBLE) / 1000000.0 AS share
+       CAST(CAST((CAST(m AS HUGEINT) * 2000000 + t) // (CAST(t AS HUGEINT)
+            * 2) AS BIGINT) AS DOUBLE) / 1000000.0 AS share
 FROM based CROSS JOIN tot
 """
 

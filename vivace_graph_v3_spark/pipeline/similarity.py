@@ -404,12 +404,21 @@ def quantize_embeddings(emb: DataFrame, *, vec_col: str = "embedding",
     engine-exact (no float render at all). Returns
     (id, scale_nano, mse_nano); all-zero vectors report (0, 0).
 
-    Scale shape: a single map-only expression fold per row
-    (F.aggregate with an exact DECIMAL(38,12) accumulator — order
-    irrelevant, so any SQL oracle's unnest+SUM matches bit-for-bit);
-    no shuffle, no UDF — quantizing 100 TB of vectors runs at scan
-    speed. Rounding is floor(x + 0.5) (half-up, IEEE-deterministic in
-    every engine) rather than round(), whose half-even vs half-up
+    Scale shape: a single map-only expression fold per row; no shuffle,
+    no UDF — quantizing 100 TB of vectors runs at scan speed.
+
+    Exactness: the per-dimension residual d is quantized to integer
+    nano units BEFORE squaring (d_nano = floor(d*1e9 + 0.5), a chain of
+    correctly-rounded double ops both engines share), and everything
+    downstream is exact BIGINT arithmetic:
+    mse_nano = (2·Σ d_nano² + dim·1e9) div (2·dim·1e9). The earlier
+    formulation summed (d·d)::DECIMAL(38,12) — but a double→decimal
+    cast is NOT cross-engine stable in the last place (Spark converts
+    via the shortest decimal repr, DuckDB via the exact binary
+    expansion), and the accumulated 1-ulp dust flipped 4 vectors'
+    floor(·+0.5) at sf0.1 (caught by the r7 sf0.1 oracle sweep).
+    Rounding is floor(x + 0.5) (half-up, IEEE-deterministic in every
+    engine) rather than round(), whose half-even vs half-up
     conventions differ across engines."""
     xs = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(xs, F.abs))
@@ -420,22 +429,26 @@ def quantize_embeddings(emb: DataFrame, *, vec_col: str = "embedding",
                                .cast("double"),
                                F.lit(-127.0)), F.lit(127.0))
         d = x - q * scale
-        return (d * d).cast("decimal(38,12)")
+        dn = F.floor(d * F.lit(1e9) + F.lit(0.5)).cast("long")
+        return dn * dn
 
-    # re-cast each partial sum: Spark widens (38,12)+(38,12) to (39,12),
-    # which would no longer match the accumulator type (values are tiny,
-    # the cast is exact)
-    errsum = F.aggregate(xs, F.lit(0).cast("decimal(38,12)"),
-                         lambda acc, x: (acc + term(x))
-                         .cast("decimal(38,12)"))
-    mse = F.when(amax > 0, errsum.cast("double") / F.size(xs)) \
-        .otherwise(F.lit(0.0))
+    # |d| <= scale/2 < amax: for unit-norm-ish embeddings d_nano stays
+    # ~1e7, so dim terms of d_nano^2 sit far below int64 — exact
+    errsum = F.aggregate(xs, F.lit(0).cast("long"),
+                         lambda acc, x: acc + term(x))
     sc = F.when(amax > 0, scale).otherwise(F.lit(0.0))
-    return emb.select(
+    base = emb.select(
         F.col(id_col),
         F.floor(sc * F.lit(1e9) + F.lit(0.5)).cast("long")
         .alias("scale_nano"),
-        F.floor(mse * F.lit(1e9) + F.lit(0.5)).cast("long")
+        F.when(amax > 0, errsum).otherwise(F.lit(0)).alias("__es"),
+        F.size(xs).cast("long").alias("__dim"))
+    # true integer div — a double quotient cast to long would lose
+    # exactness once 2*errsum passes 2^53
+    return base.select(
+        id_col, "scale_nano",
+        F.expr("(2 * __es + __dim * 1000000000) div "
+               "(2 * __dim * 1000000000)").cast("long")
         .alias("mse_nano"))
 
 
