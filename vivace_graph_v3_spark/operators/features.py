@@ -119,8 +119,24 @@ def decision_stump_split(df: DataFrame, value_col: str, label_col,
     score = (F.col("nl").cast("double") * gini(F.col("nl"), F.col("pl"))
              + F.col("nr").cast("double") * gini(F.col("nr"), F.col("pr"))
              ) / F.col("nt").cast("double")
-    return (c.withColumn("gini", score)
-            .orderBy(F.col("gini").asc(), F.col("v").asc()).limit(1)
+    # EXACT integer argmin key (r7 sf0.1 sweep find): sorting candidates
+    # by the double `score` is cross-engine fragile — near-equal ginis
+    # differ by an ulp between engines (and an oracle's ORDER BY can
+    # silently bind a rounded output alias). Minimizing score is
+    # equivalent to MAXIMIZING T = (pl²+ql²)/nl + (pr²+qr²)/nr, which
+    # scaled by 1000 and integer-divided is an exact, engine-identical
+    # sort key (DECIMAL(38,0) intermediates; ties at the 1e-3 T
+    # resolution — gini ties beyond the 9th decimal — break to the
+    # smallest threshold in both engines). The reported gini column is
+    # still the 6-dp double, computed once on the winning row.
+    tkey = F.expr(
+        "CAST(((CAST(pl AS DECIMAL(38,0)) * pl"
+        " + CAST(nl - pl AS DECIMAL(38,0)) * (nl - pl)) * nr"
+        " + (CAST(pr AS DECIMAL(38,0)) * pr"
+        " + CAST(nr - pr AS DECIMAL(38,0)) * (nr - pr)) * nl)"
+        " * 1000 div (CAST(nl AS DECIMAL(38,0)) * nr) AS BIGINT)")
+    return (c.withColumn("gini", score).withColumn("__t", tkey)
+            .orderBy(F.col("__t").desc(), F.col("v").asc()).limit(1)
             .select(F.col("v").alias("threshold"),
                     F.col("nl").cast("long").alias("n_left"),
                     F.col("nr").cast("long").alias("n_right"),

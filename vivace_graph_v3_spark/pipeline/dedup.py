@@ -502,13 +502,24 @@ def cosine(a, b):
 
 def _srp_bit(v, plane_id):
     """Sign bit of v . w(plane_id) for a deterministic pseudo-random
-    hyperplane: w_i = (xxhash64(i, plane_id) % 1000)/500 - 1."""
+    hyperplane: w_i = pmod(md5h64(i || '#' || plane_id), 1000)/500 - 1.
+
+    md5-derived (NOT xxhash64, which no other engine reproduces): a SQL
+    oracle rebuilds the planes bit-for-bit, and the dot is a
+    fixed-index-order left fold of correctly-rounded ops — so the SIGN,
+    hence every band signature, hence the candidate set, is
+    engine-identical. That turns SRP-LSH blocking from a probabilistic
+    fixture assumption into an exactly-checkable contract (r7 sf0.1
+    sweep find: borderline-cosine pairs made luck-based equality fail
+    at 10x the gate scale)."""
     dot = F.aggregate(
         F.zip_with(v,
                    F.transform(F.sequence(F.lit(0), F.size(v) - 1),
-                               lambda i: ((F.xxhash64(i, F.lit(plane_id))
-                                           % 1000).cast("double")
-                                          / 500.0 - 1.0)),
+                               lambda i: (F.pmod(md5_hash64(
+                                   F.concat(i.cast("string"), F.lit("#"),
+                                            F.lit(str(plane_id)))),
+                                   F.lit(1000)).cast("double")
+                                   / 500.0 - 1.0)),
                    lambda x, w: x.cast("double") * w),
         F.lit(0.0), lambda acc, x: acc + x)
     return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
