@@ -500,27 +500,39 @@ def cosine(a, b):
     return dot / (_norm(a) * _norm(b))
 
 
-def _srp_bit(v, plane_id):
-    """Sign bit of v . w(plane_id) for a deterministic pseudo-random
-    hyperplane: w_i = pmod(md5h64(i || '#' || plane_id), 1000)/500 - 1.
+def _srp_weights(plane_id: int, dim: int) -> list[float]:
+    """Driver-side constants of one md5-derived pseudo-random
+    hyperplane: w_i = pmod(md5h64(f"{i}#{plane_id}"), 1000)/500 - 1,
+    where md5h64 is the exact integer pipeline.dedup.md5_hash64
+    computes (signed hi<<32 | lo of the first 16 hex chars).
 
     md5-derived (NOT xxhash64, which no other engine reproduces): a SQL
-    oracle rebuilds the planes bit-for-bit, and the dot is a
-    fixed-index-order left fold of correctly-rounded ops — so the SIGN,
-    hence every band signature, hence the candidate set, is
+    oracle rebuilds the planes bit-for-bit. Computed ONCE on the driver
+    and embedded as plan literals — executors never hash (at 100 TB,
+    bits*bands*dim md5 calls per ROW would dominate the scan)."""
+    import hashlib
+
+    out = []
+    for i in range(dim):
+        h = hashlib.md5(f"{i}#{plane_id}".encode()).hexdigest()
+        v = (int(h[:8], 16) << 32) | int(h[8:16], 16)
+        if v >= 2 ** 63:
+            v -= 2 ** 64
+        out.append((v % 1000) / 500.0 - 1.0)  # Python % = floor-mod = pmod
+    return out
+
+
+def _srp_bit(v, plane_id, dim):
+    """Sign bit of v . w(plane_id): the dot is a fixed-index-order left
+    fold of correctly-rounded ops over the literal weight array — so
+    the SIGN, hence every band signature, hence the candidate set, is
     engine-identical. That turns SRP-LSH blocking from a probabilistic
     fixture assumption into an exactly-checkable contract (r7 sf0.1
     sweep find: borderline-cosine pairs made luck-based equality fail
-    at 10x the gate scale)."""
+    at 10x the gate scale). ``v`` must have length ``dim``."""
+    ws = F.array(*[F.lit(w) for w in _srp_weights(plane_id, dim)])
     dot = F.aggregate(
-        F.zip_with(v,
-                   F.transform(F.sequence(F.lit(0), F.size(v) - 1),
-                               lambda i: (F.pmod(md5_hash64(
-                                   F.concat(i.cast("string"), F.lit("#"),
-                                            F.lit(str(plane_id)))),
-                                   F.lit(1000)).cast("double")
-                                   / 500.0 - 1.0)),
-                   lambda x, w: x.cast("double") * w),
+        F.zip_with(v, ws, lambda x, w: x.cast("double") * w),
         F.lit(0.0), lambda acc, x: acc + x)
     return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
@@ -529,7 +541,8 @@ def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.95,
                         block_bits: int = 0,
-                        bands: int = 1) -> DataFrame:
+                        bands: int = 1,
+                        dim: int | None = None) -> DataFrame:
     """Near-dup pairs by cosine >= threshold. With ``block_bits`` > 0,
     banded SRP-LSH blocking: ``bands`` independent signatures of
     ``block_bits`` hyperplane signs each; candidates = pairs sharing ANY
@@ -541,11 +554,17 @@ def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
     base = ensure_parallelism(df).select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     a, b = base.alias("a"), base.alias("b")
     if block_bits > 0:
+        if dim is None:
+            # one tiny plan-time job (ingest-seam convention, like the
+            # IVF centroid literals): the hyperplane literals need the
+            # dimensionality
+            dim = int(df.select(F.size(vec_col)).first()[0])
+
         def band_sig(band):
             sig = None
             for j in range(block_bits):
                 term = F.shiftleft(_srp_bit(F.col("v"),
-                                            band * block_bits + j), j)
+                                            band * block_bits + j, dim), j)
                 sig = term if sig is None else sig.bitwiseXOR(term)
             return sig
 
