@@ -194,6 +194,7 @@ _PARAM_VALUES_ORACLES = {
     "text_truncation_curve",     # max_len grid (64/128/256/512)
     "cms_heavy_hitters",         # CMS row hash constants
     "graph_closeness_landmarks", # landmark vertex ids
+    "graph_stress_landmarks",    # landmark vertex ids
     "geo_polygon_metrics",       # polygon coordinates
     "geo_polygon_intersects",    # polygon coordinates
     "retrieval_ndcg",            # rank-discount grid

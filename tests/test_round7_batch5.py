@@ -1,0 +1,188 @@
+"""Unit tests for the round-7 batch-5 operators: exact-isqrt temperature
+mix weights, data-constrained epoch schedule, md5-MinHash estimate audit,
+LSH band tuning, landmark stress centrality, and transition entropy."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from vivace_graph_v3_spark.pipeline.dedup import (
+    lsh_band_tuning, minhash_estimate_audit, minhash_signatures_md5)
+from vivace_graph_v3_spark.pipeline.text import (
+    _isqrt_col, epoch_schedule, temperature_mix_weights)
+
+
+def _ppm(num: int, den: int) -> int:
+    return num * 1000000 // den
+
+
+class TestIsqrt:
+    def test_exact_on_boundaries(self, spark):
+        # perfect squares and their neighbours are exactly where a bare
+        # floor(sqrt(double)) goes wrong by one
+        vals = [2**63 - 1, 2**63 - 2]  # past the last perfect square
+        for s in [0, 1, 2, 3, 10, 12345, 94906265, 3037000499]:
+            for x in (s * s - 1, s * s, s * s + 1):
+                if 0 <= x < 2**63:
+                    vals.append(x)
+        df = spark.createDataFrame([(v,) for v in vals], "x long")
+        got = {r["x"]: r["s"] for r in
+               df.select("x", _isqrt_col(F.col("x")).alias("s")).collect()}
+        for v in vals:
+            assert got[v] == math.isqrt(v), v
+
+
+class TestTemperatureMix:
+    def test_hand_weights(self, spark):
+        # lang a: 100 tokens over 2 docs; lang b: 400 tokens over 1 doc
+        docs = [(1, " ".join(["w"] * 60), "a"),
+                (2, " ".join(["w"] * 40), "a"),
+                (3, " ".join(["w"] * 400), "b")]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        out = {r["group"]: r for r in temperature_mix_weights(df).collect()}
+        assert out["a"]["n_docs"] == 2 and out["a"]["n_tokens"] == 100
+        assert out["a"]["isqrt_tokens"] == 10
+        assert out["b"]["isqrt_tokens"] == 20
+        assert out["a"]["raw_share_ppm"] == _ppm(100, 500)
+        # alpha=0.5 upsamples the low-resource lang: 10/30 vs 100/500
+        assert out["a"]["weight_ppm"] == _ppm(10, 30)
+        assert out["b"]["weight_ppm"] == _ppm(20, 30)
+        assert out["a"]["weight_ppm"] > out["a"]["raw_share_ppm"]
+
+    def test_weights_sum_to_about_one(self, spark):
+        docs = [(i, " ".join(["w"] * (10 + 37 * (i % 7))), f"l{i % 4}")
+                for i in range(40)]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        rows = temperature_mix_weights(df).collect()
+        total = sum(r["weight_ppm"] for r in rows)
+        # floor-ppm: within |groups| of 1e6, never above
+        assert 1000000 - len(rows) <= total <= 1000000
+
+
+class TestEpochSchedule:
+    def test_budget_allocation(self, spark):
+        docs = [(1, " ".join(["w"] * 100), "web"),
+                (2, " ".join(["w"] * 400), "books")]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "source"])
+        out = {r["group"]: r for r in epoch_schedule(
+            df, budget_multiplier_milli=3000).collect()}
+        # total 500 tokens -> budget 1500; isqrt 10 + 20
+        w_web = _ppm(10, 30)
+        alloc_web = 1500 * w_web // 1000000
+        assert out["web"]["alloc_tokens"] == alloc_web
+        assert out["web"]["epochs_milli"] == alloc_web * 1000 // 100
+        # the small source is repeated ~5x: over the 4-epoch cap
+        assert out["web"]["over_cap"]
+        assert not out["books"]["over_cap"]
+
+
+class TestMinhashAudit:
+    def test_identical_docs_estimate_exactly_one(self, spark):
+        text = "alpha beta gamma delta epsilon zeta eta theta"
+        df = spark.createDataFrame(
+            [(1, text), (2, text), (3, "totally different words here now")],
+            ["doc_id", "text"])
+        rows = minhash_estimate_audit(df, num_hashes=16).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        assert (r["id_a"], r["id_b"]) == (1, 2)
+        assert r["n_matches"] == 16
+        assert r["est_ppm"] == 1000000 and r["exact_ppm"] == 1000000
+        assert r["err_ppm"] == 0
+
+    def test_signature_shape(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a b c d e"), (2, "")], ["doc_id", "text"])
+        sigs = minhash_signatures_md5(df, num_hashes=8).collect()
+        assert len(sigs) == 1  # empty doc dropped
+        assert len(sigs[0]["sig"]) == 8
+        assert sigs[0]["n_shingles"] == 3
+
+    def test_estimator_error_bounded(self, spark):
+        # overlapping docs: est within a few sigma of exact
+        base = ["tok%d" % i for i in range(30)]
+        docs = [(1, " ".join(base)), (2, " ".join(base[:20] + ["x", "y"]))]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = minhash_estimate_audit(df, num_hashes=16,
+                                      min_exact_ppm=100000).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        # stderr = sqrt(J(1-J)/16) <= 0.125; 4 sigma = 500000 ppm
+        assert r["err_ppm"] <= 500000
+
+
+class TestBandTuning:
+    def test_monotone_recall_and_consistency(self, spark):
+        text = " ".join("w%d" % i for i in range(40))
+        docs = [(1, text),
+                (2, " ".join("w%d" % i for i in range(38)) + " a b"),
+                (3, " ".join("v%d" % i for i in range(40))),
+                (4, text + " extra")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        rows = {r["bands"]: r for r in lsh_band_tuning(df).collect()}
+        assert set(rows) == {16, 8, 4, 2}
+        for b, r in rows.items():
+            assert r["rows_per_band"] == 16 // b
+            assert r["n_caught"] <= r["n_candidates"]
+            assert r["n_caught"] <= r["n_true_total"]
+        # more bands never catches fewer candidates (a band split of a
+        # matching wider band still matches)
+        assert rows[16]["n_candidates"] >= rows[8]["n_candidates"]
+        assert rows[8]["n_candidates"] >= rows[4]["n_candidates"]
+        assert rows[4]["n_candidates"] >= rows[2]["n_candidates"]
+        assert rows[16]["n_caught"] >= rows[2]["n_caught"]
+
+
+def _graph(spark, vertices, edges):
+    from vivace_graph_v3_spark.graph import GraphStore
+    from vivace_graph_v3_spark.schema import SchemaRegistry
+
+    reg = SchemaRegistry()
+    reg.def_vertex("node", {})
+    reg.def_edge("link")
+    g = GraphStore(spark, reg, name="alg", has_tombstones=False)
+    g.add_vertices("node", spark.createDataFrame(
+        [(v, "node", False, 0, 0) for v in vertices],
+        "id string, type string, deleted boolean, revision long, "
+        "commit_epoch long"))
+    g.add_edges("link", spark.createDataFrame(
+        [(f"e{i}", "link", False, 0, 0, s, d, 1.0)
+         for i, (s, d) in enumerate(edges)],
+        "id string, type string, deleted boolean, revision long, "
+        "commit_epoch long, src string, dst string, weight double"))
+    return g
+
+
+class TestLandmarkStress:
+    def test_path_graph_counts(self, spark):
+        # path a - b - c - d: from landmark a, sigma = 1 everywhere,
+        # stress(b) = paths through b = a->c, a->d = 2; stress(c) = 1
+        from vivace_graph_v3_spark.operators.graph_algorithms import (
+            landmark_stress)
+
+        g = _graph(spark, ["a", "b", "c", "d"],
+                   [("a", "b"), ("b", "c"), ("c", "d")])
+        out = {(r["lm"], r["dist"]): r
+               for r in landmark_stress(g, ["a"], max_depth=6).collect()}
+        assert out[("a", 0)]["sum_stress"] == 0
+        assert out[("a", 1)]["sum_stress"] == 2   # b
+        assert out[("a", 2)]["sum_stress"] == 1   # c
+        assert out[("a", 3)]["sum_stress"] == 0   # d (endpoint)
+        assert all(r["sum_sigma"] == 1 for r in out.values())
+
+    def test_diamond_multiplicity(self, spark):
+        # diamond a->{b,c}->d->e: sigma(d) = 2, stress(d) = 2 (a->e via
+        # b and via c), stress(b) = stress(c) = sigma*rho-1 paths = 2
+        # each (to d and to e)
+        from vivace_graph_v3_spark.operators.graph_algorithms import (
+            landmark_stress)
+
+        edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+                 ("d", "e")]
+        g = _graph(spark, ["a", "b", "c", "d", "e"], edges)
+        out = {r["dist"]: r
+               for r in landmark_stress(g, ["a"], max_depth=6).collect()}
+        assert out[2]["sum_sigma"] == 2            # d
+        assert out[2]["sum_stress"] == 2 * 1       # a->e x2 through d
+        assert out[1]["sum_stress"] == 4           # b and c: 2 each
+        assert out[3]["sum_sigma"] == 2            # e reached twice

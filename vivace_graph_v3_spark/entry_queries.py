@@ -12287,7 +12287,392 @@ FROM tot
 """
 
 
+# exact integer sqrt, mirrored by pipeline.text._isqrt_col: floor of the
+# correctly-rounded double sqrt repaired by two CASE steps — exact isqrt
+# in BOTH engines with no cross-engine float agreement needed. The
+# candidate clamps to isqrt(2^63-1) and the upward probe is CASE-guarded
+# behind that bound, so no intermediate square overflows.
+def _isqrt_sql(x: str) -> str:
+    lim = 3037000499  # isqrt(2^63 - 1)
+    s0 = (f"LEAST(CAST(floor(sqrt(CAST(({x}) AS DOUBLE))) AS BIGINT),"
+          f" {lim})")
+    s1 = f"({s0} - CASE WHEN {s0} * {s0} > ({x}) THEN 1 ELSE 0 END)"
+    return (f"({s1} + CASE WHEN {s1} >= {lim} THEN 0"
+            f" WHEN ({s1} + 1) * ({s1} + 1) <= ({x})"
+            f" THEN 1 ELSE 0 END)")
+
+
+def q_temperature_mix_weights(spark, sf_dir):
+    """Temperature-scaled multilingual sampling weights at alpha = 0.5
+    (pipeline/text.temperature_mix_weights; Conneau et al. 2020 XLM-R
+    §5.1 / mC4 exponentiated-share mix): w_lang ∝ sqrt(n_tokens), the
+    upsample-low-resource mix table. alpha = 0.5 is the one temperature
+    with an EXACT integer form — both engines compute the exact isqrt
+    (floor-sqrt repaired by two integer CASE steps), so the ppm weights
+    are engine-exact, not transcendental-pow-dependent."""
+    from vivace_graph_v3_spark.pipeline.text import temperature_mix_weights
+
+    return temperature_mix_weights(_docs(spark, sf_dir), group_col="lang")
+
+
+_TMIX_SQL_CORE = rf"""
+WITH t AS (
+  SELECT lang AS "group",
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+), g AS (
+  SELECT "group", count(*) AS n_docs, sum(n) AS n_tokens
+  FROM t GROUP BY 1
+), s AS (
+  SELECT "group", n_docs, n_tokens,
+         {_isqrt_sql("n_tokens")} AS isqrt_tokens
+  FROM g
+), tot AS (
+  SELECT sum(n_tokens) AS tot_tokens, sum(isqrt_tokens) AS tot_isqrt
+  FROM s
+)
+SELECT "group", CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_tokens * 1000000 // tot_tokens AS BIGINT) AS raw_share_ppm,
+       CAST(isqrt_tokens AS BIGINT) AS isqrt_tokens,
+       CAST(isqrt_tokens * 1000000 // tot_isqrt AS BIGINT) AS weight_ppm
+FROM s CROSS JOIN tot
+"""
+
+SQL_TEMPERATURE_MIX_WEIGHTS = _TMIX_SQL_CORE
+
+
+def q_epoch_schedule_budget(spark, sf_dir):
+    """Data-constrained epoch plan (pipeline/text.epoch_schedule;
+    Muennighoff et al. 2023 "Scaling Data-Constrained Language Models"):
+    allocate a 2.0x-corpus token budget across sources by the alpha=0.5
+    temperature weights and report the implied per-source epoch count in
+    exact integer milli units, flagging sources repeated past the ~4-epoch
+    R* knee where repetition stops helping. One group-by plus a broadcast
+    totals join — volume-independent shape at 100 TB."""
+    from vivace_graph_v3_spark.pipeline.text import epoch_schedule
+
+    return epoch_schedule(_docs(spark, sf_dir), group_col="source")
+
+
+SQL_EPOCH_SCHEDULE_BUDGET = rf"""
+WITH t AS (
+  SELECT source AS "group",
+         len(list_filter(string_split_regex(trim(text), '\s+'),
+                         x -> x <> '')) AS n
+  FROM documents
+), g AS (
+  SELECT "group", sum(n) AS n_tokens FROM t GROUP BY 1
+), s AS (
+  SELECT "group", n_tokens, {_isqrt_sql("n_tokens")} AS isqrt_tokens
+  FROM g
+), tot AS (
+  SELECT sum(n_tokens) AS tot_tokens, sum(isqrt_tokens) AS tot_isqrt
+  FROM s
+), w AS (
+  SELECT "group", n_tokens,
+         isqrt_tokens * 1000000 // tot_isqrt AS weight_ppm,
+         tot_tokens
+  FROM s CROSS JOIN tot
+), a AS (
+  SELECT "group", n_tokens, weight_ppm,
+         tot_tokens * 2000 // 1000 * weight_ppm // 1000000 AS alloc_tokens
+  FROM w
+)
+SELECT "group", CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(weight_ppm AS BIGINT) AS weight_ppm,
+       CAST(alloc_tokens AS BIGINT) AS alloc_tokens,
+       CAST(alloc_tokens * 1000 // n_tokens AS BIGINT) AS epochs_milli,
+       (alloc_tokens * 1000 // n_tokens) > 4000 AS over_cap
+FROM a
+"""
+
+
+def q_dedup_minhash_est_error(spark, sf_dir):
+    """MinHash sketch-accuracy audit (pipeline/dedup.
+    minhash_estimate_audit; Broder 1997): for every shingle-sharing pair
+    at exact Jaccard >= 0.2, the k=16 md5-signature ESTIMATED Jaccard
+    next to the exact one, with the absolute error in ppm — the measured
+    table that picks signature length before a 100 TB dedup run. The
+    md5-derived permutations make every signature bit
+    oracle-reproducible; pairs ride the inverted shingle index, never
+    all-pairs."""
+    from vivace_graph_v3_spark.pipeline.dedup import minhash_estimate_audit
+
+    return minhash_estimate_audit(_docs(spark, sf_dir), num_hashes=16,
+                                  min_exact_ppm=200000)
+
+
+def _minhash_md5_sig_sql(k: int = 16) -> str:
+    """DuckDB CTEs reproducing minhash_signatures_md5 (k md5-derived
+    permutation mins over distinct word-trigram shingle strings) plus the
+    inverted-index pair generator with exact intersection sizes. Yields
+    CTEs: sg(doc_id, sz, sig), prs(id_a, id_b, inter, sz_a, sz_b)."""
+    h = _md5_hash64_sql("shingle || '#' || i::VARCHAR")
+    return f"""
+tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(toks) - 2, 0)),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM tk WHERE len(toks) >= 3
+), inv AS (
+  SELECT doc_id, len(sh) AS sz, unnest(sh) AS shingle FROM sh
+), hs AS (
+  SELECT doc_id, i, min({h}) AS hmin
+  FROM inv, generate_series(0, {k - 1}) t(i)
+  GROUP BY doc_id, i
+), sg AS (
+  SELECT hs.doc_id, any_value(iv.sz) AS sz,
+         list(hmin ORDER BY i) AS sig
+  FROM hs JOIN (SELECT DISTINCT doc_id, sz FROM inv) iv USING (doc_id)
+  GROUP BY hs.doc_id
+), prs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter,
+         any_value(a.sz) AS sz_a, any_value(b.sz) AS sz_b
+  FROM inv a JOIN inv b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)"""
+
+
+SQL_DEDUP_MINHASH_EST_ERROR = rf"""
+WITH {_minhash_md5_sig_sql(16)}
+SELECT id_a, id_b,
+       CAST(len(list_filter(generate_series(1, 16),
+                            i -> sa.sig[i] = sb.sig[i])) AS BIGINT)
+         AS n_matches,
+       CAST(len(list_filter(generate_series(1, 16),
+                            i -> sa.sig[i] = sb.sig[i]))
+            * 1000000 // 16 AS BIGINT) AS est_ppm,
+       CAST(inter * 1000000 // (sz_a + sz_b - inter) AS BIGINT)
+         AS exact_ppm,
+       CAST(abs(len(list_filter(generate_series(1, 16),
+                                i -> sa.sig[i] = sb.sig[i]))
+                * 1000000 // 16
+                - inter * 1000000 // (sz_a + sz_b - inter)) AS BIGINT)
+         AS err_ppm
+FROM prs
+JOIN sg sa ON sa.doc_id = id_a
+JOIN sg sb ON sb.doc_id = id_b
+WHERE inter * 1000000 // (sz_a + sz_b - inter) >= 200000
+"""
+
+
+def q_lsh_band_tuning(spark, sf_dir):
+    """LSH banding tuning table (pipeline/dedup.lsh_band_tuning): for
+    each (bands, rows) split of the k=16 md5 MinHash signature, the
+    measured candidate volume, precision, and recall against exact
+    Jaccard >= 0.5 — the S-curve table that picks the banding before a
+    100 TB near-dup pass. Band equality implies a shared min-shingle, so
+    the count is exact over the inverted-index pair superset."""
+    from vivace_graph_v3_spark.pipeline.dedup import lsh_band_tuning
+
+    return lsh_band_tuning(_docs(spark, sf_dir), num_hashes=16,
+                           true_threshold_ppm=500000)
+
+
+SQL_LSH_BAND_TUNING = rf"""
+WITH {_minhash_md5_sig_sql(16)},
+flags AS (
+  SELECT inter * 1000000 // (sz_a + sz_b - inter) >= 500000 AS is_true,
+         sa.sig AS sig_a, sb.sig AS sig_b
+  FROM prs
+  JOIN sg sa ON sa.doc_id = id_a
+  JOIN sg sb ON sb.doc_id = id_b
+), per AS (
+  SELECT c.b AS bands, 16 // c.b AS r, is_true,
+         len(list_filter(generate_series(0, c.b - 1),
+             j -> sig_a[j * (16 // c.b) + 1 : j * (16 // c.b) + 16 // c.b]
+                = sig_b[j * (16 // c.b) + 1 : j * (16 // c.b) + 16 // c.b]))
+           > 0 AS cand
+  FROM flags, (SELECT unnest([16, 8, 4, 2]) AS b) c
+)
+SELECT CAST(bands AS BIGINT) AS bands,
+       CAST(r AS BIGINT) AS rows_per_band,
+       CAST(sum(CASE WHEN cand THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_candidates,
+       CAST(sum(CASE WHEN is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_true_total,
+       CAST(sum(CASE WHEN cand AND is_true THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_caught,
+       CAST(CASE WHEN sum(CASE WHEN cand THEN 1 ELSE 0 END) > 0 THEN
+            sum(CASE WHEN cand AND is_true THEN 1 ELSE 0 END) * 1000000
+            // sum(CASE WHEN cand THEN 1 ELSE 0 END) END AS BIGINT)
+         AS precision_ppm,
+       CAST(CASE WHEN sum(CASE WHEN is_true THEN 1 ELSE 0 END) > 0 THEN
+            sum(CASE WHEN cand AND is_true THEN 1 ELSE 0 END) * 1000000
+            // sum(CASE WHEN is_true THEN 1 ELSE 0 END) END AS BIGINT)
+         AS recall_ppm
+FROM per GROUP BY 1, 2
+"""
+
+
+def q_graph_stress_landmarks(spark, sf_dir):
+    """Depth-6 landmark STRESS centrality (Shimbel 1953; the
+    integer-exact sibling of Brandes 2001 betweenness) of the three
+    nation hubs over the undirected F6 graph
+    (operators/graph_algorithms.landmark_stress): forward sigma = exact
+    shortest-path counts per BFS level, backward rho = DAG path counts
+    folded from the deepest level, stress(v) = sigma * (rho - 1) —
+    every quantity exact BIGINT, aggregated per (landmark, dist).
+    Oracle: the same two passes unrolled over six depth levels."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        landmark_stress)
+
+    g = load_tpch_graph(spark, sf_dir)
+    return landmark_stress(g, _PPR_SOURCES, max_depth=6)
+
+
+def _stress_oracle_sql(landmarks: list[str], depth: int = 6) -> str:
+    """Unrolled two-pass Brandes-shaped stress oracle mirroring
+    landmark_stress: min-dist relaxation to ``depth`` (the closeness
+    pattern), forward sigma per exact level, backward rho from the
+    deepest level, all integer."""
+    vals = ", ".join(f"('{l}')" for l in landmarks)
+    parts = [f"""
+WITH e0 AS MATERIALIZED (SELECT DISTINCT src, dst FROM ({_F6_EDGES_SQL})),
+e AS MATERIALIZED (
+  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+),
+v0 AS MATERIALIZED (
+  SELECT lm, lm AS id, 0 AS dist FROM (VALUES {vals}) t(lm)
+)"""]
+    for k in range(1, depth + 1):
+        parts.append(f"""
+v{k} AS MATERIALIZED (
+  SELECT lm, id, MIN(dist) AS dist FROM (
+    SELECT lm, id, dist FROM v{k - 1}
+    UNION ALL
+    SELECT v.lm, e.dst AS id, v.dist + 1 AS dist
+    FROM v{k - 1} v JOIN e ON e.src = v.id
+  ) GROUP BY lm, id
+)""")
+    parts.append(f"""
+lv AS MATERIALIZED (SELECT lm, id, dist FROM v{depth}),
+s0 AS MATERIALIZED (SELECT lm, lm AS id, CAST(1 AS BIGINT) AS sigma
+                    FROM (VALUES {vals}) t(lm))""")
+    for d in range(1, depth + 1):
+        parts.append(f"""
+s{d} AS MATERIALIZED (
+  SELECT p.lm, e.dst AS id, SUM(p.sigma) AS sigma
+  FROM s{d - 1} p JOIN e ON e.src = p.id
+  JOIN lv ON lv.lm = p.lm AND lv.id = e.dst AND lv.dist = {d}
+  GROUP BY 1, 2
+)""")
+    parts.append(f"""
+r{depth} AS MATERIALIZED (
+  SELECT lm, id, CAST(1 AS BIGINT) AS rho FROM lv WHERE dist = {depth}
+)""")
+    for d in range(depth - 1, -1, -1):
+        parts.append(f"""
+r{d} AS MATERIALIZED (
+  SELECT l.lm, l.id, 1 + COALESCE(SUM(rr.rho), 0) AS rho
+  FROM (SELECT lm, id FROM lv WHERE dist = {d}) l
+  LEFT JOIN e ON e.src = l.id
+  LEFT JOIN r{d + 1} rr ON rr.lm = l.lm AND rr.id = e.dst
+  GROUP BY 1, 2
+)""")
+    sig_union = " UNION ALL ".join(
+        f"SELECT * FROM s{d}" for d in range(depth + 1))
+    rho_union = " UNION ALL ".join(
+        f"SELECT * FROM r{d}" for d in range(depth + 1))
+    return (",".join(parts) + f""",
+sig AS ({sig_union}),
+rho AS ({rho_union}),
+j AS (
+  SELECT lv.lm, lv.dist, sig.sigma, rho.rho,
+         CASE WHEN lv.dist = 0 THEN 0
+              ELSE sig.sigma * (rho.rho - 1) END AS stress
+  FROM lv
+  JOIN sig ON sig.lm = lv.lm AND sig.id = lv.id
+  JOIN rho ON rho.lm = lv.lm AND rho.id = lv.id
+)
+SELECT lm, CAST(dist AS BIGINT) AS dist,
+       CAST(count(*) AS BIGINT) AS n_vertices,
+       CAST(sum(sigma) AS BIGINT) AS sum_sigma,
+       CAST(sum(stress) AS BIGINT) AS sum_stress,
+       CAST(max(stress) AS BIGINT) AS max_stress
+FROM j GROUP BY lm, dist
+""")
+
+
+SQL_GRAPH_STRESS_LANDMARKS = _stress_oracle_sql(_PPR_SOURCES)
+
+
+def q_events_transition_entropy(spark, sf_dir):
+    """Per-state entropy of the user-journey Markov chain: order each
+    user's events by (ts, event_id), count (from, to) event-type
+    transitions, and report each from-state's Shannon entropy in bits —
+    the predictability telemetry next to order_status_transitions'
+    raw matrix (entropy 0 = the next event is determined; log2|states|
+    = uniform). The log2 terms decimal-accumulate per distinct cell
+    (order-independent, the bigram_logprob discipline), weighted by the
+    exact integer counts; |states|^2 cells, volume-independent."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (ev.select("user_id", "ts", "event_id",
+                       F.col("event_type").alias("to_s"))
+             .withColumn("from_s", F.lag("to_s").over(w))
+             .filter(F.col("from_s").isNotNull())
+             .groupBy("from_s", "to_s")
+             .agg(F.count(F.lit(1)).alias("n")))
+    tot = pairs.groupBy("from_s").agg(
+        F.sum("n").cast("long").alias("n_transitions"),
+        F.count(F.lit(1)).cast("long").alias("n_targets"))
+    term = ((-F.log2(F.col("n").cast("double")
+                     / F.col("n_transitions").cast("double")))
+            .cast("decimal(38,12)") * F.col("n"))
+    return (pairs.join(tot, "from_s")
+            .groupBy("from_s", "n_transitions", "n_targets")
+            .agg(F.round(F.sum(term).cast("double")
+                         / F.col("n_transitions"), 6)
+                 .alias("entropy_bits"))
+            .select("from_s", "n_transitions", "n_targets",
+                    "entropy_bits"))
+
+
+SQL_EVENTS_TRANSITION_ENTROPY = """
+WITH seq AS (
+  SELECT user_id, event_type AS to_s,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id) AS from_s
+  FROM events
+), pairs AS (
+  SELECT from_s, to_s, count(*) AS n FROM seq
+  WHERE from_s IS NOT NULL GROUP BY 1, 2
+), tot AS (
+  SELECT from_s, CAST(sum(n) AS BIGINT) AS n_transitions,
+         CAST(count(*) AS BIGINT) AS n_targets
+  FROM pairs GROUP BY from_s
+)
+SELECT from_s, n_transitions, n_targets,
+       round(CAST(sum(CAST(-log2(CAST(n AS DOUBLE)
+                                 / CAST(n_transitions AS DOUBLE))
+                           AS DECIMAL(38,12)) * n) AS DOUBLE)
+             / n_transitions, 6) AS entropy_bits
+FROM pairs JOIN tot USING (from_s)
+GROUP BY from_s, n_transitions, n_targets
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "temperature_mix_weights": (q_temperature_mix_weights,
+                                SQL_TEMPERATURE_MIX_WEIGHTS),
+    "events_transition_entropy": (q_events_transition_entropy,
+                                  SQL_EVENTS_TRANSITION_ENTROPY),
+    "graph_stress_landmarks": (q_graph_stress_landmarks,
+                               SQL_GRAPH_STRESS_LANDMARKS),
+    "dedup_minhash_est_error": (q_dedup_minhash_est_error,
+                                SQL_DEDUP_MINHASH_EST_ERROR),
+    "lsh_band_tuning": (q_lsh_band_tuning, SQL_LSH_BAND_TUNING),
+    "epoch_schedule_budget": (q_epoch_schedule_budget,
+                              SQL_EPOCH_SCHEDULE_BUDGET),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "mix_ess_design_effect": (q_mix_ess_design_effect,
                               SQL_MIX_ESS_DESIGN_EFFECT),
@@ -12695,6 +13080,12 @@ REGISTRY: dict[str, tuple] = {
 # front = first 50 of _R8_QUEUE (+ any new r8 registrations prepended,
 # pushing the tail down).
 _R7_FRONT = [
+    # round-7 batch-5 registrations (prepended per convention): exact-
+    # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
+    # LSH band tuning, landmark stress centrality, transition entropy
+    "temperature_mix_weights", "epoch_schedule_budget",
+    "dedup_minhash_est_error", "lsh_band_tuning",
+    "graph_stress_landmarks", "events_transition_entropy",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram
@@ -12718,14 +13109,14 @@ _R7_FRONT = [
     "order_status_transitions", "revenue_pareto", "revenue_gini",
     "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
     "graph_degree_histogram", "brand_revenue_share",
-    "graph_pagerank_personalized", "text_boilerplate", "stratified_sample",
-    "embedding_quantize", "retrieval_rerank", "token_budget_mix",
-    "cms_heavy_hitters",
+    "graph_pagerank_personalized",
 ]
 
 _R8_QUEUE = [
     # front-tail entries displaced by the round-7 new registrations
     # (never driver-sampled; first priority alongside the leftovers)
+    "text_boilerplate", "stratified_sample", "embedding_quantize",
+    "retrieval_rerank", "token_budget_mix", "cms_heavy_hitters",
     "retrieval_mmr",
     "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
     "training_mix_upsample", "embedding_hard_negatives",

@@ -871,3 +871,147 @@ def dedup_sampling_weights(df: DataFrame, *, text_col: str = "text",
             .select(F.col(id_col), "cluster_size",
                     F.expr("(1 * 2000000 + cluster_size)"
                            " div (cluster_size * 2)").alias("weight_ppm")))
+
+
+def minhash_signatures_md5(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           shingle: int = 3) -> DataFrame:
+    """MinHash signatures whose permutation hashes a SQL engine can
+    reproduce bit-for-bit: h_i(s) = md5_hash64(s || '#' || i) over the
+    distinct word-shingle STRINGS (shingle_strings), min-reduced per
+    position — the cross-engine sibling of :func:`minhash_signatures`
+    (whose seeded xxhash64 has no DuckDB twin). k x |shingles| md5 calls
+    per document, all whole-stage codegen; use for oracle-checked audits,
+    keep the xxhash64 path for production throughput.
+
+    Returns (id, n_shingles, sig array<long>[num_hashes]); documents with
+    zero shingles are dropped (no meaningful signature)."""
+    sh = shingle_strings(F.col(text_col), n=shingle)
+    base = (df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+            .filter(F.size("sh") > 0))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(F.transform(
+            F.col("sh"),
+            lambda s: md5_hash64(F.concat_ws("#", s, i.cast("string"))))))
+    return base.select("id", F.size("sh").alias("n_shingles"),
+                       sig.alias("sig"))
+
+
+def _shingle_pair_candidates(df: DataFrame, *, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             shingle: int = 3) -> DataFrame:
+    """All document pairs sharing >= 1 shingle, with exact intersection /
+    union sizes — the inverted-index pair generator every exact-Jaccard
+    verification here rides on (never an all-pairs join; bucket width is
+    per-shingle document frequency, independent of corpus volume).
+    Returns (id_a, id_b, inter, sz_a, sz_b)."""
+    sh = shingle_strings(F.col(text_col), n=shingle)
+    base = (df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+            .filter(F.size("sh") > 0))
+    inv = base.select("id", F.size("sh").alias("sz"),
+                      F.explode("sh").alias("shingle"))
+    a, b = inv.alias("a"), inv.alias("b")
+    return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+            .agg(F.count(F.lit(1)).alias("inter"),
+                 F.first(F.col("a.sz")).alias("sz_a"),
+                 F.first(F.col("b.sz")).alias("sz_b")))
+
+
+def minhash_estimate_audit(df: DataFrame, *, text_col: str = "text",
+                           id_col: str = "doc_id", num_hashes: int = 16,
+                           shingle: int = 3,
+                           min_exact_ppm: int = 200000) -> DataFrame:
+    """Sketch-accuracy audit: for every candidate pair at exact Jaccard
+    >= ``min_exact_ppm``, the MinHash-ESTIMATED Jaccard (matching
+    signature positions / k) next to the exact one — the measured-error
+    table that picks the signature length k before a 100 TB dedup run
+    (Broder 1997: per-position match probability IS the Jaccard; the
+    estimator's stderr is sqrt(J(1-J)/k)).
+
+    Signatures are md5-derived (minhash_signatures_md5) so a SQL oracle
+    reproduces every bit; pairs come from the inverted shingle index
+    (exact, bounded buckets), never all-pairs. Returns (id_a, id_b,
+    n_matches, est_ppm, exact_ppm, err_ppm)."""
+    pairs = _shingle_pair_candidates(df, text_col=text_col, id_col=id_col,
+                                     shingle=shingle)
+    pairs = (pairs.withColumn(
+        "exact_ppm", F.expr("inter * 1000000L div (sz_a + sz_b - inter)"))
+        .filter(F.col("exact_ppm") >= int(min_exact_ppm)))
+    sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
+                                  num_hashes=num_hashes, shingle=shingle)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    return (pairs.join(sa, "id_a").join(sb, "id_b")
+            .withColumn("n_matches",
+                        F.expr("size(filter(zip_with(sig_a, sig_b,"
+                               " (x, y) -> x = y), b -> b))").cast("long"))
+            .withColumn("est_ppm",
+                        F.expr(f"n_matches * 1000000L div {num_hashes}"))
+            .select("id_a", "id_b", "n_matches", "est_ppm", "exact_ppm",
+                    F.expr("abs(est_ppm - exact_ppm)").alias("err_ppm")))
+
+
+def lsh_band_tuning(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 16,
+                    shingle: int = 3, true_threshold_ppm: int = 500000,
+                    bands_options: tuple = (16, 8, 4, 2)) -> DataFrame:
+    """LSH banding tuning table: for each (bands b, rows r = k/b) split of
+    the k-position md5 MinHash signature, the measured candidate-pair
+    volume, precision, and recall against exact Jaccard >=
+    ``true_threshold_ppm`` — the table that picks the banding before a
+    100 TB near-dup pass (more bands = higher recall AND more candidate
+    volume; the S-curve threshold is (1/b)^(1/r)).
+
+    A pair is a config's candidate iff some band's r signature positions
+    all match. Band equality requires a shared min-shingle (64-bit md5
+    collisions aside), so candidates are counted exactly over the
+    inverted-index pair superset — the same measurement a production run
+    would make, without materializing per-band buckets 4 times. Returns
+    one row per config: (bands, rows_per_band, n_candidates,
+    n_true_total, n_caught, precision_ppm, recall_ppm)."""
+    pairs = _shingle_pair_candidates(df, text_col=text_col, id_col=id_col,
+                                     shingle=shingle)
+    pairs = pairs.withColumn(
+        "is_true", F.expr(f"inter * 1000000L div (sz_a + sz_b - inter)"
+                          f" >= {int(true_threshold_ppm)}"))
+    sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
+                                  num_hashes=num_hashes, shingle=shingle)
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    j = pairs.join(sa, "id_a").join(sb, "id_b")
+    cand_cols = []
+    for b in bands_options:
+        r = num_hashes // b
+        cand_cols.append(F.expr(
+            f"exists(sequence(0, {b - 1}), j -> "
+            f"slice(sig_a, j * {r} + 1, {r}) = slice(sig_b, j * {r} + 1, {r}))"
+        ).alias(f"cand_b{b}"))
+    j = j.select("is_true", *cand_cols)
+    aggs = [F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true")]
+    for b in bands_options:
+        aggs.append(F.sum(F.when(F.col(f"cand_b{b}"), 1).otherwise(0))
+                    .alias(f"n_cand_b{b}"))
+        aggs.append(F.sum(F.when(F.col(f"cand_b{b}") & F.col("is_true"), 1)
+                          .otherwise(0)).alias(f"n_caught_b{b}"))
+    tot = j.agg(*aggs)
+    stack = ", ".join(
+        f"{b}, {num_hashes // b}, n_cand_b{b}, n_caught_b{b}"
+        for b in bands_options)
+    return (tot.selectExpr(
+        "n_true",
+        f"stack({len(bands_options)}, {stack})"
+        " as (bands, rows_per_band, n_candidates, n_caught)")
+        .select(F.col("bands").cast("long").alias("bands"),
+                F.col("rows_per_band").cast("long").alias("rows_per_band"),
+                F.col("n_candidates").cast("long").alias("n_candidates"),
+                F.col("n_true").cast("long").alias("n_true_total"),
+                F.col("n_caught").cast("long").alias("n_caught"),
+                F.expr("CASE WHEN n_candidates > 0 THEN"
+                       " n_caught * 1000000L div n_candidates END")
+                .alias("precision_ppm"),
+                F.expr("CASE WHEN n_true > 0 THEN"
+                       " n_caught * 1000000L div n_true END")
+                .alias("recall_ppm")))

@@ -1632,3 +1632,91 @@ def truncation_loss_curve(df: DataFrame, *, text_col: str = "text",
             .withColumn("kept_ppm",
                         F.expr("(kept_tokens * 2000000 + total_tokens)"
                                " div (total_tokens * 2)")))
+
+
+def _isqrt_col(x) -> Column:
+    """Exact integer square root of a non-negative BIGINT column.
+
+    floor(sqrt(double)) alone can be off by one when the true root sits
+    within half an ulp of an integer; the two CASE adjustments repair
+    both directions, so the result is the exact isqrt in ANY engine with
+    a correctly-rounded double sqrt (Spark and DuckDB both) — no
+    cross-engine float agreement is needed, which is what makes the
+    temperature weights below oracle-exact. Exact for the full BIGINT
+    range: the candidate clamps to isqrt(2^63-1) = 3037000499 and the
+    upward probe is CASE-guarded behind that bound, so no intermediate
+    square overflows even under ANSI arithmetic."""
+    lim = 3037000499  # isqrt(2^63 - 1)
+    s0 = F.least(F.floor(F.sqrt(x.cast("double"))).cast("long"),
+                 F.lit(lim))
+    s1 = s0 - F.when(s0 * s0 > x, F.lit(1)).otherwise(F.lit(0))
+    return s1 + (F.when(s1 >= lim, F.lit(0))
+                 .when((s1 + 1) * (s1 + 1) <= x, F.lit(1))
+                 .otherwise(F.lit(0)))
+
+
+def temperature_mix_weights(df: DataFrame, *, group_col: str = "lang",
+                            text_col: str = "text") -> DataFrame:
+    """Temperature-scaled multilingual sampling weights at alpha = 0.5 —
+    the mC4/XLM-R exponentiated-share mix (Conneau et al. 2020 §5.1;
+    Raffel et al. 2020 mC4) that upsamples low-resource groups:
+    w_g ∝ n_g^alpha. alpha = 0.5 is the square root, which has an EXACT
+    integer form (see _isqrt_col) — the one temperature where the mix
+    table is engine-exact ppm arithmetic rather than transcendental pow.
+
+    One map-side-combined aggregate over the corpus (group count is
+    tiny — languages, not documents), then a broadcastable totals join:
+    no shuffle beyond the group-by, no driver state; the shape is
+    volume-independent at 100 TB.
+
+    Returns (group, n_docs, n_tokens, raw_share_ppm, isqrt_tokens,
+    weight_ppm) where weight_ppm is the alpha=0.5 sampling weight and
+    raw_share_ppm the unscaled token share, both floor-ppm."""
+    n = F.size(tokens(F.col(text_col))).cast("long")
+    g = (df.select(F.col(group_col).alias("group"), n.alias("n"))
+         .groupBy("group")
+         .agg(F.count(F.lit(1)).alias("n_docs"),
+              F.sum("n").cast("long").alias("n_tokens")))
+    g = g.withColumn("isqrt_tokens", _isqrt_col(F.col("n_tokens")))
+    tot = g.agg(F.sum("n_tokens").alias("tot_tokens"),
+                F.sum("isqrt_tokens").alias("tot_isqrt"))
+    return (g.crossJoin(F.broadcast(tot))
+            .select("group", "n_docs", "n_tokens",
+                    F.expr("n_tokens * 1000000 div tot_tokens")
+                    .alias("raw_share_ppm"),
+                    "isqrt_tokens",
+                    F.expr("isqrt_tokens * 1000000 div tot_isqrt")
+                    .alias("weight_ppm")))
+
+
+def epoch_schedule(df: DataFrame, *, group_col: str = "source",
+                   text_col: str = "text",
+                   budget_multiplier_milli: int = 2000,
+                   epoch_cap_milli: int = 4000) -> DataFrame:
+    """Data-constrained epoch plan (Muennighoff et al. 2023, "Scaling
+    Data-Constrained Language Models"): given a total training budget of
+    ``budget_multiplier_milli``/1000 x the corpus's token count,
+    allocate it across sources by the alpha=0.5 temperature weights and
+    report how many EPOCHS of each source that implies — the planning
+    table that says which sources will be repeated past the ~4-epoch
+    point where repetition stops helping (the paper's R* knee), all in
+    exact integer milli/ppm arithmetic.
+
+    Same scale shape as temperature_mix_weights: one group-by plus a
+    broadcast totals join.
+
+    Returns (group, n_tokens, weight_ppm, alloc_tokens, epochs_milli,
+    over_cap)."""
+    w = temperature_mix_weights(df, group_col=group_col, text_col=text_col)
+    tot = w.agg(F.sum("n_tokens").alias("tot_tokens"))
+    return (w.crossJoin(F.broadcast(tot))
+            .withColumn("alloc_tokens",
+                        F.expr(f"tot_tokens * {int(budget_multiplier_milli)}"
+                               " div 1000 * weight_ppm div 1000000"))
+            .withColumn("epochs_milli",
+                        F.expr("alloc_tokens * 1000 div n_tokens"))
+            .withColumn("over_cap",
+                        (F.col("epochs_milli")
+                         > F.lit(int(epoch_cap_milli))).cast("boolean"))
+            .select("group", "n_tokens", "weight_ppm", "alloc_tokens",
+                    "epochs_milli", "over_cap"))
