@@ -341,3 +341,45 @@ def test_stateful_contract_run_carries_state_across_batches(spark):
             ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")).collect()}
     got = {r["key"]: r["n_max"] for r in per_key}
     assert got == want
+
+
+def test_stream_sessionize_gap_and_carry(spark, tmp_path):
+    """applyInPandasWithState sessionizer: a >gap event-time break closes
+    the session exactly once, open state carries across micro-batches,
+    and closed + final-open equals the batch sessionization."""
+    from vivace_graph_v3_spark.streaming.stateful import stream_sessionize
+
+    src = str(tmp_path / "src")
+    # user 7: events at t=1,2 (batch 1), then t=500 (batch 2) -> gap
+    # 498*1000ms > 300000 closes (1..2), opens (500). user 8: one event.
+    rows1 = [(1, 7, 1.0), (2, 7, 2.0), (3, 8, 5.0)]
+    rows2 = [(500, 7, 3.0)]
+    for i, rows in enumerate((rows1, rows2)):
+        (spark.createDataFrame(rows, "t long, user_id long, value double")
+         .coalesce(1).write.mode("append").parquet(src))
+
+    stream = (spark.readStream
+              .schema("t long, user_id long, value double")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_sessionize(stream, key_col="user_id", value_col="value",
+                            ts_col="t", gap_ms=300_000)
+    q = (out.writeStream.format("memory").queryName("sess_t")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = spark.table("sess_t").collect()
+    closed = [r for r in got if r["closed"]]
+    assert len(closed) == 1
+    c = closed[0]
+    assert (c["key"], c["session_start_ms"], c["session_end_ms"],
+            c["n_events"], c["total"]) == ("7", 1000, 2000, 2, 3.0)
+    # final open snapshot per key = greatest end-ms
+    finals = {}
+    for r in got:
+        if not r["closed"]:
+            cur = finals.get(r["key"])
+            if cur is None or r["session_end_ms"] > cur["session_end_ms"]:
+                finals[r["key"]] = r
+    assert finals["7"]["session_start_ms"] == 500000
+    assert finals["7"]["n_events"] == 1 and finals["7"]["total"] == 3.0
+    assert finals["8"]["n_events"] == 1 and finals["8"]["total"] == 5.0

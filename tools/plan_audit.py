@@ -113,6 +113,10 @@ AUDITED = [
     "krippendorff_labelers", "mvcc_compact_roundtrip",
     "mvcc_snapshot_replay", "not_in_list_goal", "unify_eq_goal",
     "call_functor_goal", "retrieval_rbo",
+    # round-7 batch-5
+    "temperature_mix_weights", "epoch_schedule_budget",
+    "dedup_minhash_est_error", "lsh_band_tuning",
+    "graph_stress_landmarks", "events_transition_entropy",
 ]
 
 

@@ -144,6 +144,7 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # scan x200 map-only into B-row aggregates; knn re-probed
           # after the Arrow seed-scan fix
           "stateful_running_totals", "stateful_anomalies",
+          "stateful_sessions",
           "geo_goal_rings", "dq_expectation_audit", "cv_fold_assignment",
           "neyman_allocation", "bootstrap_ci_mean",
           "knn_label_propagation",
@@ -169,7 +170,15 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # functor goals: one pruned scan + filter / one hash join
           "not_in_list_goal", "unify_eq_goal", "call_functor_goal",
           # RBO: tf grid aggregate + two depth-10 windows + grid join
-          "retrieval_rbo"]
+          "retrieval_rbo",
+          # batch-5: mix/epoch are one group-by + broadcast totals over
+          # 10x docs; the MinHash audits fan k md5 mins per doc and ride
+          # the inverted-index pair join (10x dup-group pairs); stress is
+          # two frontier passes over 10x edges; entropy is a lag window
+          # per user + |states|^2 cells
+          "temperature_mix_weights", "epoch_schedule_budget",
+          "dedup_minhash_est_error", "lsh_band_tuning",
+          "graph_stress_landmarks", "events_transition_entropy"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

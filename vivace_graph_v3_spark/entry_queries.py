@@ -10793,10 +10793,12 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
     import tempfile
 
     from vivace_graph_v3_spark.streaming.stateful import (
-        running_totals, streaming_anomalies)
+        running_totals, stream_sessionize, streaming_anomalies)
 
     mt = os.path.getmtime(f"{sf_dir}/events.parquet")
-    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}".encode()).hexdigest()[:12]
+    # :v2 — the sessions sink joined the run (batch-5); older cached dirs
+    # lack it and must not be reused
+    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}:v2".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"vgv3_stateful_{tag}")
     if os.path.isdir(path):
         return path
@@ -10876,10 +10878,21 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
             return (df.filter(~F.col("final")).groupBy("key")
                     .agg(F.max("n").alias("mn"))
                     .agg(F.sum("mn")).first()[0])
+        if name == "sessions":
+            # every event lands in exactly one closed session or the
+            # key's FINAL open snapshot (max end-ms per key)
+            closed = (df.filter(F.col("closed"))
+                      .agg(F.sum("n_events")).first()[0] or 0)
+            open_f = (df.filter(~F.col("closed")).groupBy("key")
+                      .agg(F.max(F.struct("session_end_ms", "n_events"))
+                           .alias("s"))
+                      .agg(F.sum("s.n_events")).first()[0] or 0)
+            return closed + open_f
         return df.count()
 
     for name, op in (("totals", running_totals),
-                     ("anomalies", streaming_anomalies)):
+                     ("anomalies", streaming_anomalies),
+                     ("sessions", stream_sessionize)):
         for attempt in range(3):
             try:
                 out_dir = drain_once(name, op, attempt)
@@ -12661,9 +12674,59 @@ GROUP BY from_s, n_transitions, n_targets
 """
 
 
+def q_stateful_sessions(spark, sf_dir):
+    """Contract face of the applyInPandasWithState streaming SESSIONIZER
+    (streaming/stateful.py:stream_sessionize): per-key sessions close on
+    a >300 s event-time gap, with open-session state carried across the
+    4 real micro-batches. Closed sessions emit exactly once at the
+    closing gap; the final open session per key is the open snapshot
+    with the greatest end-ms — their union is exactly the batch
+    lag/cumulative-break sessionization the oracle computes. Values are
+    integer cents, so per-session totals are cross-engine exact."""
+    base = _session_stateful_run(spark, sf_dir)
+    df = spark.read.parquet(f"{base}/sessions")
+    cols = ["key", "session_start_ms", "session_end_ms", "n_events",
+            "total"]
+    closed = df.filter(F.col("closed")).select(*cols)
+    open_f = (df.filter(~F.col("closed")).groupBy("key")
+              .agg(F.max(F.struct("session_end_ms", "session_start_ms",
+                                  "n_events", "total")).alias("s"))
+              .select("key", F.col("s.session_start_ms")
+                      .alias("session_start_ms"),
+                      F.col("s.session_end_ms").alias("session_end_ms"),
+                      F.col("s.n_events").alias("n_events"),
+                      F.col("s.total").alias("total")))
+    return closed.unionByName(open_f)
+
+
+SQL_STATEFUL_SESSIONS = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), s AS (
+  SELECT key, t, c,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR (t - lag(t) OVER w) * 1000 > 300000
+              THEN 1 ELSE 0 END AS brk
+  FROM e WINDOW w AS (PARTITION BY key ORDER BY t)
+), g AS (
+  SELECT key, t, c,
+         sum(brk) OVER (PARTITION BY key ORDER BY t) AS sess
+  FROM s
+)
+SELECT key, CAST(min(t) * 1000 AS BIGINT) AS session_start_ms,
+       CAST(max(t) * 1000 AS BIGINT) AS session_end_ms,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c) AS DOUBLE) AS total
+FROM g GROUP BY key, sess
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "stateful_sessions": (q_stateful_sessions, SQL_STATEFUL_SESSIONS),
     "events_transition_entropy": (q_events_transition_entropy,
                                   SQL_EVENTS_TRANSITION_ENTROPY),
     "graph_stress_landmarks": (q_graph_stress_landmarks,
@@ -13086,6 +13149,7 @@ _R7_FRONT = [
     "temperature_mix_weights", "epoch_schedule_budget",
     "dedup_minhash_est_error", "lsh_band_tuning",
     "graph_stress_landmarks", "events_transition_entropy",
+    "stateful_sessions",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram
@@ -13109,12 +13173,12 @@ _R7_FRONT = [
     "order_status_transitions", "revenue_pareto", "revenue_gini",
     "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
     "graph_degree_histogram", "brand_revenue_share",
-    "graph_pagerank_personalized",
 ]
 
 _R8_QUEUE = [
     # front-tail entries displaced by the round-7 new registrations
     # (never driver-sampled; first priority alongside the leftovers)
+    "graph_pagerank_personalized",
     "text_boilerplate", "stratified_sample", "embedding_quantize",
     "retrieval_rerank", "token_budget_mix", "cms_heavy_hitters",
     "retrieval_mmr",

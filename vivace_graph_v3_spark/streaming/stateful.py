@@ -168,3 +168,92 @@ def streaming_anomalies(events: DataFrame, *, key_col: str = "user_id",
             .applyInPandasWithState(_anomaly_update, ANOM_OUT_SCHEMA,
                                     ANOM_STATE_SCHEMA, "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# -- streaming sessionization --------------------------------------------------
+
+SESS_OUT_SCHEMA = ("key string, session_start_ms long, session_end_ms long, "
+                   "n_events long, total double, closed boolean")
+# total carries as an exact integer accumulator (decimal(38,0) state,
+# same contract as running_totals above): callers pass pre-quantized
+# integer units so the per-session sum matches a BIGINT relational
+# oracle at any scale.
+SESS_STATE_SCHEMA = ("start_ms long, last_ms long, n long, "
+                     "total decimal(38,0)")
+
+
+def stream_sessionize(events: DataFrame, *, key_col: str = "user_id",
+                      value_col: str = "value", ts_col: str = "event_time",
+                      gap_ms: int = 300_000) -> DataFrame:
+    """Custom stateful SESSIONIZATION over a stream: per-key sessions
+    close when the event-time gap to the next event exceeds ``gap_ms``,
+    with open-session state carried across micro-batches — the streaming
+    twin of the batch lag/cumulative-break sessionizer (events_sessions)
+    and the classic idle-timeout web-session semantics
+    (cf. F.session_window, whose merge logic this reimplements with
+    explicit user state so downstream logic can ride the open/closed
+    distinction).
+
+    Emits one row per CLOSED session the moment the closing gap is
+    observed (each closed session exactly once — deterministic under a
+    deterministic source order), plus a ``closed=False`` snapshot of the
+    key's open session at each micro-batch where the key saw events; the
+    final open session per key is the snapshot with the greatest
+    ``session_end_ms``, which makes closed ∪ final-open exactly the
+    batch sessionization — relational-oracle-checkable end to end.
+
+    Per-batch events fold in EVENT-time order (micro-batch row order is
+    partition/arrival dependent). Timeout eviction only frees state for
+    keys idle past 60 s of processing time; the open snapshot was
+    already emitted, so eviction never loses a session. All state
+    transfer is Arrow-batched pandas."""
+    from pyspark.sql import functions as F
+
+    gap = int(gap_ms)
+
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterable[pd.DataFrame]:
+        from decimal import Decimal
+
+        if state.hasTimedOut:  # pragma: no cover - eviction frees state
+            state.remove()
+            return
+        if state.exists:
+            start, last, n, tot = state.get
+            start, last, n, tot = int(start), int(last), int(n), int(tot)
+        else:
+            start = None
+            last = n = tot = 0
+        out: list[dict] = []
+        frames = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(frames, ignore_index=True)
+                     .sort_values("event_ms", kind="mergesort")]
+                    if frames else []):
+            for ms, v in zip(pdf["event_ms"], pdf["value"]):
+                ms, vi = int(ms), int(v)
+                if start is not None and ms - last > gap:
+                    out.append({"key": key[0], "session_start_ms": start,
+                                "session_end_ms": last, "n_events": n,
+                                "total": float(tot), "closed": True})
+                    start = None
+                if start is None:
+                    start, last, n, tot = ms, ms, 1, vi
+                else:
+                    last, n, tot = ms, n + 1, tot + vi
+        if start is not None:
+            state.update((start, last, n, Decimal(tot)))
+            state.setTimeoutDuration(60_000)
+            out.append({"key": key[0], "session_start_ms": start,
+                        "session_end_ms": last, "n_events": n,
+                        "total": float(tot), "closed": False})
+        if out:
+            yield pd.DataFrame(out)
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("double").alias("value"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("event_ms"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(_update, SESS_OUT_SCHEMA,
+                                    SESS_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
