@@ -103,3 +103,60 @@ def test_bloom_build_ignores_null_keys(spark):
     b1 = set(r.pos for r in bloom_build(with_nulls, "key").collect())
     b2 = set(r.pos for r in bloom_build(without, "key").collect())
     assert b1 == b2 and None not in b1
+
+
+class TestHLL:
+    def test_registers_match_pure_python(self, spark):
+        import hashlib
+
+        vals = [f"k{i}" for i in range(200)]
+        df = spark.createDataFrame([(v,) for v in vals], ["k"])
+        from vivace_graph_v3_spark.operators.sketches import hll_registers
+
+        got = {r["register"]: r["m_rho"]
+               for r in hll_registers(df, "k", m=64).collect()}
+
+        def md5h64(s: str) -> int:
+            h = hashlib.md5(s.encode()).hexdigest()
+            hi = int(h[:8], 16)
+            if hi >= 2**31:
+                hi -= 2**32
+            return hi * 2**32 + int(h[8:16], 16)
+
+        exp = {j: 0 for j in range(64)}
+        for v in vals:
+            hh = md5h64(v) % 2**62
+            j, w = hh % 64, hh // 64
+            rho = 40 if w == 0 else min((w & -w).bit_length(), 40)
+            exp[j] = max(exp[j], rho)
+        assert got == exp
+
+    def test_estimate_close_to_exact(self, spark):
+        df = spark.createDataFrame([(f"u{i % 500}",) for i in range(2000)],
+                                   ["k"])
+        from vivace_graph_v3_spark.operators.sketches import (
+            hll_estimate_audit)
+
+        r = hll_estimate_audit(df, "k").collect()[0]
+        assert r["n_exact"] == 500
+        # 64 registers -> stderr ~ 1.04/sqrt(64) = 13%; allow 4 sigma
+        assert abs(r["est"] - 500) < 0.52 * 500
+        assert r["m"] == 64 and r["s_scaled"] > 0
+
+
+class TestTWAP:
+    def test_hand_intervals(self, spark):
+        from vivace_graph_v3_spark.operators.rollup import (
+            time_weighted_average)
+
+        # value 1.00 in effect for 3 ns, 5.00 for 1 ns, last row dropped
+        rows = [("a", 0, 1, 1.0), ("a", 3, 2, 5.0), ("a", 4, 3, 9.0),
+                ("b", 0, 4, 2.0)]  # b: single obs -> no interval -> absent
+        df = spark.createDataFrame(
+            rows, "event_type string, ts long, event_id long, value double")
+        out = {r["group"]: r for r in time_weighted_average(df).collect()}
+        assert set(out) == {"a"}
+        a = out["a"]
+        assert a["n_intervals"] == 2 and a["span_ns"] == 4
+        # (100*3 + 500*1) * 1000 // 4 = 200000 millicents = $2.00
+        assert a["twap_millicents"] == 200000

@@ -12723,9 +12723,93 @@ FROM g GROUP BY key, sess
 """
 
 
+def q_hll_estimate_audit(spark, sf_dir):
+    """HyperLogLog trust audit (operators/sketches.hll_estimate_audit;
+    Flajolet et al. 2007): 64 md5-derived registers over the ordering
+    customers of the orders table, the exact-BIGINT harmonic denominator
+    S = sum 2^(K - M_j), and the raw HLL estimate next to the EXACT
+    distinct count — the oracle reproduces every register bit, turning
+    'trust the sketch bound' into a value-hash contract. Fixed-size
+    mergeable state (64 cells) at any corpus size."""
+    from vivace_graph_v3_spark.operators.sketches import hll_estimate_audit
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return hll_estimate_audit(o, "o_custkey")
+
+
+SQL_HLL_ESTIMATE_AUDIT = rf"""
+WITH h AS (
+  SELECT (({_md5_hash64_sql("CAST(o_custkey AS VARCHAR)")})
+          % 4611686018427387904 + 4611686018427387904)
+         % 4611686018427387904 AS hh
+  FROM orders
+), r AS (
+  SELECT hh % 64 AS register,
+         CASE WHEN hh // 64 = 0 THEN 40
+              ELSE least(CAST(round(log2((hh // 64) & -(hh // 64)))
+                         AS INTEGER) + 1, 40) END AS rho
+  FROM h
+), hits AS (
+  SELECT register, max(rho) AS m_rho FROM r GROUP BY register
+), regs AS (
+  SELECT t.register, coalesce(hits.m_rho, 0) AS m_rho
+  FROM (SELECT unnest(generate_series(0, 63)) AS register) t
+  LEFT JOIN hits USING (register)
+), k AS (SELECT max(m_rho) AS k_max FROM regs),
+s AS (
+  SELECT CAST(sum(CAST(pow(2.0, k_max - m_rho) AS BIGINT)) AS BIGINT)
+    AS s_scaled
+  FROM regs CROSS JOIN k
+), x AS (SELECT count(DISTINCT o_custkey) AS n_exact FROM orders)
+SELECT CAST(64 AS BIGINT) AS m, CAST(n_exact AS BIGINT) AS n_exact,
+       CAST((SELECT count(*) FROM regs WHERE m_rho = 0) AS BIGINT)
+         AS n_zero,
+       CAST(k_max AS BIGINT) AS k_max, s_scaled,
+       round(2904.064 * pow(2.0, CAST(k_max AS DOUBLE))
+             / CAST(s_scaled AS DOUBLE), 6) AS est
+FROM k CROSS JOIN s CROSS JOIN x
+"""
+
+
+def q_events_twap(spark, sf_dir):
+    """Time-weighted average value per event type
+    (operators/rollup.time_weighted_average): each observation weighted
+    by its in-effect duration to the next observation — the TWAP /
+    resample-then-average semantics a plain AVG gets wrong on bursty
+    event streams. value x duration products accumulate as exact
+    DECIMAL(38,0) (cents x nanoseconds), one integer division at the
+    end — engine-exact at any scale."""
+    from vivace_graph_v3_spark.operators.rollup import time_weighted_average
+
+    return time_weighted_average(_events(spark, sf_dir),
+                                 group_col="event_type", ts_col="ts",
+                                 id_col="event_id", value_col="value")
+
+
+SQL_EVENTS_TWAP = """
+WITH e AS (
+  SELECT event_type AS "group", epoch_ns(ts) AS t, event_id AS i,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+), d AS (
+  SELECT "group", t, c,
+         lead(t) OVER (PARTITION BY "group" ORDER BY t, i) AS t_next
+  FROM e
+)
+SELECT "group", CAST(count(*) AS BIGINT) AS n_intervals,
+       CAST(sum(t_next - t) AS BIGINT) AS span_ns,
+       CAST(sum((t_next - t) * c) * 1000 // sum(t_next - t) AS BIGINT)
+         AS twap_millicents
+FROM d WHERE t_next IS NOT NULL
+GROUP BY "group"
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "hll_estimate_audit": (q_hll_estimate_audit, SQL_HLL_ESTIMATE_AUDIT),
+    "events_twap": (q_events_twap, SQL_EVENTS_TWAP),
     "stateful_sessions": (q_stateful_sessions, SQL_STATEFUL_SESSIONS),
     "events_transition_entropy": (q_events_transition_entropy,
                                   SQL_EVENTS_TRANSITION_ENTROPY),
@@ -13149,7 +13233,7 @@ _R7_FRONT = [
     "temperature_mix_weights", "epoch_schedule_budget",
     "dedup_minhash_est_error", "lsh_band_tuning",
     "graph_stress_landmarks", "events_transition_entropy",
-    "stateful_sessions",
+    "stateful_sessions", "hll_estimate_audit", "events_twap",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

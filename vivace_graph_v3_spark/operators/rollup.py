@@ -188,3 +188,41 @@ def ohlc_resample(events: DataFrame, *, ts_col: str = "ts",
         F.col("high_cents").alias("high_cents"),
         F.col("low_cents").alias("low_cents"),
         F.col("last_s.v").alias("close_cents"))
+
+
+def time_weighted_average(df: DataFrame, *, group_col: str = "event_type",
+                          ts_col: str = "ts", id_col: str = "event_id",
+                          value_col: str = "value") -> DataFrame:
+    """Time-weighted average (TWAP): each observation's value is weighted
+    by the duration it was "in effect" — the interval to the NEXT
+    observation in the group — so irregular sampling doesn't bias the
+    mean toward burst periods (the standard financial TWAP / metrics
+    resample-then-average semantics, which a plain AVG silently gets
+    wrong on event streams).
+
+    One lead window per group ordered by (ts, id), then one map-side-
+    combined aggregate. The value*duration products accumulate as
+    DECIMAL(38,0) (cents x nanoseconds overflows BIGINT at ~1e4 rows),
+    and the final ratio is one exact integer division to milli-cents —
+    engine-exact at any scale. The last observation of a group carries
+    no duration (it is "in effect" until an unknown future).
+
+    Returns (group, n_intervals, span_ns, twap_millicents)."""
+    from pyspark.sql import Window
+
+    cents = F.floor(F.col(value_col) * 100 + 0.5).cast("long")
+    d = (df.select(F.col(group_col).alias("group"),
+                   F.col(ts_col).alias("t"), F.col(id_col).alias("i"),
+                   cents.alias("c"))
+         .withColumn("t_next", F.lead("t").over(
+             Window.partitionBy("group").orderBy("t", "i")))
+         .filter(F.col("t_next").isNotNull()))
+    return (d.groupBy("group")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_intervals"),
+                 F.sum(F.col("t_next") - F.col("t")).cast("long")
+                 .alias("span_ns"),
+                 F.sum(((F.col("t_next") - F.col("t")) * F.col("c"))
+                       .cast("decimal(38,0)")).alias("num"))
+            .select("group", "n_intervals", "span_ns",
+                    F.expr("cast(num * 1000 div span_ns as long)")
+                    .alias("twap_millicents")))

@@ -152,3 +152,66 @@ def bloom_fpr_audit(members: DataFrame, probes: DataFrame, col: str, *,
         F.lit(k).cast("long").alias("k"),
         "bits_set", "n_probes", "n_members", "n_false_pos", "n_false_neg",
         fpr.cast("long").alias("fpr_ppm"))
+
+
+def hll_registers(df: DataFrame, col: str, *, m: int = 64,
+                  rho_cap: int = 40) -> DataFrame:
+    """HyperLogLog register table (Flajolet et al. 2007) with
+    engine-reproducible hashing: register j = pmod(md5h(v), 2^62) % m,
+    rank rho = 1 + index of the lowest set bit of the remaining hash
+    bits (the lowest-set-bit isolate ``w & -w`` is an exact power of
+    two, so ``log2`` of it is IEEE-exact in any engine — no bit-scan
+    loop). rho caps at ``rho_cap`` so downstream 2^(K - M) sums stay in
+    BIGINT; the cap binds with probability 2^-rho_cap per item — never,
+    below ~2^35 distinct.
+
+    Fixed-size mergeable state: one groupBy into m cells (map-side
+    combined; merge = cell-wise max), KBs at any corpus size. Returns
+    all m rows (register, m_rho), zero for never-hit registers."""
+    spark = df.sparkSession
+    hh = F.pmod(md5_hash64(F.col(col).cast("string")),
+                F.lit(4611686018427387904))  # 2^62
+    hits = (df.select(hh.alias("hh"))
+            .select(F.expr(f"hh % {m}").alias("register"),
+                    F.expr(f"hh div {m}").alias("w"))
+            .select("register",
+                    F.when(F.col("w") == 0, F.lit(rho_cap))
+                    .otherwise(F.least(
+                        F.round(F.log2(F.expr("w & -w"))).cast("int") + 1,
+                        F.lit(rho_cap))).alias("rho"))
+            .groupBy("register").agg(F.max("rho").alias("m_rho")))
+    full = spark.range(m).select(F.col("id").cast("long").alias("register"))
+    return (full.join(hits, "register", "left")
+            .select("register",
+                    F.coalesce(F.col("m_rho"), F.lit(0)).cast("long")
+                    .alias("m_rho")))
+
+
+def hll_estimate_audit(df: DataFrame, col: str, *, m: int = 64,
+                       rho_cap: int = 40) -> DataFrame:
+    """HLL estimate vs EXACT distinct count, cross-engine exact: from
+    the register table above, K = max register rank, S = sum of
+    2^(K - M_j) over all m registers (exact BIGINT — this is the
+    harmonic-mean denominator scaled by 2^K), and the raw HLL estimate
+    alpha_m * m^2 * 2^K / S as one fixed-order double expression —
+    the "is approx_count_distinct trustworthy at this cardinality"
+    audit, where the oracle reproduces every register bit. Returns one
+    row (m, n_exact, n_zero, k_max, s_scaled, est)."""
+    regs = hll_registers(df, col, m=m, rho_cap=rho_cap)
+    alpha = {16: 0.673, 32: 0.697, 64: 0.709}.get(m, 0.7213 / (1 + 1.079 / m))
+    exact = df.select(F.countDistinct(F.col(col)).alias("n_exact"))
+    summary = (regs.agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum(F.when(F.col("m_rho") == 0, 1).otherwise(0)).cast("long")
+        .alias("n_zero"),
+        F.max("m_rho").cast("long").alias("k_max"))
+        .crossJoin(F.broadcast(
+            regs.select(F.col("m_rho"))
+            .crossJoin(regs.agg(F.max("m_rho").alias("k")))
+            .select(F.expr("cast(pow(2.0, k - m_rho) as long)").alias("t"))
+            .agg(F.sum("t").cast("long").alias("s_scaled")))))
+    est = (F.round(F.lit(alpha * m * m)
+                   * F.pow(F.lit(2.0), F.col("k_max").cast("double"))
+                   / F.col("s_scaled").cast("double"), 6).alias("est"))
+    return (summary.crossJoin(F.broadcast(exact))
+            .select("m", "n_exact", "n_zero", "k_max", "s_scaled", est))
