@@ -117,7 +117,7 @@ AUDITED = [
     "temperature_mix_weights", "epoch_schedule_budget",
     "dedup_minhash_est_error", "lsh_band_tuning",
     "graph_stress_landmarks", "events_transition_entropy",
-    "hll_estimate_audit", "events_twap",
+    "hll_estimate_audit", "events_twap", "text_kn_logprob",
 ]
 
 

@@ -12805,9 +12805,59 @@ GROUP BY "group"
 """
 
 
+def q_text_kn_logprob(spark, sf_dir):
+    """Kneser-Ney bigram negative log-prob per doc
+    (pipeline/text.kneser_ney_logprob; Kneser & Ney 1995) — the
+    distinct-continuation smoothing KenLM ships, trained on the corpus
+    itself: the LM quality filter one rung above the interpolated
+    bigram entry. D = 0.75 exact; one fixed parenthesization mirrored
+    by the oracle; decimal-accumulated per-doc means."""
+    from vivace_graph_v3_spark.pipeline.text import kneser_ney_logprob
+
+    return kneser_ney_logprob(_docs(spark, sf_dir))
+
+
+SQL_TEXT_KN_LOGPROB = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'), x -> x <> '')
+           AS toks
+  FROM documents
+), bg AS (
+  SELECT doc_id, unnest(list_transform(
+           generate_series(1, len(toks) - 1),
+           i -> struct_pack(w1 := toks[i], w2 := toks[i+1]))) AS p
+  FROM t WHERE len(toks) >= 2
+), pairs AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM bg
+), bc AS (
+  SELECT w1, w2, count(*) AS c12 FROM pairs GROUP BY w1, w2
+), ct AS (
+  SELECT w1, sum(c12) AS c1, count(*) AS nf FROM bc GROUP BY w1
+), nb AS (
+  SELECT w2, count(*) AS nb FROM bc GROUP BY w2
+), nt AS (
+  SELECT count(*) AS nt FROM bc
+)
+SELECT doc_id AS id, count(*) AS n_bigrams,
+       round(CAST(sum(CAST(-log2(
+           (bc.c12 - 0.75) / ct.c1
+           + ((0.75 * ct.nf) / ct.c1) * (nb.nb / nt.nt))
+         AS DECIMAL(38,12))) AS DOUBLE) / count(*), 6)
+         AS avg_neg_logp2_kn
+FROM pairs
+JOIN bc USING (w1, w2)
+JOIN ct USING (w1)
+JOIN nb USING (w2)
+CROSS JOIN nt
+GROUP BY doc_id
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "text_kn_logprob": (q_text_kn_logprob, SQL_TEXT_KN_LOGPROB),
     "hll_estimate_audit": (q_hll_estimate_audit, SQL_HLL_ESTIMATE_AUDIT),
     "events_twap": (q_events_twap, SQL_EVENTS_TWAP),
     "stateful_sessions": (q_stateful_sessions, SQL_STATEFUL_SESSIONS),
@@ -13234,6 +13284,7 @@ _R7_FRONT = [
     "dedup_minhash_est_error", "lsh_band_tuning",
     "graph_stress_landmarks", "events_transition_entropy",
     "stateful_sessions", "hll_estimate_audit", "events_twap",
+    "text_kn_logprob",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

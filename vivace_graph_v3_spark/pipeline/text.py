@@ -1720,3 +1720,56 @@ def epoch_schedule(df: DataFrame, *, group_col: str = "source",
                          > F.lit(int(epoch_cap_milli))).cast("boolean"))
             .select("group", "n_tokens", "weight_ppm", "alloc_tokens",
                     "epochs_milli", "over_cap"))
+
+
+def kneser_ney_logprob(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id",
+                       discount: float = 0.75) -> DataFrame:
+    """Corpus-self-trained KNESER-NEY bigram negative log-probability per
+    document (Kneser & Ney 1995; the smoothing KenLM actually ships, one
+    rung above bigram_logprob's simple interpolation):
+
+        p(w2|w1) = (c(w1 w2) - D)/c(w1 .)
+                   + (D * N1+(w1 .)/c(w1 .)) * N1+(. w2)/N1+(. .)
+
+    where N1+ are distinct-continuation counts — the fix for "San
+    Francisco" inflating p(Francisco | anything). D = 0.75 is an exact
+    binary fraction and the expression is written with one fixed
+    parenthesization mirrored by the oracle, so every double op is
+    identical cross-engine; per-doc means decimal-accumulate (the
+    bigram_logprob convention). Only observed bigrams are scored, where
+    c >= 1 > D keeps the discounted term positive.
+
+    Scale shape: identical to bigram_logprob — all count frames are
+    map-side-combined aggregates bounded by |vocab| / distinct observed
+    pairs; the continuation counts are two more distinct aggregates over
+    the same bigram frame. Returns (id, n_bigrams, avg_neg_logp2_kn)."""
+    toks = tokens(F.col(text_col))
+    base = (ensure_parallelism(df)
+            .select(F.col(id_col).alias("id"), toks.alias("x"))
+            .filter(F.size("x") >= 2))
+    bigrams = (base.select(
+        "id",
+        F.explode(F.zip_with(
+            F.slice(F.col("x"), 1, F.size("x") - 1),
+            F.slice(F.col("x"), 2, F.size("x") - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")))).alias("p"))
+        .select("id", "p.w1", "p.w2"))
+    big = (bigrams.groupBy("w1", "w2")
+           .agg(F.count(F.lit(1)).alias("c12")))
+    ctot = big.groupBy("w1").agg(F.sum("c12").alias("c1"),
+                                 F.count(F.lit(1)).alias("nf"))
+    nback = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    ntypes = big.agg(F.count(F.lit(1)).alias("nt"))
+    d = float(discount)
+    p = ((F.col("c12") - F.lit(d)) / F.col("c1")
+         + ((F.lit(d) * F.col("nf")) / F.col("c1"))
+         * (F.col("nb") / F.col("nt")))
+    scored = (bigrams.join(big, ["w1", "w2"]).join(ctot, "w1")
+              .join(nback, "w2").crossJoin(F.broadcast(ntypes))
+              .select("id", (-F.log2(p)).alias("nlp")))
+    return (scored.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round(F.sum(F.col("nlp").cast("decimal(38,12)"))
+                         .cast("double") / F.count(F.lit(1)), 6)
+                 .alias("avg_neg_logp2_kn")))
