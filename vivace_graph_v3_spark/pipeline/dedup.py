@@ -966,52 +966,90 @@ def lsh_band_tuning(df: DataFrame, *, text_col: str = "text",
     volume; the S-curve threshold is (1/b)^(1/r)).
 
     A pair is a config's candidate iff some band's r signature positions
-    all match. Band equality requires a shared min-shingle (64-bit md5
-    collisions aside), so candidates are counted exactly over the
-    inverted-index pair superset — the same measurement a production run
-    would make, without materializing per-band buckets 4 times. Returns
-    one row per config: (bands, rows_per_band, n_candidates,
-    n_true_total, n_caught, precision_ppm, recall_ppm)."""
-    pairs = _shingle_pair_candidates(df, text_col=text_col, id_col=id_col,
-                                     shingle=shingle)
-    pairs = pairs.withColumn(
-        "is_true", F.expr(f"inter * 1000000L div (sz_a + sz_b - inter)"
-                          f" >= {int(true_threshold_ppm)}"))
+    all match — counted by a per-band BUCKET self-join (the same join a
+    production LSH pass runs), so candidate generation is output-bounded,
+    never an all-pairs or pair-superset scan. The ground-truth pair set
+    comes from the exact SSJoin prefix filter (Chaudhuri 2006; the
+    containment_pairs machinery, symmetric form: J(A,B) >= t implies
+    |A∩B| >= t·|A|, so one of A's floor((1-t)|A|)+2 globally-rarest
+    shingles must hit B), verified with one array_intersect. Caught
+    counts evaluate the band predicate only on the (small) truth set.
+    Band equality implies a shared min-shingle (64-bit md5 collisions
+    aside), so the bucket-join candidates equal the superset-defined
+    candidate sets an oracle computes. Returns one row per config:
+    (bands, rows_per_band, n_candidates, n_true_total, n_caught,
+    precision_ppm, recall_ppm)."""
+    t = true_threshold_ppm / 1e6
+    sh = shingle_strings(F.col(text_col), n=shingle)
+    base = (df.select(F.col(id_col).alias("id"), sh.alias("sh"))
+            .filter(F.size("sh") > 0)
+            .withColumn("sz", F.size("sh")).persist())
     sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
-                                  num_hashes=num_hashes, shingle=shingle)
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
-    j = pairs.join(sa, "id_a").join(sb, "id_b")
-    cand_cols = []
-    for b in bands_options:
-        r = num_hashes // b
-        cand_cols.append(F.expr(
-            f"exists(sequence(0, {b - 1}), j -> "
-            f"slice(sig_a, j * {r} + 1, {r}) = slice(sig_b, j * {r} + 1, {r}))"
-        ).alias(f"cand_b{b}"))
-    j = j.select("is_true", *cand_cols)
-    aggs = [F.sum(F.when(F.col("is_true"), 1).otherwise(0)).alias("n_true")]
-    for b in bands_options:
-        aggs.append(F.sum(F.when(F.col(f"cand_b{b}"), 1).otherwise(0))
-                    .alias(f"n_cand_b{b}"))
-        aggs.append(F.sum(F.when(F.col(f"cand_b{b}") & F.col("is_true"), 1)
-                          .otherwise(0)).alias(f"n_caught_b{b}"))
-    tot = j.agg(*aggs)
-    stack = ", ".join(
-        f"{b}, {num_hashes // b}, n_cand_b{b}, n_caught_b{b}"
-        for b in bands_options)
-    return (tot.selectExpr(
-        "n_true",
-        f"stack({len(bands_options)}, {stack})"
-        " as (bands, rows_per_band, n_candidates, n_caught)")
-        .select(F.col("bands").cast("long").alias("bands"),
-                F.col("rows_per_band").cast("long").alias("rows_per_band"),
-                F.col("n_candidates").cast("long").alias("n_candidates"),
-                F.col("n_true").cast("long").alias("n_true_total"),
-                F.col("n_caught").cast("long").alias("n_caught"),
-                F.expr("CASE WHEN n_candidates > 0 THEN"
-                       " n_caught * 1000000L div n_candidates END")
-                .alias("precision_ppm"),
-                F.expr("CASE WHEN n_true > 0 THEN"
-                       " n_caught * 1000000L div n_true END")
-                .alias("recall_ppm")))
+                                  num_hashes=num_hashes, shingle=shingle) \
+        .persist()
+    try:
+        # ground truth: symmetric prefix-filtered exact-Jaccard pairs
+        inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
+        dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+        w = Window.partitionBy("id").orderBy(F.col("df").asc(),
+                                             F.col("shingle").asc())
+        prefix = (inv.join(dfreq, "shingle")
+                  .withColumn("__pos", F.row_number().over(w))
+                  .filter(F.col("__pos") <=
+                          F.floor((1.0 - t) * F.col("sz")) + 2)
+                  .select("id", "shingle"))
+        a, b = prefix.alias("a"), inv.alias("b")
+        tc = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
+                     & (F.col("a.id") != F.col("b.id")))
+              .select(F.least("a.id", "b.id").alias("id_a"),
+                      F.greatest("a.id", "b.id").alias("id_b"))
+              .dropDuplicates())
+        truth = (tc
+                 .join(base.select(F.col("id").alias("id_a"),
+                                   F.col("sh").alias("sh_a"),
+                                   F.col("sz").alias("sz_a")), "id_a")
+                 .join(base.select(F.col("id").alias("id_b"),
+                                   F.col("sh").alias("sh_b"),
+                                   F.col("sz").alias("sz_b")), "id_b")
+                 .withColumn("inter",
+                             F.size(F.array_intersect("sh_a", "sh_b")))
+                 .filter(F.expr(
+                     f"inter * 1000000L div (sz_a + sz_b - inter)"
+                     f" >= {int(true_threshold_ppm)}"))
+                 .select("id_a", "id_b")
+                 .localCheckpoint(eager=True))
+        n_true = truth.count()
+        sa = sigs.select(F.col("id").alias("id_a"),
+                         F.col("sig").alias("sig_a"))
+        sb = sigs.select(F.col("id").alias("id_b"),
+                         F.col("sig").alias("sig_b"))
+        tj = truth.join(sa, "id_a").join(sb, "id_b")
+        rows = []
+        for cfg_b in bands_options:
+            r = num_hashes // cfg_b
+            # candidates: bucket self-join per band on the slice content
+            bands = sigs.select("id", F.explode(F.array(*[
+                F.struct(F.lit(j).alias("j"),
+                         F.slice("sig", j * r + 1, r).alias("bs"))
+                for j in range(cfg_b)])).alias("band"))
+            x, y = bands.alias("x"), bands.alias("y")
+            n_cand = (x.join(y, (F.col("x.band.j") == F.col("y.band.j"))
+                             & (F.col("x.band.bs") == F.col("y.band.bs"))
+                             & (F.col("x.id") < F.col("y.id")))
+                      .select(F.col("x.id"), F.col("y.id"))
+                      .dropDuplicates().count())
+            n_caught = tj.filter(F.expr(
+                f"exists(sequence(0, {cfg_b - 1}), j -> "
+                f"slice(sig_a, j * {r} + 1, {r})"
+                f" = slice(sig_b, j * {r} + 1, {r}))")).count()
+            rows.append((cfg_b, r, n_cand, n_true, n_caught,
+                         n_caught * 1000000 // n_cand if n_cand else None,
+                         n_caught * 1000000 // n_true if n_true else None))
+        spark = df.sparkSession
+        return spark.createDataFrame(
+            rows, "bands long, rows_per_band long, n_candidates long, "
+                  "n_true_total long, n_caught long, precision_ppm long, "
+                  "recall_ppm long")
+    finally:
+        base.unpersist()
+        sigs.unpersist()
