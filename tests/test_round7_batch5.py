@@ -238,3 +238,57 @@ class TestKneserNey:
         # doc 3's "y sf" bigram is unseen-context-heavy: its surprise
         # should exceed doc 1's templated repetition
         assert out[3] > out[1]
+
+
+class TestViterbiSegmentation:
+    def test_dp_picks_cheaper_split(self, spark):
+        from vivace_graph_v3_spark.pipeline.tokenizer import (
+            viterbi_segment_stats, viterbi_vocab)
+
+        docs = [(1, "the cat the hat", "en"), (2, "thethethe", "en"),
+                (3, "ab", "de")]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        vocab = {r["piece"]: r["cost_milli"]
+                 for r in viterbi_vocab(df).collect()}
+        out = {r["group"]: r for r in viterbi_segment_stats(df).collect()}
+        # 'ab' as one bigram piece must beat 'a'+'b' iff its cost is lower
+        assert vocab["ab"] <= vocab["a"] + vocab["b"]
+        de = out["de"]
+        assert de["n_tokens"] == 1 and de["total_pieces"] == 1
+        assert de["total_cost_milli"] == vocab["ab"]
+
+    def test_matches_pure_python_dp(self, spark):
+        from vivace_graph_v3_spark.pipeline.tokenizer import (
+            viterbi_segment_stats, viterbi_vocab)
+
+        docs = [(1, "banana bandana cabana", "en"),
+                (2, "nab ban anna", "en")]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        vocab = {r["piece"]: r["cost_milli"]
+                 for r in viterbi_vocab(df).collect()}
+
+        def seg(w):
+            best = [(0, 0)] + [(None, None)] * len(w)
+            for i in range(1, len(w) + 1):
+                cands = []
+                p1 = w[i - 1]
+                if p1 in vocab and best[i - 1][0] is not None:
+                    cands.append((best[i - 1][0] + vocab[p1],
+                                  best[i - 1][1] + 1))
+                if i >= 2:
+                    p2 = w[i - 2:i]
+                    if p2 in vocab and best[i - 2][0] is not None:
+                        cands.append((best[i - 2][0] + vocab[p2],
+                                      best[i - 2][1] + 1))
+                best[i] = min(cands)
+            return best[len(w)]
+
+        words = {}
+        for _d, text in [(d, t) for d, t, _l in docs]:
+            for w in text.split():
+                words[w] = words.get(w, 0) + 1
+        exp_cost = sum(c * seg(w)[0] for w, c in words.items())
+        exp_np = sum(c * seg(w)[1] for w, c in words.items())
+        r = viterbi_segment_stats(df).collect()[0]
+        assert r["total_cost_milli"] == exp_cost
+        assert r["total_pieces"] == exp_np

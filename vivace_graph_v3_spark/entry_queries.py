@@ -12854,9 +12854,110 @@ GROUP BY doc_id
 """
 
 
+def q_viterbi_segmentation(spark, sf_dir):
+    """SentencePiece-style Viterbi segmentation as pure relational
+    iteration (pipeline/tokenizer.viterbi_segment_stats; Kudo 2018
+    unigram-LM inference): per distinct word, the min-cost split into a
+    deterministic char + top-200-bigram vocabulary with exact integer
+    inverse-frequency costs, run as 16 rounds of broadcast-vocab join +
+    per-word min-struct — no Python, no UDF, corpus scanned once.
+    Oracle: the same DP unrolled 16 levels with row_number arg-min."""
+    from vivace_graph_v3_spark.pipeline.tokenizer import (
+        viterbi_segment_stats)
+
+    return viterbi_segment_stats(_docs(spark, sf_dir), group_col="lang")
+
+
+def _viterbi_oracle_sql(max_word_len: int = 16,
+                        top_bigrams: int = 200) -> str:
+    parts = [f"""
+WITH wf AS MATERIALIZED (
+  SELECT w, count(*) AS f FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents)
+  WHERE length(w) <= {max_word_len} GROUP BY w
+),
+ch AS MATERIALIZED (
+  SELECT piece, sum(f) AS occ FROM (
+    SELECT f, unnest(list_transform(generate_series(1, length(w)),
+                                    i -> substr(w, i, 1))) AS piece
+    FROM wf) GROUP BY piece
+),
+tot AS (SELECT sum(occ) AS total FROM ch),
+bg AS MATERIALIZED (
+  SELECT piece, occ FROM (
+    SELECT piece, occ,
+           row_number() OVER (ORDER BY occ DESC, piece) AS rn
+    FROM (
+      SELECT piece, sum(f) AS occ FROM (
+        SELECT f, unnest(list_transform(generate_series(1, length(w) - 1),
+                                        i -> substr(w, i, 2))) AS piece
+        FROM wf WHERE length(w) >= 2) GROUP BY piece))
+  WHERE rn <= {top_bigrams}
+),
+v1 AS MATERIALIZED (
+  SELECT piece, total * 1000 // occ AS cost FROM ch CROSS JOIN tot
+),
+v2 AS MATERIALIZED (
+  SELECT piece, total * 1000 // occ AS cost FROM bg CROSS JOIN tot
+),
+words AS MATERIALIZED (
+  SELECT w, length(w) AS wl FROM wf
+),
+b0 AS MATERIALIZED (
+  SELECT w, wl, CAST(0 AS BIGINT) AS cost, CAST(0 AS BIGINT) AS np
+  FROM words
+)"""]
+    for i in range(1, max_word_len + 1):
+        two = f"""
+    UNION ALL
+    SELECT a.w, a.wl, b.cost + v2.cost AS cost, b.np + 1 AS np
+    FROM words a
+    JOIN b{i - 2} b ON b.w = a.w
+    JOIN v2 ON v2.piece = substr(a.w, {i - 1}, 2)
+    WHERE a.wl >= {i}""" if i >= 2 else ""
+        parts.append(f"""
+b{i} AS MATERIALIZED (
+  SELECT w, wl, cost, np FROM (
+    SELECT w, wl, cost, np,
+           row_number() OVER (PARTITION BY w ORDER BY cost, np) AS rn
+    FROM (
+    SELECT a.w, a.wl, b.cost + v1.cost AS cost, b.np + 1 AS np
+    FROM words a
+    JOIN b{i - 1} b ON b.w = a.w
+    JOIN v1 ON v1.piece = substr(a.w, {i}, 1)
+    WHERE a.wl >= {i}{two}
+    )) WHERE rn = 1
+)""")
+    fin_union = " UNION ALL ".join(
+        f"SELECT w, cost, np FROM b{i} WHERE wl = {i}"
+        for i in range(1, max_word_len + 1))
+    return (",".join(parts) + f""",
+fin AS ({fin_union}),
+lw AS (
+  SELECT lang AS "group", w, count(*) AS c FROM (
+    SELECT lang, unnest(regexp_extract_all(lower(text), '[a-z]+')) AS w
+    FROM documents)
+  WHERE length(w) <= {max_word_len} GROUP BY 1, 2
+)
+SELECT "group", CAST(sum(c) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_distinct_words,
+       CAST(sum(c * np) AS BIGINT) AS total_pieces,
+       CAST(sum(c * cost) AS BIGINT) AS total_cost_milli,
+       CAST(sum(c * np) * 1000 // sum(c) AS BIGINT)
+         AS pieces_per_token_milli
+FROM lw JOIN fin USING (w) GROUP BY 1
+""")
+
+
+SQL_VITERBI_SEGMENTATION = _viterbi_oracle_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "viterbi_segmentation": (q_viterbi_segmentation,
+                             SQL_VITERBI_SEGMENTATION),
     "text_kn_logprob": (q_text_kn_logprob, SQL_TEXT_KN_LOGPROB),
     "hll_estimate_audit": (q_hll_estimate_audit, SQL_HLL_ESTIMATE_AUDIT),
     "events_twap": (q_events_twap, SQL_EVENTS_TWAP),
@@ -13284,7 +13385,7 @@ _R7_FRONT = [
     "dedup_minhash_est_error", "lsh_band_tuning",
     "graph_stress_landmarks", "events_transition_entropy",
     "stateful_sessions", "hll_estimate_audit", "events_twap",
-    "text_kn_logprob",
+    "text_kn_logprob", "viterbi_segmentation",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

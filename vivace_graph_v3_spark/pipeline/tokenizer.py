@@ -155,3 +155,131 @@ def bpe_compression(df: DataFrame, *, n_merges: int = 3,
         F.lit(len(merges)).cast("long").alias("n_merges"),
         "n_word_types", "n_word_occurrences", "chars_total",
         "tokens_after", saved.cast("long").alias("saved_ppm"))
+
+
+def viterbi_vocab(df: DataFrame, *, text_col: str = "text",
+                  max_word_len: int = 16,
+                  top_bigrams: int = 200) -> DataFrame:
+    """Deterministic unigram-LM piece vocabulary for Viterbi segmentation:
+    every single character seen in the (length-capped) word vocabulary,
+    plus the ``top_bigrams`` most frequent character bigrams (freq desc,
+    pair asc — a total order, so the cut is deterministic). Piece cost is
+    the integer inverse-frequency milli unit
+    cost(p) = total_char_occurrences * 1000 div occ(p) — monotone in
+    frequency and exact in any engine, standing in for -log p in the
+    unigram objective (same argmin family, no transcendental ops).
+
+    All frames are vocabulary-bounded (chars + top bigrams), weighted by
+    word frequency so the corpus is scanned exactly once
+    (word_frequencies' shuffle). Returns (piece, plen, cost_milli)."""
+    wf = (word_frequencies(df, text_col=text_col)
+          .filter(F.length("w") <= max_word_len).persist())
+    chars = (wf.select("f", F.explode(F.expr(
+        "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+        .alias("piece"))
+        .groupBy("piece").agg(F.sum("f").alias("occ")))
+    total = chars.agg(F.sum("occ").alias("total"))
+    bigr = (wf.filter(F.length("w") >= 2)
+            .select("f", F.explode(F.expr(
+                "transform(sequence(1, length(w) - 1), "
+                "          i -> substring(w, i, 2))")).alias("piece"))
+            .groupBy("piece").agg(F.sum("f").alias("occ"))
+            .orderBy(F.desc("occ"), "piece").limit(int(top_bigrams)))
+    out = (chars.select("piece", "occ")
+           .unionByName(bigr.select("piece", "occ"))
+           .crossJoin(F.broadcast(total))
+           .select("piece", F.length("piece").alias("plen"),
+                   F.expr("total * 1000 div occ").alias("cost_milli")))
+    wf.unpersist()
+    return out
+
+
+def viterbi_segment_stats(df: DataFrame, *, text_col: str = "text",
+                          group_col: str = "lang",
+                          max_word_len: int = 16,
+                          top_bigrams: int = 200) -> DataFrame:
+    """SentencePiece-style Viterbi segmentation (Kudo 2018 unigram LM
+    inference) as PURE relational iteration — no Python in the loop, no
+    UDF: per distinct word, the minimum-cost split into vocabulary
+    pieces via the classic DP
+    best(i) = min over pieces p ending at i of best(i - |p|) + cost(p),
+    run as ``max_word_len`` rounds of (broadcast vocab join + per-word
+    min-struct aggregate) over the DISTINCT word vocabulary — after
+    word_frequencies' one corpus shuffle, every frame is
+    vocabulary-bounded, which is what makes a tokenizer pass feasible at
+    100 TB (the corpus is never re-scanned per round). Ties on cost
+    break by fewest pieces via lexicographic struct min; single
+    characters guarantee every word is segmentable.
+
+    Returns per ``group_col``: n_tokens (token occurrences of capped
+    words), n_distinct_words, total pieces and cost weighted by token
+    frequency, and pieces_per_token_milli — the fertility metric a
+    tokenizer ablation reads. Exact integers end to end."""
+    vocab = viterbi_vocab(df, text_col=text_col,
+                          max_word_len=max_word_len,
+                          top_bigrams=top_bigrams).persist()
+    v1 = (vocab.filter(F.col("plen") == 1)
+          .select(F.col("piece"), F.col("cost_milli")))
+    v2 = (vocab.filter(F.col("plen") == 2)
+          .select(F.col("piece"), F.col("cost_milli")))
+    words = (word_frequencies(df, text_col=text_col)
+             .filter(F.length("w") <= max_word_len)
+             .select("w", F.length("w").alias("wl"))
+             .localCheckpoint(eager=True))
+    best_prev2 = None   # best at i-2
+    best_prev = (words.select("w", "wl", F.lit(0).cast("long").alias("cost"),
+                              F.lit(0).cast("long").alias("np"))
+                 .localCheckpoint(eager=True))
+    finished = []
+    for i in range(1, max_word_len + 1):
+        active = words.filter(F.col("wl") >= i)
+        c1 = (active.join(best_prev.select("w", "cost", "np"), "w")
+              .select("w", "wl",
+                      F.substring("w", i, 1).alias("piece"), "cost", "np")
+              .join(F.broadcast(v1), "piece")
+              .select("w", "wl",
+                      (F.col("cost") + F.col("cost_milli")).alias("cost"),
+                      (F.col("np") + 1).alias("np")))
+        cands = c1
+        if i >= 2 and best_prev2 is not None:
+            c2 = (active.join(best_prev2.select("w", "cost", "np"), "w")
+                  .select("w", "wl",
+                          F.substring("w", i - 1, 2).alias("piece"),
+                          "cost", "np")
+                  .join(F.broadcast(v2), "piece")
+                  .select("w", "wl",
+                          (F.col("cost") + F.col("cost_milli"))
+                          .alias("cost"),
+                          (F.col("np") + 1).alias("np")))
+            cands = cands.unionByName(c2)
+        best_i = (cands.groupBy("w", "wl")
+                  .agg(F.min(F.struct("cost", "np")).alias("b"))
+                  .select("w", "wl", F.col("b.cost").alias("cost"),
+                          F.col("b.np").alias("np"))
+                  .localCheckpoint(eager=True))
+        finished.append(best_i.filter(F.col("wl") == i)
+                        .select("w", "cost", "np"))
+        best_prev2, best_prev = best_prev, best_i
+    final = finished[0]
+    for f in finished[1:]:
+        final = final.unionByName(f)
+    # per-group token counts of capped words
+    lw = (ensure_parallelism(df)
+          .select(F.col(group_col).alias("group"),
+                  F.explode(F.regexp_extract_all(
+                      F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)))
+                  .alias("w"))
+          .filter(F.length("w") <= max_word_len)
+          .groupBy("group", "w").agg(F.count(F.lit(1)).alias("c")))
+    out = (lw.join(final, "w")
+           .groupBy("group")
+           .agg(F.sum("c").cast("long").alias("n_tokens"),
+                F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+                F.sum(F.col("c") * F.col("np")).cast("long")
+                .alias("total_pieces"),
+                F.sum(F.col("c") * F.col("cost")).cast("long")
+                .alias("total_cost_milli"))
+           .withColumn("pieces_per_token_milli",
+                       F.expr("total_pieces * 1000 div n_tokens")))
+    vocab.unpersist()
+    return out
