@@ -292,3 +292,39 @@ class TestViterbiSegmentation:
         r = viterbi_segment_stats(df).collect()[0]
         assert r["total_cost_milli"] == exp_cost
         assert r["total_pieces"] == exp_np
+
+
+class TestQLDirichlet:
+    def test_matches_pure_python(self, spark):
+        import math
+        from collections import Counter
+
+        from vivace_graph_v3_spark.pipeline.text import ql_dirichlet_topk
+
+        docs = [(1, "spark runs fast spark wins"),
+                (2, "window merge window"),
+                (3, "nothing relevant here"),
+                (4, "spark merge window spark")]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        q = ["spark", "merge", "window"]
+        got = {r["id"]: r for r in ql_dirichlet_topk(df, q, k=10).collect()}
+
+        all_toks = [w for _i, t in docs for w in t.split()]
+        n = len(all_toks)
+        cf = Counter(w for w in all_toks if w in q)
+        exp = {}
+        for did, t in docs:
+            ws = t.split()
+            tfs = Counter(w for w in ws if w in q)
+            if not tfs:
+                continue  # not a candidate
+            s = sum(math.log2((tfs.get(w, 0) + 2000.0 * (cf[w] / n))
+                              / (len(ws) + 2000.0)) for w in q if cf[w])
+            exp[did] = round(s, 6)
+        assert set(got) == set(exp)
+        for did, s in exp.items():
+            assert abs(got[did]["score"] - s) < 1e-6
+        # ranks follow the exact scores (desc, id tiebreak)
+        order = sorted(exp, key=lambda d: (-exp[d], d))
+        for r, did in enumerate(order, start=1):
+            assert got[did]["rank"] == r

@@ -118,7 +118,7 @@ AUDITED = [
     "dedup_minhash_est_error", "lsh_band_tuning",
     "graph_stress_landmarks", "events_transition_entropy",
     "hll_estimate_audit", "events_twap", "text_kn_logprob",
-    "viterbi_segmentation",
+    "viterbi_segmentation", "retrieval_ql_dirichlet",
 ]
 
 

@@ -12953,9 +12953,66 @@ FROM lw JOIN fin USING (w) GROUP BY 1
 SQL_VITERBI_SEGMENTATION = _viterbi_oracle_sql()
 
 
+def q_retrieval_ql_dirichlet(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing
+    (pipeline/text.ql_dirichlet_topk; Zhai & Lafferty 2001): top-20 docs
+    for the same 3-term query as the BM25 entry, ranked by the
+    6-decimal LM score — the language-modeling ranker next to BM25's
+    probabilistic one, with unmatched-term smoothing folded in by a
+    |q|-way candidate expansion."""
+    from vivace_graph_v3_spark.pipeline.text import ql_dirichlet_topk
+
+    return ql_dirichlet_topk(_docs(spark, sf_dir),
+                             ["spark", "merge", "window"], k=20)
+
+
+SQL_RETRIEVAL_QL_DIRICHLET = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), dl AS (
+  SELECT id, count(*) AS dl FROM w GROUP BY id
+), n_tot AS (
+  SELECT count(*) AS n FROM w
+), cf AS (
+  SELECT w, count(*) AS cf FROM w
+  WHERE w IN ('spark', 'merge', 'window') GROUP BY w
+), tf AS (
+  SELECT id, w, count(*) AS tf FROM w
+  WHERE w IN ('spark', 'merge', 'window') GROUP BY id, w
+), cand AS (
+  SELECT DISTINCT id FROM tf
+), qt AS (
+  SELECT cand.id, q.w FROM cand
+  CROSS JOIN (SELECT unnest(['spark', 'merge', 'window']) AS w) q
+), scored AS (
+  SELECT qt.id,
+         round(CAST(sum(CAST(log2(
+             (coalesce(tf.tf, 0) + 2000.0 * (cf.cf / n_tot.n))
+             / (dl.dl + 2000.0)) AS DECIMAL(38,12))) AS DOUBLE), 6)
+           AS score
+  FROM qt
+  LEFT JOIN tf ON tf.id = qt.id AND tf.w = qt.w
+  JOIN cf ON cf.w = qt.w
+  JOIN dl ON dl.id = qt.id
+  CROSS JOIN n_tot
+  GROUP BY qt.id
+)
+SELECT id, score, rank FROM (
+  SELECT id, score,
+         row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM scored)
+WHERE rank <= 20
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "retrieval_ql_dirichlet": (q_retrieval_ql_dirichlet,
+                               SQL_RETRIEVAL_QL_DIRICHLET),
     "viterbi_segmentation": (q_viterbi_segmentation,
                              SQL_VITERBI_SEGMENTATION),
     "text_kn_logprob": (q_text_kn_logprob, SQL_TEXT_KN_LOGPROB),
@@ -13386,6 +13443,7 @@ _R7_FRONT = [
     "graph_stress_landmarks", "events_transition_entropy",
     "stateful_sessions", "hll_estimate_audit", "events_twap",
     "text_kn_logprob", "viterbi_segmentation",
+    "retrieval_ql_dirichlet",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

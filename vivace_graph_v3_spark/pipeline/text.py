@@ -1773,3 +1773,51 @@ def kneser_ney_logprob(df: DataFrame, *, text_col: str = "text",
                  F.round(F.sum(F.col("nlp").cast("decimal(38,12)"))
                          .cast("double") / F.count(F.lit(1)), 6)
                  .alias("avg_neg_logp2_kn")))
+
+
+def ql_dirichlet_topk(df: DataFrame, query_terms: list[str], k: int = 20, *,
+                      mu: float = 2000.0, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Ponte &
+    Croft 1998; Zhai & Lafferty 2001) — the language-modeling ranker next
+    to bm25_topk's probabilistic one:
+
+        score(q, d) = sum_w log2((tf(w,d) + mu * cf(w)/N) / (dl(d) + mu))
+
+    Candidates are documents matching >= 1 query term (the inverted-index
+    slice, as in BM25); the smoothing contribution of their UNMATCHED
+    query terms is folded in by a |q|-way candidate x term expansion with
+    tf = 0 — required for correct ranking, cheap because |q| is a small
+    literal. Scores decimal-accumulate per doc and round to 6 dp with doc
+    id tiebreak; every double op uses one fixed parenthesization mirrored
+    by the oracle. Count frames are vocab-/doc-bounded aggregates; top-k
+    is TakeOrdered."""
+    toks = tokens(F.col(text_col))
+    w = (ensure_parallelism(df)
+         .select(F.col(id_col).alias("id"), F.explode(toks).alias("w")))
+    dl = w.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    n_tot = w.agg(F.count(F.lit(1)).alias("n"))
+    terms = [str(t) for t in query_terms]
+    cf = (w.filter(F.col("w").isin(terms))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("cf")))
+    tf = (w.filter(F.col("w").isin(terms))
+          .groupBy("id", "w").agg(F.count(F.lit(1)).alias("tf")))
+    cand = tf.select("id").distinct()
+    qt = cand.crossJoin(
+        F.broadcast(cf.sparkSession.createDataFrame(
+            [(t,) for t in terms], "w string")))
+    mu = float(mu)
+    term = (F.log2((F.coalesce(F.col("tf"), F.lit(0))
+                    + F.lit(mu) * (F.col("cf") / F.col("n")))
+                   / (F.col("dl") + F.lit(mu)))
+            .cast("decimal(38,12)"))
+    scored = (qt.join(tf, ["id", "w"], "left")
+              .join(cf, "w")
+              .join(dl, "id")
+              .crossJoin(F.broadcast(n_tot))
+              .groupBy("id")
+              .agg(F.round(F.sum(term).cast("double"), 6).alias("score")))
+    rk = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (scored.withColumn("rank", F.row_number().over(rk))
+            .filter(F.col("rank") <= int(k))
+            .select("id", "score", F.col("rank").cast("long").alias("rank")))
