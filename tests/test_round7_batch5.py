@@ -328,3 +328,30 @@ class TestQLDirichlet:
         order = sorted(exp, key=lambda d: (-exp[d], d))
         for r, did in enumerate(order, start=1):
             assert got[did]["rank"] == r
+
+
+class TestNegativeSampling:
+    def test_exact_three_quarter_power(self, spark):
+        import math
+
+        from vivace_graph_v3_spark.pipeline.text import (
+            negative_sampling_distribution)
+
+        docs = [(1, " ".join(["a"] * 16 + ["b"] * 81 + ["c"] * 2))]
+        df = spark.createDataFrame(docs, ["doc_id", "text"])
+        out = {r["w"]: r for r in
+               negative_sampling_distribution(df, top_k=10).collect()}
+        # f^(3/4) exactly: 16 -> 8, 81 -> 27, 2 -> floor(2^0.75) = 1
+        assert out["a"]["f_pow75"] == 8
+        assert out["b"]["f_pow75"] == 27
+        assert out["c"]["f_pow75"] == 1
+        tot = 8 + 27 + 1
+        for w in ("a", "b", "c"):
+            assert out[w]["weight_ppm"] == out[w]["f_pow75"] * 1000000 // tot
+        # the 3/4 power flattens the head: b's weight share is below its
+        # raw frequency share
+        assert out["b"]["weight_ppm"] < 81 * 1000000 // (16 + 81 + 2)
+        # nested isqrt = exact integer 4th root on arbitrary f
+        for f in (1, 2, 3, 15, 16, 17, 80, 81, 82, 624, 625, 626):
+            k = math.isqrt(math.isqrt(f * f * f))
+            assert k ** 4 <= f ** 3 < (k + 1) ** 4

@@ -180,7 +180,8 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "dedup_minhash_est_error", "lsh_band_tuning",
           "graph_stress_landmarks", "events_transition_entropy",
           "hll_estimate_audit", "events_twap", "text_kn_logprob",
-          "viterbi_segmentation", "retrieval_ql_dirichlet"]
+          "viterbi_segmentation", "retrieval_ql_dirichlet",
+          "negative_sampling_dist"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -13008,9 +13008,45 @@ WHERE rank <= 20
 """
 
 
+def q_negative_sampling_dist(spark, sf_dir):
+    """word2vec/NCE negative-sampling distribution p(w) ∝ f^(3/4)
+    (pipeline/text.negative_sampling_distribution; Mikolov et al. 2013)
+    for the top-50 vocabulary — f^(3/4) as the exact integer 4th root
+    of f^3 via NESTED exact isqrt (floor(sqrt(floor(sqrt(n)))) =
+    floor(n^(1/4))), so the ppm weights never depend on cross-engine
+    pow agreement. |top_k|-row broadcast-sized output."""
+    from vivace_graph_v3_spark.pipeline.text import (
+        negative_sampling_distribution)
+
+    return negative_sampling_distribution(_docs(spark, sf_dir), top_k=50)
+
+
+SQL_NEGATIVE_SAMPLING_DIST = rf"""
+WITH w AS (
+  SELECT unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), wf AS (
+  SELECT w, count(*) AS f FROM w GROUP BY w
+), top AS (
+  SELECT w, f FROM (
+    SELECT w, f, row_number() OVER (ORDER BY f DESC, w ASC) AS rn
+    FROM wf) WHERE rn <= 50
+), p AS (
+  SELECT w, f, {_isqrt_sql(_isqrt_sql("f * f * f"))} AS f_pow75
+  FROM top
+), t AS (SELECT sum(f_pow75) AS t FROM p)
+SELECT w, CAST(f AS BIGINT) AS f, CAST(f_pow75 AS BIGINT) AS f_pow75,
+       CAST(f_pow75 * 1000000 // t AS BIGINT) AS weight_ppm
+FROM p CROSS JOIN t
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "negative_sampling_dist": (q_negative_sampling_dist,
+                               SQL_NEGATIVE_SAMPLING_DIST),
     "retrieval_ql_dirichlet": (q_retrieval_ql_dirichlet,
                                SQL_RETRIEVAL_QL_DIRICHLET),
     "viterbi_segmentation": (q_viterbi_segmentation,
@@ -13452,7 +13488,7 @@ _R7_FRONT = [
     "graph_stress_landmarks", "events_transition_entropy",
     "stateful_sessions", "hll_estimate_audit", "events_twap",
     "text_kn_logprob", "viterbi_segmentation",
-    "retrieval_ql_dirichlet",
+    "retrieval_ql_dirichlet", "negative_sampling_dist",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

@@ -1821,3 +1821,32 @@ def ql_dirichlet_topk(df: DataFrame, query_terms: list[str], k: int = 20, *,
     return (scored.withColumn("rank", F.row_number().over(rk))
             .filter(F.col("rank") <= int(k))
             .select("id", "score", F.col("rank").cast("long").alias("rank")))
+
+
+def negative_sampling_distribution(df: DataFrame, *, text_col: str = "text",
+                                   top_k: int = 50) -> DataFrame:
+    """word2vec/NCE negative-sampling distribution p(w) ∝ f(w)^(3/4)
+    (Mikolov et al. 2013) in EXACT integer arithmetic: f^(3/4) is the
+    integer 4th root of f^3, and nested exact isqrt gives exactly that —
+    floor(sqrt(floor(sqrt(n)))) = floor(n^(1/4)) (a classical identity:
+    both sides are the unique k with k^4 <= n < (k+1)^4). No
+    transcendental pow, so the ppm weights are engine-exact. Domain:
+    f < 2^21 keeps f^3 in BIGINT; past that, pre-aggregate counts to a
+    capped grid or lift f^3 to DECIMAL (the ks_drift discipline).
+
+    One vocab-bounded aggregate + a two-phase top-k; the distribution
+    table is |top_k| rows — broadcast-sized for the sampling join a
+    training pipeline runs. Returns (w, f, f_pow75, weight_ppm) for the
+    ``top_k`` most frequent words (freq desc, w asc — deterministic)."""
+    wf = (ensure_parallelism(df)
+          .select(F.explode(tokens(F.col(text_col))).alias("w"))
+          .groupBy("w").agg(F.count(F.lit(1)).alias("f")))
+    top = (wf.orderBy(F.desc("f"), F.asc("w")).limit(int(top_k))
+           .withColumn("f_pow75",
+                       _isqrt_col(_isqrt_col(F.col("f") * F.col("f")
+                                             * F.col("f")))))
+    tot = top.agg(F.sum("f_pow75").alias("t"))
+    return (top.crossJoin(F.broadcast(tot))
+            .select("w", F.col("f").cast("long").alias("f"),
+                    F.col("f_pow75").cast("long").alias("f_pow75"),
+                    F.expr("f_pow75 * 1000000 div t").alias("weight_ppm")))
