@@ -383,3 +383,36 @@ def test_stream_sessionize_gap_and_carry(spark, tmp_path):
     assert finals["7"]["session_start_ms"] == 500000
     assert finals["7"]["n_events"] == 1 and finals["7"]["total"] == 3.0
     assert finals["8"]["n_events"] == 1 and finals["8"]["total"] == 5.0
+
+
+def test_stream_rate_limit_budget_spans_batches(spark, tmp_path):
+    """applyInPandasWithState rate limiter: the per-(key, window) budget
+    carries across micro-batches — events of one window split over two
+    batches share one quota."""
+    from vivace_graph_v3_spark.streaming.stateful import stream_rate_limit
+
+    src = str(tmp_path / "src")
+    # window size 1000 ms = 1 t-unit... use window_ms=5000: t in [0,5)
+    # is window 0. Batch 1 has t=1,2; batch 2 has t=3,4 (same window) and
+    # t=7 (next window).
+    rows1 = [(1, 7), (2, 7)]
+    rows2 = [(3, 7), (4, 7), (7, 7)]
+    for rows in (rows1, rows2):
+        (spark.createDataFrame(rows, "t long, user_id long")
+         .coalesce(1).write.mode("append").parquet(src))
+    stream = (spark.readStream.schema("t long, user_id long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out = stream_rate_limit(stream, key_col="user_id", ts_col="t",
+                            limit_per_window=3, window_ms=5000)
+    q = (out.writeStream.format("memory").queryName("rate_t")
+         .option("checkpointLocation", str(tmp_path / "cp"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    got = {r["event_ms"]: r for r in spark.table("rate_t").collect()}
+    assert len(got) == 5
+    # window 0 holds t=1,2,3,4 -> positions 1..4; limit 3 rejects the 4th
+    assert [got[t * 1000]["admitted"] for t in (1, 2, 3, 4)] == [
+        True, True, True, False]
+    assert got[4000]["n_in_window"] == 4
+    # t=7 opens window 1 with a fresh budget
+    assert got[7000]["admitted"] and got[7000]["n_in_window"] == 1

@@ -10793,12 +10793,13 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
     import tempfile
 
     from vivace_graph_v3_spark.streaming.stateful import (
-        running_totals, stream_sessionize, streaming_anomalies)
+        running_totals, stream_rate_limit, stream_sessionize,
+        streaming_anomalies)
 
     mt = os.path.getmtime(f"{sf_dir}/events.parquet")
-    # :v2 — the sessions sink joined the run (batch-5); older cached dirs
-    # lack it and must not be reused
-    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}:v2".encode()).hexdigest()[:12]
+    # :v3 — the sessions sink joined in batch-5 and the rate-limit sink
+    # after it; older cached dirs lack them and must not be reused
+    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}:v3".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"vgv3_stateful_{tag}")
     if os.path.isdir(path):
         return path
@@ -10890,9 +10891,14 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
             return closed + open_f
         return df.count()
 
+    def _ratelimit(stream, *, key_col, value_col, ts_col):
+        return stream_rate_limit(stream, key_col=key_col, ts_col=ts_col,
+                                 limit_per_window=2, window_ms=1_000_000)
+
     for name, op in (("totals", running_totals),
                      ("anomalies", streaming_anomalies),
-                     ("sessions", stream_sessionize)):
+                     ("sessions", stream_sessionize),
+                     ("ratelimit", _ratelimit)):
         for attempt in range(3):
             try:
                 out_dir = drain_once(name, op, attempt)
@@ -13042,9 +13048,39 @@ FROM p CROSS JOIN t
 """
 
 
+def q_stateful_rate_limit(spark, sf_dir):
+    """Contract face of the applyInPandasWithState RATE LIMITER
+    (streaming/stateful.py:stream_rate_limit): each user admits at most
+    2 events per tumbling 1000-unit event-time window, the (window,
+    count) budget carried across the 4 real micro-batches so windows
+    spanning batch boundaries keep one consistent quota. Every event
+    emits exactly once with its verdict; the oracle predicts it as one
+    row_number per (key, window)."""
+    base = _session_stateful_run(spark, sf_dir)
+    return (spark.read.parquet(f"{base}/ratelimit")
+            .select("key", "event_ms", "window_id", "n_in_window",
+                    "admitted"))
+
+
+SQL_STATEFUL_RATE_LIMIT = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS t FROM events
+)
+SELECT key, CAST(t * 1000 AS BIGINT) AS event_ms,
+       CAST(t * 1000 // 1000000 AS BIGINT) AS window_id,
+       CAST(row_number() OVER (PARTITION BY key, t * 1000 // 1000000
+                               ORDER BY t) AS BIGINT) AS n_in_window,
+       row_number() OVER (PARTITION BY key, t * 1000 // 1000000
+                          ORDER BY t) <= 2 AS admitted
+FROM e
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "stateful_rate_limit": (q_stateful_rate_limit,
+                            SQL_STATEFUL_RATE_LIMIT),
     "negative_sampling_dist": (q_negative_sampling_dist,
                                SQL_NEGATIVE_SAMPLING_DIST),
     "retrieval_ql_dirichlet": (q_retrieval_ql_dirichlet,
@@ -13489,6 +13525,7 @@ _R7_FRONT = [
     "stateful_sessions", "hll_estimate_audit", "events_twap",
     "text_kn_logprob", "viterbi_segmentation",
     "retrieval_ql_dirichlet", "negative_sampling_dist",
+    "stateful_rate_limit",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

@@ -257,3 +257,70 @@ def stream_sessionize(events: DataFrame, *, key_col: str = "user_id",
             .applyInPandasWithState(_update, SESS_OUT_SCHEMA,
                                     SESS_STATE_SCHEMA, "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# -- streaming per-key rate limiting -------------------------------------------
+
+RATE_OUT_SCHEMA = ("key string, event_ms long, window_id long, "
+                   "n_in_window long, admitted boolean")
+RATE_STATE_SCHEMA = "window_id long, n long"
+
+
+def stream_rate_limit(events: DataFrame, *, key_col: str = "user_id",
+                      ts_col: str = "event_time",
+                      limit_per_window: int = 5,
+                      window_ms: int = 1_000_000) -> DataFrame:
+    """Per-key event-time RATE LIMITER over a stream: each key admits at
+    most ``limit_per_window`` events per tumbling event-time window
+    (window_id = event_ms div window_ms) and marks the rest rejected —
+    the quota/throttle/abuse-gate shape, with the (window, count) state
+    carried across micro-batches so a window that spans batch boundaries
+    keeps one consistent budget.
+
+    Emits EVERY event exactly once with its admission verdict and its
+    position in the window — deterministic under a deterministic source
+    order because per-batch events fold in event-time order, which makes
+    the verdict a pure function of the event history (oracle: one
+    row_number per (key, window)). Timeout eviction frees state for idle
+    keys; a stale window's counter is never needed again because event
+    time only moves forward per key in this source convention. All state
+    transfer is Arrow-batched pandas."""
+    from pyspark.sql import functions as F
+
+    lim, wms = int(limit_per_window), int(window_ms)
+
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - eviction frees state
+            state.remove()
+            return
+        if state.exists:
+            wid, n = state.get
+            wid, n = int(wid), int(n)
+        else:
+            wid, n = -1, 0
+        out: list[dict] = []
+        frames = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(frames, ignore_index=True)
+                     .sort_values("event_ms", kind="mergesort")]
+                    if frames else []):
+            for ms in pdf["event_ms"]:
+                ms = int(ms)
+                w = ms // wms
+                if w != wid:
+                    wid, n = w, 0
+                n += 1
+                out.append({"key": key[0], "event_ms": ms, "window_id": w,
+                            "n_in_window": n, "admitted": n <= lim})
+        state.update((wid, n))
+        state.setTimeoutDuration(60_000)
+        if out:
+            yield pd.DataFrame(out)
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("event_ms"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(_update, RATE_OUT_SCHEMA,
+                                    RATE_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
