@@ -122,6 +122,9 @@ SNAPSHOT_GATE = [
     "ann_bruteforce_topk", "events_hourly_window",
     "q13_customer_distribution", "graph_pagerank", "retrieval_hybrid_rrf",
     "multimodal_audio", "knn_label_propagation", "matview_rollup_answer",
+    # round-7 session-2 representatives: the 16-round relational DP and
+    # the exact-isqrt mix (both must stay UDF-free and scan-stable)
+    "viterbi_segmentation", "temperature_mix_weights",
 ]
 
 

@@ -1,6 +1,9 @@
 """Unit tests for the round-7 batch-5 operators: exact-isqrt temperature
 mix weights, data-constrained epoch schedule, md5-MinHash estimate audit,
-LSH band tuning, landmark stress centrality, and transition entropy."""
+LSH band tuning, landmark stress centrality, Kneser-Ney / QL-Dirichlet
+LM scoring, Viterbi segmentation, and the negative-sampling
+distribution. (HLL/TWAP live in test_sketches.py; the streaming
+sessionizer and rate limiter in test_streaming_events.py.)"""
 
 import math
 
