@@ -201,6 +201,8 @@ _PARAM_VALUES_ORACLES = {
     "bloom_filter_audit",        # bloom hash constants
     "bloom_dedup_ingest",        # bloom hash constants
     "graph_rich_club",           # degree-threshold grid (2/4/8/16)
+    "events_shapley_attribution",  # Shapley coalition term table
+                                   # (exact factorial weights)
 }
 
 

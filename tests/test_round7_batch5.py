@@ -358,3 +358,48 @@ class TestNegativeSampling:
         for f in (1, 2, 3, 15, 16, 17, 80, 81, 82, 624, 625, 626):
             k = math.isqrt(math.isqrt(f * f * f))
             assert k ** 4 <= f ** 3 < (k + 1) ** 4
+
+
+class TestShapleyAttribution:
+    def test_matches_exhaustive_permutations(self, spark):
+        import itertools
+        import math
+
+        from vivace_graph_v3_spark.operators.product_analytics import (
+            shapley_attribution)
+
+        # users: (touched channels, converted)
+        journeys = [(["a"], True), (["a", "b"], True), (["b"], False),
+                    (["a", "b", "c"], True), (["c"], True), ([], True)]
+        rows = []
+        for u, (chs, conv) in enumerate(journeys):
+            for c in chs:
+                rows.append((u, c))
+            if conv:
+                rows.append((u, "purchase"))
+        df = spark.createDataFrame(rows, "user_id long, event_type string")
+        got = {r["channel"]: r for r in shapley_attribution(
+            df, channels=["a", "b", "c"]).collect()}
+
+        chans = ["a", "b", "c"]
+        masks = []
+        for chs, conv in journeys:
+            if conv:
+                masks.append(frozenset(chs))
+
+        def v(t: frozenset) -> int:
+            return sum(1 for m in masks if m <= t)
+
+        # brute-force Shapley over all 3! permutations
+        phi = {c: 0 for c in chans}
+        for perm in itertools.permutations(chans):
+            seen: set = set()
+            for c in perm:
+                phi[c] += v(frozenset(seen | {c})) - v(frozenset(seen))
+                seen.add(c)
+        # phi above is already scaled by n! (sum over all permutations)
+        for c in chans:
+            assert got[c]["phi_scaled"] == phi[c], c
+        assert sum(r["phi_scaled"] for r in got.values()) == \
+            math.factorial(3) * (v(frozenset(chans)) - v(frozenset()))
+        assert got["a"]["v_full"] == len(masks)

@@ -119,7 +119,7 @@ AUDITED = [
     "graph_stress_landmarks", "events_transition_entropy",
     "hll_estimate_audit", "events_twap", "text_kn_logprob",
     "viterbi_segmentation", "retrieval_ql_dirichlet",
-    "negative_sampling_dist",
+    "negative_sampling_dist", "events_shapley_attribution",
 ]
 
 

@@ -181,7 +181,8 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "graph_stress_landmarks", "events_transition_entropy",
           "hll_estimate_audit", "events_twap", "text_kn_logprob",
           "viterbi_segmentation", "retrieval_ql_dirichlet",
-          "negative_sampling_dist", "stateful_rate_limit"]
+          "negative_sampling_dist", "stateful_rate_limit",
+          "events_shapley_attribution"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -13076,9 +13076,78 @@ FROM e
 """
 
 
+_SHAPLEY_CHANNELS = ["click", "error", "signup", "view"]
+
+
+def q_events_shapley_attribution(spark, sf_dir):
+    """EXACT Shapley-value attribution over the 4 touch channels
+    (operators/product_analytics.shapley_attribution; Shapley 1953):
+    v(T) = converted users whose touch set is covered by coalition T,
+    phi from the full 2^4 coalition grid with pre-multiplied factorial
+    weights — the whole game lives on 16 rows, so the cooperative-game
+    answer is exact BIGINT at any corpus size."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        shapley_attribution)
+
+    return shapley_attribution(_events(spark, sf_dir),
+                               channels=_SHAPLEY_CHANNELS)
+
+
+def _shapley_oracle_sql(channels: list[str]) -> str:
+    import math
+
+    n = len(channels)
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    mask = " + ".join(
+        f"max(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END) * {bit[c]}"
+        for c in channels)
+    rows = []
+    for c in channels:
+        i = bit[c]
+        rest = [b for ch, b in bit.items() if ch != c]
+        for m in range(1 << (n - 1)):
+            t = sum(b for j, b in enumerate(rest) if m >> j & 1)
+            size = bin(t).count("1")
+            w = math.factorial(size) * math.factorial(n - 1 - size)
+            rows.append(f"('{c}', {t}, {t | i}, {w})")
+    vals = ", ".join(rows)
+    full = (1 << n) - 1
+    return f"""
+WITH pu AS (
+  SELECT user_id, {mask} AS mask,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events GROUP BY user_id
+), grid AS (
+  SELECT mask, count(*) AS c FROM pu WHERE conv = 1 GROUP BY mask
+), coal AS (SELECT unnest(generate_series(0, {full})) AS t),
+v AS (
+  SELECT t, coalesce(sum(c), 0) AS v
+  FROM coal LEFT JOIN grid ON (mask & t) = mask GROUP BY t
+),
+terms(channel, t, ti, w) AS (VALUES {vals}),
+vf AS (SELECT v AS v_full FROM v WHERE t = {full})
+SELECT channel,
+       CAST(sum(w * (va.v - vb.v)) AS BIGINT) AS phi_scaled,
+       CAST(CASE WHEN v_full > 0 THEN
+            sum(w * (va.v - vb.v)) * 1000000
+            // ({math.factorial(n)} * v_full) END AS BIGINT) AS phi_ppm,
+       CAST(v_full AS BIGINT) AS v_full
+FROM terms
+JOIN v va ON va.t = terms.ti
+JOIN v vb ON vb.t = terms.t
+CROSS JOIN vf
+GROUP BY channel, v_full
+"""
+
+
+SQL_EVENTS_SHAPLEY_ATTRIBUTION = _shapley_oracle_sql(_SHAPLEY_CHANNELS)
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "events_shapley_attribution": (q_events_shapley_attribution,
+                                   SQL_EVENTS_SHAPLEY_ATTRIBUTION),
     "stateful_rate_limit": (q_stateful_rate_limit,
                             SQL_STATEFUL_RATE_LIMIT),
     "negative_sampling_dist": (q_negative_sampling_dist,
@@ -13525,7 +13594,7 @@ _R7_FRONT = [
     "stateful_sessions", "hll_estimate_audit", "events_twap",
     "text_kn_logprob", "viterbi_segmentation",
     "retrieval_ql_dirichlet", "negative_sampling_dist",
-    "stateful_rate_limit",
+    "stateful_rate_limit", "events_shapley_attribution",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

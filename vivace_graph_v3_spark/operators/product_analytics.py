@@ -820,3 +820,78 @@ def cuped_adjusted_report(units: DataFrame, *, arm_col: str = "arm",
                     .alias("cuped_mean"),
                     F.round("theta", 6).alias("theta"),
                     F.round("var_ratio", 6).alias("var_ratio")))
+
+
+def shapley_attribution(events: DataFrame, *, user_col: str = "user_id",
+                        type_col: str = "event_type",
+                        conversion_type: str = "purchase",
+                        channels: list[str] | None = None) -> DataFrame:
+    """EXACT Shapley-value marketing attribution (Shapley 1953; the
+    cooperative-game alternative to last-touch / linear attribution):
+    each touch channel's credit for conversions is its average marginal
+    contribution over every coalition ordering,
+
+        phi_i = sum over T not containing i of
+                |T|! (n-1-|T|)! / n! * (v(T u {i}) - v(T)),
+
+    with the characteristic function v(T) = number of CONVERTED users
+    whose full touch set is covered by coalition T. With n channels the
+    whole computation lives on a 2^n-row coalition grid (n is the
+    CHANNEL vocabulary — single digits — never the user count), so the
+    game is solved exactly: per-user touch masks are one map-side
+    aggregate, v is a subset-sum over the mask grid, and the factorial
+    weights are pre-multiplied integers so phi is exact BIGINT scaled by
+    n! (reported alongside floor-ppm shares of v(N)).
+
+    Returns one row per channel: (channel, phi_scaled, phi_ppm,
+    v_full) where phi_ppm is the channel's exact Shapley share of
+    all coalition-covered conversions. Efficiency check:
+    sum(phi_scaled) = n! * (v(N) - v(empty))."""
+    import math as _math
+
+    spark = events.sparkSession
+    if channels is None:
+        channels = sorted(r[0] for r in events
+                          .select(type_col).distinct().collect()
+                          if r[0] != conversion_type)
+    n = len(channels)
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+    mask_expr = reduce(
+        lambda a, c: a + F.lit(bit[c]) * F.max(
+            F.when(F.col(type_col) == c, 1).otherwise(0)),
+        channels, F.lit(0))
+    per_user = (events.groupBy(user_col)
+                .agg(mask_expr.alias("mask"),
+                     F.max(F.when(F.col(type_col) == conversion_type, 1)
+                           .otherwise(0)).alias("conv")))
+    grid = (per_user.filter(F.col("conv") == 1)
+            .groupBy("mask").agg(F.count(F.lit(1)).alias("c")))
+    full = (1 << n) - 1
+    coal = spark.range(1 << n).select(F.col("id").cast("int").alias("t"))
+    v = (coal.join(grid, F.expr("(mask & t) = mask"), "left")
+         .groupBy("t").agg(F.coalesce(F.sum("c"), F.lit(0)).alias("v")))
+    # literal Shapley term table: (channel, T, T|{i}, |T|!(n-1-|T|)!)
+    terms = []
+    for c in channels:
+        i = bit[c]
+        rest = [b for ch, b in bit.items() if ch != c]
+        for m in range(1 << (n - 1)):
+            t = sum(b for j, b in enumerate(rest) if m >> j & 1)
+            size = bin(t).count("1")
+            w = _math.factorial(size) * _math.factorial(n - 1 - size)
+            terms.append((c, t, t | i, w))
+    tdf = F.broadcast(spark.createDataFrame(
+        terms, "channel string, t int, ti int, w long"))
+    va = v.select(F.col("t").alias("ti"), F.col("v").alias("v_with"))
+    vb = v.select(F.col("t").alias("t"), F.col("v").alias("v_without"))
+    vf = v.filter(F.col("t") == full).select(F.col("v").alias("v_full"))
+    return (tdf.join(va, "ti").join(vb, "t")
+            .groupBy("channel")
+            .agg(F.sum(F.col("w") * (F.col("v_with") - F.col("v_without")))
+                 .cast("long").alias("phi_scaled"))
+            .crossJoin(F.broadcast(vf))
+            .select("channel", "phi_scaled",
+                    F.expr(f"CASE WHEN v_full > 0 THEN phi_scaled * 1000000"
+                           f" div ({_math.factorial(n)} * v_full) END")
+                    .alias("phi_ppm"),
+                    F.col("v_full").cast("long").alias("v_full")))
