@@ -403,3 +403,48 @@ class TestShapleyAttribution:
         assert sum(r["phi_scaled"] for r in got.values()) == \
             math.factorial(3) * (v(frozenset(chans)) - v(frozenset()))
         assert got["a"]["v_full"] == len(masks)
+
+
+class TestVOptimalHistogram:
+    def test_matches_brute_force_dp(self, spark):
+        import itertools
+
+        from vivace_graph_v3_spark.operators.profile import (
+            v_optimal_histogram)
+
+        # values engineered so v-optimal differs from equi-width: two
+        # tight clusters and one spread tail
+        vals = ([10.0] * 20 + [10.2] * 20 + [50.0] * 30 +
+                [90.0, 91.0, 95.0, 99.0, 99.9])
+        df = spark.createDataFrame([(v,) for v in vals], "x double")
+        got = {r["bucket"]: r for r in
+               v_optimal_histogram(df, "x", buckets=3,
+                                   grid_cells=12).collect()}
+
+        # brute-force: assign cents to the same 12-cell pre-grid, try
+        # every 2-split of the populated cells
+        cents = [round(v * 100) for v in vals]
+        lo, hi = min(cents), max(cents)
+        cells = {}
+        for c in cents:
+            cell = min((c - lo) * 12 // max(hi - lo + 1, 1), 11)
+            cells.setdefault(cell, []).append(c)
+        order = sorted(cells)
+
+        def sse(group):
+            xs = [x for cell in group for x in cells[cell]]
+            n = len(xs)
+            return sum(x * x for x in xs) - sum(xs) ** 2 / n
+
+        best = None
+        g = len(order)
+        for a, b in itertools.combinations(range(1, g), 2):
+            parts = [order[:a], order[a:b], order[b:]]
+            tot = sum(sse(p) for p in parts)
+            if best is None or tot < best[0]:
+                best = (tot, parts)
+        assert len(got) == 3
+        spark_total = sum(r["sse"] for r in got.values())
+        assert abs(spark_total - best[0]) < 1e-6
+        for k, part in enumerate(best[1]):
+            assert got[k]["n"] == sum(len(cells[c]) for c in part)

@@ -13143,9 +13143,102 @@ GROUP BY channel, v_full
 SQL_EVENTS_SHAPLEY_ATTRIBUTION = _shapley_oracle_sql(_SHAPLEY_CHANNELS)
 
 
+def q_v_optimal_histogram(spark, sf_dir):
+    """V-optimal histogram of l_extendedprice (operators/profile.
+    v_optimal_histogram; Jagadish et al. VLDB 1998): the 6-bucket
+    boundaries that exactly MINIMIZE total within-bucket SSE over a
+    48-cell equi-width pre-grid, solved by the classic DP as pure
+    relational iteration (the viterbi discipline) — the provably-best
+    selectivity-estimator histogram, next to the equi-depth heuristic
+    entry. Oracle: the same DP unrolled 6 levels with row_number argmin
+    and a 6-step backtrack."""
+    from vivace_graph_v3_spark.operators.profile import v_optimal_histogram
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return v_optimal_histogram(li, "l_extendedprice", buckets=6,
+                               grid_cells=48)
+
+
+def _v_optimal_oracle_sql(buckets: int = 6, grid_cells: int = 48) -> str:
+    parts = [f"""
+WITH base AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS q
+  FROM lineitem WHERE l_extendedprice IS NOT NULL
+), ext AS (SELECT min(q) AS mlo, max(q) AS mhi FROM base),
+g AS MATERIALIZED (
+  SELECT least(CAST((q - mlo) * {grid_cells}
+               // greatest(mhi - mlo + 1, 1) AS INTEGER),
+               {grid_cells - 1}) AS cell,
+         count(*) AS c, sum(q) AS s, sum(q * q) AS sq,
+         min(q) AS lo, max(q) AS hi
+  FROM base CROSS JOIN ext GROUP BY 1
+),
+grid AS MATERIALIZED (
+  SELECT row_number() OVER (ORDER BY cell) AS i, cell, c, s, sq, lo, hi,
+         sum(c) OVER w AS pn, sum(s) OVER w AS ps, sum(sq) OVER w AS pq
+  FROM g WINDOW w AS (ORDER BY cell ROWS UNBOUNDED PRECEDING)
+),
+pref AS (
+  SELECT i, pn, ps, pq FROM grid
+  UNION ALL SELECT 0, 0, 0, 0
+),
+pairs AS MATERIALIZED (
+  SELECT a.i AS j, b.i AS i,
+         (CAST(b.pq - a.pq AS DOUBLE)
+          - (CAST(b.ps - a.ps AS DOUBLE) * CAST(b.ps - a.ps AS DOUBLE))
+            / CAST(b.pn - a.pn AS DOUBLE)) AS cost
+  FROM pref a JOIN (SELECT * FROM pref WHERE i > 0) b ON a.i < b.i
+  WHERE b.pn > a.pn
+),
+d1 AS MATERIALIZED (
+  SELECT i, cost AS dp, 0 AS arg FROM pairs WHERE j = 0
+)"""]
+    for b in range(2, buckets + 1):
+        parts.append(f"""
+d{b} AS MATERIALIZED (
+  SELECT i, dp, arg FROM (
+    SELECT p.i, d.dp + p.cost AS dp, p.j AS arg,
+           row_number() OVER (PARTITION BY p.i
+                              ORDER BY d.dp + p.cost, p.j) AS rn
+    FROM pairs p JOIN d{b - 1} d ON d.i = p.j
+  ) WHERE rn = 1
+)""")
+    # backtrack: s{b} = the split BEFORE bucket b, walking argmins down
+    parts.append(f"""
+gmax AS (SELECT max(i) AS gi FROM grid),
+s{buckets} AS (SELECT arg FROM d{buckets} JOIN gmax ON i = gi)""")
+    for b in range(buckets - 1, 1, -1):
+        parts.append(f"""
+s{b} AS (SELECT d.arg FROM d{b} d JOIN s{b + 1} s ON d.i = s.arg)""")
+    splits_union = " UNION ALL ".join(
+        f"SELECT arg AS b FROM s{b}" for b in range(2, buckets + 1))
+    return (",".join(parts) + f""",
+bounds AS (
+  SELECT 0 AS b UNION ALL SELECT gi FROM gmax UNION ALL {splits_union}
+)
+SELECT CAST(bucket AS BIGINT) AS bucket,
+       CAST(min(cell) AS BIGINT) AS lo_cell,
+       CAST(max(cell) AS BIGINT) AS hi_cell,
+       CAST(min(lo) AS BIGINT) AS lo, CAST(max(hi) AS BIGINT) AS hi,
+       CAST(sum(c) AS BIGINT) AS n,
+       round(CAST(sum(sq) AS DOUBLE)
+             - (CAST(sum(s) AS DOUBLE) * CAST(sum(s) AS DOUBLE))
+               / CAST(sum(c) AS DOUBLE), 6) AS sse
+FROM (
+  SELECT grid.*,
+         (SELECT count(*) FROM bounds bd WHERE bd.b < grid.i) - 1 AS bucket
+  FROM grid
+) GROUP BY bucket
+""")
+
+
+SQL_V_OPTIMAL_HISTOGRAM = _v_optimal_oracle_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "v_optimal_histogram": (q_v_optimal_histogram, SQL_V_OPTIMAL_HISTOGRAM),
     "events_shapley_attribution": (q_events_shapley_attribution,
                                    SQL_EVENTS_SHAPLEY_ATTRIBUTION),
     "stateful_rate_limit": (q_stateful_rate_limit,
@@ -13595,6 +13688,7 @@ _R7_FRONT = [
     "text_kn_logprob", "viterbi_segmentation",
     "retrieval_ql_dirichlet", "negative_sampling_dist",
     "stateful_rate_limit", "events_shapley_attribution",
+    "v_optimal_histogram",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

@@ -696,3 +696,119 @@ def boxplot_stats(df: DataFrame, group_col: str, value_col: str) -> DataFrame:
     return (q.join(out, "g")
             .select(F.col("g").alias(group_col), "n_rows", "min_x", "q1",
                     "median", "q3", "max_x", "iqr", "n_outliers"))
+
+
+def v_optimal_histogram(df: DataFrame, col: str, buckets: int = 6, *,
+                        grid_cells: int = 48, scale: int = 100) -> DataFrame:
+    """V-OPTIMAL histogram (Jagadish et al. VLDB 1998): bucket boundaries
+    that MINIMIZE total within-bucket sum of squared error — the
+    provably-best histogram for a selectivity estimator at a given
+    bucket budget, where equi-width/equi-depth are heuristics. Solved
+    exactly by the classic DP
+        dp[b][i] = min over j < i of dp[b-1][j] + SSE(j+1 .. i)
+    run as PURE relational iteration (the viterbi_segment_stats
+    discipline): the column first contracts to an equi-width pre-grid of
+    ``grid_cells`` cells (the standard practical contraction — one
+    map-side-combined aggregate, so the DP state is grid-bounded and
+    volume-independent), prefix sums give every interval's (n, s, q) in
+    O(1), and each DP level is one G x G self-join + per-i min-struct.
+    SSE evaluates as the single mirrored double expression
+    (q - (s * s) / n) with exact integer inputs (DECIMAL-accumulated q),
+    so any engine replaying the same DP reproduces every cost
+    bit-for-bit; argmin ties break toward the smallest split.
+
+    Returns one row per final bucket: (bucket, lo_cell, hi_cell, lo, hi,
+    n, sse) where lo/hi are fixed-point value bounds and sse is the
+    bucket's exact-input SSE rounded to 6 dp. Requires
+    buckets <= populated cells."""
+    v = F.floor(F.col(col).cast("double") * scale + 0.5).cast("long")
+    base = df.select(v.alias("q")).filter(F.col("q").isNotNull())
+    ext = base.agg(F.min("q").alias("lo"), F.max("q").alias("hi"))
+    g = (base.crossJoin(F.broadcast(ext))
+         .select(F.expr(f"least(cast((q - lo) * {grid_cells} div "
+                        f"greatest(hi - lo + 1, 1) as int), "
+                        f"{grid_cells - 1})").alias("cell"), "q")
+         .groupBy("cell")
+         .agg(F.count(F.lit(1)).alias("c"), F.sum("q").alias("s"),
+              F.sum((F.col("q") * F.col("q")).cast("decimal(38,0)"))
+              .alias("sq"),
+              F.min("q").alias("lo"), F.max("q").alias("hi")))
+    w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, 0)
+    grid = (g.select(
+        F.row_number().over(Window.orderBy("cell")).alias("i"),
+        "cell", "c", "s", "sq", "lo", "hi")
+        .withColumn("pn", F.sum("c").over(Window.orderBy("i")
+                                          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("ps", F.sum("s").over(Window.orderBy("i")
+                                          .rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("pq", F.sum("sq").over(Window.orderBy("i")
+                                           .rowsBetween(Window.unboundedPreceding, 0)))
+        .coalesce(1).localCheckpoint(eager=True))
+    # the empty-prefix row is built JVM-side (range(1) + literals): a
+    # Python-backed local relation under the non-equi join below can
+    # stall the broadcast thread until spark.sql.broadcastTimeout
+    zero = grid.sparkSession.range(1).select(
+        F.lit(0).cast("int").alias("i"), F.lit(0).cast("long").alias("pn"),
+        F.lit(0).cast("long").alias("ps"),
+        F.lit(0).cast("decimal(38,0)").alias("pq"))
+    pref = grid.select("i", "pn", "ps", "pq").unionByName(zero)
+    # cost(j, i) over cells j+1..i, mirrored double expression
+    cost = ("(cast(pq_i - pq_j as double)"
+            " - (cast(ps_i - ps_j as double) * cast(ps_i - ps_j as double))"
+            " / cast(pn_i - pn_j as double))")
+    pj = pref.select(F.col("i").alias("j"), F.col("pn").alias("pn_j"),
+                     F.col("ps").alias("ps_j"), F.col("pq").alias("pq_j"))
+    pi = pref.filter(F.col("i") > 0).select(
+        F.col("i"), F.col("pn").alias("pn_i"), F.col("ps").alias("ps_i"),
+        F.col("pq").alias("pq_i"))
+    pairs = (pj.join(pi, F.col("j") < F.col("i"))
+             .filter(F.expr("pn_i > pn_j"))  # only splits with rows
+             .select("j", "i", F.expr(cost).alias("cost"))
+             .coalesce(1).localCheckpoint(eager=True))
+    dp = (pairs.filter(F.col("j") == 0)
+          .select("i", F.col("cost").alias("dp"),
+                  F.lit(0).alias("arg"))
+          .coalesce(1).localCheckpoint(eager=True))
+    levels = [dp]
+    for _b in range(2, buckets + 1):
+        prev = levels[-1].select(F.col("i").alias("j"),
+                                 F.col("dp").alias("dp_prev"))
+        nxt = (pairs.join(F.broadcast(prev), "j")
+               .groupBy("i")
+               .agg(F.min(F.struct((F.col("dp_prev") + F.col("cost"))
+                                   .alias("dp"), F.col("j").alias("arg")))
+                    .alias("m"))
+               .select("i", F.col("m.dp").alias("dp"),
+                       F.col("m.arg").alias("arg"))
+               .coalesce(1).localCheckpoint(eager=True))
+        levels.append(nxt)
+    g_count = grid.count()
+    # backtrack: walk argmins from (buckets, G) down — ``buckets`` tiny
+    # driver-side lookups over G-row frames (grid-bounded, not corpus)
+    bounds = [g_count]
+    i_cur = g_count
+    for b in range(buckets, 1, -1):
+        row = levels[b - 1].filter(F.col("i") == i_cur).collect()
+        if not row:  # fewer populated cells than buckets
+            break
+        i_cur = row[0]["arg"]
+        bounds.append(i_cur)
+    bounds = sorted(set(bounds) | {0})
+    spark = df.sparkSession
+    bdf = F.broadcast(spark.createDataFrame(
+        [(k, bounds[k], bounds[k + 1]) for k in range(len(bounds) - 1)],
+        "bucket int, lo_i int, hi_i int"))
+    return (grid.join(bdf, (F.col("i") > F.col("lo_i"))
+                      & (F.col("i") <= F.col("hi_i")))
+            .groupBy("bucket")
+            .agg(F.min("cell").cast("long").alias("lo_cell"),
+                 F.max("cell").cast("long").alias("hi_cell"),
+                 F.min("lo").cast("long").alias("lo"),
+                 F.max("hi").cast("long").alias("hi"),
+                 F.sum("c").cast("long").alias("n"),
+                 F.round(F.expr(
+                     "cast(sum(sq) as double)"
+                     " - (cast(sum(s) as double) * cast(sum(s) as double))"
+                     " / cast(sum(c) as double)"), 6).alias("sse"))
+            .select(F.col("bucket").cast("long").alias("bucket"),
+                    "lo_cell", "hi_cell", "lo", "hi", "n", "sse"))
