@@ -265,3 +265,42 @@ def test_mad_outliers_matches_bruteforce_reference(spark):
     n_out = sum(1 for c in cents if abs(c - lower_median) * 10 > 35 * mad)
     assert (r.median_cents, r.mad_cents, r.n_outliers) == \
         (lower_median, mad, n_out)
+
+
+@SLOW
+@given(xs=st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                   min_size=1, max_size=24))
+def test_isqrt_col_matches_math_isqrt(spark, xs):
+    """The exact-integer-sqrt column (pipeline/text._isqrt_col) equals
+    math.isqrt on arbitrary int64 inputs — the kernel under the
+    temperature-mix / negative-sampling exactness claims."""
+    import math
+
+    from vivace_graph_v3_spark.pipeline.text import _isqrt_col
+
+    df = spark.createDataFrame([(i, v) for i, v in enumerate(xs)],
+                               "i long, x long")
+    got = {r["i"]: r["s"] for r in
+           df.select("i", _isqrt_col(F.col("x")).alias("s")).collect()}
+    for i, v in enumerate(xs):
+        assert got[i] == math.isqrt(v), v
+
+
+@SLOW
+@given(fs=st.lists(st.integers(min_value=1, max_value=2_000_000),
+                   min_size=1, max_size=12))
+def test_nested_isqrt_is_exact_fourth_root(spark, fs):
+    """floor(sqrt(floor(sqrt(f^3)))) == floor(f^0.75) exactly — the
+    negative-sampling 3/4-power identity, on the documented f < 2^21
+    domain."""
+    import math
+
+    from vivace_graph_v3_spark.pipeline.text import _isqrt_col
+
+    df = spark.createDataFrame([(i, f) for i, f in enumerate(fs)],
+                               "i long, f long")
+    expr = _isqrt_col(_isqrt_col(F.col("f") * F.col("f") * F.col("f")))
+    got = {r["i"]: r["p"] for r in df.select("i", expr.alias("p")).collect()}
+    for i, f in enumerate(fs):
+        k = got[i]
+        assert k ** 4 <= f ** 3 < (k + 1) ** 4, f
