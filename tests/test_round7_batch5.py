@@ -448,3 +448,72 @@ class TestVOptimalHistogram:
         assert abs(spark_total - best[0]) < 1e-6
         for k, part in enumerate(best[1]):
             assert got[k]["n"] == sum(len(cells[c]) for c in part)
+
+
+class TestKnnShapley:
+    def test_matches_pure_python_closed_form(self, spark):
+        import hashlib
+        import struct
+        from decimal import Decimal
+
+        from vivace_graph_v3_spark.pipeline.similarity import (
+            knn_shapley_values)
+
+        import random
+        random.seed(11)
+        data = [(i, [struct.unpack("f", struct.pack("f", random.uniform(-1, 1)))[0]
+                     for _ in range(4)], i % 2) for i in range(30)]
+        df = spark.createDataFrame(
+            [(i, v, l) for i, v, l in data],
+            "vec_id long, embedding array<float>, label int")
+        got = {r["vec_id"]: r["total_value"] for r in knn_shapley_values(
+            df, k=3, n_test=3, top_out=30).collect()}
+
+        def md5h64(s: str) -> int:
+            h = hashlib.md5(s.encode()).hexdigest()
+            hi = int(h[:8], 16)
+            if hi >= 2**31:
+                hi -= 2**32
+            return hi * 2**32 + int(h[8:16], 16)
+
+        order = sorted(data, key=lambda t: (md5h64(str(t[0])), t[0]))
+        test = order[:3]
+        tids = {t[0] for t in test}
+        train = [t for t in data if t[0] not in tids]
+        K = 3
+        vals = {t[0]: Decimal(0) for t in train}
+        for _tid, tv, ty in test:
+            byd = sorted((sum((a - b) * (a - b) for a, b in zip(v, tv)),
+                          i, y) for i, v, y in train)
+            n = len(byd)
+            a = [1 if y == ty else 0 for _d, _i, y in byd]
+            terms = [Decimal(0)] * n
+            terms[n - 1] = Decimal(a[n - 1] / n).quantize(Decimal("1e-12"))
+            for i in range(1, n):
+                d = (a[i - 1] - a[i]) / K * (min(K, i) / i)
+                terms[i - 1] = Decimal(d).quantize(Decimal("1e-12"))
+            suf = Decimal(0)
+            for i in range(n, 0, -1):
+                suf += terms[i - 1]
+                vals[byd[i - 1][1]] += suf
+        for i, v in vals.items():
+            assert abs(got[i] - float(round(v, 6))) < 2e-6, i
+
+    def test_efficiency_axiom(self, spark):
+        # sum of all values over one test point = the classifier's value
+        # of the full set = P(correct) = a_(1..K) mean... for KNN-Shapley
+        # the sum telescopes to sum(min(K,i)/i terms); just assert the
+        # all-same-label degenerate case: every point has value 1/N per
+        # test point
+        from vivace_graph_v3_spark.pipeline.similarity import (
+            knn_shapley_values)
+
+        data = [(i, [float(i), 0.0], 1) for i in range(10)]
+        df = spark.createDataFrame(
+            data, "vec_id long, embedding array<float>, label int")
+        rows = knn_shapley_values(df, k=3, n_test=2, top_out=10).collect()
+        # 8 train points, all same label as any test point: s_i = 1/8
+        # per test point -> total 0.25 each
+        assert len(rows) == 8
+        for r in rows:
+            assert abs(r["total_value"] - 0.25) < 2e-6

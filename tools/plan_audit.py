@@ -120,7 +120,7 @@ AUDITED = [
     "hll_estimate_audit", "events_twap", "text_kn_logprob",
     "viterbi_segmentation", "retrieval_ql_dirichlet",
     "negative_sampling_dist", "events_shapley_attribution",
-    "v_optimal_histogram",
+    "v_optimal_histogram", "knn_shapley_values",
 ]
 
 

@@ -182,7 +182,8 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "hll_estimate_audit", "events_twap", "text_kn_logprob",
           "viterbi_segmentation", "retrieval_ql_dirichlet",
           "negative_sampling_dist", "stateful_rate_limit",
-          "events_shapley_attribution", "v_optimal_histogram"]
+          "events_shapley_attribution", "v_optimal_histogram",
+          "knn_shapley_values"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -13235,9 +13235,78 @@ FROM (
 SQL_V_OPTIMAL_HISTOGRAM = _v_optimal_oracle_sql()
 
 
+def q_knn_shapley_values(spark, sf_dir):
+    """EXACT KNN-Shapley data valuation (pipeline/similarity.
+    knn_shapley_values; Jia et al. VLDB 2019): the Shapley value of
+    every training vector for a K=5 NN classifier via the closed-form
+    sort + suffix-fold — O(N log N), not O(2^N). Five md5-deterministic
+    test points; per-rank credit terms CAST to DECIMAL(38,12) so the
+    suffix accumulation is order-independent and the oracle reproduces
+    every value bit-for-bit. Output: the top-20 most valuable training
+    vectors — the 'which training docs matter' curation table."""
+    from vivace_graph_v3_spark.pipeline.similarity import knn_shapley_values
+
+    return knn_shapley_values(_emb(spark, sf_dir), k=5, n_test=5,
+                              top_out=20)
+
+
+SQL_KNN_SHAPLEY_VALUES = rf"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v, label AS y,
+         {_md5_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+  FROM embeddings
+), test AS (
+  SELECT id AS tid, v AS tv, y AS ty FROM e
+  ORDER BY h ASC, id ASC LIMIT 5
+), train AS (
+  SELECT id, v, y FROM e WHERE id NOT IN (SELECT tid FROM test)
+), pairs AS (
+  SELECT t.tid, t.ty, tr.id, tr.y,
+         list_reduce(list_prepend(0.0,
+           list_transform(generate_series(1, len(tr.v)),
+                          kk -> (tr.v[kk] - t.tv[kk])
+                                * (tr.v[kk] - t.tv[kk]))),
+           (a, b) -> a + b) AS d
+  FROM train tr CROSS JOIN test t
+), r AS (
+  SELECT tid, ty, id, y, d,
+         row_number() OVER (PARTITION BY tid ORDER BY d ASC, id ASC) AS i,
+         CASE WHEN y = ty THEN 1 ELSE 0 END AS a
+  FROM pairs
+), r2 AS (
+  SELECT *, max(i) OVER (PARTITION BY tid) AS n,
+         lead(a) OVER (PARTITION BY tid ORDER BY d ASC, id ASC) AS a_next
+  FROM r
+), terms AS (
+  SELECT tid, id, y, i,
+         CAST(CASE WHEN i = n THEN CAST(a AS DOUBLE) / CAST(n AS DOUBLE)
+              ELSE CAST(a - a_next AS DOUBLE) / 5.0
+                   * (CAST(least(5, i) AS DOUBLE) / CAST(i AS DOUBLE))
+              END AS DECIMAL(38,12)) AS term
+  FROM r2
+), s AS (
+  SELECT tid, id, y,
+         sum(term) OVER (PARTITION BY tid ORDER BY i
+                         ROWS BETWEEN CURRENT ROW
+                         AND UNBOUNDED FOLLOWING) AS s
+  FROM terms
+), tot AS (
+  SELECT id, y, round(CAST(sum(s) AS DOUBLE), 6) AS total_value
+  FROM s GROUP BY id, y
+)
+SELECT id AS vec_id, CAST(y AS BIGINT) AS label, total_value,
+       CAST(rank AS BIGINT) AS rank
+FROM (
+  SELECT *, row_number() OVER (ORDER BY total_value DESC, id ASC) AS rank
+  FROM tot)
+WHERE rank <= 20
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "knn_shapley_values": (q_knn_shapley_values, SQL_KNN_SHAPLEY_VALUES),
     "v_optimal_histogram": (q_v_optimal_histogram, SQL_V_OPTIMAL_HISTOGRAM),
     "events_shapley_attribution": (q_events_shapley_attribution,
                                    SQL_EVENTS_SHAPLEY_ATTRIBUTION),
@@ -13688,7 +13757,7 @@ _R7_FRONT = [
     "text_kn_logprob", "viterbi_segmentation",
     "retrieval_ql_dirichlet", "negative_sampling_dist",
     "stateful_rate_limit", "events_shapley_attribution",
-    "v_optimal_histogram",
+    "v_optimal_histogram", "knn_shapley_values",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

@@ -882,3 +882,81 @@ def embedding_isotropy(emb: DataFrame, *, vec_col: str = "embedding",
                     "mean_unit_norm",
                     F.round(F.lit(1.0) - F.col("mean_unit_norm"), 6)
                     .alias("isotropy")))
+
+
+def knn_shapley_values(emb: DataFrame, *, vec_col: str = "embedding",
+                       id_col: str = "vec_id", label_col: str = "label",
+                       k: int = 5, n_test: int = 5,
+                       top_out: int = 20) -> DataFrame:
+    """EXACT data valuation for a KNN classifier (Jia et al. VLDB 2019,
+    "Efficient Task-Specific Data Valuation for Nearest Neighbor
+    Algorithms"): the Shapley value of every training point has a CLOSED
+    FORM for KNN — sort training points by distance to a test point,
+    then fold credits from the farthest in:
+
+        s_(N) = 1[y_(N) = y] / N
+        s_(i) = s_(i+1) + (1[y_(i)=y] - 1[y_(i+1)=y])/K * min(K, i)/i
+
+    so the usually-intractable Shapley computation becomes one
+    sort + one suffix sum per test point — O(N log N), not O(2^N).
+
+    Relationally: ``n_test`` deterministic test points (md5 order), one
+    distance join (|test| x |train| rows — linear in the corpus for
+    fixed n_test), a rank window per test point (distance, id
+    tiebreak), and the suffix sum as a window over per-rank delta terms
+    CAST to DECIMAL(38,12) (order-independent accumulation, the
+    bigram_logprob discipline) — every double op a fixed mirrored
+    expression, so an external engine reproduces each value bit-for-bit.
+    Distances are ordered-fold squared L2 on double-cast vectors.
+
+    Returns the ``top_out`` most valuable training points by total
+    Shapley value over the test set: (vec_id, label, total_value, rank)
+    — the "which training docs matter" table a data-curation loop reads."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    e = emb.select(F.col(id_col).alias("id"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"),
+                   F.col(label_col).alias("y"))
+    h = md5_hash64(F.col("id").cast("string"))
+    ranked = e.withColumn("__h", h)
+    test = (ranked.orderBy(F.col("__h").asc(), F.col("id").asc())
+            .limit(int(n_test))
+            .select(F.col("id").alias("tid"), F.col("v").alias("tv"),
+                    F.col("y").alias("ty")))
+    train = (ranked.join(test.select(F.col("tid").alias("id")), "id",
+                         "left_anti")
+             .select("id", "v", "y"))
+    dist = F.aggregate(
+        F.zip_with(F.col("v"), F.col("tv"),
+                   lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0), lambda acc, x: acc + x)
+    pairs = (train.crossJoin(F.broadcast(test))
+             .select("tid", "ty", "id", "y", dist.alias("d")))
+    w_rank = Window.partitionBy("tid").orderBy(F.col("d").asc(),
+                                               F.col("id").asc())
+    r = (pairs.withColumn("i", F.row_number().over(w_rank))
+         .withColumn("a", F.when(F.col("y") == F.col("ty"), 1)
+                     .otherwise(0)))
+    w_n = Window.partitionBy("tid")
+    r = (r.withColumn("n", F.max("i").over(w_n))
+         .withColumn("a_next", F.lead("a").over(w_rank)))
+    # delta_(i) for i < N; the farthest point's base term rides rank N
+    delta = ((F.col("a") - F.col("a_next")).cast("double") / F.lit(float(k))
+             * (F.least(F.lit(k), F.col("i")).cast("double")
+                / F.col("i").cast("double")))
+    base = F.col("a").cast("double") / F.col("n").cast("double")
+    term = F.when(F.col("i") == F.col("n"), base).otherwise(delta) \
+        .cast("decimal(38,12)")
+    w_suf = (Window.partitionBy("tid").orderBy("i")
+             .rowsBetween(Window.currentRow, Window.unboundedFollowing))
+    s = r.withColumn("s", F.sum(term).over(w_suf))
+    out = (s.groupBy("id", "y")
+           .agg(F.round(F.sum("s").cast("double"), 6).alias("total_value")))
+    w_top = Window.orderBy(F.col("total_value").desc(), F.col("id").asc())
+    return (out.withColumn("rank", F.row_number().over(w_top))
+            .filter(F.col("rank") <= int(top_out))
+            .select(F.col("id").alias("vec_id"),
+                    F.col("y").cast("long").alias("label"),
+                    "total_value",
+                    F.col("rank").cast("long").alias("rank")))
