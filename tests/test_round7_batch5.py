@@ -517,3 +517,52 @@ class TestKnnShapley:
         assert len(rows) == 8
         for r in rows:
             assert abs(r["total_value"] - 0.25) < 2e-6
+
+
+class TestFacilityLocation:
+    def test_greedy_matches_brute_force(self, spark):
+        import itertools
+        import struct
+        from decimal import Decimal
+
+        from vivace_graph_v3_spark.pipeline.similarity import (
+            facility_location_select)
+
+        import random
+        random.seed(3)
+        data = [(i, [struct.unpack("f", struct.pack("f",
+                                                    random.uniform(-1, 1)))[0]
+                     for _ in range(3)]) for i in range(12)]
+        df = spark.createDataFrame(
+            [(i, v, 0) for i, v in data],
+            "vec_id long, embedding array<float>, label int")
+        rows = facility_location_select(df, k=3, ground=12).collect()
+        got = [r["vec_id"] for r in sorted(rows, key=lambda r: r["round"])]
+
+        import math
+        def cos(a, b):
+            d = sum(x * y for x, y in zip(a, b))
+            return d / (math.sqrt(sum(x * x for x in a))
+                        * math.sqrt(sum(x * x for x in b)))
+        sims = {(i, j): cos(v, w) for i, v in data for j, w in data}
+        # greedy reference
+        best = {j: 0.0 for j, _ in data}
+        picked = []
+        for _ in range(3):
+            cand_gain = {}
+            for i, _v in data:
+                if i in picked:
+                    continue
+                gain = sum(Decimal(max(sims[(i, j)] - best[j], 0.0))
+                           .quantize(Decimal("1e-12"))
+                           for j, _ in data)
+                cand_gain[i] = gain
+            pick = min(cand_gain, key=lambda i: (-cand_gain[i], i))
+            picked.append(pick)
+            for j, _ in data:
+                best[j] = max(best[j], sims[(pick, j)])
+        assert got == picked
+        # gains monotone non-increasing (submodularity)
+        gains = [r["gain"] for r in sorted(rows, key=lambda r: r["round"])]
+        assert all(gains[i] >= gains[i + 1] - 1e-9
+                   for i in range(len(gains) - 1))

@@ -13303,9 +13303,85 @@ WHERE rank <= 20
 """
 
 
+def q_facility_location_select(spark, sf_dir):
+    """Greedy facility-location exemplar selection
+    (pipeline/similarity.facility_location_select; Nemhauser 1978
+    (1-1/e) submodular maximization): 10 rounds of
+    gain -> argmax -> coverage-update over a 200-vector
+    md5-deterministic ground set — the auditable coreset-selection
+    trajectory. Gains decimal-accumulate and cosine is the ordered
+    fold, so the oracle replays the greedy trajectory bit-for-bit
+    across 10 unrolled rounds."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        facility_location_select)
+
+    return facility_location_select(_emb(spark, sf_dir), k=10, ground=200)
+
+
+def _facility_location_oracle_sql(k: int = 10, ground: int = 200) -> str:
+    def fold(expr: str) -> str:
+        return (f"list_reduce(list_prepend(0.0, {expr}), (a, b) -> a + b)")
+
+    dot = fold("list_transform(generate_series(1, len(a.v)),"
+               " kk -> a.v[kk] * b.v[kk])")
+    nrm_a = f"sqrt({fold('list_transform(a.v, x -> x * x)')})"
+    nrm_b = f"sqrt({fold('list_transform(b.v, x -> x * x)')})"
+    parts = [f"""
+WITH e AS (
+  SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v,
+         {_md5_hash64_sql("CAST(vec_id AS VARCHAR)")} AS h
+  FROM embeddings
+), g AS MATERIALIZED (
+  SELECT id, v FROM e ORDER BY h ASC, id ASC LIMIT {ground}
+), sims AS MATERIALIZED (
+  SELECT a.id AS cid, b.id AS tid,
+         {dot} / ({nrm_a} * {nrm_b}) AS sim
+  FROM g a CROSS JOIN g b
+),
+picked0(cid) AS (SELECT NULL::BIGINT WHERE false),
+b0 AS (SELECT id AS tid, 0.0 AS best FROM g)"""]
+    for r in range(1, k + 1):
+        parts.append(f"""
+gains{r} AS MATERIALIZED (
+  SELECT s.cid,
+         sum(CAST(greatest(s.sim - b.best, 0.0) AS DECIMAL(38,12)))
+           AS gain
+  FROM sims s JOIN b{r - 1} b USING (tid)
+  WHERE s.cid NOT IN (SELECT cid FROM picked{r - 1})
+  GROUP BY s.cid
+),
+p{r} AS MATERIALIZED (
+  SELECT cid, gain FROM gains{r} ORDER BY gain DESC, cid ASC LIMIT 1
+),
+picked{r} AS MATERIALIZED (SELECT cid FROM picked{r - 1} UNION ALL
+              SELECT cid FROM p{r}),
+b{r} AS MATERIALIZED (
+  SELECT b.tid, greatest(b.best, coalesce(s.sim, 0.0)) AS best
+  FROM b{r - 1} b
+  LEFT JOIN (SELECT tid, sim FROM sims JOIN p{r} USING (cid)) s
+    USING (tid)
+),
+c{r} AS (
+  SELECT round(CAST(sum(CAST(best AS DECIMAL(38,12))) AS DOUBLE), 6)
+    AS coverage
+  FROM b{r}
+)""")
+    rows = " UNION ALL ".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, CAST(cid AS BIGINT)"
+        f" AS vec_id, round(CAST(gain AS DOUBLE), 6) AS gain, coverage"
+        f" FROM p{r} CROSS JOIN c{r}"
+        for r in range(1, k + 1))
+    return ",".join(parts) + f"\n{rows}\n"
+
+
+SQL_FACILITY_LOCATION_SELECT = _facility_location_oracle_sql()
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "facility_location_select": (q_facility_location_select,
+                                 SQL_FACILITY_LOCATION_SELECT),
     "knn_shapley_values": (q_knn_shapley_values, SQL_KNN_SHAPLEY_VALUES),
     "v_optimal_histogram": (q_v_optimal_histogram, SQL_V_OPTIMAL_HISTOGRAM),
     "events_shapley_attribution": (q_events_shapley_attribution,
@@ -13758,6 +13834,7 @@ _R7_FRONT = [
     "retrieval_ql_dirichlet", "negative_sampling_dist",
     "stateful_rate_limit", "events_shapley_attribution",
     "v_optimal_histogram", "knn_shapley_values",
+    "facility_location_select",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram

@@ -960,3 +960,91 @@ def knn_shapley_values(emb: DataFrame, *, vec_col: str = "embedding",
                     F.col("y").cast("long").alias("label"),
                     "total_value",
                     F.col("rank").cast("long").alias("rank")))
+
+
+def facility_location_select(emb: DataFrame, *, vec_col: str = "embedding",
+                             id_col: str = "vec_id", k: int = 10,
+                             ground: int = 200) -> DataFrame:
+    """Representative-subset selection by greedy FACILITY LOCATION
+    (Nemhauser et al. 1978 — the (1 - 1/e)-approximate submodular
+    maximizer; the classic coreset/exemplar selection objective:
+    maximize sum over the ground set of its best-representative cosine).
+    Each greedy round adds the candidate with the largest marginal
+    coverage gain sum_t max(sim(c, t) - best(t), 0) — diminishing
+    returns make the greedy pick near-optimal, and the gain table makes
+    the selection AUDITABLE (why this exemplar, how much coverage it
+    added).
+
+    Relational iteration, third paradigm next to the two DPs: a
+    ``ground``-size md5-deterministic sample anchors the objective (the
+    standard sketch — the ground set bounds ALL state at
+    ground^2 pair sims, volume-independent), then k rounds of
+    (gain aggregate -> argmax -> coverage update) over that pair frame.
+    Gain terms CAST to DECIMAL(38,12) (order-independent sums); cosine
+    is the ordered-fold form; argmax ties break on id — every round is
+    engine-exact, so a SQL oracle replays the greedy trajectory
+    bit-for-bit.
+
+    Returns one row per round: (round, vec_id, gain, coverage) with
+    coverage the objective value after the pick (6-dp)."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    e = emb.select(F.col(id_col).alias("id"),
+                   F.transform(F.col(vec_col),
+                               lambda x: x.cast("double")).alias("v"))
+    g = (e.withColumn("__h", md5_hash64(F.col("id").cast("string")))
+         .orderBy(F.col("__h").asc(), F.col("id").asc()).limit(int(ground))
+         .select("id", "v"))
+    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("tv"),
+                                 lambda a, b: a * b),
+                      F.lit(0.0), lambda acc, x: acc + x)
+    nrm = (lambda c: F.sqrt(F.aggregate(
+        F.transform(c, lambda x: x * x), F.lit(0.0),
+        lambda acc, x: acc + x)))
+    a = g.select(F.col("id").alias("cid"), F.col("v").alias("cv"))
+    b = g.select(F.col("id").alias("tid"), F.col("v").alias("tv"))
+    sims = (a.crossJoin(b)
+            .select("cid", "tid",
+                    (dot / (nrm(F.col("cv")) * nrm(F.col("tv"))))
+                    .alias("sim"))
+            .coalesce(1).localCheckpoint(eager=True))
+    best = (g.select(F.col("id").alias("tid"),
+                     F.lit(0.0).alias("best"))
+            .coalesce(1).localCheckpoint(eager=True))
+    picked: list = []
+    out_rows = []
+    spark = emb.sparkSession
+    for rnd in range(1, int(k) + 1):
+        cand = sims
+        if picked:
+            sel = spark.createDataFrame([(p,) for p in picked],
+                                        "cid long")
+            cand = sims.join(F.broadcast(sel), "cid", "left_anti")
+        gains = (cand.join(F.broadcast(best), "tid")
+                 .select("cid",
+                         F.greatest(F.col("sim") - F.col("best"),
+                                    F.lit(0.0))
+                         .cast("decimal(38,12)").alias("t"))
+                 .groupBy("cid").agg(F.sum("t").alias("gain")))
+        top = (gains.orderBy(F.col("gain").desc(), F.col("cid").asc())
+               .limit(1)
+               .select("cid", "gain",
+                       F.round(F.col("gain").cast("double"), 6)
+                       .alias("gain_r"))
+               .collect()[0])
+        picked.append(top["cid"])
+        upd = (sims.filter(F.col("cid") == top["cid"])
+               .select("tid", F.col("sim").alias("new")))
+        best = (best.join(upd, "tid", "left")
+                .select("tid",
+                        F.greatest(F.col("best"),
+                                   F.coalesce(F.col("new"), F.lit(0.0)))
+                        .alias("best"))
+                .coalesce(1).localCheckpoint(eager=True))
+        cov = best.agg(F.round(F.sum(F.col("best")
+                                     .cast("decimal(38,12)"))
+                               .cast("double"), 6)).first()[0]
+        out_rows.append((rnd, int(top["cid"]), float(top["gain_r"]),
+                         float(cov)))
+    return spark.createDataFrame(
+        out_rows, "round long, vec_id long, gain double, coverage double")
