@@ -13814,12 +13814,12 @@ REGISTRY: dict[str, tuple] = {
 # front = first 50 of _R8_QUEUE (+ any new r8 registrations prepended,
 # pushing the tail down).
 #
-# Round-7 SESSION-2 amendment: 12 more batch-5 registrations were
-# prepended to _R7_FRONT (all judge-verified green at sf0.01 AND sf0.1
-# on registration day), so the driver's first-50 covers the 12 new + 38
-# of the session-1 front; the session-1 tail entries now at positions
-# 51-56 (dedup_agreement .. graph_pagerank_personalized) slip to round
-# 8 — they lead the effective round-8 queue ahead of _R8_QUEUE by list
+# Round-7 SESSION-2 amendment (final): 18 batch-5 registrations were
+# prepended to _R7_FRONT (every one verified green at sf0.01 AND sf0.1
+# on registration day, each with unit tests and a 10x probe row), so
+# the driver's first-50 covers the 18 new + 32 of the session-1 front;
+# the session-1 tail entries now at positions 51-68 slip to round 8 —
+# they lead the effective round-8 queue ahead of _R8_QUEUE by list
 # order, so round 8's front is STILL a two-line swap and still
 # all-first-time entries.
 _R7_FRONT = [
