@@ -566,3 +566,43 @@ class TestFacilityLocation:
         gains = [r["gain"] for r in sorted(rows, key=lambda r: r["round"])]
         assert all(gains[i] >= gains[i + 1] - 1e-9
                    for i in range(len(gains) - 1))
+
+
+class TestFellegiSunter:
+    def test_hand_counts(self, spark):
+        from vivace_graph_v3_spark.operators.entity import (
+            fellegi_sunter_weights)
+
+        # block "bk": 4 records -> 6 pairs; names: two near-identical
+        # (match), rest distinct. field f agrees on exactly the match
+        # pair and one non-match pair.
+        rows = [(1, "alpha one", "bk", "x"), (2, "alpha oni", "bk", "x"),
+                (3, "totally different", "bk", "y"),
+                (4, "another thing!!", "bk", "x")]
+        df = spark.createDataFrame(rows, "k long, nm string, blk string,"
+                                         " f string")
+        out = {r["field"]: r for r in fellegi_sunter_weights(
+            df, key_col="k", name_col="nm", block_col="blk",
+            fields=["f"]).collect()}
+        r = out["f"]
+        assert r["n_match"] == 1          # (1,2) lev = 1
+        assert r["n_unmatch"] == 5
+        assert r["n_match_agree"] == 1    # both 'x'
+        assert r["n_unmatch_agree"] == 2  # (1,4), (2,4) both 'x'
+        assert r["m_ppm"] == 1000000
+        assert r["u_ppm"] == 2 * 1000000 // 5
+        import math
+        exp_w = round(math.log2((1 / 1) / (2 / 5)), 6)
+        assert abs(r["weight_bits"] - exp_w) < 1e-9
+
+    def test_zero_counts_yield_null_weight(self, spark):
+        from vivace_graph_v3_spark.operators.entity import (
+            fellegi_sunter_weights)
+
+        rows = [(1, "aaaa", "bk", "p"), (2, "zzzz", "bk", "q")]
+        df = spark.createDataFrame(rows, "k long, nm string, blk string,"
+                                         " f string")
+        r = fellegi_sunter_weights(df, key_col="k", name_col="nm",
+                                   block_col="blk",
+                                   fields=["f"]).collect()[0]
+        assert r["n_match"] == 0 and r["weight_bits"] is None

@@ -121,7 +121,7 @@ AUDITED = [
     "viterbi_segmentation", "retrieval_ql_dirichlet",
     "negative_sampling_dist", "events_shapley_attribution",
     "v_optimal_histogram", "knn_shapley_values",
-    "facility_location_select",
+    "facility_location_select", "fellegi_sunter_weights",
 ]
 
 

@@ -183,7 +183,8 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "viterbi_segmentation", "retrieval_ql_dirichlet",
           "negative_sampling_dist", "stateful_rate_limit",
           "events_shapley_attribution", "v_optimal_histogram",
-          "knn_shapley_values", "facility_location_select"]
+          "knn_shapley_values", "facility_location_select",
+          "fellegi_sunter_weights"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -13377,9 +13377,79 @@ c{r} AS (
 SQL_FACILITY_LOCATION_SELECT = _facility_location_oracle_sql()
 
 
+def q_fellegi_sunter_weights(spark, sf_dir):
+    """Fellegi-Sunter record-linkage weight estimation
+    (operators/entity.fellegi_sunter_weights; Fellegi & Sunter 1969):
+    per comparison field (nation, market segment, balance band),
+    m = P(agree | match) and u = P(agree | non-match) estimated over
+    the 16-char-name-prefix candidate blocks (block width ~100 ids at any SF — the quadratic-pair guard) with the deterministic
+    levenshtein <= 1 training label, and the log2(m/u) agreement
+    weight — the score table behind probabilistic entity resolution."""
+    from vivace_graph_v3_spark.operators.entity import (
+        fellegi_sunter_weights)
+
+    c = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+         .withColumn("__blk", F.substring("c_name", 1, 16))
+         .withColumn("__bal_band",
+                     F.expr("cast(floor(c_acctbal / 1000) as long)")))
+    return fellegi_sunter_weights(
+        c, key_col="c_custkey", name_col="c_name", block_col="__blk",
+        fields=["c_nationkey", "c_mktsegment", "__bal_band"])
+
+
+SQL_FELLEGI_SUNTER_WEIGHTS = """
+WITH side AS (
+  SELECT substr(c_name, 1, 16) AS blk, c_custkey AS k, c_name AS nm,
+         c_nationkey AS f1, c_mktsegment AS f2,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS f3
+  FROM customer
+), pairs AS (
+  SELECT levenshtein(a.nm, b.nm) <= 1 AS is_match,
+         a.f1 = b.f1 AS g1, a.f2 = b.f2 AS g2, a.f3 = b.f3 AS g3
+  FROM side a JOIN side b ON a.blk = b.blk AND a.k < b.k
+), tot AS (
+  SELECT sum(CASE WHEN is_match THEN 1 ELSE 0 END) AS n_match,
+         sum(CASE WHEN NOT is_match THEN 1 ELSE 0 END) AS n_unmatch,
+         sum(CASE WHEN is_match AND g1 THEN 1 ELSE 0 END) AS ma1,
+         sum(CASE WHEN NOT is_match AND g1 THEN 1 ELSE 0 END) AS ua1,
+         sum(CASE WHEN is_match AND g2 THEN 1 ELSE 0 END) AS ma2,
+         sum(CASE WHEN NOT is_match AND g2 THEN 1 ELSE 0 END) AS ua2,
+         sum(CASE WHEN is_match AND g3 THEN 1 ELSE 0 END) AS ma3,
+         sum(CASE WHEN NOT is_match AND g3 THEN 1 ELSE 0 END) AS ua3
+  FROM pairs
+), longf AS (
+  SELECT 'c_nationkey' AS field, n_match, ma1 AS n_match_agree,
+         n_unmatch, ua1 AS n_unmatch_agree FROM tot
+  UNION ALL
+  SELECT 'c_mktsegment', n_match, ma2, n_unmatch, ua2 FROM tot
+  UNION ALL
+  SELECT '__bal_band', n_match, ma3, n_unmatch, ua3 FROM tot
+)
+SELECT field, CAST(n_match AS BIGINT) AS n_match,
+       CAST(n_match_agree AS BIGINT) AS n_match_agree,
+       CAST(n_unmatch AS BIGINT) AS n_unmatch,
+       CAST(n_unmatch_agree AS BIGINT) AS n_unmatch_agree,
+       CAST(CASE WHEN n_match > 0 THEN
+            n_match_agree * 1000000 // n_match END AS BIGINT) AS m_ppm,
+       CAST(CASE WHEN n_unmatch > 0 THEN
+            n_unmatch_agree * 1000000 // n_unmatch END AS BIGINT)
+         AS u_ppm,
+       CASE WHEN n_match > 0 AND n_unmatch > 0
+             AND n_match_agree > 0 AND n_unmatch_agree > 0 THEN
+         round(log2((CAST(n_match_agree AS DOUBLE)
+                     / CAST(n_match AS DOUBLE))
+                    / (CAST(n_unmatch_agree AS DOUBLE)
+                       / CAST(n_unmatch AS DOUBLE))), 6) END
+         AS weight_bits
+FROM longf
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
+    "fellegi_sunter_weights": (q_fellegi_sunter_weights,
+                               SQL_FELLEGI_SUNTER_WEIGHTS),
     "facility_location_select": (q_facility_location_select,
                                  SQL_FACILITY_LOCATION_SELECT),
     "knn_shapley_values": (q_knn_shapley_values, SQL_KNN_SHAPLEY_VALUES),
@@ -13834,7 +13904,7 @@ _R7_FRONT = [
     "retrieval_ql_dirichlet", "negative_sampling_dist",
     "stateful_rate_limit", "events_shapley_attribution",
     "v_optimal_histogram", "knn_shapley_values",
-    "facility_location_select",
+    "facility_location_select", "fellegi_sunter_weights",
     # round-7 NEW registrations (prepended per convention, each pushing
     # the front's tail entry into _R8_QUEUE's head): WAL round-trip,
     # once/cut determinism, then the LLM-pipeline batch — n-gram
