@@ -13445,7 +13445,54 @@ FROM longf
 """
 
 
+def q_dedup_edit_distance(spark, sf_dir):
+    """Full-text fuzzy dedup by exact Levenshtein <= 4 over PassJoin
+    segment blocking (pipeline/dedup.edit_distance_pairs; Li, Deng & Feng
+    VLDB 2011): each string emits its k+1 even segments keyed by (length,
+    seg, substring); partners emit the constant-bounded probe substrings
+    for every compatible partner length; candidates = the selective
+    equi-join, verified with the built-in JVM levenshtein — never
+    all-pairs. Oracle replays the identical partition + probe construction
+    in SQL (both engines' levenshtein is the classic unit-cost DP)."""
+    from vivace_graph_v3_spark.pipeline.dedup import edit_distance_pairs
+
+    return (edit_distance_pairs(_docs(spark, sf_dir), k=4)
+            .orderBy("id_a", "id_b"))
+
+
+SQL_DEDUP_EDIT_DISTANCE = r"""
+WITH keyed AS (
+  SELECT id, key, length(key) AS len FROM (
+    SELECT doc_id AS id,
+           regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS key
+    FROM documents) WHERE length(key) >= 20
+), seg AS (
+  SELECT id, key, len, g.seg,
+         substr(key, (g.seg * len // 5 + 1)::INT,
+                ((g.seg + 1) * len // 5 - g.seg * len // 5)::INT) AS sub
+  FROM keyed, generate_series(0, 4) g(seg)
+), probe AS (
+  SELECT DISTINCT keyed.id, keyed.key, l.l1 AS plen, g.seg,
+         substr(keyed.key, (g.seg * l.l1 // 5 + 1 + d.d)::INT,
+                ((g.seg + 1) * l.l1 // 5 - g.seg * l.l1 // 5)::INT) AS sub
+  FROM keyed,
+       LATERAL (SELECT unnest(generate_series(greatest(keyed.len - 4, 20),
+                                              keyed.len + 4)) AS l1) l,
+       generate_series(0, 4) g(seg), generate_series(-4, 4) d(d)
+  WHERE g.seg * l.l1 // 5 + 1 + d.d >= 1
+    AND g.seg * l.l1 // 5 + d.d
+        + ((g.seg + 1) * l.l1 // 5 - g.seg * l.l1 // 5) <= keyed.len
+)
+SELECT DISTINCT least(a.id, p.id) AS id_a, greatest(a.id, p.id) AS id_b,
+       levenshtein(a.key, p.key) AS edit_distance
+FROM seg a JOIN probe p
+  ON a.len = p.plen AND a.seg = p.seg AND a.sub = p.sub AND a.id <> p.id
+WHERE levenshtein(a.key, p.key) <= 4
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "dedup_edit_distance": (q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
     "fellegi_sunter_weights": (q_fellegi_sunter_weights,
@@ -13893,6 +13940,9 @@ REGISTRY: dict[str, tuple] = {
 # order, so round 8's front is STILL a two-line swap and still
 # all-first-time entries.
 _R7_FRONT = [
+    # round-7 SESSION-3 (batch-6) registrations, prepended per convention
+    # (verified green at sf0.01 AND sf0.1 on registration day)
+    "dedup_edit_distance",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy

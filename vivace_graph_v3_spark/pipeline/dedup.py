@@ -1053,3 +1053,82 @@ def lsh_band_tuning(df: DataFrame, *, text_col: str = "text",
     finally:
         base.unpersist()
         sigs.unpersist()
+
+
+# -- edit-distance (PassJoin) --------------------------------------------------
+
+def edit_distance_pairs(df: DataFrame, *, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 4,
+                        min_len: int = 20) -> DataFrame:
+    """Near-duplicate pairs by exact Levenshtein distance <= ``k`` on the
+    full whitespace-normalized text — the fuzzy-dedup pass shingle Jaccard
+    misses (a handful of scattered single-character edits barely move an
+    edit distance but destroy every 3-gram shingle that crosses them).
+
+    Candidate generation is PassJoin segment blocking (Li, Deng & Feng,
+    "PASS-JOIN: a partition-based method for similarity joins", VLDB 2011):
+    partition each string s into ``k+1`` even segments; by pigeonhole, any
+    t with ed(s, t) <= k contains at least one of s's segments EXACTLY, at
+    a start position shifted by at most k. So the indexed side emits its
+    own k+1 segments keyed by (len(s), segment-index, substring), the
+    probe side emits — for each partner length l1 in [len(t)-k, len(t)+k]
+    — the substrings of t at l1's segment positions shifted by d in
+    [-k, k], and candidates are an equi-join on (l1, seg, substring):
+    NEVER an all-pairs scan. Probe fan-out is a constant bound,
+    (2k+1)^2 (k+1) rows per document before dedup (405 at k=4),
+    independent of corpus volume; join buckets are keyed by ~len/(k+1)-char
+    aligned substrings, so bucket width is duplicate-cluster-bounded (the
+    same bound every pair generator in this module carries; the tighter
+    segment-index-dependent shift range of the paper is a further constant-
+    factor cut left on the table for clarity). Survivors are verified with
+    the built-in JVM ``levenshtein`` (codegen, no Python).
+
+    Returns distinct (id_a, id_b, edit_distance), id_a < id_b. Exact: the
+    oracle replays the identical partition + probe construction in SQL.
+    Texts shorter than ``min_len`` after normalization are out of scope
+    (segments degenerate; short-text near-dup is the shingle passes' job)."""
+    n = k + 1
+    keyed = (df.select(F.col(id_col).alias("id"),
+                       normalized_text(F.col(text_col)).alias("key"))
+             .filter(F.length("key") >= min_len)
+             .withColumn("len", F.length("key")))
+
+    # indexed side: s's own k+1 segments at its own length's partition
+    segs = (keyed.select(
+        "id", "key", "len",
+        F.expr(f"""explode(transform(sequence(0, {k}), seg -> struct(
+            seg as seg,
+            substring(key, cast(seg * len div {n} + 1 as int),
+                      cast((seg + 1) * len div {n} - seg * len div {n} as int))
+              as sub)))""").alias("p"))
+        .select("id", "key", "len", "p.seg", "p.sub"))
+
+    # probe side: for each partner length l1 within +-k, l1's segment
+    # positions shifted by d in [-k, k], clipped to t's bounds
+    probes = (keyed.select(
+        "id", "key", F.col("len").alias("tlen"),
+        F.expr(f"""explode(flatten(flatten(
+          transform(sequence(greatest(len - {k}, {min_len}), len + {k}), l1 ->
+            transform(sequence(0, {k}), seg ->
+              transform(sequence(-{k}, {k}), d -> struct(
+                l1 as len, seg as seg,
+                cast(seg * l1 div {n} + 1 + d as int) as st,
+                cast((seg + 1) * l1 div {n} - seg * l1 div {n} as int)
+                  as ln)))))))""").alias("p"))
+        .select("id", "key", "p.len", "p.seg", "p.st", "p.ln")
+        .filter((F.col("st") >= 1)
+                & (F.col("st") + F.col("ln") - 1 <= F.col("tlen")))
+        .select("id", "key", "len", "seg",
+                F.expr("substring(key, st, ln)").alias("sub"))
+        .dropDuplicates(["id", "len", "seg", "sub"]))
+
+    a, b = segs.alias("a"), probes.alias("b")
+    return (a.join(b, (F.col("a.len") == F.col("b.len"))
+                   & (F.col("a.seg") == F.col("b.seg"))
+                   & (F.col("a.sub") == F.col("b.sub"))
+                   & (F.col("a.id") != F.col("b.id")))
+            .select(F.least("a.id", "b.id").alias("id_a"),
+                    F.greatest("a.id", "b.id").alias("id_b"),
+                    F.levenshtein("a.key", "b.key").alias("edit_distance"))
+            .filter(F.col("edit_distance") <= k)
+            .dropDuplicates())
