@@ -1093,20 +1093,27 @@ def edit_distance_pairs(df: DataFrame, *, text_col: str = "text",
              .filter(F.length("key") >= min_len)
              .withColumn("len", F.length("key")))
 
+    # The fan-out tables carry an 8-byte xxhash64 of each substring, not
+    # the substring itself — the blocking shuffle moves (id, len, seg, h)
+    # rows only. A hash collision can only ADD a candidate pair, and every
+    # candidate is levenshtein-verified below, so the result set is
+    # identical to joining on the raw substrings (the oracle does the
+    # latter) while the shuffle is ~10x narrower.
+
     # indexed side: s's own k+1 segments at its own length's partition
     segs = (keyed.select(
-        "id", "key", "len",
+        "id", "len",
         F.expr(f"""explode(transform(sequence(0, {k}), seg -> struct(
             seg as seg,
-            substring(key, cast(seg * len div {n} + 1 as int),
-                      cast((seg + 1) * len div {n} - seg * len div {n} as int))
-              as sub)))""").alias("p"))
-        .select("id", "key", "len", "p.seg", "p.sub"))
+            xxhash64(substring(key, cast(seg * len div {n} + 1 as int),
+                     cast((seg + 1) * len div {n} - seg * len div {n} as int)))
+              as h)))""").alias("p"))
+        .select("id", "len", "p.seg", "p.h"))
 
     # probe side: for each partner length l1 within +-k, l1's segment
     # positions shifted by d in [-k, k], clipped to t's bounds
     probes = (keyed.select(
-        "id", "key", F.col("len").alias("tlen"),
+        "id", F.col("len").alias("tlen"),
         F.expr(f"""explode(flatten(flatten(
           transform(sequence(greatest(len - {k}, {min_len}), len + {k}), l1 ->
             transform(sequence(0, {k}), seg ->
@@ -1114,21 +1121,24 @@ def edit_distance_pairs(df: DataFrame, *, text_col: str = "text",
                 l1 as len, seg as seg,
                 cast(seg * l1 div {n} + 1 + d as int) as st,
                 cast((seg + 1) * l1 div {n} - seg * l1 div {n} as int)
-                  as ln)))))))""").alias("p"))
-        .select("id", "key", "p.len", "p.seg", "p.st", "p.ln")
-        .filter((F.col("st") >= 1)
-                & (F.col("st") + F.col("ln") - 1 <= F.col("tlen")))
-        .select("id", "key", "len", "seg",
-                F.expr("substring(key, st, ln)").alias("sub"))
-        .dropDuplicates(["id", "len", "seg", "sub"]))
+                  as ln)))))))""").alias("p"),
+        "key")
+        .filter((F.col("p.st") >= 1)
+                & (F.col("p.st") + F.col("p.ln") - 1 <= F.col("tlen")))
+        .select("id", F.col("p.len").alias("len"), F.col("p.seg").alias("seg"),
+                F.expr("xxhash64(substring(key, p.st, p.ln))").alias("h"))
+        .dropDuplicates(["id", "len", "seg", "h"]))
 
-    a, b = segs.alias("a"), probes.alias("b")
-    return (a.join(b, (F.col("a.len") == F.col("b.len"))
-                   & (F.col("a.seg") == F.col("b.seg"))
-                   & (F.col("a.sub") == F.col("b.sub"))
-                   & (F.col("a.id") != F.col("b.id")))
+    cand = (segs.alias("a")
+            .join(probes.alias("b"), ["len", "seg", "h"])
+            .filter(F.col("a.id") != F.col("b.id"))
             .select(F.least("a.id", "b.id").alias("id_a"),
-                    F.greatest("a.id", "b.id").alias("id_b"),
-                    F.levenshtein("a.key", "b.key").alias("edit_distance"))
-            .filter(F.col("edit_distance") <= k)
+                    F.greatest("a.id", "b.id").alias("id_b"))
             .dropDuplicates())
+
+    ka = keyed.select(F.col("id").alias("id_a"), F.col("key").alias("key_a"))
+    kb = keyed.select(F.col("id").alias("id_b"), F.col("key").alias("key_b"))
+    return (cand.join(ka, "id_a").join(kb, "id_b")
+            .select("id_a", "id_b",
+                    F.levenshtein("key_a", "key_b").alias("edit_distance"))
+            .filter(F.col("edit_distance") <= k))
