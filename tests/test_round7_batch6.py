@@ -65,3 +65,89 @@ class TestEditDistancePairs:
         rows = edit_distance_pairs(df, k=2).collect()
         assert [(r["id_a"], r["id_b"], r["edit_distance"])
                 for r in rows] == [("a", "b", 0)]
+
+
+from fractions import Fraction
+
+from vivace_graph_v3_spark.operators.stats_inference import isotonic_fit
+
+
+def _pava(bins):
+    """Reference pool-adjacent-violators over (bin, n, pos), exact."""
+    pools = [[b, n, pos] for b, n, pos in sorted(bins)]
+    out = []
+    for p in pools:
+        out.append(p[:])
+        while len(out) >= 2 and (Fraction(out[-2][2], out[-2][1])
+                                 > Fraction(out[-1][2], out[-1][1])):
+            b2, n2, p2 = out.pop()
+            out[-1][1] += n2
+            out[-1][2] += p2
+    fit = {}
+    i = 0
+    for b, n, pos in sorted(bins):
+        # find the pool containing b
+        while not (out[i][0] <= b and (i + 1 == len(out) or b < out[i + 1][0])):
+            i += 1
+        fit[b] = Fraction(out[i][2], out[i][1])
+    return fit
+
+
+class TestIsotonicFit:
+    def _check(self, spark, rows):
+        df = spark.createDataFrame(
+            [(b, bool(y)) for b, n, pos in rows
+             for y in [1] * pos + [0] * (n - pos)],
+            "qbin long, label boolean")
+        got = {r["bin"]: (r["n"], r["n_pos"], r["fitted_ppm"])
+               for r in isotonic_fit(df, "qbin", "label").collect()}
+        want = _pava(rows)
+        assert set(got) == {b for b, _, _ in rows}
+        for b, n, pos in rows:
+            gn, gpos, gfit = got[b]
+            assert (gn, gpos) == (n, pos)
+            assert gfit == (want[b].numerator * 1000000
+                            // want[b].denominator), (b, gfit, want[b])
+        fits = [got[b][2] for b in sorted(got)]
+        assert all(a <= c for a, c in zip(fits, fits[1:]))
+
+    def test_hand_example(self, spark):
+        # classic PAVA fixture: the middle violation pools bins 2-3
+        self._check(spark, [(0, 10, 1), (1, 10, 5), (2, 10, 9), (3, 10, 6),
+                            (4, 10, 10)])
+
+    def test_already_monotone_is_identity(self, spark):
+        rows = [(0, 5, 0), (1, 5, 1), (2, 5, 3), (3, 5, 5)]
+        self._check(spark, rows)
+
+    def test_all_decreasing_pools_to_global_mean(self, spark):
+        rows = [(0, 4, 4), (1, 4, 2), (2, 4, 0)]
+        self._check(spark, rows)
+        # single pool: global mean 6/12
+        df = spark.createDataFrame(
+            [(b, bool(y)) for b, n, pos in rows
+             for y in [1] * pos + [0] * (n - pos)], "qbin long, label boolean")
+        fits = {r["fitted_ppm"]
+                for r in isotonic_fit(df, "qbin", "label").collect()}
+        assert fits == {500000}
+
+    def test_random_vs_reference(self, spark):
+        import random
+        rng = random.Random(7)
+        for trial in range(3):
+            rows = [(b, n, rng.randint(0, n))
+                    for b, n in ((i, rng.randint(1, 8)) for i in range(12))]
+            self._check(spark, rows)
+
+    def test_mass_preservation(self, spark):
+        # sum n * fitted_fraction == total positives (checked in ppm with
+        # bounded floor error: < 1 per bin)
+        rows = [(0, 7, 5), (1, 3, 1), (2, 9, 4), (3, 5, 5)]
+        df = spark.createDataFrame(
+            [(b, bool(y)) for b, n, pos in rows
+             for y in [1] * pos + [0] * (n - pos)], "qbin long, label boolean")
+        got = isotonic_fit(df, "qbin", "label").collect()
+        approx = sum(r["n"] * r["fitted_ppm"] for r in got) / 1e6
+        total = sum(pos for _, _, pos in rows)
+        assert abs(approx - total) < len(rows) * 1e-6 * sum(
+            n for _, n, _ in rows)

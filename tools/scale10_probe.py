@@ -184,7 +184,12 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "negative_sampling_dist", "stateful_rate_limit",
           "events_shapley_attribution", "v_optimal_histogram",
           "knn_shapley_values", "facility_location_select",
-          "fellegi_sunter_weights"]
+          "fellegi_sunter_weights",
+          # session-3 batch-6: PassJoin blocking shuffles hashed segment
+          # keys (output grows with dup-group size^2 on the degenerate
+          # 10x corpus); isotonic reduces the corpus to the bin grid in
+          # one aggregate, then runs B-row hull joins
+          "dedup_edit_distance", "isotonic_calibration"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

@@ -13491,8 +13491,63 @@ WHERE levenshtein(a.key, p.key) <= 4
 """
 
 
+def q_isotonic_calibration(spark, sf_dir):
+    """Exact weighted isotonic (PAVA) calibration of P(lang='en') against
+    the document-length bin (operators/stats_inference.isotonic_fit;
+    Zadrozny & Elkan KDD 2002) via the greatest-convex-minorant hull of
+    the integer cumulative-count points — every hull test is an integer
+    cross product in DECIMAL(38,0), so the fit is engine-exact at any SF.
+    One aggregate reduces the corpus to the bin grid; the O(B^3) chord
+    join and covering range join run on B-row relations."""
+    from vivace_graph_v3_spark.operators.stats_inference import isotonic_fit
+
+    d = _docs(spark, sf_dir).select(
+        F.least(F.expr("n_chars div 30"), F.lit(19)).alias("qbin"),
+        (F.col("lang") == "en").alias("is_en"))
+    return isotonic_fit(d, "qbin", "is_en")
+
+
+SQL_ISOTONIC_CALIBRATION = r"""
+WITH bins AS (
+  SELECT least(n_chars // 30, 19) AS bin, count(*) AS n,
+         sum((lang = 'en')::INT) AS pos
+  FROM documents GROUP BY 1
+), pts0 AS (
+  SELECT bin, n, pos,
+         row_number() OVER (ORDER BY bin) AS idx,
+         sum(n) OVER (ORDER BY bin) AS x,
+         sum(pos) OVER (ORDER BY bin) AS y
+  FROM bins
+), pts AS (
+  SELECT idx, x, y FROM pts0
+  UNION ALL SELECT 0, 0, 0
+), removed AS (
+  SELECT DISTINCT j.idx
+  FROM pts i, pts j, pts k
+  WHERE i.idx < j.idx AND j.idx < k.idx
+    AND (j.y - i.y)::HUGEINT * (k.x - i.x)::HUGEINT
+      > (k.y - i.y)::HUGEINT * (j.x - i.x)::HUGEINT
+), verts AS (
+  SELECT idx, x, y FROM pts WHERE idx NOT IN (SELECT idx FROM removed)
+), edges AS (
+  SELECT * FROM (
+    SELECT lag(idx) OVER (ORDER BY idx) AS u_idx, idx AS v_idx,
+           y - lag(y) OVER (ORDER BY idx) AS dy,
+           x - lag(x) OVER (ORDER BY idx) AS dx
+    FROM verts) WHERE u_idx IS NOT NULL
+)
+SELECT b.bin::BIGINT AS bin, b.n::BIGINT AS n, b.pos::BIGINT AS n_pos,
+       (b.pos * 1000000 // b.n)::BIGINT AS rate_ppm,
+       (e.dy * 1000000 // e.dx)::BIGINT AS fitted_ppm
+FROM pts0 b JOIN edges e ON e.u_idx < b.idx AND b.idx <= e.v_idx
+ORDER BY b.bin
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_edit_distance": (q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
+    "isotonic_calibration": (q_isotonic_calibration,
+                             SQL_ISOTONIC_CALIBRATION),
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
     "fellegi_sunter_weights": (q_fellegi_sunter_weights,
@@ -13942,7 +13997,7 @@ REGISTRY: dict[str, tuple] = {
 _R7_FRONT = [
     # round-7 SESSION-3 (batch-6) registrations, prepended per convention
     # (verified green at sf0.01 AND sf0.1 on registration day)
-    "dedup_edit_distance",
+    "dedup_edit_distance", "isotonic_calibration",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy

@@ -48,6 +48,7 @@ __all__ = [
     "kish_ess",
     "bh_fdr",
     "krippendorff_alpha_nominal",
+    "isotonic_fit",
 ]
 
 
@@ -895,3 +896,75 @@ def krippendorff_alpha_nominal(df: DataFrame, label_a: str,
         F.when(F.col("denom") > 0,
                F.expr("1000000 - ((N - 1) * D * 1000000) div denom"))
         .cast("long").alias("alpha_ppm"))
+
+
+def isotonic_fit(df: DataFrame, bin_col: str, label_col: str) -> DataFrame:
+    """Exact weighted isotonic regression (PAVA) of a binary outcome's
+    rate against an ordered integer bin — the monotone calibration map a
+    quality/score classifier is squeezed through before it gates a corpus
+    (Zadrozny & Elkan, KDD 2002 use isotonic regression exactly for
+    classifier calibration).
+
+    Computed via the greatest-convex-minorant characterization (Barlow,
+    Bartholomew, Bremner & Brunk 1972; Robertson, Wright & Dykstra 1988):
+    the isotonic fit over bin b is the slope of the lower convex hull of
+    the cumulative points P_j = (sum of n, sum of pos) up to bin j
+    (origin prepended), on the hull edge whose x-span covers bin b. Every
+    hull test is an integer cross product — point j is OFF the hull iff
+    some chord (i, k), i < j < k, passes strictly below it:
+    (y_j - y_i)(x_k - x_i) > (y_k - y_i)(x_j - x_i) — evaluated in
+    DECIMAL(38,0), exact while counts stay below ~10^18 (a 100 TB corpus
+    is ~10^12 docs; products reach counts^2 ~ 10^24 < 10^38). No float
+    enters the fit, so the result is engine-exact at any SF, and the
+    selected hull EDGE is unique even under fraction ties (collinear hull
+    points yield identical slopes either way).
+
+    Scale shape: ONE map-side-combined aggregate reduces the corpus to
+    the |bins| grid; everything after (the O(B^3) chord triple join, the
+    edge window, the covering range join) runs on B-row relations —
+    volume-independent driver-free plans. Returns one row per non-empty
+    bin: (bin, n, n_pos, rate_ppm, fitted_ppm), fitted_ppm nondecreasing
+    in bin, pool-wise mass-preserving (sum n*fitted == sum pos exactly in
+    fraction space; ppm output floors)."""
+    bins = (df.groupBy(F.col(bin_col).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(F.col(label_col).cast("long")).alias("pos")))
+    w = Window.orderBy("bin")
+    pts0 = bins.select(
+        "bin", "n", "pos",
+        F.row_number().over(w).alias("idx"),
+        F.sum("n").over(w).alias("x"),
+        F.sum("pos").over(w).alias("y"))
+    origin = df.sparkSession.range(1).select(
+        F.lit(0).alias("idx"), F.lit(0).cast("long").alias("x"),
+        F.lit(0).cast("long").alias("y"))
+    pts = pts0.select("idx", "x", "y").unionByName(origin)
+
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    i, j, k = pts.alias("i"), pts.alias("j"), pts.alias("k")
+    removed = (j.join(i, F.col("i.idx") < F.col("j.idx"))
+               .join(k, F.col("j.idx") < F.col("k.idx"))
+               .filter(d38(F.col("j.y") - F.col("i.y"))
+                       * d38(F.col("k.x") - F.col("i.x"))
+                       > d38(F.col("k.y") - F.col("i.y"))
+                       * d38(F.col("j.x") - F.col("i.x")))
+               .select(F.col("j.idx").alias("idx")).dropDuplicates())
+    verts = pts.join(removed, "idx", "left_anti")
+
+    vw = Window.orderBy("idx")
+    edges = (verts.select(
+        F.lag("idx").over(vw).alias("u_idx"), F.col("idx").alias("v_idx"),
+        (F.col("y") - F.lag("y").over(vw)).alias("dy"),
+        (F.col("x") - F.lag("x").over(vw)).alias("dx"))
+        .filter(F.col("u_idx").isNotNull()))
+
+    return (pts0.alias("b")
+            .join(edges.alias("e"),
+                  (F.col("e.u_idx") < F.col("b.idx"))
+                  & (F.col("b.idx") <= F.col("e.v_idx")))
+            .select(
+                F.col("b.bin").alias("bin"), F.col("b.n").alias("n"),
+                F.col("b.pos").alias("n_pos"),
+                F.expr("pos * 1000000L div n").alias("rate_ppm"),
+                F.expr("dy * 1000000L div dx").alias("fitted_ppm"))
+            .orderBy("bin"))
