@@ -151,3 +151,108 @@ class TestIsotonicFit:
         total = sum(pos for _, _, pos in rows)
         assert abs(approx - total) < len(rows) * 1e-6 * sum(
             n for _, n, _ in rows)
+
+
+from vivace_graph_v3_spark.operators.graph_algorithms import (
+    bowtie_decomposition, strongly_connected_components)
+
+
+def _tarjan(nodes, edges):
+    """Iterative Tarjan SCC; returns {node: min-member-of-its-scc}."""
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    index, low, onstack, stack = {}, {}, set(), []
+    sccs, counter = [], [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, [])))]
+        index[root] = low[root] = counter[0]; counter[0] += 1
+        stack.append(root); onstack.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]; counter[0] += 1
+                    stack.append(w); onstack.add(w)
+                    work.append((w, iter(adj.get(w, []))))
+                    advanced = True
+                    break
+                elif w in onstack:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop(); onstack.discard(w); comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+    return {n: min(c) for c in sccs for n in c}
+
+
+class TestStronglyConnectedComponents:
+    def test_hand_graph(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("c", "e"),
+             ("f", "g"), ("x", "y"), ("y", "x")], "src string, dst string")
+        got = dict((r["id"], r["scc_id"])
+                   for r in strongly_connected_components(edges).collect())
+        assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e",
+                       "f": "f", "g": "g", "x": "x", "y": "x"}
+
+    def test_random_vs_tarjan(self, spark):
+        import random
+        rng = random.Random(11)
+        for trial in range(2):
+            nodes = [f"n{i:02d}" for i in range(24)]
+            edges = {(rng.choice(nodes), rng.choice(nodes))
+                     for _ in range(60)}
+            edges = [(s, d) for s, d in edges if s != d]
+            df = spark.createDataFrame(edges, "src string, dst string")
+            got = dict((r["id"], r["scc_id"])
+                       for r in strongly_connected_components(df).collect())
+            touched = {s for s, _ in edges} | {d for _, d in edges}
+            want = {n: c for n, c in _tarjan(touched, edges).items()}
+            assert got == want
+
+    def test_two_cycles_bridged(self, spark):
+        # a->b->a, c->d->c, b->c: two SCCs, NOT merged by the one-way bridge
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("c", "d"), ("d", "c"), ("b", "c")],
+            "src string, dst string")
+        got = dict((r["id"], r["scc_id"])
+                   for r in strongly_connected_components(edges).collect())
+        assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
+
+
+class TestBowtie:
+    def test_hand_graph(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "c"), ("c", "a"), ("d", "a"), ("c", "e"),
+             ("f", "g"), ("x", "y"), ("y", "x")], "src string, dst string")
+        scc = strongly_connected_components(edges)
+        got = dict((r["id"], r["klass"])
+                   for r in bowtie_decomposition(edges, scc).collect())
+        assert got == {"a": "core", "b": "core", "c": "core", "d": "in",
+                       "e": "out", "f": "other", "g": "other",
+                       "x": "other", "y": "other"}
+
+    def test_in_out_chains(self, spark):
+        # chains into and out of the core classify transitively
+        edges = spark.createDataFrame(
+            [("m", "n"), ("n", "m"), ("i2", "i1"), ("i1", "m"),
+             ("n", "o1"), ("o1", "o2"), ("t1", "i1")],
+            "src string, dst string")
+        scc = strongly_connected_components(edges)
+        got = dict((r["id"], r["klass"])
+                   for r in bowtie_decomposition(edges, scc).collect())
+        assert got == {"m": "core", "n": "core", "i1": "in", "i2": "in",
+                       "o1": "out", "o2": "out", "t1": "in"}

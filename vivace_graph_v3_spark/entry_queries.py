@@ -13544,10 +13544,145 @@ ORDER BY b.bin
 """
 
 
+def _trade_flow_edges(spark, sf_dir, *, nationkey: int = 1):
+    """Directed cyclic 'trade-flow' graph over one nation's market:
+    customer -> supplier when the customer repeatedly bought from the
+    supplier (>= 2 non-returned lineitems), supplier -> customer when any
+    lineitem was returned ('R'). Returns and repeat purchases close
+    cycles, giving the graph a genuine core-periphery SCC structure. The
+    nation restriction bounds the oracle's reachability closure; the
+    Spark algorithms are volume-scalable regardless."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_nationkey") == nationkey)
+            .select(F.col("c_custkey").alias("o_custkey")))
+    base = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select(F.col("l_orderkey").alias("o_orderkey"),
+                    "l_suppkey", "l_returnflag")
+            .join(spark.read.parquet(f"{sf_dir}/orders.parquet")
+                  .select("o_orderkey", "o_custkey"), "o_orderkey")
+            .join(F.broadcast(cust), "o_custkey")
+            .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                    F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+                    "l_returnflag"))
+    buys = (base.filter(F.col("l_returnflag") != "R")
+            .groupBy("c", "s").agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") >= 2)
+            .select(F.col("c").alias("src"), F.col("s").alias("dst")))
+    rets = (base.filter(F.col("l_returnflag") == "R")
+            .select(F.col("s").alias("src"), F.col("c").alias("dst"))
+            .dropDuplicates())
+    return buys.unionByName(rets)
+
+
+_TRADE_FLOW_SQL = """
+cust AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
+base AS (
+  SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s, l_returnflag AS rf
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  JOIN cust ON o_custkey = c_custkey
+),
+e AS (
+  SELECT c AS src, s AS dst FROM base WHERE rf <> 'R'
+  GROUP BY c, s HAVING count(*) >= 2
+  UNION
+  SELECT DISTINCT s, c FROM base WHERE rf = 'R'
+),
+reach(a, b) AS (
+  SELECT src, dst FROM e
+  UNION
+  SELECT r.a, e.dst FROM reach r JOIN e ON r.b = e.src
+),
+mutual AS (
+  SELECT r1.a AS u, r1.b AS v
+  FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+),
+-- NB: inside a WITH RECURSIVE block DuckDB does NOT dedup a top-level
+-- UNION of a non-self-referencing CTE, so the dedup must be explicit
+nodes AS (SELECT DISTINCT id FROM (
+  SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+scc AS (
+  SELECT n.id, least(n.id, coalesce(min(m.v), n.id)) AS scc_id
+  FROM nodes n LEFT JOIN mutual m ON m.u = n.id GROUP BY n.id
+)
+"""
+
+
+def q_graph_scc(spark, sf_dir):
+    """Strongly connected components of the directed trade-flow graph
+    (operators/graph_algorithms.strongly_connected_components — iterated
+    FW-BW min-label peeling, Fleischer et al. 2000 / the Pregel coloring
+    formulation; beyond-reference graph analytics in the spirit of
+    vivace-graph-v3's traversal surface, traversal.lisp). Output: the
+    component-size histogram (scc_size, n_sccs). Oracle: recursive-CTE
+    mutual reachability, tractable under the entry's nation restriction."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        strongly_connected_components)
+
+    scc = strongly_connected_components(_trade_flow_edges(spark, sf_dir))
+    return (scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy(F.col("sz").alias("scc_size"))
+            .agg(F.count(F.lit(1)).alias("n_sccs"))
+            .orderBy("scc_size"))
+
+
+SQL_GRAPH_SCC = f"""
+WITH RECURSIVE {_TRADE_FLOW_SQL}
+SELECT cnt::BIGINT AS scc_size, count(*)::BIGINT AS n_sccs FROM (
+  SELECT scc_id, count(*) AS cnt FROM scc GROUP BY scc_id)
+GROUP BY cnt ORDER BY scc_size
+"""
+
+
+def q_graph_bowtie(spark, sf_dir):
+    """Broder bow-tie decomposition of the trade-flow graph relative to
+    its largest SCC (operators/graph_algorithms.bowtie_decomposition;
+    Broder et al. WWW 2000): core / in / out / other node counts. The
+    membership closures run as min-label fixpoints on the core-collapsed
+    graph — the same Pregel-shaped plan as SCC itself."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        bowtie_decomposition, strongly_connected_components)
+
+    edges = _trade_flow_edges(spark, sf_dir)
+    scc = strongly_connected_components(edges)
+    return (bowtie_decomposition(edges, scc)
+            .groupBy("klass").agg(F.count(F.lit(1)).alias("n_nodes"))
+            .orderBy("klass"))
+
+
+SQL_GRAPH_BOWTIE = f"""
+WITH RECURSIVE {_TRADE_FLOW_SQL},
+core AS (
+  SELECT scc_id, count(*) AS n FROM scc GROUP BY scc_id
+  ORDER BY n DESC, scc_id LIMIT 1
+),
+core_nodes AS (SELECT id FROM scc WHERE scc_id = (SELECT scc_id FROM core)),
+reach_core AS (
+  SELECT DISTINCT r.a AS id FROM reach r
+  WHERE r.b IN (SELECT id FROM core_nodes)
+),
+reached_from_core AS (
+  SELECT DISTINCT r.b AS id FROM reach r
+  WHERE r.a IN (SELECT id FROM core_nodes)
+),
+klass AS (
+  SELECT n.id,
+         CASE WHEN n.id IN (SELECT id FROM core_nodes) THEN 'core'
+              WHEN n.id IN (SELECT id FROM reach_core) THEN 'in'
+              WHEN n.id IN (SELECT id FROM reached_from_core) THEN 'out'
+              ELSE 'other' END AS klass
+  FROM nodes n
+)
+SELECT klass, count(*)::BIGINT AS n_nodes FROM klass
+GROUP BY klass ORDER BY klass
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "dedup_edit_distance": (q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
     "isotonic_calibration": (q_isotonic_calibration,
                              SQL_ISOTONIC_CALIBRATION),
+    "graph_scc": (q_graph_scc, SQL_GRAPH_SCC),
+    "graph_bowtie": (q_graph_bowtie, SQL_GRAPH_BOWTIE),
     "temperature_mix_weights": (q_temperature_mix_weights,
                                 SQL_TEMPERATURE_MIX_WEIGHTS),
     "fellegi_sunter_weights": (q_fellegi_sunter_weights,
@@ -13997,7 +14132,8 @@ REGISTRY: dict[str, tuple] = {
 _R7_FRONT = [
     # round-7 SESSION-3 (batch-6) registrations, prepended per convention
     # (verified green at sf0.01 AND sf0.1 on registration day)
-    "dedup_edit_distance", "isotonic_calibration",
+    "dedup_edit_distance", "isotonic_calibration", "graph_scc",
+    "graph_bowtie",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy

@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window, functions as F
 
 from vivace_graph_v3_spark.graph import GraphStore
+from vivace_graph_v3_spark.util import checkpoint_rebased
 
 
 def _edge_pairs(graph: GraphStore, edge_type: str | None,
@@ -1170,3 +1171,171 @@ def landmark_stress(graph: GraphStore, landmarks: list[str], *,
                         "sum_sigma", "sum_stress", "max_stress"))
     finally:
         edges.unpersist()
+
+
+# -- strongly connected components / bow-tie ----------------------------------
+
+def _reach_min(edges: DataFrame, nodes: DataFrame, *, max_iter: int = 50,
+               check_every: int = 3) -> DataFrame:
+    """Fixpoint of directed min-label propagation: lab(v) = min id over
+    {v} ∪ {w : v ⇝ w} along ``edges`` (src -> dst). Pointer jumping is
+    sound here because lab(v) is always a node v REACHES, and reach is
+    transitive (R(lab(v)) ⊆ R(v)) — so chains converge in O(log diameter)
+    rounds like the undirected CC loop. Returns (id, lab)."""
+    labels = (nodes.select("id").withColumn("lab", F.col("id"))
+              .transform(checkpoint_rebased))
+    for it in range(max_iter):
+        nbr = (edges.join(labels.select(F.col("id").alias("dst"),
+                                        F.col("lab").alias("nlab")), "dst")
+               .groupBy("src").agg(F.min("nlab").alias("nmin"))
+               .withColumnRenamed("src", "id"))
+        stepped = (labels.join(nbr, "id", "left")
+                   .select("id", F.least(F.col("lab"),
+                                         F.coalesce(F.col("nmin"),
+                                                    F.col("lab"))).alias("lab"))
+                   # materialize before the self-join: self-joining the
+                   # live plan can stall the broadcast-build thread until
+                   # spark.sql.broadcastTimeout (the v_optimal_histogram
+                   # lesson, SCALING.md) — a checkpointed 2-column label
+                   # table is also strictly cheaper to rebuild twice
+                   .transform(checkpoint_rebased))
+        jumped = (stepped.join(stepped.select(F.col("id").alias("lab"),
+                                              F.col("lab").alias("lab2")),
+                               "lab", "left")
+                  .select("id", F.least(F.col("lab"),
+                                        F.coalesce(F.col("lab2"),
+                                                   F.col("lab"))).alias("lab"))
+                  .transform(checkpoint_rebased))
+        if (it + 1) % check_every == 0 or it == max_iter - 1:
+            changed = (jumped.join(labels.withColumnRenamed("lab", "old"), "id")
+                       .filter(F.col("lab") != F.col("old")).limit(1))
+            labels = jumped
+            if changed.isEmpty():
+                return labels
+        else:
+            labels = jumped
+    raise RuntimeError(f"_reach_min did not converge in {max_iter} rounds")
+
+
+def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
+                                  dst_col: str = "dst", max_rounds: int = 25,
+                                  max_iter: int = 50) -> DataFrame:
+    """Exact strongly connected components of a directed edge DataFrame,
+    by iterated forward/backward min-label peeling (the coloring variant
+    of FW-BW — Fleischer, Hendrickson & Pinar IPDPS 2000; Orzan 2004;
+    the standard Pregel/BSP SCC formulation):
+
+    per round, fmin(v) = min id v can reach, bmin(v) = min id that can
+    reach v (two ``_reach_min`` fixpoints, the backward one on reversed
+    edges). fmin(v) = bmin(v) = m certifies v ⇝ m and m ⇝ v, i.e.
+    v ∈ SCC(m) — and conversely every member of SCC(m) carries exactly
+    (m, m) when m is the min of both reach sets, so each round settles
+    every "locally minimal" SCC at once (always including the SCC of the
+    globally minimal active id — guaranteed progress). Settled nodes are
+    deleted; this is safe because a cycle through a settled node u and an
+    unsettled v would put u and v in the same SCC. Rounds needed = depth
+    of the SCC-condensation chain ordered by min labels — 2-3 on
+    core-periphery graphs, bounded by ``max_rounds`` (RuntimeError past
+    the budget rather than a silently partial answer).
+
+    100 TB shape: every step is an edge-grouped aggregate or a label
+    join — the Pregel cost model, linear in |E| per propagation round,
+    no driver-side state. Returns (id, scc_id) with scc_id = min member
+    id of the component."""
+    e0 = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+          .filter(F.col("src") != F.col("dst"))
+          .dropDuplicates().persist())
+    nodes = (e0.select(F.col("src").alias("id"))
+             .unionByName(e0.select(F.col("dst").alias("id")))
+             .dropDuplicates().transform(checkpoint_rebased))
+    rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    try:
+        active_n, active_e, active_r = nodes, e0, rev
+        result = None
+        for _ in range(max_rounds):
+            if active_n.isEmpty():
+                return result
+            f = _reach_min(active_e, active_n, max_iter=max_iter)
+            b = (_reach_min(active_r, active_n, max_iter=max_iter)
+                 .withColumnRenamed("lab", "blab"))
+            lab = f.join(b, "id")
+            settled = (lab.filter(F.col("lab") == F.col("blab"))
+                       .select("id", F.col("lab").alias("scc_id"))
+                       .transform(checkpoint_rebased))
+            result = (settled if result is None
+                      else result.unionByName(settled)
+                      .transform(checkpoint_rebased))
+            active_n = (lab.filter(F.col("lab") != F.col("blab"))
+                        .select("id").transform(checkpoint_rebased))
+            keep_src = active_n.withColumnRenamed("id", "src")
+            keep_dst = active_n.withColumnRenamed("id", "dst")
+            active_e = (active_e.join(keep_src, "src").join(keep_dst, "dst")
+                        .transform(checkpoint_rebased))
+            active_r = active_e.select(F.col("dst").alias("src"),
+                                       F.col("src").alias("dst"))
+        raise RuntimeError(
+            f"strongly_connected_components: {max_rounds} peel rounds "
+            "exhausted before the condensation chain bottomed out")
+    finally:
+        e0.unpersist()
+
+
+def bowtie_decomposition(edges: DataFrame, scc: DataFrame, *,
+                         src_col: str = "src", dst_col: str = "dst",
+                         max_iter: int = 50) -> DataFrame:
+    """Broder bow-tie decomposition (Broder et al., "Graph structure in
+    the web", WWW 2000) relative to the largest SCC: every node is CORE
+    (in the largest SCC — ties broken by min scc_id), IN (reaches the
+    core but is not in it), OUT (reached from the core), else OTHER
+    (tendrils + disconnected). IN and OUT cannot overlap: a node both
+    reaching and reached from the core is mutually connected with it and
+    therefore IN the core.
+
+    Membership is two frontier closures seeded at the core (backward for
+    IN, forward for OUT) — semi-join frontier expansion with min-label
+    shortcutting via ``_reach_min`` on the core-collapsed labels: reach-
+    to-core is exactly "my forward reach-min equals the core's collapsed
+    label" after relabeling every core node to one sentinel smaller than
+    all ids. Takes the (id, scc_id) output of
+    ``strongly_connected_components``. Returns (id, klass)."""
+    e = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+         .filter(F.col("src") != F.col("dst")).dropDuplicates())
+    core_id = (scc.groupBy("scc_id").agg(F.count(F.lit(1)).alias("n"))
+               .orderBy(F.desc("n"), F.asc("scc_id")).limit(1)
+               .select("scc_id"))
+    core = (scc.join(F.broadcast(core_id), "scc_id").select("id")
+            .withColumn("is_core", F.lit(True)))
+    # collapse the core to a sentinel that sorts below every real id, so
+    # reach-min == sentinel  <=>  reaches the core
+    sent = ""
+    lab0 = (scc.select("id").join(core.select("id", "is_core"), "id", "left")
+            .select("id", F.when(F.col("is_core"), F.lit(sent))
+                    .otherwise(F.col("id")).alias("nid")))
+    remap_src = lab0.select(F.col("id").alias("src"), F.col("nid").alias("csrc"))
+    remap_dst = lab0.select(F.col("id").alias("dst"), F.col("nid").alias("cdst"))
+    # materialize the collapsed edge list ONCE — _reach_min re-reads its
+    # edge side every iteration, and without this the whole upstream edge
+    # pipeline (joins, aggregates) would re-run per propagation round
+    ce = (e.join(remap_src, "src").join(remap_dst, "dst")
+          .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+          .filter(F.col("src") != F.col("dst")).dropDuplicates()
+          .transform(checkpoint_rebased))
+    cnodes = (ce.select(F.col("src").alias("id"))
+              .unionByName(ce.select(F.col("dst").alias("id")))
+              .dropDuplicates().transform(checkpoint_rebased))
+    fwd = _reach_min(ce, cnodes, max_iter=max_iter)          # reaches core?
+    bwd = _reach_min(ce.select(F.col("dst").alias("src"),
+                               F.col("src").alias("dst")),
+                     cnodes, max_iter=max_iter)              # reached from?
+    reach_in = fwd.filter((F.col("lab") == sent) & (F.col("id") != sent)) \
+        .select("id").withColumn("in_side", F.lit(True))
+    reach_out = bwd.filter((F.col("lab") == sent) & (F.col("id") != sent)) \
+        .select("id").withColumn("out_side", F.lit(True))
+    return (scc.select("id")
+            .join(core.select("id", "is_core"), "id", "left")
+            .join(reach_in, "id", "left")
+            .join(reach_out, "id", "left")
+            .select("id", F.when(F.col("is_core"), "core")
+                    .when(F.col("in_side"), "in")
+                    .when(F.col("out_side"), "out")
+                    .otherwise("other").alias("klass")))

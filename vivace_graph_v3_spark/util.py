@@ -65,3 +65,34 @@ def normalize_event_ts(df: DataFrame, *, col: str = "ts") -> DataFrame:
         return df.withColumn(
             col, F.unix_micros(F.col(col).cast("timestamp")) * F.lit(1000))
     return df
+
+
+def checkpoint_rebased(df: DataFrame) -> DataFrame:
+    """Eager local checkpoint that ALSO resets Catalyst's size statistics.
+
+    ``localCheckpoint`` truncates lineage but the new ``LogicalRDD``
+    INHERITS the child plan's estimated statistics. Catalyst's
+    size-only estimator multiplies child sizeInBytes across a join, so in
+    an iterative algorithm that checkpoints a join (worse: a self-join —
+    squaring) every round, the inherited sizeInBytes BigInt grows its
+    DIGIT COUNT linearly (self-join: doubles it) per iteration. After a
+    few dozen rounds the planner spends minutes inside
+    ``BigInteger.multiplyToomCook3`` computing astronomically large join
+    estimates for 30-row frames — observed as a full planner stall (the
+    graph_bowtie entry hung past spark.sql.broadcastTimeout; stage-level
+    profiling showed 100% driver CPU in BigInt multiply under
+    SizeInBytesOnlyStatsPlanVisitor.visitJoin).
+
+    Fix: after materializing the checkpoint, rewrap its InternalRow RDD
+    with ``internalCreateDataFrame`` — a brand-new LogicalRDD carrying
+    default leaf statistics. JVM-only (no Python round trip, no
+    recompute: ``toRdd`` on a checkpointed plan is the checkpoint RDD),
+    so it is scale-safe wherever localCheckpoint is. Use this instead of
+    bare ``localCheckpoint(eager=True)`` in any loop whose body joins the
+    checkpointed frame."""
+    ck = df.localCheckpoint(eager=True)
+    jdf = ck._jdf
+    spark = ck.sparkSession
+    jreset = spark._jsparkSession.internalCreateDataFrame(
+        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    return DataFrame(jreset, spark)
