@@ -256,3 +256,50 @@ class TestBowtie:
                    for r in bowtie_decomposition(edges, scc).collect())
         assert got == {"m": "core", "n": "core", "i1": "in", "i2": "in",
                        "o1": "out", "o2": "out", "t1": "in"}
+
+
+from vivace_graph_v3_spark.pipeline.text import rouge_l_pairs
+
+
+def _lcs_len(a, b):
+    dp = [[0] * (len(b) + 1) for _ in range(len(a) + 1)]
+    for i in range(1, len(a) + 1):
+        for j in range(1, len(b) + 1):
+            dp[i][j] = max(dp[i - 1][j], dp[i][j - 1],
+                           dp[i - 1][j - 1] + (a[i - 1] == b[j - 1]))
+    return dp[len(a)][len(b)]
+
+
+class TestRougeLPairs:
+    def test_hand_pairs(self, spark):
+        docs = [
+            ("d1", "g1", "the dog bites the man today"),
+            ("d2", "g1", "the man bites the dog today"),
+            ("d3", "g1", "completely unrelated words here now"),
+            ("d4", "g2", "alpha beta gamma delta"),
+            ("d5", "g2", "alpha beta gamma delta"),
+        ]
+        df = spark.createDataFrame(docs, "doc_id string, source string, text string")
+        got = {(r["id_a"], r["id_b"]): (r["lcs_len"], r["rouge_l_f_ppm"])
+               for r in rouge_l_pairs(df).collect()}
+        # adjacent pairs per group: (d1,d2), (d2,d3), (d4,d5)
+        assert set(got) == {("d1", "d2"), ("d2", "d3"), ("d4", "d5")}
+        # 'the ... bites the ... today' -> LCS 4 despite full word overlap
+        assert got[("d1", "d2")][0] == 4
+        assert got[("d2", "d3")][0] == 0
+        assert got[("d4", "d5")] == (4, 1000000)
+
+    def test_random_vs_reference(self, spark):
+        import random
+        rng = random.Random(3)
+        vocab = [f"w{i}" for i in range(8)]
+        docs = [(f"d{i:02d}", "g", " ".join(rng.choices(vocab, k=rng.randint(1, 20))))
+                for i in range(14)]
+        df = spark.createDataFrame(docs, "doc_id string, source string, text string")
+        got = {(r["id_a"], r["id_b"]): r["lcs_len"]
+               for r in rouge_l_pairs(df).collect()}
+        txt = dict((d, t.split()[:16]) for d, _, t in docs)
+        ids = sorted(txt)
+        want = {(ids[i], ids[i + 1]): _lcs_len(txt[ids[i]], txt[ids[i + 1]])
+                for i in range(len(ids) - 1)}
+        assert got == want

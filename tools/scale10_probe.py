@@ -189,7 +189,10 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # keys (output grows with dup-group size^2 on the degenerate
           # 10x corpus); isotonic reduces the corpus to the bin grid in
           # one aggregate, then runs B-row hull joins
-          "dedup_edit_distance", "isotonic_calibration"]
+          "dedup_edit_distance", "isotonic_calibration",
+          # rouge: map-only token slices + one pairing window,
+          # then a constant-bounded per-pair integer fold
+          "rouge_l_pairs"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

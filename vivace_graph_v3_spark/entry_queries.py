@@ -13677,7 +13677,58 @@ GROUP BY klass ORDER BY klass
 """
 
 
+def q_rouge_l_pairs(spark, sf_dir):
+    """ROUGE-L within-source adjacent-pair overlap (pipeline/text.
+    rouge_l_pairs; Lin ACL-WAS 2004): the LCS DP folded as ONE Catalyst
+    aggregate expression over 16-token-bounded arrays — no loop, no
+    extra shuffle, pure integer state; oracle replays the identical
+    last-match recurrence as a recursive list-state CTE."""
+    from vivace_graph_v3_spark.pipeline.text import rouge_l_pairs
+
+    return rouge_l_pairs(_docs(spark, sf_dir))
+
+
+SQL_ROUGE_L_PAIRS = r"""
+WITH RECURSIVE base AS (
+  SELECT doc_id AS id, source AS grp,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')[1:16] AS toks
+  FROM documents
+), nz AS (
+  SELECT * FROM base WHERE len(toks) > 0
+), pairs AS (
+  SELECT * FROM (
+    SELECT grp, id AS id_a, toks AS a_toks,
+           lead(id) OVER (PARTITION BY grp ORDER BY id) AS id_b,
+           lead(toks) OVER (PARTITION BY grp ORDER BY id) AS b_toks
+    FROM nz) WHERE id_b IS NOT NULL
+), dp AS (
+  SELECT id_a, id_b, a_toks, b_toks, 0 AS i,
+         list_transform(generate_series(0, len(b_toks)), x -> 0) AS st
+  FROM pairs
+  UNION ALL
+  SELECT id_a, id_b, a_toks, b_toks, i + 1,
+         list_transform(generate_series(0, len(b_toks)), j ->
+           CASE WHEN j = 0 THEN 0 ELSE greatest(
+             st[j + 1],
+             coalesce(list_max(list_transform(generate_series(1, j), k ->
+               CASE WHEN b_toks[k] = a_toks[i + 1]
+                    THEN st[k] + 1 ELSE 0 END)), 0)) END)
+  FROM dp WHERE i < len(a_toks)
+), fin AS (
+  SELECT id_a, id_b, len(a_toks) AS len_a, len(b_toks) AS len_b,
+         st[len(b_toks) + 1] AS lcs_len
+  FROM dp WHERE i = len(a_toks)
+)
+SELECT id_a, id_b, len_a::BIGINT AS len_a, len_b::BIGINT AS len_b,
+       lcs_len::BIGINT AS lcs_len,
+       (2 * lcs_len * 1000000 // (len_a + len_b))::BIGINT AS rouge_l_f_ppm
+FROM fin ORDER BY id_a, id_b
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "rouge_l_pairs": (q_rouge_l_pairs, SQL_ROUGE_L_PAIRS),
     "dedup_edit_distance": (q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
     "isotonic_calibration": (q_isotonic_calibration,
                              SQL_ISOTONIC_CALIBRATION),
@@ -14133,7 +14184,7 @@ _R7_FRONT = [
     # round-7 SESSION-3 (batch-6) registrations, prepended per convention
     # (verified green at sf0.01 AND sf0.1 on registration day)
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
-    "graph_bowtie",
+    "graph_bowtie", "rouge_l_pairs",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy
