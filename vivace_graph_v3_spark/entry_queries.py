@@ -14180,6 +14180,16 @@ REGISTRY: dict[str, tuple] = {
 # they lead the effective round-8 queue ahead of _R8_QUEUE by list
 # order, so round 8's front is STILL a two-line swap and still
 # all-first-time entries.
+#
+# Round-7 SESSION-3 amendment: 5 batch-6 registrations prepended
+# (rouge_l_pairs, dedup_edit_distance, isotonic_calibration, graph_scc,
+# graph_bowtie — each green at sf0.01 AND sf0.1 on registration day,
+# with unit tests and 10x probe rows). The 5 session-1-front entries
+# they displace past position 50 (events_rolling_distinct,
+# order_lag_features, text_sparse_dot_pairs, events_seasonality,
+# k_anonymity_audit — all judge-green in the r6 full sweep) slip to the
+# effective round-8 queue by list order, same convention as the
+# session-2 amendment.
 _R7_FRONT = [
     # round-7 SESSION-3 (batch-6) registrations, prepended per convention
     # (verified green at sf0.01 AND sf0.1 on registration day)
