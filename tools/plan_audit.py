@@ -122,6 +122,9 @@ AUDITED = [
     "negative_sampling_dist", "events_shapley_attribution",
     "v_optimal_histogram", "knn_shapley_values",
     "facility_location_select", "fellegi_sunter_weights",
+    # session-3 batch-6
+    "dedup_edit_distance", "isotonic_calibration", "graph_scc",
+    "graph_bowtie", "rouge_l_pairs",
 ]
 
 
