@@ -57,7 +57,6 @@ BENCH_QUERIES = [
     "graph_pagerank",
     "retrieval_hybrid_rrf",
     "text_pii_redaction",
-    "text_collocations_pmi",
     "pack_sequences",
     "text_classifier",
     "vocab_coverage",
@@ -70,7 +69,6 @@ BENCH_QUERIES = [
     "events_retention",
     "span_corruption",
     "multimodal_audio",
-    "decontaminated_split",
     # (customer_rfm / events_wow_change / events_dau_mau / revenue_pareto
     # rotated out in session 6 to fund the three additions below within
     # the driver's stdout-tail budget — all four remain timed in
@@ -84,7 +82,6 @@ BENCH_QUERIES = [
     "token_budget_mix",
     "cms_heavy_hitters",
     "sft_pairs",
-    "events_recency_score",
     "source_ks_drift",
     "events_gap_fill",
     "cohort_ltv",
@@ -106,6 +103,15 @@ BENCH_QUERIES = [
     "knn_label_propagation",
     "dq_expectation_audit",
     "bootstrap_ci_mean",
+    # session-3 batch-6 representatives, funded by rotating out
+    # text_collocations_pmi / decontaminated_split /
+    # events_recency_score (stdout-tail budget; all three remain
+    # oracle-checked in the registry and timed in the 10x probe
+    # table). scc/bowtie are characterized in SCALING.md — their
+    # 40 s iterative fixpoints don't fit the suite.
+    "dedup_edit_distance",
+    "rouge_l_pairs",
+    "isotonic_calibration",
 ]
 
 

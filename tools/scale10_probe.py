@@ -192,7 +192,10 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "dedup_edit_distance", "isotonic_calibration",
           # rouge: map-only token slices + one pairing window,
           # then a constant-bounded per-pair integer fold
-          "rouge_l_pairs"]
+          "rouge_l_pairs",
+          # rotated out of the bench suite session-3 (stdout-tail
+          # budget) — timed here instead
+          "decontaminated_split", "events_recency_score"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
