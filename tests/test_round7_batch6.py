@@ -303,3 +303,80 @@ class TestRougeLPairs:
         want = {(ids[i], ids[i + 1]): _lcs_len(txt[ids[i]], txt[ids[i + 1]])
                 for i in range(len(ids) - 1)}
         assert got == want
+
+
+from vivace_graph_v3_spark.operators.graph_algorithms import (
+    triad_census, triad_mask_table)
+
+
+def _census_bruteforce(edges):
+    """Independent census: enumerate node triples, classify by explicit
+    permutation canonicalization over the 7 complete-triad classes."""
+    import itertools
+    E = set(edges)
+    nodes = sorted({n for e in edges for n in e})
+    counts = {}
+    for tri in itertools.combinations(nodes, 3):
+        sub = {(a, b) for a, b in E if a in tri and b in tri}
+        und = {frozenset(e) for e in sub}
+        if len(und) != 3:
+            continue
+        # canonical signature: lexicographically smallest adjacency
+        # matrix over all orderings of the triple
+        best = min(tuple((x, y) in sub for x in p for y in p if x != y)
+                   for p in itertools.permutations(tri))
+        counts[best] = counts.get(best, 0) + 1
+    # name signatures via known exemplars
+    def sig(es):
+        tri = (0, 1, 2)
+        import itertools as it
+        return min(tuple((x, y) in set(es) for x in p for y in p if x != y)
+                   for p in it.permutations(tri))
+    names = {
+        sig([(0,1),(1,0),(0,2),(2,0),(1,2),(2,1)]): "300",
+        sig([(0,1),(1,0),(0,2),(2,0),(1,2)]): "210",
+        sig([(0,1),(1,0),(2,0),(2,1)]): "120U",
+        sig([(0,1),(1,0),(0,2),(1,2)]): "120D",
+        sig([(0,1),(1,0),(0,2),(2,1)]): "120C",
+        sig([(0,1),(1,2),(0,2)]): "030T",
+        sig([(0,1),(1,2),(2,0)]): "030C",
+    }
+    return {names[s]: c for s, c in counts.items()}
+
+
+class TestTriadCensus:
+    def test_mask_table_complete(self):
+        t = triad_mask_table()
+        assert len(t) == 27
+        from collections import Counter
+        assert Counter(t.values()) == Counter(
+            {"030T": 6, "120C": 6, "210": 6, "120D": 3, "120U": 3,
+             "030C": 2, "300": 1})
+
+    def test_hand_exemplars(self, spark):
+        # one triangle per class, on disjoint node sets
+        edges = []
+        edges += [("a1","a2"),("a2","a1"),("a1","a3"),("a3","a1"),
+                  ("a2","a3"),("a3","a2")]                     # 300
+        edges += [("b1","b2"),("b2","b1"),("b1","b3"),("b3","b1"),
+                  ("b2","b3")]                                 # 210
+        edges += [("c1","c2"),("c2","c3"),("c1","c3")]         # 030T
+        edges += [("d1","d2"),("d2","d3"),("d3","d1")]         # 030C
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = {r["triad_class"]: r["n_triads"]
+               for r in triad_census(df).collect()}
+        assert got == {"300": 1, "210": 1, "030T": 1, "030C": 1}
+
+    def test_random_vs_bruteforce(self, spark):
+        import random
+        rng = random.Random(5)
+        for _ in range(2):
+            nodes = [f"n{i}" for i in range(12)]
+            edges = list({(rng.choice(nodes), rng.choice(nodes))
+                          for _ in range(55)})
+            edges = [(a, b) for a, b in edges if a != b]
+            df = spark.createDataFrame(edges, "src string, dst string")
+            got = {r["triad_class"]: r["n_triads"]
+                   for r in triad_census(df).collect()}
+            want = _census_bruteforce(edges)
+            assert got == want

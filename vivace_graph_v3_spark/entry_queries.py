@@ -13574,7 +13574,7 @@ def _trade_flow_edges(spark, sf_dir, *, nationkey: int = 1):
     return buys.unionByName(rets)
 
 
-_TRADE_FLOW_SQL = """
+_TRADE_FLOW_EDGES_SQL = """
 cust AS (SELECT c_custkey FROM customer WHERE c_nationkey = 1),
 base AS (
   SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s, l_returnflag AS rf
@@ -13586,7 +13586,9 @@ e AS (
   GROUP BY c, s HAVING count(*) >= 2
   UNION
   SELECT DISTINCT s, c FROM base WHERE rf = 'R'
-),
+)"""
+
+_TRADE_FLOW_SQL = _TRADE_FLOW_EDGES_SQL + """,
 reach(a, b) AS (
   SELECT src, dst FROM e
   UNION
@@ -13727,7 +13729,95 @@ FROM fin ORDER BY id_a, id_b
 """
 
 
+def _brand_affinity_edges(spark, sf_dir, *, thr_permille: int = 800):
+    """Directed brand-affinity graph: brand a -> brand b when the
+    conditional co-purchase probability P(customer buys b | buys a)
+    reaches ``thr_permille``/1000 — exact integer comparison
+    nab * 1000 >= thr * n_a, so edge presence (and hence every triad
+    class) is engine-exact. Asymmetric base rates make the relation
+    genuinely directed; the brand grid bounds the co-occurrence join at
+    |brands|^2 per customer regardless of volume. (The trade-flow graph
+    is customer<->supplier bipartite — no triangles — which is why the
+    triad census gets its own graph.)"""
+    cb = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_orderkey").alias("o_orderkey"), "l_partkey")
+          .join(spark.read.parquet(f"{sf_dir}/orders.parquet")
+                .select("o_orderkey", "o_custkey"), "o_orderkey")
+          .join(F.broadcast(spark.read.parquet(f"{sf_dir}/part.parquet")
+                            .select(F.col("p_partkey").alias("l_partkey"),
+                                    "p_brand")), "l_partkey")
+          .select(F.col("o_custkey").alias("c"), F.col("p_brand").alias("br"))
+          .dropDuplicates())
+    na = cb.groupBy("br").agg(F.count(F.lit(1)).alias("n"))
+    co = (cb.alias("a").join(cb.alias("b"),
+                             (F.col("a.c") == F.col("b.c"))
+                             & (F.col("a.br") != F.col("b.br")))
+          .groupBy(F.col("a.br").alias("x"), F.col("b.br").alias("y"))
+          .agg(F.count(F.lit(1)).alias("nab")))
+    return (co.join(F.broadcast(na.withColumnRenamed("br", "x")), "x")
+            .filter(F.col("nab") * 1000 >= thr_permille * F.col("n"))
+            .select(F.col("x").alias("src"), F.col("y").alias("dst")))
+
+
+def q_graph_triad_census(spark, sf_dir):
+    """Directed triad census over complete triads of the brand-affinity
+    graph (operators/graph_algorithms.triad_census; Holland-Leinhardt
+    MAN census / Milo 2002 motif profile): ordered triangle enumeration
+    + a 27-entry literal mask classifier, all exact integers. Oracle
+    replays the identical enumeration and the same generated CASE."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import triad_census
+
+    return triad_census(_brand_affinity_edges(spark, sf_dir))
+
+
+_BRAND_AFFINITY_SQL = """
+cb AS (
+  SELECT DISTINCT o_custkey AS c, p_brand AS br
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+), na AS (SELECT br, count(*) AS n FROM cb GROUP BY br),
+co AS (
+  SELECT a.br AS x, b.br AS y, count(*) AS nab
+  FROM cb a JOIN cb b ON a.c = b.c AND a.br <> b.br GROUP BY a.br, b.br
+), e AS (
+  SELECT co.x AS src, co.y AS dst FROM co JOIN na ON na.br = co.x
+  WHERE co.nab * 1000 >= 800 * na.n
+)"""
+
+
+def _triad_census_oracle_sql() -> str:
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        triad_mask_table)
+
+    case = "CASE mask " + " ".join(
+        f"WHEN {m} THEN '{c}'"
+        for m, c in sorted(triad_mask_table().items())) + " END"
+    return f"""
+WITH {_BRAND_AFFINITY_SQL},
+ed AS (SELECT src AS s, dst AS d FROM e WHERE src <> dst),
+und AS (
+  SELECT least(s, d) AS u, greatest(s, d) AS v,
+         max(CASE WHEN s < d THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN s > d THEN 1 ELSE 0 END) AS b
+  FROM ed GROUP BY least(s, d), greatest(s, d)
+),
+tri AS (
+  SELECT ab.f + ab.b * 2 + bc.f * 4 + bc.b * 8 + ac.f * 16 + ac.b * 32
+           AS mask
+  FROM und ab
+  JOIN und bc ON bc.u = ab.v
+  JOIN und ac ON ac.u = ab.u AND ac.v = bc.v
+)
+SELECT {case} AS triad_class, count(*)::BIGINT AS n_triads
+FROM tri GROUP BY 1 ORDER BY 1
+"""
+
+
+SQL_GRAPH_TRIAD_CENSUS = _triad_census_oracle_sql()
+
+
 REGISTRY: dict[str, tuple] = {
+    "graph_triad_census": (q_graph_triad_census, SQL_GRAPH_TRIAD_CENSUS),
     "rouge_l_pairs": (q_rouge_l_pairs, SQL_ROUGE_L_PAIRS),
     "dedup_edit_distance": (q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
     "isotonic_calibration": (q_isotonic_calibration,
@@ -14194,7 +14284,7 @@ _R7_FRONT = [
     # round-7 SESSION-3 (batch-6) registrations, prepended per convention
     # (verified green at sf0.01 AND sf0.1 on registration day)
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
-    "graph_bowtie", "rouge_l_pairs",
+    "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy
