@@ -380,3 +380,25 @@ class TestTriadCensus:
                    for r in triad_census(df).collect()}
             want = _census_bruteforce(edges)
             assert got == want
+
+
+from vivace_graph_v3_spark.operators.graph_algorithms import dyad_census
+
+
+class TestDyadCensus:
+    def test_hand_graph(self, spark):
+        # a<->b mutual; a->c asym; d->e asym; 5 nodes -> 10 pairs
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a"), ("a", "c"), ("d", "e")],
+            "src string, dst string")
+        r = dyad_census(edges).collect()[0]
+        assert (r["n_nodes"], r["mutual"], r["asym"], r["null_pairs"]) \
+            == (5, 1, 2, 7)
+        assert r["reciprocity_ppm"] == 1000000 // 3
+
+    def test_all_mutual(self, spark):
+        edges = spark.createDataFrame(
+            [("a", "b"), ("b", "a")], "src string, dst string")
+        r = dyad_census(edges).collect()[0]
+        assert (r["mutual"], r["asym"], r["null_pairs"],
+                r["reciprocity_ppm"]) == (1, 0, 0, 1000000)

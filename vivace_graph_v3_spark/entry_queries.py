@@ -13816,7 +13816,48 @@ FROM tri GROUP BY 1 ORDER BY 1
 SQL_GRAPH_TRIAD_CENSUS = _triad_census_oracle_sql()
 
 
+def q_graph_dyad_census(spark, sf_dir):
+    """Holland-Leinhardt dyad census + reciprocity of the brand-affinity
+    graph (operators/graph_algorithms.dyad_census): mutual / asymmetric
+    / null unordered pairs with null derived arithmetically from
+    n*(n-1)/2 — linear in |E|, exact integers, floor-ppm reciprocity."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import dyad_census
+
+    return dyad_census(_brand_affinity_edges(spark, sf_dir))
+
+
+SQL_GRAPH_DYAD_CENSUS = f"""
+WITH {_BRAND_AFFINITY_SQL},
+ed AS (SELECT src AS s, dst AS d FROM e WHERE src <> dst),
+pairs AS (
+  SELECT least(s, d) AS u, greatest(s, d) AS v,
+         max(CASE WHEN s < d THEN 1 ELSE 0 END) AS f,
+         max(CASE WHEN s > d THEN 1 ELSE 0 END) AS b
+  FROM ed GROUP BY least(s, d), greatest(s, d)
+),
+nn AS (
+  SELECT count(*) AS n FROM (
+    SELECT DISTINCT id FROM (
+      SELECT s AS id FROM ed UNION ALL SELECT d FROM ed))
+),
+agg AS (
+  SELECT sum(CASE WHEN f = 1 AND b = 1 THEN 1 ELSE 0 END) AS mutual,
+         sum(CASE WHEN f + b = 1 THEN 1 ELSE 0 END) AS asym
+  FROM pairs
+)
+SELECT nn.n::BIGINT AS n_nodes, agg.mutual::BIGINT AS mutual,
+       agg.asym::BIGINT AS asym,
+       (nn.n * (nn.n - 1) // 2 - agg.mutual - agg.asym)::BIGINT
+         AS null_pairs,
+       (CASE WHEN agg.mutual + agg.asym > 0 THEN
+          agg.mutual * 1000000 // (agg.mutual + agg.asym) END)::BIGINT
+         AS reciprocity_ppm
+FROM agg CROSS JOIN nn
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "graph_dyad_census": (q_graph_dyad_census, SQL_GRAPH_DYAD_CENSUS),
     "graph_triad_census": (q_graph_triad_census, SQL_GRAPH_TRIAD_CENSUS),
     "rouge_l_pairs": (q_rouge_l_pairs, SQL_ROUGE_L_PAIRS),
     "dedup_edit_distance": (q_dedup_edit_distance, SQL_DEDUP_EDIT_DISTANCE),
@@ -14285,6 +14326,7 @@ _R7_FRONT = [
     # (verified green at sf0.01 AND sf0.1 on registration day)
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
+    "graph_dyad_census",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy

@@ -1416,3 +1416,42 @@ def triad_census(edges: DataFrame, *, src_col: str = "src",
     return (tri.select(label.alias("triad_class"))
             .groupBy("triad_class").agg(F.count(F.lit(1)).alias("n_triads"))
             .orderBy("triad_class"))
+
+
+def dyad_census(edges: DataFrame, *, src_col: str = "src",
+                dst_col: str = "dst") -> DataFrame:
+    """Holland-Leinhardt dyad census: counts of mutual (both directions),
+    asymmetric (one direction), and null (neither) unordered node pairs,
+    plus reciprocity in ppm (mutual / connected pairs — Garlaschelli &
+    Loffredo 2004's baseline statistic). Nodes are the edge endpoints.
+
+    One aggregate collapses the edge list to per-pair direction bits;
+    null pairs are derived arithmetically from n*(n-1)/2 — no pair
+    materialization beyond observed edges, so the plan is linear in |E|
+    at any node count. Exact integers; reciprocity floors to ppm.
+    Returns one row (n_nodes, mutual, asym, null_pairs, reciprocity_ppm)."""
+    e = (edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+         .filter(F.col("s") != F.col("d")).dropDuplicates())
+    pairs = (e.select(F.least("s", "d").alias("u"),
+                      F.greatest("s", "d").alias("v"),
+                      F.when(F.col("s") < F.col("d"), 1).otherwise(0).alias("f"),
+                      F.when(F.col("s") > F.col("d"), 1).otherwise(0).alias("b"))
+             .groupBy("u", "v").agg(F.max("f").alias("f"),
+                                    F.max("b").alias("b")))
+    n_nodes = (e.select(F.col("s").alias("id"))
+               .unionByName(e.select(F.col("d").alias("id")))
+               .dropDuplicates().count())
+    agg = pairs.agg(
+        F.sum(F.when((F.col("f") == 1) & (F.col("b") == 1), 1)
+              .otherwise(0)).alias("mutual"),
+        F.sum(F.when(F.col("f") + F.col("b") == 1, 1)
+              .otherwise(0)).alias("asym"))
+    return (agg.select(
+        F.lit(n_nodes).cast("long").alias("n_nodes"),
+        F.col("mutual").cast("long").alias("mutual"),
+        F.col("asym").cast("long").alias("asym"),
+        (F.lit(n_nodes) * (n_nodes - 1) / 2 - F.col("mutual")
+         - F.col("asym")).cast("long").alias("null_pairs"),
+        F.expr("CASE WHEN mutual + asym > 0 THEN "
+               "mutual * 1000000L div (mutual + asym) END")
+        .alias("reciprocity_ppm")))
