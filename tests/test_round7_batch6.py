@@ -402,3 +402,42 @@ class TestDyadCensus:
         r = dyad_census(edges).collect()[0]
         assert (r["mutual"], r["asym"], r["null_pairs"],
                 r["reciprocity_ppm"]) == (1, 0, 0, 1000000)
+
+
+from vivace_graph_v3_spark.operators.product_analytics import (
+    markov_steady_state)
+
+
+class TestMarkovSteady:
+    def test_two_state_chain(self, spark):
+        # one user: A B B A B -> transitions A->B x2, B->B, B->A
+        # P = [[0, 1], [1/2, 1/2]], steady = (1/3, 2/3)
+        rows = [(1, i, i, t) for i, t in enumerate(["A", "B", "B", "A", "B"])]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts long, event_type string")
+        got = {r["event_type"]: r["steady_ppm"]
+               for r in markov_steady_state(ev).collect()}
+
+        # python mirror of the exact integer recurrence
+        trans = {("A", "B"): 2, ("B", "B"): 1, ("B", "A"): 1}
+        na = {"A": 2, "B": 2}
+        p = {k: (n // na[k[0]]) * 10**6 + (n % na[k[0]]) * 10**6 // na[k[0]]
+             for k, n in trans.items()}
+        pi = {"A": 10**9 // 2, "B": 10**9 // 2}
+        for _ in range(12):
+            nxt = {"A": 0, "B": 0}
+            for (a, b), pv in p.items():
+                nxt[b] += pi[a] * pv // 10**6
+            pi = nxt
+        want = {s: v // 1000 for s, v in pi.items()}
+        assert got == want
+        assert abs(got["A"] - 333333) < 2000 and abs(got["B"] - 666666) < 2000
+
+    def test_mass_roughly_conserved(self, spark):
+        rows = [(u, i, i, t) for u in range(3)
+                for i, t in enumerate("XYZXYZXY")]
+        ev = spark.createDataFrame(
+            rows, "user_id long, event_id long, ts long, event_type string")
+        got = [r["steady_ppm"] for r in markov_steady_state(ev).collect()]
+        # floors lose < iters * n_states millionths
+        assert 1_000_000 - 100 <= sum(got) <= 1_000_000

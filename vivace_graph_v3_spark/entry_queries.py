@@ -13856,7 +13856,63 @@ FROM agg CROSS JOIN nn
 """
 
 
+def q_events_markov_steady(spark, sf_dir):
+    """Steady-state of the user-journey event-type Markov chain
+    (operators/product_analytics.markov_steady_state): 12 exact-integer
+    power iterations over the |states|^2 transition grid — millionths
+    transition matrix via split floor division, 1e9-scaled iterate,
+    LONG-safe terms at any volume, no float reduction anywhere. Oracle
+    unrolls the same 12 steps as CTEs with identical integer ops."""
+    from vivace_graph_v3_spark.operators.product_analytics import (
+        markov_steady_state)
+
+    return markov_steady_state(_events(spark, sf_dir))
+
+
+def _markov_steady_oracle_sql(iters: int = 12) -> str:
+    parts = ["""
+WITH seq AS (
+  SELECT user_id, event_type AS to_s,
+         lag(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_ns(ts), event_id) AS from_s
+  FROM events
+), pairs AS (
+  SELECT from_s, to_s, count(*) AS n FROM seq
+  WHERE from_s IS NOT NULL GROUP BY 1, 2
+), na AS (SELECT from_s, sum(n) AS na FROM pairs GROUP BY 1),
+trans AS (
+  SELECT p.from_s, p.to_s,
+         (p.n // na.na) * 1000000 + ((p.n % na.na) * 1000000) // na.na AS p
+  FROM pairs p JOIN na ON na.from_s = p.from_s
+),
+states AS (SELECT DISTINCT event_type AS state FROM events),
+pi0 AS (
+  SELECT state,
+         (SELECT 1000000000 // count(*) FROM states) AS v
+  FROM states
+)"""]
+    for i in range(1, iters + 1):
+        parts.append(f""",
+pi{i} AS (
+  SELECT s.state, coalesce(x.v, 0) AS v
+  FROM states s LEFT JOIN (
+    SELECT t.to_s AS state, sum((p.v * t.p) // 1000000) AS v
+    FROM trans t JOIN pi{i - 1} p ON p.state = t.from_s
+    GROUP BY t.to_s) x ON x.state = s.state
+)""")
+    parts.append(f"""
+SELECT state AS event_type, (v // 1000)::BIGINT AS steady_ppm
+FROM pi{iters} ORDER BY event_type
+""")
+    return "".join(parts)
+
+
+SQL_EVENTS_MARKOV_STEADY = _markov_steady_oracle_sql()
+
+
 REGISTRY: dict[str, tuple] = {
+    "events_markov_steady": (q_events_markov_steady,
+                             SQL_EVENTS_MARKOV_STEADY),
     "graph_dyad_census": (q_graph_dyad_census, SQL_GRAPH_DYAD_CENSUS),
     "graph_triad_census": (q_graph_triad_census, SQL_GRAPH_TRIAD_CENSUS),
     "rouge_l_pairs": (q_rouge_l_pairs, SQL_ROUGE_L_PAIRS),
@@ -14326,7 +14382,7 @@ _R7_FRONT = [
     # (verified green at sf0.01 AND sf0.1 on registration day)
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
-    "graph_dyad_census",
+    "graph_dyad_census", "events_markov_steady",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy

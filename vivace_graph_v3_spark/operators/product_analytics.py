@@ -895,3 +895,60 @@ def shapley_attribution(events: DataFrame, *, user_col: str = "user_id",
                            f" div ({_math.factorial(n)} * v_full) END")
                     .alias("phi_ppm"),
                     F.col("v_full").cast("long").alias("v_full")))
+
+
+def markov_steady_state(events: DataFrame, *, user_col: str = "user_id",
+                        type_col: str = "event_type", ts_col: str = "ts",
+                        tiebreak_col: str = "event_id",
+                        iters: int = 12) -> DataFrame:
+    """Steady-state distribution of the user-journey event-type Markov
+    chain by ``iters`` exact-integer power iterations — the long-run
+    share of attention each state captures, next to the per-state
+    entropy telemetry.
+
+    Engine-exactness by construction, not by float discipline: the
+    transition matrix is held in millionths via the split floor division
+    p_ij = (n_ij div n_i) * 1e6 + ((n_ij mod n_i) * 1e6) div n_i (exact
+    floor of n_ij*1e6/n_i while per-state outgoing totals n_i stay below
+    ~9.2e12 — beyond that the one-time split needs 128-bit math, noted
+    here as the deployment seam), and the iterate pi (scaled 1e9)
+    advances as pi'[j] = sum_i (pi[i] * p_ij) div 1e6 — every term is a
+    LONG-safe integer product (< 1e15) and integer addition is exactly
+    commutative, so no reduction-order hazard exists at any volume.
+    States with no outgoing transitions evaporate their mass (the
+    absorbing-boundary convention; the TPC-H-ish event stream has none).
+
+    Scale shape: ONE windowed lag + aggregate reduces any volume to the
+    |states|^2 transition grid; the ``iters`` joins run on |states|-row
+    frames. Returns (event_type, steady_ppm) with steady_ppm =
+    pi_final div 1000, ordered by event_type."""
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak_col)
+    pairs = (events.select(F.col(user_col), F.col(ts_col),
+                           F.col(tiebreak_col),
+                           F.col(type_col).alias("to_s"))
+             .withColumn("from_s", F.lag("to_s").over(w))
+             .filter(F.col("from_s").isNotNull())
+             .groupBy("from_s", "to_s").agg(F.count(F.lit(1)).alias("n")))
+    na = pairs.groupBy("from_s").agg(F.sum("n").alias("na"))
+    trans = (pairs.join(na, "from_s")
+             .select("from_s", "to_s",
+                     F.expr("(n div na) * 1000000L"
+                            " + ((n % na) * 1000000L) div na").alias("p"))
+             .localCheckpoint(eager=True))
+    states = (events.select(F.col(type_col).alias("state")).dropDuplicates()
+              .localCheckpoint(eager=True))
+    n_states = states.count()
+    pi = states.select("state",
+                       F.lit(1000000000 // n_states).cast("long").alias("v"))
+    from vivace_graph_v3_spark.util import checkpoint_rebased
+    for _ in range(iters):
+        stepped = (trans.join(pi.select(F.col("state").alias("from_s"),
+                                        F.col("v").alias("pv")), "from_s")
+                   .groupBy(F.col("to_s").alias("state"))
+                   .agg(F.sum(F.expr("(pv * p) div 1000000L")).alias("v")))
+        pi = checkpoint_rebased(
+            states.join(stepped, "state", "left")
+            .select("state", F.coalesce("v", F.lit(0)).cast("long").alias("v")))
+    return (pi.select(F.col("state").alias("event_type"),
+                      F.expr("v div 1000L").alias("steady_ppm"))
+            .orderBy("event_type"))
