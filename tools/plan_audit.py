@@ -124,7 +124,8 @@ AUDITED = [
     "facility_location_select", "fellegi_sunter_weights",
     # session-3 batch-6
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
-    "graph_bowtie", "rouge_l_pairs",
+    "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
+    "graph_dyad_census", "events_markov_steady",
 ]
 
 

@@ -195,7 +195,11 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "rouge_l_pairs",
           # rotated out of the bench suite session-3 (stdout-tail
           # budget) — timed here instead
-          "decontaminated_split", "events_recency_score"]
+          "decontaminated_split", "events_recency_score",
+          # triad/dyad ride the brand-grid co-occurrence aggregate;
+          # markov reduces volume to the |states|^2 grid then iterates
+          "graph_triad_census", "graph_dyad_census",
+          "events_markov_steady"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
