@@ -441,3 +441,20 @@ class TestMarkovSteady:
         got = [r["steady_ppm"] for r in markov_steady_state(ev).collect()]
         # floors lose < iters * n_states millionths
         assert 1_000_000 - 100 <= sum(got) <= 1_000_000
+
+
+from vivace_graph_v3_spark.pipeline.dedup import dedup_clusters
+
+
+class TestDistributedClusters:
+    def test_distributed_equals_driver_unionfind(self, spark):
+        import random
+        rng = random.Random(9)
+        ids = [f"d{i:03d}" for i in range(40)]
+        pairs = list({tuple(sorted(rng.sample(ids, 2))) for _ in range(30)})
+        df = spark.createDataFrame(pairs, "id_a string, id_b string")
+        drv = {(r["id"], r["cluster"])
+               for r in dedup_clusters(df).collect()}
+        dist = {(r["id"], r["cluster"])
+                for r in dedup_clusters(df, driver_pairs_guard=0).collect()}
+        assert drv == dist and drv

@@ -13910,7 +13910,49 @@ FROM pi{iters} ORDER BY event_type
 SQL_EVENTS_MARKOV_STEADY = _markov_steady_oracle_sql()
 
 
+def q_dedup_edit_clusters(spark, sf_dir):
+    """Duplicate clusters over the PassJoin edit-distance pairs with the
+    driver union-find guard FORCED OFF (driver_pairs_guard=0), so the
+    contract exercises the DISTRIBUTED min-label + pointer-jumping
+    regime — the code path a 100 TB dedup run takes when the pair list
+    exceeds driver memory (pipeline/dedup.dedup_clusters). Output: the
+    cluster-size histogram. Oracle: recursive-CTE connected components
+    over the identical pair list."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        dedup_clusters, edit_distance_pairs)
+
+    pairs = edit_distance_pairs(_docs(spark, sf_dir), k=4)
+    cl = dedup_clusters(pairs, driver_pairs_guard=0)
+    return (cl.groupBy("cluster").agg(F.count(F.lit(1)).alias("sz"))
+            .groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count(F.lit(1)).alias("n_clusters"))
+            .orderBy("cluster_size"))
+
+
+SQL_DEDUP_EDIT_CLUSTERS = f"""
+WITH RECURSIVE p AS (
+  SELECT * FROM ({SQL_DEDUP_EDIT_DISTANCE}) t
+),
+up AS (
+  SELECT id_a AS a, id_b AS b FROM p
+  UNION ALL SELECT id_b, id_a FROM p
+),
+reach(a, b) AS (
+  SELECT a, b FROM up
+  UNION
+  SELECT r.a, up.b FROM reach r JOIN up ON r.b = up.a
+),
+lab AS (
+  SELECT a AS id, least(a, min(b)) AS cluster FROM reach GROUP BY a
+)
+SELECT sz::BIGINT AS cluster_size, count(*)::BIGINT AS n_clusters FROM (
+  SELECT cluster, count(*) AS sz FROM lab GROUP BY cluster)
+GROUP BY sz ORDER BY sz
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "dedup_edit_clusters": (q_dedup_edit_clusters, SQL_DEDUP_EDIT_CLUSTERS),
     "events_markov_steady": (q_events_markov_steady,
                              SQL_EVENTS_MARKOV_STEADY),
     "graph_dyad_census": (q_graph_dyad_census, SQL_GRAPH_DYAD_CENSUS),
@@ -14382,7 +14424,7 @@ _R7_FRONT = [
     # (verified green at sf0.01 AND sf0.1 on registration day)
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
-    "graph_dyad_census", "events_markov_steady",
+    "graph_dyad_census", "events_markov_steady", "dedup_edit_clusters",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy
