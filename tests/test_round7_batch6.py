@@ -458,3 +458,44 @@ class TestDistributedClusters:
         dist = {(r["id"], r["cluster"])
                 for r in dedup_clusters(df, driver_pairs_guard=0).collect()}
         assert drv == dist and drv
+
+
+class TestWordBurstiness:
+    def test_moment_identity_vs_bruteforce(self, spark):
+        import vivace_graph_v3_spark.entry_queries as eq
+        docs = [
+            ("d1", "aaa aaa aaa bbb", "en", "s", 15),
+            ("d2", "bbb ccc", "en", "s", 7),
+            ("d3", "bbb ccc ccc aaa", "en", "s", 15),
+            ("d4", "ddd", "en", "s", 3),
+        ]
+        # mimic the entry on an in-memory 'documents' table via the
+        # operator logic inline (same moment identity)
+        from vivace_graph_v3_spark.pipeline.text import tokens
+        df = spark.createDataFrame(
+            docs, "doc_id string, text string, lang string, source string,"
+                  " n_chars long")
+        n_docs = df.count()
+        w = (df.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+             .groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c")))
+        stats = (w.groupBy("w").agg(F.count(F.lit(1)).alias("df"),
+                                    F.sum("c").alias("s1"),
+                                    F.sum(F.col("c") * F.col("c")).alias("s2"))
+                 .select("w", F.expr(f"(({n_docs} * s2 - s1 * s1) * 1000000)"
+                                     f" div ({n_docs} * s1)").alias("vmr_ppm")))
+        got = {r["w"]: r["vmr_ppm"] for r in stats.collect()}
+        # brute force over per-doc counts including zeros
+        import collections
+        texts = {d: t.split() for d, t, *_ in docs}
+        vocab = {w for t in texts.values() for w in t}
+        want = {}
+        for word in vocab:
+            xs = [texts[d].count(word) for d in texts]
+            n, s1 = len(xs), sum(xs)
+            mean = s1 / n
+            var = sum((x - mean) ** 2 for x in xs) / n
+            want[word] = int(var / mean * 1_000_000)
+        for word in vocab:
+            assert abs(got[word] - want[word]) <= 1, (word, got, want)
+        # 'aaa' is bursty (concentrated), 'bbb' near-uniform
+        assert got["aaa"] > got["bbb"]

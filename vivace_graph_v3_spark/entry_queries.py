@@ -13951,7 +13951,60 @@ GROUP BY sz ORDER BY sz
 """
 
 
+def q_text_word_burstiness(spark, sf_dir):
+    """Word burstiness / dispersion (Church & Gale 1995): for the 30
+    highest-document-frequency words, the variance-to-mean ratio of the
+    per-document count INCLUDING absent-doc zeros, computed from the
+    moment identity VMR = (N*s2 - s1^2) / (N*s1) with N = corpus doc
+    count — so zeros are never materialized and the whole operator is
+    two vocab-bounded aggregates. VMR ~ 1 marks Poisson-scattered
+    function words, VMR >> 1 bursty content words — the stopword-list-
+    free signal a quality/keyword pass wants. Exact integer ppm."""
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.count()
+    w = (docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+        .groupBy("w", "doc_id").agg(F.count(F.lit(1)).alias("c")))
+    stats = (w.groupBy("w")
+             .agg(F.count(F.lit(1)).alias("df"),
+                  F.sum("c").alias("s1"),
+                  F.sum(F.col("c") * F.col("c")).alias("s2")))
+    top = (stats.orderBy(F.desc("df"), F.asc("w")).limit(30))
+    return (top.select(
+        "w", F.col("df").cast("long").alias("df"),
+        F.col("s1").cast("long").alias("total"),
+        F.expr(f"(({n_docs} * s2 - s1 * s1) * 1000000)"
+               f" div ({n_docs} * s1)").alias("vmr_ppm"))
+        .orderBy(F.desc("df"), F.asc("w")))
+
+
+SQL_TEXT_WORD_BURSTINESS = r"""
+WITH w AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), per AS (
+  SELECT w, doc_id, count(*) AS c FROM w GROUP BY w, doc_id
+), nd AS (SELECT count(*) AS n FROM documents),
+stats AS (
+  SELECT w, count(*) AS df, sum(c) AS s1, sum(c * c) AS s2
+  FROM per GROUP BY w
+), top AS (
+  SELECT * FROM stats ORDER BY df DESC, w ASC LIMIT 30
+)
+SELECT w, df::BIGINT AS df, s1::BIGINT AS total,
+       (((nd.n * s2 - s1 * s1) * 1000000) // (nd.n * s1))::BIGINT
+         AS vmr_ppm
+FROM top CROSS JOIN nd
+ORDER BY df DESC, w ASC
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "text_word_burstiness": (q_text_word_burstiness,
+                             SQL_TEXT_WORD_BURSTINESS),
     "dedup_edit_clusters": (q_dedup_edit_clusters, SQL_DEDUP_EDIT_CLUSTERS),
     "events_markov_steady": (q_events_markov_steady,
                              SQL_EVENTS_MARKOV_STEADY),
@@ -14425,6 +14478,7 @@ _R7_FRONT = [
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
     "graph_dyad_census", "events_markov_steady", "dedup_edit_clusters",
+    "text_word_burstiness",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy
