@@ -126,6 +126,7 @@ AUDITED = [
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
     "graph_dyad_census", "events_markov_steady",
+    "dedup_edit_clusters", "text_word_burstiness",
 ]
 
 

@@ -199,7 +199,10 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           # triad/dyad ride the brand-grid co-occurrence aggregate;
           # markov reduces volume to the |states|^2 grid then iterates
           "graph_triad_census", "graph_dyad_census",
-          "events_markov_steady"]
+          "events_markov_steady",
+          # clusters ride the pair-volume regime (the 10x corpus is
+          # dup-degenerate); burstiness is two vocab-bounded aggregates
+          "dedup_edit_clusters", "text_word_burstiness"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:
