@@ -14463,15 +14463,17 @@ REGISTRY: dict[str, tuple] = {
 # order, so round 8's front is STILL a two-line swap and still
 # all-first-time entries.
 #
-# Round-7 SESSION-3 amendment: 5 batch-6 registrations prepended
-# (rouge_l_pairs, dedup_edit_distance, isotonic_calibration, graph_scc,
-# graph_bowtie — each green at sf0.01 AND sf0.1 on registration day,
-# with unit tests and 10x probe rows). The 5 session-1-front entries
-# they displace past position 50 (events_rolling_distinct,
-# order_lag_features, text_sparse_dot_pairs, events_seasonality,
-# k_anonymity_audit — all judge-green in the r6 full sweep) slip to the
-# effective round-8 queue by list order, same convention as the
-# session-2 amendment.
+# Round-7 SESSION-3 amendment (final): 10 batch-6/7 registrations
+# prepended (dedup_edit_distance, isotonic_calibration, graph_scc,
+# graph_bowtie, rouge_l_pairs, graph_triad_census, graph_dyad_census,
+# events_markov_steady, dedup_edit_clusters, text_word_burstiness —
+# each green at sf0.01 AND sf0.1 on registration day, with unit tests
+# and 10x probe rows). The 10 entries they displace past position 50
+# (dpo_preference_pairs, shard_interleave_audit, text_readability,
+# events_rolling_distinct, order_lag_features, text_sparse_dot_pairs,
+# events_seasonality, k_anonymity_audit, graph_walk_census, curation_v2
+# — all judge-green in the r6 full sweep) slip to the effective round-8
+# queue by list order, same convention as the session-2 amendment.
 _R7_FRONT = [
     # round-7 SESSION-3 (batch-6) registrations, prepended per convention
     # (verified green at sf0.01 AND sf0.1 on registration day)
