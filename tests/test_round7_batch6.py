@@ -499,3 +499,23 @@ class TestWordBurstiness:
             assert abs(got[word] - want[word]) <= 1, (word, got, want)
         # 'aaa' is bursty (concentrated), 'bbb' near-uniform
         assert got["aaa"] > got["bbb"]
+
+
+class TestSccDeeperRandom:
+    def test_denser_random_vs_tarjan(self, spark):
+        # denser + larger than TestStronglyConnectedComponents: exercises
+        # multi-round peeling (chained SCCs settle across rounds)
+        import random
+        rng = random.Random(23)
+        nodes = [f"m{i:02d}" for i in range(30)]
+        edges = list({(rng.choice(nodes), rng.choice(nodes))
+                      for _ in range(90)})
+        edges = [(s, d) for s, d in edges if s != d]
+        # add two deliberate disjoint cycles chained by one-way bridges
+        edges += [("m90", "m91"), ("m91", "m90"), ("m91", "m92"),
+                  ("m92", "m93"), ("m93", "m92")]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        got = dict((r["id"], r["scc_id"])
+                   for r in strongly_connected_components(df).collect())
+        touched = {s for s, _ in edges} | {d for _, d in edges}
+        assert got == _tarjan(touched, edges)
