@@ -519,3 +519,14 @@ class TestSccDeeperRandom:
                    for r in strongly_connected_components(df).collect())
         touched = {s for s, _ in edges} | {d for _, d in edges}
         assert got == _tarjan(touched, edges)
+
+
+class TestFormatRoundtripAudit:
+    def test_checksums_match_source(self, spark):
+        import vivace_graph_v3_spark.entry_queries as eq
+        rows = eq.q_format_roundtrip_audit(
+            spark, "/root/testdata/sf0.001").collect()
+        assert [r["fmt"] for r in rows] == ["csv", "jsonl", "orc"]
+        ns = {r["n_docs"] for r in rows}
+        cks = {r["checksum"] for r in rows}
+        assert len(ns) == 1 and len(cks) == 1, rows

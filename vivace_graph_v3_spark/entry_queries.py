@@ -14002,7 +14002,67 @@ ORDER BY df DESC, w ASC
 """
 
 
+def q_format_roundtrip_audit(spark, sf_dir):
+    """Interchange-format losslessness audit (sources/formats.py): the
+    documents table is exported ONCE per (sf_dir, mtime) as jsonl, csv
+    (quoted+schema'd), and orc, read back through the typed readers, and
+    each round trip emits (fmt, n_docs, order-free bit-xor md5-64
+    checksum over the canonical column rendering). The oracle computes
+    the same checksum from the source parquet directly, so a green row
+    PROVES the round trip byte-preserves every column — the
+    check-data-integrity discipline applied to the I/O boundary
+    (reference vivace-graph-v3.lisp:283-331). Scale shape: distributed
+    write + scan per format, one map-side-combined aggregate each."""
+    import hashlib
+    import os
+    import tempfile
+
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+    from vivace_graph_v3_spark.sources.formats import (
+        read_documents, write_documents)
+
+    mt = os.path.getmtime(f"{sf_dir}/documents.parquet")
+    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}:fmt1".encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"vgv3_fmt_{tag}")
+    fmts = ["csv", "jsonl", "orc"]
+    if not os.path.isdir(base):
+        stage = tempfile.mkdtemp(prefix="vgv3_fmt_build_")
+        docs = _docs(spark, sf_dir)
+        for fmt in fmts:
+            write_documents(docs, os.path.join(stage, fmt), fmt=fmt)
+        os.rename(stage, base)
+    rendered = F.concat_ws("|", F.col("doc_id").cast("string"),
+                           F.col("lang"), F.col("source"),
+                           F.col("n_chars").cast("string"), F.col("text"))
+    out = None
+    for fmt in fmts:
+        df = read_documents(spark, os.path.join(base, fmt), fmt=fmt)
+        row = (df.agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                      F.bit_xor(md5_hash64(rendered)).cast("long")
+                      .alias("checksum"))
+               .select(F.lit(fmt).alias("fmt"), "n_docs", "checksum"))
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("fmt")
+
+
+SQL_FORMAT_ROUNDTRIP_AUDIT = f"""
+WITH h AS (
+  SELECT {_md5_hash64_sql(
+      "CAST(doc_id AS VARCHAR) || '|' || lang || '|' || source || '|' || "
+      "CAST(n_chars AS VARCHAR) || '|' || text")} AS h
+  FROM documents
+), agg AS (
+  SELECT count(*)::BIGINT AS n_docs, bit_xor(h)::BIGINT AS checksum FROM h
+)
+SELECT f.fmt, agg.n_docs, agg.checksum
+FROM (VALUES ('csv'), ('jsonl'), ('orc')) f(fmt) CROSS JOIN agg
+ORDER BY f.fmt
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "format_roundtrip_audit": (q_format_roundtrip_audit,
+                               SQL_FORMAT_ROUNDTRIP_AUDIT),
     "text_word_burstiness": (q_text_word_burstiness,
                              SQL_TEXT_WORD_BURSTINESS),
     "dedup_edit_clusters": (q_dedup_edit_clusters, SQL_DEDUP_EDIT_CLUSTERS),
@@ -14480,7 +14540,7 @@ _R7_FRONT = [
     "dedup_edit_distance", "isotonic_calibration", "graph_scc",
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
     "graph_dyad_census", "events_markov_steady", "dedup_edit_clusters",
-    "text_word_burstiness",
+    "text_word_burstiness", "format_roundtrip_audit",
     # round-7 batch-5 registrations (prepended per convention): exact-
     # isqrt temperature mix + epoch plan, md5-MinHash estimate audit +
     # LSH band tuning, landmark stress centrality, transition entropy
