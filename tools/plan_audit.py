@@ -127,6 +127,7 @@ AUDITED = [
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
     "graph_dyad_census", "events_markov_steady",
     "dedup_edit_clusters", "text_word_burstiness",
+    "format_roundtrip_audit",
 ]
 
 

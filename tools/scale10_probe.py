@@ -202,7 +202,9 @@ PROBES = ["q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
           "events_markov_steady",
           # clusters ride the pair-volume regime (the 10x corpus is
           # dup-degenerate); burstiness is two vocab-bounded aggregates
-          "dedup_edit_clusters", "text_word_burstiness"]
+          "dedup_edit_clusters", "text_word_burstiness",
+          # format audit: 3 distributed write+scan+agg passes
+          "format_roundtrip_audit"]
 
 
 def build(spark, out_dir: str, n_copies: int) -> None:

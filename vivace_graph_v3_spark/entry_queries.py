@@ -14523,13 +14523,15 @@ REGISTRY: dict[str, tuple] = {
 # order, so round 8's front is STILL a two-line swap and still
 # all-first-time entries.
 #
-# Round-7 SESSION-3 amendment (final): 10 batch-6/7 registrations
+# Round-7 SESSION-3 amendment (final): 11 batch-6/7 registrations
 # prepended (dedup_edit_distance, isotonic_calibration, graph_scc,
 # graph_bowtie, rouge_l_pairs, graph_triad_census, graph_dyad_census,
-# events_markov_steady, dedup_edit_clusters, text_word_burstiness —
+# events_markov_steady, dedup_edit_clusters, text_word_burstiness,
+# format_roundtrip_audit —
 # each green at sf0.01 AND sf0.1 on registration day, with unit tests
-# and 10x probe rows). The 10 entries they displace past position 50
-# (dpo_preference_pairs, shard_interleave_audit, text_readability,
+# and 10x probe rows). The 11 entries they displace past position 50
+# (tokenizer_fertility, dpo_preference_pairs, shard_interleave_audit,
+# text_readability,
 # events_rolling_distinct, order_lag_features, text_sparse_dot_pairs,
 # events_seasonality, k_anonymity_audit, graph_walk_census, curation_v2
 # — all judge-green in the r6 full sweep) slip to the effective round-8
