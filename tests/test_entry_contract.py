@@ -203,6 +203,9 @@ _PARAM_VALUES_ORACLES = {
     "graph_rich_club",           # degree-threshold grid (2/4/8/16)
     "events_shapley_attribution",  # Shapley coalition term table
                                    # (exact factorial weights)
+    "format_roundtrip_audit",    # author-chosen format list
+                                 # ('csv','jsonl','orc') — parameters of
+                                 # the audit, not measured results
 }
 
 

@@ -14616,7 +14616,65 @@ _R8_QUEUE = [
     "view_reduce_total",
 ]
 
-_ordered = {n: REGISTRY[n] for n in _R7_FRONT + _R8_QUEUE}
+# ROUND-8 ROTATION (VERDICT r7 items 2 + 4): front = EXACTLY the 48
+# never-driver-sampled entries (judge list, "What's missing" #1 — all
+# judge-green in the r7 full 342/342 sweep), then the two re-confirm
+# slots the judge named (ann_bruteforce_topk, ann_ivf_recall — their
+# code has been refactored most since their r1/r2 rows). NEW round-8
+# registrations go in _R8_NEW at position 51+, BEHIND the backlog (the
+# prepend convention is retired — it is why the backlog survived two
+# rounds); they earn driver rows in round 9. After _R8_NEW: the
+# remaining r1/r2 re-confirm queue, then all previously-sampled entries
+# in registration order.
+_R8_FRONT = [
+    "graph_pagerank_personalized", "text_boilerplate",
+    "stratified_sample", "embedding_quantize", "retrieval_rerank",
+    "token_budget_mix", "cms_heavy_hitters", "retrieval_mmr",
+    "events_recency_score", "source_ks_drift", "graph_pagerank_weighted",
+    "training_mix_upsample", "embedding_hard_negatives",
+    "lang_id_confusion", "events_burstiness", "duplicate_ngram_spans",
+    "bpe_pair_stats", "quality_adaptive_gate",
+    "graph_closeness_landmarks", "embedding_pq", "text_keywords",
+    "events_changepoint", "events_gap_fill", "cohort_ltv",
+    "basket_pair_rules", "tokenizer_fertility", "dpo_preference_pairs",
+    "shard_interleave_audit", "text_readability",
+    "events_rolling_distinct", "order_lag_features",
+    "text_sparse_dot_pairs", "events_seasonality", "k_anonymity_audit",
+    "graph_walk_census", "curation_v2", "sft_pairs",
+    "q13_customer_distribution", "distinctive_terms", "customer_rfm",
+    "order_status_transitions", "revenue_pareto", "revenue_gini",
+    "dedup_agreement", "supplier_lead_time", "text_lexical_diversity",
+    "graph_degree_histogram", "brand_revenue_share",
+    # re-confirm slots 49-50 (VERDICT r7 item 4)
+    "ann_bruteforce_topk", "ann_ivf_recall",
+]
+
+# New round-8 registrations: appended here (position 51+), never
+# prepended. Each must be green at sf0.01 AND sf0.1 on registration
+# day, with unit tests, and the FULL pytest suite must pass before the
+# registering commit (VERDICT r7 item 1's rule).
+_R8_NEW = []
+
+# Remaining r1/r2 re-confirm queue (round-9 front candidates).
+_R9_RECONFIRM = [
+    "ann_lsh_recall", "bagof_by_nation", "dedup_embedding",
+    "dedup_embedding_recall", "dedup_exact", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_survivors",
+    "degree_centrality", "edge_join_2hop", "edge_weighted_filter",
+    "events_hourly_window", "events_latest_per_user", "findall_orders",
+    "forall", "is_a_scan", "is_arithmetic", "limit_skip", "lookup_vertex",
+    "map_edges_scan", "map_vertices_scan", "mvcc_snapshot_read",
+    "not_anti_join", "or_union", "parts_per_customer",
+    "q1_pricing_summary", "q3_top_orders", "q5_nation_revenue",
+    "regex_match", "replication_subset", "select_count",
+    "semi_join_exists", "setof_segments", "slot_compare", "spatial_knn",
+    "spatial_radius", "text_chunks", "text_fingerprint", "text_quality",
+    "text_token_count", "traverse_bfs", "unique_var", "view_desc_paging",
+    "view_key_lookup", "view_range_paging", "view_reduce_groups",
+    "view_reduce_total",
+]
+
+_ordered = {n: REGISTRY[n] for n in _R8_FRONT + _R8_NEW + _R9_RECONFIRM}
 for _n, _v in REGISTRY.items():
     _ordered.setdefault(_n, _v)
 REGISTRY = _ordered
