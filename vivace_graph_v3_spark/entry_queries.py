@@ -13971,11 +13971,12 @@ def q_text_word_burstiness(spark, sf_dir):
                   F.sum("c").alias("s1"),
                   F.sum(F.col("c") * F.col("c")).alias("s2")))
     top = (stats.orderBy(F.desc("df"), F.asc("w")).limit(30))
+    from vivace_graph_v3_spark.pipeline.text import vmr_ppm_expr
+
     return (top.select(
         "w", F.col("df").cast("long").alias("df"),
         F.col("s1").cast("long").alias("total"),
-        F.expr(f"(({n_docs} * s2 - s1 * s1) * 1000000)"
-               f" div ({n_docs} * s1)").alias("vmr_ppm"))
+        vmr_ppm_expr(n_docs).alias("vmr_ppm"))
         .orderBy(F.desc("df"), F.asc("w")))
 
 
@@ -13995,8 +13996,8 @@ stats AS (
   SELECT * FROM stats ORDER BY df DESC, w ASC LIMIT 30
 )
 SELECT w, df::BIGINT AS df, s1::BIGINT AS total,
-       (((nd.n * s2 - s1 * s1) * 1000000) // (nd.n * s1))::BIGINT
-         AS vmr_ppm
+       (((nd.n::HUGEINT * s2 - s1::HUGEINT * s1) * 1000000)
+        // (nd.n::HUGEINT * s1))::BIGINT AS vmr_ppm
 FROM top CROSS JOIN nd
 ORDER BY df DESC, w ASC
 """

@@ -1251,7 +1251,10 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
     rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     try:
         active_n, active_e, active_r = nodes, e0, rev
-        result = None
+        # start from an EMPTY (id, scc_id) frame, not None (ADVICE r7):
+        # a self-loop-only / empty edge set makes active_n empty on the
+        # first round, and callers must still get a well-typed frame
+        result = nodes.limit(0).withColumn("scc_id", F.col("id"))
         for _ in range(max_rounds):
             if active_n.isEmpty():
                 return result
@@ -1262,8 +1265,7 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
             settled = (lab.filter(F.col("lab") == F.col("blab"))
                        .select("id", F.col("lab").alias("scc_id"))
                        .transform(checkpoint_rebased))
-            result = (settled if result is None
-                      else result.unionByName(settled)
+            result = (result.unionByName(settled)
                       .transform(checkpoint_rebased))
             active_n = (lab.filter(F.col("lab") != F.col("blab"))
                         .select("id").transform(checkpoint_rebased))
@@ -1450,8 +1452,14 @@ def dyad_census(edges: DataFrame, *, src_col: str = "src",
         F.lit(n_nodes).cast("long").alias("n_nodes"),
         F.col("mutual").cast("long").alias("mutual"),
         F.col("asym").cast("long").alias("asym"),
-        (F.lit(n_nodes) * (n_nodes - 1) / 2 - F.col("mutual")
-         - F.col("asym")).cast("long").alias("null_pairs"),
+        # exact BIGINT arithmetic (ADVICE r7 medium): an IntegerType
+        # literal product n*(n-1) wraps silently past ~46341 nodes under
+        # non-ANSI Spark, and `/ 2` is double division that loses
+        # exactness past 2^53 — compute in LONG with integer `div`
+        # (n*(n-1) is always even, so div 2 is exact)
+        (F.expr(f"{int(n_nodes)}L * {int(n_nodes) - 1}L div 2L")
+         - F.col("mutual") - F.col("asym"))
+        .cast("long").alias("null_pairs"),
         F.expr("CASE WHEN mutual + asym > 0 THEN "
                "mutual * 1000000L div (mutual + asym) END")
         .alias("reciprocity_ppm")))

@@ -32,6 +32,26 @@ def tokens(col: Column) -> Column:
     return F.filter(F.split(F.trim(col), WORD_SPLIT), lambda t: t != "")
 
 
+def vmr_ppm_expr(n_docs: int, s1_col: str = "s1",
+                 s2_col: str = "s2") -> Column:
+    """Variance-to-mean ratio in exact integer ppm from word moments:
+    VMR = (N*s2 - s1^2) / (N*s1) with N the corpus doc count, s1/s2 the
+    per-word sum and sum-of-squares of per-document counts (zeros for
+    absent docs implied by the identity, never materialized).
+
+    Moment terms carry in DECIMAL(38,0) (ADVICE r7): for a high-
+    frequency word at large SF, s1^2 and N*s2 pass 2^63 and a LONG
+    product wraps silently under non-ANSI Spark, diverging from a
+    HUGEINT oracle exactly where the exactness discipline claims it
+    can't. Numerator >= 0 by Cauchy-Schwarz (s1^2 <= df*s2 <= N*s2), so
+    decimal `div` (truncating) and HUGEINT floor `//` agree at any
+    scale."""
+    nd = f"cast({int(n_docs)} as decimal(38,0))"
+    return F.expr(
+        f"(({nd} * {s2_col} - cast({s1_col} as decimal(38,0)) * {s1_col})"
+        f" * 1000000) div ({nd} * {s1_col})")
+
+
 def with_token_count(df: DataFrame, text_col: str = "text",
                      out_col: str = "n_tokens",
                      bpe_col: str | None = "n_bpe_tokens") -> DataFrame:

@@ -35,7 +35,10 @@ def write_documents(df: DataFrame, path: str, *, fmt: str = "jsonl",
     if fmt == "jsonl":
         w.json(path)
     elif fmt == "csv":
-        w.option("header", True).option("quoteAll", True).csv(path)
+        # quote/escape pinned explicitly so the reader (below) is the
+        # exact inverse — never rely on version-default symmetry
+        (w.option("header", True).option("quoteAll", True)
+         .option("quote", '"').option("escape", '"').csv(path))
     elif fmt == "parquet":
         w.parquet(path)
     elif fmt == "orc":
@@ -53,8 +56,17 @@ def read_documents(spark: SparkSession, path: str, *,
     if fmt == "jsonl":
         df = spark.read.schema(DOCUMENTS_SCHEMA).json(path)
     elif fmt == "csv":
+        # multiLine (ADVICE r7): text containing an embedded newline is
+        # written quoted; without multiLine the reader tears it into
+        # malformed records and the coalesce below would silently mask
+        # the damage as "". quote='"' escape='"' is RFC-4180 doubling,
+        # the exact inverse of write_documents' options. multiLine makes
+        # each FILE non-splittable — at scale parallelism comes from the
+        # file count (write_documents' `partitions`), which is how any
+        # newline-bearing CSV corpus must be sharded anyway.
         df = (spark.read.schema(DOCUMENTS_SCHEMA)
-              .option("header", True).csv(path))
+              .option("header", True).option("multiLine", True)
+              .option("quote", '"').option("escape", '"').csv(path))
     elif fmt == "parquet":
         df = spark.read.parquet(path)
     elif fmt == "orc":

@@ -89,10 +89,24 @@ def checkpoint_rebased(df: DataFrame) -> DataFrame:
     recompute: ``toRdd`` on a checkpointed plan is the checkpoint RDD),
     so it is scale-safe wherever localCheckpoint is. Use this instead of
     bare ``localCheckpoint(eager=True)`` in any loop whose body joins the
-    checkpointed frame."""
+    checkpointed frame.
+
+    Classic-PySpark-only (ADVICE r7): the rewrap reaches through private
+    JVM handles (``_jdf``, ``internalCreateDataFrame``) that do not exist
+    under Spark Connect and carry no compatibility guarantee, so it is
+    capability-guarded — when the handles are missing the helper falls
+    back to the plain eager localCheckpoint (correct, merely exposed to
+    the stats-explosion slowdown this works around)."""
     ck = df.localCheckpoint(eager=True)
-    jdf = ck._jdf
+    jdf = getattr(ck, "_jdf", None)
     spark = ck.sparkSession
-    jreset = spark._jsparkSession.internalCreateDataFrame(
-        jdf.queryExecution().toRdd(), jdf.schema(), False)
+    jspark = getattr(spark, "_jsparkSession", None)
+    if jdf is None or jspark is None or \
+            not hasattr(jspark, "internalCreateDataFrame"):
+        return ck
+    try:
+        jreset = jspark.internalCreateDataFrame(
+            jdf.queryExecution().toRdd(), jdf.schema(), False)
+    except Exception:  # future-Spark signature drift: stay correct
+        return ck
     return DataFrame(jreset, spark)
