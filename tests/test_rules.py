@@ -108,3 +108,39 @@ def test_rule_composed_with_other_goals(chain_graph):
                    ("node-slot-value", "?y", "name", "?n"),
                    (">", "?n", "C")])
     assert {r["n"] for r in df.collect()} == {"D", "E"}
+
+
+def test_cut_in_rule_clause(chain_graph):
+    # literal ! mid-clause (prologc.lisp:709-714 compiles ! as a block
+    # barrier): commit to the first solution of the preceding goals
+    # under the ascending-bind ordering contract. first_hop finds ONE
+    # edge (the ascending-min (src, dst) pair = (a, b)) and then keeps
+    # expanding from it; without the cut every edge would seed.
+    def_rule("first_hop", ["?x", "?y"],
+             [("next", "?x", "?z"), ("!",), ("next", "?z", "?y")])
+    df = B.select(chain_graph, ["?x", "?y"], [("first_hop", "?x", "?y")])
+    rows = {(r["x"], r["y"]) for r in df.collect()}
+    # committed prefix: the ascending-first (?x, ?z) binding = (a, b);
+    # continuations: b -> c and b -> d
+    assert rows == {("a", "c"), ("a", "d")}
+
+
+def test_cut_leading_in_clause_is_noop(chain_graph):
+    def_rule("hop", ["?x", "?y"], [("!",), ("next", "?x", "?y")])
+    df = B.select(chain_graph, ["?x", "?y"], [("hop", "?x", "?y")])
+    assert df.count() == 5
+
+
+def test_cut_in_select_goal_list(chain_graph):
+    # select-surface cut: equivalent to once over the preceding goals
+    df = B.select(chain_graph, ["?x", "?y"], [
+        ("next", "?x", "?y"), ("!",),
+    ])
+    rows = [(r["x"], r["y"]) for r in df.collect()]
+    assert rows == [("a", "b")]  # ascending-first solution, committed
+
+    # and the desugaring matches an explicit once of the same prefix
+    once = B.select(chain_graph, ["?x", "?y"], [
+        ("once", ("next", "?x", "?y")),
+    ])
+    assert [(r["x"], r["y"]) for r in once.collect()] == rows

@@ -351,6 +351,17 @@ class Select:
     # -- goal compilation ------------------------------------------------------
 
     def compile_goals(self, plan: Plan, goals: list[tuple]) -> Plan:
+        goals = list(goals)
+        for i, g in enumerate(goals):
+            if g == ("!",) or g == "!":
+                # literal cut (prologc.lisp:709-714 compiles ! as a block
+                # barrier): desugared to once over the goals PRECEDING it
+                # in this block, under the documented ascending-bind
+                # ordering contract (SURVEY §4.1(5)) — commit to the
+                # first solution of the prefix, then continue with the
+                # rest. A leading cut has an empty prefix: no-op.
+                committed = self._g_once(plan, *goals[:i]) if i else plan
+                return self.compile_goals(committed, goals[i + 1:])
         for goal in goals:
             plan = self.compile_goal(plan, goal)
         return plan

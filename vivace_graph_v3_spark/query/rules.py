@@ -203,6 +203,22 @@ class RuleEvaluator:
         occ = 0
         for goal in body:
             head = goal[0]
+            if head == "!":
+                # literal cut in a rule clause (prologc.lisp:709-714):
+                # commit to the FIRST solution of the goals preceding it,
+                # under the ascending-bind ordering contract (the same
+                # contract as once/1, SURVEY §4.1(5)). A clause body has
+                # no outer context (bottom-up evaluation), so the commit
+                # is global to the clause. Leading cut: no-op.
+                if plan.df is not None:
+                    from pyspark.sql import Window
+                    cols = sorted(plan.df.columns)
+                    w = Window.partitionBy(F.lit(1)).orderBy(*cols)
+                    plan = Plan(
+                        plan.df.withColumn("__rn",
+                                           F.row_number().over(w))
+                        .filter(F.col("__rn") == 1).drop("__rn"))
+                continue
             if head in totals or head in deltas:
                 rel = (deltas if occ == delta_occurrence else totals)[head]
                 plan = self._merge_rule_goal(plan, rel, goal[1:])
