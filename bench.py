@@ -211,7 +211,21 @@ def main() -> int:
     # warm the JVM/parquet footers once so timings measure the queries
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # clean-window discipline (VERDICT r7 item 8): a load-drifted start
+    # must not silently become the official record. Re-measure until two
+    # consecutive calibration estimates agree within 2x (machine-
+    # independent: compares the run to itself), waiting out transient
+    # host load, bounded at 4 retries.
     cal_pre = calibration_seconds(spark)
+    for _ in range(4):
+        again = calibration_seconds(spark)
+        if max(cal_pre, again) <= 2 * min(cal_pre, again):
+            cal_pre = min(cal_pre, again)
+            break
+        print(f"# pre-cal unstable ({cal_pre}s vs {again}s): waiting out "
+              "host load", file=sys.stderr)
+        time.sleep(10)
+        cal_pre = again
     print(f"# calibration pre-suite: {cal_pre}s", file=sys.stderr)
 
     # rep-major order: every query runs once per rep, so a transient host
@@ -283,6 +297,13 @@ def final_json_line(total: float, timings: dict[str, float], sf_val,
     if cal_pre is not None:
         obj["cal"] = [round(cal_pre, 2),
                       round(cal_post, 2) if cal_post is not None else None]
+        # load-drift annotation (VERDICT r7 item 8): the window is dirty
+        # when the bracketing calibrations disagree by more than 2x —
+        # machine-independent, computable from the artifact alone. A
+        # drifted official record now carries its own warning label.
+        if cal_post is not None and \
+                max(cal_pre, cal_post) > 2 * min(cal_pre, cal_post):
+            obj["drift"] = 1
     return json.dumps(obj, separators=(",", ":"))
 
 

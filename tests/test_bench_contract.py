@@ -52,3 +52,17 @@ def test_final_line_is_parseable_single_line():
     assert obj["sf"] == 0.1
     # the load-drift calibration marker (VERDICT r6 item 2) rides along
     assert obj["cal"] == [99.99, 99.99]
+
+
+def test_cal_drift_annotation():
+    # >2x disagreement between the bracketing calibrations marks the
+    # window dirty; agreement within 2x leaves the line unannotated
+    dirty = json.loads(bench.final_json_line(1.0, {}, 0.1, 0.9, 0.2))
+    assert dirty["drift"] == 1
+    clean = json.loads(bench.final_json_line(1.0, {}, 0.1, 0.3, 0.2))
+    assert "drift" not in clean
+    # worst-case line stays under the tail window with the annotation
+    timings = {k: 99.99 for k in bench.BENCH_QUERIES + MVCC_KEYS}
+    line = bench.final_json_line(99999.99, timings, 0.1, 99.99, 1.0)
+    assert json.loads(line)["drift"] == 1
+    assert len(line) < 1900
