@@ -14061,7 +14061,323 @@ ORDER BY f.fmt
 """
 
 
+# -- round-8 registrations (appended to _R8_NEW, behind the driver backlog) --
+
+def q_geo_grid_dbscan(spark, sf_dir):
+    """Exact DBSCAN over a deterministic planar embedding of customers
+    (operators/spatial.grid_dbscan; Ester et al. KDD'96): eps-cell
+    blocking -> 9-offset adjacent-cell equi-join -> exact integer
+    distance refine; core = |N_eps incl. self| >= min_pts; clusters =
+    connected components of core-core edges (min point id label);
+    border = min adjacent core cluster; else noise.
+
+    The embedding places customers in 63 blob patches (6x6 integer
+    positions, 24-unit gaps >> eps, so clusters can never merge across
+    blobs): x = (c%7)*30 + (5c)%6, y = ((3c)%9)*30 + (11c)%6. All
+    arithmetic is exact integers, the occupied-position set is bounded
+    (<= 63*36) at ANY volume, and the oracle exploits exactly that:
+    it clusters POSITIONS (points at one position share neighborhoods,
+    hence core-ness and cluster) so its recursive reach CTE is
+    volume-independent while the Spark side runs the real point-level
+    operator."""
+    from vivace_graph_v3_spark.operators.spatial import grid_dbscan
+
+    c = F.col("c_custkey")
+    pts = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+           .select(c.alias("id"),
+                   ((c % 7) * 30 + (c * 5) % 6).alias("x"),
+                   (((c * 3) % 9) * 30 + (c * 11) % 6).alias("y")))
+    return grid_dbscan(pts, eps=2, min_pts=4).orderBy("id")
+
+
+SQL_GEO_GRID_DBSCAN = """
+WITH RECURSIVE pts AS (
+  SELECT c_custkey AS id,
+         (c_custkey % 7) * 30 + (c_custkey * 5) % 6 AS x,
+         ((c_custkey * 3) % 9) * 30 + (c_custkey * 11) % 6 AS y
+  FROM customer
+), pos AS (
+  SELECT x, y, count(*) AS mult, min(id) AS min_id FROM pts GROUP BY x, y
+), cells AS (
+  SELECT x, y, mult, min_id, x // 2 AS cx, y // 2 AS cy FROM pos
+), offs AS (
+  SELECT dx.range - 1 AS dx, dy.range - 1 AS dy
+  FROM range(3) dx, range(3) dy
+), pnbr AS (
+  SELECT a.x AS ax, a.y AS ay, b.x AS bx, b.y AS by, b.mult AS bmult
+  FROM cells a JOIN offs ON true
+  JOIN cells b ON b.cx = a.cx + offs.dx AND b.cy = a.cy + offs.dy
+  WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y) <= 4
+), deg AS (
+  SELECT ax AS x, ay AS y, sum(bmult) AS n_in FROM pnbr GROUP BY ax, ay
+), core AS (
+  SELECT d.x, d.y FROM deg d WHERE d.n_in >= 4
+), ce AS (
+  SELECT ax * 1000 + ay AS a, bx * 1000 + by AS b FROM pnbr
+  WHERE ax * 1000 + ay IN (SELECT x * 1000 + y FROM core)
+    AND bx * 1000 + by IN (SELECT x * 1000 + y FROM core)
+), reach(a, b) AS (
+  SELECT a, b FROM ce
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN ce e ON r.b = e.a
+), plab AS (
+  SELECT a AS pk, min(b) AS pclu FROM reach GROUP BY a
+), clu AS (
+  SELECT pl.pclu, min(p.min_id) AS cluster
+  FROM plab pl JOIN pos p ON p.x * 1000 + p.y = pl.pk
+  GROUP BY pl.pclu
+), poslab AS (
+  SELECT pl.pk, c.cluster FROM plab pl JOIN clu c USING (pclu)
+), border AS (
+  SELECT n.ax AS x, n.ay AS y, min(s.cluster) AS cluster
+  FROM pnbr n JOIN poslab s ON n.bx * 1000 + n.by = s.pk
+  WHERE n.ax * 1000 + n.ay NOT IN (SELECT x * 1000 + y FROM core)
+  GROUP BY n.ax, n.ay
+)
+SELECT t.id, s.cluster, 'core' AS role
+FROM pts t JOIN poslab s ON t.x * 1000 + t.y = s.pk
+UNION ALL
+SELECT t.id, b.cluster, 'border' AS role
+FROM pts t JOIN border b ON t.x = b.x AND t.y = b.y
+UNION ALL
+SELECT t.id, NULL AS cluster, 'noise' AS role FROM pts t
+WHERE t.x * 1000 + t.y NOT IN (SELECT pk FROM poslab)
+  AND t.x * 1000 + t.y NOT IN (SELECT x * 1000 + y FROM border)
+ORDER BY t.id
+"""
+
+
+def q_bleu_pairs(spark, sf_dir):
+    """BLEU-2 component counts over within-source adjacent pairs
+    (pipeline/text.bleu_pairs; Papineni ACL 2002): clipped n-gram
+    precision folds over 16-token-bounded arrays as ONE Catalyst
+    expression — exact integers (m/t per order, ppm precisions,
+    brevity flag), the bag-of-ngram complement to rouge_l_pairs' LCS.
+    Oracle replays the identical clipping with DuckDB list folds."""
+    from vivace_graph_v3_spark.pipeline.text import bleu_pairs
+
+    return bleu_pairs(_docs(spark, sf_dir))
+
+
+SQL_BLEU_PAIRS = r"""
+WITH base AS (
+  SELECT doc_id AS id, source AS grp,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '')[1:16] AS toks
+  FROM documents
+), nz AS (SELECT * FROM base WHERE len(toks) > 0),
+pairs AS (
+  SELECT * FROM (
+    SELECT grp, id AS id_a, toks AS a_toks,
+           lead(id) OVER (PARTITION BY grp ORDER BY id) AS id_b,
+           lead(toks) OVER (PARTITION BY grp ORDER BY id) AS b_toks
+    FROM nz) WHERE id_b IS NOT NULL
+), g AS (
+  SELECT id_a, id_b, a_toks, b_toks,
+    CASE WHEN len(a_toks) >= 2 THEN
+      list_transform(generate_series(1, len(a_toks) - 1),
+                     i -> a_toks[i] || ' ' || a_toks[i + 1])
+      ELSE []::VARCHAR[] END AS a2,
+    CASE WHEN len(b_toks) >= 2 THEN
+      list_transform(generate_series(1, len(b_toks) - 1),
+                     i -> b_toks[i] || ' ' || b_toks[i + 1])
+      ELSE []::VARCHAR[] END AS b2
+  FROM pairs
+), m AS (
+  SELECT id_a, id_b, len(a_toks) AS len_a, len(b_toks) AS len_b,
+    coalesce(list_sum(list_transform(list_distinct(a_toks), gg ->
+      least(len(list_filter(a_toks, x -> x = gg)),
+            len(list_filter(b_toks, x -> x = gg))))), 0) AS m1,
+    coalesce(list_sum(list_transform(list_distinct(a2), gg ->
+      least(len(list_filter(a2, x -> x = gg)),
+            len(list_filter(b2, x -> x = gg))))), 0) AS m2
+  FROM g
+)
+SELECT id_a, id_b, len_a::BIGINT AS len_a, len_b::BIGINT AS len_b,
+  m1::BIGINT AS m1, m2::BIGINT AS m2,
+  len_a::BIGINT AS t1, greatest(len_a - 1, 0)::BIGINT AS t2,
+  (m1 * 1000000 // len_a)::BIGINT AS p1_ppm,
+  CASE WHEN len_a > 1
+       THEN (m2 * 1000000 // (len_a - 1))::BIGINT END AS p2_ppm,
+  (len_a < len_b)::INT AS brevity_penalized
+FROM m ORDER BY id_a, id_b
+"""
+
+
+def q_classifier_mcnemar(spark, sf_dir):
+    """McNemar's paired test between two rule classifiers predicting
+    'doc is English' on the same documents (operators/stats_inference.
+    mcnemar_test; McNemar 1947): rule A = n_chars >= 300, rule B =
+    token count >= 50. The 2x2 correctness-agreement table plus the
+    continuity-corrected chi-square in exact integer ppm, from one
+    map-side-combined aggregate. The only information the test uses is
+    the discordant cells — the classic check that two quality gates
+    actually disagree before preferring one."""
+    from vivace_graph_v3_spark.operators.stats_inference import mcnemar_test
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    d = _docs(spark, sf_dir)
+    return mcnemar_test(
+        d,
+        (F.col("n_chars") >= 300).cast("int"),
+        (F.size(tokens(F.col("text"))) >= 50).cast("int"),
+        (F.col("lang") == "en").cast("int"))
+
+
+SQL_CLASSIFIER_MCNEMAR = r"""
+WITH c AS (
+  SELECT (n_chars >= 300)::INT AS a,
+         (len(list_filter(string_split_regex(trim(text), '\s+'),
+                          x -> x <> '')) >= 50)::INT AS b,
+         (lang = 'en')::INT AS y
+  FROM documents
+), agg AS (
+  SELECT
+    sum(CASE WHEN a = y AND b = y THEN 1 ELSE 0 END)::BIGINT AS n11,
+    sum(CASE WHEN a = y AND b <> y THEN 1 ELSE 0 END)::BIGINT AS n10,
+    sum(CASE WHEN a <> y AND b = y THEN 1 ELSE 0 END)::BIGINT AS n01,
+    sum(CASE WHEN a <> y AND b <> y THEN 1 ELSE 0 END)::BIGINT AS n00
+  FROM c
+)
+SELECT n11, n10, n01, n00,
+       CASE WHEN n01 + n10 > 0 THEN
+         (greatest(abs(n01 - n10) - 1, 0) * greatest(abs(n01 - n10) - 1, 0)
+          * 1000000 // (n01 + n10))::BIGINT END AS chi2_cc_ppm
+FROM agg
+"""
+
+
+def q_revenue_inequality(spark, sf_dir):
+    """Entropy-family inequality of customer revenue per market segment
+    (operators/stats.inequality_indices): Theil T (Theil 1967) and
+    Atkinson epsilon=1 (Atkinson 1970), the decomposable complements to
+    the rank-based revenue_gini entry. One map-side-combined aggregate
+    (n, sum x, sum ln x, sum x ln x) per segment — four running sums at
+    any volume. 4-decimal rounding at the double boundary, the same
+    convention as the Gini entry."""
+    from vivace_graph_v3_spark.operators.stats import inequality_indices
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    per = (o.groupBy("o_custkey")
+           .agg(F.sum(F.col("o_totalprice").cast(DEC)).alias("rev"))
+           .join(c.select(F.col("c_custkey").alias("o_custkey"),
+                          "c_mktsegment"), "o_custkey"))
+    return inequality_indices(per, "rev", "c_mktsegment")
+
+
+SQL_REVENUE_INEQUALITY = """
+WITH per AS (
+  SELECT c_mktsegment,
+         CAST(sum(CAST(o_totalprice AS DECIMAL(38,12))) AS DOUBLE) AS x
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  GROUP BY c_mktsegment, o_custkey
+), agg AS (
+  SELECT c_mktsegment, count(*) AS n, sum(x) AS sx, sum(ln(x)) AS slx,
+         sum(x * ln(x)) AS sxlx
+  FROM per WHERE x > 0 GROUP BY c_mktsegment
+)
+SELECT c_mktsegment, n::BIGINT AS n,
+       round(sxlx / sx - ln(sx / n), 4) AS theil_t,
+       round(1.0 - exp(slx / n) / (sx / n), 4) AS atkinson_1
+FROM agg ORDER BY c_mktsegment
+"""
+
+
+def q_dsir_select(spark, sf_dir):
+    """DSIR data selection (pipeline/text.dsir_select; Xie et al.
+    NeurIPS 2023): top-100 raw docs by hashed-unigram importance
+    log p_target/p_raw with target = source 'src0', add-1 smoothing
+    over 8192 md5 token buckets. Per-bucket log-ratios quantize ONCE to
+    integer ppm; per-doc scores are exact integer sums, so the top-k
+    order is engine-deterministic. The LM broadcasts (8192 rows) and
+    scoring is one map-side aggregate — linear at any volume."""
+    from vivace_graph_v3_spark.pipeline.text import dsir_select
+
+    return dsir_select(_docs(spark, sf_dir), target_source="src0")
+
+
+SQL_DSIR_SELECT = rf"""
+WITH toks AS (
+  SELECT doc_id AS id, source AS src,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS tok
+  FROM documents
+), tb AS (
+  SELECT id, src,
+         ((({_md5_hash64_sql('tok')}) % 8192 + 8192) % 8192) AS b
+  FROM toks
+), cnt AS (
+  SELECT b, sum(CASE WHEN src = 'src0' THEN 1 ELSE 0 END) AS ct,
+         sum(CASE WHEN src = 'src0' THEN 0 ELSE 1 END) AS cr
+  FROM tb GROUP BY b
+), tot AS (SELECT sum(ct) AS nt, sum(cr) AS nr FROM cnt),
+lm AS (
+  SELECT b, round(ln(((ct + 1) * (nr + 8192)::DOUBLE)
+                     / ((cr + 1) * (nt + 8192)::DOUBLE)) * 1e6)::BIGINT
+            AS score_ppm
+  FROM cnt CROSS JOIN tot
+), scored AS (
+  SELECT t.id, count(*) AS n_tokens, sum(l.score_ppm) AS score_ppm
+  FROM tb t JOIN lm l USING (b) WHERE t.src <> 'src0'
+  GROUP BY t.id
+)
+SELECT id AS doc_id, n_tokens::BIGINT AS n_tokens,
+       score_ppm::BIGINT AS score_ppm
+FROM scored ORDER BY score_ppm DESC, id ASC LIMIT 100
+"""
+
+
+def q_ccnet_buckets(spark, sf_dir):
+    """CCNet head/middle/tail partition per language (pipeline/text.
+    ccnet_perplexity_buckets; Wenzek LREC 2020): per-lang terciles of
+    the corpus-self-trained unigram neg-log-prob, with decimal-
+    accumulated scores and a (score, id) total order so the cut is
+    engine-deterministic. One vocab-bounded scoring join + one window
+    shuffle on lang."""
+    from vivace_graph_v3_spark.pipeline.text import ccnet_perplexity_buckets
+
+    return ccnet_perplexity_buckets(_docs(spark, sf_dir))
+
+
+SQL_CCNET_BUCKETS = r"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS c FROM w GROUP BY w
+), t AS (
+  SELECT sum(c) AS total FROM v
+), lp AS (
+  SELECT doc_id AS id, count(*) AS n_words,
+         round(CAST(sum(CAST(-log2(c / total) AS DECIMAL(38,12)))
+                    AS DOUBLE) / count(*), 6) AS nlp
+  FROM w JOIN v USING (w) CROSS JOIN t
+  GROUP BY doc_id
+), ranked AS (
+  SELECT d.lang, lp.id, lp.n_words, lp.nlp,
+         ntile(3) OVER (PARTITION BY d.lang ORDER BY lp.nlp, lp.id) AS t
+  FROM lp JOIN documents d ON d.doc_id = lp.id
+)
+SELECT lang,
+       CASE t WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+              ELSE 'tail' END AS bucket,
+       count(*)::BIGINT AS n_docs, sum(n_words)::BIGINT AS n_tokens,
+       min(nlp) AS min_nlp, max(nlp) AS max_nlp,
+       round(CAST(sum(CAST(nlp AS DECIMAL(38,12))) AS DOUBLE)
+             / count(*), 4) AS mean_nlp
+FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "geo_grid_dbscan": (q_geo_grid_dbscan, SQL_GEO_GRID_DBSCAN),
+    "bleu_pairs": (q_bleu_pairs, SQL_BLEU_PAIRS),
+    "classifier_mcnemar": (q_classifier_mcnemar, SQL_CLASSIFIER_MCNEMAR),
+    "revenue_inequality": (q_revenue_inequality, SQL_REVENUE_INEQUALITY),
+    "dsir_select": (q_dsir_select, SQL_DSIR_SELECT),
+    "ccnet_buckets": (q_ccnet_buckets, SQL_CCNET_BUCKETS),
     "format_roundtrip_audit": (q_format_roundtrip_audit,
                                SQL_FORMAT_ROUNDTRIP_AUDIT),
     "text_word_burstiness": (q_text_word_burstiness,
@@ -14654,7 +14970,10 @@ _R8_FRONT = [
 # prepended. Each must be green at sf0.01 AND sf0.1 on registration
 # day, with unit tests, and the FULL pytest suite must pass before the
 # registering commit (VERDICT r7 item 1's rule).
-_R8_NEW = []
+_R8_NEW = [
+    "geo_grid_dbscan", "bleu_pairs", "classifier_mcnemar",
+    "revenue_inequality", "dsir_select", "ccnet_buckets",
+]
 
 # Remaining r1/r2 re-confirm queue (round-9 front candidates).
 _R9_RECONFIRM = [

@@ -221,3 +221,100 @@ def polygon_metrics(polys: DataFrame, *, id_col: str = "id",
         F.col(id_col).alias("id"),
         _area(F.col(xs_col), F.col(ys_col)).alias("area"),
         _perim(F.col(xs_col), F.col(ys_col)).alias("perimeter"))
+
+
+def grid_dbscan(df: DataFrame, *, eps: float, min_pts: int,
+                id_col: str = "id", x_col: str = "x", y_col: str = "y",
+                driver_pairs_guard: int = 2_000_000) -> DataFrame:
+    """Exact DBSCAN (Ester et al., KDD'96) over planar points with
+    CELL-BLOCKED neighbor generation — the distributed formulation.
+
+    The epsilon-neighbor join never goes all-pairs: points land in
+    eps-wide grid cells, candidate pairs come from a 9-offset equi-join
+    on adjacent cells (any two points within eps are at most one cell
+    apart), then the exact distance predicate refines. At 100 TB the
+    pair join shuffles on cell keys with fan-out bounded by local
+    density x 9, independent of corpus volume — the same
+    block-then-verify shape as the dedup family (pipeline/dedup.py).
+
+    Semantics are textbook DBSCAN: core = |eps-neighborhood incl.
+    self| >= min_pts; clusters = connected components of core-core
+    eps-edges (via :func:`~vivace_graph_v3_spark.pipeline.dedup.
+    dedup_clusters` — guarded driver union-find with distributed
+    min-label fallback); border = non-core point adjacent to a core,
+    labeled with its MIN adjacent core cluster (a deterministic tie
+    rule; reference DBSCAN is arrival-order-dependent there); the rest
+    is noise. Returns (id, cluster, role) with cluster = min member id
+    of the cluster's cores, NULL for noise.
+
+    With integer coordinates and integer eps, every comparison is exact
+    integer arithmetic end to end.
+
+    Coincident points collapse to POSITIONS before the pair join:
+    points at one (x, y) share their eps-neighborhood, hence core-ness
+    and cluster, so the neighbor join runs over distinct positions with
+    multiplicities — without this, a corpus with heavy coincidence
+    (multiplicity m) materializes m^2 point pairs per position pair and
+    the pair frame OOMs exactly when the data gets interesting (found
+    by the round-8 10x probe). Worst case (all points distinct) it
+    degenerates to the point-level join, never worse."""
+    from vivace_graph_v3_spark.pipeline.dedup import dedup_clusters
+
+    pts = df.select(F.col(id_col).alias("id"), F.col(x_col).alias("x"),
+                    F.col(y_col).alias("y"))
+    pos = (pts.groupBy("x", "y")
+           .agg(F.count(F.lit(1)).alias("mult"),
+                F.min("id").alias("min_id"))
+           .withColumn("cx", F.floor(F.col("x") / eps))
+           .withColumn("cy", F.floor(F.col("y") / eps))
+           .withColumn("pk", F.struct("x", "y")))
+    offs = F.explode(F.array(*[
+        F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+        for dx in (-1, 0, 1) for dy in (-1, 0, 1)])).alias("o")
+    probe = (pos.select("pk", "x", "y", "cx", "cy", offs)
+             .select("pk", "x", "y",
+                     (F.col("cx") + F.col("o.dx")).alias("cx"),
+                     (F.col("cy") + F.col("o.dy")).alias("cy")))
+    b = pos.select(F.col("pk").alias("pkb"), F.col("x").alias("xb"),
+                   F.col("y").alias("yb"), F.col("mult").alias("bmult"),
+                   "cx", "cy")
+    dist2 = ((F.col("x") - F.col("xb")) ** 2
+             + (F.col("y") - F.col("yb")) ** 2)
+    # position pairs within eps, INCLUDING self (own multiplicity counts
+    # toward |N incl self|); bounded by occupied positions x local density
+    pnbr = (probe.join(b, ["cx", "cy"])
+            .filter(dist2 <= eps * eps)
+            .select("pk", "pkb", "bmult")
+            .localCheckpoint(eager=True))
+    deg = pnbr.groupBy("pk").agg(F.sum("bmult").alias("n_in"))
+    core_pos = deg.filter(F.col("n_in") >= min_pts).select("pk")
+    core_edges = (pnbr.join(core_pos, "pk")
+                  .join(core_pos.withColumnRenamed("pk", "pkb"), "pkb")
+                  .select(F.col("pk").alias("id_a"),
+                          F.col("pkb").alias("id_b")))
+    plab = dedup_clusters(core_edges,
+                          driver_pairs_guard=driver_pairs_guard)
+    # cluster label = min POINT id over the cluster's core positions
+    # (the label a point-level union-find would produce)
+    pmin = pos.select("pk", "min_id")
+    clab = (plab.join(pmin, plab["id"] == pmin["pk"])
+            .groupBy("cluster").agg(F.min("min_id").alias("lbl")))
+    core_lab = (core_pos.join(plab, core_pos["pk"] == plab["id"], "left")
+                .join(clab, "cluster", "left")
+                .join(pmin, "pk")
+                .select(core_pos["pk"].alias("pk"),
+                        F.coalesce("lbl", F.col("min_id"))
+                        .alias("cluster")))
+    border = (pnbr.join(core_lab.withColumnRenamed("pk", "pkb")
+                        .withColumnRenamed("cluster", "bc"), "pkb")
+              .join(core_pos, "pk", "left_anti")
+              .groupBy("pk").agg(F.min("bc").alias("cluster")))
+    poslab = (core_lab.withColumn("role", F.lit("core"))
+              .unionByName(border.withColumn("role", F.lit("border"))))
+    out = (pts.withColumn("pk", F.struct("x", "y"))
+           .join(poslab, "pk", "left")
+           .select("id",
+                   F.col("cluster").cast(dict(pts.dtypes)["id"])
+                   .alias("cluster"),
+                   F.coalesce("role", F.lit("noise")).alias("role")))
+    return out

@@ -27,6 +27,8 @@ __all__ = [
     "benford_first_digit",
     "theilsen_trend",
     "BENFORD_PPM",
+    "inequality_indices",
+    "skyline_2d",
 ]
 
 
@@ -206,3 +208,34 @@ def skyline_2d(df: DataFrame, min_col: str, max_col: str) -> DataFrame:
             .select(frontier["x"].alias(min_col),
                     F.col("best_y").alias(max_col),
                     F.col("n_rows").cast("long").alias("n_rows")))
+
+
+def inequality_indices(df: DataFrame, value_col: str,
+                       group_col: str | None = None) -> DataFrame:
+    """Entropy-family inequality indices per group (complementing the
+    rank-based Gini): Theil T index T = mean((x/mu) * ln(x/mu))
+    (Theil 1967) and the Atkinson index at epsilon = 1,
+    A1 = 1 - geomean(x)/mean(x) (Atkinson 1970). Zero/negative values
+    are excluded (ln domain), n and the exclusion count are reported.
+
+    One map-side-combined aggregate pass: n, sum(x), sum(ln x),
+    sum(x ln x) — four running sums at any volume, one row per group.
+    T = sum(x ln x)/sum(x) - ln(sum(x)/n); A1 = 1 - exp(sum(ln x)/n)
+    * n / sum(x). Doubles rounded to 4 decimals (the decimal-boundary
+    convention used by the Gini entry)."""
+    x = F.col(value_col).cast("double")
+    pos = df.filter(x > 0)
+    keys = [group_col] if group_col else []
+    agg = (pos.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(F.log(x)).alias("slx"),
+        F.sum(x * F.log(x)).alias("sxlx")))
+    mean = F.col("sx") / F.col("n")
+    theil = F.col("sxlx") / F.col("sx") - F.log(mean)
+    atkinson = 1.0 - F.exp(F.col("slx") / F.col("n")) / mean
+    out = agg.select(
+        *keys, F.col("n").cast("long").alias("n"),
+        F.round(theil, 4).alias("theil_t"),
+        F.round(atkinson, 4).alias("atkinson_1"))
+    return out.orderBy(*keys) if keys else out

@@ -49,6 +49,7 @@ __all__ = [
     "bh_fdr",
     "krippendorff_alpha_nominal",
     "isotonic_fit",
+    "mcnemar_test",
 ]
 
 
@@ -968,3 +969,32 @@ def isotonic_fit(df: DataFrame, bin_col: str, label_col: str) -> DataFrame:
                 F.expr("pos * 1000000L div n").alias("rate_ppm"),
                 F.expr("dy * 1000000L div dx").alias("fitted_ppm"))
             .orderBy("bin"))
+
+
+def mcnemar_test(df: DataFrame, pred_a: Column, pred_b: Column,
+                 label: Column) -> DataFrame:
+    """McNemar's paired test for two classifiers on the same rows
+    (McNemar 1947): the 2x2 correctness-agreement table and the
+    continuity-corrected chi-square statistic, all exact integers.
+
+    n01 = A wrong, B right; n10 = A right, B wrong (the discordant
+    cells — the only information the test uses); chi2_cc_ppm =
+    (|n01 - n10| - 1)^2 * 1e6 div (n01 + n10), NULL when no discordant
+    pairs. One map-side-combined aggregate over the table — linear at
+    any volume, one output row."""
+    a_ok = (pred_a == label).cast("int")
+    b_ok = (pred_b == label).cast("int")
+    agg = df.agg(
+        F.sum(F.when((a_ok == 1) & (b_ok == 1), 1).otherwise(0))
+        .cast("long").alias("n11"),
+        F.sum(F.when((a_ok == 1) & (b_ok == 0), 1).otherwise(0))
+        .cast("long").alias("n10"),
+        F.sum(F.when((a_ok == 0) & (b_ok == 1), 1).otherwise(0))
+        .cast("long").alias("n01"),
+        F.sum(F.when((a_ok == 0) & (b_ok == 0), 1).otherwise(0))
+        .cast("long").alias("n00"))
+    # Edwards correction clamped at 0 (|b-c| = 0 must not score 1)
+    return agg.withColumn("chi2_cc_ppm", F.expr(
+        "CASE WHEN n01 + n10 > 0 THEN "
+        "greatest(abs(n01 - n10) - 1, 0L) * greatest(abs(n01 - n10) - 1, 0L)"
+        " * 1000000 div (n01 + n10) END"))

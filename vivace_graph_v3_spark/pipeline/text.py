@@ -1923,3 +1923,151 @@ def rouge_l_pairs(df: DataFrame, *, text_col: str = "text",
         .withColumn("rouge_l_f_ppm",
                     F.expr("2 * lcs_len * 1000000 div (len_a + len_b)"))
         .orderBy("id_a", "id_b"))
+
+
+def bleu_pairs(df: DataFrame, *, text_col: str = "text",
+               id_col: str = "doc_id", group_col: str = "source",
+               n_tokens: int = 16) -> DataFrame:
+    """BLEU-2 component counts between adjacent documents of each group
+    (Papineni et al., ACL 2002) — the clipped-precision bag-of-ngram
+    metric next to rouge_l_pairs' order-sensitive LCS. Same pairing as
+    rouge_l_pairs: each doc (candidate) against the next doc of its
+    group in id order (reference), token lists bounded at ``n_tokens``.
+
+    Everything is ONE Catalyst expression per pair — clipped match
+    counts fold over the distinct candidate n-grams with
+    min(count_cand, count_ref), exact integers on bounded arrays, no
+    shuffle beyond the pairing window. Emits the exact components
+    (m1/t1, m2/t2 modified precisions in ppm, and the brevity flag
+    len_a < len_b) rather than the composite double — BLEU-2 itself is
+    BP * sqrt(p1 * p2), derivable, but the components keep the
+    cross-engine contract in pure integers."""
+    toks = F.slice(tokens(F.col(text_col)), 1, n_tokens)
+    base = df.select(F.col(id_col).alias("id"),
+                     F.col(group_col).alias("grp"), toks.alias("toks")) \
+        .filter(F.size("toks") > 0)
+    w = Window.partitionBy("grp").orderBy("id")
+    pairs = (base.select(
+        "grp", F.col("id").alias("id_a"), F.col("toks").alias("a_toks"),
+        F.lead("id").over(w).alias("id_b"),
+        F.lead("toks").over(w).alias("b_toks"))
+        .filter(F.col("id_b").isNotNull()))
+
+    def grams(col: str, n: int) -> str:
+        if n == 1:
+            return col
+        return (f"CASE WHEN size({col}) >= {n} THEN "
+                f"transform(sequence(1, size({col}) - {n - 1}), i -> "
+                + " || ' ' || ".join(
+                    f"element_at({col}, i + {j})" for j in range(n))
+                + ") ELSE array() END")
+
+    def clipped(n: int) -> str:
+        c, r = grams("a_toks", n), grams("b_toks", n)
+        return f"""
+          aggregate(array_distinct({c}), 0L, (acc, g) -> acc + least(
+            size(filter({c}, x -> x = g)),
+            size(filter({r}, x -> x = g))))"""
+
+    out = pairs.select(
+        "id_a", "id_b",
+        F.size("a_toks").cast("long").alias("len_a"),
+        F.size("b_toks").cast("long").alias("len_b"),
+        F.expr(clipped(1)).cast("long").alias("m1"),
+        F.expr(clipped(2)).cast("long").alias("m2"))
+    return (out
+            .withColumn("t1", F.col("len_a"))
+            .withColumn("t2", F.greatest(F.col("len_a") - 1, F.lit(0)))
+            .withColumn("p1_ppm", F.expr("m1 * 1000000 div t1"))
+            .withColumn("p2_ppm", F.expr(
+                "CASE WHEN t2 > 0 THEN m2 * 1000000 div t2 END"))
+            .withColumn("brevity_penalized",
+                        (F.col("len_a") < F.col("len_b")).cast("int"))
+            .orderBy("id_a", "id_b"))
+
+
+def dsir_select(df: DataFrame, *, target_source: str, k: int = 100,
+                text_col: str = "text", id_col: str = "doc_id",
+                source_col: str = "source",
+                buckets: int = 8192) -> DataFrame:
+    """Data Selection via Importance Resampling (Xie et al., NeurIPS
+    2023, arXiv:2302.03169): rank raw documents by how target-like they
+    look under hashed-unigram bag-of-words language models, and keep
+    the top k. The target LM is fit on ``target_source`` docs, the raw
+    LM on everything else; importance of a doc is the sum over its
+    tokens of log p_target(bucket) - log p_raw(bucket) with add-1
+    smoothing over ``buckets`` hashed token buckets.
+
+    Engine-exact by construction: token buckets use the cross-engine
+    md5 hash (pipeline/dedup.md5_hash64), each bucket's log-ratio is
+    quantized ONCE to integer ppm (the only double op — identical
+    inputs on both engines, 1-ulp ln drift can only flip a rounding at
+    a half-ppm boundary), and per-doc scores are exact integer sums of
+    those ppm scores — so the top-k order (score desc, id asc) is
+    deterministic. Scale shape: the LM is a ``buckets``-row frame that
+    BROADCASTS into the token join; per-doc scoring is one map-side
+    aggregate; top-k compiles to TakeOrderedAndProject. Linear in
+    corpus volume, vocab state bounded at ``buckets`` rows."""
+    from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
+
+    toks = df.select(F.col(id_col).alias("id"),
+                     F.col(source_col).alias("src"),
+                     F.explode(tokens(F.col(text_col))).alias("tok"))
+    toks = toks.withColumn(
+        "b", F.pmod(md5_hash64(F.col("tok")), F.lit(buckets)))
+    is_t = F.col("src") == target_source
+    cnt = (toks.groupBy("b").agg(
+        F.sum(F.when(is_t, 1).otherwise(0)).alias("ct"),
+        F.sum(F.when(is_t, 0).otherwise(1)).alias("cr")))
+    tot = cnt.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr")) \
+        .first()
+    nt, nr = int(tot["nt"]), int(tot["nr"])
+    lm = cnt.select(
+        "b",
+        F.round(F.log(((F.col("ct") + 1) * F.lit(float(nr + buckets)))
+                      / ((F.col("cr") + 1) * F.lit(float(nt + buckets))))
+                * 1e6).cast("long").alias("score_ppm"))
+    raw = toks.filter(~is_t)
+    scored = (raw.join(F.broadcast(lm), "b")
+              .groupBy("id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.sum("score_ppm").alias("score_ppm")))
+    return (scored.orderBy(F.desc("score_ppm"), F.asc("id")).limit(k)
+            .select(F.col("id").alias(id_col),
+                    F.col("n_tokens").cast("long").alias("n_tokens"),
+                    F.col("score_ppm").cast("long").alias("score_ppm")))
+
+
+def ccnet_perplexity_buckets(df: DataFrame, *, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             lang_col: str = "lang") -> DataFrame:
+    """CCNet-style head/middle/tail corpus partition (Wenzek et al.,
+    LREC 2020): per language, rank documents by the corpus-self-trained
+    unigram negative log-prob (the perplexity proxy;
+    :func:`unigram_logprob`) and cut into terciles — 'head' = most
+    probable (cleanest), 'tail' = least. Returns one row per
+    (lang, bucket): doc count, token mass, and the min/max/mean of the
+    per-doc score inside the bucket.
+
+    Determinism: per-doc scores are decimal-accumulated then rounded
+    (engine-stable), the tercile order is the total order (score, id),
+    and bucket means re-accumulate in DECIMAL — no order-dependent
+    double sums anywhere. Scale: the vocab frame bounds the scoring
+    join; the tercile window shuffles once on lang."""
+    lp = unigram_logprob(df, text_col=text_col, id_col=id_col)
+    base = (df.select(F.col(id_col).alias("id"),
+                      F.col(lang_col).alias("lang"))
+            .join(lp, "id"))
+    w = Window.partitionBy("lang").orderBy("avg_neg_logp", "id")
+    t = base.withColumn("t", F.ntile(3).over(w))
+    bucket = (F.when(F.col("t") == 1, "head")
+              .when(F.col("t") == 2, "middle").otherwise("tail"))
+    return (t.groupBy("lang", bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                 F.sum("n_words").cast("long").alias("n_tokens"),
+                 F.min("avg_neg_logp").alias("min_nlp"),
+                 F.max("avg_neg_logp").alias("max_nlp"),
+                 F.round(F.sum(F.col("avg_neg_logp")
+                               .cast("decimal(38,12)")).cast("double")
+                         / F.count(F.lit(1)), 4).alias("mean_nlp"))
+            .orderBy("lang", "bucket"))
