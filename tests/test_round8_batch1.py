@@ -165,3 +165,39 @@ def test_round8_entries_match_oracle_sf0001(spark, duck):
         got = rows_set(e.queries()[name](spark, SF_DIR))
         want = duck_set(duck, e.oracle_sql()[name])
         assert got == want, name
+
+
+def test_binary_signatures_packing(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import binary_signatures
+
+    # dims 0 and 33 positive -> bit 0 of lo, bit 1 of hi
+    vec = [1.0] + [-1.0] * 32 + [2.0] + [-1.0] * 30
+    df = spark.createDataFrame([(7, vec)], "vec_id long, embedding array<double>")
+    r = binary_signatures(df).collect()[0]
+    assert r["sig_lo"] == 1 and r["sig_hi"] == 2
+
+
+def test_hamming_topk_exact_order(spark):
+    from vivace_graph_v3_spark.pipeline.similarity import hamming_topk
+
+    def vec(bits):
+        return [1.0 if i in bits else -1.0 for i in range(64)]
+
+    rows = [(0, vec({0, 1, 2, 3})),          # query
+            (1, vec({0, 1, 2, 3})),          # hamming 0
+            (2, vec({0, 1, 2})),             # hamming 1
+            (3, vec({0, 1, 40, 41})),        # hamming 4
+            (4, vec(set(range(32, 64))))]    # far
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = hamming_topk(df, df.filter(F.col("vec_id") == 0), k=3).collect()
+    got = [(r["neighbor_id"], r["hamming"]) for r in out]
+    assert got == [(1, 0), (2, 1), (3, 4)]
+
+
+def test_ann_binary_hamming_matches_oracle(spark, duck):
+    import __spark_entry__ as e
+
+    name = "ann_binary_hamming"
+    got = rows_set(e.queries()[name](spark, SF_DIR))
+    want = duck_set(duck, e.oracle_sql()[name])
+    assert got == want

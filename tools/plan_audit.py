@@ -127,6 +127,10 @@ AUDITED = [
     "graph_bowtie", "rouge_l_pairs", "graph_triad_census",
     "graph_dyad_census", "events_markov_steady",
     "dedup_edit_clusters", "text_word_burstiness",
+    # round-8 additions
+    "geo_grid_dbscan", "bleu_pairs", "classifier_mcnemar",
+    "revenue_inequality", "dsir_select", "ccnet_buckets",
+    "ann_binary_hamming",
     "format_roundtrip_audit",
 ]
 

@@ -14371,7 +14371,69 @@ FROM ranked GROUP BY lang, bucket ORDER BY lang, bucket
 """
 
 
+def q_ann_binary_hamming(spark, sf_dir):
+    """Binary-embedding retrieval (pipeline/similarity.binary_signatures
+    + hamming_topk): sign-bit 1-bit quantization packed into two BIGINT
+    halves, exact top-5 per probe query by popcount(xor) — the 32x-
+    smaller first-stage filter in front of a float rerank. Pure integer
+    distances, deterministic ties; each hit is also flagged against the
+    exact float-cosine top-5 so the quantization quality is part of the
+    oracle-checked contract."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        cosine_topk_bruteforce, hamming_topk)
+
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 10)
+    h = hamming_topk(emb, queries, k=5)
+    exact = (cosine_topk_bruteforce(emb, queries, k=5)
+             .select("query_id", "neighbor_id").withColumn("hit", F.lit(1)))
+    return (h.join(exact, ["query_id", "neighbor_id"], "left")
+            .select("query_id", "neighbor_id", "rank", "hamming",
+                    F.coalesce("hit", F.lit(0)).alias("in_exact_top5"))
+            .orderBy("query_id", "rank"))
+
+
+SQL_ANN_BINARY_HAMMING = """
+WITH sig AS (
+  SELECT vec_id AS id,
+    list_sum(list_transform(generate_series(1, 32), i ->
+      CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 1))
+           ELSE 0::BIGINT END)) AS sig_lo,
+    list_sum(list_transform(generate_series(33, 64), i ->
+      CASE WHEN embedding[i] > 0 THEN (1::BIGINT << (i - 33))
+           ELSE 0::BIGINT END)) AS sig_hi
+  FROM embeddings
+), h AS (
+  SELECT q.id AS query_id, c.id AS neighbor_id,
+         (bit_count(xor(c.sig_lo, q.sig_lo))
+          + bit_count(xor(c.sig_hi, q.sig_hi)))::BIGINT AS hamming
+  FROM sig q JOIN sig c ON q.id <> c.id
+  WHERE q.id < 10
+), topk AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+  FROM h
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY q.vec_id
+             ORDER BY round(list_cosine_similarity(
+                        CAST(q.embedding AS DOUBLE[]),
+                        CAST(c.embedding AS DOUBLE[])), 6) DESC,
+                      c.vec_id ASC) AS r
+    FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+    WHERE q.vec_id < 10) WHERE r <= 5
+)
+SELECT t.query_id, t.neighbor_id, t.rank::INT AS rank, t.hamming,
+       CASE WHEN e.neighbor_id IS NOT NULL THEN 1 ELSE 0 END
+         AS in_exact_top5
+FROM topk t LEFT JOIN exact e USING (query_id, neighbor_id)
+WHERE t.rank <= 5 ORDER BY t.query_id, t.rank
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "ann_binary_hamming": (q_ann_binary_hamming, SQL_ANN_BINARY_HAMMING),
     "geo_grid_dbscan": (q_geo_grid_dbscan, SQL_GEO_GRID_DBSCAN),
     "bleu_pairs": (q_bleu_pairs, SQL_BLEU_PAIRS),
     "classifier_mcnemar": (q_classifier_mcnemar, SQL_CLASSIFIER_MCNEMAR),
@@ -14973,6 +15035,7 @@ _R8_FRONT = [
 _R8_NEW = [
     "geo_grid_dbscan", "bleu_pairs", "classifier_mcnemar",
     "revenue_inequality", "dsir_select", "ccnet_buckets",
+    "ann_binary_hamming",
 ]
 
 # Remaining r1/r2 re-confirm queue (round-9 front candidates).

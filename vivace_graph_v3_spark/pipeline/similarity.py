@@ -1048,3 +1048,53 @@ def facility_location_select(emb: DataFrame, *, vec_col: str = "embedding",
                          float(cov)))
     return spark.createDataFrame(
         out_rows, "round long, vec_id long, gain double, coverage double")
+
+
+def binary_signatures(df: DataFrame, *, vec_col: str = "embedding",
+                      id_col: str = "vec_id",
+                      dims: int = 64) -> DataFrame:
+    """Sign-bit binary quantization of an embedding column (the 1-bit
+    representation used for Hamming-distance retrieval — 32x smaller
+    than float32, distances via XOR+popcount): bit j = vec[j] > 0.
+    Packs ``dims`` (<= 64) dimensions into two BIGINT halves using bits
+    0..31 of each (bit 63 of one word would need unsigned shifts that
+    not every engine spells the same; two halves keep the packing pure
+    integer arithmetic everywhere). Map-only, expression-only."""
+    def half(lo: int, hi: int) -> F.Column:
+        return F.expr(
+            f"aggregate(sequence({lo}, {hi - 1}), 0L, (a, i) -> "
+            f"a + IF(element_at({vec_col}, i + 1) > 0, "
+            f"shiftleft(1L, i - {lo}), 0L))")
+
+    mid = min(32, dims)
+    return df.select(
+        F.col(id_col).alias("id"),
+        half(0, mid).alias("sig_lo"),
+        (half(32, dims) if dims > 32 else F.lit(0)).alias("sig_hi"))
+
+
+def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
+                 vec_col: str = "embedding",
+                 id_col: str = "vec_id") -> DataFrame:
+    """Exact top-k by Hamming distance over sign-bit binary signatures:
+    the binary-embedding retrieval baseline (1-bit quantization, e.g.
+    Jegou et al.'s binary codes / modern binary-embedding search).
+    Distance = popcount(xor) over the two packed halves — pure integer,
+    engine-exact, deterministic ties by neighbor id. The query side
+    broadcasts (it is the bounded side); the corpus scan stays pruned
+    to (id, two longs) — at 100 TB this is the cheap first-stage filter
+    in front of a float rerank."""
+    csig = binary_signatures(corpus, vec_col=vec_col, id_col=id_col)
+    qsig = binary_signatures(queries, vec_col=vec_col, id_col=id_col) \
+        .select(F.col("id").alias("query_id"),
+                F.col("sig_lo").alias("q_lo"), F.col("sig_hi").alias("q_hi"))
+    d = F.expr("bit_count(sig_lo ^ q_lo) + bit_count(sig_hi ^ q_hi)")
+    pairs = (csig.crossJoin(F.broadcast(qsig))
+             .filter(F.col("id") != F.col("query_id"))
+             .select("query_id", F.col("id").alias("neighbor_id"),
+                     d.cast("long").alias("hamming")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("hamming").asc(), F.col("neighbor_id").asc())
+    return (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "hamming"))
