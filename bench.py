@@ -212,19 +212,23 @@ def main() -> int:
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
     # clean-window discipline (VERDICT r7 item 8): a load-drifted start
-    # must not silently become the official record. Re-measure until two
-    # consecutive calibration estimates agree within 2x (machine-
-    # independent: compares the run to itself), waiting out transient
-    # host load, bounded at 4 retries.
+    # must not silently become the official record. A draining machine
+    # shows MONOTONICALLY IMPROVING calibrations (consecutive estimates
+    # can agree within 2x while both are still inflated — observed when
+    # benching right after a test-suite run), so wait while the estimate
+    # keeps improving by >15% and accept at the plateau; bounded at 5
+    # retries, machine-independent (the run is compared to itself). The
+    # final line still carries the drift annotation if the post-suite
+    # calibration exposes a window this loop could not clean.
     cal_pre = calibration_seconds(spark)
-    for _ in range(4):
+    for _ in range(5):
+        time.sleep(5)
         again = calibration_seconds(spark)
-        if max(cal_pre, again) <= 2 * min(cal_pre, again):
+        if again >= 0.85 * cal_pre:
             cal_pre = min(cal_pre, again)
             break
-        print(f"# pre-cal unstable ({cal_pre}s vs {again}s): waiting out "
-              "host load", file=sys.stderr)
-        time.sleep(10)
+        print(f"# pre-cal still improving ({cal_pre}s -> {again}s): "
+              "waiting out draining load", file=sys.stderr)
         cal_pre = again
     print(f"# calibration pre-suite: {cal_pre}s", file=sys.stderr)
 
