@@ -201,3 +201,104 @@ def test_ann_binary_hamming_matches_oracle(spark, duck):
     got = rows_set(e.queries()[name](spark, SF_DIR))
     want = duck_set(duck, e.oracle_sql()[name])
     assert got == want
+
+
+def test_temporal_earliest_arrival_respects_time(spark):
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        temporal_earliest_arrival)
+
+    # a -> b at t=10; b -> c at t=5 (BEFORE arrival at b: unusable);
+    # b -> d at t=20 (usable); d -> c at t=30
+    edges = spark.createDataFrame(
+        [("a", "b", 10), ("b", "c", 5), ("b", "d", 20), ("d", "c", 30)],
+        "src string, dst string, ts long")
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    out = {(r["seed"], r["node"]): r["arrival"]
+           for r in temporal_earliest_arrival(edges, seeds,
+                                              max_hops=4).collect()}
+    assert out[("a", "b")] == 10
+    assert out[("a", "d")] == 20
+    assert out[("a", "c")] == 30  # only via d; b->c at 5 is in the past
+    assert ("a", "a") not in out
+
+
+def test_temporal_earliest_arrival_prefers_earliest(spark):
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        temporal_earliest_arrival)
+
+    # two routes to c: direct at 50, via b arriving 15 — earliest wins;
+    # and the earlier arrival at c enables c -> e at 20 (the direct
+    # route would have missed it: optimal-substructure regression)
+    edges = spark.createDataFrame(
+        [("a", "c", 50), ("a", "b", 5), ("b", "c", 15), ("c", "e", 20)],
+        "src string, dst string, ts long")
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    out = {r["node"]: r["arrival"]
+           for r in temporal_earliest_arrival(edges, seeds,
+                                              max_hops=4).collect()}
+    assert out["c"] == 15
+    assert out["e"] == 20
+
+
+def test_mink_prob_audit_tail_focus(spark):
+    from vivace_graph_v3_spark.pipeline.text import mink_prob_audit
+
+    # doc 1: all-common tokens; doc 2: same commons + one rare token.
+    # With k=20% on 5 tokens (k_used=1), doc 2's worst token is the
+    # rare one -> strictly higher mink score
+    rows = [(1, "x x x x x"), (2, "x x x x rareword")] \
+        + [(10 + i, "x x x x x") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["id"]: r for r in mink_prob_audit(df).collect()}
+    assert out[1]["k_used"] == 1 and out[2]["k_used"] == 1
+    assert out[2]["mink_nlp"] > out[1]["mink_nlp"]
+
+
+def test_stream_dedup_batchwise_semantics(spark, tmp_path):
+    # drive stream_dedup through two availableNow micro-batches and
+    # check first-occurrence flags carry state across the boundary
+    import os
+
+    from vivace_graph_v3_spark.streaming.stateful import stream_dedup
+
+    b1 = spark.createDataFrame(
+        [(1, 1.0, 100.0), (1, 2.0, 101.0), (1, 1.0, 102.0)],
+        "user_id long, value double, event_time double")
+    b2 = spark.createDataFrame(
+        [(1, 1.0, 200.0), (1, 3.0, 201.0)],
+        "user_id long, value double, event_time double")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    b1.coalesce(1).write.parquet(str(tmp_path / "p1"))
+    b2.coalesce(1).write.parquet(str(tmp_path / "p2"))
+    import glob
+    import shutil
+    for i, d in enumerate(["p1", "p2"]):
+        (pf,) = glob.glob(str(tmp_path / d / "part-*.parquet"))
+        dst = os.path.join(src, f"q{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (1000 + i, 1000 + i))
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    out_dir, ck = str(tmp_path / "out"), str(tmp_path / "ck")
+    q = (stream_dedup(stream, ts_col="event_time")
+         .writeStream.format("parquet").option("path", out_dir)
+         .option("checkpointLocation", ck)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["event_ms"]): r["is_first"]
+           for r in spark.read.parquet(out_dir).collect()}
+    assert got[100000] is True     # first 1
+    assert got[101000] is True     # first 2
+    assert got[102000] is False    # repeat 1, same batch
+    assert got[200000] is False    # repeat 1, ACROSS batch boundary
+    assert got[201000] is True     # first 3
+
+
+def test_batch3_entries_match_oracle_sf0001(spark, duck):
+    import __spark_entry__ as e
+
+    for name in ["mink_prob_audit", "temporal_reach", "stateful_dedup"]:
+        got = rows_set(e.queries()[name](spark, SF_DIR))
+        want = duck_set(duck, e.oracle_sql()[name])
+        assert got == want, name

@@ -130,7 +130,7 @@ AUDITED = [
     # round-8 additions
     "geo_grid_dbscan", "bleu_pairs", "classifier_mcnemar",
     "revenue_inequality", "dsir_select", "ccnet_buckets",
-    "ann_binary_hamming",
+    "ann_binary_hamming", "mink_prob_audit", "temporal_reach",
     "format_roundtrip_audit",
 ]
 

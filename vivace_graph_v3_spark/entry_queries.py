@@ -10793,13 +10793,13 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
     import tempfile
 
     from vivace_graph_v3_spark.streaming.stateful import (
-        running_totals, stream_rate_limit, stream_sessionize,
-        streaming_anomalies)
+        running_totals, stream_dedup, stream_rate_limit,
+        stream_sessionize, streaming_anomalies)
 
     mt = os.path.getmtime(f"{sf_dir}/events.parquet")
-    # :v3 — the sessions sink joined in batch-5 and the rate-limit sink
-    # after it; older cached dirs lack them and must not be reused
-    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}:v3".encode()).hexdigest()[:12]
+    # :v4 — the dedup sink joined in round 8; older cached dirs lack it
+    # and must not be reused
+    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}:v4".encode()).hexdigest()[:12]
     path = os.path.join(tempfile.gettempdir(), f"vgv3_stateful_{tag}")
     if os.path.isdir(path):
         return path
@@ -10898,7 +10898,8 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
     for name, op in (("totals", running_totals),
                      ("anomalies", streaming_anomalies),
                      ("sessions", stream_sessionize),
-                     ("ratelimit", _ratelimit)):
+                     ("ratelimit", _ratelimit),
+                     ("dedup", stream_dedup)):
         for attempt in range(3):
             try:
                 out_dir = drain_once(name, op, attempt)
@@ -14432,7 +14433,157 @@ WHERE t.rank <= 5 ORDER BY t.query_id, t.rank
 """
 
 
+def q_stateful_dedup(spark, sf_dir):
+    """Contract face of the applyInPandasWithState streaming DEDUP
+    (streaming/stateful.py:stream_dedup): per-key first-occurrence
+    flagging of integer-cent values with the seen-set carried across
+    the 4 real micro-batches. Every event is emitted exactly once with
+    its verdict, so the stream's output is relationally identical to
+    the batch row_number()=1 first-occurrence dedup the oracle
+    computes — the ingest-side exactly-once guarantee before any sink
+    that must not double-count."""
+    base = _session_stateful_run(spark, sf_dir)
+    return (spark.read.parquet(f"{base}/dedup")
+            .select("key", "event_ms", "value", "is_first"))
+
+
+SQL_STATEFUL_DEDUP = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS t,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+  FROM events
+)
+SELECT key, t * 1000 AS event_ms, c AS value,
+       (row_number() OVER (PARTITION BY key, c ORDER BY t) = 1)
+         AS is_first
+FROM e
+"""
+
+
+def q_mink_prob_audit(spark, sf_dir):
+    """Min-K% Prob memorization signal (pipeline/text.mink_prob_audit;
+    Shi et al. ICLR 2024): per doc, the decimal-accumulated mean
+    neg-log-prob of its 20% least-probable tokens under the corpus
+    unigram LM — the tail-focused pretraining-data-detection statistic
+    next to the whole-doc perplexity proxy. k-subset chosen by a total
+    (neg_logp desc, token asc) order with exact integer k = ceil(n/5);
+    one vocab-bounded join + one per-doc window."""
+    from vivace_graph_v3_spark.pipeline.text import mink_prob_audit
+
+    return mink_prob_audit(_docs(spark, sf_dir))
+
+
+SQL_MINK_PROB_AUDIT = r"""
+WITH w AS (
+  SELECT doc_id AS id,
+         unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                            x -> x <> '')) AS w
+  FROM documents
+), v AS (
+  SELECT w, count(*) AS c FROM w GROUP BY w
+), t AS (SELECT sum(c) AS total FROM v),
+scored AS (
+  SELECT id, w.w AS w, -log2(c / total) AS neg_logp
+  FROM w JOIN v USING (w) CROSS JOIN t
+), ranked AS (
+  SELECT id, neg_logp,
+         row_number() OVER (PARTITION BY id
+                            ORDER BY neg_logp DESC, w ASC) AS rnk,
+         count(*) OVER (PARTITION BY id) AS n_tokens,
+         (count(*) OVER (PARTITION BY id) * 20 + 99) // 100 AS k_used
+  FROM scored
+)
+SELECT id, max(n_tokens)::BIGINT AS n_tokens,
+       max(k_used)::BIGINT AS k_used,
+       round(CAST(sum(CAST(neg_logp AS DECIMAL(38,12))) AS DOUBLE)
+             / max(k_used), 6) AS mink_nlp
+FROM ranked WHERE rnk <= k_used GROUP BY id
+"""
+
+
+def q_temporal_reach(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability (operators/
+    graph_algorithms.temporal_earliest_arrival; Wu et al. VLDB'14) over
+    the order-flow temporal graph: directed edges customer->supplier
+    AND supplier->customer stamped with the order's epoch-second — a
+    4-hop (2 customer-generation) contagion/information-flow closure
+    from seed customers 0-2, each reached node carrying its exact
+    integer earliest arrival. The oracle unrolls the identical 4-level
+    min DP (exact by the superset-of-edges optimal substructure)."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        temporal_earliest_arrival)
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_orderkey", "o_custkey",
+                 F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                        " div 1000000").alias("t")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_orderkey").alias("o_orderkey"), "l_suppkey"))
+    tri = (o.join(li, "o_orderkey")
+           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                   F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+                   "t").dropDuplicates())
+    edges = (tri.select(F.col("c").alias("src"), F.col("s").alias("dst"),
+                        F.col("t").alias("ts"))
+             .unionByName(tri.select(F.col("s").alias("src"),
+                                     F.col("c").alias("dst"),
+                                     F.col("t").alias("ts"))))
+    seeds = spark.createDataFrame([("c0",), ("c1",), ("c2",)], ["id"])
+    reach = temporal_earliest_arrival(edges, seeds, max_hops=4)
+    return (reach.filter(F.col("node").startswith("c")
+                         & (F.col("node") != F.col("seed")))
+            .select("seed", "node", "arrival")
+            .orderBy("seed", "node"))
+
+
+SQL_TEMPORAL_REACH = """
+WITH tri AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+         epoch(o_orderdate)::BIGINT AS t
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+), e AS (
+  SELECT c AS u, s AS v, t FROM tri
+  UNION ALL SELECT s, c, t FROM tri
+), seeds AS (
+  SELECT 'c' || i.range::VARCHAR AS seed FROM range(3) i
+), ea1 AS (
+  SELECT s.seed, e.v AS node, min(e.t) AS arrival
+  FROM seeds s JOIN e ON e.u = s.seed GROUP BY s.seed, e.v
+), ea2 AS (
+  SELECT seed, node, min(arrival) AS arrival FROM (
+    SELECT seed, node, arrival FROM ea1
+    UNION ALL
+    SELECT a.seed, e.v AS node, min(e.t) AS arrival
+    FROM ea1 a JOIN e ON e.u = a.node AND e.t >= a.arrival
+    GROUP BY a.seed, e.v
+  ) GROUP BY seed, node
+), ea3 AS (
+  SELECT seed, node, min(arrival) AS arrival FROM (
+    SELECT seed, node, arrival FROM ea2
+    UNION ALL
+    SELECT a.seed, e.v AS node, min(e.t) AS arrival
+    FROM ea2 a JOIN e ON e.u = a.node AND e.t >= a.arrival
+    GROUP BY a.seed, e.v
+  ) GROUP BY seed, node
+), ea4 AS (
+  SELECT seed, node, min(arrival) AS arrival FROM (
+    SELECT seed, node, arrival FROM ea3
+    UNION ALL
+    SELECT a.seed, e.v AS node, min(e.t) AS arrival
+    FROM ea3 a JOIN e ON e.u = a.node AND e.t >= a.arrival
+    GROUP BY a.seed, e.v
+  ) GROUP BY seed, node
+)
+SELECT seed, node, arrival FROM ea4
+WHERE node LIKE 'c%' AND node <> seed
+ORDER BY seed, node
+"""
+
+
 REGISTRY: dict[str, tuple] = {
+    "temporal_reach": (q_temporal_reach, SQL_TEMPORAL_REACH),
+    "mink_prob_audit": (q_mink_prob_audit, SQL_MINK_PROB_AUDIT),
+    "stateful_dedup": (q_stateful_dedup, SQL_STATEFUL_DEDUP),
     "ann_binary_hamming": (q_ann_binary_hamming, SQL_ANN_BINARY_HAMMING),
     "geo_grid_dbscan": (q_geo_grid_dbscan, SQL_GEO_GRID_DBSCAN),
     "bleu_pairs": (q_bleu_pairs, SQL_BLEU_PAIRS),
@@ -15035,7 +15186,8 @@ _R8_FRONT = [
 _R8_NEW = [
     "geo_grid_dbscan", "bleu_pairs", "classifier_mcnemar",
     "revenue_inequality", "dsir_select", "ccnet_buckets",
-    "ann_binary_hamming",
+    "ann_binary_hamming", "stateful_dedup", "mink_prob_audit",
+    "temporal_reach",
 ]
 
 # Remaining r1/r2 re-confirm queue (round-9 front candidates).

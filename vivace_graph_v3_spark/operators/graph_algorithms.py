@@ -1463,3 +1463,57 @@ def dyad_census(edges: DataFrame, *, src_col: str = "src",
         F.expr("CASE WHEN mutual + asym > 0 THEN "
                "mutual * 1000000L div (mutual + asym) END")
         .alias("reciprocity_ppm")))
+
+
+def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
+                              max_hops: int = 4, src_col: str = "src",
+                              dst_col: str = "dst",
+                              ts_col: str = "ts") -> DataFrame:
+    """Earliest-arrival time-respecting reachability over a temporal
+    edge list (Wu et al., VLDB 2014 "Path problems in temporal
+    graphs"): a path is time-respecting when edge timestamps are
+    non-decreasing along it; EA_k(seed, v) = the earliest time v can be
+    reached from seed within <= k hops. Optimal substructure holds
+    because an earlier arrival at u enables a SUPERSET of u's outgoing
+    edges, so the level DP EA_k(v) = min(EA_{k-1}(v), min over edges
+    u->v with ts >= EA_{k-1}(u) of ts) is exact — implemented as
+    ``max_hops`` improvement-only frontier rounds (Bellman-Ford level
+    semantics), each one edge join + one min aggregate, linear in |E|
+    per round at any volume. Returns (seed, node, arrival) for every
+    node reached in 1..max_hops hops (seeds themselves excluded)."""
+    e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
+                      F.col(ts_col).cast("long").alias("t"))
+         .dropDuplicates().persist())
+    total = (seeds.select(F.col(seeds.columns[0]).alias("seed"))
+             .select("seed", F.col("seed").alias("node"),
+                     F.lit(None).cast("long").alias("arrival"))
+             .transform(checkpoint_rebased))
+    frontier = total
+    try:
+        for _ in range(max_hops):
+            relaxed = (frontier.join(
+                e, frontier["node"] == e["u"])
+                .filter(F.col("arrival").isNull()
+                        | (F.col("t") >= F.col("arrival")))
+                .groupBy("seed", F.col("v").alias("node2"))
+                .agg(F.min("t").alias("arr2")))
+            old = total.select("seed", F.col("node").alias("node2"),
+                               F.col("arrival").alias("old_arr"))
+            imp = (relaxed.join(old, ["seed", "node2"], "left")
+                   .filter(F.col("old_arr").isNull()
+                           & F.col("arr2").isNotNull()
+                           | (F.col("arr2") < F.col("old_arr")))
+                   .select("seed", F.col("node2").alias("node"),
+                           F.col("arr2").alias("arrival"))
+                   .transform(checkpoint_rebased))
+            if imp.isEmpty():
+                break
+            keep = total.join(imp.select("seed",
+                                         F.col("node").alias("node")),
+                              ["seed", "node"], "left_anti")
+            total = keep.unionByName(imp).transform(checkpoint_rebased)
+            frontier = imp
+        return (total.filter(F.col("arrival").isNotNull())
+                .select("seed", "node", "arrival"))
+    finally:
+        e.unpersist()

@@ -2071,3 +2071,46 @@ def ccnet_perplexity_buckets(df: DataFrame, *, text_col: str = "text",
                                .cast("decimal(38,12)")).cast("double")
                          / F.count(F.lit(1)), 4).alias("mean_nlp"))
             .orderBy("lang", "bucket"))
+
+
+def mink_prob_audit(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id",
+                    k_pct: int = 20) -> DataFrame:
+    """Min-K% Prob membership/memorization signal (Shi et al., ICLR
+    2024, "Detecting Pretraining Data from Large Language Models"): per
+    document, the mean negative log-prob of its k% LEAST-probable
+    tokens under the corpus-self-trained unigram LM. Outlier docs whose
+    worst tokens are still probable score low (memorized/templated);
+    docs with genuinely surprising tails score high — the tail-focused
+    complement to the whole-doc perplexity proxy (unigram_logprob).
+
+    Determinism: per-token scores are identical IEEE doubles in both
+    engines (same c/total inputs), the k-subset is chosen by a
+    (neg_logp desc, token asc) total order with k = ceil(n/ (100/k_pct))
+    exact integers, and the mean decimal-accumulates before one
+    6-decimal rounding. Scale: vocab-bounded scoring join + one per-doc
+    window — linear in token volume."""
+    words = (ensure_parallelism(df)
+             .select(F.col(id_col).alias("id"),
+                     F.explode(tokens(F.col(text_col))).alias("w")))
+    vocab = words.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").alias("total"))
+    scored = (words.join(vocab, "w")
+              .crossJoin(F.broadcast(total))
+              .select("id", "w",
+                      (-F.log2(F.col("c") / F.col("total")))
+                      .alias("neg_logp")))
+    win = Window.partitionBy("id").orderBy(F.desc("neg_logp"), F.asc("w"))
+    n = Window.partitionBy("id")
+    ranked = (scored
+              .withColumn("rnk", F.row_number().over(win))
+              .withColumn("n_tokens", F.count(F.lit(1)).over(n))
+              .withColumn("k_used", F.expr(
+                  f"(n_tokens * {int(k_pct)} + 99) div 100")))
+    sel = ranked.filter(F.col("rnk") <= F.col("k_used"))
+    return (sel.groupBy("id")
+            .agg(F.max("n_tokens").cast("long").alias("n_tokens"),
+                 F.max("k_used").cast("long").alias("k_used"),
+                 F.round(F.sum(F.col("neg_logp").cast("decimal(38,12)"))
+                         .cast("double") / F.max("k_used"), 6)
+                 .alias("mink_nlp")))

@@ -324,3 +324,63 @@ def stream_rate_limit(events: DataFrame, *, key_col: str = "user_id",
             .applyInPandasWithState(_update, RATE_OUT_SCHEMA,
                                     RATE_STATE_SCHEMA, "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+# -- streaming exactly-once dedup ----------------------------------------------
+
+DEDUP_OUT_SCHEMA = ("key string, event_ms long, value long, "
+                    "is_first boolean")
+DEDUP_STATE_SCHEMA = "seen array<long>"
+
+
+def stream_dedup(events: DataFrame, *, key_col: str = "user_id",
+                 value_col: str = "value",
+                 ts_col: str = "event_time") -> DataFrame:
+    """Custom stateful exactly-once DEDUP over a stream: per key, the
+    FIRST occurrence of each value is flagged ``is_first=True`` and
+    every later occurrence False, with the seen-set carried across
+    micro-batches — the streaming twin of the batch first-occurrence
+    dedup (row_number() = 1 over (key, value) by event time), and the
+    ingest-side guarantee a training-data pipeline needs before a sink
+    that must not double-count.
+
+    Every input event is emitted exactly once (with its verdict), so
+    the drain is coverage-checkable against the input count. Per-batch
+    events fold in EVENT-time order. State is the per-key distinct
+    value set; production deployments bound it with an event-time TTL
+    (the same watermark discipline as dropDuplicates withWatermark) —
+    the contract face runs un-evicted inside its bounded drain so the
+    relational oracle is exact. All state transfer is Arrow-batched
+    pandas."""
+    from pyspark.sql import functions as F
+
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - eviction frees state
+            state.remove()
+            return
+        seen = set(int(v) for v in state.get[0]) if state.exists else set()
+        out: list[dict] = []
+        frames = [p for p in pdfs if len(p)]
+        for pdf in ([pd.concat(frames, ignore_index=True)
+                     .sort_values("event_ms", kind="mergesort")]
+                    if frames else []):
+            for ms, v in zip(pdf["event_ms"], pdf["value"]):
+                vi = int(v)
+                first = vi not in seen
+                seen.add(vi)
+                out.append({"key": key[0], "event_ms": int(ms),
+                            "value": vi, "is_first": first})
+        state.update((sorted(seen),))
+        state.setTimeoutDuration(60_000)
+        if out:
+            yield pd.DataFrame(out)
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("long").alias("value"),
+        (F.col(ts_col).cast("double") * 1000).cast("long").alias("event_ms"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(_update, DEDUP_OUT_SCHEMA,
+                                    DEDUP_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
