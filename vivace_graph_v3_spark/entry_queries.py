@@ -15183,6 +15183,10 @@ _R8_FRONT = [
 # prepended. Each must be green at sf0.01 AND sf0.1 on registration
 # day, with unit tests, and the FULL pytest suite must pass before the
 # registering commit (VERDICT r7 item 1's rule).
+#
+# ROUND-9 ROTATION (two-line swap): front = _R8_NEW (these 10 earn
+# their first driver rows) + the first 40 of _R9_RECONFIRM; new
+# round-9 registrations append behind, same convention.
 _R8_NEW = [
     "geo_grid_dbscan", "bleu_pairs", "classifier_mcnemar",
     "revenue_inequality", "dsir_select", "ccnet_buckets",
