@@ -15213,7 +15213,28 @@ _R9_RECONFIRM = [
     "view_reduce_total",
 ]
 
-_ordered = {n: REGISTRY[n] for n in _R8_FRONT + _R8_NEW + _R9_RECONFIRM}
+# ROUND-9 FRONT (VERDICT r8 item 1, executing the staged swap): the 10
+# _R8_NEW entries earn their first driver rows + the first 40 of
+# _R9_RECONFIRM. Behind the front: the remaining 8 re-confirms, then
+# new round-9 registrations (_R9_NEW), then everything else in prior
+# order. After this round the never-driver-sampled set is EMPTY and the
+# re-confirm queue is down to 8.
+_R9_FRONT = _R8_NEW + _R9_RECONFIRM[:40]
+
+# New round-9 registrations: appended behind the front, never
+# prepended (the retired-prepend convention). Each must be green at
+# sf0.01 AND sf0.1 on registration day, with unit tests, and the FULL
+# pytest suite must pass before the registering commit.
+#
+# ROUND-10 ROTATION (staged now so the convention outlives the
+# session, VERDICT r8 item 7): front = the remaining 8 of
+# _R9_RECONFIRM (_R9_RECONFIRM[40:]) + _R9_NEW; round-10 registrations
+# append behind, same convention. That finishes the re-confirm queue.
+_R9_NEW: list[str] = [
+]
+
+_ordered = {n: REGISTRY[n]
+            for n in _R9_FRONT + _R9_RECONFIRM[40:] + _R9_NEW}
 for _n, _v in REGISTRY.items():
     _ordered.setdefault(_n, _v)
 REGISTRY = _ordered
