@@ -248,7 +248,13 @@ def grid_dbscan(df: DataFrame, *, eps: float, min_pts: int,
     of the cluster's cores, NULL for noise.
 
     With integer coordinates and integer eps, every comparison is exact
-    integer arithmetic end to end.
+    integer arithmetic end to end: cells come from a pmod-based integer
+    floor division (no double `/`), dist² is a LONG self-multiplication
+    (never ``pow``, which returns DOUBLE), and the threshold is a LONG
+    literal — exact at any coordinate magnitude. With fractional eps or
+    non-integer coordinate columns the cell assignment and the refine
+    fall back to DOUBLE and are exact only while squared deltas stay
+    below 2^53 (documented caveat, not a claim).
 
     Coincident points collapse to POSITIONS before the pair join:
     points at one (x, y) share their eps-neighborhood, hence core-ness
@@ -262,11 +268,33 @@ def grid_dbscan(df: DataFrame, *, eps: float, min_pts: int,
 
     pts = df.select(F.col(id_col).alias("id"), F.col(x_col).alias("x"),
                     F.col(y_col).alias("y"))
+    int_types = {"tinyint", "smallint", "int", "bigint"}
+    coord_t = dict(pts.dtypes)
+    exact_int = (float(eps).is_integer() and eps > 0
+                 and coord_t["x"] in int_types
+                 and coord_t["y"] in int_types)
+    if exact_int:
+        e_i = int(eps)
+
+        def cell(c: str) -> F.Column:
+            # pmod(c, e) in [0, e) for e > 0, so (c - pmod) is the
+            # largest multiple of e <= c and the div is exact — a true
+            # floor even for negative coordinates (plain `div`
+            # truncates toward zero and would mis-cell them)
+            return F.expr(f"(CAST({c} AS BIGINT) - pmod({c}, {e_i})) "
+                          f"div {e_i}")
+
+        eps2 = F.lit(e_i * e_i).cast("long")
+    else:
+        def cell(c: str) -> F.Column:
+            return F.floor(F.col(c) / F.lit(float(eps)))
+
+        eps2 = F.lit(float(eps) * float(eps))
     pos = (pts.groupBy("x", "y")
            .agg(F.count(F.lit(1)).alias("mult"),
                 F.min("id").alias("min_id"))
-           .withColumn("cx", F.floor(F.col("x") / eps))
-           .withColumn("cy", F.floor(F.col("y") / eps))
+           .withColumn("cx", cell("x"))
+           .withColumn("cy", cell("y"))
            .withColumn("pk", F.struct("x", "y")))
     offs = F.explode(F.array(*[
         F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
@@ -278,12 +306,19 @@ def grid_dbscan(df: DataFrame, *, eps: float, min_pts: int,
     b = pos.select(F.col("pk").alias("pkb"), F.col("x").alias("xb"),
                    F.col("y").alias("yb"), F.col("mult").alias("bmult"),
                    "cx", "cy")
-    dist2 = ((F.col("x") - F.col("xb")) ** 2
-             + (F.col("y") - F.col("yb")) ** 2)
+    if exact_int:
+        dx = (F.col("x").cast("long") - F.col("xb"))
+        dy = (F.col("y").cast("long") - F.col("yb"))
+    else:
+        dx = F.col("x") - F.col("xb")
+        dy = F.col("y") - F.col("yb")
+    # self-multiplication keeps LongType; `** 2` compiles to pow() and
+    # silently promotes to DOUBLE (exact only below 2^53)
+    dist2 = dx * dx + dy * dy
     # position pairs within eps, INCLUDING self (own multiplicity counts
     # toward |N incl self|); bounded by occupied positions x local density
     pnbr = (probe.join(b, ["cx", "cy"])
-            .filter(dist2 <= eps * eps)
+            .filter(dist2 <= eps2)
             .select("pk", "pkb", "bmult")
             .localCheckpoint(eager=True))
     deg = pnbr.groupBy("pk").agg(F.sum("bmult").alias("n_in"))

@@ -980,8 +980,12 @@ def mcnemar_test(df: DataFrame, pred_a: Column, pred_b: Column,
     n01 = A wrong, B right; n10 = A right, B wrong (the discordant
     cells — the only information the test uses); chi2_cc_ppm =
     (|n01 - n10| - 1)^2 * 1e6 div (n01 + n10), NULL when no discordant
-    pairs. One map-side-combined aggregate over the table — linear at
-    any volume, one output row."""
+    pairs. The squared term carries in DECIMAL(38,0) (the vmr_ppm_expr
+    discipline): in LONG, (|n01-n10|-1)^2 * 1e6 wraps silently past
+    ~3M discordant rows under non-ANSI Spark; the numerator is
+    non-negative so decimal `div` matches BIGINT floor exactly. One
+    map-side-combined aggregate over the table — linear at any volume,
+    one output row."""
     a_ok = (pred_a == label).cast("int")
     b_ok = (pred_b == label).cast("int")
     agg = df.agg(
@@ -996,5 +1000,6 @@ def mcnemar_test(df: DataFrame, pred_a: Column, pred_b: Column,
     # Edwards correction clamped at 0 (|b-c| = 0 must not score 1)
     return agg.withColumn("chi2_cc_ppm", F.expr(
         "CASE WHEN n01 + n10 > 0 THEN "
-        "greatest(abs(n01 - n10) - 1, 0L) * greatest(abs(n01 - n10) - 1, 0L)"
+        "CAST(greatest(abs(n01 - n10) - 1, 0L) AS DECIMAL(38,0))"
+        " * greatest(abs(n01 - n10) - 1, 0L)"
         " * 1000000 div (n01 + n10) END"))

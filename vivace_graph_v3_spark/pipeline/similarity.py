@@ -1059,7 +1059,15 @@ def binary_signatures(df: DataFrame, *, vec_col: str = "embedding",
     Packs ``dims`` (<= 64) dimensions into two BIGINT halves using bits
     0..31 of each (bit 63 of one word would need unsigned shifts that
     not every engine spells the same; two halves keep the packing pure
-    integer arithmetic everywhere). Map-only, expression-only."""
+    integer arithmetic everywhere). dims > 64 raises — bits past 63
+    would silently wrap in the shift. Both halves are LongType at every
+    dims so signature frames built at different widths union cleanly.
+    Map-only, expression-only."""
+    if not 1 <= dims <= 64:
+        raise ValueError(
+            f"binary_signatures packs at most 64 dims into two BIGINT "
+            f"halves; got dims={dims}")
+
     def half(lo: int, hi: int) -> F.Column:
         return F.expr(
             f"aggregate(sequence({lo}, {hi - 1}), 0L, (a, i) -> "
@@ -1070,7 +1078,8 @@ def binary_signatures(df: DataFrame, *, vec_col: str = "embedding",
     return df.select(
         F.col(id_col).alias("id"),
         half(0, mid).alias("sig_lo"),
-        (half(32, dims) if dims > 32 else F.lit(0)).alias("sig_hi"))
+        (half(32, dims) if dims > 32
+         else F.lit(0).cast("long")).alias("sig_hi"))
 
 
 def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
