@@ -92,3 +92,27 @@ def test_mcnemar_exact_past_long_overflow(spark):
     row = mcnemar_test(df, F.col("pa"), F.col("pb"), F.col("y")).collect()[0]
     assert row["n01"] == n and row["n10"] == 0
     assert row["chi2_cc_ppm"] == (n - 1) ** 2 * 1_000_000 // n
+
+
+def test_global_once_plans_takeordered_not_single_partition_window(tpch):
+    # VERDICT r8 finding 2: the global once/cut commit (no outer
+    # context) must plan as TakeOrderedAndProject — per-partition top-1
+    # then merge — not Exchange SinglePartition + Window, which routes
+    # the whole intermediate through one task
+    from vivace_graph_v3_spark.plans import plan_facts
+    from vivace_graph_v3_spark.query import builder as B
+
+    df = B.select(tpch, ["?c", "?o"], [("once", ("placed", "?c", "?o"))])
+    rows = df.collect()
+    assert len(rows) == 1
+    f = plan_facts(df)
+    assert f.take_ordered, "global once must commit via TakeOrdered"
+    assert f.single_partition_exchanges == 0
+    assert "Window" not in f.plan
+
+    # the select-list cut desugars to the same contract and plan shape
+    cut = B.select(tpch, ["?c", "?o"], [("placed", "?c", "?o"), ("!",)])
+    assert [(r["c"], r["o"]) for r in cut.collect()] == \
+        [(rows[0]["c"], rows[0]["o"])]
+    fc = plan_facts(cut)
+    assert fc.take_ordered and fc.single_partition_exchanges == 0

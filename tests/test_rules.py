@@ -144,3 +144,38 @@ def test_cut_in_select_goal_list(chain_graph):
         ("once", ("next", "?x", "?y")),
     ])
     assert [(r["x"], r["y"]) for r in once.collect()] == rows
+
+
+def test_cut_prunes_untried_clauses_when_guard_succeeds(chain_graph):
+    # guarded-clause idiom: the reference compiles ! as return-from the
+    # FUNCTOR (prologc.lisp:709-714), so a committed cut in clause 1
+    # suppresses clause 2 entirely — without pruning, the self-rows of
+    # clause 2 would leak into the union (ADVICE r8 medium)
+    def_rule("pick", ["?x", "?y"],
+             [("next", "?x", "?y"), ("!",)],
+             [("is-a", "?x", "node"), ("=", "?y", "?x")])
+    df = B.select(chain_graph, ["?x", "?y"], [("pick", "?x", "?y")])
+    assert {(r["x"], r["y"]) for r in df.collect()} == {("a", "b")}
+
+
+def test_cut_does_not_prune_when_guard_fails(chain_graph):
+    # the cut only fires when execution reaches it: an empty committed
+    # prefix means clause 2 must still contribute
+    def_rule("pick", ["?x", "?y"],
+             [("next", "?x", "?y"), ("=", "?y", "zzz"), ("!",)],
+             [("is-a", "?x", "node"), ("=", "?y", "?x")])
+    df = B.select(chain_graph, ["?x", "?y"], [("pick", "?x", "?y")])
+    assert {(r["x"], r["y"]) for r in df.collect()} == {
+        (i, i) for i in "abcde"}
+
+
+def test_cut_fail_idiom_fails_predicate(chain_graph):
+    # p :- guard, !, fail.  p :- b.   — guard succeeds, so the commit
+    # prunes clause 2 AND the post-cut fail empties clause 1: the
+    # predicate has no solutions (the prefix, not the full clause,
+    # gates the prune)
+    def_rule("blocked", ["?x", "?y"],
+             [("next", "?x", "?y"), ("!",), ("fail",)],
+             [("is-a", "?x", "node"), ("=", "?y", "?x")])
+    df = B.select(chain_graph, ["?x", "?y"], [("blocked", "?x", "?y")])
+    assert df.count() == 0

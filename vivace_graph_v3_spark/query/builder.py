@@ -689,13 +689,15 @@ class Select:
         """First solution per outer row (prologc.lisp:520-545). Requires a
         defined order for determinism: new columns sort ascending —
         the documented contract replacing the reference's discovery order."""
-        from pyspark.sql import Window
         if plan.df is None:
+            # global once (no outer context): orderBy().limit(1) plans as
+            # TakeOrderedAndProject — per-partition top-1 then merge,
+            # map-side combinable — where a Window.partitionBy(lit(1))
+            # row_number would route the whole intermediate through ONE
+            # window task (VERDICT r8 finding 2)
             sub = self.compile_goals(Plan(), list(goals))
             new = sorted(sub.df.columns)
-            w = Window.partitionBy(F.lit(1)).orderBy(*new)
-            return Plan(sub.df.withColumn("__rn", F.row_number().over(w))
-                        .filter(F.col("__rn") == 1).drop("__rn"))
+            return Plan(sub.df.orderBy(*new).limit(1))
         outer = list(plan.df.columns)
         sub = self.compile_goals(Plan(plan.df), list(goals))
         new = sorted(set(sub.df.columns) - set(outer))

@@ -24,6 +24,15 @@ Mutually recursive rules are solved simultaneously as one strongly-connected
 component. Every iteration's frontier is ``localCheckpoint``-ed: it feeds the
 emptiness check, the union, and the next iteration's joins, and the plan tree
 would otherwise grow exponentially with depth.
+
+Cut semantics: the reference compiles ``!`` as return-from the functor
+(prologc.lisp:709-714) — it commits within its clause AND prunes the
+predicate's untried later clauses. Non-recursive rules reproduce both
+halves (clauses evaluate in definition order; a non-empty committed cut
+prefix stops the walk). Rules inside a recursive SCC get only the
+within-clause commit: bottom-up fixpoint evaluation has no per-call
+frame, so inter-clause pruning is undefined there and is documented as
+not provided (QUERY_API.md).
 """
 
 from __future__ import annotations
@@ -140,9 +149,24 @@ class RuleEvaluator:
             return self._solved[name]
         scc = _scc_of(name)
         if not scc:
-            # non-recursive: plain union of clause evaluations
-            df = self._union([self._eval_clause(_RULES[name], body, {}, {})
-                              for body in _RULES[name].clauses])
+            # non-recursive: union of clause evaluations IN CLAUSE ORDER
+            # with cut pruning — the reference compiles '!' as
+            # return-from the whole functor (prologc.lisp:709-714), so a
+            # clause whose committed cut prefix is non-empty also prunes
+            # the predicate's UNTRIED later clauses (the guarded-clause
+            # idiom ``p :- guard, !, a.  p :- b.``). The prefix — not
+            # the full clause — gates the prune, so the cut-fail idiom
+            # ``p :- guard, !, fail.`` correctly fails the predicate.
+            # Emptiness is probed on the checkpointed <=1-row commit.
+            rule = _RULES[name]
+            frames = []
+            for body in rule.clauses:
+                commits: list[DataFrame] = []
+                frames.append(self._eval_clause(rule, body, {}, {},
+                                                cut_commits=commits))
+                if any(not c.isEmpty() for c in commits):
+                    break
+            df = self._union(frames, arity=rule.arity)
             self._solved[name] = df
             return df
         self._solve_scc(scc)
@@ -197,7 +221,8 @@ class RuleEvaluator:
 
     def _eval_clause(self, rule: Rule, body: list[tuple],
                      totals: dict[str, DataFrame], deltas: dict[str, DataFrame],
-                     delta_occurrence: int | None = None) -> DataFrame:
+                     delta_occurrence: int | None = None,
+                     cut_commits: list | None = None) -> DataFrame:
         sel = Select(self.graph, rule.head, [], **self.select_opts)
         plan = Plan()
         occ = 0
@@ -210,14 +235,19 @@ class RuleEvaluator:
                 # contract as once/1, SURVEY §4.1(5)). A clause body has
                 # no outer context (bottom-up evaluation), so the commit
                 # is global to the clause. Leading cut: no-op.
+                # orderBy().limit(1) plans as TakeOrderedAndProject
+                # (per-partition top-1 + merge) — a lit(1)-partitioned
+                # window would funnel the whole prefix through one task
+                # (VERDICT r8 finding 2). The <=1-row commit is eagerly
+                # checkpointed: it feeds both the downstream joins and
+                # the caller's clause-pruning emptiness check.
                 if plan.df is not None:
-                    from pyspark.sql import Window
                     cols = sorted(plan.df.columns)
-                    w = Window.partitionBy(F.lit(1)).orderBy(*cols)
-                    plan = Plan(
-                        plan.df.withColumn("__rn",
-                                           F.row_number().over(w))
-                        .filter(F.col("__rn") == 1).drop("__rn"))
+                    committed = (plan.df.orderBy(*cols).limit(1)
+                                 .localCheckpoint(eager=True))
+                    if cut_commits is not None:
+                        cut_commits.append(committed)
+                    plan = Plan(committed)
                 continue
             if head in totals or head in deltas:
                 rel = (deltas if occ == delta_occurrence else totals)[head]
