@@ -116,3 +116,33 @@ def test_global_once_plans_takeordered_not_single_partition_window(tpch):
         [(rows[0]["c"], rows[0]["o"])]
     fc = plan_facts(cut)
     assert fc.take_ordered and fc.single_partition_exchanges == 0
+
+
+def test_ccnet_buckets_plan_has_no_per_language_corpus_window(spark):
+    # VERDICT r8 item 2: the tercile must be a two-phase distributed
+    # rank. Any window partitioned ONLY by lang may touch just the
+    # bounded (lang, score) grid (its input is the sum of grid counts);
+    # the corpus-row window must partition by (lang, score) so no
+    # single language serializes into one task; ntile is gone entirely.
+    import re
+
+    from vivace_graph_v3_spark.pipeline.text import ccnet_perplexity_buckets
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = ccnet_perplexity_buckets(docs)
+    rows = out.collect()
+    assert len(rows) > 0
+    plan = (out._jdf.queryExecution().executedPlan().toString()
+            .split("== Initial Plan ==")[0])
+    assert "ntile" not in plan.lower()
+    for line in plan.splitlines():
+        if "Window [" not in line:
+            continue
+        lang_only = re.search(
+            r"windowspecdefinition\(lang#\d+, specifiedwindowframe", line) \
+            or re.search(
+                r"windowspecdefinition\(lang#\d+, avg_neg_logp#\d+ ASC[^,]*,"
+                r" specifiedwindowframe", line)
+        if lang_only:
+            assert "sum(gc#" in line, (
+                "lang-partitioned window over corpus rows: " + line)
