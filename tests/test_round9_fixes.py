@@ -146,3 +146,37 @@ def test_ccnet_buckets_plan_has_no_per_language_corpus_window(spark):
         if lang_only:
             assert "sum(gc#" in line, (
                 "lang-partitioned window over corpus rows: " + line)
+
+
+def test_temporal_earliest_arrival_converges_past_hop_budget(spark):
+    # max_hops=None iterates to delta-emptiness: a 6-edge ascending
+    # chain needs 6 rounds, beyond the old fixed-4 default
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        temporal_earliest_arrival)
+
+    chain = [("a", "b", 1), ("b", "c", 2), ("c", "d", 3),
+             ("d", "e", 4), ("e", "f", 5), ("f", "g", 6)]
+    edges = spark.createDataFrame(chain, ["src", "dst", "ts"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    out = {r["node"]: r["arrival"]
+           for r in temporal_earliest_arrival(edges, seeds,
+                                              max_hops=None).collect()}
+    assert out == {"b": 1, "c": 2, "d": 3, "e": 4, "f": 5, "g": 6}
+    # the fixed-hop mode is unchanged: 4 hops stop at e
+    four = {r["node"]: r["arrival"]
+            for r in temporal_earliest_arrival(edges, seeds,
+                                               max_hops=4).collect()}
+    assert four == {"b": 1, "c": 2, "d": 3, "e": 4}
+
+
+def test_temporal_earliest_arrival_budget_raises(spark):
+    # still-improving frontier past max_iter must raise (the _reach_min
+    # discipline), not return a silently-unconverged result
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        temporal_earliest_arrival)
+
+    chain = [("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("d", "e", 4)]
+    edges = spark.createDataFrame(chain, ["src", "dst", "ts"])
+    seeds = spark.createDataFrame([("a",)], ["id"])
+    with pytest.raises(RuntimeError, match="converge"):
+        temporal_earliest_arrival(edges, seeds, max_hops=None, max_iter=2)

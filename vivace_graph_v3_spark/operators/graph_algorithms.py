@@ -1466,7 +1466,8 @@ def dyad_census(edges: DataFrame, *, src_col: str = "src",
 
 
 def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
-                              max_hops: int = 4, src_col: str = "src",
+                              max_hops: int | None = 4,
+                              max_iter: int = 50, src_col: str = "src",
                               dst_col: str = "dst",
                               ts_col: str = "ts") -> DataFrame:
     """Earliest-arrival time-respecting reachability over a temporal
@@ -1480,7 +1481,15 @@ def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
     ``max_hops`` improvement-only frontier rounds (Bellman-Ford level
     semantics), each one edge join + one min aggregate, linear in |E|
     per round at any volume. Returns (seed, node, arrival) for every
-    node reached in 1..max_hops hops (seeds themselves excluded)."""
+    node reached in 1..max_hops hops (seeds themselves excluded).
+
+    ``max_hops=None`` iterates to CONVERGENCE instead: rounds continue
+    until no node's earliest arrival improves (delta-emptiness — the
+    improvement frontier is checked every round anyway), bounded by the
+    ``max_iter`` budget under the same discipline as the other fixpoint
+    loops here (:func:`_reach_min`): a frontier still improving after
+    ``max_iter`` rounds raises RuntimeError rather than returning a
+    silently-unconverged result."""
     e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
                       F.col(ts_col).cast("long").alias("t"))
          .dropDuplicates().persist())
@@ -1489,8 +1498,9 @@ def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
                      F.lit(None).cast("long").alias("arrival"))
              .transform(checkpoint_rebased))
     frontier = total
+    improving = True
     try:
-        for _ in range(max_hops):
+        for _ in range(max_hops if max_hops is not None else max_iter):
             relaxed = (frontier.join(
                 e, frontier["node"] == e["u"])
                 .filter(F.col("arrival").isNull()
@@ -1507,12 +1517,17 @@ def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
                            F.col("arr2").alias("arrival"))
                    .transform(checkpoint_rebased))
             if imp.isEmpty():
+                improving = False
                 break
             keep = total.join(imp.select("seed",
                                          F.col("node").alias("node")),
                               ["seed", "node"], "left_anti")
             total = keep.unionByName(imp).transform(checkpoint_rebased)
             frontier = imp
+        if max_hops is None and improving:
+            raise RuntimeError(
+                f"temporal_earliest_arrival did not converge in "
+                f"{max_iter} rounds")
         return (total.filter(F.col("arrival").isNotNull())
                 .select("seed", "node", "arrival"))
     finally:
