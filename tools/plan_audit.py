@@ -132,6 +132,10 @@ AUDITED = [
     "revenue_inequality", "dsir_select", "ccnet_buckets",
     "ann_binary_hamming", "mink_prob_audit", "temporal_reach",
     "format_roundtrip_audit",
+    # round-9 registrations
+    "temporal_reach_converged", "classifier_cochran_q",
+    "effect_size_quantity", "confident_label_audit",
+    "good_turing_source", "lang_mix_audit", "curation_funnel",
 ]
 
 

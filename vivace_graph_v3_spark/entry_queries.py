@@ -14580,6 +14580,426 @@ ORDER BY seed, node
 """
 
 
+def q_temporal_reach_converged(spark, sf_dir):
+    """Time-respecting earliest-arrival reachability iterated to
+    CONVERGENCE (operators/graph_algorithms.temporal_earliest_arrival
+    with max_hops=None; Wu et al. VLDB'14): the improvement frontier
+    relaxes until delta-empty (11 rounds at sf0.01, 28 at sf0.1 on the
+    full graph) under the max_iter budget discipline. Restricted to
+    the first ~6 months of order flow so the oracle's recursive-CTE
+    state enumeration stays bounded: the CTE enumerates every distinct
+    (seed, node, arrival) time-respecting state — exponential-free but
+    in-degree-bounded — and min-aggregates, which equals the converged
+    DP by optimal substructure."""
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        temporal_earliest_arrival)
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .filter(F.col("o_orderdate")
+                 < F.lit("1995-07-01").cast("timestamp"))
+         .select("o_orderkey", "o_custkey",
+                 F.expr("unix_micros(cast(o_orderdate as timestamp))"
+                        " div 1000000").alias("t")))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select(F.col("l_orderkey").alias("o_orderkey"), "l_suppkey"))
+    tri = (o.join(li, "o_orderkey")
+           .select(F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+                   F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+                   "t").dropDuplicates())
+    edges = (tri.select(F.col("c").alias("src"), F.col("s").alias("dst"),
+                        F.col("t").alias("ts"))
+             .unionByName(tri.select(F.col("s").alias("src"),
+                                     F.col("c").alias("dst"),
+                                     F.col("t").alias("ts"))))
+    seeds = spark.createDataFrame([("c0",), ("c1",), ("c2",)], ["id"])
+    reach = temporal_earliest_arrival(edges, seeds, max_hops=None)
+    return (reach.filter(F.col("node").startswith("c")
+                         & (F.col("node") != F.col("seed")))
+            .select("seed", "node", "arrival")
+            .orderBy("seed", "node"))
+
+
+SQL_TEMPORAL_REACH_CONVERGED = """
+WITH RECURSIVE tri AS (
+  SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+         epoch(o_orderdate)::BIGINT AS t
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+  WHERE o_orderdate < TIMESTAMP '1995-07-01 00:00:00'
+), e AS (
+  SELECT c AS u, s AS v, t FROM tri
+  UNION ALL SELECT s, c, t FROM tri
+), seeds AS (
+  SELECT 'c' || i.range::VARCHAR AS seed FROM range(3) i
+), walk(seed, node, arrival) AS (
+  SELECT s.seed, e.v, e.t FROM seeds s JOIN e ON e.u = s.seed
+  UNION
+  SELECT w.seed, e.v, e.t
+  FROM walk w JOIN e ON e.u = w.node AND e.t >= w.arrival
+)
+SELECT seed, node, min(arrival) AS arrival FROM walk
+WHERE node LIKE 'c%' AND node <> seed
+GROUP BY seed, node ORDER BY seed, node
+"""
+
+
+def q_classifier_cochran_q(spark, sf_dir):
+    """Cochran's Q omnibus across THREE rule classifiers predicting
+    'doc is English' (operators/stats_inference.cochran_q; Cochran
+    1950): A = n_chars >= 300, B = token count >= 50, C = contains the
+    token 'the'. One map-side-combined aggregate (k+3 running sums),
+    exact DECIMAL numerator — the k-way gate run before pairwise
+    McNemar drill-downs (classifier_mcnemar)."""
+    from vivace_graph_v3_spark.operators.stats_inference import cochran_q
+    from vivace_graph_v3_spark.pipeline.text import tokens
+
+    d = _docs(spark, sf_dir)
+    return cochran_q(
+        d,
+        [(F.col("n_chars") >= 300).cast("int"),
+         (F.size(tokens(F.col("text"))) >= 50).cast("int"),
+         F.array_contains(tokens(F.col("text")), "the").cast("int")],
+        (F.col("lang") == "en").cast("int"))
+
+
+SQL_CLASSIFIER_COCHRAN_Q = r"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks,
+         n_chars, lang
+  FROM documents
+), c AS (
+  SELECT (n_chars >= 300)::INT AS a, (len(toks) >= 50)::INT AS b,
+         list_contains(toks, 'the')::INT AS cc, (lang = 'en')::INT AS y
+  FROM t
+), x AS (
+  SELECT (a = y)::BIGINT AS x0, (b = y)::BIGINT AS x1,
+         (cc = y)::BIGINT AS x2
+  FROM c
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(x0) AS BIGINT) AS g0, CAST(sum(x1) AS BIGINT) AS g1,
+         CAST(sum(x2) AS BIGINT) AS g2,
+         CAST(sum(x0 + x1 + x2) AS BIGINT) AS s,
+         CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS sl2
+  FROM x
+)
+SELECT n, 3::BIGINT AS k, s, sl2,
+       CASE WHEN 3 * s - sl2 > 0 THEN
+         (2 * (3 * (g0*g0 + g1*g1 + g2*g2) - s*s) * 1000000
+          // (3 * s - sl2))::BIGINT END AS q_ppm
+FROM agg
+"""
+
+
+def q_effect_size_quantity(spark, sf_dir):
+    """Two-sample effect sizes for lineitem quantity between returned
+    ('R') and accepted ('A') lineitems
+    (operators/stats_inference.effect_size_report):
+    Cliff's delta in exact ppm from the distinct-value grid (never
+    pair materialization) and Cohen's d from exact decimal moments —
+    the magnitude report that decides whether a statistically
+    'significant' difference matters at corpus scale."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        effect_size_report)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return effect_size_report(li, "l_returnflag", "l_quantity",
+                              "R", "A")
+
+
+SQL_EFFECT_SIZE_QUANTITY = """
+WITH grid AS (
+  SELECT l_quantity::BIGINT AS v,
+         CAST(sum((l_returnflag = 'R')::INT) AS BIGINT) AS ca,
+         CAST(sum((l_returnflag = 'A')::INT) AS BIGINT) AS cb
+  FROM lineitem WHERE l_returnflag IN ('R', 'A')
+  GROUP BY l_quantity
+), cum AS (
+  SELECT v, ca, cb,
+         CAST(sum(cb) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS cum_b_le
+  FROM grid
+), agg AS (
+  SELECT CAST(sum(ca) AS BIGINT) AS n_a, CAST(sum(cb) AS BIGINT) AS n_b,
+         sum(ca * (cum_b_le - cb)) AS wins,
+         sum(ca * v) AS sum_a, sum(cb * v) AS sum_b,
+         sum(ca * v * v) AS ss_a, sum(cb * v * v) AS ss_b,
+         sum(ca * cum_b_le) AS a_ge
+  FROM cum
+), net_t AS (
+  SELECT *, wins - (n_a * n_b - a_ge) AS net,
+         CAST(sum_a AS DOUBLE) / n_a AS mean_a,
+         CAST(sum_b AS DOUBLE) / n_b AS mean_b
+  FROM agg
+)
+SELECT n_a, n_b,
+       CASE WHEN n_a > 0 AND n_b > 0 THEN
+         (sign(net) * (abs(net) * 1000000 // (n_a * n_b)))::BIGINT
+       END AS cliffs_delta_ppm,
+       round((mean_a - mean_b) / sqrt(
+         ((CAST(ss_a AS DOUBLE) - n_a * mean_a * mean_a)
+          + (CAST(ss_b AS DOUBLE) - n_b * mean_b * mean_b))
+         / (n_a + n_b - 2.0)), 4) AS cohen_d
+FROM net_t
+"""
+
+
+def q_confident_label_audit(spark, sf_dir):
+    """Confident-learning label-error audit (operators/stats_inference.
+    confident_learning_audit; Northcutt et al. 2021) of the 'lang=en'
+    labels against the hashed-feature classifier probability
+    (pipeline/text.classifier_score + 0.5): class thresholds are
+    floor-div ppm means of self-confidence, confident assignment is
+    integer argmax over qualifying classes, off-diagonal joint cells
+    estimate label errors. Two map-side-combined aggregates."""
+    from vivace_graph_v3_spark.operators.stats_inference import (
+        confident_learning_audit)
+    from vivace_graph_v3_spark.pipeline.text import classifier_score
+
+    d = _docs(spark, sf_dir)
+    scored = classifier_score(d).join(
+        d.select("doc_id", "lang"), "doc_id")
+    base = scored.select(
+        (F.col("clf_score") + 0.5).alias("p"),
+        (F.col("lang") == "en").cast("int").alias("y"))
+    return confident_learning_audit(base, "p", "y")
+
+
+SQL_CONFIDENT_LABEL_AUDIT = rf"""
+WITH w AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), f AS (
+  SELECT doc_id, (({_CLF_HASH64} % 1000003) + 1000003) % 1000003 AS m
+  FROM w
+), agg0 AS (
+  SELECT doc_id, count(*) AS n, sum(m) AS s FROM f GROUP BY doc_id
+), scored AS (
+  SELECT d.doc_id,
+         coalesce(CAST((a.s * 2000000 + a.n * 1000003)
+                       // (a.n * 1000003 * 2) AS BIGINT),
+                  500000) AS p,
+         (d.lang = 'en')::INT AS y
+  FROM documents d LEFT JOIN agg0 a ON d.doc_id = a.doc_id
+), thr AS (
+  SELECT CAST(sum(CASE WHEN y = 1 THEN p END)
+              // sum(CASE WHEN y = 1 THEN 1 END) AS BIGINT) AS t1,
+         CAST(sum(CASE WHEN y = 0 THEN 1000000 - p END)
+              // sum(CASE WHEN y = 0 THEN 1 END) AS BIGINT) AS t0
+  FROM scored
+), cell AS (
+  SELECT y,
+         CASE WHEN p >= t1 AND (1000000 - p) >= t0 THEN
+                CASE WHEN p * 2 >= 1000000 THEN 1 ELSE 0 END
+              WHEN p >= t1 THEN 1
+              WHEN (1000000 - p) >= t0 THEN 0 END AS j
+  FROM scored CROSS JOIN thr
+), agg AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(CASE WHEN y = 0 AND j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c00,
+         CAST(sum(CASE WHEN y = 0 AND j = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c01,
+         CAST(sum(CASE WHEN y = 1 AND j = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c10,
+         CAST(sum(CASE WHEN y = 1 AND j = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS c11,
+         CAST(sum(CASE WHEN j IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_unconfident
+  FROM cell
+)
+SELECT n, c00, c01, c10, c11, n_unconfident,
+       c01 + c10 AS label_errors,
+       CASE WHEN c00 + c01 + c10 + c11 > 0 THEN
+         ((c01 + c10) * 1000000 // (c00 + c01 + c10 + c11))::BIGINT
+       END AS error_rate_ppm
+FROM agg
+"""
+
+
+def q_good_turing_source(spark, sf_dir):
+    """Good-Turing unseen-mass estimate per source (pipeline/text.
+    good_turing_mass; Good 1953, Gale & Sampson 1995): singleton share
+    p0 = N1/N and adjusted singleton count c1* = 2*N2/N1 from each
+    source's word frequency-of-frequencies — the open-vocabulary /
+    coverage signal for mix design. Vocab-bounded aggregates; one row
+    per source."""
+    from vivace_graph_v3_spark.pipeline.text import good_turing_mass
+
+    return good_turing_mass(_docs(spark, sf_dir))
+
+
+SQL_GOOD_TURING_SOURCE = r"""
+WITH w AS (
+  SELECT source, unnest(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> '')) AS w
+  FROM documents
+), v AS (
+  SELECT source, w, count(*) AS c FROM w GROUP BY source, w
+), fof AS (
+  SELECT source, c, count(*) AS n_r FROM v GROUP BY source, c
+), agg AS (
+  SELECT source,
+         CAST(sum(c * n_r) AS BIGINT) AS n_tokens,
+         CAST(sum(n_r) AS BIGINT) AS vocab_size,
+         CAST(sum(CASE WHEN c = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN c = 2 THEN n_r ELSE 0 END) AS BIGINT) AS n2
+  FROM fof GROUP BY source
+)
+SELECT source, n_tokens, vocab_size, n1, n2,
+       CASE WHEN n_tokens > 0
+            THEN (n1 * 1000000 // n_tokens)::BIGINT END AS p0_ppm,
+       CASE WHEN n1 > 0
+            THEN (2 * n2 * 1000000 // n1)::BIGINT END AS c1_star_ppm
+FROM agg ORDER BY source
+"""
+
+
+def q_lang_mix_audit(spark, sf_dir):
+    """Per-document code-switching audit (pipeline/text.lang_mix_audit):
+    32-token chunks each language-ID'd by the stopword-marker argmax
+    (token-level CJK for the no-space script), summarized as chunk
+    count, adjacent-chunk switches, and distinct confident languages.
+    Zero shuffle — one nested higher-order expression chain."""
+    from vivace_graph_v3_spark.pipeline.text import lang_mix_audit
+
+    return lang_mix_audit(_docs(spark, sf_dir))
+
+
+SQL_LANG_MIX_AUDIT = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(trim(text), '\s+'),
+                                    x -> x <> ''), x -> lower(x)) AS toks
+  FROM documents
+), ch AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) > 0 THEN
+           list_transform(generate_series(0, (len(toks) - 1) // 32),
+                          i -> list_slice(toks, i * 32 + 1, i * 32 + 32))
+         ELSE [] END AS chunks
+  FROM t
+), cl_t AS (
+  SELECT doc_id,
+         list_transform(
+           list_transform(chunks, ck -> list_aggregate([
+             {'score': len(list_filter(ck, x -> x IN
+                ('the','and','of','to','is','in','that','with')))::BIGINT,
+              'lang': 'en'},
+             {'score': len(list_filter(ck, x -> x IN
+                ('der','die','das','und','ist','nicht','mit','ein')))::BIGINT,
+              'lang': 'de'},
+             {'score': len(list_filter(ck, x -> x IN
+                ('le','la','les','et','est','dans','pour','que')))::BIGINT,
+              'lang': 'fr'},
+             {'score': len(list_filter(ck, x -> x IN
+                ('el','la','los','y','es','en','que','por')))::BIGINT,
+              'lang': 'es'},
+             {'score': (coalesce(list_sum(list_transform(ck, x ->
+                length(regexp_replace(x, '[^一-鿿]', '', 'g')))), 0)
+                * 2)::BIGINT,
+              'lang': 'zh'}
+           ], 'max')),
+           b -> CASE WHEN b.score > 0 THEN b.lang ELSE 'und' END) AS cl
+  FROM ch
+)
+SELECT doc_id,
+       len(cl)::BIGINT AS n_chunks,
+       CASE WHEN len(cl) >= 2 THEN
+         len(list_filter(generate_series(1, len(cl) - 1),
+                         i -> cl[i] <> cl[i + 1]))
+       ELSE 0 END::BIGINT AS n_switches,
+       len(list_distinct(list_filter(cl, x -> x <> 'und')))::BIGINT
+         AS n_langs,
+       len(list_distinct(list_filter(cl, x -> x <> 'und'))) > 1 AS mixed
+FROM cl_t
+"""
+
+
+def q_curation_funnel(spark, sf_dir):
+    """Sequential curation-rule attrition funnel (pipeline/text.
+    curation_funnel): word-count bounds, Gopher-style top-word and
+    duplicate-bigram fractions, confident language ID — one row per
+    rule with (n_in, n_fail, n_out), n_out(i) = n_in(i+1). All cells
+    from ONE map-side-combined aggregate over the signal-joined
+    frame."""
+    from vivace_graph_v3_spark.pipeline.text import curation_funnel
+
+    return curation_funnel(_docs(spark, sf_dir))
+
+
+SQL_CURATION_FUNNEL = r"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\s+'),
+                     x -> x <> '') AS toks,
+         length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS cjk
+  FROM documents
+), wc AS (
+  SELECT doc_id, w, count(*) AS c
+  FROM (SELECT doc_id, unnest(toks) AS w FROM t) GROUP BY doc_id, w
+), top AS (
+  SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS n_words
+  FROM wc GROUP BY doc_id
+), bg AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(generate_series(1, len(toks) - 1),
+                                  i -> toks[i] || ' ' || toks[i + 1])
+              ELSE [] END AS bgs
+  FROM t
+), pr AS (
+  SELECT doc_id, len(bgs)::BIGINT AS n_bg,
+         len(list_distinct(bgs))::BIGINT AS n_dbg
+  FROM bg
+), lang AS (
+  SELECT doc_id, CASE WHEN best.score > 0 THEN best.lang
+                      ELSE 'und' END AS lang_pred
+  FROM (
+    SELECT doc_id, list_aggregate([
+      {'score': len(list_filter(lt, x -> x IN
+         ('the','and','of','to','is','in','that','with'))), 'lang': 'en'},
+      {'score': len(list_filter(lt, x -> x IN
+         ('der','die','das','und','ist','nicht','mit','ein'))), 'lang': 'de'},
+      {'score': len(list_filter(lt, x -> x IN
+         ('le','la','les','et','est','dans','pour','que'))), 'lang': 'fr'},
+      {'score': len(list_filter(lt, x -> x IN
+         ('el','la','los','y','es','en','que','por'))), 'lang': 'es'},
+      {'score': cjk * 2, 'lang': 'zh'}
+    ], 'max') AS best
+    FROM (SELECT doc_id, cjk,
+                 list_transform(toks, x -> lower(x)) AS lt FROM t)
+  )
+), flags AS (
+  SELECT coalesce(n_words >= 50 AND n_words <= 5000, FALSE) AS p1,
+         coalesce(CAST((top_c * 2000000 + n_words) // (n_words * 2)
+                       AS DOUBLE) / 1000000.0 <= 0.1, FALSE) AS p2,
+         coalesce(CASE WHEN n_bg > 0
+                       THEN CAST(((n_bg - n_dbg) * 2000000 + n_bg)
+                                 // (n_bg * 2) AS DOUBLE) / 1000000.0
+                       ELSE 0.0 END <= 0.07, FALSE) AS p3,
+         coalesce(lang_pred <> 'und', FALSE) AS p4
+  FROM (SELECT doc_id FROM documents) d
+  LEFT JOIN top USING (doc_id) LEFT JOIN pr USING (doc_id)
+  LEFT JOIN lang USING (doc_id)
+), agg AS (
+  SELECT count(*)::BIGINT AS n0,
+         CAST(sum(p1::INT) AS BIGINT) AS s1,
+         CAST(sum((p1 AND p2)::INT) AS BIGINT) AS s2,
+         CAST(sum((p1 AND p2 AND p3)::INT) AS BIGINT) AS s3,
+         CAST(sum((p1 AND p2 AND p3 AND p4)::INT) AS BIGINT) AS s4
+  FROM flags
+)
+SELECT 1::BIGINT AS stage, 'word_count' AS rule,
+       n0 AS n_in, n0 - s1 AS n_fail, s1 AS n_out FROM agg
+UNION ALL SELECT 2, 'top_word_frac', s1, s1 - s2, s2 FROM agg
+UNION ALL SELECT 3, 'dup_bigrams', s2, s2 - s3, s3 FROM agg
+UNION ALL SELECT 4, 'lang_id', s3, s3 - s4, s4 FROM agg
+"""
+
+
 REGISTRY: dict[str, tuple] = {
     "temporal_reach": (q_temporal_reach, SQL_TEMPORAL_REACH),
     "mink_prob_audit": (q_mink_prob_audit, SQL_MINK_PROB_AUDIT),
@@ -15025,6 +15445,18 @@ REGISTRY: dict[str, tuple] = {
                             SQL_SPLIT_LEAKAGE_AUDIT),
     "skyline_parts": (q_skyline_parts, SQL_SKYLINE_PARTS),
     "conformal_coverage": (q_conformal_coverage, SQL_CONFORMAL_COVERAGE),
+    # round-9 registrations
+    "temporal_reach_converged": (q_temporal_reach_converged,
+                                 SQL_TEMPORAL_REACH_CONVERGED),
+    "classifier_cochran_q": (q_classifier_cochran_q,
+                             SQL_CLASSIFIER_COCHRAN_Q),
+    "effect_size_quantity": (q_effect_size_quantity,
+                             SQL_EFFECT_SIZE_QUANTITY),
+    "confident_label_audit": (q_confident_label_audit,
+                              SQL_CONFIDENT_LABEL_AUDIT),
+    "good_turing_source": (q_good_turing_source, SQL_GOOD_TURING_SOURCE),
+    "lang_mix_audit": (q_lang_mix_audit, SQL_LANG_MIX_AUDIT),
+    "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
@@ -15231,6 +15663,9 @@ _R9_FRONT = _R8_NEW + _R9_RECONFIRM[:40]
 # _R9_RECONFIRM (_R9_RECONFIRM[40:]) + _R9_NEW; round-10 registrations
 # append behind, same convention. That finishes the re-confirm queue.
 _R9_NEW: list[str] = [
+    "temporal_reach_converged", "classifier_cochran_q",
+    "effect_size_quantity", "confident_label_audit",
+    "good_turing_source", "lang_mix_audit", "curation_funnel",
 ]
 
 _ordered = {n: REGISTRY[n]

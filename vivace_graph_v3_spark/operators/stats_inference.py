@@ -1003,3 +1003,156 @@ def mcnemar_test(df: DataFrame, pred_a: Column, pred_b: Column,
         "CAST(greatest(abs(n01 - n10) - 1, 0L) AS DECIMAL(38,0))"
         " * greatest(abs(n01 - n10) - 1, 0L)"
         " * 1000000 div (n01 + n10) END"))
+
+
+def cochran_q(df: DataFrame, preds: list[Column],
+              label: Column) -> DataFrame:
+    """Cochran's Q omnibus test for k paired binary classifiers on the
+    same rows (Cochran 1950) — the k-way generalization of
+    :func:`mcnemar_test`: do the classifiers have equal marginal
+    accuracy? x_ij = 1 iff classifier j is correct on row i;
+    Q = (k-1) * (k * sum_j G_j^2 - S^2) / (k * S - sum_i L_i^2) with
+    G_j the per-classifier correct counts, L_i the per-row correct
+    counts, S = sum L_i. Chi-square with k-1 df under H0.
+
+    Exactness: the numerator carries in DECIMAL(38,0) (G_j^2 ~ n^2
+    leaves BIGINT with the same ~3M-row horizon the McNemar fix
+    closed); it is non-negative by Cauchy-Schwarz, so decimal `div`
+    matches BIGINT floor. One map-side-combined aggregate — k+3
+    running sums, one output row (n, k, s, sl2, q_ppm; q_ppm NULL when
+    the denominator is 0, i.e. every row is all-correct or
+    all-wrong)."""
+    k = len(preds)
+    if k < 2:
+        raise ValueError("cochran_q needs at least 2 classifiers")
+    oks = [(p == label).cast("long").alias(f"x{j}")
+           for j, p in enumerate(preds)]
+    base = df.select(*oks)
+    row_sum = None
+    for j in range(k):
+        row_sum = F.col(f"x{j}") if row_sum is None \
+            else row_sum + F.col(f"x{j}")
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(f"x{j}").cast("long").alias(f"g{j}") for j in range(k)],
+        F.sum(row_sum).cast("long").alias("s"),
+        F.sum(row_sum * row_sum).cast("long").alias("sl2"))
+    g_sq = " + ".join(f"CAST(g{j} AS DECIMAL(38,0)) * g{j}"
+                      for j in range(k))
+    return agg.select(
+        "n", F.lit(k).cast("long").alias("k"), "s", "sl2",
+        F.expr(
+            f"CASE WHEN {k} * s - sl2 > 0 THEN "
+            f"CAST({k - 1} AS DECIMAL(38,0)) * ({k} * ({g_sq})"
+            f" - CAST(s AS DECIMAL(38,0)) * s)"
+            f" * 1000000 div ({k} * s - sl2) END").alias("q_ppm"))
+
+
+def effect_size_report(df: DataFrame, group_col: str, value_col: str,
+                       group_a, group_b) -> DataFrame:
+    """Two-sample effect sizes between groups of an integer-valued
+    measure: Cohen's d (standardized mean difference, pooled SD —
+    Cohen 1988) and Cliff's delta (dominance probability difference,
+    Cliff 1993) — the magnitude companions to the significance tests
+    (:func:`mann_whitney_u`, anova): at corpus scale everything is
+    "significant"; effect size is what decides whether a curation rule
+    matters.
+
+    Exactness: Cliff's delta counts cross-pair wins/losses exactly on
+    the distinct-value grid (ca * cumulative cb below/above — never
+    pair materialization), emitted as sign-split ppm so integer `div`
+    (truncating) matches the oracle's floor on the non-negative
+    magnitude. Cohen's d comes from exact DECIMAL(38,0) moment sums
+    pushed through one fixed chain of correctly-rounded double ops
+    (the mann_whitney z convention), rounded to 4 decimals. Scale: one
+    aggregate to the value grid, a cumsum over that bounded grid, one
+    output row."""
+    gcol = F.col(group_col)
+    grid = (df.filter(gcol.isin([group_a, group_b]))
+            .groupBy(F.col(value_col).cast("long").alias("v"))
+            .agg(F.sum(F.when(gcol == group_a, 1).otherwise(0)).alias("ca"),
+                 F.sum(F.when(gcol == group_b, 1).otherwise(0)).alias("cb")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    grid = grid.withColumn("cum_b_le", F.sum("cb").over(w))
+    d38 = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    agg = grid.agg(
+        F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"),
+        F.sum(d38(F.col("ca")) * (F.col("cum_b_le") - F.col("cb")))
+        .alias("wins"),     # pairs with a-value > b-value
+        F.sum(d38(F.col("ca")) * F.col("v")).alias("sum_a"),
+        F.sum(d38(F.col("cb")) * F.col("v")).alias("sum_b"),
+        F.sum(d38(F.col("ca")) * F.col("v") * F.col("v")).alias("ss_a"),
+        F.sum(d38(F.col("cb")) * F.col("v") * F.col("v")).alias("ss_b"),
+        F.sum(d38(F.col("ca")) * F.col("cum_b_le")).alias("a_ge"))
+    # losses (a < b) = n_a*n_b - a_ge; wins = a_gt
+    agg = agg.withColumn(
+        "net", F.col("wins")
+        - (d38(F.col("n_a")) * F.col("n_b") - F.col("a_ge")))
+    na_d = F.col("n_a").cast("double")
+    nb_d = F.col("n_b").cast("double")
+    mean_a = F.col("sum_a").cast("double") / na_d
+    mean_b = F.col("sum_b").cast("double") / nb_d
+    var_pool = ((F.col("ss_a").cast("double") - na_d * mean_a * mean_a)
+                + (F.col("ss_b").cast("double") - nb_d * mean_b * mean_b)) \
+        / (na_d + nb_d - F.lit(2.0))
+    delta = F.expr(
+        "CASE WHEN n_a > 0 AND n_b > 0 THEN "
+        "CAST(sign(net) AS BIGINT)"
+        " * CAST(abs(net) * 1000000 div (CAST(n_a AS DECIMAL(38,0)) * n_b)"
+        "        AS BIGINT) END")
+    return agg.select(
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        delta.alias("cliffs_delta_ppm"),
+        F.round((mean_a - mean_b)
+                / F.sqrt(var_pool), 4).alias("cohen_d"))
+
+
+def confident_learning_audit(df: DataFrame, prob_col: str,
+                             label_col: str) -> DataFrame:
+    """Binary confident-joint label-error estimate (Northcutt et al.
+    2021, "Confident Learning"): given a model probability p(y=1|x)
+    and a (possibly noisy) binary label, class thresholds are the mean
+    self-confidence of each labeled class (t1 = mean p over y=1,
+    t0 = mean (1-p) over y=0); a row is CONFIDENTLY class j when its
+    class-j probability clears t_j (argmax on double qualification),
+    and off-diagonal cells of the joint — labeled i, confidently j≠i —
+    estimate label errors.
+
+    Exactness: probabilities enter as 6-decimal doubles and are lifted
+    to exact ppm integers; thresholds are floor-divided sums (exact
+    BIGINT), qualification and argmax are integer comparisons, so every
+    cell count is engine-exact. Scale: two map-side-combined aggregates
+    (thresholds, then cells) with the 1-row threshold frame broadcast —
+    nothing corpus-sized moves. Returns one row: n, c00, c01, c10,
+    c11, n_unconfident, label_errors, error_rate_ppm (NULL when no row
+    is confident)."""
+    p_ppm = F.round(F.col(prob_col) * 1_000_000).cast("long")
+    y = F.col(label_col).cast("int")
+    base = df.select(p_ppm.alias("p"), y.alias("y"))
+    thr = base.agg(
+        F.expr("sum(CASE WHEN y = 1 THEN p END)"
+               " div sum(CASE WHEN y = 1 THEN 1L END)").alias("t1"),
+        F.expr("sum(CASE WHEN y = 0 THEN 1000000 - p END)"
+               " div sum(CASE WHEN y = 0 THEN 1L END)").alias("t0"))
+    j = base.crossJoin(F.broadcast(thr))
+    q1 = F.col("p") >= F.col("t1")
+    q0 = (F.lit(1_000_000) - F.col("p")) >= F.col("t0")
+    conf = (F.when(q1 & q0,
+                   F.when(F.col("p") * 2 >= 1_000_000, 1).otherwise(0))
+            .when(q1, 1).when(q0, 0))
+    cell = j.select("y", conf.alias("j"))
+    agg = cell.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[F.sum(F.when((F.col("y") == i) & (F.col("j") == jj), 1)
+                .otherwise(0)).cast("long").alias(f"c{i}{jj}")
+          for i in (0, 1) for jj in (0, 1)],
+        F.sum(F.when(F.col("j").isNull(), 1).otherwise(0))
+        .cast("long").alias("n_unconfident"))
+    return agg.select(
+        "n", "c00", "c01", "c10", "c11", "n_unconfident",
+        (F.col("c01") + F.col("c10")).alias("label_errors"),
+        F.expr("CASE WHEN c00 + c01 + c10 + c11 > 0 THEN "
+               "(c01 + c10) * 1000000 div (c00 + c01 + c10 + c11) END")
+        .alias("error_rate_ppm"))

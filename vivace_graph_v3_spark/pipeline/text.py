@@ -2147,3 +2147,149 @@ def mink_prob_audit(df: DataFrame, *, text_col: str = "text",
                  F.round(F.sum(F.col("neg_logp").cast("decimal(38,12)"))
                          .cast("double") / F.max("k_used"), 6)
                  .alias("mink_nlp")))
+
+
+def good_turing_mass(df: DataFrame, *, text_col: str = "text",
+                     source_col: str = "source") -> DataFrame:
+    """Good-Turing unseen-mass estimate per source (Good 1953; the
+    Simple Good-Turing regime of Gale & Sampson 1995): from each
+    source's word frequency-of-frequencies, the probability mass an LM
+    should reserve for UNSEEN words is p0 = N1/N (singleton share), and
+    the adjusted singleton count is c1* = 2*N2/N1 — the coverage /
+    open-vocabulary signal that tells a curation pipeline how far a
+    source's vocabulary is from saturated (high p0 = many words seen
+    once = undertrained tail).
+
+    Exactness: every statistic is an integer count or a floor-div ppm
+    of two counts. Scale: word counts are one map-side-combined
+    aggregate to the per-source vocab frame; the
+    frequency-of-frequencies re-aggregates the VOCAB frame (bounded by
+    vocabulary, not corpus); output is one row per source."""
+    words = (ensure_parallelism(df)
+             .select(F.col(source_col).alias("source"),
+                     F.explode(tokens(F.col(text_col))).alias("w")))
+    vocab = words.groupBy("source", "w").agg(F.count(F.lit(1)).alias("c"))
+    fof = vocab.groupBy("source", "c").agg(F.count(F.lit(1)).alias("n_r"))
+    agg = fof.groupBy("source").agg(
+        F.sum(F.col("c") * F.col("n_r")).cast("long").alias("n_tokens"),
+        F.sum("n_r").cast("long").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, F.col("n_r")).otherwise(0))
+        .cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, F.col("n_r")).otherwise(0))
+        .cast("long").alias("n2"))
+    return agg.select(
+        "source", "n_tokens", "vocab_size", "n1", "n2",
+        F.expr("CASE WHEN n_tokens > 0 THEN n1 * 1000000 div n_tokens END")
+        .alias("p0_ppm"),
+        F.expr("CASE WHEN n1 > 0 THEN 2 * n2 * 1000000 div n1 END")
+        .alias("c1_star_ppm")).orderBy("source")
+
+
+def lang_mix_audit(df: DataFrame, *, text_col: str = "text",
+                   id_col: str = "doc_id",
+                   chunk_tokens_n: int = 32) -> DataFrame:
+    """Per-document language-mixing audit: the document is cut into
+    fixed ``chunk_tokens_n``-token windows, each window is language-ID'd
+    with the same stopword-marker argmax as :func:`with_lang_id`
+    (token-level CJK counting for the no-space script), and the doc is
+    summarized by chunk count, adjacent-chunk language switches, and
+    distinct confident (non-'und') languages — code-switching and
+    wrong-language-span detection that a single whole-doc label hides
+    (a doc can be majority-en with an embedded es block).
+
+    Scale shape: ZERO shuffle — chunk slicing, marker counting, and the
+    switch fold are one nested higher-order expression chain inside
+    whole-stage codegen; a 100 TB corpus audits as a map-only scan.
+    Determinism: the argmax is max over (score, lang) structs — exact
+    integer scores, lexicographic lang tie-break, identical in the
+    oracle's struct max."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+
+    def chunk_lang(chunk):
+        scores = []
+        for lang, markers in LANG_MARKERS.items():
+            if markers:
+                m = tuple(markers)
+                hits = F.size(F.filter(
+                    chunk, lambda t: t.isin(*m)))  # noqa: B023
+            else:
+                hits = F.aggregate(
+                    chunk, F.lit(0),
+                    lambda acc, t: acc + F.length(
+                        F.regexp_replace(t, r"[^一-鿿]", "")) * 2)
+            scores.append(F.struct(hits.cast("long").alias("score"),
+                                   F.lit(lang).alias("lang")))
+        best = F.array_max(F.array(*scores))
+        return F.when(best["score"] > 0, best["lang"]).otherwise("und")
+
+    n = F.size(toks)
+    k = chunk_tokens_n
+    langs = F.transform(
+        F.sequence(F.lit(0),
+                   F.when(n > 0, (n - 1) / k).otherwise(0).cast("int")),
+        lambda i: chunk_lang(F.slice(toks, i * k + 1, k)))
+    langs = F.when(n > 0, langs).otherwise(
+        F.array().cast("array<string>"))
+    base = df.select(F.col(id_col), langs.alias("cl"))
+    switches = F.when(
+        F.size("cl") >= 2,
+        F.size(F.filter(
+            F.zip_with(F.slice("cl", 1, F.size("cl") - 1),
+                       F.slice("cl", 2, F.size("cl") - 1),
+                       lambda a, b: a != b),
+            lambda x: x))).otherwise(0)
+    conf = F.array_distinct(F.filter("cl", lambda x: x != "und"))
+    return base.select(
+        id_col,
+        F.size("cl").cast("long").alias("n_chunks"),
+        switches.cast("long").alias("n_switches"),
+        F.size(conf).cast("long").alias("n_langs"),
+        (F.size(conf) > 1).alias("mixed"))
+
+
+def curation_funnel(df: DataFrame, *, text_col: str = "text",
+                    id_col: str = "doc_id") -> DataFrame:
+    """Sequential curation-rule attrition funnel — the shipping report
+    of a filtering pipeline (which rule drops how much, in order):
+    rule 1 word count in [50, 5000]; rule 2 top-word fraction <= 0.1;
+    rule 3 duplicate-bigram fraction <= 0.07 (both Gopher-style
+    repetition signals, :func:`repetition_stats`); rule 4 confident
+    language ID (:func:`with_lang_id` != 'und'). Returns one row per
+    stage: (stage, rule, n_in, n_fail, n_out) with n_out(i) =
+    n_in(i+1) — the survivors funnel.
+
+    Exactness: the fractions are the 6-decimal integer-rounded values
+    of repetition_stats, compared against exact double literals; every
+    funnel cell is an integer count from ONE map-side-combined
+    aggregate over the signal-joined frame (the stage explosion is a
+    4-row stack of that single row). Scale: repetition's per-(doc,
+    word) aggregate is the only shuffle; lang-id is map-only."""
+    rep = repetition_stats(df, text_col=text_col, id_col=id_col)
+    lang = with_lang_id(df.select(id_col, text_col), text_col=text_col)
+    base = (df.select(id_col)
+            .join(rep, id_col, "left")
+            .join(lang.select(id_col, "lang_pred"), id_col, "left"))
+    p1 = (F.col("n_words") >= 50) & (F.col("n_words") <= 5000)
+    p2 = F.col("top_word_frac") <= 0.1
+    p3 = F.col("dup_bigram_frac") <= 0.07
+    p4 = F.col("lang_pred") != "und"
+    flags = base.select(
+        F.coalesce(p1, F.lit(False)).alias("p1"),
+        F.coalesce(p2, F.lit(False)).alias("p2"),
+        F.coalesce(p3, F.lit(False)).alias("p3"),
+        F.coalesce(p4, F.lit(False)).alias("p4"))
+    c = lambda cond: F.sum(cond.cast("long"))  # noqa: E731
+    agg = flags.agg(
+        F.count(F.lit(1)).cast("long").alias("n0"),
+        c(F.col("p1")).alias("s1"),
+        c(F.col("p1") & F.col("p2")).alias("s2"),
+        c(F.col("p1") & F.col("p2") & F.col("p3")).alias("s3"),
+        c(F.col("p1") & F.col("p2") & F.col("p3") & F.col("p4"))
+        .alias("s4"))
+    return agg.select(F.expr(
+        "stack(4,"
+        " 1L, 'word_count',    n0, n0 - s1, s1,"
+        " 2L, 'top_word_frac', s1, s1 - s2, s2,"
+        " 3L, 'dup_bigrams',   s2, s2 - s3, s3,"
+        " 4L, 'lang_id',       s3, s3 - s4, s4)"
+        " AS (stage, rule, n_in, n_fail, n_out)"))
