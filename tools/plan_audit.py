@@ -136,6 +136,7 @@ AUDITED = [
     "temporal_reach_converged", "classifier_cochran_q",
     "effect_size_quantity", "confident_label_audit",
     "good_turing_source", "lang_mix_audit", "curation_funnel",
+    "embedding_top_eigen", "dedup_cluster_profile", "stateful_late_audit",
 ]
 
 

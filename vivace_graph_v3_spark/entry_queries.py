@@ -14580,6 +14580,230 @@ ORDER BY seed, node
 """
 
 
+def q_embedding_top_eigen(spark, sf_dir):
+    """Top eigenpair of the embedding covariance by 60 pinned-order
+    power iterations (pipeline/similarity.embedding_top_eigen): the
+    distributed stage is the dims^2-bounded covariance aggregate; the
+    iteration folds driver-side over the collected <= 36 cells (the
+    constant-bounded driver-step class). The oracle unrolls the
+    identical iteration in SQL — every matvec/norm/Rayleigh fold is the
+    same left-to-right chain of correctly-rounded double ops, so the
+    floats match bit-for-bit."""
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        embedding_top_eigen)
+
+    return embedding_top_eigen(_emb(spark, sf_dir))
+
+
+def _top_eigen_sql(dims: int = 8, n_iter: int = 60) -> str:
+    """Generate the unrolled power-iteration oracle: cov grid (the
+    embedding_covariance decimal formula) -> single-row pivot ->
+    n_iter x (matvec, normalize) CTEs with PINNED left-assoc folds."""
+    rng = range(dims)
+    cov = f"""
+  SELECT i, j, round(CAST(sxy AS DOUBLE) / n
+         - (CAST(sx AS DOUBLE) / n) * (CAST(sy AS DOUBLE) / n), 6) AS cov
+  FROM (
+    SELECT t.i, t.j, count(*) AS n,
+           sum(CAST(x AS DECIMAL(38,12))) AS sx,
+           sum(CAST(y AS DECIMAL(38,12))) AS sy,
+           sum(CAST(x * y AS DECIMAL(38,12))) AS sxy
+    FROM (
+      SELECT t.i, t.j,
+             CAST(embedding[t.i + 1] AS DOUBLE) AS x,
+             CAST(embedding[t.j + 1] AS DOUBLE) AS y
+      FROM embeddings, (SELECT i.range AS i, j.range AS j
+                        FROM range({dims}) i, range({dims}) j
+                        WHERE j.range >= i.range) t
+    ) t GROUP BY t.i, t.j
+  )"""
+    piv = ", ".join(
+        f"max(CASE WHEN i = {min(i, j)} AND j = {max(i, j)} "
+        f"THEN cov END) AS c{i}{j}"
+        for i in rng for j in rng)
+    ctes = [f"c AS (SELECT {piv} FROM cov)",
+            "it0 AS (SELECT "
+            + ", ".join(f"CAST({1.0 if i == 0 else 0.0} AS DOUBLE) AS v{i}"
+                        for i in rng) + ")"]
+    for k in range(n_iter):
+        mv = ", ".join(
+            "(" + " + ".join(f"c.c{i}{j} * p.v{j}" for j in rng)
+            + f") AS w{i}" for i in rng)
+        ctes.append(f"w{k} AS (SELECT {mv} FROM c, it{k} p)")
+        nrm = "sqrt(" + " + ".join(f"w{i} * w{i}" for i in rng) + ")"
+        ctes.append(f"it{k + 1} AS (SELECT "
+                    + ", ".join(f"w{i} / {nrm} AS v{i}" for i in rng)
+                    + f" FROM w{k})")
+    mv = ", ".join("(" + " + ".join(f"c.c{i}{j} * p.v{j}" for j in rng)
+                   + f") AS w{i}" for i in rng)
+    ctes.append(f"wf AS (SELECT {mv} FROM c, it{n_iter} p)")
+    lam = " + ".join(f"p.v{i} * wf.w{i}" for i in rng)
+    trace = " + ".join(f"c.c{i}{i}" for i in rng)
+    vcols = ", ".join(f"round(p.v{i}, 6) AS v{i}" for i in rng)
+    return (f"WITH cov AS ({cov}), " + ", ".join(ctes)
+            + f" SELECT {dims}::BIGINT AS dims, {n_iter}::BIGINT AS n_iter,"
+            f" round({lam}, 6) AS lambda_top,"
+            f" round({trace}, 6) AS trace,"
+            f" CASE WHEN ({trace}) > 0 THEN"
+            f" floor(({lam}) * 1000000 / ({trace}))::BIGINT END"
+            f" AS top_share_ppm, {vcols}"
+            f" FROM it{n_iter} p, wf, c")
+
+
+SQL_EMBEDDING_TOP_EIGEN = _top_eigen_sql()
+
+
+def q_dedup_cluster_profile(spark, sf_dir):
+    """Duplication-structure histogram over prefix-fingerprint families
+    (pipeline/dedup.cluster_size_profile, prefix_chars=80 — the
+    cross_source_leakage family key): one row per cluster size with
+    family counts, doc mass, exact ppm corpus share, and the
+    beyond-survivor duplicate count. One fingerprint shuffle + one
+    cluster-frame re-aggregation."""
+    from vivace_graph_v3_spark.pipeline.dedup import cluster_size_profile
+
+    return cluster_size_profile(_docs(spark, sf_dir), prefix_chars=80)
+
+
+SQL_DEDUP_CLUSTER_PROFILE = r"""
+WITH n AS (
+  SELECT substr(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'),
+                1, 80) AS norm
+  FROM documents
+), c AS (
+  SELECT norm, count(*) AS s FROM n GROUP BY norm
+), h AS (
+  SELECT s, count(*)::BIGINT AS n_clusters FROM c GROUP BY s
+), tot AS (
+  SELECT count(*)::BIGINT AS total FROM documents
+)
+SELECT s::BIGINT AS cluster_size, n_clusters,
+       (s * n_clusters)::BIGINT AS n_docs,
+       (s * n_clusters * 1000000 // total)::BIGINT AS docs_share_ppm,
+       ((s - 1) * n_clusters)::BIGINT AS dup_docs
+FROM h, tot ORDER BY cluster_size
+"""
+
+
+def _session_late_audit_run(spark, sf_dir: str) -> str:
+    """Drain the watermark late-audit stateful operator ONCE per
+    (sf_dir, events mtime) over a ROUND-ROBIN 4-file source
+    (event_id % 4 — deliberately NOT time-ordered, so later batches
+    carry genuinely late event times; the range-split source the other
+    stateful faces use is time-monotone and would make lateness
+    vacuous). Same drain discipline as _session_stateful_run: strictly
+    increasing file mtimes + maxFilesPerTrigger=1 -> 4 deterministic
+    micro-batches; idle-streak stop; coverage-gated retries; atomic
+    rename into the cached path."""
+    import glob as _glob
+    import hashlib
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from vivace_graph_v3_spark.streaming.stateful import stream_late_audit
+
+    mt = os.path.getmtime(f"{sf_dir}/events.parquet")
+    tag = hashlib.sha256(f"{sf_dir}:{int(mt)}:late_v1".encode()) \
+        .hexdigest()[:12]
+    path = os.path.join(tempfile.gettempdir(), f"vgv3_late_{tag}")
+    if os.path.isdir(path):
+        return path
+    stage = tempfile.mkdtemp(prefix="vgv3_late_build_")
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .select("user_id", F.col("event_id").alias("t"),
+                  F.expr("unix_micros(cast(ts as timestamp)) div 1000")
+                  .alias("ms")))
+    src = os.path.join(stage, "src")
+    os.makedirs(src)
+    for i in range(4):
+        part_dir = os.path.join(stage, f"part{i}")
+        (ev.filter(F.pmod(F.col("t"), F.lit(4)) == i)
+         .coalesce(1).write.parquet(part_dir))
+        (pf,) = _glob.glob(os.path.join(part_dir, "part-*.parquet"))
+        dst = os.path.join(src, f"q{i}.parquet")
+        shutil.move(pf, dst)
+        os.utime(dst, (mt + i + 1, mt + i + 1))
+    n_events = ev.count()
+
+    for attempt in range(3):
+        out_dir = os.path.join(stage, f"late_a{attempt}")
+        stream = (spark.readStream.schema(ev.schema)
+                  .option("maxFilesPerTrigger", "1").parquet(src))
+        out = stream_late_audit(stream, key_col="user_id",
+                                value_col="t", ts_col="ms")
+        q = (out.writeStream.format("parquet").option("path", out_dir)
+             .option("checkpointLocation",
+                     os.path.join(stage, f"ck_a{attempt}"))
+             .trigger(availableNow=True).start())
+        streak, deadline = 0, _time.time() + 300
+        while q.isActive and streak < 4 and _time.time() < deadline:
+            _time.sleep(1.0)
+            p = q.lastProgress
+            if (p is not None and p["numInputRows"] == 0
+                    and not q.status["isDataAvailable"]):
+                streak += 1
+            else:
+                streak = 0
+        try:
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:
+            pass  # coverage gate below decides whether the attempt counts
+        shutil.rmtree(os.path.join(out_dir, "_spark_metadata"),
+                      ignore_errors=True)
+        try:
+            ok = spark.read.parquet(out_dir).count() == n_events
+        except Exception:
+            ok = False
+        if ok:
+            os.rename(out_dir, os.path.join(stage, "late"))
+            break
+        shutil.rmtree(out_dir, ignore_errors=True)
+    else:
+        shutil.rmtree(stage, ignore_errors=True)
+        raise RuntimeError("late-audit drain incomplete after 3 attempts")
+    try:
+        os.rename(stage, path)
+    except OSError:  # concurrent builder won: use theirs
+        shutil.rmtree(stage, ignore_errors=True)
+    return path
+
+
+def q_stateful_late_audit(spark, sf_dir):
+    """Contract face of the applyInPandasWithState watermark late-audit
+    (streaming/stateful.py:stream_late_audit): per-key max-event-time
+    state carried across 4 ROUND-ROBIN micro-batches (event_id % 4, so
+    later batches genuinely contain earlier event times); every event
+    emits exactly once with its late verdict and the high-water mark it
+    was judged against. The oracle reproduces the batch-granular
+    watermark relationally: late iff event_ms < the key's max event_ms
+    over STRICTLY EARLIER batches."""
+    base = _session_late_audit_run(spark, sf_dir)
+    return (spark.read.parquet(f"{base}/late")
+            .select("key", "event_ms", "value", "is_late",
+                    "watermark_ms"))
+
+
+SQL_STATEFUL_LATE_AUDIT = """
+WITH e AS (
+  SELECT CAST(user_id AS VARCHAR) AS key, event_id AS v,
+         epoch_ms(ts)::BIGINT AS event_ms, (event_id % 4)::INT AS b
+  FROM events
+), pm AS (
+  SELECT key, v, event_ms, b,
+         max(event_ms) OVER (PARTITION BY key ORDER BY b
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS wm
+  FROM e
+)
+SELECT key, event_ms, v AS value,
+       coalesce(event_ms < wm, FALSE) AS is_late,
+       coalesce(wm, -1) AS watermark_ms
+FROM pm
+"""
+
+
 def q_temporal_reach_converged(spark, sf_dir):
     """Time-respecting earliest-arrival reachability iterated to
     CONVERGENCE (operators/graph_algorithms.temporal_earliest_arrival
@@ -15457,6 +15681,11 @@ REGISTRY: dict[str, tuple] = {
     "good_turing_source": (q_good_turing_source, SQL_GOOD_TURING_SOURCE),
     "lang_mix_audit": (q_lang_mix_audit, SQL_LANG_MIX_AUDIT),
     "curation_funnel": (q_curation_funnel, SQL_CURATION_FUNNEL),
+    "embedding_top_eigen": (q_embedding_top_eigen, SQL_EMBEDDING_TOP_EIGEN),
+    "dedup_cluster_profile": (q_dedup_cluster_profile,
+                              SQL_DEDUP_CLUSTER_PROFILE),
+    "stateful_late_audit": (q_stateful_late_audit,
+                            SQL_STATEFUL_LATE_AUDIT),
 }
 
 # ROTATION LEDGER (driver samples the FIRST 50 of queries() per round)
@@ -15666,6 +15895,8 @@ _R9_NEW: list[str] = [
     "temporal_reach_converged", "classifier_cochran_q",
     "effect_size_quantity", "confident_label_audit",
     "good_turing_source", "lang_mix_audit", "curation_funnel",
+    "embedding_top_eigen", "dedup_cluster_profile",
+    "stateful_late_audit",
 ]
 
 _ordered = {n: REGISTRY[n]

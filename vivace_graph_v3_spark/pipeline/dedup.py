@@ -1142,3 +1142,44 @@ def edit_distance_pairs(df: DataFrame, *, text_col: str = "text",
             .select("id_a", "id_b",
                     F.levenshtein("key_a", "key_b").alias("edit_distance"))
             .filter(F.col("edit_distance") <= k))
+
+
+def cluster_size_profile(df: DataFrame, *, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         prefix_chars: int | None = None) -> DataFrame:
+    """Duplication-structure report over the exact-dedup clusters: the
+    histogram of cluster sizes (how many normalized-text families of
+    each multiplicity exist) plus each size's share of the corpus — the
+    one-page answer to "is duplication a few huge families or a long
+    tail of pairs", which decides whether dedup should run family-cap
+    first (huge families) or pair-verify first (tail).
+
+    ``prefix_chars`` switches the family key from the whole normalized
+    text to its first N characters (the cross_source_leakage prefix
+    fingerprint) — the truncated-copy / shared-boilerplate families
+    whole-text hashing calls distinct.
+
+    Shapes: one hash aggregate on the 64-bit normalized-text
+    fingerprint (the exact_dedup shuffle), one re-aggregation of the
+    CLUSTER frame to the size histogram (bounded by distinct sizes),
+    exact integer shares in ppm. Returns one row per cluster size:
+    (cluster_size, n_clusters, n_docs, docs_share_ppm,
+    dup_docs = docs beyond each cluster's survivor)."""
+    norm = normalized_text(F.col(text_col))
+    if prefix_chars is not None:
+        norm = F.substring(norm, 1, prefix_chars)
+    fp = F.xxhash64(norm)
+    sizes = (df.select(fp.alias("__fp"), F.col(id_col))
+             .groupBy("__fp").agg(F.count(F.lit(1)).alias("s")))
+    hist = (sizes.groupBy("s")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_clusters")))
+    total = df.count()
+    return (hist.select(
+        F.col("s").cast("long").alias("cluster_size"),
+        "n_clusters",
+        (F.col("s") * F.col("n_clusters")).cast("long").alias("n_docs"),
+        F.expr(f"s * n_clusters * 1000000 div {int(total)}L")
+        .cast("long").alias("docs_share_ppm"),
+        ((F.col("s") - 1) * F.col("n_clusters")).cast("long")
+        .alias("dup_docs"))
+        .orderBy("cluster_size"))

@@ -1107,3 +1107,71 @@ def hamming_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
     return (pairs.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= k)
             .select("query_id", "neighbor_id", "rank", "hamming"))
+
+
+def embedding_top_eigen(emb: DataFrame, *, vec_col: str = "embedding",
+                        dims: int = 8, n_iter: int = 60) -> DataFrame:
+    """Top eigenpair of the embedding covariance by power iteration
+    (von Mises iteration) — the spectral audit behind whitening/PCA
+    decisions: lambda_top / trace is how much variance one direction
+    hoards (isotropy's complement), and the eigenvector is the
+    direction to project out (the common-discourse removal of
+    Arora et al. 2017's SIF pipeline).
+
+    Two-stage by design: the DISTRIBUTED stage is
+    :func:`embedding_covariance` (map-only expansion + one map-side-
+    combined aggregate to a dims^2 grid); the iteration then runs
+    driver-side over the collected dims*(dims+1)/2 <= 36 cells — the
+    documented constant-bounded driver-step class (PQ-codebook
+    convention), NOT a per-row loop. Determinism: the 6-decimal-rounded
+    covariance cells are identical in both engines, and every fold
+    (matvec, norm, Rayleigh quotient) is a PINNED left-to-right chain
+    of correctly-rounded double ops starting from v0 = e_0, so the
+    oracle's unrolled-SQL iteration reproduces the floats bit-for-bit.
+    Returns one row: (dims, n_iter, lambda_top, trace, top_share_ppm,
+    v0..v{dims-1})."""
+    spark = emb.sparkSession
+    cells = embedding_covariance(emb, vec_col=vec_col, dims=dims).collect()
+    cov = {(r["i"], r["j"]): float(r["cov"]) for r in cells}
+    C = [[cov[(min(i, j), max(i, j))] for j in range(dims)]
+         for i in range(dims)]
+
+    def matvec(v: list[float]) -> list[float]:
+        out = []
+        for i in range(dims):
+            acc = 0.0
+            for j in range(dims):
+                acc = acc + C[i][j] * v[j]
+            out.append(acc)
+        return out
+
+    import math
+
+    v = [1.0] + [0.0] * (dims - 1)
+    for _ in range(n_iter):
+        w = matvec(v)
+        nrm = 0.0
+        for x in w:
+            nrm = nrm + x * x
+        nrm = math.sqrt(nrm)
+        v = [x / nrm for x in w]
+    w = matvec(v)
+    lam = 0.0
+    for i in range(dims):
+        lam = lam + v[i] * w[i]
+    trace = 0.0
+    for i in range(dims):
+        trace = trace + C[i][i]
+    row = {"dims": dims, "n_iter": n_iter,
+           "lambda_top": round(lam, 6), "trace": round(trace, 6),
+           # multiply-divide-floor, the exact op order the oracle's
+           # floor(lam * 1e6 / trace) compiles to (float // would take
+           # a different rounding path)
+           "top_share_ppm": int(math.floor(lam * 1_000_000 / trace))
+           if trace > 0 else None}
+    for i in range(dims):
+        row[f"v{i}"] = round(v[i], 6)
+    schema = ("dims long, n_iter long, lambda_top double, trace double, "
+              "top_share_ppm long, "
+              + ", ".join(f"v{i} double" for i in range(dims)))
+    return spark.createDataFrame([row], schema)

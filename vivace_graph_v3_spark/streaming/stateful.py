@@ -384,3 +384,66 @@ def stream_dedup(events: DataFrame, *, key_col: str = "user_id",
             .applyInPandasWithState(_update, DEDUP_OUT_SCHEMA,
                                     DEDUP_STATE_SCHEMA, "append",
                                     GroupStateTimeout.ProcessingTimeTimeout))
+
+
+LATE_OUT_SCHEMA = ("key string, event_ms long, value long, "
+                   "is_late boolean, watermark_ms long")
+LATE_STATE_SCHEMA = "max_ms long"
+
+
+def stream_late_audit(events: DataFrame, *, key_col: str = "user_id",
+                      value_col: str = "value",
+                      ts_col: str = "event_time",
+                      delay_ms: int = 0) -> DataFrame:
+    """Per-key WATERMARK accounting over a stream: each key's state is
+    the max event time it has seen; an event arriving in a later
+    micro-batch with ``event_ms + delay_ms`` BELOW that high-water mark
+    is flagged late — the mechanism behind Structured Streaming's
+    withWatermark drop decisions, surfaced as an auditable per-event
+    verdict instead of a silent drop (the report a pipeline needs to
+    SIZE its allowed-lateness delay before committing to one).
+
+    Semantics (batch-boundary deterministic): the watermark each event
+    is judged against is the state BEFORE its micro-batch (within-batch
+    events fold in event-time order, so within-batch arrivals are never
+    late against each other — exactly Spark's batch-granular watermark
+    advance). Every event emits exactly once with its verdict and the
+    watermark it was judged against (-1 when the key has no prior
+    batch). State is ONE long per key — O(keys), TTL-evictable. All
+    state transfer is Arrow-batched pandas."""
+    from pyspark.sql import functions as F
+
+    def _update(key: tuple, pdfs: Iterable[pd.DataFrame],
+                state: GroupState) -> Iterable[pd.DataFrame]:
+        if state.hasTimedOut:  # pragma: no cover - eviction frees state
+            state.remove()
+            return
+        max_ms = int(state.get[0]) if state.exists else None
+        out: list[dict] = []
+        frames = [p for p in pdfs if len(p)]
+        if frames:
+            pdf = (pd.concat(frames, ignore_index=True)
+                   .sort_values("event_ms", kind="mergesort"))
+            wm = max_ms  # high-water mark BEFORE this batch
+            batch_max = int(pdf["event_ms"].max())
+            for ms, v in zip(pdf["event_ms"], pdf["value"]):
+                late = wm is not None and int(ms) + delay_ms < wm
+                out.append({"key": key[0], "event_ms": int(ms),
+                            "value": int(v), "is_late": bool(late),
+                            "watermark_ms": int(wm) if wm is not None
+                            else -1})
+            max_ms = batch_max if max_ms is None else max(max_ms,
+                                                          batch_max)
+        state.update((max_ms if max_ms is not None else -1,))
+        state.setTimeoutDuration(60_000)
+        if out:
+            yield pd.DataFrame(out)
+
+    prepared = events.select(
+        F.col(key_col).cast("string").alias("key"),
+        F.col(value_col).cast("long").alias("value"),
+        F.col(ts_col).cast("long").alias("event_ms"))
+    return (prepared.groupBy("key")
+            .applyInPandasWithState(_update, LATE_OUT_SCHEMA,
+                                    LATE_STATE_SCHEMA, "append",
+                                    GroupStateTimeout.ProcessingTimeTimeout))
