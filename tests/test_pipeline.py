@@ -98,6 +98,44 @@ def test_minhash_lsh_finds_injected_neardups(spark, docs):
     assert found <= exact
 
 
+def test_minhash_vectorized_bit_identical(spark, docs):
+    """The Arrow-vectorized minhash kernel (r9 optimization, _xxh64.py)
+    must reproduce the expression fold BIT-FOR-BIT — same xxhash64
+    permutation hashes, same signed minima — or LSH candidates (and so
+    the oracle-pinned pair sets) silently drift."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        _minhash_fold_expr, minhash_signatures, shingle_hashes,
+        has_min_tokens)
+
+    base = (docs.filter(has_min_tokens(F.col("text"), 3))
+            .select(F.col("doc_id").alias("id"),
+                    shingle_hashes(F.col("text"), 3).alias("__sh")))
+    ref = base.select("id", _minhash_fold_expr(64).alias("minhash"))
+    new = minhash_signatures(docs, num_hashes=64).select("id", "minhash")
+    assert ref.count() == new.count() > 0
+    mism = (ref.alias("r").join(new.alias("n"), "id")
+            .filter(F.col("r.minhash") != F.col("n.minhash")).count())
+    assert mism == 0
+
+
+def test_has_min_tokens_equals_shingle_nonempty(spark):
+    """The cheap codegen prefilter must be EXACTLY the set where the
+    shingle array is non-empty (incl. empty/whitespace/null text and the
+    multi-space tokenization edge)."""
+    from vivace_graph_v3_spark.pipeline.dedup import (has_min_tokens,
+                                                      shingle_hashes)
+
+    rows = [("", ), ("   ", ), ("one", ), ("one two", ), ("one two three", ),
+            ("  a   b\tc  ", ), ("a b c d", ), (None, )]
+    df = spark.createDataFrame(rows, "text string")
+    for n in (2, 3, 5):
+        got = df.select(
+            F.coalesce(has_min_tokens(F.col("text"), n), F.lit(False))
+            .alias("p"),
+            (F.size(shingle_hashes(F.col("text"), n)) > 0).alias("q"))
+        assert got.filter(F.col("p") != F.col("q")).count() == 0
+
+
 def test_minhash_hot_bucket_star_cap(spark, docs):
     """The max_bucket hot-bucket guard (tools/skew_probe.py's shape): a
     mass of identical docs forms one giant LSH bucket whose clique join

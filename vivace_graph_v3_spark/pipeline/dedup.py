@@ -83,6 +83,28 @@ def cross_source_leakage(df: DataFrame, *, text_col: str = "text",
 
 # -- shingles -------------------------------------------------------------------
 
+def has_min_tokens(text_col, n: int = 3):
+    """Cheap codegen-only predicate equivalent to
+    ``size(shingle_hashes(text_col, n)) > 0`` (i.e. the document has at
+    least ``n`` whitespace tokens).
+
+    Why not filter on the shingle array directly: the optimizer pushes a
+    filter referencing the shingle expression below the
+    ensure_parallelism exchange, so the whole interpreted
+    higher-order-function shingle tree is evaluated in the (often
+    single-task) scan stage AND recomputed post-shuffle — measured ~3 s
+    single-core for 5 000 short docs (optimization r9; the expression
+    twin of guide §4.4's duplicated-UDF trap). ``trim``/``split``/``size``
+    are codegen, so this predicate is free wherever it lands.
+
+    Equivalence: for trimmed non-empty text, split(\\s+) yields exactly
+    the non-empty tokens, so token count == split size; empty-after-trim
+    text (split size 1, token count 0) is excluded explicitly."""
+    t = F.trim(text_col)
+    from vivace_graph_v3_spark.pipeline.text import WORD_SPLIT
+    return (t != "") & (F.size(F.split(t, WORD_SPLIT)) >= n)
+
+
 def shingle_hashes(text_col, n: int = 3):
     """Distinct xxhash64 values of word n-gram shingles, all JVM: tokenize,
     slide an n-window via transform over indices, hash the joined shingle."""
@@ -104,9 +126,11 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     via an inverted index: explode shingles, self-join on shingle, count
     common, |A∪B| = |A|+|B|-common. Exact; intended for candidate sets or
     blocked inputs (at raw 100 TB use minhash_dedup_pairs instead)."""
-    base = ensure_parallelism(df).select(F.col(id_col).alias("id"),
-                     shingle_hashes(F.col(text_col), n).alias("sh"))
-    base = base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
+    base = (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), n))
+            .select(F.col(id_col).alias("id"),
+                    shingle_hashes(F.col(text_col), n).alias("sh")))
+    base = base.withColumn("sz", F.size("sh"))
     inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -149,10 +173,11 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
     At raw-corpus scale run it on blocked/candidate inputs; the measured
     10x-data probe ratio dropped from 12.6x to ~linear-in-output after
     prefix filtering (SCALING.md)."""
-    base = ensure_parallelism(df).select(F.col(id_col).alias("id"),
-                     shingle_hashes(F.col(text_col), n).alias("sh"))
-    base = (base.withColumn("sz", F.size("sh")).filter(F.col("sz") > 0)
-            .persist())
+    base = (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), n))
+            .select(F.col(id_col).alias("id"),
+                    shingle_hashes(F.col(text_col), n).alias("sh")))
+    base = base.withColumn("sz", F.size("sh")).persist()
     try:
         inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
         # global rarity order: document frequency, ties by shingle hash
@@ -276,35 +301,63 @@ def ngram_novelty(train: DataFrame, test: DataFrame, *,
 
 # -- minhash + LSH -----------------------------------------------------------------
 
-def minhash_signatures(df: DataFrame, *, text_col: str = "text",
-                       id_col: str = "doc_id", n: int = 3,
-                       num_hashes: int = 64) -> DataFrame:
-    """k minhash values per doc: h_i(doc) = min over shingles of
-    xxhash64(shingle, i). Expression-only (k transforms + array_min)."""
-    # One-permutation hashing (Li, Owen & Zhang, NIPS 2012): instead of k
-    # independent permutations (k * |shingles| hash evaluations per doc), bin
-    # the single existing shingle hash into k buckets by value and take the
-    # min per bucket — same signature length at 1/k the hashing cost, and
-    # the banded-LSH collision property is preserved. Empty bins are
-    # densified with a content-derived fallback (global min + bin index,
-    # a rotation-style densification: identical shingle sets densify
-    # identically, so exact dups still collide on every band).
-    base = (ensure_parallelism(df)
-            .select(F.col(id_col).alias("id"),
-                    shingle_hashes(F.col(text_col), n).alias("__sh"))
-            .filter(F.size("__sh") > 0))
-    k = num_hashes
+def _minhash_fold_expr(k: int):
+    """The expression-form signature fold (kept as the semantic spec and
+    the regression-test reference for the vectorized path below)."""
     lmax = F.lit(2**63 - 1)
-    # ONE aggregate pass over the shingle array: fold each shingle into all
-    # k per-permutation running mins, h_i(s) = xxhash64(s, i). Semantically
-    # identical to k independent permutations, but a single compact
-    # expression tree — k separate array_min(transform(...)) trees made
-    # whole-stage codegen compilation the dominant cost of the pipeline.
-    sig = F.aggregate(
+    return F.aggregate(
         "__sh",
         F.array_repeat(lmax, k),
         lambda a, s: F.transform(
             a, lambda v, i: F.least(v, F.xxhash64(s, i))))
+
+
+def _minhash_udf(num_hashes: int):
+    """Arrow-vectorized minhash: bit-identical to ``_minhash_fold_expr``.
+
+    Spark's higher-order-function lambdas are CodegenFallback — the fold
+    walks the interpreted expression tree |shingles| x k times per doc
+    (~7 us/eval measured), which made signature computation the dominant
+    cost of every minhash consumer. The same xxhash64 arithmetic as numpy
+    vector passes over one flattened Arrow batch is ~100x cheaper
+    (guide §4.2); the plan stays map-only (one ArrowEvalPython node,
+    no added shuffle), so the 100 TB shape is unchanged."""
+    import numpy as np
+    import pandas as pd
+
+    from vivace_graph_v3_spark.pipeline import _xxh64
+
+    def sig(sh):
+        if len(sh) == 0:
+            return pd.Series([], dtype=object)
+        arrs = [np.asarray(a, dtype=np.int64) for a in sh]
+        lens = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                           count=len(arrs))
+        starts = np.zeros(len(arrs), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        flat = np.concatenate(arrs) if arrs else np.empty(0, np.int64)
+        mat = _xxh64.minhash_matrix(flat, starts, num_hashes)
+        return pd.Series(list(mat))
+
+    # explicit annotations (the Series->Series scalar shape) instead of
+    # inline hints: `from __future__ import annotations` stringifies local
+    # hints beyond pandas_udf's resolver
+    sig.__annotations__ = {"sh": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sig, "array<bigint>")
+
+
+def minhash_signatures(df: DataFrame, *, text_col: str = "text",
+                       id_col: str = "doc_id", n: int = 3,
+                       num_hashes: int = 64) -> DataFrame:
+    """k minhash values per doc: h_i(doc) = min over shingles of
+    xxhash64(shingle, i) — k independent permutation hashes, computed by
+    the Arrow-vectorized kernel (bit-identical to the expression fold;
+    see _minhash_udf)."""
+    base = (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), n))
+            .select(F.col(id_col).alias("id"),
+                    shingle_hashes(F.col(text_col), n).alias("__sh")))
+    sig = _minhash_udf(num_hashes)(F.col("__sh"))
     return base.select("id", "__sh", sig.alias("minhash"))
 
 
@@ -809,9 +862,10 @@ def duplicate_span_stats(df: DataFrame, *, text_col: str = "text",
     shingle shared by k docs costs k join rows, bounded by the
     duplication it measures."""
     base = (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), n))
             .select(F.col(id_col).alias("id"),
                     shingle_hashes(F.col(text_col), n).alias("sh"))
-            .withColumn("sz", F.size("sh")).filter(F.col("sz") > 0))
+            .withColumn("sz", F.size("sh")))
     inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (inv.join(dfreq, "shingle")
@@ -887,8 +941,8 @@ def minhash_signatures_md5(df: DataFrame, *, text_col: str = "text",
     Returns (id, n_shingles, sig array<long>[num_hashes]); documents with
     zero shingles are dropped (no meaningful signature)."""
     sh = shingle_strings(F.col(text_col), n=shingle)
-    base = (df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-            .filter(F.size("sh") > 0))
+    base = (df.filter(has_min_tokens(F.col(text_col), shingle))
+            .select(F.col(id_col).alias("id"), sh.alias("sh")))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
         lambda i: F.array_min(F.transform(
@@ -907,8 +961,8 @@ def _shingle_pair_candidates(df: DataFrame, *, text_col: str = "text",
     per-shingle document frequency, independent of corpus volume).
     Returns (id_a, id_b, inter, sz_a, sz_b)."""
     sh = shingle_strings(F.col(text_col), n=shingle)
-    base = (df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-            .filter(F.size("sh") > 0))
+    base = (df.filter(has_min_tokens(F.col(text_col), shingle))
+            .select(F.col(id_col).alias("id"), sh.alias("sh")))
     inv = base.select("id", F.size("sh").alias("sz"),
                       F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
@@ -981,8 +1035,8 @@ def lsh_band_tuning(df: DataFrame, *, text_col: str = "text",
     precision_ppm, recall_ppm)."""
     t = true_threshold_ppm / 1e6
     sh = shingle_strings(F.col(text_col), n=shingle)
-    base = (df.select(F.col(id_col).alias("id"), sh.alias("sh"))
-            .filter(F.size("sh") > 0)
+    base = (df.filter(has_min_tokens(F.col(text_col), shingle))
+            .select(F.col(id_col).alias("id"), sh.alias("sh"))
             .withColumn("sz", F.size("sh")).persist())
     sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
                                   num_hashes=num_hashes, shingle=shingle) \
@@ -1088,8 +1142,12 @@ def edit_distance_pairs(df: DataFrame, *, text_col: str = "text",
     Texts shorter than ``min_len`` after normalization are out of scope
     (segments degenerate; short-text near-dup is the shingle passes' job)."""
     n = k + 1
-    keyed = (df.select(F.col(id_col).alias("id"),
-                       normalized_text(F.col(text_col)).alias("key"))
+    # spread the (often single-file) input before the interpreted probe
+    # fan-out below — (2k+1)^2(k+1) rows per doc through CodegenFallback
+    # transforms serialized on one core when the scan is one partition
+    keyed = (ensure_parallelism(df)
+             .select(F.col(id_col).alias("id"),
+                     normalized_text(F.col(text_col)).alias("key"))
              .filter(F.length("key") >= min_len)
              .withColumn("len", F.length("key")))
 
