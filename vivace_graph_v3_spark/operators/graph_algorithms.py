@@ -174,53 +174,46 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                       F.lit(float(n) / matched)).otherwise(F.lit(0.0))
     ranks = vertices.withColumn("rank", tele)
     ranks = ranks.localCheckpoint(eager=True)
-    stale: list[DataFrame] = []
     try:
         for it in range(max_iter):
             contribs = (edges_w.join(_b(ranks), edges_w["src"] == ranks["id"])
                         .select(F.col("dst").alias("id"),
                                 (F.col("rank") * F.col("inv")).alias("c")))
             agg = contribs.groupBy("id").agg(F.sum("c").alias("recv"))
-            # the dangling mass rides the same aggregate as the sink row
-            # (one-row aggregate so "no dangling vertices" still yields a
-            # row); both reads of `agg` reuse one exchange
-            dang = (agg.filter(F.col("id") == _SINK)
-                    .agg(F.coalesce(F.sum("recv"), F.lit(0.0)).alias("__dang")))
+            # ONE materialization per round: checkpoint the contribution
+            # aggregate (the round's only |E|-sized work; the broadcast
+            # build of `ranks` runs inside this same job) and truncate
+            # lineage there. The dangling mass is then a 1-row probe of
+            # the checkpointed frame inlined as a LITERAL — the previous
+            # crossJoin(broadcast(dang)) shape planned a per-round
+            # broadcast subquery plus a second |V|-sized checkpoint job
+            # of the rank-assembly join, i.e. 3 jobs/round; this is 1
+            # heavy + 1 tiny. The assembly join below stays LAZY (both
+            # inputs are checkpointed, so next round's broadcast build —
+            # or the shuffle-join path past the guard — executes a
+            # two-frame join, never a re-walk of earlier rounds).
+            agg = agg.localCheckpoint(eager=True)
+            row = (agg.filter(F.col("id") == _SINK)
+                   .agg(F.coalesce(F.sum("recv"), F.lit(0.0))).first())
+            dang = row[0] if row is not None else 0.0
+            # same expression shape as the broadcast-column form: identical
+            # IEEE double ops on the identical dangling-mass value
             base = (F.lit(1.0 - damping)
-                    + F.lit(damping) * F.col("__dang") / F.lit(float(n))) * tele
+                    + F.lit(damping) * F.lit(dang) / F.lit(float(n))) * tele
             # deliberately a SHUFFLE join (no _b): |V| state rows move
-            # within the round's single job instead of paying an extra
+            # within the consuming job instead of paying an extra
             # broadcast-collect job per round; the ranks broadcast above is
             # the one that saves the big edge shuffle
             new = (vertices.join(agg.filter(F.col("id") != _SINK),
                                  "id", "left")
-                   .crossJoin(F.broadcast(dang))
                    .select("id", (base + F.lit(damping) *
                                   F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank")))
-            # checkpoint every round by default: each round embeds a
-            # broadcast subquery (the dangling-mass row), and broadcast
-            # subtrees execute as separate internal jobs BEFORE the main
-            # stage — with a lazy multi-round chain those jobs re-walk the
-            # uncached upstream rounds, which measured 2-3x SLOWER than
-            # paying one small checkpoint job per round (10x probe: 123 s
-            # at check_every=3 vs 57 s at 1 on the shuffle path; 24 s vs
-            # 14 s cold on the broadcast path at sf0.1). check_every > 1
-            # remains available for callers whose rounds carry no
-            # broadcast subquery.
-            if (it + 1) % check_every == 0 or it == max_iter - 1:
-                new = new.localCheckpoint(eager=True)
-                # the checkpoint truncates lineage: drop the interim caches
-                for df in stale:
-                    df.unpersist()
-                stale.clear()
-            else:
-                new = new.persist()
-                stale.append(new)
             # amortize the L1-delta convergence probe: extra converged rounds
             # are cheaper than a full diff join every round, and rank error
             # only shrinks with additional iterations
             if tol is not None and ((it + 1) % check_every == 0
                                     or it == max_iter - 1):
+                new = new.localCheckpoint(eager=True)
                 delta = (new.join(ranks.withColumnRenamed("rank", "old"), "id")
                          .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                          .first()[0])
@@ -231,9 +224,6 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                 ranks = new
     finally:
         edges_w.unpersist()
-        for df in stale:
-            if df is not ranks:
-                df.unpersist()
     return ranks
 
 
@@ -719,14 +709,18 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
     beyond-ref alongside pagerank (SURVEY.md §2.3)."""
     vertices = (graph.scan_vertices(columns=["id"]).select("id")
                 .dropDuplicates().localCheckpoint(eager=True))
-    # Partition count deliberately EQUALS spark.sql.shuffle.partitions:
-    # each half-round's groupBy emits state hashed (id, nparts), and the
-    # next half-round joins that state against the pre-hashed edge copy —
-    # equal counts mean BOTH join inputs are already co-located, so the
-    # only per-half-round exchange left is the unavoidable |E| message
-    # groupBy. (Size the conf, not this code, per deployment; AQE may
-    # still coalesce tiny state maps, re-adding only a |V|-sized shuffle.)
-    nparts = int(graph.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # Partition count sized off the data (same ~1M-edge-rows-per-task rule
+    # as pagerank's edge frame, derived from |V| at avg degree ~10) rather
+    # than pinned to spark.sql.shuffle.partitions: each half-round's
+    # groupBy emits state hashed (id, nparts) and the next half-round
+    # joins it against the pre-hashed edge copy — co-location holds for
+    # ANY nparts as long as both sides agree, so the count should track
+    # volume (at sf0.1 the old conf-width layout ran ~12 sequential
+    # 32-partition stages of ~40k rows each, pure task overhead; at 100 TB
+    # the same formula lands at thousands of partitions, as it should).
+    n_v = vertices.count()
+    nparts = max(4, min(int(graph.spark.conf.get(
+        "spark.sql.shuffle.partitions", "32")) * 4, n_v // 100_000 + 1))
     # TWO persisted copies of the edge list, pre-hashed on each join key:
     # the hub half-round joins on dst, the authority half-round on src —
     # with one copy the other half-round reshuffles the FULL |E| edge list

@@ -702,15 +702,70 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10, *,
     operators in pipeline/similarity.py. Returns (id, score, rank), ranked
     by the 6-decimal-rounded score with id as the deterministic tiebreak.
 
-    Ad-hoc convenience form: builds the index inline and queries it in one
-    lazy plan (Catalyst prunes the unfiltered postings aggregate down to
-    the query's term slice before it is ever materialized). Deployments
-    that serve many queries persist ``bm25_index`` output once instead —
-    see Bm25Index for the 100 TB shape. idf uses the standard +1 form
-    (never negative)."""
-    return bm25_topk_indexed(
-        bm25_index(df, text_col=text_col, id_col=id_col),
-        query_terms, k, k1=k1, b=b)
+    Ad-hoc form, and deliberately NOT ``bm25_topk_indexed`` over an inline
+    ``bm25_index``: that shape explodes the full token stream into three
+    corpus-wide aggregates (postings/doc-length/stats) — 4 Generate + 8
+    Exchange at plan level — when only the query's |terms| counts matter.
+    Instead both per-doc quantities come from map-only expressions (dl =
+    size(tokens), tf_i = size(filter(tokens, == term_i))), the corpus
+    stats + per-term doc frequencies fold into ONE map-side-combined
+    aggregate broadcast as a single row, and the only shuffles left are
+    the matching-doc score aggregate and the two-phase top-k. Arithmetic
+    is expression-identical to the indexed path (same doubles bit for
+    bit). Deployments that serve many queries persist ``bm25_index``
+    output once instead — see Bm25Index for the 100 TB shape. idf uses
+    the standard +1 form (never negative)."""
+    terms = list(dict.fromkeys(query_terms))
+    toks = tokens(F.col(text_col))
+
+    def _is_term(t):
+        # bind t per term; a default-arg lambda would change F.filter's
+        # perceived arity (2-arg form receives the element index)
+        return lambda x: x == t
+
+    tf_struct = F.array(*[
+        F.struct(F.size(F.filter(toks, _is_term(t))).cast("long").alias("tf"),
+                 F.lit(i + 1).alias("pos"))
+        for i, t in enumerate(terms)])
+    per_doc = df.select(F.col(id_col).alias("id"),
+                        F.size(toks).cast("long").alias("dl"),
+                        tf_struct.alias("tfs"))
+    # one row: corpus n_docs / avgdl (docs with >= 1 token, matching the
+    # exploded-postings definition) plus df_i per term — all from one
+    # map-side-combined pass
+    stats = per_doc.agg(
+        F.count(F.when(F.col("dl") > 0, F.lit(1))).alias("n_docs"),
+        F.sum("dl").alias("sdl"),
+        *[F.sum(F.when(F.col("tfs")[i]["tf"] > 0, F.lit(1))
+                .otherwise(F.lit(0))).alias(f"df_{i}")
+          for i in range(len(terms))])
+    # avgdl exactly as bm25_index: exact-int sum / count (long/long -> double)
+    stats = stats.select("n_docs", (F.col("sdl") / F.col("n_docs"))
+                         .alias("avgdl"),
+                         *[F.col(f"df_{i}") for i in range(len(terms))])
+    tf_rows = (per_doc
+               .select("id", "dl", F.explode("tfs").alias("x"))
+               .select("id", "dl", F.col("x.tf").alias("tf"),
+                       F.col("x.pos").alias("pos"))
+               .filter(F.col("tf") > 0))
+    dfr = F.element_at(F.array(*[F.col(f"df_{i}")
+                                 for i in range(len(terms))]), F.col("pos"))
+    idf = F.log((F.col("n_docs") - dfr + 0.5) / (dfr + 0.5) + 1.0)
+    norm = F.col("tf") * (k1 + 1) / (
+        F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl")))
+    scored = (tf_rows.crossJoin(F.broadcast(stats))
+              # a term with zero matching docs contributes no tf_rows, so
+              # dfr is never read at df=0 — same as the indexed inner join
+              .select("id", (idf * norm).alias("s")))
+    totals = (scored.groupBy("id")
+              .agg(F.round(F.sum(F.col("s").cast("decimal(38,12)"))
+                           .cast("double"), 6).alias("score")))
+    # two-phase top-k via TakeOrderedAndProject, rank window over k rows
+    # (same rationale as bm25_topk_indexed)
+    top = totals.orderBy(F.col("score").desc(), F.col("id").asc()).limit(k)
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("id", "score", "rank"))
 
 
 # -- PII redaction -------------------------------------------------------------
