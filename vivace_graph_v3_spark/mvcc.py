@@ -144,7 +144,17 @@ class VersionedGraph:
         Commit-time mutual exclusion (the reference's transaction-manager
         lock, transactions.lisp:1803-1810) is a file lock on the log
         directory — one writer per graph across processes; readers never
-        take it."""
+        take it.
+
+        OCC validation is FUSED into the serialization job: each
+        update/delete op carries an Observation whose aggregates are
+        computed on the rows as they stream into a staging write; the
+        staged files are promoted into the log only after every
+        observation validates. One Spark job per commit instead of three
+        (validation-join checkpoint + probe + write), and a conflicting
+        commit still leaves the log untouched — atomicity is the
+        promote-after-validate rename, the same protocol a distributed
+        committer uses."""
         import fcntl
 
         lock_file = os.path.join(self.path, ".commit.lock")
@@ -153,20 +163,59 @@ class VersionedGraph:
             try:
                 epoch = self.current_epoch() + 1
                 frames = []
+                checks = []
                 for op, type_name, df in tx.ops:
                     nt = self.registry.get(type_name)
-                    frames.append(self._to_log_rows(op, nt, df, epoch))
+                    fdf, check = self._to_log_rows(op, nt, df, epoch)
+                    frames.append(fdf)
+                    if check is not None:
+                        checks.append(check)
                 if not frames:
                     return epoch
                 out = frames[0]
                 for fdf in frames[1:]:
                     out = out.unionByName(fdf)
-                out.coalesce(1).write.mode("append").parquet(self.log_path)
+                if not checks:
+                    # insert-only commit: no validation needed, append
+                    # directly (coalesce keeps the historical one-file-
+                    # per-commit log layout for map-only insert batches)
+                    out.coalesce(1).write.mode("append").parquet(self.log_path)
+                    return epoch
+                staging = os.path.join(
+                    self.path, f".staging-{epoch}-{os.getpid()}-{time.time_ns()}")
+                try:
+                    # no coalesce here: the validation join / merge-on-read
+                    # window keep their parallelism inside this one job and
+                    # AQE's partition coalescing sizes the output files
+                    out.write.mode("overwrite").parquet(staging)
+                    for obs, op, name, check_stale in checks:
+                        row = obs.get
+                        if row["missing"]:
+                            raise ConflictError(
+                                f"{op} on unknown {name} id "
+                                f"{row['missing_id']!r}")
+                        if check_stale and row["stale"]:
+                            raise ConflictError(
+                                f"stale save of {name} id {row['stale_id']!r}: "
+                                f"carried revision is no longer current")
+                    for fname in os.listdir(staging):
+                        if fname.startswith("part-"):
+                            os.rename(os.path.join(staging, fname),
+                                      os.path.join(self.log_path, fname))
+                finally:
+                    shutil.rmtree(staging, ignore_errors=True)
                 return epoch
             finally:
                 fcntl.flock(lk, fcntl.LOCK_UN)
 
-    def _to_log_rows(self, op: str, nt, df: DataFrame, epoch: int) -> DataFrame:
+    def _to_log_rows(self, op: str, nt, df: DataFrame, epoch: int):
+        """Serialize one op's rows to log-row shape. Returns
+        ``(frame, check)`` where ``check`` is ``None`` for inserts and
+        ``(Observation, op, type_name, check_stale)`` for update/delete —
+        the OCC probe aggregates ride the commit's single write job via
+        ``observe`` instead of paying a checkpoint + probe job first."""
+        from pyspark.sql import Observation
+
         slots = [c for c in nt.slots if c not in SYSTEM_COLUMNS]
         payload = (F.to_json(F.struct(*[F.col(c) for c in slots if c in df.columns]))
                    if any(c in df.columns for c in slots) else F.lit(None).cast("string"))
@@ -176,6 +225,7 @@ class VersionedGraph:
                else (F.lit(1.0) if nt.kind == "edge" and op == "insert"
                      else F.lit(None).cast("double")))
 
+        check = None
         if op == "insert":
             revision = F.lit(0).cast("long")
             deleted = F.lit(False)
@@ -185,13 +235,15 @@ class VersionedGraph:
                 F.col("id"), F.col("revision").alias("__cur_rev"),
                 *( [F.col("src").alias("__cur_src"), F.col("dst").alias("__cur_dst"),
                     F.col("weight").alias("__cur_w")] if nt.kind == "edge" else [] ))
-            # materialize the validation join ONCE: the OCC probe and the
-            # log-row serialization both consume it, and without this the
-            # write job re-runs the merge-on-read current-state scan
-            df = df.join(cur, "id", "left").localCheckpoint(eager=True)
-            # OCC validation in ONE job: count unknown ids and stale saves
+            df = df.join(cur, "id", "left")
+            # OCC probe aggregates observed on the rows streaming into the
+            # commit write — count unknown ids and stale saves; commit()
+            # raises BEFORE promoting the staged files, so a conflict
+            # never becomes visible
             check_stale = (op == "update" and "revision" in df.columns)
-            probe = df.agg(
+            obs = Observation()
+            df = df.observe(
+                obs,
                 F.sum(F.when(F.col("__cur_rev").isNull(), 1).otherwise(0))
                 .alias("missing"),
                 (F.sum(F.when(F.col("revision") != F.col("__cur_rev"), 1)
@@ -202,14 +254,8 @@ class VersionedGraph:
                 (F.min(F.when(F.col("revision") != F.col("__cur_rev"),
                               F.col("id"))) if check_stale
                  else F.lit(None)).alias("stale_id"),
-            ).first()
-            if probe["missing"]:
-                raise ConflictError(
-                    f"{op} on unknown {nt.name} id {probe['missing_id']!r}")
-            if check_stale and probe["stale"]:
-                raise ConflictError(
-                    f"stale save of {nt.name} id {probe['stale_id']!r}: "
-                    f"carried revision is no longer current")
+            )
+            check = (obs, op, nt.name, check_stale)
             revision = (F.col("__cur_rev") + 1).cast("long")
             deleted = F.lit(op == "delete")
             if nt.kind == "edge":
@@ -217,7 +263,7 @@ class VersionedGraph:
                 dst = F.coalesce(dst, F.col("__cur_dst"))
                 wgt = F.coalesce(wgt, F.col("__cur_w"))
 
-        return df.select(
+        out = df.select(
             F.lit(epoch).cast("long").alias("commit_epoch"),
             F.lit(nt.kind).alias("kind"),
             F.lit(nt.name).alias("type"),
@@ -229,6 +275,7 @@ class VersionedGraph:
             payload.alias("payload"),
             F.lit(time.time()).alias("committed_at"),
         )
+        return out, check
 
     # -- read path -----------------------------------------------------------
 
