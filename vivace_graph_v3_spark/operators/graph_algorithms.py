@@ -154,9 +154,12 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     bcast_state = n <= bcast_guard
     _b = (lambda df: F.broadcast(df)) if bcast_state else (lambda df: df)
     # teleport vector (mass-|V| convention): uniform 1.0, or |V|/|S| on the
-    # personalization sources and 0 elsewhere
+    # personalization sources and 0 elsewhere. Built as a function of the
+    # keying column because the iteration below evaluates it on the edge
+    # frame's ``src`` (rank inlining) and the final assembly on ``id``.
     if sources is None:
-        tele = F.lit(1.0)
+        def tele_of(c):
+            return F.lit(1.0)
     else:
         if not sources:
             raise ValueError("personalized pagerank needs >= 1 source")
@@ -170,61 +173,77 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
             raise ValueError(
                 f"none of the {len(sources)} personalization sources "
                 "exist in the vertex set")
-        tele = F.when(F.col("id").isin(*list(sources)),
-                      F.lit(float(n) / matched)).otherwise(F.lit(0.0))
-    ranks = vertices.withColumn("rank", tele)
-    ranks = ranks.localCheckpoint(eager=True)
+
+        def tele_of(c):
+            return F.when(c.isin(*list(sources)),
+                          F.lit(float(n) / matched)).otherwise(F.lit(0.0))
+
+    def base_of(c, dang):
+        # same expression shape every round: identical IEEE double ops on
+        # the identical dangling-mass value, evaluated on column ``c``
+        return (F.lit(1.0 - damping)
+                + F.lit(damping) * F.lit(dang) / F.lit(float(n))) * tele_of(c)
+
+    def assemble(agg, base):
+        """Rank frame for state (agg, base): every vertex gets
+        base(id) + damping * recv (recv 0 when absent). Deliberately a
+        SHUFFLE join (no _b): |V| state rows move within the consuming
+        job instead of paying a broadcast-collect job."""
+        if agg is None:
+            return vertices.withColumn("rank", tele_of(F.col("id")))
+        return (vertices.join(agg.filter(F.col("id") != _SINK), "id", "left")
+                .select("id", (base + F.lit(damping) *
+                               F.coalesce(F.col("recv"), F.lit(0.0)))
+                        .alias("rank")))
+
+    # Iteration state is the RECEIVED-MASS aggregate (agg, base-scalar),
+    # never an assembled rank frame: rank(src) = base(src) +
+    # damping * recv(src) is inlined into the contribution join, so the
+    # per-round |V|-sized assembly join (vertices x recv — which the old
+    # shape executed INSIDE every broadcast build, ~1/3 of each round)
+    # exists only at the very end, and for tol checks. Per round: ONE
+    # materialization (checkpoint of the contribution aggregate — the
+    # |E|-sized work, with the rank-state broadcast built in the same
+    # job) plus a 1-row probe of the checkpointed frame for the dangling
+    # mass, inlined as a literal into the next round's base expression.
+    agg = None          # (id, recv) after round t, checkpointed
+    base = None         # base expression over F.col("id") after round t
+    dang = 0.0
     try:
         for it in range(max_iter):
-            contribs = (edges_w.join(_b(ranks), edges_w["src"] == ranks["id"])
-                        .select(F.col("dst").alias("id"),
-                                (F.col("rank") * F.col("inv")).alias("c")))
-            agg = contribs.groupBy("id").agg(F.sum("c").alias("recv"))
-            # ONE materialization per round: checkpoint the contribution
-            # aggregate (the round's only |E|-sized work; the broadcast
-            # build of `ranks` runs inside this same job) and truncate
-            # lineage there. The dangling mass is then a 1-row probe of
-            # the checkpointed frame inlined as a LITERAL — the previous
-            # crossJoin(broadcast(dang)) shape planned a per-round
-            # broadcast subquery plus a second |V|-sized checkpoint job
-            # of the rank-assembly join, i.e. 3 jobs/round; this is 1
-            # heavy + 1 tiny. The assembly join below stays LAZY (both
-            # inputs are checkpointed, so next round's broadcast build —
-            # or the shuffle-join path past the guard — executes a
-            # two-frame join, never a re-walk of earlier rounds).
-            agg = agg.localCheckpoint(eager=True)
+            if agg is None:
+                r_src = tele_of(F.col("src"))
+                j = edges_w
+            else:
+                j = edges_w.join(_b(agg), edges_w["src"] == agg["id"],
+                                 "left")
+                r_src = (base_of(F.col("src"), dang)
+                         + F.lit(damping) * F.coalesce(F.col("recv"),
+                                                       F.lit(0.0)))
+            prev_agg, prev_base = agg, base
+            agg = (j.select(F.col("dst").alias("id"),
+                            (r_src * F.col("inv")).alias("c"))
+                   .groupBy("id").agg(F.sum("c").alias("recv"))
+                   .localCheckpoint(eager=True))
             row = (agg.filter(F.col("id") == _SINK)
                    .agg(F.coalesce(F.sum("recv"), F.lit(0.0))).first())
             dang = row[0] if row is not None else 0.0
-            # same expression shape as the broadcast-column form: identical
-            # IEEE double ops on the identical dangling-mass value
-            base = (F.lit(1.0 - damping)
-                    + F.lit(damping) * F.lit(dang) / F.lit(float(n))) * tele
-            # deliberately a SHUFFLE join (no _b): |V| state rows move
-            # within the consuming job instead of paying an extra
-            # broadcast-collect job per round; the ranks broadcast above is
-            # the one that saves the big edge shuffle
-            new = (vertices.join(agg.filter(F.col("id") != _SINK),
-                                 "id", "left")
-                   .select("id", (base + F.lit(damping) *
-                                  F.coalesce(F.col("recv"), F.lit(0.0))).alias("rank")))
+            base = base_of(F.col("id"), dang)
             # amortize the L1-delta convergence probe: extra converged rounds
             # are cheaper than a full diff join every round, and rank error
             # only shrinks with additional iterations
             if tol is not None and ((it + 1) % check_every == 0
                                     or it == max_iter - 1):
-                new = new.localCheckpoint(eager=True)
-                delta = (new.join(ranks.withColumnRenamed("rank", "old"), "id")
+                new = assemble(agg, base)
+                old = assemble(prev_agg, prev_base)
+                delta = (new.join(old.withColumnRenamed("rank", "old"), "id")
                          .agg(F.sum(F.abs(F.col("rank") - F.col("old"))))
                          .first()[0])
-                ranks = new
                 if delta is not None and delta < tol * n:
                     break
-            else:
-                ranks = new
     finally:
         edges_w.unpersist()
-    return ranks
+    return assemble(agg, base)
 
 
 def _contract_edges_locally(edges: DataFrame) -> DataFrame:
