@@ -360,21 +360,27 @@ def stream_dedup(events: DataFrame, *, key_col: str = "user_id",
             state.remove()
             return
         seen = set(int(v) for v in state.get[0]) if state.exists else set()
-        out: list[dict] = []
         frames = [p for p in pdfs if len(p)]
-        for pdf in ([pd.concat(frames, ignore_index=True)
-                     .sort_values("event_ms", kind="mergesort")]
-                    if frames else []):
-            for ms, v in zip(pdf["event_ms"], pdf["value"]):
-                vi = int(v)
-                first = vi not in seen
-                seen.add(vi)
-                out.append({"key": key[0], "event_ms": int(ms),
-                            "value": vi, "is_first": first})
+        out = None
+        if frames:
+            pdf = (pd.concat(frames, ignore_index=True)
+                   .sort_values("event_ms", kind="mergesort"))
+            # vectorized first-occurrence verdict (guide §4.2): an event is
+            # first iff its value is neither in the carried seen-set nor a
+            # within-batch repeat (stable sort above = event-time order, so
+            # duplicated(keep='first') marks exactly the later repeats)
+            vals = pdf["value"].astype("int64")
+            is_first = ~(vals.duplicated(keep="first")
+                         | vals.isin(seen)).to_numpy()
+            seen.update(int(v) for v in vals.unique())
+            out = pd.DataFrame({"key": key[0],
+                                "event_ms": pdf["event_ms"].astype("int64"),
+                                "value": vals,
+                                "is_first": is_first})
         state.update((sorted(seen),))
         state.setTimeoutDuration(60_000)
-        if out:
-            yield pd.DataFrame(out)
+        if out is not None and len(out):
+            yield out
 
     prepared = events.select(
         F.col(key_col).cast("string").alias("key"),
