@@ -425,25 +425,29 @@ def stream_late_audit(events: DataFrame, *, key_col: str = "user_id",
             state.remove()
             return
         max_ms = int(state.get[0]) if state.exists else None
-        out: list[dict] = []
+        out = None
         frames = [p for p in pdfs if len(p)]
         if frames:
             pdf = (pd.concat(frames, ignore_index=True)
                    .sort_values("event_ms", kind="mergesort"))
             wm = max_ms  # high-water mark BEFORE this batch
-            batch_max = int(pdf["event_ms"].max())
-            for ms, v in zip(pdf["event_ms"], pdf["value"]):
-                late = wm is not None and int(ms) + delay_ms < wm
-                out.append({"key": key[0], "event_ms": int(ms),
-                            "value": int(v), "is_late": bool(late),
-                            "watermark_ms": int(wm) if wm is not None
-                            else -1})
+            ms = pdf["event_ms"].astype("int64")
+            # vectorized verdict (guide §4.2): the watermark every event
+            # is judged against is fixed for the whole batch, so there is
+            # no sequential dependence to fold row by row
+            late = (ms + delay_ms < wm) if wm is not None else False
+            out = pd.DataFrame({"key": key[0], "event_ms": ms,
+                                "value": pdf["value"].astype("int64"),
+                                "is_late": late,
+                                "watermark_ms": wm if wm is not None
+                                else -1})
+            batch_max = int(ms.max())
             max_ms = batch_max if max_ms is None else max(max_ms,
                                                           batch_max)
         state.update((max_ms if max_ms is not None else -1,))
         state.setTimeoutDuration(60_000)
-        if out:
-            yield pd.DataFrame(out)
+        if out is not None and len(out):
+            yield out
 
     prepared = events.select(
         F.col(key_col).cast("string").alias("key"),
