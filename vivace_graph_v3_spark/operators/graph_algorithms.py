@@ -19,7 +19,7 @@ shuffle-free on the edge side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 from vivace_graph_v3_spark.graph import GraphStore
 from vivace_graph_v3_spark.util import checkpoint_rebased
@@ -221,13 +221,19 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
                          + F.lit(damping) * F.coalesce(F.col("recv"),
                                                        F.lit(0.0)))
             prev_agg, prev_base = agg, base
+            # the dangling mass rides the checkpoint materialization as an
+            # observation (fires on eager localCheckpoint) — zero extra
+            # jobs; same value as the filter+sum probe (sum of when(..)
+            # over all rows == sum over the filtered sink row, null -> 0)
+            ob = Observation()
             agg = (j.select(F.col("dst").alias("id"),
                             (r_src * F.col("inv")).alias("c"))
                    .groupBy("id").agg(F.sum("c").alias("recv"))
+                   .observe(ob, F.coalesce(
+                       F.sum(F.when(F.col("id") == _SINK, F.col("recv"))),
+                       F.lit(0.0)).alias("dang"))
                    .localCheckpoint(eager=True))
-            row = (agg.filter(F.col("id") == _SINK)
-                   .agg(F.coalesce(F.sum("recv"), F.lit(0.0))).first())
-            dang = row[0] if row is not None else 0.0
+            dang = ob.get["dang"]
             base = base_of(F.col("id"), dang)
             # amortize the L1-delta convergence probe: extra converged rounds
             # are cheaper than a full diff join every round, and rank error
