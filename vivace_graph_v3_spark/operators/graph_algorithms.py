@@ -774,26 +774,26 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
             auth = _auth_from(_hub_from(auth))
         # final round: checkpoint hub FIRST, then derive auth from the
         # checkpointed hub — deriving both from the lazy chain would
-        # execute the whole chain twice
-        hub = _hub_from(auth).localCheckpoint(eager=True)
-        auth = _auth_from(hub).localCheckpoint(eager=True)
+        # execute the whole chain twice. The normalization constants ride
+        # the two checkpoint materializations as observations (fire on
+        # eager localCheckpoint, same as pagerank's dangling probe):
+        # ZERO extra jobs instead of a separate 2x|V|-scan collect.
+        ob_h, ob_a = Observation(), Observation()
+        hub = (_hub_from(auth)
+               .observe(ob_h, F.max("score").alias("m"))
+               .localCheckpoint(eager=True))
+        auth = (_auth_from(hub)
+                .observe(ob_a, F.max("score").alias("m"))
+                .localCheckpoint(eager=True))
     finally:
         e_by_dst.unpersist()
         e_by_src.unpersist()
-    # ONE job for both normalization constants (they are scalars over the
-    # already-checkpointed final frames — a 2-row collect, not a data
-    # collect), inlined as literals: saves two broadcast-subquery jobs and
-    # two BroadcastExchanges in the output assembly.
-    rows = (hub.select(F.lit("h").alias("t"), "score")
-            .unionByName(auth.select(F.lit("a").alias("t"), "score"))
-            .groupBy("t").agg(F.max("score").alias("m")).collect())
-    maxes = {r["t"]: r["m"] for r in rows}
-    # an edgeless graph yields empty hub/auth frames -> the union
-    # aggregates to zero rows (no 'h'/'a' keys); a max of 0.0 or null
-    # would divide by zero. Normalize by 1.0 then: every vertex gets the
-    # correct 0.0 score through the coalesce.
-    m_h = maxes.get("h") or 1.0
-    m_a = maxes.get("a") or 1.0
+    # an edgeless graph yields empty hub/auth frames -> max over zero
+    # rows observes null; a max of 0.0 or null would divide by zero.
+    # Normalize by 1.0 then: every vertex gets the correct 0.0 score
+    # through the coalesce.
+    m_h = ob_h.get["m"] or 1.0
+    m_a = ob_a.get["m"] or 1.0
     h = (vertices
          .join(hub.withColumnRenamed("score", "h"), "id", "left")
          .select("id", (F.coalesce(F.col("h"), F.lit(0.0))
