@@ -25,6 +25,28 @@ from vivace_graph_v3_spark.graph import GraphStore
 from vivace_graph_v3_spark.util import checkpoint_rebased
 
 
+def _ckpt_n(df: DataFrame) -> tuple[DataFrame, int]:
+    """Eager localCheckpoint with the row count riding the materialization
+    as a DataFrame observation: checkpoint + count/emptiness probe in ONE
+    Spark job instead of two (the iterative loops below used to pay a
+    separate ``.count()``/``.isEmpty()`` driver round-trip per round over
+    the frame they had just checkpointed)."""
+    ob = Observation()
+    out = (df.observe(ob, F.count(F.lit(1)).alias("n"))
+           .localCheckpoint(eager=True))
+    return out, int(ob.get["n"])
+
+
+def _ckpt_rebased_n(df: DataFrame) -> tuple[DataFrame, int]:
+    """``checkpoint_rebased`` variant of :func:`_ckpt_n` — the observation
+    fires on the eager materialization inside checkpoint_rebased; the
+    stats-reset rewrap happens after, on the already-checkpointed plan."""
+    ob = Observation()
+    out = checkpoint_rebased(
+        df.observe(ob, F.count(F.lit(1)).alias("n")))
+    return out, int(ob.get["n"])
+
+
 def _edge_pairs(graph: GraphStore, edge_type: str | None,
                 *, weighted: bool = False, undirected: bool = False) -> DataFrame:
     cols = ["src", "dst"] + (["weight"] if weighted else [])
@@ -112,8 +134,7 @@ def pagerank(graph: GraphStore, *, edge_type: str | None = None,
     # stay dense instead of scheduling 32 near-empty tasks x 10 rounds at
     # small SF, while the count grows unbounded with |V| (at 100 TB this
     # lands at thousands of partitions, as it should).
-    vertices = vertices.localCheckpoint(eager=True)
-    n = vertices.count()
+    vertices, n = _ckpt_n(vertices)
     nparts = max(4, min(int(graph.spark.conf.get(
         "spark.sql.shuffle.partitions", "32")) * 4, n // 100_000 + 1))
     # ``weighted``: contributions split by edge weight (w / Σw_out) instead
@@ -482,17 +503,15 @@ def k_truss(graph: GraphStore, k: int, *, edge_type: str | None = None,
     monotonically so rounds get cheaper. Rounds are checkpoint-truncated
     like the other iterative operators."""
     sup_min = k - 2
-    e = (_edge_pairs(graph, edge_type, undirected=True)
-         .filter(F.col("src") < F.col("dst")).dropDuplicates(["src", "dst"])
-         .localCheckpoint(eager=True))
-    n_edges = e.count()
+    e, n_edges = _ckpt_n(
+        _edge_pairs(graph, edge_type, undirected=True)
+        .filter(F.col("src") < F.col("dst"))
+        .dropDuplicates(["src", "dst"]))
     sup = None
     converged = False
     for _ in range(max_iter):
         sup = _edge_support(e)
-        kept = (sup.filter(F.col("support") >= sup_min)
-                .localCheckpoint(eager=True))
-        n_next = kept.count()
+        kept, n_next = _ckpt_n(sup.filter(F.col("support") >= sup_min))
         e = kept.select("src", "dst")
         if n_next == n_edges:
             converged = True   # kept == e, so sup describes the fixpoint
@@ -584,11 +603,11 @@ def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
                     .select(F.col("dst").alias("id"),
                             (F.col("dist") + F.col("w")).alias("nd"))
                     .groupBy("id").agg(F.min("nd").alias("nd")))
-            improved = (cand.join(dist, "id", "left")
-                        .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
-                        .select("id", F.col("nd").alias("dist"))
-                        .localCheckpoint(eager=True))
-            if improved.isEmpty():
+            improved, n_imp = _ckpt_n(
+                cand.join(dist, "id", "left")
+                .filter(F.col("dist").isNull() | (F.col("nd") < F.col("dist")))
+                .select("id", F.col("nd").alias("dist")))
+            if n_imp == 0:
                 break
             # dist is rebuilt lazily each round (anti-join + union over the
             # checkpointed frontier); materialize it only every 3 rounds —
@@ -655,9 +674,8 @@ def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
     # parallel edges must not double-count
     edges = (_edge_pairs(graph, edge_type, undirected=True)
              .dropDuplicates(["src", "dst"]).persist())
-    alive = (graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
-             .localCheckpoint(eager=True))
-    n_alive = alive.count()
+    alive, n_alive = _ckpt_n(graph.scan_vertices(columns=["id"])
+                             .select("id").dropDuplicates())
     deg = None
     converged = False
     try:
@@ -670,9 +688,8 @@ def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
             deg = (live_edges.groupBy("src")
                    .agg(F.count(F.lit(1)).alias("degree"))
                    .withColumnRenamed("src", "id"))
-            survivors = (deg.filter(F.col("degree") >= k).select("id")
-                         .localCheckpoint(eager=True))
-            n_next = survivors.count()
+            survivors, n_next = _ckpt_n(
+                deg.filter(F.col("degree") >= k).select("id"))
             alive = survivors
             if n_next == n_alive:
                 # fixpoint: survivors == alive, so deg (computed against
@@ -732,8 +749,8 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
     checkpointed. Reference analog: none — the reference exposes
     traverse/recursive rules but no eigenvector scores; cited as
     beyond-ref alongside pagerank (SURVEY.md §2.3)."""
-    vertices = (graph.scan_vertices(columns=["id"]).select("id")
-                .dropDuplicates().localCheckpoint(eager=True))
+    vertices, n_v = _ckpt_n(graph.scan_vertices(columns=["id"])
+                            .select("id").dropDuplicates())
     # Partition count sized off the data (same ~1M-edge-rows-per-task rule
     # as pagerank's edge frame, derived from |V| at avg degree ~10) rather
     # than pinned to spark.sql.shuffle.partitions: each half-round's
@@ -743,7 +760,6 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
     # volume (at sf0.1 the old conf-width layout ran ~12 sequential
     # 32-partition stages of ~40k rows each, pure task overhead; at 100 TB
     # the same formula lands at thousands of partitions, as it should).
-    n_v = vertices.count()
     nparts = max(4, min(int(graph.spark.conf.get(
         "spark.sql.shuffle.partitions", "32")) * 4, n_v // 100_000 + 1))
     # TWO persisted copies of the edge list, pre-hashed on each join key:
@@ -918,14 +934,14 @@ def landmark_closeness(graph: GraphStore, landmarks: list[str], *,
     frontier = visited
     try:
         for depth in range(1, max_depth + 1):
-            nxt = (frontier.join(edges, frontier["id"] == edges["src"])
-                   .select("lm", F.col("dst").alias("id"))
-                   .dropDuplicates()
-                   .join(visited.select("lm", "id"), ["lm", "id"],
-                         "left_anti")
-                   .withColumn("dist", F.lit(depth))
-                   .localCheckpoint(eager=True))
-            if nxt.isEmpty():
+            nxt, n_nxt = _ckpt_n(
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .select("lm", F.col("dst").alias("id"))
+                .dropDuplicates()
+                .join(visited.select("lm", "id"), ["lm", "id"],
+                      "left_anti")
+                .withColumn("dist", F.lit(depth)))
+            if n_nxt == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
@@ -1035,14 +1051,14 @@ def landmark_eccentricity(graph: GraphStore, landmarks: list[str], *,
     frontier = visited
     try:
         for depth in range(1, max_depth + 1):
-            nxt = (frontier.join(edges, frontier["id"] == edges["src"])
-                   .select("lm", F.col("dst").alias("id"))
-                   .dropDuplicates()
-                   .join(visited.select("lm", "id"), ["lm", "id"],
-                         "left_anti")
-                   .withColumn("dist", F.lit(depth))
-                   .localCheckpoint(eager=True))
-            if nxt.isEmpty():
+            nxt, n_nxt = _ckpt_n(
+                frontier.join(edges, frontier["id"] == edges["src"])
+                .select("lm", F.col("dst").alias("id"))
+                .dropDuplicates()
+                .join(visited.select("lm", "id"), ["lm", "id"],
+                      "left_anti")
+                .withColumn("dist", F.lit(depth)))
+            if n_nxt == 0:
                 break
             visited = visited.unionByName(nxt).localCheckpoint(eager=True)
             frontier = nxt
@@ -1137,12 +1153,12 @@ def landmark_stress(graph: GraphStore, landmarks: list[str], *,
     try:
         for depth in range(1, max_depth + 1):
             prev = levels[-1]
-            nxt = (prev.join(edges, prev["id"] == edges["src"])
-                   .groupBy("lm", F.col("dst").alias("id"))
-                   .agg(F.sum("sigma").alias("sigma"))
-                   .join(visited, ["lm", "id"], "left_anti")
-                   .localCheckpoint(eager=True))
-            if nxt.isEmpty():
+            nxt, n_nxt = _ckpt_n(
+                prev.join(edges, prev["id"] == edges["src"])
+                .groupBy("lm", F.col("dst").alias("id"))
+                .agg(F.sum("sigma").alias("sigma"))
+                .join(visited, ["lm", "id"], "left_anti"))
+            if n_nxt == 0:
                 break
             levels.append(nxt)
             visited = (visited.unionByName(nxt.select("lm", "id"))
@@ -1264,18 +1280,19 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
     e0 = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
           .filter(F.col("src") != F.col("dst"))
           .dropDuplicates().persist())
-    nodes = (e0.select(F.col("src").alias("id"))
-             .unionByName(e0.select(F.col("dst").alias("id")))
-             .dropDuplicates().transform(checkpoint_rebased))
+    nodes, n_nodes = _ckpt_rebased_n(
+        e0.select(F.col("src").alias("id"))
+        .unionByName(e0.select(F.col("dst").alias("id")))
+        .dropDuplicates())
     rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     try:
-        active_n, active_e, active_r = nodes, e0, rev
+        active_n, n_active, active_e, active_r = nodes, n_nodes, e0, rev
         # start from an EMPTY (id, scc_id) frame, not None (ADVICE r7):
         # a self-loop-only / empty edge set makes active_n empty on the
         # first round, and callers must still get a well-typed frame
         result = nodes.limit(0).withColumn("scc_id", F.col("id"))
         for _ in range(max_rounds):
-            if active_n.isEmpty():
+            if n_active == 0:
                 return result
             f = _reach_min(active_e, active_n, max_iter=max_iter)
             b = (_reach_min(active_r, active_n, max_iter=max_iter)
@@ -1286,8 +1303,8 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
                        .transform(checkpoint_rebased))
             result = (result.unionByName(settled)
                       .transform(checkpoint_rebased))
-            active_n = (lab.filter(F.col("lab") != F.col("blab"))
-                        .select("id").transform(checkpoint_rebased))
+            active_n, n_active = _ckpt_rebased_n(
+                lab.filter(F.col("lab") != F.col("blab")).select("id"))
             keep_src = active_n.withColumnRenamed("id", "src")
             keep_dst = active_n.withColumnRenamed("id", "dst")
             active_e = (active_e.join(keep_src, "src").join(keep_dst, "dst")
@@ -1528,14 +1545,14 @@ def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
                 .agg(F.min("t").alias("arr2")))
             old = total.select("seed", F.col("node").alias("node2"),
                                F.col("arrival").alias("old_arr"))
-            imp = (relaxed.join(old, ["seed", "node2"], "left")
-                   .filter(F.col("old_arr").isNull()
-                           & F.col("arr2").isNotNull()
-                           | (F.col("arr2") < F.col("old_arr")))
-                   .select("seed", F.col("node2").alias("node"),
-                           F.col("arr2").alias("arrival"))
-                   .transform(checkpoint_rebased))
-            if imp.isEmpty():
+            imp, n_imp = _ckpt_rebased_n(
+                relaxed.join(old, ["seed", "node2"], "left")
+                .filter(F.col("old_arr").isNull()
+                        & F.col("arr2").isNotNull()
+                        | (F.col("arr2") < F.col("old_arr")))
+                .select("seed", F.col("node2").alias("node"),
+                        F.col("arr2").alias("arrival")))
+            if n_imp == 0:
                 improving = False
                 break
             keep = total.join(imp.select("seed",
