@@ -22,29 +22,20 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 from vivace_graph_v3_spark.graph import GraphStore
-from vivace_graph_v3_spark.util import checkpoint_rebased
+from vivace_graph_v3_spark.util import checkpoint_counted, checkpoint_rebased
 
 
 def _ckpt_n(df: DataFrame) -> tuple[DataFrame, int]:
-    """Eager localCheckpoint with the row count riding the materialization
-    as a DataFrame observation: checkpoint + count/emptiness probe in ONE
-    Spark job instead of two (the iterative loops below used to pay a
-    separate ``.count()``/``.isEmpty()`` driver round-trip per round over
-    the frame they had just checkpointed)."""
-    ob = Observation()
-    out = (df.observe(ob, F.count(F.lit(1)).alias("n"))
-           .localCheckpoint(eager=True))
-    return out, int(ob.get["n"])
+    """Checkpoint + count in one job (see util.checkpoint_counted): the
+    iterative loops below used to pay a separate ``.count()``/``.isEmpty()``
+    driver round-trip per round over the frame they had just checkpointed."""
+    return checkpoint_counted(df)
 
 
 def _ckpt_rebased_n(df: DataFrame) -> tuple[DataFrame, int]:
-    """``checkpoint_rebased`` variant of :func:`_ckpt_n` — the observation
-    fires on the eager materialization inside checkpoint_rebased; the
-    stats-reset rewrap happens after, on the already-checkpointed plan."""
-    ob = Observation()
-    out = checkpoint_rebased(
-        df.observe(ob, F.count(F.lit(1)).alias("n")))
-    return out, int(ob.get["n"])
+    """Stats-reset (checkpoint_rebased) variant of :func:`_ckpt_n` for
+    frames the loop body re-joins every round."""
+    return checkpoint_counted(df, rebase=True)
 
 
 def _edge_pairs(graph: GraphStore, edge_type: str | None,

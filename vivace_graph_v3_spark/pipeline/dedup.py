@@ -23,10 +23,10 @@ whole-stage codegen.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 from vivace_graph_v3_spark.pipeline.text import tokens
-from vivace_graph_v3_spark.util import ensure_parallelism
+from vivace_graph_v3_spark.util import checkpoint_counted, ensure_parallelism
 
 # -- exact ---------------------------------------------------------------------
 
@@ -676,9 +676,8 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
     # (MinHash banding, shingle joins), so materialize the pair list ONCE
     # and build both branches from the checkpointed rows — without this the
     # whole upstream dedup pipeline executes twice before iteration starts
-    pairs = (pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
-             .localCheckpoint(eager=True))
-    n_pairs = pairs.count()  # free: checkpointed
+    pairs, n_pairs = checkpoint_counted(
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b")))
     if n_pairs <= driver_pairs_guard:
         parent: dict = {}
 
@@ -721,22 +720,27 @@ def dedup_clusters(pairs: DataFrame, *, id_a: str = "id_a",
                    .withColumnRenamed("a", "id"))
             stepped = (labels.join(nbr, "id", "left")
                        .select("id", F.least("cluster", F.coalesce("nmin", "cluster"))
-                               .alias("cluster")))
+                               .alias("cluster"),
+                               F.col("cluster").alias("old")))
             jump = stepped.select(F.col("id").alias("cluster"),
                                   F.col("cluster").alias("c2"))
-            jumped = (stepped.join(jump, "cluster")
-                      .select("id", F.least("cluster", "c2").alias("cluster"))
-                      .localCheckpoint(eager=True))
-            # check convergence EVERY round: both sides are checkpointed
-            # O(|paired ids|) frames, so the check job is trivial next to a
-            # propagation round — and dup clusters are shallow near-cliques
+            # check convergence EVERY round, for free: the changed-row
+            # count rides the checkpoint as an observation (the pre-step
+            # label travels alongside as ``old`` and is projected away
+            # above the metric) — dup clusters are shallow near-cliques
             # that typically converge after 1-2 rounds of jump+propagate,
             # so a fixed multi-round cadence mostly runs wasted rounds
-            changed = (jumped.join(
-                labels.withColumnRenamed("cluster", "old"), "id")
-                .filter(F.col("cluster") != F.col("old")).limit(1))
+            ob = Observation()
+            jumped = (stepped.join(jump, "cluster")
+                      .select("id", F.least("cluster", "c2").alias("cluster"),
+                              "old")
+                      .observe(ob, F.coalesce(
+                          F.sum(F.when(F.col("cluster") != F.col("old"), 1)
+                                .otherwise(0)), F.lit(0)).alias("chg"))
+                      .select("id", "cluster")
+                      .localCheckpoint(eager=True))
             labels = jumped
-            if changed.isEmpty():
+            if int(ob.get["chg"]) == 0:
                 break
     finally:
         edges.unpersist()

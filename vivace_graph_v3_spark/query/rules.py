@@ -42,6 +42,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, functions as F
 
 from vivace_graph_v3_spark.graph import GraphStore
+from vivace_graph_v3_spark.util import checkpoint_counted
 from vivace_graph_v3_spark.query.builder import (
     Plan, QueryError, Select, is_var, var_col,
 )
@@ -185,6 +186,11 @@ class RuleEvaluator:
 
         for it in range(self.max_iterations):
             new_deltas: dict[str, DataFrame] = {}
+            # delta sizes ride the delta checkpoints as observations
+            # (util.checkpoint_counted): the emptiness decisions below
+            # cost zero extra jobs instead of up to two isEmpty probes
+            # per rule per iteration
+            new_counts: dict[str, int] = {}
             for n in scc:
                 rule = _RULES[n]
                 rec = [b for b in rule.clauses if _referenced_rules(b) & scc]
@@ -198,18 +204,20 @@ class RuleEvaluator:
                             rule, body, totals, deltas, delta_occurrence=i))
                 if not frames:
                     new_deltas[n] = self._empty(rule.arity)
+                    new_counts[n] = 0
                     continue
                 cand = self._union(frames, arity=rule.arity).dropDuplicates()
-                fresh = (cand.join(totals[n], on=list(cand.columns),
-                                   how="left_anti")
-                         .localCheckpoint(eager=True))
+                fresh, n_fresh = checkpoint_counted(
+                    cand.join(totals[n], on=list(cand.columns),
+                              how="left_anti"))
                 new_deltas[n] = fresh
-            if all(d.isEmpty() for d in new_deltas.values()):
+                new_counts[n] = n_fresh
+            if all(c == 0 for c in new_counts.values()):
                 for n in scc:
                     self._solved[n] = totals[n]
                 return
             for n in scc:
-                if not new_deltas[n].isEmpty():
+                if new_counts[n]:
                     totals[n] = (totals[n].unionByName(new_deltas[n])
                                  .localCheckpoint(eager=True))
                 deltas[n] = new_deltas[n]

@@ -17,6 +17,25 @@ def ensure_parallelism(df: DataFrame) -> DataFrame:
     return df
 
 
+def checkpoint_counted(df: DataFrame, *,
+                       rebase: bool = False) -> tuple[DataFrame, int]:
+    """Eager local checkpoint with the row count riding the materialization
+    as a DataFrame observation: checkpoint + count/emptiness probe in ONE
+    Spark job instead of two. Iterative fixpoint loops that previously ran
+    ``.count()`` / ``.isEmpty()`` over a frame they had just checkpointed
+    pay one fewer driver round-trip per round. With ``rebase`` the
+    checkpoint goes through :func:`checkpoint_rebased` (stats reset for
+    frames re-joined every round); the observation fires on the eager
+    materialization inside it, before the rewrap."""
+    from pyspark.sql import Observation, functions as F
+
+    ob = Observation()
+    observed = df.observe(ob, F.count(F.lit(1)).alias("n"))
+    out = (checkpoint_rebased(observed) if rebase
+           else observed.localCheckpoint(eager=True))
+    return out, int(ob.get["n"])
+
+
 def rows_to_json(df, *, col: str = "json"):
     """One JSON object per row — the REST layer's NDJSON/JSON encoding of
     nodes (rest.lisp:101-146, 249-291) as a single JVM expression."""
