@@ -153,6 +153,29 @@ def test_streaming_ingest_upserts(spark, tmp_path):
     assert rows["user:7"][0] == 9.0 and rows["user:7"][1] >= 1
 
 
+def test_upsert_batch_one_sided_and_empty_batches(spark, tmp_path):
+    """The creates/saves split is decided by observation counts riding the
+    single checkpoint job (not separate isEmpty probes): an empty batch
+    must not commit (epoch unchanged), and one-sided batches must enqueue
+    only the non-empty branch."""
+    from vivace_graph_v3_spark.streaming.ingest import upsert_batch
+
+    reg = SchemaRegistry()
+    reg.def_vertex("user", {"name": T.StringType()})
+    vg = VersionedGraph(spark, reg, str(tmp_path / "g"))
+    mk = lambda rows: spark.createDataFrame(rows, "id string, name string")
+
+    e1 = upsert_batch(vg, "user", mk([("u1", "a"), ("u2", "b")]))  # creates
+    e2 = upsert_batch(vg, "user", mk([("u1", "a")]).limit(0))      # empty
+    assert e2 == e1, "empty batch must not advance the epoch"
+    e3 = upsert_batch(vg, "user", mk([("u1", "a2")]))              # saves only
+    e4 = upsert_batch(vg, "user", mk([("u2", "b2"), ("u3", "c")]))  # mixed
+    assert e1 < e3 < e4
+    out = sorted((r["id"], r["name"], r["revision"])
+                 for r in vg.read("user").collect())
+    assert out == [("u1", "a2", 1), ("u2", "b2", 1), ("u3", "c", 0)]
+
+
 def test_view_maintenance_equals_cold_recompute(master, spark, tmp_path):
     """Parity property vs the reference's view delete path
     (views.lisp:400-427): ANY interleaving of insert / update / delete /

@@ -16,7 +16,7 @@ the OCC write path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Observation, functions as F
 
 from vivace_graph_v3_spark.mvcc import VersionedGraph
 
@@ -29,14 +29,28 @@ def upsert_batch(graph: VersionedGraph, type_name: str, rows: DataFrame) -> int:
     rows = rows.dropDuplicates(["id"])
     cur = graph.read(type_name, include_deleted=True).select(
         "id", F.col("revision").alias("__rev"))
-    joined = rows.join(cur, "id", "left")
+    # ONE materialization of the split join: the old shape probed
+    # creates/saves emptiness separately and then re-executed the
+    # merge-on-read join once per consumed branch at commit. The branch
+    # counts ride the checkpoint as observations.
+    ob = Observation()
+    joined = (rows.join(cur, "id", "left")
+              .observe(ob,
+                       F.coalesce(F.sum(F.when(F.col("__rev").isNull(), 1)
+                                        .otherwise(0)),
+                                  F.lit(0)).alias("n_creates"),
+                       F.coalesce(F.sum(F.when(F.col("__rev").isNotNull(), 1)
+                                        .otherwise(0)),
+                                  F.lit(0)).alias("n_saves"))
+              .localCheckpoint(eager=True))
+    counts = ob.get
     creates = joined.filter(F.col("__rev").isNull()).drop("__rev")
     saves = (joined.filter(F.col("__rev").isNotNull())
              .withColumn("revision", F.col("__rev")).drop("__rev"))
     tx = graph.begin()
-    if not creates.isEmpty():
+    if int(counts["n_creates"]):
         tx.create(type_name, creates)
-    if not saves.isEmpty():
+    if int(counts["n_saves"]):
         tx.save(type_name, saves)
     if tx.ops:
         return graph.commit(tx)

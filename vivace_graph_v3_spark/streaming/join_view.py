@@ -39,6 +39,7 @@ import shutil
 from pyspark.sql import DataFrame, functions as F
 
 from vivace_graph_v3_spark.mvcc import LOG_SCHEMA, VersionedGraph
+from vivace_graph_v3_spark.util import checkpoint_counted
 
 
 class JoinViewMaintainer:
@@ -138,10 +139,11 @@ class JoinViewMaintainer:
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
         self._recover_asides()
-        touched = self._touched_keys(batch)
-        if touched.isEmpty():
+        # checkpoint + emptiness in one job: the count rides the
+        # materialization as an observation (util.checkpoint_counted)
+        touched, n_touched = checkpoint_counted(self._touched_keys(batch))
+        if n_touched == 0:
             return
-        touched = touched.localCheckpoint(eager=True)
         buckets = [r["b"] for r in touched
                    .select(self._bucket(F.col("id")).alias("b"))
                    .distinct().collect()]  # bounded by n_buckets (tiny)

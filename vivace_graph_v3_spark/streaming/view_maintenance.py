@@ -34,6 +34,7 @@ import shutil
 from pyspark.sql import DataFrame, functions as F
 
 from vivace_graph_v3_spark.mvcc import LOG_SCHEMA, VersionedGraph
+from vivace_graph_v3_spark.util import checkpoint_counted
 from vivace_graph_v3_spark.views import View
 
 
@@ -94,8 +95,12 @@ class ViewMaintainer:
         return direct.unionByName(adjacent).distinct()
 
     def apply_batch(self, batch: DataFrame, batch_id: int) -> None:
-        touched = self._touched_ids(batch)
-        if touched.isEmpty():
+        # materialize the touched-id set ONCE with its count riding the
+        # checkpoint as an observation — the old shape ran the
+        # _touched_ids plan twice (isEmpty probe, then again inside the
+        # broadcast build below)
+        touched, n_touched = checkpoint_counted(self._touched_ids(batch))
+        if n_touched == 0:
             return
         # re-emit from CURRENT state, restricted to touched ids (deleted /
         # inactive nodes simply emit nothing -> their rows are retired)
