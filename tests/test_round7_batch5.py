@@ -296,6 +296,43 @@ class TestViterbiSegmentation:
         assert r["total_cost_milli"] == exp_cost
         assert r["total_pieces"] == exp_np
 
+    def test_word_at_exact_length_cap_and_beyond(self, spark):
+        """Boundary of the vectorized DP's fixed-width char matrix: a word
+        of exactly max_word_len chars occupies every lane (no NUL padding),
+        and words past the cap stay excluded from every statistic."""
+        from vivace_graph_v3_spark.pipeline.tokenizer import (
+            viterbi_segment_stats, viterbi_vocab)
+
+        w16 = "abcdefghijklmnop"          # 16 chars == default cap
+        w17 = "abcdefghijklmnopq"         # 17 chars: must be ignored
+        docs = [(1, f"{w16} {w17}", "en")]
+        df = spark.createDataFrame(docs, ["doc_id", "text", "lang"])
+        vocab = {r["piece"]: r["cost_milli"]
+                 for r in viterbi_vocab(df).collect()}
+        # every char unique and every bigram in the top-200 vocab: the
+        # reference DP over w16 is well-defined from the vocab dict
+        def seg(w):
+            best = [(0, 0)] + [(None, None)] * len(w)
+            for i in range(1, len(w) + 1):
+                cands = []
+                if w[i - 1] in vocab:
+                    cands.append((best[i - 1][0] + vocab[w[i - 1]],
+                                  best[i - 1][1] + 1))
+                if i >= 2 and w[i - 2:i] in vocab:
+                    cands.append((best[i - 2][0] + vocab[w[i - 2:i]],
+                                  best[i - 2][1] + 1))
+                best[i] = min(cands)
+            return best[len(w)]
+
+        rows = viterbi_segment_stats(df).collect()
+        assert len(rows) == 1
+        r = rows[0]
+        cost, np_ = seg(w16)
+        assert r["n_tokens"] == 1                  # w17 excluded
+        assert r["n_distinct_words"] == 1
+        assert r["total_pieces"] == np_
+        assert r["total_cost_milli"] == cost
+
 
 class TestQLDirichlet:
     def test_matches_pure_python(self, spark):

@@ -174,6 +174,16 @@ def viterbi_vocab(df: DataFrame, *, text_col: str = "text",
     (word_frequencies' shuffle). Returns (piece, plen, cost_milli)."""
     wf = (word_frequencies(df, text_col=text_col)
           .filter(F.length("w") <= max_word_len).persist())
+    out = _viterbi_vocab_from_wf(wf, top_bigrams)
+    wf.unpersist()
+    return out
+
+
+def _viterbi_vocab_from_wf(wf: DataFrame, top_bigrams: int) -> DataFrame:
+    """Piece vocabulary from an already length-capped (w, f) frequency
+    frame — viterbi_vocab's body, split out so viterbi_segment_stats can
+    reuse a word-frequency frame it already materialized instead of
+    paying a second corpus scan. All arithmetic identical."""
     chars = (wf.select("f", F.explode(F.expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
         .alias("piece"))
@@ -185,13 +195,11 @@ def viterbi_vocab(df: DataFrame, *, text_col: str = "text",
                 "          i -> substring(w, i, 2))")).alias("piece"))
             .groupBy("piece").agg(F.sum("f").alias("occ"))
             .orderBy(F.desc("occ"), "piece").limit(int(top_bigrams)))
-    out = (chars.select("piece", "occ")
-           .unionByName(bigr.select("piece", "occ"))
-           .crossJoin(F.broadcast(total))
-           .select("piece", F.length("piece").alias("plen"),
-                   F.expr("total * 1000 div occ").alias("cost_milli")))
-    wf.unpersist()
-    return out
+    return (chars.select("piece", "occ")
+            .unionByName(bigr.select("piece", "occ"))
+            .crossJoin(F.broadcast(total))
+            .select("piece", F.length("piece").alias("plen"),
+                    F.expr("total * 1000 div occ").alias("cost_milli")))
 
 
 def viterbi_segment_stats(df: DataFrame, *, text_col: str = "text",
@@ -214,72 +222,97 @@ def viterbi_segment_stats(df: DataFrame, *, text_col: str = "text",
     Returns per ``group_col``: n_tokens (token occurrences of capped
     words), n_distinct_words, total pieces and cost weighted by token
     frequency, and pieces_per_token_milli — the fertility metric a
-    tokenizer ablation reads. Exact integers end to end."""
-    vocab = viterbi_vocab(df, text_col=text_col,
-                          max_word_len=max_word_len,
-                          top_bigrams=top_bigrams).persist()
-    v1 = (vocab.filter(F.col("plen") == 1)
-          .select(F.col("piece"), F.col("cost_milli")))
-    v2 = (vocab.filter(F.col("plen") == 2)
-          .select(F.col("piece"), F.col("cost_milli")))
-    words = (word_frequencies(df, text_col=text_col)
-             .filter(F.length("w") <= max_word_len)
-             .select("w", F.length("w").alias("wl"))
-             .localCheckpoint(eager=True))
-    best_prev2 = None   # best at i-2
-    best_prev = (words.select("w", "wl", F.lit(0).cast("long").alias("cost"),
-                              F.lit(0).cast("long").alias("np"))
-                 .localCheckpoint(eager=True))
-    finished = []
-    for i in range(1, max_word_len + 1):
-        active = words.filter(F.col("wl") >= i)
-        c1 = (active.join(best_prev.select("w", "cost", "np"), "w")
-              .select("w", "wl",
-                      F.substring("w", i, 1).alias("piece"), "cost", "np")
-              .join(F.broadcast(v1), "piece")
-              .select("w", "wl",
-                      (F.col("cost") + F.col("cost_milli")).alias("cost"),
-                      (F.col("np") + 1).alias("np")))
-        cands = c1
-        if i >= 2 and best_prev2 is not None:
-            c2 = (active.join(best_prev2.select("w", "cost", "np"), "w")
-                  .select("w", "wl",
-                          F.substring("w", i - 1, 2).alias("piece"),
-                          "cost", "np")
-                  .join(F.broadcast(v2), "piece")
-                  .select("w", "wl",
-                          (F.col("cost") + F.col("cost_milli"))
-                          .alias("cost"),
-                          (F.col("np") + 1).alias("np")))
-            cands = cands.unionByName(c2)
-        best_i = (cands.groupBy("w", "wl")
-                  .agg(F.min(F.struct("cost", "np")).alias("b"))
-                  .select("w", "wl", F.col("b.cost").alias("cost"),
-                          F.col("b.np").alias("np"))
-                  .localCheckpoint(eager=True))
-        finished.append(best_i.filter(F.col("wl") == i)
-                        .select("w", "cost", "np"))
-        best_prev2, best_prev = best_prev, best_i
-    final = finished[0]
-    for f in finished[1:]:
-        final = final.unionByName(f)
-    # per-group token counts of capped words
+    tokenizer ablation reads. Exact integers end to end.
+
+    Execution shape (optimization round 9; guide §1.2 step 1, §4.2): the
+    corpus is scanned ONCE into the per-(group, word) count frame; the
+    word-frequency table and the piece vocabulary both derive from that
+    materialization. The per-word DP itself — max_word_len rounds of a
+    2-candidate min over a ~226-piece vocabulary — runs as one
+    Arrow-vectorized kernel over the DISTINCT word frame (int64
+    numpy arithmetic, identical lexicographic (cost, np) struct min),
+    replacing the former 16-round broadcast-join + min-aggregate +
+    localCheckpoint loop: 17 sequential vocab-bounded Spark jobs and a
+    16-way union (which overflowed the 64 KB whole-stage-codegen method
+    limit and fell back to interpreted execution) become one map-only
+    stage. The piece vocabulary is collected to the driver — bounded at
+    |chars| + top_bigrams rows by construction, the same bounded-literal
+    seam as the k-means/PQ codebooks."""
+    # ONE corpus scan: per-(group, word) counts of length-capped words.
+    # Checkpointed because three consumers read it (word frequencies ->
+    # vocab, the DP's distinct-word frame, and the final weighted join).
     lw = (ensure_parallelism(df)
           .select(F.col(group_col).alias("group"),
                   F.explode(F.regexp_extract_all(
                       F.lower(F.col(text_col)), F.lit(WORD_RE), F.lit(0)))
                   .alias("w"))
           .filter(F.length("w") <= max_word_len)
-          .groupBy("group", "w").agg(F.count(F.lit(1)).alias("c")))
-    out = (lw.join(final, "w")
-           .groupBy("group")
-           .agg(F.sum("c").cast("long").alias("n_tokens"),
-                F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
-                F.sum(F.col("c") * F.col("np")).cast("long")
-                .alias("total_pieces"),
-                F.sum(F.col("c") * F.col("cost")).cast("long")
-                .alias("total_cost_milli"))
-           .withColumn("pieces_per_token_milli",
-                       F.expr("total_pieces * 1000 div n_tokens")))
-    vocab.unpersist()
-    return out
+          .groupBy("group", "w").agg(F.count(F.lit(1)).alias("c"))
+          .localCheckpoint(eager=True))
+    # same (w, f) table word_frequencies(df) yields after the length cap:
+    # summing exact per-group counts == counting over the corpus
+    wf = lw.groupBy("w").agg(F.sum("c").cast("long").alias("f"))
+    pieces = _viterbi_vocab_from_wf(wf, top_bigrams).collect()
+    cost1 = {r["piece"]: r["cost_milli"] for r in pieces if r["plen"] == 1}
+    cost2 = {r["piece"]: r["cost_milli"] for r in pieces if r["plen"] == 2}
+    mwl = int(max_word_len)
+
+    def dp(batches):
+        import numpy as np
+        import pandas as pd
+
+        # sentinel: larger than any reachable path cost (cost_milli <=
+        # total*1000 and paths have <= mwl pieces), small enough that
+        # INF + INF never wraps int64
+        inf = np.int64(1) << 61
+        c1 = np.full(256, inf, dtype=np.int64)
+        for p, c in cost1.items():
+            c1[ord(p)] = c
+        c2 = np.full(65536, inf, dtype=np.int64)
+        for p, c in cost2.items():
+            c2[ord(p[0]) * 256 + ord(p[1])] = c
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                yield pd.DataFrame({"w": pdf["w"],
+                                    "cost": np.empty(0, dtype=np.int64),
+                                    "np": np.empty(0, dtype=np.int64)})
+                continue
+            # fixed-width ASCII matrix, NUL-padded (words are [a-z]+)
+            ch = (np.array(pdf["w"].to_numpy(), dtype=f"S{mwl}")
+                  .view(np.uint8).reshape(n, mwl).astype(np.int32))
+            wl = pdf["w"].str.len().to_numpy()
+            bc = np.empty((mwl + 1, n), dtype=np.int64)
+            bn = np.empty((mwl + 1, n), dtype=np.int64)
+            bc[0] = 0
+            bn[0] = 0
+            for i in range(1, mwl + 1):
+                cc = bc[i - 1] + c1[ch[:, i - 1]]
+                cn = bn[i - 1] + 1
+                if i >= 2:
+                    gc = bc[i - 2] + c2[ch[:, i - 2] * 256 + ch[:, i - 1]]
+                    gn = bn[i - 2] + 1
+                    take2 = (gc < cc) | ((gc == cc) & (gn < cn))
+                    cc = np.where(take2, gc, cc)
+                    cn = np.where(take2, gn, cn)
+                # clamp the past-end-of-word lanes (NUL chars hit the inf
+                # cost every level) so repeated inf additions cannot wrap;
+                # real lanes are far below inf and unaffected
+                bc[i] = np.minimum(cc, inf)
+                bn[i] = cn
+            idx = np.arange(n)
+            yield pd.DataFrame({"w": pdf["w"],
+                                "cost": bc[wl, idx], "np": bn[wl, idx]})
+
+    final = (lw.select("w").dropDuplicates()
+             .mapInPandas(dp, "w string, cost long, np long"))
+    return (lw.join(final, "w")
+            .groupBy("group")
+            .agg(F.sum("c").cast("long").alias("n_tokens"),
+                 F.count(F.lit(1)).cast("long").alias("n_distinct_words"),
+                 F.sum(F.col("c") * F.col("np")).cast("long")
+                 .alias("total_pieces"),
+                 F.sum(F.col("c") * F.col("cost")).cast("long")
+                 .alias("total_cost_milli"))
+            .withColumn("pieces_per_token_milli",
+                        F.expr("total_pieces * 1000 div n_tokens")))
