@@ -90,11 +90,27 @@ def bpe_learn_merges(df: DataFrame, *, n_merges: int = 3,
     [aa, a] — the BPE greedy convention), and each pair count is one
     vocab-sized aggregate with a 1-row collect. Production trainers
     update pair counts incrementally instead of recounting; at
-    |vocab| ~ 1e6 rows the recount is noise next to the corpus pass."""
+    |vocab| ~ 1e6 rows the recount is noise next to the corpus pass.
+    The char-segmented vocabulary is materialized ONCE (localCheckpoint)
+    before the loop — each merge step's aggregate used to re-derive it
+    from the corpus, paying one full corpus scan per merge (optimization
+    round 9, guide §1.2 step 1)."""
+    base = _bpe_char_base(df, text_col=text_col)
+    return _learn_merges_from_base(base, n_merges)
+
+
+def _bpe_char_base(df: DataFrame, *, text_col: str) -> DataFrame:
+    """(f, w, seg) — the frequency-weighted vocabulary with its char-level
+    segmentation, materialized so the corpus is scanned exactly once no
+    matter how many merge steps (or a downstream apply pass) consume it."""
     wf = word_frequencies(df, text_col=text_col)
     seg = F.expr("array_join(transform(sequence(1, length(w)), "
                  f"i -> substring(w, i, 1)), '{BPE_SEP}')")
-    base = wf.select("f", seg.alias("seg"))
+    return (wf.select("f", "w", seg.alias("seg"))
+            .localCheckpoint(eager=True))
+
+
+def _learn_merges_from_base(base: DataFrame, n_merges: int) -> list[dict]:
     merges: list[dict] = []
     for step in range(1, n_merges + 1):
         toks = F.split(F.col("seg"), BPE_SEP)
@@ -132,18 +148,18 @@ def bpe_compression(df: DataFrame, *, n_merges: int = 3,
     count after the learned merges, saved_ppm the integer round-half-up
     savings rate. All integer arithmetic; the apply step is the same
     replace chain the learner used, evaluated once over the
-    Heaps-bounded vocabulary."""
-    merges = bpe_learn_merges(df, n_merges=n_merges, text_col=text_col)
-    wf = word_frequencies(df, text_col=text_col)
-    seg = F.expr("array_join(transform(sequence(1, length(w)), "
-                 f"i -> substring(w, i, 1)), '{BPE_SEP}')")
+    Heaps-bounded vocabulary (which learn and apply now SHARE: one
+    corpus scan total, where the old shape paid one per merge step in
+    the learner plus another for the apply aggregate)."""
+    base = _bpe_char_base(df, text_col=text_col)
+    merges = _learn_merges_from_base(base, n_merges)
     # apply: the same replace chain the learner used, nested expressions
-    col = seg
+    col = F.col("seg")
     for m in merges:
         col = F.replace(col, F.lit(m["lhs"] + BPE_SEP + m["rhs"]),
                         F.lit(m["lhs"] + m["rhs"]))
     toks_after = F.size(F.split(col, BPE_SEP))
-    agg = wf.agg(
+    agg = base.agg(
         F.count(F.lit(1)).cast("long").alias("n_word_types"),
         F.sum("f").cast("long").alias("n_word_occurrences"),
         F.sum(F.col("f") * F.length("w")).cast("long")
