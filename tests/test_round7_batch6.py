@@ -232,6 +232,23 @@ class TestStronglyConnectedComponents:
                    for r in strongly_connected_components(edges).collect())
         assert got == {"a": "a", "b": "a", "c": "c", "d": "c"}
 
+    def test_local_guard_equals_distributed(self, spark):
+        # the bounded-local Tarjan finish (local_guard) must label
+        # exactly like the distributed peel loop (local_guard=0)
+        import random
+        rng = random.Random(23)
+        nodes = [f"n{i:02d}" for i in range(30)]
+        edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                        for _ in range(90)})
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        local = dict((r["id"], r["scc_id"])
+                     for r in strongly_connected_components(df).collect())
+        dist = dict((r["id"], r["scc_id"])
+                    for r in strongly_connected_components(
+                        df, local_guard=0).collect())
+        assert local == dist
+
 
 class TestBowtie:
     def test_hand_graph(self, spark):
@@ -256,6 +273,24 @@ class TestBowtie:
                    for r in bowtie_decomposition(edges, scc).collect())
         assert got == {"m": "core", "n": "core", "i1": "in", "i2": "in",
                        "o1": "out", "o2": "out", "t1": "in"}
+
+    def test_local_guard_equals_distributed(self, spark):
+        # the bounded-local reach closures must classify exactly like
+        # the distributed _reach_min fixpoints (local_guard=0)
+        import random
+        rng = random.Random(29)
+        nodes = [f"n{i:02d}" for i in range(26)]
+        edges = sorted({(rng.choice(nodes), rng.choice(nodes))
+                        for _ in range(70)})
+        edges = [(s, d) for s, d in edges if s != d]
+        df = spark.createDataFrame(edges, "src string, dst string")
+        scc = strongly_connected_components(df)
+        local = dict((r["id"], r["klass"])
+                     for r in bowtie_decomposition(df, scc).collect())
+        dist = dict((r["id"], r["klass"])
+                    for r in bowtie_decomposition(
+                        df, scc, local_guard=0).collect())
+        assert local == dist
 
 
 from vivace_graph_v3_spark.pipeline.text import rouge_l_pairs

@@ -20,6 +20,7 @@ shuffle-free on the edge side.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation, Window, functions as F
+from pyspark.sql import types as T
 
 from vivace_graph_v3_spark.graph import GraphStore
 from vivace_graph_v3_spark.util import checkpoint_counted, checkpoint_rebased
@@ -1201,6 +1202,100 @@ def landmark_stress(graph: GraphStore, landmarks: list[str], *,
 
 # -- strongly connected components / bow-tie ----------------------------------
 
+def _tarjan_components(adj: dict, nodes) -> tuple[list, dict]:
+    """Iterative Tarjan SCC over a Python adjacency dict. Returns
+    (components, comp_of): components in EMISSION order — every
+    component is emitted after all components it can reach (reverse
+    topological order of the condensation), which is what the reach-min
+    DP below relies on. Iterative (explicit work stack), so chain depth
+    is bounded by memory, not the interpreter recursion limit."""
+    index: dict = {}
+    low: dict = {}
+    onstk: set = set()
+    stk: list = []
+    comp_of: dict = {}
+    comps: list = []
+    counter = 0
+    for s in nodes:
+        if s in index:
+            continue
+        index[s] = low[s] = counter
+        counter += 1
+        stk.append(s)
+        onstk.add(s)
+        work = [(s, iter(adj.get(s, ())))]
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter
+                    counter += 1
+                    stk.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                if w in onstk and index[w] < low[v]:
+                    low[v] = index[w]
+            if advanced:
+                continue
+            work.pop()
+            if work and low[v] < low[work[-1][0]]:
+                low[work[-1][0]] = low[v]
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stk.pop()
+                    onstk.discard(w)
+                    comp_of[w] = len(comps)
+                    comp.append(w)
+                    if w == v:
+                        break
+                comps.append(comp)
+    return comps, comp_of
+
+
+def _local_scc_ids(edge_rows) -> dict:
+    """Driver-local exact SCC labels: id -> min member id of its
+    component. Input is a bounded list of (src, dst) pairs (the
+    ``local_guard`` seam below)."""
+    adj: dict = {}
+    nodes: set = set()
+    for src, dst in edge_rows:
+        adj.setdefault(src, []).append(dst)
+        nodes.add(src)
+        nodes.add(dst)
+    comps, comp_of = _tarjan_components(adj, nodes)
+    comp_min = [min(c) for c in comps]
+    return {v: comp_min[comp_of[v]] for v in nodes}
+
+
+def _local_reach_min(edge_rows) -> dict:
+    """Driver-local exact fixpoint of :func:`_reach_min`:
+    lab(v) = min id over {v} ∪ {w : v ⇝ w}. Tarjan condensation, then a
+    min DP over the condensation DAG in emission order (successor
+    components are always emitted first, so their minima are final when
+    a component reads them)."""
+    adj: dict = {}
+    nodes: set = set()
+    for src, dst in edge_rows:
+        adj.setdefault(src, []).append(dst)
+        nodes.add(src)
+        nodes.add(dst)
+    comps, comp_of = _tarjan_components(adj, nodes)
+    comp_min: list = [None] * len(comps)
+    for ci, comp in enumerate(comps):
+        m = min(comp)
+        for v in comp:
+            for w in adj.get(v, ()):
+                cw = comp_of[w]
+                if cw != ci and comp_min[cw] < m:
+                    m = comp_min[cw]
+        comp_min[ci] = m
+    return {v: comp_min[comp_of[v]] for v in nodes}
+
+
 def _reach_min(edges: DataFrame, nodes: DataFrame, *, max_iter: int = 50,
                check_every: int = 3) -> DataFrame:
     """Fixpoint of directed min-label propagation: lab(v) = min id over
@@ -1245,7 +1340,8 @@ def _reach_min(edges: DataFrame, nodes: DataFrame, *, max_iter: int = 50,
 
 def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
                                   dst_col: str = "dst", max_rounds: int = 25,
-                                  max_iter: int = 50) -> DataFrame:
+                                  max_iter: int = 50,
+                                  local_guard: int = 2_000_000) -> DataFrame:
     """Exact strongly connected components of a directed edge DataFrame,
     by iterated forward/backward min-label peeling (the coloring variant
     of FW-BW — Fleischer, Hendrickson & Pinar IPDPS 2000; Orzan 2004;
@@ -1266,7 +1362,17 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
 
     100 TB shape: every step is an edge-grouped aggregate or a label
     join — the Pregel cost model, linear in |E| per propagation round,
-    no driver-side state. Returns (id, scc_id) with scc_id = min member
+    no driver-side state above the guard. ``local_guard``: once the
+    ACTIVE edge set fits under this bound, the remaining components are
+    settled by one driver-local iterative Tarjan pass over the collected
+    (bounded) edge list — the same bounded-local-finish discipline as
+    dedup's ≤2M-pair union-find (dedup.py) and grid-DBSCAN's clustering
+    guard, with the distributed peel loop as the at-scale fallback. The
+    peel loop's sequential fixpoint latency dominates exactly when the
+    frames are tiny, so the guard removes ~60 near-empty sequential jobs
+    without changing a single output label (Tarjan partition + min
+    member id ≡ the fmin/bmin fixpoint certificate; differential test in
+    test_round7_batch6). Returns (id, scc_id) with scc_id = min member
     id of the component."""
     e0 = (edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
           .filter(F.col("src") != F.col("dst"))
@@ -1276,8 +1382,25 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
         .unionByName(e0.select(F.col("dst").alias("id")))
         .dropDuplicates())
     rev = e0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+    def _settle_locally(active_e, active_n, result):
+        # bounded by local_guard rows; exact Tarjan labels, then every
+        # active node absent from the (deduped, self-loop-free) active
+        # edge list is its own singleton component
+        labs = _local_scc_ids((r["src"], r["dst"])
+                              for r in active_e.collect())
+        spark = active_e.sparkSession
+        id_f = active_n.schema["id"]
+        schema = T.StructType([id_f, T.StructField("scc_id", id_f.dataType)])
+        lab_df = spark.createDataFrame(list(labs.items()), schema)
+        settled = (active_n.join(F.broadcast(lab_df), "id", "left")
+                   .select("id", F.coalesce(F.col("scc_id"), F.col("id"))
+                           .alias("scc_id")))
+        return result.unionByName(settled)
+
     try:
         active_n, n_active, active_e, active_r = nodes, n_nodes, e0, rev
+        n_active_e = None   # unknown for round 0 until counted
         # start from an EMPTY (id, scc_id) frame, not None (ADVICE r7):
         # a self-loop-only / empty edge set makes active_n empty on the
         # first round, and callers must still get a well-typed frame
@@ -1285,6 +1408,10 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
         for _ in range(max_rounds):
             if n_active == 0:
                 return result
+            if n_active_e is None:
+                n_active_e = active_e.count()   # persisted e0, one probe
+            if n_active_e <= local_guard:
+                return _settle_locally(active_e, active_n, result)
             f = _reach_min(active_e, active_n, max_iter=max_iter)
             b = (_reach_min(active_r, active_n, max_iter=max_iter)
                  .withColumnRenamed("lab", "blab"))
@@ -1298,8 +1425,9 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
                 lab.filter(F.col("lab") != F.col("blab")).select("id"))
             keep_src = active_n.withColumnRenamed("id", "src")
             keep_dst = active_n.withColumnRenamed("id", "dst")
-            active_e = (active_e.join(keep_src, "src").join(keep_dst, "dst")
-                        .transform(checkpoint_rebased))
+            active_e, n_active_e = checkpoint_counted(
+                active_e.join(keep_src, "src").join(keep_dst, "dst"),
+                rebase=True)
             active_r = active_e.select(F.col("dst").alias("src"),
                                        F.col("src").alias("dst"))
         raise RuntimeError(
@@ -1311,7 +1439,8 @@ def strongly_connected_components(edges: DataFrame, *, src_col: str = "src",
 
 def bowtie_decomposition(edges: DataFrame, scc: DataFrame, *,
                          src_col: str = "src", dst_col: str = "dst",
-                         max_iter: int = 50) -> DataFrame:
+                         max_iter: int = 50,
+                         local_guard: int = 2_000_000) -> DataFrame:
     """Broder bow-tie decomposition (Broder et al., "Graph structure in
     the web", WWW 2000) relative to the largest SCC: every node is CORE
     (in the largest SCC — ties broken by min scc_id), IN (reaches the
@@ -1345,21 +1474,40 @@ def bowtie_decomposition(edges: DataFrame, scc: DataFrame, *,
     # materialize the collapsed edge list ONCE — _reach_min re-reads its
     # edge side every iteration, and without this the whole upstream edge
     # pipeline (joins, aggregates) would re-run per propagation round
-    ce = (e.join(remap_src, "src").join(remap_dst, "dst")
-          .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
-          .filter(F.col("src") != F.col("dst")).dropDuplicates()
-          .transform(checkpoint_rebased))
-    cnodes = (ce.select(F.col("src").alias("id"))
-              .unionByName(ce.select(F.col("dst").alias("id")))
-              .dropDuplicates().transform(checkpoint_rebased))
-    fwd = _reach_min(ce, cnodes, max_iter=max_iter)          # reaches core?
-    bwd = _reach_min(ce.select(F.col("dst").alias("src"),
-                               F.col("src").alias("dst")),
-                     cnodes, max_iter=max_iter)              # reached from?
-    reach_in = fwd.filter((F.col("lab") == sent) & (F.col("id") != sent)) \
-        .select("id").withColumn("in_side", F.lit(True))
-    reach_out = bwd.filter((F.col("lab") == sent) & (F.col("id") != sent)) \
-        .select("id").withColumn("out_side", F.lit(True))
+    # (the count rides the checkpoint as an observation, guard below)
+    ce, n_ce = checkpoint_counted(
+        e.join(remap_src, "src").join(remap_dst, "dst")
+        .select(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .filter(F.col("src") != F.col("dst")).dropDuplicates(),
+        rebase=True)
+    if n_ce <= local_guard:
+        # bounded-local finish (same guard discipline as SCC above): both
+        # closures from ONE collected copy of the collapsed edge list;
+        # lab == sentinel membership becomes two small broadcast frames
+        rows = [(r["src"], r["dst"]) for r in ce.collect()]
+        fwd_lab = _local_reach_min(rows)
+        bwd_lab = _local_reach_min([(d, s) for s, d in rows])
+        spark = ce.sparkSession
+        id_t = scc.schema["id"].dataType
+        sch = T.StructType([T.StructField("id", id_t)])
+        reach_in = (spark.createDataFrame(
+            [(v,) for v, l in fwd_lab.items() if l == sent and v != sent],
+            sch).withColumn("in_side", F.lit(True)))
+        reach_out = (spark.createDataFrame(
+            [(v,) for v, l in bwd_lab.items() if l == sent and v != sent],
+            sch).withColumn("out_side", F.lit(True)))
+    else:
+        cnodes = (ce.select(F.col("src").alias("id"))
+                  .unionByName(ce.select(F.col("dst").alias("id")))
+                  .dropDuplicates().transform(checkpoint_rebased))
+        fwd = _reach_min(ce, cnodes, max_iter=max_iter)      # reaches core?
+        bwd = _reach_min(ce.select(F.col("dst").alias("src"),
+                                   F.col("src").alias("dst")),
+                         cnodes, max_iter=max_iter)          # reached from?
+        reach_in = fwd.filter((F.col("lab") == sent) & (F.col("id") != sent)) \
+            .select("id").withColumn("in_side", F.lit(True))
+        reach_out = bwd.filter((F.col("lab") == sent) & (F.col("id") != sent)) \
+            .select("id").withColumn("out_side", F.lit(True))
     return (scc.select("id")
             .join(core.select("id", "is_core"), "id", "left")
             .join(reach_in, "id", "left")
