@@ -373,6 +373,28 @@ def test_k_truss_two_triangles_and_pendant(spark):
     assert k_truss(g, 4).count() == 0                # cascade empties it
 
 
+def test_k_truss_local_matches_distributed(spark):
+    """The local_guard vectorized peel must emit exactly the distributed
+    loop's fixpoint — same surviving edges, same support values — on a
+    random graph dense enough to cascade over several rounds."""
+    import random
+
+    from vivace_graph_v3_spark.operators.graph_algorithms import k_truss
+
+    rng = random.Random(79)
+    n = 60
+    vids = [str(i) for i in range(n)]
+    edges = sorted({tuple(sorted(rng.sample(vids, 2)))
+                    for _ in range(600)})
+    g = _graph(spark, vids, [(a, b, 1) for a, b in edges])
+    for k in (3, 5, 8):
+        loc = {(r.src, r.dst): r.support
+               for r in k_truss(g, k).collect()}
+        dist = {(r.src, r.dst): r.support
+                for r in k_truss(g, k, local_guard=0).collect()}
+        assert loc == dist
+
+
 def test_avg_neighbor_degree_star_graph(spark):
     """Star K_{1,4}: hub degree 4, leaves degree 1. k_nn(4) = 1 (hub's
     neighbors are leaves), k_nn(1) = 4 (leaves see the hub)."""

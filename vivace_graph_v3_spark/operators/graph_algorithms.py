@@ -427,7 +427,8 @@ def clustering_coefficient(graph: GraphStore, *,
 
     Per-vertex triangle counts reuse the canonical a<b<c two-join formulation
     of :func:`triangle_count`; each closed triangle credits all three corners
-    with one union (no second counting join). The coefficient is emitted as an
+    through one explode (no second counting join, and the wedge join runs
+    exactly once). The coefficient is emitted as an
     integer ppm ratio (``cc_ppm``) so the oracle comparison is exact integer
     arithmetic, never float division drift.
 
@@ -447,9 +448,11 @@ def clustering_coefficient(graph: GraphStore, *,
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    corners = (tri.select(F.col("a").alias("id"))
-               .unionAll(tri.select(F.col("b").alias("id")))
-               .unionAll(tri.select(F.col("c").alias("id"))))
+    # single-pass corner credit: exploding (a, b, c) out of each triangle row
+    # enumerates the wedge join once; a 3-way union of tri projections would
+    # re-run it once per branch (no subplan reuse across union arms)
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("id"))
     tri_v = corners.groupBy("id").agg(F.count(F.lit(1)).alias("n_triangles"))
     out = (deg.join(tri_v, "id", "left")
            .withColumn("n_triangles",
@@ -470,17 +473,145 @@ def _edge_support(e: DataFrame) -> DataFrame:
     bc = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     ac = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
     tri = ab.join(bc, "b").join(ac, ["a", "c"])
-    sides = (tri.select(F.col("a").alias("src"), F.col("b").alias("dst"))
-             .unionAll(tri.select(F.col("b").alias("src"),
-                                  F.col("c").alias("dst")))
-             .unionAll(tri.select(F.col("a").alias("src"),
-                                  F.col("c").alias("dst"))))
+    # one Generate over the join output credits all three sides in a single
+    # enumeration pass; a 3-way union of tri projections would re-run the
+    # whole wedge join once per branch (no subplan reuse across union arms)
+    sides = (tri.select(F.explode(F.array(
+        F.struct(F.col("a").alias("src"), F.col("b").alias("dst")),
+        F.struct(F.col("b").alias("src"), F.col("c").alias("dst")),
+        F.struct(F.col("a").alias("src"), F.col("c").alias("dst"))))
+        .alias("side"))
+        .select("side.src", "side.dst"))
     return sides.groupBy("src", "dst").agg(
         F.count(F.lit(1)).alias("support"))
 
 
+def _local_truss(srcs, dsts, sup_min: int, *,
+                 max_triangles: int = 50_000_000,
+                 max_wedges: int = 256_000_000, threads: int = 8):
+    """Driver-local exact k-truss peel over a bounded canonical edge list
+    (the ``local_guard`` seam in :func:`k_truss`). One vectorized triangle
+    enumeration — degree-ordered orientation so hub wedge fan-out stays
+    bounded, processed in chunks across a thread pool (the numpy kernels
+    release the GIL, so chunks genuinely parallelize) with int32 scratch
+    so the pass is bandwidth-light — yields per-edge support plus the
+    triangle side lists; the cascade then peels with incremental support
+    maintenance: support(edge) always equals its triangle count within
+    the surviving subgraph, which is exactly the per-round recompute of
+    the distributed loop, so the fixpoint (and the emitted support
+    values) are identical. ``srcs``/``dsts`` are parallel arrays of the
+    canonical endpoints. Returns a list of (src, dst, support) tuples
+    for survivors, or ``None`` when the wedge or triangle volume would
+    exceed the local caps (the caller keeps the distributed loop as the
+    at-scale fallback)."""
+    import numpy as np
+    import pandas as pd
+    from concurrent.futures import ThreadPoolExecutor
+
+    m = len(srcs)
+    if m == 0:
+        return []
+    codes, _vocab = pd.factorize(
+        np.concatenate([np.asarray(srcs, dtype=object),
+                        np.asarray(dsts, dtype=object)]))
+    u = codes[:m].astype(np.int64)
+    v = codes[m:].astype(np.int64)
+    vocab = np.asarray(_vocab, dtype=object)
+    nv = int(len(vocab))
+    deg = np.bincount(u, minlength=nv) + np.bincount(v, minlength=nv)
+    # orient each edge away from its (degree, code)-smaller endpoint:
+    # every triangle then has exactly one center whose two sides both
+    # point outward, so each triangle is enumerated once, and hub
+    # out-degrees stay bounded (the standard wedge-bounding orientation)
+    swap = (deg[u] > deg[v]) | ((deg[u] == deg[v]) & (u > v))
+    ou = np.where(swap, v, u)
+    ov = np.where(swap, u, v)
+    order = np.lexsort((ov, ou))
+    gv = ov[order].astype(np.int32)  # ascending within each center group
+    gu_sorted = ou[order]
+    od = np.bincount(gu_sorted, minlength=nv)
+    ends = np.cumsum(od)
+    pos = np.arange(m) - (ends - od)[gu_sorted]
+    cnt = od[gu_sorted] - pos - 1    # wedge partners after each position
+    # canonical-by-code edge keys for wedge-closure membership tests
+    ekey = np.minimum(u, v) * nv + np.maximum(u, v)
+    eorder = np.argsort(ekey)
+    eks = ekey[eorder]
+    order32 = order.astype(np.int32)
+    eorder32 = eorder.astype(np.int32)
+    cum = np.concatenate(([0], np.cumsum(cnt)))
+    total_w = int(cum[-1])
+    if total_w > max_wedges:
+        return None
+    chunk = max(4_000_000, total_w // (threads * 4) + 1)
+    splits = [0]
+    t = chunk
+    while t < total_w:
+        splits.append(int(np.searchsorted(cum, t)))
+        t += chunk
+    splits.append(m)
+
+    def _chunk_triangles(span):
+        i0, i1 = span
+        tot = int(cum[i1] - cum[i0])
+        if i0 >= i1 or tot == 0:
+            return None
+        ccnt = cnt[i0:i1]
+        wi = np.repeat(np.arange(i0, i1, dtype=np.int32), ccnt)
+        # partner index: wj = wi + (wedge ordinal within wi's block) + 1,
+        # folded into one repeat over the per-edge block bases
+        base = np.arange(i0, i1, dtype=np.int64) - cum[i0:i1] + 1
+        wj = (np.repeat(base, ccnt)
+              + np.arange(cum[i0], cum[i1], dtype=np.int64)).astype(np.int32)
+        b = gv[wi]
+        c = gv[wj]                   # c > b: gv ascending within a group
+        wkey = b.astype(np.int64) * nv + c
+        p = np.searchsorted(eks, wkey)
+        np.minimum(p, m - 1, out=p)
+        ok = eks[p] == wkey
+        return (order32[wi[ok]], order32[wj[ok]], eorder32[p[ok]])
+
+    with ThreadPoolExecutor(max_workers=threads) as ex:
+        parts = [r for r in ex.map(_chunk_triangles,
+                                   zip(splits[:-1], splits[1:]))
+                 if r is not None]
+    n_tri = sum(len(p[0]) for p in parts)
+    if n_tri > max_triangles:
+        return None
+    if n_tri:
+        ti = np.concatenate([p[0] for p in parts])
+        tj = np.concatenate([p[1] for p in parts])
+        tk = np.concatenate([p[2] for p in parts])
+    else:
+        ti = tj = tk = np.zeros(0, dtype=np.int32)
+    sup = (np.bincount(ti, minlength=m) + np.bincount(tj, minlength=m)
+           + np.bincount(tk, minlength=m))
+    # the distributed loop keeps sup.filter(support >= sup_min) where sup
+    # only lists edges in >= 1 triangle — so the effective per-round
+    # threshold is max(sup_min, 1)
+    eff = max(sup_min, 1)
+    alive = np.ones(m, dtype=bool)
+    t_alive = np.ones(n_tri, dtype=bool)
+    while True:
+        dead = alive & (sup < eff)
+        if not dead.any():
+            break
+        alive &= ~dead
+        if n_tri:
+            td = t_alive & (dead[ti] | dead[tj] | dead[tk])
+            if td.any():
+                for side in (ti, tj, tk):
+                    se = side[td]
+                    live = alive[se]
+                    if live.any():
+                        sup -= np.bincount(se[live], minlength=m)
+                t_alive &= ~td
+    idx = np.nonzero(alive)[0]
+    return [(vocab[u[i]], vocab[v[i]], int(sup[i])) for i in idx]
+
+
 def k_truss(graph: GraphStore, k: int, *, edge_type: str | None = None,
-            max_iter: int = 30) -> DataFrame:
+            max_iter: int = 30, local_guard: int = 2_000_000) -> DataFrame:
     """k-truss (Cohen 2008): the maximal subgraph in which every edge
     participates in at least k-2 triangles — the cohesive-subgraph
     refinement of :func:`k_core` (every k-truss is inside the (k-1)-core,
@@ -493,7 +624,17 @@ def k_truss(graph: GraphStore, k: int, *, edge_type: str | None = None,
     set (two endpoint-keyed shuffles, AQE-skew-splittable — never
     vertex-pair all-pairs) plus a side aggregate; the edge set shrinks
     monotonically so rounds get cheaper. Rounds are checkpoint-truncated
-    like the other iterative operators."""
+    like the other iterative operators. ``local_guard``: once the active
+    edge set fits under this bound, the remaining cascade is settled by
+    one driver-local vectorized enumeration + incremental peel
+    (:func:`_local_truss`) — the same bounded-local-finish discipline as
+    :func:`strongly_connected_components` and dedup's union-find guard;
+    the cascade's sequential round latency dominates exactly when the
+    frames are small, and the local pass reaches the identical unique
+    fixpoint (differential test in test_graph_algorithms). The
+    distributed loop stays the at-scale fallback (and the fallback of
+    last resort when the bounded edge set is still so dense that its
+    triangle list would exceed the local memory cap)."""
     sup_min = k - 2
     e, n_edges = _ckpt_n(
         _edge_pairs(graph, edge_type, undirected=True)
@@ -501,7 +642,18 @@ def k_truss(graph: GraphStore, k: int, *, edge_type: str | None = None,
         .dropDuplicates(["src", "dst"]))
     sup = None
     converged = False
+    local_tried = False
     for _ in range(max_iter):
+        if n_edges <= local_guard and not local_tried:
+            local_tried = True
+            pdf = e.toPandas()       # bounded by local_guard rows (Arrow)
+            rows = _local_truss(pdf["src"].to_numpy(dtype=object),
+                                pdf["dst"].to_numpy(dtype=object), sup_min)
+            if rows is not None:
+                schema = T.StructType([
+                    e.schema["src"], e.schema["dst"],
+                    T.StructField("support", T.LongType())])
+                return e.sparkSession.createDataFrame(rows, schema)
         sup = _edge_support(e)
         kept, n_next = _ckpt_n(sup.filter(F.col("support") >= sup_min))
         e = kept.select("src", "dst")
