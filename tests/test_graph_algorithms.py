@@ -102,6 +102,45 @@ def test_shortest_paths_weighted_vs_hops(spark):
     assert wdist == {"a": 0.0, "b": 1.0, "c": 2.0}
 
 
+def test_kcore_sssp_stress_local_matches_distributed(spark):
+    """The local_guard driver-local finishes of k_core, shortest_paths
+    and landmark_stress must reproduce the distributed loops row for row
+    (including budget-truncated runs) on a random graph."""
+    import random
+
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        k_core, landmark_stress, shortest_paths)
+
+    rng = random.Random(31)
+    vids = [str(i) for i in range(40)]
+    edges = sorted({tuple(rng.sample(vids, 2)) for _ in range(160)})
+    g = _graph(spark, vids, [(a, b, 1 + (i % 4))
+                             for i, (a, b) in enumerate(edges)])
+    for kw in ({"max_iter": 50}, {"max_iter": 2}):
+        loc = {r["id"]: r["degree"]
+               for r in k_core(g, 3, **kw).collect()}
+        dist = {r["id"]: r["degree"]
+                for r in k_core(g, 3, local_guard=0, **kw).collect()}
+        assert loc == dist
+    for kw in ({"weighted": False}, {"weighted": True},
+               {"weighted": True, "max_iter": 2}):
+        loc = {r["id"]: r["dist"]
+               for r in shortest_paths(g, ["0", "7"], **kw).collect()}
+        dist = {r["id"]: r["dist"]
+                for r in shortest_paths(g, ["0", "7"], local_guard=0,
+                                        **kw).collect()}
+        assert loc == dist
+    lms = ["0", "3", "5"]
+    loc = {(r.lm, r.dist): (r.n_vertices, r.sum_sigma, r.sum_stress,
+                            r.max_stress)
+           for r in landmark_stress(g, lms, max_depth=4).collect()}
+    dist = {(r.lm, r.dist): (r.n_vertices, r.sum_sigma, r.sum_stress,
+                             r.max_stress)
+            for r in landmark_stress(g, lms, max_depth=4,
+                                     local_guard=0).collect()}
+    assert loc == dist
+
+
 def test_aggregate_messages(spark):
     """GraphX-style aggregateMessages: weighted in-degree and neighbor-value
     max through the triplet view."""

@@ -719,13 +719,61 @@ def degree_assortativity(graph: GraphStore, *,
         .cast("long").alias("r_ppm"))
 
 
+def _local_sssp(srcs, dsts, ws, root_ids, max_iter: int):
+    """Driver-local exact frontier Bellman-Ford over a bounded edge list
+    (the ``local_guard`` seam in :func:`shortest_paths`). Replays the
+    distributed loop round for round — per round, candidates come only
+    from the frontier improved last round, the per-destination minimum
+    is taken over the identical candidate multiset, and the loop runs
+    under the same ``max_iter`` budget — so every (id, dist) row,
+    including the float dists of the weighted variant, is bit-identical
+    to the distributed result."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(srcs)
+    codes, _vocab = pd.factorize(
+        np.concatenate([np.asarray(srcs, dtype=object),
+                        np.asarray(dsts, dtype=object),
+                        np.asarray(root_ids, dtype=object)]))
+    u = codes[:m].astype(np.int64)
+    v = codes[m:2 * m].astype(np.int64)
+    r = np.unique(codes[2 * m:])
+    w = np.asarray(ws, dtype=np.float64)
+    vocab = np.asarray(_vocab, dtype=object)
+    nv = int(len(vocab))
+    dist = np.full(nv, np.inf)
+    dist[r] = 0.0
+    frontier = np.zeros(nv, dtype=bool)
+    frontier[r] = True
+    for _ in range(max_iter):
+        esel = frontier[u]
+        if not esel.any():
+            break
+        nd = np.full(nv, np.inf)
+        np.minimum.at(nd, v[esel], dist[u[esel]] + w[esel])
+        improved = nd < dist
+        if not improved.any():
+            break
+        dist[improved] = nd[improved]
+        frontier = improved
+    idx = np.nonzero(dist < np.inf)[0]
+    return [(vocab[i], float(dist[i])) for i in idx]
+
+
 def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
                    weighted: bool = False, max_iter: int = 50,
-                   direction: str = "out") -> DataFrame:
+                   direction: str = "out",
+                   local_guard: int = 2_000_000) -> DataFrame:
     """Single/multi-source shortest paths (hop count, or summed edge weight
     with ``weighted``): distributed Bellman-Ford. Returns (id, dist) for
     reachable vertices. Frontier-based: only improved vertices relax their
-    neighbors next round, so rounds touch the active frontier, not all V."""
+    neighbors next round, so rounds touch the active frontier, not all V.
+    ``local_guard``: when the edge list fits under this bound, the whole
+    relaxation is replayed driver-locally (:func:`_local_sssp`, the SCC /
+    k-truss bounded-local-finish discipline) — long chains mean many tiny
+    sequential rounds, which is exactly where per-round job latency
+    dominates; the distributed loop stays the at-scale path."""
     spark = graph.spark
     edges = _edge_pairs(graph, edge_type, weighted=weighted,
                         undirected=(direction == "both"))
@@ -739,6 +787,21 @@ def shortest_paths(graph: GraphStore, roots, *, edge_type: str | None = None,
         dist = roots.select("id").dropDuplicates()
     else:
         dist = spark.createDataFrame([(r,) for r in roots], ["id"])
+    n_e = edges.count()
+    if n_e <= local_guard:
+        try:
+            epdf = edges.toPandas()
+            rpdf = dist.toPandas()
+            rows = _local_sssp(epdf["src"].to_numpy(dtype=object),
+                               epdf["dst"].to_numpy(dtype=object),
+                               epdf["w"].to_numpy(),
+                               rpdf["id"].to_numpy(dtype=object), max_iter)
+            schema = T.StructType([
+                T.StructField("id", edges.schema["src"].dataType),
+                T.StructField("dist", T.DoubleType())])
+            return spark.createDataFrame(rows, schema)
+        finally:
+            edges.unpersist()
     dist = dist.withColumn("dist", F.lit(0.0)).localCheckpoint(eager=True)
     frontier = dist
     try:
@@ -804,8 +867,44 @@ def label_propagation(graph: GraphStore, *, edge_type: str | None = None,
     return labels
 
 
+def _local_kcore(srcs, dsts, k: int, max_iter: int):
+    """Driver-local exact k-core peel over a bounded doubled-directed
+    edge list (each undirected edge present in both orientations, the
+    ``local_guard`` seam in :func:`k_core`). Round r removes every
+    vertex whose degree within the round-r surviving set is under ``k``
+    — the identical per-round rule as the distributed loop, bounded by
+    the same ``max_iter`` budget, so the output (id, degree-in-core)
+    matches row for row. Only valid for k >= 1 (the caller checks):
+    vertices outside the edge list can then never survive."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(srcs)
+    if m == 0:
+        return []
+    codes, _vocab = pd.factorize(
+        np.concatenate([np.asarray(srcs, dtype=object),
+                        np.asarray(dsts, dtype=object)]))
+    u = codes[:m].astype(np.int64)
+    v = codes[m:].astype(np.int64)
+    vocab = np.asarray(_vocab, dtype=object)
+    nv = int(len(vocab))
+    alive_v = np.ones(nv, dtype=bool)
+    alive_e = np.ones(m, dtype=bool)
+    for _ in range(max_iter):
+        deg = np.bincount(u[alive_e], minlength=nv)
+        dead = alive_v & (deg < k)
+        if not dead.any():
+            break
+        alive_v &= ~dead
+        alive_e &= ~(dead[u] | dead[v])
+    deg = np.bincount(u[alive_e], minlength=nv)
+    idx = np.nonzero(alive_v & (deg >= 1))[0]
+    return [(vocab[i], int(deg[i])) for i in idx]
+
+
 def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
-           max_iter: int = 50) -> DataFrame:
+           max_iter: int = 50, local_guard: int = 2_000_000) -> DataFrame:
     """k-core: the maximal subgraph where every vertex has degree >= k,
     found by iterative peeling (remove under-degree vertices until fixpoint;
     the k-core is unique, so peeling order is irrelevant — no ordering
@@ -813,11 +912,31 @@ def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
 
     Each round is one degree aggregation over edges semi-joined to the
     surviving set; the surviving set shrinks monotonically, so rounds get
-    cheaper as they proceed."""
+    cheaper as they proceed. ``local_guard``: when the deduped edge list
+    fits under this bound (and k >= 1), the whole cascade is settled by
+    one driver-local vectorized peel (:func:`_local_kcore`) — the same
+    bounded-local-finish discipline as SCC and k-truss; the sequential
+    round latency dominates exactly when the frames are small, and the
+    local peel applies the identical per-round rule under the identical
+    ``max_iter`` budget. The distributed loop stays the at-scale path."""
     # degree = distinct neighbors (simple-graph contract): reciprocal or
     # parallel edges must not double-count
     edges = (_edge_pairs(graph, edge_type, undirected=True)
              .dropDuplicates(["src", "dst"]).persist())
+    if k >= 1:
+        n_e = edges.count()
+        if n_e <= local_guard:
+            try:
+                pdf = edges.select("src", "dst").toPandas()
+                rows = _local_kcore(pdf["src"].to_numpy(dtype=object),
+                                    pdf["dst"].to_numpy(dtype=object),
+                                    k, max_iter)
+                schema = T.StructType([
+                    T.StructField("id", edges.schema["src"].dataType),
+                    T.StructField("degree", T.LongType())])
+                return graph.spark.createDataFrame(rows, schema)
+            finally:
+                edges.unpersist()
     alive, n_alive = _ckpt_n(graph.scan_vertices(columns=["id"])
                              .select("id").dropDuplicates())
     deg = None
@@ -1258,9 +1377,86 @@ def rich_club_coefficient(graph: GraphStore, thresholds: list[int],
     return out.withColumn("phi_ppm", phi.cast("long"))
 
 
+def _local_stress(srcs, dsts, landmarks, max_depth: int):
+    """Driver-local exact two-pass landmark stress over a bounded edge
+    list (the ``local_guard`` seam in :func:`landmark_stress`). Per
+    landmark: forward BFS accumulating exact sigma path counts per
+    level, backward rho fold from the deepest level — all BIGINT
+    arithmetic via integer bincounts, identical to the distributed
+    per-level joins. Returns aggregated (lm, dist, n_vertices,
+    sum_sigma, sum_stress, max_stress) rows."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(srcs)
+    codes, _vocab = pd.factorize(
+        np.concatenate([np.asarray(srcs, dtype=object),
+                        np.asarray(dsts, dtype=object),
+                        np.asarray(landmarks, dtype=object)]))
+    u = codes[:m].astype(np.int64)
+    v = codes[m:2 * m].astype(np.int64)
+    lmc = codes[2 * m:]
+    nv = int(len(_vocab))
+    # CSR adjacency by source
+    order = np.argsort(u, kind="stable")
+    gv = v[order]
+    od = np.bincount(u, minlength=nv)
+    ends = np.cumsum(od)
+    starts = ends - od
+
+    def _neighbors(front):
+        cnts = od[front]
+        tot = int(cnts.sum())
+        if tot == 0:
+            return (np.zeros(0, np.int64), np.zeros(0, np.int64))
+        base = np.repeat(starts[front], cnts)
+        offs = (np.arange(tot)
+                - np.repeat(np.cumsum(cnts) - cnts, cnts))
+        nbr = gv[base + offs]
+        return (np.repeat(front, cnts), nbr)
+
+    out = []
+    for li, lm in enumerate(landmarks):
+        lc = int(lmc[li])
+        dist = np.full(nv, -1, dtype=np.int64)
+        sigma = np.zeros(nv, dtype=np.int64)
+        dist[lc] = 0
+        sigma[lc] = 1
+        levels = [np.array([lc], dtype=np.int64)]
+        for depth in range(1, max_depth + 1):
+            src_g, nbr = _neighbors(levels[-1])
+            unvis = dist[nbr] < 0
+            if not unvis.any():
+                break
+            contrib = np.zeros(nv, dtype=np.int64)
+            np.add.at(contrib, nbr[unvis], sigma[src_g[unvis]])
+            nxt = np.unique(nbr[unvis])
+            dist[nxt] = depth
+            sigma[nxt] = contrib[nxt]
+            levels.append(nxt)
+        rho = np.zeros(nv, dtype=np.int64)
+        rho[levels[-1]] = 1
+        for d in range(len(levels) - 2, -1, -1):
+            src_g, nbr = _neighbors(levels[d])
+            succ = dist[nbr] == d + 1
+            acc = np.zeros(nv, dtype=np.int64)
+            if succ.any():
+                np.add.at(acc, src_g[succ], rho[nbr[succ]])
+            lv = levels[d]
+            rho[lv] = 1 + acc[lv]
+        for d, lv in enumerate(levels):
+            sg = sigma[lv]
+            st = (sg * (rho[lv] - 1)) if d > 0 else np.zeros(len(lv),
+                                                            dtype=np.int64)
+            out.append((lm, d, len(lv), int(sg.sum()), int(st.sum()),
+                        int(st.max()) if len(st) else 0))
+    return out
+
+
 def landmark_stress(graph: GraphStore, landmarks: list[str], *,
                     edge_type: str | None = None, max_depth: int = 6,
-                    undirected: bool = True) -> DataFrame:
+                    undirected: bool = True,
+                    local_guard: int = 2_000_000) -> DataFrame:
     """Depth-bounded stress centrality from landmark sources (Shimbel
     1953; the integer-exact sibling of Brandes 2001 betweenness — path
     COUNTS through a vertex, not fractional dependencies, so every
@@ -1289,6 +1485,25 @@ def landmark_stress(graph: GraphStore, landmarks: list[str], *,
     spark = graph.spark
     edges = (_edge_pairs(graph, edge_type, undirected=undirected)
              .select("src", "dst").dropDuplicates().persist())
+    n_e = edges.count()
+    # the guard bounds DISTINCT UNDIRECTED edges (the SCC/k-truss memory
+    # class); with undirected=True the arc list carries each edge twice
+    if n_e <= (local_guard * 2 if undirected else local_guard):
+        try:
+            epdf = edges.toPandas()
+            rows = _local_stress(epdf["src"].to_numpy(dtype=object),
+                                 epdf["dst"].to_numpy(dtype=object),
+                                 list(landmarks), max_depth)
+            schema = T.StructType([
+                T.StructField("lm", T.StringType()),
+                T.StructField("dist", T.LongType()),
+                T.StructField("n_vertices", T.LongType()),
+                T.StructField("sum_sigma", T.LongType()),
+                T.StructField("sum_stress", T.LongType()),
+                T.StructField("max_stress", T.LongType())])
+            return spark.createDataFrame(rows, schema)
+        finally:
+            edges.unpersist()
     level0 = (spark.createDataFrame([(l, l, 1) for l in landmarks],
                                     "lm string, id string, sigma long")
               .localCheckpoint(eager=True))
