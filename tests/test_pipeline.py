@@ -118,6 +118,77 @@ def test_minhash_vectorized_bit_identical(spark, docs):
     assert mism == 0
 
 
+def test_cosine_and_srp_vectorized_bit_identical(spark):
+    """The Arrow-vectorized cosine and banded-SRP kernels (r9
+    optimization) must reproduce their expression-fold specs
+    BIT-FOR-BIT — same left-fold rounding per vector index — or the
+    verified pair sets and every band signature (hence the
+    oracle-pinned candidate sets) silently drift."""
+    import random
+
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        _cosine_fold_expr, _srp_bit, _srp_sigs_udf, cosine)
+
+    rng = random.Random(17)
+    dim, bands, bits = 24, 6, 5
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)],
+             [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, a array<double>, "
+                                     "b array<double>")
+    mism = (df.select((cosine(F.col("a"), F.col("b"))
+                       != _cosine_fold_expr(F.col("a"), F.col("b")))
+                      .alias("ne"))
+            .filter(F.col("ne")).count())
+    assert mism == 0
+    sig_ref = F.array(*[
+        sum([F.shiftleft(_srp_bit(F.col("a"), band * bits + j, dim), j)
+             for j in range(1, bits)],
+            F.shiftleft(_srp_bit(F.col("a"), band * bits, dim), 0))
+        for band in range(bands)])
+    mism = (df.select((_srp_sigs_udf(bands, bits, dim)(F.col("a"))
+                       != sig_ref).alias("ne"))
+            .filter(F.col("ne")).count())
+    assert mism == 0
+
+
+def test_similarity_kernels_vectorized_bit_identical(spark):
+    """The Arrow-vectorized centroid-sims, LSH-bucket and PQ-encode
+    kernels (r9 optimization) must reproduce their expression-form
+    specs BIT-FOR-BIT, including argmin/sign tie behavior."""
+    import random
+
+    import numpy as np
+
+    from vivace_graph_v3_spark.pipeline.similarity import (
+        _cell_sims, _cell_sims_expr, _lsh_buckets_expr, _lsh_buckets_udf,
+        _pq_encode_expr, _pq_encode_udf)
+
+    rng = random.Random(23)
+    dim = 16
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(dim)])
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, v array<double>")
+    cents = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(5)]
+    mism = (df.select((_cell_sims(F.col("v"), cents)
+                       != _cell_sims_expr(F.col("v"), cents)).alias("ne"))
+            .filter(F.col("ne")).count())
+    assert mism == 0
+    planes = np.array([[[rng.uniform(-1, 1) for _ in range(dim)]
+                        for _ in range(4)] for _ in range(3)])
+    mism = (df.select((_lsh_buckets_udf(planes)(F.col("v"))
+                       != _lsh_buckets_expr("v", planes)).alias("ne"))
+            .filter(F.col("ne")).count())
+    assert mism == 0
+    codebook = [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(7)]
+    ref = df.select("id", *_pq_encode_expr("v", codebook, 4, 4))
+    new = df.select("id", _pq_encode_udf(codebook, 4, 4)(F.col("v"))
+                    .alias("__pq")).select("id", "__pq.*")
+    assert ref.count() == new.count() == 200
+    mism = ref.exceptAll(new).count() + new.exceptAll(ref).count()
+    assert mism == 0
+
+
 def test_has_min_tokens_equals_shingle_nonempty(spark):
     """The cheap codegen prefilter must be EXACTLY the set where the
     shingle array is non-empty (incl. empty/whitespace/null text and the

@@ -12,13 +12,17 @@ Five strategies, cheapest-first:
 - simhash:       64-bit weighted-bit signature; near-dups = small hamming
                  distance, found by 4x16-bit block LSH (Charikar 2002 /
                  Manku et al. 2007)
-- embedding:     cosine over an embedding column (exact normalized dot via
-                 zip_with — JVM-side)
+- embedding:     cosine over an embedding column (exact fixed-order
+                 normalized dot)
 
-Everything is expression-only (no Python UDFs): shingling is ``transform``
-over token sequences, minhashing is ``xxhash64`` with per-permutation seeds
-+ ``min`` aggregates, simhash bits are conditional sums. All of it stays in
-whole-stage codegen.
+No row-at-a-time Python UDFs: shingling is ``transform`` over token
+sequences, simhash bits are conditional sums. The two fold-heavy kernels —
+minhash signatures and exact cosine / SRP band signatures — run as
+Arrow-vectorized numpy passes (``_minhash_udf`` / ``_cosine_udf`` /
+``_srp_sigs_udf``), each pinned bit-identical to its expression-form spec:
+Spark's higher-order-function lambdas are CodegenFallback (interpreted per
+element), which made the folds the dominant cost of every consumer
+(optimization round 9, guide §4.2).
 """
 
 from __future__ import annotations
@@ -546,11 +550,78 @@ def _norm(v):
                               lambda acc, x: acc + x.cast("double") * x.cast("double")))
 
 
-def cosine(a, b):
+def _cosine_fold_expr(a, b):
+    """The expression-form cosine (kept as the semantic spec and the
+    regression-test reference for the vectorized path below): a
+    fixed-index-order left fold of correctly-rounded double ops, so the
+    value is engine-exact and oracle-reproducible."""
     dot = F.aggregate(F.zip_with(a, b, lambda x, y:
                                  x.cast("double") * y.cast("double")),
                       F.lit(0.0), lambda acc, x: acc + x)
     return dot / (_norm(a) * _norm(b))
+
+
+def _cosine_udf():
+    """Arrow-vectorized cosine: bit-identical to ``_cosine_fold_expr``.
+
+    ``aggregate``/``zip_with`` lambdas are CodegenFallback — the dot and
+    both norms walk the interpreted expression tree per element, which
+    made exact-cosine verification (and every ANN/retrieval consumer of
+    ``cosine``) fold-bound exactly like the minhash signatures above
+    (guide §4.2). The numpy kernel accumulates per vector INDEX in the
+    same left-fold order (acc = acc + a_i * b_i), so every intermediate
+    rounding — and hence the emitted double — is unchanged. Map-only
+    (one ArrowEvalPython node), no added shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    def cos(va, vb):
+        n = len(va)
+        if n == 0:
+            return pd.Series([], dtype=np.float64)
+        va_na = va.isna()
+        vb_na = vb.isna()
+        bad = (va_na | vb_na).to_numpy()
+        if bad.all():
+            return pd.Series([None] * n, dtype=object)
+        A = np.array([np.asarray(x, dtype=np.float64)
+                      for x in va[~bad]])
+        B = np.array([np.asarray(x, dtype=np.float64)
+                      for x in vb[~bad]])
+        if A.shape[1] != B.shape[1]:
+            # zip_with would null-pad the shorter side -> null dot; all
+            # callers pair equal-dimension embeddings, so mirror the
+            # expression's null result rather than guessing
+            return pd.Series([None] * n, dtype=object)
+        acc = np.zeros(len(A))
+        na = np.zeros(len(A))
+        nb = np.zeros(len(B))
+        for i in range(A.shape[1]):
+            acc = acc + A[:, i] * B[:, i]
+            na = na + A[:, i] * A[:, i]
+            nb = nb + B[:, i] * B[:, i]
+        vals = acc / (np.sqrt(na) * np.sqrt(nb))
+        if not bad.any():
+            return pd.Series(vals)
+        out = np.full(n, None, dtype=object)
+        out[~bad] = vals
+        return pd.Series(out)
+
+    cos.__annotations__ = {"va": pd.Series, "vb": pd.Series,
+                           "return": pd.Series}
+    return F.pandas_udf(cos, "double")
+
+
+_COSINE_UDF = None
+
+
+def cosine(a, b):
+    """Exact cosine(a, b) as a map-only Arrow kernel (see _cosine_udf);
+    same doubles bit for bit as the expression fold."""
+    global _COSINE_UDF
+    if _COSINE_UDF is None:
+        _COSINE_UDF = _cosine_udf()
+    return _COSINE_UDF(a, b)
 
 
 def _srp_weights(plane_id: int, dim: int) -> list[float]:
@@ -590,6 +661,53 @@ def _srp_bit(v, plane_id, dim):
     return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
 
 
+def _srp_sigs_udf(bands: int, block_bits: int, dim: int):
+    """Arrow-vectorized banded SRP signatures: bit-identical to the
+    ``_srp_bit``/shiftleft expression stack (kept above as the semantic
+    spec and regression-test reference). bands x block_bits interpreted
+    fold evaluations per row made signature computation the dominant
+    cost of the banded blocking (guide §4.2); the numpy kernel
+    accumulates every plane's dot per vector INDEX in the same left-fold
+    order, so every sign — hence every band signature and the candidate
+    set — is unchanged. Returns array<long> of the ``bands`` signatures;
+    map-only (one ArrowEvalPython node)."""
+    import numpy as np
+    import pandas as pd
+
+    W = np.array([_srp_weights(p, dim)
+                  for p in range(bands * block_bits)])   # (planes, dim)
+
+    def sigs(v):
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        bad = v.isna().to_numpy()
+        zero_sig = np.zeros(bands, dtype=np.int64)
+        if bad.all():
+            # a null vector folds to a null dot; null > 0 is null, so
+            # when() falls to otherwise(0) -> every bit 0, signature 0
+            return pd.Series([zero_sig] * n)
+        A = np.array([np.asarray(x, dtype=np.float64) for x in v[~bad]])
+        acc = np.zeros((len(A), W.shape[0]))
+        for i in range(dim):
+            acc = acc + A[:, i, None] * W[None, :, i]
+        bits = acc > 0
+        out = np.zeros((len(A), bands), dtype=np.int64)
+        for band in range(bands):
+            for j in range(block_bits):
+                out[:, band] |= (bits[:, band * block_bits + j]
+                                 .astype(np.int64) << j)
+        if not bad.any():
+            return pd.Series(list(out))
+        res = np.full(n, None, dtype=object)
+        res[~bad] = list(out)
+        res[bad] = [zero_sig] * int(bad.sum())
+        return pd.Series(res)
+
+    sigs.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sigs, "array<bigint>")
+
+
 def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
                         id_col: str = "vec_id",
                         threshold: float = 0.95,
@@ -613,19 +731,10 @@ def embedding_dup_pairs(df: DataFrame, *, vec_col: str = "embedding",
             # dimensionality
             dim = int(df.select(F.size(vec_col)).first()[0])
 
-        def band_sig(band):
-            sig = None
-            for j in range(block_bits):
-                term = F.shiftleft(_srp_bit(F.col("v"),
-                                            band * block_bits + j, dim), j)
-                sig = term if sig is None else sig.bitwiseXOR(term)
-            return sig
-
-        banded = base.select("id", F.explode(F.array(*[
-            F.struct(F.lit(k).alias("band"), band_sig(k).alias("sig"))
-            for k in range(bands)])).alias("bb"))
-        banded = banded.select("id", F.col("bb.band").alias("band"),
-                               F.col("bb.sig").alias("sig"))
+        banded = base.select(
+            "id", F.posexplode(
+                _srp_sigs_udf(bands, block_bits, dim)(F.col("v")))
+            .alias("band", "sig"))
         ba, bb = banded.alias("ba"), banded.alias("bb")
         cands = (ba.join(bb, (F.col("ba.band") == F.col("bb.band"))
                          & (F.col("ba.sig") == F.col("bb.sig"))

@@ -158,14 +158,57 @@ def _cent_lit(cv) -> "F.Column":
     return F.array(*[F.lit(float(x)) for x in cv])
 
 
-def _cell_sims(vec, centroids) -> "F.Column":
-    """array<struct<sim, negid>> of cosine(vec, centroid) per centroid —
-    one codegen'd expression per row, zero joins, zero shuffle. negid makes
-    struct-max/sort break sim ties toward the LOWEST centroid_id."""
+def _cell_sims_expr(vec, centroids) -> "F.Column":
+    """Expression-form per-centroid sims (kept as the semantic spec and
+    regression-test reference for the vectorized path below)."""
+    from vivace_graph_v3_spark.pipeline.dedup import _cosine_fold_expr
+
     return F.array(*[
-        F.struct(cosine(vec, _cent_lit(cv)).alias("sim"),
+        F.struct(_cosine_fold_expr(vec, _cent_lit(cv)).alias("sim"),
                  F.lit(-cid).alias("negid"))
         for cid, cv in enumerate(centroids)])
+
+
+def _cent_sims_udf(centroids):
+    """Arrow-vectorized cosine against every centroid literal in ONE
+    kernel pass: bit-identical to ``_cell_sims_expr`` (same per-index
+    left-fold rounding), but one ArrowEvalPython node instead of
+    |centroids| interpreted folds per row (guide §4.2). The centroid
+    matrix is closed over — nothing ships per row."""
+    import numpy as np
+    import pandas as pd
+
+    C = np.array([[float(x) for x in cv] for cv in centroids])
+
+    def sims(v):
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        A = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        acc = np.zeros((len(A), C.shape[0]))
+        na = np.zeros(len(A))
+        cn = np.zeros(C.shape[0])
+        for i in range(C.shape[1]):
+            acc = acc + A[:, i, None] * C[None, :, i]
+            na = na + A[:, i] * A[:, i]
+            cn = cn + C[:, i] * C[:, i]
+        S = acc / (np.sqrt(na)[:, None] * np.sqrt(cn)[None, :])
+        return pd.Series(list(S))
+
+    sims.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(sims, "array<double>")
+
+
+def _cell_sims(vec, centroids) -> "F.Column":
+    """array<struct<sim, negid>> of cosine(vec, centroid) per centroid —
+    one Arrow kernel pass per row (see _cent_sims_udf), zero joins, zero
+    shuffle. negid makes struct-max/sort break sim ties toward the
+    LOWEST centroid_id."""
+    sims = _cent_sims_udf(centroids)(vec)
+    return F.array(*[
+        F.struct(F.element_at(sims, cid + 1).alias("sim"),
+                 F.lit(-cid).alias("negid"))
+        for cid in range(len(centroids))])
 
 
 def nearest_centroid(vec, centroids) -> "F.Column":
@@ -265,12 +308,9 @@ def ivf_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
                      vec_col=vec_col, id_col=id_col)
 
 
-def _lsh_buckets(df: DataFrame, planes, *, vec_col: str, id_col: str,
-                 out_id: str) -> DataFrame:
-    """(id, table, bucket) per input row: bucket = packed sign bits of the
-    row's dot products with that table's hyperplanes. Plane coefficients are
-    plan-time literals, so the whole signature is one codegen'd expression —
-    no Python at runtime."""
+def _lsh_buckets_expr(vec_col: str, planes):
+    """Expression-form packed sign buckets (kept as the semantic spec and
+    regression-test reference for the vectorized path below)."""
     num_tables, num_bits, _dim = planes.shape
     tables = []
     for t in range(num_tables):
@@ -281,11 +321,55 @@ def _lsh_buckets(df: DataFrame, planes, *, vec_col: str, id_col: str,
                 F.zip_with(F.col(vec_col), r, lambda x, y: x * y),
                 F.lit(0.0), lambda acc, x: acc + x)
             bucket = bucket + F.when(dot >= 0, F.lit(1 << b)).otherwise(F.lit(0))
-        tables.append(F.struct(F.lit(t).alias("table"),
-                               bucket.cast("int").alias("bucket")))
+        tables.append(bucket.cast("int"))
+    return F.array(*tables)
+
+
+def _lsh_buckets_udf(planes):
+    """Arrow-vectorized LSH bucket signatures: bit-identical to
+    ``_lsh_buckets_expr`` (same per-index left-fold rounding, same
+    ``dot >= 0`` sign convention), one kernel pass for all
+    tables x bits instead of that many interpreted folds per row
+    (guide §4.2). Returns array<int> of the per-table buckets."""
+    import numpy as np
+    import pandas as pd
+
+    num_tables, num_bits, dim = planes.shape
+    W = np.array([[float(x) for x in planes[t, b]]
+                  for t in range(num_tables)
+                  for b in range(num_bits)])       # (tables*bits, dim)
+
+    def buckets(v):
+        n = len(v)
+        if n == 0:
+            return pd.Series([], dtype=object)
+        A = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        acc = np.zeros((len(A), W.shape[0]))
+        for i in range(dim):
+            acc = acc + A[:, i, None] * W[None, :, i]
+        bits = acc >= 0
+        out = np.zeros((len(A), num_tables), dtype=np.int32)
+        for t in range(num_tables):
+            for b in range(num_bits):
+                out[:, t] |= (bits[:, t * num_bits + b]
+                              .astype(np.int32) << b)
+        return pd.Series(list(out))
+
+    buckets.__annotations__ = {"v": pd.Series, "return": pd.Series}
+    return F.pandas_udf(buckets, "array<int>")
+
+
+def _lsh_buckets(df: DataFrame, planes, *, vec_col: str, id_col: str,
+                 out_id: str) -> DataFrame:
+    """(id, table, bucket) per input row: bucket = packed sign bits of the
+    row's dot products with that table's hyperplanes (one Arrow kernel
+    pass per row, see _lsh_buckets_udf). Plane coefficients are closed
+    over driver-side — no Python hashing per row beyond the vector
+    passes, no shuffle added."""
     return (df.select(F.col(id_col).alias(out_id), F.col(vec_col).alias("__v"),
-                      F.explode(F.array(*tables)).alias("tb"))
-            .select(out_id, "__v", "tb.table", "tb.bucket"))
+                      F.posexplode(_lsh_buckets_udf(planes)(F.col(vec_col)))
+                      .alias("table", "bucket"))
+            .select(out_id, "__v", "table", "bucket"))
 
 
 def lsh_ann_topk(corpus: DataFrame, queries: DataFrame, k: int, *,
@@ -503,11 +587,11 @@ def pq_encode(corpus: DataFrame, *, vec_col: str = "embedding",
     codewords through the same mechanism (train once at ingest, inline as
     plan-time literals at encode, exactly the ivf_index seam).
 
-    Scale shape: encoding is a pure per-row expression argmin over the
-    codeword literals — zero joins, zero shuffle, map-only over the
-    corpus (the write-time pass at 100 TB). Squared-L2 distances fold
-    left-to-right per sub-vector, so the doubles are bit-determined
-    cross-engine. Returns (id, code_0..code_{B-1}, err) with err = total
+    Scale shape: encoding is a pure per-row argmin over the codeword
+    literals (one Arrow kernel pass, see _pq_encode_udf) — zero joins,
+    zero shuffle, map-only over the corpus (the write-time pass at
+    100 TB). Squared-L2 distances fold left-to-right per sub-vector, so
+    the doubles are bit-determined cross-engine. Returns (id, code_0..code_{B-1}, err) with err = total
     squared reconstruction error, 6-dp floor(x*1e6+0.5) rounded."""
     if codebook is None:
         rows = (corpus.filter(F.col(id_col) < codebook_size)
@@ -518,13 +602,25 @@ def pq_encode(corpus: DataFrame, *, vec_col: str = "embedding",
         raise ValueError(f"dim {dim} not divisible into {num_blocks} blocks")
     blen = dim // num_blocks
 
+    return corpus.select(
+        F.col(id_col),
+        _pq_encode_udf(codebook, num_blocks, blen)(F.col(vec_col))
+        .alias("__pq")).select(id_col, "__pq.*")
+
+
+def _pq_encode_expr(vec_col: str, codebook, num_blocks: int, blen: int):
+    """Expression-form PQ encode (kept as the semantic spec and
+    regression-test reference for the vectorized kernel): per block an
+    array_min over (left-fold squared-L2, code) structs, err = the
+    sequential block-distance sum, 6-dp floor-half-up rounded. Returns
+    the list of (code_0..code_{B-1}, err) columns."""
     def _sq_dist(sub, lit_vals):
         lit_arr = F.array(*[F.lit(float(x)) for x in lit_vals])
         return F.aggregate(
             F.zip_with(sub, lit_arr, lambda a, b: (a - b) * (a - b)),
             F.lit(0.0), lambda acc, x: acc + x)
 
-    out_cols = [F.col(id_col)]
+    out_cols = []
     err = F.lit(0.0)
     for b in range(num_blocks):
         sub = F.transform(F.slice(F.col(vec_col), b * blen + 1, blen),
@@ -538,7 +634,48 @@ def pq_encode(corpus: DataFrame, *, vec_col: str = "embedding",
         err = err + best.getField("d")
     err6 = (F.floor(err * F.lit(1000000.0) + F.lit(0.5)).cast("double")
             / F.lit(1000000.0))
-    return corpus.select(*out_cols, err6.alias("err"))
+    return out_cols + [err6.alias("err")]
+
+
+def _pq_encode_udf(codebook, num_blocks: int, blen: int):
+    """Arrow-vectorized PQ encode: bit-identical to ``_pq_encode_expr``
+    — same per-index (a-b)^2 left folds, first-minimum argmin (== the
+    struct-min lowest-code tie-break), sequential err accumulation and
+    floor-half-up rounding (np.floor of a LONG-ranged double equals
+    Spark's floor-then-cast) — but one kernel pass instead of
+    blocks x codebook interpreted folds per row (guide §4.2). Returns
+    struct<code_0..code_{B-1} int, err double>."""
+    import numpy as np
+    import pandas as pd
+
+    CB = np.array([[float(x) for x in cw] for cw in codebook])
+
+    def enc(v):
+        n = len(v)
+        cols = {f"code_{b}": np.zeros(0, dtype=np.int32)
+                for b in range(num_blocks)}
+        if n == 0:
+            return pd.DataFrame({**cols, "err": np.zeros(0)})
+        A = np.array([np.asarray(x, dtype=np.float64) for x in v])
+        codes = np.zeros((len(A), num_blocks), dtype=np.int32)
+        err = np.zeros(len(A))
+        for b in range(num_blocks):
+            sub = A[:, b * blen:(b + 1) * blen]
+            cw = CB[:, b * blen:(b + 1) * blen]
+            d = np.zeros((len(A), CB.shape[0]))
+            for i in range(blen):
+                t = sub[:, i, None] - cw[None, :, i]
+                d = d + t * t
+            code = np.argmin(d, axis=1)      # first min = lowest code
+            codes[:, b] = code
+            err = err + d[np.arange(len(A)), code]
+        err6 = np.floor(err * 1000000.0 + 0.5) / 1000000.0
+        return pd.DataFrame({**{f"code_{b}": codes[:, b]
+                                for b in range(num_blocks)}, "err": err6})
+
+    enc.__annotations__ = {"v": pd.Series, "return": pd.DataFrame}
+    fields = ", ".join(f"code_{b} int" for b in range(num_blocks))
+    return F.pandas_udf(enc, f"{fields}, err double")
 
 
 def dim_truncation_recall(emb: DataFrame, *, n_queries: int = 20, k: int = 10,
