@@ -286,6 +286,10 @@ def test_negative_samples_deterministic_and_uniformish(spark):
     from collections import Counter
     counts = Counter(r.negative for r in out)
     assert max(counts.values()) < 800 / 50 * 3
+    # the distributed rank path (past rank_guard) draws identical samples
+    dist = negative_samples(pairs, verts, k=4, rank_guard=0).collect()
+    assert {(r.center, r.context, r.neg_idx, r.negative) for r in out} \
+        == {(r.center, r.context, r.neg_idx, r.negative) for r in dist}
 
 
 def test_walk_census_counts_walks_not_paths(spark):

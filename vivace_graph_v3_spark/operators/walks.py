@@ -33,13 +33,15 @@ def random_walks(graph: GraphStore, *, edge_type: str | None = None,
     from every vertex. Returns (walk_id, step, node); a walk that reaches
     a vertex with no outgoing edges terminates early (no further rows).
     walk_id = ``<start>#<k>``."""
-    # distinct neighbor list, deterministically indexed: multi-edges
-    # collapse so row_number's (src, dst) order is a total order
+    # distinct neighbors as ONE sorted array per vertex: element_at on the
+    # sorted array == the old row_number-indexed (src, idx) equi-join (same
+    # (src, dst) total order), but each walk step is then a single join of
+    # the cursor against this table instead of two (degree pick + neighbor
+    # pick) — half the per-step shuffles and checkpoint-bounded lineage
     edges = _edge_pairs(graph, edge_type).dropDuplicates(["src", "dst"])
-    nbr = (edges.withColumn(
-        "idx", F.row_number().over(Window.partitionBy("src").orderBy("dst")))
-        .localCheckpoint(eager=True))
-    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nbr = (edges.groupBy("src")
+           .agg(F.sort_array(F.collect_list("dst")).alias("__nbrs"),
+                F.count(F.lit(1)).alias("deg"))
            .localCheckpoint(eager=True))
 
     starts = (graph.scan_vertices(columns=["id"]).select("id")
@@ -54,15 +56,14 @@ def random_walks(graph: GraphStore, *, edge_type: str | None = None,
     cur = starts.localCheckpoint(eager=True)
     for step in range(walk_length):
         key = F.concat(F.col("walk_id"), F.lit(f"|{step}|"), F.col("node"))
-        # pick the index from the degree table FIRST (1 row per walk), then
-        # equi-join on (src, idx) — never fan a walk out by its degree
-        picked = (cur.join(deg, cur["node"] == deg["src"])
-                  .select("walk_id",
-                          F.col("node").alias("src"),
-                          (F.pmod(md5_hash64(key), F.col("deg")) + 1)
-                          .alias("idx")))
-        nxt = (picked.join(nbr, ["src", "idx"])
-               .select("walk_id", F.col("dst").alias("node"))
+        # one equi-join per step; the deterministic index picks the
+        # neighbor out of the sorted array — never a degree fan-out
+        nxt = (cur.join(nbr, cur["node"] == nbr["src"])
+               .select("walk_id",
+                       F.element_at(
+                           "__nbrs",
+                           (F.pmod(md5_hash64(key), F.col("deg")) + 1)
+                           .cast("int")).alias("node"))
                .localCheckpoint(eager=True))
         out = out.unionByName(nxt.withColumn("step", F.lit(step + 1)))
         cur = nxt
@@ -97,7 +98,8 @@ def skipgram_pairs(walks: DataFrame, *, window: int = 2,
 
 
 def negative_samples(pairs: DataFrame, vertices: DataFrame, *,
-                     k: int = 3, id_col: str = "id") -> DataFrame:
+                     k: int = 3, id_col: str = "id",
+                     rank_guard: int = 4_000_000) -> DataFrame:
     """Attach ``k`` deterministic negative samples to every skip-gram
     pair — the final ingredient of word2vec-style embedding training
     (Mikolov et al. 2013 negative sampling). Negative j for a pair is
@@ -113,14 +115,41 @@ def negative_samples(pairs: DataFrame, vertices: DataFrame, *,
     ONE hash equi-join against the rank table. Collisions (negative ==
     center or context) are kept — standard practice: dropping them biases
     the noise distribution, and their rate is O(1/|V|)."""
-    # checkpoint the rank table: it is counted AND joined (two jobs),
-    # and its lineage re-scans the multi-type vertex union otherwise
-    ranked = (vertices.select(F.col(id_col).alias("negative"))
-              .dropDuplicates()
-              .withColumn("__r", F.row_number()
-                          .over(Window.orderBy("negative")) - 1)
-              .localCheckpoint(eager=True))
-    n = ranked.count()
+    # checkpoint the vocab once: it is counted AND joined, and its
+    # lineage re-scans the multi-type vertex union otherwise
+    base = (vertices.select(F.col(id_col).alias("negative"))
+            .dropDuplicates().localCheckpoint(eager=True))
+    n = base.count()
+    if n <= rank_guard:
+        # bounded vocab: one single-task sort is cheaper than the
+        # distributed rank's extra shuffle + offset pass
+        ranked = base.withColumn(
+            "__r", F.row_number().over(Window.orderBy("negative")) - 1)
+    else:
+        # vocab-scale: a global Window.orderBy would sort everything in
+        # ONE task (the single-partition-window scale hazard); range
+        # partitioning + per-partition row_number + partition offsets
+        # yields the identical ranks (the global order by id is unique,
+        # so ranks are independent of boundary placement)
+        part = (base.repartitionByRange(F.col("negative"))
+                .withColumn("__pid", F.spark_partition_id())
+                .localCheckpoint(eager=True))
+        sizes = sorted(
+            ((r["__pid"], r["__c"]) for r in
+             part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c"))
+             .collect()))                   # bounded: one row per partition
+        offs, acc = {}, 0
+        for pid, c in sizes:
+            offs[pid] = acc
+            acc += c
+        off_col = F.coalesce(
+            F.create_map(*[F.lit(x) for kv in offs.items() for x in kv])
+            [F.col("__pid")], F.lit(0)) if offs else F.lit(0)
+        ranked = (part.withColumn(
+            "__r", F.row_number().over(
+                Window.partitionBy("__pid").orderBy("negative"))
+            - 1 + off_col)
+            .select("negative", "__r"))
     exploded = pairs.select(
         "center", "context",
         F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("neg_idx"))

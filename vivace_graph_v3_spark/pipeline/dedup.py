@@ -1074,7 +1074,11 @@ def _shingle_pair_candidates(df: DataFrame, *, text_col: str = "text",
     per-shingle document frequency, independent of corpus volume).
     Returns (id_a, id_b, inter, sz_a, sz_b)."""
     sh = shingle_strings(F.col(text_col), n=shingle)
-    base = (df.filter(has_min_tokens(F.col(text_col), shingle))
+    # spread the scan first: a single-file corpus otherwise runs the whole
+    # explode + bucket self-join probe inside one task (the broadcast join
+    # keeps the streaming side's partitioning)
+    base = (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), shingle))
             .select(F.col(id_col).alias("id"), sh.alias("sh")))
     inv = base.select("id", F.size("sh").alias("sz"),
                       F.explode("sh").alias("shingle"))
