@@ -141,6 +141,72 @@ def test_kcore_sssp_stress_local_matches_distributed(spark):
     assert loc == dist
 
 
+def test_cc_and_temporal_ea_local_matches_distributed(spark):
+    """connected_components' union-find finish and
+    temporal_earliest_arrival's DP replay must reproduce the
+    distributed loops row for row (both hop-bounded and convergence
+    modes)."""
+    import random
+
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        connected_components, temporal_earliest_arrival)
+
+    rng = random.Random(59)
+    vids = [str(i) for i in range(60)]
+    edges = sorted({tuple(rng.sample(vids, 2)) for _ in range(70)})
+    g = _graph(spark, vids, [(a, b, 1) for a, b in edges])
+    loc = {r.id: r.comp for r in connected_components(g).collect()}
+    dist = {r.id: r.comp
+            for r in connected_components(g, local_guard=0).collect()}
+    assert loc == dist
+    te = spark.createDataFrame(
+        [(a, b, rng.randrange(100)) for a, b in edges]
+        + [(b, a, rng.randrange(100)) for a, b in edges],
+        "src string, dst string, ts long")
+    seeds = spark.createDataFrame([("0",), ("7",), ("11",)], ["id"])
+    for kw in ({"max_hops": 3}, {"max_hops": None, "max_iter": 50}):
+        loc = {(r.seed, r.node): r.arrival
+               for r in temporal_earliest_arrival(te, seeds,
+                                                  **kw).collect()}
+        dist = {(r.seed, r.node): r.arrival
+                for r in temporal_earliest_arrival(te, seeds,
+                                                   local_guard=0,
+                                                   **kw).collect()}
+        assert loc == dist
+
+
+def test_landmark_bfs_local_matches_distributed(spark):
+    """landmark_closeness / landmark_eccentricity local finishes must
+    reproduce the distributed per-depth frontier loops row for row."""
+    import random
+
+    from vivace_graph_v3_spark.operators.graph_algorithms import (
+        landmark_closeness, landmark_eccentricity)
+
+    rng = random.Random(47)
+    vids = [str(i) for i in range(50)]
+    edges = sorted({tuple(rng.sample(vids, 2)) for _ in range(120)})
+    g = _graph(spark, vids, [(a, b, 1) for a, b in edges])
+    lms = ["0", "9", "49"]
+    for und in (True, False):
+        loc = {r.lm: (r.n_reached, r.sum_dist, r.closeness)
+               for r in landmark_closeness(g, lms, max_depth=4,
+                                           undirected=und).collect()}
+        dist = {r.lm: (r.n_reached, r.sum_dist, r.closeness)
+                for r in landmark_closeness(g, lms, max_depth=4,
+                                            undirected=und,
+                                            local_guard=0).collect()}
+        assert loc == dist
+        loc = {r.lm: (r.n_reached, r.ecc, r.diameter_lb)
+               for r in landmark_eccentricity(g, lms, max_depth=5,
+                                              undirected=und).collect()}
+        dist = {r.lm: (r.n_reached, r.ecc, r.diameter_lb)
+                for r in landmark_eccentricity(g, lms, max_depth=5,
+                                               undirected=und,
+                                               local_guard=0).collect()}
+        assert loc == dist
+
+
 def test_aggregate_messages(spark):
     """GraphX-style aggregateMessages: weighted in-degree and neighbor-value
     max through the triplet view."""

@@ -306,9 +306,39 @@ def _contract_edges_locally(edges: DataFrame) -> DataFrame:
     return edges.mapInPandas(uf, schema="src string, dst string")
 
 
+def _local_cc_ids(edge_rows) -> dict:
+    """Driver-local exact undirected component labels: id -> min member
+    id, by union-find with path halving over a bounded edge list (the
+    ``local_guard`` seam in :func:`connected_components`). Min by the
+    same total order as the distributed F.least/F.min over the label
+    column (UTF-8 byte order == code-point order)."""
+    parent: dict = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edge_rows:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for v in parent:
+        r = find(v)
+        m = comp_min.get(r)
+        if m is None or v < m:
+            comp_min[r] = v
+    return {v: comp_min[find(v)] for v in parent}
+
+
 def connected_components(graph: GraphStore, *, edge_type: str | None = None,
                          max_iter: int = 50, check_every: int = 3,
-                         contract: bool = True) -> DataFrame:
+                         contract: bool = True,
+                         local_guard: int = 2_000_000) -> DataFrame:
     """Undirected connected components by label propagation with the
     large-star/small-star-style doubling trick: each round every vertex
     adopts the min component id among itself and its neighbors' labels,
@@ -329,6 +359,24 @@ def connected_components(graph: GraphStore, *, edge_type: str | None = None,
     labels = (graph.scan_vertices(columns=["id"]).select("id").dropDuplicates()
               .withColumn("comp", F.col("id")))
     labels = labels.localCheckpoint(eager=True)
+    n_e = edges.count()
+    if n_e <= local_guard:
+        # bounded (the contracted mapping is O(|V|) anyway): settle every
+        # component with one driver union-find — the same local-finish
+        # discipline as SCC/k-truss/k-core; vertices outside the edge
+        # list keep their singleton label
+        try:
+            comp = _local_cc_ids((r["src"], r["dst"])
+                                 for r in edges.collect())
+            id_f = labels.schema["id"]
+            lab_df = labels.sparkSession.createDataFrame(
+                list(comp.items()),
+                T.StructType([id_f, T.StructField("c2", id_f.dataType)]))
+            return (labels.join(F.broadcast(lab_df), "id", "left")
+                    .select("id", F.coalesce(F.col("c2"), F.col("comp"))
+                            .alias("comp")))
+        finally:
+            edges.unpersist()
     try:
         for it in range(max_iter):
             # neighbor min
@@ -1170,9 +1218,61 @@ def walk_census(graph: GraphStore, *, edge_type: str | None = None,
     return out
 
 
+def _local_landmark_levels(srcs, dsts, landmarks, max_depth: int):
+    """Driver-local BFS level sizes per landmark over a bounded edge
+    list (the ``local_guard`` seam of :func:`landmark_closeness` /
+    :func:`landmark_eccentricity`): the same per-depth
+    frontier-join/anti-join semantics as the distributed loops —
+    frontier expands along directed arcs, a vertex joins the level of
+    its FIRST discovery — vectorized as CSR gathers. Returns
+    [(lm, dist, n_vertices), ...] in (landmark, depth) order."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(srcs)
+    codes, _vocab = pd.factorize(
+        np.concatenate([np.asarray(srcs, dtype=object),
+                        np.asarray(dsts, dtype=object),
+                        np.asarray(landmarks, dtype=object)]))
+    u = codes[:m].astype(np.int64)
+    v = codes[m:2 * m].astype(np.int64)
+    lmc = codes[2 * m:]
+    nv = int(len(_vocab))
+    order = np.argsort(u, kind="stable")
+    gv = v[order]
+    od = np.bincount(u, minlength=nv)
+    ends = np.cumsum(od)
+    starts = ends - od
+    out = []
+    for li, lm in enumerate(landmarks):
+        lc = int(lmc[li])
+        dist = np.full(nv, -1, dtype=np.int64)
+        dist[lc] = 0
+        level = np.array([lc], dtype=np.int64)
+        out.append((lm, 0, 1))
+        for depth in range(1, max_depth + 1):
+            cnts = od[level]
+            tot = int(cnts.sum())
+            if tot == 0:
+                break
+            base = np.repeat(starts[level], cnts)
+            offs = (np.arange(tot)
+                    - np.repeat(np.cumsum(cnts) - cnts, cnts))
+            nbr = gv[base + offs]
+            nbr = nbr[dist[nbr] < 0]
+            if not len(nbr):
+                break
+            nxt = np.unique(nbr)
+            dist[nxt] = depth
+            out.append((lm, depth, int(len(nxt))))
+            level = nxt
+    return out
+
+
 def landmark_closeness(graph: GraphStore, landmarks: list[str], *,
                        edge_type: str | None = None, max_depth: int = 6,
-                       undirected: bool = True) -> DataFrame:
+                       undirected: bool = True,
+                       local_guard: int = 2_000_000) -> DataFrame:
     """Closeness centrality of ``landmarks`` (Freeman 1979), depth-bounded:
     closeness(l) = (reached - 1) / sum of BFS distances over the vertices
     l reaches within ``max_depth`` hops. Exact closeness needs all-pairs
@@ -1186,11 +1286,39 @@ def landmark_closeness(graph: GraphStore, landmarks: list[str], *,
     width, never the graph; rounds are bounded by max_depth. The
     closeness ratio uses the integer round-half-up recipe (engine-exact
     6 decimals). Returns (lm, n_reached, sum_dist, closeness) where
-    n_reached counts the landmark itself.
+    n_reached counts the landmark itself. ``local_guard``: under the
+    bound the per-depth frontier rounds run as one driver-local BFS
+    (:func:`_local_landmark_levels`, the SCC/k-truss local-finish
+    discipline) — identical levels, exact integer aggregates.
     """
     spark = graph.spark
     edges = (_edge_pairs(graph, edge_type, undirected=undirected)
              .select("src", "dst").dropDuplicates().persist())
+    n_e = edges.count()
+    # guard on DISTINCT UNDIRECTED edges (the SCC/k-truss memory class);
+    # the arc list carries each edge twice when undirected
+    if n_e <= (local_guard * 2 if undirected else local_guard):
+        try:
+            epdf = edges.toPandas()
+            levels = _local_landmark_levels(
+                epdf["src"].to_numpy(dtype=object),
+                epdf["dst"].to_numpy(dtype=object),
+                list(landmarks), max_depth)
+            acc: dict = {}
+            for lm, d, n in levels:
+                r, s = acc.get(lm, (0, 0))
+                acc[lm] = (r + n, s + d * n)
+            rows = []
+            for lm, (r, s) in acc.items():
+                # mirror the expression: long div -> NULL on zero divisor
+                c = (float(((r - 1) * 2000000 + s) // (s * 2)) / 1e6
+                     if s else None)
+                rows.append((lm, r, s, c))
+            schema = ("lm string, n_reached long, sum_dist long, "
+                      "closeness double")
+            return spark.createDataFrame(rows, schema)
+        finally:
+            edges.unpersist()
     visited = (spark.createDataFrame([(l, l, 0) for l in landmarks],
                                      "lm string, id string, dist int")
                .localCheckpoint(eager=True))
@@ -1293,7 +1421,8 @@ def avg_neighbor_degree(graph: GraphStore, *, edge_type: str | None = None,
 
 def landmark_eccentricity(graph: GraphStore, landmarks: list[str], *,
                           edge_type: str | None = None, max_depth: int = 8,
-                          undirected: bool = True) -> DataFrame:
+                          undirected: bool = True,
+                          local_guard: int = 2_000_000) -> DataFrame:
     """Depth-bounded eccentricity of ``landmarks`` and the graph-diameter
     LOWER BOUND they witness: ecc(l) = max BFS distance from l within
     ``max_depth``; diameter >= max over any landmark set (the standard
@@ -1308,6 +1437,27 @@ def landmark_eccentricity(graph: GraphStore, landmarks: list[str], *,
     spark = graph.spark
     edges = (_edge_pairs(graph, edge_type, undirected=undirected)
              .select("src", "dst").dropDuplicates().persist())
+    n_e = edges.count()
+    # same local-finish guard as landmark_closeness (distinct undirected
+    # edges; the arc list doubles each edge when undirected)
+    if n_e <= (local_guard * 2 if undirected else local_guard):
+        try:
+            epdf = edges.toPandas()
+            levels = _local_landmark_levels(
+                epdf["src"].to_numpy(dtype=object),
+                epdf["dst"].to_numpy(dtype=object),
+                list(landmarks), max_depth)
+            acc: dict = {}
+            for lm, d, n in levels:
+                r, e = acc.get(lm, (0, 0))
+                acc[lm] = (r + n, max(e, d))
+            dlb = max((e for _, e in acc.values()), default=0)
+            rows = [(lm, r, e, dlb) for lm, (r, e) in acc.items()]
+            schema = ("lm string, n_reached long, ecc long, "
+                      "diameter_lb long")
+            return spark.createDataFrame(rows, schema)
+        finally:
+            edges.unpersist()
     visited = (spark.createDataFrame([(l, l, 0) for l in landmarks],
                                      "lm string, id string, dist int")
                .localCheckpoint(eager=True))
@@ -2007,11 +2157,86 @@ def dyad_census(edges: DataFrame, *, src_col: str = "src",
         .alias("reciprocity_ppm")))
 
 
+def _local_temporal_ea(us, vs, ts, seed_list, max_hops, max_iter: int):
+    """Driver-local exact earliest-arrival DP over a bounded temporal
+    edge list (the ``local_guard`` seam in
+    :func:`temporal_earliest_arrival`). Replays the distributed loop
+    round for round: the frontier is exactly the improved set, a seed
+    row's NULL arrival admits every outgoing edge (and is itself
+    improvable by any numeric arrival, like the relational left-join
+    rule), numeric arrivals only decrease, and the convergence budget
+    raises the same RuntimeError. Returns ([(seed, node, arrival)],
+    improving_flag)."""
+    import numpy as np
+    import pandas as pd
+
+    m = len(us)
+    codes, _vocab = pd.factorize(
+        np.concatenate([np.asarray(us, dtype=object),
+                        np.asarray(vs, dtype=object),
+                        np.asarray(seed_list, dtype=object)]))
+    u = codes[:m].astype(np.int64)
+    v = codes[m:2 * m].astype(np.int64)
+    sc = codes[2 * m:]
+    t = np.asarray(ts, dtype=np.int64)
+    vocab = np.asarray(_vocab, dtype=object)
+    nv = int(len(vocab))
+    order = np.lexsort((t, u))
+    gu = u[order]
+    gv = v[order]
+    gt = t[order]
+    od = np.bincount(gu, minlength=nv)
+    ends = np.cumsum(od)
+    starts = ends - od
+    MAXL = np.iinfo(np.int64).max
+    out = []
+    improving_any = False
+    for si, seed in enumerate(seed_list):
+        s = int(sc[si])
+        arr = np.full(nv, MAXL, dtype=np.int64)
+        is_null = np.zeros(nv, dtype=bool)
+        is_null[s] = True          # the seed row exists with NULL arrival
+        frontier = np.array([s], dtype=np.int64)
+        improving = True
+        for _ in range(max_hops if max_hops is not None else max_iter):
+            cnts = od[frontier]
+            tot = int(cnts.sum())
+            if tot == 0:
+                improving = False
+                break
+            base = np.repeat(starts[frontier], cnts)
+            offs = (np.arange(tot)
+                    - np.repeat(np.cumsum(cnts) - cnts, cnts))
+            idx = base + offs
+            src_g = gu[idx]
+            dst_g = gv[idx]
+            t_g = gt[idx]
+            ok = is_null[src_g] | (t_g >= arr[src_g])
+            if not ok.any():
+                improving = False
+                break
+            tmp = np.full(nv, MAXL, dtype=np.int64)
+            np.minimum.at(tmp, dst_g[ok], t_g[ok])
+            cand = tmp < MAXL
+            imp = cand & (is_null | (tmp < arr))
+            if not imp.any():
+                improving = False
+                break
+            arr[imp] = tmp[imp]
+            is_null[imp] = False
+            frontier = np.nonzero(imp)[0]
+        improving_any = improving_any or improving
+        reached = np.nonzero(arr < MAXL)[0]
+        out.extend((seed, vocab[i], int(arr[i])) for i in reached)
+    return out, improving_any
+
+
 def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
                               max_hops: int | None = 4,
                               max_iter: int = 50, src_col: str = "src",
                               dst_col: str = "dst",
-                              ts_col: str = "ts") -> DataFrame:
+                              ts_col: str = "ts",
+                              local_guard: int = 2_000_000) -> DataFrame:
     """Earliest-arrival time-respecting reachability over a temporal
     edge list (Wu et al., VLDB 2014 "Path problems in temporal
     graphs"): a path is time-respecting when edge timestamps are
@@ -2035,6 +2260,35 @@ def temporal_earliest_arrival(edges: DataFrame, seeds: DataFrame, *,
     e = (edges.select(F.col(src_col).alias("u"), F.col(dst_col).alias("v"),
                       F.col(ts_col).cast("long").alias("t"))
          .dropDuplicates().persist())
+    n_e = e.count()
+    seed_rows = None
+    if n_e <= local_guard:
+        seed_rows = [r[0] for r in
+                     seeds.select(seeds.columns[0]).collect()]
+        # per-seed state is an O(|V|) array — keep the local path to a
+        # bounded seeds x vertices footprint, else fall through
+        if len(seed_rows) * max(n_e, 1) > 256_000_000:
+            seed_rows = None
+    if seed_rows is not None:
+        try:
+            epdf = e.toPandas()
+            rows, improving = _local_temporal_ea(
+                epdf["u"].to_numpy(dtype=object),
+                epdf["v"].to_numpy(dtype=object),
+                epdf["t"].to_numpy(), list(dict.fromkeys(seed_rows)),
+                max_hops, max_iter)
+            if max_hops is None and improving:
+                raise RuntimeError(
+                    f"temporal_earliest_arrival did not converge in "
+                    f"{max_iter} rounds")
+            schema = T.StructType([
+                T.StructField("seed",
+                              seeds.schema[seeds.columns[0]].dataType),
+                T.StructField("node", e.schema["u"].dataType),
+                T.StructField("arrival", T.LongType())])
+            return e.sparkSession.createDataFrame(rows, schema)
+        finally:
+            e.unpersist()
     total = (seeds.select(F.col(seeds.columns[0]).alias("seed"))
              .select("seed", F.col("seed").alias("node"),
                      F.lit(None).cast("long").alias("arrival"))
