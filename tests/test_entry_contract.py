@@ -296,3 +296,23 @@ def test_contract_values_partitioning_invariant(spark):
             assert h == before[n], f"{n} hash changed with partitioning"
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+def test_embedding_recall_vacuous_at_smoke_sf(spark):
+    """The sf0.001 smoke fixture has ZERO over-threshold embedding pairs
+    (n_exact = 0): the recall_ppm integer division must be zero-guarded
+    on BOTH engines (old code raised ArithmeticException DIVIDE_BY_ZERO
+    in Spark and a division-by-zero error in DuckDB), and both must
+    agree on the vacuously-full row (0, 0, 1000000)."""
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    row = entry_mod.queries()["dedup_embedding_recall"](spark, sf).collect()
+    assert [tuple(r) for r in row] == [(0, 0, 1000000)]
+
+    con = duckdb.connect()
+    for t in ["embeddings"]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf}/{t}.parquet'")
+    got = con.execute(
+        entry_mod.oracle_sql()["dedup_embedding_recall"]).fetchall()
+    assert got == [(0, 0, 1000000)]

@@ -1184,11 +1184,15 @@ def q_dedup_embedding_recall(spark, sf_dir):
     exact = embedding_dup_pairs(emb, threshold=0.5, block_bits=0) \
         .select("id_a", "id_b")
     hits = exact.join(blocked, ["id_a", "id_b"], "left_semi")
+    # n_exact = 0 (no over-threshold pair exists, e.g. the sf0.001 smoke
+    # fixture): recall is vacuously full — guard the integer div, which
+    # raises under ANSI on both engines.
     return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
             .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
             .select("n_exact", "n_hits",
-                    F.expr("n_hits * 1000000 div n_exact").cast("long")
-                    .alias("recall_ppm")))
+                    F.expr("CASE WHEN n_exact = 0 THEN 1000000 "
+                           "ELSE n_hits * 1000000 div n_exact END")
+                    .cast("long").alias("recall_ppm")))
 
 
 SQL_DEDUP_EMBEDDING_RECALL = f"""
@@ -1207,9 +1211,10 @@ exact AS (
 SELECT (SELECT count(*) FROM ex) AS n_exact,
        (SELECT count(*) FROM ex SEMI JOIN verified USING (id_a, id_b))
          AS n_hits,
-       CAST((SELECT count(*) FROM ex SEMI JOIN verified
-             USING (id_a, id_b)) * 1000000
-            // (SELECT count(*) FROM ex) AS BIGINT) AS recall_ppm
+       CAST(CASE WHEN (SELECT count(*) FROM ex) = 0 THEN 1000000
+            ELSE (SELECT count(*) FROM ex SEMI JOIN verified
+                  USING (id_a, id_b)) * 1000000
+                 // (SELECT count(*) FROM ex) END AS BIGINT) AS recall_ppm
 """
 
 
