@@ -15910,6 +15910,20 @@ for _n, _v in REGISTRY.items():
     _ordered.setdefault(_n, _v)
 REGISTRY = _ordered
 
+# ROUND-10 ROTATION EXECUTED (the swap staged above, done FIRST this
+# round, before any optimization work): front = the remaining 8 of
+# _R9_RECONFIRM + _R9_NEW (18 entries — each earns its first/next
+# driver row), then everything else in the round-9 order. This
+# finishes the re-confirm queue: after this round every registry entry
+# has been driver-sampled at least once since its last rework. No new
+# registrations are expected in an optimization round; if one were
+# needed it would append behind, same convention.
+_R10_FRONT = _R9_RECONFIRM[40:] + _R9_NEW
+_ordered = {n: REGISTRY[n] for n in _R10_FRONT}
+for _n, _v in REGISTRY.items():
+    _ordered.setdefault(_n, _v)
+REGISTRY = _ordered
+
 
 def queries():
     return {name: fn for name, (fn, _sql) in REGISTRY.items()}
