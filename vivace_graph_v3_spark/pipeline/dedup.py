@@ -187,12 +187,20 @@ def containment_pairs(df: DataFrame, *, text_col: str = "text",
         # global rarity order: document frequency, ties by shingle hash
         dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
         ranked = inv.join(dfreq, "shingle")
-        w = Window.partitionBy("id").orderBy(F.col("df").asc(),
-                                             F.col("shingle").asc())
-        prefix = (ranked.withColumn("__pos", F.row_number().over(w))
-                  .filter(F.col("__pos") <=
-                          F.floor((1.0 - threshold) * F.col("sz")) + 2)
-                  .select("id", "shingle"))
+        # window-free prefix selection (guide §2.4): the old per-doc
+        # row_number window sorted the ENTIRE ranked shingle stream under
+        # its exchange; the same rarest-k set falls out of one hash
+        # aggregate + a per-doc array_sort + slice. Identical prefix:
+        # (df, shingle) pairs are unique within a doc (shingles are
+        # per-doc distinct), so lexicographic struct order == the
+        # window's (df asc, shingle asc) order, rows 1..k.
+        k_len = (F.floor((1.0 - threshold) * F.first("sz")) + 2).cast("int")
+        prefix = (ranked.groupBy("id")
+                  .agg(F.slice(F.array_sort(F.collect_list(
+                      F.struct("df", "shingle"))), F.lit(1), k_len)
+                      .alias("__pre"))
+                  .select("id", F.explode("__pre").alias("__s"))
+                  .select("id", F.col("__s.shingle").alias("shingle")))
         a, b = prefix.alias("a"), inv.alias("b")
         cand = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                        & (F.col("a.id") != F.col("b.id")))
@@ -1162,13 +1170,18 @@ def lsh_band_tuning(df: DataFrame, *, text_col: str = "text",
         # ground truth: symmetric prefix-filtered exact-Jaccard pairs
         inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
         dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        w = Window.partitionBy("id").orderBy(F.col("df").asc(),
-                                             F.col("shingle").asc())
+        # window-free prefix, same rewrite as containment_pairs (guide
+        # §2.4): aggregate + array_sort + slice replaces the per-doc
+        # row_number window; identical rarest-k set ((df, shingle) unique
+        # per doc, struct order == the window's df asc, shingle asc)
+        k_len = (F.floor((1.0 - t) * F.first("sz")) + 2).cast("int")
         prefix = (inv.join(dfreq, "shingle")
-                  .withColumn("__pos", F.row_number().over(w))
-                  .filter(F.col("__pos") <=
-                          F.floor((1.0 - t) * F.col("sz")) + 2)
-                  .select("id", "shingle"))
+                  .groupBy("id")
+                  .agg(F.slice(F.array_sort(F.collect_list(
+                      F.struct("df", "shingle"))), F.lit(1), k_len)
+                      .alias("__pre"))
+                  .select("id", F.explode("__pre").alias("__s"))
+                  .select("id", F.col("__s.shingle").alias("shingle")))
         a, b = prefix.alias("a"), inv.alias("b")
         tc = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                      & (F.col("a.id") != F.col("b.id")))

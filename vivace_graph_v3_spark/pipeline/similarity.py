@@ -14,7 +14,7 @@ All vector math is JVM expressions (zip_with/aggregate), no Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import DataFrame, Observation, Window, functions as F
 
 from vivace_graph_v3_spark.pipeline.dedup import cosine
 
@@ -1118,9 +1118,10 @@ def facility_location_select(emb: DataFrame, *, vec_col: str = "embedding",
     ground^2 pair sims, volume-independent), then k rounds of
     (gain aggregate -> argmax -> coverage update) over that pair frame.
     Gain terms CAST to DECIMAL(38,12) (order-independent sums); cosine
-    is the ordered-fold form; argmax ties break on id — every round is
-    engine-exact, so a SQL oracle replays the greedy trajectory
-    bit-for-bit.
+    is the Arrow kernel pinned bit-identical to the ordered-fold
+    expression form (dedup.cosine); argmax ties break on id — every
+    round is engine-exact, so a SQL oracle replays the greedy
+    trajectory bit-for-bit.
 
     Returns one row per round: (round, vec_id, gain, coverage) with
     coverage the objective value after the pick (6-dp)."""
@@ -1132,18 +1133,16 @@ def facility_location_select(emb: DataFrame, *, vec_col: str = "embedding",
     g = (e.withColumn("__h", md5_hash64(F.col("id").cast("string")))
          .orderBy(F.col("__h").asc(), F.col("id").asc()).limit(int(ground))
          .select("id", "v"))
-    dot = F.aggregate(F.zip_with(F.col("cv"), F.col("tv"),
-                                 lambda a, b: a * b),
-                      F.lit(0.0), lambda acc, x: acc + x)
-    nrm = (lambda c: F.sqrt(F.aggregate(
-        F.transform(c, lambda x: x * x), F.lit(0.0),
-        lambda acc, x: acc + x)))
     a = g.select(F.col("id").alias("cid"), F.col("v").alias("cv"))
     b = g.select(F.col("id").alias("tid"), F.col("v").alias("tv"))
+    # pair sims through the Arrow cosine kernel (dedup.cosine — the same
+    # left-fold index order as the expression form, bit-identical doubles;
+    # guide §4.2): the old aggregate(zip_with()) dot/norm folds here were
+    # CodegenFallback, interpreted per element over ground^2 * dim terms —
+    # the dominant cost of the whole selection at any dim
     sims = (a.crossJoin(b)
             .select("cid", "tid",
-                    (dot / (nrm(F.col("cv")) * nrm(F.col("tv"))))
-                    .alias("sim"))
+                    cosine(F.col("cv"), F.col("tv")).alias("sim"))
             .coalesce(1).localCheckpoint(eager=True))
     best = (g.select(F.col("id").alias("tid"),
                      F.lit(0.0).alias("best"))
@@ -1172,15 +1171,23 @@ def facility_location_select(emb: DataFrame, *, vec_col: str = "embedding",
         picked.append(top["cid"])
         upd = (sims.filter(F.col("cid") == top["cid"])
                .select("tid", F.col("sim").alias("new")))
+        # the coverage sum rides the best-update checkpoint as an
+        # observation (fires on the eager localCheckpoint — same value:
+        # the DECIMAL(38,12) sum is order-independent over the same rows),
+        # replacing the separate per-round aggregate job: 2 jobs per
+        # greedy round instead of 3 (guide §1.2 step 1 / §5)
+        ob = Observation()
         best = (best.join(upd, "tid", "left")
                 .select("tid",
                         F.greatest(F.col("best"),
                                    F.coalesce(F.col("new"), F.lit(0.0)))
                         .alias("best"))
-                .coalesce(1).localCheckpoint(eager=True))
-        cov = best.agg(F.round(F.sum(F.col("best")
-                                     .cast("decimal(38,12)"))
-                               .cast("double"), 6)).first()[0]
+                .coalesce(1)
+                .observe(ob, F.round(F.sum(F.col("best")
+                                           .cast("decimal(38,12)"))
+                                     .cast("double"), 6).alias("cov"))
+                .localCheckpoint(eager=True))
+        cov = ob.get["cov"]
         out_rows.append((rnd, int(top["cid"]), float(top["gain_r"]),
                          float(cov)))
     return spark.createDataFrame(
