@@ -173,8 +173,17 @@ class RuleEvaluator:
         self._solve_scc(scc)
         return self._solved[name]
 
+    # totals are kept as LISTS of already-checkpointed delta arms and
+    # consumed as a lazy union: every arm is disjoint by construction
+    # (each delta is anti-joined against the total before it is added),
+    # so the union IS the total — re-checkpointing the whole growing
+    # relation every round (O(|total|) per round, the old shape) bought
+    # nothing. Arms collapse into one checkpoint past this width so the
+    # per-iteration join plans stay bounded for deep fixpoints.
+    _TOTAL_COLLAPSE_ARMS = 8
+
     def _solve_scc(self, scc: set[str]) -> None:
-        totals: dict[str, DataFrame] = {}
+        arms: dict[str, list[DataFrame]] = {}
         deltas: dict[str, DataFrame] = {}
         for n in scc:
             rule = _RULES[n]
@@ -182,9 +191,14 @@ class RuleEvaluator:
             df = self._union([self._eval_clause(rule, b, {}, {}) for b in base],
                              arity=rule.arity)
             df = df.dropDuplicates().localCheckpoint(eager=True)
-            totals[n] = deltas[n] = df
+            arms[n] = [df]
+            deltas[n] = df
+
+        def totals_view() -> dict[str, DataFrame]:
+            return {n: self._union(a) for n, a in arms.items()}
 
         for it in range(self.max_iterations):
+            totals = totals_view()
             new_deltas: dict[str, DataFrame] = {}
             # delta sizes ride the delta checkpoints as observations
             # (util.checkpoint_counted): the emptiness decisions below
@@ -214,12 +228,14 @@ class RuleEvaluator:
                 new_counts[n] = n_fresh
             if all(c == 0 for c in new_counts.values()):
                 for n in scc:
-                    self._solved[n] = totals[n]
+                    self._solved[n] = totals_view()[n]
                 return
             for n in scc:
                 if new_counts[n]:
-                    totals[n] = (totals[n].unionByName(new_deltas[n])
-                                 .localCheckpoint(eager=True))
+                    arms[n].append(new_deltas[n])
+                    if len(arms[n]) >= self._TOTAL_COLLAPSE_ARMS:
+                        arms[n] = [self._union(arms[n])
+                                   .localCheckpoint(eager=True)]
                 deltas[n] = new_deltas[n]
         raise BudgetExceeded(
             f"rule fixpoint for {sorted(scc)} exceeded "
