@@ -10782,6 +10782,41 @@ FROM base GROUP BY c_mktsegment
 # round-6 registrations: stateful-streaming contract faces + goal-path geo
 # ---------------------------------------------------------------------------
 
+def _drain_stream(q, n_events: int, deadline_s: float = 300.0) -> None:
+    """Exact drain detector (VERDICT r9 item 9): return as soon as the
+    query's progress history accounts for every source row and no more
+    data is available. ``recentProgress`` is batch-exact — one entry per
+    COMMITTED micro-batch — so summing numInputRows over distinct
+    batchIds is race-free evidence that every data batch landed, unlike
+    sampling ``lastProgress`` from a polling loop (which once shipped 1
+    of 4 batches under load and therefore needed a >=4 s idle-streak
+    guard per drain). The stateful operators' processing-time timeouts
+    are all >= 60 s, so no timer batch can emit state rows inside the
+    drain window: the sink content at stop is identical to the old
+    streak rule's (data-batch output only). The conservative idle-streak
+    rule is kept as the fallback if the accounting never closes (e.g.
+    progress history overflow) and the coverage gates downstream remain
+    the arbiter either way."""
+    import time as _time
+
+    deadline = _time.time() + deadline_s
+    while q.isActive and _time.time() < deadline:
+        rows = {p["batchId"]: p["numInputRows"] for p in q.recentProgress}
+        if (sum(rows.values()) >= n_events
+                and not q.status["isDataAvailable"]):
+            return
+        _time.sleep(0.2)
+    streak = 0
+    while q.isActive and streak < 4 and _time.time() < deadline + 60:
+        _time.sleep(1.0)
+        p = q.lastProgress
+        if (p is not None and p["numInputRows"] == 0
+                and not q.status["isDataAvailable"]):
+            streak += 1
+        else:
+            streak = 0
+
+
 def _session_stateful_run(spark, sf_dir: str) -> str:
     """Run the two applyInPandasWithState operators (streaming/stateful.py)
     ONCE per (sf_dir, events mtime) over a deterministic 4-file source and
@@ -10837,26 +10872,15 @@ def _session_stateful_run(spark, sf_dir: str) -> str:
         # a stateful query holding processing-time timers neither
         # self-terminates under availableNow NOR unblocks
         # processAllAvailable() (it sits in "no new data but cleaning up
-        # state" timer batches forever). Drain rule: stop only after
-        # SEVERAL consecutive zero-input progresses with no data
-        # available — a single idle poll raced batch boundaries under
-        # load and shipped 1 of 4 batches once (caught by the coverage
-        # gate below).
-        import time as _time
-
+        # state" timer batches forever). Drain rule: exact input-row
+        # accounting over the batch-granular progress history
+        # (_drain_stream) — returns the moment the last data batch
+        # commits instead of burning a multi-second idle streak.
         q = (out.writeStream.format("parquet").option("path", out_dir)
              .option("checkpointLocation",
                      os.path.join(stage, f"ck_{name}_a{attempt}"))
              .trigger(availableNow=True).start())
-        streak, deadline = 0, _time.time() + 300
-        while q.isActive and streak < 4 and _time.time() < deadline:
-            _time.sleep(1.0)
-            p = q.lastProgress
-            if (p is not None and p["numInputRows"] == 0
-                    and not q.status["isDataAvailable"]):
-                streak += 1
-            else:
-                streak = 0
+        _drain_stream(q, n_events)
         try:
             q.stop()
             q.awaitTermination(60)
@@ -14698,14 +14722,13 @@ def _session_late_audit_run(spark, sf_dir: str) -> str:
     stateful faces use is time-monotone and would make lateness
     vacuous). Same drain discipline as _session_stateful_run: strictly
     increasing file mtimes + maxFilesPerTrigger=1 -> 4 deterministic
-    micro-batches; idle-streak stop; coverage-gated retries; atomic
-    rename into the cached path."""
+    micro-batches; exact input-accounting stop (_drain_stream);
+    coverage-gated retries; atomic rename into the cached path."""
     import glob as _glob
     import hashlib
     import os
     import shutil
     import tempfile
-    import time as _time
 
     from vivace_graph_v3_spark.streaming.stateful import stream_late_audit
 
@@ -14742,15 +14765,7 @@ def _session_late_audit_run(spark, sf_dir: str) -> str:
              .option("checkpointLocation",
                      os.path.join(stage, f"ck_a{attempt}"))
              .trigger(availableNow=True).start())
-        streak, deadline = 0, _time.time() + 300
-        while q.isActive and streak < 4 and _time.time() < deadline:
-            _time.sleep(1.0)
-            p = q.lastProgress
-            if (p is not None and p["numInputRows"] == 0
-                    and not q.status["isDataAvailable"]):
-                streak += 1
-            else:
-                streak = 0
+        _drain_stream(q, n_events)
         try:
             q.stop()
             q.awaitTermination(60)
