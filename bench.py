@@ -18,6 +18,7 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # medians over N repetitions: single-run timings on a shared host showed
 # 1.4x run-to-run suite spread and 2-2.5x per-op spread on iterative ops
 # (SCALING.md repeatability study), which made cross-round comparisons
@@ -180,6 +181,26 @@ FAST_OP_EXTRA_REPS = max(0, int(os.environ.get(
 FAST_OP_CUTOFF_S = 1.0
 
 
+def scale_probe_seconds(spark) -> float:
+    """Core-sensitive scaling probe (VERDICT r9 item 2): a FIXED amount of
+    CPU-bound work spread over 64 partitions — at least 2x any core count
+    the driver benches with — so its wall time tracks 1/cores. The
+    8-partition calibration op saturates at 8 cores and the sub-second
+    suite entries sit on the job-scheduling floor, which made the driver's
+    low-core/high-core ratio check illegible (PERF_r09 suspect_cpus_ignored
+    despite session.py honoring $SPARK_GRAFT_CPUS). Same hash-mix kernel as
+    the calibration op, whole-stage codegen, no I/O, computed fresh every
+    call — nothing here depends on the SF data, so the ratio isolates the
+    core count."""
+    from pyspark.sql import functions as F
+
+    t0 = time.time()
+    spark.range(0, 6_000_000_000, 1, 64).select(
+        F.sum((F.col("id") % 2147483648) * 2654435761
+              % 2147483648 % 97)).first()
+    return round(time.time() - t0, 3)
+
+
 def calibration_seconds(spark) -> float:
     """Fixed-cost JVM calibration op: sum a hash-mix over a 150M-row
     range on a pinned 8-partition layout — whole-stage codegen, no I/O,
@@ -249,6 +270,9 @@ def main() -> int:
         for name in BENCH_QUERIES:
             run_one(rep, name)
         write_benchmarks(spark, samples)
+        sp = scale_probe_seconds(spark)
+        samples.setdefault("scale_probe", []).append(sp)
+        print(f"# rep{rep} scale_probe: {sp}s", file=sys.stderr)
 
     import statistics
 
@@ -297,6 +321,10 @@ def final_json_line(total: float, timings: dict[str, float], sf_val,
         "unit": "sec",
         "queries": {k: round(v, 2) for k, v in timings.items()},
         "sf": sf_val,
+        # echo the core count the session actually ran with (VERDICT r9
+        # item 2: make the driver's scaling check legible from the
+        # artifact alone)
+        "cpus": CPUS,
     }
     if cal_pre is not None:
         obj["cal"] = [round(cal_pre, 2),
