@@ -262,6 +262,12 @@ def test_random_walks_deterministic_and_valid(spark):
     # z has no out-edges: its walks emit only step 0
     z = [r for r in r1 if r[0].startswith("z#")]
     assert z and all(s == 0 for _, s, _ in z)
+    # round-10 differential pin: the broadcast-lazy regime (default under
+    # bcast_guard) emits exactly the per-step-checkpointed equi-join
+    # walks (bcast_guard=0 forces the past-guard path)
+    w3 = random_walks(g, walk_length=4, walks_per_node=3, bcast_guard=0)
+    r3 = {(r["walk_id"], r["step"], r["node"]) for r in w3.collect()}
+    assert r1 == r3
 
 
 def test_skipgram_pairs_handcomputed(spark):
@@ -294,6 +300,23 @@ def test_hits_star(star):
     assert hs["b"][1] == hs["c"][1] == 0.0
     for h, a in hs.values():
         assert 0.0 <= h <= 1.0 and 0.0 <= a <= 1.0
+
+
+def test_hits_bcast_matches_copartitioned(star):
+    # the broadcast-state regime (default below bcast_guard) must emit
+    # bit-identical scores to the past-guard co-partitioned formulation
+    # (bcast_guard=0 forces it) — the round-10 differential pin for the
+    # hits rewrite, including the out-degree-seeded first half-round
+    from vivace_graph_v3_spark.operators.graph_algorithms import hits
+    fast = sorted(map(tuple, hits(star, max_iter=3).collect()))
+    dist = sorted(map(tuple, hits(star, max_iter=3,
+                                  bcast_guard=0).collect()))
+    assert fast == dist
+    # max_iter=1 exercises the seeded-final-round edge case in both paths
+    fast1 = sorted(map(tuple, hits(star, max_iter=1).collect()))
+    dist1 = sorted(map(tuple, hits(star, max_iter=1,
+                                   bcast_guard=0).collect()))
+    assert fast1 == dist1
 
 
 def test_common_neighbor_similarity(spark):

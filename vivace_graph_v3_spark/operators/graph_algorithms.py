@@ -1031,7 +1031,7 @@ def k_core(graph: GraphStore, k: int, *, edge_type: str | None = None,
 
 
 def hits(graph: GraphStore, *, edge_type: str | None = None,
-         max_iter: int = 5) -> DataFrame:
+         max_iter: int = 5, bcast_guard: int = 2_000_000) -> DataFrame:
     """HITS hubs & authorities (Kleinberg 1999) over active edges:
     alternating hub = sum of pointed-to authorities, authority = sum of
     incoming hubs. Returns (id, hub, auth) for every vertex, each score
@@ -1044,21 +1044,21 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
     can drift between engines. Scores stay well inside double range for
     any realistic iteration count (growth ~ lambda_max^rounds).
 
-    Scale shape — deliberately DIFFERENT from pagerank above: HITS has no
-    per-round scalar (pagerank's dangling-mass broadcast subquery is what
-    forces its round-by-round checkpoints), so the WHOLE alternating
-    iteration stays one lazy shuffle-join chain against the persisted
-    pre-partitioned edge list, materialized ONCE at the end — 2·k
-    pipelined stages in one materialization instead of 3 jobs per round
-    (sf0.1, warm session: 13 s vs 21 s for the per-round
-    broadcast+checkpoint formulation; the residual local cost is AQE's
-    sequential per-stage re-optimization, which amortizes away on a real
-    cluster where stages carry real work). The same plan is the 100 TB
-    one: per-round state shuffles are |V|-bounded and AQE right-sizes
-    them.
+    Scale shape — two regimes behind ``bcast_guard`` (the pagerank
+    discipline). Below the guard (|V| bounded), the score state is
+    broadcast into each half-round's join against ONE checkpointed edge
+    copy: no edge co-partitioning at all, one |V|-bounded aggregate
+    exchange per half-round, round 1's hub seeded as the out-degree sum
+    (round-10 same-window A/B: 7.46 -> 4.49 s at sf0.1, bit-identical).
+    Past the guard — the 100 TB regime, where |V| dwarfs any broadcast
+    budget — the alternating iteration stays one lazy shuffle-join chain
+    against TWO persisted pre-partitioned edge copies, materialized once
+    at the end: per-round state shuffles are |V|-bounded and AQE
+    right-sizes them (HITS has no per-round scalar, so nothing forces
+    round-by-round checkpoints there).
     Only the two FINAL frames (each read twice: max + output join) are
-    checkpointed. Reference analog: none — the reference exposes
-    traverse/recursive rules but no eigenvector scores; cited as
+    checkpointed in that regime. Reference analog: none — the reference
+    exposes traverse/recursive rules but no eigenvector scores; cited as
     beyond-ref alongside pagerank (SURVEY.md §2.3)."""
     vertices, n_v = _ckpt_n(graph.scan_vertices(columns=["id"])
                             .select("id").dropDuplicates())
@@ -1081,40 +1081,86 @@ def hits(graph: GraphStore, *, edge_type: str | None = None,
     # plus the |V| state shuffle remain (2 per round). Same pre-partition
     # trade pagerank makes; memory holds 2x edges, which on a cluster is
     # storage-tier disk/memory, not driver.
-    pairs = _edge_pairs(graph, edge_type)
-    e_by_dst = pairs.repartition(nparts, F.col("dst")).persist()
-    e_by_src = pairs.repartition(nparts, F.col("src")).persist()
-    auth = vertices.withColumn("score", F.lit(1.0))
-    hub = None
-    def _hub_from(a):
-        return (e_by_dst.join(a, e_by_dst["dst"] == a["id"])
-                .groupBy("src").agg(F.sum("score").alias("score"))
-                .withColumnRenamed("src", "id"))
+    ob_h, ob_a = Observation(), Observation()
+    if n_v <= bcast_guard:
+        # bounded-state regime (same discipline as pagerank's
+        # bcast_guard, measured same-window 7.46 -> 4.49 s at sf0.1,
+        # bit-identical output): the |V|-row score state is BROADCAST to
+        # each half-round's join, so the edge list is never
+        # co-partitioned at all — one checkpointed copy streams map-side
+        # through every half-round and the only exchange per half-round
+        # is the |V|-bounded message aggregate. Round 1's hub is seeded
+        # directly as the out-degree sum (auth_0 = 1.0 everywhere, so
+        # hub_1(src) = sum of 1.0 over src's out-edges — the identical
+        # double), skipping one broadcast join. Past the guard the
+        # co-partitioned formulation below is the one that holds at
+        # 100 TB, where |V| dwarfs any broadcast budget.
+        pairs = (_edge_pairs(graph, edge_type).select("src", "dst")
+                 .localCheckpoint(eager=True))
 
-    def _auth_from(h):
-        return (e_by_src.join(h, e_by_src["src"] == h["id"])
-                .groupBy("dst").agg(F.sum("score").alias("score"))
-                .withColumnRenamed("dst", "id"))
+        def _hub_from(a):
+            return (pairs.join(F.broadcast(a), pairs["dst"] == a["id"])
+                    .groupBy("src").agg(F.sum("score").alias("score"))
+                    .withColumnRenamed("src", "id"))
 
-    try:
-        for _ in range(max_iter - 1):
-            auth = _auth_from(_hub_from(auth))
-        # final round: checkpoint hub FIRST, then derive auth from the
-        # checkpointed hub — deriving both from the lazy chain would
-        # execute the whole chain twice. The normalization constants ride
-        # the two checkpoint materializations as observations (fire on
-        # eager localCheckpoint, same as pagerank's dangling probe):
-        # ZERO extra jobs instead of a separate 2x|V|-scan collect.
-        ob_h, ob_a = Observation(), Observation()
-        hub = (_hub_from(auth)
+        def _auth_from(h):
+            return (pairs.join(F.broadcast(h), pairs["src"] == h["id"])
+                    .groupBy("dst").agg(F.sum("score").alias("score"))
+                    .withColumnRenamed("dst", "id"))
+
+        def _seed_hub():
+            return (pairs.groupBy("src")
+                    .agg(F.sum(F.lit(1.0)).alias("score"))
+                    .withColumnRenamed("src", "id"))
+
+        auth = None
+        for it in range(max_iter - 1):
+            hub = ((_seed_hub() if it == 0 else _hub_from(auth))
+                   .localCheckpoint(eager=True))
+            auth = _auth_from(hub).localCheckpoint(eager=True)
+        # final round (observations ride the checkpoints, as below)
+        hub = ((_seed_hub() if max_iter == 1 else _hub_from(auth))
                .observe(ob_h, F.max("score").alias("m"))
                .localCheckpoint(eager=True))
         auth = (_auth_from(hub)
                 .observe(ob_a, F.max("score").alias("m"))
                 .localCheckpoint(eager=True))
-    finally:
-        e_by_dst.unpersist()
-        e_by_src.unpersist()
+    else:
+        pairs = _edge_pairs(graph, edge_type)
+        e_by_dst = pairs.repartition(nparts, F.col("dst")).persist()
+        e_by_src = pairs.repartition(nparts, F.col("src")).persist()
+        auth = vertices.withColumn("score", F.lit(1.0))
+        hub = None
+
+        def _hub_from(a):
+            return (e_by_dst.join(a, e_by_dst["dst"] == a["id"])
+                    .groupBy("src").agg(F.sum("score").alias("score"))
+                    .withColumnRenamed("src", "id"))
+
+        def _auth_from(h):
+            return (e_by_src.join(h, e_by_src["src"] == h["id"])
+                    .groupBy("dst").agg(F.sum("score").alias("score"))
+                    .withColumnRenamed("dst", "id"))
+
+        try:
+            for _ in range(max_iter - 1):
+                auth = _auth_from(_hub_from(auth))
+            # final round: checkpoint hub FIRST, then derive auth from the
+            # checkpointed hub — deriving both from the lazy chain would
+            # execute the whole chain twice. The normalization constants
+            # ride the two checkpoint materializations as observations
+            # (fire on eager localCheckpoint, same as pagerank's dangling
+            # probe): ZERO extra jobs instead of a separate 2x|V|-scan
+            # collect.
+            hub = (_hub_from(auth)
+                   .observe(ob_h, F.max("score").alias("m"))
+                   .localCheckpoint(eager=True))
+            auth = (_auth_from(hub)
+                    .observe(ob_a, F.max("score").alias("m"))
+                    .localCheckpoint(eager=True))
+        finally:
+            e_by_dst.unpersist()
+            e_by_src.unpersist()
     # an edgeless graph yields empty hub/auth frames -> max over zero
     # rows observes null; a max of 0.0 or null would divide by zero.
     # Normalize by 1.0 then: every vertex gets the correct 0.0 score

@@ -28,7 +28,8 @@ from vivace_graph_v3_spark.pipeline.dedup import md5_hash64
 
 
 def random_walks(graph: GraphStore, *, edge_type: str | None = None,
-                 walk_length: int = 3, walks_per_node: int = 1) -> DataFrame:
+                 walk_length: int = 3, walks_per_node: int = 1,
+                 bcast_guard: int = 2_000_000) -> DataFrame:
     """Generate ``walks_per_node`` walks of up to ``walk_length`` steps
     from every vertex. Returns (walk_id, step, node); a walk that reaches
     a vertex with no outgoing edges terminates early (no further rows).
@@ -38,11 +39,23 @@ def random_walks(graph: GraphStore, *, edge_type: str | None = None,
     # (src, dst) total order), but each walk step is then a single join of
     # the cursor against this table instead of two (degree pick + neighbor
     # pick) — half the per-step shuffles and checkpoint-bounded lineage
+    from vivace_graph_v3_spark.util import checkpoint_counted
+
     edges = _edge_pairs(graph, edge_type).dropDuplicates(["src", "dst"])
-    nbr = (edges.groupBy("src")
-           .agg(F.sort_array(F.collect_list("dst")).alias("__nbrs"),
-                F.count(F.lit(1)).alias("deg"))
-           .localCheckpoint(eager=True))
+    nbr, n_nbr = checkpoint_counted(
+        edges.groupBy("src")
+        .agg(F.sort_array(F.collect_list("dst")).alias("__nbrs"),
+             F.count(F.lit(1)).alias("deg")))
+    # bounded neighbor table (the pagerank bcast_guard discipline): ship
+    # it broadcast into every step's join and leave the step chain LAZY —
+    # the whole walk corpus is then ONE map-only job (each union arm
+    # replays its prefix of broadcast joins over the small cursor frame;
+    # the broadcast itself is built once and ReusedExchange'd). Measured
+    # same-window at sf0.1: 4.08 -> 3.03 s, identical rows. Past the
+    # guard the per-step checkpointed equi-join below is the shape that
+    # holds at 100 TB (the neighbor table is O(|V|) and never fits a
+    # broadcast there).
+    bcast = n_nbr <= bcast_guard
 
     starts = (graph.scan_vertices(columns=["id"]).select("id")
               .dropDuplicates()
@@ -53,18 +66,20 @@ def random_walks(graph: GraphStore, *, edge_type: str | None = None,
                                F.col("wk").cast("string")).alias("walk_id"),
                       F.col("node")))
     out = starts.withColumn("step", F.lit(0))
-    cur = starts.localCheckpoint(eager=True)
+    cur = starts if bcast else starts.localCheckpoint(eager=True)
     for step in range(walk_length):
         key = F.concat(F.col("walk_id"), F.lit(f"|{step}|"), F.col("node"))
         # one equi-join per step; the deterministic index picks the
         # neighbor out of the sorted array — never a degree fan-out
-        nxt = (cur.join(nbr, cur["node"] == nbr["src"])
+        nxt = (cur.join(F.broadcast(nbr) if bcast else nbr,
+                        cur["node"] == nbr["src"])
                .select("walk_id",
                        F.element_at(
                            "__nbrs",
                            (F.pmod(md5_hash64(key), F.col("deg")) + 1)
-                           .cast("int")).alias("node"))
-               .localCheckpoint(eager=True))
+                           .cast("int")).alias("node")))
+        if not bcast:
+            nxt = nxt.localCheckpoint(eager=True)
         out = out.unionByName(nxt.withColumn("step", F.lit(step + 1)))
         cur = nxt
     return out.select("walk_id", "step", "node")
