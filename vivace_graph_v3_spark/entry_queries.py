@@ -1181,8 +1181,12 @@ def q_dedup_embedding_recall(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     blocked = (embedding_dup_pairs(emb, threshold=0.5, block_bits=8,
                                    bands=16).select("id_a", "id_b"))
-    exact = embedding_dup_pairs(emb, threshold=0.5, block_bits=0) \
-        .select("id_a", "id_b")
+    # the exact all-pairs ground truth (the entry's dominant cost) feeds
+    # TWO consumers (its count + the recall semi-join); Spark does not
+    # reuse subplans across join arms, so without the checkpoint it
+    # executed twice (guide §5). Pair list is dup-bounded.
+    exact = (embedding_dup_pairs(emb, threshold=0.5, block_bits=0)
+             .select("id_a", "id_b").localCheckpoint(eager=True))
     hits = exact.join(blocked, ["id_a", "id_b"], "left_semi")
     # n_exact = 0 (no over-threshold pair exists, e.g. the sf0.001 smoke
     # fixture): recall is vacuously full — guard the integer div, which
@@ -1248,8 +1252,11 @@ def _ann_recall_row(spark, sf_dir, ann_df):
     result against the exact brute-force top-5 for queries vec_id < 10."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
-    exact = cosine_topk_bruteforce(emb, queries, k=5) \
-        .select("query_id", "neighbor_id")
+    # exact feeds its count AND the semi-join: checkpoint once instead of
+    # running the brute-force scan twice (no subplan reuse across arms)
+    exact = (cosine_topk_bruteforce(emb, queries, k=5)
+             .select("query_id", "neighbor_id")
+             .localCheckpoint(eager=True))
     hits = exact.join(ann_df.select("query_id", "neighbor_id"),
                       ["query_id", "neighbor_id"], "left_semi")
     return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -3074,8 +3081,12 @@ def q_corpus_curation(spark, sf_dir):
                                 n=5, min_common=3)
             .select(F.col("id").alias("doc_id")))
     clean = kept.join(cont, "doc_id", "left_anti")
+    # the curated corpus feeds TWO consumers (doc/token stats + chunk
+    # count); without the checkpoint the whole dedup+decontaminate+mix
+    # pipeline executed twice (no subplan reuse across join arms, §5)
     mixed = training_mix(clean, {"src0": 1.0, "src1": 1.0, "src2": 0.5,
-                                 "src3": 0.5, "src4": 0.25, "src5": 0.25})
+                                 "src3": 0.5, "src4": 0.25, "src5": 0.25}
+                         ).localCheckpoint(eager=True)
     chunks = chunk_tokens(mixed, chunk_size=32, stride=24)
     stats = (with_token_count(mixed, bpe_col=None)
              .agg(F.count(F.lit(1)).alias("n_docs"),
@@ -5938,10 +5949,14 @@ def q_dedup_agreement(spark, sf_dir):
         minhash_dedup_pairs, simhash_dup_pairs)
 
     docs = _docs(spark, sf_dir).select("doc_id", "text")
+    # each pair list feeds TWO consumers (its count + the overlap
+    # semi-join) and Spark does not reuse subplans across join arms —
+    # without the checkpoints both full dedup pipelines executed twice
+    # (guide §5; the k-truss union lesson). Pair lists are dup-bounded.
     jac = (minhash_dedup_pairs(docs, threshold=0.5)
-           .select("id_a", "id_b"))
+           .select("id_a", "id_b").localCheckpoint(eager=True))
     sim = (simhash_dup_pairs(docs, max_hamming=10, token_hash="md5")
-           .select("id_a", "id_b"))
+           .select("id_a", "id_b").localCheckpoint(eager=True))
     both = jac.join(sim, ["id_a", "id_b"], "left_semi")
     return (jac.agg(F.count(F.lit(1)).alias("n_jaccard"))
             .crossJoin(sim.agg(F.count(F.lit(1)).alias("n_simhash")))
