@@ -76,3 +76,29 @@ def test_bfs_paths(tpch):
         else:
             assert r["path"][0] == "region:0" and r["path"][-1] == r["id"]
             assert len(r["path"]) == 2
+
+
+def test_typed_arm_pruning_differential(tpch):
+    """Typed-arm pruning (r10): traverse over the F6 graph (endpoint types
+    declared -> arms pruned per round) must produce EXACTLY the rows of the
+    same traversal with the metadata stripped (every arm scanned, the
+    pre-pruning path)."""
+    stripped = dict(tpch._edge_endpoints)
+    try:
+        tpch._edge_endpoints = {}
+        want = {tuple(r) for r in
+                traverse(tpch, ["region:0"], direction="in",
+                         max_depth=2).collect()}
+        want_both = {tuple(r) for r in
+                     traverse(tpch, ["nation:3"], direction="both",
+                              max_depth=2).collect()}
+    finally:
+        tpch._edge_endpoints = stripped
+    got = {tuple(r) for r in
+           traverse(tpch, ["region:0"], direction="in",
+                    max_depth=2).collect()}
+    got_both = {tuple(r) for r in
+                traverse(tpch, ["nation:3"], direction="both",
+                         max_depth=2).collect()}
+    assert got == want
+    assert got_both == want_both

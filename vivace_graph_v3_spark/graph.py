@@ -49,6 +49,7 @@ class GraphStore:
         self.has_tombstones = has_tombstones
         self._vertices: dict[str, DataFrame] = {}
         self._edges: dict[str, DataFrame] = {}
+        self._edge_endpoints: dict[str, tuple[str | None, str | None]] = {}
 
     # -- registration -------------------------------------------------------
 
@@ -56,9 +57,23 @@ class GraphStore:
         self.registry.get(type_name)
         self._vertices[type_name] = df
 
-    def add_edges(self, type_name: str, df: DataFrame) -> None:
+    def add_edges(self, type_name: str, df: DataFrame, *,
+                  src_type: str | None = None,
+                  dst_type: str | None = None) -> None:
+        """Register an edge table. ``src_type``/``dst_type`` optionally
+        declare the endpoint VERTEX types of every edge in the table (a
+        homogeneous arm, like a foreign key). Declaring them asserts the
+        engine's ``"<type>:<key>"`` vertex-id convention for this arm and
+        lets traversals prune whole arms whose from-side type cannot occur
+        in the current frontier — entire source scans are skipped, the
+        graph analog of partition pruning. Leave None for heterogeneous or
+        untyped arms; they are then always scanned."""
         self.registry.get(type_name)
         self._edges[type_name] = df
+        self._edge_endpoints[type_name] = (src_type, dst_type)
+
+    def edge_endpoints(self, type_name: str) -> tuple[str | None, str | None]:
+        return self._edge_endpoints.get(type_name, (None, None))
 
     def vertex_types(self) -> list[str]:
         return sorted(self._vertices)
@@ -89,18 +104,22 @@ class GraphStore:
             raise KeyError(f"no vertex tables for type {type_name!r}")
         return self._union(self._vertices, names, include_deleted, columns)
 
-    def scan_edges(self, type_name: str | None = None, *,
+    def scan_edges(self, type_name: str | list[str] | None = None, *,
                    include_deleted: bool = False,
                    columns: list[str] | None = None) -> DataFrame:
         """Raw edge scan by type (type-index path of map-edges,
-        edge.lisp:305-441); endpoint liveness is :meth:`active_edges`."""
-        names = [type_name] if type_name else self.edge_types()
+        edge.lisp:305-441); endpoint liveness is :meth:`active_edges`.
+        ``type_name`` may be a list to scan an arm subset in one union."""
+        if isinstance(type_name, (list, tuple)):
+            names = list(type_name)
+        else:
+            names = [type_name] if type_name else self.edge_types()
         missing = [n for n in names if n not in self._edges]
         if missing:
             raise KeyError(f"no edge tables for types {missing}")
         return self._union(self._edges, names, include_deleted, columns)
 
-    def active_edges(self, type_name: str | None = None, *,
+    def active_edges(self, type_name: str | list[str] | None = None, *,
                      columns: list[str] | None = None) -> DataFrame:
         """Edges passing ``active-edge-p`` (edge.lisp:275-284): the edge and
         both endpoints are live. Implemented as two semi-joins against the
@@ -275,25 +294,30 @@ def load_tpch_graph(spark: SparkSession, sf_dir: str) -> GraphStore:
 
     g.add_edges("in_nation", _edge(
         raw["customer"], "in_nation", F.col("c_custkey"),
-        vid("customer", F.col("c_custkey")), vid("nation", F.col("c_nationkey"))))
+        vid("customer", F.col("c_custkey")), vid("nation", F.col("c_nationkey"))),
+        src_type="customer", dst_type="nation")
     g.add_edges("supp_nation", _edge(
         raw["supplier"], "supp_nation", F.col("s_suppkey"),
-        vid("supplier", F.col("s_suppkey")), vid("nation", F.col("s_nationkey"))))
+        vid("supplier", F.col("s_suppkey")), vid("nation", F.col("s_nationkey"))),
+        src_type="supplier", dst_type="nation")
     g.add_edges("in_region", _edge(
         raw["nation"], "in_region", F.col("n_nationkey"),
-        vid("nation", F.col("n_nationkey")), vid("region", F.col("n_regionkey"))))
+        vid("nation", F.col("n_nationkey")), vid("region", F.col("n_regionkey"))),
+        src_type="nation", dst_type="region")
     g.add_edges("placed", _edge(
         raw["orders"], "placed", F.col("o_orderkey"),
-        vid("customer", F.col("o_custkey")), vid("orders", F.col("o_orderkey"))))
+        vid("customer", F.col("o_custkey")), vid("orders", F.col("o_orderkey"))),
+        src_type="customer", dst_type="orders")
     li_eid = F.concat(F.col("l_orderkey").cast("string"), F.lit("_"),
                       F.col("l_linenumber").cast("string"), F.lit("_"),
                       F.col("__dup_rn").cast("string"))
     g.add_edges("contains", _edge(
         lineitem, "contains", li_eid,
         vid("orders", F.col("l_orderkey")), vid("part", F.col("l_partkey")),
-        weight=F.col("l_quantity")))
+        weight=F.col("l_quantity")), src_type="orders", dst_type="part")
     g.add_edges("supplied_by", _edge(
         lineitem, "supplied_by", li_eid,
-        vid("orders", F.col("l_orderkey")), vid("supplier", F.col("l_suppkey"))))
+        vid("orders", F.col("l_orderkey")), vid("supplier", F.col("l_suppkey"))),
+        src_type="orders", dst_type="supplier")
     _TPCH_GRAPH_CACHE[key] = g
     return g

@@ -35,15 +35,53 @@ def traverse(graph: GraphStore, roots, *, direction: str = "out",
     if direction not in ("in", "out", "both"):
         raise ValueError(f"direction must be in/out/both, got {direction!r}")
 
-    edges = graph.active_edges(edge_type, columns=["src", "dst"])
-    hops = []
-    if direction in ("out", "both"):
-        hops.append(edges.select(F.col("src").alias("from_id"),
-                                 F.col("dst").alias("to_id")))
-    if direction in ("in", "both"):
-        hops.append(edges.select(F.col("dst").alias("from_id"),
-                                 F.col("src").alias("to_id")))
-    hop = hops[0] if len(hops) == 1 else hops[0].unionByName(hops[1])
+    from pyspark.sql import Observation
+
+    arm_names = [edge_type] if edge_type else graph.edge_types()
+    endpoints = {n: graph.edge_endpoints(n) for n in arm_names}
+    # Typed-arm pruning (the graph analog of partition pruning): when an
+    # arm declares its endpoint vertex types (add_edges src_type/dst_type,
+    # which asserts the "<type>:<key>" id convention), a round whose
+    # frontier contains no vertex of the arm's from-side type can skip
+    # that arm's SOURCE SCAN entirely — the join could never match it.
+    # Frontier types ride the frontier checkpoint as an observation (zero
+    # extra jobs); arms without metadata are always scanned, so untyped
+    # graphs take the exact pre-pruning path.
+    prunable = any(
+        (st is not None) if direction == "out"
+        else (dt is not None) if direction == "in"
+        else (st is not None or dt is not None)
+        for st, dt in endpoints.values())
+
+    def arm_df(n, a, b):
+        df = (graph.active_edges(n, columns=["src", "dst"])
+              .select(F.col(a).alias("from_id"), F.col(b).alias("to_id")))
+        if persist_hop:  # deep traversal: each used arm scanned once
+            key = (n, a)
+            if key not in _arm_cache:
+                _arm_cache[key] = df.persist()
+            df = _arm_cache[key]
+        return df
+
+    def hop_for(ftypes):
+        """Union of hop arms that can extend a frontier whose vertex types
+        are ``ftypes`` (None = unknown -> all arms)."""
+        arms = []
+        for n in arm_names:
+            st, dt = endpoints[n]
+            if direction in ("out", "both") and (
+                    ftypes is None or st is None or st in ftypes):
+                arms.append((n, "src", "dst"))
+            if direction in ("in", "both") and (
+                    ftypes is None or dt is None or dt in ftypes):
+                arms.append((n, "dst", "src"))
+        hops = [arm_df(n, a, b) for n, a, b in arms]
+        if not hops:
+            return None
+        hop = hops[0]
+        for h in hops[1:]:
+            hop = hop.unionByName(h)
+        return hop
 
     if isinstance(roots, DataFrame):
         frontier = roots.select("id").dropDuplicates()
@@ -60,10 +98,11 @@ def traverse(graph: GraphStore, roots, *, direction: str = "out",
     # depth-2 cold 5.7 s persisted vs 2.4 s streamed; warm 1.8 vs 1.6) —
     # and at 100 TB the edge relation never fits a cache anyway: each
     # round's broadcast-frontier join streams the (bucketed, column-
-    # pruned) edge scan, which is the scale-correct shape.
+    # pruned) edge scan, which is the scale-correct shape. With typed-arm
+    # pruning the hop union changes per round, so the cache is per-ARM.
     persist_hop = max_depth > 3
-    if persist_hop:
-        hop = hop.persist()
+    _arm_cache: dict = {}
+    hop_static = None if prunable else hop_for(None)
     # BFS frontiers are usually tiny relative to the edge relation: broadcast
     # them (and the visited set) so each round is a broadcast-hash join that
     # streams edges with NO shuffle. Guarded by row count — a frontier that
@@ -71,11 +110,26 @@ def traverse(graph: GraphStore, roots, *, direction: str = "out",
     # trade at that size.
     broadcast_max = 2_000_000
 
-    frontier = frontier.localCheckpoint(eager=True)
-    frontier_n = visited_n = frontier.count()
+    def ckpt_counted_typed(df):
+        """Eager checkpoint; row count (and frontier type set, when arms
+        are prunable) observed on the materialization — one job."""
+        ob = Observation()
+        metrics = [F.count(F.lit(1)).alias("n")]
+        if prunable:
+            metrics.append(F.collect_set(
+                F.substring_index(F.col("id"), ":", 1)).alias("t"))
+        df = df.observe(ob, *metrics).localCheckpoint(eager=True)
+        got = ob.get
+        return df, got["n"], (set(got["t"]) if prunable else None)
+
+    frontier, frontier_n, ftypes = ckpt_counted_typed(frontier)
+    visited_n = frontier_n
     result = frontier
     try:
         for depth in range(1, max_depth + 1):
+            hop = hop_static if hop_static is not None else hop_for(ftypes)
+            if hop is None:
+                break  # no arm can extend this frontier
             f = F.broadcast(frontier) if frontier_n <= broadcast_max else frontier
             nxt = (f.join(hop, f["id"] == hop["from_id"])
                    .select(F.col("to_id").alias("id"),
@@ -98,14 +152,13 @@ def traverse(graph: GraphStore, roots, *, direction: str = "out",
             # materialize each frontier exactly once: it feeds three consumers
             # (emptiness check, result union, next round's join) and this also
             # truncates lineage so deep traversals keep bounded plans
-            nxt = nxt.localCheckpoint(eager=True)
-            frontier_n = nxt.count()
+            nxt, frontier_n, ftypes = ckpt_counted_typed(nxt)
             if frontier_n == 0:
                 break
             visited_n += frontier_n
             result = result.unionByName(nxt)
             frontier = nxt
     finally:
-        if persist_hop:
-            hop.unpersist()
+        for cached in _arm_cache.values():
+            cached.unpersist()
     return result
