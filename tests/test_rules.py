@@ -179,3 +179,18 @@ def test_cut_fail_idiom_fails_predicate(chain_graph):
              [("is-a", "?x", "node"), ("=", "?y", "?x")])
     df = B.select(chain_graph, ["?x", "?y"], [("blocked", "?x", "?y")])
     assert df.count() == 0
+
+
+def test_broadcast_guard_differential(chain_graph):
+    """r10 bounded-relation regime: the broadcast-hinted semi-naive joins
+    (guard on) must produce the identical relation as the shuffle-join
+    regime (guard 0 — the 100 TB shape)."""
+    def_rule("reach", ["?x", "?y"],
+             [("next", "?x", "?y")],
+             [("next", "?x", "?z"), ("reach", "?z", "?y")])
+    on = {tuple(r) for r in
+          RuleEvaluator(chain_graph).relation("reach").collect()}
+    off = {tuple(r) for r in
+           RuleEvaluator(chain_graph, broadcast_guard=0)
+           .relation("reach").collect()}
+    assert on == off and on

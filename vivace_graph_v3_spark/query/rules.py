@@ -138,11 +138,23 @@ class RuleEvaluator:
     """Evaluates rule relations over one graph, memoizing solved relations."""
 
     def __init__(self, graph: GraphStore, *, max_iterations: int = 64,
-                 select_opts: dict | None = None) -> None:
+                 select_opts: dict | None = None,
+                 broadcast_guard: int = 2_000_000) -> None:
         self.graph = graph
         self.max_iterations = max_iterations
         self.select_opts = select_opts or {}
         self._solved: dict[str, DataFrame] = {}
+        # bounded-relation regime (the pagerank/HITS bcast_guard
+        # discipline): delta/total relations whose EXACT row count (known
+        # for free — counts ride the delta checkpoints as observations) is
+        # under the guard are broadcast into the semi-naive joins and the
+        # freshness anti-join, so an iteration is map-side work plus the
+        # one candidate-dedup exchange. Checkpointed scans have no
+        # catalyst stats, so without the hint every iteration shuffles
+        # BOTH sides of both joins. Past the guard — the 100 TB regime —
+        # the shuffle joins below are unchanged. 0 disables (differential
+        # tests pin the two regimes against each other).
+        self.broadcast_guard = broadcast_guard
 
     def relation(self, name: str) -> DataFrame:
         """The full relation of a rule, columns ``__a0..__a{k-1}``."""
@@ -184,15 +196,19 @@ class RuleEvaluator:
 
     def _solve_scc(self, scc: set[str]) -> None:
         arms: dict[str, list[DataFrame]] = {}
+        arm_rows: dict[str, int] = {}
         deltas: dict[str, DataFrame] = {}
+        delta_rows: dict[str, int] = {}
         for n in scc:
             rule = _RULES[n]
             base = [b for b in rule.clauses if not (_referenced_rules(b) & scc)]
             df = self._union([self._eval_clause(rule, b, {}, {}) for b in base],
                              arity=rule.arity)
-            df = df.dropDuplicates().localCheckpoint(eager=True)
+            df, n_base = checkpoint_counted(df.dropDuplicates())
             arms[n] = [df]
+            arm_rows[n] = n_base  # arms are disjoint: the sum IS the total
             deltas[n] = df
+            delta_rows[n] = n_base
 
         def totals_view() -> dict[str, DataFrame]:
             return {n: self._union(a) for n, a in arms.items()}
@@ -215,14 +231,18 @@ class RuleEvaluator:
                     # occurrence sees delta, the others see total
                     for i in range(occs):
                         frames.append(self._eval_clause(
-                            rule, body, totals, deltas, delta_occurrence=i))
+                            rule, body, totals, deltas, delta_occurrence=i,
+                            totals_rows=arm_rows, deltas_rows=delta_rows))
                 if not frames:
                     new_deltas[n] = self._empty(rule.arity)
                     new_counts[n] = 0
                     continue
                 cand = self._union(frames, arity=rule.arity).dropDuplicates()
+                tot = totals[n]
+                if self.broadcast_guard and arm_rows[n] <= self.broadcast_guard:
+                    tot = F.broadcast(tot)
                 fresh, n_fresh = checkpoint_counted(
-                    cand.join(totals[n], on=list(cand.columns),
+                    cand.join(tot, on=list(cand.columns),
                               how="left_anti"))
                 new_deltas[n] = fresh
                 new_counts[n] = n_fresh
@@ -233,10 +253,12 @@ class RuleEvaluator:
             for n in scc:
                 if new_counts[n]:
                     arms[n].append(new_deltas[n])
+                    arm_rows[n] += new_counts[n]  # disjoint by construction
                     if len(arms[n]) >= self._TOTAL_COLLAPSE_ARMS:
                         arms[n] = [self._union(arms[n])
                                    .localCheckpoint(eager=True)]
                 deltas[n] = new_deltas[n]
+                delta_rows[n] = new_counts[n]
         raise BudgetExceeded(
             f"rule fixpoint for {sorted(scc)} exceeded "
             f"{self.max_iterations} iterations")
@@ -246,7 +268,9 @@ class RuleEvaluator:
     def _eval_clause(self, rule: Rule, body: list[tuple],
                      totals: dict[str, DataFrame], deltas: dict[str, DataFrame],
                      delta_occurrence: int | None = None,
-                     cut_commits: list | None = None) -> DataFrame:
+                     cut_commits: list | None = None,
+                     totals_rows: dict[str, int] | None = None,
+                     deltas_rows: dict[str, int] | None = None) -> DataFrame:
         sel = Select(self.graph, rule.head, [], **self.select_opts)
         plan = Plan()
         occ = 0
@@ -274,7 +298,19 @@ class RuleEvaluator:
                     plan = Plan(committed)
                 continue
             if head in totals or head in deltas:
-                rel = (deltas if occ == delta_occurrence else totals)[head]
+                use_delta = occ == delta_occurrence
+                rel = (deltas if use_delta else totals)[head]
+                # bounded-relation broadcast: exact counts are known from
+                # the delta-checkpoint observations; joining a bounded
+                # delta/total in map-side keeps the iteration's only
+                # exchange the candidate dedup (checkpointed scans carry
+                # no stats, so the planner can't pick this by itself)
+                rows = ((deltas_rows if use_delta else totals_rows)
+                        or {}).get(head)
+                if (plan.df is not None and rows is not None
+                        and self.broadcast_guard
+                        and rows <= self.broadcast_guard):
+                    rel = F.broadcast(rel)
                 plan = self._merge_rule_goal(plan, rel, goal[1:])
                 occ += 1
             elif head in _RULES and head not in totals:
