@@ -1062,7 +1062,13 @@ def minhash_signatures_md5(df: DataFrame, *, text_col: str = "text",
     Returns (id, n_shingles, sig array<long>[num_hashes]); documents with
     zero shingles are dropped (no meaningful signature)."""
     sh = shingle_strings(F.col(text_col), n=shingle)
-    base = (df.filter(has_min_tokens(F.col(text_col), shingle))
+    # spread the scan first: the k x |shingles| md5 fold is the dominant
+    # cost and the nested transform is interpreted (CodegenFallback) — on
+    # a single-file corpus it otherwise runs inside ONE task (measured
+    # sf0.1: 12.6 s serial vs 1.8 s spread). Row-wise map, so values are
+    # identical; ensure_parallelism is a no-op at scale.
+    base = (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), shingle))
             .select(F.col(id_col).alias("id"), sh.alias("sh")))
     sig = F.transform(
         F.sequence(F.lit(0), F.lit(num_hashes - 1)),
@@ -1119,8 +1125,12 @@ def minhash_estimate_audit(df: DataFrame, *, text_col: str = "text",
     pairs = (pairs.withColumn(
         "exact_ppm", F.expr("inter * 1000000L div (sz_a + sz_b - inter)"))
         .filter(F.col("exact_ppm") >= int(min_exact_ppm)))
+    # the signature frame feeds BOTH join arms (sa, sb) and Spark does
+    # not reuse subplans across arms — without the checkpoint the full
+    # k x |shingles| md5 fold executed twice
     sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
-                                  num_hashes=num_hashes, shingle=shingle)
+                                  num_hashes=num_hashes, shingle=shingle) \
+        .localCheckpoint(eager=True)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (pairs.join(sa, "id_a").join(sb, "id_b")
@@ -1160,7 +1170,10 @@ def lsh_band_tuning(df: DataFrame, *, text_col: str = "text",
     precision_ppm, recall_ppm)."""
     t = true_threshold_ppm / 1e6
     sh = shingle_strings(F.col(text_col), n=shingle)
-    base = (df.filter(has_min_tokens(F.col(text_col), shingle))
+    # spread before the per-doc shingle work for the same single-file
+    # reason as minhash_signatures_md5 (row-wise, values identical)
+    base = (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), shingle))
             .select(F.col(id_col).alias("id"), sh.alias("sh"))
             .withColumn("sz", F.size("sh")).persist())
     sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
