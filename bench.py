@@ -290,7 +290,11 @@ def main() -> int:
 
     timings = {k: round(statistics.median(v), 3) for k, v in samples.items()}
     spread = {k: round(max(v) - min(v), 3) for k, v in samples.items()}
-    total = round(sum(timings.values()), 3)
+    # the suite total stays the sum of the SAME entries every prior round
+    # summed — scale_probe is a scaling diagnostic ADDED to the queries
+    # dict this round (additive rows are allowed), and counting it in the
+    # headline would self-inflict ~1.3 s vs the round-9 total
+    total = round(sum(v for k, v in timings.items() if k != "scale_probe"), 3)
 
     sf = SF_DIR.rstrip("/").split("sf")[-1]
     try:

@@ -78,3 +78,14 @@ def test_cal_drift_annotation():
     line = bench.final_json_line(99999.99, timings, 0.1, 99.99, 1.0)
     assert json.loads(line)["drift"] == 1
     assert len(line) < 1950
+
+
+def test_suite_total_excludes_scale_probe():
+    """The headline total must sum the SAME entries every prior round
+    summed — scale_probe is an additive diagnostic row, not suite work."""
+    import statistics as st  # noqa: F401  (parity with bench's import)
+    timings = {k: 1.0 for k in bench.BENCH_QUERIES + EXTRA_KEYS}
+    expected = float(len(bench.BENCH_QUERIES) + len(MVCC_KEYS))
+    # replicate bench's total expression
+    total = round(sum(v for k, v in timings.items() if k != "scale_probe"), 3)
+    assert total == expected
