@@ -1893,3 +1893,66 @@ def test_rank_biased_overlap_boundary_values(spark):
     one = rank_biased_overlap(a, top1).collect()[0]
     assert one["overlap_at_depth"] == 1
     assert one["rbo_scaled"] == 5932493265528  # suffix weight of rank 1
+
+
+def test_md5_minhash_agg_bit_identical(spark, docs):
+    """The codegen explode + min-aggregate md5 MinHash (r10) must equal
+    the spec BIT-FOR-BIT — per position i, the min over the document's
+    distinct shingles of md5_hash64(s || '#' || i), n_shingles == the
+    distinct-shingle count — checked against an independent pure-Python
+    hashlib reference (signed big-endian first 8 md5 bytes == Spark's
+    (conv(hi,16,10) << 32) | conv(lo,16,10))."""
+    import hashlib
+    import struct
+
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        has_min_tokens, minhash_signatures_md5, shingle_strings)
+
+    sample = docs.limit(40)
+    ref_rows = (sample.filter(has_min_tokens(F.col("text"), 3))
+                .select("doc_id",
+                        shingle_strings(F.col("text"), 3).alias("sh"))
+                .collect())
+    assert ref_rows
+
+    def h64(s: str) -> int:
+        return struct.unpack(
+            ">q", hashlib.md5(s.encode("utf-8")).digest()[:8])[0]
+
+    want = {}
+    for r in ref_rows:
+        sh = list(r["sh"])
+        want[r["doc_id"]] = (len(sh), tuple(
+            min(h64(f"{s}#{i}") for s in sh) for i in range(16)))
+    got = {r["id"]: (r["n_shingles"], tuple(r["sig"]))
+           for r in minhash_signatures_md5(sample, num_hashes=16).collect()}
+    assert got == want
+
+
+def test_shingle_pair_candidates_exact_and_schema(spark, docs):
+    """_shingle_pair_candidates (r10: checkpointed base, sizes in the
+    group keys) must still produce the exact inverted-index pair table —
+    every doc pair sharing >= 1 shingle with exact intersection and set
+    sizes — and keep sz_a/sz_b nullable in the schema (they were
+    first()-aggregated before; the oracle pins schemas)."""
+    from vivace_graph_v3_spark.pipeline.dedup import (
+        _shingle_pair_candidates, has_min_tokens, shingle_strings)
+
+    sample = docs.limit(60)
+    ref = {r["doc_id"]: set(r["sh"]) for r in
+           (sample.filter(has_min_tokens(F.col("text"), 3))
+            .select("doc_id", shingle_strings(F.col("text"), 3).alias("sh"))
+            .collect())}
+    ids = sorted(ref)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(ref[a] & ref[b])
+            if inter:
+                want.add((a, b, inter, len(ref[a]), len(ref[b])))
+    out = _shingle_pair_candidates(sample)
+    got = {(r["id_a"], r["id_b"], r["inter"], r["sz_a"], r["sz_b"])
+           for r in out.collect()}
+    assert got == want and want
+    fields = {f.name: f for f in out.schema.fields}
+    assert fields["sz_a"].nullable and fields["sz_b"].nullable

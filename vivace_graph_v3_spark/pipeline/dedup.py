@@ -129,12 +129,10 @@ def ngram_jaccard_pairs(df: DataFrame, *, text_col: str = "text",
     """All pairs (a < b) with Jaccard(shingles_a, shingles_b) >= threshold,
     via an inverted index: explode shingles, self-join on shingle, count
     common, |A∪B| = |A|+|B|-common. Exact; intended for candidate sets or
-    blocked inputs (at raw 100 TB use minhash_dedup_pairs instead)."""
-    base = (ensure_parallelism(df)
-            .filter(has_min_tokens(F.col(text_col), n))
-            .select(F.col(id_col).alias("id"),
-                    shingle_hashes(F.col(text_col), n).alias("sh")))
-    base = base.withColumn("sz", F.size("sh"))
+    blocked inputs (at raw 100 TB use minhash_dedup_pairs instead). The
+    shingle base is checkpointed so the self-join's two arms share one
+    shingle build (see _shingle_base)."""
+    base = _shingle_base(df, text_col=text_col, id_col=id_col, n=n)
     inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
     common = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
@@ -981,12 +979,10 @@ def duplicate_span_stats(df: DataFrame, *, text_col: str = "text",
     Because shingles are distinct per document (shingle_hashes
     dedupes), the shingle count per key IS the document frequency; a
     shingle shared by k docs costs k join rows, bounded by the
-    duplication it measures."""
-    base = (ensure_parallelism(df)
-            .filter(has_min_tokens(F.col(text_col), n))
-            .select(F.col(id_col).alias("id"),
-                    shingle_hashes(F.col(text_col), n).alias("sh"))
-            .withColumn("sz", F.size("sh")))
+    duplication it measures. The shingle base is checkpointed: the
+    exploded frame feeds BOTH the frequency aggregate and the join back
+    (see _shingle_base)."""
+    base = _shingle_base(df, text_col=text_col, id_col=id_col, n=n)
     inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
     dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     per_doc = (inv.join(dfreq, "shingle")
@@ -1048,6 +1044,50 @@ def dedup_sampling_weights(df: DataFrame, *, text_col: str = "text",
                            " div (cluster_size * 2)").alias("weight_ppm")))
 
 
+def _shingle_base(df: DataFrame, *, text_col: str, id_col: str, n: int,
+                  strings: bool = False) -> DataFrame:
+    """(id, sh, sz) with the shingle array MATERIALIZED (localCheckpoint,
+    eager) — the shared input frame for every shingle consumer below.
+
+    Why eager: each consumer explodes ``sh`` and/or feeds it to 2+ join
+    arms. Left lazy, (a) the optimizer infers ``size(sh) > 0`` from the
+    explode and sinks it below the ensure_parallelism exchange, so the
+    whole interpreted shingle tree is evaluated inside the (often
+    single-task) scan stage — the exact trap ``has_min_tokens`` exists to
+    dodge — and (b) a self-join rebuilds the subtree once per arm (Spark
+    has no subplan reuse across arms). One checkpoint = one parallel
+    shingle build total (guide §5); the frame is O(corpus shingles), the
+    same footprint any single consumer materializes anyway."""
+    sh = (shingle_strings(F.col(text_col), n=n) if strings
+          else shingle_hashes(F.col(text_col), n))
+    return (ensure_parallelism(df)
+            .filter(has_min_tokens(F.col(text_col), n))
+            .select(F.col(id_col).alias("id"), sh.alias("sh"))
+            .withColumn("sz", F.size("sh"))
+            .localCheckpoint(eager=True))
+
+
+def _minhash_md5_sigs(base: DataFrame, num_hashes: int) -> DataFrame:
+    """md5 MinHash signatures from a ``_shingle_base(strings=True)``
+    frame, as whole-stage-codegen expressions: explode the shingles and
+    min-aggregate ``num_hashes`` md5 permutation columns per document —
+    the codegen replacement for the interpreted nested-``transform`` fold
+    (CodegenFallback, guide §4.2/§4.4). Values are bit-identical: per
+    position i, min over the document's distinct shingles of
+    md5_hash64(s || '#' || i) either way; n_shingles == size(sh) because
+    shingles are per-doc distinct and the base filter guarantees >= 1.
+    Returns (id, n_shingles, sig array<long>[num_hashes])."""
+    inv = base.select("id", F.explode("sh").alias("shingle"))
+    mins = [F.min(md5_hash64(F.concat_ws("#", F.col("shingle"),
+                                         F.lit(str(i))))).alias(f"__h{i}")
+            for i in range(num_hashes)]
+    return (inv.groupBy("id")
+            .agg(F.count(F.lit(1)).cast("int").alias("n_shingles"), *mins)
+            .select("id", "n_shingles",
+                    F.array(*[f"__h{i}" for i in range(num_hashes)])
+                    .alias("sig")))
+
+
 def minhash_signatures_md5(df: DataFrame, *, text_col: str = "text",
                            id_col: str = "doc_id", num_hashes: int = 16,
                            shingle: int = 3) -> DataFrame:
@@ -1056,53 +1096,47 @@ def minhash_signatures_md5(df: DataFrame, *, text_col: str = "text",
     distinct word-shingle STRINGS (shingle_strings), min-reduced per
     position — the cross-engine sibling of :func:`minhash_signatures`
     (whose seeded xxhash64 has no DuckDB twin). k x |shingles| md5 calls
-    per document, all whole-stage codegen; use for oracle-checked audits,
-    keep the xxhash64 path for production throughput.
+    per document, all whole-stage codegen (one checkpointed shingle
+    build + explode + min-aggregate; the nested-transform fold this
+    replaces was interpreted); use for oracle-checked audits, keep the
+    xxhash64 path for production throughput.
 
     Returns (id, n_shingles, sig array<long>[num_hashes]); documents with
-    zero shingles are dropped (no meaningful signature)."""
-    sh = shingle_strings(F.col(text_col), n=shingle)
-    # spread the scan first: the k x |shingles| md5 fold is the dominant
-    # cost and the nested transform is interpreted (CodegenFallback) — on
-    # a single-file corpus it otherwise runs inside ONE task (measured
-    # sf0.1: 12.6 s serial vs 1.8 s spread). Row-wise map, so values are
-    # identical; ensure_parallelism is a no-op at scale.
-    base = (ensure_parallelism(df)
-            .filter(has_min_tokens(F.col(text_col), shingle))
-            .select(F.col(id_col).alias("id"), sh.alias("sh")))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(
-            F.col("sh"),
-            lambda s: md5_hash64(F.concat_ws("#", s, i.cast("string"))))))
-    return base.select("id", F.size("sh").alias("n_shingles"),
-                       sig.alias("sig"))
+    zero shingles are dropped (no meaningful signature). Eager: building
+    the frame materializes the shared shingle checkpoint."""
+    base = _shingle_base(df, text_col=text_col, id_col=id_col, n=shingle,
+                         strings=True)
+    return _minhash_md5_sigs(base, num_hashes)
 
 
 def _shingle_pair_candidates(df: DataFrame, *, text_col: str = "text",
-                             id_col: str = "doc_id",
-                             shingle: int = 3) -> DataFrame:
+                             id_col: str = "doc_id", shingle: int = 3,
+                             base: DataFrame | None = None) -> DataFrame:
     """All document pairs sharing >= 1 shingle, with exact intersection /
     union sizes — the inverted-index pair generator every exact-Jaccard
     verification here rides on (never an all-pairs join; bucket width is
     per-shingle document frequency, independent of corpus volume).
-    Returns (id_a, id_b, inter, sz_a, sz_b)."""
-    sh = shingle_strings(F.col(text_col), n=shingle)
-    # spread the scan first: a single-file corpus otherwise runs the whole
-    # explode + bucket self-join probe inside one task (the broadcast join
-    # keeps the streaming side's partitioning)
-    base = (ensure_parallelism(df)
-            .filter(has_min_tokens(F.col(text_col), shingle))
-            .select(F.col(id_col).alias("id"), sh.alias("sh")))
-    inv = base.select("id", F.size("sh").alias("sz"),
-                      F.explode("sh").alias("shingle"))
+    Returns (id_a, id_b, inter, sz_a, sz_b). Pass ``base`` (a
+    ``_shingle_base(strings=True)`` frame) to share one shingle
+    checkpoint across consumers; sizes ride the group keys (sz is
+    functionally determined by id — identical values, none of the
+    ``first()`` valueSet machinery) and are re-wrapped nullable so the
+    output schema is unchanged."""
+    if base is None:
+        base = _shingle_base(df, text_col=text_col, id_col=id_col,
+                             n=shingle, strings=True)
+    inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
     a, b = inv.alias("a"), inv.alias("b")
     return (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
                    & (F.col("a.id") < F.col("b.id")))
-            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-            .agg(F.count(F.lit(1)).alias("inter"),
-                 F.first(F.col("a.sz")).alias("sz_a"),
-                 F.first(F.col("b.sz")).alias("sz_b")))
+            .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+                     F.col("a.sz").alias("sz_a"), F.col("b.sz").alias("sz_b"))
+            .agg(F.count(F.lit(1)).alias("inter"))
+            .select("id_a", "id_b", "inter",
+                    F.when(F.col("sz_a").isNotNull(),
+                           F.col("sz_a")).alias("sz_a"),
+                    F.when(F.col("sz_b").isNotNull(),
+                           F.col("sz_b")).alias("sz_b")))
 
 
 def minhash_estimate_audit(df: DataFrame, *, text_col: str = "text",
@@ -1120,17 +1154,20 @@ def minhash_estimate_audit(df: DataFrame, *, text_col: str = "text",
     reproduces every bit; pairs come from the inverted shingle index
     (exact, bounded buckets), never all-pairs. Returns (id_a, id_b,
     n_matches, est_ppm, exact_ppm, err_ppm)."""
+    # one shingle checkpoint feeds the pair generator's two self-join
+    # arms AND the signature aggregate (guide §5: materialize the shared
+    # frame once instead of three subtree rebuilds)
+    base = _shingle_base(df, text_col=text_col, id_col=id_col, n=shingle,
+                         strings=True)
     pairs = _shingle_pair_candidates(df, text_col=text_col, id_col=id_col,
-                                     shingle=shingle)
+                                     shingle=shingle, base=base)
     pairs = (pairs.withColumn(
         "exact_ppm", F.expr("inter * 1000000L div (sz_a + sz_b - inter)"))
         .filter(F.col("exact_ppm") >= int(min_exact_ppm)))
     # the signature frame feeds BOTH join arms (sa, sb) and Spark does
-    # not reuse subplans across arms — without the checkpoint the full
-    # k x |shingles| md5 fold executed twice
-    sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
-                                  num_hashes=num_hashes, shingle=shingle) \
-        .localCheckpoint(eager=True)
+    # not reuse subplans across arms — without the checkpoint the
+    # k x |shingles| md5 aggregate executed twice
+    sigs = _minhash_md5_sigs(base, num_hashes).localCheckpoint(eager=True)
     sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
     sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
     return (pairs.join(sa, "id_a").join(sb, "id_b")
@@ -1155,101 +1192,81 @@ def lsh_band_tuning(df: DataFrame, *, text_col: str = "text",
     volume; the S-curve threshold is (1/b)^(1/r)).
 
     A pair is a config's candidate iff some band's r signature positions
-    all match — counted by a per-band BUCKET self-join (the same join a
-    production LSH pass runs), so candidate generation is output-bounded,
-    never an all-pairs or pair-superset scan. The ground-truth pair set
-    comes from the exact SSJoin prefix filter (Chaudhuri 2006; the
-    containment_pairs machinery, symmetric form: J(A,B) >= t implies
-    |A∩B| >= t·|A|, so one of A's floor((1-t)|A|)+2 globally-rarest
-    shingles must hit B), verified with one array_intersect. Caught
-    counts evaluate the band predicate only on the (small) truth set.
-    Band equality implies a shared min-shingle (64-bit md5 collisions
-    aside), so the bucket-join candidates equal the superset-defined
-    candidate sets an oracle computes. Returns one row per config:
-    (bands, rows_per_band, n_candidates, n_true_total, n_caught,
-    precision_ppm, recall_ppm)."""
-    t = true_threshold_ppm / 1e6
-    sh = shingle_strings(F.col(text_col), n=shingle)
-    # spread before the per-doc shingle work for the same single-file
-    # reason as minhash_signatures_md5 (row-wise, values identical)
-    base = (ensure_parallelism(df)
-            .filter(has_min_tokens(F.col(text_col), shingle))
-            .select(F.col(id_col).alias("id"), sh.alias("sh"))
-            .withColumn("sz", F.size("sh")).persist())
-    sigs = minhash_signatures_md5(df, text_col=text_col, id_col=id_col,
-                                  num_hashes=num_hashes, shingle=shingle) \
-        .persist()
-    try:
-        # ground truth: symmetric prefix-filtered exact-Jaccard pairs
-        inv = base.select("id", "sz", F.explode("sh").alias("shingle"))
-        dfreq = inv.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
-        # window-free prefix, same rewrite as containment_pairs (guide
-        # §2.4): aggregate + array_sort + slice replaces the per-doc
-        # row_number window; identical rarest-k set ((df, shingle) unique
-        # per doc, struct order == the window's df asc, shingle asc)
-        k_len = (F.floor((1.0 - t) * F.first("sz")) + 2).cast("int")
-        prefix = (inv.join(dfreq, "shingle")
-                  .groupBy("id")
-                  .agg(F.slice(F.array_sort(F.collect_list(
-                      F.struct("df", "shingle"))), F.lit(1), k_len)
-                      .alias("__pre"))
-                  .select("id", F.explode("__pre").alias("__s"))
-                  .select("id", F.col("__s.shingle").alias("shingle")))
-        a, b = prefix.alias("a"), inv.alias("b")
-        tc = (a.join(b, (F.col("a.shingle") == F.col("b.shingle"))
-                     & (F.col("a.id") != F.col("b.id")))
-              .select(F.least("a.id", "b.id").alias("id_a"),
-                      F.greatest("a.id", "b.id").alias("id_b"))
-              .dropDuplicates())
-        truth = (tc
-                 .join(base.select(F.col("id").alias("id_a"),
-                                   F.col("sh").alias("sh_a"),
-                                   F.col("sz").alias("sz_a")), "id_a")
-                 .join(base.select(F.col("id").alias("id_b"),
-                                   F.col("sh").alias("sh_b"),
-                                   F.col("sz").alias("sz_b")), "id_b")
-                 .withColumn("inter",
-                             F.size(F.array_intersect("sh_a", "sh_b")))
-                 .filter(F.expr(
-                     f"inter * 1000000L div (sz_a + sz_b - inter)"
-                     f" >= {int(true_threshold_ppm)}"))
-                 .select("id_a", "id_b")
-                 .localCheckpoint(eager=True))
-        n_true = truth.count()
-        sa = sigs.select(F.col("id").alias("id_a"),
-                         F.col("sig").alias("sig_a"))
-        sb = sigs.select(F.col("id").alias("id_b"),
-                         F.col("sig").alias("sig_b"))
-        tj = truth.join(sa, "id_a").join(sb, "id_b")
-        rows = []
-        for cfg_b in bands_options:
-            r = num_hashes // cfg_b
-            # candidates: bucket self-join per band on the slice content
-            bands = sigs.select("id", F.explode(F.array(*[
-                F.struct(F.lit(j).alias("j"),
-                         F.slice("sig", j * r + 1, r).alias("bs"))
-                for j in range(cfg_b)])).alias("band"))
-            x, y = bands.alias("x"), bands.alias("y")
-            n_cand = (x.join(y, (F.col("x.band.j") == F.col("y.band.j"))
-                             & (F.col("x.band.bs") == F.col("y.band.bs"))
-                             & (F.col("x.id") < F.col("y.id")))
-                      .select(F.col("x.id"), F.col("y.id"))
-                      .dropDuplicates().count())
-            n_caught = tj.filter(F.expr(
-                f"exists(sequence(0, {cfg_b - 1}), j -> "
-                f"slice(sig_a, j * {r} + 1, {r})"
-                f" = slice(sig_b, j * {r} + 1, {r}))")).count()
-            rows.append((cfg_b, r, n_cand, n_true, n_caught,
-                         n_caught * 1000000 // n_cand if n_cand else None,
-                         n_caught * 1000000 // n_true if n_true else None))
-        spark = df.sparkSession
-        return spark.createDataFrame(
-            rows, "bands long, rows_per_band long, n_candidates long, "
-                  "n_true_total long, n_caught long, precision_ppm long, "
-                  "recall_ppm long")
-    finally:
-        base.unpersist()
-        sigs.unpersist()
+    all match — counted by ONE bucket self-join over every config's
+    bands at once (a cfg column in the band key; one shuffle and one job
+    where a per-config loop ran four), so candidate generation is
+    output-bounded, never an all-pairs or pair-superset scan. The
+    ground-truth pair set rides the exact inverted-shingle-index pair
+    aggregate (_shingle_pair_candidates) filtered by exact Jaccard >= t
+    — identical to any complete candidate generator's truth set, since
+    J(A,B) >= t > 0 implies A and B share a shingle, so the inverted
+    index misses nothing and the filter IS the definition. Caught
+    counts for all configs ride one aggregate over the (small) truth
+    set. Band equality implies a shared min-shingle (64-bit md5
+    collisions aside), so the bucket-join candidates equal the
+    superset-defined candidate sets an oracle computes. Returns one row
+    per config: (bands, rows_per_band, n_candidates, n_true_total,
+    n_caught, precision_ppm, recall_ppm)."""
+    # one shingle checkpoint feeds the pair truth (two self-join arms)
+    # and the signature aggregate; the signature checkpoint feeds the
+    # band frame and both tj join arms (guide §5)
+    base = _shingle_base(df, text_col=text_col, id_col=id_col, n=shingle,
+                         strings=True)
+    sigs = _minhash_md5_sigs(base, num_hashes).select("id", "sig") \
+        .localCheckpoint(eager=True)
+    truth = (_shingle_pair_candidates(df, text_col=text_col, id_col=id_col,
+                                      shingle=shingle, base=base)
+             .filter(F.expr(f"inter * 1000000L div (sz_a + sz_b - inter)"
+                            f" >= {int(true_threshold_ppm)}"))
+             .select("id_a", "id_b")
+             .localCheckpoint(eager=True))
+    n_true = truth.count()
+    sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+    tj = truth.join(sa, "id_a").join(sb, "id_b")
+    # candidates: ONE bucket self-join across all configs' bands
+    band_structs = []
+    for cfg_b in bands_options:
+        r = num_hashes // cfg_b
+        for j in range(cfg_b):
+            band_structs.append(F.struct(
+                F.lit(cfg_b).alias("cfg"), F.lit(j).alias("j"),
+                F.slice("sig", j * r + 1, r).alias("bs")))
+    bands = sigs.select("id", F.explode(F.array(*band_structs)).alias("band"))
+    x, y = bands.alias("x"), bands.alias("y")
+    cand_counts = {row["cfg"]: row["n"] for row in
+                   (x.join(y, (F.col("x.band.cfg") == F.col("y.band.cfg"))
+                           & (F.col("x.band.j") == F.col("y.band.j"))
+                           & (F.col("x.band.bs") == F.col("y.band.bs"))
+                           & (F.col("x.id") < F.col("y.id")))
+                    .select(F.col("x.band.cfg").alias("cfg"),
+                            F.col("x.id"), F.col("y.id"))
+                    .dropDuplicates()
+                    .groupBy("cfg").agg(F.count(F.lit(1)).alias("n"))
+                    .collect())}
+    # caught: every config's band predicate in ONE aggregate over tj
+    caught_aggs = []
+    for cfg_b in bands_options:
+        r = num_hashes // cfg_b
+        caught_aggs.append(F.coalesce(F.sum(F.when(F.expr(
+            f"exists(sequence(0, {cfg_b - 1}), j -> "
+            f"slice(sig_a, j * {r} + 1, {r})"
+            f" = slice(sig_b, j * {r} + 1, {r}))"), 1).otherwise(0)),
+            F.lit(0)).alias(f"c{cfg_b}"))
+    caught_row = tj.agg(*caught_aggs).first()
+    rows = []
+    for cfg_b in bands_options:
+        r = num_hashes // cfg_b
+        n_cand = cand_counts.get(cfg_b, 0)
+        n_caught = int(caught_row[f"c{cfg_b}"])
+        rows.append((cfg_b, r, n_cand, n_true, n_caught,
+                     n_caught * 1000000 // n_cand if n_cand else None,
+                     n_caught * 1000000 // n_true if n_true else None))
+    spark = df.sparkSession
+    return spark.createDataFrame(
+        rows, "bands long, rows_per_band long, n_candidates long, "
+              "n_true_total long, n_caught long, precision_ppm long, "
+              "recall_ppm long")
 
 
 # -- edit-distance (PassJoin) --------------------------------------------------
