@@ -1956,3 +1956,34 @@ def test_shingle_pair_candidates_exact_and_schema(spark, docs):
     assert got == want and want
     fields = {f.name: f for f in out.schema.fields}
     assert fields["sz_a"].nullable and fields["sz_b"].nullable
+
+
+def test_hard_negatives_seed_scan_bit_identical(spark, embeds):
+    """hard_negatives (r10: label-masked Arrow seed scan) must reproduce
+    the all-pairs join + window spec BIT-FOR-BIT — same rounded cosines,
+    same (cosine desc, id asc) ranks, same different-label constraint —
+    or the oracle-pinned mining output silently drifts."""
+    from pyspark.sql import Window
+    from vivace_graph_v3_spark.pipeline.dedup import cosine
+    from vivace_graph_v3_spark.pipeline.similarity import hard_negatives
+
+    emb = embeds.limit(300)
+    a = emb.select(F.col("vec_id").alias("anchor_id"),
+                   F.col("embedding").alias("va"),
+                   F.col("label").alias("la"))
+    b = emb.select(F.col("vec_id").alias("negative_id"),
+                   F.col("embedding").alias("vb"),
+                   F.col("label").alias("lb"))
+    pairs = (a.join(b, (F.col("anchor_id") != F.col("negative_id"))
+                    & (F.col("la") != F.col("lb")))
+             .select("anchor_id", "negative_id",
+                     F.round(cosine(F.col("va"), F.col("vb")), 6)
+                     .alias("cosine")))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("cosine").desc(), F.col("negative_id").asc())
+    spec = (pairs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= 3))
+    got = hard_negatives(emb, k=3)
+    assert got.schema == spec.schema
+    assert sorted(map(tuple, got.collect())) == \
+        sorted(map(tuple, spec.collect()))

@@ -29,12 +29,19 @@ def test_profile_mixed_types(spark):
     assert d.min_str == "2020-01-01" and d.max_str == "2021-06-01"
 
 
-def test_profile_single_scan(spark):
+def test_profile_scan_budget(spark):
     df = spark.range(100).select(
         F.col("id"), (F.col("id") % 7).alias("m"))
     plan = profile_table(df)._jdf.queryExecution().executedPlan().toString()
-    # one scan feeding one aggregate chain: Range appears exactly once
-    assert plan.count("Range (0, 100") == 1
+    # exactly TWO scans (r10): one plain-aggregate chain + one
+    # multi-distinct chain, so the distinct Expand rewrite never carries
+    # the plain aggregates' inputs through its row blowup
+    assert plan.count("Range (0, 100") == 2
+    # the approx path keeps the single-scan shape (no Expand at all)
+    approx = profile_table(df, exact_distinct=False) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert approx.count("Range (0, 100") == 1
+    assert "Expand" not in approx
 
 
 def test_histogram_basic(spark):

@@ -1247,16 +1247,21 @@ WHERE rank <= 5
 """
 
 
-def _ann_recall_row(spark, sf_dir, ann_df):
+def _ann_recall_row(spark, sf_dir, ann_df, exact=None):
     """One deterministic row (n_exact, n_hits, recall) comparing an ANN
-    result against the exact brute-force top-5 for queries vec_id < 10."""
-    emb = _emb(spark, sf_dir)
-    queries = emb.filter(F.col("vec_id") < 10)
-    # exact feeds its count AND the semi-join: checkpoint once instead of
-    # running the brute-force scan twice (no subplan reuse across arms)
-    exact = (cosine_topk_bruteforce(emb, queries, k=5)
-             .select("query_id", "neighbor_id")
-             .localCheckpoint(eager=True))
+    result against the exact brute-force top-5 for queries vec_id < 10.
+    Callers scoring SEVERAL ANN configurations against the same ground
+    truth pass ``exact`` (this function's checkpointed brute-force frame)
+    once instead of rebuilding it per configuration."""
+    if exact is None:
+        emb = _emb(spark, sf_dir)
+        queries = emb.filter(F.col("vec_id") < 10)
+        # exact feeds its count AND the semi-join: checkpoint once instead
+        # of running the brute-force scan twice (no subplan reuse across
+        # arms)
+        exact = (cosine_topk_bruteforce(emb, queries, k=5)
+                 .select("query_id", "neighbor_id")
+                 .localCheckpoint(eager=True))
     hits = exact.join(ann_df.select("query_id", "neighbor_id"),
                       ["query_id", "neighbor_id"], "left_semi")
     return (exact.agg(F.count(F.lit(1)).alias("n_exact"))
@@ -8864,10 +8869,16 @@ def q_ann_recall_curve(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 10)
     indexed, cents = ivf_index(emb, num_centroids=8, iterations=1)
+    # ONE exact ground truth for all four nprobe rows (the brute-force
+    # frame is the expensive half and is nprobe-independent; it was
+    # rebuilt per configuration before)
+    exact = (cosine_topk_bruteforce(emb, queries, k=5)
+             .select("query_id", "neighbor_id")
+             .localCheckpoint(eager=True))
     out = None
     for nprobe in (1, 2, 4, 8):
         ann = ivf_probe(indexed, cents, queries, k=5, nprobe=nprobe)
-        row = (_ann_recall_row(spark, sf_dir, ann)
+        row = (_ann_recall_row(spark, sf_dir, ann, exact=exact)
                .select(F.lit(nprobe).cast("long").alias("nprobe"),
                        "n_exact", "n_hits", "recall"))
         out = row if out is None else out.unionAll(row)

@@ -64,7 +64,8 @@ def cosine_topk_bruteforce(corpus: DataFrame, queries: DataFrame, k: int, *,
 
 def _cosine_topk_seed_scan(corpus: DataFrame, queries: DataFrame, k: int, *,
                            vec_col: str, id_col: str, q_vec_col: str,
-                           q_id_col: str) -> DataFrame:
+                           q_id_col: str, label_col: str | None = None,
+                           q_label_col: str | None = None) -> DataFrame:
     """Exact top-k against a BOUNDED corpus (seed) via one Arrow scan of
     the queries. Bit-exactness contract: numpy reproduces the JVM
     expression fold ``((0.0 + q0*c0) + q1*c1) + ...`` per element
@@ -79,14 +80,26 @@ def _cosine_topk_seed_scan(corpus: DataFrame, queries: DataFrame, k: int, *,
     Scale shape: seed collect is |seed| x dims floats (the bounded side
     by contract); the query side streams through mapInPandas Arrow
     batches partition-parallel with zero shuffle before the final
-    (queries x ~k)-row rank."""
+    (queries x ~k)-row rank.
+
+    ``label_col``/``q_label_col`` (both or neither): additionally
+    exclude candidates whose label EQUALS the query row's — the
+    hard-negative-mining constraint (rank among different-label vectors
+    only). The mask composes with the self-id mask before the kth-raw
+    pre-selection, so excluded candidates can never displace a kept
+    one."""
     import numpy as np
     import pandas as pd
 
-    seed_rows = corpus.select(F.col(id_col).alias("nid"),
-                              F.col(vec_col).alias("cv")).collect()
-    q_schema = queries.select(F.col(q_id_col).alias("query_id"),
-                              F.col(q_vec_col).alias("qv")).schema
+    seed_cols = [F.col(id_col).alias("nid"), F.col(vec_col).alias("cv")]
+    if label_col is not None:
+        seed_cols.append(F.col(label_col).alias("nlabel"))
+    seed_rows = corpus.select(*seed_cols).collect()
+    q_cols = [F.col(q_id_col).alias("query_id"),
+              F.col(q_vec_col).alias("qv")]
+    if q_label_col is not None:
+        q_cols.append(F.col(q_label_col).alias("qlabel"))
+    q_schema = queries.select(*q_cols).schema
     qid_type = q_schema["query_id"].dataType.simpleString()
     nid_type = corpus.select(F.col(id_col).alias("nid")) \
         .schema["nid"].dataType.simpleString()
@@ -99,6 +112,8 @@ def _cosine_topk_seed_scan(corpus: DataFrame, queries: DataFrame, k: int, *,
 
     cids = np.array([r["nid"] for r in seed_rows])
     C = np.array([r["cv"] for r in seed_rows], dtype=np.float64)
+    clabels = (np.array([r["nlabel"] for r in seed_rows])
+               if label_col is not None else None)
     m, dims = C.shape
 
     def fold_dot(A, B):
@@ -126,6 +141,10 @@ def _cosine_topk_seed_scan(corpus: DataFrame, queries: DataFrame, k: int, *,
             qids = pdf["query_id"].to_numpy()
             S = fold_dot(Q, C) / np.multiply.outer(fold_norm(Q), cnorm)
             self_mask = qids[:, None] == cids[None, :]
+            if clabels is not None:
+                qlabels = pdf["qlabel"].to_numpy()
+                self_mask = self_mask | (qlabels[:, None]
+                                         == clabels[None, :])
             Sm = np.where(self_mask, -np.inf, S)
             # kth-largest raw per query (NaN sorts as largest in numpy,
             # matching Spark/DuckDB NaN-greatest ordering)
@@ -141,8 +160,7 @@ def _cosine_topk_seed_scan(corpus: DataFrame, queries: DataFrame, k: int, *,
                                 "neighbor_id": cids[ci],
                                 "raw_cosine": S[qi, ci]})
 
-    cand = queries.select(F.col(q_id_col).alias("query_id"),
-                          F.col(q_vec_col).alias("qv")).mapInPandas(
+    cand = queries.select(*q_cols).mapInPandas(
         scan, schema=f"query_id {qid_type}, neighbor_id {nid_type}, "
                      f"raw_cosine double")
     w = Window.partitionBy("query_id").orderBy(
@@ -546,26 +564,26 @@ def hard_negatives(emb: DataFrame, *, k: int = 3,
     (anchor_id, negative_id, cosine, rank) with deterministic
     (cosine desc, id) tie-break; cosines 6-dp rounded.
 
-    This is the EXACT (all-pairs) formulation for bounded inputs — the
-    100 TB path swaps the pair generator for the sign-LSH candidate join
-    (embedding_dup_pairs' blocking) and ranks within candidates: same
-    downstream ranking, pair volume bounded by bucket collisions instead
-    of n²."""
-    a = emb.select(F.col(id_col).alias("anchor_id"),
-                   F.col(vec_col).alias("va"),
-                   F.col(label_col).alias("la"))
-    b = emb.select(F.col(id_col).alias("negative_id"),
-                   F.col(vec_col).alias("vb"),
-                   F.col(label_col).alias("lb"))
-    pairs = (a.join(b, (F.col("anchor_id") != F.col("negative_id"))
-                    & (F.col("la") != F.col("lb")))
-             .select("anchor_id", "negative_id",
-                     F.round(cosine(F.col("va"), F.col("vb")), 6)
-                     .alias("cosine")))
-    w = Window.partitionBy("anchor_id").orderBy(
-        F.col("cosine").desc(), F.col("negative_id").asc())
-    return (pairs.withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k))
+    This is the EXACT formulation for bounded inputs (the corpus side is
+    collected as the seed matrix — the same bounded-input contract the
+    all-pairs join carried); the 100 TB path swaps the pair generator for
+    the sign-LSH candidate join (embedding_dup_pairs' blocking) and ranks
+    within candidates: same downstream ranking, pair volume bounded by
+    bucket collisions instead of n².
+
+    Shape: one label-masked Arrow seed scan (_cosine_topk_seed_scan) —
+    each anchor's top-k resolves inside its Arrow batch; no n² pair rows
+    ever materialize, where the previous nested-loop join streamed every
+    pair through the cosine kernel and a full per-anchor window sort.
+    Values bit-identical: same fold-order raw cosines, rounding and the
+    (cosine desc, id asc) rank stay in Spark."""
+    out = _cosine_topk_seed_scan(emb, emb, k, vec_col=vec_col,
+                                 id_col=id_col, q_vec_col=vec_col,
+                                 q_id_col=id_col, label_col=label_col,
+                                 q_label_col=label_col)
+    return out.select(F.col("query_id").alias("anchor_id"),
+                      F.col("neighbor_id").alias("negative_id"),
+                      "cosine", "rank")
 
 
 # -- product quantization -------------------------------------------------------
